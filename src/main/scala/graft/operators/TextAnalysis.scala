@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * Everything here is a pure `Column` combinator over built-in codegen'd
+  * functions — no UDFs — so plans stay inside whole-stage codegen and
+  * distribute trivially (per-row, no shuffle).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (regex split, empty tokens dropped). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Characters that count as punctuation for quality scoring. */
+  val PunctClass = "[^.,!?;:]"
+
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, PunctClass, ""))
+
+  /** Per-language stopword lists for the n-gram/stopword language heuristic.
+    * Deliberately small + fixed: the heuristic must be reproducible in the
+    * oracle engine, not linguistically complete.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "un", "es", "en", "se"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "les", "un", "une", "du", "pour"))
+
+  /** Count of tokens belonging to `words` (duplicates counted). */
+  def wordlistHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(w => w: Any): _*)))
+
+  /** Stopword-count language ID: argmax over per-language hit counts with a
+    * deterministic priority tie-break (list order), 'und' (undetermined) when
+    * no list scores ≥ 1.
+    */
+  def langId(text: Column): Column = {
+    val scores = Stopwords.map { case (lang, words) => lang -> wordlistHits(text, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, score), els) =>
+      when(score >= best && best >= 1, lang).otherwise(els)
+    }
+  }
+
+  /** Quality score ∈ [0,1]: token volume, low punctuation density, natural
+    * stopword rate. Pure double arithmetic → engine-reproducible.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val punctRatio = punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double")
+    val stopRatio = wordlistHits(text, Stopwords.flatMap(_._2)).cast("double") / greatest(nTok, lit(1.0))
+    round(least(nTok / 50.0, lit(1.0)) * 0.4 + (lit(1.0) - punctRatio) * 0.3 + stopRatio * 0.3, 6)
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text.
+    * The exact-dedup key (Dedup.exactDedup groups on this).
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

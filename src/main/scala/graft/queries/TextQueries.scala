@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.Graft.table
+import graft.operators.TextAnalysis._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator queries over the `documents` table — the
+  * training-data-pipeline surface (language ID, quality scoring, token
+  * counting, fingerprinting) the reference's lakehouse would need at 100 TB.
+  *
+  * All of `TextAnalysis` is built from codegen'd `functions._` combinators
+  * (no UDFs), so these plans are single-pass, shuffle-free per-row maps —
+  * they scale linearly with input splits. Each oracle mirrors the arithmetic
+  * exactly (same op order, double math, global regex) so DuckDB hash-matches.
+  */
+object TextQueries {
+
+  /** Token counting + punctuation density + document fingerprint (rolling
+    * normalized-text hash). Per-row, no shuffle. */
+  val t01TokenStats = GraftQuery(
+    "t01_token_stats",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).as("token_count"),
+          length(col("text")).as("char_len"),
+          punctCount(col("text")).as("punct_count"),
+          fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS token_count,
+             CAST(length(text) AS INT) AS char_len,
+             CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INT) AS punct_count,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Stopword-hit language ID vs the dataset's labeled lang — confusion
+    * matrix shape. Argmax with deterministic list-order tie-break. */
+  val t02LangId = GraftQuery(
+    "t02_lang_id",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("lang"), langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("lang"), col("lang_pred")),
+    Some("""
+      WITH scored AS (
+        SELECT lang,
+          len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+              t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS en_hits,
+          len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+              t -> t IN ('el','la','de','y','que','los','un','es','en','se'))) AS es_hits,
+          len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+              t -> t IN ('der','die','das','und','ist','ein','zu','den','mit','nicht'))) AS de_hits,
+          len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+              t -> t IN ('le','la','de','et','est','les','un','une','du','pour'))) AS fr_hits
+        FROM documents),
+      labeled AS (
+        SELECT lang,
+          CASE WHEN en_hits >= greatest(en_hits, es_hits, de_hits, fr_hits)
+                    AND greatest(en_hits, es_hits, de_hits, fr_hits) >= 1 THEN 'en'
+               WHEN es_hits >= greatest(en_hits, es_hits, de_hits, fr_hits)
+                    AND greatest(en_hits, es_hits, de_hits, fr_hits) >= 1 THEN 'es'
+               WHEN de_hits >= greatest(en_hits, es_hits, de_hits, fr_hits)
+                    AND greatest(en_hits, es_hits, de_hits, fr_hits) >= 1 THEN 'de'
+               WHEN fr_hits >= greatest(en_hits, es_hits, de_hits, fr_hits)
+                    AND greatest(en_hits, es_hits, de_hits, fr_hits) >= 1 THEN 'fr'
+               ELSE 'und' END AS lang_pred
+        FROM scored)
+      SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS doc_count
+      FROM labeled
+      GROUP BY lang, lang_pred
+      ORDER BY lang, lang_pred"""))
+
+  /** Quality score ∈ [0,1] (token volume + punctuation density + stopword
+    * rate), bucketed to a distribution so the check is robust yet exact. */
+  val t03Quality = GraftQuery(
+    "t03_quality_score",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS DOUBLE) AS n_tok,
+          CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+            / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+          CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+            t -> t IN ('the','a','of','and','to','in','is','it','that','for',
+                       'el','la','de','y','que','los','un','es','en','se',
+                       'der','die','das','und','ist','ein','zu','den','mit','nicht',
+                       'le','la','de','et','est','les','un','une','du','pour'))) AS DOUBLE) AS stop_hits
+        FROM documents)
+      SELECT doc_id,
+             round(least(n_tok / 50.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3
+                   + stop_hits / greatest(n_tok, 1.0) * 0.3, 6) AS quality
+      FROM base
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality)
+}
