@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication primitives for large-scale training-data pipelines:
+  * exact (fingerprint group-by), MinHash+LSH (shingle → minhash → band →
+  * bucket-join), SimHash, and n-gram Jaccard verification.
+  *
+  * Two hash families coexist deliberately:
+  *   - `polyHash` — a portable polynomial rolling hash (fold over char codes,
+  *     mod 1e9+7) that any SQL engine with list lambdas can recompute, so the
+  *     DuckDB oracle can hash-match full MinHash/SimHash/LSH outputs.
+  *   - `fastShingleHashes` — `xxhash64` on sliding substrings, the 100 TB hot
+  *     path (codegen'd native hash, no per-char array work).
+  * Both produce the same *shape* of signature; queries pin the portable one
+  * for verifiability, bench can swap in the fast one.
+  *
+  * Scale notes: MinHash-LSH replaces the O(n²) pair join with a shuffle on
+  * (band_id, band_key) — only same-bucket pairs are generated, so the plan is
+  * a hash-partitioned self-join per band, which survives a 100× scale-up as
+  * long as bucket sizes stay bounded (k/b tuned so P(collision | low jaccard)
+  * is small). The exact n-gram Jaccard join is the verification path for
+  * candidates, never run all-pairs at scale.
+  */
+object Dedup {
+
+  /** Modulus for the portable hash family (prime, < 2^30 so a*h fits long). */
+  val P = 1000000007L
+
+  /** MinHash affine-permutation constants (a_i * h + b_i mod P). Fixed
+    * literals so the oracle can restate them. k=8 → 4 bands × 2 rows:
+    * LSH threshold ≈ (1/b)^(1/r) = 0.5. */
+  val MinhashA: Seq[Long] = Seq(919393L, 524287L, 786433L, 196613L, 393241L, 576259L, 106501L, 786437L)
+  val MinhashB: Seq[Long] = Seq(273389L, 938113L, 654321L, 111119L, 222229L, 333331L, 444443L, 555557L)
+  val NumHashes = 8
+  val Bands = 4
+  val RowsPerBand = 2
+
+  /** 1-based char-code array of a string (ascii of each char). */
+  def charCodes(s: Column): Column =
+    transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("bigint"))
+
+  /** Portable polynomial hash: fold acc = (acc*31 + code) mod P over chars. */
+  def polyHash(codes: Column): Column =
+    aggregate(codes, lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(P))
+
+  def polyHashStr(s: Column): Column = polyHash(charCodes(s))
+
+  /** Character 5-gram shingles as strings (whole string when len < 5). */
+  def charShingles(s: Column, n: Int = 5): Column =
+    transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
+      i => s.substr(i, lit(n)))
+
+  /** Portable-hashed shingles: one polyHash per sliding n-gram window,
+    * hashing each window substring directly. Crucially the lambda body only
+    * touches the n-char window — embedding a shared char-code array expression
+    * here would be re-evaluated per window by the interpreted HOF path
+    * (O(len²) per row), which at 8 signature columns turns a 500-row input
+    * into minutes of CPU. O(len·n) as written. */
+  def shingleHashes(s: Column, n: Int = 5): Column =
+    transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
+      i => polyHash(charCodes(s.substr(i, lit(n)))))
+
+  /** 100 TB fast path: xxhash64 over sliding substrings (codegen'd, no char
+    * arrays). Not oracle-reproducible — signatures differ from `shingleHashes`
+    * but dedup semantics are identical. */
+  def fastShingleHashes(s: Column, n: Int = 5): Column =
+    transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
+      i => xxhash64(s.substr(i, lit(n))))
+
+  /** MinHash signature: array of k minima of affine-permuted shingle hashes. */
+  def minhashSignature(hashes: Column, k: Int = NumHashes): Column =
+    array((0 until k).map { j =>
+      array_min(transform(hashes, h => (lit(MinhashA(j)) * h + lit(MinhashB(j))) % lit(P)))
+    }: _*)
+
+  /** LSH band keys: signature grouped into `bands` of `rowsPerBand`, each
+    * band rendered "v1_v2". Explode with posexplode → (band_id, band_key). */
+  def bandKeys(sig: Column, bands: Int = Bands, rowsPerBand: Int = RowsPerBand): Column =
+    array((0 until bands).map { b =>
+      concat_ws("_", (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
+    }: _*)
+
+  /** 32-bit SimHash over token hashes: bit j set iff the sum of (±1 per token,
+    * + when token-hash bit j is 1) is positive. Term frequency weighted
+    * (duplicate tokens count). */
+  def simhash32(tokenHashes: Column): Column =
+    (0 until 32).map { j =>
+      val bitSum = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j) % lit(2L)) * lit(2L) - lit(1L))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact-dup groups: one row per fingerprint with the kept doc (min id) and
+    * the group size. Single hash-shuffle on the fingerprint — the canonical
+    * exact dedup at any scale. */
+  def exactDedupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  /** Pairwise Jaccard over distinct hashed shingles via inverted-index join
+    * (explode → join on shingle → shared counts). Exact but O(pairs sharing a
+    * shingle) — the verification path; LSH is the candidate generator at scale. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingleHashes(col(textCol)))).as("h"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup pairs: signature → band keys → bucket self-join →
+    * distinct candidates → exact Jaccard verify (array_intersect on distinct
+    * shingle-hash sets) → threshold. The only shuffles are the band-key join
+    * and the final verify join; no all-pairs product anywhere. */
+  def lshNearDupPairs(docs: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      array_distinct(shingleHashes(col(textCol))).as("hset"))
+    val withSig = base.withColumn("sig", minhashSignature(col("hset")))
+    val bands = withSig.select(col("doc_id"),
+      posexplode(bandKeys(col("sig"))).as(Seq("band_id", "band_key")))
+    val candidates = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("doc_id").as("id_a"), col("hset").as("hs_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("hset").as("hs_b")), "id_b")
+      .withColumn("shared", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("shared") / (size(col("hs_a")) + size(col("hs_b")) - col("shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.Graft.table
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator queries over `documents` / `embeddings` — exact,
+  * n-gram Jaccard, MinHash signatures, MinHash-LSH banded candidates, SimHash,
+  * and embedding-cosine near-dup.
+  *
+  * Every signature here uses the portable polynomial hash (`Dedup.polyHash`)
+  * so the DuckDB oracle recomputes the *identical* integers — the hash-match
+  * gate covers the whole MinHash/LSH pipeline, not just its shape. The
+  * xxhash64 fast path in `Dedup` is the production hot path at 100 TB.
+  */
+object DedupQueries {
+
+  /** Shared DuckDB fragments (kept in sync with Dedup.scala — same constants,
+    * same fold, same window arithmetic). */
+  private val duckCodes =
+    "list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))"
+  private def duckPoly(l: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $l), (acc, x) -> (acc*31 + x) % 1000000007)"
+  private val duckShingleHashes =
+    s"list_transform(range(1, greatest(length(text)-4, 1)+1), i -> ${duckPoly("codes[i:i+4]")})"
+
+  /** Exact dedup: group by normalized-text fingerprint, keep min id.
+    * One hash shuffle on the fingerprint — the canonical exact dedup. */
+  val d01ExactDedup = GraftQuery(
+    "d01_exact_dedup",
+    (s, dir) =>
+      Dedup.exactDedupGroups(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fingerprint")),
+    Some("""
+      SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+             CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+             CAST(COUNT(*) AS BIGINT) AS dup_count
+      FROM documents
+      GROUP BY 1
+      ORDER BY fingerprint"""))
+
+  /** Exact pairwise Jaccard ≥ 0.5 on distinct char-5-gram shingle hashes via
+    * inverted-index join (no all-pairs product). */
+  val d02JaccardPairs = GraftQuery(
+    "d02_ngram_jaccard_pairs",
+    (s, dir) =>
+      Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text", 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH codes_t AS (
+        SELECT doc_id, $duckCodes AS codes, text FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, unnest($duckShingleHashes) AS h FROM codes_t),
+      sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE), 6) AS jaccard
+      FROM shared
+      JOIN sizes na ON id_a = na.doc_id
+      JOIN sizes nb ON id_b = nb.doc_id
+      WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b"""))
+
+  /** MinHash signatures (k=8, affine permutations of portable shingle hashes)
+    * as 8 oracle-checked columns. Per-row map, no shuffle. */
+  val d03MinhashSignatures = GraftQuery(
+    "d03_minhash_signatures",
+    (s, dir) => {
+      val sig = Dedup.minhashSignature(Dedup.shingleHashes(col("text")))
+      table(s, dir, "documents")
+        .select(col("doc_id") +: (0 until Dedup.NumHashes)
+          .map(j => element_at(sig, j + 1).as(s"sig_$j")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val sigExprs = (0 until Dedup.NumHashes).map { j =>
+        s"list_min(list_transform(hs, h -> (${Dedup.MinhashA(j)}*h + ${Dedup.MinhashB(j)}) % 1000000007)) AS sig_$j"
+      }.mkString(",\n             ")
+      s"""
+      WITH codes_t AS (SELECT doc_id, $duckCodes AS codes, text FROM documents),
+      hs_t AS (SELECT doc_id, $duckShingleHashes AS hs FROM codes_t)
+      SELECT doc_id,
+             $sigExprs
+      FROM hs_t
+      ORDER BY doc_id"""
+    })
+
+  /** MinHash-LSH near-dup pairs: band bucket join (4 bands × 2 rows, LSH
+    * threshold ≈ 0.5) → distinct candidates → exact Jaccard verify ≥ 0.5.
+    * The full scale path: shuffles only on band keys, never all-pairs. */
+  val d04LshNearDup = GraftQuery(
+    "d04_minhash_lsh_pairs",
+    (s, dir) =>
+      Dedup.lshNearDupPairs(table(s, dir, "documents"), "doc_id", "text", 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+    Some {
+      val sigList = (0 until Dedup.NumHashes).map { j =>
+        s"list_min(list_transform(hset, h -> (${Dedup.MinhashA(j)}*h + ${Dedup.MinhashB(j)}) % 1000000007))"
+      }.mkString("[", ", ", "]")
+      s"""
+      WITH codes_t AS (SELECT doc_id, $duckCodes AS codes, text FROM documents),
+      hs_t AS (SELECT doc_id, list_distinct($duckShingleHashes) AS hset FROM codes_t),
+      sig_t AS (SELECT doc_id, hset, $sigList AS sig FROM hs_t),
+      bands AS (
+        SELECT doc_id,
+               band_id,
+               CAST(sig[2*band_id + 1] AS VARCHAR) || '_' || CAST(sig[2*band_id + 2] AS VARCHAR) AS band_key
+        FROM sig_t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) bb),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      ver AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE) AS shared,
+               len(ha.hset) AS na, len(hb.hset) AS nb
+        FROM cand JOIN hs_t ha ON id_a = ha.doc_id JOIN hs_t hb ON id_b = hb.doc_id)
+      SELECT id_a, id_b, round(shared / CAST(na + nb - shared AS DOUBLE), 6) AS jaccard
+      FROM ver
+      WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b"""
+    })
+
+  /** 32-bit SimHash over term-frequency-weighted token hashes. Near-identical
+    * docs land within small Hamming distance; per-row map, no shuffle. */
+  val d05Simhash = GraftQuery(
+    "d05_simhash",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.simhash32(transform(TextAnalysis.tokens(col("text")),
+            t => Dedup.polyHashStr(t))).as("simhash"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+        FROM documents),
+      th_t AS (
+        SELECT doc_id,
+               list_transform(t, tok -> ${duckPoly(
+                 "list_transform(range(1, length(tok)+1), i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT))")}) AS th
+        FROM toks)
+      SELECT doc_id,
+             CAST(COALESCE(list_sum(list_transform(range(0, 32), j ->
+               CASE WHEN list_sum(list_transform(th, h -> ((h >> CAST(j AS INT)) & 1)*2 - 1)) > 0
+                    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)), 0) AS BIGINT) AS simhash
+      FROM th_t
+      ORDER BY doc_id"""))
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.4) — brute-force double-math
+    * fold, deterministic across engines. Scale path is the bucketed ANN in
+    * SimilarityQueries; this is the exact verifier. */
+  val d06EmbeddingNearDup = GraftQuery(
+    "d06_embedding_neardup",
+    (s, dir) => {
+      // Norms are staged per-row BEFORE the pair join (n evals, not n²/2) —
+      // the join exchange materializes them, so only the dot product runs
+      // per pair.
+      def sqNorm(c: Column) = aggregate(transform(c, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
+      val dot = aggregate(zip_with(col("emb_a"), col("emb_b"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cosine", dot / (col("norm_a") * col("norm_b")))
+        .filter(col("cosine") >= 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_aggregate(list_transform(range(1, len(a.embedding)+1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') AS dot,
+               list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS na,
+               list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS nb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+      FROM p
+      WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+      ORDER BY id_a, id_b"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    d01ExactDedup, d02JaccardPairs, d03MinhashSignatures,
+    d04LshNearDup, d05Simhash, d06EmbeddingNearDup)
+}
