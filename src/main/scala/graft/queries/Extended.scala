@@ -1,0 +1,291 @@
+package graft.queries
+
+import graft.Graft.table
+import graft.operators.AsOf
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Extended relational coverage beyond the reference's own surface (SURVEY
+  * §2 notes what the reference lacks): window frames, full ranking family,
+  * grouping sets, pivot, as-of join, range join, sessionization, exact
+  * percentiles, approximate sketches, correlated scalar subqueries.
+  *
+  * A complete engine a reference user could switch to needs these; each is
+  * oracle-checked (except the approximate sketch, which is engine-specific
+  * by construction and gets a rows-only check).
+  */
+object Extended {
+
+  private val money = DecimalType(12, 2)
+
+  /** Explicit window frames: 3-row moving sum/avg + running total per
+    * customer. Frames are ROWS-based with a unique order key, so both
+    * engines window identical row sequences. */
+  val q26WindowFrames = GraftQuery(
+    "q26_window_frames",
+    (s, dir) => {
+      val base = table(s, dir, "orders").filter(col("o_custkey") < 100)
+      val order3 = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val mov = order3.rowsBetween(-2, Window.currentRow)
+      val run = order3.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(money)).over(mov).cast("double").as("moving_sum_3"),
+        (sum(col("o_totalprice").cast(money)).over(mov).cast("double")
+          / count(lit(1)).over(mov)).as("moving_avg_3"),
+        sum(col("o_totalprice").cast(money)).over(run).cast("double").as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum_3,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      FROM orders
+      WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** Full ranking family. rank/dense_rank/percent_rank/cume_dist order by a
+    * tie-prone key (their values are tie-stable); ntile orders by a unique
+    * key (its value depends on row position). */
+  val q27Ranking = GraftQuery(
+    "q27_ranking_family",
+    (s, dir) => {
+      val base = table(s, dir, "orders").filter(col("o_custkey") < 100)
+      val tieW = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice").desc)
+      val uniqW = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      base.select(
+        col("o_orderstatus"), col("o_orderkey"),
+        rank().over(tieW).as("price_rank"),
+        dense_rank().over(tieW).as("price_dense_rank"),
+        round(percent_rank().over(tieW), 6).as("price_percent_rank"),
+        round(cume_dist().over(tieW), 6).as("price_cume_dist"),
+        ntile(4).over(uniqW).as("price_quartile"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderkey,
+             CAST(rank() OVER tw AS BIGINT) AS price_rank,
+             CAST(dense_rank() OVER tw AS BIGINT) AS price_dense_rank,
+             round(percent_rank() OVER tw, 6) AS price_percent_rank,
+             round(cume_dist() OVER tw, 6) AS price_cume_dist,
+             CAST(ntile(4) OVER uw AS INT) AS price_quartile
+      FROM orders
+      WHERE o_custkey < 100
+      WINDOW tw AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC),
+             uw AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+      ORDER BY o_orderstatus, o_orderkey"""))
+
+  /** GROUPING SETS with marker-free disambiguation (NULL key patterns are
+    * unique across the three sets). */
+  val q28GroupingSets = GraftQuery(
+    "q28_grouping_sets",
+    (s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS line_count,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS BIGINT) AS line_count,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  /** Pivot (long → wide) with an explicit value list — revenue by year ×
+    * order status. Explicit values keep the output schema static, which is
+    * the only scalable form (value discovery is a full extra scan). */
+  val q29Pivot = GraftQuery(
+    "q29_pivot_status",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast(money)).cast("double"))
+        .orderBy(col("order_year")),
+    Some("""
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS P
+      FROM orders
+      GROUP BY 1
+      ORDER BY order_year"""))
+
+  /** As-of join: each error event picks up the user's most recent click at
+    * or before it (union-LOCF plan — one shuffle, no pair blowup; see
+    * [[graft.operators.AsOf]]). Clicks deduped to one per (user, ts) so the
+    * as-of winner is unique on both engines. */
+  val q30AsOfJoin = GraftQuery(
+    "q30_asof_join",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"), max(col("value")).as("click_value"))
+        .select(col("user_id"), col("ts").as("click_ts"), col("click_id"), col("click_value"))
+      AsOf.join(errors, clicks, key = "user_id", leftTime = "ts", rightTime = "click_ts",
+          tieCol = "click_id", payload = Seq("click_id", "click_value", "click_ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_click_id"), col("asof_click_value"),
+          col("asof_click_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH errors AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      clicks AS (
+        SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id, MAX(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      SELECT e.event_id, e.user_id, e.ts,
+             c.click_id AS asof_click_id,
+             c.click_value AS asof_click_value,
+             c.click_ts AS asof_click_ts
+      FROM errors e ASOF LEFT JOIN clicks c
+        ON e.user_id = c.user_id AND e.ts >= c.click_ts
+      ORDER BY e.event_id"""))
+
+  /** Range (interval) join against a small tier dim — broadcast nested-loop
+    * on a non-equi predicate; correct plan when one side is tiny. */
+  val q31RangeJoin = GraftQuery(
+    "q31_range_join_tiers",
+    (s, dir) => {
+      import s.implicits._
+      val tiers = Seq(
+        (0.0, 10.0, "low"), (10.0, 50.0, "mid"), (50.0, 1e18, "high"))
+        .toDF("lo", "hi", "tier")
+      table(s, dir, "events")
+        .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"), "left")
+        .groupBy(col("event_type"), col("tier"))
+        .agg(count(lit(1)).as("event_count"))
+        .orderBy(col("event_type"), col("tier"))
+    },
+    Some("""
+      SELECT event_type, tier, CAST(COUNT(*) AS BIGINT) AS event_count
+      FROM events LEFT JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 50.0, 'mid'),
+                                    (50.0, 1e18, 'high')) AS t(lo, hi, tier)
+        ON value >= lo AND value < hi
+      GROUP BY event_type, tier
+      ORDER BY event_type, tier"""))
+
+  /** Gap-based sessionization: lag → new-session flag → running sum as
+    * session id (30-minute gap). Two stacked windows, one shuffle on
+    * user_id. */
+  val q32Sessionize = GraftQuery(
+    "q32_sessionization",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull
+            || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(run))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      sess AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  /** Exact interpolated percentiles (percentile_cont semantics) per group. */
+  val q33Percentiles = GraftQuery(
+    "q33_percentiles",
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+             round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+             round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+             round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  /** Approximate distinct sketch (HyperLogLog++). Sketch values are
+    * engine-specific by construction → no SQL oracle (driver records a
+    * rows-only check); the ScalaTest spec bounds relative error vs exact. */
+  val q34ApproxDistinct = GraftQuery(
+    "q34_approx_distinct",
+    (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("event_count"))
+        .orderBy(col("event_type")),
+    None)
+
+  /** Correlated scalar subquery per outer row (rewritten by Catalyst into a
+    * left outer aggregate join — no per-row execution). */
+  val q35ScalarSubquery = GraftQuery(
+    "q35_scalar_subquery",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders")
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice,
+               (SELECT CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem
+                WHERE l_orderkey = o_orderkey) AS max_line_price
+        FROM orders
+        WHERE o_custkey < 50
+        ORDER BY o_orderkey""")
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice,
+             (SELECT CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem
+              WHERE l_orderkey = o_orderkey) AS max_line_price
+      FROM orders
+      WHERE o_custkey < 50
+      ORDER BY o_orderkey"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    q26WindowFrames, q27Ranking, q28GroupingSets, q29Pivot, q30AsOfJoin,
+    q31RangeJoin, q32Sessionize, q33Percentiles, q34ApproxDistinct,
+    q35ScalarSubquery)
+}
