@@ -1,0 +1,380 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The silver layer: a declarative model registry + topo-sorted refresh —
+  * our replacement for the reference's Lakeflow materialized-view pipeline
+  * (`lakeflow/bronze_to_silver_pipeline.sql`, 13 MVs +
+  * `country_reference.sql`). Each model is a plain
+  * `Lakehouse => DataFrame`; "refresh" recomputes models in dependency
+  * order and materializes them (SURVEY §3.2).
+  *
+  * The three reference idioms, factored once:
+  *   - [[parseItems]]  — `from_json(payload, ddl)` → `explode_outer(items)`
+  *     (12 uses in the reference);
+  *   - [[latestWins]]  — `row_number() OVER (PARTITION BY grain ORDER BY
+  *     snapshot_date DESC, ingest_ts_utc DESC, request_id DESC) = 1`
+  *     (the dominant dedup idiom, 11 uses);
+  *   - [[bind]]        — late name-driven header binding over the analytics
+  *     report matrix: `element_at(rows, array_position(headers, name))`,
+  *     guarded for absent columns (reference `:543-555`).
+  *
+  * Scale posture: every model is one linear scan + at most one window
+  * shuffle on its dedup grain; payload JSON is parsed once per reader with
+  * an explicit schema (never inferred — schema inference is a second full
+  * scan); the one cross join broadcasts a single row; dims join broadcast.
+  */
+object Silver {
+
+  final case class Model(name: String, deps: Seq[String], build: Lakehouse => DataFrame)
+
+  private val envelopeCols =
+    Seq("snapshot_date", "ingest_ts_utc", "request_id", "run_id", "schema_version")
+
+  /** Latest-wins ordering shared by every dedup (reference `:48-51`). */
+  private val recencyOrder: Seq[Column] =
+    Seq(col("snapshot_date").desc, col("ingest_ts_utc").desc, col("request_id").desc)
+
+  /** from_json with explicit DDL + explode_outer(items), keeping the
+    * envelope. explode_outer + downstream `item.id IS NOT NULL` filter is
+    * deliberately NOT an inner explode: empty/malformed payloads must not
+    * drop sibling envelope rows before the filter (SURVEY §7.4). */
+  def parseItems(raw: DataFrame, ddl: String): DataFrame =
+    raw.select(
+      explode_outer(
+        from_json(col("payload"), org.apache.spark.sql.types.DataType.fromDDL(ddl), Map.empty[String, String])
+          .getField("items")).as("item") +: envelopeCols.map(col): _*)
+
+  /** Keep the most recent row per grain. */
+  def latestWins(df: DataFrame, grain: Seq[String], order: Seq[Column] = recencyOrder): DataFrame =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(grain.map(col): _*).orderBy(order: _*)))
+      .filter(col("rn") === 1).drop("rn")
+
+  /** Analytics report matrix → (header_names, row_values) long form. */
+  def parseReport(raw: DataFrame): DataFrame = {
+    val parsed = from_json(col("payload"), org.apache.spark.sql.types.DataType.fromDDL(Schemas.analyticsReportDdl),
+      Map("primitivesAsString" -> "true"))
+    raw.select(
+      transform(parsed.getField("columnHeaders"), x => x.getField("name")).as("header_names") +:
+        explode_outer(parsed.getField("rows")).as("row_values") +:
+        envelopeCols.map(col): _*)
+  }
+
+  /** Name-driven positional bind, null when the column is absent —
+    * generalizes the reference's guarded CASE (`:543-547`) to every lookup
+    * (identical results on well-formed payloads, no index-0 error on
+    * degraded ones). */
+  def bind(name: String): Column =
+    when(array_position(col("header_names"), name) > 0,
+      element_at(col("row_values"), array_position(col("header_names"), name).cast("int")))
+
+  /** Strict `day` bind (channel/video daily — reference `:404,475`: no
+    * fallback; a null date is filtered). */
+  private val strictDate: Column = to_date(bind("day")).as("date")
+
+  /** `day` bind with snapshot_date fallback — dimensional facts only
+    * (reference `:548-555`). */
+  private val boundDate: Column =
+    when(array_position(col("header_names"), "day") > 0,
+      coalesce(to_date(bind("day")), col("snapshot_date")))
+      .otherwise(col("snapshot_date")).as("date")
+
+  // ---------------------------------------------------------------- models
+
+  /** ISO-3166 static dim (reference `country_reference.sql`). */
+  val dimCountryReference: Model = Model("dim_country_reference", Nil, lake => {
+    import lake.spark.implicits._
+    CountryRef.codes.toDF("country_code", "country_name")
+  })
+
+  /** reference `:8-71`. Grain: channel_id. */
+  val silverChannels: Model = Model("silver_channels", Nil, lake => {
+    val typed = parseItems(lake.table("bronze", "channels_raw"), Schemas.channelsPayloadDdl)
+      .select(
+        col("item.id").as("channel_id"),
+        col("item.snippet.title").as("channel_title"),
+        col("item.snippet.description").as("channel_description"),
+        col("item.snippet.customUrl").as("custom_url"),
+        col("item.snippet.country").as("channel_country_code"),
+        to_timestamp(col("item.snippet.publishedAt")).as("channel_published_at_utc"),
+        col("item.statistics.viewCount").cast("bigint").as("channel_view_count"),
+        col("item.statistics.subscriberCount").cast("bigint").as("channel_subscriber_count"),
+        col("item.statistics.hiddenSubscriberCount").as("hidden_subscriber_count"),
+        col("item.statistics.videoCount").cast("bigint").as("channel_video_count"),
+        col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
+        col("schema_version"))
+      .filter(col("channel_id").isNotNull)
+    latestWins(typed, Seq("channel_id"))
+  })
+
+  /** reference `:73-130`. Grain: (video_id, fetched_at_utc); ties broken by
+    * request_id only — preserved exactly (SURVEY §4 wart). */
+  val silverVideoStatsSnapshot: Model = Model("silver_video_stats_snapshot", Nil, lake => {
+    val typed = parseItems(lake.table("bronze", "videos_raw"), Schemas.videoStatsPayloadDdl)
+      .select(
+        col("item.id").as("video_id"),
+        col("item.snippet.channelId").as("channel_id"),
+        col("ingest_ts_utc").as("fetched_at_utc"),
+        col("snapshot_date"),
+        col("item.statistics.viewCount").cast("bigint").as("view_count"),
+        col("item.statistics.likeCount").cast("bigint").as("like_count"),
+        col("item.statistics.favoriteCount").cast("bigint").as("favorite_count"),
+        col("item.statistics.commentCount").cast("bigint").as("comment_count"),
+        col("ingest_ts_utc"), col("request_id"), col("run_id"), col("schema_version"))
+      .filter(col("video_id").isNotNull)
+    latestWins(typed, Seq("video_id", "fetched_at_utc"), Seq(col("request_id").desc))
+  })
+
+  /** The 19 metadata fields hashed for change detection, in the exact
+    * reference order (`:183-207`) — hash equality depends on field order
+    * and on Spark's timestamp→string rendering (UTC pinned in the session). */
+  private val scd2HashFields: Seq[Column] = Seq(
+    col("channel_id"), col("video_title"), col("video_description"),
+    col("video_published_at_utc").cast("string"),
+    col("default_language"), col("default_audio_language"),
+    col("duration_iso8601"), col("video_dimension"), col("video_definition"),
+    col("caption_status"), col("licensed_content").cast("string"),
+    col("projection_type"), col("upload_status"), col("privacy_status"),
+    col("embeddable").cast("string"), col("public_stats_viewable").cast("string"),
+    col("made_for_kids").cast("string"), col("self_declared_made_for_kids").cast("string"),
+    col("topic_categories_csv"))
+
+  /** reference `:132-297`: SCD2 versioning of video metadata — hash change
+    * detection via lag, validity windows via lead (next − 1µs, open-ended
+    * sentinel), surrogate key sha2(video_id||valid_from). */
+  val silverVideoMetadataScd2: Model = Model("silver_video_metadata_scd2", Nil, lake => {
+    val typed = parseItems(lake.table("bronze", "videos_raw"), Schemas.videoMetadataPayloadDdl)
+      .select(
+        col("item.id").as("video_id"),
+        col("item.snippet.channelId").as("channel_id"),
+        col("item.snippet.title").as("video_title"),
+        col("item.snippet.description").as("video_description"),
+        to_timestamp(col("item.snippet.publishedAt")).as("video_published_at_utc"),
+        col("item.snippet.defaultLanguage").as("default_language"),
+        col("item.snippet.defaultAudioLanguage").as("default_audio_language"),
+        col("item.contentDetails.duration").as("duration_iso8601"),
+        col("item.contentDetails.dimension").as("video_dimension"),
+        col("item.contentDetails.definition").as("video_definition"),
+        col("item.contentDetails.caption").as("caption_status"),
+        col("item.contentDetails.licensedContent").as("licensed_content"),
+        col("item.contentDetails.projection").as("projection_type"),
+        col("item.status.uploadStatus").as("upload_status"),
+        col("item.status.privacyStatus").as("privacy_status"),
+        col("item.status.embeddable").as("embeddable"),
+        col("item.status.publicStatsViewable").as("public_stats_viewable"),
+        col("item.status.madeForKids").as("made_for_kids"),
+        col("item.status.selfDeclaredMadeForKids").as("self_declared_made_for_kids"),
+        concat_ws("|", col("item.topicDetails.topicCategories")).as("topic_categories_csv"),
+        col("ingest_ts_utc").as("observed_at_utc"),
+        col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
+        col("schema_version"))
+      .filter(col("video_id").isNotNull)
+    val hashed = typed.withColumn("metadata_hash",
+      sha2(concat_ws("||", scd2HashFields.map(c => coalesce(c, lit(""))): _*), 256))
+    // version starts: first observation or hash change vs the predecessor
+    // (an A→B→A reversion correctly yields three versions)
+    val w = Window.partitionBy(col("video_id"))
+      .orderBy(col("observed_at_utc").asc, col("request_id").asc)
+    val starts = hashed
+      .withColumn("previous_metadata_hash", lag(col("metadata_hash"), 1).over(w))
+      .filter(col("previous_metadata_hash").isNull
+        || col("previous_metadata_hash") =!= col("metadata_hash"))
+    starts
+      .withColumn("valid_from_utc", col("observed_at_utc"))
+      .withColumn("next_valid_from_utc", lead(col("observed_at_utc"), 1).over(w))
+      .select(
+        sha2(concat_ws("||", col("video_id"), col("valid_from_utc").cast("string")), 256)
+          .as("video_meta_sk") +:
+          (Seq("video_id", "channel_id", "video_title", "video_description",
+            "video_published_at_utc", "default_language", "default_audio_language",
+            "duration_iso8601", "video_dimension", "video_definition", "caption_status",
+            "licensed_content", "projection_type", "upload_status", "privacy_status",
+            "embeddable", "public_stats_viewable", "made_for_kids",
+            "self_declared_made_for_kids", "topic_categories_csv", "metadata_hash",
+            "valid_from_utc").map(col) ++
+            Seq(
+              coalesce(expr("next_valid_from_utc - INTERVAL 1 MICROSECOND"),
+                lit("9999-12-31 23:59:59.999999").cast("timestamp")).as("valid_to_utc"),
+              col("next_valid_from_utc").isNull.as("is_current")) ++
+            envelopeCols.map(col)): _*)
+  })
+
+  /** reference `:299-364`: latest video snapshot + current SCD2 FK. */
+  val silverVideos: Model = Model("silver_videos", Seq("silver_video_metadata_scd2"), lake => {
+    val typed = parseItems(lake.table("bronze", "videos_raw"), Schemas.videosSlimPayloadDdl)
+      .select(
+        col("item.id").as("video_id"),
+        col("item.snippet.channelId").as("channel_id"),
+        col("item.snippet.title").as("latest_video_title"),
+        to_timestamp(col("item.snippet.publishedAt")).as("video_published_at_utc"),
+        col("item.status.privacyStatus").as("latest_privacy_status"),
+        col("item.status.uploadStatus").as("latest_upload_status"),
+        col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
+        col("schema_version"))
+      .filter(col("video_id").isNotNull)
+    val current = lake.table("silver", "silver_video_metadata_scd2")
+      .filter(col("is_current"))
+      .select(col("video_id"), col("video_meta_sk").as("current_video_meta_sk"))
+    latestWins(typed, Seq("video_id"))
+      .join(broadcast(current), Seq("video_id"), "left")
+      .select(
+        (Seq("video_id", "channel_id", "current_video_meta_sk", "latest_video_title",
+          "video_published_at_utc", "latest_privacy_status", "latest_upload_status") ++
+          envelopeCols).map(col): _*)
+  })
+
+  /** reference `:366-443`: channel daily metrics — the single silver channel
+    * id (top-1, deterministic ties) cross-joined onto every report row, then
+    * name-bound metrics and latest-wins on (channel_id, date). */
+  val factChannelDailyMetrics: Model =
+    Model("fact_channel_daily_metrics", Seq("silver_channels"), lake => {
+      val currentChannel = lake.table("silver", "silver_channels")
+        .orderBy(col("ingest_ts_utc").desc, col("request_id").desc)
+        .limit(1).select(col("channel_id"))
+      val rows = parseReport(lake.table("bronze", "analytics_channel_daily_raw"))
+        .crossJoin(broadcast(currentChannel))
+      val typed = rows.select(
+        col("channel_id"), strictDate,
+        bind("views").cast("bigint").as("views"),
+        bind("likes").cast("bigint").as("likes"),
+        bind("comments").cast("bigint").as("comments"),
+        bind("estimatedMinutesWatched").cast("bigint").as("estimated_minutes_watched"),
+        bind("subscribersGained").cast("bigint").as("subscribers_gained"),
+        bind("subscribersLost").cast("bigint").as("subscribers_lost"),
+        col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
+        col("schema_version"))
+        .filter(col("channel_id").isNotNull && col("date").isNotNull)
+      latestWins(typed, Seq("channel_id", "date"))
+    })
+
+  /** reference `:445-512`. Grain: (video_id, date). */
+  val factVideoDailyMetrics: Model = Model("fact_video_daily_metrics", Nil, lake => {
+    val typed = parseReport(lake.table("bronze", "analytics_video_daily_raw"))
+      .select(
+        bind("video").as("video_id"), strictDate,
+        bind("views").cast("bigint").as("views"),
+        bind("likes").cast("bigint").as("likes"),
+        bind("comments").cast("bigint").as("comments"),
+        bind("estimatedMinutesWatched").cast("bigint").as("estimated_minutes_watched"),
+        bind("averageViewDuration").cast("double").as("average_view_duration_seconds"),
+        col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
+        col("schema_version"))
+      .filter(col("video_id").isNotNull && col("date").isNotNull)
+    latestWins(typed, Seq("video_id", "date"))
+  })
+
+  /** Shared shape of the three per-dimension video facts
+    * (reference `:514-603,605-694,696-785`): bind video/day/dim/metrics,
+    * uppercase the dim, drop null/empty dims, latest-wins on
+    * (video_id, date, dim). */
+  private def dimensionalFact(rawTable: String, headerName: String, dimCol: String): Lakehouse => DataFrame =
+    lake => {
+      val typed = parseReport(lake.table("bronze", rawTable))
+        .select(
+          bind("video").as("video_id"), boundDate,
+          upper(bind(headerName)).as(dimCol),
+          bind("views").cast("bigint").as("views"),
+          bind("estimatedMinutesWatched").cast("bigint").as("estimated_minutes_watched"),
+          col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
+          col("schema_version"))
+        .filter(col("video_id").isNotNull && col("date").isNotNull
+          && col(dimCol).isNotNull && col(dimCol) =!= "")
+      latestWins(typed, Seq("video_id", "date", dimCol))
+    }
+
+  val factVideoTrafficSourceMetrics: Model = Model("fact_video_traffic_source_metrics", Nil,
+    dimensionalFact("analytics_video_traffic_source_daily_raw", "insightTrafficSourceType", "source_id"))
+
+  val factVideoCountryMetrics: Model = Model("fact_video_country_metrics", Nil,
+    dimensionalFact("analytics_video_country_daily_raw", "country", "country_code"))
+
+  val factVideoDeviceMetrics: Model = Model("fact_video_device_metrics", Nil,
+    dimensionalFact("analytics_video_device_daily_raw", "deviceType", "device_type"))
+
+  /** Shared shape of the observed-value dims (reference `:787-841,903-957`):
+    * distinct uppercased dim values, latest-wins per value. */
+  private def observedDim(rawTable: String, headerName: String, dimCol: String): Lakehouse => DataFrame =
+    lake => {
+      val typed = parseReport(lake.table("bronze", rawTable))
+        .select(
+          upper(bind(headerName)).as(dimCol),
+          col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
+          col("schema_version"))
+        .filter(col(dimCol).isNotNull && col(dimCol) =!= "")
+      latestWins(typed, Seq(dimCol))
+    }
+
+  val dimTrafficSource: Model = Model("dim_traffic_source", Nil, lake =>
+    observedDim("analytics_video_traffic_source_daily_raw", "insightTrafficSourceType", "source_id")(lake)
+      .select(col("source_id") +: col("source_id").as("source_name") +: envelopeCols.map(col): _*))
+
+  /** reference `:844-901`: observed countries enriched from the static ISO
+    * reference (broadcast — 249 rows). */
+  val dimCountry: Model = Model("dim_country", Seq("dim_country_reference"), lake => {
+    val observed = observedDim("analytics_video_country_daily_raw", "country", "country_code")(lake)
+    val ref = lake.table("silver", "dim_country_reference")
+      .select(col("country_code"), col("country_name").as("ref_country_name"))
+    observed.join(broadcast(ref), Seq("country_code"), "left")
+      .select(col("country_code") +:
+        coalesce(col("ref_country_name"), col("country_code")).as("country_name") +:
+        envelopeCols.map(col): _*)
+  })
+
+  val dimDevice: Model = Model("dim_device", Nil, lake =>
+    observedDim("analytics_video_device_daily_raw", "deviceType", "device_type")(lake)
+      .select(col("device_type") +: col("device_type").as("device_name") +: envelopeCols.map(col): _*))
+
+  /** reference `:960-983`: calendar dim from the union of fact dates. */
+  val dimDate: Model = Model("dim_date",
+    Seq("fact_channel_daily_metrics", "fact_video_daily_metrics",
+      "fact_video_traffic_source_metrics", "fact_video_country_metrics",
+      "fact_video_device_metrics"),
+    lake => {
+      val dates = Seq("fact_channel_daily_metrics", "fact_video_daily_metrics",
+        "fact_video_traffic_source_metrics", "fact_video_country_metrics",
+        "fact_video_device_metrics")
+        .map(t => lake.table("silver", t).select(col("date")).filter(col("date").isNotNull))
+        .reduce(_ union _)
+        .distinct()
+      dates.select(
+        col("date"),
+        year(col("date")).as("year"),
+        month(col("date")).as("month"),
+        dayofmonth(col("date")).as("day_of_month"),
+        dayofweek(col("date")).as("day_of_week"),
+        dayofweek(col("date")).isin(1, 7).as("is_weekend"))
+    })
+
+  /** All 14 silver models. */
+  val models: Seq[Model] = Seq(
+    dimCountryReference, silverChannels, silverVideoStatsSnapshot,
+    silverVideoMetadataScd2, silverVideos, factChannelDailyMetrics,
+    factVideoDailyMetrics, factVideoTrafficSourceMetrics, factVideoCountryMetrics,
+    factVideoDeviceMetrics, dimTrafficSource, dimCountry, dimDevice, dimDate)
+
+  /** Refresh all (or a subset of) models in dependency order. */
+  def refresh(lake: Lakehouse, subset: Option[Set[String]] = None): Seq[String] = {
+    val wanted = models.filter(m => subset.forall(_.contains(m.name)))
+    val order = topoSort(wanted)
+    order.foreach(m => lake.materialize("silver", m.name, m.build(lake)))
+    order.map(_.name)
+  }
+
+  private def topoSort(ms: Seq[Model]): Seq[Model] = {
+    val byName = ms.map(m => m.name -> m).toMap
+    val visited = scala.collection.mutable.LinkedHashSet[String]()
+    def visit(m: Model, path: List[String]): Unit = {
+      require(!path.contains(m.name), s"model dependency cycle: ${path.reverse.mkString(" -> ")}")
+      if (!visited.contains(m.name)) {
+        m.deps.flatMap(byName.get).foreach(d => visit(d, m.name :: path))
+        visited += m.name
+      }
+    }
+    ms.foreach(visit(_, Nil))
+    visited.toSeq.map(byName)
+  }
+}

@@ -1,0 +1,257 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import Fixtures._
+
+/** End-to-end medallion pipeline spec: three ingest runs through bronze →
+  * silver refresh → gold → full check suite, exercising every degraded
+  * payload shape FIXTURES.md calls out plus the SCD2/latest-wins/idempotency
+  * invariants (SURVEY §5).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val lake = new Lakehouse(spark, Files.createTempDirectory("graft-lake").toString)
+
+  private val chHeaders = Seq(dim("day"), met("views"), met("likes"), met("comments"),
+    met("estimatedMinutesWatched"), met("subscribersGained"), met("subscribersLost"))
+  private val vidHeaders = Seq(dim("video"), dim("day"), met("views"), met("likes"),
+    met("comments"), met("estimatedMinutesWatched"), ("averageViewDuration", "METRIC", "FLOAT"))
+
+  private def ingestAll(): Unit = {
+    // ---- run 1: 2025-06-01 ----
+    val ctx1 = Bronze.RunContext("run1", "req1", d("2025-06-01"), ts("2025-06-01 10:00:00"))
+    Bronze.logRunStart(lake, ctx1, """{"mode":"auto"}""")
+    Bronze.ingest(lake, ctx1, _ => Map(
+      "channels_raw" -> Seq(channelPayload("UC_1", "Chan A", 100, 10)),
+      "videos_raw" -> Seq(videosPayload(
+        videoItem("V1", "UC_1", "Title A", 10),
+        videoItem("V2", "UC_1", "Other", 40))),
+      "analytics_channel_daily_raw" -> Seq(report(chHeaders, Seq(
+        Seq("2025-05-30", "11", "2", "1", "7", "3", "1"),
+        Seq("2025-05-31", "12", "2", "1", "8", "2", "0")))),
+      "analytics_video_daily_raw" -> Seq(report(vidHeaders, Seq(
+        Seq("V1", "2025-05-31", "5", "1", "0", "3", "41.5"),
+        Seq("V2", "2025-05-31", "7", "1", "1", "4", "60.25")))),
+      // shuffled header order + lowercase + empty dim + unknown source
+      "analytics_video_traffic_source_daily_raw" -> Seq(report(
+        Seq(met("views"), dim("insightTrafficSourceType"), dim("video"), dim("day"),
+          met("estimatedMinutesWatched")),
+        Seq(
+          Seq("3", "yt_search", "V1", "2025-05-31", "2"),
+          Seq("2", "", "V1", "2025-05-31", "1"),
+          Seq("1", "IMMERSIVE_LIVE", "V2", "2025-05-31", "1")))),
+      // missing estimatedMinutesWatched column (→ NULL → gold coalesces 0)
+      "analytics_video_country_daily_raw" -> Seq(report(
+        Seq(dim("video"), dim("day"), dim("country"), met("views")),
+        Seq(
+          Seq("V1", "2025-05-31", "us", "4"),
+          Seq("V1", "2025-05-31", "ph", "1")))),
+      // missing day column entirely (→ snapshot_date fallback)
+      "analytics_video_device_daily_raw" -> Seq(report(
+        Seq(dim("video"), dim("deviceType"), met("views"), met("estimatedMinutesWatched")),
+        Seq(
+          Seq("V1", "desktop", "3", "2"),
+          Seq("V1", "MOBILE", "2", "1"))))))
+    Bronze.finalizeRun(lake, "run1", "success", ts("2025-06-01 10:05:00"))
+
+    // ---- run 2: 2025-06-02 — updates + error payload ----
+    val ctx2 = Bronze.RunContext("run2", "req2", d("2025-06-02"), ts("2025-06-02 10:00:00"))
+    Bronze.logRunStart(lake, ctx2, """{"mode":"auto"}""")
+    Bronze.ingest(lake, ctx2, _ => Map(
+      "channels_raw" -> Seq(channelPayload("UC_1", "Chan A2", 150, 12)),
+      // V1 title A -> B (new SCD2 version); V2 unchanged (no new version)
+      "videos_raw" -> Seq(videosPayload(
+        videoItem("V1", "UC_1", "Title B", 15),
+        videoItem("V2", "UC_1", "Other", 40))),
+      // overlapping date 05-31 re-reported with different numbers (latest wins)
+      "analytics_channel_daily_raw" -> Seq(report(chHeaders, Seq(
+        Seq("2025-05-31", "13", "3", "1", "9", "2", "1"),
+        Seq("2025-06-01", "20", "4", "2", "11", "5", "1")))),
+      "analytics_video_traffic_source_daily_raw" -> Seq(errorPayload)))
+    Bronze.finalizeRun(lake, "run2", "success", ts("2025-06-02 10:05:00"))
+
+    // ---- run 3: 2025-06-03 — A→B→A reversion ----
+    val ctx3 = Bronze.RunContext("run3", "req3", d("2025-06-03"), ts("2025-06-03 10:00:00"))
+    Bronze.ingest(lake, ctx3, _ => Map(
+      "videos_raw" -> Seq(videosPayload(
+        videoItem("V1", "UC_1", "Title A", 20),
+        videoItem("V2", "UC_1", "Other", 45)))))
+    Bronze.finalizeRun(lake, "run3", "success", ts("2025-06-03 10:05:00"))
+  }
+
+  private lazy val refreshed: Unit = {
+    ingestAll()
+    Silver.refresh(lake)
+    Gold.refresh(lake)
+  }
+
+  test("silver refresh materializes all 14 models in dependency order") {
+    refreshed
+    Silver.models.foreach(m => assert(lake.exists("silver", m.name), m.name))
+  }
+
+  test("silver_channels: latest wins on channel_id") {
+    refreshed
+    val rows = lake.table("silver", "silver_channels").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("channel_title") == "Chan A2")
+    assert(r.getAs[Long]("channel_view_count") == 150L)
+    assert(r.getAs[String]("run_id") == "run2")
+  }
+
+  test("silver_video_stats_snapshot: unique on (video_id, fetched_at_utc), typed counters") {
+    refreshed
+    val df = lake.table("silver", "silver_video_stats_snapshot")
+    assert(df.count() == 6) // 2 videos x 3 runs
+    assert(df.groupBy("video_id", "fetched_at_utc").count().filter(col("count") > 1).isEmpty)
+    val v1r3 = df.filter(col("video_id") === "V1" && col("run_id") === "run3").head()
+    assert(v1r3.getAs[Long]("view_count") == 20L)
+  }
+
+  test("SCD2: A→B→A yields 3 contiguous versions; unchanged video stays at 1") {
+    refreshed
+    val scd = lake.table("silver", "silver_video_metadata_scd2")
+    val v1 = scd.filter(col("video_id") === "V1")
+      .orderBy(col("valid_from_utc")).collect()
+    assert(v1.map(_.getAs[String]("video_title")).toSeq == Seq("Title A", "Title B", "Title A"))
+    // windows partition time: valid_to = next valid_from − 1µs
+    val v1b = scd.filter(col("video_id") === "V1")
+      .orderBy(col("valid_from_utc"))
+      .select(unix_micros(col("valid_from_utc")), unix_micros(col("valid_to_utc")),
+        col("is_current"))
+      .collect()
+    assert(v1b(0).getLong(1) == v1b(1).getLong(0) - 1)
+    assert(v1b(1).getLong(1) == v1b(2).getLong(0) - 1)
+    assert(v1b.map(_.getBoolean(2)).toSeq == Seq(false, false, true))
+    // open-ended sentinel on the current version
+    val cur = scd.filter(col("video_id") === "V1" && col("is_current"))
+      .select(col("valid_to_utc").cast("string")).head().getString(0)
+    assert(cur == "9999-12-31 23:59:59.999999")
+    // V2's metadata never changed (run3 only bumped statistics, which are
+    // excluded from the hash) → a single version despite two observations
+    assert(scd.filter(col("video_id") === "V2").count() == 1)
+  }
+
+  test("SCD2 surrogate key is stable sha2(video_id || valid_from)") {
+    refreshed
+    val scd = lake.table("silver", "silver_video_metadata_scd2")
+    val bad = scd.filter(
+      col("video_meta_sk") =!=
+        sha2(concat_ws("||", col("video_id"), col("valid_from_utc").cast("string")), 256))
+    assert(bad.isEmpty)
+  }
+
+  test("silver_videos: latest snapshot with current SCD2 FK resolved") {
+    refreshed
+    val v = lake.table("silver", "silver_videos")
+    assert(v.count() == 2)
+    val v1 = v.filter(col("video_id") === "V1").head()
+    assert(v1.getAs[String]("latest_video_title") == "Title A") // run3 latest
+    val currentSk = lake.table("silver", "silver_video_metadata_scd2")
+      .filter(col("video_id") === "V1" && col("is_current"))
+      .head().getAs[String]("video_meta_sk")
+    assert(v1.getAs[String]("current_video_meta_sk") == currentSk)
+  }
+
+  test("fact_channel_daily_metrics: header binding + latest-wins on overlapping date") {
+    refreshed
+    val f = lake.table("silver", "fact_channel_daily_metrics")
+    assert(f.count() == 3) // 05-30, 05-31, 06-01
+    val d31 = f.filter(col("date") === lit("2025-05-31").cast("date")).head()
+    assert(d31.getAs[Long]("views") == 13L) // run2 re-report wins
+    assert(d31.getAs[String]("run_id") == "run2")
+    assert(f.filter(col("date") === lit("2025-05-30").cast("date")).head()
+      .getAs[Long]("subscribers_gained") == 3L)
+  }
+
+  test("traffic fact: shuffled headers bind by name; dims uppercased; empties dropped; error payload absorbed") {
+    refreshed
+    val f = lake.table("silver", "fact_video_traffic_source_metrics")
+    val sources = f.select("source_id").collect().map(_.getString(0)).toSet
+    assert(sources == Set("YT_SEARCH", "IMMERSIVE_LIVE")) // lowercase uppercased, '' dropped
+    assert(f.count() == 2)
+    val ytSearch = f.filter(col("source_id") === "YT_SEARCH").head()
+    assert(ytSearch.getAs[Long]("views") == 3L) // bound by name despite shuffled order
+  }
+
+  test("country fact: missing estimatedMinutesWatched binds to NULL; gold coalesces to 0") {
+    refreshed
+    val f = lake.table("silver", "fact_video_country_metrics")
+    assert(f.filter(col("estimated_minutes_watched").isNotNull).count() == 0)
+    val g = lake.table("gold", "gold_video_country_daily_summary")
+    assert(g.filter(col("estimated_minutes_watched") =!= 0L).count() == 0)
+    assert(g.filter(col("country_code") === "US").head()
+      .getAs[String]("country_name") == "United States of America")
+  }
+
+  test("device fact: missing day column falls back to snapshot_date") {
+    refreshed
+    val f = lake.table("silver", "fact_video_device_metrics")
+    assert(f.count() == 2)
+    assert(f.filter(col("date") === col("snapshot_date")).count() == 2)
+    assert(f.select("device_type").collect().map(_.getString(0)).toSet
+      == Set("DESKTOP", "MOBILE"))
+  }
+
+  test("dim_date: union of fact dates with calendar attributes") {
+    refreshed
+    val dd = lake.table("silver", "dim_date")
+    val dates = dd.select(col("date").cast("string")).collect().map(_.getString(0)).toSet
+    assert(dates == Set("2025-05-30", "2025-05-31", "2025-06-01")) // device fallback 06-01
+    val sat = dd.filter(col("date") === lit("2025-05-31").cast("date")).head()
+    assert(sat.getAs[Boolean]("is_weekend")) // 2025-05-31 is a Saturday
+    assert(sat.getAs[Int]("day_of_week") == 7)
+  }
+
+  test("gold: net_subscribers arithmetic and star joins") {
+    refreshed
+    val g = lake.table("gold", "gold_channel_daily_summary")
+    val d30 = g.filter(col("date") === lit("2025-05-30").cast("date")).head()
+    assert(d30.getAs[Long]("net_subscribers") == 2L) // 3 gained - 1 lost
+    val vd = lake.table("gold", "gold_video_daily_summary")
+    assert(vd.filter(col("video_id") === "V1").head().getAs[String]("channel_id") == "UC_1")
+  }
+
+  test("full check suite: all error checks clean; warn fires on IMMERSIVE_LIVE") {
+    refreshed
+    val results = Checks.run(lake, d("2025-06-03"))
+    val failures = results.filter { case (_, sev, n) => sev == "error" && n > 0 }
+    assert(failures.isEmpty, s"failing checks: $failures")
+    val warn = results.find(_._1 == "warn_new_traffic_source_ids").get
+    assert(warn._3 == 1L) // exactly IMMERSIVE_LIVE
+  }
+
+  test("freshness check fails when asOf drifts past the lag budget") {
+    refreshed
+    val stale = Checks.freshness(d("2025-07-01"), maxLagDays = 7).run(lake)
+    assert(stale.count() == 2) // both monitored models lag
+  }
+
+  test("idempotent re-ingest: same run_id lands delete+append, results unchanged") {
+    refreshed
+    val before = lake.table("silver", "silver_channels").collect().toSeq
+    val beforeBronze = lake.table("bronze", "channels_raw").count()
+    // re-land run2's channel payload (simulating a task retry)
+    val ctx2 = Bronze.RunContext("run2", "req2", d("2025-06-02"), ts("2025-06-02 10:00:00"))
+    Bronze.ingest(lake, ctx2, _ => Map(
+      "channels_raw" -> Seq(channelPayload("UC_1", "Chan A2", 150, 12))))
+    assert(lake.table("bronze", "channels_raw").count() == beforeBronze)
+    Silver.refresh(lake, Some(Set("silver_channels")))
+    val after = lake.table("silver", "silver_channels").collect().toSeq
+    assert(after == before)
+  }
+
+  test("run_context_log: finalize updates the run row in place") {
+    refreshed
+    val log = lake.table("bronze", "run_context_log")
+    assert(log.count() == 2) // run1, run2 logged (run3 not logged in fixture)
+    val r1 = log.filter(col("run_id") === "run1").head()
+    assert(r1.getAs[String]("run_status") == "success")
+    assert(r1.getAs[java.sql.Timestamp]("finalized_ts_utc") != null)
+  }
+}
