@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "  The quick   brown fox jumps over the lazy dog "), // ws/case variant
+    (4L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (5L, "completely different content about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups whitespace/case-normalized duplicates, keeper = min id") {
+    val groups = Dedup.exactDedupGroups(docs, "doc_id", "text").collect()
+    val g = groups.find(_.getAs[Long]("dup_count") == 3L)
+    assert(g.isDefined) // docs 1, 2, 3 share a fingerprint
+    assert(g.get.getAs[Long]("keeper_id") == 1L)
+    assert(groups.length == 3) // {1,2,3}, {4}, {5}
+  }
+
+  test("jaccard pairs: exact duplicates score 1.0; near dups high; unrelated absent") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 4L)) > 0.5 && pairs((1L, 4L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("minhash signatures are deterministic and equal for identical shingle sets") {
+    val sig = Dedup.minhashSignature(Dedup.shingleHashes(col("text")))
+    val sigs = docs.select(col("doc_id"), sig.as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(5L))
+    assert(sigs(1L).length == Dedup.NumHashes)
+  }
+
+  test("LSH near-dup pairs are a subset of exact jaccard pairs at the same threshold") {
+    val lsh = Dedup.lshNearDupPairs(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 2L))) // identical docs always collide in every band
+  }
+
+  test("simhash: identical token multisets hash identically; disjoint texts differ") {
+    val sh = Dedup.simhash32(transform(TextAnalysis.tokens(col("text")),
+      t => Dedup.polyHashStr(t)))
+    val hashes = docs.select(col("doc_id"), sh.as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes(1L) != hashes(5L))
+    // near-dup: small hamming distance (≤ 8 of 32 bits for a 1-token change)
+    val ham = java.lang.Long.bitCount(hashes(1L) ^ hashes(4L))
+    assert(ham <= 8, s"hamming distance $ham")
+  }
+
+  test("portable polyHash matches an independent reimplementation") {
+    val got = docs.select(Dedup.polyHashStr(col("text")).as("h"))
+      .collect().map(_.getLong(0))
+    def ref(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % Dedup.P)
+    val want = docs.select("text").collect().map(r => ref(r.getString(0)))
+    assert(got.toSeq == want.toSeq)
+  }
+}

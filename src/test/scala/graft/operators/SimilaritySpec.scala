@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.{Graft, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),  // close to 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 1
+    (4L, Array(-1.0f, 0.0f, 0.0f))  // opposite of 1
+  ).toDF("id", "embedding")
+
+  test("brute-force top-k ranks by cosine, excludes self, breaks ties by id") {
+    val res = Similarity.bruteForceTopK(vecs, vecs, 3)
+      .filter(col("query_id") === 1L)
+      .orderBy(col("rank"))
+      .collect()
+    assert(res.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L, 4L))
+    val cosines = res.map(_.getAs[Double]("cosine"))
+    assert(cosines(0) > 0.99 && cosines(1) == 0.0 && cosines(2) == -1.0)
+    assert(!res.exists(_.getAs[Long]("neighbor_id") == 1L))
+  }
+
+  test("sign-bucket LSH only scores same-bucket candidates") {
+    // 64-dim real fixture: every LSH result pair must share the bucket key
+    val e = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") % 100 === 0)
+    val buckets = e.select(col("id"), Similarity.signBucket(col("embedding")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val res = Similarity.lshTopK(q, e, 5).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(buckets(r.getAs[Long]("query_id")) == buckets(r.getAs[Long]("neighbor_id")))
+    }
+  }
+
+  test("LSH results agree with brute force on shared candidates") {
+    val e = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") % 100 === 0)
+    val brute = Similarity.bruteForceTopK(q, e, 1000)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Double]("cosine")).toMap
+    val lsh = Similarity.lshTopK(q, e, 5).collect()
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(math.abs(brute(key) - r.getAs[Double]("cosine")) < 1e-12)
+    }
+  }
+
+  test("approx_count_distinct stays within 10% of exact on fixture data") {
+    val ev = Graft.table(spark, "/root/testdata/sf0.001", "events")
+    val r = ev.agg(
+      approx_count_distinct(col("user_id"), 0.02).as("approx"),
+      countDistinct(col("user_id")).as("exact")).collect().head
+    val (a, x) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - x) / x < 0.1, s"approx $a vs exact $x")
+  }
+}
