@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — the incremental execution mode of the
+  * engine. The reference pipeline is batch-only (`continuous: false`,
+  * SURVEY §2.9); these operators are the streaming analogues of its core
+  * idioms so the same capabilities run over unbounded input:
+  *
+  *   - [[windowedEventCounts]] — watermarked tumbling-window aggregation
+  *     (the daily-fact grain, computed incrementally);
+  *   - [[streamingDedup]]     — watermarked drop-duplicates (the latest-wins
+  *     dedup's streaming counterpart: exactly-once per key);
+  *   - [[sessionize]]         — gap-based sessionization via
+  *     `flatMapGroupsWithState` with event-time timeout (custom state the
+  *     built-in operators can't express).
+  *
+  * Scale posture: state stores are keyed by the shuffle partitioning of the
+  * group key; watermarks bound state size (late data beyond the watermark is
+  * dropped, sessions time out and are evicted). No operator here keeps
+  * unbounded state.
+  */
+object Streams {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Internal per-user session accumulator (public: the state encoder's
+    * generated code must reach the constructor). */
+  final case class SessionState(
+      start: Long, end: Long, n: Long, total: Double)
+
+  /** Read the events table shape as a file stream (one new parquet file per
+    * micro-batch at scale; schema pinned — streaming reads never infer). */
+  def eventFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+
+  /** Tumbling-window counts per event type with a watermark bounding state:
+    * late events beyond `watermark` are dropped, closed windows are evicted. */
+  def windowedEventCounts(
+      events: DataFrame, windowLen: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("event_count"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("event_count"), col("total_value"))
+
+  /** Exactly-once per event_id within the watermark horizon — the streaming
+    * analogue of the bronze idempotent re-run + latest-wins dedup. */
+  def streamingDedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Gap-based sessionization: a session closes when `gapSeconds` pass with
+    * no event for the user (event-time, driven by the watermark). Emits one
+    * row per closed session; state is evicted on emit. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800, watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed session end + gap: close and emit
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+          } else {
+            val events = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            events.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import Streams.Event
+
+/** Structured Streaming specs driven by MemoryStream micro-batches; event
+  * time (not wall clock) drives every assertion, so tests are deterministic. */
+class StreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
+    Event(id, ts(t), user, typ, v)
+
+  test("windowed counts aggregate into tumbling event-time windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.windowedEventCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:10", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:02:00", 2, "click", 2.0),
+        ev(3, "2024-01-01 10:07:00", 1, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("event_count"),
+          r.getAs[Double]("total_value"))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 10:05:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup emits each event_id once across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.streamingDedup(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0), // duplicate
+        ev(2, "2024-01-01 10:00:30", 1, "view", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("sessionization closes a session after the gap and evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS(), gapSeconds = 1800, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session 1: two events 5 minutes apart
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 7, "click", 1.0),
+        ev(2, "2024-01-01 10:05:00", 7, "view", 2.0))
+      q.processAllAvailable()
+      // far-future event advances the watermark past 10:05 + 30min,
+      // timing out user 7's session; it also opens a new session for user 8
+      input.addData(ev(3, "2024-01-01 12:00:00", 8, "click", 1.0))
+      q.processAllAvailable()
+      // one more batch so the timeout fires after the watermark update
+      input.addData(ev(4, "2024-01-01 12:00:10", 8, "click", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString,
+          r.getAs[Timestamp]("session_end").toString, r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value")))
+      assert(sessions.toSeq.contains(
+        (7L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("within-batch gap splits produce multiple sessions immediately") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS(), gapSeconds = 60, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 5, "click", 1.0),
+        ev(2, "2024-01-01 10:00:30", 5, "click", 1.0),
+        ev(3, "2024-01-01 10:10:00", 5, "click", 1.0)) // > 60s gap: new session
+      q.processAllAvailable()
+      val closed = spark.table("sessions2").collect()
+        .map(r => (r.getAs[Timestamp]("session_start").toString, r.getAs[Long]("n_events")))
+      // the first session closed within the batch; the second stays open in state
+      assert(closed.toSeq == Seq(("2024-01-01 10:00:00.0", 2L)))
+    } finally q.stop()
+  }
+}
