@@ -1,0 +1,146 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus partition-local decode / feature-extract /
+  * resize / frame-sample operators.
+  *
+  * The DECODE STEP IS A STUB: this container has no image/audio codecs, so
+  * [[MediaDecoder.Fake]] produces deterministic synthetic pixels/samples
+  * from the bytes. Everything around it — the asset schema, binary column
+  * handling, bounded-batch `mapPartitions` iteration, fixed-width feature
+  * output, frame-row explosion — is the real Spark plumbing a production
+  * decoder drops into (swap `Fake` for a codec-backed implementation; no
+  * plan shape changes).
+  *
+  * Scale posture: decode/feature work is per-partition with NO shuffle —
+  * plans are embarrassingly parallel maps; batching bounds peak memory per
+  * task (`batchSize` assets decoded at once, not a whole partition); binary
+  * payloads never hit the driver.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      format: String, width: Int, height: Int, sampleRateHz: Int, durationMs: Long)
+
+  /** One media asset row: opaque bytes + typed metadata. */
+  final case class MediaAsset(
+      asset_id: Long, kind: String, content: Array[Byte], meta: MediaMeta)
+
+  final case class MediaFeatures(
+      asset_id: Long, kind: String, n_bytes: Long, features: Array[Float])
+
+  final case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Decoder seam — the ONLY stubbed piece. */
+  trait MediaDecoder extends Serializable {
+    /** Decode to a row-major grayscale byte matrix of (height × width). */
+    def decodeImage(content: Array[Byte], meta: MediaMeta): Array[Array[Byte]]
+    /** Decode audio to PCM samples. */
+    def decodeAudio(content: Array[Byte], meta: MediaMeta): Array[Short]
+  }
+
+  object MediaDecoder {
+    /** Deterministic fake: pixels/samples derived from content bytes by
+      * position — stable across runs/engines, shaped per metadata. A real
+      * implementation binds an image/audio codec here. */
+    object Fake extends MediaDecoder {
+      def decodeImage(content: Array[Byte], meta: MediaMeta): Array[Array[Byte]] =
+        Array.tabulate(meta.height, meta.width) { (r, c) =>
+          if (content.isEmpty) 0.toByte
+          else content((r * meta.width + c) % content.length)
+        }
+      def decodeAudio(content: Array[Byte], meta: MediaMeta): Array[Short] =
+        Array.tabulate(math.max(1, content.length / 2)) { i =>
+          ((content(2 * i % content.length) << 8) | (content((2 * i + 1) % content.length) & 0xff)).toShort
+        }
+    }
+  }
+
+  /** Build a deterministic media-asset Dataset over the `documents` fixture
+    * (text bytes as payload): the test/bench input shape until a real binary
+    * table exists. */
+  def assetsFromDocuments(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val meta = kind match {
+        case "image" => MediaMeta("png", width = 16, height = 8, 0, 0L)
+        case "audio" => MediaMeta("pcm16", 0, 0, sampleRateHz = 16000, durationMs = bytes.length.toLong)
+        case _       => MediaMeta("rawvid", width = 16, height = 8, 0, durationMs = 40L * (1 + bytes.length / 128))
+      }
+      MediaAsset(id, kind, bytes, meta)
+    }
+  }
+
+  /** Decode + fixed-width feature extraction in bounded batches per
+    * partition. Features: [n_bytes, mean_pixel/sample, byte entropy proxy,
+    * aspect/duration] — a stand-in embedding with a FIXED width of 4, the
+    * contract a real extractor must keep. */
+  def extractFeatures(
+      assets: Dataset[MediaAsset], decoder: MediaDecoder, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch boundary = peak-memory bound: `batchSize` decoded assets live
+        // at once, mirroring a vectorized (Arrow-style) decode batch
+        batch.iterator.map { a =>
+          val mean: Float =
+            if (a.kind == "audio") {
+              val s = decoder.decodeAudio(a.content, a.meta)
+              (s.map(_.toLong).sum.toDouble / s.length).toFloat
+            } else {
+              val px = decoder.decodeImage(a.content, a.meta)
+              val flat = px.flatten
+              (flat.map(b => (b & 0xff).toLong).sum.toDouble / math.max(1, flat.length)).toFloat
+            }
+          val distinct = a.content.distinct.length.toFloat
+          val shape = a.meta match {
+            case MediaMeta(_, w, h, _, _) if h > 0 => w.toFloat / h
+            case m => m.durationMs.toFloat
+          }
+          MediaFeatures(a.asset_id, a.kind, a.content.length.toLong,
+            Array(a.content.length.toFloat, mean, distinct, shape))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video assets: one row per sampled frame (stubbed
+    * frame bytes = content windows). Pure flatMap — no shuffle, output rows
+    * bounded by durationMs / frameEveryMs. */
+  def sampleFrames(assets: Dataset[MediaAsset], frameEveryMs: Long = 40L): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video").flatMap { a =>
+      val n = math.max(1, (a.meta.durationMs / frameEveryMs).toInt)
+      val window = math.max(1, a.content.length / n)
+      (0 until n).iterator.map { i =>
+        val from = i * window
+        Frame(a.asset_id, i, a.content.slice(from, math.min(from + window, a.content.length)))
+      }
+    }
+  }
+
+  /** Resize plumbing: recompute metadata + stub-resample pixels through the
+    * decoder. Plan shape (per-row map over binary + struct) is what a codec
+    * resize looks like. */
+  def resizeImages(
+      assets: Dataset[MediaAsset], decoder: MediaDecoder, newW: Int, newH: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.map { a =>
+      if (a.kind != "image") a
+      else {
+        val px = decoder.decodeImage(a.content, a.meta)
+        val out = Array.tabulate(newH, newW) { (r, c) =>
+          px(r * a.meta.height / newH)(c * a.meta.width / newW)
+        }
+        a.copy(content = out.flatten, meta = a.meta.copy(width = newW, height = newH))
+      }
+    }
+  }
+}

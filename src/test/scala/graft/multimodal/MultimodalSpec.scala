@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import graft.{Graft, SparkSpec}
+
+import Multimodal._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val assets =
+    assetsFromDocuments(Graft.table(spark, "/root/testdata/sf0.001", "documents"))
+
+  test("asset construction: every document becomes a typed binary asset") {
+    val rows = assets.collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.kind).toSet == Set("image", "audio", "video"))
+    rows.foreach { a =>
+      assert(a.content.nonEmpty)
+      a.kind match {
+        case "image" => assert(a.meta.width == 16 && a.meta.height == 8)
+        case "audio" => assert(a.meta.sampleRateHz == 16000)
+        case _       => assert(a.meta.durationMs > 0)
+      }
+    }
+  }
+
+  test("feature extraction: fixed-width vectors, deterministic across runs") {
+    val f1 = extractFeatures(assets, MediaDecoder.Fake, batchSize = 7)
+      .collect().sortBy(_.asset_id)
+    val f2 = extractFeatures(assets, MediaDecoder.Fake, batchSize = 64)
+      .collect().sortBy(_.asset_id)
+    assert(f1.length == 500)
+    assert(f1.forall(_.features.length == 4))
+    // batch size must not change results, only peak memory
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.asset_id == b.asset_id)
+      assert(a.features.toSeq == b.features.toSeq)
+    }
+    // n_bytes feature equals binary length
+    f1.foreach(f => assert(f.features(0).toLong == f.n_bytes))
+  }
+
+  test("fake image decode shapes pixels to (height x width) from metadata") {
+    val a = assets.filter(_.kind == "image").head()
+    val px = MediaDecoder.Fake.decodeImage(a.content, a.meta)
+    assert(px.length == a.meta.height)
+    assert(px.forall(_.length == a.meta.width))
+  }
+
+  test("frame sampling: one row per 40ms frame, bytes partition the content") {
+    val vids = assets.filter(_.kind == "video")
+    val frames = sampleFrames(vids, frameEveryMs = 40L).collect()
+    val byAsset = frames.groupBy(_.asset_id)
+    vids.collect().foreach { v =>
+      val expected = math.max(1, (v.meta.durationMs / 40L).toInt)
+      assert(byAsset(v.asset_id).length == expected, s"asset ${v.asset_id}")
+      val idxs = byAsset(v.asset_id).map(_.frame_idx).sorted.toSeq
+      assert(idxs == (0 until expected))
+    }
+  }
+
+  test("resize recomputes metadata and content dimensions") {
+    val resized = resizeImages(assets, MediaDecoder.Fake, newW = 4, newH = 2)
+      .filter(_.kind == "image").collect()
+    resized.foreach { a =>
+      assert(a.meta.width == 4 && a.meta.height == 2)
+      assert(a.content.length == 8)
+    }
+    // non-image assets pass through untouched
+    val audio = resizeImages(assets, MediaDecoder.Fake, 4, 2).filter(_.kind == "audio").head()
+    val orig = assets.filter(_.kind == "audio").head()
+    assert(audio.content.toSeq == orig.content.toSeq)
+  }
+}
