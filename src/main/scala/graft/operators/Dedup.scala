@@ -29,13 +29,26 @@ object Dedup {
   val P = 1000000007L
 
   /** MinHash affine-permutation constants (a_i * h + b_i mod P). Fixed
-    * literals so the oracle can restate them. k=8 → 4 bands × 2 rows:
-    * LSH threshold ≈ (1/b)^(1/r) = 0.5. */
-  val MinhashA: Seq[Long] = Seq(919393L, 524287L, 786433L, 196613L, 393241L, 576259L, 106501L, 786437L)
-  val MinhashB: Seq[Long] = Seq(273389L, 938113L, 654321L, 111119L, 222229L, 333331L, 444443L, 555557L)
-  val NumHashes = 8
-  val Bands = 4
-  val RowsPerBand = 2
+    * literals so the oracle can restate them.
+    *
+    * k=24 → 6 bands × 4 rows: LSH threshold ≈ (1/b)^(1/r) = 0.64. r=4 is
+    * the load-bearing choice: band-collision probability is sim^r, and this
+    * corpus has ~0.2 background pairwise similarity, so r=2 (the textbook
+    * 0.5-threshold tuning) admits ~18% of ALL pairs as candidates — the
+    * exact-verify stage then dominates the whole pipeline. At r=4 the
+    * background admits ~0.2%/band while 0.85+ near-dups are still caught
+    * with ≥98% probability — the standard near-dup operating point. */
+  val MinhashA: Seq[Long] = Seq(
+    919393L, 524287L, 786433L, 196613L, 393241L, 576259L, 106501L, 786437L,
+    100003L, 200003L, 300007L, 400009L, 500009L, 600011L, 700001L, 800011L,
+    900001L, 150001L, 250007L, 350003L, 450001L, 550007L, 650011L, 750019L)
+  val MinhashB: Seq[Long] = Seq(
+    273389L, 938113L, 654321L, 111119L, 222229L, 333331L, 444443L, 555557L,
+    666671L, 777781L, 888887L, 999983L, 123457L, 234533L, 345547L, 456569L,
+    567629L, 678649L, 789679L, 890701L, 901427L, 135463L, 246527L, 357643L)
+  val NumHashes = 24
+  val Bands = 6
+  val RowsPerBand = 4
 
   /** 1-based char-code array of a string (ascii of each char). */
   def charCodes(s: Column): Column =
@@ -99,12 +112,24 @@ object Dedup {
     docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
 
+  /** Distinct shingle-hash set per doc, materialized behind a shuffle
+    * barrier. The barrier matters: without it CollapseProject inlines this
+    * expensive expression into every downstream column that references it
+    * (8 signature mins + band keys → ~8× recompute per row); the exchange
+    * materializes the array once and ReuseExchange shares it across
+    * self-join branches. Payload is a few KB/doc — the shuffle is orders of
+    * magnitude cheaper than the recompute at any scale. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        array_distinct(shingleHashes(col(textCol))).as("hset"))
+      .repartition(col("doc_id"))
+
   /** Pairwise Jaccard over distinct hashed shingles via inverted-index join
     * (explode → join on shingle → shared counts). Exact but O(pairs sharing a
     * shingle) — the verification path; LSH is the candidate generator at scale. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(shingleHashes(col(textCol)))).as("h"))
+    val sh = shingleSets(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("hset")).as("h"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -124,8 +149,7 @@ object Dedup {
     * shingle-hash sets) → threshold. The only shuffles are the band-key join
     * and the final verify join; no all-pairs product anywhere. */
   def lshNearDupPairs(docs: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      array_distinct(shingleHashes(col(textCol))).as("hset"))
+    val base = shingleSets(docs, idCol, textCol)
     val withSig = base.withColumn("sig", minhashSignature(col("hset")))
     val bands = withSig.select(col("doc_id"),
       posexplode(bandKeys(col("sig"))).as(Seq("band_id", "band_key")))

@@ -38,7 +38,8 @@ object DedupQueries {
              CAST(COUNT(*) AS BIGINT) AS dup_count
       FROM documents
       GROUP BY 1
-      ORDER BY fingerprint"""))
+      ORDER BY fingerprint"""),
+    bench = true)
 
   /** Exact pairwise Jaccard ≥ 0.5 on distinct char-5-gram shingle hashes via
     * inverted-index join (no all-pairs product). */
@@ -66,13 +67,16 @@ object DedupQueries {
       WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b"""))
 
-  /** MinHash signatures (k=8, affine permutations of portable shingle hashes)
-    * as 8 oracle-checked columns. Per-row map, no shuffle. */
+  /** MinHash signatures (k=24, affine permutations of portable shingle
+    * hashes) as 24 oracle-checked columns. Shingle sets are materialized
+    * once behind the shuffle barrier, then each signature column is a cheap
+    * affine min over the stored array (duplicate shingles cannot change a
+    * min, so distinct-set signatures equal multiset signatures). */
   val d03MinhashSignatures = GraftQuery(
     "d03_minhash_signatures",
     (s, dir) => {
-      val sig = Dedup.minhashSignature(Dedup.shingleHashes(col("text")))
-      table(s, dir, "documents")
+      val sig = Dedup.minhashSignature(col("hset"))
+      Dedup.shingleSets(table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id") +: (0 until Dedup.NumHashes)
           .map(j => element_at(sig, j + 1).as(s"sig_$j")): _*)
         .orderBy(col("doc_id"))
@@ -83,16 +87,17 @@ object DedupQueries {
       }.mkString(",\n             ")
       s"""
       WITH codes_t AS (SELECT doc_id, $duckCodes AS codes, text FROM documents),
-      hs_t AS (SELECT doc_id, $duckShingleHashes AS hs FROM codes_t)
+      hs_t AS (SELECT doc_id, list_distinct($duckShingleHashes) AS hs FROM codes_t)
       SELECT doc_id,
              $sigExprs
       FROM hs_t
       ORDER BY doc_id"""
     })
 
-  /** MinHash-LSH near-dup pairs: band bucket join (4 bands × 2 rows, LSH
-    * threshold ≈ 0.5) → distinct candidates → exact Jaccard verify ≥ 0.5.
-    * The full scale path: shuffles only on band keys, never all-pairs. */
+  /** MinHash-LSH near-dup pairs: band bucket join (6 bands × 4 rows, LSH
+    * threshold ≈ 0.64 — see Dedup.scala for why r=4 on this corpus) →
+    * distinct candidates → exact Jaccard verify ≥ 0.5. The full scale path:
+    * shuffles only on band keys, never all-pairs. */
   val d04LshNearDup = GraftQuery(
     "d04_minhash_lsh_pairs",
     (s, dir) =>
@@ -110,8 +115,10 @@ object DedupQueries {
       bands AS (
         SELECT doc_id,
                band_id,
-               CAST(sig[2*band_id + 1] AS VARCHAR) || '_' || CAST(sig[2*band_id + 2] AS VARCHAR) AS band_key
-        FROM sig_t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) bb),
+               ${(1 to Dedup.RowsPerBand)
+                  .map(r => s"CAST(sig[${Dedup.RowsPerBand}*band_id + $r] AS VARCHAR)")
+                  .mkString(" || '_' || ")} AS band_key
+        FROM sig_t CROSS JOIN (SELECT unnest([${(0 until Dedup.Bands).mkString(", ")}]) AS band_id) bb),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
@@ -125,7 +132,8 @@ object DedupQueries {
       FROM ver
       WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b"""
-    })
+    },
+    bench = true)
 
   /** 32-bit SimHash over term-frequency-weighted token hashes. Near-identical
     * docs land within small Hamming distance; per-row map, no shuffle. */

@@ -162,7 +162,8 @@ object Extended {
              c.click_ts AS asof_click_ts
       FROM errors e ASOF LEFT JOIN clicks c
         ON e.user_id = c.user_id AND e.ts >= c.click_ts
-      ORDER BY e.event_id"""))
+      ORDER BY e.event_id"""),
+    bench = true)
 
   /** Range (interval) join against a small tier dim — broadcast nested-loop
     * on a non-equi predicate; correct plan when one side is tiny. */
@@ -223,7 +224,8 @@ object Extended {
              CAST(COUNT(*) AS BIGINT) AS n_events
       FROM sess
       GROUP BY user_id
-      ORDER BY user_id"""))
+      ORDER BY user_id"""),
+    bench = true)
 
   /** Exact interpolated percentiles (percentile_cont semantics) per group. */
   val q33Percentiles = GraftQuery(

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-quality audit: the physical plans the optimizer should settle on —
+  * filter pushdown into the parquet scan, column pruning, broadcast (never
+  * shuffle) joins for dims, bounded exchange counts on the single-shuffle
+  * operators. These assertions are the "would this survive a 100× scale-up"
+  * gate, run as CI.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** Simple mode: one line per operator (`*(n)` = codegen stage) — used for
+    * exchange counting and codegen-span checks. */
+  private def simplePlan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+
+  private def q(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("q01: ship-date filter reaches the parquet scan; columns pruned") {
+    val p = plan(q("q01_pricing_summary"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // 10-column table, 6-column read: pruning must drop unused columns
+    assert(p.contains("l_returnflag") && !p.contains("l_orderkey"), p)
+  }
+
+  test("q02: compound sargable predicates all push down") {
+    val p = plan(q("q02_filter_project"))
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThanOrEqual(l_discount", "LessThan(l_quantity")
+      .foreach(f => assert(p.contains(f), s"missing pushed filter $f\n$p"))
+  }
+
+  test("q03/q04: dimension joins broadcast — no shuffle of the fact side") {
+    Seq("q03_left_join_enrich", "q04_star_join_revenue").foreach { name =>
+      val p = plan(q(name))
+      assert(p.contains("BroadcastHashJoin"), s"$name: no broadcast join\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name: unexpected sort-merge join")
+    }
+  }
+
+  test("q05: 1-row cross join is a broadcast nested loop, not a cartesian shuffle") {
+    val p = plan(q("q05_cross_join_scalar"))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q08 window dedup: exactly one hash-partition shuffle before the window") {
+    val p = simplePlan(q("q08_window_dedup_latest"))
+    assert(p.contains("hashpartitioning") && p.contains("Window"), p)
+    // one exchange for the window; the final ORDER BY adds a range exchange only
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("q30 as-of join: union-LOCF plan has no pair-generating join at all") {
+    val p = plan(q("q30_asof_join"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q10 top-k: global sort+limit compiles to TakeOrderedAndProject") {
+    val p = plan(q("q10_topk_customers"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("whole-stage codegen spans the aggregation hot path") {
+    // AQE inserts codegen stages at execution: run the query, then check the
+    // final plan — scan→filter→project→partial-agg must sit in one
+    // WholeStageCodegen span
+    val df = q("q01_pricing_summary")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    // `*(n)` prefixes mark whole-stage-codegen stages: both aggregate halves
+    // and the final sort must carry one
+    assert("\\*\\(\\d+\\) HashAggregate".r.findAllIn(p).length == 2, p)
+    assert("\\*\\(\\d+\\) Sort".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("s01 similarity: query side broadcast, corpus scanned without shuffle") {
+    val p = plan(q("s01_cosine_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d01 exact dedup: single hash aggregate pair (partial + final), one shuffle") {
+    val p = simplePlan(q("d01_exact_dedup"))
+    assert(p.contains("HashAggregate"), p)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected ≤2 exchanges (agg + sort), got $exchanges\n$p")
+  }
+}
