@@ -20,6 +20,7 @@ object Graft {
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); Spark 4 rejects it unless

@@ -66,12 +66,21 @@ object Dedup {
       i => s.substr(i, lit(n)))
 
   /** Portable-hashed shingles: one polyHash per sliding n-gram window,
-    * hashing each window substring directly. Crucially the lambda body only
-    * touches the n-char window — embedding a shared char-code array expression
-    * here would be re-evaluated per window by the interpreted HOF path
-    * (O(len²) per row), which at 8 signature columns turns a 500-row input
-    * into minutes of CPU. O(len·n) as written. */
+    * computed by the native codegen'd expression [[graft.sql.ShingleHashes]]
+    * (one compiled pass per row). Values are identical to
+    * [[shingleHashesPortableHof]] — the oracle-checked definition — so the
+    * DuckDB hash-match gate still covers every downstream signature. */
   def shingleHashes(s: Column, n: Int = 5): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.ShingleHashes(org.apache.spark.sql.graft.ColumnShim.expression(s), n))
+
+  /** The same windowed hash as a pure `functions._` composition — three
+    * nested higher-order functions, interpreted by Catalyst (HOFs are
+    * CodegenFallback). Kept as the executable specification the native
+    * expression is tested against. Note the lambda body only touches the
+    * n-char window: embedding a shared char-code array expression here gets
+    * re-evaluated per window by the interpreted path (O(len²) per row). */
+  def shingleHashesPortableHof(s: Column, n: Int = 5): Column =
     transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
       i => polyHash(charCodes(s.substr(i, lit(n)))))
 
@@ -82,8 +91,17 @@ object Dedup {
     transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
       i => xxhash64(s.substr(i, lit(n))))
 
-  /** MinHash signature: array of k minima of affine-permuted shingle hashes. */
+  /** MinHash signature: array of k minima of affine-permuted shingle hashes,
+    * fused into one compiled pass ([[graft.sql.MinHashSignature]]). */
   def minhashSignature(hashes: Column, k: Int = NumHashes): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.MinHashSignature(
+        org.apache.spark.sql.graft.ColumnShim.expression(hashes),
+        MinhashA.take(k), MinhashB.take(k)))
+
+  /** HOF composition of the same signature — the executable specification
+    * the native expression is tested against. */
+  def minhashSignatureHof(hashes: Column, k: Int = NumHashes): Column =
     array((0 until k).map { j =>
       array_min(transform(hashes, h => (lit(MinhashA(j)) * h + lit(MinhashB(j))) % lit(P)))
     }: _*)
@@ -144,13 +162,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Minimum matching signature components for a candidate to reach exact
+    * verification: estimated jaccard 6/24 = 0.25 — loose enough that a true
+    * 0.5 pair fails it with probability < 1% (Binomial(24, 0.5) below 6),
+    * tight enough to discard the low-similarity bulk of band collisions. */
+  val MinSigMatches = 6
+
   /** MinHash-LSH near-dup pairs: signature → band keys → bucket self-join →
-    * distinct candidates → exact Jaccard verify (array_intersect on distinct
-    * shingle-hash sets) → threshold. The only shuffles are the band-key join
-    * and the final verify join; no all-pairs product anywhere. */
+    * distinct candidates → signature-estimate prefilter → exact Jaccard
+    * verify (array_intersect on distinct shingle-hash sets) → threshold.
+    *
+    * The prefilter is the scale lever for the verify stage: signatures are
+    * 24 longs (~200 B) while shingle sets are ~2.4 KB, so estimating first
+    * means the expensive full-set shuffle + intersection only runs for
+    * plausibly-similar pairs, not every band collision. All arithmetic is
+    * integer-exact and restated verbatim in the oracle. No all-pairs
+    * product anywhere. */
   def lshNearDupPairs(docs: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
     val base = shingleSets(docs, idCol, textCol)
     val withSig = base.withColumn("sig", minhashSignature(col("hset")))
+    val sigs = withSig.select(col("doc_id"), col("sig"))
     val bands = withSig.select(col("doc_id"),
       posexplode(bandKeys(col("sig"))).as(Seq("band_id", "band_key")))
     val candidates = bands.as("a").join(bands.as("b"),
@@ -158,7 +189,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    candidates
+    val estimated = candidates
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("sig_matches",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
+      .filter(col("sig_matches") >= MinSigMatches)
+      .select(col("id_a"), col("id_b"))
+    estimated
       .join(base.select(col("doc_id").as("id_a"), col("hset").as("hs_a")), "id_a")
       .join(base.select(col("doc_id").as("id_b"), col("hset").as("hs_b")), "id_b")
       .withColumn("shared", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))

@@ -1,0 +1,61 @@
+package graft.sql
+
+import graft.{Graft, SparkSpec}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The native codegen expression must be value-identical to the
+  * higher-order-function composition it replaces (which is what the DuckDB
+  * oracles restate). */
+class ShingleHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val edgeCases = Seq(
+    "", "a", "ab", "abcd", "abcde", "abcdef",
+    "the quick brown fox", "  spaces  and\ttabs ",
+    "unicodé çhars ünd émojis", "ASCII only 0123456789",
+    "ππππππ greek", "日本語のテキスト").toDF("text")
+
+  test("native expression matches the HOF specification on edge cases") {
+    val cmp = edgeCases.select(
+      Dedup.shingleHashes(col("text")).as("native"),
+      Dedup.shingleHashesPortableHof(col("text")).as("hof"))
+    cmp.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+  }
+
+  test("native expression matches the HOF specification on the fixture corpus") {
+    val docs = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val diff = docs.select(
+      Dedup.shingleHashes(col("text")).as("native"),
+      Dedup.shingleHashesPortableHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.isEmpty)
+  }
+
+  test("native minhash signature matches the HOF specification on the fixture corpus") {
+    val docs = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val hset = array_distinct(Dedup.shingleHashes(col("text")))
+    val diff = docs.select(
+      Dedup.minhashSignature(hset).as("native"),
+      Dedup.minhashSignatureHof(hset).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.isEmpty)
+  }
+
+  test("registered as a SQL function via GraftExtensions") {
+    val r = spark.sql("SELECT shingle_hashes('abcdef') AS h, shingle_hashes('abcdef', 3) AS h3")
+      .collect().head
+    assert(r.getSeq[Long](0).length == 2) // 6 chars, n=5 -> 2 windows
+    assert(r.getSeq[Long](1).length == 4) // n=3 -> 4 windows
+  }
+
+  test("expression participates in whole-stage codegen (no CodegenFallback)") {
+    val docs = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val df = docs.select(Dedup.shingleHashes(col("text")).as("h"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined, plan)
+  }
+}
