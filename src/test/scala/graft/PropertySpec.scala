@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOf
+import graft.pipeline.Silver
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import scala.util.Random
+
+/** Randomized invariant checks (fixed seeds — deterministic): the Spark
+  * operators vs naive in-memory reference implementations, across inputs
+  * with deliberate timestamp collisions, key skew, and repeated values.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("latestWins equals naive max-by-(recency, tiebreak) per key under ties") {
+    val rnd = new Random(42)
+    for (round <- 1 to 8) {
+      val rows = (1 to 120).map { i =>
+        (s"k${rnd.nextInt(10)}",
+          java.sql.Date.valueOf(s"2025-06-0${1 + rnd.nextInt(5)}"),
+          ts(1700000000000L + rnd.nextInt(3) * 1000L), // frequent collisions
+          f"req${rnd.nextInt(50)}%03d",
+          i.toLong)
+      }
+      val df = rows.toDF("key", "snapshot_date", "ingest_ts_utc", "request_id", "payload")
+      val got = Silver.latestWins(df, Seq("key"))
+        .select("key", "payload").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = rows.groupBy(_._1).map { case (k, g) =>
+        // max by (snapshot_date, ingest_ts, request_id) — row_number picks
+        // exactly one row even on full ties, matching max-by with a stable
+        // total order on all three keys + input order irrelevance
+        k -> g.maxBy(r => (r._2.toString, r._3.getTime, r._4))._5
+      }
+      // on FULL ties of all three ordering keys row_number is arbitrary among
+      // tied rows; only compare keys where the winner is unique
+      want.foreach { case (k, payload) =>
+        val g = rows.filter(_._1 == k)
+        val top = g.map(r => (r._2.toString, r._3.getTime, r._4)).max
+        val tied = g.filter(r => (r._2.toString, r._3.getTime, r._4) == top)
+        if (tied.size == 1) assert(got(k) == payload, s"round $round key $k")
+        else assert(tied.map(_._5).contains(got(k)), s"round $round key $k (tied)")
+      }
+    }
+  }
+
+  test("SCD2 lag/lead idiom: versions = collapsed runs; windows partition time; one current") {
+    val rnd = new Random(7)
+    for (round <- 1 to 6) {
+      val obs = (1 to 15).flatMap { _ =>
+        val key = s"v${rnd.nextInt(4)}"
+        Seq((key, ts(1700000000000L + rnd.nextInt(100) * 60000L), s"s${rnd.nextInt(3)}"))
+      }.distinct
+      val df = obs.toDF("id", "obs_ts", "state")
+      val w = Window.partitionBy($"id").orderBy($"obs_ts".asc)
+      val versions = df
+        .withColumn("prev", lag($"state", 1).over(w))
+        .filter($"prev".isNull || $"prev" =!= $"state")
+        .withColumn("valid_to", lead($"obs_ts", 1).over(
+          Window.partitionBy($"id").orderBy($"obs_ts".asc)))
+        .select($"id", $"state", $"obs_ts".as("valid_from"), $"valid_to",
+          $"valid_to".isNull.as("is_current"))
+        .collect()
+        .groupBy(_.getString(0))
+
+      val naive = obs.groupBy(_._1).map { case (k, g) =>
+        val sorted = g.sortBy(_._2.getTime)
+        val collapsed = sorted.foldLeft(List.empty[(String, Timestamp)]) {
+          case (acc, (_, t, s)) if acc.headOption.forall(_._1 != s) => (s, t) :: acc
+          case (acc, _) => acc
+        }.reverse
+        k -> collapsed
+      }
+
+      naive.foreach { case (k, expected) =>
+        val got = versions(k).sortBy(_.getTimestamp(2).getTime)
+        assert(got.map(_.getString(1)).toSeq == expected.map(_._1), s"round $round $k states")
+        // windows partition time: valid_to(i) == valid_from(i+1), exactly one open
+        got.sliding(2).foreach {
+          case Array(a, b) => assert(a.getTimestamp(3) == b.getTimestamp(2))
+          case _ =>
+        }
+        assert(got.count(_.getBoolean(4)) == 1, s"round $round $k current-count")
+      }
+    }
+  }
+
+  test("as-of join equals naive latest-at-or-before scan on random data") {
+    val rnd = new Random(13)
+    for (round <- 1 to 6) {
+      val left = (1 to 60).map(i =>
+        (i.toLong, (1 + rnd.nextInt(5)).toLong, ts(1700000000000L + rnd.nextInt(50) * 1000L)))
+      val right = (1 to 30).map(i =>
+        (1000L + i, (1 + rnd.nextInt(5)).toLong, ts(1700000000000L + rnd.nextInt(50) * 1000L)))
+      // unique (key, ts) on the right so the as-of winner is well-defined
+      val rightU = right.groupBy(r => (r._2, r._3)).map(_._2.maxBy(_._1)).toSeq
+      val l = left.toDF("lid", "key", "lts")
+      val r = rightU.toDF("rid", "key", "rts")
+      val got = AsOf.join(l, r, "key", "lts", "rts", "rid", Seq("rid"))
+        .collect().map(x => x.getLong(0) -> Option(x.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap
+      left.foreach { case (lid, k, lt) =>
+        val want = rightU.filter(x => x._2 == k && !x._3.after(lt))
+          .sortBy(x => (x._3.getTime, x._1)).lastOption.map(_._1)
+        assert(got(lid) == want, s"round $round lid=$lid")
+      }
+    }
+  }
+}
