@@ -83,17 +83,19 @@ object Silver {
       coalesce(to_date(bind("day")), col("snapshot_date")))
       .otherwise(col("snapshot_date")).as("date")
 
-  // ---------------------------------------------------------------- models
+  /** A latest-wins model factored as (bronze table, typed projection, grain):
+    * the shape that supports INCREMENTAL refresh, because latest-wins is an
+    * idempotent, commutative merge on its grain — `latestWins(existing ∪
+    * typed(newPartitions))` equals a full recompute (each key's global max
+    * survives any grouping of the inputs). */
+  final case class LatestWinsSpec(
+      bronzeTable: String,
+      grain: Seq[String],
+      typed: DataFrame => DataFrame,
+      order: Seq[Column] = recencyOrder)
 
-  /** ISO-3166 static dim (reference `country_reference.sql`). */
-  val dimCountryReference: Model = Model("dim_country_reference", Nil, lake => {
-    import lake.spark.implicits._
-    CountryRef.codes.toDF("country_code", "country_name")
-  })
-
-  /** reference `:8-71`. Grain: channel_id. */
-  val silverChannels: Model = Model("silver_channels", Nil, lake => {
-    val typed = parseItems(lake.table("bronze", "channels_raw"), Schemas.channelsPayloadDdl)
+  private def channelsTyped(raw: DataFrame): DataFrame =
+    parseItems(raw, Schemas.channelsPayloadDdl)
       .select(
         col("item.id").as("channel_id"),
         col("item.snippet.title").as("channel_title"),
@@ -108,13 +110,9 @@ object Silver {
         col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
         col("schema_version"))
       .filter(col("channel_id").isNotNull)
-    latestWins(typed, Seq("channel_id"))
-  })
 
-  /** reference `:73-130`. Grain: (video_id, fetched_at_utc); ties broken by
-    * request_id only — preserved exactly (SURVEY §4 wart). */
-  val silverVideoStatsSnapshot: Model = Model("silver_video_stats_snapshot", Nil, lake => {
-    val typed = parseItems(lake.table("bronze", "videos_raw"), Schemas.videoStatsPayloadDdl)
+  private def videoStatsTyped(raw: DataFrame): DataFrame =
+    parseItems(raw, Schemas.videoStatsPayloadDdl)
       .select(
         col("item.id").as("video_id"),
         col("item.snippet.channelId").as("channel_id"),
@@ -126,8 +124,86 @@ object Silver {
         col("item.statistics.commentCount").cast("bigint").as("comment_count"),
         col("ingest_ts_utc"), col("request_id"), col("run_id"), col("schema_version"))
       .filter(col("video_id").isNotNull)
-    latestWins(typed, Seq("video_id", "fetched_at_utc"), Seq(col("request_id").desc))
+
+  private def videoDailyTyped(raw: DataFrame): DataFrame =
+    parseReport(raw)
+      .select(
+        bind("video").as("video_id"), strictDate,
+        bind("views").cast("bigint").as("views"),
+        bind("likes").cast("bigint").as("likes"),
+        bind("comments").cast("bigint").as("comments"),
+        bind("estimatedMinutesWatched").cast("bigint").as("estimated_minutes_watched"),
+        bind("averageViewDuration").cast("double").as("average_view_duration_seconds"),
+        col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
+        col("schema_version"))
+      .filter(col("video_id").isNotNull && col("date").isNotNull)
+
+  private def dimensionalTyped(headerName: String, dimCol: String)(raw: DataFrame): DataFrame =
+    parseReport(raw)
+      .select(
+        bind("video").as("video_id"), boundDate,
+        upper(bind(headerName)).as(dimCol),
+        bind("views").cast("bigint").as("views"),
+        bind("estimatedMinutesWatched").cast("bigint").as("estimated_minutes_watched"),
+        col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
+        col("schema_version"))
+      .filter(col("video_id").isNotNull && col("date").isNotNull
+        && col(dimCol).isNotNull && col(dimCol) =!= "")
+
+  /** The models refreshable incrementally (their rows depend only on their
+    * own bronze table — no cross-table "current" state like the channel
+    * fact's top-1 cross join, and no cross-row history like SCD2). */
+  val latestWinsSpecs: Map[String, LatestWinsSpec] = Map(
+    "silver_channels" -> LatestWinsSpec(
+      "channels_raw", Seq("channel_id"), channelsTyped),
+    "silver_video_stats_snapshot" -> LatestWinsSpec(
+      "videos_raw", Seq("video_id", "fetched_at_utc"), videoStatsTyped,
+      Seq(col("request_id").desc)),
+    "fact_video_daily_metrics" -> LatestWinsSpec(
+      "analytics_video_daily_raw", Seq("video_id", "date"), videoDailyTyped),
+    "fact_video_traffic_source_metrics" -> LatestWinsSpec(
+      "analytics_video_traffic_source_daily_raw", Seq("video_id", "date", "source_id"),
+      dimensionalTyped("insightTrafficSourceType", "source_id")),
+    "fact_video_country_metrics" -> LatestWinsSpec(
+      "analytics_video_country_daily_raw", Seq("video_id", "date", "country_code"),
+      dimensionalTyped("country", "country_code")),
+    "fact_video_device_metrics" -> LatestWinsSpec(
+      "analytics_video_device_daily_raw", Seq("video_id", "date", "device_type"),
+      dimensionalTyped("deviceType", "device_type")))
+
+  /** Incremental refresh: merge only bronze partitions newer than
+    * `sinceSnapshot` into the existing materialization. The snapshot_date
+    * predicate partition-prunes the bronze scan (bronze is partitioned on
+    * it), so refresh cost scales with NEW data, not table history — the
+    * difference between a nightly refresh reading one day and reading 100 TB.
+    * Requires the model to have been fully refreshed at least once. */
+  def refreshIncremental(lake: Lakehouse, name: String, sinceSnapshot: java.sql.Date): Unit = {
+    val spec = latestWinsSpecs(name)
+    val fresh = spec.typed(
+      lake.table("bronze", spec.bronzeTable)
+        .filter(col("snapshot_date") > lit(sinceSnapshot)))
+    val merged = latestWins(
+      lake.table("silver", name).unionByName(fresh), spec.grain, spec.order)
+    lake.materialize("silver", name, merged)
+  }
+
+  // ---------------------------------------------------------------- models
+
+  /** ISO-3166 static dim (reference `country_reference.sql`). */
+  val dimCountryReference: Model = Model("dim_country_reference", Nil, lake => {
+    import lake.spark.implicits._
+    CountryRef.codes.toDF("country_code", "country_name")
   })
+
+  /** reference `:8-71`. Grain: channel_id. */
+  val silverChannels: Model = Model("silver_channels", Nil, lake =>
+    latestWins(channelsTyped(lake.table("bronze", "channels_raw")), Seq("channel_id")))
+
+  /** reference `:73-130`. Grain: (video_id, fetched_at_utc); ties broken by
+    * request_id only — preserved exactly (SURVEY §4 wart). */
+  val silverVideoStatsSnapshot: Model = Model("silver_video_stats_snapshot", Nil, lake =>
+    latestWins(videoStatsTyped(lake.table("bronze", "videos_raw")),
+      Seq("video_id", "fetched_at_utc"), Seq(col("request_id").desc)))
 
   /** The 19 metadata fields hashed for change detection, in the exact
     * reference order (`:183-207`) — hash equality depends on field order
@@ -252,48 +328,28 @@ object Silver {
     })
 
   /** reference `:445-512`. Grain: (video_id, date). */
-  val factVideoDailyMetrics: Model = Model("fact_video_daily_metrics", Nil, lake => {
-    val typed = parseReport(lake.table("bronze", "analytics_video_daily_raw"))
-      .select(
-        bind("video").as("video_id"), strictDate,
-        bind("views").cast("bigint").as("views"),
-        bind("likes").cast("bigint").as("likes"),
-        bind("comments").cast("bigint").as("comments"),
-        bind("estimatedMinutesWatched").cast("bigint").as("estimated_minutes_watched"),
-        bind("averageViewDuration").cast("double").as("average_view_duration_seconds"),
-        col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
-        col("schema_version"))
-      .filter(col("video_id").isNotNull && col("date").isNotNull)
-    latestWins(typed, Seq("video_id", "date"))
-  })
+  val factVideoDailyMetrics: Model = Model("fact_video_daily_metrics", Nil, lake =>
+    latestWins(videoDailyTyped(lake.table("bronze", "analytics_video_daily_raw")),
+      Seq("video_id", "date")))
 
   /** Shared shape of the three per-dimension video facts
     * (reference `:514-603,605-694,696-785`): bind video/day/dim/metrics,
     * uppercase the dim, drop null/empty dims, latest-wins on
     * (video_id, date, dim). */
-  private def dimensionalFact(rawTable: String, headerName: String, dimCol: String): Lakehouse => DataFrame =
+  private def dimensionalFact(name: String): Lakehouse => DataFrame =
     lake => {
-      val typed = parseReport(lake.table("bronze", rawTable))
-        .select(
-          bind("video").as("video_id"), boundDate,
-          upper(bind(headerName)).as(dimCol),
-          bind("views").cast("bigint").as("views"),
-          bind("estimatedMinutesWatched").cast("bigint").as("estimated_minutes_watched"),
-          col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
-          col("schema_version"))
-        .filter(col("video_id").isNotNull && col("date").isNotNull
-          && col(dimCol).isNotNull && col(dimCol) =!= "")
-      latestWins(typed, Seq("video_id", "date", dimCol))
+      val spec = latestWinsSpecs(name)
+      latestWins(spec.typed(lake.table("bronze", spec.bronzeTable)), spec.grain, spec.order)
     }
 
   val factVideoTrafficSourceMetrics: Model = Model("fact_video_traffic_source_metrics", Nil,
-    dimensionalFact("analytics_video_traffic_source_daily_raw", "insightTrafficSourceType", "source_id"))
+    dimensionalFact("fact_video_traffic_source_metrics"))
 
   val factVideoCountryMetrics: Model = Model("fact_video_country_metrics", Nil,
-    dimensionalFact("analytics_video_country_daily_raw", "country", "country_code"))
+    dimensionalFact("fact_video_country_metrics"))
 
   val factVideoDeviceMetrics: Model = Model("fact_video_device_metrics", Nil,
-    dimensionalFact("analytics_video_device_daily_raw", "deviceType", "device_type"))
+    dimensionalFact("fact_video_device_metrics"))
 
   /** Shared shape of the observed-value dims (reference `:787-841,903-957`):
     * distinct uppercased dim values, latest-wins per value. */

@@ -246,6 +246,34 @@ class PipelineSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("incremental refresh equals full recompute and partition-prunes the bronze scan") {
+    refreshed
+    // run 4 lands one genuinely new date and re-reports an existing one
+    val ctx4 = Bronze.RunContext("run4", "req4", d("2025-06-04"), ts("2025-06-04 10:00:00"))
+    Bronze.ingest(lake, ctx4, _ => Map(
+      "analytics_video_daily_raw" -> Seq(report(vidHeaders, Seq(
+        Seq("V1", "2025-06-03", "9", "2", "1", "5", "50.0"),
+        Seq("V1", "2025-05-31", "6", "1", "0", "3", "42.0"))))))
+    Silver.refreshIncremental(lake, "fact_video_daily_metrics", d("2025-06-03"))
+    val incremental = lake.table("silver", "fact_video_daily_metrics")
+      .orderBy("video_id", "date").collect().toSeq
+    // latest-wins merged: re-reported 05-31 now carries run4's numbers
+    val v1d31 = incremental.find(r => r.getAs[String]("video_id") == "V1"
+      && r.getAs[java.sql.Date]("date").toString == "2025-05-31").get
+    assert(v1d31.getAs[Long]("views") == 6L && v1d31.getAs[String]("run_id") == "run4")
+    // merge result is identical to a full recompute over all bronze history
+    Silver.refresh(lake, Some(Set("fact_video_daily_metrics")))
+    val full = lake.table("silver", "fact_video_daily_metrics")
+      .orderBy("video_id", "date").collect().toSeq
+    assert(incremental == full)
+    // the since-filter reaches the scan as a partition filter (bronze is
+    // partitioned by snapshot_date) — refresh cost scales with new data
+    val pruned = lake.table("bronze", "analytics_video_daily_raw")
+      .filter(col("snapshot_date") > lit(d("2025-06-03")))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(snapshot_date"), plan)
+  }
+
   test("run_context_log: finalize updates the run row in place") {
     refreshed
     val log = lake.table("bronze", "run_context_log")
