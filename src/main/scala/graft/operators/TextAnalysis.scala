@@ -18,6 +18,17 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword segmentation regex: word pieces (letter runs), number
+    * runs, and single non-space symbols — the pre-tokenization split GPT-2
+    * style BPE applies before merges. Counting these approximates LLM token
+    * counts far better than whitespace words (punctuation and numbers cost
+    * tokens). Portable POSIX classes so the oracle regex is identical. */
+  val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Count of BPE-ish pieces via regexp_extract_all (codegen'd, per-row). */
+  def bpeIshTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeIshPattern), lit(0)))
+
   /** Characters that count as punctuation for quality scoring. */
   val PunctClass = "[^.,!?;:]"
 

@@ -286,8 +286,32 @@ object Extended {
       WHERE o_custkey < 50
       ORDER BY o_orderkey"""))
 
+  /** Schema-on-read with an explicit DDL schema (SURVEY §2.8 F1 — the
+    * bronze payload idiom over a driver table): from_json with a declared
+    * struct, never inference (inference is a second full scan at 100 TB). */
+  val q36FromJson = GraftQuery(
+    "q36_from_json_schema",
+    (s, dir) =>
+      table(s, dir, "events")
+        .withColumn("parsed",
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("event_count"),
+          sum(col("parsed.k")).as("sum_k"),
+          count(col("parsed.k")).as("k_present"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS event_count,
+             CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(COUNT(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_present
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     q26WindowFrames, q27Ranking, q28GroupingSets, q29Pivot, q30AsOfJoin,
     q31RangeJoin, q32Sessionize, q33Percentiles, q34ApproxDistinct,
-    q35ScalarSubquery)
+    q35ScalarSubquery, q36FromJson)
 }

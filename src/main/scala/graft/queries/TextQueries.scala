@@ -102,5 +102,24 @@ object TextQueries {
       FROM base
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality)
+  /** BPE-ish subword token counting next to whitespace words: the
+    * LLM-budgeting view of document length (punctuation/digits cost
+    * tokens). Same regex on both engines. */
+  val t04BpeTokens = GraftQuery(
+    "t04_bpe_token_count",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).as("word_count"),
+          bpeIshTokenCount(col("text")).as("bpe_ish_count"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS INT) AS word_count,
+             CAST(len(regexp_extract_all(text, '$BpeIshPattern', 0)) AS INT) AS bpe_ish_count
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens)
 }
