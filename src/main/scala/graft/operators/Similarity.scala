@@ -32,15 +32,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as doubles, left fold. */
+  /** Σ aᵢ·bᵢ as doubles, left fold — native codegen'd loop
+    * ([[graft.sql.FloatVecDot]]), bit-identical to [[dotHof]]. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.FloatVecDot(
+        org.apache.spark.sql.graft.ColumnShim.expression(a),
+        org.apache.spark.sql.graft.ColumnShim.expression(b)))
+
+  /** HOF composition of the same fold — the executable specification the
+    * native expression is tested against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** ‖a‖₂ as double. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  /** ‖a‖₂ as double (dot(a, a) = squared norm, same fold order as the
+    * transform/aggregate HOF it replaces). */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Fixed axis-pair sign planes: 8 bits over a 64-dim embedding. */
   val SignPlanePairs: Seq[(Int, Int)] = Seq(

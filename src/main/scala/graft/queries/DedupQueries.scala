@@ -174,18 +174,16 @@ object DedupQueries {
     "d06_embedding_neardup",
     (s, dir) => {
       // Norms are staged per-row BEFORE the pair join (n evals, not n²/2) —
-      // the join exchange materializes them, so only the dot product runs
-      // per pair.
-      def sqNorm(c: Column) = aggregate(transform(c, x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      // the join exchange materializes them, so only the (native codegen'd)
+      // dot product runs per pair.
+      import graft.operators.Similarity
       val e = table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), sqrt(sqNorm(col("embedding"))).as("norm"))
+        .select(col("vec_id"), col("embedding"), Similarity.l2Norm(col("embedding")).as("norm"))
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
-      val dot = aggregate(zip_with(col("emb_a"), col("emb_b"),
-        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cosine", dot / (col("norm_a") * col("norm_b")))
+        .withColumn("cosine",
+          Similarity.dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
         .filter(col("cosine") >= 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))

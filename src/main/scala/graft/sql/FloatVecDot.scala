@@ -1,0 +1,61 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native dot product over two `array<float>` embedding columns: one
+  * compiled loop, left-to-right double accumulation — bit-identical to the
+  * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)),
+  * 0.0, _ + _)` HOF composition it replaces (which Catalyst evaluates
+  * interpreted, allocating a zipped array per row/pair). `dot(a, a)` is the
+  * squared norm, so one expression covers similarity scoring end to end.
+  *
+  * Null semantics mirror the HOF path: mismatched lengths zip a null in and
+  * null-poison the sum → result is null.
+  */
+case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got ${l.catalogString}, ${r.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "float_vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FloatVecDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}Tmp = graft.sql.FloatVecDot.compute($a, $b);
+      if (${ev.value}Tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}Tmp.doubleValue();
+      }""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatVecDot {
+  /** Left-to-right double fold; null on length mismatch (HOF parity). */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}

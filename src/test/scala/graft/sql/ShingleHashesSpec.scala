@@ -44,6 +44,18 @@ class ShingleHashesSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("native float-vector dot matches the HOF fold bit-for-bit") {
+    import graft.operators.Similarity
+    val e = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = e.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(e.limit(3).select(col("embedding").as("b")))
+    val diff = pairs.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof")) // bit-exact: same fold order
+    assert(diff.isEmpty)
+  }
+
   test("registered as a SQL function via GraftExtensions") {
     val r = spark.sql("SELECT shingle_hashes('abcdef') AS h, shingle_hashes('abcdef', 3) AS h3")
       .collect().head
