@@ -73,6 +73,25 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
   def compact(layer: String, name: String, numFiles: Int = 1): Unit =
     materialize(layer, name, table(layer, name).repartition(numFiles))
 
+  /** Materialize as a BUCKETED catalog table (`<layer>_<name>`): rows
+    * hash-partitioned into `buckets` files on `bucketCols` at write time, so
+    * joins/aggregations on those columns skip their shuffle entirely — the
+    * co-located-join technique for fact tables repeatedly joined on the same
+    * key at scale (bucket both sides the same way once, never shuffle them
+    * again). Read back via [[bucketedTable]]; bucket metadata lives in the
+    * session catalog. */
+  def materializeBucketed(
+      layer: String, name: String, df: DataFrame,
+      bucketCols: Seq[String], buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", dir(layer, s"${name}__bucketed").toString)
+      .saveAsTable(s"${layer}_$name")
+
+  def bucketedTable(layer: String, name: String): DataFrame =
+    spark.table(s"${layer}_$name")
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
