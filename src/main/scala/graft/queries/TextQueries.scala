@@ -121,5 +121,62 @@ object TextQueries {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens)
+  /** TF-IDF top terms per document: tokenize → term frequencies → document
+    * frequencies → idf join → top-3 terms by tf·idf (ties broken on term).
+    *
+    * Scale shape: two hash shuffles (doc-term counts, term doc-frequencies)
+    * + a broadcast-able idf join + per-doc window top-k — the vocabulary-
+    * statistics pipeline of a corpus-level text pass. Natural log on both
+    * engines; scores rounded after ranking on exact doubles. */
+  val t05TfIdf = GraftQuery(
+    "t05_tfidf_top_terms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      // corpus size as a broadcast 1-row scalar, not a driver-side action —
+      // the whole query stays one lazy plan
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val terms = docs.select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("idf", log((col("n_docs") + 1.0) / (col("doc_freq") + lit(1.0))))
+        .drop("n_docs")
+      val scored = tf.join(df, "term")
+        .withColumn("tfidf", col("tf").cast("double") * col("idf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""
+      WITH terms AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+      df AS (
+        SELECT term, COUNT(*) AS doc_freq,
+               ln(((SELECT COUNT(*) FROM documents) + 1.0) / (COUNT(*) + 1.0)) AS idf
+        FROM tf GROUP BY term),
+      scored AS (
+        SELECT doc_id, term, CAST(tf AS DOUBLE) * idf AS tfidf
+        FROM tf JOIN df USING (term)),
+      ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        FROM scored)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, round(tfidf, 6) AS tfidf
+      FROM ranked
+      WHERE rank <= 3
+      ORDER BY doc_id, rank"""),
+    bench = true)
+
+  val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf)
 }
