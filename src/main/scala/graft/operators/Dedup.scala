@@ -139,7 +139,7 @@ object Dedup {
     * magnitude cheaper than the recompute at any scale. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        array_distinct(shingleHashes(col(textCol))).as("hset"))
+        array_sort(array_distinct(shingleHashes(col(textCol)))).as("hset"))
       .repartition(col("doc_id"))
 
   /** Pairwise Jaccard over distinct hashed shingles via inverted-index join
@@ -162,26 +162,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Minimum matching signature components for a candidate to reach exact
-    * verification: estimated jaccard 6/24 = 0.25 — loose enough that a true
-    * 0.5 pair fails it with probability < 1% (Binomial(24, 0.5) below 6),
-    * tight enough to discard the low-similarity bulk of band collisions. */
-  val MinSigMatches = 6
-
   /** MinHash-LSH near-dup pairs: signature → band keys → bucket self-join →
-    * distinct candidates → signature-estimate prefilter → exact Jaccard
-    * verify (array_intersect on distinct shingle-hash sets) → threshold.
+    * distinct candidates → exact Jaccard verify → threshold. No all-pairs
+    * product anywhere; the only shuffles are the band-key join and the
+    * verify joins.
     *
-    * The prefilter is the scale lever for the verify stage: signatures are
-    * 24 longs (~200 B) while shingle sets are ~2.4 KB, so estimating first
-    * means the expensive full-set shuffle + intersection only runs for
-    * plausibly-similar pairs, not every band collision. All arithmetic is
-    * integer-exact and restated verbatim in the oracle. No all-pairs
-    * product anywhere. */
+    * The verify kernel is the native two-pointer
+    * [[graft.sql.SortedIntersectSize]] over the sorted shingle sets — on
+    * this corpus it made an intermediate signature-estimate prefilter
+    * net-negative (the 0.2 background similarity means band collisions
+    * almost all pass a loose estimate cut: 240k → 235k candidates for two
+    * extra joins), so candidates go straight to exact verification. If a
+    * corpus ever produces candidate sets whose full-payload shuffle
+    * dominates, an estimate-then-verify stage over the (12× smaller)
+    * signatures is the lever to reintroduce — but measure first. */
   def lshNearDupPairs(docs: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
     val base = shingleSets(docs, idCol, textCol)
     val withSig = base.withColumn("sig", minhashSignature(col("hset")))
-    val sigs = withSig.select(col("doc_id"), col("sig"))
     val bands = withSig.select(col("doc_id"),
       posexplode(bandKeys(col("sig"))).as(Seq("band_id", "band_key")))
     val candidates = bands.as("a").join(bands.as("b"),
@@ -189,17 +186,15 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val estimated = candidates
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("sig_matches",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
-      .filter(col("sig_matches") >= MinSigMatches)
-      .select(col("id_a"), col("id_b"))
-    estimated
+    def sortedIntersectSize(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.ColumnShim.column(
+        graft.sql.SortedIntersectSize(
+          org.apache.spark.sql.graft.ColumnShim.expression(a),
+          org.apache.spark.sql.graft.ColumnShim.expression(b)))
+    candidates
       .join(base.select(col("doc_id").as("id_a"), col("hset").as("hs_a")), "id_a")
       .join(base.select(col("doc_id").as("id_b"), col("hset").as("hs_b")), "id_b")
-      .withColumn("shared", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+      .withColumn("shared", sortedIntersectSize(col("hs_a"), col("hs_b")).cast("double"))
       .withColumn("jaccard",
         col("shared") / (size(col("hs_a")) + size(col("hs_b")) - col("shared")).cast("double"))
       .filter(col("jaccard") >= minJaccard)

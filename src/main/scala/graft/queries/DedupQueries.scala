@@ -123,17 +123,11 @@ object DedupQueries {
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-      est AS (
-        SELECT id_a, id_b
-        FROM cand JOIN sig_t sa ON id_a = sa.doc_id JOIN sig_t sb ON id_b = sb.doc_id
-        WHERE len(list_filter(range(1, ${Dedup.NumHashes} + 1),
-                              i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]))
-              >= ${Dedup.MinSigMatches}),
       ver AS (
         SELECT id_a, id_b,
                CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE) AS shared,
                len(ha.hset) AS na, len(hb.hset) AS nb
-        FROM est JOIN hs_t ha ON id_a = ha.doc_id JOIN hs_t hb ON id_b = hb.doc_id)
+        FROM cand JOIN hs_t ha ON id_a = ha.doc_id JOIN hs_t hb ON id_b = hb.doc_id)
       SELECT id_a, id_b, round(shared / CAST(na + nb - shared AS DOUBLE), 6) AS jaccard
       FROM ver
       WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.5

@@ -56,6 +56,22 @@ class ShingleHashesSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("sorted intersect size equals size(array_intersect) on sorted distinct arrays") {
+    val sets = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(array_sort(array_distinct(Dedup.shingleHashes(col("text")))).as("hset"))
+    val pairs = sets.select(col("hset").as("a")).crossJoin(sets.limit(5).select(col("hset").as("b")))
+    def native(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnShim.column(
+        SortedIntersectSize(
+          org.apache.spark.sql.graft.ColumnShim.expression(a),
+          org.apache.spark.sql.graft.ColumnShim.expression(b)))
+    val diff = pairs.select(
+      native(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.isEmpty)
+  }
+
   test("registered as a SQL function via GraftExtensions") {
     val r = spark.sql("SELECT shingle_hashes('abcdef') AS h, shingle_hashes('abcdef', 3) AS h3")
       .collect().head
