@@ -83,6 +83,29 @@ object Similarity {
     topKByCosine(scored, k)
   }
 
+  /** Exact top-k via the bounded [[graft.sql.TopKPairs]] aggregate instead
+    * of a window: PARTIAL-aggregates, so each map task ships ≤ k pairs per
+    * query to the shuffle — the window idiom shuffles every scored pair.
+    * Same results, same tie-breaks; the plan difference is the point. */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
+      l2Norm(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("embedding").as("c_emb"),
+      l2Norm(col("embedding")).as("c_norm"))
+    val topAgg = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.TopKPairs(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("cosine")),
+        org.apache.spark.sql.graft.ColumnShim.expression(col("neighbor_id")),
+        k).toAggregateExpression())
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .groupBy(col("query_id"))
+      .agg(topAgg.as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("neighbor_id"), col("hit.score").as("cosine"))
+  }
+
   /** Approximate top-k: score only pairs sharing the sign-plane bucket.
     * The corpus is bucketed once (per-row map); candidate generation is a
     * broadcast equi-join on the bucket key. */

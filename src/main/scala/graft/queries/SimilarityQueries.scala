@@ -88,5 +88,23 @@ object SimilarityQueries {
     },
     bench = true)
 
-  val all: Seq[GraftQuery] = Seq(s01BruteForceTopK, s02LshTopK)
+  /** Same exact top-5 as s01 but via the bounded TopKPairs aggregate —
+    * partial aggregation ships ≤ k pairs per query per map task to the
+    * shuffle, where the window plan shuffles every scored pair. Identical
+    * output (same oracle), different physical plan — the plan is the
+    * deliverable. */
+  val s03BruteForceTopKAgg = GraftQuery(
+    "s03_cosine_topk_agg",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      Similarity.bruteForceTopKAgg(q, e, 5)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    s01BruteForceTopK.oracle,
+    bench = true)
+
+  val all: Seq[GraftQuery] = Seq(s01BruteForceTopK, s02LshTopK, s03BruteForceTopKAgg)
 }

@@ -52,6 +52,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bounded top-k aggregate equals the window top-k row for row") {
+    val e = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") % 100 === 0)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val window = collect(Similarity.bruteForceTopK(q, e, 5))
+    val agg = collect(Similarity.bruteForceTopKAgg(q, e, 5))
+    assert(agg == window)
+  }
+
   test("approx_count_distinct stays within 10% of exact on fixture data") {
     val ev = Graft.table(spark, "/root/testdata/sf0.001", "events")
     val r = ev.agg(
