@@ -178,5 +178,33 @@ object TextQueries {
       ORDER BY doc_id, rank"""),
     bench = true)
 
-  val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf)
+  /** Sentence segmentation via the native [[graft.sql.SentenceSplit]]
+    * Generator — row fan-out through the Generate operator (UDTF shape),
+    * not a per-row array materialization. Oracle restates the same split
+    * contract with row_number over the original order. */
+  val t06Sentences = GraftQuery(
+    "t06_sentence_split",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.ColumnShim.column(
+            graft.sql.SentenceSplit(
+              org.apache.spark.sql.graft.ColumnShim.expression(col("text")))))
+        .withColumn("sentence_len", length(col("sentence")))
+        .orderBy(col("doc_id"), col("sentence_idx")),
+    Some("""
+      WITH parts AS (
+        SELECT doc_id, i, trim(p[CAST(i AS INT)]) AS sentence
+        FROM (SELECT doc_id, string_split_regex(text, '[.!?]+') AS p FROM documents),
+             LATERAL unnest(range(1, len(p) + 1)) AS t(i)),
+      kept AS (
+        SELECT doc_id, sentence,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS INT) AS sentence_idx
+        FROM parts WHERE sentence <> '')
+      SELECT doc_id, sentence_idx, sentence, CAST(length(sentence) AS INT) AS sentence_len
+      FROM kept
+      ORDER BY doc_id, sentence_idx"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences)
 }

@@ -72,6 +72,22 @@ class ShingleHashesSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("sentence-split generator: trims, drops empties, 1-based index, null-safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "One. Two!  Three?"),
+      (2L, "no terminator at all"),
+      (3L, "...!?"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = df.select(col("id"),
+        org.apache.spark.sql.graft.ColumnShim.column(
+          SentenceSplit(org.apache.spark.sql.graft.ColumnShim.expression(col("text")))))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1, "One"), (1L, 2, "Two"), (1L, 3, "Three"),
+      (2L, 1, "no terminator at all")))
+  }
+
   test("registered as a SQL function via GraftExtensions") {
     val r = spark.sql("SELECT shingle_hashes('abcdef') AS h, shingle_hashes('abcdef', 3) AS h3")
       .collect().head
