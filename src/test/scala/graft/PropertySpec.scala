@@ -90,6 +90,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bounded top-k aggregate equals naive sort-take on random data with heavy ties") {
+    val rnd = new Random(99)
+    for (round <- 1 to 6) {
+      // few distinct scores → boundary ties are the norm, not the exception
+      val rows = (1 to 400).map(i =>
+        ((rnd.nextInt(5) + 1).toLong, rnd.nextInt(4).toDouble, i.toLong))
+      val df = rows.toDF("grp", "score", "id")
+      val topAgg = org.apache.spark.sql.graft.ColumnShim.column(
+        graft.sql.TopKPairs(
+          org.apache.spark.sql.graft.ColumnShim.expression($"score"),
+          org.apache.spark.sql.graft.ColumnShim.expression($"id"), 3)
+          .toAggregateExpression())
+      val got = df.repartition(7) // force partial buffers + serialization
+        .groupBy($"grp").agg(topAgg.as("top"))
+        .select($"grp", explode($"top").as("hit"))
+        .select($"grp", $"hit.score", $"hit.id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val want = rs.map(r => (r._2, r._3)).sortBy { case (s, i) => (-s, i) }.take(3)
+        assert(got(g) == want, s"round $round group $g")
+      }
+    }
+  }
+
   test("as-of join equals naive latest-at-or-before scan on random data") {
     val rnd = new Random(13)
     for (round <- 1 to 6) {
