@@ -18,12 +18,22 @@ object Bench {
     benchQs.headOption.foreach(q => q.run(spark, sfDir).count())
     val results = benchQs.map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { q.run(spark, sfDir).count(); true }
+        catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] ${q.name} FAILED: ${t.getClass.getName}: ${t.getMessage}")
+            false
+        }
+      (q.name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // failed queries report null so a fast failure can't masquerade as a fast pass
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v.toString else "null") }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failed = results.filterNot(_._3).map(_._1)
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} failed: ${failed.mkString(",")}")
+    val total = results.filter(_._3).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

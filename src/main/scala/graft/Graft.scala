@@ -26,6 +26,11 @@ object Graft {
       // events.parquet carries TIMESTAMP(NANOS); Spark 4 rejects it unless
       // read as a long — eventsTable() converts back to TimestampType.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Write timestamps as µs, not INT96: the SCD2 open-ended sentinel
+      // 9999-12-31 23:59:59.999999 overflows int64 *nanoseconds*, so arrow-based
+      // readers of INT96 parquet wrap it to 1816 — µs encoding round-trips it
+      // exactly through every reader.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2,6 +2,9 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -15,9 +18,19 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // Dump TIMESTAMP (instant) columns as TIMESTAMP_NTZ wall-clock-in-UTC:
+      // NTZ parquet is µs with no UTC-adjustment annotation, which every
+      // reader (pyarrow, DuckDB) decodes as naive microseconds — the SCD2
+      // sentinel 9999-12-31 23:59:59.999999 survives exactly (INT96 wraps in
+      // ns readers) and no reader re-renders values as "+00:00"-suffixed
+      // instants (µs-LTZ parquet does, and the oracle side is naive).
+      // Session timezone is pinned UTC, so the cast is value-preserving.
+      try {
+        val df = fn(spark, sfDir)
+        val dumped = df.schema.fields.filter(_.dataType == TimestampType)
+          .foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampNTZType)))
+        dumped.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -53,7 +53,8 @@ object Multimodal {
           else content((r * meta.width + c) % content.length)
         }
       def decodeAudio(content: Array[Byte], meta: MediaMeta): Array[Short] =
-        Array.tabulate(math.max(1, content.length / 2)) { i =>
+        if (content.isEmpty) Array(0.toShort)
+        else Array.tabulate(math.max(1, content.length / 2)) { i =>
           ((content(2 * i % content.length) << 8) | (content((2 * i + 1) % content.length) & 0xff)).toShort
         }
     }

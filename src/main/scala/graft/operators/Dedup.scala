@@ -115,13 +115,23 @@ object Dedup {
 
   /** 32-bit SimHash over token hashes: bit j set iff the sum of (±1 per token,
     * + when token-hash bit j is 1) is positive. Term frequency weighted
-    * (duplicate tokens count). */
-  def simhash32(tokenHashes: Column): Column =
+    * (duplicate tokens count). Kept as the executable specification the
+    * native fused expression [[simhashFromTokens]] is tested against — this
+    * composition is 32 interpreted `aggregate` folds per row (HOFs are
+    * CodegenFallback). */
+  def simhash32Hof(tokenHashes: Column): Column =
     (0 until 32).map { j =>
       val bitSum = aggregate(tokenHashes, lit(0L),
         (acc, h) => acc + (shiftright(h, j) % lit(2L)) * lit(2L) - lit(1L))
       when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Fused native SimHash: portable token hash + 32 bit counters in one
+    * compiled pass per row ([[graft.sql.SimHashFromTokens]]). Value-identical
+    * to `simhash32Hof(transform(tokens, polyHashStr))`. */
+  def simhashFromTokens(tokens: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.SimHashFromTokens(org.apache.spark.sql.graft.ColumnShim.expression(tokens)))
 
   /** Exact-dup groups: one row per fingerprint with the kept doc (min id) and
     * the group size. Single hash-shuffle on the fingerprint — the canonical
@@ -142,22 +152,65 @@ object Dedup {
         array_sort(array_distinct(shingleHashes(col(textCol)))).as("hset"))
       .repartition(col("doc_id"))
 
-  /** Pairwise Jaccard over distinct hashed shingles via inverted-index join
-    * (explode → join on shingle → shared counts). Exact but O(pairs sharing a
-    * shingle) — the verification path; LSH is the candidate generator at scale. */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol)
-      .select(col("doc_id"), explode(col("hset")).as("h"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = sh.as("a").join(sh.as("b"),
+  /** Default document-frequency cap for [[jaccardPairs]] candidate
+    * generation, as a fraction of corpus size. A shingle present in over
+    * half the corpus carries ~zero Jaccard signal (sharing it barely moves
+    * the ratio) but generates O(df²) candidate pairs on ONE join key — the
+    * named scale-killer: a stopword-like 5-gram in 10⁶ of 10⁹ docs is a
+    * 10¹²-pair explosion on a single hot key. */
+  val DefaultMaxDocFreqFraction = 0.5
+
+  /** Candidate pairs from the df-capped inverted index: explode distinct
+    * shingles, drop shingles whose document frequency exceeds
+    * `maxDocFreqFraction × |corpus|`, self-join on the surviving shingles.
+    * Per-key join fan-out is bounded by the cap, so the shuffle has no hot
+    * keys by construction. */
+  def cappedCandidatePairs(
+      base: DataFrame, maxDocFreqFraction: Double = DefaultMaxDocFreqFraction): DataFrame = {
+    val sh = base.select(col("doc_id"), explode(col("hset")).as("h"))
+    // corpus size as a broadcast 1-row scalar — no driver action
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("n_docs") * maxDocFreqFraction)
+      .select(col("h"))
+    val capped = sh.join(rare, "h")
+    capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Pairwise Jaccard over distinct hashed shingles: df-capped inverted-index
+    * candidate generation ([[cappedCandidatePairs]]) + exact verification on
+    * the FULL shingle sets (native two-pointer intersect). Jaccard values are
+    * exact for every emitted pair; the cap only bounds pair *discovery* —
+    * a pair qualifies iff it shares at least one sub-cap shingle, which any
+    * pair above a meaningful Jaccard threshold does (near-dups share their
+    * doc-specific rare shingles, not just the corpus-wide hot ones). */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String, minJaccard: Double,
+      maxDocFreqFraction: Double = DefaultMaxDocFreqFraction): DataFrame = {
+    val base = shingleSets(docs, idCol, textCol)
+    verifyExact(cappedCandidatePairs(base, maxDocFreqFraction), base, minJaccard)
+  }
+
+  /** Exact-Jaccard verification kernel: join candidate (id_a, id_b) pairs to
+    * their full sorted shingle sets and compute shared counts with the native
+    * two-pointer [[graft.sql.SortedIntersectSize]]. Bounded work per pair;
+    * shared by the inverted-index and LSH candidate generators. */
+  def verifyExact(candidates: DataFrame, base: DataFrame, minJaccard: Double): DataFrame = {
+    def sortedIntersectSize(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.ColumnShim.column(
+        graft.sql.SortedIntersectSize(
+          org.apache.spark.sql.graft.ColumnShim.expression(a),
+          org.apache.spark.sql.graft.ColumnShim.expression(b)))
+    candidates
+      .join(base.select(col("doc_id").as("id_a"), col("hset").as("hs_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("hset").as("hs_b")), "id_b")
+      .withColumn("shared", sortedIntersectSize(col("hs_a"), col("hs_b")).cast("double"))
       .withColumn("jaccard",
-        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")).cast("double"))
+        col("shared") / (size(col("hs_a")) + size(col("hs_b")) - col("shared")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -186,18 +239,6 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    def sortedIntersectSize(a: Column, b: Column): Column =
-      org.apache.spark.sql.graft.ColumnShim.column(
-        graft.sql.SortedIntersectSize(
-          org.apache.spark.sql.graft.ColumnShim.expression(a),
-          org.apache.spark.sql.graft.ColumnShim.expression(b)))
-    candidates
-      .join(base.select(col("doc_id").as("id_a"), col("hset").as("hs_a")), "id_a")
-      .join(base.select(col("doc_id").as("id_b"), col("hset").as("hs_b")), "id_b")
-      .withColumn("shared", sortedIntersectSize(col("hs_a"), col("hs_b")).cast("double"))
-      .withColumn("jaccard",
-        col("shared") / (size(col("hs_a")) + size(col("hs_b")) - col("shared")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyExact(candidates, base, minJaccard)
   }
 }

@@ -94,11 +94,12 @@ object Checks {
   /** not_null on keys/metrics of the five gold models
     * (reference `dbt/models/schema.yml:18-125`). */
   val notNulls: Seq[Check] = Seq(
-    ("gold_channel_daily_summary", Seq("channel_id", "date", "views")),
-    ("gold_video_daily_summary", Seq("video_id", "date", "views")),
-    ("gold_video_country_daily_summary", Seq("video_id", "date", "country_code", "views")),
-    ("gold_video_device_daily_summary", Seq("video_id", "date", "device_type", "views")),
-    ("gold_video_traffic_source_daily_summary", Seq("video_id", "date", "source_id", "views")))
+    ("gold_channel_daily_summary",
+      Seq("channel_id", "date", "views", "comments", "estimated_minutes_watched")),
+    ("gold_video_daily_summary", Seq("video_id", "date", "channel_id", "views")),
+    ("gold_video_country_daily_summary", Seq("video_id", "date", "channel_id", "country_code", "views")),
+    ("gold_video_device_daily_summary", Seq("video_id", "date", "channel_id", "device_type", "views")),
+    ("gold_video_traffic_source_daily_summary", Seq("video_id", "date", "channel_id", "source_id", "views")))
     .map { case (table, cols) =>
       Check(s"${table}_not_null", "error", lake =>
         gold(lake, table).filter(cols.map(c => col(c).isNull).reduce(_ || _)))

@@ -46,10 +46,17 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
     if (Files.exists(live)) {
       val tmp = Paths.get(root, "bronze", s".${name}__rewrite")
       deleteRecursively(tmp)
-      spark.read.parquet(live.toString)
+      val retained = spark.read.parquet(live.toString)
         .filter(!org.apache.spark.sql.functions.col("run_id").equalTo(runId))
-        .write.mode(SaveMode.Overwrite).partitionBy("snapshot_date")
-        .parquet(tmp.toString)
+      if (retained.isEmpty) {
+        // a partitioned write of zero rows yields a directory with no data
+        // files — unreadable later; write one empty unpartitioned file so the
+        // schema survives (snapshot_date becomes a plain column, same schema)
+        retained.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      } else {
+        retained.write.mode(SaveMode.Overwrite).partitionBy("snapshot_date")
+          .parquet(tmp.toString)
+      }
       deleteRecursively(live)
       Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
     }

@@ -41,8 +41,11 @@ object DedupQueries {
       ORDER BY fingerprint"""),
     bench = true)
 
-  /** Exact pairwise Jaccard ≥ 0.5 on distinct char-5-gram shingle hashes via
-    * inverted-index join (no all-pairs product). */
+  /** Pairwise Jaccard ≥ 0.5 on distinct char-5-gram shingle hashes:
+    * df-capped inverted-index candidates (shingles in > 50% of docs are
+    * dropped BEFORE the self-join — the hot-key O(df²) guard) + exact
+    * verification on the full sets. The oracle restates the identical cap,
+    * so both engines compute the same pair set with exact Jaccard values. */
   val d02JaccardPairs = GraftQuery(
     "d02_ngram_jaccard_pairs",
     (s, dir) =>
@@ -52,19 +55,24 @@ object DedupQueries {
     Some(s"""
       WITH codes_t AS (
         SELECT doc_id, $duckCodes AS codes, text FROM documents),
-      sh AS (
-        SELECT DISTINCT doc_id, unnest($duckShingleHashes) AS h FROM codes_t),
-      sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
-      shared AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS c
-        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT id_a, id_b,
-             round(CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE), 6) AS jaccard
-      FROM shared
-      JOIN sizes na ON id_a = na.doc_id
-      JOIN sizes nb ON id_b = nb.doc_id
-      WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5
+      hs_t AS (
+        SELECT doc_id, list_distinct($duckShingleHashes) AS hset FROM codes_t),
+      sh AS (SELECT doc_id, unnest(hset) AS h FROM hs_t),
+      rare AS (
+        SELECT h FROM sh GROUP BY h
+        HAVING COUNT(*) <= (SELECT COUNT(*) FROM hs_t) * ${Dedup.DefaultMaxDocFreqFraction}),
+      shc AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id),
+      ver AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE) AS shared,
+               len(ha.hset) AS na, len(hb.hset) AS nb
+        FROM cand JOIN hs_t ha ON id_a = ha.doc_id JOIN hs_t hb ON id_b = hb.doc_id)
+      SELECT id_a, id_b, round(shared / CAST(na + nb - shared AS DOUBLE), 6) AS jaccard
+      FROM ver
+      WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b"""))
 
   /** MinHash signatures (k=24, affine permutations of portable shingle
@@ -136,14 +144,16 @@ object DedupQueries {
     bench = true)
 
   /** 32-bit SimHash over term-frequency-weighted token hashes. Near-identical
-    * docs land within small Hamming distance; per-row map, no shuffle. */
+    * docs land within small Hamming distance; per-row map, no shuffle. The
+    * fused native expression computes token hash + all 32 bit counters in one
+    * codegen pass (the HOF spelling is 32 interpreted folds per row — kept as
+    * the parity-tested specification in Dedup.simhash32Hof). */
   val d05Simhash = GraftQuery(
     "d05_simhash",
     (s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"),
-          Dedup.simhash32(transform(TextAnalysis.tokens(col("text")),
-            t => Dedup.polyHashStr(t))).as("simhash"))
+          Dedup.simhashFromTokens(TextAnalysis.tokens(col("text"))).as("simhash"))
         .orderBy(col("doc_id")),
     Some(s"""
       WITH toks AS (

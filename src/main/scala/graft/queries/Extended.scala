@@ -12,8 +12,8 @@ import org.apache.spark.sql.types.DecimalType
   * percentiles, approximate sketches, correlated scalar subqueries.
   *
   * A complete engine a reference user could switch to needs these; each is
-  * oracle-checked (except the approximate sketch, which is engine-specific
-  * by construction and gets a rows-only check).
+  * oracle-checked (the approximate sketch via its exact count + an in-bound
+  * boolean, since the raw HLL estimate is engine-specific).
   */
 object Extended {
 
@@ -249,9 +249,13 @@ object Extended {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
-  /** Approximate distinct sketch (HyperLogLog++). Sketch values are
-    * engine-specific by construction → no SQL oracle (driver records a
-    * rows-only check); the ScalaTest spec bounds relative error vs exact. */
+  /** Approximate distinct sketch (HyperLogLog++). The sketch estimate itself
+    * is engine-specific, so the oracle-checkable output is (exact count,
+    * within_bound): Spark computes BOTH the HLL estimate and the exact
+    * distinct count and asserts |approx-exact|/exact <= 3*rsd; the DuckDB
+    * oracle computes the exact count and literal TRUE. A broken sketch flips
+    * within_bound to false → hash mismatch. The ScalaTest spec additionally
+    * bounds the error tighter. */
   val q34ApproxDistinct = GraftQuery(
     "q34_approx_distinct",
     (s, dir) =>
@@ -259,9 +263,21 @@ object Extended {
         .groupBy(col("event_type"))
         .agg(
           approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("event_count"))
+        .select(
+          col("event_type"), col("exact_users"), col("event_count"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * lit(0.06)).as("within_bound"))
         .orderBy(col("event_type")),
-    None)
+    Some("""
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             CAST(COUNT(*) AS BIGINT) AS event_count,
+             TRUE AS within_bound
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
 
   /** Correlated scalar subquery per outer row (rewritten by Catalyst into a
     * left outer aggregate join — no per-row execution). */

@@ -125,13 +125,14 @@ object TextQueries {
     * frequencies → idf join → top-3 terms by tf·idf (ties broken on term).
     *
     * Scale shape: two hash shuffles (doc-term counts, term doc-frequencies)
-    * + a broadcast-able idf join + per-doc window top-k — the vocabulary-
-    * statistics pipeline of a corpus-level text pass. Natural log on both
-    * engines; scores rounded after ranking on exact doubles. */
+    * + a broadcast-able idf join + a bounded per-doc top-k aggregate
+    * ([[graft.sql.TopKStrings]] — each map task ships ≤ 3 (term, score)
+    * pairs per doc to the shuffle; the window idiom would shuffle every
+    * (doc, term) pair to rank top-3). Natural log on both engines; scores
+    * rounded after ranking on exact doubles. */
   val t05TfIdf = GraftQuery(
     "t05_tfidf_top_terms",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = table(s, dir, "documents")
       // corpus size as a broadcast 1-row scalar, not a driver-side action —
       // the whole query stays one lazy plan
@@ -147,12 +148,16 @@ object TextQueries {
         .drop("n_docs")
       val scored = tf.join(df, "term")
         .withColumn("tfidf", col("tf").cast("double") * col("idf"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("tfidf").desc, col("term").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("rank"), col("term"),
-          round(col("tfidf"), 6).as("tfidf"))
+      val topAgg = org.apache.spark.sql.graft.ColumnShim.column(
+        graft.sql.TopKStrings(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("tfidf")),
+          org.apache.spark.sql.graft.ColumnShim.expression(col("term")),
+          3).toAggregateExpression())
+      scored.groupBy(col("doc_id"))
+        .agg(topAgg.as("top"))
+        .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+        .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("rank"),
+          col("hit.key").as("term"), round(col("hit.score"), 6).as("tfidf"))
         .orderBy(col("doc_id"), col("rank"))
     },
     Some("""

@@ -22,12 +22,39 @@ class DedupSpec extends SparkSpec {
     assert(groups.length == 3) // {1,2,3}, {4}, {5}
   }
 
+  // this 5-doc fixture is 80% near-identical docs, so the production df cap
+  // (drop shingles in > 50% of the corpus) would drop the very shingles the
+  // semantics tests rely on — pass fraction 1.0 (= keep all) to test the
+  // Jaccard math itself; the cap behavior has its own spec below
   test("jaccard pairs: exact duplicates score 1.0; near dups high; unrelated absent") {
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3, maxDocFreqFraction = 1.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(pairs((1L, 2L)) == 1.0)
     assert(pairs((1L, 4L)) > 0.5 && pairs((1L, 4L)) < 1.0)
     assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("df cap bounds candidates under a corpus-wide hot shingle") {
+    // 20 docs, each with unique content plus one shingle-length marker
+    // shared by ALL of them: uncapped, that one hot key alone generates all
+    // 190 pairs; with the 50% df cap the hot shingle is dropped before the
+    // self-join and only genuinely-similar docs pair up.
+    val uniq = (1 to 18).map(i => (i.toLong, ('a' + i).toChar.toString * 30))
+    val twins = Seq((100L, "identical twin payload text"), (101L, "identical twin payload text"))
+    val hot = " COMMONTAG"
+    val corpus = (uniq ++ twins).map { case (id, t) => (id, t + hot) }.toDF("doc_id", "text")
+
+    val base = Dedup.shingleSets(corpus, "doc_id", "text")
+    val uncapped = Dedup.cappedCandidatePairs(base, maxDocFreqFraction = 1.0).count()
+    val capped = Dedup.cappedCandidatePairs(base, maxDocFreqFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == 190L) // hot shingle alone = all C(20,2) pairs
+    assert(capped == Set((100L, 101L)), // twins still found via their rare shingles
+      s"capped candidates should be exactly the twins, got $capped")
+    // and the qualifying pair survives end-to-end with exact jaccard 1.0
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((100L, 101L)) == 1.0)
   }
 
   test("minhash signatures are deterministic and equal for identical shingle sets") {
@@ -42,15 +69,14 @@ class DedupSpec extends SparkSpec {
   test("LSH near-dup pairs are a subset of exact jaccard pairs at the same threshold") {
     val lsh = Dedup.lshNearDupPairs(docs, "doc_id", "text", 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, maxDocFreqFraction = 1.0)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact))
     assert(lsh.contains((1L, 2L))) // identical docs always collide in every band
   }
 
   test("simhash: identical token multisets hash identically; disjoint texts differ") {
-    val sh = Dedup.simhash32(transform(TextAnalysis.tokens(col("text")),
-      t => Dedup.polyHashStr(t)))
+    val sh = Dedup.simhashFromTokens(TextAnalysis.tokens(col("text")))
     val hashes = docs.select(col("doc_id"), sh.as("h")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hashes(1L) == hashes(2L))
@@ -58,6 +84,20 @@ class DedupSpec extends SparkSpec {
     // near-dup: small hamming distance (≤ 8 of 32 bits for a 1-token change)
     val ham = java.lang.Long.bitCount(hashes(1L) ^ hashes(4L))
     assert(ham <= 8, s"hamming distance $ham")
+  }
+
+  test("native simhash is bit-identical to the 32-fold HOF specification") {
+    val fixture = docs.select(col("doc_id"), col("text"))
+      .union(Seq((90L, ""), (91L, "   "), (92L, "one"),
+        (93L, "répété répété unicode ünïcode")).toDF("doc_id", "text"))
+    val native = Dedup.simhashFromTokens(TextAnalysis.tokens(col("text")))
+    val hof = Dedup.simhash32Hof(transform(TextAnalysis.tokens(col("text")),
+      t => Dedup.polyHashStr(t)))
+    val rows = fixture.select(col("doc_id"), native.as("n"), hof.as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)}: native ${r.getLong(1)} != hof ${r.getLong(2)}")
+    }
   }
 
   test("portable polyHash matches an independent reimplementation") {

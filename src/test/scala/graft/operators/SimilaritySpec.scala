@@ -24,17 +24,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!res.exists(_.getAs[Long]("neighbor_id") == 1L))
   }
 
-  test("sign-bucket LSH only scores same-bucket candidates") {
-    // 64-dim real fixture: every LSH result pair must share the bucket key
+  test("LSH only scores candidates within probe distance of a shared table bucket") {
+    // 64-dim real fixture: every result pair must collide in ≥1 hash table
+    // at Hamming distance ≤ 1 (the probe radius) — i.e. the candidate set
+    // really is bucket-restricted, not a disguised cross product
     val e = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id").as("id"), col("embedding"))
     val q = e.filter(col("id") % 100 === 0)
-    val buckets = e.select(col("id"), Similarity.signBucket(col("embedding")).as("b"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keys = e.select(col("id"), Similarity.tableKeys(col("embedding")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val res = Similarity.lshTopK(q, e, 5).collect()
     assert(res.nonEmpty)
     res.foreach { r =>
-      assert(buckets(r.getAs[Long]("query_id")) == buckets(r.getAs[Long]("neighbor_id")))
+      val qk = keys(r.getAs[Long]("query_id"))
+      val ck = keys(r.getAs[Long]("neighbor_id"))
+      val collides = qk.zip(ck).exists { case (a, b) =>
+        java.lang.Long.bitCount(a ^ b) <= 1
+      }
+      assert(collides, s"pair ${r.mkString(",")} shares no probed bucket")
     }
   }
 
@@ -60,9 +67,28 @@ class SimilaritySpec extends SparkSpec {
       df.select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
-    val window = collect(Similarity.bruteForceTopK(q, e, 5))
-    val agg = collect(Similarity.bruteForceTopKAgg(q, e, 5))
+    val window = collect(Similarity.bruteForceTopKWindow(q, e, 5))
+    val agg = collect(Similarity.bruteForceTopK(q, e, 5))
     assert(agg == window)
+  }
+
+  test("LSH ANN recall@5 vs exact top-5 meets the floor") {
+    // Recall lever at fixed recall shortfall: more sign planes → smaller
+    // buckets → fewer candidates but lower recall; multi-probe (flip one
+    // plane bit per probe) or multiple plane tables raise recall without
+    // growing any single bucket — the standard production levers.
+    val e = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") % 50 === 0)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.bruteForceTopK(q, e, 5))
+    val ann = hits(Similarity.lshTopK(q, e, 5))
+    val recall = (ann & exact).size.toDouble / exact.size
+    info(f"ANN recall@5 = $recall%.3f (${(ann & exact).size}/${exact.size})")
+    assert(recall >= 0.6, f"recall@5 $recall%.3f below 0.6 floor")
   }
 
   test("approx_count_distinct stays within 10% of exact on fixture data") {

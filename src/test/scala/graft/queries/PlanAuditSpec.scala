@@ -91,6 +91,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("s01/s02: top-k is the bounded TopKPairs partial aggregate, not a scored-pair window") {
+    Seq("s01_cosine_topk", "s02_lsh_ann_topk").foreach { name =>
+      val p = simplePlan(q(name))
+      assert(p.contains("topk_pairs"), s"$name: no TopKPairs aggregate\n$p")
+      // the window idiom would shuffle EVERY scored pair to its query's
+      // partition — the whole point of the aggregate is that it never appears
+      assert(!p.contains("Window"), s"$name: unexpected window top-k\n$p")
+    }
+  }
+
+  test("t05 tf-idf: per-doc top-3 via bounded TopKStrings aggregate, not a window") {
+    val p = simplePlan(q("t05_tfidf_top_terms"))
+    assert(p.contains("topk_strings"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("d01 exact dedup: single hash aggregate pair (partial + final), one shuffle") {
     val p = simplePlan(q("d01_exact_dedup"))
     assert(p.contains("HashAggregate"), p)
