@@ -31,5 +31,44 @@ object MultimodalQueries {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(m01BinaryStats)
+  /** Frame-sampling statistics through the TYPED multimodal path
+    * (`assetsFromDocuments` → `sampleFrames`: case-class Datasets, pure
+    * flatMap fan-out, no shuffle until the final per-asset aggregate). The
+    * oracle recomputes the deterministic frame plan — count, byte budget,
+    * last index — from first principles (byte length → duration → window
+    * slicing), so the hash-match pins the whole typed pipeline: asset
+    * construction, duration metadata, frame slicing arithmetic. */
+  val m02FrameStats = GraftQuery(
+    "m02_frame_stats",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      val frames = Multimodal.sampleFrames(
+        Multimodal.assetsFromDocuments(table(s, dir, "documents")))
+      frames.toDF()
+        .groupBy(col("asset_id"))
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(octet_length(col("frame_bytes"))).as("total_frame_bytes"),
+          max(col("frame_idx")).as("last_frame_idx"))
+        .orderBy(col("asset_id"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT doc_id AS asset_id, octet_length(encode(text)) AS len
+        FROM documents WHERE doc_id % 3 = 2),
+      p AS (
+        SELECT asset_id, len,
+               (1 + len // 128) AS n,
+               greatest(len // (1 + len // 128), 1) AS w
+        FROM v),
+      f AS (SELECT asset_id, unnest(range(0, n)) AS i, w, len FROM p)
+      SELECT asset_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(greatest(least(w, len - i*w), 0)) AS BIGINT) AS total_frame_bytes,
+             CAST(MAX(i) AS INT) AS last_frame_idx
+      FROM f
+      GROUP BY asset_id
+      ORDER BY asset_id"""))
+
+  val all: Seq[GraftQuery] = Seq(m01BinaryStats, m02FrameStats)
 }

@@ -124,12 +124,22 @@ object TextQueries {
   /** TF-IDF top terms per document: tokenize → term frequencies → document
     * frequencies → idf join → top-3 terms by tf·idf (ties broken on term).
     *
-    * Scale shape: two hash shuffles (doc-term counts, term doc-frequencies)
-    * + a broadcast-able idf join + a bounded per-doc top-k aggregate
-    * ([[graft.sql.TopKStrings]] — each map task ships ≤ 3 (term, score)
-    * pairs per doc to the shuffle; the window idiom would shuffle every
-    * (doc, term) pair to rank top-3). Natural log on both engines; scores
-    * rounded after ranking on exact doubles. */
+    * Scale shape — each stage picks the no-shuffle option where one exists:
+    *   - tf is PER-ROW (a document's tokens all live in its own row):
+    *     [[graft.sql.TokenCounts]] computes the term→count map in one
+    *     compiled pass and `explode(map)` yields (doc, term, tf) with NO
+    *     exchange. The relational spelling (explode tokens → groupBy) would
+    *     shuffle the per-doc vocabulary of every document.
+    *   - df aggregates those rows by term — vocabulary-sized shuffle with
+    *     map-side combine (unavoidable: df is a corpus-global statistic).
+    *   - idf joins back BROADCAST (vocabulary ≪ corpus — the standard
+    *     regime; if a corpus ever breaks that, this join degrades to a hash
+    *     join on term, still skew-free since tf rows are distinct per doc).
+    *   - per-doc top-3 via the bounded [[graft.sql.TopKStrings]] partial
+    *     aggregate: each map task ships ≤ 3 (term, score) pairs per doc;
+    *     the window idiom would shuffle every (doc, term) pair.
+    * Natural log on both engines; scores rounded after ranking on exact
+    * doubles. */
   val t05TfIdf = GraftQuery(
     "t05_tfidf_top_terms",
     (s, dir) => {
@@ -137,16 +147,16 @@ object TextQueries {
       // corpus size as a broadcast 1-row scalar, not a driver-side action —
       // the whole query stays one lazy plan
       val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-      val terms = docs.select(col("doc_id"),
-          explode(tokens(lower(col("text")))).as("term"))
-      val tf = terms.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
+      def tokenCounts(c: org.apache.spark.sql.Column) = org.apache.spark.sql.graft.ColumnShim.column(
+        graft.sql.TokenCounts(org.apache.spark.sql.graft.ColumnShim.expression(c)))
+      val tf = docs.select(col("doc_id"),
+        explode(tokenCounts(tokens(lower(col("text"))))).as(Seq("term", "tf")))
       val df = tf.groupBy(col("term"))
         .agg(count(lit(1)).as("doc_freq"))
         .crossJoin(broadcast(nDocs))
         .withColumn("idf", log((col("n_docs") + 1.0) / (col("doc_freq") + lit(1.0))))
         .drop("n_docs")
-      val scored = tf.join(df, "term")
+      val scored = tf.join(broadcast(df), "term")
         .withColumn("tfidf", col("tf").cast("double") * col("idf"))
       val topAgg = org.apache.spark.sql.graft.ColumnShim.column(
         graft.sql.TopKStrings(

@@ -107,6 +107,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("t05 tf-idf: tf is shuffle-free (native map) and the idf join broadcasts") {
+    val p = simplePlan(q("t05_tfidf_top_terms"))
+    // per-row token_counts + broadcast idf: remaining exchanges are the
+    // vocabulary df agg, the bounded top-k agg, the broadcast, and the
+    // final ORDER BY range exchange — NOT a (doc,term) tf shuffle
+    assert(p.contains("token_counts"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("d01 exact dedup: single hash aggregate pair (partial + final), one shuffle") {
     val p = simplePlan(q("d01_exact_dedup"))
     assert(p.contains("HashAggregate"), p)

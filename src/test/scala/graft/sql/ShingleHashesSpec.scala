@@ -88,6 +88,30 @@ class ShingleHashesSpec extends SparkSpec {
       (2L, 1, "no terminator at all")))
   }
 
+  test("token counts map equals the relational explode-groupBy counts") {
+    import graft.operators.TextAnalysis
+    val docs = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    def tokenCounts(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnShim.column(
+        TokenCounts(org.apache.spark.sql.graft.ColumnShim.expression(c)))
+    val native = docs
+      .select(col("doc_id"), explode(tokenCounts(TextAnalysis.tokens(col("text")))).as(Seq("term", "tf")))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val relational = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(native == relational)
+    // edge cases: empty + whitespace-only text produce empty maps
+    import spark.implicits._
+    val edge = Seq("", "   ", "a a a").toDF("text")
+      .select(tokenCounts(TextAnalysis.tokens(col("text"))).as("m"))
+      .collect().map(_.getMap[String, Long](0))
+    assert(edge(0).isEmpty && edge(1).isEmpty)
+    assert(edge(2) == Map("a" -> 3L))
+  }
+
   test("registered as a SQL function via GraftExtensions") {
     val r = spark.sql("SELECT shingle_hashes('abcdef') AS h, shingle_hashes('abcdef', 3) AS h3")
       .collect().head
