@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenizer (regex split, empty tokens dropped). */
+  /** Whitespace tokenizer (regex split, empty tokens dropped).
+    * `array_remove(_, "")` rather than the HOF `filter(_ =!= "")`: the two
+    * are value-identical on split output (split arrays carry no nulls, and
+    * removal equals the ≠"" predicate), but ArrayRemove is codegen'd while
+    * ArrayFilter is CodegenFallback — a HOF here would interpret once per
+    * row in every text query's hot path. */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= lit(""))
+    array_remove(split(text, "\\s+"), "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

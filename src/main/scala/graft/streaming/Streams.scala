@@ -63,6 +63,31 @@ object Streams {
   def streamingDedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  final case class UserStats(
+      user_id: Long, n_events: Long, total_value: Double, last_seen: Timestamp)
+
+  /** Running per-user totals via `mapGroupsWithState` (update mode): ONE
+    * state row and ONE output row per key per micro-batch — the
+    * running-aggregate shape (counters, rate limits, feature freshness)
+    * where `flatMapGroupsWithState` fan-out isn't needed. State stays
+    * bounded at one fixed-size record per active user. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, new Timestamp(0L)))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserStats(userId, acc.n_events + 1,
+              acc.total_value + e.value,
+              if (e.ts.after(acc.last_seen)) e.ts else acc.last_seen)
+          }
+          state.update(next)
+          next
+      }
+  }
+
   /** Gap-based sessionization: a session closes when `gapSeconds` pass with
     * no event for the user (event-time, driven by the watermark). Emits one
     * row per closed session; state is evicted on emit. */

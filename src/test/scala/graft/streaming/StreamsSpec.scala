@@ -58,6 +58,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("running per-user stats accumulate state across micro-batches (mapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("user_stats")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:01:00", 1, "view", 2.0),
+        ev(3, "2024-01-01 10:00:30", 2, "click", 5.0))
+      q.processAllAvailable()
+      input.addData(ev(4, "2024-01-01 10:05:00", 1, "click", 4.0))
+      q.processAllAvailable()
+      // update mode: latest state row per user wins
+      val latest = spark.table("user_stats").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"),
+            r.getAs[Timestamp]("last_seen").toString)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).maxBy(_._1) }
+      assert(latest(1L) == ((3L, 7.0, "2024-01-01 10:05:00.0")))
+      assert(latest(2L) == ((1L, 5.0, "2024-01-01 10:00:30.0")))
+    } finally q.stop()
+  }
+
   test("sessionization closes a session after the gap and evicts state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
