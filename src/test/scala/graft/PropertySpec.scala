@@ -115,6 +115,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKStrings aggregate equals naive sort-take under score ties and repartition") {
+    val rnd = new Random(91)
+    for (round <- 1 to 6) {
+      // distinct (grp, score, term) triples — the aggregate's contract is the
+      // window idiom over unique rows (t05's (doc, term) rows are unique);
+      // frequent score ties keep the key tie-break load-bearing
+      val rows = (1 to 150).map { _ =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(5).toDouble, s"term${rnd.nextInt(20)}")
+      }.distinct
+      val df = rows.toDF("grp", "score", "term")
+      val topAgg = org.apache.spark.sql.graft.ColumnShim.column(
+        graft.sql.TopKStrings(
+          org.apache.spark.sql.graft.ColumnShim.expression($"score"),
+          org.apache.spark.sql.graft.ColumnShim.expression($"term"), 3)
+          .toAggregateExpression())
+      val got = df.repartition(7) // force partial buffers + serialization
+        .groupBy($"grp").agg(topAgg.as("top"))
+        .select($"grp", explode($"top").as("hit"))
+        .select($"grp", $"hit.score", $"hit.key")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val want = rs.map(r => (r._2, r._3)).sortBy { case (s, t) => (-s, t) }.take(3)
+        assert(got(g) == want, s"round $round group $g")
+      }
+    }
+  }
+
+  test("df-capped jaccard candidates are a subset of uncapped; verified pairs exact") {
+    import graft.operators.Dedup
+    val rnd = new Random(23)
+    for (round <- 1 to 4) {
+      val docs = (1 to 25).map { i =>
+        val base = (1 to 6).map(_ => s"w${rnd.nextInt(12)}").mkString(" ")
+        (i.toLong, if (rnd.nextInt(4) == 0) base + " shared suffix phrase" else base)
+      }.toDF("doc_id", "text")
+      val base = Dedup.shingleSets(docs, "doc_id", "text")
+      def pairs(frac: Double) = Dedup.cappedCandidatePairs(base, frac)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val capped = pairs(0.5)
+      val uncapped = pairs(1.0)
+      assert(capped.subsetOf(uncapped), s"round $round")
+      // every pair jaccardPairs emits carries the EXACT jaccard of the full
+      // sets (the cap bounds discovery, never the value)
+      val verified = Dedup.jaccardPairs(docs, "doc_id", "text", 0.1)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val sets = base.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      verified.foreach { case ((a, b), j) =>
+        val inter = (sets(a) & sets(b)).size.toDouble
+        val want = inter / (sets(a).size + sets(b).size - inter)
+        assert(math.abs(j - want) < 1e-12, s"round $round pair ($a,$b)")
+      }
+    }
+  }
+
   test("as-of join equals naive latest-at-or-before scan on random data") {
     val rnd = new Random(13)
     for (round <- 1 to 6) {
