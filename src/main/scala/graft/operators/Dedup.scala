@@ -160,19 +160,32 @@ object Dedup {
     * 10¹²-pair explosion on a single hot key. */
   val DefaultMaxDocFreqFraction = 0.5
 
+  /** Absolute df ceiling applied alongside the fraction. The fractional cap
+    * alone removes *relative* hot keys but still admits per-key fan-out
+    * quadratic in corpus size (measured: on the fixture corpus the shingle
+    * vocabulary is ~2k and fixed, so df grows linearly with n and a
+    * 0.5-fraction cap at 10× scale admits ~10⁸ candidate pairs). The
+    * absolute ceiling bounds any key's join fan-out at df² ≤ 10⁶ regardless
+    * of corpus size — beyond it, exact inverted-index generation is the
+    * wrong tool and candidate generation belongs to LSH ([[lshNearDupPairs]]),
+    * which this operator family treats as the scale path. */
+  val DefaultMaxDocFreqAbsolute = 1000L
+
   /** Candidate pairs from the df-capped inverted index: explode distinct
     * shingles, drop shingles whose document frequency exceeds
-    * `maxDocFreqFraction × |corpus|`, self-join on the surviving shingles.
-    * Per-key join fan-out is bounded by the cap, so the shuffle has no hot
-    * keys by construction. */
+    * `min(maxDocFreqFraction × |corpus|, maxDocFreqAbsolute)`, self-join on
+    * the surviving shingles. Per-key join fan-out is bounded by the cap, so
+    * the shuffle has no hot keys by construction. */
   def cappedCandidatePairs(
-      base: DataFrame, maxDocFreqFraction: Double = DefaultMaxDocFreqFraction): DataFrame = {
+      base: DataFrame,
+      maxDocFreqFraction: Double = DefaultMaxDocFreqFraction,
+      maxDocFreqAbsolute: Long = DefaultMaxDocFreqAbsolute): DataFrame = {
     val sh = base.select(col("doc_id"), explode(col("hset")).as("h"))
     // corpus size as a broadcast 1-row scalar — no driver action
     val nDocs = base.agg(count(lit(1)).as("n_docs"))
     val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") <= col("n_docs") * maxDocFreqFraction)
+      .filter(col("df") <= least(col("n_docs") * maxDocFreqFraction, lit(maxDocFreqAbsolute.toDouble)))
       .select(col("h"))
     val capped = sh.join(rare, "h")
     capped.as("a").join(capped.as("b"),
@@ -190,9 +203,10 @@ object Dedup {
     * doc-specific rare shingles, not just the corpus-wide hot ones). */
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, minJaccard: Double,
-      maxDocFreqFraction: Double = DefaultMaxDocFreqFraction): DataFrame = {
+      maxDocFreqFraction: Double = DefaultMaxDocFreqFraction,
+      maxDocFreqAbsolute: Long = DefaultMaxDocFreqAbsolute): DataFrame = {
     val base = shingleSets(docs, idCol, textCol)
-    verifyExact(cappedCandidatePairs(base, maxDocFreqFraction), base, minJaccard)
+    verifyExact(cappedCandidatePairs(base, maxDocFreqFraction, maxDocFreqAbsolute), base, minJaccard)
   }
 
   /** Exact-Jaccard verification kernel: join candidate (id_a, id_b) pairs to

@@ -163,16 +163,22 @@ object Similarity {
     topKByCosineWindow(scoreAllPairs(queries, corpus), k)
 
   /** Approximate top-k: candidates are corpus vectors sharing at least one
-    * hash-table bucket with the query (after Hamming-1 multi-probe on the
-    * query side), then exact cosine on candidates only.
+    * hash-table bucket with the query (after Hamming-≤`probeRadius`
+    * multi-probe on the query side), then exact cosine on candidates only.
     *
     * Plan shape: corpus bucketed once (per-row compiled map, L keys/row) and
     * exploded to (table, bucket) postings; the query side (small) explodes
-    * further to its 1+b probe keys per table and broadcasts; candidate
+    * further to its probe keys per table and broadcasts; candidate
     * generation is a broadcast equi-join on (table, bucket) → distinct pairs
     * → exact scoring join. No cross product, no hot keys (bucket occupancy
-    * ≈ n/2^b by construction), shuffles linear in candidate count. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    * ≈ n/2^b by construction), shuffles linear in candidate count.
+    *
+    * Recall levers at fixed plane family: `probeRadius` (0 = exact buckets
+    * only, 1 = default, 2 = +b(b−1)/2 more probes per table) and the table
+    * count in [[Planes]]. Both multiply only the (small, broadcast) query
+    * side. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2, s"probeRadius 0..2, got $probeRadius")
     val cBase = corpus.select(col("id").as("neighbor_id"), col("embedding").as("c_emb"),
       l2Norm(col("embedding")).as("c_norm"))
     val cPostings = corpus.select(col("id").as("neighbor_id"),
@@ -181,9 +187,15 @@ object Similarity {
       l2Norm(col("embedding")).as("q_norm"))
     val qKeys = queries.select(col("id").as("query_id"),
       posexplode(tableKeys(col("embedding"))).as(Seq("table_id", "qbucket")))
-    // multi-probe: the exact key plus each single-bit flip
-    val probes = array(col("qbucket") +:
-      (0 until PlaneBits).map(j => col("qbucket").bitwiseXOR(lit(1L << j))): _*)
+    // multi-probe: the exact key, every single-bit flip at radius ≥ 1, and
+    // every two-bit flip at radius 2
+    val flips1 = (0 until PlaneBits).map(j => col("qbucket").bitwiseXOR(lit(1L << j)))
+    val flips2 = for (i <- 0 until PlaneBits; j <- i + 1 until PlaneBits)
+      yield col("qbucket").bitwiseXOR(lit((1L << i) | (1L << j)))
+    val probeCols = Seq(col("qbucket")) ++
+      (if (probeRadius >= 1) flips1 else Seq.empty) ++
+      (if (probeRadius >= 2) flips2 else Seq.empty)
+    val probes = array(probeCols: _*)
     val qPostings = qKeys.select(col("query_id"), col("table_id"),
       explode(probes).as("bucket"))
     val candidates = cPostings.join(broadcast(qPostings), Seq("table_id", "bucket"))

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import java.sql.{Date, Timestamp}
+import java.util.UUID
+
+/** The orchestrated run — Scala counterpart of the reference's job task DAG
+  * (`databricks.yml:34-155`, SURVEY §3.1):
+  *
+  * ```
+  * init_run_context → ingest_data_api → ingest_analytics_api
+  *   → silver refresh → gold → checks → finalize_run_log (run_if: ALL_DONE)
+  * ```
+  *
+  * Semantics preserved from the reference:
+  *   - one run context (run_id/request_id/snapshot_date/ingest_ts) shared by
+  *     every stage (`init_run_context.py:75-101` + task values);
+  *   - the analytics stage reads video ids back from the just-landed
+  *     `videos_raw` (the one cluster→driver boundary,
+  *     `ingest_analytics_api_to_bronze.py:469-492`);
+  *   - finalize ALWAYS runs — success or failure — and records the outcome
+  *     in `run_context_log` (`run_if: ALL_DONE`, `databricks.yml:150-155`;
+  *     status update `finalize_run_log.py:191-202`).
+  */
+object Job {
+
+  final case class RunReport(
+      runId: String,
+      status: String,
+      checkFailures: Seq[(String, String, Long)],
+      error: Option[Throwable])
+
+  /** Execute one full run. `now` is injectable for deterministic tests. */
+  def run(
+      lake: Lakehouse,
+      dataClient: DataApiIngest.DataApiClient,
+      analyticsClient: AnalyticsIngest.AnalyticsApiClient,
+      startDate: String = "auto",
+      endDate: String = "auto",
+      lookbackDays: Int = 7,
+      now: Timestamp = new Timestamp(System.currentTimeMillis()),
+      runId: String = UUID.randomUUID().toString): RunReport = {
+
+    val today = now.toLocalDateTime.toLocalDate
+    val snapshot = Date.valueOf(today)
+    val ctx = Bronze.RunContext(runId, UUID.randomUUID().toString, snapshot, now)
+
+    // init_run_context: log the run before any ingest so a crashed run still
+    // leaves a row for finalize to mark failed
+    Bronze.logRunStart(lake, ctx,
+      s"""{"mode":"job","start_date":"$startDate","end_date":"$endDate","lookback_days":$lookbackDays}""")
+
+    var status = "success"
+    var failure: Option[Throwable] = None
+    var checkFailures: Seq[(String, String, Long)] = Seq.empty
+    try {
+      val (start, end, mode) =
+        AnalyticsIngest.resolveWindow(startDate, endDate, lookbackDays, today)
+
+      // stage: Data API → bronze (channels, playlist pages, chunked videos)
+      Bronze.ingest(lake, ctx, new DataApiIngest.DataApiPayloadSource(dataClient))
+
+      // stage: Analytics API → bronze, fed by the landed video ids
+      val videoIds = DataApiIngest.latestVideoIds(lake)
+      Bronze.ingest(lake, ctx,
+        new AnalyticsIngest.AnalyticsPayloadSource(
+          analyticsClient, start, end, mode, lookbackDays, videoIds))
+
+      // stage: silver MV refresh (topo order) then gold marts
+      Silver.refresh(lake)
+      Gold.refresh(lake)
+
+      // stage: the full check suite; any error-severity offender fails the run
+      val results = Checks.run(lake, snapshot)
+      checkFailures = results.filter { case (_, sev, n) => sev == "error" && n > 0 }
+      if (checkFailures.nonEmpty) status = "failed"
+    } catch {
+      case t: Throwable =>
+        status = "failed"
+        failure = Some(t)
+    }
+
+    // finalize_run_log: ALL_DONE — records the terminal status even when a
+    // stage threw
+    Bronze.finalizeRun(lake, runId, status, new Timestamp(System.currentTimeMillis()))
+    RunReport(runId, status, checkFailures, failure)
+  }
+}

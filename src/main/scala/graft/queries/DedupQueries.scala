@@ -42,10 +42,12 @@ object DedupQueries {
     bench = true)
 
   /** Pairwise Jaccard ≥ 0.5 on distinct char-5-gram shingle hashes:
-    * df-capped inverted-index candidates (shingles in > 50% of docs are
-    * dropped BEFORE the self-join — the hot-key O(df²) guard) + exact
-    * verification on the full sets. The oracle restates the identical cap,
-    * so both engines compute the same pair set with exact Jaccard values. */
+    * df-capped inverted-index candidates (shingles in > min(50% of docs,
+    * 1000 docs) dropped BEFORE the self-join — the fractional term kills
+    * relative hot keys, the absolute term bounds any key's fan-out at
+    * df² ≤ 10⁶ independent of corpus size) + exact verification on the full
+    * sets. The oracle restates the identical cap, so both engines compute
+    * the same pair set with exact Jaccard values. */
   val d02JaccardPairs = GraftQuery(
     "d02_ngram_jaccard_pairs",
     (s, dir) =>
@@ -60,7 +62,8 @@ object DedupQueries {
       sh AS (SELECT doc_id, unnest(hset) AS h FROM hs_t),
       rare AS (
         SELECT h FROM sh GROUP BY h
-        HAVING COUNT(*) <= (SELECT COUNT(*) FROM hs_t) * ${Dedup.DefaultMaxDocFreqFraction}),
+        HAVING COUNT(*) <= least((SELECT COUNT(*) FROM hs_t) * ${Dedup.DefaultMaxDocFreqFraction},
+                                 ${Dedup.DefaultMaxDocFreqAbsolute}.0)),
       shc AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

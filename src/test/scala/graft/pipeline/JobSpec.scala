@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import Json._
+
+/** The orchestrated run (reference job DAG, SURVEY §3.1): one call lands
+  * bronze via both API ports, refreshes silver+gold, runs the check suite,
+  * and ALWAYS finalizes the run log — success or failure. */
+class JobSpec extends SparkSpec {
+
+  private def report(headers: Seq[String], rows: Seq[Seq[JVal]]): JObj =
+    JObj.of(
+      "columnHeaders" -> JArr(headers.map(h => JObj.of(
+        "name" -> JStr(h), "columnType" -> JStr("DIMENSION"), "dataType" -> JStr("STRING")))),
+      "rows" -> JArr(rows.map(JArr(_))))
+
+  private object DataClient extends DataApiIngest.DataApiClient {
+    def getJson(path: String, params: Map[String, String]): JObj = path match {
+      case "channels" => JObj.of("items" -> JArr(Seq(JObj.of(
+        "id" -> JStr("UC_9"),
+        "snippet" -> JObj.of("title" -> JStr("Job Chan"), "publishedAt" -> JStr("2019-05-01T10:00:00Z")),
+        "statistics" -> JObj.of("viewCount" -> JStr("9"), "subscriberCount" -> JStr("1"),
+          "hiddenSubscriberCount" -> JBool(false), "videoCount" -> JStr("1")),
+        "contentDetails" -> JObj.of("relatedPlaylists" -> JObj.of("uploads" -> JStr("UU_9")))))))
+      case "playlistItems" => JObj.of("items" -> JArr(Seq(
+        JObj.of("contentDetails" -> JObj.of("videoId" -> JStr("V9"))))))
+      case "videos" => JObj.of("items" -> JArr(Seq(JObj.of(
+        "id" -> JStr("V9"),
+        "snippet" -> JObj.of("channelId" -> JStr("UC_9"), "title" -> JStr("T9"),
+          "publishedAt" -> JStr("2024-03-01T08:00:00Z")),
+        "statistics" -> JObj.of("viewCount" -> JStr("3"), "likeCount" -> JStr("1"),
+          "favoriteCount" -> JStr("0"), "commentCount" -> JStr("0")),
+        "contentDetails" -> JObj.of("duration" -> JStr("PT1M")),
+        "status" -> JObj.of("privacyStatus" -> JStr("public"))))))
+    }
+  }
+
+  private object AnalyticsClient extends AnalyticsIngest.AnalyticsApiClient {
+    def queryReports(params: Map[String, String]): Either[JVal, JObj] = {
+      val dims = params("dimensions")
+      if (dims == "day" && !params.contains("filters"))
+        Right(report(Seq("day", "views", "likes", "comments", "estimatedMinutesWatched",
+          "subscribersGained", "subscribersLost"),
+          Seq(Seq(JStr("2025-05-31"), JStr("4"), JStr("1"), JStr("0"), JStr("2"),
+            JStr("1"), JStr("0")))))
+      else if (dims == "day" && params.contains("filters"))
+        Right(report(Seq("day", "views", "likes", "comments", "estimatedMinutesWatched",
+          "averageViewDuration"),
+          Seq(Seq(JStr("2025-05-31"), JStr("4"), JStr("1"), JStr("0"), JStr("2"), JStr("30.5")))))
+      else if (dims.startsWith("day,video,"))
+        Right(report(Seq("day", "video", dims.split(",").last, "views", "estimatedMinutesWatched"),
+          Seq(Seq(JStr("2025-05-31"), JStr("V9"), JStr("MOBILE"), JStr("4"), JStr("2")))))
+      else Left(JObj.of("http_status" -> JInt(400)))
+    }
+  }
+
+  test("full job run: bronze → silver → gold → checks → finalize success") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-job-lake").toString)
+    val r = Job.run(lake, DataClient, AnalyticsClient,
+      startDate = "2025-05-30", endDate = "2025-06-01",
+      now = Timestamp.valueOf("2025-06-02 09:00:00"), runId = "jobrun1")
+    assert(r.error.isEmpty, r.error.map(_.toString).getOrElse(""))
+    assert(r.checkFailures.isEmpty, r.checkFailures.toString)
+    assert(r.status == "success")
+    // every layer materialized
+    assert(lake.exists("silver", "fact_channel_daily_metrics"))
+    assert(lake.exists("gold", "gold_channel_daily_summary"))
+    // run log row finalized in place with the terminal status
+    val log = lake.table("bronze", "run_context_log").filter(col("run_id") === "jobrun1").head()
+    assert(log.getAs[String]("run_status") == "success")
+    assert(log.getAs[Timestamp]("finalized_ts_utc") != null)
+  }
+
+  test("a failing stage still finalizes the run log with status failed (ALL_DONE)") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-job-lake2").toString)
+    object ThrowingClient extends DataApiIngest.DataApiClient {
+      def getJson(path: String, params: Map[String, String]): JObj =
+        throw new RuntimeException("simulated HTTP 500")
+    }
+    val r = Job.run(lake, ThrowingClient, AnalyticsClient,
+      now = Timestamp.valueOf("2025-06-02 09:00:00"), runId = "jobrun2")
+    assert(r.status == "failed")
+    assert(r.error.exists(_.getMessage.contains("simulated HTTP 500")))
+    val log = lake.table("bronze", "run_context_log").filter(col("run_id") === "jobrun2").head()
+    assert(log.getAs[String]("run_status") == "failed")
+    assert(log.getAs[Timestamp]("finalized_ts_utc") != null)
+  }
+}
