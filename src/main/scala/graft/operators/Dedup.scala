@@ -38,14 +38,8 @@ object Dedup {
     * exact-verify stage then dominates the whole pipeline. At r=4 the
     * background admits ~0.2%/band while 0.85+ near-dups are still caught
     * with ≥98% probability — the standard near-dup operating point. */
-  val MinhashA: Seq[Long] = Seq(
-    919393L, 524287L, 786433L, 196613L, 393241L, 576259L, 106501L, 786437L,
-    100003L, 200003L, 300007L, 400009L, 500009L, 600011L, 700001L, 800011L,
-    900001L, 150001L, 250007L, 350003L, 450001L, 550007L, 650011L, 750019L)
-  val MinhashB: Seq[Long] = Seq(
-    273389L, 938113L, 654321L, 111119L, 222229L, 333331L, 444443L, 555557L,
-    666671L, 777781L, 888887L, 999983L, 123457L, 234533L, 345547L, 456569L,
-    567629L, 678649L, 789679L, 890701L, 901427L, 135463L, 246527L, 357643L)
+  val MinhashA: Seq[Long] = graft.sql.Defaults.MinhashA
+  val MinhashB: Seq[Long] = graft.sql.Defaults.MinhashB
   val NumHashes = 24
   val Bands = 6
   val RowsPerBand = 4

@@ -20,5 +20,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"shingle_hashes(str[, n literal int]); got ${other.size} args")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(h) => MinHashSignature(h,
+          graft.sql.Defaults.MinhashA, graft.sql.Defaults.MinhashB)
+        case other => throw new IllegalArgumentException(
+          s"minhash_signature(array<bigint>); got ${other.size} args")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_from_tokens"),
+      new ExpressionInfo(classOf[SimHashFromTokens].getName, "simhash_from_tokens"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => SimHashFromTokens(t)
+        case other => throw new IllegalArgumentException(
+          s"simhash_from_tokens(array<string>); got ${other.size} args")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => TokenCounts(t)
+        case other => throw new IllegalArgumentException(
+          s"token_counts(array<string>); got ${other.size} args")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("float_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => FloatVecDot(a, b)
+        case other => throw new IllegalArgumentException(
+          s"float_vec_dot(array<float>, array<float>); got ${other.size} args")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => SortedIntersectSize(a, b)
+        case other => throw new IllegalArgumentException(
+          s"sorted_intersect_size(array<bigint>, array<bigint>); got ${other.size} args")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sentence_split"),
+      new ExpressionInfo(classOf[SentenceSplit].getName, "sentence_split"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => SentenceSplit(s)
+        case other => throw new IllegalArgumentException(
+          s"sentence_split(str); got ${other.size} args")
+      }))
   }
 }
