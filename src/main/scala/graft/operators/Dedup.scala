@@ -101,10 +101,19 @@ object Dedup {
     }: _*)
 
   /** LSH band keys: signature grouped into `bands` of `rowsPerBand`, each
-    * band rendered "v1_v2". Explode with posexplode → (band_id, band_key). */
+    * band folded to ONE long (polynomial fold of its `rowsPerBand` minima
+    * mod 1e9+7). Explode with posexplode → (band_id, band_key).
+    *
+    * Long keys, not the "v1_v2" string rendering: the band join shuffles a
+    * key per (doc, band), and an 8-byte long beats a ~40-byte string for
+    * shuffle width, hashing, and comparison. Fold collisions (two distinct
+    * band tuples hashing equal) can only ADD candidates, and every
+    * candidate passes exact verification — the emitted pair set is
+    * unchanged; the oracle restates the same fold. */
   def bandKeys(sig: Column, bands: Int = Bands, rowsPerBand: Int = RowsPerBand): Column =
     array((0 until bands).map { b =>
-      concat_ws("_", (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
+      (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1))
+        .foldLeft(lit(0L))((acc, v) => (acc * lit(31L) + v) % lit(P))
     }: _*)
 
   /** 32-bit SimHash over token hashes: bit j set iff the sum of (±1 per token,

@@ -126,9 +126,9 @@ object DedupQueries {
       bands AS (
         SELECT doc_id,
                band_id,
-               ${(1 to Dedup.RowsPerBand)
-                  .map(r => s"CAST(sig[${Dedup.RowsPerBand}*band_id + $r] AS VARCHAR)")
-                  .mkString(" || '_' || ")} AS band_key
+               ${(1 to Dedup.RowsPerBand).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+                  s"(($acc * 31 + sig[${Dedup.RowsPerBand}*band_id + $r]) % 1000000007)"
+                }} AS band_key
         FROM sig_t CROSS JOIN (SELECT unnest([${(0 until Dedup.Bands).mkString(", ")}]) AS band_id) bb),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
