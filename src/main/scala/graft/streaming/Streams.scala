@@ -39,11 +39,16 @@ object Streams {
       start: Long, end: Long, n: Long, total: Double)
 
   /** Read the events table shape as a file stream (one new parquet file per
-    * micro-batch at scale; schema pinned — streaming reads never infer). */
+    * micro-batch at scale; schema pinned — streaming reads never infer).
+    * The fixture stores `ts` as parquet TIMESTAMP(NANOS), which arrives as
+    * nanos-since-epoch BIGINT under `nanosAsLong` (the session setting
+    * `Graft.session` pins) — converted here exactly like the batch reader
+    * (`Graft.eventsTable`), so stream and batch see identical µs values. */
   def eventFileStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** Tumbling-window counts per event type with a watermark bounding state:
     * late events beyond `watermark` are dropped, closed windows are evicted. */

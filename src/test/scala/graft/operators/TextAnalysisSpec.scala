@@ -12,6 +12,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(counts.toSeq == Seq(2, 0, 1))
   }
 
+  test("array_remove tokenizer is value-identical to the HOF filter spelling") {
+    // tokens() moved from the interpreted filter(split, _ =!= "") HOF to
+    // codegen'd array_remove(split, "") — equivalence must hold on every
+    // whitespace shape (leading/trailing/mixed/tabs/newlines/only-ws)
+    val df = Seq(
+      "", " ", "\t\n", "a", " a", "a ", "  a  b  ", "a\tb\nc", "a  b",
+      "wörd ünïcode  mix", "trailing newline\n").toDF("text")
+    val cmp = df.select(
+      TextAnalysis.tokens(col("text")).as("fast"),
+      filter(split(col("text"), "\\s+"), t => t =!= lit("")).as("hof"))
+    cmp.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
   test("language id picks the dominant stopword list; und when nothing matches") {
     val df = Seq(
       ("the cat sat on the mat and it is fine", "en"),

@@ -117,6 +117,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("d02/d04 candidate generation: equi-joins only — no pair-generating join") {
+    // d02's plan legitimately contains BroadcastNestedLoopJoin nodes: the
+    // 1-row corpus-count scalar attach (broadcast Cross BuildRight of an
+    // aggregate) — bounded by construction. What must NEVER appear is a
+    // shuffled cartesian of data-sized sides.
+    Seq("d02_ngram_jaccard_pairs", "d04_minhash_lsh_pairs").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name\n$p")
+    }
+    val d04 = plan(q("d04_minhash_lsh_pairs"))
+    assert(!d04.contains("BroadcastNestedLoopJoin"), d04) // d04 has no scalar attach at all
+  }
+
+  test("m02 frames: typed pipeline stays shuffle-free until the per-asset aggregate") {
+    val p = simplePlan(q("m02_frame_stats"))
+    // flatMap fan-out (SerializeFromObject/MapPartitions) feeds a single
+    // partial+final aggregate pair; only agg + sort exchanges remain
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected ≤2 exchanges (agg + sort), got $exchanges\n$p")
+  }
+
   test("d01 exact dedup: single hash aggregate pair (partial + final), one shuffle") {
     val p = simplePlan(q("d01_exact_dedup"))
     assert(p.contains("HashAggregate"), p)

@@ -58,6 +58,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file stream over the real events fixture equals the batch computation") {
+    // stream/batch parity: the same windowed aggregation over the same
+    // parquet must agree whether it arrives as one bounded micro-batch or a
+    // batch scan — the "incremental execution mode of the engine" claim
+    import graft.Graft
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = Streams.windowedEventCounts(
+        Streams.eventFileStream(spark, dir.toString), windowLen = "1 day", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_win").collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"))
+          -> ((r.getAs[Long]("event_count"), r.getAs[Double]("total_value")))).toMap
+      val batch = Graft.eventsTable(spark, "/root/testdata/sf0.001")
+        .groupBy(window(org.apache.spark.sql.functions.col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("event_count"), sum(col("value")).as("total_value"))
+        .select(col("window.start"), col("event_type"), col("event_count"), col("total_value"))
+        .collect()
+        .map(r => (r.getAs[Timestamp](0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, (n, total)) =>
+        assert(n == batch(k)._1, s"$k count")
+        // double sums are order-dependent across exec modes: tolerance compare
+        assert(math.abs(total - batch(k)._2) < 1e-6 * math.max(1.0, math.abs(total)), s"$k total")
+      }
+    } finally q.stop()
+  }
+
   test("running per-user stats accumulate state across micro-batches (mapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
