@@ -326,8 +326,37 @@ object Extended {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Approximate percentile sketch (Greenwald-Khanna style), made
+    * oracle-checkable the q34 way: output the exact interpolated median
+    * plus a boolean asserting the sketch value lies within a ±0.005 rank
+    * band around it (the sketch's accuracy parameter guarantees ±1e-4; the
+    * band is 50× that). The oracle computes the exact median and literal
+    * TRUE — a broken sketch flips the boolean and fails the hash. */
+  val q37ApproxPercentile = GraftQuery(
+    "q37_approx_percentile",
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"),
+          expr("percentile(l_extendedprice, 0.495)").as("lo"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_raw"),
+          expr("percentile(l_extendedprice, 0.505)").as("hi"))
+        .select(
+          col("l_returnflag"),
+          round(col("exact_raw"), 6).as("exact_p50"),
+          (col("approx_p50") >= col("lo") && col("approx_p50") <= col("hi")).as("within_bound"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+             TRUE AS within_bound
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val all: Seq[GraftQuery] = Seq(
     q26WindowFrames, q27Ranking, q28GroupingSets, q29Pivot, q30AsOfJoin,
     q31RangeJoin, q32Sessionize, q33Percentiles, q34ApproxDistinct,
-    q35ScalarSubquery, q36FromJson)
+    q35ScalarSubquery, q36FromJson, q37ApproxPercentile)
 }

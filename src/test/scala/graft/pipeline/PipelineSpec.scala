@@ -274,6 +274,22 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(snapshot_date"), plan)
   }
 
+  test("parallel level-order refresh materializes the same silver as sequential") {
+    refreshed
+    // re-baseline sequentially first: earlier tests appended bronze data
+    // (run4) without refreshing every downstream model
+    Silver.refresh(lake)
+    val before = Silver.models.map(m =>
+      m.name -> lake.table("silver", m.name).collect().map(_.toString).sorted.toSeq).toMap
+    val levels = Silver.refreshParallel(lake)
+    assert(levels.flatten.toSet == Silver.models.map(_.name).toSet)
+    assert(levels.size > 1 && levels.head.size > 1) // real parallelism in level 0
+    Silver.models.foreach { m =>
+      val now = lake.table("silver", m.name).collect().map(_.toString).sorted.toSeq
+      assert(now == before(m.name), s"${m.name} differs after parallel refresh")
+    }
+  }
+
   test("run_context_log: finalize updates the run row in place") {
     refreshed
     val log = lake.table("bronze", "run_context_log")
