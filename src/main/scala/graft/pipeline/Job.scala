@@ -65,8 +65,10 @@ object Job {
         new AnalyticsIngest.AnalyticsPayloadSource(
           analyticsClient, start, end, mode, lookbackDays, videoIds))
 
-      // stage: silver MV refresh (topo order) then gold marts
-      Silver.refresh(lake)
+      // stage: silver MV refresh (level-order parallel — the reference runs
+      // dbt with 4 threads; identity with sequential refresh is spec-pinned)
+      // then gold marts
+      Silver.refreshParallel(lake)
       Gold.refresh(lake)
 
       // stage: the full check suite; any error-severity offender fails the run
