@@ -355,8 +355,36 @@ object Extended {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** Salted skew join through the oracle gate: revenue by nation via
+    * [[graft.operators.SaltedJoin]] (orders ⋈ customer on custkey, salt ×8).
+    * The oracle is the PLAIN SQL join — salting must be output-invisible,
+    * so the hash-match proves the operator changes only the partitioning.
+    * Money sums go through DECIMAL(12,2) then DOUBLE on both engines. */
+  val q38SaltedJoin = GraftQuery(
+    "q38_salted_join",
+    (s, dir) => {
+      import graft.operators.SaltedJoin
+      val orders = table(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val customer = table(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      SaltedJoin.join(orders, customer, "custkey", saltFactor = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("order_count"),
+          sum(col("o_totalprice").cast(money)).cast("double").as("total_revenue"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS order_count,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""))
+
   val all: Seq[GraftQuery] = Seq(
     q26WindowFrames, q27Ranking, q28GroupingSets, q29Pivot, q30AsOfJoin,
     q31RangeJoin, q32Sessionize, q33Percentiles, q34ApproxDistinct,
-    q35ScalarSubquery, q36FromJson, q37ApproxPercentile)
+    q35ScalarSubquery, q36FromJson, q37ApproxPercentile, q38SaltedJoin)
 }
