@@ -29,7 +29,14 @@ object Job {
       checkFailures: Seq[(String, String, Long)],
       error: Option[Throwable])
 
-  /** Execute one full run. `now` is injectable for deterministic tests. */
+  /** Execute one full run. `now` is injectable for deterministic tests.
+    *
+    * `incremental = true` refreshes the latest-wins silver models by
+    * MERGING only bronze partitions newer than the previous run's snapshot
+    * (partition-pruned scan — refresh cost scales with new data, the
+    * reference's `CREATE OR REFRESH` promise); models without an
+    * incremental spec (SCD2, dims, dim_date, the channel fact) recompute.
+    * Falls back to a full refresh on the first run. */
   def run(
       lake: Lakehouse,
       dataClient: DataApiIngest.DataApiClient,
@@ -37,12 +44,24 @@ object Job {
       startDate: String = "auto",
       endDate: String = "auto",
       lookbackDays: Int = 7,
+      incremental: Boolean = false,
       now: Timestamp = new Timestamp(System.currentTimeMillis()),
       runId: String = UUID.randomUUID().toString): RunReport = {
 
     val today = now.toLocalDateTime.toLocalDate
     val snapshot = Date.valueOf(today)
     val ctx = Bronze.RunContext(runId, UUID.randomUUID().toString, snapshot, now)
+
+    // previous run's snapshot (for incremental pruning) BEFORE this run logs
+    val prevSnapshot: Option[Date] =
+      if (!incremental || !lake.exists("bronze", "run_context_log")) None
+      else {
+        import org.apache.spark.sql.functions.{col, max}
+        lake.table("bronze", "run_context_log")
+          .filter(col("run_id") =!= runId)
+          .agg(max(col("snapshot_date"))).collect()
+          .headOption.flatMap(r => Option(r.getDate(0)))
+      }
 
     // init_run_context: log the run before any ingest so a crashed run still
     // leaves a row for finalize to mark failed
@@ -67,8 +86,16 @@ object Job {
 
       // stage: silver MV refresh (level-order parallel — the reference runs
       // dbt with 4 threads; identity with sequential refresh is spec-pinned)
-      // then gold marts
-      Silver.refreshParallel(lake)
+      // then gold marts. Incremental mode merges only new bronze partitions
+      // into the latest-wins models and recomputes the rest.
+      prevSnapshot match {
+        case Some(since) =>
+          Silver.latestWinsSpecs.keys.foreach(n => Silver.refreshIncremental(lake, n, since))
+          Silver.refreshParallel(lake,
+            Some(Silver.models.map(_.name).toSet -- Silver.latestWinsSpecs.keySet))
+        case None =>
+          Silver.refreshParallel(lake)
+      }
       Gold.refresh(lake)
 
       // stage: the full check suite; any error-severity offender fails the run

@@ -76,6 +76,42 @@ class JobSpec extends SparkSpec {
     assert(log.getAs[Timestamp]("finalized_ts_utc") != null)
   }
 
+  test("day-2 incremental run equals a full recompute over the same bronze") {
+    // two lakes fed identical two-day ingests: one runs day 2 incremental,
+    // the other full — silver facts must be identical
+    val incLake = new Lakehouse(spark, Files.createTempDirectory("graft-job-inc").toString)
+    val fullLake = new Lakehouse(spark, Files.createTempDirectory("graft-job-full").toString)
+    Seq(incLake, fullLake).foreach { lake =>
+      val r1 = Job.run(lake, DataClient, AnalyticsClient,
+        startDate = "2025-05-30", endDate = "2025-06-01",
+        now = Timestamp.valueOf("2025-06-02 09:00:00"), runId = "day1")
+      assert(r1.status == "success", r1.toString)
+    }
+    // day 2: new snapshot re-reports 05-31 (latest-wins) via the same client
+    val r2inc = Job.run(incLake, DataClient, AnalyticsClient,
+      startDate = "2025-05-31", endDate = "2025-06-02", incremental = true,
+      now = Timestamp.valueOf("2025-06-03 09:00:00"), runId = "day2")
+    val r2full = Job.run(fullLake, DataClient, AnalyticsClient,
+      startDate = "2025-05-31", endDate = "2025-06-02", incremental = false,
+      now = Timestamp.valueOf("2025-06-03 09:00:00"), runId = "day2")
+    assert(r2inc.status == "success", r2inc.toString)
+    assert(r2full.status == "success", r2full.toString)
+    Silver.models.map(_.name).foreach { m =>
+      // request_id is a fresh UUID per ingest call, so it naturally differs
+      // between the two independently-fed lakes — excluded from comparison
+      def rows(lake: Lakehouse) = {
+        val t = lake.table("silver", m)
+        t.drop("request_id").collect().map(_.toString).sorted.toSeq
+      }
+      assert(rows(incLake) == rows(fullLake),
+        s"$m differs between incremental and full day-2 refresh")
+    }
+    // both days logged and finalized
+    val log = incLake.table("bronze", "run_context_log")
+    assert(log.count() == 2)
+    assert(log.filter(col("run_status") === "success").count() == 2)
+  }
+
   test("a failing stage still finalizes the run log with status failed (ALL_DONE)") {
     val lake = new Lakehouse(spark, Files.createTempDirectory("graft-job-lake2").toString)
     object ThrowingClient extends DataApiIngest.DataApiClient {
