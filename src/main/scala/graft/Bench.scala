@@ -14,8 +14,15 @@ object Bench {
     val spark = Graft.session(appName = "graft-bench")
     // benchmark the subset flagged bench=true (headline ops); warm each once
     val benchQs = SparkEntry.registry.filter(_.bench)
-    // single warmup to JIT/fill code cache without counting it
-    benchQs.headOption.foreach(q => q.run(spark, sfDir).count())
+    // single warmup to JIT/fill code cache without counting it; guarded so
+    // a failing first query still reaches the instrumented loop and gets
+    // reported there instead of killing the whole bench record
+    benchQs.headOption.foreach { q =>
+      try q.run(spark, sfDir).count()
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] warmup ${q.name} FAILED: ${t.getMessage}")
+      }
+    }
     val results = benchQs.map { q =>
       val t0 = System.nanoTime()
       val ok =

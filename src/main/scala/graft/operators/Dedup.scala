@@ -201,9 +201,23 @@ object Dedup {
     * candidate generation ([[cappedCandidatePairs]]) + exact verification on
     * the FULL shingle sets (native two-pointer intersect). Jaccard values are
     * exact for every emitted pair; the cap only bounds pair *discovery* —
-    * a pair qualifies iff it shares at least one sub-cap shingle, which any
-    * pair above a meaningful Jaccard threshold does (near-dups share their
-    * doc-specific rare shingles, not just the corpus-wide hot ones). */
+    * a pair is found iff it shares at least one sub-cap shingle.
+    *
+    * CONTRACT — where the cap is blind, and why that is the intended
+    * pipeline split rather than a silent recall hole:
+    *   - Mass-duplicated text (boilerplate repeated in more documents than
+    *     the cap) has NO sub-cap shingles, so this operator alone will not
+    *     pair it. That content is exact-or-near-exact duplication at volume,
+    *     which belongs to [[exactDedupGroups]] (normalized-fingerprint
+    *     grouping, one shuffle, catches byte-identical mass exactly) — run
+    *     it FIRST, as every production dedup pipeline does. Any operator
+    *     that *did* emit those pairs would be generating a quadratic
+    *     output (C(df, 2) true pairs per boilerplate cluster) — the blowup
+    *     is in the answer, not the algorithm.
+    *   - Near-dups of moderately-shared text keep their doc-specific rare
+    *     shingles and are found normally.
+    * Pass `maxDocFreqFraction = 1.0` for small corpora where exactness of
+    * discovery matters more than bounded fan-out (the specs do). */
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, minJaccard: Double,
       maxDocFreqFraction: Double = DefaultMaxDocFreqFraction,

@@ -26,10 +26,13 @@ object SaltedJoin {
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     require(Set("inner", "left", "left_outer").contains(joinType),
       s"salting preserves semantics for inner/left joins, got $joinType")
-    // salt from the whole big-side row: uniform spread even when all hot
-    // rows are identical on the join key
+    // random salt, not a hash of the row: fully identical hot rows (event
+    // logs without a unique id column) would all hash to ONE salt and the
+    // hot partition would survive unsplit. The salt needs no
+    // reproducibility — the small side matches every salt value — so task
+    // retries re-rolling it cannot change the output.
     val saltedBig = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col).toSeq: _*), lit(saltFactor)))
+      floor(rand() * saltFactor).cast("int"))
     val explodedSmall = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     saltedBig.join(explodedSmall, Seq(key, "__salt"), joinType).drop("__salt")

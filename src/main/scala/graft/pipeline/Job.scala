@@ -52,13 +52,21 @@ object Job {
     val snapshot = Date.valueOf(today)
     val ctx = Bronze.RunContext(runId, UUID.randomUUID().toString, snapshot, now)
 
-    // previous run's snapshot (for incremental pruning) BEFORE this run logs
+    // Previous SUCCESSFUL run's snapshot (for incremental pruning), read
+    // BEFORE this run logs. Failed runs don't advance the merge frontier:
+    // they may have landed bronze without ever refreshing silver, and
+    // skipping past them would lose that data forever. The merge itself is
+    // INCLUSIVE of this snapshot (>=), so a same-day re-run or data landed
+    // alongside the last success is re-merged — latest-wins makes the
+    // overlap idempotent. Incremental additionally requires every
+    // latest-wins silver table to exist (else fall back to full).
     val prevSnapshot: Option[Date] =
-      if (!incremental || !lake.exists("bronze", "run_context_log")) None
+      if (!incremental || !lake.exists("bronze", "run_context_log")
+          || !Silver.latestWinsSpecs.keys.forall(lake.exists("silver", _))) None
       else {
         import org.apache.spark.sql.functions.{col, max}
         lake.table("bronze", "run_context_log")
-          .filter(col("run_id") =!= runId)
+          .filter(col("run_id") =!= runId && col("run_status") === "success")
           .agg(max(col("snapshot_date"))).collect()
           .headOption.flatMap(r => Option(r.getDate(0)))
       }

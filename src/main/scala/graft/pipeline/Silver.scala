@@ -171,8 +171,11 @@ object Silver {
       "analytics_video_device_daily_raw", Seq("video_id", "date", "device_type"),
       dimensionalTyped("deviceType", "device_type")))
 
-  /** Incremental refresh: merge only bronze partitions newer than
-    * `sinceSnapshot` into the existing materialization. The snapshot_date
+  /** Incremental refresh: merge bronze partitions at-or-after
+    * `sinceSnapshot` (INCLUSIVE — re-merging the boundary snapshot is
+    * idempotent under latest-wins, and inclusivity means a same-day re-run
+    * or late data landed alongside the last merged snapshot is never
+    * skipped) into the existing materialization. The snapshot_date
     * predicate partition-prunes the bronze scan (bronze is partitioned on
     * it), so refresh cost scales with NEW data, not table history — the
     * difference between a nightly refresh reading one day and reading 100 TB.
@@ -181,7 +184,7 @@ object Silver {
     val spec = latestWinsSpecs(name)
     val fresh = spec.typed(
       lake.table("bronze", spec.bronzeTable)
-        .filter(col("snapshot_date") > lit(sinceSnapshot)))
+        .filter(col("snapshot_date") >= lit(sinceSnapshot)))
     val merged = latestWins(
       lake.table("silver", name).unionByName(fresh), spec.grain, spec.order)
     lake.materialize("silver", name, merged)

@@ -31,14 +31,17 @@ class SaltedJoinSpec extends SparkSpec {
     assert(salted == plain)
   }
 
-  test("salt actually spreads the hot key across partitions") {
-    // after salting, the hot key's rows must occupy saltFactor distinct
-    // (key, salt) shuffle keys rather than one
-    val saltFactor = 8
-    val salted = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col).toSeq: _*), lit(saltFactor)))
-    val spread = salted.filter(col("key") === "HOT")
+  test("salt spreads even FULLY IDENTICAL hot rows, and their join is exact") {
+    // the pathological shape: 10k byte-identical rows (no unique column) —
+    // a deterministic row-hash salt would put them all in ONE salt bucket
+    val identical = Seq.fill(10000)(("HOT", 1L)).toDF("key", "payload")
+    val spread = identical
+      .withColumn("__salt", floor(rand() * 8).cast("int"))
       .select("__salt").distinct().count()
-    assert(spread == saltFactor.toLong, s"hot key spread over $spread salts")
+    assert(spread == 8L, s"identical rows spread over $spread salts")
+    // and the salted join of identical rows is still row-exact
+    val out = SaltedJoin.join(identical, small, "key", saltFactor = 8)
+    assert(out.count() == 10000L)
+    assert(out.select("dim_value").distinct().collect().map(_.getString(0)).toSeq == Seq("dim0"))
   }
 }

@@ -112,6 +112,35 @@ class JobSpec extends SparkSpec {
     assert(log.filter(col("run_status") === "success").count() == 2)
   }
 
+  test("incremental merge does not skip bronze landed by a FAILED run") {
+    // day 1 success; day 2 lands Data-API bronze then fails in analytics
+    // (silver never refreshed); day 3 incremental must still merge day 2's
+    // landed rows — the merge frontier advances only on success, and the
+    // boundary is inclusive
+    object FailingAnalytics extends AnalyticsIngest.AnalyticsApiClient {
+      def queryReports(params: Map[String, String]): Either[JVal, JObj] =
+        throw new RuntimeException("analytics outage")
+    }
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-job-failinc").toString)
+    val r1 = Job.run(lake, DataClient, AnalyticsClient,
+      startDate = "2025-05-30", endDate = "2025-06-01",
+      now = Timestamp.valueOf("2025-06-02 09:00:00"), runId = "ok1")
+    assert(r1.status == "success", r1.toString)
+    val r2 = Job.run(lake, DataClient, FailingAnalytics,
+      startDate = "2025-05-30", endDate = "2025-06-02",
+      now = Timestamp.valueOf("2025-06-03 09:00:00"), runId = "boom")
+    assert(r2.status == "failed")
+    val r3 = Job.run(lake, DataClient, AnalyticsClient,
+      startDate = "2025-05-30", endDate = "2025-06-03", incremental = true,
+      now = Timestamp.valueOf("2025-06-04 09:00:00"), runId = "ok2")
+    assert(r3.status == "success", r3.toString)
+    // the failed run's video stats observation (snapshot 2025-06-03) made it
+    // into silver: one snapshot per video per run that landed videos_raw
+    val snaps = lake.table("silver", "silver_video_stats_snapshot")
+      .select(col("run_id")).distinct().collect().map(_.getString(0)).toSet
+    assert(snaps == Set("ok1", "boom", "ok2"), s"merged runs: $snaps")
+  }
+
   test("a failing stage still finalizes the run log with status failed (ALL_DONE)") {
     val lake = new Lakehouse(spark, Files.createTempDirectory("graft-job-lake2").toString)
     object ThrowingClient extends DataApiIngest.DataApiClient {
