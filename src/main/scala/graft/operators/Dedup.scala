@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Modulus for the portable hash family (prime, < 2^30 so a*h fits long). */
-  val P = 1000000007L
+  val P = graft.sql.Defaults.P
 
   /** MinHash affine-permutation constants (a_i * h + b_i mod P). Fixed
     * literals so the oracle can restate them.

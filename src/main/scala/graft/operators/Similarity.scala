@@ -74,7 +74,7 @@ object Similarity {
   val PlaneBits = 8
   val EmbeddingDim = 64
 
-  private val P = 1000000007L
+  private val P = graft.sql.Defaults.P
   private def ph(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
   private def sq(x: Long): Long = (x * x) % P
 

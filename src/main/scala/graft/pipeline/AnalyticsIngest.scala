@@ -36,9 +36,13 @@ object AnalyticsIngest {
 
   /** Port of `_resolve_window` (reference `:57-79`): explicit range (with
     * "auto"-family aliases meaning unset) vs rolling lookback ending
-    * yesterday; validates format, positivity, and start ≤ end. `today` is
-    * injectable for deterministic tests (the reference hardwires
-    * `date.today()`). */
+    * yesterday; validates start/end format, lookback positivity, and
+    * start ≤ end. One reference quirk preserved EXACTLY: when start-date is
+    * unset, end-date is IGNORED entirely (not validated, not honored) and
+    * the rolling window applies — end-date only takes effect alongside an
+    * explicit start-date (reference `:61-74`: the end branch is nested
+    * under `if start_date_raw`). `today` is injectable for deterministic
+    * tests (the reference hardwires `date.today()`). */
   def resolveWindow(
       startDate: String, endDate: String, lookbackDays: Int,
       today: LocalDate = LocalDate.now()): Window = {

@@ -27,6 +27,13 @@ object DataApiIngest {
 
   val ChunkSize = 50
 
+  /** Hard ceiling on pagination (the reference loops unbounded — `:131`).
+    * A server echoing the same `nextPageToken`, or cycling tokens, would
+    * otherwise hang the driver and grow the item buffer without limit;
+    * failing loudly beats both. 10,000 pages × 50 items is far beyond any
+    * real uploads playlist. */
+  val MaxPages = 10000
+
   /** Page through `playlistItems` accumulating every page's items
     * (`_fetch_all_playlist_items`, `:126-155`): follow `nextPageToken`
     * until absent/empty, count pages, and wrap with the bookkeeping keys
@@ -38,6 +45,10 @@ object DataApiIngest {
     var pageCount = 0
     var done = false
     while (!done) {
+      if (pageCount >= MaxPages)
+        throw new IllegalStateException(
+          s"playlistItems pagination exceeded $MaxPages pages for playlist " +
+            s"'$uploadsPlaylistId' — token loop or runaway listing")
       val base = Map(
         "part" -> "snippet,contentDetails,status",
         "playlistId" -> uploadsPlaylistId,

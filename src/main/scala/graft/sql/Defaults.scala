@@ -7,6 +7,10 @@ package graft.sql
   */
 object Defaults {
 
+  /** Modulus of the portable hash family (prime, < 2^30 so products fit a
+    * long) — the ONE definition every expression and oracle restates. */
+  final val P = 1000000007L
+
   /** MinHash affine-permutation constants (a_i·h + b_i mod 1e9+7), k=24.
     * See `Dedup` for the k/bands/rows tuning rationale. */
   val MinhashA: Seq[Long] = Seq(

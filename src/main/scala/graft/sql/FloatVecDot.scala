@@ -46,13 +46,17 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
 }
 
 object FloatVecDot {
-  /** Left-to-right double fold; null on length mismatch (HOF parity). */
+  /** Left-to-right double fold; null on length mismatch OR any null element
+    * (HOF parity: a null element null-poisons zip_with's product and then
+    * aggregate's sum — reading it as 0.0f would silently change cosines on
+    * schemas with nullable array elements). */
   def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }

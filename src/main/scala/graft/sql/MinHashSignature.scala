@@ -15,9 +15,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Value-identical to `Dedup.minhashSignatureHof` (min over
   * `(a_j·h + b_j) mod 1e9+7`) on every non-empty input; shingle-hash arrays
   * always carry ≥1 element (even an empty string hashes one empty window),
-  * so the empty-input branch below is unreachable in the pipeline and
-  * defined only for robustness.
-  */
+  * so the empty-input branch below is unreachable in the pipeline. For an
+  * empty array (reachable only via the raw SQL registration) this
+  * DELIBERATELY returns `[b_j mod P]` — the affine map of the identity
+  * minimum — as a total function, where the HOF spelling's
+  * `array_min(transform(empty))` would yield nulls; a null-free signature
+  * keeps downstream band folds total. */
 case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long])
     extends UnaryExpression {
 
@@ -49,7 +52,7 @@ case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long])
 }
 
 object MinHashSignature {
-  final val P = 1000000007L
+  final val P = Defaults.P
 
   def compute(hashes: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
     val k = a.length

@@ -36,7 +36,9 @@ case class SentenceSplit(child: Expression)
     val v = child.eval(input)
     if (v == null) Iterator.empty
     else {
-      val parts = v.asInstanceOf[UTF8String].toString.split("[.!?]+")
+      // precompiled pattern: String.split would recompile the regex per ROW
+      // (it only fast-paths single-char non-meta patterns)
+      val parts = SentenceSplit.Terminators.split(v.asInstanceOf[UTF8String].toString)
       var idx = 0
       parts.iterator.map(_.trim).filter(_.nonEmpty).map { s =>
         idx += 1
@@ -47,4 +49,8 @@ case class SentenceSplit(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SentenceSplit =
     copy(child = newChild)
+}
+
+object SentenceSplit {
+  private val Terminators = java.util.regex.Pattern.compile("[.!?]+")
 }

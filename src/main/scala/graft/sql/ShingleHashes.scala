@@ -46,7 +46,7 @@ case class ShingleHashes(child: Expression, n: Int)
 }
 
 object ShingleHashes {
-  final val P = 1000000007L
+  final val P = Defaults.P
 
   /** One-pass windowed polynomial hash; called from both interpreted eval
     * and generated code (a static call keeps the hot loop in compiled Java

@@ -48,7 +48,7 @@ case class SimHashFromTokens(child: Expression) extends UnaryExpression {
 }
 
 object SimHashFromTokens {
-  final val P = 1000000007L
+  final val P = Defaults.P
 
   def compute(tokens: ArrayData): Long = {
     val counts = new Array[Long](32)

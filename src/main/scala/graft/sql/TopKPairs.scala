@@ -22,7 +22,13 @@ import scala.collection.mutable
   * Deterministic under score ties: the heap evicts (lowest score, then
   * LARGEST id) first, and the output sorts (score desc, id asc) — exactly
   * the window idiom's `ORDER BY score DESC, id ASC` tie-break, so results
-  * match `row_number` filtering row for row. Null scores are skipped.
+  * match `row_number` filtering row for row. All score comparisons use the
+  * `Double.compare` total order (NaN greatest — Spark's own sort order), so
+  * NaN scores rank first instead of poisoning the heap. Null scores are
+  * SKIPPED — one deliberate divergence from the window spelling, which
+  * would emit null-score rows at ranks ≤ k whenever a group has fewer than
+  * k non-null scores (a zero-norm embedding makes `cosine` null via
+  * divide-by-zero): top-k-neighbors semantics want those rows absent.
   *
   * Output: `array<struct<score double, id bigint>>`, sorted best-first.
   */
@@ -52,9 +58,18 @@ case class TopKPairs(
       StructField("id", LongType, nullable = false))),
     containsNull = false)
 
-  // min-heap: head = worst = (lowest score, largest id) — evicted first
-  private def heapOrdering: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+  // min-heap: head = worst = (lowest score, largest id) — evicted first.
+  // Double.compare everywhere: the IEEE `>` operator makes NaN compare
+  // false against everything, so a NaN entering a full heap would sit at
+  // the head and reject every later insert (heap poisoning). Double.compare
+  // is the total order Spark's own sort uses (NaN greatest), so NaN scores
+  // rank FIRST — exactly the window idiom's ORDER BY score DESC.
+  private def heapOrdering: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(x: (Double, Long), y: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(x._1, y._1) // lower score = higher priority
+      if (c != 0) -c else java.lang.Long.compare(x._2, y._2) // then larger id first
+    }
+  }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty(heapOrdering)
@@ -81,8 +96,9 @@ case class TopKPairs(
     else {
       val (ws, wi) = buf.head
       // strictly better than the current worst? (higher score, or same
-      // score with smaller id)
-      if (s > ws || (s == ws && i < wi)) {
+      // score with smaller id) — total-order compare, see heapOrdering
+      val c = java.lang.Double.compare(s, ws)
+      if (c > 0 || (c == 0 && i < wi)) {
         buf.dequeue()
         buf.enqueue((s, i))
       }
@@ -90,7 +106,8 @@ case class TopKPairs(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sortBy { case (s, i) => (-s, i) }
+    // ascending by heapOrdering = best-first (better elements compare less)
+    val sorted = buf.toArray.sorted(heapOrdering)
     new GenericArrayData(sorted.map { case (s, i) =>
       InternalRow(s, i)
     }.asInstanceOf[Array[Any]])

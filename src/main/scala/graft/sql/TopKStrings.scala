@@ -20,7 +20,10 @@ import scala.collection.mutable
   * Tie-break mirrors `ORDER BY score DESC, key ASC` with binary (UTF-8
   * byte-wise) key comparison — identical to codepoint order, which is what
   * both Spark's and DuckDB's default string ordering produce on these keys —
-  * so results match the window plan row for row. Null scores/keys skipped.
+  * so results match the window plan row for row. Score comparisons use the
+  * `Double.compare` total order (NaN greatest, like Spark's sort), so NaN
+  * cannot poison the heap or break the output sort. Null scores/keys are
+  * skipped (see TopKPairs for the fewer-than-k-non-null caveat).
   *
   * Output: `array<struct<score double, key string>>`, sorted best-first.
   */
@@ -50,7 +53,9 @@ case class TopKStrings(
       StructField("key", StringType, nullable = false))),
     containsNull = false)
 
-  // min-heap: head = worst = (lowest score, largest key) — evicted first
+  // min-heap: head = worst = (lowest score, largest key) — evicted first.
+  // Double.compare total order throughout (NaN greatest): an IEEE `>` gate
+  // would let one NaN at the head reject every later insert.
   private def heapOrdering: Ordering[(Double, UTF8String)] = new Ordering[(Double, UTF8String)] {
     def compare(x: (Double, UTF8String), y: (Double, UTF8String)): Int = {
       val c = java.lang.Double.compare(y._1, x._1) // lower score = higher priority
@@ -85,8 +90,9 @@ case class TopKStrings(
     else {
       val (ws, wv) = buf.head
       // strictly better than the current worst? (higher score, or same
-      // score with smaller key)
-      if (s > ws || (s == ws && v.compareTo(wv) < 0)) {
+      // score with smaller key) — total-order compare, see heapOrdering
+      val c = java.lang.Double.compare(s, ws)
+      if (c > 0 || (c == 0 && v.compareTo(wv) < 0)) {
         buf.dequeue()
         buf.enqueue((s, v))
       }
@@ -94,9 +100,11 @@ case class TopKStrings(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, UTF8String)]): Any = {
-    val sorted = buf.toArray.sortWith { case ((s1, k1), (s2, k2)) =>
-      s1 > s2 || (s1 == s2 && k1.compareTo(k2) < 0)
-    }
+    // ascending by heapOrdering = best-first (better elements compare
+    // less); a total order even with NaN present (sortWith on IEEE `>`
+    // would violate transitivity and TimSort throws on non-total
+    // comparators)
+    val sorted = buf.toArray.sorted(heapOrdering)
     new GenericArrayData(sorted.map { case (s, v) =>
       InternalRow(s, v)
     }.asInstanceOf[Array[Any]])

@@ -170,6 +170,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NaN scores rank first and never poison the top-k heaps") {
+    // NaN via the total order (Spark sort semantics: NaN greatest): must
+    // rank first, and later high scores must still displace worse elements
+    val nan = Double.NaN
+    val rowsL = Seq((1L, nan, 100L), (1L, 1.0, 101L), (1L, 2.0, 102L), (1L, 3.0, 103L))
+    val dfL = rowsL.toDF("grp", "score", "id")
+    val topL = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.TopKPairs(
+        org.apache.spark.sql.graft.ColumnShim.expression($"score"),
+        org.apache.spark.sql.graft.ColumnShim.expression($"id"), 2).toAggregateExpression())
+    val gotL = dfL.repartition(3).groupBy($"grp").agg(topL.as("t"))
+      .select(explode($"t").as("h")).select($"h.id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotL == Seq(100L, 103L), s"TopKPairs with NaN: $gotL") // NaN first, then 3.0
+
+    val rowsS = Seq((1L, nan, "n"), (1L, 1.0, "a"), (1L, 2.0, "b"), (1L, 3.0, "c"))
+    val dfS = rowsS.toDF("grp", "score", "term")
+    val topS = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.TopKStrings(
+        org.apache.spark.sql.graft.ColumnShim.expression($"score"),
+        org.apache.spark.sql.graft.ColumnShim.expression($"term"), 2).toAggregateExpression())
+    val gotS = dfS.repartition(3).groupBy($"grp").agg(topS.as("t"))
+      .select(explode($"t").as("h")).select($"h.key")
+      .collect().map(_.getString(0)).toSeq
+    assert(gotS == Seq("n", "c"), s"TopKStrings with NaN: $gotS")
+  }
+
   test("as-of join equals naive latest-at-or-before scan on random data") {
     val rnd = new Random(13)
     for (round <- 1 to 6) {

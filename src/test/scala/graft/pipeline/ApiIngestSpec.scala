@@ -88,6 +88,15 @@ class ApiIngestSpec extends AnyFunSuite {
       p("part") == "snippet,contentDetails,status" && p("maxResults") == "50" })
   }
 
+  test("pagination fails loudly on a nextPageToken loop instead of hanging") {
+    object LoopingClient extends DataApiClient {
+      def getJson(path: String, params: Map[String, String]): JObj =
+        JObj.of("items" -> JArr(Seq.empty), "nextPageToken" -> JStr("same-token-forever"))
+    }
+    val e = intercept[IllegalStateException](fetchAllPlaylistItems(LoopingClient, "UU_loop"))
+    assert(e.getMessage.contains("token loop"))
+  }
+
   test("video fetch chunks ids in batches of 50 preserving order") {
     val ids = (1 to 120).map(i => f"v$i%03d")
     val client = new RecordingDataClient(Map.empty,

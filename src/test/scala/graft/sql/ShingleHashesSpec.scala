@@ -44,6 +44,17 @@ class ShingleHashesSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("float-vector dot null-poisons on null elements like the HOF fold") {
+    import graft.operators.Similarity
+    val df = spark.sql("""
+      SELECT array(CAST(NULL AS FLOAT), CAST(2.0 AS FLOAT)) AS a,
+             array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)) AS b""")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1)) // both null — not 8.0
+  }
+
   test("native float-vector dot matches the HOF fold bit-for-bit") {
     import graft.operators.Similarity
     val e = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
