@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation primitives for large-scale training-data pipelines:
+  * deterministic content-hash sampling, stratified sampling, weighted source
+  * mixing, token-budget sequence packing, and near-dup cluster resolution
+  * (connected components over a dedup pair graph).
+  *
+  * Determinism contract: every sampling decision is a pure function of the
+  * row's stable key (md5 hex), never of partitioning, row order, or RNG
+  * state — so a 1000-executor run, a re-run after failure, and the DuckDB
+  * oracle all select the identical subset. This is the property
+  * `df.sample()` does NOT have (its output depends on partition layout),
+  * which is why production pipelines hash-sample instead.
+  */
+object Curation {
+
+  /** Hex md5 of a column's string form — the stable per-row sampling key.
+    * Spark md5 takes binary; the cast chain matches DuckDB's md5(VARCHAR)
+    * byte-for-byte (UTF-8). */
+  def hashKey(c: Column): Column = md5(c.cast("string").cast("binary"))
+
+  /** Quantized acceptance threshold: a 3-hex-digit prefix string such that
+    * `substr(md5, 1, 3) < threshold` keeps ≈ `rate` of rows (granularity
+    * 1/4096). Lexicographic compare on fixed-width hex prefixes is
+    * identical in any engine — no hex→int conversion needed. Rates ≥ 1.0
+    * map to "g", which every hex prefix sorts below. */
+  def rateThreshold(rate: Double): String = {
+    require(rate >= 0.0, s"rate must be >= 0, got $rate")
+    if (rate >= 1.0) "g" else f"${math.round(rate * 4096)}%03x"
+  }
+
+  /** Deterministic Bernoulli sample: keep rows whose key's 3-hex-digit md5
+    * prefix sorts below the quantized rate threshold. Pure per-row filter —
+    * no shuffle, pushes into the scan's data filters. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(substring(hashKey(col(keyCol)), 1, 3) < rateThreshold(rate))
+
+  /** Per-stratum deterministic top-n: rank rows inside each stratum by
+    * (hash, key) — a stable shuffle order — and keep the first n. One hash
+    * shuffle on the stratum column; n rows per stratum survive the window,
+    * so skewed strata cost sort time, not output size. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol)).orderBy(hashKey(col(keyCol)), col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w)).filter(col("sample_rank") <= n)
+  }
+
+  /** Weighted mix: per-stratum acceptance rates applied via the same
+    * hash-prefix rule. `weights` is broadcast as an inline dimension (the
+    * reference's S4 VALUES-dim pattern); unlisted strata default to rate 0
+    * (dropped) so the mix is a whitelist. */
+  def weightedMix(df: DataFrame, stratumCol: String, keyCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = weights.map { case (s, r) => (s, rateThreshold(r)) }.toDF(stratumCol, "accept_below")
+    df.join(broadcast(dim), stratumCol)
+      .filter(substring(hashKey(col(keyCol)), 1, 3) < col("accept_below"))
+      .drop("accept_below")
+  }
+
+  /** Token-budget sequence packing, sharded: assign each doc to a shard
+    * (key mod `shards`), order within the shard by (hash, key), and cut
+    * greedy bins where the running token total passes `budget`. A doc lands
+    * in the bin its PREVIOUS running total points at, so every bin except a
+    * shard's last holds ≥ budget tokens' worth of docs.
+    *
+    * Scale shape: the window is partitioned by shard — shards pack in
+    * parallel and the per-shard sort is the only cost, so throughput scales
+    * by raising `shards` (a real packer uses thousands). A single global
+    * ordered window would serialize the corpus through one partition —
+    * exactly the anti-pattern this avoids. */
+  def packSequences(df: DataFrame, keyCol: String, tokenCol: Column,
+      budget: Int, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(col(keyCol), lit(shards))
+    val w = Window.partitionBy(shard).orderBy(hashKey(col(keyCol)), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("doc_tokens", tokenCol)
+      .withColumn("running", sum(col("doc_tokens")).over(w))
+      .withColumn("bin", floor((col("running") - col("doc_tokens")) / budget))
+  }
+
+  /** Connected components over an undirected pair graph (id_a, id_b) by
+    * iterative min-label propagation: every node's label becomes the min of
+    * its own and its neighbors' labels until a fixpoint. Converges in at
+    * most the graph diameter's iterations; `maxIter` bounds pathological
+    * chains. Dedup pipelines run this over near-dup PAIRS (a tiny edge set
+    * relative to the corpus — only docs with at least one near-dup appear),
+    * so the joins here are on the filtered pair graph, never the corpus.
+    *
+    * Each iteration is one shuffle join + one partial-aggregating groupBy;
+    * `localCheckpoint` truncates the growing lineage so Catalyst re-plans a
+    * flat scan per iteration (a cluster deployment would use a reliable
+    * checkpoint dir instead — same call shape). The per-iteration
+    * convergence probe is a scalar count — the only driver action, standard
+    * for iterative graph algorithms. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("neighbor_label"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("new_label"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels.select(col("id").as("member_id"), col("label").as("cluster_id"))
+  }
+}

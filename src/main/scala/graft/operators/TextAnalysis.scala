@@ -81,4 +81,60 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  // ---- repetition / quality-filter metrics (Gopher-style) -----------------
+
+  /** Per-row term-frequency map via the native one-pass expression — the
+    * building block for repetition metrics (no shuffle; the relational
+    * explode+groupBy spelling would exchange every token occurrence). */
+  def termFreqs(toks: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.TokenCounts(org.apache.spark.sql.graft.ColumnShim.expression(toks)))
+
+  /** Adjacent word bigrams as strings; empty array when < 2 tokens. */
+  def wordBigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Type-token ratio: distinct tokens / total tokens (1.0 for empty). */
+  def distinctTokenFrac(toks: Column): Column =
+    when(size(toks) === 0, lit(1.0))
+      .otherwise(size(termFreqs(toks)).cast("double") / size(toks).cast("double"))
+
+  /** Share of tokens taken by the single most frequent token. */
+  def topTokenFrac(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(array_max(map_values(termFreqs(toks))).cast("double") / size(toks).cast("double"))
+
+  /** Share of tokens covered by the most frequent adjacent bigram
+    * (occurrences × 2 / tokens) — the classic repeated-phrase signal. */
+  def topBigramFrac(toks: Column): Column =
+    when(size(toks) < 2, lit(0.0))
+      .otherwise(array_max(map_values(termFreqs(wordBigrams(toks)))).cast("double") * 2.0
+        / size(toks).cast("double"))
+
+  // ---- PII / pattern redaction --------------------------------------------
+
+  /** Email address pattern, restricted to syntax both Java regex and RE2
+    * (the oracle engine) interpret identically. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American-style phone pattern (3-3-4 digit groups with -, ., or
+    * space separators, optional +1 / parenthesized area code). */
+  val PhonePattern = "(\\+1[- .]?)?(\\([0-9]{3}\\)|[0-9]{3})[- .][0-9]{3}[- .][0-9]{4}"
+
+  /** Count of non-overlapping matches of `pattern`. */
+  def patternHits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Replace every match of `pattern` with `replacement` — the scrub
+    * primitive behind PII redaction. Pure per-row regexp (codegen'd),
+    * no shuffle. */
+  def redact(text: Column, pattern: String, replacement: String): Column =
+    regexp_replace(text, pattern, replacement)
+
+  def redactEmails(text: Column): Column = redact(text, EmailPattern, "<EMAIL>")
+  def redactPhones(text: Column): Column = redact(text, PhonePattern, "<PHONE>")
 }

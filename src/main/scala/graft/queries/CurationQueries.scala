@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.Graft.table
+import graft.operators.{Curation, Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operator queries over `documents` — the
+  * subset-selection surface a large-scale training-data pipeline needs on
+  * top of dedup/quality: deterministic sampling, stratified sampling,
+  * weighted source mixing, token-budget sequence packing, and near-dup
+  * cluster resolution.
+  *
+  * Sampling determinism: every selection is a pure function of md5(doc_id)
+  * (see Curation.scala) — partition-layout-independent, so the DuckDB
+  * oracle selects the byte-identical subset and the gate is hash-match,
+  * not statistical.
+  */
+object CurationQueries {
+
+  /** Deterministic ~12.5% Bernoulli sample by content-stable hash. The
+    * filter is per-row with no shuffle; at 100 TB this is a scan-side
+    * subset, the cheapest possible sampler. */
+  val c01HashSample = GraftQuery(
+    "c01_hash_sample",
+    (s, dir) =>
+      Curation.hashSample(table(s, dir, "documents"), "doc_id", 0.125)
+        .select(col("doc_id"), col("lang"), col("source"),
+          substring(Curation.hashKey(col("doc_id")), 1, 3).as("bucket"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id, lang, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS bucket
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '${Curation.rateThreshold(0.125)}'
+      ORDER BY doc_id"""))
+
+  /** Stratified sample: deterministic top-5 per language by hash order.
+    * One hash shuffle on the stratum; output is bounded at n per stratum
+    * regardless of skew. */
+  val c02StratifiedSample = GraftQuery(
+    "c02_stratified_sample",
+    (s, dir) =>
+      Curation.stratifiedSample(table(s, dir, "documents"), "lang", "doc_id", 5)
+        .select(col("lang"), col("sample_rank").cast("bigint").as("sample_rank"), col("doc_id"))
+        .orderBy(col("lang"), col("sample_rank")),
+    Some("""
+      WITH ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        FROM documents)
+      SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+      FROM ranked
+      WHERE sample_rank <= 5
+      ORDER BY lang, sample_rank"""))
+
+  /** Language weights for the c03 mix — the knob a data-mixing recipe
+    * turns. Rates are quantized to 3 hex digits (1/4096) by
+    * [[Curation.rateThreshold]]; the oracle embeds the same thresholds. */
+  val MixWeights: Seq[(String, Double)] = Seq(
+    "en" -> 1.0, "de" -> 0.75, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.25)
+
+  /** Weighted source mixing: per-language acceptance rates via the
+    * hash-prefix rule, reported as kept docs + kept tokens per language.
+    * The weights dim broadcasts (S4 inline-VALUES pattern); the filter is
+    * per-row; the final rollup is one partial-aggregating shuffle on a
+    * 5-value key. */
+  val c03WeightedMix = GraftQuery(
+    "c03_weighted_mix",
+    (s, dir) =>
+      Curation.weightedMix(table(s, dir, "documents"), "lang", "doc_id", MixWeights)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("kept_tokens"))
+        .orderBy(col("lang")),
+    Some {
+      val dim = MixWeights
+        .map { case (l, r) => s"('$l', '${Curation.rateThreshold(r)}')" }
+        .mkString(", ")
+      s"""
+      WITH weights(lang, accept_below) AS (VALUES $dim)
+      SELECT d.lang,
+             CAST(COUNT(*) AS BIGINT) AS kept_docs,
+             CAST(SUM(len(list_filter(string_split_regex(d.text, '\\s+'), t -> t <> ''))) AS BIGINT) AS kept_tokens
+      FROM documents d JOIN weights w ON d.lang = w.lang
+      WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 3) < w.accept_below
+      GROUP BY d.lang
+      ORDER BY d.lang"""
+    })
+
+  /** Token-budget sequence packing (budget 512, 8 shards): greedy running
+    * total within a shard, cut at the budget line; reported per-bin. The
+    * window partitions by shard so packing parallelizes — raising the shard
+    * count is the scale lever (one global ordered window would serialize
+    * the corpus through a single partition). */
+  val c04PackSequences = GraftQuery(
+    "c04_pack_sequences",
+    (s, dir) =>
+      Curation.packSequences(table(s, dir, "documents"), "doc_id",
+          TextAnalysis.tokenCount(col("text")).cast("bigint"), budget = 512, shards = 8)
+        .groupBy(col("shard").cast("bigint").as("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_tokens")).as("bin_tokens"))
+        .withColumn("fill_ratio", round(col("bin_tokens").cast("double") / 512.0, 6))
+        .orderBy(col("shard"), col("bin")),
+    Some("""
+      WITH sized AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS doc_tokens
+        FROM documents),
+      packed AS (
+        SELECT shard, doc_tokens,
+               SUM(doc_tokens) OVER (PARTITION BY shard
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        FROM sized)
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(floor((running - doc_tokens) / 512.0) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(doc_tokens) AS BIGINT) AS bin_tokens,
+             round(CAST(SUM(doc_tokens) AS DOUBLE) / 512.0, 6) AS fill_ratio
+      FROM packed
+      GROUP BY shard, floor((running - doc_tokens) / 512.0)
+      ORDER BY shard, bin"""))
+
+  /** Near-dup cluster resolution: connected components over the d04
+    * MinHash-LSH pair graph (min-label propagation), with the canonical
+    * keeper (cluster_id = min member) and cluster size — the step that
+    * turns pairwise near-dup evidence into a drop list. The oracle
+    * restates the identical pair pipeline (shared CTE block with d04) and
+    * closes it transitively with a recursive CTE. */
+  val c05NearDupClusters = GraftQuery(
+    "c05_neardup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.lshNearDupPairs(table(s, dir, "documents"), "doc_id", "text", 0.5)
+      val labels = Curation.connectedComponents(pairs)
+      val sizes = labels.groupBy(col("cluster_id").as("cid"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, labels("cluster_id") === sizes("cid"))
+        .select(col("cluster_id"), col("member_id"), col("cluster_size"))
+        .orderBy(col("cluster_id"), col("member_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${DedupQueries.duckLshPairCtes},
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
+      reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (
+        SELECT src AS member_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+      SELECT cluster_id, member_id,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      FROM labels
+      ORDER BY cluster_id, member_id"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
+      c05NearDupClusters)
+}

@@ -105,22 +105,15 @@ object DedupQueries {
       ORDER BY doc_id"""
     })
 
-  /** MinHash-LSH near-dup pairs: band bucket join (6 bands × 4 rows, LSH
-    * threshold ≈ 0.64 — see Dedup.scala for why r=4 on this corpus) →
-    * distinct candidates → exact Jaccard verify ≥ 0.5. The full scale path:
-    * shuffles only on band keys, never all-pairs. */
-  val d04LshNearDup = GraftQuery(
-    "d04_minhash_lsh_pairs",
-    (s, dir) =>
-      Dedup.lshNearDupPairs(table(s, dir, "documents"), "doc_id", "text", 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("id_a"), col("id_b")),
-    Some {
-      val sigList = (0 until Dedup.NumHashes).map { j =>
-        s"list_min(list_transform(hset, h -> (${Dedup.MinhashA(j)}*h + ${Dedup.MinhashB(j)}) % 1000000007))"
-      }.mkString("[", ", ", "]")
-      s"""
-      WITH codes_t AS (SELECT doc_id, $duckCodes AS codes, text FROM documents),
+  /** The full MinHash-LSH near-dup pipeline as a reusable DuckDB CTE block
+    * ending in `lsh_pairs(id_a, id_b, jaccard)` — shared by the d04 oracle
+    * and the c05 cluster-resolution oracle (CurationQueries), so both gates
+    * restate the identical pair semantics. */
+  private[queries] val duckLshPairCtes: String = {
+    val sigList = (0 until Dedup.NumHashes).map { j =>
+      s"list_min(list_transform(hset, h -> (${Dedup.MinhashA(j)}*h + ${Dedup.MinhashB(j)}) % 1000000007))"
+    }.mkString("[", ", ", "]")
+    s"""codes_t AS (SELECT doc_id, $duckCodes AS codes, text FROM documents),
       hs_t AS (SELECT doc_id, list_distinct($duckShingleHashes) AS hset FROM codes_t),
       sig_t AS (SELECT doc_id, hset, $sigList AS sig FROM hs_t),
       bands AS (
@@ -138,12 +131,28 @@ object DedupQueries {
         SELECT id_a, id_b,
                CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE) AS shared,
                len(ha.hset) AS na, len(hb.hset) AS nb
-        FROM cand JOIN hs_t ha ON id_a = ha.doc_id JOIN hs_t hb ON id_b = hb.doc_id)
-      SELECT id_a, id_b, round(shared / CAST(na + nb - shared AS DOUBLE), 6) AS jaccard
-      FROM ver
-      WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.5
-      ORDER BY id_a, id_b"""
-    },
+        FROM cand JOIN hs_t ha ON id_a = ha.doc_id JOIN hs_t hb ON id_b = hb.doc_id),
+      lsh_pairs AS (
+        SELECT id_a, id_b, shared / CAST(na + nb - shared AS DOUBLE) AS jaccard
+        FROM ver
+        WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.5)"""
+  }
+
+  /** MinHash-LSH near-dup pairs: band bucket join (6 bands × 4 rows, LSH
+    * threshold ≈ 0.64 — see Dedup.scala for why r=4 on this corpus) →
+    * distinct candidates → exact Jaccard verify ≥ 0.5. The full scale path:
+    * shuffles only on band keys, never all-pairs. */
+  val d04LshNearDup = GraftQuery(
+    "d04_minhash_lsh_pairs",
+    (s, dir) =>
+      Dedup.lshNearDupPairs(table(s, dir, "documents"), "doc_id", "text", 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH $duckLshPairCtes
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+      FROM lsh_pairs
+      ORDER BY id_a, id_b"""),
     bench = true)
 
   /** 32-bit SimHash over term-frequency-weighted token hashes. Near-identical

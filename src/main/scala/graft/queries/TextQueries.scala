@@ -220,6 +220,75 @@ object TextQueries {
       FROM kept
       ORDER BY doc_id, sentence_idx"""))
 
+  /** Gopher-style repetition quality filter: type-token ratio, top-token
+    * share, top-bigram share, and the keep/drop verdict a curation pipeline
+    * would gate on. All per-row via the native TokenCounts map — no
+    * shuffle, single pass over the corpus (the oracle recomputes counts the
+    * O(n·distinct) relational way; the metrics are identical). */
+  val t07RepetitionFilter = GraftQuery(
+    "t07_repetition_filter",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_tok"),
+          round(distinctTokenFrac(toks), 6).as("distinct_frac"),
+          round(topTokenFrac(toks), 6).as("top_word_frac"),
+          round(topBigramFrac(toks), 6).as("top_bigram_frac"))
+        .withColumn("keep",
+          col("distinct_frac") >= 0.35 && col("top_bigram_frac") <= 0.12)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(t) AS INT) AS n_tok,
+               round(CASE WHEN len(t) = 0 THEN 1.0
+                     ELSE CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) END, 6) AS distinct_frac,
+               round(CASE WHEN len(t) = 0 THEN 0.0
+                     ELSE CAST(list_aggregate(list_transform(list_distinct(t),
+                            w -> len(list_filter(t, x -> x = w))), 'max') AS DOUBLE)
+                          / CAST(len(t) AS DOUBLE) END, 6) AS top_word_frac,
+               round(CASE WHEN len(t) < 2 THEN 0.0
+                     ELSE CAST(list_aggregate(list_transform(
+                            list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])),
+                            bg -> len(list_filter(
+                              list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]),
+                              x -> x = bg))), 'max') AS DOUBLE) * 2.0
+                          / CAST(len(t) AS DOUBLE) END, 6) AS top_bigram_frac
+        FROM toks)
+      SELECT doc_id, n_tok, distinct_frac, top_word_frac, top_bigram_frac,
+             (distinct_frac >= 0.35 AND top_bigram_frac <= 0.12) AS keep
+      FROM m
+      ORDER BY doc_id"""))
+
+  /** Pattern redaction (the PII-scrub shape): count matches, scrub them,
+    * fingerprint the scrubbed text. The corpus carries no synthetic PII, so
+    * the oracle-checked instantiation scrubs a denylist term pattern that
+    * DOES occur; the email/phone presets ([[TextAnalysis.redactEmails]])
+    * share this exact code path and are spec-tested on synthetic PII
+    * strings in TextAnalysisSpec. Pure per-row regexp — no shuffle. */
+  val t08Redaction = GraftQuery(
+    "t08_pattern_redaction",
+    (s, dir) => {
+      val pat = "\\b(key|value)\\b"
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          patternHits(col("text"), pat).as("hits"),
+          md5(redact(col("text"), pat, "<TOK>").cast("binary")).as("redacted_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\b(key|value)\b', 0)) AS INT) AS hits,
+             md5(regexp_replace(text, '\b(key|value)\b', '<TOK>', 'g')) AS redacted_fp
+      FROM documents
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences)
+    Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
+      t07RepetitionFilter, t08Redaction)
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rateThreshold quantizes to 3 hex digits; 1.0 keeps everything") {
+    assert(Curation.rateThreshold(0.5) == "800")
+    assert(Curation.rateThreshold(0.125) == "200")
+    assert(Curation.rateThreshold(0.0) == "000")
+    assert(Curation.rateThreshold(1.0) == "g")
+    // every hex prefix sorts below "g"
+    assert("fff" < "g")
+  }
+
+  test("hashSample is deterministic and partition-layout-independent") {
+    val df = (1L to 2000L).toDF("id")
+    val a = Curation.hashSample(df, "id", 0.25).select("id").as[Long].collect().sorted
+    val b = Curation.hashSample(df.repartition(13), "id", 0.25)
+      .select("id").as[Long].collect().sorted
+    assert(a.sameElements(b), "sample must not depend on partitioning")
+    // rate lands near 25% (md5 prefix is uniform; 2000 draws, loose 5σ band)
+    assert(math.abs(a.length / 2000.0 - 0.25) < 0.05, s"got ${a.length}/2000")
+  }
+
+  test("hashSample at rate 1.0 keeps all rows, at 0.0 none") {
+    val df = (1L to 100L).toDF("id")
+    assert(Curation.hashSample(df, "id", 1.0).count() == 100)
+    assert(Curation.hashSample(df, "id", 0.0).count() == 0)
+  }
+
+  test("stratifiedSample bounds every stratum at n and is deterministic") {
+    val df = Seq.tabulate(300)(i => (i.toLong, s"s${i % 3}")).toDF("id", "stratum")
+    val s1 = Curation.stratifiedSample(df, "stratum", "id", 7)
+    val counts = s1.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 7), counts.toString)
+    val s2 = Curation.stratifiedSample(df.repartition(9), "stratum", "id", 7)
+    assert(s1.select("id").as[Long].collect().sorted
+      .sameElements(s2.select("id").as[Long].collect().sorted))
+  }
+
+  test("weightedMix is a whitelist: unlisted strata drop, rate-1.0 strata keep all") {
+    val df = Seq.tabulate(400)(i => (i.toLong, if (i % 2 == 0) "keep" else "other"))
+      .toDF("id", "stratum")
+    val mixed = Curation.weightedMix(df, "stratum", "id", Seq("keep" -> 1.0))
+    val kept = mixed.select("stratum").distinct().as[String].collect()
+    assert(kept.toSeq == Seq("keep"))
+    assert(mixed.count() == 200)
+  }
+
+  test("packSequences: bins respect the budget cut and partition the shard") {
+    val df = Seq.tabulate(100)(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    val packed = Curation.packSequences(df, "doc_id", lit(30L), budget = 100, shards = 4)
+      .select($"shard".cast("long"), $"bin", $"doc_tokens", $"running")
+      .as[(Long, Long, Long, Long)].collect()
+    // a doc's bin is determined by the running total BEFORE it
+    packed.foreach { case (_, bin, tok, running) =>
+      assert(bin == (running - tok) / 100, s"bin mismatch: $bin vs ${(running - tok) / 100}")
+    }
+    // a non-final bin closes only once its last doc's running total crosses
+    // the next budget boundary (greedy cut contract: bins cannot stay open
+    // past the line, so underfill is bounded by one doc's tokens)
+    val byShard = packed.groupBy(_._1)
+    byShard.foreach { case (_, rows) =>
+      val bins = rows.groupBy(_._2)
+      val last = bins.keys.max
+      bins.filter(_._1 < last).foreach { case (b, docs) =>
+        val lastRunning = docs.map(_._4).max
+        assert(lastRunning >= (b + 1) * 100,
+          s"non-final bin $b closed at running=$lastRunning before the boundary")
+      }
+    }
+  }
+
+  test("connectedComponents resolves a chain (multi-iteration) and isolates") {
+    // chain 1-2-3-4-5 forces label 1 to propagate over several iterations;
+    // 10-11 is a separate component; pair input uses id_a < id_b
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Curation.connectedComponents(pairs)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
+  test("connectedComponents merges components discovered through a late bridge") {
+    // two stars 1-{2,3} and 7-{8,9} bridged by 3-9: one component, min 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (7L, 8L), (7L, 9L), (3L, 9L))
+      .toDF("id_a", "id_b")
+    val labels = Curation.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(labels.map(_._2).distinct.toSeq == Seq(1L))
+    assert(labels.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 7L, 8L, 9L))
+  }
+}

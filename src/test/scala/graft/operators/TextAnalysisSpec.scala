@@ -54,4 +54,45 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getBoolean(0))
     assert(eq.toSeq == Seq(true, false))
   }
+
+  test("repetition metrics: distinct/top-token/top-bigram fractions") {
+    val df = Seq(
+      "a a a a",          // 1 distinct of 4; top token 4/4; top bigram "a a" 3 times → 6/4 capped? no: 2*3/4
+      "a b c d",          // all distinct; top token 1/4; every bigram once → 2/4
+      "go go go go stop", // top bigram "go go" 3x → 6/5
+      "x"                 // single token: bigram frac 0
+    ).toDF("text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val got = df.select(
+      round(TextAnalysis.distinctTokenFrac(toks), 4).as("d"),
+      round(TextAnalysis.topTokenFrac(toks), 4).as("w"),
+      round(TextAnalysis.topBigramFrac(toks), 4).as("b"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(got(0) == ((0.25, 1.0, 1.5)))
+    assert(got(1) == ((1.0, 0.25, 0.5)))
+    assert(got(2) == ((0.4, 0.8, 1.2)))
+    assert(got(3) == ((1.0, 1.0, 0.0)))
+  }
+
+  test("email and phone redaction scrub synthetic PII and count hits") {
+    val df = Seq(
+      ("contact bob.smith+x@corp.example.org or call 555-867-5309 now", 1, 1),
+      ("two mails a@b.io c.d@e.co.uk, phone (212) 555-0188 and +1 646.555.0199", 2, 2),
+      ("no pii here", 0, 0)
+    ).toDF("text", "emails", "phones")
+    val checked = df.select(
+      TextAnalysis.patternHits(col("text"), TextAnalysis.EmailPattern).as("e"),
+      TextAnalysis.patternHits(col("text"), TextAnalysis.PhonePattern).as("p"),
+      TextAnalysis.redactPhones(TextAnalysis.redactEmails(col("text"))).as("scrubbed"),
+      col("emails"), col("phones")).collect()
+    checked.foreach { r =>
+      assert(r.getInt(0) == r.getInt(3), s"emails: $r")
+      assert(r.getInt(1) == r.getInt(4), s"phones: $r")
+      val s = r.getString(2)
+      assert(!s.contains("@") || r.getInt(0) == 0, s"unredacted email in: $s")
+      assert(TextAnalysis.patternHits(lit(s), TextAnalysis.PhonePattern) != null)
+    }
+    val scrubbed = checked(0).getString(2)
+    assert(scrubbed == "contact <EMAIL> or call <PHONE> now")
+  }
 }
