@@ -116,6 +116,18 @@ object Dedup {
         .foldLeft(lit(0L))((acc, v) => (acc * lit(31L) + v) % lit(P))
     }: _*)
 
+  /** Fused shingle-hashes → band-keys native expression: the k affine
+    * minima and all band folds in one compiled pass
+    * ([[graft.sql.MinHashBandKeys]]). Value-identical to
+    * `bandKeys(minhashSignature(hashes))`; skips materializing the
+    * k-element signature the band join never ships. */
+  def minhashBandKeys(hashes: Column, k: Int = NumHashes,
+      rowsPerBand: Int = RowsPerBand): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.MinHashBandKeys(
+        org.apache.spark.sql.graft.ColumnShim.expression(hashes),
+        MinhashA.take(k), MinhashB.take(k), rowsPerBand))
+
   /** 32-bit SimHash over token hashes: bit j set iff the sum of (±1 per token,
     * + when token-hash bit j is 1) is positive. Term frequency weighted
     * (duplicate tokens count). Kept as the executable specification the
@@ -247,27 +259,33 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs: signature → band keys → bucket self-join →
-    * distinct candidates → exact Jaccard verify → threshold. No all-pairs
-    * product anywhere; the only shuffles are the band-key join and the
-    * verify joins.
+    * size-ratio prune → distinct candidates → exact Jaccard verify →
+    * threshold. No all-pairs product anywhere; the only shuffles are the
+    * band-key join and the verify joins.
     *
-    * The verify kernel is the native two-pointer
-    * [[graft.sql.SortedIntersectSize]] over the sorted shingle sets — on
-    * this corpus it made an intermediate signature-estimate prefilter
-    * net-negative (the 0.2 background similarity means band collisions
-    * almost all pass a loose estimate cut: 240k → 235k candidates for two
-    * extra joins), so candidates go straight to exact verification. If a
-    * corpus ever produces candidate sets whose full-payload shuffle
-    * dominates, an estimate-then-verify stage over the (12× smaller)
-    * signatures is the lever to reintroduce — but measure first. */
+    * The size-ratio prune is exact, not heuristic: shared ≤ min(na, nb) and
+    * the union ≥ max(na, nb), so J ≤ min/max — a pair whose set sizes are
+    * too lopsided can never reach `minJaccard`, and dropping it cannot
+    * change the output. The sizes ride along on the (8-byte-key) band
+    * postings as two ints, so the prune costs nothing and runs BEFORE both
+    * the distinct and the verify joins that ship full multi-KB shingle
+    * arrays per surviving pair — the expensive half of the pipeline.
+    * (Measured at sf0.1: 240k → 89k candidates, d04 2.3 s → 1.5 s.)
+    *
+    * A minhash signature-estimate prefilter remains net-negative here (the
+    * 0.2 background similarity means band collisions almost all pass a
+    * loose estimate cut: 240k → 235k candidates for two extra joins); the
+    * size bound prunes what the estimate cannot — structurally impossible
+    * pairs — without any extra join. */
   def lshNearDupPairs(docs: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
     val base = shingleSets(docs, idCol, textCol)
-    val withSig = base.withColumn("sig", minhashSignature(col("hset")))
-    val bands = withSig.select(col("doc_id"),
-      posexplode(bandKeys(col("sig"))).as(Seq("band_id", "band_key")))
+    val bands = base.select(col("doc_id"), size(col("hset")).as("nh"),
+      posexplode(minhashBandKeys(col("hset"))).as(Seq("band_id", "band_key")))
     val candidates = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
+      .filter(least(col("a.nh"), col("b.nh")).cast("double") >=
+        lit(minJaccard) * greatest(col("a.nh"), col("b.nh")).cast("double"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     verifyExact(candidates, base, minJaccard)

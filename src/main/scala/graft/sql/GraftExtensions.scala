@@ -30,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"minhash_signature(array<bigint>); got ${other.size} args")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("minhash_band_keys"),
+      new ExpressionInfo(classOf[MinHashBandKeys].getName, "minhash_band_keys"),
+      (args: Seq[Expression]) => args match {
+        case Seq(h) => MinHashBandKeys(h,
+          graft.sql.Defaults.MinhashA, graft.sql.Defaults.MinhashB, rowsPerBand = 4)
+        case other => throw new IllegalArgumentException(
+          s"minhash_band_keys(array<bigint>); got ${other.size} args")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("simhash_from_tokens"),
       new ExpressionInfo(classOf[SimHashFromTokens].getName, "simhash_from_tokens"),
       (args: Seq[Expression]) => args match {

@@ -44,6 +44,16 @@ class ShingleHashesSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("fused band keys match bandKeys∘minhashSignature (HOF) on the fixture corpus") {
+    val docs = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val hset = array_distinct(Dedup.shingleHashes(col("text")))
+    val diff = docs.select(
+      Dedup.minhashBandKeys(hset).as("native"),
+      Dedup.bandKeys(Dedup.minhashSignatureHof(hset)).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(diff.isEmpty)
+  }
+
   test("float-vector dot null-poisons on null elements like the HOF fold") {
     import graft.operators.Similarity
     val df = spark.sql("""
