@@ -144,4 +144,30 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges <= 2, s"expected ≤2 exchanges (agg + sort), got $exchanges\n$p")
   }
+
+  test("t07/t08/c01: per-row curation filters stay shuffle-free up to the final sort") {
+    // repetition metrics, redaction, and hash sampling are pure per-row
+    // maps/filters — the ONLY exchange allowed is the ORDER BY range
+    // exchange (no aggregation, no join, no window)
+    Seq("t07_repetition_filter", "t08_pattern_redaction", "c01_hash_sample").foreach { name =>
+      val p = simplePlan(q(name))
+      assert(!p.contains("Window") && !p.contains("Join"), s"$name\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$name: expected ≤1 exchange (sort only), got $exchanges\n$p")
+    }
+  }
+
+  test("c03 weighted mix: weights dim broadcasts; one aggregate shuffle") {
+    val p = plan(q("c03_weighted_mix"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("c02/c04: stratified sampling and packing shuffle once on the stratum/shard") {
+    Seq("c02_stratified_sample", "c04_pack_sequences").foreach { name =>
+      val p = simplePlan(q(name))
+      assert(p.contains("Window") && p.contains("hashpartitioning"), s"$name\n$p")
+      assert(!p.contains("Join"), s"$name: unexpected join\n$p")
+    }
+  }
 }
