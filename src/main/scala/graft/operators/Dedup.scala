@@ -165,7 +165,15 @@ object Dedup {
   def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         array_sort(array_distinct(shingleHashes(col(textCol)))).as("hset"))
-      .repartition(col("doc_id"))
+      // Explicit partition count (the session's shuffle parallelism — a
+      // cluster-config value, not a constant): with a bare repartition(col)
+      // AQE coalesces this exchange by BYTE size, and shingle sets are
+      // small in bytes but feed the band fan-out + intersect-verify
+      // pipeline whose compute per byte is ~10⁴ ops — measured at sf0.1,
+      // AQE shrank the stage to 4 tasks and d04 ran the whole verify on
+      // 4 of 32 cores (2.8 s; 1.1 s with parallelism pinned). Byte-sized
+      // coalescing is the wrong heuristic for compute-bound stages.
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id"))
 
   /** Default document-frequency cap for [[jaccardPairs]] candidate
     * generation, as a fraction of corpus size. A shingle present in over
