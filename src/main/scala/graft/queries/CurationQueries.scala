@@ -156,7 +156,118 @@ object CurationQueries {
       FROM labels
       ORDER BY cluster_id, member_id"""))
 
+  /** The flagship composition: the full curation funnel a training-data
+    * pipeline runs, as one query — raw corpus → exact dedup (fingerprint
+    * keepers) → near-dup cluster drop (LSH pairs → connected components,
+    * non-canonical members removed) → repetition quality gate (t07
+    * thresholds) → weighted language mix — reporting per-stage document and
+    * token attrition. Every stage reuses the independently-oracle-checked
+    * operator; the oracle restates the whole funnel (shared d04 CTEs +
+    * recursive closure + quality metrics + mix thresholds), so the gate
+    * covers the composition, not just the parts.
+    *
+    * Scale shape: stages 1/3/4 are one bounded shuffle or pure per-row
+    * filters over the corpus; stage 2's graph work runs on the near-dup
+    * PAIR set (docs with at least one near-dup), never the corpus. */
+  val c06CurationFunnel = GraftQuery(
+    "c06_curation_funnel",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val toks = TextAnalysis.tokens(col("text"))
+
+      val keepers = docs
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val s1 = docs.join(keepers, Seq("doc_id"), "left_semi")
+
+      val clusters = Curation.connectedComponents(
+        Dedup.lshNearDupPairs(docs, "doc_id", "text", 0.5))
+      val nonCanonical = clusters.filter(col("member_id") =!= col("cluster_id"))
+        .select(col("member_id").as("doc_id"))
+      val s2 = s1.join(nonCanonical, Seq("doc_id"), "left_anti")
+
+      val s3 = s2.filter(
+        round(TextAnalysis.distinctTokenFrac(toks), 6) >= 0.35 &&
+          round(TextAnalysis.topBigramFrac(toks), 6) <= 0.12)
+
+      val s4 = Curation.weightedMix(s3, "lang", "doc_id", MixWeights)
+
+      def stage(idx: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("docs"),
+            coalesce(sum(TextAnalysis.tokenCount(col("text")).cast("bigint")), lit(0L)).as("tokens"))
+          .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+            col("docs"), col("tokens"))
+
+      stage(0, "raw", docs)
+        .unionAll(stage(1, "exact_dedup", s1))
+        .unionAll(stage(2, "neardup_clusters", s2))
+        .unionAll(stage(3, "quality_filter", s3))
+        .unionAll(stage(4, "weighted_mix", s4))
+        .orderBy(col("stage_idx"))
+    },
+    Some {
+      val dim = MixWeights
+        .map { case (l, r) => s"('$l', '${Curation.rateThreshold(r)}')" }
+        .mkString(", ")
+      s"""
+      WITH RECURSIVE ${DedupQueries.duckLshPairCtes},
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
+      reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (
+        SELECT src AS member_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+      ntok AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+        FROM documents),
+      keepers AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))),
+      s1 AS (SELECT n.* FROM ntok n JOIN keepers USING (doc_id)),
+      s2 AS (
+        SELECT * FROM s1
+        WHERE doc_id NOT IN
+          (SELECT member_id FROM labels WHERE member_id <> cluster_id)),
+      s3 AS (
+        SELECT * FROM s2
+        WHERE round(CASE WHEN len(t) = 0 THEN 1.0
+                ELSE CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) END, 6) >= 0.35
+          AND round(CASE WHEN len(t) < 2 THEN 0.0
+                ELSE CAST(list_aggregate(list_transform(
+                       list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])),
+                       bg -> len(list_filter(
+                         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]),
+                         x -> x = bg))), 'max') AS DOUBLE) * 2.0
+                     / CAST(len(t) AS DOUBLE) END, 6) <= 0.12),
+      weights(lang, accept_below) AS (VALUES $dim),
+      s4 AS (
+        SELECT s3.* FROM s3 JOIN weights w ON s3.lang = w.lang
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < w.accept_below),
+      funnel AS (
+        SELECT 0 AS stage_idx, 'raw' AS stage,
+               COUNT(*) AS docs, COALESCE(SUM(len(t)), 0) AS tokens FROM ntok
+        UNION ALL
+        SELECT 1, 'exact_dedup', COUNT(*), COALESCE(SUM(len(t)), 0) FROM s1
+        UNION ALL
+        SELECT 2, 'neardup_clusters', COUNT(*), COALESCE(SUM(len(t)), 0) FROM s2
+        UNION ALL
+        SELECT 3, 'quality_filter', COUNT(*), COALESCE(SUM(len(t)), 0) FROM s3
+        UNION ALL
+        SELECT 4, 'weighted_mix', COUNT(*), COALESCE(SUM(len(t)), 0) FROM s4)
+      SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+             CAST(docs AS BIGINT) AS docs, CAST(tokens AS BIGINT) AS tokens
+      FROM funnel
+      ORDER BY stage_idx"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
-      c05NearDupClusters)
+      c05NearDupClusters, c06CurationFunnel)
 }

@@ -197,6 +197,50 @@ class PropertySpec extends SparkSpec {
     assert(gotS == Seq("n", "c"), s"TopKStrings with NaN: $gotS")
   }
 
+  test("hash samples nest: a lower rate always selects a subset of a higher rate") {
+    import graft.operators.Curation
+    // the md5-prefix rule makes samples monotone in the rate — the property
+    // a re-tunable pipeline needs (shrinking the mix never ADDS documents)
+    val df = (1L to 1500L).toDF("id")
+    val rates = Seq(0.1, 0.25, 0.5, 0.9, 1.0)
+    val selected = rates.map(r =>
+      r -> Curation.hashSample(df, "id", r).select($"id").as[Long].collect().toSet)
+    selected.sliding(2).foreach { case Seq((rLo, lo), (rHi, hi)) =>
+      assert(lo.subsetOf(hi), s"sample at $rLo not nested in $rHi")
+    }
+    assert(selected.last._2.size == 1500)
+  }
+
+  test("weightedMix equals per-stratum hashSample row-for-row") {
+    import graft.operators.Curation
+    val rnd = new Random(7)
+    val df = (1L to 900L).map(i => (i, s"s${rnd.nextInt(4)}")).toDF("id", "stratum")
+    val weights = Seq("s0" -> 0.2, "s1" -> 0.75, "s2" -> 1.0) // s3 unlisted → dropped
+    val mixed = Curation.weightedMix(df, "stratum", "id", weights)
+      .select($"stratum", $"id").as[(String, Long)].collect().toSet
+    val expect = weights.flatMap { case (s, r) =>
+      Curation.hashSample(df.filter($"stratum" === s), "id", r)
+        .select($"stratum", $"id").as[(String, Long)].collect()
+    }.toSet
+    assert(mixed == expect)
+  }
+
+  test("packSequences partitions the corpus: every doc lands in exactly one bin") {
+    import graft.operators.Curation
+    val rnd = new Random(99)
+    val docs = (1L to 400L).map(i => (i, 5L + rnd.nextInt(120))).toDF("doc_id", "tok")
+    val packed = Curation.packSequences(docs, "doc_id", $"tok", budget = 256, shards = 8)
+    assert(packed.count() == 400)
+    assert(packed.select($"doc_id").distinct().count() == 400)
+    // shard-local running totals are consistent: per (shard, bin), the sum of
+    // doc_tokens equals max(running) - (min(running) - its doc_tokens)
+    val ok = packed.groupBy($"shard", $"bin")
+      .agg(sum($"doc_tokens").as("s"), max($"running").as("hi"),
+        min(col("running") - col("doc_tokens")).as("lo"))
+      .filter(col("s") =!= col("hi") - col("lo"))
+    assert(ok.isEmpty, "running-total gap inside a bin")
+  }
+
   test("as-of join equals naive latest-at-or-before scan on random data") {
     val rnd = new Random(13)
     for (round <- 1 to 6) {

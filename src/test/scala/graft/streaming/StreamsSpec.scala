@@ -148,6 +148,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-row curation operators run unchanged on a stream (sample + quality + redact)") {
+    // hashSample's filter, the t07 repetition metrics, and redaction are all
+    // stateless per-row expressions — the exact property that makes them
+    // legal in a streaming SELECT with no watermark or state store. The
+    // streaming result must equal the batch computation on the same rows.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+
+    def curate(df: DataFrame): DataFrame =
+      Curation.hashSample(df, "doc_id", 0.75)
+        .select($"doc_id",
+          TextAnalysis.distinctTokenFrac(TextAnalysis.tokens($"text")).as("distinct_frac"),
+          TextAnalysis.redactEmails($"text").as("scrubbed"))
+
+    val rows = (1L to 40L).map(i =>
+      (i, s"tok$i tok$i mail$i@example.com the end"))
+    val input = MemoryStream[(Long, String)]
+    val q = curate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curated_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.take(25): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(25): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curated_stream").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      val batch = curate(rows.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty && batch.size < 40, s"sample should be proper: ${batch.size}")
+      assert(batch.forall(_._3.contains("<EMAIL>")))
+    } finally q.stop()
+  }
+
   test("within-batch gap splits produce multiple sessions immediately") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
