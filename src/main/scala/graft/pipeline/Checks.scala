@@ -126,9 +126,55 @@ object Checks {
       .filter(col("n") === 0)
   })
 
+  /** Smoke: the catalog's required objects exist — the reference's
+    * REQUIRED_TABLES core list, layer by layer (offending rows = missing
+    * tables; reference `post_deploy_smoke_checks.py:21-41,311-326`). */
+  val requiredObjects: Check = Check("required_objects_exist", "error", lake => {
+    import lake.spark.implicits._
+    val required = Seq(
+      "bronze" -> "run_context_log", "bronze" -> "channels_raw", "bronze" -> "videos_raw",
+      "bronze" -> "analytics_channel_daily_raw", "bronze" -> "analytics_video_daily_raw",
+      "silver" -> "silver_channels", "silver" -> "silver_videos",
+      "silver" -> "fact_channel_daily_metrics", "silver" -> "fact_video_daily_metrics",
+      "gold" -> "gold_channel_daily_summary", "gold" -> "gold_video_daily_summary",
+      "gold" -> "gold_video_country_daily_summary", "gold" -> "gold_video_device_daily_summary",
+      "gold" -> "gold_video_traffic_source_daily_summary")
+    required.filterNot { case (l, t) => lake.exists(l, t) }.toDF("layer", "table_name")
+  })
+
+  /** Smoke: the most recent pipeline run (by finalize-else-ingest time)
+    * finished `success`; a missing or empty run log offends too, matching
+    * the reference's None-is-an-error handling
+    * (`post_deploy_smoke_checks.py:240-255,328-341`). */
+  val latestRunSuccess: Check = Check("latest_run_status_success", "error", lake => {
+    import lake.spark.implicits._
+    if (!lake.exists("bronze", "run_context_log"))
+      Seq("missing: run_context_log").toDF("run_status")
+    else {
+      val latest = lake.table("bronze", "run_context_log")
+        .orderBy(coalesce(col("finalized_ts_utc"), col("ingest_ts_utc")).desc)
+        .limit(1)
+      if (latest.isEmpty) Seq("empty: run_context_log").toDF("run_status")
+      else latest.filter(lower(col("run_status")) =!= "success").select(col("run_status"))
+    }
+  })
+
+  /** The in-pipeline suite (dbt tests + gold smoke): what the reference's
+    * `dbt_test.py` task runs as part of a job. `latestRunSuccess` is NOT
+    * here — mid-run the in-flight row cannot be success yet. */
   def all(asOf: Date, maxLagDays: Int = 7): Seq[Check] =
     uniqueness ++ Seq(metricsNonNegative, freshness(asOf, maxLagDays), deviceTypeAccepted) ++
-      relationships ++ notNulls ++ Seq(newTrafficSources, goldNonEmpty)
+      relationships ++ notNulls ++ Seq(newTrafficSources, goldNonEmpty, requiredObjects)
+
+  /** The post-deploy smoke set (reference `post_deploy_smoke_checks.py` —
+    * a separate script run AFTER the job finalizes, which is why the
+    * latest-run gate belongs here and not in [[all]]). */
+  def smoke(asOf: Date, maxLagDays: Int = 7): Seq[Check] =
+    Seq(requiredObjects, latestRunSuccess, goldNonEmpty, freshness(asOf, maxLagDays))
+
+  /** Run the post-deploy smoke checks; (name, severity, offendingRowCount). */
+  def runSmoke(lake: Lakehouse, asOf: Date, maxLagDays: Int = 7): Seq[(String, String, Long)] =
+    smoke(asOf, maxLagDays).map(c => (c.name, c.severity, c.run(lake).count()))
 
   /** Run checks; returns (name, severity, offendingRowCount). */
   def run(lake: Lakehouse, asOf: Date, maxLagDays: Int = 7): Seq[(String, String, Long)] =

@@ -298,4 +298,29 @@ class PipelineSpec extends SparkSpec {
     assert(r1.getAs[String]("run_status") == "success")
     assert(r1.getAs[java.sql.Timestamp]("finalized_ts_utc") != null)
   }
+
+  test("smoke checks offend on an empty lake: missing objects, no run log") {
+    val empty = new Lakehouse(spark, Files.createTempDirectory("graft-empty").toString)
+    assert(Checks.requiredObjects.run(empty).count() == 14) // all required missing
+    val status = Checks.latestRunSuccess.run(empty).collect().map(_.getString(0))
+    assert(status.toSeq == Seq("missing: run_context_log"))
+  }
+
+  test("post-deploy smoke: clean after a finalized pipeline; offends on a failed latest run") {
+    refreshed
+    val clean = Checks.runSmoke(lake, d("2025-06-03"))
+    assert(clean.forall(_._3 == 0L), s"smoke failures: $clean")
+    // a FAILED run finalized later than run1/run2 must trip the check; undo after
+    val ctxF = Bronze.RunContext("runF", "reqF", d("2025-06-04"), ts("2025-06-04 10:00:00"))
+    Bronze.logRunStart(lake, ctxF, """{"mode":"auto"}""")
+    Bronze.finalizeRun(lake, "runF", "failed", ts("2025-06-04 10:05:00"))
+    try {
+      val bad = Checks.latestRunSuccess.run(lake).collect().map(_.getString(0))
+      assert(bad.toSeq == Seq("failed"))
+    } finally {
+      // remove the failed run so later tests see a successful latest run
+      lake.deleteByRunId("run_context_log", "runF")
+      assert(Checks.latestRunSuccess.run(lake).isEmpty)
+    }
+  }
 }
