@@ -127,6 +127,27 @@ object Multimodal {
     }
   }
 
+  final case class AudioWindow(
+      asset_id: Long, window_idx: Int, n_samples: Int, sum_amp: Long, peak_amp: Int)
+
+  /** Audio windowing: decode PCM samples and slice into fixed-size analysis
+    * windows with per-window amplitude stats (exact integer sum + peak, so
+    * any engine reproduces them bit-for-bit). Pure flatMap over audio
+    * assets — no shuffle; window count is bounded by samples/windowSamples.
+    * The real-codec swap point is the same [[MediaDecoder]] seam. */
+  def audioWindows(
+      assets: Dataset[MediaAsset], decoder: MediaDecoder,
+      windowSamples: Int = 256): Dataset[AudioWindow] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "audio").flatMap { a =>
+      val s = decoder.decodeAudio(a.content, a.meta)
+      s.grouped(windowSamples).zipWithIndex.map { case (w, i) =>
+        AudioWindow(a.asset_id, i, w.length,
+          w.map(_.toLong).sum, w.map(x => math.abs(x.toInt)).max)
+      }
+    }
+  }
+
   /** Resize plumbing: recompute metadata + stub-resample pixels through the
     * decoder. Plan shape (per-row map over binary + struct) is what a codec
     * resize looks like. */

@@ -70,5 +70,42 @@ object MultimodalQueries {
       GROUP BY asset_id
       ORDER BY asset_id"""))
 
-  val all: Seq[GraftQuery] = Seq(m01BinaryStats, m02FrameStats)
+  /** Audio-window stats through the typed path (`assetsFromDocuments` →
+    * `audioWindows`): PCM decode (stubbed, deterministic byte arithmetic),
+    * fixed 256-sample windows, exact integer amplitude sum + peak per
+    * window. The oracle recomputes the decode from first principles —
+    * sample_i = byte(2i mod len)·256 + byte((2i+1) mod len) over the ASCII
+    * payload — so the hash-match pins decode, windowing, and stats. */
+  val m03AudioWindows = GraftQuery(
+    "m03_audio_windows",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.audioWindows(
+          Multimodal.assetsFromDocuments(table(s, dir, "documents")),
+          Multimodal.MediaDecoder.Fake)
+        .toDF()
+        .select(col("asset_id"), col("window_idx"), col("n_samples"),
+          col("sum_amp"), col("peak_amp"))
+        .orderBy(col("asset_id"), col("window_idx"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, text,
+               octet_length(encode(text)) AS len
+        FROM documents WHERE doc_id % 3 = 1),
+      s AS (
+        SELECT asset_id, i,
+               ascii(substr(text, CAST(((2*i) % len) + 1 AS INT), 1)) * 256
+                 + ascii(substr(text, CAST(((2*i + 1) % len) + 1 AS INT), 1)) AS samp
+        FROM a, LATERAL unnest(range(0, greatest(len // 2, 1))) AS t(i))
+      SELECT asset_id,
+             CAST(i // 256 AS INT) AS window_idx,
+             CAST(COUNT(*) AS INT) AS n_samples,
+             CAST(SUM(samp) AS BIGINT) AS sum_amp,
+             CAST(MAX(abs(samp)) AS INT) AS peak_amp
+      FROM s
+      GROUP BY asset_id, i // 256
+      ORDER BY asset_id, window_idx"""))
+
+  val all: Seq[GraftQuery] = Seq(m01BinaryStats, m02FrameStats, m03AudioWindows)
 }

@@ -70,4 +70,23 @@ class MultimodalSpec extends SparkSpec {
     val orig = assets.filter(_.kind == "audio").head()
     assert(audio.content.toSeq == orig.content.toSeq)
   }
+
+  test("audio windows partition the decoded samples; stats match a direct decode") {
+    import spark.implicits._
+    val assets = assetsFromDocuments(
+      graft.Graft.table(spark, "/root/testdata/sf0.001", "documents"))
+    val windows = audioWindows(assets, MediaDecoder.Fake, windowSamples = 64)
+      .collect().groupBy(_.asset_id)
+    val audio = assets.filter(_.kind == "audio").collect()
+    assert(audio.nonEmpty && windows.keySet == audio.map(_.asset_id).toSet)
+    audio.foreach { a =>
+      val s = MediaDecoder.Fake.decodeAudio(a.content, a.meta)
+      val ws = windows(a.asset_id).sortBy(_.window_idx)
+      assert(ws.map(_.n_samples).sum == s.length, s"windows must partition samples")
+      assert(ws.map(_.window_idx).toSeq == ws.indices.toSeq)
+      assert(ws.init.forall(_.n_samples == 64), "only the last window may be short")
+      assert(ws.map(_.sum_amp).sum == s.map(_.toLong).sum)
+      assert(ws.map(_.peak_amp).max == s.map(x => math.abs(x.toInt)).max)
+    }
+  }
 }
