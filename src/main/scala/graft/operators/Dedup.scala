@@ -202,8 +202,9 @@ object Dedup {
   def cappedCandidatePairs(
       base: DataFrame,
       maxDocFreqFraction: Double = DefaultMaxDocFreqFraction,
-      maxDocFreqAbsolute: Long = DefaultMaxDocFreqAbsolute): DataFrame = {
-    val sh = base.select(col("doc_id"), explode(col("hset")).as("h"))
+      maxDocFreqAbsolute: Long = DefaultMaxDocFreqAbsolute,
+      minJaccard: Double = 0.0): DataFrame = {
+    val sh = base.select(col("doc_id"), size(col("hset")).as("nh"), explode(col("hset")).as("h"))
     // corpus size as a broadcast 1-row scalar — no driver action
     val nDocs = base.agg(count(lit(1)).as("n_docs"))
     val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -213,6 +214,11 @@ object Dedup {
     val capped = sh.join(rare, "h")
     capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      // same exact size-ratio prune as the LSH path: J ≤ min/max, so a pair
+      // this lopsided can never reach minJaccard — dropped BEFORE the
+      // distinct and the array-shipping verify joins, output unchanged
+      .filter(least(col("a.nh"), col("b.nh")).cast("double") >=
+        lit(minJaccard) * greatest(col("a.nh"), col("b.nh")).cast("double"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
   }
@@ -243,7 +249,8 @@ object Dedup {
       maxDocFreqFraction: Double = DefaultMaxDocFreqFraction,
       maxDocFreqAbsolute: Long = DefaultMaxDocFreqAbsolute): DataFrame = {
     val base = shingleSets(docs, idCol, textCol)
-    verifyExact(cappedCandidatePairs(base, maxDocFreqFraction, maxDocFreqAbsolute), base, minJaccard)
+    verifyExact(cappedCandidatePairs(base, maxDocFreqFraction, maxDocFreqAbsolute, minJaccard),
+      base, minJaccard)
   }
 
   /** Exact-Jaccard verification kernel: join candidate (id_a, id_b) pairs to

@@ -108,6 +108,22 @@ object Similarity {
       graft.sql.SignPlaneKeys(
         org.apache.spark.sql.graft.ColumnShim.expression(vec), Planes, PlaneBits))
 
+  /** Symmetric int8 quantization scale: max|x| / 127 (1.0 for an all-zero
+    * vector so the quantizer stays total). The storage-side op a training
+    * pipeline runs on embedding columns — 4× smaller vectors at a bounded,
+    * measurable reconstruction error. */
+  def int8Scale(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, v => abs(v.cast("double"))))
+    when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+  }
+
+  /** Round-half-up int8 codes: floor(x/scale + 0.5). Spelled with floor
+    * (identical in every engine) rather than round() so cross-engine
+    * half-way ties cannot diverge. Codes are within [-127, 127] by
+    * construction of the scale. */
+  def int8Codes(vec: Column, scale: Column): Column =
+    transform(vec, v => floor(v.cast("double") / scale + 0.5).cast("int"))
+
   /** Rank scored pairs within each query with a WINDOW: cosine DESC,
     * neighbor ASC, keep rank ≤ k. Kept as the executable specification the
     * bounded-aggregate plan is parity-tested against — the window shuffles

@@ -137,5 +137,59 @@ object SimilarityQueries {
     s01BruteForceTopK.oracle,
     bench = true)
 
-  val all: Seq[GraftQuery] = Seq(s01BruteForceTopK, s02LshTopK, s03BruteForceTopKAgg)
+  /** Symmetric int8 quantization of the embedding column (scale = max|x|/127,
+    * round-half-up codes spelled as floor(x/s + 0.5) so no engine's round()
+    * tie-breaking can diverge): per-vector scale, exact integer code sum,
+    * max |code|, and max reconstruction error. The 4×-compression storage
+    * op a training pipeline applies before shipping embeddings; per-row, no
+    * shuffle. */
+  val s04Int8Quantize = GraftQuery(
+    "s04_int8_quantize",
+    (s, dir) => {
+      val x = col("embedding")
+      val scale = Similarity.int8Scale(x)
+      val q = Similarity.int8Codes(x, col("scale"))
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), x.as("embedding"), scale.as("scale"))
+        .select(col("vec_id"), col("embedding"), col("scale"), q.as("q"))
+        // NOTE: rounding `scale` must happen in a LATER projection — Spark's
+        // lateral-column-alias resolution would otherwise bind the
+        // col("scale") inside the error expression to a same-select
+        // `round(scale, 6).as("scale")` alias, silently quantizing the
+        // reconstruction math (caught by the oracle hash gate).
+        .select(
+          col("vec_id"),
+          col("scale"),
+          aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("sum_q"),
+          array_max(transform(col("q"), v => abs(v))).as("max_abs_q"),
+          round(array_max(zip_with(col("embedding"), col("q"),
+            (v, qq) => abs(v.cast("double") - qq.cast("double") * col("scale")))), 6).as("max_err"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          col("sum_q"), col("max_abs_q"), col("max_err"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH scaled AS (
+        SELECT vec_id, embedding,
+               CASE WHEN list_aggregate(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))), 'max') = 0
+                    THEN 1.0
+                    ELSE list_aggregate(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))), 'max') / 127.0
+               END AS scale
+        FROM embeddings),
+      coded AS (
+        SELECT vec_id, embedding, scale,
+               list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS INT)) AS q
+        FROM scaled)
+      SELECT vec_id,
+             round(scale, 6) AS scale,
+             CAST(list_aggregate(q, 'sum') AS BIGINT) AS sum_q,
+             CAST(list_aggregate(list_transform(q, v -> abs(v)), 'max') AS INT) AS max_abs_q,
+             round(list_aggregate(
+               list_transform(range(1, len(embedding)+1),
+                 i -> abs(CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) * scale)), 'max'), 6) AS max_err
+      FROM coded
+      ORDER BY vec_id"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(s01BruteForceTopK, s02LshTopK, s03BruteForceTopKAgg, s04Int8Quantize)
 }
