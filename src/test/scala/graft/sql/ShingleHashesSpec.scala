@@ -143,6 +143,7 @@ class ShingleHashesSpec extends SparkSpec {
   test("the whole native family is callable from SQL text") {
     val r = spark.sql("""
       SELECT minhash_signature(shingle_hashes('the quick brown fox')) AS sig,
+             minhash_band_keys(shingle_hashes('the quick brown fox')) AS bands,
              simhash_from_tokens(array('the', 'quick', 'fox')) AS sh,
              token_counts(array('a', 'b', 'a')) AS tc,
              float_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
@@ -150,10 +151,11 @@ class ShingleHashesSpec extends SparkSpec {
              sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS isz
     """).collect().head
     assert(r.getSeq[Long](0).length == 24)
-    assert(r.getLong(1) != 0L)
-    assert(r.getMap[String, Long](2) == Map("a" -> 2L, "b" -> 1L))
-    assert(r.getDouble(3) == 11.0)
-    assert(r.getInt(4) == 2)
+    assert(r.getSeq[Long](1).length == 6) // 24 sig rows / 4 per band
+    assert(r.getLong(2) != 0L)
+    assert(r.getMap[String, Long](3) == Map("a" -> 2L, "b" -> 1L))
+    assert(r.getDouble(4) == 11.0)
+    assert(r.getInt(5) == 2)
     val sentences = spark.sql(
       "SELECT sentence_split('One. Two!') AS (sentence_idx, sentence) FROM range(1)")
     assert(sentences.collect().map(_.getString(1)).toSeq == Seq("One", "Two"))
