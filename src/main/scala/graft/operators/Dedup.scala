@@ -163,8 +163,7 @@ object Dedup {
     * self-join branches. Payload is a few KB/doc — the shuffle is orders of
     * magnitude cheaper than the recompute at any scale. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        array_sort(array_distinct(shingleHashes(col(textCol)))).as("hset"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("doc_text"))
       // Explicit partition count (the session's shuffle parallelism — a
       // cluster-config value, not a constant): with a bare repartition(col)
       // AQE coalesces this exchange by BYTE size, and shingle sets are
@@ -173,7 +172,16 @@ object Dedup {
       // AQE shrank the stage to 4 tasks and d04 ran the whole verify on
       // 4 of 32 cores (2.8 s; 1.1 s with parallelism pinned). Byte-sized
       // coalescing is the wrong heuristic for compute-bound stages.
+      //
+      // The shuffle ships RAW TEXT and the hashing runs on the receiving
+      // side: a small fixture file is one scan split, so hashing before
+      // the exchange would run on ONE task no matter the cluster width —
+      // and text is also the smaller payload (the hash set is ~3× the
+      // bytes). At real scale the scan has thousands of splits either
+      // way; post-shuffle compute keeps local benchmarks honest.
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(shingleHashes(col("doc_text")))).as("hset"))
 
   /** Default document-frequency cap for [[jaccardPairs]] candidate
     * generation, as a fraction of corpus size. A shingle present in over
