@@ -241,6 +241,29 @@ class PropertySpec extends SparkSpec {
     assert(ok.isEmpty, "running-total gap inside a bin")
   }
 
+  test("int8 quantization: codes in range, reconstruction error <= scale/2 + cast slack") {
+    import graft.operators.Similarity
+    val rnd = new Random(21)
+    val vecs = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(16)((rnd.nextFloat() - 0.5f) * (1 + rnd.nextInt(100)))))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = df.select($"vec_id", $"embedding",
+        Similarity.int8Scale($"embedding").as("scale"))
+      .select($"vec_id", $"scale",
+        Similarity.int8Codes($"embedding", $"scale").as("q"))
+    val rows = df.join(out, "vec_id").collect()
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1)
+      val scale = r.getDouble(2)
+      val q = r.getSeq[Int](3)
+      assert(q.forall(c => c >= -127 && c <= 127), s"code out of range: $q")
+      emb.zip(q).foreach { case (v, c) =>
+        val err = math.abs(v.toDouble - c * scale)
+        assert(err <= scale / 2 + 1e-9, s"err $err > scale/2 ${scale / 2}")
+      }
+    }
+  }
+
   test("as-of join equals naive latest-at-or-before scan on random data") {
     val rnd = new Random(13)
     for (round <- 1 to 6) {
