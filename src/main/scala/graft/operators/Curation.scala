@@ -29,7 +29,11 @@ object Curation {
     * map to "g", which every hex prefix sorts below. */
   def rateThreshold(rate: Double): String = {
     require(rate >= 0.0, s"rate must be >= 0, got $rate")
-    if (rate >= 1.0) "g" else f"${math.round(rate * 4096)}%03x"
+    val quantized = math.round(rate * 4096)
+    // quantized == 4096 (any rate ≥ 1 - 1/8192) must ALSO map to keep-all:
+    // f"%03x" of 4096 would emit the 4-char "1000", which sorts BELOW most
+    // 3-char hex prefixes and silently inverts the filter to ~6% kept
+    if (quantized >= 4096) "g" else f"$quantized%03x"
   }
 
   /** Deterministic Bernoulli sample: keep rows whose key's 3-hex-digit md5
@@ -85,6 +89,49 @@ object Curation {
       .withColumn("bin", floor((col("running") - col("doc_tokens")) / budget))
   }
 
+  /** THE curation funnel, shared by the oracle-checked query (c06) and the
+    * production job (pipeline.CurationJob) so the two can never
+    * desynchronize: over a (doc_id, text, lang) corpus, returns the named
+    * stages in order — raw → exact-dedup keepers → near-dup cluster drop
+    * (LSH pairs → connected components, non-canonical members removed) →
+    * repetition quality gate → weighted language mix. Stage DataFrames are
+    * lazy except the connected-components label propagation (bounded
+    * iterative joins; see [[connectedComponents]]). */
+  def curationFunnel(
+      docs: DataFrame,
+      weights: Seq[(String, Double)],
+      minJaccard: Double,
+      minDistinctFrac: Double,
+      maxTopBigramFrac: Double): Seq[(String, DataFrame)] = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val keepers = docs
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s1 = docs.join(keepers, Seq("doc_id"), "left_semi")
+    val nonCanonical = connectedComponents(
+        Dedup.lshNearDupPairs(docs, "doc_id", "text", minJaccard))
+      .filter(col("member_id") =!= col("cluster_id"))
+      .select(col("member_id").as("doc_id"))
+    val s2 = s1.join(nonCanonical, Seq("doc_id"), "left_anti")
+    val s3 = s2.filter(
+      round(TextAnalysis.distinctTokenFrac(toks), 6) >= minDistinctFrac &&
+        round(TextAnalysis.topBigramFrac(toks), 6) <= maxTopBigramFrac)
+    val s4 = weightedMix(s3, "lang", "doc_id", weights)
+    Seq("raw" -> docs, "exact_dedup" -> s1, "neardup_clusters" -> s2,
+      "quality_filter" -> s3, "weighted_mix" -> s4)
+  }
+
+  /** Per-stage (stage_idx, stage, docs, tokens) attrition rows for a funnel
+    * — one plan; shared shuffle subtrees are deduplicated by ReuseExchange. */
+  def funnelStats(stages: Seq[(String, DataFrame)]): DataFrame =
+    stages.zipWithIndex.map { case ((name, df), idx) =>
+      df.agg(count(lit(1)).as("docs"),
+          coalesce(sum(TextAnalysis.tokenCount(col("text")).cast("bigint")), lit(0L)).as("tokens"))
+        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("docs"), col("tokens"))
+    }.reduce(_ unionAll _)
+
   /** Connected components over an undirected pair graph (id_a, id_b) by
     * iterative min-label propagation: every node's label becomes the min of
     * its own and its neighbors' labels until a fixpoint. Converges in at
@@ -120,6 +167,15 @@ object Curation {
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
+    // Unconverged labels are WRONG labels (a component split across
+    // cluster_ids — a dedup pipeline would then keep near-duplicates as
+    // "canonical"); failing loudly beats silently degrading. Components
+    // with diameter > maxIter need a higher bound or a star-contraction
+    // variant — propagation distance is the knob, not correctness.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter iterations " +
+          s"($changed labels still improving); raise maxIter for deep chain components")
     labels.select(col("id").as("member_id"), col("label").as("cluster_id"))
   }
 }

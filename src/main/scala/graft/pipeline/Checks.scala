@@ -155,7 +155,12 @@ object Checks {
         .orderBy(coalesce(col("finalized_ts_utc"), col("ingest_ts_utc")).desc)
         .limit(1)
       if (latest.isEmpty) Seq("empty: run_context_log").toDF("run_status")
-      else latest.filter(lower(col("run_status")) =!= "success").select(col("run_status"))
+      // null-safe compare: a crashed run leaves run_status NULL forever
+      // (logRunStart writes null; only finalizeRun fills it) — a plain =!=
+      // evaluates to NULL on that row and the filter would silently PASS
+      // the very runs this check exists to catch
+      else latest.filter(!(lower(col("run_status")) <=> "success"))
+        .select(coalesce(col("run_status"), lit("null: never finalized")).as("run_status"))
     }
   })
 

@@ -3,7 +3,7 @@ package graft.pipeline
 import java.sql.{Date, Timestamp}
 import java.util.UUID
 
-import graft.operators.{Curation, Dedup, TextAnalysis}
+import graft.operators.{Curation, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -55,49 +55,29 @@ object CurationJob {
     var failure: Option[Throwable] = None
     var funnel: Seq[(String, Long, Long)] = Seq.empty
     try {
-      val toks = TextAnalysis.tokens(col("text"))
+      val stages = Curation.curationFunnel(docs, weights, minJaccard,
+        qualityMinDistinctFrac, qualityMaxTopBigramFrac)
 
-      val keepers = docs
-        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val s1 = docs.join(keepers, Seq("doc_id"), "left_semi")
+      // Two actions read the funnel (the survivor materialization and the
+      // stats write); persisting the intermediate stages keeps the
+      // exact-dedup shuffle, the LSH pipeline, and the per-row quality
+      // metrics at ONE execution each instead of once per consumer.
+      val cached = stages.tail.map { case (n, df) => n -> df.persist() }
+      try {
+        lake.materialize("curated", "curated_documents", cached.last._2)
 
-      val nonCanonical = Curation.connectedComponents(
-          Dedup.lshNearDupPairs(docs, "doc_id", "text", minJaccard))
-        .filter(col("member_id") =!= col("cluster_id"))
-        .select(col("member_id").as("doc_id"))
-      val s2 = s1.join(nonCanonical, Seq("doc_id"), "left_anti")
+        val survivors = lake.table("curated", "curated_documents")
+        lake.materialize("curated", "curation_packs",
+          Curation.packSequences(survivors, "doc_id",
+              TextAnalysis.tokenCount(col("text")).cast("bigint"), packBudget, packShards)
+            .select(col("doc_id"), col("shard").cast("bigint").as("shard"), col("bin"),
+              col("doc_tokens")))
 
-      val s3 = s2.filter(
-        round(TextAnalysis.distinctTokenFrac(toks), 6) >= qualityMinDistinctFrac &&
-          round(TextAnalysis.topBigramFrac(toks), 6) <= qualityMaxTopBigramFrac)
-
-      val s4 = Curation.weightedMix(s3, "lang", "doc_id", weights)
-
-      lake.materialize("curated", "curated_documents", s4)
-
-      val survivors = lake.table("curated", "curated_documents")
-      lake.materialize("curated", "curation_packs",
-        Curation.packSequences(survivors, "doc_id",
-            TextAnalysis.tokenCount(col("text")).cast("bigint"), packBudget, packShards)
-          .select(col("doc_id"), col("shard").cast("bigint").as("shard"), col("bin"),
-            col("doc_tokens")))
-
-      def stage(idx: Int, name: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("docs"),
-            coalesce(sum(TextAnalysis.tokenCount(col("text")).cast("bigint")), lit(0L)).as("tokens"))
-          .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
-            col("docs"), col("tokens"))
-
-      val stats = stage(0, "raw", docs)
-        .unionAll(stage(1, "exact_dedup", s1))
-        .unionAll(stage(2, "neardup_clusters", s2))
-        .unionAll(stage(3, "quality_filter", s3))
-        .unionAll(stage(4, "weighted_mix", survivors))
-        .withColumn("run_id", lit(runId))
-        .withColumn("snapshot_date", lit(snapshot))
-      lake.materialize("curated", "curation_funnel_stats", stats)
+        val stats = Curation.funnelStats(stages.head +: cached)
+          .withColumn("run_id", lit(runId))
+          .withColumn("snapshot_date", lit(snapshot))
+        lake.materialize("curated", "curation_funnel_stats", stats)
+      } finally cached.foreach(_._2.unpersist())
 
       funnel = lake.table("curated", "curation_funnel_stats")
         .orderBy(col("stage_idx")).collect()

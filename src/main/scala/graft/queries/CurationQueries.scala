@@ -171,41 +171,11 @@ object CurationQueries {
     * PAIR set (docs with at least one near-dup), never the corpus. */
   val c06CurationFunnel = GraftQuery(
     "c06_curation_funnel",
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val toks = TextAnalysis.tokens(col("text"))
-
-      val keepers = docs
-        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val s1 = docs.join(keepers, Seq("doc_id"), "left_semi")
-
-      val clusters = Curation.connectedComponents(
-        Dedup.lshNearDupPairs(docs, "doc_id", "text", 0.5))
-      val nonCanonical = clusters.filter(col("member_id") =!= col("cluster_id"))
-        .select(col("member_id").as("doc_id"))
-      val s2 = s1.join(nonCanonical, Seq("doc_id"), "left_anti")
-
-      val s3 = s2.filter(
-        round(TextAnalysis.distinctTokenFrac(toks), 6) >= 0.35 &&
-          round(TextAnalysis.topBigramFrac(toks), 6) <= 0.12)
-
-      val s4 = Curation.weightedMix(s3, "lang", "doc_id", MixWeights)
-
-      def stage(idx: Int, name: String, df: org.apache.spark.sql.DataFrame) =
-        df.agg(count(lit(1)).as("docs"),
-            coalesce(sum(TextAnalysis.tokenCount(col("text")).cast("bigint")), lit(0L)).as("tokens"))
-          .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
-            col("docs"), col("tokens"))
-
-      stage(0, "raw", docs)
-        .unionAll(stage(1, "exact_dedup", s1))
-        .unionAll(stage(2, "neardup_clusters", s2))
-        .unionAll(stage(3, "quality_filter", s3))
-        .unionAll(stage(4, "weighted_mix", s4))
-        .orderBy(col("stage_idx"))
-    },
+    (s, dir) =>
+      Curation.funnelStats(
+        Curation.curationFunnel(table(s, dir, "documents"), MixWeights,
+          minJaccard = 0.5, minDistinctFrac = 0.35, maxTopBigramFrac = 0.12))
+        .orderBy(col("stage_idx")),
     Some {
       val dim = MixWeights
         .map { case (l, r) => s"('$l', '${Curation.rateThreshold(r)}')" }

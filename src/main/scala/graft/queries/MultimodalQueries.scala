@@ -75,7 +75,14 @@ object MultimodalQueries {
     * fixed 256-sample windows, exact integer amplitude sum + peak per
     * window. The oracle recomputes the decode from first principles —
     * sample_i = byte(2i mod len)·256 + byte((2i+1) mod len) over the ASCII
-    * payload — so the hash-match pins decode, windowing, and stats. */
+    * payload — so the hash-match pins decode, windowing, and stats.
+    *
+    * Oracle precondition (verified for every fixture SF): the corpus is
+    * pure ASCII, where `ascii(substr(text, i, 1))` IS byte i and bytes are
+    * < 0x80 so the Scala side's signed-short cast never wraps. A non-ASCII
+    * corpus would need a BLOB-indexing oracle; the Scala operator itself is
+    * byte-correct either way. Empty text is guarded with greatest(len, 1)
+    * (the decoder emits one zero sample; ascii('') = 0 matches). */
   val m03AudioWindows = GraftQuery(
     "m03_audio_windows",
     (s, dir) => {
@@ -95,8 +102,8 @@ object MultimodalQueries {
         FROM documents WHERE doc_id % 3 = 1),
       s AS (
         SELECT asset_id, i,
-               ascii(substr(text, CAST(((2*i) % len) + 1 AS INT), 1)) * 256
-                 + ascii(substr(text, CAST(((2*i + 1) % len) + 1 AS INT), 1)) AS samp
+               ascii(substr(text, CAST(((2*i) % greatest(len, 1)) + 1 AS INT), 1)) * 256
+                 + ascii(substr(text, CAST(((2*i + 1) % greatest(len, 1)) + 1 AS INT), 1)) AS samp
         FROM a, LATERAL unnest(range(0, greatest(len // 2, 1))) AS t(i))
       SELECT asset_id,
              CAST(i // 256 AS INT) AS window_idx,

@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Value-identical to `Dedup.bandKeys(Dedup.minhashSignatureHof(hset))`
   * (fold acc = (acc·31 + min_j) mod P over each band's rows) — parity spec
   * in ShingleHashesSpec. Empty-array inputs inherit the
-  * [[MinHashSignature]] totality contract (min_j = b_j mod P). */
+  * [[MinHashSignature]] totality contract (min_j = b_j mod P). Like its
+  * sibling, the input contract is hash-expression output (element nulls
+  * never occur); a null element fed via the raw SQL registration reads as
+  * 0 here where the HOF spelling would null-poison — do not feed
+  * hand-built arrays with nulls. */
 case class MinHashBandKeys(child: Expression, a: Seq[Long], b: Seq[Long], rowsPerBand: Int)
     extends UnaryExpression {
 

@@ -13,6 +13,12 @@ class CurationSpec extends SparkSpec {
     assert(Curation.rateThreshold(1.0) == "g")
     // every hex prefix sorts below "g"
     assert("fff" < "g")
+    // rates that ROUND to 4096 must also keep-all: the 4-char "1000" would
+    // sort below most 3-char prefixes and invert the filter to ~6% kept
+    assert(Curation.rateThreshold(0.9999) == "g")
+    assert(Curation.rateThreshold(0.99987) == "fff")
+    val df = (1L to 400L).toDF("id")
+    assert(Curation.hashSample(df, "id", 0.9999).count() == 400)
   }
 
   test("hashSample is deterministic and partition-layout-independent") {

@@ -80,19 +80,24 @@ class TextAnalysisSpec extends SparkSpec {
       ("two mails a@b.io c.d@e.co.uk, phone (212) 555-0188 and +1 646.555.0199", 2, 2),
       ("no pii here", 0, 0)
     ).toDF("text", "emails", "phones")
+    val scrub = TextAnalysis.redactPhones(TextAnalysis.redactEmails(col("text")))
     val checked = df.select(
       TextAnalysis.patternHits(col("text"), TextAnalysis.EmailPattern).as("e"),
       TextAnalysis.patternHits(col("text"), TextAnalysis.PhonePattern).as("p"),
-      TextAnalysis.redactPhones(TextAnalysis.redactEmails(col("text"))).as("scrubbed"),
+      scrub.as("scrubbed"),
+      // re-scan the SCRUBBED text: zero pattern hits may survive redaction
+      TextAnalysis.patternHits(scrub, TextAnalysis.EmailPattern).as("e_left"),
+      TextAnalysis.patternHits(scrub, TextAnalysis.PhonePattern).as("p_left"),
       col("emails"), col("phones")).collect()
     checked.foreach { r =>
-      assert(r.getInt(0) == r.getInt(3), s"emails: $r")
-      assert(r.getInt(1) == r.getInt(4), s"phones: $r")
-      val s = r.getString(2)
-      assert(!s.contains("@") || r.getInt(0) == 0, s"unredacted email in: $s")
-      assert(TextAnalysis.patternHits(lit(s), TextAnalysis.PhonePattern) != null)
+      assert(r.getInt(0) == r.getInt(5), s"emails: $r")
+      assert(r.getInt(1) == r.getInt(6), s"phones: $r")
+      assert(r.getInt(3) == 0, s"email survived redaction: ${r.getString(2)}")
+      assert(r.getInt(4) == 0, s"phone survived redaction: ${r.getString(2)}")
     }
     val scrubbed = checked(0).getString(2)
     assert(scrubbed == "contact <EMAIL> or call <PHONE> now")
+    assert(checked(1).getString(2) ==
+      "two mails <EMAIL> <EMAIL>, phone <PHONE> and <PHONE>")
   }
 }
