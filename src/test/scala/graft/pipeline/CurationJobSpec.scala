@@ -37,6 +37,19 @@ class CurationJobSpec extends SparkSpec {
     assert(Checks.latestRunSuccess.run(lake).isEmpty)
   }
 
+  test("a failing stage marks the run failed and still finalizes the run log") {
+    val failLake = new Lakehouse(spark, Files.createTempDirectory("graft-curfail").toString)
+    // corpus without the `lang` column the weighted mix strata need
+    val broken = docs.drop("lang")
+    val report = CurationJob.run(failLake, broken, weights,
+      now = ts("2025-06-03 10:00:00"), runId = "curX")
+    assert(report.status == "failed")
+    assert(report.error.isDefined)
+    // ALL_DONE semantics: the run log row records the failure
+    val bad = Checks.latestRunSuccess.run(failLake).collect().map(_.getString(0))
+    assert(bad.toSeq == Seq("failed"))
+  }
+
   test("re-run is idempotent: identical curated subset, fresh funnel stamp") {
     val before = lake.table("curated", "curated_documents")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq

@@ -170,4 +170,13 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$name: unexpected join\n$p")
     }
   }
+
+  test("d04: the shingle barrier pins an explicit partition count (AQE must not byte-coalesce it)") {
+    // the barrier feeds the compute-bound band-join + intersect-verify
+    // pipeline; a bare repartition(col) gets byte-coalesced by AQE down to
+    // a handful of tasks (measured: 4 of 32 cores, 2.8x slower d04).
+    // REPARTITION_BY_NUM marks the user-pinned width AQE must honor.
+    val p = simplePlan(q("d04_minhash_lsh_pairs"))
+    assert(p.contains("REPARTITION_BY_NUM"), p)
+  }
 }
