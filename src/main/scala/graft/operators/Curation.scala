@@ -89,6 +89,16 @@ object Curation {
       .withColumn("bin", floor((col("running") - col("doc_tokens")) / budget))
   }
 
+  /** Per-stratum top-n by a SCORE (descending, key tie-break) — the
+    * "keep the best n of each source" selection, vs [[stratifiedSample]]'s
+    * unbiased hash order. Same single-shuffle bounded-output shape. */
+  def qualityTopN(df: DataFrame, stratumCol: String, scoreCol: Column,
+      keyCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol)).orderBy(scoreCol.desc, col(keyCol))
+    df.withColumn("quality_rank", row_number().over(w)).filter(col("quality_rank") <= n)
+  }
+
   /** THE curation funnel, shared by the oracle-checked query (c06) and the
     * production job (pipeline.CurationJob) so the two can never
     * desynchronize: over a (doc_id, text, lang) corpus, returns the named

@@ -237,7 +237,50 @@ object CurationQueries {
       ORDER BY stage_idx"""
     })
 
+  /** Quality-ranked stratified selection: the top-3 documents per source by
+    * the t03 quality score (desc, doc_id tie-break) — "keep the best of
+    * each source", the biased counterpart of c02's unbiased hash sample.
+    * One shuffle on the stratum, output bounded at n per stratum. The
+    * oracle restates the identical quality arithmetic (same formula as
+    * t03's) plus the window. */
+  val c07QualityTopPerSource = GraftQuery(
+    "c07_quality_top_per_source",
+    (s, dir) =>
+      Curation.qualityTopN(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              TextAnalysis.qualityScore(col("text")).as("quality")),
+          "source", col("quality"), "doc_id", 3)
+        .select(col("source"), col("quality_rank").cast("bigint").as("quality_rank"),
+          col("doc_id"), col("quality"))
+        .orderBy(col("source"), col("quality_rank")),
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source,
+          CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS DOUBLE) AS n_tok,
+          CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+            / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+          CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+            t -> t IN ('the','a','of','and','to','in','is','it','that','for',
+                       'el','la','de','y','que','los','un','es','en','se',
+                       'der','die','das','und','ist','ein','zu','den','mit','nicht',
+                       'le','la','de','et','est','les','un','une','du','pour'))) AS DOUBLE) AS stop_hits
+        FROM documents),
+      scored AS (
+        SELECT doc_id, source,
+               round(least(n_tok / 50.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3
+                     + stop_hits / greatest(n_tok, 1.0) * 0.3, 6) AS quality
+        FROM base),
+      ranked AS (
+        SELECT source, doc_id, quality,
+               row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS quality_rank
+        FROM scored)
+      SELECT source, CAST(quality_rank AS BIGINT) AS quality_rank, doc_id, quality
+      FROM ranked
+      WHERE quality_rank <= 3
+      ORDER BY source, quality_rank"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
-      c05NearDupClusters, c06CurationFunnel)
+      c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource)
 }
