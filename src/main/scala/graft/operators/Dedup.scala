@@ -281,6 +281,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric containment pairs: containment(A in B) = |A∩B| / |A| over
+    * distinct shingle sets — the "quoted/partial copy" detector symmetric
+    * Jaccard misses (a 100-shingle doc fully quoted inside a 10k-shingle
+    * doc has J ≈ 0.01 but containment 1.0). Candidates come from the same
+    * df-capped inverted index as [[jaccardPairs]] but WITHOUT the
+    * size-ratio prune — lopsided pairs are exactly the signal here. The
+    * smaller set is always the contained side (ties: lower id contained).
+    * Same bounded-verify shape: exact two-pointer intersect per candidate. */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String, minContainment: Double,
+      maxDocFreqFraction: Double = DefaultMaxDocFreqFraction,
+      maxDocFreqAbsolute: Long = DefaultMaxDocFreqAbsolute): DataFrame = {
+    def sortedIntersectSize(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.ColumnShim.column(
+        graft.sql.SortedIntersectSize(
+          org.apache.spark.sql.graft.ColumnShim.expression(a),
+          org.apache.spark.sql.graft.ColumnShim.expression(b)))
+    val base = shingleSets(docs, idCol, textCol)
+    cappedCandidatePairs(base, maxDocFreqFraction, maxDocFreqAbsolute)
+      .join(base.select(col("doc_id").as("id_a"), col("hset").as("hs_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("hset").as("hs_b")), "id_b")
+      .withColumn("shared", sortedIntersectSize(col("hs_a"), col("hs_b")).cast("double"))
+      .withColumn("containment",
+        col("shared") / least(size(col("hs_a")), size(col("hs_b"))).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(
+        when(size(col("hs_a")) <= size(col("hs_b")), col("id_a")).otherwise(col("id_b"))
+          .as("contained_id"),
+        when(size(col("hs_a")) <= size(col("hs_b")), col("id_b")).otherwise(col("id_a"))
+          .as("container_id"),
+        col("containment"))
+  }
+
   /** MinHash-LSH near-dup pairs: signature → band keys → bucket self-join →
     * size-ratio prune → distinct candidates → exact Jaccard verify →
     * threshold. No all-pairs product anywhere; the only shuffles are the

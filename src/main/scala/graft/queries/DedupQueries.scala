@@ -183,6 +183,46 @@ object DedupQueries {
       FROM th_t
       ORDER BY doc_id"""))
 
+  /** Asymmetric containment dedup (containment of the smaller shingle set
+    * in the larger ≥ 0.6): catches quoted/partially-copied text whose
+    * symmetric Jaccard stays low. Same df-capped candidates as d02 but NO
+    * size-ratio prune — lopsided pairs are the signal. */
+  val d07ContainmentPairs = GraftQuery(
+    "d07_containment_pairs",
+    (s, dir) =>
+      Dedup.containmentPairs(table(s, dir, "documents"), "doc_id", "text", 0.6)
+        .select(col("contained_id"), col("container_id"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(col("contained_id"), col("container_id")),
+    Some(s"""
+      WITH codes_t AS (
+        SELECT doc_id, $duckCodes AS codes, text FROM documents),
+      hs_t AS (
+        SELECT doc_id, list_distinct($duckShingleHashes) AS hset FROM codes_t),
+      sh AS (SELECT doc_id, unnest(hset) AS h FROM hs_t),
+      rare AS (
+        SELECT h FROM sh GROUP BY h
+        HAVING COUNT(*) <= least((SELECT COUNT(*) FROM hs_t) * ${Dedup.DefaultMaxDocFreqFraction},
+                                 ${Dedup.DefaultMaxDocFreqAbsolute}.0)),
+      shc AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id),
+      ver AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE) AS shared,
+               len(ha.hset) AS na, len(hb.hset) AS nb
+        FROM cand JOIN hs_t ha ON id_a = ha.doc_id JOIN hs_t hb ON id_b = hb.doc_id),
+      scored AS (
+        SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS contained_id,
+               CASE WHEN na <= nb THEN id_b ELSE id_a END AS container_id,
+               shared / CAST(least(na, nb) AS DOUBLE) AS containment
+        FROM ver)
+      SELECT contained_id, container_id, round(containment, 6) AS containment
+      FROM scored
+      WHERE containment >= 0.6
+      ORDER BY contained_id, container_id"""))
+
   /** Embedding-cosine near-dup pairs (cos ≥ 0.4) — brute-force double-math
     * fold, deterministic across engines. Scale path is the bucketed ANN in
     * SimilarityQueries; this is the exact verifier. */
@@ -219,5 +259,5 @@ object DedupQueries {
 
   val all: Seq[GraftQuery] = Seq(
     d01ExactDedup, d02JaccardPairs, d03MinhashSignatures,
-    d04LshNearDup, d05Simhash, d06EmbeddingNearDup)
+    d04LshNearDup, d05Simhash, d06EmbeddingNearDup, d07ContainmentPairs)
 }

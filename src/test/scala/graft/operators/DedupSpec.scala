@@ -107,4 +107,27 @@ class DedupSpec extends SparkSpec {
     val want = docs.select("text").collect().map(r => ref(r.getString(0)))
     assert(got.toSeq == want.toSeq)
   }
+
+  test("containment finds a quoted snippet that symmetric Jaccard misses") {
+    import spark.implicits._
+    val snippet = "the unique quoted passage appears verbatim here"
+    val bigHost = snippet + " " +
+      (1 to 40).map(i => s"surrounding filler sentence number $i with extra words").mkString(" ")
+    val fixture = Seq(
+      (1L, snippet),               // small doc
+      (2L, bigHost),               // contains the snippet verbatim
+      (3L, "totally unrelated content about other things entirely")
+    ).toDF("doc_id", "text")
+    // symmetric Jaccard at 0.5 cannot see the pair (small ∩ big ≪ union)
+    val jac = Dedup.jaccardPairs(fixture, "doc_id", "text", 0.5, maxDocFreqFraction = 1.0)
+      .collect()
+    assert(!jac.exists(r => Set(r.getLong(0), r.getLong(1)) == Set(1L, 2L)), jac.mkString)
+    // containment sees it at ~1.0, with the small doc as the contained side
+    val cont = Dedup.containmentPairs(fixture, "doc_id", "text", 0.9,
+        maxDocFreqFraction = 1.0)
+      .select($"contained_id", $"container_id", $"containment")
+      .as[(Long, Long, Double)].collect()
+    assert(cont.exists { case (c, h, v) => c == 1L && h == 2L && v >= 0.99 },
+      cont.mkString(","))
+  }
 }
