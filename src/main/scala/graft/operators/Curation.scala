@@ -89,6 +89,29 @@ object Curation {
       .withColumn("bin", floor((col("running") - col("doc_tokens")) / budget))
   }
 
+  /** Token-quota mixing: take documents per stratum in deterministic hash
+    * order until the stratum's TOKEN budget fills — how LLM data recipes
+    * are actually specified ("N tokens of source X"), vs the rate-based
+    * [[weightedMix]]. A doc is kept iff the running total BEFORE it is
+    * under budget, so overshoot is bounded by one document and a stratum
+    * with less data than its quota contributes everything it has. One
+    * bounded window shuffle on the stratum; quotas broadcast as an inline
+    * dim. Unlisted strata drop (whitelist, like weightedMix). */
+  def tokenQuotaMix(df: DataFrame, stratumCol: String, keyCol: String,
+      tokenCol: Column, quotas: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = quotas.toDF(stratumCol, "token_quota")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(hashKey(col(keyCol)), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(dim), stratumCol)
+      .withColumn("doc_tokens", tokenCol)
+      .withColumn("running", sum(col("doc_tokens")).over(w))
+      .filter(col("running") - col("doc_tokens") < col("token_quota"))
+      .drop("token_quota", "running")
+  }
+
   /** Per-stratum top-n by a SCORE (descending, key tie-break) — the
     * "keep the best n of each source" selection, vs [[stratifiedSample]]'s
     * unbiased hash order. Same single-shuffle bounded-output shape. */

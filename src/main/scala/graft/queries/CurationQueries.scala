@@ -280,7 +280,50 @@ object CurationQueries {
       WHERE quality_rank <= 3
       ORDER BY source, quality_rank"""))
 
+  /** Token quotas for c08 — binding for every language at sf0.01 (each
+    * stratum holds more tokens than its quota), so the op's cut logic is
+    * exercised on all strata. */
+  val TokenQuotas: Seq[(String, Long)] = Seq(
+    "en" -> 4000L, "de" -> 1500L, "es" -> 1200L, "fr" -> 1200L, "zh" -> 800L)
+
+  /** Token-quota mixing: per-language token budgets filled in deterministic
+    * hash order (the recipe-shaped mix — "N tokens of X"), reported as
+    * kept docs + kept tokens per language. Overshoot is bounded by one
+    * document per stratum; the oracle restates the identical running-sum
+    * cut. */
+  val c08TokenQuotaMix = GraftQuery(
+    "c08_token_quota_mix",
+    (s, dir) =>
+      Curation.tokenQuotaMix(table(s, dir, "documents"), "lang", "doc_id",
+          TextAnalysis.tokenCount(col("text")).cast("bigint"), TokenQuotas)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept_docs"), sum(col("doc_tokens")).as("kept_tokens"))
+        .orderBy(col("lang")),
+    Some {
+      val dim = TokenQuotas.map { case (l, q) => s"('$l', $q)" }.mkString(", ")
+      s"""
+      WITH quotas(lang, token_quota) AS (VALUES $dim),
+      sized AS (
+        SELECT d.doc_id, d.lang, q.token_quota,
+               CAST(len(list_filter(string_split_regex(d.text, '\\s+'), t -> t <> '')) AS BIGINT) AS doc_tokens
+        FROM documents d JOIN quotas q ON d.lang = q.lang),
+      run AS (
+        SELECT lang, token_quota, doc_tokens,
+               SUM(doc_tokens) OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        FROM sized)
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS kept_docs,
+             CAST(SUM(doc_tokens) AS BIGINT) AS kept_tokens
+      FROM run
+      WHERE running - doc_tokens < token_quota
+      GROUP BY lang
+      ORDER BY lang"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
-      c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource)
+      c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
+      c08TokenQuotaMix)
 }

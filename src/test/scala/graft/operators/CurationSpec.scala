@@ -80,6 +80,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("tokenQuotaMix fills each quota within one doc's overshoot; small strata give all") {
+    val df = Seq.tabulate(120)(i => (i.toLong, s"s${i % 3}", 10L + i % 7))
+      .toDF("id", "stratum", "tok")
+    // s0/s1 hold ~40 docs × ~13 tokens ≈ 520 tokens; quota 200 binds.
+    // s2's quota (100000) exceeds its supply → everything kept.
+    val quotas = Seq("s0" -> 200L, "s1" -> 200L, "s2" -> 100000L)
+    val mixed = Curation.tokenQuotaMix(df, "stratum", "id", col("tok"), quotas)
+      .groupBy($"stratum").agg(sum($"doc_tokens").as("t"), max($"doc_tokens").as("m"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    Seq("s0", "s1").foreach { s =>
+      val (tot, maxDoc) = mixed(s)
+      assert(tot >= 200 && tot < 200 + maxDoc, s"$s: $tot not in [200, 200+$maxDoc)")
+    }
+    val supply2 = df.filter($"stratum" === "s2").agg(sum($"tok")).as[Long].head()
+    assert(mixed("s2")._1 == supply2, "under-supplied stratum must contribute everything")
+  }
+
   test("connectedComponents resolves a chain (multi-iteration) and isolates") {
     // chain 1-2-3-4-5 forces label 1 to propagate over several iterations;
     // 10-11 is a separate component; pair input uses id_a < id_b
