@@ -162,7 +162,7 @@ object Dedup {
     * materializes the array once and ReuseExchange shares it across
     * self-join branches. Payload is a few KB/doc — the shuffle is orders of
     * magnitude cheaper than the recompute at any scale. */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(textCol).as("doc_text"))
       // Explicit partition count (the session's shuffle parallelism — a
       // cluster-config value, not a constant): with a bare repartition(col)
@@ -181,7 +181,7 @@ object Dedup {
       // way; post-shuffle compute keeps local benchmarks honest.
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"),
-        array_sort(array_distinct(shingleHashes(col("doc_text")))).as("hset"))
+        array_sort(array_distinct(shingleHashes(col("doc_text"), n))).as("hset"))
 
   /** Default document-frequency cap for [[jaccardPairs]] candidate
     * generation, as a fraction of corpus size. A shingle present in over
@@ -312,6 +312,31 @@ object Dedup {
         when(size(col("hs_a")) <= size(col("hs_b")), col("id_b")).otherwise(col("id_a"))
           .as("container_id"),
         col("containment"))
+  }
+
+  /** Benchmark decontamination scan: for every corpus document, the
+    * fraction of its distinct LONG shingles that appear ANYWHERE in the
+    * eval (benchmark) corpus — the pre-training hygiene check that catches
+    * test data leaked into training data. The window is LONG by design
+    * (default 40 chars ≈ a 13-token run, the standard decontamination
+    * n-gram scale): overlap then requires VERBATIM runs, where short
+    * shingles merely measure vocabulary overlap (measured on the fixture:
+    * 5-char shingles flag 100% of the corpus at 0.92 mean "contamination";
+    * 40-char windows flag only genuine verbatim sharing). The eval shingle
+    * vocabulary is small relative to the corpus (benchmarks are), so it
+    * BROADCASTS and the corpus is scanned once with no shuffle of document
+    * payloads; the only exchange is the per-doc hit-count aggregate.
+    * Returns (doc_id, n_shingles, eval_hits). */
+  def contaminationScan(
+      corpus: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 40): DataFrame = {
+    val evalHashes = shingleSets(evalSet, idCol, textCol, shingleLen)
+      .select(explode(col("hset")).as("h")).distinct()
+    val base = shingleSets(corpus, idCol, textCol, shingleLen)
+    base.select(col("doc_id"), size(col("hset")).as("n_shingles"), explode(col("hset")).as("h"))
+      .join(broadcast(evalHashes.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("eval_hits"))
   }
 
   /** MinHash-LSH near-dup pairs: signature → band keys → bucket self-join →

@@ -322,8 +322,50 @@ object CurationQueries {
       ORDER BY lang"""
     })
 
+  /** Benchmark decontamination: each non-src0 document's LONG-shingle
+    * (40-char ≈ 13-token verbatim run) overlap with the src0 "benchmark"
+    * set — the pre-training hygiene scan. The eval vocabulary broadcasts
+    * (benchmarks are small); the corpus never shuffles its payloads. Flag
+    * threshold 0.5: half a doc's distinct long shingles appearing verbatim
+    * in the benchmark marks it contaminated. */
+  val c09Decontamination = GraftQuery(
+    "c09_decontamination",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.contaminationScan(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "doc_id", "text")
+        .withColumn("contamination",
+          round(col("eval_hits").cast("double") / col("n_shingles").cast("double"), 6))
+        .withColumn("contaminated", col("contamination") >= 0.5)
+        .select(col("doc_id"), col("n_shingles"), col("eval_hits"),
+          col("contamination"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH codes_t AS (
+        SELECT doc_id, source, ${DedupQueries.duckCodesSql} AS codes, text FROM documents),
+      hs_t AS (
+        SELECT doc_id, source, list_distinct(${DedupQueries.duckShingleHashesN(40)}) AS hset
+        FROM codes_t),
+      eval_h AS (
+        SELECT DISTINCT unnest(hset) AS h FROM hs_t WHERE source = 'src0'),
+      corpus AS (
+        SELECT doc_id, len(hset) AS n_shingles, unnest(hset) AS h
+        FROM hs_t WHERE source <> 'src0'),
+      hits AS (
+        SELECT c.doc_id, c.n_shingles,
+               CAST(SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS eval_hits
+        FROM corpus c LEFT JOIN eval_h e ON c.h = e.h
+        GROUP BY c.doc_id, c.n_shingles)
+      SELECT doc_id, CAST(n_shingles AS INT) AS n_shingles, eval_hits,
+             round(CAST(eval_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination,
+             round(CAST(eval_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) >= 0.5 AS contaminated
+      FROM hits
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
-      c08TokenQuotaMix)
+      c08TokenQuotaMix, c09Decontamination)
 }

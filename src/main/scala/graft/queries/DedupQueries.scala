@@ -24,6 +24,11 @@ object DedupQueries {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $l), (acc, x) -> (acc*31 + x) % 1000000007)"
   private val duckShingleHashes =
     s"list_transform(range(1, greatest(length(text)-4, 1)+1), i -> ${duckPoly("codes[i:i+4]")})"
+  // shared with CurationQueries (c09 decontamination restates the same
+  // portable hash over its own — longer — window length)
+  private[queries] val duckCodesSql = duckCodes
+  private[queries] def duckShingleHashesN(n: Int): String =
+    s"list_transform(range(1, greatest(length(text)-${n - 1}, 1)+1), i -> ${duckPoly(s"codes[i:i+${n - 1}]")})"
 
   /** Exact dedup: group by normalized-text fingerprint, keep min id.
     * One hash shuffle on the fingerprint — the canonical exact dedup. */

@@ -108,6 +108,24 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("contamination scan flags verbatim benchmark leaks, not vocabulary overlap") {
+    import spark.implicits._
+    val benchDoc = "which of the following statements about photosynthesis is correct answer"
+    val evalSet = Seq((100L, benchDoc)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, benchDoc + " padded with some training text around the leaked question"),
+      // same vocabulary, different order — NOT verbatim, must stay clean
+      (2L, "statements about correct photosynthesis answer the following of which is"),
+      (3L, "entirely unrelated training document content")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationScan(corpus, evalSet, "doc_id", "text")
+      .withColumn("frac", col("eval_hits").cast("double") / col("n_shingles").cast("double"))
+      .select($"doc_id", $"frac").as[(Long, Double)].collect().toMap
+    assert(got(1L) > 0.2, s"leaked doc not flagged: ${got(1L)}")
+    assert(got(2L) == 0.0, s"vocabulary overlap false-positive: ${got(2L)}")
+    assert(got(3L) == 0.0)
+  }
+
   test("containment finds a quoted snippet that symmetric Jaccard misses") {
     import spark.implicits._
     val snippet = "the unique quoted passage appears verbatim here"
