@@ -22,6 +22,31 @@ object Curation {
     * byte-for-byte (UTF-8). */
   def hashKey(c: Column): Column = md5(c.cast("string").cast("binary"))
 
+  /** Deterministic shard id in [0, shards) from the md5 key: the first 4
+    * hex digits as an integer (0..65535), mod shards. Works for ANY key
+    * type and is portable across engines — the value is always
+    * nonnegative, so Spark's pmod and an oracle's % agree (a raw numeric
+    * `key % shards` diverges on negative keys: pmod yields 0..shards-1,
+    * SQL % yields negatives). Requires shards ≤ 65536 so every shard is
+    * reachable. */
+  def hashShard(c: Column, shards: Int): Column = {
+    require(shards > 0 && shards <= 65536, s"shards must be in [1, 65536], got $shards")
+    pmod(conv(substring(hashKey(c), 1, 4), 16, 10).cast("int"), lit(shards))
+  }
+
+  /** Working columns this module may add to its input. Ops fail fast when
+    * the input already carries one of these names instead of silently
+    * overwriting it or tripping an ambiguous-reference analysis error
+    * downstream. (Output-facing names stay unprefixed — they are the op's
+    * documented result schema; truly internal ones carry the __graft_
+    * prefix and never escape.) */
+  private def requireFresh(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input DataFrame already has column(s) ${clash.mkString(", ")} " +
+        "reserved by this curation operator; rename them first")
+  }
+
   /** Quantized acceptance threshold: a 3-hex-digit prefix string such that
     * `substr(md5, 1, 3) < threshold` keeps ≈ `rate` of rows (granularity
     * 1/4096). Lexicographic compare on fixed-width hex prefixes is
@@ -48,6 +73,7 @@ object Curation {
     * so skewed strata cost sort time, not output size. */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireFresh(df, "sample_rank")
     val w = Window.partitionBy(col(stratumCol)).orderBy(hashKey(col(keyCol)), col(keyCol))
     df.withColumn("sample_rank", row_number().over(w)).filter(col("sample_rank") <= n)
   }
@@ -60,17 +86,20 @@ object Curation {
       weights: Seq[(String, Double)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dim = weights.map { case (s, r) => (s, rateThreshold(r)) }.toDF(stratumCol, "accept_below")
+    requireFresh(df, "__graft_accept_below")
+    val dim = weights.map { case (s, r) => (s, rateThreshold(r)) }
+      .toDF(stratumCol, "__graft_accept_below")
     df.join(broadcast(dim), stratumCol)
-      .filter(substring(hashKey(col(keyCol)), 1, 3) < col("accept_below"))
-      .drop("accept_below")
+      .filter(substring(hashKey(col(keyCol)), 1, 3) < col("__graft_accept_below"))
+      .drop("__graft_accept_below")
   }
 
   /** Token-budget sequence packing, sharded: assign each doc to a shard
-    * (key mod `shards`), order within the shard by (hash, key), and cut
-    * greedy bins where the running token total passes `budget`. A doc lands
-    * in the bin its PREVIOUS running total points at, so every bin except a
-    * shard's last holds ≥ budget tokens' worth of docs.
+    * ([[hashShard]] of its key — any key type, engine-portable), order
+    * within the shard by (hash, key), and cut greedy bins where the running
+    * token total passes `budget`. A doc lands in the bin its PREVIOUS
+    * running total points at, so every bin except a shard's last holds
+    * ≥ budget tokens' worth of docs.
     *
     * Scale shape: the window is partitioned by shard — shards pack in
     * parallel and the per-shard sort is the only cost, so throughput scales
@@ -80,7 +109,8 @@ object Curation {
   def packSequences(df: DataFrame, keyCol: String, tokenCol: Column,
       budget: Int, shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shard = pmod(col(keyCol), lit(shards))
+    requireFresh(df, "shard", "doc_tokens", "running", "bin")
+    val shard = hashShard(col(keyCol), shards)
     val w = Window.partitionBy(shard).orderBy(hashKey(col(keyCol)), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", shard)
@@ -102,14 +132,15 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
-    val dim = quotas.toDF(stratumCol, "token_quota")
+    requireFresh(df, "doc_tokens", "__graft_token_quota", "__graft_running")
+    val dim = quotas.toDF(stratumCol, "__graft_token_quota")
     val w = Window.partitionBy(col(stratumCol)).orderBy(hashKey(col(keyCol)), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.join(broadcast(dim), stratumCol)
       .withColumn("doc_tokens", tokenCol)
-      .withColumn("running", sum(col("doc_tokens")).over(w))
-      .filter(col("running") - col("doc_tokens") < col("token_quota"))
-      .drop("token_quota", "running")
+      .withColumn("__graft_running", sum(col("doc_tokens")).over(w))
+      .filter(col("__graft_running") - col("doc_tokens") < col("__graft_token_quota"))
+      .drop("__graft_token_quota", "__graft_running")
   }
 
   /** Per-stratum top-n by a SCORE (descending, key tie-break) — the
@@ -118,6 +149,7 @@ object Curation {
   def qualityTopN(df: DataFrame, stratumCol: String, scoreCol: Column,
       keyCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireFresh(df, "quality_rank")
     val w = Window.partitionBy(col(stratumCol)).orderBy(scoreCol.desc, col(keyCol))
     df.withColumn("quality_rank", row_number().over(w)).filter(col("quality_rank") <= n)
   }

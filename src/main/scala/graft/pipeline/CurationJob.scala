@@ -89,9 +89,17 @@ object CurationJob {
       if (counts.isEmpty || counts.zip(counts.tail).exists { case (a, b) => b > a })
         throw new IllegalStateException(s"non-monotone funnel: $funnel")
     } catch {
-      case t: Throwable =>
+      case scala.util.control.NonFatal(t) =>
         status = "failed"
         failure = Some(t)
+      case t: Throwable =>
+        // Fatal throwables (OOM, thread interruption) must not be converted
+        // into a normal-looking failed run record: finalize best-effort so
+        // the run log isn't left dangling, then let the VM see the error.
+        try Bronze.finalizeRun(lake, runId, "failed",
+          new Timestamp(System.currentTimeMillis()))
+        catch { case _: Throwable => () }
+        throw t
     }
 
     Bronze.finalizeRun(lake, runId, status, new Timestamp(System.currentTimeMillis()))

@@ -91,7 +91,9 @@ object CurationQueries {
     * total within a shard, cut at the budget line; reported per-bin. The
     * window partitions by shard so packing parallelizes — raising the shard
     * count is the scale lever (one global ordered window would serialize
-    * the corpus through a single partition). */
+    * the corpus through a single partition). Shards come from the md5 key
+    * (first 4 hex digits as an int, mod 8 — always nonnegative), so the
+    * assignment is identical in any engine and for any key type. */
   val c04PackSequences = GraftQuery(
     "c04_pack_sequences",
     (s, dir) =>
@@ -104,7 +106,8 @@ object CurationQueries {
         .orderBy(col("shard"), col("bin")),
     Some("""
       WITH sized AS (
-        SELECT doc_id, doc_id % 8 AS shard,
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8 AS shard,
                CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS doc_tokens
         FROM documents),
       packed AS (

@@ -56,6 +56,33 @@ class CurationSpec extends SparkSpec {
     assert(mixed.count() == 200)
   }
 
+  test("hashShard is key-type-agnostic, nonnegative, and covers all shards") {
+    val nums = (1L to 500L).toDF("k")
+      .select(Curation.hashShard($"k", 8).as("s")).as[Int].collect()
+    val strs = (1L to 500L).map(_.toString).toDF("k")
+      .select(Curation.hashShard($"k", 8).as("s")).as[Int].collect()
+    // md5 runs over the key's string form, so 42L and "42" shard identically
+    assert(nums.sameElements(strs), "shard must be a function of the key's string form")
+    assert(nums.forall(s => s >= 0 && s < 8))
+    assert(nums.distinct.sorted.toSeq == (0 until 8), "all shards reachable")
+    // negative numeric keys — the case raw `key % shards` gets wrong — stay in range
+    val negs = (-200L to -1L).toDF("k")
+      .select(Curation.hashShard($"k", 8).as("s")).as[Int].collect()
+    assert(negs.forall(s => s >= 0 && s < 8))
+  }
+
+  test("curation ops reject inputs that already carry their working columns") {
+    val df = Seq((1L, "a", 5L)).toDF("id", "stratum", "doc_tokens")
+    val e = intercept[IllegalArgumentException] {
+      Curation.tokenQuotaMix(df, "stratum", "id", lit(1L), Seq("a" -> 10L))
+    }
+    assert(e.getMessage.contains("doc_tokens"))
+    val df2 = Seq((1L, "a", 3)).toDF("id", "stratum", "sample_rank")
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedSample(df2, "stratum", "id", 2)
+    }
+  }
+
   test("packSequences: bins respect the budget cut and partition the shard") {
     val df = Seq.tabulate(100)(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
     val packed = Curation.packSequences(df, "doc_id", lit(30L), budget = 100, shards = 4)
