@@ -22,16 +22,18 @@ object Curation {
     * byte-for-byte (UTF-8). */
   def hashKey(c: Column): Column = md5(c.cast("string").cast("binary"))
 
-  /** Deterministic shard id in [0, shards) from the md5 key: the first 4
-    * hex digits as an integer (0..65535), mod shards. Works for ANY key
+  /** Deterministic shard id in [0, shards) from the md5 key: the first 8
+    * hex digits as a 32-bit value (0..2³²-1), mod shards. Works for ANY key
     * type and is portable across engines — the value is always
     * nonnegative, so Spark's pmod and an oracle's % agree (a raw numeric
     * `key % shards` diverges on negative keys: pmod yields 0..shards-1,
-    * SQL % yields negatives). Requires shards ≤ 65536 so every shard is
-    * reachable. */
+    * SQL % yields negatives). 32 draw bits keep the modulo bias below
+    * shards/2³² (< 1 ppm at 4096 shards) and let a deployment ask for any
+    * Int shard count — both limits of the earlier 16-bit draw. */
   def hashShard(c: Column, shards: Int): Column = {
-    require(shards > 0 && shards <= 65536, s"shards must be in [1, 65536], got $shards")
-    pmod(conv(substring(hashKey(c), 1, 4), 16, 10).cast("int"), lit(shards))
+    require(shards > 0, s"shards must be positive, got $shards")
+    pmod(conv(substring(hashKey(c), 1, 8), 16, 10).cast("bigint"), lit(shards.toLong))
+      .cast("int")
   }
 
   /** Working columns this module may add to its input. Ops fail fast when
@@ -107,16 +109,16 @@ object Curation {
     * ordered window would serialize the corpus through one partition —
     * exactly the anti-pattern this avoids. */
   def packSequences(df: DataFrame, keyCol: String, tokenCol: Column,
-      budget: Int, shards: Int): DataFrame = {
+      budget: Int, shards: Int, tokenOutCol: String = "doc_tokens"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    requireFresh(df, "shard", "doc_tokens", "running", "bin")
+    requireFresh(df, "shard", tokenOutCol, "running", "bin")
     val shard = hashShard(col(keyCol), shards)
     val w = Window.partitionBy(shard).orderBy(hashKey(col(keyCol)), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", shard)
-      .withColumn("doc_tokens", tokenCol)
-      .withColumn("running", sum(col("doc_tokens")).over(w))
-      .withColumn("bin", floor((col("running") - col("doc_tokens")) / budget))
+      .withColumn(tokenOutCol, tokenCol)
+      .withColumn("running", sum(col(tokenOutCol)).over(w))
+      .withColumn("bin", floor((col("running") - col(tokenOutCol)) / budget))
   }
 
   /** Token-quota mixing: take documents per stratum in deterministic hash
@@ -128,18 +130,19 @@ object Curation {
     * bounded window shuffle on the stratum; quotas broadcast as an inline
     * dim. Unlisted strata drop (whitelist, like weightedMix). */
   def tokenQuotaMix(df: DataFrame, stratumCol: String, keyCol: String,
-      tokenCol: Column, quotas: Seq[(String, Long)]): DataFrame = {
+      tokenCol: Column, quotas: Seq[(String, Long)],
+      tokenOutCol: String = "doc_tokens"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
-    requireFresh(df, "doc_tokens", "__graft_token_quota", "__graft_running")
+    requireFresh(df, tokenOutCol, "__graft_token_quota", "__graft_running")
     val dim = quotas.toDF(stratumCol, "__graft_token_quota")
     val w = Window.partitionBy(col(stratumCol)).orderBy(hashKey(col(keyCol)), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.join(broadcast(dim), stratumCol)
-      .withColumn("doc_tokens", tokenCol)
-      .withColumn("__graft_running", sum(col("doc_tokens")).over(w))
-      .filter(col("__graft_running") - col("doc_tokens") < col("__graft_token_quota"))
+      .withColumn(tokenOutCol, tokenCol)
+      .withColumn("__graft_running", sum(col(tokenOutCol)).over(w))
+      .filter(col("__graft_running") - col(tokenOutCol) < col("__graft_token_quota"))
       .drop("__graft_token_quota", "__graft_running")
   }
 

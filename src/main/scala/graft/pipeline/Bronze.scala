@@ -86,11 +86,22 @@ object Bronze {
       .filter(col("run_id") === runId)
       .withColumn("run_status", lit(status))
       .withColumn("finalized_ts_utc", lit(finalizedTs))
+      // a run recovering from an interrupted finalize has 2 rows; they
+      // differ only in the columns just overwritten, so this collapses them
+      .dropDuplicates()
     val updatedRows = updated.collect() // tiny: one row per run
-    lake.deleteByRunId("run_context_log", runId)
-    if (updatedRows.nonEmpty)
+    if (updatedRows.nonEmpty) {
+      // Append the superseding row BEFORE dropping the stale one: a crash
+      // mid-finalize then leaves a recoverable duplicate (readers take the
+      // row latest by finalize-else-ingest time — Checks.latestRunSuccess),
+      // never a vanished run record. The delete keeps exactly the rows at
+      // this finalize's timestamp, so re-finalizing converges to one row.
       lake.appendBronze("run_context_log",
         lake.spark.createDataFrame(
           lake.spark.sparkContext.parallelize(updatedRows.toSeq, 1), updated.schema))
+      lake.deleteBronzeWhere("run_context_log",
+        col("run_id") === runId &&
+          (col("finalized_ts_utc").isNull || col("finalized_ts_utc") =!= lit(finalizedTs)))
+    }
   }
 }

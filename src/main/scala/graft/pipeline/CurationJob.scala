@@ -94,9 +94,13 @@ object CurationJob {
         failure = Some(t)
       case t: Throwable =>
         // Fatal throwables (OOM, thread interruption) must not be converted
-        // into a normal-looking failed run record: finalize best-effort so
-        // the run log isn't left dangling, then let the VM see the error.
-        try Bronze.finalizeRun(lake, runId, "failed",
+        // into a normal-looking failed run record: finalize best-effort with
+        // status "unknown" — distinguishable in the log from a clean
+        // nonfatal failure — so the run log isn't left dangling, then let
+        // the VM see the error. finalizeRun appends the superseding row
+        // before deleting the stale one, so even an interrupt mid-finalize
+        // cannot lose the record.
+        try Bronze.finalizeRun(lake, runId, "unknown",
           new Timestamp(System.currentTimeMillis()))
         catch { case _: Throwable => () }
         throw t

@@ -38,16 +38,22 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
     df.write.mode(SaveMode.Append).partitionBy("snapshot_date")
       .parquet(dir("bronze", name).toString)
 
-  /** Idempotent re-run delete: drop all rows of `run_id` before re-append.
+  /** Idempotent re-run delete: drop all rows of `run_id` before re-append. */
+  def deleteByRunId(name: String, runId: String): Unit =
+    deleteBronzeWhere(name, org.apache.spark.sql.functions.col("run_id").equalTo(runId))
+
+  /** Predicate delete — "DELETE WHERE <condition>" over a bronze table.
     * Copy-on-write: materialize the retained rows next to the live dir, then
-    * swap — the live table is never half-written. */
-  def deleteByRunId(name: String, runId: String): Unit = {
+    * swap — the live table is never half-written. Rows where `condition` is
+    * null are treated as matching (dropped), the DML convention the run-id
+    * variant above has always had. */
+  def deleteBronzeWhere(name: String, condition: org.apache.spark.sql.Column): Unit = {
     val live = dir("bronze", name)
     if (Files.exists(live)) {
       val tmp = Paths.get(root, "bronze", s".${name}__rewrite")
       deleteRecursively(tmp)
       val retained = spark.read.parquet(live.toString)
-        .filter(!org.apache.spark.sql.functions.col("run_id").equalTo(runId))
+        .filter(!condition)
       if (retained.isEmpty) {
         // a partitioned write of zero rows yields a directory with no data
         // files — unreadable later; write one empty unpartitioned file so the

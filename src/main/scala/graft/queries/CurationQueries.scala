@@ -92,8 +92,8 @@ object CurationQueries {
     * window partitions by shard so packing parallelizes — raising the shard
     * count is the scale lever (one global ordered window would serialize
     * the corpus through a single partition). Shards come from the md5 key
-    * (first 4 hex digits as an int, mod 8 — always nonnegative), so the
-    * assignment is identical in any engine and for any key type. */
+    * (first 8 hex digits as a 32-bit value, mod 8 — always nonnegative), so
+    * the assignment is identical in any engine and for any key type. */
   val c04PackSequences = GraftQuery(
     "c04_pack_sequences",
     (s, dir) =>
@@ -107,7 +107,7 @@ object CurationQueries {
     Some("""
       WITH sized AS (
         SELECT doc_id,
-               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8 AS shard,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
                CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS doc_tokens
         FROM documents),
       packed AS (

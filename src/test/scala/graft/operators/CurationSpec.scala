@@ -69,6 +69,10 @@ class CurationSpec extends SparkSpec {
     val negs = (-200L to -1L).toDF("k")
       .select(Curation.hashShard($"k", 8).as("s")).as[Int].collect()
     assert(negs.forall(s => s >= 0 && s < 8))
+    // shard counts past the old 16-bit ceiling are accepted and in range
+    val big = (1L to 50L).toDF("k")
+      .select(Curation.hashShard($"k", 1000000).as("s")).as[Int].collect()
+    assert(big.forall(s => s >= 0 && s < 1000000))
   }
 
   test("curation ops reject inputs that already carry their working columns") {
@@ -81,6 +85,18 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.stratifiedSample(df2, "stratum", "id", 2)
     }
+  }
+
+  test("tokenOutCol reroutes token output so doc_tokens-carrying inputs pass") {
+    val df = Seq((1L, "a", 5L), (2L, "a", 5L)).toDF("id", "stratum", "doc_tokens")
+    val mixed = Curation.tokenQuotaMix(df, "stratum", "id", lit(1L), Seq("a" -> 10L),
+      tokenOutCol = "mix_tokens")
+    assert(mixed.columns.contains("mix_tokens") && mixed.columns.contains("doc_tokens"))
+    assert(mixed.count() == 2)
+    val packed = Curation.packSequences(df, "id", lit(1L), budget = 10, shards = 2,
+      tokenOutCol = "pack_tokens")
+    assert(packed.columns.contains("pack_tokens"))
+    assert(packed.count() == 2)
   }
 
   test("packSequences: bins respect the budget cut and partition the shard") {

@@ -299,6 +299,29 @@ class PipelineSpec extends SparkSpec {
     assert(r1.getAs[java.sql.Timestamp]("finalized_ts_utc") != null)
   }
 
+  test("finalize is append-before-delete: an interrupted finalize is recoverable") {
+    val l = new Lakehouse(spark, Files.createTempDirectory("graft-fin").toString)
+    val ctx = Bronze.RunContext("runC", "reqC", d("2025-06-05"), ts("2025-06-05 10:00:00"))
+    Bronze.logRunStart(l, ctx, "{}")
+    // simulate a finalize interrupted between its append and its delete: the
+    // superseding row landed, the stale null-status row was never removed
+    val src = l.table("bronze", "run_context_log").filter(col("run_id") === "runC")
+      .withColumn("run_status", lit("unknown"))
+      .withColumn("finalized_ts_utc", lit(ts("2025-06-05 10:01:00")))
+    val rows = src.collect()
+    l.appendBronze("run_context_log",
+      l.spark.createDataFrame(l.spark.sparkContext.parallelize(rows.toSeq, 1), src.schema))
+    assert(l.table("bronze", "run_context_log").filter(col("run_id") === "runC").count() == 2)
+    // readers already resolve to the finalized row (finalize-else-ingest order)
+    val status = Checks.latestRunSuccess.run(l).collect().map(_.getString(0))
+    assert(status.toSeq == Seq("unknown"))
+    // a re-finalize converges back to exactly one row
+    Bronze.finalizeRun(l, "runC", "unknown", ts("2025-06-05 10:02:00"))
+    val after = l.table("bronze", "run_context_log").filter(col("run_id") === "runC").collect()
+    assert(after.length == 1)
+    assert(after.head.getAs[String]("run_status") == "unknown")
+  }
+
   test("smoke checks offend on an empty lake: missing objects, no run log") {
     val empty = new Lakehouse(spark, Files.createTempDirectory("graft-empty").toString)
     assert(Checks.requiredObjects.run(empty).count() == 14) // all required missing
