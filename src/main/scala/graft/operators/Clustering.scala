@@ -1,0 +1,286 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering for the 100 TB curation/ANN path:
+  *
+  *   - [[seedCells]] — deterministic Voronoi cells from hash-selected seed
+  *     vectors (~√n cells, so cells hold ~√n members). Seed selection is a
+  *     pure per-row md5 predicate (no global sort, no RNG): any engine — and
+  *     the DuckDB oracle — selects the identical seed set, which makes the
+  *     whole IVF/SemDeDup pipeline hash-checkable end to end.
+  *   - [[assignCells]] — nearest-seed assignment: corpus × broadcast(seeds)
+  *     scored with the native codegen'd cosine kernel, argmax per vector via
+  *     the bounded [[graft.sql.TopKPairs]] aggregate (each map task ships ONE
+  *     candidate cell per vector to the shuffle — never the scored pairs).
+  *   - [[ivfTopK]] — IVF approximate nearest neighbors: a query probes its
+  *     `nprobe` nearest cells and exact-scores only their members. With
+  *     ~√n cells, cost per query is ~nprobe·√n instead of n. This is the
+  *     classic inverted-file ANN layout (Jégou et al., PAMI 2011); on a real
+  *     deployment the corpus is written partitioned by cell_id so a probe
+  *     becomes parquet partition PRUNING — the scan never touches unprobed
+  *     cells.
+  *   - [[kmeans]] — Lloyd refinement of the seed centroids: broadcast
+  *     centroids, assign, recompute means with the native
+  *     [[graft.sql.FloatVecSumAgg]] partial aggregate (k·dim doubles per map
+  *     task on the shuffle — the vectors themselves never reshuffle).
+  *     Centroid means are cross-row float sums, so refined centroids are
+  *     engine/order-dependent in the last ulp; the oracle-gated queries
+  *     (s05/d08) therefore run on the UNREFINED seed cells, and Lloyd is
+  *     spec-verified by its invariants (WCSS non-increasing, argmin
+  *     assignment).
+  *   - [[semanticPairs]] / [[semanticDedup]] — SemDeDup-style semantic
+  *     near-dup (Abbas et al. 2023, arXiv:2303.09540): pairwise cosine is
+  *     computed only WITHIN a cell (the all-pairs product shrinks from n²
+  *     to n^1.5 at √n cells), and any document with a smaller-id in-cell
+  *     near-dup is dropped. Cross-cell duplicates are missed by design —
+  *     the approximation that makes the operator linear-ish at scale.
+  *
+  * Scale shape: one broadcast of ~√n seed rows, one bounded-agg shuffle for
+  * assignment, and joins keyed on cell_id whose per-key cardinality is
+  * ~√n by construction — no hot keys, no all-pairs stage anywhere.
+  */
+object Clustering {
+
+  /** Number of Voronoi cells for a corpus of n vectors: ⌈√n⌉ — balances
+    * cell count against cell size (both ~√n), the standard IVF sizing. */
+  def cellCount(n: Long): Long = math.ceil(math.sqrt(n.toDouble)).toLong
+
+  /** Seed-selection stride: keep a vector as a seed when its 32-bit md5
+    * draw ≡ 0 (mod stride), giving ~n/stride ≈ ⌈√n⌉ expected seeds. */
+  def seedStride(n: Long): Long = math.max(1L, n / math.max(1L, cellCount(n)))
+
+  /** Deterministic seed vectors: corpus rows whose md5-hash draw lands on
+    * the stride. The stride is computed from a 1-row count aggregate and
+    * broadcast into the filter (no driver action, no global window — the
+    * predicate is per-row and scan-pushable).
+    *
+    * Output: (cell_id = seed's own id, c_emb, c_norm). */
+  def seedCells(corpus: DataFrame, idCol: String, embCol: String): DataFrame = {
+    // stride spelled with explicit floor()/ceil() so the oracle's integer
+    // semantics can restate it verbatim (`/` is float division in both
+    // engines)
+    val n1 = corpus.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(1L),
+        floor(col("n") / greatest(lit(1L), ceil(sqrt(col("n"))).cast("long"))).cast("long"))
+        .as("stride"))
+    corpus.join(broadcast(n1),
+        pmod(conv(substring(Curation.hashKey(col(idCol)), 1, 8), 16, 10).cast("bigint"),
+          col("stride")) === 0L)
+      .select(col(idCol).cast("bigint").as("cell_id"),
+        col(embCol).as("c_emb"),
+        Similarity.l2Norm(col(embCol)).as("c_norm"))
+  }
+
+  /** Nearest-seed cell per corpus vector by cosine (ties → smallest
+    * cell_id, exactly `row_number() OVER (ORDER BY cos DESC, cell_id ASC)`).
+    * Zero-norm vectors score null against every seed and are dropped —
+    * they have no direction to cluster on.
+    *
+    * Output: (vec_id, cell_id, cell_cos). */
+  def assignCells(corpus: DataFrame, idCol: String, embCol: String,
+      cells: DataFrame): DataFrame = {
+    val scored = corpus
+      .select(col(idCol).cast("bigint").as("vec_id"), col(embCol).as("v_emb"),
+        Similarity.l2Norm(col(embCol)).as("v_norm"))
+      .join(broadcast(cells))
+      .select(col("vec_id"),
+        (Similarity.dot(col("v_emb"), col("c_emb")) / (col("v_norm") * col("c_norm")))
+          .as("cos"),
+        col("cell_id"))
+    // argmax = top-1 by (cos desc, cell_id asc): TopKPairs k=1 keeps exactly
+    // the window idiom's first row, but partial-aggregates map-side.
+    top1(scored, "vec_id", "cos", "cell_id")
+      .select(col("vec_id"), col("id").as("cell_id"), col("score").as("cell_cos"))
+  }
+
+  /** Bounded top-1 of (scoreCol, idCol) per group — shared argmax kernel. */
+  private def top1(scored: DataFrame, groupCol: String, scoreCol: String,
+      pickCol: String): DataFrame = {
+    val agg = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.TopKPairs(
+        org.apache.spark.sql.graft.ColumnShim.expression(col(scoreCol)),
+        org.apache.spark.sql.graft.ColumnShim.expression(col(pickCol)),
+        1).toAggregateExpression())
+    scored.groupBy(col(groupCol))
+      .agg(agg.as("top"))
+      .filter(size(col("top")) > 0)
+      .select(col(groupCol), col("top")(0).getField("id").as("id"),
+        col("top")(0).getField("score").as("score"))
+  }
+
+  /** IVF approximate top-k: each query probes its `nprobe` nearest cells
+    * (by centroid cosine) and exact-scores only vectors assigned there.
+    * Self-matches are excluded. `queries`/`corpus`: (id, embedding).
+    *
+    * Plan: seeds broadcast twice (corpus assignment + query probing — both
+    * ~√n rows), candidate generation is an equi-join on cell_id (per-key
+    * cardinality ~√n members × queries probing that cell), exact scores go
+    * through the bounded TopKPairs top-k. At a production corpus the
+    * assignment side is precomputed once and written partitioned by
+    * cell_id, turning the probe join into partition pruning. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"k and nprobe must be >= 1, got k=$k nprobe=$nprobe")
+    val cells = seedCells(corpus, idCol, embCol)
+    val assign = assignCells(corpus, idCol, embCol, cells)
+
+    // query → nprobe nearest cells, bounded aggregate again (k=nprobe)
+    val qScored = queries
+      .select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"),
+        Similarity.l2Norm(col(embCol)).as("q_norm"))
+      .join(broadcast(cells))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        (Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+          .as("cos"),
+        col("cell_id"))
+    val probeAgg = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.TopKPairs(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("cos")),
+        org.apache.spark.sql.graft.ColumnShim.expression(col("cell_id")),
+        nprobe).toAggregateExpression())
+    val probes = qScored
+      .groupBy(col("query_id"), col("q_emb"), col("q_norm"))
+      .agg(probeAgg.as("cells"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        explode(col("cells").getField("id")).as("cell_id"))
+
+    // candidates: members of probed cells (each corpus vector lives in
+    // exactly ONE cell, so (query, neighbor) pairs are already distinct)
+    val cEmb = corpus.select(col(idCol).cast("bigint").as("neighbor_id"),
+      col(embCol).as("c_emb2"), Similarity.l2Norm(col(embCol)).as("c_norm2"))
+    val cand = probes
+      .join(assign, "cell_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("vec_id").as("neighbor_id"))
+      .join(cEmb, "neighbor_id")
+      .withColumn("cosine",
+        Similarity.dot(col("q_emb"), col("c_emb2")) / (col("q_norm") * col("c_norm2")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    Similarity.topKByCosine(cand, k)
+  }
+
+  /** SemDeDup candidate pairs: within-cell (id_a < id_b) embedding pairs
+    * with cosine ≥ `minCosine`. The cell equi-join bounds the pair product
+    * to cell size (~√n) instead of the corpus. */
+  def semanticPairs(corpus: DataFrame, idCol: String, embCol: String,
+      minCosine: Double): DataFrame = {
+    val cells = seedCells(corpus, idCol, embCol)
+    val assign = assignCells(corpus, idCol, embCol, cells)
+    val emb = corpus.select(col(idCol).cast("bigint").as("vec_id"), col(embCol).as("emb"),
+      Similarity.l2Norm(col(embCol)).as("norm"))
+    val m = assign.join(emb, "vec_id")
+      .select(col("cell_id"), col("vec_id"), col("emb"), col("norm"))
+    val a = m.select(col("cell_id"), col("vec_id").as("id_a"), col("emb").as("emb_a"),
+      col("norm").as("norm_a"))
+    val b = m.select(col("cell_id").as("cell_id_b"), col("vec_id").as("id_b"),
+      col("emb").as("emb_b"), col("norm").as("norm_b"))
+    a.join(b, col("cell_id") === col("cell_id_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        Similarity.dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("cell_id"), col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** SemDeDup keep/drop decision: drop any vector that has a smaller-id
+    * near-dup in its own cell (greedy min-id keeper — deterministic without
+    * transitive closure; chains keep their smallest id). Vectors that never
+    * pair survive. Output: (vec_id, cell_id, kept). */
+  def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
+      minCosine: Double): DataFrame = {
+    val cells = seedCells(corpus, idCol, embCol)
+    val assign = assignCells(corpus, idCol, embCol, cells)
+    val dropped = semanticPairs(corpus, idCol, embCol, minCosine)
+      .select(col("id_b").as("vec_id")).distinct()
+    assign.join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"), col("hit").isNull.as("kept"))
+  }
+
+  /** One k-means model: centroids (float — assignments stay on the native
+    * float kernels) and the within-cluster sum of squared distance per
+    * Lloyd iteration (index 0 = seed assignment), for convergence checks. */
+  final case class KMeansModel(centroids: Array[(Long, Array[Float])], wcss: Array[Double])
+
+  /** Distributed Lloyd k-means over an `array<float>` column, refined from
+    * the deterministic hash seeds. Per iteration: broadcast centroids →
+    * per-row argmin squared-L2 (native dot kernel: ‖v−c‖² = ‖v‖² − 2v·c +
+    * ‖c‖², one compiled pass per pair) → per-cell native vector-sum partial
+    * aggregate → k·dim doubles to the driver → new centroid = mean (empty
+    * cells keep their previous centroid). The corpus is scanned once per
+    * iteration and never reshuffled — only (vec_id, cell) assignments and
+    * k partial sums move.
+    *
+    * Returns the final model; [[assignKMeans]] replays the argmin for the
+    * final centroids. */
+  def kmeans(spark: SparkSession, corpus: DataFrame, idCol: String, embCol: String,
+      iters: Int): KMeansModel = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val seedRows = seedCells(corpus, idCol, embCol)
+      .select(col("cell_id"), col("c_emb")).collect() // ~√n rows, k·dim floats
+    var centroids: Array[(Long, Array[Float])] = seedRows
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val wcss = scala.collection.mutable.ArrayBuffer.empty[Double]
+
+    var it = 0
+    while (it <= iters) {
+      val assigned = assignKMeansDist(spark, corpus, idCol, embCol, centroids)
+      val stats = assigned
+        .groupBy(col("cell_id"))
+        .agg(
+          org.apache.spark.sql.graft.ColumnShim.column(
+            graft.sql.FloatVecSumAgg(
+              org.apache.spark.sql.graft.ColumnShim.expression(col("emb")))
+              .toAggregateExpression()).as("vec_sum"),
+          count(lit(1)).as("members"),
+          sum(col("dist2")).as("sum_dist2"))
+        .collect()
+      wcss += stats.map(_.getDouble(3)).sum
+      if (it < iters) {
+        val means = stats.map { r =>
+          val s = r.getSeq[Double](1)
+          val m = r.getLong(2).toDouble
+          r.getLong(0) -> s.map(x => (x / m).toFloat).toArray
+        }.toMap
+        centroids = centroids.map { case (id, c) => id -> means.getOrElse(id, c) }
+      }
+      it += 1
+    }
+    KMeansModel(centroids, wcss.toArray)
+  }
+
+  /** Assignment under explicit centroids: (vec_id, cell_id, dist2). */
+  def assignKMeans(spark: SparkSession, corpus: DataFrame, idCol: String, embCol: String,
+      centroids: Array[(Long, Array[Float])]): DataFrame =
+    assignKMeansDist(spark, corpus, idCol, embCol, centroids)
+      .select(col("vec_id"), col("cell_id"), col("dist2"))
+
+  private def assignKMeansDist(spark: SparkSession, corpus: DataFrame, idCol: String,
+      embCol: String, centroids: Array[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    val cents = spark.createDataset(centroids.toSeq.map { case (id, c) => (id, c) })
+      .toDF("cell_id", "c_emb")
+      .select(col("cell_id"), col("c_emb"),
+        Similarity.dot(col("c_emb"), col("c_emb")).as("c_sq"))
+    val scored = corpus
+      .select(col(idCol).cast("bigint").as("vec_id"), col(embCol).as("emb"),
+        Similarity.dot(col(embCol), col(embCol)).as("v_sq"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("v_sq"),
+        (col("v_sq") - lit(2.0) * Similarity.dot(col("emb"), col("c_emb")) + col("c_sq"))
+          .as("dist2"),
+        col("cell_id"))
+    // argmin dist2 = argmax −dist2; ties → smallest cell_id (TopKPairs order)
+    val agg = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.TopKPairs(
+        org.apache.spark.sql.graft.ColumnShim.expression(-col("dist2")),
+        org.apache.spark.sql.graft.ColumnShim.expression(col("cell_id")),
+        1).toAggregateExpression())
+    scored.groupBy(col("vec_id"), col("emb"))
+      .agg(agg.as("top"))
+      .filter(size(col("top")) > 0)
+      .select(col("vec_id"), col("emb"),
+        col("top")(0).getField("id").as("cell_id"),
+        (-col("top")(0).getField("score")).as("dist2"))
+  }
+}

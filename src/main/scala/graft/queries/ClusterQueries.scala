@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Graft.table
+import graft.operators.Clustering
+import org.apache.spark.sql.functions._
+
+/** Embedding-clustering operator queries over `embeddings` — deterministic
+  * Voronoi cells (hash-seeded, ~√n cells), IVF approximate nearest
+  * neighbors (probe nprobe cells, exact-score members), and SemDeDup-style
+  * within-cell semantic dedup.
+  *
+  * Everything here runs on the UNREFINED seed cells: seed selection is a
+  * pure md5 predicate and every score is a fixed per-row double fold, so
+  * the DuckDB oracle reproduces cells, assignments, probes, candidates and
+  * scores bit-for-bit (Lloyd-refined centroids involve cross-row float
+  * sums whose order no two engines share — the kmeans operator is
+  * spec-verified instead, see ClusteringSpec).
+  */
+object ClusterQueries {
+
+  /** Probed cells per query — at ~√n cells this scores ~nprobe·√n
+    * candidates instead of the corpus. Offline sweep on the fixtures (this
+    * corpus is the documented hard regime: true neighbors at cos ≈ 0.3 over
+    * a ≈ 0 background, so cell membership only weakly predicts
+    * neighborhood): sf0.01 recall@5 = 0.74 @ 32% of corpus scored
+    * (nprobe 4 → 0.34 @ 10%, 8 → 0.56 @ 22%, 16 → 0.82 @ 42%); sf0.1
+    * holds at 0.66 @ 30%. That matches the s02 LSH frontier (0.70 @ 36%)
+    * — and unlike LSH the candidate fraction falls as the corpus grows
+    * (fixed nprobe over ~√n cells). */
+  val NProbe = 12
+
+  /** Within-cell near-dup cosine threshold (same corpus regime as d06's
+    * all-pairs 0.4 — d08 finds the same pairs when they share a cell). */
+  val MinCosine = 0.4
+
+  private val duckDot =
+    "list_aggregate(list_transform(range(1, len(q_emb)+1), i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)), 'sum')"
+
+  /** Shared oracle CTEs: norms → stride (1-row scalar) → seed cells →
+    * all (vector, cell) cosines → nearest-cell assignment. Mirrors
+    * Clustering.seedCells/assignCells exactly (md5 stride predicate;
+    * ties cos DESC, cell_id ASC; zero-norm vectors dropped). */
+  private val duckCellCtes = s"""
+      nrm AS (
+        SELECT vec_id, embedding,
+               sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nm
+        FROM embeddings),
+      par AS (
+        SELECT greatest(1, CAST(floor(COUNT(*) /
+                 greatest(1, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS BIGINT)) AS stride
+        FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cell_id, embedding AS c_emb, nm AS c_nm
+        FROM nrm, par
+        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % stride = 0),
+      cell_scored AS (
+        SELECT v.vec_id, c.cell_id,
+               list_aggregate(list_transform(range(1, len(v.embedding)+1),
+                 i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
+                 / (v.nm * c.c_nm) AS cos
+        FROM nrm v CROSS JOIN cents c
+        WHERE v.nm > 0),
+      assign AS (
+        SELECT vec_id, cell_id, cos AS cell_cos
+        FROM (SELECT vec_id, cell_id, cos,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell_id ASC) AS rn
+              FROM cell_scored) z
+        WHERE rn = 1)"""
+
+  /** IVF approximate top-5 neighbors (same query set and output shape as
+    * s01/s02): probe the NProbe nearest seed cells, exact cosine on their
+    * members only. The approximation is WHICH pairs get scored; every
+    * score is exact, and the oracle replays the identical probe set. */
+  val s05IvfTopK = GraftQuery(
+    "s05_ivf_topk",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      Clustering.ivfTopK(q, e, 5, NProbe)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $duckCellCtes,
+      probes AS (
+        SELECT vec_id AS query_id, cell_id
+        FROM (SELECT vec_id, cell_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell_id ASC) AS rn
+              FROM cell_scored WHERE vec_id % 50 = 0) z
+        WHERE rn <= $NProbe),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.cell_id = a.cell_id
+        WHERE p.query_id <> a.vec_id),
+      pairs AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               q.embedding AS q_emb, q.nm AS q_nm, c.embedding AS c_emb, c.nm AS c_nm
+        FROM cand
+        JOIN nrm q ON cand.query_id = q.vec_id
+        JOIN nrm c ON cand.neighbor_id = c.vec_id),
+      scored AS (
+        SELECT query_id, neighbor_id, $duckDot / (q_nm * c_nm) AS cos_raw
+        FROM pairs),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+             round(cos_raw, 6) AS cosine
+      FROM ranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""),
+    bench = true)
+
+  /** SemDeDup semantic near-dup over embedding cells: pairwise cosine only
+    * WITHIN a cell (pair product n² → ~n^1.5), drop any vector with a
+    * smaller-id in-cell near-dup. Full corpus verdict, hash-checked. */
+  val d08SemanticDedup = GraftQuery(
+    "d08_semantic_dedup",
+    (s, dir) =>
+      Clustering.semanticDedup(
+          table(s, dir, "embeddings"), "vec_id", "embedding", MinCosine)
+        .orderBy(col("vec_id")),
+    Some(s"""
+      WITH $duckCellCtes,
+      mem AS (
+        SELECT a.cell_id, a.vec_id, n.embedding, n.nm
+        FROM assign a JOIN nrm n ON a.vec_id = n.vec_id),
+      sp AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               list_aggregate(list_transform(range(1, len(x.embedding)+1),
+                 i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)), 'sum')
+                 / (x.nm * y.nm) AS cos
+        FROM mem x JOIN mem y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id),
+      dropped AS (SELECT DISTINCT id_b FROM sp WHERE cos >= $MinCosine)
+      SELECT a.vec_id, a.cell_id, (d.id_b IS NULL) AS kept
+      FROM assign a LEFT JOIN dropped d ON a.vec_id = d.id_b
+      ORDER BY a.vec_id"""))
+
+  /** Cell profile: member count and cosine-to-centroid spread per cell.
+    * min/max are order-independent (unlike avg), so the profile is exact
+    * cross-engine; the bench/capacity question it answers — are cells
+    * balanced (~√n members, no hot cell)? — is the one that decides
+    * whether the IVF probe join has skew. */
+  val c10CellProfile = GraftQuery(
+    "c10_cell_profile",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val cells = Clustering.seedCells(e, "vec_id", "embedding")
+      Clustering.assignCells(e, "vec_id", "embedding", cells)
+        .groupBy(col("cell_id"))
+        .agg(count(lit(1)).as("members"),
+          round(min(col("cell_cos")), 6).as("min_cos"),
+          round(max(col("cell_cos")), 6).as("max_cos"))
+        .orderBy(col("cell_id"))
+    },
+    Some(s"""
+      WITH $duckCellCtes
+      SELECT cell_id, COUNT(*) AS members,
+             round(min(cell_cos), 6) AS min_cos,
+             round(max(cell_cos), 6) AS max_cos
+      FROM assign
+      GROUP BY cell_id
+      ORDER BY cell_id"""))
+
+  val all: Seq[GraftQuery] = Seq(s05IvfTopK, d08SemanticDedup, c10CellProfile)
+}

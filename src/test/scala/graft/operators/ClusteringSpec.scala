@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.{Graft, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(dir: String) =
+    Graft.table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+
+  private lazy val sf0001 = emb("/root/testdata/sf0.001")
+
+  test("seed cells: deterministic md5 stride — same seeds on every run, ~sqrt(n) of them") {
+    val a = Clustering.seedCells(sf0001, "vec_id", "embedding")
+      .select("cell_id").as[Long].collect().sorted
+    val b = Clustering.seedCells(sf0001, "vec_id", "embedding")
+      .select("cell_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+    val n = sf0001.count()
+    // expected n/stride ≈ ceil(sqrt(n)); allow generous hash variance
+    val expected = Clustering.cellCount(n)
+    assert(a.length > expected / 3 && a.length < expected * 3,
+      s"got ${a.length} seeds for n=$n (expected ≈ $expected)")
+  }
+
+  test("assignment: every non-zero vector gets exactly one cell, the argmax-cosine one") {
+    val cells = Clustering.seedCells(sf0001, "vec_id", "embedding")
+    val assign = Clustering.assignCells(sf0001, "vec_id", "embedding", cells)
+    assert(assign.count() == sf0001.count())
+    assert(assign.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+
+    // parity with the window spelling of argmax
+    val scored = sf0001
+      .select(col("vec_id"), col("embedding"), Similarity.l2Norm(col("embedding")).as("nm"))
+      .join(broadcast(cells))
+      .select(col("vec_id"),
+        (Similarity.dot(col("embedding"), col("c_emb")) / (col("nm") * col("c_norm"))).as("cos"),
+        col("cell_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("cell_id").asc)
+    val windowed = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell_id"))
+    assert(assign.select("vec_id", "cell_id").exceptAll(windowed).count() == 0)
+    assert(windowed.exceptAll(assign.select("vec_id", "cell_id")).count() == 0)
+  }
+
+  test("IVF results are a subset of cell members and scores match brute force exactly") {
+    val q = sf0001.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val c = sf0001.select(col("vec_id").as("id"), col("embedding"))
+    val ivf = Clustering.ivfTopK(q, c, 5, nprobe = 12).collect()
+    assert(ivf.nonEmpty)
+    // every IVF (query, neighbor, cosine) must appear in the exact scored set
+    // with the identical cosine (IVF approximates WHICH pairs are scored,
+    // never the score itself)
+    val exact = Similarity.bruteForceTopK(q, c, 500 /* all pairs at this sf */)
+      .collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(exact.contains(key), s"IVF returned non-corpus pair $key")
+      assert(math.abs(exact(key) - r.getAs[Double]("cosine")) < 1e-12)
+    }
+  }
+
+  test("IVF recall@5 vs exact s01 meets the measured floor at nprobe=12") {
+    val q = sf0001.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val c = sf0001.select(col("vec_id").as("id"), col("embedding"))
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = sets(Similarity.bruteForceTopK(q, c, 5))
+    val ivf = sets(Clustering.ivfTopK(q, c, 5, nprobe = 12))
+    val recall = exact.map { case (qid, ex) =>
+      ivf.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    // measured 0.74 at sf0.01 / 0.66 at sf0.1 (see ClusterQueries.NProbe);
+    // floor set well under the measured band to stay non-flaky across SFs
+    assert(recall >= 0.4, f"IVF recall@5 = $recall%.2f below floor")
+  }
+
+  test("semantic dedup: in-cell near-dups drop, min id of a chain survives") {
+    // fixture: 3 near-identical vectors (a chain) + 1 orthogonal, in 2-dim
+    // space padded to 8 dims so seed selection stays sane
+    def v(xs: Double*) = xs.map(_.toFloat).toArray ++ Array.fill(6)(0.0f)
+    val df = Seq(
+      (10L, v(1.0, 0.01)), (11L, v(1.0, 0.02)), (12L, v(1.0, 0.03)),
+      (20L, v(0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val res = Clustering.semanticDedup(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(res(20L), "orthogonal vector must survive")
+    // the near-dup trio: whoever shares a cell with a smaller-id twin drops.
+    // With any cell layout the smallest id present in each cell survives.
+    val dupIds = Seq(10L, 11L, 12L)
+    assert(dupIds.exists(res(_)), "at least the smallest id of the chain survives")
+    val cells = Clustering.semanticDedup(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell_id")).toMap
+    dupIds.groupBy(cells).foreach { case (_, members) =>
+      val kept = members.filter(res(_))
+      assert(kept == List(members.min),
+        s"cell with members $members kept $kept, expected only ${members.min}")
+    }
+  }
+
+  test("FloatVecSumAgg matches the posexplode spelling and skips null rows") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(0.5f, 0.5f, 0.5f)),
+      (2L, Array(1.0f, 1.0f, 1.0f))
+    ).toDF("g", "v")
+      .union(Seq((2L, null.asInstanceOf[Array[Float]])).toDF("g", "v"))
+    val agg = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.FloatVecSumAgg(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("v")))
+        .toAggregateExpression())
+    val native = df.groupBy("g").agg(agg.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val spelled = df.filter(col("v").isNotNull)
+      .select(col("g"), posexplode(col("v")))
+      .groupBy(col("g"), col("pos")).agg(sum(col("col").cast("double")).as("s"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("g"), transform(col("ps"), p => p.getField("s")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(native == spelled)
+    assert(native(1L) == Seq(1.5, 2.5, 3.5))
+  }
+
+  test("kmeans: WCSS non-increasing per Lloyd iteration; final assignment is argmin") {
+    val model = Clustering.kmeans(spark, sf0001, "vec_id", "embedding", iters = 3)
+    assert(model.wcss.length == 4) // seed + 3 refinements
+    model.wcss.sliding(2).foreach { case Array(prev, next) =>
+      // float-rounded centroids can nudge WCSS by ulps near convergence
+      assert(next <= prev * (1 + 1e-9) + 1e-6,
+        s"WCSS increased: ${model.wcss.mkString(", ")}")
+    }
+    assert(model.wcss.last < model.wcss.head, "Lloyd refinement never improved WCSS")
+
+    // final assignment = argmin over final centroids (replay independently)
+    val assign = Clustering.assignKMeans(spark, sf0001, "vec_id", "embedding", model.centroids)
+    val vecs = sf0001.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = assign.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell_id")).toMap
+    def d2(a: Array[Float], c: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - c(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    got.foreach { case (vid, cid) =>
+      val best = model.centroids.map { case (id, c) => (d2(vecs(vid), c), id) }.min
+      assert(best._2 == cid || math.abs(best._1 - model.centroids.collectFirst {
+        case (`cid`, c) => d2(vecs(vid), c)
+      }.get) < 1e-9, s"vec $vid assigned $cid, argmin says ${best._2}")
+    }
+  }
+}

@@ -179,4 +179,25 @@ class PlanAuditSpec extends SparkSpec {
     val p = simplePlan(q("d04_minhash_lsh_pairs"))
     assert(p.contains("REPARTITION_BY_NUM"), p)
   }
+
+  test("s05 IVF: seeds broadcast; candidate generation is a cell equi-join; top-k bounded") {
+    val p = plan(q("s05_ivf_topk"))
+    // corpus × seeds scoring is a broadcast nested loop of the ~sqrt(n)
+    // seed side — never a shuffled cartesian of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // probe → members is a hash equi-join on cell_id
+    assert(p.contains("cell_id"), p)
+    // final top-k partial-aggregates (TopKPairs), no scored-pair window
+    assert(p.contains("topk_pairs"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("d08 semantic dedup: pair generation is an equi-join on cell_id, not all-pairs") {
+    val p = plan(q("d08_semantic_dedup"))
+    // the only theta-join allowed is id_a < id_b INSIDE the cell equi-join
+    // (join keys contain cell_id); no corpus-wide cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("cell_id"), p)
+  }
 }
