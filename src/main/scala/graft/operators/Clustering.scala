@@ -73,6 +73,27 @@ object Clustering {
         Similarity.l2Norm(col(embCol)).as("c_norm"))
   }
 
+  /** [[seedCells]], materialized: collects the ~√n seed rows and
+    * re-literalizes them as a local DataFrame. Every consumer broadcasts
+    * the seed side anyway — the rows land on the driver either way — but a
+    * plain subtree reference gets RECOMPUTED per consumer (assignment,
+    * probing, member lookup each re-running the corpus count + filter scan:
+    * 3 extra full scans at production scale). Collecting once pins a single
+    * scan; at n = 10⁹ the seed set is ~√n·dim ≈ 8 MB — driver-safe by
+    * construction, same order as any broadcast dim. Values are identical to
+    * [[seedCells]] (same rows, same floats), so oracles are unaffected. */
+  def materializedCells(corpus: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = seedCells(corpus, idCol, embCol)
+      .select(col("cell_id"), col("c_emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+    spark.createDataset(rows).toDF("cell_id", "c_emb")
+      .select(col("cell_id"), col("c_emb"), Similarity.l2Norm(col("c_emb")).as("c_norm"))
+  }
+
   /** Nearest-seed cell per corpus vector by cosine (ties → smallest
     * cell_id, exactly `row_number() OVER (ORDER BY cos DESC, cell_id ASC)`).
     * Zero-norm vectors score null against every seed and are dropped —
@@ -123,7 +144,7 @@ object Clustering {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"k and nprobe must be >= 1, got k=$k nprobe=$nprobe")
-    val cells = seedCells(corpus, idCol, embCol)
+    val cells = materializedCells(corpus, idCol, embCol)
     val assign = assignCells(corpus, idCol, embCol, cells)
 
     // query → nprobe nearest cells, bounded aggregate again (k=nprobe)
@@ -166,7 +187,7 @@ object Clustering {
     * to cell size (~√n) instead of the corpus. */
   def semanticPairs(corpus: DataFrame, idCol: String, embCol: String,
       minCosine: Double): DataFrame = {
-    val cells = seedCells(corpus, idCol, embCol)
+    val cells = materializedCells(corpus, idCol, embCol)
     val assign = assignCells(corpus, idCol, embCol, cells)
     val emb = corpus.select(col(idCol).cast("bigint").as("vec_id"), col(embCol).as("emb"),
       Similarity.l2Norm(col(embCol)).as("norm"))
@@ -189,7 +210,7 @@ object Clustering {
     * pair survive. Output: (vec_id, cell_id, kept). */
   def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
       minCosine: Double): DataFrame = {
-    val cells = seedCells(corpus, idCol, embCol)
+    val cells = materializedCells(corpus, idCol, embCol)
     val assign = assignCells(corpus, idCol, embCol, cells)
     val dropped = semanticPairs(corpus, idCol, embCol, minCosine)
       .select(col("id_b").as("vec_id")).distinct()
