@@ -288,7 +288,32 @@ object TextQueries {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** Winnowing fingerprint (MOSS): distinct minima of every 8-window over
+    * the rolling 5-gram hash sequence — any shared substring of length
+    * ≥ 12 chars leaves a common hash, at ~22% of the full shingle-set
+    * storage. The near-dup INDEX format for overlap detection at scale;
+    * per-row map, no shuffle. Oracle restates the identical windows over
+    * the identical portable polynomial hashes. */
+  val t09WinnowFingerprint = GraftQuery(
+    "t09_winnow_fingerprint",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          winnowFingerprint(col("text"), k = 5, w = 8).as("fingerprint"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH codes_t AS (
+        SELECT doc_id, ${DedupQueries.duckCodesSql} AS codes, text FROM documents),
+      hs_t AS (
+        SELECT doc_id, ${DedupQueries.duckShingleHashesN(5)} AS hs FROM codes_t)
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(hs) - 7, 1) + 1),
+               i -> list_aggregate(hs[i:i+7], 'min')))) AS fingerprint
+      FROM hs_t
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
-      t07RepetitionFilter, t08Redaction)
+      t07RepetitionFilter, t08Redaction, t09WinnowFingerprint)
 }

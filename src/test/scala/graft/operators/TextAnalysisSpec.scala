@@ -100,4 +100,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(checked(1).getString(2) ==
       "two mails <EMAIL> <EMAIL>, phone <PHONE> and <PHONE>")
   }
+
+  test("winnowing: shared substring >= w+k-1 chars leaves a common hash; density ~2/(w+1)") {
+    import spark.implicits._
+    val k = 5; val w = 8
+    val shared = "the quick brown fox jumps over it" // 33 >= w+k-1 = 12
+    val df = Seq(
+      (1L, s"AAAA $shared BBBB padding text one two three"),
+      (2L, s"zzz different prefix $shared and a different suffix"),
+      (3L, "completely unrelated content with nothing in common at all")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        TextAnalysis.winnowFingerprint(col("text"), k, w).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // the winnowing guarantee: docs 1 and 2 share the substring, so their
+    // fingerprints must intersect
+    assert(fps(1L).intersect(fps(2L)).nonEmpty, "guaranteed common hash missing")
+    // sorted-distinct output, deterministic across runs
+    val again = df.select(TextAnalysis.winnowFingerprint(col("text"), k, w))
+      .collect().map(_.getSeq[Long](0))
+    assert(again.forall(s => s == s.sorted && s.distinct == s))
+    // density: fingerprint is a strict subset of the full shingle set —
+    // expected ~2/(w+1) ≈ 22%; assert well under half on real prose
+    val full = df.select(array_distinct(Dedup.shingleHashes(col("text"), k)).as("h"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    val fpArr = df.select(TextAnalysis.winnowFingerprint(col("text"), k, w).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    fpArr.zip(full).foreach { case (fp, all) =>
+      assert(fp.subsetOf(all))
+      assert(fp.size <= all.size / 2, s"${fp.size} of ${all.size} kept — winnowed too little")
+    }
+  }
 }
