@@ -130,6 +130,36 @@ class ClusteringSpec extends SparkSpec {
     assert(native(1L) == Seq(1.5, 2.5, 3.5))
   }
 
+  test("IVF at rest: corpus written partitioned by cell_id — probes become partition pruning") {
+    // the production layout the ivfTopK scaladoc claims: materialize
+    // (cell_id, vec_id, embedding) partitioned by cell_id; a probe filter
+    // then prunes unread cells at the parquet-directory level
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val cells = Clustering.materializedCells(sf0001, "vec_id", "embedding")
+    val assign = Clustering.assignCells(sf0001, "vec_id", "embedding", cells)
+    assign.join(sf0001, "vec_id")
+      .write.partitionBy("cell_id").mode("overwrite").parquet(dir)
+
+    val atRest = spark.read.parquet(dir)
+    val allCells = cells.select("cell_id").as[Long].collect().sorted
+    val probed = allCells.take(3)
+    val q = atRest.filter(col("cell_id").isin(probed: _*))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString
+    // the probe predicate must be a PARTITION filter (directory-level
+    // pruning), not a data filter over a full scan
+    assert(scan.contains("PartitionFilters") && scan.contains("cell_id"), scan)
+    // and the scan must report reading exactly the probed partitions
+    val fileScan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail(s"no file scan in\n$scan"))
+    assert(fileScan.metrics("numPartitions").value == probed.length,
+      s"read ${fileScan.metrics("numPartitions").value} partitions, expected ${probed.length}")
+    val expected = assign.filter(col("cell_id").isin(probed: _*)).count()
+    assert(q.count() == expected)
+    assert(expected < assign.count(), "probe must read a strict subset")
+  }
+
   test("kmeans: WCSS non-increasing per Lloyd iteration; final assignment is argmin") {
     val model = Clustering.kmeans(spark, sf0001, "vec_id", "embedding", iters = 3)
     assert(model.wcss.length == 4) // seed + 3 refinements
