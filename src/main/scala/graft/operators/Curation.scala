@@ -146,6 +146,28 @@ object Curation {
       .drop("__graft_token_quota", "__graft_running")
   }
 
+  /** Per-stratum ADAPTIVE threshold filter: compute quantile `q` of
+    * `valueCol` within each stratum and keep rows at or above their own
+    * stratum's threshold — how production quality gates are actually set
+    * ("keep the top half of each language"), vs a single global cutoff
+    * that a verbose language would dominate.
+    *
+    * Shape: one partial-aggregating shuffle to a |strata|-row stats frame,
+    * broadcast back, per-row filter — the corpus itself never reshuffles.
+    * The exact interpolated percentile here sorts each stratum's values
+    * inside the aggregate; at 100 TB swap the agg for `approx_percentile`
+    * (same plan shape, bounded state) — exactness is what lets the DuckDB
+    * oracle hash-match (`quantile_cont` interpolates identically). */
+  def adaptiveThreshold(df: DataFrame, stratumCol: String, valueCol: Column,
+      q: Double, thresholdOutCol: String = "stratum_threshold"): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    requireFresh(df, thresholdOutCol)
+    val stats = df.groupBy(col(stratumCol))
+      .agg(percentile(valueCol, lit(q)).as(thresholdOutCol))
+    df.join(broadcast(stats), stratumCol)
+      .filter(valueCol >= col(thresholdOutCol))
+  }
+
   /** Per-stratum top-n by a SCORE (descending, key tie-break) — the
     * "keep the best n of each source" selection, vs [[stratifiedSample]]'s
     * unbiased hash order. Same single-shuffle bounded-output shape. */

@@ -358,6 +358,58 @@ object Dedup {
     * loose estimate cut: 240k → 235k candidates for two extra joins); the
     * size bound prunes what the estimate cannot — structurally impossible
     * pairs — without any extra join. */
+  /** Maximal duplicated TOKEN SPANS across document pairs — the
+    * exact-substring dedup family (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): where Jaccard/MinHash score whole
+    * documents, this finds and localizes the verbatim runs themselves, so a
+    * pipeline can CUT the duplicated passage instead of dropping a document.
+    *
+    * Spark-first shape instead of the paper's suffix array (a global sorted
+    * structure with no distributed equivalent): k-token gram inverted index
+    * → same-gram position pairs → gaps-and-islands run merge.
+    *  1. one row per (doc, pos, md5(gram of k tokens)) — per-row generate;
+    *  2. df-cap: grams occurring > maxGramFreq times are dropped (bounds the
+    *     self-join fan-out at df², the d02 hot-key rule; a run that loses an
+    *     interior over-cap gram splits — boilerplate beyond the cap is
+    *     exact-dedup's job, per the [[jaccardPairs]] contract);
+    *  3. self-join on gram hash → (doc_a, doc_b, pos_a, pos_b), doc_a<doc_b;
+    *  4. consecutive matches share an anti-diagonal (pos_a − pos_b): the
+    *     row_number-vs-pos_a difference is constant per maximal run, so one
+    *     window + one groupBy merges each run and its length is
+    *     matches + k − 1 tokens.
+    * Shuffles: gram df count, the pair join, the per-(pair, diagonal)
+    * window — all on bounded keys (window partitions are bounded by doc
+    * length, not corpus size). Output: (doc_a, doc_b, start_a, start_b,
+    * span_tokens), 1-based starts, spans ≥ minSpanTokens. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minSpanTokens: Int = 12, maxGramFreq: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && minSpanTokens >= k, s"need k >= 1, minSpanTokens >= k; got k=$k min=$minSpanTokens")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), toks.as("__graft_toks"))
+      .filter(size(col("__graft_toks")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("__graft_toks")) - (k - 1)),
+          i => md5(concat_ws(" ", slice(col("__graft_toks"), i, lit(k)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxGramFreq).select(col("g"))
+    val capped = grams.join(rare, "g")
+    val matches = capped.as("a").join(capped.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pos_a"))
+    matches.withColumn("__graft_grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("__graft_grp"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + (k - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"), col("span_tokens"))
+  }
+
   def lshNearDupPairs(docs: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
     val base = shingleSets(docs, idCol, textCol)
     val bands = base.select(col("doc_id"), size(col("hset")).as("nh"),

@@ -367,8 +367,29 @@ object CurationQueries {
       FROM hits
       ORDER BY doc_id"""))
 
+  /** Adaptive per-stratum threshold: keep each source's docs at or above
+    * that source's own median length — per-stratum quantile gates, the way
+    * production quality cutoffs are actually set. One |strata|-row exact
+    * percentile aggregate broadcast back as a per-row filter; the corpus
+    * never reshuffles. (At 100 TB the agg swaps to approx_percentile —
+    * same plan shape; exact is what the oracle can hash-match.) */
+  val c11AdaptiveThreshold = GraftQuery(
+    "c11_adaptive_threshold",
+    (s, dir) =>
+      Curation.adaptiveThreshold(table(s, dir, "documents"), "source", col("n_chars"), 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("stratum_threshold"), 6).as("stratum_threshold"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH thr AS (
+        SELECT source, quantile_cont(n_chars, 0.5) AS t FROM documents GROUP BY source)
+      SELECT d.doc_id, d.source, d.n_chars, round(t, 6) AS stratum_threshold
+      FROM documents d JOIN thr USING (source)
+      WHERE d.n_chars >= t
+      ORDER BY d.doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
-      c08TokenQuotaMix, c09Decontamination)
+      c08TokenQuotaMix, c09Decontamination, c11AdaptiveThreshold)
 }

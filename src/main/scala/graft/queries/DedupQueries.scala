@@ -262,7 +262,46 @@ object DedupQueries {
       WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
       ORDER BY id_a, id_b"""))
 
+  /** Maximal duplicated token spans (exact-substring dedup family): 8-token
+    * gram inverted index (df ≤ 1000), anti-diagonal islands merge, spans of
+    * ≥ 12 tokens. Localizes verbatim runs so a pipeline can cut the passage
+    * instead of dropping the document. */
+  val d09DuplicateSpans = GraftQuery(
+    "d09_duplicate_spans",
+    (s, dir) =>
+      Dedup.duplicateSpans(table(s, dir, "documents"), "doc_id", "text",
+          k = 8, minSpanTokens = 12, maxGramFreq = 1000L)
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b")),
+    Some("""
+      WITH toks_t AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+        FROM documents),
+      grams AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               md5(array_to_string(toks[CAST(i AS INT):CAST(i+7 AS INT)], ' ')) AS g
+        FROM toks_t, unnest(range(1, greatest(len(toks)-7, 0)+1)) AS t(i)
+        WHERE len(toks) >= 8),
+      rare AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 1000),
+      gr AS (SELECT grams.* FROM grams JOIN rare USING (g)),
+      mt AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+        FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id),
+      isl AS (
+        SELECT *, pos_a - pos_b AS diag,
+               pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+                 ORDER BY pos_a) AS grp
+        FROM mt),
+      spans AS (
+        SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+               CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_a, doc_b, diag, grp)
+      SELECT doc_a, doc_b, CAST(start_a AS INT) AS start_a, CAST(start_b AS INT) AS start_b,
+             span_tokens
+      FROM spans WHERE span_tokens >= 12
+      ORDER BY doc_a, doc_b, start_a, start_b"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01ExactDedup, d02JaccardPairs, d03MinhashSignatures,
-    d04LshNearDup, d05Simhash, d06EmbeddingNearDup, d07ContainmentPairs)
+    d04LshNearDup, d05Simhash, d06EmbeddingNearDup, d07ContainmentPairs,
+    d09DuplicateSpans)
 }

@@ -383,8 +383,53 @@ object Extended {
       GROUP BY c_nationkey
       ORDER BY c_nationkey"""))
 
+  /** Misra–Gries heavy hitters (frequent-items sketch) over the event
+    * stream, k=4 counters against 5 event types — the sketch runs under
+    * genuine eviction pressure. Oracle-checkable the q34 way, but here the
+    * guarantees are DETERMINISTIC (MG has no randomness): every type with
+    * count·(k+1) > N must be present in the summary, and its estimate e
+    * must satisfy e ≤ f and (k+1)·e ≥ (k+1)·f − N — integer arithmetic on
+    * both sides, no float boundary. The DuckDB oracle computes the exact
+    * heavy-hitter set and literal TRUE for both sketch assertions; a broken
+    * sketch (overcount, lost heavy hitter, bad merge) flips a boolean →
+    * hash mismatch. The scale story is the plan: the MG aggregate
+    * partial-aggregates, shipping ONE ≤k-entry map per task to the shuffle,
+    * where exact counting shuffles every occurrence. */
+  val q39HeavyHitters = GraftQuery(
+    "q39_heavy_hitters",
+    (s, dir) => {
+      val k = 4
+      val events = table(s, dir, "events").select(col("event_type"))
+      val mgAgg = org.apache.spark.sql.graft.ColumnShim.column(
+        graft.sql.MisraGries(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("event_type")), k)
+          .toAggregateExpression())
+      val sketch = events.agg(mgAgg.as("mg"), count(lit(1)).as("n_total"))
+      val exact = events.groupBy(col("event_type")).agg(count(lit(1)).as("exact_count"))
+      exact.crossJoin(broadcast(sketch))
+        .filter(col("exact_count") * (k + 1) > col("n_total"))
+        .withColumn("est", element_at(col("mg"), col("event_type")))
+        .select(
+          col("event_type"), col("exact_count"),
+          col("est").isNotNull.as("in_sketch"),
+          (col("est").isNotNull && col("est") <= col("exact_count") &&
+            col("est") * (k + 1) >= col("exact_count") * (k + 1) - col("n_total"))
+            .as("bounds_ok"))
+        .orderBy(col("exact_count").desc, col("event_type"))
+    },
+    Some("""
+      WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events),
+      exact AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM events GROUP BY event_type)
+      SELECT event_type, exact_count, TRUE AS in_sketch, TRUE AS bounds_ok
+      FROM exact, tot
+      WHERE exact_count * 5 > n_total
+      ORDER BY exact_count DESC, event_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     q26WindowFrames, q27Ranking, q28GroupingSets, q29Pivot, q30AsOfJoin,
     q31RangeJoin, q32Sessionize, q33Percentiles, q34ApproxDistinct,
-    q35ScalarSubquery, q36FromJson, q37ApproxPercentile, q38SaltedJoin)
+    q35ScalarSubquery, q36FromJson, q37ApproxPercentile, q38SaltedJoin,
+    q39HeavyHitters)
 }

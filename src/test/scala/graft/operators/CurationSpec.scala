@@ -151,6 +151,24 @@ class CurationSpec extends SparkSpec {
       (10L, 10L), (11L, 10L)))
   }
 
+  test("adaptiveThreshold keeps each stratum's rows at or above its own quantile") {
+    // stratum x: values 1..5, median 3 → keep {3,4,5};
+    // stratum y: values 10..13, median 11.5 → keep {12,13} — per-stratum
+    // cutoffs, not a global one (a global median would gate x entirely away)
+    val df = (Seq(("x", _: Int)).flatMap(f => (1 to 5).map(f)) ++
+      (10 to 13).map(v => ("y", v))).toDF("stratum", "v")
+    val kept = Curation.adaptiveThreshold(df, "stratum", $"v", 0.5)
+      .select($"stratum", $"v").as[(String, Int)].collect().toSet
+    assert(kept == Set(("x", 3), ("x", 4), ("x", 5), ("y", 12), ("y", 13)))
+  }
+
+  test("adaptiveThreshold rejects inputs already carrying the threshold column") {
+    val df = Seq(("x", 1, 0.0)).toDF("stratum", "v", "stratum_threshold")
+    val e = intercept[IllegalArgumentException](
+      Curation.adaptiveThreshold(df, "stratum", $"v", 0.5))
+    assert(e.getMessage.contains("stratum_threshold"))
+  }
+
   test("connectedComponents merges components discovered through a late bridge") {
     // two stars 1-{2,3} and 7-{8,9} bridged by 3-9: one component, min 1
     val pairs = Seq((1L, 2L), (1L, 3L), (7L, 8L), (7L, 9L), (3L, 9L))

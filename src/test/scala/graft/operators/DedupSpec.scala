@@ -148,4 +148,43 @@ class DedupSpec extends SparkSpec {
     assert(cont.exists { case (c, h, v) => c == 1L && h == 2L && v >= 0.99 },
       cont.mkString(","))
   }
+
+  test("duplicateSpans localizes a planted mid-document verbatim run exactly") {
+    import spark.implicits._
+    val shared = (1 to 15).map(i => s"shared$i").mkString(" ") // 15-token run
+    val a = "alpha beta gamma " + shared + " delta epsilon"    // run at pos 4
+    val b = "one two three four five " + shared + " six"       // run at pos 6
+    val c = "totally unrelated content with nothing in common here at all"
+    val corpus = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, "doc_id", "text", k = 8, minSpanTokens = 12)
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq
+    assert(spans == Seq((1L, 2L, 4, 6, 15L)), spans.mkString(","))
+  }
+
+  test("duplicateSpans drops runs below minSpanTokens and unrelated pairs") {
+    import spark.implicits._
+    val shortRun = (1 to 10).map(i => s"run$i").mkString(" ") // 10 < 12 tokens
+    val corpus = Seq(
+      (1L, "intro words here " + shortRun + " outro"),
+      (2L, "different intro " + shortRun + " different outro")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(corpus, "doc_id", "text", k = 8, minSpanTokens = 12).isEmpty)
+    // but the same corpus reports it when the floor allows
+    val spans = Dedup.duplicateSpans(corpus, "doc_id", "text", k = 8, minSpanTokens = 10)
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq
+    assert(spans == Seq((1L, 2L, 4, 3, 10L)), spans.mkString(","))
+  }
+
+  test("duplicateSpans df-cap: over-cap grams generate no matches") {
+    import spark.implicits._
+    // the same 12-token run in 3 docs → every gram has df 3; cap 2 kills all
+    val run = (1 to 12).map(i => s"w$i").mkString(" ")
+    val corpus = (1L to 3L).map(id => (id, s"doc$id " + run)).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(corpus, "doc_id", "text", k = 8, minSpanTokens = 12,
+      maxGramFreq = 2L).isEmpty)
+    // cap 3 admits them: C(3,2) pairs, each with the full 12-token span
+    val spans = Dedup.duplicateSpans(corpus, "doc_id", "text", k = 8, minSpanTokens = 12,
+        maxGramFreq = 3L).as[(Long, Long, Int, Int, Long)].collect().toSeq
+    assert(spans.length == 3 && spans.forall(_._5 == 12L), spans.mkString(","))
+  }
 }
