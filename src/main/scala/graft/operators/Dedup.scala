@@ -339,6 +339,39 @@ object Dedup {
       .agg(sum(coalesce(col("hit"), lit(0L))).as("eval_hits"))
   }
 
+  /** [[contaminationScan]] with a BLOOM pre-filter on the probe side — the
+    * runtime-filter pattern ([[graft.sql.Bloom]]) applied by hand: the eval
+    * vocabulary aggregates into one bloom sketch (a few MB at 10⁶ shingles,
+    * riding along as a scalar subquery), every corpus shingle probes the
+    * sketch first, and only might-contain survivors reach the exact
+    * membership join. Because bloom filters have NO false negatives, the
+    * output is bit-identical to the exact scan — the sketch only prunes;
+    * false positives are re-checked by the join. The win at 100 TB: clean
+    * documents (the overwhelming majority) drop out at the codegen'd
+    * probe, so the join's build+probe traffic shrinks by ~the clean
+    * fraction; the broadcast shrinks from the full eval hash set to the
+    * fixed-size sketch. */
+  def bloomContaminationScan(
+      corpus: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 40, expectedEvalShingles: Long = 1000000L,
+      fpp: Double = 0.03): DataFrame = {
+    import graft.sql.Bloom
+    val evalHashes = shingleSets(evalSet, idCol, textCol, shingleLen)
+      .select(explode(col("hset")).as("h")).distinct()
+    val sketch = evalHashes.agg(Bloom.bloomFilterAgg(col("h"), expectedEvalShingles, fpp).as("bf"))
+    val base = shingleSets(corpus, idCol, textCol, shingleLen)
+    val sh = base.select(col("doc_id"), explode(col("hset")).as("h"))
+    val candidates = sh.filter(Bloom.mightContain(sketch.scalar(), col("h")))
+    val hits = candidates
+      .join(broadcast(evalHashes.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+    base.select(col("doc_id"), size(col("hset")).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("hits"), lit(0L)).as("eval_hits"))
+  }
+
   /** MinHash-LSH near-dup pairs: signature → band keys → bucket self-join →
     * size-ratio prune → distinct candidates → exact Jaccard verify →
     * threshold. No all-pairs product anywhere; the only shuffles are the

@@ -367,6 +367,50 @@ object CurationQueries {
       FROM hits
       ORDER BY doc_id"""))
 
+  /** Decontamination with a bloom pre-filter on the probe side (the
+    * runtime-filter pattern, [[graft.operators.Dedup.bloomContaminationScan]]):
+    * the eval vocabulary folds into one fixed-size sketch; corpus shingles
+    * that fail the codegen'd probe never reach the membership join. No
+    * false negatives, so the result is bit-identical to the exact c09 scan
+    * — and the oracle is the SAME SQL: DuckDB recomputes the exact answer,
+    * proving the bloom path prunes without dropping a single hit. */
+  val c12BloomDecontamination = GraftQuery(
+    "c12_bloom_decontamination",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.bloomContaminationScan(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "doc_id", "text",
+          expectedEvalShingles = 100000L)
+        .withColumn("contamination",
+          round(col("eval_hits").cast("double") / col("n_shingles").cast("double"), 6))
+        .withColumn("contaminated", col("contamination") >= 0.5)
+        .select(col("doc_id"), col("n_shingles"), col("eval_hits"),
+          col("contamination"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH codes_t AS (
+        SELECT doc_id, source, ${DedupQueries.duckCodesSql} AS codes, text FROM documents),
+      hs_t AS (
+        SELECT doc_id, source, list_distinct(${DedupQueries.duckShingleHashesN(40)}) AS hset
+        FROM codes_t),
+      eval_h AS (
+        SELECT DISTINCT unnest(hset) AS h FROM hs_t WHERE source = 'src0'),
+      corpus AS (
+        SELECT doc_id, len(hset) AS n_shingles, unnest(hset) AS h
+        FROM hs_t WHERE source <> 'src0'),
+      hits AS (
+        SELECT c.doc_id, c.n_shingles,
+               CAST(SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS eval_hits
+        FROM corpus c LEFT JOIN eval_h e ON c.h = e.h
+        GROUP BY c.doc_id, c.n_shingles)
+      SELECT doc_id, CAST(n_shingles AS INT) AS n_shingles, eval_hits,
+             round(CAST(eval_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination,
+             round(CAST(eval_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) >= 0.5 AS contaminated
+      FROM hits
+      ORDER BY doc_id"""))
+
   /** Adaptive per-stratum threshold: keep each source's docs at or above
     * that source's own median length — per-stratum quantile gates, the way
     * production quality cutoffs are actually set. One |strata|-row exact
@@ -391,5 +435,6 @@ object CurationQueries {
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
-      c08TokenQuotaMix, c09Decontamination, c11AdaptiveThreshold)
+      c08TokenQuotaMix, c09Decontamination, c11AdaptiveThreshold,
+      c12BloomDecontamination)
 }

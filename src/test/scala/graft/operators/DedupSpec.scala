@@ -149,6 +149,26 @@ class DedupSpec extends SparkSpec {
       cont.mkString(","))
   }
 
+  test("bloomContaminationScan is bit-identical to the exact scan (no false negatives)") {
+    import spark.implicits._
+    val benchDoc = "which of the following statements about photosynthesis is correct answer"
+    val evalSet = Seq((100L, benchDoc)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, benchDoc + " padded with some training text around the leaked question"),
+      (2L, "statements about correct photosynthesis answer the following of which is"),
+      (3L, "entirely unrelated training document content")
+    ).toDF("doc_id", "text")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").as[(Long, Int, Long)].collect().toSeq
+    val exact = dump(Dedup.contaminationScan(corpus, evalSet, "doc_id", "text"))
+    val bloom = dump(Dedup.bloomContaminationScan(corpus, evalSet, "doc_id", "text"))
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    // and the probe is actually in the plan (the pruning is real, not a no-op)
+    val plan = Dedup.bloomContaminationScan(corpus, evalSet, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+  }
+
   test("duplicateSpans localizes a planted mid-document verbatim run exactly") {
     import spark.implicits._
     val shared = (1 to 15).map(i => s"shared$i").mkString(" ") // 15-token run
