@@ -427,9 +427,41 @@ object Extended {
       WHERE exact_count * 5 > n_total
       ORDER BY exact_count DESC, event_type"""))
 
+  /** Z-order (Morton) clustering codes over two independent order
+    * dimensions — the sort key behind OPTIMIZE ZORDER BY
+    * ([[graft.operators.Layout]]). The code must be bit-exact or the
+    * layout silently loses locality, so the oracle recomputes the
+    * interleave arithmetically; the row-group pruning the layout buys is
+    * CI-verified in LayoutSpec. */
+  val q40ZorderCodes = GraftQuery(
+    "q40_zorder_codes",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 256).cast("int").as("x"),
+          (col("o_orderkey") % 256).cast("int").as("y"))
+        .withColumn("zcode", graft.operators.Layout.mortonCode(col("x"), col("y"), bits = 8))
+        .orderBy(col("zcode"), col("o_orderkey"))
+        .limit(2000),
+    Some {
+      val interleave = (0 until 8).flatMap { i =>
+        Seq(s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" + ")
+      s"""
+      WITH pts AS (
+        SELECT o_orderkey,
+               CAST(o_custkey % 256 AS INT) AS x,
+               CAST(o_orderkey % 256 AS INT) AS y
+        FROM orders)
+      SELECT o_orderkey, x, y, CAST($interleave AS BIGINT) AS zcode
+      FROM pts
+      ORDER BY zcode, o_orderkey
+      LIMIT 2000"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     q26WindowFrames, q27Ranking, q28GroupingSets, q29Pivot, q30AsOfJoin,
     q31RangeJoin, q32Sessionize, q33Percentiles, q34ApproxDistinct,
     q35ScalarSubquery, q36FromJson, q37ApproxPercentile, q38SaltedJoin,
-    q39HeavyHitters)
+    q39HeavyHitters, q40ZorderCodes)
 }

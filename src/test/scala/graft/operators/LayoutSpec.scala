@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mortonCode matches an independent bit-interleave reimplementation") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L), (12345L, 54321L))
+    val got = pts.toDF("x", "y")
+      .select(Layout.mortonCode($"x", $"y", 16).as("m")).as[Long].collect().toSeq
+    assert(got == pts.map { case (x, y) => ref(x, y, 16) })
+    // interleave masks above `bits`: 2^16 aliases to 0 at 16 bits
+    val masked = Seq((65536L, 0L)).toDF("x", "y")
+      .select(Layout.mortonCode($"x", $"y", 16).as("m")).as[Long].head()
+    assert(masked == 0L)
+  }
+
+  test("z-order layout: row-group stats prune scans on BOTH dimensions") {
+    // 256×256 uniform grid, 4 rows per cell — two independent dimensions.
+    // Linear layout (sorted by x) clusters x only; z-order clusters both.
+    val n = 256 * 256 * 4
+    val grid = spark.range(n.toLong)
+      .select((col("id") % 256).cast("int").as("x"),
+        ((col("id") / 256) % 256).cast("int").as("y"),
+        col("id").as("payload"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // small row groups so one file holds many independently-prunable groups
+    val opts = Map("parquet.block.size" -> (64 * 1024).toString)
+    grid.repartitionByRange(4, col("x")).sortWithinPartitions(col("x"))
+      .write.options(opts).mode("overwrite").parquet(s"$tmp/linear")
+    Layout.zorderBy(grid, col("x"), col("y"), bits = 8, partitions = 4)
+      .write.options(opts).mode("overwrite").parquet(s"$tmp/zorder")
+
+    // rows surviving row-group pruning = the scan leaf's numOutputRows
+    def rowsScanned(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(path).filter(pred)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no file scan"))
+      scan.metrics("numOutputRows").value
+    }
+
+    val ySlice = col("y") < 8 // 1/32 of the data
+    val linearY = rowsScanned(s"$tmp/linear", ySlice)
+    val zorderY = rowsScanned(s"$tmp/zorder", ySlice)
+    // linear-on-x cannot prune a y filter: every row group spans all y
+    assert(linearY.toDouble >= n * 0.9, s"linear layout unexpectedly pruned y: $linearY of $n")
+    // z-order must skip the large majority of row groups for the y slice
+    assert(zorderY.toDouble <= n * 0.35, s"z-order pruned too little on y: $zorderY of $n")
+
+    // and x-filters still prune on the z-ordered layout
+    val xSlice = col("x") < 8
+    val zorderX = rowsScanned(s"$tmp/zorder", xSlice)
+    assert(zorderX.toDouble <= n * 0.35, s"z-order pruned too little on x: $zorderX of $n")
+  }
+}
