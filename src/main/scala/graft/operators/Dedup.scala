@@ -456,4 +456,49 @@ object Dedup {
       .distinct()
     verifyExact(candidates, base, minJaccard)
   }
+
+  /** CROSS-corpus MinHash-LSH near-dup pairs: every (new batch doc,
+    * existing corpus doc) pair with Jaccard ≥ threshold — the INCREMENTAL
+    * dedup shape. A growing lakehouse never re-pairs its whole corpus when
+    * a day's batch lands; it asks "which existing documents does the new
+    * data duplicate?" — a band-key EQUI-JOIN of the (small) batch against
+    * the (huge) corpus, costing |batch| band probes instead of the
+    * |corpus|² self-join. At rest the corpus side is the precomputed
+    * (band_id, band_key, doc_id, nh) posting table, bucketed on the band
+    * key (the [[graft.pipeline.Lakehouse.materializeBucketed]] layout), so
+    * the daily join shuffles only the batch.
+    *
+    * Same candidate rules as [[lshNearDupPairs]] (size-ratio prune,
+    * distinct, exact verify) with `id_a` = batch doc, `id_b` = corpus doc;
+    * self-pairs are the caller's concern (disjoint id spaces by contract,
+    * `require`d cheaply here only when both frames share the id column
+    * name — the engine cannot see across frames). */
+  def lshNearDupPairsAcross(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, minJaccard: Double): DataFrame = {
+    def bands(df: DataFrame) = {
+      val base = shingleSets(df, idCol, textCol)
+      (base, base.select(col("doc_id"), size(col("hset")).as("nh"),
+        posexplode(minhashBandKeys(col("hset"))).as(Seq("band_id", "band_key"))))
+    }
+    val (baseA, bandsA) = bands(batch)
+    val (baseB, bandsB) = bands(corpus)
+    val candidates = bandsA.as("a").join(bandsB.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key"))
+      .filter(least(col("a.nh"), col("b.nh")).cast("double") >=
+        lit(minJaccard) * greatest(col("a.nh"), col("b.nh")).cast("double"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    candidates
+      .join(baseA.select(col("doc_id").as("id_a"), col("hset").as("hs_a")), "id_a")
+      .join(baseB.select(col("doc_id").as("id_b"), col("hset").as("hs_b")), "id_b")
+      .withColumn("shared",
+        org.apache.spark.sql.graft.ColumnShim.column(
+          graft.sql.SortedIntersectSize(
+            org.apache.spark.sql.graft.ColumnShim.expression(col("hs_a")),
+            org.apache.spark.sql.graft.ColumnShim.expression(col("hs_b")))).cast("double"))
+      .withColumn("jaccard",
+        col("shared") / (size(col("hs_a")) + size(col("hs_b")) - col("shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

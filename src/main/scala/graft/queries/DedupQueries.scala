@@ -262,6 +262,52 @@ object DedupQueries {
       WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
       ORDER BY id_a, id_b"""))
 
+  /** Cross-corpus (incremental) LSH near-dup: the src1 slice is "today's
+    * batch", everything else the standing corpus — which existing documents
+    * does the new data duplicate? A band-key equi-join of batch against
+    * corpus: |batch| band probes, never a corpus self-join; at rest the
+    * corpus band postings are a bucketed table so the daily run shuffles
+    * only the batch. Same verify kernel as d04. */
+  val d10CrossCorpusLsh = GraftQuery(
+    "d10_cross_corpus_lsh",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.lshNearDupPairsAcross(
+          docs.filter(col("source") === "src1"),
+          docs.filter(col("source") =!= "src1"), "doc_id", "text", 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val sigList = (0 until Dedup.NumHashes).map { j =>
+        s"list_min(list_transform(hset, h -> (${Dedup.MinhashA(j)}*h + ${Dedup.MinhashB(j)}) % 1000000007))"
+      }.mkString("[", ", ", "]")
+      s"""
+      WITH codes_t AS (SELECT doc_id, source, $duckCodes AS codes, text FROM documents),
+      hs_t AS (SELECT doc_id, source, list_distinct($duckShingleHashes) AS hset FROM codes_t),
+      sig_t AS (SELECT doc_id, source, hset, $sigList AS sig FROM hs_t),
+      bands AS (
+        SELECT doc_id, source, band_id,
+               ${(1 to Dedup.RowsPerBand).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+                  s"(($acc * 31 + sig[${Dedup.RowsPerBand}*band_id + $r]) % 1000000007)"
+                }} AS band_key
+        FROM sig_t CROSS JOIN (SELECT unnest([${(0 until Dedup.Bands).mkString(", ")}]) AS band_id) bb),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.source = 'src1' AND b.source <> 'src1'),
+      ver AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE) AS shared,
+               len(ha.hset) AS na, len(hb.hset) AS nb
+        FROM cand JOIN hs_t ha ON id_a = ha.doc_id JOIN hs_t hb ON id_b = hb.doc_id)
+      SELECT id_a, id_b, round(shared / CAST(na + nb - shared AS DOUBLE), 6) AS jaccard
+      FROM ver
+      WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b"""
+    })
+
   /** Maximal duplicated token spans (exact-substring dedup family): 8-token
     * gram inverted index (df ≤ 1000), anti-diagonal islands merge, spans of
     * ≥ 12 tokens. Localizes verbatim runs so a pipeline can cut the passage
@@ -303,5 +349,5 @@ object DedupQueries {
   val all: Seq[GraftQuery] = Seq(
     d01ExactDedup, d02JaccardPairs, d03MinhashSignatures,
     d04LshNearDup, d05Simhash, d06EmbeddingNearDup, d07ContainmentPairs,
-    d09DuplicateSpans)
+    d09DuplicateSpans, d10CrossCorpusLsh)
 }

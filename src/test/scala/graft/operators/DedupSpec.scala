@@ -149,6 +149,32 @@ class DedupSpec extends SparkSpec {
       cont.mkString(","))
   }
 
+  test("cross-corpus LSH pairs batch docs against corpus only, matching the self-join") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different corpus content about spark engines"),
+      (3L, "another unrelated corpus document entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 1
+      (102L, "fresh never-seen-before batch material")
+    ).toDF("doc_id", "text")
+    val across = Dedup.lshNearDupPairsAcross(batch, corpus, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(across.map(p => (p._1, p._2)) == Seq((101L, 1L)), across.mkString(","))
+    assert(across.head._3 == 1.0)
+    // direction contract: id_a is always the batch side
+    assert(across.forall(_._1 >= 100L))
+    // and the pair set agrees with the self-join over the union, restricted
+    // to cross pairs (the incremental run finds what the batch rerun would)
+    val self = Dedup.lshNearDupPairs(batch.union(corpus), "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .collect { case (a, b, j) if (a >= 100L) != (b >= 100L) =>
+        (math.max(a, b), math.min(a, b), j) }.toSeq
+    assert(across == self, s"across=$across self=$self")
+  }
+
   test("bloomContaminationScan is bit-identical to the exact scan (no false negatives)") {
     import spark.implicits._
     val benchDoc = "which of the following statements about photosynthesis is correct answer"
