@@ -139,6 +139,36 @@ object TextAnalysis {
       .otherwise(array_max(map_values(termFreqs(wordBigrams(toks)))).cast("double") * 2.0
         / size(toks).cast("double"))
 
+  // ---- retrieval scoring --------------------------------------------------
+
+  /** BM25 scores (Robertson/Lucene idf variant) for a fixed term list over
+    * a (id, text) corpus: returns (idCol, bm25). ONE corpus pass computes
+    * the stats row (N, avgdl, per-term df), broadcast back; scoring is
+    * per-row arithmetic over the native [[termFreqs]] map — tf lookups,
+    * no explode, no shuffle of token occurrences. Query terms are a
+    * LITERAL list by design (a search/filter predicate, not data), which
+    * is what keeps df computation a row-free aggregate. */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = tokens(lower(col(textCol)))
+    val statCols =
+      count(lit(1)).cast("double").as("n_docs") +:
+        avg(size(toks).cast("double")).as("avgdl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(toks, t), 1.0).otherwise(0.0)).as(s"df_$i")
+        }
+    val stats = docs.agg(statCols.head, statCols.tail: _*)
+    val dl = size(toks).cast("double")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = coalesce(element_at(termFreqs(toks), lit(t)), lit(0L)).cast("double")
+      val idf = log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0)
+      idf * (tf * lit(k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / col("avgdl")))
+    }.reduce(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .select(col(idCol), score.as("bm25"))
+  }
+
   // ---- PII / pattern redaction --------------------------------------------
 
   /** Email address pattern, restricted to syntax both Java regex and RE2

@@ -432,9 +432,76 @@ object CurationQueries {
       WHERE d.n_chars >= t
       ORDER BY d.doc_id"""))
 
+  /** Quality-keeper cluster resolution: where c05 keeps each near-dup
+    * cluster's MIN id (cheap, arbitrary), this keeps its BEST document —
+    * argmax of the t03 quality score, id tie-break — which is what
+    * production dedup actually wants (the near-dups differ in cruft;
+    * keep the cleanest). One row_number window over the (tiny) cluster
+    * membership table; the corpus itself only contributes per-row quality
+    * scores. Ordering compares the ROUNDED score so both engines rank on
+    * identical values. */
+  val c13QualityKeeper = GraftQuery(
+    "c13_quality_keeper",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val labels = Curation.connectedComponents(
+        Dedup.lshNearDupPairs(docs, "doc_id", "text", 0.5))
+      val quality = docs.select(col("doc_id").as("member_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("member_id").asc)
+      labels.join(quality, "member_id")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .filter(col("rk") === 1)
+        .select(col("cluster_id"), col("member_id").as("keeper_id"),
+          col("quality").as("keeper_quality"), col("cluster_size"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${DedupQueries.duckLshPairCtes},
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
+      reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (
+        SELECT src AS member_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+      qbase AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS DOUBLE) AS n_tok,
+          CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+            / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+          CAST(len(list_filter(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+            t -> t IN ('the','a','of','and','to','in','is','it','that','for',
+                       'el','la','de','y','que','los','un','es','en','se',
+                       'der','die','das','und','ist','ein','zu','den','mit','nicht',
+                       'le','la','de','et','est','les','un','une','du','pour'))) AS DOUBLE) AS stop_hits
+        FROM documents),
+      quality AS (
+        SELECT doc_id AS member_id,
+               round(least(n_tok / 50.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3
+                     + stop_hits / greatest(n_tok, 1.0) * 0.3, 6) AS quality
+        FROM qbase),
+      ranked AS (
+        SELECT l.cluster_id, l.member_id, q.quality,
+               row_number() OVER (PARTITION BY l.cluster_id
+                 ORDER BY q.quality DESC, l.member_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+        FROM labels l JOIN quality q USING (member_id))
+      SELECT cluster_id, member_id AS keeper_id, quality AS keeper_quality,
+             CAST(cluster_size AS BIGINT) AS cluster_size
+      FROM ranked WHERE rk = 1
+      ORDER BY cluster_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
       c08TokenQuotaMix, c09Decontamination, c11AdaptiveThreshold,
-      c12BloomDecontamination)
+      c12BloomDecontamination, c13QualityKeeper)
 }

@@ -313,7 +313,56 @@ object TextQueries {
       FROM hs_t
       ORDER BY doc_id"""))
 
+  /** BM25 retrieval scoring (Robertson/Lucene idf variant, k1=1.2,
+    * b=0.75) for a fixed 3-term query: top 20 documents by score.
+    *
+    * Scale shape: ONE corpus pass computes the tiny stats row (N, avgdl,
+    * per-term df) which broadcasts back; scoring is then per-row
+    * arithmetic over the native [[graft.sql.TokenCounts]] term-frequency
+    * map (tf lookups, no explode, no shuffle of token occurrences), and
+    * the top-k is TakeOrderedAndProject. Both engines compute the
+    * identical double formula; ranking compares the ROUNDED score. */
+  val t11Bm25 = GraftQuery(
+    "t11_bm25",
+    (s, dir) =>
+      graft.operators.TextAnalysis.bm25(table(s, dir, "documents"), "doc_id", "text",
+          Seq("join", "filter", "customer"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20),
+    Some("""
+      WITH toks_t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        FROM documents),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(CAST(len(toks) AS DOUBLE)) AS avgdl,
+               SUM(CASE WHEN list_contains(toks, 'join') THEN 1.0 ELSE 0.0 END) AS df_0,
+               SUM(CASE WHEN list_contains(toks, 'filter') THEN 1.0 ELSE 0.0 END) AS df_1,
+               SUM(CASE WHEN list_contains(toks, 'customer') THEN 1.0 ELSE 0.0 END) AS df_2
+        FROM toks_t),
+      scored AS (
+        SELECT doc_id,
+          ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
+            * (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) * 2.2)
+            / (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * CAST(len(toks) AS DOUBLE) / avgdl))
+          + ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
+            * (CAST(len(list_filter(toks, x -> x = 'filter')) AS DOUBLE) * 2.2)
+            / (CAST(len(list_filter(toks, x -> x = 'filter')) AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * CAST(len(toks) AS DOUBLE) / avgdl))
+          + ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
+            * (CAST(len(list_filter(toks, x -> x = 'customer')) AS DOUBLE) * 2.2)
+            / (CAST(len(list_filter(toks, x -> x = 'customer')) AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * CAST(len(toks) AS DOUBLE) / avgdl)) AS raw
+        FROM toks_t, stats)
+      SELECT doc_id, round(raw, 6) AS bm25
+      FROM scored
+      ORDER BY round(raw, 6) DESC, doc_id
+      LIMIT 20"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
-      t07RepetitionFilter, t08Redaction, t09WinnowFingerprint)
+      t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t11Bm25)
 }

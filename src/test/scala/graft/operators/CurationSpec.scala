@@ -151,6 +151,28 @@ class CurationSpec extends SparkSpec {
       (10L, 10L), (11L, 10L)))
   }
 
+  test("quality keeper picks the cluster's best-quality doc, not the min id") {
+    // three near-identical docs; doc 3 carries extra stopwords → highest
+    // t03 quality score, so the keeper must be 3 even though min id is 1
+    val base = "spark engines process large analytic workloads with columnar storage layers"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, base + " the of and to in is it that for a")
+    ).toDF("doc_id", "text")
+    val labels = Curation.connectedComponents(
+      graft.operators.Dedup.lshNearDupPairs(docs, "doc_id", "text", 0.5))
+    assert(labels.count() == 3, "fixture docs must form one 3-member cluster")
+    val quality = docs.select($"doc_id".as("member_id"),
+      graft.operators.TextAnalysis.qualityScore($"text").as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"quality".desc, $"member_id".asc)
+    val keeper = labels.join(quality, "member_id")
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"member_id").as[Long].head()
+    assert(keeper == 3L, s"expected quality argmax 3, got $keeper")
+  }
+
   test("adaptiveThreshold keeps each stratum's rows at or above its own quantile") {
     // stratum x: values 1..5, median 3 → keep {3,4,5};
     // stratum y: values 10..13, median 11.5 → keep {12,13} — per-stratum

@@ -131,4 +131,26 @@ class TextAnalysisSpec extends SparkSpec {
       assert(fp.size <= all.size / 2, s"${fp.size} of ${all.size} kept — winnowed too little")
     }
   }
+
+  test("bm25 matches an independent reimplementation and ranks sanely") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join join join optimizer"),   // tf(join)=3, short
+      (2L, "spark join optimizer internals and some more padding words here"), // tf=1, longer
+      (3L, "nothing relevant whatsoever in this one")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("join"))
+      .as[(Long, Double)].collect().toMap
+    // independent scalar reimplementation
+    val toks = Map(1L -> 5.0, 2L -> 10.0, 3L -> 6.0)
+    val tf = Map(1L -> 3.0, 2L -> 1.0, 3L -> 0.0)
+    val (n, df, avgdl, k1, b) = (3.0, 2.0, (5 + 10 + 6) / 3.0, 1.2, 0.75)
+    val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def ref(id: Long) =
+      idf * (tf(id) * (k1 + 1.0)) / (tf(id) + k1 * (1.0 - b + b * toks(id) / avgdl))
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(math.abs(got(id) - ref(id)) < 1e-12, s"doc $id: ${got(id)} vs ${ref(id)}")
+    }
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) == 0.0)
+  }
 }
