@@ -78,5 +78,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"sentence_split(str); got ${other.size} args")
       }))
+    // aggregates: the analyzer wraps a bare AggregateFunction returned by a
+    // registry builder in its AggregateExpression, same as the built-ins
+    ext.injectFunction((
+      new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, Literal(k: Int, _)) => MisraGries(c, k)
+        case other => throw new IllegalArgumentException(
+          s"misra_gries(str_expr, k literal int); got ${other.size} args")
+      }))
+    // Spark's own runtime-filter bloom pair, absent from the stock registry
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, items) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, items)
+        case Seq(c, items, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, items, bits)
+        case other => throw new IllegalArgumentException(
+          s"bloom_filter_agg(xxhash64_long[, items[, bits]]); got ${other.size} args")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bf, v) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
+        case other => throw new IllegalArgumentException(
+          s"might_contain(sketch binary, xxhash64_long); got ${other.size} args")
+      }))
   }
 }

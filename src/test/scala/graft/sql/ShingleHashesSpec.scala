@@ -159,6 +159,20 @@ class ShingleHashesSpec extends SparkSpec {
     val sentences = spark.sql(
       "SELECT sentence_split('One. Two!') AS (sentence_idx, sentence) FROM range(1)")
     assert(sentences.collect().map(_.getString(1)).toSeq == Seq("One", "Two"))
+    // the aggregate registrations: MG heavy hitters + the bloom pair
+    val agg = spark.sql("""
+      SELECT misra_gries(v, 2) AS mg,
+             might_contain((SELECT bloom_filter_agg(xxhash64(v), 10L, 80L)
+                            FROM VALUES ('a'),('b'),('a') AS t(v)),
+                           xxhash64('a')) AS hit,
+             might_contain((SELECT bloom_filter_agg(xxhash64(v), 10L, 80L)
+                            FROM VALUES ('a'),('b'),('a') AS t(v)),
+                           xxhash64('zzzz')) AS miss
+      FROM VALUES ('a'),('b'),('a') AS t(v)
+    """).collect().head
+    assert(agg.getMap[String, Long](0) == Map("a" -> 2L, "b" -> 1L))
+    assert(agg.getBoolean(1))
+    assert(!agg.getBoolean(2)) // 80 bits for 2 items: miss fp-rate ~ 0
   }
 
   test("expression participates in whole-stage codegen (no CodegenFallback)") {
