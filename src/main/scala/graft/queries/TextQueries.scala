@@ -322,8 +322,8 @@ object TextQueries {
     * map (tf lookups, no explode, no shuffle of token occurrences), and
     * the top-k is TakeOrderedAndProject. Both engines compute the
     * identical double formula; ranking compares the ROUNDED score. */
-  val t11Bm25 = GraftQuery(
-    "t11_bm25",
+  val t10Bm25 = GraftQuery(
+    "t10_bm25",
     (s, dir) =>
       graft.operators.TextAnalysis.bm25(table(s, dir, "documents"), "doc_id", "text",
           Seq("join", "filter", "customer"))
@@ -364,5 +364,5 @@ object TextQueries {
 
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
-      t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t11Bm25)
+      t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t10Bm25)
 }
