@@ -284,4 +284,44 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("duplicateSpans equals naive maximal-common-run extraction on random corpora") {
+    import graft.operators.Dedup
+    val rnd = new Random(7)
+    val (k, minSpan) = (4, 6)
+    // naive reference: maximal runs of identical token sequences ≥ minSpan,
+    // found by extending every matching position pair that is not a
+    // continuation of a previous match (the textbook O(n·m) scan)
+    def naive(a: Array[String], b: Array[String]): Set[(Int, Int, Int)] = {
+      val out = scala.collection.mutable.Set.empty[(Int, Int, Int)]
+      for (i <- a.indices; j <- b.indices
+           if a(i) == b(j) && (i == 0 || j == 0 || a(i - 1) != b(j - 1))) {
+        var len = 0
+        while (i + len < a.length && j + len < b.length && a(i + len) == b(j + len)) len += 1
+        if (len >= minSpan) out += ((i + 1, j + 1, len)) // 1-based starts
+      }
+      out.toSet
+    }
+    for (round <- 1 to 5) {
+      // small vocab + planted shared block → frequent genuine runs
+      val block = Array.fill(5 + rnd.nextInt(6))(s"s${rnd.nextInt(4)}")
+      def doc() = {
+        val pre = Array.fill(rnd.nextInt(8))(s"w${rnd.nextInt(6)}")
+        val post = Array.fill(rnd.nextInt(8))(s"w${rnd.nextInt(6)}")
+        pre ++ (if (rnd.nextBoolean()) block else Array.empty[String]) ++ post
+      }
+      val docs = (1L to 4L).map(id => (id, doc()))
+      val df = docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Dedup.duplicateSpans(df, "doc_id", "text", k, minSpan,
+          maxGramFreq = Long.MaxValue)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getInt(2), r.getInt(3), r.getLong(4).toInt))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      for (Seq((ia, ta), (ib, tb)) <- docs.combinations(2)) {
+        val want = naive(ta, tb)
+        val have = got.getOrElse((ia, ib), Set.empty)
+        assert(have == want, s"round $round pair ($ia,$ib): got $have want $want")
+      }
+    }
+  }
 }

@@ -200,4 +200,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("cell_id"), p)
   }
+
+  test("c11 adaptive threshold: the stats row joins back broadcast, corpus unshuffled") {
+    val p = plan(q("c11_adaptive_threshold"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("c12 bloom decontamination: the sketch probe gates the membership join") {
+    val p = simplePlan(q("c12_bloom_decontamination"))
+    assert(p.contains("might_contain"), p)
+    // the eval membership join stays broadcast — the bloom prune shrinks its
+    // PROBE side; nothing about the sketch may introduce a shuffled join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t10 bm25: stats broadcast back; no token-occurrence shuffle; top-k bounded") {
+    val p = simplePlan(q("t10_bm25"))
+    // per-row tf via the native map — the plan must not explode tokens into
+    // a (doc, term) shuffle; the only exchanges belong to the 1-row stats
+    // aggregate and the final TakeOrdered
+    assert(p.contains("token_counts"), p)
+    assert(!p.contains("Generate"), s"token explode leaked into the bm25 plan\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("d09 duplicate spans: gram self-join is an equi-join; islands window partitions by pair") {
+    val p = plan(q("d09_duplicate_spans"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q39 heavy hitters: MG aggregate partial-aggregates (map-side combine)") {
+    val df = q("q39_heavy_hitters")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // two ObjectHashAggregate halves around one exchange: the k-entry map,
+    // not the token stream, crosses the shuffle
+    assert(p.contains("misra_gries"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+  }
 }
