@@ -362,7 +362,59 @@ object TextQueries {
       ORDER BY round(raw, 6) DESC, doc_id
       LIMIT 20"""))
 
+  /** Unigram cross-entropy quality score — the CCNet-style "perplexity
+    * filtering" signal with the corpus's own unigram model as the LM proxy:
+    * xent(doc) = −Σ_t tf·ln(p(t)) / Σ_t tf, where p(t) is the corpus
+    * unigram probability. Low = in-distribution prose, high = unusual
+    * token mix; curation gates on it exactly like the t03 heuristic score.
+    *
+    * Scale shape: per-doc tf is the native per-row map (no token-occurrence
+    * shuffle — explode emits one row per DISTINCT term per doc); the
+    * vocabulary aggregate is a vocab-sized shuffle with map-side combine;
+    * the unigram model broadcasts back. Cross-engine determinism: per-term
+    * contributions are rounded to 9 decimals and summed as DECIMAL(28,9) —
+    * exact, order-independent addition (the float-sum-order trap the
+    * GraftQuery contract bans) — then one final double division. */
+  val t11UnigramXent = GraftQuery(
+    "t11_unigram_xent",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val docs = table(s, dir, "documents")
+      val tf = docs.select(col("doc_id"),
+        explode(termFreqs(tokens(lower(col("text"))))).as(Seq("term", "tf")))
+      val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+      val tot = vocab.agg(sum(col("cnt")).cast("double").as("n_total"))
+      val contrib = col("tf").cast("double") *
+        log(col("cnt").cast("double") / col("n_total"))
+      tf.join(broadcast(vocab), "term").crossJoin(broadcast(tot))
+        .withColumn("c9", round(contrib, 9).cast(DecimalType(28, 9)))
+        .groupBy(col("doc_id"))
+        .agg(round(-sum(col("c9")).cast("double") / sum(col("tf")).cast("double"), 6)
+          .as("unigram_xent"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH occurrences AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+        FROM documents),
+      terms AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM occurrences GROUP BY doc_id, term),
+      vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM terms GROUP BY term),
+      tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM vocab),
+      c AS (
+        SELECT doc_id, tf,
+               CAST(round(CAST(tf AS DOUBLE) * ln(CAST(cnt AS DOUBLE) / n_total), 9)
+                 AS DECIMAL(28,9)) AS c9
+        FROM terms JOIN vocab USING (term), tot)
+      SELECT doc_id,
+             round(-CAST(SUM(c9) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6) AS unigram_xent
+      FROM c GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
-      t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t10Bm25)
+      t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t10Bm25,
+      t11UnigramXent)
 }

@@ -132,6 +132,40 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("unigram cross-entropy: repetitive in-distribution text scores lower than rare-token text") {
+    import spark.implicits._
+    // corpus dominated by 'common'; doc 2 is all rare singletons
+    val docs = Seq(
+      (1L, "common common common common common common"),
+      (2L, "xylophone quetzal obsidian fjord"),
+      (3L, "common common rare1 rare2")
+    ).toDF("doc_id", "text")
+    val q = graft.queries.TextQueries.t11UnigramXent
+    val tmp = java.nio.file.Files.createTempDirectory("graft-xent").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = q.run(spark, tmp).as[(Long, Double)].collect().toMap
+    // independent reimplementation
+    val toks = Map(
+      1L -> Seq.fill(6)("common"),
+      2L -> Seq("xylophone", "quetzal", "obsidian", "fjord"),
+      3L -> Seq("common", "common", "rare1", "rare2"))
+    val all = toks.values.flatten.toSeq
+    val n = all.size.toDouble
+    def ref(ts: Seq[String]) = {
+      val byTerm = ts.groupBy(identity).view.mapValues(_.size).toMap
+      val s = byTerm.map { case (t, tf) =>
+        BigDecimal(tf * math.log(all.count(_ == t) / n))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (-s / ts.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    toks.foreach { case (id, ts) =>
+      assert(math.abs(out(id) - ref(ts)) < 2e-6, s"doc $id: ${out(id)} vs ${ref(ts)}")
+    }
+    assert(out(1L) < out(3L) && out(3L) < out(2L),
+      s"expected common < mixed < rare, got $out")
+  }
+
   test("bm25 matches an independent reimplementation and ranks sanely") {
     import spark.implicits._
     val docs = Seq(
