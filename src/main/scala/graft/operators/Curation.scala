@@ -146,6 +146,30 @@ object Curation {
       .drop("__graft_token_quota", "__graft_running")
   }
 
+  /** Deterministic train/val/test split: label every row by where its
+    * 3-hex-digit md5 prefix falls among the cumulative rate thresholds.
+    * The same contract as [[hashSample]] — a pure function of the row's
+    * key, independent of partitioning, run order, and engine — which is
+    * exactly what a split must be: a document's split membership may never
+    * change across reruns or engines, or eval data leaks into training.
+    * Fractions are quantized to 1/4096 like all hash-rate ops here.
+    * `splits` are (label, fraction) in priority order; fractions must sum
+    * to ≤ 1; rows past the last threshold get the final label when the sum
+    * is 1 (or `defaultLabel` otherwise). Per-row CASE, no shuffle. */
+  def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+      labelOutCol: String = "split", defaultLabel: String = "rest"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "split fractions must sum to <= 1")
+    requireFresh(df, labelOutCol)
+    val bucket = substring(hashKey(col(keyCol)), 1, 3)
+    val cumulative = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val labeled = splits.map(_._1).zip(cumulative.map(rateThreshold))
+      .foldRight(lit(defaultLabel): Column) { case ((label, upper), els) =>
+        when(bucket < upper, lit(label)).otherwise(els)
+      }
+    df.withColumn(labelOutCol, labeled)
+  }
+
   /** Per-stratum ADAPTIVE threshold filter: compute quantile `q` of
     * `valueCol` within each stratum and keep rows at or above their own
     * stratum's threshold — how production quality gates are actually set

@@ -499,9 +499,45 @@ object CurationQueries {
       FROM ranked WHERE rk = 1
       ORDER BY cluster_id"""))
 
+  /** Deterministic 80/10/10 train/val/test split by content-stable hash —
+    * split membership is a pure function of doc_id, so reruns, engines,
+    * and any partition layout agree (the property that keeps eval data out
+    * of training forever). Per-row CASE over the md5 prefix; the rollup is
+    * one tiny aggregate. */
+  val c14HashSplit = GraftQuery(
+    "c14_hash_split",
+    (s, dir) =>
+      Curation.hashSplit(table(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("n_tokens"),
+          min(col("doc_id")).as("min_doc_id"))
+        .orderBy(col("split")),
+    Some {
+      val t80 = Curation.rateThreshold(0.8)
+      val t90 = Curation.rateThreshold(0.9)
+      val t100 = Curation.rateThreshold(1.0)
+      s"""
+      WITH labeled AS (
+        SELECT doc_id, text,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '$t80' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '$t90' THEN 'val'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '$t100' THEN 'test'
+                    ELSE 'rest' END AS split
+        FROM documents)
+      SELECT split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS BIGINT) AS n_tokens,
+             MIN(doc_id) AS min_doc_id
+      FROM labeled
+      GROUP BY split
+      ORDER BY split"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
       c08TokenQuotaMix, c09Decontamination, c11AdaptiveThreshold,
-      c12BloomDecontamination, c13QualityKeeper)
+      c12BloomDecontamination, c13QualityKeeper, c14HashSplit)
 }

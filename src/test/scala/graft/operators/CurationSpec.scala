@@ -151,6 +151,28 @@ class CurationSpec extends SparkSpec {
       (10L, 10L), (11L, 10L)))
   }
 
+  test("hashSplit: total, disjoint, partition-independent, and consistent with hashSample") {
+    val df = (1 to 4000).map(i => (i.toLong, s"doc$i")).toDF("doc_id", "payload")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = Curation.hashSplit(df, "doc_id", splits)
+    // total + disjoint: every row gets exactly one label, none fall to 'rest'
+    val byLabel = labeled.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel.values.sum == 4000L)
+    // ~80/10/10 within quantization + hash noise
+    assert(byLabel("train") > 3000 && byLabel("val") > 250 && byLabel("test") > 250, byLabel)
+    // partition-layout independence
+    val relabeled = Curation.hashSplit(df.repartition(17), "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val first = labeled.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(relabeled == first)
+    // the train split IS the 0.8 hash sample (same thresholds, same keys)
+    val train = labeled.filter($"split" === "train").select($"doc_id").as[Long].collect().toSet
+    val sampled = Curation.hashSample(df, "doc_id", 0.8).select($"doc_id").as[Long].collect().toSet
+    assert(train == sampled)
+  }
+
   test("quality keeper picks the cluster's best-quality doc, not the min id") {
     // three near-identical docs; doc 3 carries extra stopwords → highest
     // t03 quality score, so the keeper must be 3 even though min id is 1
