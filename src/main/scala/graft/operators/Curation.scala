@@ -246,21 +246,106 @@ object Curation {
           col("docs"), col("tokens"))
     }.reduce(_ unionAll _)
 
-  /** Connected components over an undirected pair graph (id_a, id_b) by
-    * iterative min-label propagation: every node's label becomes the min of
-    * its own and its neighbors' labels until a fixpoint. Converges in at
-    * most the graph diameter's iterations; `maxIter` bounds pathological
-    * chains. Dedup pipelines run this over near-dup PAIRS (a tiny edge set
-    * relative to the corpus — only docs with at least one near-dup appear),
-    * so the joins here are on the filtered pair graph, never the corpus.
+  /** Connected components in O(log n) rounds via alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — the scale
+    * replacement for min-label propagation, whose round count is the graph
+    * DIAMETER (a 10⁶-doc duplication chain = 10⁶ shuffles; star
+    * contraction closes it in ~20).
     *
-    * Each iteration is one shuffle join + one partial-aggregating groupBy;
-    * `localCheckpoint` truncates the growing lineage so Catalyst re-plans a
-    * flat scan per iteration (a cluster deployment would use a reliable
-    * checkpoint dir instead — same call shape). The per-iteration
-    * convergence probe is a scalar count — the only driver action, standard
-    * for iterative graph algorithms. */
+    * Each round:
+    *   - large-star: every node points its LARGER neighbors at the minimum
+    *     of its neighborhood (incl. itself);
+    *   - small-star: every node points its smaller-or-equal neighbors and
+    *     itself at that minimum.
+    * Both preserve connectivity and strictly shrink non-star structure;
+    * the fixpoint is a star per component rooted at its minimum id.
+    * Each half-round is one groupBy(min) + one self-join on the node id —
+    * partial-aggregating, no hot keys beyond component roots (the root's
+    * degree grows toward component size, which is the output's own
+    * cardinality — inherent, and far past where propagation dies).
+    *
+    * Convergence is detected by an (edge-count, xxhash-sum) fingerprint —
+    * one tiny aggregate per round, no edge-set collect. Returns
+    * (member_id, cluster_id = component min). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 30): DataFrame = {
+    // canonical directed edges u -> v with u > v (drop self-loops/dups)
+    var edges = pairs
+      .select(col(idA).cast("bigint").as("a"), col(idB).cast("bigint").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val allNodes = edges.select(col("u").as("member_id"))
+      .union(edges.select(col("v").as("member_id")))
+      .distinct()
+      .localCheckpoint(true)
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent, overflow-free under ANSI mode (a SUM of
+      // 64-bit hashes throws ARITHMETIC_OVERFLOW there)
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def canonical(e: DataFrame): DataFrame =
+      e.filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct()
+
+    def bidirectional(e: DataFrame): DataFrame =
+      e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+
+    // large-star: x re-points its LARGER neighbors at min(Γ(x) ∪ {x})
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = bidirectional(e)
+      val mins = nbrs.groupBy(col("x"))
+        .agg(least(min(col("y")), first(col("x"))).as("m"))
+      canonical(nbrs.join(mins, "x").filter(col("y") > col("x"))
+        .select(col("y").as("a"), col("m").as("b")))
+    }
+
+    // small-star: x re-points its smaller-or-equal neighbors AND itself at
+    // min(Γ≤(x) ∪ {x}) — every canonical edge processed once, from its
+    // larger endpoint
+    def smallStar(e: DataFrame): DataFrame = {
+      val small = bidirectional(e).filter(col("y") <= col("x"))
+      val mins = small.groupBy(col("x"))
+        .agg(least(min(col("y")), first(col("x"))).as("m"))
+      canonical(
+        small.join(mins, "x").select(col("y").as("a"), col("m").as("b"))
+          .union(mins.select(col("x").as("a"), col("m").as("b"))))
+    }
+
+    var fp = fingerprint(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges = next
+      fp = nfp
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents star contraction did not converge after $maxIter rounds; " +
+          "raise maxIter (expected rounds ~ log2 of the largest component)")
+    // fixpoint: edges are (member -> root) stars; roots label themselves
+    allNodes.join(edges.select(col("u").as("member_id"), col("v").as("cluster_id")),
+        Seq("member_id"), "left")
+      .select(col("member_id"), coalesce(col("cluster_id"), col("member_id")).as("cluster_id"))
+  }
+
+  /** The previous min-label-propagation implementation, kept as the
+    * executable specification the star contraction is tested against
+    * (and as the simpler reference for small graphs). Round count is the
+    * graph diameter. */
+  def connectedComponentsPropagation(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 30): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))

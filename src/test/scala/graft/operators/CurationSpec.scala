@@ -213,6 +213,31 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("stratum_threshold"))
   }
 
+  test("star contraction equals label propagation on random graph families") {
+    val rnd = new scala.util.Random(99)
+    def check(pairs: Seq[(Long, Long)], tag: String): Unit = {
+      val df = pairs.toDF("id_a", "id_b")
+      val star = Curation.connectedComponents(df)
+        .as[(Long, Long)].collect().sorted.toSeq
+      val prop = Curation.connectedComponentsPropagation(df, maxIter = 200)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(star == prop, s"$tag: star=$star prop=$prop")
+    }
+    // deep chain (the propagation worst case — star closes it in ~log rounds)
+    check((1L until 60L).map(i => (i, i + 1)), "chain-60")
+    // clique + isolated pair + star
+    check((1L to 8L).combinations(2).map(s => (s(0), s(1))).toSeq ++
+      Seq((100L, 101L)) ++ (21L to 25L).map(i => (20L, i)), "clique+pair+star")
+    // random sparse graphs
+    for (round <- 1 to 4) {
+      val n = 40 + rnd.nextInt(40)
+      val edges = (1 to n).map(_ =>
+        (1L + rnd.nextInt(30).toLong, 1L + rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2)
+      check(edges, s"random-$round")
+    }
+  }
+
   test("connectedComponents merges components discovered through a late bridge") {
     // two stars 1-{2,3} and 7-{8,9} bridged by 3-9: one component, min 1
     val pairs = Seq((1L, 2L), (1L, 3L), (7L, 8L), (7L, 9L), (3L, 9L))
