@@ -109,4 +109,133 @@ object CurationJob {
     Bronze.finalizeRun(lake, runId, status, new Timestamp(System.currentTimeMillis()))
     CurationReport(runId, status, funnel, failure)
   }
+
+  /** Incremental (day-N) curation: take a NEW batch through the funnel
+    * against the standing curated layer, appending only what survives —
+    * the production shape once the corpus exists ([[run]] is the day-0
+    * bootstrap; re-funneling 100 TB because a day's batch landed is the
+    * anti-pattern this avoids). The batch is deduped
+    *   1. exactly within itself,            2. exactly against curated
+    *      (fingerprint anti-join),             docs,
+    *   3. near-dup within itself (LSH +     4. near-dup against curated —
+    *      star components, min-id keeper),     the CROSS-corpus band join
+    *                                           ([[graft.operators.Dedup.lshNearDupPairsAcross]]):
+    *                                           |batch| band probes, the
+    *                                           standing corpus never
+    *                                           re-pairs itself,
+    * then gated by the same quality + weighted-mix stages as the full
+    * funnel. Contract: the standing curated set is IMMUTABLE — a batch
+    * doc that near-dups an existing curated doc always drops, regardless
+    * of quality (the full-funnel keeper policy applies only within a
+    * batch). Survivors append to `curated_documents`; their packing rows
+    * append to `curation_packs` (packed per run — bins are a run-local
+    * concept); run-stamped funnel stats append to
+    * `curation_funnel_stats`. */
+  def runIncremental(
+      lake: Lakehouse,
+      batch: DataFrame,
+      weights: Seq[(String, Double)],
+      minJaccard: Double = 0.5,
+      qualityMinDistinctFrac: Double = 0.35,
+      qualityMaxTopBigramFrac: Double = 0.12,
+      packBudget: Int = 512,
+      packShards: Int = 8,
+      now: Timestamp = new Timestamp(System.currentTimeMillis()),
+      runId: String = UUID.randomUUID().toString): CurationReport = {
+    import graft.operators.Dedup
+    require(lake.exists("curated", "curated_documents"),
+      "no standing curated layer — bootstrap with CurationJob.run first")
+
+    val snapshot = Date.valueOf(now.toLocalDateTime.toLocalDate)
+    val ctx = Bronze.RunContext(runId, UUID.randomUUID().toString, snapshot, now)
+    Bronze.logRunStart(lake, ctx,
+      s"""{"mode":"curation_incremental","min_jaccard":$minJaccard,"pack_budget":$packBudget}""")
+
+    var status = "success"
+    var failure: Option[Throwable] = None
+    var funnel: Seq[(String, Long, Long)] = Seq.empty
+    try {
+      val standing = lake.table("curated", "curated_documents")
+      val toks = TextAnalysis.tokens(col("text"))
+
+      // 1. exact dedup within the batch (min-id keeper)
+      val keepers = batch
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val s1 = batch.join(keepers, Seq("doc_id"), "left_semi")
+      // 2. exact dedup against the curated layer
+      val standingFps = standing
+        .select(TextAnalysis.fingerprint(col("text")).as("__graft_fp")).distinct()
+      val s2 = s1.withColumn("__graft_fp", TextAnalysis.fingerprint(col("text")))
+        .join(standingFps, Seq("__graft_fp"), "left_anti")
+        .drop("__graft_fp")
+      // 3. near-dup within the batch (LSH → star components, min-id keeper)
+      val nonCanonical = Curation.connectedComponents(
+          Dedup.lshNearDupPairs(s2, "doc_id", "text", minJaccard))
+        .filter(col("member_id") =!= col("cluster_id"))
+        .select(col("member_id").as("doc_id"))
+      val s3 = s2.join(nonCanonical, Seq("doc_id"), "left_anti")
+      // 4. near-dup against the curated layer — cross-corpus band join
+      val dupOfCurated = Dedup.lshNearDupPairsAcross(s3, standing, "doc_id", "text", minJaccard)
+        .select(col("id_a").as("doc_id")).distinct()
+      val s4 = s3.join(dupOfCurated, Seq("doc_id"), "left_anti")
+      // 5./6. the full funnel's quality gate + weighted mix
+      val s5 = s4.filter(
+        round(TextAnalysis.distinctTokenFrac(toks), 6) >= qualityMinDistinctFrac &&
+          round(TextAnalysis.topBigramFrac(toks), 6) <= qualityMaxTopBigramFrac)
+      val s6 = Curation.weightedMix(s5, "lang", "doc_id", weights)
+
+      val stages = Seq("raw_batch" -> batch, "exact_dedup" -> s1,
+        "exact_vs_curated" -> s2, "neardup_batch" -> s3,
+        "neardup_vs_curated" -> s4, "quality_filter" -> s5, "weighted_mix" -> s6)
+      val cached = stages.tail.map { case (n, df) => n -> df.persist() }
+      try {
+        // Eager checkpoint cuts the survivors' lineage from the standing
+        // table's FILES — the curated_documents swap below deletes those,
+        // and a cache-evicted recompute may not read replaced paths. All
+        // standing-derived reads (stats, survivors) complete BEFORE the
+        // swap; the swap itself is the last write.
+        val survivors = cached.last._2.select(standing.columns.map(col): _*)
+          .localCheckpoint(true)
+
+        val stats = Curation.funnelStats(stages.head +: cached)
+          .withColumn("run_id", lit(runId))
+          .withColumn("snapshot_date", lit(snapshot))
+        lake.materialize("curated", "curation_funnel_stats",
+          lake.table("curated", "curation_funnel_stats").unionByName(stats))
+
+        val newPacks = Curation.packSequences(survivors,
+            "doc_id", TextAnalysis.tokenCount(col("text")).cast("bigint"),
+            packBudget, packShards)
+          .select(col("doc_id"), col("shard").cast("bigint").as("shard"), col("bin"),
+            col("doc_tokens"))
+        lake.materialize("curated", "curation_packs",
+          lake.table("curated", "curation_packs").unionByName(newPacks))
+
+        lake.materialize("curated", "curated_documents",
+          standing.unionByName(survivors))
+      } finally cached.foreach(_._2.unpersist())
+
+      funnel = lake.table("curated", "curation_funnel_stats")
+        .filter(col("run_id") === runId)
+        .orderBy(col("stage_idx")).collect()
+        .map(r => (r.getAs[String]("stage"), r.getAs[Long]("docs"), r.getAs[Long]("tokens")))
+        .toSeq
+      val counts = funnel.map(_._2)
+      if (counts.isEmpty || counts.zip(counts.tail).exists { case (a, b) => b > a })
+        throw new IllegalStateException(s"non-monotone incremental funnel: $funnel")
+    } catch {
+      case scala.util.control.NonFatal(t) =>
+        status = "failed"
+        failure = Some(t)
+      case t: Throwable =>
+        try Bronze.finalizeRun(lake, runId, "unknown",
+          new Timestamp(System.currentTimeMillis()))
+        catch { case _: Throwable => () }
+        throw t
+    }
+
+    Bronze.finalizeRun(lake, runId, status, new Timestamp(System.currentTimeMillis()))
+    CurationReport(runId, status, funnel, failure)
+  }
 }

@@ -63,4 +63,60 @@ class CurationJobSpec extends SparkSpec {
       .select("run_id").distinct().collect().map(_.getString(0))
     assert(stamped.toSeq == Seq("cur2"))
   }
+
+  test("incremental run appends only genuinely-new survivors; reruns add nothing") {
+    import spark.implicits._
+    val incLake = new Lakehouse(spark, Files.createTempDirectory("graft-inc").toString)
+    val boot = CurationJob.run(incLake, docs, weights,
+      now = ts("2025-07-01 10:00:00"), runId = "boot")
+    assert(boot.status == "success")
+    val curated0 = incLake.table("curated", "curated_documents")
+    // eager snapshot: the incremental run swaps the table files underneath
+    // this pre-swap DataFrame, so collect everything the test needs NOW
+    val ids0 = curated0.select($"doc_id").as[Long].collect().toSet
+    val n0 = ids0.size.toLong
+    val sample = curated0.orderBy($"doc_id").select($"text", $"lang").head()
+    val (curText, curLang) = (sample.getString(0), sample.getString(1))
+
+    def mk(id: Long, text: String, lang: String) =
+      (id, text, lang, "batch_src", text.length.toLong)
+    val freshA = (1 to 24).map(i => s"freshword$i").mkString(" ")
+    val junky = Seq.fill(30)("spam").mkString(" ")
+    val batch = Seq(
+      mk(10001L, curText, curLang),                 // exact dup of curated → drops (stage 2)
+      mk(10002L, curText + " tinysuffix", curLang), // near-dup of curated → drops (stage 4)
+      mk(10003L, freshA, "en"),                     // fresh → survives (canonical of 10004)
+      mk(10004L, freshA + " extrabit", "en"),       // within-batch near-dup → drops (stage 3)
+      mk(10005L, junky, "en")                       // low quality → drops (stage 5)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val inc = CurationJob.runIncremental(incLake, batch, weights,
+      now = ts("2025-07-02 10:00:00"), runId = "inc1")
+    assert(inc.status == "success", inc.toString)
+    assert(inc.funnel.map(_._1) == Seq("raw_batch", "exact_dedup", "exact_vs_curated",
+      "neardup_batch", "neardup_vs_curated", "quality_filter", "weighted_mix"))
+    assert(inc.funnel.map(_._2) == Seq(5L, 5L, 4L, 3L, 2L, 1L, 1L),
+      s"funnel attrition: ${inc.funnel}")
+
+    val curated1 = incLake.table("curated", "curated_documents")
+    assert(curated1.count() == n0 + 1)
+    val added = curated1.select($"doc_id").as[Long].collect().toSet -- ids0
+    assert(added == Set(10003L), s"added $added")
+    // packs appended for exactly the new survivor; stats carry both runs
+    val packs = incLake.table("curated", "curation_packs")
+    assert(packs.filter($"doc_id" === 10003L).count() == 1)
+    assert(packs.count() == n0 + 1)
+    val runs = incLake.table("curated", "curation_funnel_stats")
+      .select("run_id").distinct().as[String].collect().toSet
+    assert(runs == Set("boot", "inc1"))
+
+    // rerunning the same batch adds nothing: every doc now dups the layer
+    val inc2 = CurationJob.runIncremental(incLake, batch, weights,
+      now = ts("2025-07-03 10:00:00"), runId = "inc2")
+    assert(inc2.status == "success", inc2.toString)
+    assert(incLake.table("curated", "curated_documents").count() == n0 + 1)
+    assert(inc2.funnel.last._2 == 0L, inc2.funnel.toString)
+    // and the run log finalized cleanly each time
+    assert(Checks.latestRunSuccess.run(incLake).isEmpty)
+  }
 }
