@@ -457,6 +457,46 @@ object Dedup {
     verifyExact(candidates, base, minJaccard)
   }
 
+  /** The persistable halves of the LSH near-dup index: per-doc sorted
+    * shingle sets ([[shingleSets]] output) and band postings. A standing
+    * corpus materializes BOTH once and maintains them append-only; a new
+    * batch then probes the posting table directly — nothing about the
+    * corpus is ever recomputed. (At rest, bucket the postings on
+    * (band_id, band_key) so the daily probe join is co-located.) */
+  def bandPostings(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), size(col("hset")).as("nh"),
+      posexplode(minhashBandKeys(col("hset"))).as(Seq("band_id", "band_key")))
+
+  /** [[lshNearDupPairsAcross]] against a PRECOMPUTED corpus index:
+    * `corpusPostings` = [[bandPostings]] rows, `corpusShingles` =
+    * (doc_id, hset). Only the batch side computes anything; the corpus
+    * contributes table scans. Output contract matches
+    * [[lshNearDupPairsAcross]] (id_a = batch doc). */
+  def lshNearDupPairsAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+      corpusPostings: DataFrame, corpusShingles: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val baseA = shingleSets(batch, idCol, textCol)
+    val bandsA = bandPostings(baseA)
+    val candidates = bandsA.as("a").join(corpusPostings.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key"))
+      .filter(least(col("a.nh"), col("b.nh")).cast("double") >=
+        lit(minJaccard) * greatest(col("a.nh"), col("b.nh")).cast("double"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    candidates
+      .join(baseA.select(col("doc_id").as("id_a"), col("hset").as("hs_a")), "id_a")
+      .join(corpusShingles.select(col("doc_id").as("id_b"), col("hset").as("hs_b")), "id_b")
+      .withColumn("shared",
+        org.apache.spark.sql.graft.ColumnShim.column(
+          graft.sql.SortedIntersectSize(
+            org.apache.spark.sql.graft.ColumnShim.expression(col("hs_a")),
+            org.apache.spark.sql.graft.ColumnShim.expression(col("hs_b")))).cast("double"))
+      .withColumn("jaccard",
+        col("shared") / (size(col("hs_a")) + size(col("hs_b")) - col("shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** CROSS-corpus MinHash-LSH near-dup pairs: every (new batch doc,
     * existing corpus doc) pair with Jaccard ≥ threshold — the INCREMENTAL
     * dedup shape. A growing lakehouse never re-pairs its whole corpus when

@@ -77,6 +77,16 @@ object CurationJob {
           .withColumn("run_id", lit(runId))
           .withColumn("snapshot_date", lit(snapshot))
         lake.materialize("curated", "curation_funnel_stats", stats)
+
+        // the near-dup INDEX at rest: per-doc sorted shingle sets + LSH
+        // band postings for the curated layer. Incremental runs probe
+        // these tables instead of recomputing the corpus ([[runIncremental]]
+        // stage 4); both are maintained append-only there.
+        val curatedNow = lake.table("curated", "curated_documents")
+        lake.materialize("curated", "curated_shingles",
+          graft.operators.Dedup.shingleSets(curatedNow, "doc_id", "text"))
+        lake.materialize("curated", "curated_postings",
+          graft.operators.Dedup.bandPostings(lake.table("curated", "curated_shingles")))
       } finally cached.foreach(_._2.unpersist())
 
       funnel = lake.table("curated", "curation_funnel_stats")
@@ -175,8 +185,17 @@ object CurationJob {
         .filter(col("member_id") =!= col("cluster_id"))
         .select(col("member_id").as("doc_id"))
       val s3 = s2.join(nonCanonical, Seq("doc_id"), "left_anti")
-      // 4. near-dup against the curated layer — cross-corpus band join
-      val dupOfCurated = Dedup.lshNearDupPairsAcross(s3, standing, "doc_id", "text", minJaccard)
+      // 4. near-dup against the curated layer — cross-corpus band join.
+      // With the at-rest index present (any bootstrap since it ships),
+      // the corpus side is two table scans: nothing about the standing
+      // corpus is recomputed, so the run's cost tracks the BATCH.
+      val hasIndex = lake.exists("curated", "curated_postings") &&
+        lake.exists("curated", "curated_shingles")
+      val dupOfCurated = (if (hasIndex)
+          Dedup.lshNearDupPairsAgainstIndex(s3, "doc_id", "text",
+            lake.table("curated", "curated_postings"),
+            lake.table("curated", "curated_shingles"), minJaccard)
+        else Dedup.lshNearDupPairsAcross(s3, standing, "doc_id", "text", minJaccard))
         .select(col("id_a").as("doc_id")).distinct()
       val s4 = s3.join(dupOfCurated, Seq("doc_id"), "left_anti")
       // 5./6. the full funnel's quality gate + weighted mix
@@ -214,6 +233,19 @@ object CurationJob {
 
         lake.materialize("curated", "curated_documents",
           standing.unionByName(survivors))
+
+        // append the survivors to the at-rest near-dup index (reads only
+        // the OLD index tables + the checkpointed survivors — never the
+        // just-swapped documents table)
+        if (hasIndex) {
+          val newShingles = Dedup.shingleSets(survivors, "doc_id", "text")
+            .localCheckpoint(true)
+          lake.materialize("curated", "curated_shingles",
+            lake.table("curated", "curated_shingles").unionByName(newShingles))
+          lake.materialize("curated", "curated_postings",
+            lake.table("curated", "curated_postings")
+              .unionByName(Dedup.bandPostings(newShingles)))
+        }
       } finally cached.foreach(_._2.unpersist())
 
       funnel = lake.table("curated", "curation_funnel_stats")

@@ -175,6 +175,25 @@ class DedupSpec extends SparkSpec {
     assert(across == self, s"across=$across self=$self")
   }
 
+  test("probing the at-rest index equals the recompute-everything cross join") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different corpus content about spark engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog and cat"),
+      (102L, "fresh never-seen-before batch material")
+    ).toDF("doc_id", "text")
+    val base = Dedup.shingleSets(corpus, "doc_id", "text")
+    val viaIndex = Dedup.lshNearDupPairsAgainstIndex(batch, "doc_id", "text",
+        Dedup.bandPostings(base), base, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val recompute = Dedup.lshNearDupPairsAcross(batch, corpus, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex == recompute && viaIndex.nonEmpty, s"index=$viaIndex recompute=$recompute")
+  }
+
   test("bloomContaminationScan is bit-identical to the exact scan (no false negatives)") {
     import spark.implicits._
     val benchDoc = "which of the following statements about photosynthesis is correct answer"
