@@ -148,6 +148,59 @@ object Multimodal {
     }
   }
 
+  final case class FrameSig(asset_id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** Portable per-frame content signature: the polynomial byte hash
+    * (acc·31 + byte mod 1e9+7 — the [[graft.sql.Defaults.P]] family, so an
+    * external oracle recomputes identical values). A production system
+    * would use a perceptual hash behind the same (frame → long) shape;
+    * content hashing already catches re-containerized/re-muxed duplicates,
+    * where the decoded frames are byte-identical. */
+  def frameSignatures(frames: Dataset[Frame]): Dataset[FrameSig] = {
+    import frames.sparkSession.implicits._
+    frames.map { f =>
+      val h = f.frame_bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % graft.sql.Defaults.P)
+      FrameSig(f.asset_id, f.frame_idx, h)
+    }
+  }
+
+  /** Media near-dup: Jaccard over each video's DISTINCT frame-signature
+    * set — the d02 inverted-index shape lifted to binary assets (shared
+    * frame → candidate pair → exact two-pointer verify). `maxFrameFreq`
+    * is the same hot-key cap: a boilerplate frame (black/intro card)
+    * present in everything generates O(df²) candidates and carries no
+    * near-dup signal. No decode needed — signatures come from the sampled
+    * frame bytes, so the plan is flatMap → per-asset set agg → equi-join. */
+  def frameNearDupPairs(frames: Dataset[Frame], minJaccard: Double,
+      maxFrameFreq: Long = 1000L): DataFrame = {
+    val sets = frameSignatures(frames).toDF()
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_set(col("frame_hash"))).as("hset"))
+    val sh = sets.select(col("asset_id"), size(col("hset")).as("nh"), explode(col("hset")).as("h"))
+    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxFrameFreq).select(col("h"))
+    val capped = sh.join(rare, "h")
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.asset_id") < col("b.asset_id"))
+      .filter(least(col("a.nh"), col("b.nh")).cast("double") >=
+        lit(minJaccard) * greatest(col("a.nh"), col("b.nh")).cast("double"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"))
+      .distinct()
+    def intersectSize(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnShim.column(
+        graft.sql.SortedIntersectSize(
+          org.apache.spark.sql.graft.ColumnShim.expression(a),
+          org.apache.spark.sql.graft.ColumnShim.expression(b)))
+    cand
+      .join(sets.select(col("asset_id").as("id_a"), col("hset").as("hs_a")), "id_a")
+      .join(sets.select(col("asset_id").as("id_b"), col("hset").as("hs_b")), "id_b")
+      .withColumn("shared", intersectSize(col("hs_a"), col("hs_b")).cast("double"))
+      .withColumn("jaccard",
+        col("shared") / (size(col("hs_a")) + size(col("hs_b")) - col("shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Resize plumbing: recompute metadata + stub-resample pixels through the
     * decoder. Plan shape (per-row map over binary + struct) is what a codec
     * resize looks like. */

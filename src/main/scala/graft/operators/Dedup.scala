@@ -457,6 +457,43 @@ object Dedup {
     verifyExact(candidates, base, minJaccard)
   }
 
+  /** Content-defined chunking (CDC — the Rabin/gear family used by dedup
+    * storage systems): chunk boundaries fall where the rolling `window`-
+    * byte hash ≡ 0 (mod `divisor`), so they are anchored to CONTENT, not
+    * offsets — an insertion near the start shifts every fixed-window frame
+    * but only perturbs the chunks touching the edit. Mean chunk length ≈
+    * `divisor` bytes. Returns the sorted distinct chunk-hash set (the
+    * portable polynomial hash, so oracles recompute identical values).
+    * Composition of built-ins + the native rolling-hash pass; the per-chunk
+    * rehash is interpreted HOF — O(len) per doc total, and chunking runs
+    * once per corpus before persisting, like [[shingleSets]]. */
+  def cdcChunkHashes(s: Column, window: Int = 16, divisor: Long = 64L): Column = {
+    val hs = shingleHashes(s, window)
+    val cuts = when(size(hs) >= 2,
+        filter(sequence(lit(2), size(hs)), i => element_at(hs, i) % divisor === 0))
+      .otherwise(array().cast("array<int>"))
+    val bounds = concat(array(lit(1)), cuts, array(length(s) + 1))
+    val chunks = transform(sequence(lit(1), size(bounds) - 1),
+      k => s.substr(element_at(bounds, k), element_at(bounds, k + 1) - element_at(bounds, k)))
+    array_sort(array_distinct(transform(chunks, c => polyHashStr(c))))
+  }
+
+  /** Near-dup pairs over CDC chunk sets — the shift-robust dedup for
+    * binary/media payloads (re-muxed, prepended, or locally-edited copies
+    * keep most chunks; fixed windows keep none). Same df-capped
+    * inverted-index candidates + exact two-pointer verify as
+    * [[jaccardPairs]], over chunk hashes instead of shingles. */
+  def cdcNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, maxChunkFreqAbsolute: Long = DefaultMaxDocFreqAbsolute): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("doc_text"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("doc_id"), cdcChunkHashes(col("doc_text")).as("hset"))
+    verifyExact(
+      cappedCandidatePairs(base, maxDocFreqFraction = 1.0, maxChunkFreqAbsolute, minJaccard),
+      base, minJaccard)
+  }
+
   /** The persistable halves of the LSH near-dup index: per-doc sorted
     * shingle sets ([[shingleSets]] output) and band postings. A standing
     * corpus materializes BOTH once and maintains them append-only; a new

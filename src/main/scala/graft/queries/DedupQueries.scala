@@ -308,6 +308,61 @@ object DedupQueries {
       ORDER BY id_a, id_b"""
     })
 
+  /** Content-defined chunking near-dup (Rabin/gear CDC family): chunk
+    * boundaries anchor to content via the rolling 16-byte hash (cut where
+    * h ≡ 0 mod 64, mean chunk ≈ 64 bytes), so locally-edited/prepended
+    * copies keep most chunks — the shift-robust dedup for binary payloads
+    * where fixed windows keep none. df-capped inverted index + exact
+    * verify, like d02. */
+  val d11CdcNearDup = GraftQuery(
+    "d11_cdc_neardup",
+    (s, dir) =>
+      Dedup.cdcNearDupPairs(table(s, dir, "documents"), "doc_id", "text", 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH codes_t AS (
+        SELECT doc_id, $duckCodes AS codes, text, length(text) AS len FROM documents),
+      hs_t AS (
+        SELECT doc_id, text, len,
+               list_transform(range(1, greatest(len-15, 1)+1),
+                 i -> ${duckPoly("codes[i:i+15]")}) AS hs
+        FROM codes_t),
+      cuts_t AS (
+        SELECT doc_id, text, len,
+               CASE WHEN len(hs) >= 2
+                    THEN list_filter(range(2, len(hs)+1), i -> hs[i] % 64 = 0)
+                    ELSE [] END AS cuts
+        FROM hs_t),
+      bounds_t AS (
+        SELECT doc_id, text,
+               ([CAST(1 AS BIGINT)] || cuts || [CAST(len+1 AS BIGINT)]) AS bounds
+        FROM cuts_t),
+      ch_t AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(range(1, len(bounds)),
+                 k -> ${duckPoly(
+                   "list_transform(range(1, length(substr(text, CAST(bounds[k] AS INT), CAST(bounds[k+1]-bounds[k] AS INT)))+1), " +
+                   "j -> CAST(ascii(substr(substr(text, CAST(bounds[k] AS INT), CAST(bounds[k+1]-bounds[k] AS INT)), CAST(j AS INT), 1)) AS BIGINT))")}))) AS hset
+        FROM bounds_t),
+      sh AS (SELECT doc_id, unnest(hset) AS h FROM ch_t),
+      rare AS (
+        SELECT h FROM sh GROUP BY h
+        HAVING COUNT(*) <= least((SELECT COUNT(*) FROM ch_t) * 1.0, 1000.0)),
+      shc AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id),
+      ver AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE) AS shared,
+               len(ha.hset) AS na, len(hb.hset) AS nb
+        FROM cand JOIN ch_t ha ON id_a = ha.doc_id JOIN ch_t hb ON id_b = hb.doc_id)
+      SELECT id_a, id_b, round(shared / CAST(na + nb - shared AS DOUBLE), 6) AS jaccard
+      FROM ver
+      WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b"""))
+
   /** Maximal duplicated token spans (exact-substring dedup family): 8-token
     * gram inverted index (df ≤ 1000), anti-diagonal islands merge, spans of
     * ≥ 12 tokens. Localizes verbatim runs so a pipeline can cut the passage
@@ -349,5 +404,5 @@ object DedupQueries {
   val all: Seq[GraftQuery] = Seq(
     d01ExactDedup, d02JaccardPairs, d03MinhashSignatures,
     d04LshNearDup, d05Simhash, d06EmbeddingNearDup, d07ContainmentPairs,
-    d09DuplicateSpans, d10CrossCorpusLsh)
+    d09DuplicateSpans, d10CrossCorpusLsh, d11CdcNearDup)
 }

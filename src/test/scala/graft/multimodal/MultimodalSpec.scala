@@ -89,4 +89,18 @@ class MultimodalSpec extends SparkSpec {
       assert(ws.map(_.peak_amp).max == s.map(x => math.abs(x.toInt)).max)
     }
   }
+
+  test("frame-signature near-dup pairs byte-identical videos (re-containerized copies)") {
+    import spark.implicits._
+    // asset ids ≡ 2 (mod 3) are video-class; 2 and 5 carry identical bytes
+    // (a re-muxed copy decodes to the same frames), 8 differs
+    val txt = "identical frame payload content repeated for enough length to sample " * 4
+    val docs = Seq((2L, txt), (5L, txt), (8L, "totally different video content here"))
+      .toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.assetsFromDocuments(docs))
+    val pairs = Multimodal.frameNearDupPairs(frames, 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((2L, 5L)), pairs.mkString(","))
+    assert(pairs.head._3 == 1.0)
+  }
 }

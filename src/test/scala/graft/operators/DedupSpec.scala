@@ -175,6 +175,26 @@ class DedupSpec extends SparkSpec {
     assert(across == self, s"across=$across self=$self")
   }
 
+  test("CDC chunking is shift-robust: a prepended edit keeps the pair; chunks are content-anchored") {
+    import spark.implicits._
+    val body = ("the quick brown fox jumps over the lazy dog while seventeen engineers " +
+      "review a surprisingly long design document about distributed deduplication ") * 4
+    val corpus = Seq(
+      (1L, body),
+      (2L, "COMPLETELY NOVEL PREPENDED HEADER SECTION >> " + body), // head insertion
+      (3L, "unrelated content that shares no chunks with anything else here at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.cdcNearDupPairs(corpus, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), pairs.mkString(","))
+    assert(pairs.head._3 >= 0.5, s"insertion should keep most chunks: ${pairs.head._3}")
+    // chunk boundaries are a pure function of content
+    val sets = corpus.select($"doc_id", Dedup.cdcChunkHashes($"text").as("h"))
+      .union(corpus.repartition(7).select($"doc_id", Dedup.cdcChunkHashes($"text").as("h")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).groupBy(_._1)
+    assert(sets.values.forall(v => v.map(_._2).distinct.size == 1))
+  }
+
   test("probing the at-rest index equals the recompute-everything cross join") {
     import spark.implicits._
     val corpus = Seq(
