@@ -195,6 +195,21 @@ class DedupSpec extends SparkSpec {
     assert(sets.values.forall(v => v.map(_._2).distinct.size == 1))
   }
 
+  test("native CDC chunking is bit-identical to the HOF specification") {
+    import spark.implicits._
+    val fixture = (docs.select(col("text")) union Seq("", " ", "short", "x" * 15, "y" * 16,
+      "boundary probing content " * 40).toDF("text")).collect().map(_.getString(0))
+    val df = fixture.toSeq.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(
+        Dedup.cdcChunkHashes($"text").as("native"),
+        Dedup.cdcChunkHashesHof($"text").as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"native ${r.getSeq[Long](0)} != hof ${r.getSeq[Long](1)}")
+    }
+  }
+
   test("probing the at-rest index equals the recompute-everything cross join") {
     import spark.implicits._
     val corpus = Seq(
