@@ -78,6 +78,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"sentence_split(str); got ${other.size} args")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_chunk_hashes"),
+      new ExpressionInfo(classOf[CdcChunkHashes].getName, "cdc_chunk_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => CdcChunkHashes(s, 16, 64L)
+        case Seq(s, Literal(w: Int, _), Literal(d: Int, _)) => CdcChunkHashes(s, w, d.toLong)
+        case other => throw new IllegalArgumentException(
+          s"cdc_chunk_hashes(str[, window literal int, divisor literal int]); got ${other.size} args")
+      }))
     // aggregates: the analyzer wraps a bare AggregateFunction returned by a
     // registry builder in its AggregateExpression, same as the built-ins
     ext.injectFunction((

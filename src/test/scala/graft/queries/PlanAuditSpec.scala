@@ -231,6 +231,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("d11 CDC: chunking is the native codegen expression; joins are equi-joins only") {
+    val p = plan(q("d11_cdc_neardup"))
+    assert(p.contains("cdc_chunk_hashes"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q39 heavy hitters: MG aggregate partial-aggregates (map-side combine)") {
     val df = q("q39_heavy_hitters")
     df.collect()

@@ -159,6 +159,9 @@ class ShingleHashesSpec extends SparkSpec {
     val sentences = spark.sql(
       "SELECT sentence_split('One. Two!') AS (sentence_idx, sentence) FROM range(1)")
     assert(sentences.collect().map(_.getString(1)).toSeq == Seq("One", "Two"))
+    val cdc = spark.sql(
+      "SELECT cdc_chunk_hashes('abcdef'), cdc_chunk_hashes('abcdef', 4, 8)").collect().head
+    assert(cdc.getSeq[Long](0).nonEmpty && cdc.getSeq[Long](1).nonEmpty)
     // the aggregate registrations: MG heavy hitters + the bloom pair
     val agg = spark.sql("""
       SELECT misra_gries(v, 2) AS mg,
