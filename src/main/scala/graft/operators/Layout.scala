@@ -50,4 +50,29 @@ object Layout {
       else df.repartitionByRange(code)
     ranged.sortWithinPartitions(code)
   }
+
+  /** Materialize `df` as a BUCKETED + sorted catalog table at `path` and
+    * return it re-read through the catalog (bucket metadata only survives
+    * `saveAsTable`). Standalone sibling of `Lakehouse.materializeBucketed`
+    * for frames outside the medallion layers.
+    *
+    * This is THE shuffle-elimination layout for 100 TB fact-to-fact joins:
+    * hash-partition both sides into the same `buckets` on the join key once
+    * at write time, and every subsequent equi-join or aggregation on that
+    * key skips its Exchange entirely — Spark's `SortMergeJoin` consumes the
+    * bucketed scans directly (`PlanAuditSpec` pins the Exchange-free plan).
+    * One-time write cost amortizes across every downstream query; the
+    * alternative — shuffling both fact tables per query — is the single
+    * largest recurring cost in a star-join warehouse. */
+  def bucketedTable(
+      spark: org.apache.spark.sql.SparkSession, df: DataFrame, name: String,
+      keyCols: Seq[String], buckets: Int, path: String): DataFrame = {
+    require(keyCols.nonEmpty, "bucketedTable needs at least one key column")
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .option("path", path)
+      .saveAsTable(name)
+    spark.table(name)
+  }
 }

@@ -191,4 +191,64 @@ object TextAnalysis {
 
   def redactEmails(text: Column): Column = redact(text, EmailPattern, "<EMAIL>")
   def redactPhones(text: Column): Column = redact(text, PhonePattern, "<PHONE>")
+
+  // ---- hashed-feature linear classifier -----------------------------------
+
+  /** Feature-space width of the hashed classifier (fixed so oracles restate
+    * it; a real deployment sizes this to the trained model). */
+  val ClassifierDim = 1024
+
+  /** fastText-style quality-classifier score in integer milli-units: each
+    * token hashes (portable poly hash) to one of [[ClassifierDim]] buckets
+    * and contributes that bucket's fixed milli-weight; the result is the sum
+    * as a LONG. One fused codegen pass per row
+    * ([[graft.sql.HashedLinearScore]]) — no HOFs, no shuffle; integer
+    * summation makes the score order- and partitioning-independent.
+    * `hashedLinearScoreMilliHof` is the interpreted `functions._` parity
+    * composition the spec checks value-identity against. */
+  def hashedLinearScoreMilli(toks: Column, dim: Int = ClassifierDim): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.HashedLinearScore(
+        org.apache.spark.sql.graft.ColumnShim.expression(toks), dim))
+
+  /** Interpreted HOF composition of the same score (parity-spec reference). */
+  def hashedLinearScoreMilliHof(toks: Column, dim: Int = ClassifierDim): Column =
+    aggregate(
+      transform(toks, t =>
+        (pmod(graft.operators.Dedup.polyHashStr(t), lit(dim.toLong)) * lit(graft.sql.HashedLinearScore.Mix))
+          % lit(graft.sql.HashedLinearScore.P) % lit(2001L) - lit(1000L)),
+      lit(0L), (acc, w) => acc + w)
+
+  // ---- token-window chunking ----------------------------------------------
+
+  /** RAG/training-style overlapping token-window chunking: split each
+    * document's token array into windows of `size` tokens advancing by
+    * `stride` (< size ⇒ overlap of size − stride tokens, so no boundary ever
+    * cuts context that a window doesn't also see whole). Returns one row per
+    * chunk: (idCol, chunk_idx, chunk_tokens, chunk_text).
+    *
+    * A document of n tokens yields `max(1, ⌈(n − size)/stride⌉ + 1)` chunks —
+    * the last window may be short, and an empty document still yields its
+    * one empty chunk (curation funnels count documents, not bytes).
+    *
+    * Per-row generate (`explode` over a `sequence`) + `slice`/`array_join`:
+    * all codegen built-ins, no shuffle — chunking 100 TB is a map-only
+    * stage that scales with input splits. */
+  def chunkWindows(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val n = org.apache.spark.sql.functions.size(col("toks")).cast("long")
+    val nChunks = greatest(lit(1L),
+      ceil((n - lit(size.toLong)).cast("double") / lit(stride.toDouble)).cast("long") + lit(1L))
+    val start = col("chunk_idx") * lit(stride.toLong)
+    val chunk = slice(col("toks"), (start + lit(1L)).cast("int"), lit(size))
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0L), nChunks - lit(1L))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(chunk).as("chunk_tokens"),
+        array_join(chunk, " ").as("chunk_text"))
+  }
 }

@@ -535,9 +535,38 @@ object CurationQueries {
       ORDER BY split"""
     })
 
+  /** RAG/training-style overlapping token-window chunking: 32-token windows
+    * advancing by 24 (8-token overlap so no boundary cuts context a window
+    * doesn't also see whole). One row per chunk with its index, length, and
+    * re-joined text. Map-only (per-row generate + slice, all codegen
+    * built-ins, no shuffle) — chunking 100 TB runs at scan speed and
+    * parallelizes with input splits. */
+  val c15ChunkWindows = GraftQuery(
+    "c15_chunk_windows",
+    (s, dir) =>
+      TextAnalysis.chunkWindows(table(s, dir, "documents"), "doc_id", "text",
+          size = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents),
+      ch AS (
+        SELECT doc_id, t,
+               greatest(1, CAST(ceil((len(t) - 32) / 24.0) AS BIGINT) + 1) AS nch
+        FROM toks)
+      SELECT doc_id,
+             unnest(range(0, nch)) AS chunk_idx,
+             unnest(list_transform(range(0, nch),
+               i -> CAST(len(list_slice(t, CAST(i*24+1 AS INT), CAST(i*24+32 AS INT))) AS INT))) AS chunk_tokens,
+             unnest(list_transform(range(0, nch),
+               i -> array_to_string(list_slice(t, CAST(i*24+1 AS INT), CAST(i*24+32 AS INT)), ' '))) AS chunk_text
+      FROM ch
+      ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
       c08TokenQuotaMix, c09Decontamination, c11AdaptiveThreshold,
-      c12BloomDecontamination, c13QualityKeeper, c14HashSplit)
+      c12BloomDecontamination, c13QualityKeeper, c14HashSplit, c15ChunkWindows)
 }

@@ -20,7 +20,7 @@ object DedupQueries {
     * same fold, same window arithmetic). */
   private val duckCodes =
     "list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))"
-  private def duckPoly(l: String) =
+  private[queries] def duckPoly(l: String) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $l), (acc, x) -> (acc*31 + x) % 1000000007)"
   private val duckShingleHashes =
     s"list_transform(range(1, greatest(length(text)-4, 1)+1), i -> ${duckPoly("codes[i:i+4]")})"

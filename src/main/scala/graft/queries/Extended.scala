@@ -459,9 +459,50 @@ object Extended {
       LIMIT 2000"""
     })
 
+  /** Bucketed sort-merge join: both fact tables materialized as catalog
+    * tables hash-bucketed + sorted on the join key, then joined WITHOUT any
+    * Exchange — Spark's SortMergeJoin consumes the co-located bucketed scans
+    * directly (PlanAuditSpec pins the Exchange-free plan; broadcast is
+    * disabled for the join so the audit proves bucketing, not small-table
+    * luck). At 100 TB this is the layout that amortizes the fact-to-fact
+    * shuffle to a one-time write: every later join/aggregation on the
+    * bucket key skips its largest cost. Result values are byte-identical
+    * to the plain join, so the oracle is the straightforward SQL. */
+  val q41SmbBucketJoin = GraftQuery(
+    "q41_smb_bucket_join",
+    (s, dir) => {
+      import graft.operators.Layout
+      val base = java.nio.file.Files.createTempDirectory("graft_buckets_").toString
+      val li = Layout.bucketedTable(s,
+        table(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        "q41_lineitem_b", Seq("l_orderkey"), buckets = 8, path = s"$base/lineitem")
+      val ord = Layout.bucketedTable(s,
+        table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "q41_orders_b", Seq("o_orderkey"), buckets = 8, path = s"$base/orders")
+      // The "merge" hint forces SortMergeJoin regardless of the broadcast
+      // threshold (no session-conf mutation — Verify shares one session);
+      // with both sides bucketed on the key, that join plans Exchange-free.
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1).cast(DecimalType(12, 2)) - col("l_discount").cast(DecimalType(12, 2))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("line_count"))
+        .orderBy(col("priority"))
+    },
+    Some("""
+      SELECT o_orderpriority AS priority,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS line_count
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY priority"""))
+
   val all: Seq[GraftQuery] = Seq(
     q26WindowFrames, q27Ranking, q28GroupingSets, q29Pivot, q30AsOfJoin,
     q31RangeJoin, q32Sessionize, q33Percentiles, q34ApproxDistinct,
     q35ScalarSubquery, q36FromJson, q37ApproxPercentile, q38SaltedJoin,
-    q39HeavyHitters, q40ZorderCodes)
+    q39HeavyHitters, q40ZorderCodes, q41SmbBucketJoin)
 }

@@ -413,8 +413,46 @@ object TextQueries {
       FROM c GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** fastText-style hashed-feature linear quality classifier: each token
+    * hashes to one of 1024 buckets and contributes a fixed integer
+    * milli-weight; the document score is the integer sum (one fused codegen
+    * pass — [[graft.sql.HashedLinearScore]]), the decision is its sign.
+    * The weight table here is a fixed pseudo-random projection — the engine
+    * owns the hashing/scoring plumbing; swapping in trained weights changes
+    * a broadcast array, not the plan. Integer summation keeps the score
+    * independent of token order and partitioning, so the oracle restates it
+    * exactly — the checked output is all-integer, no float rounding at all.
+    * Per-row, shuffle-free — scores 100 TB at scan speed. */
+  val t12QualityClassifier = GraftQuery(
+    "t12_quality_classifier",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          hashedLinearScoreMilli(col("toks")).as("score_milli"))
+        .select(col("doc_id"), col("n_tokens"), col("score_milli"),
+          (col("score_milli") > 0).as("keep"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+        FROM documents),
+      scored AS (
+        SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+               CAST(COALESCE(list_sum(list_transform(t, tok ->
+                 ((${DedupQueries.duckPoly(
+                   "list_transform(range(1, length(tok)+1), i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT))")}
+                   % ${ClassifierDim}) * ${graft.sql.HashedLinearScore.Mix})
+                   % ${graft.sql.HashedLinearScore.P} % 2001 - 1000)), 0) AS BIGINT) AS score_milli
+        FROM toks)
+      SELECT doc_id, n_tokens, score_milli,
+             score_milli > 0 AS keep
+      FROM scored
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
       t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t10Bm25,
-      t11UnigramXent)
+      t11UnigramXent, t12QualityClassifier)
 }

@@ -87,6 +87,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"cdc_chunk_hashes(str[, window literal int, divisor literal int]); got ${other.size} args")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("hashed_linear_score"),
+      new ExpressionInfo(classOf[HashedLinearScore].getName, "hashed_linear_score"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => HashedLinearScore(t, 1024)
+        case Seq(t, Literal(d: Int, _)) => HashedLinearScore(t, d)
+        case other => throw new IllegalArgumentException(
+          s"hashed_linear_score(array<string>[, dim literal int]); got ${other.size} args")
+      }))
     // aggregates: the analyzer wraps a bare AggregateFunction returned by a
     // registry builder in its AggregateExpression, same as the built-ins
     ext.injectFunction((

@@ -187,4 +187,60 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) == 0.0)
   }
+
+  test("hashed linear score: native expression == interpreted HOF composition") {
+    val df = Seq(
+      "", "a", "a a a", "the quick brown fox", "wörd ünïcode mix",
+      "x y z x y z x y z", "singletoken",
+      "punctuation, numbers 123 and symbols $%^").toDF("text")
+    val cmp = df.select(
+      TextAnalysis.hashedLinearScoreMilli(TextAnalysis.tokens(col("text"))).as("native"),
+      TextAnalysis.hashedLinearScoreMilliHof(TextAnalysis.tokens(col("text"))).as("hof"))
+    cmp.collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("hashed linear score: bounded, additive, duplicate-sensitive, empty=0") {
+    val one = Seq("spark").toDF("text")
+      .select(TextAnalysis.hashedLinearScoreMilli(TextAnalysis.tokens(col("text"))))
+      .collect().head.getLong(0)
+    assert(one >= -1000L && one <= 1000L)
+    val twice = Seq("spark spark").toDF("text")
+      .select(TextAnalysis.hashedLinearScoreMilli(TextAnalysis.tokens(col("text"))))
+      .collect().head.getLong(0)
+    assert(twice == 2 * one)                       // tf-weighted bag of features
+    val shuffled = Seq("a b c", "c a b").toDF("text")
+      .select(TextAnalysis.hashedLinearScoreMilli(TextAnalysis.tokens(col("text"))))
+      .collect().map(_.getLong(0))
+    assert(shuffled(0) == shuffled(1))             // order-independent
+    val empty = Seq("   ").toDF("text")
+      .select(TextAnalysis.hashedLinearScoreMilli(TextAnalysis.tokens(col("text"))))
+      .collect().head.getLong(0)
+    assert(empty == 0L)
+  }
+
+  test("chunk windows: counts, coverage, overlap, short-doc and empty-doc shapes") {
+    val text100 = (1 to 100).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, text100),                 // 100 tokens: starts 0,24,48,72 → 4 chunks
+      (2L, "a b c"),                 // n <= size → exactly 1 whole chunk
+      (3L, "")                       // empty doc → 1 empty chunk
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(docs, "doc_id", "text", size = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Int, String)].collect()
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.length == 4)
+    assert(d1.map(_._3).toSeq == Seq(32, 32, 32, 28))   // last window short
+    // coverage: every token appears in at least one chunk; consecutive
+    // full chunks overlap by size - stride = 8 tokens
+    val allToks = d1.flatMap(_._4.split(" ")).toSet
+    assert((1 to 100).forall(i => allToks.contains(s"t$i")))
+    val c0 = d1(0)._4.split(" ")
+    val c1 = d1(1)._4.split(" ")
+    assert(c0.takeRight(8).toSeq == c1.take(8).toSeq)
+    // chunk i starts at token i*stride + 1
+    assert(c1.head == "t25" && d1(3)._4.split(" ").head == "t73")
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3, "a b c")))
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 0, "")))
+  }
 }

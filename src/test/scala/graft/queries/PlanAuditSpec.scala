@@ -237,6 +237,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q41 bucketed SMB join: sort-merge over bucketed scans with NO join-side exchange") {
+    val df = q("q41_smb_bucket_join")
+    val p = simplePlan(df)
+    assert(p.contains("SortMergeJoin"), p)
+    // the only exchanges are the post-join aggregation and the final sort —
+    // the join itself consumes the two bucketed scans in place (at 100 TB
+    // this is the fact-to-fact shuffle amortized into the write)
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+    val f = plan(df)
+    assert(f.contains("Bucketed: true"), f.take(4000))
+  }
+
+  test("t12 quality classifier: fused native scoring, per-row until the final sort") {
+    val df = q("t12_quality_classifier")
+    val p = simplePlan(df)
+    assert(p.contains("hashed_linear_score"), p)
+    assert("Exchange".r.findAllIn(p).length == 1, p) // only the ORDER BY
+  }
+
+  test("c15 chunk windows: generate + slice per row, no shuffle before the sort") {
+    val p = simplePlan(q("c15_chunk_windows"))
+    assert(p.contains("Generate"), p)
+    assert("Exchange".r.findAllIn(p).length == 1, p) // only the ORDER BY
+  }
+
   test("q39 heavy hitters: MG aggregate partial-aggregates (map-side combine)") {
     val df = q("q39_heavy_hitters")
     df.collect()

@@ -162,6 +162,13 @@ class ShingleHashesSpec extends SparkSpec {
     val cdc = spark.sql(
       "SELECT cdc_chunk_hashes('abcdef'), cdc_chunk_hashes('abcdef', 4, 8)").collect().head
     assert(cdc.getSeq[Long](0).nonEmpty && cdc.getSeq[Long](1).nonEmpty)
+    val hls = spark.sql("""
+      SELECT hashed_linear_score(array('a', 'b', 'a')) AS s,
+             hashed_linear_score(array('a', 'b', 'a'), 64) AS sd,
+             hashed_linear_score(array('a'), 64) + hashed_linear_score(array('b', 'a'), 64) AS sum64
+    """).collect().head
+    assert(hls.getLong(0) != 0L)
+    assert(hls.getLong(1) == hls.getLong(2)) // additive over bags at any dim
     // the aggregate registrations: MG heavy hitters + the bloom pair
     val agg = spark.sql("""
       SELECT misra_gries(v, 2) AS mg,
