@@ -168,5 +168,113 @@ object ClusterQueries {
       GROUP BY cell_id
       ORDER BY cell_id"""))
 
-  val all: Seq[GraftQuery] = Seq(s05IvfTopK, d08SemanticDedup, c10CellProfile)
+  /** Spark-side PQ geometry: 64-dim embeddings, 8 subspaces of 8 dims. */
+  val NumSub = 8
+  val SubDim = 8
+
+  /** DuckDB fold identical to the Spark side's sliced FloatVecDot: slice
+    * `[m·8+1, m·8+8]`, cast each float to double, multiply, sum in order. */
+  private def duckSubDot(x: String, y: String) =
+    s"""list_aggregate(list_transform(range(1, $SubDim + 1),
+          i -> CAST($x[CAST(i AS INT)] AS DOUBLE) * CAST($y[CAST(i AS INT)] AS DOUBLE)), 'sum')"""
+
+  /** Full-vector fold, identical to the Spark side's FloatVecDot. */
+  private def duckFullDot(x: String, y: String) =
+    s"""list_aggregate(list_transform(range(1, len($x) + 1),
+          i -> CAST($x[CAST(i AS INT)] AS DOUBLE) * CAST($y[CAST(i AS INT)] AS DOUBLE)), 'sum')"""
+
+  private def duckSubDist2(v: String, c: String): String = {
+    val vs = s"list_slice($v, m*$SubDim + 1, m*$SubDim + $SubDim)"
+    val cs = s"list_slice($c, m*$SubDim + 1, m*$SubDim + $SubDim)"
+    s"(${duckSubDot(vs, vs)} + ${duckSubDot(cs, cs)} - 2.0 * ${duckSubDot(vs, cs)})"
+  }
+
+  /** PQ shortlist size before exact re-rank (the IVFADC refinement step).
+    * Measured frontier on the fixtures: recall@5 0.92 @ 20% exact-scored
+    * (sf0.001), 0.61 @ 5% (sf0.1) — at/above the s02/s05 recall band with
+    * a much smaller exact-score budget (raw ADC alone is 0.16 in this
+    * hard near-orthogonal regime). */
+  val PqRerank = 100
+
+  /** Product-quantization ADC top-5 with exact re-rank (Jégou et al. 2011;
+    * same query set and shape as s01/s02/s05): the corpus is quantized to
+    * per-subspace nearest seed codes, a query's distance to EVERY codebook
+    * entry per subspace is precomputed (one broadcast row per query), and
+    * the corpus-code scan estimates distances by 8 map lookups per row — no
+    * corpus shuffle, no original vectors touched by the estimate. The
+    * PQ-estimate shortlist (PqRerank per query) is then exact-scored in one
+    * broadcast join against the corpus scan. Subspace distances are rounded
+    * to 9 decimals and summed as DECIMAL(28,9) (exact, order-independent —
+    * t11's discipline), so DuckDB replays codes, estimates, shortlist and
+    * final exact ranks bit-for-bit. */
+  val s06PqTopK = GraftQuery(
+    "s06_pq_topk",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      Clustering.pqTopK(q, e, 5, NumSub, SubDim, rerank = PqRerank)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("pq_dist2"), 6).as("pq_dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH par AS (
+        SELECT greatest(1, CAST(floor(COUNT(*) /
+                 greatest(1, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS BIGINT)) AS stride
+        FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cell_id, embedding AS c_emb
+        FROM embeddings, par
+        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % stride = 0),
+      sub AS (SELECT unnest(range(0, $NumSub)) AS m),
+      vd AS (
+        SELECT v.vec_id, s.m, c.cell_id,
+               ${duckSubDist2("v.embedding", "c.c_emb")} AS d2
+        FROM embeddings v CROSS JOIN cents c CROSS JOIN sub s),
+      codes AS (
+        SELECT vec_id, m, cell_id AS code
+        FROM (SELECT vec_id, m, cell_id,
+                     row_number() OVER (PARTITION BY vec_id, m
+                       ORDER BY d2 ASC, cell_id ASC) AS rn
+              FROM vd) z
+        WHERE rn = 1),
+      qd AS (
+        SELECT q.vec_id AS query_id, s.m, c.cell_id,
+               CAST(round(${duckSubDist2("q.embedding", "c.c_emb")}, 9)
+                 AS DECIMAL(28,9)) AS d9
+        FROM embeddings q CROSS JOIN cents c CROSS JOIN sub s
+        WHERE q.vec_id % 50 = 0),
+      est AS (
+        SELECT qd.query_id, codes.vec_id AS neighbor_id,
+               CAST(SUM(qd.d9) AS DOUBLE) AS est_d2
+        FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.cell_id
+        WHERE codes.vec_id <> qd.query_id
+        GROUP BY qd.query_id, codes.vec_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, est_d2,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY est_d2 ASC, neighbor_id ASC) AS rank
+        FROM est),
+      short AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $PqRerank),
+      rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               (${duckFullDot("q.embedding", "q.embedding")}
+                + ${duckFullDot("v.embedding", "v.embedding")}
+                - 2.0 * ${duckFullDot("q.embedding", "v.embedding")}) AS d2
+        FROM short s
+        JOIN embeddings q ON s.query_id = q.vec_id
+        JOIN embeddings v ON s.neighbor_id = v.vec_id),
+      rranked AS (
+        SELECT query_id, neighbor_id, d2,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY d2 ASC, neighbor_id ASC) AS rank
+        FROM rr)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+             round(d2, 6) AS pq_dist2
+      FROM rranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""),
+    bench = true)
+
+  val all: Seq[GraftQuery] = Seq(s05IvfTopK, d08SemanticDedup, c10CellProfile, s06PqTopK)
 }

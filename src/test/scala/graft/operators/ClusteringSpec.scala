@@ -186,4 +186,68 @@ class ClusteringSpec extends SparkSpec {
       }.get) < 1e-9, s"vec $vid assigned $cid, argmin says ${best._2}")
     }
   }
+
+  test("PQ codes: one row per vector, every code a codebook entry") {
+    val cells = Clustering.materializedCells(sf0001, "vec_id", "embedding")
+    val seedIds = cells.select("cell_id").as[Long].collect().toSet
+    val codes = Clustering.pqCodes(sf0001, "vec_id", "embedding", cells, 8, 8)
+    assert(codes.count() == sf0001.count())
+    val rows = codes.collect()
+    rows.foreach { r =>
+      (0 until 8).foreach { m =>
+        assert(seedIds.contains(r.getAs[Long](s"code_$m")),
+          s"vec ${r.getAs[Long]("vec_id")} code_$m not a seed")
+      }
+    }
+  }
+
+  test("PQ ADC: estimate is EXACT for codebook members; raw vs rerank recall") {
+    // a seed vector quantizes to (a subvector identical to) itself in every
+    // subspace, so its ADC estimate equals the true squared distance
+    val q = sf0001.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val c = sf0001.select(col("vec_id").as("id"), col("embedding"))
+    val cells = Clustering.materializedCells(sf0001, "vec_id", "embedding")
+    val seedIds = cells.select("cell_id").as[Long].collect().toSet
+    val vecs = sf0001.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def sub(v: Array[Float], m: Int) = v.slice(m * 8, m * 8 + 8)
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def estRef(a: Array[Float], b: Array[Float]) = (0 until 8).map { m =>
+      val (as, bs) = (sub(a, m), sub(b, m))
+      BigDecimal(dot(as, as) + dot(bs, bs) - 2.0 * dot(as, bs))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    // raw ADC (rerank = 0), k = corpus size so every seed appears as a
+    // neighbor: estimates for seed neighbors must be exact
+    val raw = Clustering.pqTopK(q, c, 500, 8, 8, rerank = 0)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("pq_dist2")))
+    val seedHits = raw.filter { case (_, n, _) => seedIds.contains(n) }
+    assert(seedHits.nonEmpty)
+    seedHits.foreach { case (qid, nid, est) =>
+      val exact = estRef(vecs(qid), vecs(nid))
+      assert(math.abs(est - exact) < 1e-8 * (1.0 + exact),
+        s"($qid,$nid): est $est vs exact-on-seed $exact")
+    }
+    // rerank recall floor (measured 0.92 at sf0.001; floor well under)
+    def top5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val qids = q.select("id").as[Long].collect()
+    val exactTop = qids.map { qid =>
+      qid -> vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) =>
+          val d = vecs(qid).indices.foldLeft(0.0)((s, i) =>
+            s + math.pow(vecs(qid)(i).toDouble - v(i).toDouble, 2))
+          (d, id)
+        }.sorted.take(5).map(_._2).toSet
+    }.toMap
+    val pq = top5(Clustering.pqTopK(q, c, 5, 8, 8, rerank = 100))
+    val recall = exactTop.map { case (qid, ex) =>
+      pq.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exactTop.size
+    assert(recall >= 0.6, f"PQ+rerank recall@5 = $recall%.2f below floor")
+  }
 }

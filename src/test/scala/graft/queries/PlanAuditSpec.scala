@@ -262,6 +262,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length == 1, p) // only the ORDER BY
   }
 
+  test("s06 PQ: query tables and shortlist broadcast; top-k bounded, no window") {
+    val p = simplePlan(q("s06_pq_topk"))
+    assert(p.contains("topk_pairs"), p)
+    assert(!p.contains("Window"), p)
+    // the ADC estimate scan and the exact re-rank both consume BROADCAST
+    // sides (query maps, shortlist) — the corpus/code side never shuffles
+    // into a pair join
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q39 heavy hitters: MG aggregate partial-aggregates (map-side combine)") {
     val df = q("q39_heavy_hitters")
     df.collect()
