@@ -80,6 +80,44 @@ object Curation {
     df.withColumn("sample_rank", row_number().over(w)).filter(col("sample_rank") <= n)
   }
 
+  /** Temperature-scaled source mixing at temperature T=2 (T5 §3.4.4 /
+    * multilingual-sampling shape): stratum s gets a target share
+    * ∝ √count_s, which flattens the head sources and up-samples the tail
+    * without inverting the order. Targets are exact integers
+    * (`n_s = min(count_s, ⌊total·√c_s / Σ√c⌋)`), and the rows chosen are
+    * the deterministic hash-order prefix per stratum — rerun/engine/layout
+    * invariant, so an oracle selects the byte-identical subset.
+    *
+    * Determinism discipline: √count is IEEE-exact, per-stratum weights are
+    * rounded to 9 decimals and summed as DECIMAL(28,9) (order-independent),
+    * then ONE double division per stratum. T=2 on purpose: general 1/T
+    * powers route through libm `pow`, whose last-ulp varies by engine.
+    *
+    * Scale shape: the stats side is a strata-sized aggregate broadcast
+    * back; selection is c02's per-stratum hash-order window. For strata of
+    * billions of rows prefer rate-based acceptance ([[weightedMix]] with
+    * these weights) — it trades exact counts for a sort-free scan. */
+  def temperatureMix(df: DataFrame, stratumCol: String, keyCol: String,
+      totalTarget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(totalTarget > 0, s"totalTarget must be positive, got $totalTarget")
+    requireFresh(df, "mix_rank", "__graft_mix_n")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__w9", round(sqrt(col("__c")), 9).cast(DecimalType(28, 9)))
+    val tot = counts.agg(sum(col("__w9")).as("__tot"))
+    val targets = counts.crossJoin(broadcast(tot))
+      .select(col(stratumCol),
+        least(col("__c"),
+          floor(col("__w9").cast("double") / col("__tot").cast("double")
+            * totalTarget).cast("long")).as("__graft_mix_n"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(hashKey(col(keyCol)), col(keyCol))
+    df.join(broadcast(targets), stratumCol)
+      .withColumn("mix_rank", row_number().over(w))
+      .filter(col("mix_rank") <= col("__graft_mix_n"))
+      .drop("__graft_mix_n")
+  }
+
   /** Weighted mix: per-stratum acceptance rates applied via the same
     * hash-prefix rule. `weights` is broadcast as an inline dimension (the
     * reference's S4 VALUES-dim pattern); unlisted strata default to rate 0

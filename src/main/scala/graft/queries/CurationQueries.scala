@@ -564,9 +564,40 @@ object CurationQueries {
       FROM ch
       ORDER BY doc_id, chunk_idx"""))
 
+  /** Temperature-2 source mixing: per-source targets ∝ √count (flattens
+    * head sources, up-samples tail), exact integer targets, deterministic
+    * hash-order prefix selection. 300-row total budget. */
+  val c16TemperatureMix = GraftQuery(
+    "c16_temperature_mix",
+    (s, dir) =>
+      Curation.temperatureMix(table(s, dir, "documents"), "source", "doc_id", 300L)
+        .select(col("doc_id"), col("source"), col("mix_rank"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(round(sqrt(COUNT(*)), 9) AS DECIMAL(28,9)) AS w9
+        FROM documents GROUP BY source),
+      t AS (SELECT SUM(w9) AS tot FROM c),
+      tg AS (
+        SELECT source,
+               least(cnt, CAST(floor(CAST(w9 AS DOUBLE) / CAST(tot AS DOUBLE) * 300)
+                 AS BIGINT)) AS n_s
+        FROM c, t),
+      r AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS mix_rank
+        FROM documents)
+      SELECT r.doc_id, r.source, r.mix_rank
+      FROM r JOIN tg ON r.source = tg.source
+      WHERE r.mix_rank <= tg.n_s
+      ORDER BY r.doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
       c08TokenQuotaMix, c09Decontamination, c11AdaptiveThreshold,
-      c12BloomDecontamination, c13QualityKeeper, c14HashSplit, c15ChunkWindows)
+      c12BloomDecontamination, c13QualityKeeper, c14HashSplit, c15ChunkWindows,
+      c16TemperatureMix)
 }

@@ -134,4 +134,29 @@ object Streams {
           }
       }
   }
+
+  /** Stream-stream interval join (attribution shape: each left event pairs
+    * with same-user right events in `[left.ts, left.ts + withinSeconds]`).
+    * Both sides are watermarked and the join condition is time-bounded in
+    * BOTH directions, which is what lets Spark evict buffered rows — state
+    * per side is bounded by `watermark + withinSeconds` of input, never the
+    * whole stream. Output columns: user_id, left_id, right_id, left_ts,
+    * right_ts, lag_seconds. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      withinSeconds: Long = 600, watermark: String = "20 minutes"): DataFrame = {
+    require(withinSeconds > 0, s"withinSeconds must be positive, got $withinSeconds")
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("left_id"), col("ts").as("left_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user_id"), col("event_id").as("right_id"),
+        col("ts").as("right_ts"))
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("right_ts") >= col("left_ts") &&
+          col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(col("user_id"), col("left_id"), col("right_id"),
+        col("left_ts"), col("right_ts"),
+        (unix_timestamp(col("right_ts")) - unix_timestamp(col("left_ts")))
+          .as("lag_seconds"))
+  }
 }

@@ -246,4 +246,25 @@ class CurationSpec extends SparkSpec {
     assert(labels.map(_._2).distinct.toSeq == Seq(1L))
     assert(labels.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 7L, 8L, 9L))
   }
+
+  test("temperature mix: exact sqrt-share targets, flattening, prefix stability") {
+    // counts 400/100/25 → √ weights 20/10/5 → shares 4/7, 2/7, 1/7
+    val df = ((1 to 400).map(i => (i.toLong, "A")) ++
+      (401 to 500).map(i => (i.toLong, "B")) ++
+      (501 to 525).map(i => (i.toLong, "C"))).toDF("doc_id", "source")
+    val got = Curation.temperatureMix(df, "source", "doc_id", 70L)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySrc("A").size == 40 && bySrc("B").size == 20 && bySrc("C").size == 10)
+    // flattening: head share shrinks (400/525 → 4/7), tail share grows
+    assert(40.0 / 70 < 400.0 / 525 && 10.0 / 70 > 25.0 / 525)
+    // monotone prefix: a bigger budget keeps everything the smaller one chose
+    val bigger = Curation.temperatureMix(df, "source", "doc_id", 140L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet.subsetOf(bigger))
+    // deterministic rerun
+    val again = Curation.temperatureMix(df, "source", "doc_id", 70L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got.map(_._1).toSet)
+  }
 }

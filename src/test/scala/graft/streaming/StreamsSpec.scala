@@ -205,4 +205,31 @@ class StreamsSpec extends SparkSpec {
       assert(closed.toSeq == Seq(("2024-01-01 10:00:00.0", 2L)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs same-user events inside the bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = Streams.intervalJoin(views.toDF(), clicks.toDF(), withinSeconds = 600)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        ev(10, "2024-01-01 10:00:00", 1, "view", 0.0),
+        ev(11, "2024-01-01 10:00:00", 2, "view", 0.0))
+      clicks.addData(
+        ev(20, "2024-01-01 10:05:00", 1, "click", 1.0),  // in bound, user 1
+        ev(21, "2024-01-01 10:20:00", 1, "click", 1.0),  // out of bound (20 min)
+        ev(22, "2024-01-01 10:01:00", 3, "click", 1.0))  // no matching user
+      q.processAllAvailable()
+      // a click arriving in a LATER micro-batch still joins (buffered state)
+      clicks.addData(ev(23, "2024-01-01 10:09:00", 2, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("left_id"),
+          r.getAs[Long]("right_id"), r.getAs[Long]("lag_seconds"))).toSet
+      assert(rows == Set((1L, 10L, 20L, 300L), (2L, 11L, 23L, 540L)))
+    } finally q.stop()
+  }
 }
