@@ -118,6 +118,21 @@ object Curation {
       .drop("__graft_mix_n")
   }
 
+  /** k-anonymity audit (Sweeney 2002): group by the quasi-identifier
+    * columns and flag every combination carried by fewer than `k` rows —
+    * the groups whose members a release would re-identify. Returns
+    * (quasi-identifier cols…, group_size, at_risk). The PII-redaction
+    * step (t08) scrubs direct identifiers; this is the complementary
+    * release gate for indirect ones. One hash-aggregate shuffle on the
+    * quasi-identifier tuple — the d01 exact-dedup scale shape. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit needs at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", col("group_size") < k)
+  }
+
   /** Weighted mix: per-stratum acceptance rates applied via the same
     * hash-prefix rule. `weights` is broadcast as an inline dimension (the
     * reference's S4 VALUES-dim pattern); unlisted strata default to rate 0

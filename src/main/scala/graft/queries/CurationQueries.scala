@@ -594,10 +594,31 @@ object CurationQueries {
       WHERE r.mix_rank <= tg.n_s
       ORDER BY r.doc_id"""))
 
+  /** k-anonymity audit over (lang, source, n_chars-decile) quasi-identifier
+    * tuples: every combination with fewer than 5 members is flagged — the
+    * privacy release gate complementing t08's direct-identifier scrub. */
+  val c17KAnonymity = GraftQuery(
+    "c17_k_anonymity",
+    (s, dir) =>
+      Curation.kAnonymityAudit(
+          table(s, dir, "documents")
+            .select(col("lang"), col("source"),
+              floor(col("n_chars") / 100).cast("bigint").as("chars_bucket")),
+          Seq("lang", "source", "chars_bucket"), 5L)
+        .orderBy(col("lang"), col("source"), col("chars_bucket")),
+    Some("""
+      SELECT lang, source,
+             CAST(floor(n_chars / 100.0) AS BIGINT) AS chars_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             COUNT(*) < 5 AS at_risk
+      FROM documents
+      GROUP BY 1, 2, 3
+      ORDER BY lang, source, chars_bucket"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
       c08TokenQuotaMix, c09Decontamination, c11AdaptiveThreshold,
       c12BloomDecontamination, c13QualityKeeper, c14HashSplit, c15ChunkWindows,
-      c16TemperatureMix)
+      c16TemperatureMix, c17KAnonymity)
 }

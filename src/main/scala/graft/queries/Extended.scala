@@ -500,9 +500,40 @@ object Extended {
       GROUP BY o_orderpriority
       ORDER BY priority"""))
 
+  /** One-pass multi-column profile (ANALYZE/data-quality stats): row count,
+    * per-column non-null + exact distinct counts, min/max — one aggregation
+    * over the table, unpivoted to a tall frame. Profiled columns here are
+    * string/bigint so the min/max string casts render identically in both
+    * engines (doubles would not — their shortest-repr formatting is
+    * engine-specific, so numeric min/max is spec territory). */
+  val q42Profile = GraftQuery(
+    "q42_profile",
+    (s, dir) =>
+      graft.operators.Profiler.profile(
+          table(s, dir, "events"), Seq("event_id", "user_id", "event_type"))
+        .orderBy(col("column")),
+    Some("""
+      SELECT * FROM (
+        SELECT 'event_id' AS "column", (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_rows,
+               CAST(COUNT(event_id) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+               CAST(MIN(event_id) AS VARCHAR) AS min_str, CAST(MAX(event_id) AS VARCHAR) AS max_str
+        FROM events
+        UNION ALL
+        SELECT 'user_id', (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+               CAST(COUNT(user_id) AS BIGINT), CAST(COUNT(DISTINCT user_id) AS BIGINT),
+               CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'event_type', (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+               CAST(COUNT(event_type) AS BIGINT), CAST(COUNT(DISTINCT event_type) AS BIGINT),
+               CAST(MIN(event_type) AS VARCHAR), CAST(MAX(event_type) AS VARCHAR)
+        FROM events)
+      ORDER BY "column""""))
+
   val all: Seq[GraftQuery] = Seq(
     q26WindowFrames, q27Ranking, q28GroupingSets, q29Pivot, q30AsOfJoin,
     q31RangeJoin, q32Sessionize, q33Percentiles, q34ApproxDistinct,
     q35ScalarSubquery, q36FromJson, q37ApproxPercentile, q38SaltedJoin,
-    q39HeavyHitters, q40ZorderCodes, q41SmbBucketJoin)
+    q39HeavyHitters, q40ZorderCodes, q41SmbBucketJoin, q42Profile)
 }

@@ -267,4 +267,15 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again == got.map(_._1).toSet)
   }
+
+  test("k-anonymity audit flags exactly the sub-k quasi-identifier groups") {
+    val df = (Seq.fill(5)(("en", "web")) ++ Seq.fill(2)(("de", "web")) ++
+      Seq(("fr", "book"))).toDF("lang", "source")
+    val got = Curation.kAnonymityAudit(df, Seq("lang", "source"), 3)
+      .as[(String, String, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      ("en", "web", 5L, false),
+      ("de", "web", 2L, true),
+      ("fr", "book", 1L, true)))
+  }
 }

@@ -60,4 +60,31 @@ class LayoutSpec extends SparkSpec {
     val zorderX = rowsScanned(s"$tmp/zorder", xSlice)
     assert(zorderX.toDouble <= n * 0.35, s"z-order pruned too little on x: $zorderX of $n")
   }
+
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    // hive-partition the fact by its join key, dim as a real file source
+    // (a LocalRelation would fold to a static filter — DPP is the runtime
+    // variant a 100 TB star join relies on when the dim filter isn't known
+    // until execution)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    spark.range(10000)
+      .select(col("id"), (col("id") % 8).cast("int").as("part_key"))
+      .write.mode("overwrite").partitionBy("part_key").parquet(s"$tmp/fact")
+    Seq((1, "keep"), (2, "keep"), (3, "drop"), (4, "drop"))
+      .toDF("dim_key", "tag")
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    val dim = spark.read.parquet(s"$tmp/dim").filter(col("tag") === "keep")
+    val joined = fact.join(dim, col("part_key") === col("dim_key"))
+      .groupBy(col("part_key")).agg(count(lit(1)).as("n"))
+    val formatted = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("dynamicpruning"),
+      s"no DPP subquery in the fact scan:\n${formatted.take(4000)}")
+    // execution proof: only the 2 surviving partitions' rows are scanned
+    joined.collect()
+    val scanned = joined.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).max
+    assert(scanned <= 10000 / 8 * 2 + 4, s"fact scan read $scanned rows — DPP did not prune")
+  }
 }
