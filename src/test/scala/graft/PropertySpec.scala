@@ -324,4 +324,55 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("chunkWindows reconstructs every document: stride-step prefixes concatenate to the original") {
+    val rnd = new Random(1234)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    for (round <- 1 to 6) {
+      val size = 4 + rnd.nextInt(12)
+      val stride = 1 + rnd.nextInt(size) // any 1 <= stride <= size
+      val docs = (1 to 30).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val chunks = graft.operators.TextAnalysis
+        .chunkWindows(docs.toDF("doc_id", "text"), "doc_id", "text", size, stride)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+          r.getAs[String]("chunk_text")))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val got = chunks(id)
+        // each chunk's first `stride` tokens, then the last chunk's tail,
+        // rebuild the document exactly (overlap carries the rest)
+        val rebuilt = (got.init.flatMap(_.split(" ").filter(_.nonEmpty).take(stride)) ++
+          got.last.split(" ").filter(_.nonEmpty)).toSeq
+        assert(rebuilt == toks.toSeq,
+          s"round $round doc $id size=$size stride=$stride: $rebuilt vs ${toks.toSeq}")
+        // chunk count law
+        val expect = math.max(1, math.ceil((toks.length - size).toDouble / stride).toInt + 1)
+        assert(got.length == expect, s"round $round doc $id: ${got.length} chunks, want $expect")
+      }
+    }
+  }
+
+  test("temperatureMix totals: sum of targets within [total - strata, total]; shares flatten") {
+    val rnd = new Random(777)
+    for (round <- 1 to 5) {
+      val strata = 2 + rnd.nextInt(5)
+      val counts = (0 until strata).map(s => s"src$s" -> (1 + rnd.nextInt(400)))
+      val df = counts.zipWithIndex.flatMap { case ((src, c), si) =>
+        (1 to c).map(i => ((si * 100000 + i).toLong, src))
+      }.toDF("doc_id", "source")
+      val total = 1 + rnd.nextInt(counts.map(_._2).sum)
+      val picked = graft.operators.Curation.temperatureMix(df, "source", "doc_id", total.toLong)
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+      val n = picked.values.sum
+      // floors lose < 1 per stratum; caps at count_s can only lower further
+      assert(n <= total, s"round $round: picked $n > total $total")
+      val uncapped = counts.forall { case (src, c) => picked.getOrElse(src, 0L) < c }
+      if (uncapped) assert(n >= total - strata,
+        s"round $round: picked $n < ${total - strata} (total=$total, strata=$strata)")
+    }
+  }
 }
