@@ -273,6 +273,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c16 temperature mix: stats broadcast back; one window shuffle on the stratum") {
+    val p = simplePlan(q("c16_temperature_mix"))
+    // the √count target table is strata-sized and must broadcast, never
+    // shuffle the corpus against it
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q42 profile: ONE aggregation pass (partial+final), no join, no window") {
+    val p = simplePlan(q("q42_profile"))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    // exact distinct plans an Expand (documented approx_count_distinct
+    // swap-in removes it at 100 TB); the aggregate itself partial-aggregates
+    assert(p.contains("Expand"), p)
+  }
+
   test("q39 heavy hitters: MG aggregate partial-aggregates (map-side combine)") {
     val df = q("q39_heavy_hitters")
     df.collect()
