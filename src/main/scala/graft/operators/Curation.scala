@@ -269,7 +269,11 @@ object Curation {
       weights: Seq[(String, Double)],
       minJaccard: Double,
       minDistinctFrac: Double,
-      maxTopBigramFrac: Double): Seq[(String, DataFrame)] = {
+      maxTopBigramFrac: Double,
+      /** optional hashed-classifier gate: keep docs whose t12 linear score
+        * exceeds this milli-threshold (None = stage off — default keeps the
+        * historical 5-stage funnel shape and every existing oracle). */
+      classifierMinScoreMilli: Option[Long] = None): Seq[(String, DataFrame)] = {
     val toks = TextAnalysis.tokens(col("text"))
     val keepers = docs
       .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -284,9 +288,17 @@ object Curation {
     val s3 = s2.filter(
       round(TextAnalysis.distinctTokenFrac(toks), 6) >= minDistinctFrac &&
         round(TextAnalysis.topBigramFrac(toks), 6) <= maxTopBigramFrac)
-    val s4 = weightedMix(s3, "lang", "doc_id", weights)
-    Seq("raw" -> docs, "exact_dedup" -> s1, "neardup_clusters" -> s2,
-      "quality_filter" -> s3, "weighted_mix" -> s4)
+    val heuristic = Seq("raw" -> docs, "exact_dedup" -> s1,
+      "neardup_clusters" -> s2, "quality_filter" -> s3)
+    val gated = classifierMinScoreMilli match {
+      case Some(minScore) =>
+        // per-row fused codegen score (same per-row cost class as s3's
+        // heuristics — adds no shuffle to the funnel)
+        heuristic :+ ("classifier_gate" ->
+          s3.filter(TextAnalysis.hashedLinearScoreMilli(toks) > minScore))
+      case None => heuristic
+    }
+    gated :+ ("weighted_mix" -> weightedMix(gated.last._2, "lang", "doc_id", weights))
   }
 
   /** Per-stage (stage_idx, stage, docs, tokens) attrition rows for a funnel

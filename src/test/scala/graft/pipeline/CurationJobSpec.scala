@@ -119,4 +119,24 @@ class CurationJobSpec extends SparkSpec {
     // and the run log finalized cleanly each time
     assert(Checks.latestRunSuccess.run(incLake).isEmpty)
   }
+
+  test("classifier gate adds a funnel stage that filters exactly by score sign") {
+    val gateLake = new Lakehouse(spark, Files.createTempDirectory("graft-curgate").toString)
+    val report = CurationJob.run(gateLake, docs, weights,
+      classifierMinScoreMilli = Some(0L),
+      now = ts("2025-06-03 10:00:00"), runId = "curgate1")
+    assert(report.status == "success", report.toString)
+    assert(report.funnel.map(_._1) == Seq("raw", "exact_dedup", "neardup_clusters",
+      "quality_filter", "classifier_gate", "weighted_mix"))
+    // gate semantics: survivors of the gate stage are exactly the
+    // quality_filter stage minus non-positive classifier scores
+    val Seq(qDocs, gDocs) = report.funnel.slice(3, 5).map(_._2)
+    assert(gDocs <= qDocs)
+    val curated = gateLake.table("curated", "curated_documents")
+    val scoreOk = curated.filter(
+      graft.operators.TextAnalysis.hashedLinearScoreMilli(
+        graft.operators.TextAnalysis.tokens(col("text"))) <= 0L).count()
+    assert(scoreOk == 0L, s"$scoreOk curated docs have non-positive scores")
+    assert(curated.count() > 0)
+  }
 }
