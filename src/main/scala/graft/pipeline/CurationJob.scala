@@ -151,6 +151,7 @@ object CurationJob {
       qualityMaxTopBigramFrac: Double = 0.12,
       packBudget: Int = 512,
       packShards: Int = 8,
+      classifierMinScoreMilli: Option[Long] = None,
       now: Timestamp = new Timestamp(System.currentTimeMillis()),
       runId: String = UUID.randomUUID().toString): CurationReport = {
     import graft.operators.Dedup
@@ -199,15 +200,19 @@ object CurationJob {
         else Dedup.lshNearDupPairsAcross(s3, standing, "doc_id", "text", minJaccard))
         .select(col("id_a").as("doc_id")).distinct()
       val s4 = s3.join(dupOfCurated, Seq("doc_id"), "left_anti")
-      // 5./6. the full funnel's quality gate + weighted mix
+      // 5./6. the full funnel's quality gate (+ optional classifier gate)
+      // + weighted mix — batch docs face the same bar as the bootstrap
       val s5 = s4.filter(
         round(TextAnalysis.distinctTokenFrac(toks), 6) >= qualityMinDistinctFrac &&
           round(TextAnalysis.topBigramFrac(toks), 6) <= qualityMaxTopBigramFrac)
-      val s6 = Curation.weightedMix(s5, "lang", "doc_id", weights)
-
-      val stages = Seq("raw_batch" -> batch, "exact_dedup" -> s1,
+      val preMix = Seq("raw_batch" -> batch, "exact_dedup" -> s1,
         "exact_vs_curated" -> s2, "neardup_batch" -> s3,
-        "neardup_vs_curated" -> s4, "quality_filter" -> s5, "weighted_mix" -> s6)
+        "neardup_vs_curated" -> s4, "quality_filter" -> s5) ++
+        classifierMinScoreMilli.map(minScore => "classifier_gate" ->
+          s5.filter(TextAnalysis.hashedLinearScoreMilli(toks) > minScore))
+      val s6 = Curation.weightedMix(preMix.last._2, "lang", "doc_id", weights)
+
+      val stages = preMix :+ ("weighted_mix" -> s6)
       val cached = stages.tail.map { case (n, df) => n -> df.persist() }
       try {
         // Eager checkpoint cuts the survivors' lineage from the standing

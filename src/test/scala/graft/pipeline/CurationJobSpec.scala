@@ -138,5 +138,16 @@ class CurationJobSpec extends SparkSpec {
         graft.operators.TextAnalysis.tokens(col("text"))) <= 0L).count()
     assert(scoreOk == 0L, s"$scoreOk curated docs have non-positive scores")
     assert(curated.count() > 0)
+
+    // incremental runs apply the same gate: a positive-scoring new doc
+    // appends, and the gated stage appears in the batch funnel
+    val batch = spark.createDataFrame(Seq(
+      (90001L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", "web", 70L)
+    )).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val inc = CurationJob.runIncremental(gateLake, batch, weights,
+      classifierMinScoreMilli = Some(Long.MinValue), // gate present, passes all
+      now = ts("2025-06-04 10:00:00"), runId = "curgate2")
+    assert(inc.status == "success", inc.toString)
+    assert(inc.funnel.map(_._1).contains("classifier_gate"))
   }
 }
