@@ -290,6 +290,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Expand"), p)
   }
 
+  test("c06 funnel stats: repeated stage subtrees share exchanges (ReuseExchange)") {
+    // funnelStats unions one aggregate per funnel stage, and each stage's
+    // plan embeds its predecessors — without exchange reuse the dedup
+    // shuffle and the LSH pipeline would re-execute once per stage row
+    val df = q("c06_curation_funnel")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p).length >= 3, p.take(3000))
+  }
+
   test("q39 heavy hitters: MG aggregate partial-aggregates (map-side combine)") {
     val df = q("q39_heavy_hitters")
     df.collect()
