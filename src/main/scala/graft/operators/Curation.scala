@@ -133,6 +133,17 @@ object Curation {
       .withColumn("at_risk", col("group_size") < k)
   }
 
+  /** k-anonymity ENFORCEMENT by suppression: drop every row whose
+    * quasi-identifier combination has fewer than `k` members, so the
+    * released frame is k-anonymous by construction. The audit's flagged
+    * groups anti-join back against the corpus — same single-shuffle shape;
+    * the at-risk group list is tiny and broadcasts. */
+  def kAnonymitySuppress(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    val risky = kAnonymityAudit(df, quasiCols, k)
+      .filter(col("at_risk")).select(quasiCols.map(col): _*)
+    df.join(broadcast(risky), quasiCols, "left_anti")
+  }
+
   /** Weighted mix: per-stratum acceptance rates applied via the same
     * hash-prefix rule. `weights` is broadcast as an inline dimension (the
     * reference's S4 VALUES-dim pattern); unlisted strata default to rate 0

@@ -356,6 +356,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PQ codes are partition-layout invariant (min-struct argmin has no order dependence)") {
+    val e = graft.Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cells = graft.operators.Clustering.materializedCells(e, "vec_id", "embedding")
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Clustering.pqCodes(df, "vec_id", "embedding", cells, 8, 8)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          (0 until 8).map(m => r.getAs[Long](s"code_$m"))).toMap
+    val a = codesOf(e)
+    val b = codesOf(e.repartition(7, col("embedding")))
+    val c = codesOf(e.repartition(3))
+    assert(a == b && a == c, "codes changed under repartitioning")
+  }
+
   test("temperatureMix totals: sum of targets within [total - strata, total]; shares flatten") {
     val rnd = new Random(777)
     for (round <- 1 to 5) {

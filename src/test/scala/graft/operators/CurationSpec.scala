@@ -277,5 +277,13 @@ class CurationSpec extends SparkSpec {
       ("en", "web", 5L, false),
       ("de", "web", 2L, true),
       ("fr", "book", 1L, true)))
+    // enforcement: suppression leaves a k-anonymous frame (only en/web)
+    val released = Curation.kAnonymitySuppress(df, Seq("lang", "source"), 3)
+      .as[(String, String)].collect()
+    assert(released.length == 5 && released.forall(_ == (("en", "web"))))
+    val reAudit = Curation.kAnonymityAudit(
+      Curation.kAnonymitySuppress(df, Seq("lang", "source"), 3), Seq("lang", "source"), 3)
+      .filter(col("at_risk")).count()
+    assert(reAudit == 0L)
   }
 }
