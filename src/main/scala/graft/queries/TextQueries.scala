@@ -451,8 +451,72 @@ object TextQueries {
       FROM scored
       ORDER BY doc_id"""))
 
+  /** Bigram conditional cross-entropy under the corpus model
+    * (−Σ tf·ln P(w₂|w₁) / Σ tf) — the next-order CCNet-style perplexity
+    * proxy above t11: low = in-distribution word SEQUENCES, catching
+    * shuffled/boilerplate text whose unigram profile looks normal.
+    *
+    * Same scale shape as t11: per-doc bigram tf is the native per-row map
+    * over [[wordBigrams]] (one row per DISTINCT bigram per doc — no
+    * occurrence shuffle), the model is a vocab-sized aggregate broadcast
+    * back (a production deployment prunes it to top-K bigrams, same as
+    * t11's note), and per-bigram contributions are rounded to 9 decimals
+    * and summed as DECIMAL(28,9) — exact, order-independent. Docs with
+    * < 2 tokens have no bigrams and surface with a NULL score (left join
+    * keeps the output total over the corpus). */
+  val t13BigramXent = GraftQuery(
+    "t13_bigram_xent",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val docs = table(s, dir, "documents")
+      val tf = docs.select(col("doc_id"),
+        explode(termFreqs(wordBigrams(tokens(lower(col("text")))))).as(Seq("bg", "tf")))
+      val model = tf.groupBy(col("bg")).agg(sum(col("tf")).as("cnt_bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val prefix = model.groupBy(col("w1")).agg(sum(col("cnt_bg")).as("cnt_w1"))
+      val contrib = col("tf").cast("double") *
+        log(col("cnt_bg").cast("double") / col("cnt_w1").cast("double"))
+      val perDoc = tf.join(broadcast(model), "bg").join(broadcast(prefix), "w1")
+        .withColumn("c9", round(contrib, 9).cast(DecimalType(28, 9)))
+        .groupBy(col("doc_id"))
+        .agg(round(-sum(col("c9")).cast("double") / sum(col("tf")).cast("double"), 6)
+          .as("bigram_xent"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+        FROM documents),
+      bgs AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)),
+                   i -> t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)])
+                 ELSE [] END) AS bg
+        FROM toks),
+      tf AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf FROM bgs GROUP BY 1, 2),
+      model AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS cnt_bg FROM tf GROUP BY bg),
+      prefix AS (
+        SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(cnt_bg) AS BIGINT) AS cnt_w1
+        FROM model GROUP BY 1),
+      c AS (
+        SELECT tf.doc_id, tf.tf,
+               CAST(round(CAST(tf.tf AS DOUBLE)
+                 * ln(CAST(m.cnt_bg AS DOUBLE) / CAST(p.cnt_w1 AS DOUBLE)), 9)
+                 AS DECIMAL(28,9)) AS c9
+        FROM tf JOIN model m USING (bg)
+        JOIN prefix p ON split_part(tf.bg, ' ', 1) = p.w1),
+      x AS (
+        SELECT doc_id,
+               round(-CAST(SUM(c9) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6) AS bigram_xent
+        FROM c GROUP BY doc_id)
+      SELECT d.doc_id, x.bigram_xent
+      FROM documents d LEFT JOIN x USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
       t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t10Bm25,
-      t11UnigramXent, t12QualityClassifier)
+      t11UnigramXent, t12QualityClassifier, t13BigramXent)
 }

@@ -188,6 +188,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) == 0.0)
   }
 
+  test("bigram xent separates shuffled word order where unigram xent cannot") {
+    // same bag of words per doc — unigram profiles identical; only the
+    // SEQUENCE differs. The bigram model sees doc 4's transitions once
+    // each vs the phrase docs' dominant transitions.
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "mat the on sat cat the")
+    ).toDF("doc_id", "text")
+    // run the registered queries themselves against a fixture directory
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xent_").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val uni = graft.SparkEntry.queries("t11_unigram_xent")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bi = graft.SparkEntry.queries("t13_bigram_xent")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(1L) == uni(4L), s"unigram should tie: ${uni(1L)} vs ${uni(4L)}")
+    assert(bi(4L) > bi(1L), s"bigram must flag the shuffle: ${bi(4L)} vs ${bi(1L)}")
+  }
+
   test("hashed linear score: native expression == interpreted HOF composition") {
     val df = Seq(
       "", "a", "a a a", "the quick brown fox", "wörd ünïcode mix",
