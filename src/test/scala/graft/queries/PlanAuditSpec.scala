@@ -290,6 +290,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Expand"), p)
   }
 
+  test("t13 bigram xent: tf is the native per-row map; model joins broadcast") {
+    val p = simplePlan(q("t13_bigram_xent"))
+    assert(p.contains("token_counts"), p) // bigram tf via the native map
+    // model + prefix joins must broadcast — the corpus tf side never
+    // shuffles against the vocab
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("c06 funnel stats: repeated stage subtrees share exchanges (ReuseExchange)") {
     // funnelStats unions one aggregate per funnel stage, and each stage's
     // plan embeds its predecessors — without exchange reuse the dedup
