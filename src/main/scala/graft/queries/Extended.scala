@@ -531,9 +531,41 @@ object Extended {
         FROM events)
       ORDER BY "column""""))
 
+  /** Hopping (sliding) event-time windows — `window(ts, 10m, 5m)`: every
+    * event lands in len/slide = 2 overlapping windows (the streaming
+    * dashboard grain, §2.5's batch counterpart of
+    * `Streams.windowedEventCounts`). Value sums go through round-6 +
+    * DECIMAL(18,6) so overlapping-window re-aggregation stays exact and
+    * order-independent; the oracle restates Spark's epoch-aligned window
+    * assignment with integer epoch arithmetic. */
+  val q43HoppingWindows = GraftQuery(
+    "q43_hopping_windows",
+    (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value"), 6).cast(DecimalType(18, 6))).cast("double").as("total_value"))
+        .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type")),
+    Some("""
+      WITH hopped AS (
+        SELECT make_timestamp(((epoch_us(ts) // 300000000) - k) * 300000000) AS window_start,
+               make_timestamp(((epoch_us(ts) // 300000000) - k + 2) * 300000000) AS window_end,
+               event_type,
+               CAST(round(value, 6) AS DECIMAL(18,6)) AS v6
+        FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS k) u)
+      SELECT window_start, window_end, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(v6) AS DOUBLE) AS total_value
+      FROM hopped
+      GROUP BY 1, 2, 3
+      ORDER BY window_start, event_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     q26WindowFrames, q27Ranking, q28GroupingSets, q29Pivot, q30AsOfJoin,
     q31RangeJoin, q32Sessionize, q33Percentiles, q34ApproxDistinct,
     q35ScalarSubquery, q36FromJson, q37ApproxPercentile, q38SaltedJoin,
-    q39HeavyHitters, q40ZorderCodes, q41SmbBucketJoin, q42Profile)
+    q39HeavyHitters, q40ZorderCodes, q41SmbBucketJoin, q42Profile,
+    q43HoppingWindows)
 }
