@@ -562,10 +562,35 @@ object Extended {
       GROUP BY 1, 2, 3
       ORDER BY window_start, event_type"""))
 
+  /** CUBE — the third of the grouping family (q24 ROLLUP, q28 GROUPING
+    * SETS): all 2ⁿ subtotal combinations, with `grouping()` flags
+    * disambiguating subtotal NULLs from data NULLs. */
+  val q44Cube = GraftQuery(
+    "q44_cube",
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("line_count"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double").as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS line_count,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_status
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY g_flag, g_status,
+               l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
   val all: Seq[GraftQuery] = Seq(
     q26WindowFrames, q27Ranking, q28GroupingSets, q29Pivot, q30AsOfJoin,
     q31RangeJoin, q32Sessionize, q33Percentiles, q34ApproxDistinct,
     q35ScalarSubquery, q36FromJson, q37ApproxPercentile, q38SaltedJoin,
     q39HeavyHitters, q40ZorderCodes, q41SmbBucketJoin, q42Profile,
-    q43HoppingWindows)
+    q43HoppingWindows, q44Cube)
 }
