@@ -192,6 +192,41 @@ object TextAnalysis {
   def redactEmails(text: Column): Column = redact(text, EmailPattern, "<EMAIL>")
   def redactPhones(text: Column): Column = redact(text, PhonePattern, "<PHONE>")
 
+  // ---- within-document repetition removal ---------------------------------
+
+  /** Within-document block dedup (the Gopher-style intra-doc repetition
+    * CLEANER, where t07 is only the detector): split each document into
+    * non-overlapping `blockTokens`-token blocks, keep the FIRST occurrence
+    * of each distinct block, and rebuild the text in original order —
+    * boilerplate that repeats inside one document (headers, navigation,
+    * copy-paste loops) is removed without touching cross-document content.
+    *
+    * Returns (idCol, text_deduped, n_blocks, n_dropped). Pipeline: per-row
+    * generate (block explode) → ONE window keyed by (doc, block) → ordered
+    * rebuild keyed by doc. Both shuffles are doc-local (the doc id is in
+    * every key), so the operator scales with documents, never corpus-wide
+    * state — and block comparison is exact string equality, so an oracle
+    * restates it verbatim. */
+  def dedupBlocksWithinDoc(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      blockTokens: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(blockTokens > 0, s"blockTokens must be positive, got $blockTokens")
+    val blocks = chunkWindows(df, idCol, textCol, size = blockTokens, stride = blockTokens)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"))
+    val firstSeen = Window.partitionBy(col(idCol), col("chunk_text"))
+      .orderBy(col("chunk_idx"))
+    blocks
+      .withColumn("occ", row_number().over(firstSeen))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(array_sort(collect_list(when(col("occ") === 1,
+            struct(col("chunk_idx"), col("chunk_text"))))).getField("chunk_text"), " ")
+          .as("text_deduped"),
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   // ---- hashed-feature linear classifier -----------------------------------
 
   /** Feature-space width of the hashed classifier (fixed so oracles restate

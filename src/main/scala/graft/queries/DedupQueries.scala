@@ -401,8 +401,47 @@ object DedupQueries {
       FROM spans WHERE span_tokens >= 12
       ORDER BY doc_a, doc_b, start_a, start_b"""))
 
+  /** Within-document block dedup (d12): non-overlapping 16-token blocks,
+    * first occurrence kept, text rebuilt in order — the intra-doc
+    * repetition CLEANER (t07 only detects). Both shuffles carry the doc id
+    * in their key, so the operator scales with documents. On this random
+    * corpus no block repeats (n_dropped = 0 everywhere) — the oracle
+    * checks the full rebuild; the planted-repeat behavior is spec-pinned. */
+  val d12IntradocDedup = GraftQuery(
+    "d12_intradoc_dedup",
+    (s, dir) =>
+      graft.operators.TextAnalysis.dedupBlocksWithinDoc(
+          table(s, dir, "documents"), "doc_id", "text", blockTokens = 16)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents),
+      ch AS (
+        SELECT doc_id, t,
+               greatest(1, CAST(ceil((len(t) - 16) / 16.0) AS BIGINT) + 1) AS nch
+        FROM toks),
+      blocks AS (
+        SELECT doc_id,
+               unnest(range(0, nch)) AS chunk_idx,
+               unnest(list_transform(range(0, nch),
+                 i -> array_to_string(list_slice(t, CAST(i*16+1 AS INT), CAST(i*16+16 AS INT)), ' '))) AS chunk_text
+        FROM ch),
+      occ AS (
+        SELECT doc_id, chunk_idx, chunk_text,
+               row_number() OVER (PARTITION BY doc_id, chunk_text
+                 ORDER BY chunk_idx) AS occ
+        FROM blocks)
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN occ = 1 THEN chunk_text END, ' ' ORDER BY chunk_idx), '') AS text_deduped,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      FROM occ
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01ExactDedup, d02JaccardPairs, d03MinhashSignatures,
     d04LshNearDup, d05Simhash, d06EmbeddingNearDup, d07ContainmentPairs,
-    d09DuplicateSpans, d10CrossCorpusLsh, d11CdcNearDup)
+    d09DuplicateSpans, d10CrossCorpusLsh, d11CdcNearDup, d12IntradocDedup)
 }

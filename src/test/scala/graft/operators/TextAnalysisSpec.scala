@@ -188,6 +188,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) == 0.0)
   }
 
+  test("within-doc block dedup removes planted repeats, keeps first occurrence, rebuilds order") {
+    val blockA = (1 to 4).map(i => s"a$i").mkString(" ")   // 4-token blocks
+    val blockB = (1 to 4).map(i => s"b$i").mkString(" ")
+    val blockC = (1 to 4).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$blockA $blockB $blockA $blockC $blockB $blockA"), // A,B dup'd
+      (2L, s"$blockC $blockA"),                                 // no repeats
+      (3L, "")                                                  // empty
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupBlocksWithinDoc(docs, "doc_id", "text", blockTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(got(0) == ((1L, s"$blockA $blockB $blockC", 6L, 3L)), got(0).toString)
+    assert(got(1) == ((2L, s"$blockC $blockA", 2L, 0L)), got(1).toString)
+    assert(got(2) == ((3L, "", 1L, 0L)), got(2).toString)
+  }
+
   test("bigram xent separates shuffled word order where unigram xent cannot") {
     // same bag of words per doc — unigram profiles identical; only the
     // SEQUENCE differs. The bigram model sees doc 4's transitions once
