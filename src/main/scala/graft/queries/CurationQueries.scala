@@ -615,10 +615,67 @@ object CurationQueries {
       GROUP BY 1, 2, 3
       ORDER BY lang, source, chars_bucket"""))
 
+  /** Ensemble quality rank: three independent per-row signals (heuristic
+    * quality score, hashed-classifier score, type-token ratio) converted
+    * to per-language percentile ranks and averaged — the ensemble-filter
+    * practice that makes curation robust to any single signal's blind
+    * spot, with per-stratum ranking so languages are not compared on one
+    * scale. Ties are impossible (doc_id tie-break), so percent_rank is a
+    * pure function of the corpus; at 100 TB the exact per-stratum window
+    * swaps for approx_percentile bucketing exactly as c11 documents. */
+  val c18QualityEnsemble = GraftQuery(
+    "c18_quality_ensemble",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextAnalysis.tokens(col("text"))
+      def rankOf(sig: org.apache.spark.sql.Column) =
+        percent_rank().over(Window.partitionBy(col("lang")).orderBy(sig, col("doc_id")))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("s_quality"),
+          TextAnalysis.hashedLinearScoreMilli(toks).as("s_clf"),
+          TextAnalysis.distinctTokenFrac(toks).as("s_ttr"))
+        .select(col("doc_id"), col("lang"),
+          round((rankOf(col("s_quality")) + rankOf(col("s_clf")) + rankOf(col("s_ttr"))) / 3.0, 6)
+            .as("ensemble_rank"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, lang, text,
+          CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS DOUBLE) AS n_tok,
+          CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+            / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+          CAST(len(list_filter(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+            t -> t IN ('the','a','of','and','to','in','is','it','that','for',
+                       'el','la','de','y','que','los','un','es','en','se',
+                       'der','die','das','und','ist','ein','zu','den','mit','nicht',
+                       'le','la','de','et','est','les','un','une','du','pour'))) AS DOUBLE) AS stop_hits
+        FROM documents),
+      sig AS (
+        SELECT doc_id, lang,
+               round(least(n_tok / 50.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3
+                     + stop_hits / greatest(n_tok, 1.0) * 0.3, 6) AS s_quality,
+               CAST(COALESCE(list_sum(list_transform(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), tok ->
+                 ((${DedupQueries.duckPoly(
+                   "list_transform(range(1, length(tok)+1), i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT))")}
+                   % 1024) * 2654435761) % 1000000007 % 2001 - 1000)), 0) AS BIGINT) AS s_clf,
+               CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) = 0 THEN 1.0
+                    ELSE len(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))
+                         / CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS DOUBLE) END AS s_ttr
+        FROM base)
+      SELECT doc_id, lang,
+             round((percent_rank() OVER (PARTITION BY lang ORDER BY s_quality, doc_id)
+                  + percent_rank() OVER (PARTITION BY lang ORDER BY s_clf, doc_id)
+                  + percent_rank() OVER (PARTITION BY lang ORDER BY s_ttr, doc_id)) / 3.0, 6)
+               AS ensemble_rank
+      FROM sig
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
       c08TokenQuotaMix, c09Decontamination, c11AdaptiveThreshold,
       c12BloomDecontamination, c13QualityKeeper, c14HashSplit, c15ChunkWindows,
-      c16TemperatureMix, c17KAnonymity)
+      c16TemperatureMix, c17KAnonymity, c18QualityEnsemble)
 }
