@@ -155,6 +155,36 @@ object Similarity {
         col("hit.id").as("neighbor_id"), col("hit.score").as("cosine"))
   }
 
+  /** Deterministic ±1 Johnson–Lindenstrauss projection weights for output
+    * dim `d` over `inDim` inputs: sign of (md5 of "d_i") — any engine
+    * recomputes the identical matrix from the same md5, so projections are
+    * oracle-exact (no RNG, no stored model). */
+  def jlWeights(d: Int, inDim: Int): Array[Float] =
+    Array.tabulate(inDim) { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${d}_${i + 1}".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0f else -1.0f
+    }
+
+  /** Johnson–Lindenstrauss random projection `inDim → outDim` (Achlioptas
+    * 2003 ±1 variant): each output coordinate is one native [[dot]] against
+    * a broadcast-literal ±1 row — `outDim` codegen'd folds per vector,
+    * map-only, no shuffle. Pairwise distances are preserved within the JL
+    * bound in expectation (spec-measured), which is what lets every
+    * downstream ANN / dedup kernel run at outDim/inDim of the cost.
+    * Output: (idCol, proj_0 … proj_{outDim−1}). */
+  def jlProject(df: org.apache.spark.sql.DataFrame, idCol: String, embCol: String,
+      inDim: Int, outDim: Int): org.apache.spark.sql.DataFrame = {
+    require(inDim > 0 && outDim > 0 && outDim <= inDim,
+      s"need 0 < outDim <= inDim, got inDim=$inDim outDim=$outDim")
+    val cols = col(idCol) +: (0 until outDim).map { d =>
+      val w = jlWeights(d, inDim).map(v => lit(v): Column)
+      dot(col(embCol), array(w: _*)).as(s"proj_$d")
+    }
+    df.select(cols: _*)
+  }
+
   /** Score every (query, corpus) pair: broadcast query side, one corpus
     * scan, no corpus shuffle. */
   private def scoreAllPairs(queries: DataFrame, corpus: DataFrame): DataFrame = {

@@ -190,6 +190,38 @@ object SimilarityQueries {
       FROM coded
       ORDER BY vec_id"""))
 
+  /** Johnson–Lindenstrauss ±1 projection 64 → 16 dims (Achlioptas 2003):
+    * each output coordinate is one native dot against a broadcast-literal
+    * ±1 row derived from md5("d_i") — deterministic, no RNG, no stored
+    * model, so the oracle recomputes the identical matrix from the same
+    * md5 and the projections hash-match. Map-only, no shuffle: downstream
+    * ANN/dedup kernels run at 1/4 the per-vector cost (distance
+    * distortion measured in the spec against the JL bound). */
+  val s07JlProjection = GraftQuery(
+    "s07_jl_projection", {
+      (s, dir) =>
+        Similarity.jlProject(
+            table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+            "vec_id", "embedding", inDim = 64, outDim = 16)
+          .select(col("vec_id") +:
+            (0 until 16).map(d => round(col(s"proj_$d"), 6).as(s"proj_$d")): _*)
+          .orderBy(col("vec_id"))
+    },
+    Some {
+      val projCols = (0 until 16).map { d =>
+        s"""round(list_aggregate(list_transform(range(1, 65),
+           i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                (CASE WHEN ('0x' || substr(md5('${d}_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                      THEN 1.0 ELSE -1.0 END)), 'sum'), 6) AS proj_$d"""
+      }.mkString(",\n             ")
+      s"""
+      SELECT vec_id,
+             $projCols
+      FROM embeddings
+      ORDER BY vec_id"""
+    })
+
   val all: Seq[GraftQuery] =
-    Seq(s01BruteForceTopK, s02LshTopK, s03BruteForceTopKAgg, s04Int8Quantize)
+    Seq(s01BruteForceTopK, s02LshTopK, s03BruteForceTopKAgg, s04Int8Quantize,
+      s07JlProjection)
 }

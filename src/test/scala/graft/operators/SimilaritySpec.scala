@@ -99,4 +99,35 @@ class SimilaritySpec extends SparkSpec {
     val (a, x) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
     assert(math.abs(a - x) / x < 0.1, s"approx $a vs exact $x")
   }
+
+  test("JL projection: parity with independent math; distances preserved within the JL band") {
+    val e = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val proj = Similarity.jlProject(e, "vec_id", "embedding", 64, 16)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (0 until 16).map(d => r.getAs[Double](s"proj_$d")).toArray).toMap
+    val vecs = e.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    // independent reimplementation of one projection row
+    val w0 = Similarity.jlWeights(0, 64)
+    vecs.take(5).foreach { case (id, v) =>
+      val want = v.indices.foldLeft(0.0)((s, i) => s + v(i).toDouble * w0(i).toDouble)
+      assert(math.abs(proj(id)(0) - want) < 1e-9, s"vec $id proj_0")
+    }
+    // JL bound: ||Pa - Pb||^2 / k estimates ||a - b||^2; k = 16 gives a
+    // ~25% standard error per pair — the MEDIAN ratio over many pairs must
+    // sit well inside [0.7, 1.3]
+    val ids = vecs.keys.toSeq.sorted.take(40)
+    val ratios = (for {
+      Seq(a, b) <- ids.combinations(2).toSeq
+    } yield {
+      val d2 = vecs(a).indices.foldLeft(0.0)((s, i) =>
+        s + math.pow(vecs(a)(i).toDouble - vecs(b)(i).toDouble, 2))
+      val p2 = (0 until 16).foldLeft(0.0)((s, d) =>
+        s + math.pow(proj(a)(d) - proj(b)(d), 2)) / 16.0
+      p2 / d2
+    }).sorted
+    val median = ratios(ratios.size / 2)
+    assert(median > 0.7 && median < 1.3, f"median distortion $median%.3f outside JL band")
+  }
 }
