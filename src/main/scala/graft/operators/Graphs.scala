@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge DataFrames.
+  *
+  * PageRank here is the fixed-iteration power method in INTEGER micro-units
+  * (rank 1.0 ≡ 1,000,000): contributions are floor divisions and the
+  * damping factor is the exact integer map x ↦ ⌊85·x/100⌋, so every engine
+  * (and every partitioning / addition order) produces bit-identical ranks —
+  * which is what lets a SQL oracle verify a 5-iteration run value-for-value.
+  * A production deployment would flip the arithmetic to doubles and iterate
+  * to convergence; the PLAN is unchanged.
+  *
+  * 100 TB posture: each iteration is one shuffle — edges join ranks on src
+  * (both sides hash-partitioned on the node id; on a cluster the edge table
+  * would be pre-partitioned/bucketed by src ONCE and the partitioning
+  * reused every iteration) followed by a map-combined sum per dst. Rank
+  * state is 2 longs per node; edges never leave their partitions after the
+  * first co-partitioning. Out-degrees are computed once up front.
+  * Companion ops [[Curation.connectedComponents]] (large/small-star) cover
+  * the component side of the graph family.
+  */
+object Graphs {
+
+  /** One rank unit in micro-units. */
+  val RankUnit: Long = 1000000L
+
+  /** Damping ⌊85·x/100⌋ and teleport 0.15 in micro-units. */
+  val TeleportMicro: Long = 150000L
+
+  /** Fixed-iteration integer PageRank over directed `edges` (src, dst)
+    * (distinct pairs; parallel edges are collapsed). Dangling nodes (no
+    * out-edges) contribute nothing — their mass exits the system, the
+    * standard "no dangling redistribution" simplification; with symmetric
+    * edge sets every node has out-degree ≥ 1 and no mass is lost.
+    * Returns (node, rank_micro). */
+  def pageRankMicro(spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.select(col("node"), lit(RankUnit).as("rank_micro"))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("node"),
+          expr("rank_micro div outdeg").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("inflow"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(TeleportMicro) +
+            expr("85 * coalesce(inflow, 0L) div 100")).as("rank_micro"))
+    }
+    ranks
+  }
+
+  /** Double-arithmetic power-method reference (same plan, float math) — the
+    * executable specification the integer variant is sanity-checked against
+    * in GraphsSpec (rank ordering agreement). */
+  def pageRankDouble(spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("inflow"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), (lit(0.15) + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+}

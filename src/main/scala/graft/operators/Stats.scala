@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical aggregates (variance / stddev / covariance / correlation)
+  * computed from exact sufficient statistics.
+  *
+  * 100 TB posture: the whole family reduces to ONE map-combined hash
+  * aggregation producing the sufficient statistics (n, Σx, Σy, Σx², Σy²,
+  * Σxy) — a single shuffle whose payload is a handful of decimals per
+  * group, identical to how `stddev`/`corr` are computed internally but with
+  * DECIMAL sums so the result is independent of partitioning and addition
+  * order (float `stddev` is not: its merge order varies run to run).
+  * The final moments are derived per group-row in double arithmetic with a
+  * fixed expression shape, so any engine computing the same shape from the
+  * same exact sums reproduces bit-identical values.
+  *
+  * This is also the scale-correct alternative to two-pass mean-then-moment
+  * formulations: no second scan, no broadcast of means.
+  */
+object Stats {
+
+  /** Input domain: money-like doubles with ≤2 decimals (TPC-H prices and
+    * quantities). DECIMAL(18,2) holds each value exactly; products then fit
+    * DECIMAL(38,4) sums. */
+  private val in = DecimalType(18, 2)
+
+  /** The six exact sufficient statistics of (x, y) per group. */
+  def sufficientStats(df: DataFrame, groupCols: Seq[Column], x: Column, y: Column): DataFrame = {
+    val xd = x.cast(in)
+    val yd = y.cast(in)
+    df.groupBy(groupCols: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xd).as("sx"),
+        sum(yd).as("sy"),
+        sum(xd * xd).as("sxx"),
+        sum(yd * yd).as("syy"),
+        sum(xd * yd).as("sxy"))
+  }
+
+  /** Derived moments, all in double with one fixed shape:
+    *   mean      = sx / n
+    *   var_samp  = (sxx − sx·sx/n) / (n−1)
+    *   covar_samp= (sxy − sx·sy/n) / (n−1)
+    *   corr      = (sxy − sx·sy/n) / sqrt((sxx − sx·sx/n)·(syy − sy·sy/n))
+    * rounded to 6 decimals. Groups with n = 1 get NULL spread moments
+    * (sample denominators), matching SQL `*_samp` semantics. */
+  def momentStats(df: DataFrame, groupCols: Seq[Column], x: Column, y: Column): DataFrame = {
+    val s = sufficientStats(df, groupCols, x, y)
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val mxx = sxx - sx * sx / n
+    val myy = syy - sy * sy / n
+    val mxy = sxy - sx * sy / n
+    val one = when(col("n") > 1, lit(1.0))
+    s.select(
+      groupCols.map(c => c) ++ Seq(
+        col("n"),
+        round(sx / n, 6).as("mean_x"),
+        round(sy / n, 6).as("mean_y"),
+        round(one * mxx / (n - 1.0), 6).as("var_x"),
+        round(one * sqrt(mxx / (n - 1.0)), 6).as("stddev_x"),
+        round(one * mxy / (n - 1.0), 6).as("covar_xy"),
+        round(one * mxy / sqrt(mxx * myy), 6).as("corr_xy")): _*)
+  }
+}

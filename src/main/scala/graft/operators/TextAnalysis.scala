@@ -286,4 +286,40 @@ object TextAnalysis {
         org.apache.spark.sql.functions.size(chunk).as("chunk_tokens"),
         array_join(chunk, " ").as("chunk_text"))
   }
+
+  /** CROSS-document block dedup (the corpus-level sibling of
+    * [[dedupBlocksWithinDoc]], RefinedWeb-style exact substring removal at
+    * block granularity): non-overlapping `blockTokens`-token blocks over
+    * the whole corpus, only the globally FIRST occurrence of each distinct
+    * block (ordered by (doc, position)) survives, and each document is
+    * rebuilt from its surviving blocks in order. A block repeated inside
+    * one document dedupes too — strict superset of the within-doc cleaner.
+    *
+    * Scale shape: chunking is map-only; the first-occurrence window is ONE
+    * hash shuffle keyed on block CONTENT — the same shuffle exact dedup
+    * (d01) does per document, at block granularity. Skew appears only if a
+    * single block dominates the corpus (boilerplate); the mitigation is the
+    * same df-cap used by d02/d09 — drop blocks above a document-frequency
+    * ceiling to a separate boilerplate report before the window. The
+    * rebuild groups by doc id (second shuffle, keyed on the doc).
+    */
+  def dedupBlocksAcrossDocs(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      blockTokens: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(blockTokens > 0, s"blockTokens must be positive, got $blockTokens")
+    val blocks = chunkWindows(df, idCol, textCol, size = blockTokens, stride = blockTokens)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"))
+    val firstSeen = Window.partitionBy(col("chunk_text"))
+      .orderBy(col(idCol), col("chunk_idx"))
+    blocks
+      .withColumn("occ", row_number().over(firstSeen))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(array_sort(collect_list(when(col("occ") === 1,
+            struct(col("chunk_idx"), col("chunk_text"))))).getField("chunk_text"), " ")
+          .as("text_deduped"),
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
 }

@@ -1,0 +1,248 @@
+package graft.queries
+
+import graft.Graft.table
+import graft.operators.{EntityResolution, Graphs, Merge, Stats, TimeSeries}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-6 engine surface: statistical moments from exact sufficient
+  * statistics, time-series gap fill / forward fill, blocked fuzzy entity
+  * resolution, string aggregation, fixed-iteration PageRank, and MERGE
+  * (upsert) semantics. Each is a standard lakehouse/warehouse capability a
+  * reference user would expect, each oracle-checked hash-exact.
+  */
+object Advanced {
+
+  private val money = DecimalType(12, 2)
+
+  /** Variance / stddev / covariance / correlation per return flag, computed
+    * from ONE map-combined pass of exact DECIMAL sufficient statistics
+    * ([[Stats.momentStats]]) — the scale-correct (and the only
+    * partitioning-independent) way to get float moments. */
+  val q45StatsAggs = GraftQuery(
+    "q45_stats_aggs",
+    (s, dir) =>
+      Stats.momentStats(table(s, dir, "lineitem"), Seq(col("l_returnflag")),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        FROM lineitem GROUP BY l_returnflag),
+      d AS (
+        SELECT l_returnflag, n,
+               CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+               CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy, CAST(sxy AS DOUBLE) AS sxy
+        FROM s)
+      SELECT l_returnflag, n,
+             round(sx / nd, 6) AS mean_x,
+             round(sy / nd, 6) AS mean_y,
+             CASE WHEN n > 1 THEN round(1.0 * (sxx - sx * sx / nd) / (nd - 1.0), 6) END AS var_x,
+             CASE WHEN n > 1 THEN round(1.0 * sqrt((sxx - sx * sx / nd) / (nd - 1.0)), 6) END AS stddev_x,
+             CASE WHEN n > 1 THEN round(1.0 * (sxy - sx * sy / nd) / (nd - 1.0), 6) END AS covar_xy,
+             CASE WHEN n > 1 THEN round(1.0 * (sxy - sx * sy / nd)
+               / sqrt((sxx - sx * sx / nd) * (syy - sy * sy / nd)), 6) END AS corr_xy
+      FROM d
+      ORDER BY l_returnflag"""))
+
+  /** Daily gap fill + forward fill per customer ([[TimeSeries]]): dense
+    * date spine from each key's own bounds (no calendar cross join), LOCF
+    * across gaps. One key-hash shuffle; the window sorts in-partition. */
+  val q46GapFill = GraftQuery(
+    "q46_gap_fill",
+    (s, dir) => {
+      val daily = table(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+        .agg(max(col("o_totalprice").cast(money)).as("day_max"))
+      TimeSeries.gapFillForwardFill(daily, "o_custkey", "day", "day_max")
+        .select(col("o_custkey"), col("day"),
+          col("value_filled").cast("double").as("filled_max"),
+          col("is_gap"))
+        .orderBy(col("o_custkey"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+               MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS day_max
+        FROM orders WHERE o_custkey < 50 GROUP BY 1, 2),
+      bounds AS (
+        SELECT o_custkey, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+      spine AS (
+        SELECT o_custkey, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds)
+      SELECT s.o_custkey, s.day,
+             CAST(last_value(d.day_max IGNORE NULLS) OVER (
+               PARTITION BY s.o_custkey ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_max,
+             (d.day_max IS NULL) AS is_gap
+      FROM spine s LEFT JOIN daily d ON s.o_custkey = d.o_custkey AND s.day = d.day
+      ORDER BY s.o_custkey, s.day"""))
+
+  /** Blocked fuzzy entity resolution over part names: block on the noun,
+    * levenshtein ≤ 2 within the block ([[EntityResolution]]) — candidate
+    * generation by equi-join, never a cross product. */
+  val q47FuzzyJoin = GraftQuery(
+    "q47_fuzzy_join",
+    (s, dir) => {
+      val parts = table(s, dir, "part").filter(col("p_partkey") < 400)
+      EntityResolution.blockedLevenshteinPairs(parts, "p_partkey", "p_name",
+          split(col("p_name"), " ").getItem(1), maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS block
+        FROM part WHERE p_partkey < 400)
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+      FROM p a JOIN p b USING (block)
+      WHERE a.p_partkey < b.p_partkey
+        AND levenshtein(a.p_name, b.p_name) <= 2
+      ORDER BY id_a, id_b"""))
+
+  /** Ordered string aggregation (LISTAGG/string_agg): per nation, the
+    * sorted distinct segment list and the top-3 customers by balance as
+    * CSV. Deterministic: both lists carry an explicit total order. */
+  val q48Listagg = GraftQuery(
+    "q48_listagg",
+    (s, dir) => {
+      val cust = table(s, dir, "customer").filter(col("c_custkey") < 1000)
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_name").asc)
+      cust.withColumn("rn", row_number().over(w))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments_csv"),
+          count(lit(1)).as("n_cust"),
+          array_join(array_sort(collect_list(when(col("rn") <= 3,
+              struct(col("rn"), col("c_name"))))).getField("c_name"), ",")
+            .as("top3_names"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_name ASC) AS rn
+        FROM customer WHERE c_custkey < 1000)
+      SELECT c_nationkey,
+             string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments_csv,
+             CAST(COUNT(*) AS BIGINT) AS n_cust,
+             string_agg(CASE WHEN rn <= 3 THEN c_name END, ',' ORDER BY rn) AS top3_names
+      FROM c GROUP BY c_nationkey
+      ORDER BY c_nationkey"""))
+
+  /** Fixed-iteration integer PageRank ([[Graphs.pageRankMicro]]) over the
+    * symmetric supplier↔part co-supply graph. 5 iterations, each ONE
+    * shuffle (edges⋈ranks on src + map-combined sum per dst); integer
+    * micro-rank arithmetic makes the run engine- and partitioning-exact,
+    * so the oracle verifies values, not just order. */
+  val q49PageRank = GraftQuery(
+    "q49_pagerank",
+    (s, dir) => {
+      val pairs = table(s, dir, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      Graphs.pageRankMicro(s, edges, iterations = 5)
+        .orderBy(col("rank_micro").desc, col("node"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'p' || CAST(l_partkey AS VARCHAR) AS dst
+        FROM lineitem),
+      e AS (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM e),
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+      i1 AS (SELECT e.dst AS node, CAST(SUM(r.rank_micro // d.outdeg) AS BIGINT) AS inflow
+             FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank_micro
+             FROM nodes n LEFT JOIN i1 i ON n.node = i.node),
+      i2 AS (SELECT e.dst AS node, CAST(SUM(r.rank_micro // d.outdeg) AS BIGINT) AS inflow
+             FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank_micro
+             FROM nodes n LEFT JOIN i2 i ON n.node = i.node),
+      i3 AS (SELECT e.dst AS node, CAST(SUM(r.rank_micro // d.outdeg) AS BIGINT) AS inflow
+             FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank_micro
+             FROM nodes n LEFT JOIN i3 i ON n.node = i.node),
+      i4 AS (SELECT e.dst AS node, CAST(SUM(r.rank_micro // d.outdeg) AS BIGINT) AS inflow
+             FROM e JOIN r3 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      r4 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank_micro
+             FROM nodes n LEFT JOIN i4 i ON n.node = i.node),
+      i5 AS (SELECT e.dst AS node, CAST(SUM(r.rank_micro // d.outdeg) AS BIGINT) AS inflow
+             FROM e JOIN r4 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      r5 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank_micro
+             FROM nodes n LEFT JOIN i5 i ON n.node = i.node)
+      SELECT node, rank_micro FROM r5
+      ORDER BY rank_micro DESC, node"""),
+    bench = true)
+
+  /** MERGE INTO (upsert) semantics ([[Merge.upsert]]): a deduped CDC-style
+    * source batch (latest order per customer → updated balance, plus
+    * shifted-key rows forcing inserts) applied to a customer snapshot via
+    * ONE full-outer hash join. */
+  val q50MergeUpsert = GraftQuery(
+    "q50_merge_upsert",
+    (s, dir) => {
+      val target = table(s, dir, "customer").filter(col("c_custkey") < 500)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val latest = table(s, dir, "orders")
+        .filter(col("o_custkey") < 500 && col("o_orderkey") % 7 === 0)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val updates = latest.select(
+        col("o_custkey").as("c_custkey"),
+        concat(lit("Updated#"), col("o_custkey").cast("string")).as("c_name"),
+        (col("o_custkey") % 25).cast("int").as("c_nationkey"),
+        col("o_totalprice").cast(money).cast("double").as("c_acctbal"),
+        lit("UPSERT").as("c_mktsegment"))
+      val inserts = updates
+        .filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(100000L))
+        .withColumn("c_name", concat(lit("New#"), col("c_custkey").cast("string")))
+      Merge.upsert(target, updates.unionByName(inserts), "c_custkey")
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      WITH t AS (SELECT * FROM customer WHERE c_custkey < 500),
+      latest AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_custkey < 500 AND o_orderkey % 7 = 0),
+      upd AS (
+        SELECT o_custkey AS c_custkey,
+               'Updated#' || CAST(o_custkey AS VARCHAR) AS c_name,
+               CAST(o_custkey % 25 AS INT) AS c_nationkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal,
+               'UPSERT' AS c_mktsegment
+        FROM latest WHERE rn = 1),
+      ins AS (
+        SELECT c_custkey + 100000 AS c_custkey,
+               'New#' || CAST(c_custkey + 100000 AS VARCHAR) AS c_name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM upd WHERE c_custkey % 3 = 0),
+      src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+      SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+      FROM t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+      ORDER BY c_custkey"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert)
+}

@@ -440,8 +440,51 @@ object DedupQueries {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** CROSS-document block dedup (d13): the corpus-level sibling of d12 —
+    * only the globally FIRST occurrence (by doc, position) of each distinct
+    * block survives, documents rebuilt from survivors. 4-token blocks: the
+    * synthetic corpus draws from a ~45-word vocabulary, so 4-grams collide
+    * across documents for real (a 16-token block never would here); a
+    * production run uses 32–64-token blocks over web text. The
+    * first-occurrence window keys on block CONTENT — one hash shuffle, d01's
+    * shape at block granularity; hot boilerplate blocks get the d02/d09
+    * df-cap treatment before the window. */
+  val d13CrossdocDedup = GraftQuery(
+    "d13_crossdoc_dedup",
+    (s, dir) =>
+      graft.operators.TextAnalysis.dedupBlocksAcrossDocs(
+          table(s, dir, "documents"), "doc_id", "text", blockTokens = 4)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents),
+      ch AS (
+        SELECT doc_id, t,
+               greatest(1, CAST(ceil((len(t) - 4) / 4.0) AS BIGINT) + 1) AS nch
+        FROM toks),
+      blocks AS (
+        SELECT doc_id,
+               unnest(range(0, nch)) AS chunk_idx,
+               unnest(list_transform(range(0, nch),
+                 i -> array_to_string(list_slice(t, CAST(i*4+1 AS INT), CAST(i*4+4 AS INT)), ' '))) AS chunk_text
+        FROM ch),
+      occ AS (
+        SELECT doc_id, chunk_idx, chunk_text,
+               row_number() OVER (PARTITION BY chunk_text
+                 ORDER BY doc_id, chunk_idx) AS occ
+        FROM blocks)
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN occ = 1 THEN chunk_text END, ' ' ORDER BY chunk_idx), '') AS text_deduped,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      FROM occ
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01ExactDedup, d02JaccardPairs, d03MinhashSignatures,
     d04LshNearDup, d05Simhash, d06EmbeddingNearDup, d07ContainmentPairs,
-    d09DuplicateSpans, d10CrossCorpusLsh, d11CdcNearDup, d12IntradocDedup)
+    d09DuplicateSpans, d10CrossCorpusLsh, d11CdcNearDup, d12IntradocDedup,
+    d13CrossdocDedup)
 }

@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-6 operators: integer PageRank, gap fill / forward fill, MERGE
+  * upsert, blocked fuzzy ER, exact-moment stats, cross-doc block dedup. */
+class AdvancedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Graphs.pageRankMicro ------------------------------------------------
+
+  private def star: org.apache.spark.sql.DataFrame = {
+    // hub "h" connected to 4 spokes, symmetric; plus a 2-cycle pair off to
+    // the side. Hub must out-rank every spoke, pair members tie.
+    val pairs = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"), ("x", "y"))
+    (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+  }
+
+  test("pageRankMicro: hub out-ranks spokes, symmetric nodes tie, mass sane") {
+    val r = Graphs.pageRankMicro(spark, star, 5).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("h") > r("a"), r.toString)
+    assert(Seq("a", "b", "c", "d").map(r).distinct.size == 1, "spokes must tie")
+    assert(r("x") == r("y"), "2-cycle members must tie")
+    // with symmetric edges no mass is lost beyond floor-division dust:
+    // total stays within N * (teleport..unit) band
+    val total = r.values.sum
+    assert(total > 6L * Graphs.TeleportMicro && total <= 7L * Graphs.RankUnit, total.toString)
+  }
+
+  test("pageRankMicro agrees with the double reference on ranking order") {
+    val li = graft.Graft.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .filter(col("l_partkey") < 40)
+    val pairs = li.select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+      concat(lit("p"), col("l_partkey").cast("string")).as("dst")).distinct()
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val intRanks = Graphs.pageRankMicro(spark, edges, 5)
+      .orderBy(col("rank_micro").desc, col("node")).select("node").as[String].collect()
+    val dblRanks = Graphs.pageRankDouble(spark, edges, 5)
+      .orderBy(col("rank").desc, col("node")).select("node").as[String].collect()
+    // micro-unit quantization can flip near-ties; top of the order must agree
+    assert(intRanks.take(5).sameElements(dblRanks.take(5)),
+      s"int=${intRanks.take(5).toSeq} dbl=${dblRanks.take(5).toSeq}")
+  }
+
+  test("pageRankMicro is partition-layout independent") {
+    val e = star
+    val a = Graphs.pageRankMicro(spark, e, 3).orderBy("node").collect().toSeq
+    val b = Graphs.pageRankMicro(spark, e.repartition(7), 3).orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- TimeSeries.gapFillForwardFill --------------------------------------
+
+  test("gapFillForwardFill densifies and carries last observation forward") {
+    val daily = Seq(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-04", 40.0),
+      (2L, "2024-03-10", 5.0))
+      .toDF("k", "day", "v").withColumn("day", to_date(col("day")))
+    val out = TimeSeries.gapFillForwardFill(daily, "k", "day", "v")
+      .orderBy("k", "day")
+      .select(col("k"), col("day").cast("string"), col("value_filled"), col("is_gap"))
+      .as[(Long, String, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "2024-01-01", 10.0, false),
+      (1L, "2024-01-02", 10.0, true),
+      (1L, "2024-01-03", 10.0, true),
+      (1L, "2024-01-04", 40.0, false),
+      (2L, "2024-03-10", 5.0, false)), out.toString)
+  }
+
+  test("gapFillForwardFill: first day per key is never a gap") {
+    val daily = Seq((1L, "2024-05-05", 1.0), (1L, "2024-05-09", 2.0))
+      .toDF("k", "day", "v").withColumn("day", to_date(col("day")))
+    val first = TimeSeries.gapFillForwardFill(daily, "k", "day", "v")
+      .orderBy("day").limit(1).select("is_gap").as[Boolean].head()
+    assert(!first)
+  }
+
+  test("rollingMeanDays uses the event-time range, not row count") {
+    val filled = Seq((1L, "2024-01-01", 10.0), (1L, "2024-01-02", 20.0),
+      (1L, "2024-01-05", 30.0))
+      .toDF("k", "day", "v").withColumn("day", to_date(col("day")))
+    val out = TimeSeries.rollingMeanDays(filled, "k", "day", "v", days = 3)
+      .orderBy("day").select("rolling_avg").as[Double].collect().toSeq
+    // day 5's 3-day window covers days 3..5 → only the 30.0 row
+    assert(out == Seq(10.0, 15.0, 30.0), out.toString)
+  }
+
+  // ---- Merge.upsert --------------------------------------------------------
+
+  private val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    .toDF("k", "name", "bal")
+  private val source = Seq((2L, "B2", 200.0), (9L, "new", 90.0))
+    .toDF("k", "name", "bal")
+
+  test("upsert updates matched rows, inserts new keys, passes the rest") {
+    val out = Merge.upsert(target, source, "k")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "B2", 200.0), (3L, "c", 30.0),
+      (9L, "new", 90.0)), out.toString)
+  }
+
+  test("upsert: a NULL source column overwrites (strict MERGE, not coalesce)") {
+    val s = Seq((2L, Option.empty[String], Option(200.0))).toDF("k", "name", "bal")
+    val row = Merge.upsert(target, s, "k").filter(col("k") === 2)
+      .select("name").collect().head
+    assert(row.isNullAt(0), "matched update must take the source value even when NULL")
+  }
+
+  test("upsertSmallSource matches upsert and never shuffles the target") {
+    val a = Merge.upsert(target, source, "k").orderBy("k").collect().toSeq
+    val b = Merge.upsertSmallSource(target, source, "k").orderBy("k").collect().toSeq
+    assert(a == b)
+    val plan = Merge.upsertSmallSource(target, source, "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"anti-join must broadcast the source:\n$plan")
+  }
+
+  // ---- EntityResolution ----------------------------------------------------
+
+  test("blockedLevenshteinPairs: only in-block pairs within maxDist, ordered") {
+    val df = Seq((1L, "cold widget"), (2L, "gold widget"), (3L, "small widget"),
+      (4L, "cold bolt")).toDF("id", "name")
+    val out = EntityResolution.blockedLevenshteinPairs(
+        df, "id", "name", split(col("name"), " ").getItem(1), maxDist = 2)
+      .select("id_a", "id_b", "edit_dist").as[(Long, Long, Int)].collect().toSeq.sorted
+    // (1,2) lev=1 in block widget; (1,3) lev=4 excluded; (1,4) different block
+    assert(out == Seq((1L, 2L, 1)), out.toString)
+    assert(out.forall(p => p._1 < p._2))
+  }
+
+  test("blockHistogram surfaces hot blocks before the join") {
+    val df = Seq.tabulate(20)(i => (i.toLong, if (i < 15) "x common" else s"y$i rare"))
+      .toDF("id", "name")
+    val h = EntityResolution.blockHistogram(df, split(col("name"), " ").getItem(1))
+      .orderBy(col("block_size").desc).limit(1)
+      .as[(String, Long)].collect().head
+    assert(h == ("common", 15L))
+  }
+
+  // ---- Stats.momentStats ---------------------------------------------------
+
+  test("momentStats matches Spark's float aggregates to 1e-6") {
+    val li = graft.Graft.table(spark, "/root/testdata/sf0.001", "lineitem")
+    val ours = Stats.momentStats(li, Seq(col("l_returnflag")),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_returnflag")
+      .select("stddev_x", "covar_xy", "corr_xy").as[(Double, Double, Double)]
+      .collect()
+    val ref = li.groupBy("l_returnflag")
+      .agg(stddev(col("l_quantity")), covar_samp(col("l_quantity"), col("l_extendedprice")),
+        corr(col("l_quantity"), col("l_extendedprice")))
+      .orderBy("l_returnflag")
+      .as[(String, Double, Double, Double)].collect()
+    ours.zip(ref).foreach { case ((sd, cv, cr), (_, rsd, rcv, rcr)) =>
+      assert(math.abs(sd - rsd) < 1e-6, s"stddev $sd vs $rsd")
+      assert(math.abs(cv - rcv) < math.abs(rcv) * 1e-9 + 1e-6, s"covar $cv vs $rcv")
+      assert(math.abs(cr - rcr) < 1e-6, s"corr $cr vs $rcr")
+    }
+  }
+
+  test("momentStats: n=1 group gets NULL sample moments") {
+    val df = Seq(("g", 1.0, 2.0)).toDF("g", "x", "y")
+    val row = Stats.momentStats(df, Seq(col("g")), col("x"), col("y")).collect().head
+    assert(row.isNullAt(row.fieldIndex("var_x")))
+    assert(row.isNullAt(row.fieldIndex("corr_xy")))
+    assert(row.getDouble(row.fieldIndex("mean_x")) == 1.0)
+  }
+
+  // ---- TextAnalysis.dedupBlocksAcrossDocs ---------------------------------
+
+  test("dedupBlocksAcrossDocs drops later cross-doc occurrences, keeps first") {
+    val docs = Seq(
+      (1L, "a b c d x y z w"),        // blocks: "a b c d", "x y z w"
+      (2L, "p q r s a b c d"),        // second block duplicates doc 1's first
+      (3L, "a b c d a b c d"))        // both blocks already seen
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupBlocksAcrossDocs(docs, "doc_id", "text", blockTokens = 4)
+      .orderBy("doc_id")
+      .select("text_deduped", "n_dropped").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a b c d x y z w", 0L), ("p q r s", 1L), ("", 2L)), out.toString)
+  }
+
+  test("dedupBlocksAcrossDocs is a superset of within-doc dedup") {
+    val docs = Seq((7L, "a b c d a b c d e f g h")).toDF("doc_id", "text")
+    val within = TextAnalysis.dedupBlocksWithinDoc(docs, "doc_id", "text", 4)
+      .select("text_deduped").as[String].head()
+    val across = TextAnalysis.dedupBlocksAcrossDocs(docs, "doc_id", "text", 4)
+      .select("text_deduped").as[String].head()
+    assert(within == across, "single-doc corpus: the two cleaners must agree")
+    assert(across == "a b c d e f g h")
+  }
+}
