@@ -70,4 +70,37 @@ object Stats {
         round(one * mxy / (n - 1.0), 6).as("covar_xy"),
         round(one * mxy / sqrt(mxx * myy), 6).as("corr_xy")): _*)
   }
+
+  /** Fixed-width histogram (width_bucket shape) over a money-like column.
+    * Binning runs in INTEGER cents — `cast(v as DECIMAL(18,2)) × 100` is
+    * exact for ≤2-decimal values, so bin assignment is engine-portable
+    * arithmetic (no float-boundary ambiguity at bin edges, where a double
+    * epsilon would flip a row's bucket between engines). Values ≥ the top
+    * edge clamp into the last bin (width_bucket's overflow bucket merged
+    * in); `lo` must not exceed the minimum. One hash-agg shuffle of ≤nbins
+    * groups; at 100 TB the map-side partial aggregation reduces each task
+    * to nbins counters before anything moves.
+    *
+    * Returns (bin, bin_lo, bin_hi, cnt) for non-empty bins. */
+  def histogram(df: DataFrame, valueCol: Column, lo: BigDecimal, width: BigDecimal,
+      nbins: Int): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    require(nbins > 0, s"nbins must be positive, got $nbins")
+    val cents = (valueCol.cast(in) * 100).cast("bigint")
+    val loCents = (lo * 100).toBigIntExact
+      .getOrElse(throw new IllegalArgumentException(s"lo must have <=2 decimals: $lo")).toLong
+    val wCents = (width * 100).toBigIntExact
+      .getOrElse(throw new IllegalArgumentException(s"width must have <=2 decimals: $width")).toLong
+    // floor(double division) is exact here: cents values are integers far
+    // below 2^53, so both engines' IEEE division+floor agree bit-for-bit
+    // (Spark's `/` on longs is double division; DuckDB `//` floors too).
+    val bin = least(floor((cents - loCents) / wCents).cast("bigint"), lit(nbins - 1L))
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("bin"),
+        ((lit(loCents) + col("bin") * wCents).cast("double") / 100.0).as("bin_lo"),
+        ((lit(loCents) + (col("bin") + 1) * wCents).cast("double") / 100.0).as("bin_hi"),
+        col("cnt"))
+  }
 }

@@ -122,6 +122,16 @@ object TextAnalysis {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Overlapping word n-grams as strings ([[wordBigrams]] generalized);
+    * empty array when < n tokens. Codegen'd built-ins only. */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Type-token ratio: distinct tokens / total tokens (1.0 for empty). */
   def distinctTokenFrac(toks: Column): Column =
     when(size(toks) === 0, lit(1.0))

@@ -243,6 +243,113 @@ object Advanced {
       FROM t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
       ORDER BY c_custkey"""))
 
+  /** Snapshot CDC ([[graft.operators.Cdc.snapshotDiff]]): two orders
+    * snapshots derived deterministically from the table (key-mod deletes /
+    * inserts, price and status updates) diffed into Delta-CDF-style change
+    * rows — insert / delete / update_preimage / update_postimage; unchanged
+    * rows emit nothing. ONE full-outer hash join on the key. */
+  val q51SnapshotCdf = GraftQuery(
+    "q51_snapshot_cdf",
+    (s, dir) => {
+      val base = table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(money).as("price"))
+      val oldSnap = base.filter(col("o_orderkey") % 10 < 8)
+      val newSnap = base.filter(col("o_orderkey") % 10 >= 2)
+        .withColumn("price",
+          when(col("o_orderkey") % 3 === 0, col("price") + lit(10).cast(money))
+            .otherwise(col("price")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      graft.operators.Cdc.snapshotDiff(oldSnap, newSnap, "o_orderkey")
+        .withColumn("price", col("price").cast("double"))
+        .orderBy(col("o_orderkey"), col("change_type"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders),
+      old AS (SELECT * FROM base WHERE o_orderkey % 10 < 8),
+      new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 THEN price + 10 ELSE price END AS price
+        FROM base WHERE o_orderkey % 10 >= 2),
+      j AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+               o.o_orderstatus AS os, o.price AS op,
+               n.o_orderstatus AS ns, n.price AS np,
+               o.o_orderkey IS NOT NULL AS in_old,
+               n.o_orderkey IS NOT NULL AS in_new
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+      SELECT k AS o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price, change_type FROM (
+        SELECT k, ns AS o_orderstatus, np AS price, 'insert' AS change_type
+        FROM j WHERE NOT in_old
+        UNION ALL
+        SELECT k, os, op, 'delete' FROM j WHERE NOT in_new
+        UNION ALL
+        SELECT k, os, op, 'update_preimage' FROM j
+        WHERE in_old AND in_new AND (os IS DISTINCT FROM ns OR op IS DISTINCT FROM np)
+        UNION ALL
+        SELECT k, ns, np, 'update_postimage' FROM j
+        WHERE in_old AND in_new AND (os IS DISTINCT FROM ns OR op IS DISTINCT FROM np))
+      ORDER BY o_orderkey, change_type"""))
+
+  /** Fixed-width histogram ([[Stats.histogram]]): 20 × 25k bins over order
+    * totals, assignment in INTEGER cents so bin edges are engine-exact.
+    * One ≤nbins-group hash agg, map-side combined. */
+  val q52Histogram = GraftQuery(
+    "q52_histogram",
+    (s, dir) =>
+      Stats.histogram(table(s, dir, "orders"), col("o_totalprice"),
+          lo = BigDecimal(0), width = BigDecimal(25000), nbins = 20)
+        .orderBy(col("bin")),
+    Some("""
+      WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM orders)
+      SELECT least(c // 2500000, 19) AS bin,
+             CAST(least(c // 2500000, 19) * 2500000 AS DOUBLE) / 100.0 AS bin_lo,
+             CAST((least(c // 2500000, 19) + 1) * 2500000 AS DOUBLE) / 100.0 AS bin_hi,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cents
+      GROUP BY 1
+      ORDER BY bin"""))
+
+  /** Ordered conversion funnel ([[graft.operators.Funnel.funnelSteps]]):
+    * view → click → purchase with earliest-after-previous semantics (out-of-
+    * order events don't convert). The min-agg/join chain keys every stage
+    * on user_id — one partitioning reused end-to-end. */
+  val q53Funnel = GraftQuery(
+    "q53_funnel",
+    (s, dir) =>
+      graft.operators.Funnel.funnelSteps(
+          graft.Graft.eventsTable(s, dir), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("user_id")),
+    Some("""
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id)
+      SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+             CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT AS INT)
+               AS steps_reached
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id
+      ORDER BY s1.user_id"""))
+
   val all: Seq[GraftQuery] = Seq(
-    q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert)
+    q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
+    q51SnapshotCdf, q52Histogram, q53Funnel)
 }

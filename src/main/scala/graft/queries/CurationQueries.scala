@@ -672,10 +672,63 @@ object CurationQueries {
       FROM sig
       ORDER BY doc_id"""))
 
+  /** Cross-source n-gram overlap matrix (the corpus-level decontamination
+    * diagnostic run BEFORE mixing sources: high overlap between a training
+    * source and a benchmark source means leakage; c09/c12 then remove it
+    * doc-by-doc): distinct (source, 8-gram) pairs, self-joined on the gram,
+    * exact Jaccard per source pair.
+    *
+    * Scale shape: the (source, gram) DISTINCT is the one big shuffle (gram-
+    * keyed, map-side combined). The self-join fans out ≤ |sources| rows per
+    * gram — bounded by construction, no df-cap needed (unlike document-level
+    * d02, where one gram can hit 10⁶ DOCS, a gram here hits at most every
+    * SOURCE once). Pair counts are |sources|²-bounded, so the final agg is
+    * tiny. */
+  val c19SourceOverlap = GraftQuery(
+    "c19_source_overlap",
+    (s, dir) => {
+      val grams = table(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.wordNgrams(TextAnalysis.tokens(col("text")), 8)).as("gram"))
+        .distinct()
+      val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val a = grams.select(col("source").as("src_a"), col("gram"))
+      val b = grams.select(col("source").as("src_b"), col("gram"))
+      a.join(b, Seq("gram")).filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("overlap"))
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("overlap"), col("n_a"), col("n_b"),
+          round(col("overlap").cast("double")
+            / (col("n_a") + col("n_b") - col("overlap")).cast("double"), 6).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents),
+      g0 AS (
+        SELECT source,
+               unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
+                 i -> array_to_string(list_slice(t, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS gram
+        FROM toks),
+      g AS (SELECT DISTINCT source, gram FROM g0),
+      sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY source),
+      ov AS (
+        SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS overlap
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, overlap, sa.n AS n_a, sb.n AS n_b,
+             round(CAST(overlap AS DOUBLE) / CAST(sa.n + sb.n - overlap AS DOUBLE), 6) AS jaccard
+      FROM ov
+      JOIN sz sa ON ov.src_a = sa.source
+      JOIN sz sb ON ov.src_b = sb.source
+      ORDER BY src_a, src_b"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
       c08TokenQuotaMix, c09Decontamination, c11AdaptiveThreshold,
       c12BloomDecontamination, c13QualityKeeper, c14HashSplit, c15ChunkWindows,
-      c16TemperatureMix, c17KAnonymity, c18QualityEnsemble)
+      c16TemperatureMix, c17KAnonymity, c18QualityEnsemble, c19SourceOverlap)
 }

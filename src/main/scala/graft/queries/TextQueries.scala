@@ -515,8 +515,83 @@ object TextQueries {
       FROM documents d LEFT JOIN x USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** Corpus rank-frequency (Zipf) statistics: vocabulary size, total
+    * tokens, and the log-log OLS slope over the top-100 terms — the
+    * standard corpus-health diagnostic (natural text ≈ −1; synthetic or
+    * template-heavy corpora deviate hard).
+    *
+    * Determinism: the slope's log coordinates are rounded to 9 decimals and
+    * summed as DECIMAL (the t11 pattern) — the OLS sums are exact and
+    * order-independent, so the slope hash-matches cross-engine. Scale
+    * shape: term counting is one map-combined hash agg; the top-100 cut is
+    * `orderBy.limit` (TakeOrdered — each map task ships ≤100 rows), and
+    * ranking happens on the 100-row result, never on the full vocabulary. */
+  val t14ZipfSlope = GraftQuery(
+    "t14_zipf_slope",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+      val freqs = table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      val top = freqs.orderBy(col("freq").desc, col("term").asc).limit(100)
+      val ranked = top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("term").asc)))
+        .withColumn("x", round(log(col("rank").cast("double")), 9).cast(dec))
+        .withColumn("y", round(log(col("freq").cast("double")), 9).cast(dec))
+      val sums = ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+        max(when(col("rank") === 1, col("term"))).as("top_term"),
+        max(when(col("rank") === 1, col("freq"))).as("top_freq"))
+      val corpus = freqs.agg(
+        count(lit(1)).as("vocab_size"), sum(col("freq")).as("total_tokens"))
+      corpus.crossJoin(broadcast(sums)).select(
+        col("vocab_size"), col("total_tokens"), col("top_term"), col("top_freq"),
+        round((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("zipf_slope"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents),
+      f AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(t) AS term FROM toks)
+        GROUP BY term),
+      top AS (
+        SELECT term, freq,
+               row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+        FROM f ORDER BY freq DESC, term ASC LIMIT 100),
+      xy AS (
+        SELECT term, freq, rank,
+               CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+               CAST(round(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+        FROM top),
+      s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy,
+               max(CASE WHEN rank = 1 THEN term END) AS top_term,
+               max(CASE WHEN rank = 1 THEN freq END) AS top_freq
+        FROM xy),
+      v AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(freq) AS BIGINT) AS total_tokens
+        FROM f)
+      SELECT v.vocab_size, v.total_tokens, s.top_term, s.top_freq,
+             round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+      FROM v, s"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
       t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t10Bm25,
-      t11UnigramXent, t12QualityClassifier, t13BigramXent)
+      t11UnigramXent, t12QualityClassifier, t13BigramXent, t14ZipfSlope)
 }

@@ -159,4 +159,50 @@ object Streams {
         (unix_timestamp(col("right_ts")) - unix_timestamp(col("left_ts")))
           .as("lag_seconds"))
   }
+
+  /** Streaming MERGE (upsert) sink: each micro-batch is latest-wins deduped
+    * on `keyCol` then merged into the parquet table at `targetPath` via
+    * [[graft.operators.Merge.upsertSmallSource]] — the foreachBatch +
+    * MERGE pattern a transactional format gives natively, here with the
+    * engine's own write-new-then-swap. A micro-batch is small relative to
+    * the standing table by construction, so the small-source plan applies:
+    * the target is scanned once (anti-join against the BROADCAST batch
+    * keys), never shuffled — the 100 TB nightly-increment shape. Swap is
+    * rename-based; a crash between write and swap leaves the old table
+    * intact (re-running the batch is idempotent because upsert is).
+    *
+    * Returns the DataStreamWriter; caller starts it with a checkpoint dir. */
+  def upsertSink(stream: DataFrame, targetPath: String, keyCol: String,
+      orderCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.expressions.Window
+    stream.writeStream.outputMode(OutputMode.Update).foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
+        val deduped = batch.toDF
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val live = Paths.get(targetPath, "current")
+        val merged =
+          if (Files.exists(live))
+            graft.operators.Merge.upsertSmallSource(
+              spark.read.parquet(live.toString), deduped, keyCol)
+          else deduped
+        // write-then-swap, the Lakehouse.materialize discipline: the live
+        // table is never half-written, and the plan is fully executed
+        // (tmp write) BEFORE the live dir is touched, so the merge's own
+        // read of `live` has completed by swap time
+        val tmp = Paths.get(targetPath, s".merge_b$batchId")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        def rmRf(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(Files.delete)
+        }
+        rmRf(live)
+        Files.createDirectories(live.getParent)
+        Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+        ()
+    }
+  }
 }

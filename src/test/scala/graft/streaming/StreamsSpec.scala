@@ -232,4 +232,33 @@ class StreamsSpec extends SparkSpec {
       assert(rows == Set((1L, 10L, 20L, 300L), (2L, 11L, 23L, 540L)))
     } finally q.stop()
   }
+
+  test("upsert sink merges each micro-batch into the target (latest wins)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("upsert_ckpt").toString
+    val input = MemoryStream[Event]
+    val q = Streams.upsertSink(input.toDF(), dir, keyCol = "user_id", orderCol = "ts")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // batch 0: two users; user 1 appears twice → latest (10:05) wins
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:05:00", 1, "view", 2.0),
+        ev(3, "2024-01-01 10:01:00", 2, "click", 3.0))
+      q.processAllAvailable()
+      val after0 = spark.read.parquet(s"$dir/current").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSet
+      assert(after0 == Set((1L, 2L), (2L, 3L)))
+      // batch 1: update user 2, insert user 5; user 1 untouched
+      input.addData(
+        ev(4, "2024-01-01 11:00:00", 2, "view", 4.0),
+        ev(5, "2024-01-01 11:00:00", 5, "click", 5.0))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(s"$dir/current").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSet
+      assert(after1 == Set((1L, 2L), (2L, 4L), (5L, 5L)))
+    } finally q.stop()
+  }
 }
