@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ordered funnel analysis over an event log: for a step sequence like
@@ -9,15 +9,22 @@ import org.apache.spark.sql.functions._
   * the product-analytics conversion funnel (events out of order don't
   * count, which is what separates this from a per-type min).
   *
-  * Shape: one filtered min-aggregation per step, chained by an equi-join on
-  * the user key. Every aggregation and join keys on the SAME column, so
-  * Catalyst reuses one hash partitioning across the whole chain (no
-  * re-shuffle between steps; AQE coalesces the tiny intermediate).
-  * Per-step frames shrink monotonically (only users who reached step k−1
-  * are scanned for step k — the filter pushes into the scan). steps.length
-  * is small and fixed (funnels are 3–6 steps), so the chain length is not
-  * a scale concern; the event table is scanned once per step with the
-  * step's type filter pushed down.
+  * Shape: ONE pass — the event log shuffles once on the user key (the only
+  * shuffle), each user's (ts, type) pairs are collected and time-sorted,
+  * and a left fold walks them setting step k's time at the first type-k
+  * event strictly after step k−1's time. The fold is order-equivalent to
+  * the relational spelling (a chain of filtered min-aggregations joined on
+  * the user — the oracle SQL) because with a time-sorted walk the first
+  * qualifying event IS the min, and the strict `>` makes ties at equal
+  * timestamps land identically whatever their sort order.
+  *
+  * Why not the join-chain relationally: k steps = k scans + k aggregation
+  * shuffles + k−1 joins, and the step-k subtree appears inside step-(k+1)
+  * AND the final join with different pushed null-filters, so ReuseExchange
+  * cannot dedupe them — measured, the plan recomputes early steps. The
+  * fold reads the log once. Per-user state is that user's own events;
+  * a 10⁶-event power user is one wide row, the same bound sessionization
+  * (q32) already accepts on this grain.
   */
 object Funnel {
 
@@ -27,21 +34,33 @@ object Funnel {
   def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
-    val first = events.filter(col(typeCol) === steps.head)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
-    val chained = steps.zipWithIndex.drop(1).foldLeft(first) {
-      case (acc, (step, i)) =>
-        val prev = s"t$i"
-        val cur = s"t${i + 1}"
-        val next = events.filter(col(typeCol) === step)
-          .join(acc.select(col(userCol), col(prev)), Seq(userCol))
-          .filter(col(tsCol) > col(prev))
-          .groupBy(col(userCol)).agg(min(col(tsCol)).as(cur))
-        acc.join(next, Seq(userCol), "left")
-    }
-    val reached = steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
-      .reduce(_ + _)
-    chained.withColumn("steps_reached", reached)
+    require(steps.distinct == steps, s"steps must be distinct, got $steps")
+    val evs = sort_array(collect_list(struct(col(tsCol).as("ts"), col(typeCol).as("typ"))))
+    val init = struct(steps.indices.map(i =>
+      lit(null).cast("timestamp").as(s"t${i + 1}")): _*)
+    // an event matches exactly one step (types distinct) and can never set
+    // two fields at once (step k+1 needs ts strictly AFTER step k), so every
+    // field reads the PRE-event accumulator
+    def update(acc: Column, e: Column): Column = struct(
+      steps.zipWithIndex.map { case (step, i) =>
+        val prevOk =
+          if (i == 0) lit(true)
+          else acc.getField(s"t$i").isNotNull && e.getField("ts") > acc.getField(s"t$i")
+        coalesce(acc.getField(s"t${i + 1}"),
+          when(e.getField("typ") === step && prevOk, e.getField("ts")))
+          .as(s"t${i + 1}")
+      }: _*)
+    val folded = aggregate(evs, init, update)
+    val reached = steps.indices.map(i =>
+      when(col(s"t${i + 1}").isNotNull, 1).otherwise(0)).reduce(_ + _)
+    events
+      .filter(col(typeCol).isInCollection(steps))
+      .groupBy(col(userCol))
+      .agg(folded.as("f"))
+      .select(col(userCol) +: steps.indices.map(i =>
+        col(s"f.t${i + 1}").as(s"t${i + 1}")): _*)
+      .filter(col("t1").isNotNull)
+      .withColumn("steps_reached", reached)
   }
 
   /** Funnel summary: users reaching each step and conversion from the

@@ -318,4 +318,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("misra_gries"), p)
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  test("q51 snapshot CDC: one full-outer join, image split is a generator (no second join)") {
+    val p = simplePlan(q("q51_snapshot_cdf"))
+    assert("SortMergeJoin.*FullOuter".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Generate explode"), p) // pre/post images fan out map-side
+    assert(!p.contains("CartesianProduct") &&
+      "Join".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q52 histogram: single aggregate pair over a 1-column scan") {
+    val p = plan(q("q52_histogram"))
+    assert(p.contains("ReadSchema: struct<o_totalprice:double>"), p) // pruned to the histogrammed column
+    val s = simplePlan(q("q52_histogram"))
+    assert("HashAggregate".r.findAllIn(s).length == 2, s) // partial + final, nothing else
+    assert(!s.contains("Join"), s)
+  }
+
+  test("q53 funnel: ONE user-key shuffle; the step-type filter reaches the scan") {
+    val p = plan(q("q53_funnel"))
+    assert(p.contains("In(event_type"), p) // IN(view,click,purchase) pushed down
+    val s = simplePlan(q("q53_funnel"))
+    // partial+final collect around one hash exchange; final ORDER BY adds range only
+    assert("Exchange hashpartitioning".r.findAllIn(s).length == 1, s)
+    assert(!s.contains("Join"), s)
+  }
+
+  test("t14 zipf: top-100 cut is TakeOrdered (bounded), never a full-vocab window") {
+    val s = simplePlan(q("t14_zipf_slope"))
+    assert(s.contains("TakeOrderedAndProject(limit=100"), s)
+    // the only window runs AFTER the 100-row cut; the 1-row combine is a
+    // broadcast nested loop, not a shuffle join
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("c19 source overlap: gram-keyed equi-joins only; size dims broadcast") {
+    val s = simplePlan(q("c19_source_overlap"))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // per-pair sizes join back broadcast (|sources|-row dims)
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 2, s)
+  }
 }
