@@ -69,6 +69,26 @@ object Curation {
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(substring(hashKey(col(keyCol)), 1, 3) < rateThreshold(rate))
 
+  /** WEIGHTED sampling without replacement, A-ES shape (Efraimidis &
+    * Spirakis 2006): row i draws u_i ∈ (0,1] deterministically from its md5
+    * key (first 8 hex digits, +1, ÷2³²) and scores e_i = −ln(u_i)/w_i; the
+    * k SMALLEST scores are the sample — distributionally equivalent to k
+    * sequential weighted draws without replacement, but embarrassingly
+    * parallel. The score is a pure row function (no RNG, no state), so the
+    * selection is rerun/engine/layout invariant like every sampler here;
+    * scores round to 9 decimals (the t11 float-portability discipline)
+    * with the key as tie-break. Scale: `orderBy.limit(k)` compiles to
+    * TakeOrdered — each map task ships ≤k rows, no global sort. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    requireFresh(df, "es_score")
+    val v = conv(substring(hashKey(col(keyCol)), 1, 8), 16, 10).cast("bigint")
+    val u = (v.cast("double") + 1.0) / 4294967296.0
+    df.withColumn("es_score", round(-log(u) / weight.cast("double"), 9))
+      .orderBy(col("es_score").asc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Per-stratum deterministic top-n: rank rows inside each stratum by
     * (hash, key) — a stable shuffle order — and keep the first n. One hash
     * shuffle on the stratum column; n rows per stratum survive the window,

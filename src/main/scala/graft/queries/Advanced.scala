@@ -349,7 +349,81 @@ object Advanced {
               LEFT JOIN s3 ON s1.user_id = s3.user_id
       ORDER BY s1.user_id"""))
 
+  /** Cohort retention: users grouped by first-active day, counted on each
+    * later day they return within a week — the standard product-analytics
+    * retention triangle. Shapes: one (user, day) DISTINCT, a per-user min
+    * (both user-keyed — partitioning reused), a user-keyed equi-join back,
+    * and a tiny (cohort, offset) aggregate. */
+  val q54CohortRetention = GraftQuery(
+    "q54_cohort_retention",
+    (s, dir) => {
+      val activity = table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohorts = activity.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      activity.join(cohorts, Seq("user_id"))
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""
+      WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      cohorts AS (
+        SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id)
+      SELECT c.cohort_day, datediff('day', c.cohort_day, a.day) AS day_offset,
+             CAST(COUNT(*) AS BIGINT) AS users
+      FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+      WHERE datediff('day', c.cohort_day, a.day) <= 7
+      GROUP BY 1, 2
+      ORDER BY cohort_day, day_offset"""))
+
+  /** Last-touch attribution: each purchase credits the LATEST preceding
+    * non-purchase event of the same user within 30 minutes. One user-keyed
+    * window shuffle; the three `last(..., ignoreNulls)` columns all read
+    * the same last qualifying row of the exclusive-current frame, so the
+    * attributed (id, type, ts) triplet is consistent. */
+  val q55Attribution = GraftQuery(
+    "q55_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("ts"))
+      table(s, dir, "events")
+        .withColumn("touch_ts", last(touch, ignoreNulls = true).over(w))
+        .withColumn("touch_id",
+          last(when(col("event_type") =!= "purchase", col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("touch_type",
+          last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("touch_ts").isNotNull &&
+          col("touch_ts") >= col("ts") - expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"),
+          col("touch_id"), col("touch_type"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("touch_ts"))).as("lag_seconds"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      WITH win AS (
+        SELECT user_id, event_id, event_type, ts,
+               last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+                 OVER w AS touch_ts,
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+                 OVER w AS touch_id,
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                 OVER w AS touch_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT user_id, event_id AS purchase_id, ts, touch_id, touch_type,
+             CAST(date_diff('second', touch_ts, ts) AS BIGINT) AS lag_seconds
+      FROM win
+      WHERE event_type = 'purchase' AND touch_ts IS NOT NULL
+        AND touch_ts >= ts - INTERVAL 30 MINUTE
+      ORDER BY purchase_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
-    q51SnapshotCdf, q52Histogram, q53Funnel)
+    q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution)
 }

@@ -725,10 +725,35 @@ object CurationQueries {
       JOIN sz sb ON ov.src_b = sb.source
       ORDER BY src_a, src_b"""))
 
+  /** Weighted sampling without replacement ([[Curation.weightedSample]],
+    * A-ES): 100 docs drawn ∝ n_chars — longer documents proportionally
+    * likelier, no duplicates, deterministic from the md5 key. The oracle
+    * restates the exponential-score formula; 9-decimal score rounding +
+    * doc_id tie-break make the top-k cut engine-exact. */
+  val c20WeightedSample = GraftQuery(
+    "c20_weighted_sample",
+    (s, dir) =>
+      Curation.weightedSample(table(s, dir, "documents"), "doc_id",
+          col("n_chars"), k = 100)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("es_score"))
+        .orderBy(col("es_score"), col("doc_id")),
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, source, n_chars,
+               round(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS DOUBLE) + 1.0) / 4294967296.0)
+                 / CAST(n_chars AS DOUBLE), 9) AS es_score
+        FROM documents)
+      SELECT doc_id, source, n_chars, es_score
+      FROM scored
+      ORDER BY es_score ASC, doc_id ASC
+      LIMIT 100"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
       c08TokenQuotaMix, c09Decontamination, c11AdaptiveThreshold,
       c12BloomDecontamination, c13QualityKeeper, c14HashSplit, c15ChunkWindows,
-      c16TemperatureMix, c17KAnonymity, c18QualityEnsemble, c19SourceOverlap)
+      c16TemperatureMix, c17KAnonymity, c18QualityEnsemble, c19SourceOverlap,
+      c20WeightedSample)
 }

@@ -286,4 +286,33 @@ class CurationSpec extends SparkSpec {
       .filter(col("at_risk")).count()
     assert(reAudit == 0L)
   }
+
+  test("weightedSample: no duplicates, k rows, partition-layout independent") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 10) + 1)).toDF("id", "w")
+    val a = Curation.weightedSample(df, "id", col("w"), 50)
+      .select("id").as[Long].collect().toSeq
+    assert(a.length == 50 && a.distinct.length == 50)
+    val b = Curation.weightedSample(df.repartition(13), "id", col("w"), 50)
+      .select("id").as[Long].collect().toSeq
+    assert(a.sorted == b.sorted, "selection must not depend on layout")
+  }
+
+  test("weightedSample favors heavy rows (A-ES bias check)") {
+    // two weight classes, 10:1 — the heavy half must dominate the sample
+    // far beyond its 50% population share (E[share] ≈ 10/11)
+    val df = (1 to 1000).map(i => (i.toLong, if (i <= 500) 10L else 1L)).toDF("id", "w")
+    val heavy = Curation.weightedSample(df, "id", col("w"), 200)
+      .filter(col("id") <= 500).count()
+    assert(heavy >= 150, s"heavy class got $heavy of 200 — not plausibly ∝ weight")
+  }
+
+  test("weightedSample rejects k <= 0 and a preexisting score column") {
+    val df = Seq((1L, 1L)).toDF("id", "w")
+    intercept[IllegalArgumentException] {
+      Curation.weightedSample(df, "id", col("w"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.weightedSample(df.withColumn("es_score", lit(0.0)), "id", col("w"), 1)
+    }
+  }
 }
