@@ -39,15 +39,20 @@ object Graphs {
   def pageRankMicro(spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"iterations must be in [1, 20], got $iterations")
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val e = edges.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // one cached (src, dst, outdeg) frame, pre-partitioned on the join key:
+    // each iteration then shuffles ONLY the (node, rank) frame — the edge
+    // list (the big side at graph scale) never moves again after this
+    val edgesDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src"))
+      .cache()
     var ranks = nodes.select(col("node"), lit(RankUnit).as("rank_micro"))
     for (_ <- 1 to iterations) {
-      val contribs = e
+      val contribs = edgesDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outDeg, "src")
         .select(col("dst").as("node"),
           expr("rank_micro div outdeg").as("contrib"))
         .groupBy(col("node"))
@@ -57,6 +62,11 @@ object Graphs {
         .select(col("node"),
           (lit(TeleportMicro) +
             expr("85 * coalesce(inflow, 0L) div 100")).as("rank_micro"))
+        // truncate the lineage each round — without this the plan nests one
+        // join+agg level PER iteration and re-executes the whole prefix
+        // (measured: 10 s for 5 iterations at sf0.1 vs ~1.5 s truncated);
+        // localCheckpoint materializes on the executors, no driver collect
+        .localCheckpoint()
     }
     ranks
   }
@@ -65,21 +75,23 @@ object Graphs {
     * executable specification the integer variant is sanity-checked against
     * in GraphsSpec (rank ordering agreement). */
   def pageRankDouble(spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val e = edges.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .cache()
     var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
-      val contribs = e
+      val contribs = edgesDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outDeg, "src")
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("inflow"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"), (lit(0.15) + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .localCheckpoint()
     }
     ranks
   }
