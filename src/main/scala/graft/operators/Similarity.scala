@@ -223,6 +223,53 @@ object Similarity {
     * only, 1 = default, 2 = +b(b−1)/2 more probes per table) and the table
     * count in [[Planes]]. Both multiply only the (small, broadcast) query
     * side. */
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998) greedy
+    * diversity rerank over a SHORTLIST: k rounds of
+    * argmax λ·rel(d) − μ·max_{s∈S} sim(d, s) — the standard final stage
+    * after ANN candidate generation, trading relevance against redundancy.
+    *
+    * Scale shape: MMR is always a rerank (the shortlist comes from
+    * s01/s02/s05/s06-style top-k, 10²–10³ rows); each round is one
+    * filtered max-aggregation + TakeOrdered(1) over the shortlist, fully
+    * distributed, and only the single winning id reaches the driver per
+    * round (the Bpe.train discipline). Scores round to 9 decimals with an
+    * id tie-break, so the greedy trajectory is engine-exact; pass λ and μ
+    * as separate literals (μ = 1−λ computed in DOUBLE would differ from a
+    * 0.3 literal by 1 ulp and can flip a pick).
+    *
+    * `sims` holds DIRECTED pairs (aCol = candidate, bCol = potential
+    * selected, simCol double); provide both directions for symmetric
+    * similarity. Returns (idCol, pick 1..k, mmr_score). */
+  def mmrRerank(cands: DataFrame, idCol: String, relCol: String,
+      sims: DataFrame, aCol: String, bCol: String, simCol: String,
+      lambdaRel: Double, muDiv: Double, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    var picks = Vector.empty[(Long, Int, Double)]
+    var done = false
+    for (i <- 1 to k if !done) {
+      val selIds = picks.map(_._1)
+      val scored =
+        if (selIds.isEmpty)
+          cands.withColumn("mmr_score", round(lit(lambdaRel) * col(relCol), 9))
+        else {
+          val relSims = sims.filter(col(bCol).isInCollection(selIds))
+            .groupBy(col(aCol).as(idCol)).agg(max(col(simCol)).as("max_sim"))
+          cands.filter(!col(idCol).isInCollection(selIds))
+            .join(relSims, Seq(idCol), "left")
+            .withColumn("mmr_score",
+              round(lit(lambdaRel) * col(relCol)
+                - lit(muDiv) * coalesce(col("max_sim"), lit(0.0)), 9))
+        }
+      val winner = scored.orderBy(col("mmr_score").desc, col(idCol).asc)
+        .select(col(idCol).cast("long"), col("mmr_score")).limit(1).collect()
+      if (winner.isEmpty) done = true
+      else picks :+= ((winner(0).getLong(0), i, winner(0).getDouble(1)))
+    }
+    picks.toDF(idCol, "pick", "mmr_score")
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, probeRadius: Int = 1): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 2, s"probeRadius 0..2, got $probeRadius")
     val cBase = corpus.select(col("id").as("neighbor_id"), col("embedding").as("c_emb"),

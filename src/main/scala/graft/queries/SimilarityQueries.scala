@@ -221,7 +221,73 @@ object SimilarityQueries {
       ORDER BY vec_id"""
     })
 
+  /** MMR diversity rerank ([[Similarity.mmrRerank]]): top-20 cosine
+    * shortlist for query vector 0, then 10 greedy rounds of
+    * argmax 0.7·rel − 0.3·max-sim-to-selected. The oracle UNROLLS the 10
+    * rounds as chained CTEs (greedy selection is not one SQL expression,
+    * but each round is), so the hash-match covers the whole trajectory —
+    * shortlist, pairwise sims, and every pick in order. */
+  val s08MmrRerank = GraftQuery(
+    "s08_mmr_rerank",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") === 0).select(col("embedding").as("q_emb"))
+      val scored = e.filter(col("id") =!= 0).crossJoin(broadcast(q))
+        .select(col("id"), col("embedding"),
+          round(Similarity.dot(col("embedding"), col("q_emb"))
+            / (Similarity.l2Norm(col("embedding")) * Similarity.l2Norm(col("q_emb"))), 9)
+            .as("rel"))
+      // materialize the 20-row shortlist once — 10 rerank rounds re-read it
+      val short = scored.orderBy(col("rel").desc, col("id").asc).limit(20)
+        .localCheckpoint()
+      val a = short.select(col("id").as("a"), col("embedding").as("ea"))
+      val b = short.select(col("id").as("b"), col("embedding").as("eb"))
+      val sims = a.crossJoin(broadcast(b)).filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          round(Similarity.dot(col("ea"), col("eb"))
+            / (Similarity.l2Norm(col("ea")) * Similarity.l2Norm(col("eb"))), 9).as("sim"))
+        .localCheckpoint()
+      Similarity.mmrRerank(short.select(col("id"), col("rel")), "id", "rel",
+          sims, "a", "b", "sim", lambdaRel = 0.7, muDiv = 0.3, k = 10)
+        .orderBy(col("pick"))
+    },
+    Some {
+      def dotOf(x: String, y: String) =
+        s"list_aggregate(list_transform(range(1, len($x)+1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), 'sum')"
+      val rounds = (2 to 10).map { i =>
+        s"""      sc$i AS MATERIALIZED (
+        SELECT c.id, round(0.7 * c.rel - 0.3 * COALESCE(
+            (SELECT max(s.sim) FROM sims s
+             WHERE s.a = c.id AND s.b IN (SELECT id FROM acc${i - 1})), 0), 9) AS score
+        FROM short c WHERE c.id NOT IN (SELECT id FROM acc${i - 1})),
+      sel$i AS MATERIALIZED (SELECT id, $i AS pick, score FROM sc$i ORDER BY score DESC, id ASC LIMIT 1),
+      acc$i AS MATERIALIZED (SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM sel$i)"""
+      }.mkString(",\n")
+      s"""
+      WITH q AS MATERIALIZED (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      c0 AS (SELECT vec_id AS id, embedding AS c_emb FROM embeddings WHERE vec_id <> 0),
+      scored AS MATERIALIZED (
+        SELECT id, round(${dotOf("c_emb", "q_emb")}
+            / (${duckNorm("c_emb")} * ${duckNorm("q_emb")}), 9) AS rel
+        FROM c0 CROSS JOIN q),
+      short0 AS MATERIALIZED (SELECT id, rel FROM scored ORDER BY rel DESC, id ASC LIMIT 20),
+      sv AS MATERIALIZED (SELECT s.id, s.rel, e.embedding FROM short0 s JOIN embeddings e ON e.vec_id = s.id),
+      short AS MATERIALIZED (SELECT id, rel FROM sv),
+      sims AS MATERIALIZED (
+        SELECT x.id AS a, y.id AS b,
+               round(${dotOf("x.embedding", "y.embedding")}
+                 / (sqrt(list_aggregate(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+                    * sqrt(list_aggregate(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))), 9) AS sim
+        FROM sv x JOIN sv y ON x.id <> y.id),
+      sc1 AS (SELECT id, round(0.7 * rel, 9) AS score FROM short),
+      sel1 AS MATERIALIZED (SELECT id, 1 AS pick, score FROM sc1 ORDER BY score DESC, id ASC LIMIT 1),
+      acc1 AS MATERIALIZED (SELECT * FROM sel1),
+$rounds
+      SELECT id, CAST(pick AS INT) AS pick, score AS mmr_score
+      FROM acc10 ORDER BY pick"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(s01BruteForceTopK, s02LshTopK, s03BruteForceTopKAgg, s04Int8Quantize,
-      s07JlProjection)
+      s07JlProjection, s08MmrRerank)
 }

@@ -130,4 +130,28 @@ class SimilaritySpec extends SparkSpec {
     val median = ratios(ratios.size / 2)
     assert(median > 0.7 && median < 1.3, f"median distortion $median%.3f outside JL band")
   }
+
+  test("MMR rerank skips a redundant near-duplicate in favor of a diverse pick") {
+    // candidates: two near-identical high-relevance vectors (1, 2) and a
+    // diverse lower-relevance one (3). Pure relevance order is 1, 2, 3;
+    // MMR must pick 1, then 3 (2's similarity to 1 wipes its margin).
+    val cands = Seq((1L, 0.95), (2L, 0.94), (3L, 0.80)).toDF("id", "rel")
+    val sims = Seq(
+      (1L, 2L, 0.99), (2L, 1L, 0.99),
+      (1L, 3L, 0.05), (3L, 1L, 0.05),
+      (2L, 3L, 0.05), (3L, 2L, 0.05)).toDF("a", "b", "sim")
+    val picks = Similarity.mmrRerank(cands, "id", "rel", sims, "a", "b", "sim",
+        lambdaRel = 0.7, muDiv = 0.3, k = 3)
+      .orderBy(col("pick")).select("id").as[Long].collect().toSeq
+    assert(picks == Seq(1L, 3L, 2L), s"got $picks")
+  }
+
+  test("MMR with mu = 0 reduces to pure relevance order; stops when exhausted") {
+    val cands = Seq((1L, 0.9), (2L, 0.8)).toDF("id", "rel")
+    val sims = Seq((1L, 2L, 0.99), (2L, 1L, 0.99)).toDF("a", "b", "sim")
+    val picks = Similarity.mmrRerank(cands, "id", "rel", sims, "a", "b", "sim",
+        lambdaRel = 1.0, muDiv = 0.0, k = 5)
+      .orderBy(col("pick")).select("id").as[Long].collect().toSeq
+    assert(picks == Seq(1L, 2L), s"k beyond candidates must stop early: $picks")
+  }
 }
