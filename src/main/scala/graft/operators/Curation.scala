@@ -153,6 +153,24 @@ object Curation {
       .withColumn("at_risk", col("group_size") < k)
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007), the k-anonymity
+    * complement: a quasi-identifier group is at risk when its SENSITIVE
+    * attribute takes fewer than `l` distinct values — group size alone
+    * (k-anonymity) doesn't stop attribute disclosure when everyone in the
+    * group shares the same sensitive value. Same single hash-agg shuffle as
+    * [[kAnonymityAudit]]; exact distinct per group (at 100 TB swap in
+    * approx_count_distinct for the audit pass, keep exact for enforcement
+    * decisions). */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: Column, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityAudit needs at least one quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(sensitiveCol).as("distinct_sensitive"))
+      .withColumn("at_risk", col("distinct_sensitive") < l)
+  }
+
   /** k-anonymity ENFORCEMENT by suppression: drop every row whose
     * quasi-identifier combination has fewer than `k` members, so the
     * released frame is k-anonymous by construction. The audit's flagged

@@ -50,4 +50,45 @@ object TimeSeries {
       .rangeBetween(-(days.toLong - 1) * 86400L, 0L)
     filled.withColumn("rolling_avg", avg(col(valueCol)).over(w))
   }
+
+  /** Rolling z-score anomaly flags: each point scored against the mean/std
+    * of its own trailing `days`-day event-time window. The window moments
+    * come from EXACT DECIMAL sums (count, Σx, Σx² — the Stats.scala
+    * discipline), so they are addition-order independent; only the final
+    * z is double, rounded to 6. Points with a degenerate window (n ≤ 1 or
+    * zero spread) get NULL z and are never flagged.
+    *
+    * Shape: same single key-hash shuffle as the fill/rolling-mean windows —
+    * the three window aggregates share one frame. */
+  def rollingAnomaly(filled: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String, days: Int, zThreshold: Double): DataFrame = {
+    require(days > 1, s"days must be > 1, got $days")
+    require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(dayCol).cast("timestamp").cast("long"))
+      .rangeBetween(-(days.toLong - 1) * 86400L, 0L)
+    val vd = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val withSums = filled
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("w_sx", sum(vd).over(w).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      .withColumn("w_sxx", sum(vd * vd).over(w).cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+    val n = col("w_n").cast("double")
+    val sx = col("w_sx").cast("double")
+    val sxx = col("w_sxx").cast("double")
+    val mean = sx / n
+    // spread test on the EXACT decimal discriminant n·Σx² − (Σx)²: a
+    // constant window is exactly zero on every engine, where the double
+    // spelling rounds to ±ulp noise and the >0 gate (and the resulting
+    // z ≈ ±0.0) flips between engines
+    val disc = col("w_n").cast(org.apache.spark.sql.types.DecimalType(10, 0)) * col("w_sxx") -
+      col("w_sx") * col("w_sx")
+    val variance = (sxx - sx * sx / n) / (n - 1.0)
+    val z = when(col("w_n") > 1 && disc > 0,
+      round((col(valueCol).cast("double") - mean) / sqrt(variance), 6))
+    withSums
+      .withColumn("roll_mean", round(mean, 6))
+      .withColumn("z", z)
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .drop("w_n", "w_sx", "w_sxx")
+  }
 }

@@ -423,7 +423,106 @@ object Advanced {
         AND touch_ts >= ts - INTERVAL 30 MINUTE
       ORDER BY purchase_id"""))
 
+  /** Event-type transition matrix (first-order Markov over each user's
+    * time-ordered event stream): consecutive-pair counts + per-source-state
+    * transition probability. One user-keyed window shuffle for the lead,
+    * then a tiny |types|² aggregate; probability denominator via a second
+    * window over the counts (≤ |types|² rows — free). */
+  val q56Transitions = GraftQuery(
+    "q56_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wFrom = Window.partitionBy(col("from_type"))
+      table(s, dir, "events")
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("prob",
+          round(col("cnt").cast("double") / sum(col("cnt")).over(wFrom).cast("double"), 6))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) AS to_type
+        FROM events),
+      cnts AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT from_type, to_type, cnt,
+             round(CAST(cnt AS DOUBLE)
+               / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+      FROM cnts
+      ORDER BY from_type, to_type"""))
+
+  /** Rolling z-score anomaly detection ([[TimeSeries.rollingAnomaly]]) over
+    * the gap-filled per-customer daily series: each day scored against its
+    * own trailing 7-day window, moments from exact DECIMAL sums. Composes
+    * q46's fill — the monitoring pipeline shape (fill → roll → flag). */
+  val q57RollingAnomaly = GraftQuery(
+    "q57_rolling_anomaly",
+    (s, dir) => {
+      val daily = table(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+        .agg(max(col("o_totalprice").cast(money)).as("day_max"))
+      val filled = TimeSeries.gapFillForwardFill(daily, "o_custkey", "day", "day_max")
+      TimeSeries.rollingAnomaly(filled, "o_custkey", "day", "value_filled",
+          days = 7, zThreshold = 2.0)
+        .select(col("o_custkey"), col("day"),
+          col("value_filled").cast("double").as("filled_max"),
+          col("roll_mean"), col("z"), col("is_anomaly"))
+        .orderBy(col("o_custkey"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+               MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS day_max
+        FROM orders WHERE o_custkey < 50 GROUP BY 1, 2),
+      bounds AS (
+        SELECT o_custkey, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+      spine AS (
+        SELECT o_custkey, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds),
+      filled AS (
+        SELECT s.o_custkey, s.day,
+               last_value(d.day_max IGNORE NULLS) OVER (
+                 PARTITION BY s.o_custkey ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        FROM spine s LEFT JOIN daily d ON s.o_custkey = d.o_custkey AND s.day = d.day),
+      sums AS (
+        SELECT o_custkey, day, value_filled,
+               COUNT(*) OVER w AS w_n,
+               CAST(SUM(CAST(value_filled AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS w_sx,
+               CAST(SUM(CAST(value_filled AS DECIMAL(18,2))
+                 * CAST(value_filled AS DECIMAL(18,2))) OVER w AS DECIMAL(28,4)) AS w_sxx
+        FROM filled
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(CAST(day AS TIMESTAMP))
+                     RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)),
+      scored AS (
+        SELECT o_custkey, day,
+               CAST(value_filled AS DOUBLE) AS filled_max,
+               round(CAST(w_sx AS DOUBLE) / CAST(w_n AS DOUBLE), 6) AS roll_mean,
+               CASE WHEN w_n > 1
+                     AND CAST(w_n AS DECIMAL(10,0)) * w_sxx - w_sx * w_sx > 0
+                 THEN round((CAST(value_filled AS DOUBLE)
+                     - CAST(w_sx AS DOUBLE) / CAST(w_n AS DOUBLE))
+                   / sqrt((CAST(w_sxx AS DOUBLE)
+                     - CAST(w_sx AS DOUBLE) * CAST(w_sx AS DOUBLE) / CAST(w_n AS DOUBLE))
+                     / (CAST(w_n AS DOUBLE) - 1.0)), 6)
+               END AS z
+        FROM sums)
+      SELECT o_custkey, day, filled_max, roll_mean, z,
+             COALESCE(abs(z) > 2.0, false) AS is_anomaly
+      FROM scored
+      ORDER BY o_custkey, day"""))
+
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
-    q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution)
+    q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution,
+    q56Transitions, q57RollingAnomaly)
 }

@@ -749,11 +749,29 @@ object CurationQueries {
       ORDER BY es_score ASC, doc_id ASC
       LIMIT 100"""))
 
+  /** l-diversity audit ([[Curation.lDiversityAudit]]), k-anonymity's
+    * attribute-disclosure complement (c17 pairs with it): (lang, source)
+    * groups whose length-band sensitive attribute takes < 3 distinct
+    * values are flagged even when the group itself is large. */
+  val c21LDiversity = GraftQuery(
+    "c21_l_diversity",
+    (s, dir) =>
+      Curation.lDiversityAudit(table(s, dir, "documents"),
+          Seq("lang", "source"), expr("n_chars div 500"), l = 3)
+        .orderBy(col("lang"), col("source")),
+    Some("""
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT n_chars // 500) AS BIGINT) AS distinct_sensitive,
+             COUNT(DISTINCT n_chars // 500) < 3 AS at_risk
+      FROM documents
+      GROUP BY lang, source
+      ORDER BY lang, source"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
       c08TokenQuotaMix, c09Decontamination, c11AdaptiveThreshold,
       c12BloomDecontamination, c13QualityKeeper, c14HashSplit, c15ChunkWindows,
       c16TemperatureMix, c17KAnonymity, c18QualityEnsemble, c19SourceOverlap,
-      c20WeightedSample)
+      c20WeightedSample, c21LDiversity)
 }

@@ -88,6 +88,24 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(out == Seq(10.0, 15.0, 30.0), out.toString)
   }
 
+  test("rollingAnomaly flags a planted spike; constant windows never flag") {
+    val filled = ((1 to 10).map(d => (1L, f"2024-01-$d%02d", 100.0)) :+
+      ((1L, "2024-01-11", 500.0)) :+ ((1L, "2024-01-12", 100.0)))
+      .toDF("k", "day", "v").withColumn("day", to_date(col("day")))
+    val out = TimeSeries.rollingAnomaly(filled, "k", "day", "v", days = 7, zThreshold = 2.0)
+      .orderBy("day")
+      .select(col("day").cast("string"), col("z"), col("is_anomaly"))
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getBoolean(2)))
+    // constant prefix: exact-zero spread → NULL z, no flag
+    assert(out.take(10).forall { case (_, z, f) => z.isEmpty && !f }, out.mkString(","))
+    // the spike day: way outside its trailing window
+    val spike = out.find(_._1 == "2024-01-11").get
+    assert(spike._3, s"spike not flagged: $spike")
+    // the day after: window now contains the spike, 100.0 is within 2σ
+    val after = out.find(_._1 == "2024-01-12").get
+    assert(!after._3, s"normal day flagged: $after")
+  }
+
   // ---- Merge.upsert --------------------------------------------------------
 
   private val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))

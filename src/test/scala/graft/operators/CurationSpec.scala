@@ -306,6 +306,19 @@ class CurationSpec extends SparkSpec {
     assert(heavy >= 150, s"heavy class got $heavy of 200 — not plausibly ∝ weight")
   }
 
+  test("lDiversityAudit flags large-but-uniform groups k-anonymity misses") {
+    // group (en, web): 5 rows (k-anonymous at k=3) but ONE sensitive value
+    // → l-diversity must flag it; (de, web): 3 rows, 3 distinct values → ok
+    val df = (Seq.fill(5)(("en", "web", 1L)) ++
+      Seq(("de", "web", 1L), ("de", "web", 2L), ("de", "web", 3L)))
+      .toDF("lang", "source", "band")
+    val got = Curation.lDiversityAudit(df, Seq("lang", "source"), col("band"), 3)
+      .as[(String, String, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      ("en", "web", 5L, 1L, true),
+      ("de", "web", 3L, 3L, false)))
+  }
+
   test("weightedSample rejects k <= 0 and a preexisting score column") {
     val df = Seq((1L, 1L)).toDF("id", "w")
     intercept[IllegalArgumentException] {
