@@ -521,8 +521,52 @@ object Advanced {
       FROM scored
       ORDER BY o_custkey, day"""))
 
+  /** Incremental view maintenance ([[graft.operators.Cdc.incrementAggregate]]):
+    * q51's change rows applied to the OLD snapshot's status-level aggregate.
+    * The oracle recomputes the aggregate FROM SCRATCH on the new snapshot —
+    * hash equality IS the proof that the incremental algebra (signed
+    * deltas, group migration on status updates, zero-count eviction)
+    * reproduces a full refresh. */
+  val q58IncrementalAgg = GraftQuery(
+    "q58_incremental_agg",
+    (s, dir) => {
+      val base = table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(money).as("price"))
+      val oldSnap = base.filter(col("o_orderkey") % 10 < 8)
+      val newSnap = base.filter(col("o_orderkey") % 10 >= 2)
+        .withColumn("price",
+          when(col("o_orderkey") % 3 === 0, col("price") + lit(10).cast(money))
+            .otherwise(col("price")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      val aggOld = oldSnap.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("total"))
+      val changes = graft.operators.Cdc.snapshotDiff(oldSnap, newSnap, "o_orderkey")
+      graft.operators.Cdc.incrementAggregate(aggOld, changes,
+          "o_orderstatus", "price", "n_orders", "total")
+        .select(col("o_orderstatus"), col("n_orders"),
+          col("total").cast("double").as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders),
+      new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 THEN price + 10 ELSE price END AS price
+        FROM base WHERE o_orderkey % 10 >= 2)
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(price) AS DOUBLE) AS total
+      FROM new
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
     q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution,
-    q56Transitions, q57RollingAnomaly)
+    q56Transitions, q57RollingAnomaly, q58IncrementalAgg)
 }

@@ -42,6 +42,33 @@ class CdcFunnelSpec extends SparkSpec {
       (2L, None, "update_preimage"), (2L, Some("now"), "update_postimage")))
   }
 
+  test("incrementAggregate equals a from-scratch refresh under random deltas") {
+    val rnd = new scala.util.Random(42)
+    val groups = Array("a", "b", "c", "d")
+    val oldRows = (1 to 300).map(k =>
+      (k.toLong, groups(rnd.nextInt(4)), BigDecimal(rnd.nextInt(100000)) / 100))
+    // new snapshot: drop ~1/7, mutate value ~1/3, migrate group ~1/5, insert fresh keys
+    val newRows = oldRows.filterNot(_._1 % 7 == 0).map { case (k, g, v) =>
+      val v2 = if (k % 3 == 0) v + 17 else v
+      val g2 = if (k % 5 == 0) groups((groups.indexOf(g) + 1) % 4) else g
+      (k, g2, v2)
+    } ++ (301 to 330).map(k => (k.toLong, groups(rnd.nextInt(4)), BigDecimal(k)))
+    val oldSnap = oldRows.toDF("k", "grp", "v")
+      .withColumn("v", col("v").cast("decimal(12,2)"))
+    val newSnap = newRows.toDF("k", "grp", "v")
+      .withColumn("v", col("v").cast("decimal(12,2)"))
+    val aggOld = oldSnap.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val incremental = Cdc.incrementAggregate(
+        aggOld, Cdc.snapshotDiff(oldSnap, newSnap, "k"), "grp", "v", "n", "s")
+      .select(col("grp"), col("n"), col("s").cast("decimal(20,2)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val direct = newSnap.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("decimal(20,2)").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(incremental == direct)
+  }
+
   // ---- Stats.histogram -----------------------------------------------------
 
   test("histogram bins in exact cents: edge values land in the upper bin, overflow clamps") {
