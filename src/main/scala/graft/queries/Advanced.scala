@@ -565,8 +565,70 @@ object Advanced {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
+  /** String-function breadth beyond q17 (pad/slice/reverse/repeat/locate/
+    * split_part/translate — the §2.8 surface a migrating user expects).
+    * Per-row, shuffle-free; every function chosen has an exactly-matching
+    * DuckDB counterpart (initcap deliberately excluded — no DuckDB
+    * equivalent to oracle against). */
+  val q59StringBreadth = GraftQuery(
+    "q59_string_breadth",
+    (s, dir) =>
+      table(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(
+          col("p_partkey"),
+          lpad(col("p_name"), 30, "*").as("padded_l"),
+          rpad(col("p_name"), 30, "*").as("padded_r"),
+          reverse(col("p_name")).as("reversed"),
+          expr("repeat(left(p_name, 2), 3)").as("rep2"),
+          instr(col("p_name"), "a").cast("int").as("first_a"),
+          expr("split_part(p_name, ' ', 1)").as("first_word"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+          expr("right(p_name, 3)").as("tail3"))
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey,
+             lpad(p_name, 30, '*') AS padded_l,
+             rpad(p_name, 30, '*') AS padded_r,
+             reverse(p_name) AS reversed,
+             repeat(left(p_name, 2), 3) AS rep2,
+             CAST(strpos(p_name, 'a') AS INT) AS first_a,
+             split_part(p_name, ' ', 1) AS first_word,
+             translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+             right(p_name, 3) AS tail3
+      FROM part WHERE p_partkey <= 200
+      ORDER BY p_partkey"""))
+
+  /** Date-function breadth beyond q18: truncation grains, month-end,
+    * fiscal fields, ISO week/day-of-year — the calendar surface of §2.8. */
+  val q60DateBreadth = GraftQuery(
+    "q60_date_breadth",
+    (s, dir) =>
+      table(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select(
+          col("o_orderkey"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          to_date(date_trunc("quarter", col("o_orderdate"))).as("quarter_start"),
+          to_date(date_trunc("week", col("o_orderdate"))).as("week_start"),
+          last_day(col("o_orderdate")).as("month_end"),
+          quarter(col("o_orderdate")).cast("int").as("q"),
+          weekofyear(col("o_orderdate")).cast("int").as("iso_week"),
+          dayofyear(col("o_orderdate")).cast("int").as("doy"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+             CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+             last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             CAST(quarter(o_orderdate) AS INT) AS q,
+             CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+             CAST(dayofyear(o_orderdate) AS INT) AS doy
+      FROM orders WHERE o_orderkey <= 500
+      ORDER BY o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
     q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution,
-    q56Transitions, q57RollingAnomaly, q58IncrementalAgg)
+    q56Transitions, q57RollingAnomaly, q58IncrementalAgg, q59StringBreadth,
+    q60DateBreadth)
 }
