@@ -51,6 +51,30 @@ object Layout {
     ranged.sortWithinPartitions(code)
   }
 
+  /** Hilbert-curve code for (x, y) on a 2^bits grid — the clustering key
+    * table formats moved to AFTER Z-order: no diagonal jumps, so runs of
+    * consecutive codes span tighter rectangles and row-group min/max
+    * pruning skips more (measured vs Morton in LayoutSpec). Native codegen
+    * expression ([[graft.sql.HilbertIndex]]) because the per-level
+    * rotation is stateful — a Column composition would nest ~4× per bit. */
+  def hilbertCode(x: Column, y: Column, bits: Int = 16): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.HilbertIndex(
+        org.apache.spark.sql.graft.ColumnShim.expression(x.cast("long")),
+        org.apache.spark.sql.graft.ColumnShim.expression(y.cast("long")),
+        bits))
+
+  /** [[zorderBy]] with the Hilbert key: range-partition + in-partition sort
+    * by the curve position. Same file-count lever, tighter envelopes. */
+  def hilbertBy(df: DataFrame, x: Column, y: Column, bits: Int = 16,
+      partitions: Int = 0): DataFrame = {
+    val code = hilbertCode(x, y, bits)
+    val ranged =
+      if (partitions > 0) df.repartitionByRange(partitions, code)
+      else df.repartitionByRange(code)
+    ranged.sortWithinPartitions(code)
+  }
+
   /** Materialize `df` as a BUCKETED + sorted catalog table at `path` and
     * return it re-read through the catalog (bucket metadata only survives
     * `saveAsTable`). Standalone sibling of `Lakehouse.materializeBucketed`

@@ -587,10 +587,50 @@ object Extended {
       ORDER BY g_flag, g_status,
                l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
 
+  /** Hilbert-curve clustering codes (q40's Z-order successor — the key
+    * Delta/Iceberg OPTIMIZE moved to): native stateful-walk expression on
+    * the Spark side; the oracle re-runs the identical walk as a
+    * `list_reduce` fold over bit levels with the (x, y, d) state PACKED
+    * into one BIGINT (x≪24 | y≪16 | d), since SQL folds carry a single
+    * accumulator value. Hash equality pins every rotation/reflection. */
+  val q61HilbertCodes = GraftQuery(
+    "q61_hilbert_codes",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 256).cast("int").as("x"),
+          (col("o_orderkey") % 256).cast("int").as("y"))
+        .withColumn("hcode",
+          graft.operators.Layout.hilbertCode(col("x"), col("y"), bits = 8))
+        .orderBy(col("hcode"), col("o_orderkey"))
+        .limit(2000),
+    Some("""
+      WITH pts AS (
+        SELECT o_orderkey,
+               CAST(o_custkey % 256 AS INT) AS x,
+               CAST(o_orderkey % 256 AS INT) AS y
+        FROM orders)
+      SELECT o_orderkey, x, y,
+             CAST(list_reduce(list_prepend((CAST(x AS BIGINT) << 24) | (CAST(y AS BIGINT) << 16),
+               list_transform(range(0, 8), i -> CAST(1 << (7 - CAST(i AS INT)) AS BIGINT))),
+               (acc, s) -> (
+                 ((CASE WHEN (((acc >> 16) & 255) & s) = 0
+                    THEN (CASE WHEN ((acc >> 24) & s) > 0 THEN 255 - ((acc >> 16) & 255) ELSE ((acc >> 16) & 255) END)
+                    ELSE (acc >> 24) END) << 24)
+                 | ((CASE WHEN (((acc >> 16) & 255) & s) = 0
+                    THEN (CASE WHEN ((acc >> 24) & s) > 0 THEN 255 - (acc >> 24) ELSE (acc >> 24) END)
+                    ELSE ((acc >> 16) & 255) END) << 16)
+                 | ((acc & 65535) + s * s * xor(3 * (CASE WHEN ((acc >> 24) & s) > 0 THEN 1 ELSE 0 END),
+                                                (CASE WHEN (((acc >> 16) & 255) & s) > 0 THEN 1 ELSE 0 END)))
+               )) & 65535 AS BIGINT) AS hcode
+      FROM pts
+      ORDER BY hcode, o_orderkey
+      LIMIT 2000"""))
+
   val all: Seq[GraftQuery] = Seq(
     q26WindowFrames, q27Ranking, q28GroupingSets, q29Pivot, q30AsOfJoin,
     q31RangeJoin, q32Sessionize, q33Percentiles, q34ApproxDistinct,
     q35ScalarSubquery, q36FromJson, q37ApproxPercentile, q38SaltedJoin,
     q39HeavyHitters, q40ZorderCodes, q41SmbBucketJoin, q42Profile,
-    q43HoppingWindows, q44Cube)
+    q43HoppingWindows, q44Cube, q61HilbertCodes)
 }

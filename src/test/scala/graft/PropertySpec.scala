@@ -389,4 +389,40 @@ class PropertySpec extends SparkSpec {
         s"round $round: picked $n < ${total - strata} (total=$total, strata=$strata)")
     }
   }
+
+  test("funnel fold equals the sequential per-user reference on random event streams") {
+    import graft.operators.Funnel
+    val steps = Seq("view", "click", "purchase")
+    val types = Array("view", "click", "purchase", "error", "signup")
+    val rnd = new Random(4242)
+    for (round <- 1 to 3) {
+      val events = (1 to 800).map { i =>
+        (i.toLong, new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+          (rnd.nextInt(40) + 1).toLong, types(rnd.nextInt(types.length)))
+      }
+      // sequential reference: walk each user's events in (ts, id) order,
+      // set step k at the first type-k event strictly after step k-1
+      val expected = events.groupBy(_._3).flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e._2.getTime, e._1))
+        val t = Array.fill[Option[Long]](steps.length)(None)
+        sorted.foreach { case (_, ts, _, typ) =>
+          val k = steps.indexOf(typ)
+          if (k >= 0 && t(k).isEmpty &&
+              (k == 0 || t(k - 1).exists(_ < ts.getTime)))
+            t(k) = Some(ts.getTime)
+        }
+        if (t(0).isEmpty) None
+        else Some(u -> (t.map(_.getOrElse(-1L)).toSeq, t.count(_.nonEmpty)))
+      }
+      val got = Funnel.funnelSteps(
+          events.toDF("event_id", "ts", "user_id", "event_type"),
+          "user_id", "event_type", "ts", steps)
+        .collect().map { r =>
+          val ts = (1 to 3).map(i => Option(r.getAs[Timestamp](s"t$i"))
+            .map(_.getTime).getOrElse(-1L))
+          r.getAs[Long]("user_id") -> ((ts, r.getAs[Int]("steps_reached")))
+        }.toMap
+      assert(got == expected, s"round $round: funnel fold diverged from reference")
+    }
+  }
 }

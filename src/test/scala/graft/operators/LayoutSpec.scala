@@ -61,6 +61,63 @@ class LayoutSpec extends SparkSpec {
     assert(zorderX.toDouble <= n * 0.35, s"z-order pruned too little on x: $zorderX of $n")
   }
 
+  test("hilbertCode matches an independent reimplementation; codes are a bijection") {
+    val ref = (x0: Long, y0: Long, bits: Int) => {
+      val bigN = 1L << bits
+      var x = x0; var y = y0; var d = 0L; var s = bigN >> 1
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = bigN - 1 - x; y = bigN - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val pts = spark.range(4096)
+      .select((col("id") % 64).as("x"), expr("id div 64").as("y"))
+    val got = pts.withColumn("h", Layout.hilbertCode(col("x"), col("y"), bits = 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, h) =>
+      assert(h == ref(x, y, 6), s"($x, $y): got $h, want ${ref(x, y, 6)}")
+    }
+    // a space-filling curve is a bijection: 4096 grid cells → 4096 distinct codes
+    assert(got.map(_._3).distinct.length == 4096)
+  }
+
+  test("hilbert layout prunes BOTH dimensions at least as well as z-order") {
+    val n = 256 * 256 * 2
+    val grid = spark.range(n.toLong)
+      .select((col("id") % 256).cast("int").as("x"),
+        ((col("id") / 256) % 256).cast("int").as("y"),
+        col("id").as("payload"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hilbert").toString
+    val opts = Map("parquet.block.size" -> (64 * 1024).toString)
+    Layout.zorderBy(grid, col("x"), col("y"), bits = 8, partitions = 4)
+      .write.options(opts).mode("overwrite").parquet(s"$tmp/zorder")
+    Layout.hilbertBy(grid, col("x"), col("y"), bits = 8, partitions = 4)
+      .write.options(opts).mode("overwrite").parquet(s"$tmp/hilbert")
+    def rowsScanned(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(path).filter(pred)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no file scan"))
+      scan.metrics("numOutputRows").value
+    }
+    for (pred <- Seq(col("y") < 8, col("x") < 8)) {
+      val z = rowsScanned(s"$tmp/zorder", pred)
+      val h = rowsScanned(s"$tmp/hilbert", pred)
+      // same clustering family: hilbert must prune, and not be worse than
+      // z-order beyond row-group boundary noise
+      assert(h.toDouble <= n * 0.35, s"hilbert pruned too little: $h of $n for $pred")
+      assert(h.toDouble <= z.toDouble * 1.15, s"hilbert ($h) worse than z-order ($z) for $pred")
+    }
+  }
+
   test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
     // hive-partition the fact by its join key, dim as a real file source
     // (a LocalRelation would fold to a static filter — DPP is the runtime
