@@ -294,7 +294,8 @@ object Advanced {
         UNION ALL
         SELECT k, ns, np, 'update_postimage' FROM j
         WHERE in_old AND in_new AND (os IS DISTINCT FROM ns OR op IS DISTINCT FROM np))
-      ORDER BY o_orderkey, change_type"""))
+      ORDER BY o_orderkey, change_type"""),
+    bench = true)
 
   /** Fixed-width histogram ([[Stats.histogram]]): 20 × 25k bins over order
     * totals, assignment in INTEGER cents so bin edges are engine-exact.

@@ -480,7 +480,8 @@ object DedupQueries {
              CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
       FROM occ
       GROUP BY doc_id
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    bench = true)
 
   val all: Seq[GraftQuery] = Seq(
     d01ExactDedup, d02JaccardPairs, d03MinhashSignatures,
