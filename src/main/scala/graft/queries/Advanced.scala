@@ -627,9 +627,40 @@ object Advanced {
       FROM orders WHERE o_orderkey <= 500
       ORDER BY o_orderkey"""))
 
+  /** Frequent co-occurrence pairs (market-basket support counting): parts
+    * appearing together in an order, support ≥ 2. The self-join fans out
+    * ≤ basket_size² rows per order — bounded by the BASKET (≤7 here), not
+    * the catalog, which is what makes pairwise support counting feasible
+    * at any order count (contrast d02, where a hot shingle's df is
+    * corpus-bounded and needs a cap). One orderkey-hash join + one pair
+    * aggregate. */
+  val q63CoOccurrence = GraftQuery(
+    "q63_cooccurrence",
+    (s, dir) => {
+      val items = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+    },
+    Some("""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+      ORDER BY support DESC, part_a, part_b"""))
+
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
     q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution,
     q56Transitions, q57RollingAnomaly, q58IncrementalAgg, q59StringBreadth,
-    q60DateBreadth)
+    q60DateBreadth, q63CoOccurrence)
 }

@@ -627,10 +627,49 @@ object Extended {
       ORDER BY hcode, o_orderkey
       LIMIT 2000"""))
 
+  /** Built-in gap-based session windows (`session_window(ts, gap)` — the
+    * §2.5/§2.9 operator Spark added for exactly the q32 idiom, usable in
+    * batch AND streaming): per-(user, session) frames with start, end =
+    * last event + gap, and counts. The oracle recomputes sessions with the
+    * lag/cumsum spelling, so the hash-match proves the built-in and the
+    * manual idiom agree frame for frame. One user-keyed shuffle. */
+  val q62SessionWindow = GraftQuery(
+    "q62_session_window",
+    (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("user_id"), expr("session_window(ts, '30 minutes')").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(12, 2))).cast("double").as("session_value"))
+        .select(col("user_id"),
+          col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+      FROM sess
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
   val all: Seq[GraftQuery] = Seq(
     q26WindowFrames, q27Ranking, q28GroupingSets, q29Pivot, q30AsOfJoin,
     q31RangeJoin, q32Sessionize, q33Percentiles, q34ApproxDistinct,
     q35ScalarSubquery, q36FromJson, q37ApproxPercentile, q38SaltedJoin,
     q39HeavyHitters, q40ZorderCodes, q41SmbBucketJoin, q42Profile,
-    q43HoppingWindows, q44Cube, q61HilbertCodes)
+    q43HoppingWindows, q44Cube, q61HilbertCodes, q62SessionWindow)
 }

@@ -160,6 +160,17 @@ object Streams {
           .as("lag_seconds"))
   }
 
+  /** Stream-static enrichment: join the unbounded stream against a bounded
+    * dimension frame — the streaming counterpart of the silver layer's
+    * broadcast dim joins (J2). The static side is re-planned per
+    * micro-batch (so a refreshed dim table is picked up batch to batch —
+    * the slowly-changing-dim behavior a nightly-updated reference dim
+    * wants) and broadcasts when small; the stream side never buffers state
+    * for this join. Left join keeps unmatched events flowing with null
+    * enrichment rather than silently dropping them. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(dim, Seq(key), "left")
+
   /** Streaming MERGE (upsert) sink: each micro-batch is latest-wins deduped
     * on `keyCol` then merged into the parquet table at `targetPath` via
     * [[graft.operators.Merge.upsertSmallSource]] — the foreachBatch +

@@ -233,6 +233,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim; unmatched pass through") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = Streams.enrichWithDim(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:00:01", 2, "view", 2.0),
+        ev(3, "2024-01-01 10:00:02", 7, "view", 3.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getAs[Long]("event_id"), Option(r.getAs[String]("tier")))).toSet
+      assert(rows == Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("upsert sink merges each micro-batch into the target (latest wins)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
