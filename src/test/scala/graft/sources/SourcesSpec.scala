@@ -45,4 +45,34 @@ class SourcesSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(score(fromJson) == score(docs))
   }
+
+  test("corrupt JSON records: PERMISSIVE captures them in a column, FAILFAST throws") {
+    // real ingestion concern: one bad line must not silently vanish rows
+    // (PERMISSIVE default) and must be loud when the pipeline asks for it
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corrupt_").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "data.json"),
+      """{"doc_id": 1, "text": "ok"}
+        |{"doc_id": 2 "text": "missing comma"}
+        |{"doc_id": 3, "text": "also ok"}
+        |""".stripMargin)
+    val schema = "doc_id BIGINT, text STRING, _corrupt_record STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(tmp)
+    // cache first: Spark refuses filtering on only the corrupt column of a
+    // raw scan (internal-row pushdown limitation) — the documented pattern
+    permissive.cache()
+    try {
+      assert(permissive.count() == 3, "no row may vanish under PERMISSIVE")
+      val bad = permissive.filter(col("_corrupt_record").isNotNull).collect()
+      assert(bad.length == 1 && bad(0).getAs[String]("_corrupt_record").contains("missing comma"))
+      val good = permissive.filter(col("_corrupt_record").isNull)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(good == Seq(1L, 3L))
+    } finally permissive.unpersist()
+    val failfast = spark.read.schema("doc_id BIGINT, text STRING")
+      .option("mode", "FAILFAST").json(tmp)
+    val err = intercept[org.apache.spark.SparkException] { failfast.collect() }
+    assert(err.getMessage.toLowerCase.contains("malformed") ||
+      Option(err.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
 }
