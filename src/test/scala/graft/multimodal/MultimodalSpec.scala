@@ -103,4 +103,26 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)) == Seq((2L, 5L)), pairs.mkString(","))
     assert(pairs.head._3 == 1.0)
   }
+
+  test("media features flow into the similarity path: near-copies are nearest neighbors") {
+    import spark.implicits._
+    // the extracted feature vector is array<float>, the exact input type of
+    // Similarity.bruteForceTopK — media dedup/search composes with the ANN
+    // stack with no adapter. All four assets are image-class (id % 3 = 0;
+    // feature scales are only comparable within a kind). Asset 30's payload
+    // is a near-copy of 3's; 60 and 90 differ — 3's top-1 must be 30.
+    val base = "media payload with stable statistics abcdefghij " * 8
+    val docs = Seq(
+      (3L, base), (30L, base + "!"),
+      (60L, "x" * 900), (90L, "short"))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(
+        Multimodal.assetsFromDocuments(docs), Multimodal.MediaDecoder.Fake)
+      .toDF().select(org.apache.spark.sql.functions.col("asset_id").as("id"),
+        org.apache.spark.sql.functions.col("features").as("embedding"))
+    val top1 = graft.operators.Similarity.bruteForceTopK(
+        feats.filter(org.apache.spark.sql.functions.col("id") === 3L), feats, 1)
+      .select("neighbor_id").as[Long].head()
+    assert(top1 == 30L, s"nearest neighbor of the near-copy was $top1")
+  }
 }
