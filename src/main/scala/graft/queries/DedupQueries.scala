@@ -483,9 +483,45 @@ object DedupQueries {
       ORDER BY doc_id"""),
     bench = true)
 
+  /** Exact set-similarity self-join with prefix filtering
+    * ([[Dedup.prefixFilterPairs]], AllPairs/PPJoin): every Jaccard ≥ 0.8
+    * pair over the d02 shingle-hash sets, found WITHOUT a df cap (lossless)
+    * and without an all-pairs product — each doc joins only on its
+    * `sz − ⌈0.8·sz⌉ + 1` globally-rarest shingles. Integer threshold
+    * arithmetic (100·inter ≥ 80·union) makes every emitted row
+    * engine-exact. */
+  val d14PrefixJaccard = GraftQuery(
+    "d14_prefix_jaccard_pairs",
+    (s, dir) =>
+      Dedup.prefixFilterPairs(table(s, dir, "documents"), "doc_id", "text", tauPct = 80)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH codes_t AS (SELECT doc_id, $duckCodes AS codes, text FROM documents),
+      hs_t AS (SELECT doc_id, list_sort(list_distinct($duckShingleHashes)) AS hset FROM codes_t),
+      sh AS (SELECT doc_id, unnest(hset) AS h FROM hs_t),
+      dft AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h),
+      ranked AS (
+        SELECT s.doc_id, s.h,
+               row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.h) AS rn,
+               COUNT(*) OVER (PARTITION BY s.doc_id) AS sz
+        FROM sh s JOIN dft d USING (h)),
+      prefix AS (SELECT * FROM ranked WHERE rn <= sz - ((80*sz + 99) // 100) + 1),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+        WHERE 100*least(a.sz, b.sz) >= 80*greatest(a.sz, b.sz)),
+      ver AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(ha.hset, hb.hset)) AS BIGINT) AS inter_size,
+               CAST(len(ha.hset) + len(hb.hset) - len(list_intersect(ha.hset, hb.hset)) AS BIGINT) AS union_size
+        FROM cand JOIN hs_t ha ON id_a = ha.doc_id JOIN hs_t hb ON id_b = hb.doc_id)
+      SELECT id_a, id_b, inter_size, union_size
+      FROM ver WHERE 100*inter_size >= 80*union_size
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01ExactDedup, d02JaccardPairs, d03MinhashSignatures,
     d04LshNearDup, d05Simhash, d06EmbeddingNearDup, d07ContainmentPairs,
     d09DuplicateSpans, d10CrossCorpusLsh, d11CdcNearDup, d12IntradocDedup,
-    d13CrossdocDedup)
+    d13CrossdocDedup, d14PrefixJaccard)
 }

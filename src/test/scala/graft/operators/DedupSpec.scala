@@ -287,4 +287,48 @@ class DedupSpec extends SparkSpec {
         maxGramFreq = 3L).as[(Long, Long, Int, Int, Long)].collect().toSeq
     assert(spans.length == 3 && spans.forall(_._5 == 12L), spans.mkString(","))
   }
+
+  test("prefix filter is lossless: equals naive all-pairs exact Jaccard") {
+    // mixed corpus: exact dups, a near-dup, unrelated docs, and a hot
+    // marker shared by everyone (the case the df cap is blind to)
+    val corpus = (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "totally different payload one two three four five"),
+      (5L, "another unrelated block of words six seven eight")
+    ) ++ (6 to 15).map(i => (i.toLong, s"filler document number $i " + ('a' + i).toChar.toString * 20)))
+      .map { case (id, t) => (id, t + " COMMONTAG") }.toDF("doc_id", "text")
+
+    val got = Dedup.prefixFilterPairs(corpus, "doc_id", "text", tauPct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive reference: all C(n,2) pairs, exact Jaccard over the same sets
+    val base = Dedup.shingleSets(corpus, "doc_id", "text")
+    val naive = base.as("a").join(base.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        size(array_intersect(col("a.hset"), col("b.hset"))).cast("long").as("inter"),
+        (size(col("a.hset")) + size(col("b.hset"))).cast("long").as("tot"))
+      .filter(lit(100L) * col("inter") >= lit(60L) * (col("tot") - col("inter")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"prefix-filter pairs $got != naive $naive")
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)))
+  }
+
+  test("prefix filter finds pairs whose shared shingles are ALL over the df cap") {
+    // twins made ENTIRELY of corpus-wide boilerplate: every one of their
+    // shingles has df = corpus size, so the 50%-df-capped index drops all
+    // of them and jaccardPairs cannot discover the pair; the prefix filter
+    // keeps rarest-per-doc shingles regardless of absolute df and finds it.
+    val boiler = "standard legal disclaimer text repeated everywhere verbatim"
+    val corpus = ((1 to 18).map(i => (i.toLong, boiler + " unique" + i + " " + ('a' + i).toChar.toString * 25)) ++
+      Seq((100L, boiler), (101L, boiler))).toDF("doc_id", "text")
+
+    val capped = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefix = Dedup.prefixFilterPairs(corpus, "doc_id", "text", tauPct = 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((100L, 101L)),
+      s"df-capped path unexpectedly found the boilerplate twins: $capped")
+    assert(prefix.contains((100L, 101L)), s"prefix filter missed the twins: $prefix")
+  }
 }

@@ -231,6 +231,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("d14 prefix filter: candidate generation and verify are equi-joins; intersect is native") {
+    val p = plan(q("d14_prefix_jaccard_pairs"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("sorted_intersect_size"), p.take(3000))
+  }
+
   test("d11 CDC: chunking is the native codegen expression; joins are equi-joins only") {
     val p = plan(q("d11_cdc_neardup"))
     assert(p.contains("cdc_chunk_hashes"), p.take(3000))
