@@ -95,4 +95,59 @@ object Graphs {
     }
     ranks
   }
+
+  /** Per-node triangle counts via DEGREE-ORDERED ORIENTATION (Schank's
+    * forward algorithm; the MapReduce formulation is Suri & Vassilvitskii
+    * WWW'11): orient each undirected edge from its (degree, id)-smaller
+    * endpoint to the larger, join oriented paths s→t₁, s→t₂ (t₁ < t₂ in
+    * the SAME orientation order), and close each wedge against the
+    * oriented edge t₁→t₂. Every triangle is produced exactly once — at
+    * its orientation-minimal vertex — then exploded to its three corners
+    * for the per-node aggregate.
+    *
+    * Why orientation is the scale move: a naive wedge join fans out
+    * Σ deg(v)² — one celebrity node in a power-law graph is a quadratic
+    * hot key. Orienting toward HIGHER degree caps every out-degree at
+    * O(√m) (a node with out-degree d has d higher-degree successors, so
+    * d·deg ≤ 2m with deg ≥ d), so the wedge join's fan-out is
+    * Σ outdeg(v)² ≤ O(m^1.5) — the best possible bound for triangle
+    * enumeration, and per-key bounded so the shuffle has no hot keys.
+    * All joins are equi-joins (wedge on s; closure on the (t₁,t₂) pair).
+    *
+    * Input: undirected `edges` with (u, v) columns (direction and
+    * duplicates ignored; self-loops dropped). Returns (node, n_triangles)
+    * for every node in ≥ 1 triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient toward the (degree, id)-larger endpoint; u < v already, so a
+    // degree tie keeps u as the source. `dt` (target degree) rides along
+    // so the wedge join can order targets by the same orientation key
+    // without re-joining degrees.
+    val o = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("s"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("t"),
+        when(col("du") <= col("dv"), col("dv")).otherwise(col("du")).as("dt"))
+    // wedge: two out-edges of s with t₁ < t₂ in orientation (deg, id)
+    // order, so each unordered wedge is emitted once; closure: the
+    // oriented edge t₁→t₂ must exist with exactly that direction
+    val tri = o.as("p1").join(o.as("p2"),
+        col("p1.s") === col("p2.s") &&
+          (col("p1.dt") < col("p2.dt") ||
+            (col("p1.dt") === col("p2.dt") && col("p1.t") < col("p2.t"))))
+      .select(col("p1.s").as("a"), col("p1.t").as("b"), col("p2.t").as("c"))
+      .join(o.as("e3"), col("e3.s") === col("b") && col("e3.t") === col("c"))
+      .select(col("a"), col("b"), col("c"))
+    tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

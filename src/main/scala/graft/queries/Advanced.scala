@@ -658,9 +658,51 @@ object Advanced {
       HAVING COUNT(*) >= 2
       ORDER BY support DESC, part_a, part_b"""))
 
+  /** Per-node triangle counts ([[Graphs.triangleCounts]]) over the
+    * co-purchase graph (parts sharing an order). Degree-ordered
+    * orientation caps every wedge-join key's fan-out at O(√m) — the
+    * Schank / Suri–Vassilvitskii bound that removes power-law hot keys —
+    * and each triangle is enumerated exactly once at its
+    * orientation-minimal corner. Counts are integers, so the oracle
+    * hash-matches exactly. */
+  val q64Triangles = GraftQuery(
+    "q64_triangle_counts",
+    (s, dir) => {
+      val items = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      Graphs.triangleCounts(edges)
+        .orderBy(col("n_triangles").desc, col("node"))
+    },
+    Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+              FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+      o AS (SELECT CASE WHEN du.d <= dv.d THEN e.u ELSE e.v END AS s,
+                   CASE WHEN du.d <= dv.d THEN e.v ELSE e.u END AS t,
+                   CASE WHEN du.d <= dv.d THEN dv.d ELSE du.d END AS dt
+            FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+      tri AS (
+        SELECT p1.s AS a, p1.t AS b, p2.t AS c
+        FROM o p1 JOIN o p2 ON p1.s = p2.s
+             AND (p1.dt < p2.dt OR (p1.dt = p2.dt AND p1.t < p2.t))
+        JOIN o e3 ON e3.s = p1.t AND e3.t = p2.t),
+      corners AS (
+        SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM corners GROUP BY node
+      ORDER BY n_triangles DESC, node"""))
+
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
     q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution,
     q56Transitions, q57RollingAnomaly, q58IncrementalAgg, q59StringBreadth,
-    q60DateBreadth, q63CoOccurrence)
+    q60DateBreadth, q63CoOccurrence, q64Triangles)
 }

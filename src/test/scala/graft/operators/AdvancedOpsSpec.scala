@@ -211,4 +211,35 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(within == across, "single-doc corpus: the two cleaners must agree")
     assert(across == "a b c d e f g h")
   }
+
+  test("triangleCounts equals the naive all-triples reference on a random graph") {
+    // deterministic pseudo-random sparse graph: 40 nodes, ~120 edges
+    val rng = new scala.util.Random(7)
+    val raw = Seq.fill(160)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+    val edges = raw.toDF("u", "v")
+    val got = Graphs.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive reference: adjacency set, check all C(n,3) triples
+    val adj = raw.filter { case (a, b) => a != b }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val nodes = adj.map(_._1).toSeq.sorted
+    val triples = for {
+      i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+      if adj((i, j)) && adj((j, k)) && adj((i, k))
+    } yield Seq(i, j, k)
+    val naive = triples.flatten.groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    assert(got == naive, s"got $got\nnaive $naive")
+  }
+
+  test("triangleCounts: orientation caps wedge fan-out under a star hot node") {
+    // star center 0 connected to 1..30 (hub degree 30) plus one triangle
+    // 1-2-0: naive wedge join at the hub generates C(30,2)=435 candidates;
+    // oriented, the hub is every edge's TARGET (max degree), so its
+    // out-degree is 0 and the only wedges come from low-degree corners.
+    val star = (1 to 30).map(i => (0L, i.toLong))
+    val edges = (star :+ ((1L, 2L))).toDF("u", "v")
+    val got = Graphs.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), got.toString)
+  }
 }
