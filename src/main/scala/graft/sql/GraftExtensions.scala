@@ -106,6 +106,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"misra_gries(str_expr, k literal int); got ${other.size} args")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("count_min_sketch"),
+      new ExpressionInfo(classOf[CountMinSketch].getName, "count_min_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, Literal(d: Int, _), Literal(w: Int, _)) => CountMinSketch(c, d, w)
+        case other => throw new IllegalArgumentException(
+          s"count_min_sketch(str_expr, depth literal int, width literal int); got ${other.size} args")
+      }))
     // Spark's own runtime-filter bloom pair, absent from the stock registry
     ext.injectFunction((
       new FunctionIdentifier("bloom_filter_agg"),
