@@ -422,4 +422,34 @@ object Clustering {
           (-col("cosine")).as("pq_dist2"))
     }
   }
+
+  /** Cluster-balanced (diversity-preserving) selection: at most `perCell`
+    * members from every embedding cell, chosen in deterministic hash order
+    * (the [[Curation.hashKey]] md5 rule — rerun/engine/layout invariant).
+    *
+    * This is coverage sampling in embedding space: a uniform random (or
+    * hash) sample follows the density of the corpus, so dense regions —
+    * boilerplate clusters, template families — dominate the selection and
+    * sparse regions (rare languages, rare formats) vanish; capping each
+    * cell flattens density exactly like [[Curation.temperatureMix]]
+    * flattens source skew, but along learned geometry instead of metadata.
+    * Dense cells are down-sampled to the cap, sparse cells are kept whole.
+    *
+    * Plan: cell assignment is the broadcast-argmax scan of
+    * [[assignCells]]; the cap is ONE window shuffle keyed on cell_id.
+    * Per-key work is bounded by cell size (~√n by seeding), and the
+    * selection never materializes anything driver-side. Returns
+    * (vec_id, cell_id, cell_n, pick_rank) for the selected rows. */
+  def diverseSample(assigned: DataFrame, perCell: Int): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell_id"))
+      .orderBy(Curation.hashKey(col("vec_id")), col("vec_id"))
+    assigned
+      .withColumn("cell_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell_id"))))
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= perCell)
+      .select(col("vec_id"), col("cell_id"), col("cell_n"), col("pick_rank"))
+  }
 }

@@ -276,5 +276,33 @@ object ClusterQueries {
       ORDER BY query_id, rank"""),
     bench = true)
 
-  val all: Seq[GraftQuery] = Seq(s05IvfTopK, d08SemanticDedup, c10CellProfile, s06PqTopK)
+  /** Cluster-balanced diverse selection ([[Clustering.diverseSample]]):
+    * ≤ 8 members per embedding cell in deterministic md5-hash order —
+    * density-flattening coverage sampling along learned geometry (dense
+    * template clusters capped, sparse regions kept whole), the embedding
+    * counterpart of c16's metadata temperature mix. One window shuffle on
+    * cell_id over the broadcast-argmax assignment scan. */
+  val c22DiverseSample = GraftQuery(
+    "c22_diverse_sample",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val cells = Clustering.seedCells(e, "vec_id", "embedding")
+      Clustering.diverseSample(
+          Clustering.assignCells(e, "vec_id", "embedding", cells), perCell = 8)
+        .orderBy(col("cell_id"), col("pick_rank"))
+    },
+    Some(s"""
+      WITH $duckCellCtes,
+      ranked AS (
+        SELECT vec_id, cell_id,
+               CAST(COUNT(*) OVER (PARTITION BY cell_id) AS BIGINT) AS cell_n,
+               CAST(row_number() OVER (PARTITION BY cell_id
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS pick_rank
+        FROM assign)
+      SELECT vec_id, cell_id, cell_n, pick_rank
+      FROM ranked WHERE pick_rank <= 8
+      ORDER BY cell_id, pick_rank"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    s05IvfTopK, d08SemanticDedup, c10CellProfile, s06PqTopK, c22DiverseSample)
 }

@@ -250,4 +250,24 @@ class ClusteringSpec extends SparkSpec {
     }.sum / exactTop.size
     assert(recall >= 0.6, f"PQ+rerank recall@5 = $recall%.2f below floor")
   }
+
+  test("diverseSample caps dense cells, keeps sparse cells whole, is layout-invariant") {
+    val cells = Clustering.seedCells(sf0001, "vec_id", "embedding")
+    val assigned = Clustering.assignCells(sf0001, "vec_id", "embedding", cells)
+    val cellSizes = assigned.groupBy("cell_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cap = 3
+    val picked = Clustering.diverseSample(assigned, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val perCell = picked.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong }
+    // every cell represented; dense capped exactly; sparse kept whole
+    assert(perCell.keySet == cellSizes.keySet)
+    cellSizes.foreach { case (c, n) =>
+      assert(perCell(c) == math.min(n, cap.toLong), s"cell $c: ${perCell(c)} of $n")
+    }
+    // deterministic under a different physical layout
+    val repicked = Clustering.diverseSample(assigned.repartition(17), cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(picked.toSet == repicked.toSet, "selection changed with partitioning")
+  }
 }
