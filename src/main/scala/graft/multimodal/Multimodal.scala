@@ -201,6 +201,52 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Shot-boundary detection + keyframe selection over a video's frame
+    * stream — the standard video-curation step (one representative frame
+    * per shot feeds the embedding/caption stage instead of every frame).
+    *
+    * Boundary rule: a new shot starts where the mean frame intensity jumps
+    * by ≥ `meanDeltaThreshold`, tested CROSS-MULTIPLIED in exact integers
+    * (|sum_i·n_{i−1} − sum_{i−1}·n_i| ≥ τ·n_i·n_{i−1}), so no float mean
+    * ever exists to round differently across engines. Keyframe = the
+    * shot's max-intensity frame (ties → earliest), selected via one
+    * lexicographic struct-max — a production system swaps mean intensity
+    * for a perceptual feature behind the same (frame → long) shape.
+    *
+    * Plan: per-frame integer stats are a pure map over the frame flatMap
+    * (no shuffle); then ONE window shuffle keyed on asset_id orders frames
+    * for the lag/cumulative-sum shot ids, and the keyframe argmax is a
+    * map-combined struct-max per (asset, shot). Per-key work is bounded by
+    * frames-per-video. Empty frames (empty payload) are dropped on both
+    * engine and oracle sides. */
+  def shotKeyframes(frames: Dataset[Frame], meanDeltaThreshold: Int = 2): DataFrame = {
+    import frames.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stats = frames
+      .map(f => (f.asset_id, f.frame_idx, f.frame_bytes.length.toLong,
+        f.frame_bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff))))
+      .toDF("asset_id", "frame_idx", "n_bytes", "sum_bytes")
+      .filter(col("n_bytes") > 0)
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("frame_idx"))
+    val shots = stats
+      .withColumn("prev_n", lag(col("n_bytes"), 1).over(w))
+      .withColumn("prev_sum", lag(col("sum_bytes"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev_n").isNull, lit(1)).otherwise(
+          (abs(col("sum_bytes") * col("prev_n") - col("prev_sum") * col("n_bytes")) >=
+            lit(meanDeltaThreshold.toLong) * col("n_bytes") * col("prev_n")).cast("int")))
+      .withColumn("shot_id", sum(col("boundary")).over(w))
+    shots.groupBy(col("asset_id"), col("shot_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        min(col("frame_idx")).as("start_frame"),
+        max(struct(col("sum_bytes").as("s"), (-col("frame_idx")).as("neg_idx"))).as("__kf"))
+      .select(col("asset_id"), col("shot_id"),
+        col("n_frames"), col("start_frame"),
+        (-col("__kf.neg_idx")).as("keyframe_idx"),
+        col("__kf.s").as("keyframe_sum"))
+  }
+
   /** Resize plumbing: recompute metadata + stub-resample pixels through the
     * decoder. Plan shape (per-row map over binary + struct) is what a codec
     * resize looks like. */

@@ -114,5 +114,62 @@ object MultimodalQueries {
       GROUP BY asset_id, i // 256
       ORDER BY asset_id, window_idx"""))
 
-  val all: Seq[GraftQuery] = Seq(m01BinaryStats, m02FrameStats, m03AudioWindows)
+  /** Shot-boundary detection + keyframe selection
+    * ([[graft.multimodal.Multimodal.shotKeyframes]]) through the typed
+    * video path: per-frame integer intensity stats, cross-multiplied
+    * mean-jump boundaries (no float mean exists anywhere), cumulative-sum
+    * shot ids, struct-max keyframe per shot. The oracle recomputes frame
+    * windows and ascii byte sums from the documents text exactly as
+    * m02/m03 do, then replays the identical integer boundary/argmax
+    * logic — decode, windowing, detection and selection all hash-pinned.
+    * Same ASCII-corpus precondition as m03. */
+  val m04ShotKeyframes = GraftQuery(
+    "m04_shot_keyframes",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.shotKeyframes(
+          Multimodal.sampleFrames(
+            Multimodal.assetsFromDocuments(table(s, dir, "documents"))),
+          meanDeltaThreshold = 2)
+        .orderBy(col("asset_id"), col("shot_id"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT doc_id AS asset_id, text, octet_length(encode(text)) AS len
+        FROM documents WHERE doc_id % 3 = 2),
+      p AS (SELECT asset_id, text, len, (1 + len // 128) AS n,
+                   greatest(len // (1 + len // 128), 1) AS w FROM v),
+      f AS (SELECT asset_id, unnest(range(0, n)) AS i, w, len, text FROM p),
+      fs AS (
+        SELECT asset_id, CAST(i AS INT) AS frame_idx,
+               CAST(greatest(least(w, len - i*w), 0) AS BIGINT) AS n_bytes,
+               CAST(list_aggregate(list_transform(range(i*w + 1, least((i+1)*w, len) + 1),
+                    j -> ascii(substr(text, CAST(j AS INT), 1))), 'sum') AS BIGINT) AS sum_bytes
+        FROM f WHERE greatest(least(w, len - i*w), 0) > 0),
+      lg AS (
+        SELECT *, lag(n_bytes) OVER (PARTITION BY asset_id ORDER BY frame_idx) AS pn,
+                  lag(sum_bytes) OVER (PARTITION BY asset_id ORDER BY frame_idx) AS ps
+        FROM fs),
+      b AS (
+        SELECT *, CASE WHEN pn IS NULL THEN 1
+            WHEN abs(sum_bytes*pn - ps*n_bytes) >= 2*n_bytes*pn THEN 1 ELSE 0 END AS boundary
+        FROM lg),
+      sh AS (
+        SELECT *, CAST(SUM(boundary) OVER (PARTITION BY asset_id ORDER BY frame_idx) AS BIGINT) AS shot_id
+        FROM b),
+      kf AS (
+        SELECT *, row_number() OVER (PARTITION BY asset_id, shot_id
+                    ORDER BY sum_bytes DESC, frame_idx ASC) AS rn
+        FROM sh)
+      SELECT asset_id, shot_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(MIN(frame_idx) AS INT) AS start_frame,
+             CAST(MIN(CASE WHEN rn = 1 THEN frame_idx END) AS INT) AS keyframe_idx,
+             CAST(MIN(CASE WHEN rn = 1 THEN sum_bytes END) AS BIGINT) AS keyframe_sum
+      FROM kf
+      GROUP BY asset_id, shot_id
+      ORDER BY asset_id, shot_id"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    m01BinaryStats, m02FrameStats, m03AudioWindows, m04ShotKeyframes)
 }
