@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Graft.table
-import graft.operators.AsOf
+import graft.operators.{AsOf, Dedup, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -666,10 +666,119 @@ object Extended {
       GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
 
+  /** Native UNPIVOT (melt) — the wide→long reshape as a first-class
+    * operator (Spark's `Dataset.unpivot`, which plans an Expand over the
+    * value columns, not a UNION of re-scans): per-nation wide aggregates
+    * become (nation, measure, value) rows. Money goes through
+    * DECIMAL(18,2) before the shared DOUBLE value column so the melt
+    * never launders float sums. q42's profiler builds the same shape via
+    * `stack`; this pins the dedicated API. */
+  val q66Unpivot = GraftQuery(
+    "q66_unpivot",
+    (s, dir) => {
+      val wide = table(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).cast("double").as("n_cust"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("total_bal"),
+          max(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("max_bal"))
+      wide.unpivot(
+          ids = Array(col("c_nationkey")),
+          values = Array(col("n_cust"), col("total_bal"), col("max_bal")),
+          variableColumnName = "measure",
+          valueColumnName = "value")
+        .orderBy(col("c_nationkey"), col("measure"))
+    },
+    Some("""
+      WITH wide AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS DOUBLE) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+               CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+        FROM customer GROUP BY c_nationkey)
+      SELECT c_nationkey, measure, value
+      FROM (
+        SELECT c_nationkey, 'n_cust' AS measure, n_cust AS value FROM wide
+        UNION ALL
+        SELECT c_nationkey, 'total_bal', total_bal FROM wide
+        UNION ALL
+        SELECT c_nationkey, 'max_bal', max_bal FROM wide)
+      ORDER BY c_nationkey, measure"""))
+
+  /** Count–min sketch point-frequency estimates
+    * ([[graft.sql.CountMinSketch]], Cormode & Muthukrishnan 2005) over the
+    * document token stream: ONE mergeable depth×width long array per map
+    * task reaches the shuffle (vs shuffling every token occurrence for the
+    * exact count), probed here for the exact top-20 terms. The sketch is
+    * deterministic given the fixed portable hash family, so the oracle
+    * reproduces the ESTIMATES bit-for-bit from the exact frequency table
+    * (the overcount is exactly the per-row collision mass) — a stronger
+    * gate than q39's bound-only check. Estimate ≥ exact always; the
+    * `least` probe over 4 rows is all built-ins (element_at). */
+  val q65CountMin = GraftQuery(
+    "q65_count_min",
+    (s, dir) => {
+      val d = 4
+      val w = 256
+      val toks = table(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      val cmsAgg = org.apache.spark.sql.graft.ColumnShim.column(
+        graft.sql.CountMinSketch(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("term")), d, w)
+          .toAggregateExpression())
+      val sketch = toks.agg(cmsAgg.as("cms"))
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
+      val top = exact.orderBy(col("exact_count").desc, col("term")).limit(20)
+      val h = Dedup.polyHashStr(col("term"))
+      val est = (0 until d).map { i =>
+        element_at(col("cms"),
+          (lit(i * w) +
+            (lit(graft.sql.Defaults.MinhashA(i)) * col("h") + lit(graft.sql.Defaults.MinhashB(i)))
+              % lit(graft.sql.Defaults.P) % lit(w.toLong)).cast("int") + 1)
+      }.reduce(least(_, _))
+      top.crossJoin(broadcast(sketch))
+        .withColumn("h", h)
+        .withColumn("cms_estimate", est)
+        .select(col("term"), col("exact_count"), col("cms_estimate"),
+          (col("cms_estimate") - col("exact_count")).as("overcount"))
+        .orderBy(col("exact_count").desc, col("term"))
+    },
+    Some {
+      val termCodes =
+        "list_transform(range(1, length(term)+1), j -> CAST(ascii(substr(term, CAST(j AS INT), 1)) AS BIGINT))"
+      val rowsValues = (0 until 4).map { i =>
+        s"(${i}, ${graft.sql.Defaults.MinhashA(i)}, ${graft.sql.Defaults.MinhashB(i)})"
+      }.mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS term
+        FROM documents),
+      exact AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count FROM toks GROUP BY term),
+      hashed AS (
+        SELECT term, exact_count,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), $termCodes),
+                           (acc, x) -> (acc*31 + x) % 1000000007) AS h
+        FROM exact),
+      hrows AS (SELECT * FROM (VALUES $rowsValues) t(i, a, b)),
+      buckets AS (
+        SELECT term, exact_count, i, ((a*h + b) % 1000000007) % 256 AS bkt
+        FROM hashed CROSS JOIN hrows),
+      cell AS (SELECT i, bkt, SUM(exact_count) AS cell_total FROM buckets GROUP BY i, bkt),
+      est AS (
+        SELECT term, exact_count, CAST(MIN(cell_total) AS BIGINT) AS cms_estimate
+        FROM buckets JOIN cell USING (i, bkt) GROUP BY term, exact_count),
+      top AS (SELECT term FROM exact ORDER BY exact_count DESC, term LIMIT 20)
+      SELECT e.term, e.exact_count, e.cms_estimate,
+             e.cms_estimate - e.exact_count AS overcount
+      FROM top t JOIN est e ON t.term = e.term
+      ORDER BY e.exact_count DESC, e.term"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     q26WindowFrames, q27Ranking, q28GroupingSets, q29Pivot, q30AsOfJoin,
     q31RangeJoin, q32Sessionize, q33Percentiles, q34ApproxDistinct,
     q35ScalarSubquery, q36FromJson, q37ApproxPercentile, q38SaltedJoin,
     q39HeavyHitters, q40ZorderCodes, q41SmbBucketJoin, q42Profile,
-    q43HoppingWindows, q44Cube, q61HilbertCodes, q62SessionWindow)
+    q43HoppingWindows, q44Cube, q61HilbertCodes, q62SessionWindow,
+    q65CountMin, q66Unpivot)
 }

@@ -68,6 +68,19 @@ object Streams {
   def streamingDedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Streaming dedup with GUARANTEED-BOUNDED state
+    * (`dropDuplicatesWithinWatermark`): a key's state is evicted once the
+    * watermark passes its event time, so state size is O(keys per
+    * watermark window) — where [[streamingDedup]]'s plain `dropDuplicates`
+    * retains every key ever seen (state grows with the STREAM, the thing
+    * that OOMs a year-long 100 TB pipeline). The contract traded away is
+    * exact-once across unbounded time: a duplicate arriving after its
+    * original's state was evicted is emitted again — acceptable whenever
+    * the at-least-once sink is idempotent (our MERGE upsert sink is), and
+    * the standard production pairing. */
+  def streamingDedupBounded(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
   final case class UserStats(
       user_id: Long, n_events: Long, total_value: Double, last_seen: Timestamp)
 

@@ -58,6 +58,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded streaming dedup drops in-horizon duplicates AND evicts state past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.streamingDedupBounded(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_bounded_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      // duplicate inside the horizon: dropped
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:05:00", 1, "view", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past event 1, evicting its state...
+      input.addData(ev(3, "2024-01-01 11:00:00", 1, "click", 3.0))
+      q.processAllAvailable()
+      input.addData(ev(4, "2024-01-01 11:30:00", 1, "click", 4.0))
+      q.processAllAvailable()
+      // ...so a very-late replay of event 1 is emitted AGAIN — the bounded
+      // variant's documented trade: state O(watermark window), not O(stream)
+      input.addData(ev(1, "2024-01-01 11:29:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_bounded_out").collect()
+        .map(_.getAs[Long]("event_id")).toSeq.sorted
+      assert(ids == Seq(1L, 1L, 2L, 3L, 4L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("file stream over the real events fixture equals the batch computation") {
     // stream/batch parity: the same windowed aggregation over the same
     // parquet must agree whether it arrives as one bounded micro-batch or a
