@@ -231,6 +231,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q64 triangles: wedge and closure are equi-joins — no pair-generating join") {
+    val p = plan(q("q64_triangle_counts"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d14 prefix filter: candidate generation and verify are equi-joins; intersect is native") {
     val p = plan(q("d14_prefix_jaccard_pairs"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
