@@ -91,4 +91,38 @@ object TimeSeries {
       .withColumn("is_anomaly", coalesce(abs(col("z")) > zThreshold, lit(false)))
       .drop("w_n", "w_sx", "w_sxx")
   }
+
+  /** Time-weighted average over an IRREGULAR series — the standard
+    * sensor/metric aggregation Spark has no built-in for: each observation
+    * holds from its timestamp until the next one (zero-order hold, the
+    * gapFill LOCF rule in continuous time), so
+    * TWA = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first) — where a plain AVG
+    * overweights bursts (10 readings in a hot minute count 10×).
+    *
+    * Exactness: values are held as DECIMAL(18,6) and weighted by integer
+    * microsecond durations — both Σ v·Δt and Σ Δt are exact, order- and
+    * partition-independent; the single final double division is computed
+    * from identical operands on every engine. Keys whose span is zero
+    * (all observations simultaneous) are dropped — no 0/0 row.
+    *
+    * Plan: ONE key-hash shuffle shared by the lead() window and the
+    * aggregate (same key); per-key work linear in that key's series.
+    * Returns (key, n_segments, span_us, twa). */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        round(col(valueCol), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("__v6"))
+      .withColumn("__dur_us", lead(unix_micros(col(tsCol)), 1).over(w) - unix_micros(col(tsCol)))
+      .filter(col("__dur_us").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("__dur_us")).as("span_us"),
+        sum(col("__v6") * col("__dur_us")).as("__num"))
+      .filter(col("span_us") > 0)
+      .select(col(keyCol), col("n_segments"), col("span_us"),
+        round(col("__num").cast("double") / col("span_us"), 6).as("twa"))
+  }
 }

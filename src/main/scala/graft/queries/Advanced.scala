@@ -658,6 +658,39 @@ object Advanced {
       HAVING COUNT(*) >= 2
       ORDER BY support DESC, part_a, part_b"""))
 
+  /** Time-weighted average ([[TimeSeries.timeWeightedAvg]]) of each
+    * user's event values under zero-order hold — Σ v·Δt exact in
+    * DECIMAL(18,6)×µs, one user-keyed shuffle shared by the lead window
+    * and the aggregate. A plain AVG overweights bursts; this is the
+    * metrics-correct aggregation for irregular samples. */
+  val q67TimeWeighted = GraftQuery(
+    "q67_time_weighted_avg",
+    (s, dir) =>
+      TimeSeries.timeWeightedAvg(
+          graft.Graft.eventsTable(s, dir).filter(col("event_type") =!= "purchase"),
+          "user_id", "ts", "value", tieCol = "event_id")
+        .orderBy(col("user_id")),
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us,
+               CAST(round(value, 6) AS DECIMAL(18,6)) AS v6
+        FROM events WHERE event_type <> 'purchase'),
+      seg AS (
+        SELECT user_id, v6,
+               lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) - t_us AS dur_us
+        FROM ev),
+      agg AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(dur_us) AS BIGINT) AS span_us,
+               SUM(v6 * dur_us) AS num
+        FROM seg WHERE dur_us IS NOT NULL
+        GROUP BY user_id)
+      SELECT user_id, n_segments, span_us,
+             round(CAST(num AS DOUBLE) / span_us, 6) AS twa
+      FROM agg WHERE span_us > 0
+      ORDER BY user_id"""))
+
   /** Per-node triangle counts ([[Graphs.triangleCounts]]) over the
     * co-purchase graph (parts sharing an order). Degree-ordered
     * orientation caps every wedge-join key's fan-out at O(√m) — the
@@ -704,5 +737,5 @@ object Advanced {
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
     q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution,
     q56Transitions, q57RollingAnomaly, q58IncrementalAgg, q59StringBreadth,
-    q60DateBreadth, q63CoOccurrence, q64Triangles)
+    q60DateBreadth, q63CoOccurrence, q64Triangles, q67TimeWeighted)
 }

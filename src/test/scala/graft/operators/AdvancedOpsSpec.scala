@@ -212,6 +212,27 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(across == "a b c d e f g h")
   }
 
+  test("timeWeightedAvg holds values across gaps where plain AVG overweights bursts") {
+    // value 10 holds from t=0 to the burst's first reading at t=101, then a
+    // 10-reading burst of value 0 over 101..110: TWA = 10·101/110 ≈ 9.18 —
+    // where plain AVG = 10/11 ≈ 0.91 lets the burst dominate
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val rows = ((1L, at(0), 10.0) +:
+      (1 to 10).map(i => (i + 1L, at(100 + i), 0.0))).map { case (id, ts, v) => (1L, id, ts, v) }
+    val df = rows.toDF("user_id", "event_id", "ts", "value")
+    val out = TimeSeries.timeWeightedAvg(df, "user_id", "ts", "value", "event_id")
+      .collect().head
+    assert(out.getAs[Long]("n_segments") == 10L)
+    assert(out.getAs[Long]("span_us") == 110L * 1000000L)
+    assert(out.getAs[Double]("twa") == math.rint(10.0 * 101 / 110 * 1e6) / 1e6,
+      s"twa = ${out.getAs[Double]("twa")}")
+    // zero-span key (simultaneous observations) is dropped, not 0/0
+    val same = Seq((2L, 1L, at(0), 5.0), (2L, 2L, at(0), 7.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    assert(TimeSeries.timeWeightedAvg(same, "user_id", "ts", "value", "event_id").count() == 0L)
+  }
+
   test("triangleCounts equals the naive all-triples reference on a random graph") {
     // deterministic pseudo-random sparse graph: 40 nodes, ~120 edges
     val rng = new scala.util.Random(7)
