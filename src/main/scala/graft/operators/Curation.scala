@@ -138,6 +138,48 @@ object Curation {
       .drop("__graft_mix_n")
   }
 
+  /** Source-repetition epoch mixing — the data-recipe operator ("wiki ×
+    * 2.5 epochs, web × 1, junk × 0"): every row of stratum s is emitted
+    * ⌊epochs(s)⌋ times plus one more with probability frac(epochs(s)),
+    * decided by the deterministic md5-prefix rule ([[hashSample]]'s
+    * quantized threshold) over the (key, epoch)-salted hash — so the
+    * fractional epoch is a fresh deterministic subsample, not a re-use of
+    * another sampler's decisions. Epochs are INTEGER MILLI-EPOCHS
+    * (2500 = 2.5): no float recipe arithmetic exists anywhere, and the
+    * oracle restates thresholds verbatim.
+    *
+    * The emitted `interleave_key` (the salted md5) is the global shuffle
+    * order for downstream packing: sorting by it interleaves epochs and
+    * sources uniformly instead of streaming epoch after epoch — at
+    * training time that's the difference between a shuffled corpus and
+    * curriculum-by-accident.
+    *
+    * Plan: recipes are a handful of rows — broadcast join; the explode
+    * fan-out per row is ⌈epochs⌉, bounded by the recipe; no shuffle at
+    * all until a downstream consumer keys one. Returns the input columns
+    * plus (epoch, interleave_key). */
+  def epochMix(df: DataFrame, stratumCol: String, keyCol: String,
+      epochsMilli: Seq[(String, Int)]): DataFrame = {
+    require(epochsMilli.nonEmpty, "epochMix needs at least one recipe row")
+    require(epochsMilli.forall(_._2 >= 0), "epochs_milli must be >= 0")
+    require(epochsMilli.map(_._1).distinct.size == epochsMilli.size,
+      "duplicate stratum in recipe")
+    requireFresh(df, "epoch", "interleave_key")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = epochsMilli
+      .map { case (s2, m) => (s2, (m / 1000).toLong, rateThreshold((m % 1000) / 1000.0)) }
+      .toDF(stratumCol, "__full", "__frac_thr")
+    df.join(broadcast(dim), stratumCol)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__full") + 1)))
+      .withColumn("interleave_key",
+        md5(concat(col(keyCol).cast("string"), lit("#e"), col("epoch").cast("string"))
+          .cast("binary")))
+      .filter(col("epoch") <= col("__full") ||
+        substring(col("interleave_key"), 1, 3) < col("__frac_thr"))
+      .drop("__full", "__frac_thr")
+  }
+
   /** k-anonymity audit (Sweeney 2002): group by the quasi-identifier
     * columns and flag every combination carried by fewer than `k` rows —
     * the groups whose members a release would re-identify. Returns

@@ -767,11 +767,53 @@ object CurationQueries {
       GROUP BY lang, source
       ORDER BY lang, source"""))
 
+  /** Recipe for c23: sources cycle through 2.5 / 1 / 0.5 / 0 epochs —
+    * up-sampled, kept, half-sampled, and excluded strata in one run. */
+  private val epochRecipe: Seq[(String, Int)] =
+    (0 until 20).map(i => (s"src$i", Seq(2500, 1000, 500, 0)(i % 4)))
+
+  /** Source-repetition epoch mixing ([[Curation.epochMix]]) — the
+    * data-recipe operator: ⌊epochs⌋ full passes per row plus a
+    * deterministic md5-sampled fractional epoch, with the salted hash as
+    * the global interleave order. Recipes in integer milli-epochs; the
+    * oracle restates the explode + threshold rule verbatim. */
+  val c23EpochMix = GraftQuery(
+    "c23_epoch_mix",
+    (s, dir) =>
+      Curation.epochMix(
+          table(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", epochRecipe)
+        .select(col("doc_id"), col("source"), col("epoch"), col("interleave_key"))
+        .orderBy(col("doc_id"), col("epoch")),
+    Some {
+      val recipeValues = epochRecipe.map { case (s2, m) =>
+        val thr = Curation.rateThreshold((m % 1000) / 1000.0)
+        s"('$s2', ${m / 1000}, '$thr')"
+      }.mkString(", ")
+      val maxEpoch = epochRecipe.map(_._2 / 1000).max + 1
+      s"""
+      WITH recipe(source, full_epochs, frac_thr) AS (SELECT * FROM (VALUES $recipeValues)),
+      epochs AS (SELECT CAST(unnest(range(1, $maxEpoch + 1)) AS BIGINT) AS epoch),
+      exploded AS (
+        SELECT d.doc_id, d.source, e.epoch, r.full_epochs, r.frac_thr
+        FROM documents d JOIN recipe r USING (source)
+        CROSS JOIN epochs e
+        WHERE e.epoch <= r.full_epochs + 1),
+      keyed AS (
+        SELECT doc_id, source, epoch, full_epochs, frac_thr,
+               md5(CAST(doc_id AS VARCHAR) || '#e' || CAST(epoch AS VARCHAR)) AS interleave_key
+        FROM exploded)
+      SELECT doc_id, source, epoch, interleave_key
+      FROM keyed
+      WHERE epoch <= full_epochs OR substr(interleave_key, 1, 3) < frac_thr
+      ORDER BY doc_id, epoch"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
       c08TokenQuotaMix, c09Decontamination, c11AdaptiveThreshold,
       c12BloomDecontamination, c13QualityKeeper, c14HashSplit, c15ChunkWindows,
       c16TemperatureMix, c17KAnonymity, c18QualityEnsemble, c19SourceOverlap,
-      c20WeightedSample, c21LDiversity)
+      c20WeightedSample, c21LDiversity, c23EpochMix)
 }

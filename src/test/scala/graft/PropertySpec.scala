@@ -425,4 +425,50 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"round $round: funnel fold diverged from reference")
     }
   }
+
+  test("prefix-filter pairs equal naive all-pairs exact Jaccard on random corpora") {
+    // corpora built from a small shared vocabulary (heavy overlap — the
+    // regime where the filter admits most candidates) plus mutated clones
+    // (the near-dup structure it must never miss)
+    val rng = new Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for (round <- 1 to 3; tau <- Seq(50, 80)) {
+      val bases = (1 to 12).map { i =>
+        (i.toLong, Seq.fill(6 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val clones = bases.take(4).map { case (id, t) =>
+        (id + 100L, if (rng.nextBoolean()) t else t + " " + vocab(rng.nextInt(vocab.size)))
+      }
+      val docs = (bases ++ clones).toDF("doc_id", "text")
+      val got = operators.Dedup.prefixFilterPairs(docs, "doc_id", "text", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val base = operators.Dedup.shingleSets(docs, "doc_id", "text")
+      val naive = base.as("a").join(base.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          size(array_intersect(col("a.hset"), col("b.hset"))).cast("long").as("i"),
+          (size(col("a.hset")) + size(col("b.hset"))).cast("long").as("t"))
+        .filter(lit(100L) * col("i") >= lit(tau.toLong) * (col("t") - col("i")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"round $round tau $tau: $got != $naive")
+    }
+  }
+
+  test("triangle counts equal the naive all-triples reference across densities") {
+    for ((n, e, seed) <- Seq((30, 60, 1), (30, 200, 2), (50, 120, 3))) {
+      val rng = new Random(seed)
+      val raw = Seq.fill(e)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val got = operators.Graphs.triangleCounts(raw.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val adj = raw.filter { case (a, b) => a != b }
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+      val nodes = adj.map(_._1).toSeq.sorted
+      val naive = (for {
+        i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+        if adj((i, j)) && adj((j, k)) && adj((i, k))
+      } yield Seq(i, j, k)).flatten.groupBy(identity)
+        .map { case (x, xs) => x -> xs.size.toLong }
+      assert(got == naive, s"n=$n e=$e seed=$seed: diverged")
+    }
+  }
 }

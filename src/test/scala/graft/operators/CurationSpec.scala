@@ -328,4 +328,29 @@ class CurationSpec extends SparkSpec {
       Curation.weightedSample(df.withColumn("es_score", lit(0.0)), "id", col("w"), 1)
     }
   }
+
+  test("epochMix: full epochs exact, fractional epoch ~rate, zero-epoch strata absent") {
+    val docs = (1 to 2000).map(i => (i.toLong, s"s${i % 4}")).toDF("doc_id", "source")
+    val recipe = Seq("s0" -> 2500, "s1" -> 1000, "s2" -> 500, "s3" -> 0)
+    val out = Curation.epochMix(docs, "source", "doc_id", recipe).cache()
+    val perDoc = out.groupBy(col("doc_id"), col("source")).count()
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    // every emitted doc count is floor(epochs) or floor+1 for its stratum
+    perDoc.foreach { case (s2, n) =>
+      val full = recipe.toMap.apply(s2) / 1000
+      assert(n == full || n == full + 1, s"$s2: $n copies")
+    }
+    assert(!perDoc.exists(_._1 == "s3"), "zero-epoch stratum leaked rows")
+    // fractional mass: s0 has 500 docs at 2.5 epochs -> E[extra] = 250;
+    // the md5 rule is a fixed deterministic sample, just bound it loosely
+    val s0Extra = perDoc.count { case (s2, n) => s2 == "s0" && n == 3 }
+    assert(s0Extra > 175 && s0Extra < 325, s"s0 fractional epoch count $s0Extra")
+    // s1 (exactly 1.0 epochs) must emit exactly one copy per doc
+    assert(perDoc.filter(_._1 == "s1").forall(_._2 == 1L))
+    // deterministic under partition layout
+    val again = Curation.epochMix(docs.repartition(13), "source", "doc_id", recipe)
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = out.select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == again, "epoch selection changed with partitioning")
+  }
 }
