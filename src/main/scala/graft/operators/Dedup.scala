@@ -379,6 +379,37 @@ object Dedup {
         col("containment"))
   }
 
+  /** Near-dup pairs DISCOVERED through the winnowed-fingerprint index
+    * (MOSS — Schleimer et al. SIGMOD 2003), VERIFIED on full shingle
+    * sets: candidates come from the df-capped inverted index over each
+    * document's window minima (~2/(w+1) ≈ 22% of the shingle volume at
+    * w=8), then exact two-pointer Jaccard over the FULL sets — the real
+    * MOSS architecture (fingerprints locate candidates, full comparison
+    * scores them).
+    *
+    * Why not Jaccard over the fingerprint sets themselves: measured on
+    * the fixture corpus, winnow-set Jaccard has ~0.7 BACKGROUND (window
+    * minima collapse onto the globally-smallest hashes of a shared
+    * vocabulary — the same vocabulary-bias failure that sank SimHash
+    * banding, see BASELINE "measured and rejected"), so it cannot rank.
+    * As a DISCOVERY index it is sound: any shared run ≥ w+k−1 chars
+    * contributes a common fingerprint (the winnowing guarantee), and the
+    * df cap's blindness to mass-boilerplate pairs is the same documented
+    * [[jaccardPairs]] contract. Every emitted Jaccard is exact and equals
+    * d02's value for the same pair — the trade is index size (~22%)
+    * against discovery requiring a shared sub-cap window MINIMUM rather
+    * than any shared sub-cap shingle. */
+  def winnowPairs(
+      docs: DataFrame, idCol: String, textCol: String, minJaccard: Double,
+      maxDocFreqFraction: Double = DefaultMaxDocFreqFraction,
+      maxDocFreqAbsolute: Long = DefaultMaxDocFreqAbsolute): DataFrame = {
+    val wbase = docs.select(col(idCol).as("doc_id"), col(textCol).as("doc_text"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.winnowFingerprint(col("doc_text")).as("hset"))
+    verifyExact(cappedCandidatePairs(wbase, maxDocFreqFraction, maxDocFreqAbsolute),
+      shingleSets(docs, idCol, textCol), minJaccard)
+  }
+
   /** Benchmark decontamination scan: for every corpus document, the
     * fraction of its distinct LONG shingles that appear ANYWHERE in the
     * eval (benchmark) corpus — the pre-training hygiene check that catches

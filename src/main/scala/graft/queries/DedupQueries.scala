@@ -519,9 +519,50 @@ object DedupQueries {
       FROM ver WHERE 100*inter_size >= 80*union_size
       ORDER BY id_a, id_b"""))
 
+  /** MOSS-architecture near-dup pairs ([[Dedup.winnowPairs]]): CANDIDATES
+    * from the df-capped inverted index over winnowed window minima (~22%
+    * of the shingle volume), exact verify on FULL shingle sets — every
+    * emitted Jaccard equals d02's value for the same pair; winnow-set
+    * Jaccard itself is not rankable on this corpus (0.7 background — see
+    * the operator scaladoc + BASELINE). */
+  val d15WinnowPairs = GraftQuery(
+    "d15_winnow_pairs",
+    (s, dir) =>
+      Dedup.winnowPairs(table(s, dir, "documents"), "doc_id", "text", 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH codes_t AS (SELECT doc_id, $duckCodes AS codes, text FROM documents),
+      raw_t AS (SELECT doc_id, $duckShingleHashes AS hs FROM codes_t),
+      full_t AS (SELECT doc_id, list_distinct(hs) AS hset FROM raw_t),
+      win_t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(hs) - 7, 1) + 1),
+                 i -> list_aggregate(hs[i:i+7], 'min'))) AS wset
+        FROM raw_t),
+      sh AS (SELECT doc_id, unnest(wset) AS h FROM win_t),
+      rare AS (
+        SELECT h FROM sh GROUP BY h
+        HAVING COUNT(*) <= least((SELECT COUNT(*) FROM win_t) * ${Dedup.DefaultMaxDocFreqFraction},
+                                 ${Dedup.DefaultMaxDocFreqAbsolute}.0)),
+      shc AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id),
+      ver AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE) AS shared,
+               len(ha.hset) AS na, len(hb.hset) AS nb
+        FROM cand JOIN full_t ha ON id_a = ha.doc_id JOIN full_t hb ON id_b = hb.doc_id)
+      SELECT id_a, id_b, round(shared / CAST(na + nb - shared AS DOUBLE), 6) AS jaccard
+      FROM ver
+      WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01ExactDedup, d02JaccardPairs, d03MinhashSignatures,
     d04LshNearDup, d05Simhash, d06EmbeddingNearDup, d07ContainmentPairs,
     d09DuplicateSpans, d10CrossCorpusLsh, d11CdcNearDup, d12IntradocDedup,
-    d13CrossdocDedup, d14PrefixJaccard)
+    d13CrossdocDedup, d14PrefixJaccard, d15WinnowPairs)
 }

@@ -314,6 +314,33 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 2L)) && got.contains((1L, 3L)))
   }
 
+  test("winnowPairs: subset of full-index pairs with identical exact scores; twins found; index ~22%") {
+    val corpus = (Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running far"),
+      (2L, "the quick brown fox jumps over the lazy dog and keeps running far"),
+      (3L, "a completely different document about distributed query engines"),
+      (4L, "another unrelated text concerning columnar storage formats")
+    ) ++ (5 to 24).map(i => (i.toLong, s"filler padding text number $i " + ('a' + i).toChar.toString * 30)))
+      .toDF("doc_id", "text")
+    val viaWinnow = Dedup.winnowPairs(corpus, "doc_id", "text", 0.5, maxDocFreqFraction = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaFull = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.5, maxDocFreqFraction = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // discovery through the smaller index is a subset; every score identical
+    assert(viaWinnow.keySet.subsetOf(viaFull.keySet))
+    viaWinnow.foreach { case (p, j) => assert(j == viaFull(p), s"$p: $j != ${viaFull(p)}") }
+    // the verbatim twins share runs >= w+k-1 chars, so the winnowing
+    // guarantee makes them discoverable through window minima
+    assert(viaWinnow.get((1L, 2L)).contains(1.0), viaWinnow.toString)
+    // storage: winnow index is ~2/(w+1) of the shingle volume
+    val fullSize = Dedup.shingleSets(corpus, "doc_id", "text")
+      .agg(sum(size(col("hset")))).head().getLong(0)
+    val winSize = corpus
+      .select(TextAnalysis.winnowFingerprint(col("text")).as("w"))
+      .agg(sum(size(col("w")))).head().getLong(0)
+    assert(winSize.toDouble / fullSize < 0.35, s"winnow index $winSize of $fullSize")
+  }
+
   test("prefix filter finds pairs whose shared shingles are ALL over the df cap") {
     // twins made ENTIRELY of corpus-wide boilerplate: every one of their
     // shingles has df = corpus size, so the 50%-df-capped index drops all
