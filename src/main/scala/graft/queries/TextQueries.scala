@@ -590,8 +590,58 @@ object TextQueries {
                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
       FROM v, s"""))
 
+  /** Document novelty / uniqueness scoring: the fraction of a document's
+    * distinct word 8-grams that appear in NO other document (corpus
+    * df = 1) — the uniqueness signal curation pipelines weigh against
+    * boilerplate mass (a doc of template text scores ~0, original prose
+    * ~1). Same n-gram machinery as c19's overlap matrix, pointed at
+    * per-document df instead of per-source pairs.
+    *
+    * Scale shape: distinct (doc, gram) explode → ONE gram-keyed df
+    * aggregate → join back on gram → per-doc counts; both shuffles key on
+    * the gram/doc, no hot keys (a gram's fan-out IS its df, and the
+    * novelty signal only needs df=1 vs df>1). Docs with < 8 tokens emit
+    * no grams and are absent — deterministic on both engines. */
+  val t15Novelty = GraftQuery(
+    "t15_novelty",
+    (s, dir) => {
+      val grams = table(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          graft.operators.TextAnalysis.wordNgrams(
+            graft.operators.TextAnalysis.tokens(col("text")), 8))).as("gram"))
+      val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      grams.join(dfreq, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty", round(col("n_unique") / col("n_grams"), 6))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents),
+      g0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
+                 i -> array_to_string(list_slice(t, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS gram
+        FROM toks),
+      g AS (SELECT DISTINCT doc_id, gram FROM g0),
+      dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY gram),
+      agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        FROM g JOIN dfreq USING (gram)
+        GROUP BY doc_id)
+      SELECT doc_id, n_grams, n_unique,
+             round(CAST(n_unique AS DOUBLE) / n_grams, 6) AS novelty
+      FROM agg
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
       t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t10Bm25,
-      t11UnigramXent, t12QualityClassifier, t13BigramXent, t14ZipfSlope)
+      t11UnigramXent, t12QualityClassifier, t13BigramXent, t14ZipfSlope,
+      t15Novelty)
 }

@@ -236,6 +236,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q67 TWA: ONE exchange shared by the lead window and the aggregate") {
+    val p = simplePlan(q("q67_time_weighted_avg"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges key exchanges\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("c23 epoch mix: recipe broadcasts; no shuffle in the operator") {
+    val p = simplePlan(q("c23_epoch_mix"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d15 winnow discovery: equi-joins only, native intersect verify") {
+    val p = plan(q("d15_winnow_pairs"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("sorted_intersect_size"), p.take(3000))
+  }
+
   test("d14 prefix filter: candidate generation and verify are equi-joins; intersect is native") {
     val p = plan(q("d14_prefix_jaccard_pairs"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
