@@ -6,6 +6,27 @@ import org.apache.spark.sql.functions._
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Rows surviving row-group pruning = the scan leaf's numOutputRows.
+    * SQL metrics accumulate via the async listener bus after collect()
+    * returns, so poll until the value holds steady — a lagging update
+    * would otherwise surface a partial count under full-suite load. */
+  private def rowsScanned(path: String, pred: org.apache.spark.sql.Column): Long = {
+    val q = spark.read.parquet(path).filter(pred)
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no file scan"))
+    def read(): Long = scan.metrics("numOutputRows").value
+    var prev = read(); var stable = 0; var tries = 0
+    while (stable < 3 && tries < 100) {
+      Thread.sleep(50)
+      val cur = read()
+      if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      tries += 1
+    }
+    prev
+  }
+
   test("mortonCode matches an independent bit-interleave reimplementation") {
     def ref(x: Long, y: Long, bits: Int): Long =
       (0 until bits).foldLeft(0L) { (acc, i) =>
@@ -36,16 +57,6 @@ class LayoutSpec extends SparkSpec {
       .write.options(opts).mode("overwrite").parquet(s"$tmp/linear")
     Layout.zorderBy(grid, col("x"), col("y"), bits = 8, partitions = 4)
       .write.options(opts).mode("overwrite").parquet(s"$tmp/zorder")
-
-    // rows surviving row-group pruning = the scan leaf's numOutputRows
-    def rowsScanned(path: String, pred: org.apache.spark.sql.Column): Long = {
-      val q = spark.read.parquet(path).filter(pred)
-      q.collect()
-      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-      }.getOrElse(fail("no file scan"))
-      scan.metrics("numOutputRows").value
-    }
 
     val ySlice = col("y") < 8 // 1/32 of the data
     val linearY = rowsScanned(s"$tmp/linear", ySlice)
@@ -100,14 +111,6 @@ class LayoutSpec extends SparkSpec {
       .write.options(opts).mode("overwrite").parquet(s"$tmp/zorder")
     Layout.hilbertBy(grid, col("x"), col("y"), bits = 8, partitions = 4)
       .write.options(opts).mode("overwrite").parquet(s"$tmp/hilbert")
-    def rowsScanned(path: String, pred: org.apache.spark.sql.Column): Long = {
-      val q = spark.read.parquet(path).filter(pred)
-      q.collect()
-      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-      }.getOrElse(fail("no file scan"))
-      scan.metrics("numOutputRows").value
-    }
     for (pred <- Seq(col("y") < 8, col("x") < 8)) {
       val z = rowsScanned(s"$tmp/zorder", pred)
       val h = rowsScanned(s"$tmp/hilbert", pred)
