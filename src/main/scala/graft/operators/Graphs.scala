@@ -51,22 +51,31 @@ object Graphs {
       .cache()
     var ranks = nodes.select(col("node"), lit(RankUnit).as("rank_micro"))
     for (_ <- 1 to iterations) {
+      // shuffle_hash hints: without them AQE broadcasts the node-sized rank
+      // state from the driver EVERY iteration — latency-bound at bench
+      // scale and impossible at cluster scale (rank state ~ node count).
+      // Hash-partitioned joins reuse edgesDeg's cached src partitioning
+      // and contribs' agg partitioning, so each iteration moves only the
+      // (node, rank) frame — the documented posture.
       val contribs = edgesDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("node"),
           expr("rank_micro div outdeg").as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("inflow"))
       ranks = nodes
-        .join(contribs, Seq("node"), "left")
+        .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (lit(TeleportMicro) +
             expr("85 * coalesce(inflow, 0L) div 100")).as("rank_micro"))
         // truncate the lineage each round — without this the plan nests one
         // join+agg level PER iteration and re-executes the whole prefix
         // (measured: 10 s for 5 iterations at sf0.1 vs ~1.5 s truncated);
-        // localCheckpoint materializes on the executors, no driver collect
-        .localCheckpoint()
+        // localCheckpoint materializes on the executors, no driver collect.
+        // LAZY: the block still truncates lineage, but materializes inside
+        // the NEXT iteration's job instead of one eager job per round —
+        // saves iterations-many job launches (~0.5 s at sf0.1)
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -84,14 +93,14 @@ object Graphs {
     var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
       val contribs = edgesDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("inflow"))
       ranks = nodes
-        .join(contribs, Seq("node"), "left")
+        .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"), (lit(0.15) + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks
   }
