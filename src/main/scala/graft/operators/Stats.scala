@@ -103,4 +103,56 @@ object Stats {
         ((lit(loCents) + (col("bin") + 1) * wCents).cast("double") / 100.0).as("bin_hi"),
         col("cnt"))
   }
+
+  /** Pareto frontier (2D skyline, maximize BOTH dimensions): the rows no
+    * other row dominates, where q dominates p iff q.x ≥ p.x ∧ q.y ≥ p.y
+    * with at least one strict. Duplicate (x, y) points dominate neither
+    * and all stay on the frontier.
+    *
+    * The textbook SQL is a quadratic NOT-EXISTS self-join — O(n²)
+    * comparisons and a nested-loop plan. This is the scale shape instead:
+    *
+    *  1. bucket-local prune: rows hash into `pruneBuckets` groups on the
+    *     id; within each bucket one (bucket, x)-keyed max-y aggregate and
+    *     one bucket-keyed suffix-max window find the bucket's own exact
+    *     frontier. A bucket frontier is a SUPERSET-member filter: anything
+    *     dominated inside its bucket is dominated globally, so pruning is
+    *     lossless (and the result is bucket-assignment invariant).
+    *  2. global resolve: the same two-window computation over the
+    *     surviving candidates in one partition. Candidates ≈ sum of
+    *     bucket-frontier sizes — frontiers of random buckets are tiny
+    *     (O(log n) expected for independent dims), so the single-partition
+    *     stage is output-bounded, the same justification as a driver-side
+    *     top-k tail. Worst case (all points on the frontier) is inherent
+    *     to the operator, not the plan.
+    *
+    * Strict-dominance bookkeeping without fragile row-frames: group rows
+    * by x first, so "rows before mine in x-descending order" is exactly
+    * "strictly greater x" — `bestAbove = max(ymax) over preceding x
+    * groups`. A row survives iff it holds its x-group's max y (no same-x
+    * point strictly above) and bestAbove < y (no greater-x point at-or-
+    * above). Everything is equi-joins, hash aggregates and windows —
+    * no cartesian product anywhere.
+    *
+    * Returns the frontier rows with their original columns. */
+  def paretoFrontier(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      pruneBuckets: Int = 64): DataFrame = {
+    require(pruneBuckets >= 1, s"pruneBuckets must be >= 1, got $pruneBuckets")
+    def frontierWithin(d: DataFrame, bucket: Column): DataFrame = {
+      val b = d.withColumn("__graft_bucket", bucket)
+      val perX = b.groupBy(col("__graft_bucket"), col(xCol))
+        .agg(max(col(yCol)).as("__graft_ymax"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__graft_bucket"))
+        .orderBy(col(xCol).desc)
+        .rowsBetween(Long.MinValue, -1)
+      val xs = perX.withColumn("__graft_best_above", max(col("__graft_ymax")).over(w))
+      b.join(xs, Seq("__graft_bucket", xCol))
+        .filter(col(yCol) === col("__graft_ymax") &&
+          (col("__graft_best_above").isNull || col("__graft_best_above") < col(yCol)))
+        .drop("__graft_bucket", "__graft_ymax", "__graft_best_above")
+    }
+    val pruned = frontierWithin(df, pmod(xxhash64(col(idCol)), lit(pruneBuckets.toLong)))
+    frontierWithin(pruned, lit(0L))
+  }
 }

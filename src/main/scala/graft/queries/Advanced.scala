@@ -733,9 +733,55 @@ object Advanced {
       FROM corners GROUP BY node
       ORDER BY n_triangles DESC, node"""))
 
+  /** Pareto frontier of the document corpus on (quality score, length):
+    * the docs no other doc beats on both axes at once — the candidate set
+    * a curation pass inspects when it refuses to trade quality against
+    * length scalar-weighted. The textbook NOT-EXISTS formulation is an
+    * O(n²) nested-loop self-join; [[Stats.paretoFrontier]] gets the same
+    * rows from a lossless bucket-local prune (two window passes per
+    * bucket) plus an output-bounded global resolve — equi-joins, hash
+    * aggregates and windows only. The oracle RUNS the quadratic
+    * NOT EXISTS, so the hash-match proves plan-shape equivalence. */
+  val q68ParetoFrontier = GraftQuery(
+    "q68_pareto_frontier",
+    (s, dir) => {
+      val scored = table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.qualityScore(col("text")).as("quality"),
+          col("n_chars"))
+      Stats.paretoFrontier(scored, idCol = "doc_id", xCol = "quality", yCol = "n_chars")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS DOUBLE) AS n_tok,
+          CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+            / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+          CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+            t -> t IN ('the','a','of','and','to','in','is','it','that','for',
+                       'el','la','de','y','que','los','un','es','en','se',
+                       'der','die','das','und','ist','ein','zu','den','mit','nicht',
+                       'le','la','de','et','est','les','un','une','du','pour'))) AS DOUBLE) AS stop_hits,
+          n_chars
+        FROM documents),
+      scored AS (
+        SELECT doc_id,
+               round(least(n_tok / 50.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3
+                     + stop_hits / greatest(n_tok, 1.0) * 0.3, 6) AS quality,
+               n_chars
+        FROM base)
+      SELECT p.doc_id, p.quality, p.n_chars
+      FROM scored p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM scored q
+        WHERE q.quality >= p.quality AND q.n_chars >= p.n_chars
+          AND (q.quality > p.quality OR q.n_chars > p.n_chars))
+      ORDER BY p.doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
     q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution,
     q56Transitions, q57RollingAnomaly, q58IncrementalAgg, q59StringBreadth,
-    q60DateBreadth, q63CoOccurrence, q64Triangles, q67TimeWeighted)
+    q60DateBreadth, q63CoOccurrence, q64Triangles, q67TimeWeighted, q68ParetoFrontier)
 }

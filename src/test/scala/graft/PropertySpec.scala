@@ -471,4 +471,23 @@ class PropertySpec extends SparkSpec {
       assert(got == naive, s"n=$n e=$e seed=$seed: diverged")
     }
   }
+
+  test("paretoFrontier equals the naive quadratic filter; bucket-count invariant") {
+    // heavy (x, y) collisions: duplicates must BOTH stay on the frontier,
+    // same-x chains must keep only the max-y rows
+    for ((n, vals, seed) <- Seq((80, 8, 11), (200, 20, 12), (150, 4, 13))) {
+      val rng = new Random(seed)
+      val rows = (1 to n).map(i => (i.toLong, rng.nextInt(vals).toDouble, rng.nextInt(vals).toLong))
+      val naive = rows.filter { p =>
+        !rows.exists(q => q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3))
+      }.map(_._1).toSet
+      for (buckets <- Seq(1, 7, 64)) {
+        val got = operators.Stats.paretoFrontier(
+            rows.toDF("id", "x", "y"), "id", "x", "y", pruneBuckets = buckets)
+          .select("id").as[Long].collect().toSet
+        assert(got == naive, s"n=$n vals=$vals seed=$seed buckets=$buckets: " +
+          s"missing=${naive -- got} extra=${got -- naive}")
+      }
+    }
+  }
 }

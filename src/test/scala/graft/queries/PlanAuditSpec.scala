@@ -255,6 +255,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("sorted_intersect_size"), p.take(3000))
   }
 
+  test("q68 pareto frontier: no quadratic self-join — equi-joins + windows only") {
+    val p = plan(q("q68_pareto_frontier"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("d14 prefix filter: candidate generation and verify are equi-joins; intersect is native") {
     val p = plan(q("d14_prefix_jaccard_pairs"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
