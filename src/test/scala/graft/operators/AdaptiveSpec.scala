@@ -59,4 +59,34 @@ class AdaptiveSpec extends SparkSpec {
     val configured = spark.sessionState.conf.numShufflePartitions
     assert(parts < configured, s"still $parts partitions (configured $configured)")
   }
+
+  test("runtime bloom filter from a selective dim prunes the fact scan side") {
+    // The third runtime mechanism next to skew-split and coalesce: when a
+    // dim carries a selective filter, the optimizer builds a bloom filter
+    // over the dim's join keys at runtime and injects might_contain() on
+    // the fact side BEFORE its shuffle — at 100 TB this is what keeps a
+    // selective star join from shuffling the whole fact table. Thresholds
+    // are lowered so the mechanism fires at test scale; files (not
+    // LocalRelations) so the injection site is a real scan.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_").toString
+    spark.range(0, 200000)
+      .select(col("id").as("k"), concat(lit("p"), col("id")).as("v"))
+      .write.mode("overwrite").parquet(s"$tmp/fact")
+    spark.range(0, 20000)
+      .select(col("id").as("k"), (col("id") % 100).as("cat"))
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB") {
+      val fact = spark.read.parquet(s"$tmp/fact")
+      val dim = spark.read.parquet(s"$tmp/dim").filter(col("cat") === 7)
+      val joined = fact.join(dim, "k")
+      assert(joined.collect().length == 200)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${finalPlan.take(4000)}")
+    }
+  }
 }
