@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -331,5 +331,45 @@ object TextAnalysis {
           .as("text_deduped"),
         count(lit(1)).as("n_blocks"),
         sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  /** Blocklist phrase matching: which documents contain which banned
+    * multi-word phrases, on lowercase token boundaries ("big order" does
+    * NOT match "big orders"). The filtering/compliance primitive of a
+    * curation pipeline — boilerplate markers, policy phrases, eval-set
+    * canaries.
+    *
+    * The naive spelling is |phrases| regexes per document — O(N·len) per
+    * row, untenable when the blocklist is 10⁵ entries. This is the
+    * inverted shape instead: documents explode to (pos, token) once,
+    * FIRST tokens of the (broadcast) blocklist equi-join against them,
+    * and each candidate position verifies the full phrase with one
+    * `slice` comparison against the doc's token array. Work scales with
+    * occurrences of first tokens, not phrases × documents, and the
+    * blocklist join is a broadcast — the corpus never shuffles; all of a
+    * document's exploded rows stay in its input partition, so the partial
+    * aggregate collapses each (doc, phrase) group to one row before the
+    * output exchange.
+    *
+    * Returns one row per (doc, phrase) hit: (idCol, phrase, n_hits,
+    * first_pos) — 1-based token position of the first occurrence. */
+  def phraseHits(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phrases must be non-empty")
+    val norm = phrases.map(p => p.toLowerCase.trim.split("\\s+").toSeq)
+    require(norm.forall(_.nonEmpty), "phrases must contain at least one token")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val phr = norm.map(ts => (ts.mkString(" "), ts, ts.head, ts.size))
+      .toDF("phrase", "p_toks", "p_first", "p_len")
+    val toks = docs.select(col(idCol), tokens(lower(col(textCol))).as("__graft_toks"))
+    toks
+      .select(col(idCol), col("__graft_toks"),
+        posexplode(col("__graft_toks")).as(Seq("__graft_pos", "__graft_tok")))
+      .join(broadcast(phr), col("__graft_tok") === col("p_first"))
+      .filter(slice(col("__graft_toks"), col("__graft_pos") + 1, col("p_len")) === col("p_toks"))
+      .groupBy(col(idCol), col("phrase"))
+      .agg(count(lit(1)).as("n_hits"),
+        (min(col("__graft_pos")) + 1).cast("bigint").as("first_pos"))
   }
 }

@@ -639,9 +639,43 @@ object TextQueries {
       FROM agg
       ORDER BY doc_id"""))
 
+  /** Blocklist phrase filtering: token-boundary multi-word phrase hits per
+    * document — boilerplate markers, policy phrases, eval canaries. The
+    * oracle enumerates every token position per (doc, phrase) pair and
+    * slice-compares (the naive quadratic scan); the engine runs the
+    * inverted first-token broadcast join of [[TextAnalysis.phraseHits]],
+    * so the hash match proves the shapes equivalent. One phrase is absent
+    * from the corpus by construction (no-match path). */
+  val t16Blocklist = GraftQuery(
+    "t16_blocklist_phrases",
+    (s, dir) =>
+      graft.operators.TextAnalysis.phraseHits(
+          table(s, dir, "documents"), "doc_id", "text",
+          Seq("table hash", "customer join", "slow query", "lorem ipsum dolor"))
+        .orderBy(col("doc_id"), col("phrase")),
+    Some("""
+      WITH p AS (
+        SELECT * FROM (VALUES ('table hash'), ('customer join'), ('slow query'),
+                              ('lorem ipsum dolor')) AS t(phrase)),
+      pt AS (
+        SELECT phrase, list_filter(string_split_regex(phrase, '\s+'), t -> t <> '') AS ptoks
+        FROM p),
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        FROM documents),
+      hits AS (
+        SELECT d.doc_id, pt.phrase, CAST(i + 1 AS BIGINT) AS pos
+        FROM toks d, pt, range(0, 100000) r(i)
+        WHERE i + len(pt.ptoks) <= len(d.toks)
+          AND list_slice(d.toks, CAST(i + 1 AS INT), CAST(i + len(pt.ptoks) AS INT)) = pt.ptoks)
+      SELECT doc_id, phrase, CAST(COUNT(*) AS BIGINT) AS n_hits, MIN(pos) AS first_pos
+      FROM hits
+      GROUP BY doc_id, phrase
+      ORDER BY doc_id, phrase"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
       t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t10Bm25,
       t11UnigramXent, t12QualityClassifier, t13BigramXent, t14ZipfSlope,
-      t15Novelty)
+      t15Novelty, t16Blocklist)
 }

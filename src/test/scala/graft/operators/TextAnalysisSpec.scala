@@ -283,4 +283,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3, "a b c")))
     assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 0, "")))
   }
+
+  test("phrase hits: boundaries, overlaps, case folding, counts, positions") {
+    val docs = Seq(
+      (1L, "Bad Phrase at the start and bad phrase again"), // 2 hits, case-folded
+      (2L, "ends with bad phrase"),                          // hit at the end
+      (3L, "badly phrased near miss and bad phrases too"),  // token-boundary: no hit
+      (4L, "a a a"),                                         // overlapping "a a": 2 hits
+      (5L, "")                                               // empty doc
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseHits(docs, "doc_id", "text", Seq("bad phrase", "a a", "absent"))
+      .orderBy("doc_id", "phrase")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "bad phrase", 2L, 1L),
+      (2L, "bad phrase", 1L, 3L),
+      (4L, "a a", 2L, 1L)))
+  }
+
+  test("phrase hits plan: blocklist broadcasts; the corpus never sort-merges") {
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val p = TextAnalysis.phraseHits(docs, "doc_id", "text", Seq("x y"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
