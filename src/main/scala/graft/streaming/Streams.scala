@@ -173,6 +173,34 @@ object Streams {
           .as("lag_seconds"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[intervalJoin]] that also
+    * emits every UNMATCHED left event (null right columns): the
+    * "unconverted users" side of attribution, which the inner join
+    * silently drops. The subtlety is WHEN a non-match is known: only once
+    * the watermark has passed the end of the left row's match interval can
+    * no future right row join it, so null rows surface with watermark
+    * latency rather than immediately — the spec drives exactly that.
+    * State stays bounded the same way as the inner join (time bounds in
+    * both directions + both sides watermarked). */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+      withinSeconds: Long = 600, watermark: String = "20 minutes"): DataFrame = {
+    require(withinSeconds > 0, s"withinSeconds must be positive, got $withinSeconds")
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("left_id"), col("ts").as("left_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user_id"), col("event_id").as("right_id"),
+        col("ts").as("right_ts"))
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("right_ts") >= col("left_ts") &&
+          col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinSeconds SECONDS"),
+        "leftOuter")
+      .select(col("user_id"), col("left_id"), col("right_id"),
+        col("left_ts"), col("right_ts"),
+        (unix_timestamp(col("right_ts")) - unix_timestamp(col("left_ts")))
+          .as("lag_seconds"))
+  }
+
   /** Stream-static enrichment: join the unbounded stream against a bounded
     * dimension frame — the streaming counterpart of the silver layer's
     * broadcast dim joins (J2). The static side is re-planned per

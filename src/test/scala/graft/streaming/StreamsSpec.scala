@@ -263,6 +263,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched lefts only after the watermark closes their interval") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = Streams.intervalJoinOuter(views.toDF(), clicks.toDF(),
+        withinSeconds = 600, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        ev(10, "2024-01-01 10:00:00", 1, "view", 0.0),   // will convert
+        ev(11, "2024-01-01 10:00:00", 2, "view", 0.0))   // never converts
+      clicks.addData(ev(20, "2024-01-01 10:05:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      def rows() = spark.table("attrib_outer").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("left_id"),
+          Option(r.getAs[java.lang.Long]("right_id")).map(_.toLong))).toSet
+      // user 2's non-conversion is NOT yet knowable: a click could still
+      // arrive inside [10:00, 10:10] — only the match is out
+      assert(rows() == Set((1L, 10L, Some(20L))))
+      // advance BOTH watermarks past 10:10 + 5 min slack: user 2's
+      // interval is closed, the null row must surface
+      views.addData(ev(12, "2024-01-01 10:30:00", 9, "view", 0.0))
+      clicks.addData(ev(21, "2024-01-01 10:30:00", 9, "click", 1.0))
+      q.processAllAvailable()
+      // one more micro-batch so the state store evicts + emits
+      views.addData(ev(13, "2024-01-01 10:40:00", 9, "view", 0.0))
+      clicks.addData(ev(22, "2024-01-01 10:40:00", 9, "click", 1.0))
+      q.processAllAvailable()
+      assert(rows().contains((2L, 11L, None)),
+        s"unmatched left not emitted after watermark: ${rows()}")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim; unmatched pass through") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
