@@ -533,4 +533,47 @@ object Curation {
           s"($changed labels still improving); raise maxIter for deep chain components")
     labels.select(col("id").as("member_id"), col("label").as("cluster_id"))
   }
+
+  /** Deterministic contrastive negative sampling: `k` pseudo-random
+    * partners per row — the negatives a contrastive/embedding training
+    * run pairs each anchor with. Rerun- and engine-invariant (no RNG
+    * state): rows land in `buckets` hash groups, are ranked inside their
+    * bucket by md5, and partner j of the rank-r row is the row at rank
+    * `(r-1 + j·max(n/(k+1), 1)) mod n + 1` — a ring shift, so pairing is
+    * uniform-ish, has no fixed point for j·step ≢ 0 (mod n), and every
+    * row serves as a negative for ≈ k others (balanced usage, unlike
+    * independent sampling which leaves a Poisson tail of unused rows).
+    *
+    * 100 TB posture: the ring is PER BUCKET, so the rank window keys on
+    * the bucket (no global total order, no single-partition window) and
+    * the rank→id resolution is a (bucket, rank) equi-join of two
+    * bucket-partitioned sides. Self-pairs (possible only in degenerate
+    * buckets with n ≤ k·step ≈ n) are dropped, never emitted.
+    *
+    * Returns (idCol, neg_j, neg_id). */
+  def negativePairs(df: DataFrame, idCol: String, k: Int, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val b = df.select(col(idCol), hashShard(col(idCol), buckets).as("__graft_bucket"),
+      hashKey(col(idCol)).as("__graft_h"))
+    val w = Window.partitionBy(col("__graft_bucket"))
+    val ranked = b
+      .withColumn("__graft_r", row_number().over(w.orderBy(col("__graft_h"), col(idCol))))
+      .withColumn("__graft_n", count(lit(1)).over(w))
+    val step = greatest(expr("__graft_n div " + (k + 1)), lit(1L))
+    val wanted = ranked
+      .select(col(idCol), col("__graft_bucket"), col("__graft_r"), col("__graft_n"),
+        explode(sequence(lit(1), lit(k))).as("neg_j"))
+      .select(col(idCol), col("__graft_bucket"), col("neg_j"),
+        (pmod(col("__graft_r") - 1 + col("neg_j") * step, col("__graft_n")) + 1)
+          .as("__graft_want"))
+    val members = ranked.select(col("__graft_bucket").as("m_bucket"),
+      col("__graft_r").as("m_r"), col(idCol).as("neg_id"))
+    wanted
+      .join(members, col("__graft_bucket") === col("m_bucket") &&
+        col("__graft_want") === col("m_r"))
+      .filter(col("neg_id") =!= col(idCol))
+      .select(col(idCol), col("neg_j"), col("neg_id"))
+  }
 }

@@ -809,11 +809,43 @@ object CurationQueries {
       ORDER BY doc_id, epoch"""
     })
 
+  /** Deterministic contrastive negative sampling: 3 hash-ring partners per
+    * document, rings per 16-way hash bucket so the rank window never needs
+    * a global total order. The oracle replays bucket, md5 rank, and the
+    * ring-shift arithmetic value-for-value. */
+  val c24NegativePairs = GraftQuery(
+    "c24_negative_pairs",
+    (s, dir) =>
+      Curation.negativePairs(table(s, dir, "documents").select(col("doc_id")),
+          "doc_id", k = 3, buckets = 16)
+        .orderBy(col("doc_id"), col("neg_j")),
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS bucket,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, bucket,
+               CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS n
+        FROM b),
+      wanted AS (
+        SELECT doc_id, bucket, CAST(j AS INT) AS neg_j,
+               ((r - 1 + j * greatest(n // 4, 1)) % n) + 1 AS want
+        FROM ranked, range(1, 4) t(j)),
+      resolved AS (
+        SELECT w.doc_id, w.neg_j, m.doc_id AS neg_id
+        FROM wanted w JOIN ranked m ON w.bucket = m.bucket AND w.want = m.r
+        WHERE m.doc_id <> w.doc_id)
+      SELECT doc_id, neg_j, neg_id FROM resolved
+      ORDER BY doc_id, neg_j"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
       c08TokenQuotaMix, c09Decontamination, c11AdaptiveThreshold,
       c12BloomDecontamination, c13QualityKeeper, c14HashSplit, c15ChunkWindows,
       c16TemperatureMix, c17KAnonymity, c18QualityEnsemble, c19SourceOverlap,
-      c20WeightedSample, c21LDiversity, c23EpochMix)
+      c20WeightedSample, c21LDiversity, c23EpochMix, c24NegativePairs)
 }

@@ -353,4 +353,26 @@ class CurationSpec extends SparkSpec {
     val first = out.select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(first == again, "epoch selection changed with partitioning")
   }
+
+  test("negativePairs: no self-pairs, bounded count, balanced usage, layout-invariant") {
+    val docs = (1 to 400).map(_.toLong).toDF("doc_id")
+    val pairs = Curation.negativePairs(docs, "doc_id", k = 3, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(pairs.forall { case (a, _, n) => a != n }, "self-pair emitted")
+    val perAnchor = pairs.groupBy(_._1).map(_._2.size)
+    assert(perAnchor.forall(_ <= 3) && perAnchor.sum > 1100,
+      s"anchor negative counts off: ${perAnchor.toSeq.distinct}")
+    // ring shifts use every row as a negative ~k times (balanced usage —
+    // the property independent random sampling lacks)
+    val usage = pairs.groupBy(_._3).map(_._2.size)
+    assert(usage.max <= 6, s"some row over-used as negative: ${usage.max}")
+    // deterministic under partition layout
+    val again = Curation.negativePairs(docs.repartition(7), "doc_id", k = 3, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == pairs.toSet, "pairing changed with partitioning")
+    // degenerate buckets: with n=1 per bucket every candidate is a
+    // self-pair and must vanish, not surface
+    val tiny = Seq(1L).toDF("doc_id")
+    assert(Curation.negativePairs(tiny, "doc_id", k = 3, buckets = 8).count() == 0)
+  }
 }
