@@ -155,4 +155,60 @@ object Stats {
     val pruned = frontierWithin(df, pmod(xxhash64(col(idCol)), lit(pruneBuckets.toLong)))
     frontierWithin(pruned, lit(0L))
   }
+
+  /** Population Stability Index per group — the standard drift score
+    * between a reference slice and a comparison slice of the same column:
+    * `PSI = Σ_bins (p_cmp − p_ref) · ln(p_cmp / p_ref)` over fixed-width
+    * value bins ([[histogram]]'s integer-cents binning). PSI < 0.1 is
+    * conventionally "stable", > 0.25 "drifted" — the monitoring gate a
+    * production scoring pipeline runs per feature per day.
+    *
+    * Determinism across engines and partitionings:
+    *  - bins and counts are exact integers;
+    *  - proportions are Laplace-smoothed `(n_bin + 1) / (n_total + nbins)`
+    *    — empty bins contribute a finite term instead of ±∞, and the
+    *    ratio of exact longs divides identically in IEEE double anywhere;
+    *  - each bin's term is rounded to 9 decimals and summed as
+    *    DECIMAL(28,9) (order-independent), then rounded to 6 — the same
+    *    discipline as the engine's other float reductions.
+    *
+    * Plan: ONE map-combined (group, bin, slice)-count aggregate over the
+    * data, a broadcast-joined dense bin frame (groups × nbins rows) so
+    * empty bins surface, and a constant-width final aggregate. Nothing
+    * scales with row count but the first pass.
+    *
+    * Returns (groupCol, n_ref, n_cmp, psi). */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: Column, isRef: Column,
+      lo: BigDecimal, width: BigDecimal, nbins: Int): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    require(nbins > 0, s"nbins must be positive, got $nbins")
+    val cents = (valueCol.cast(in) * 100).cast("bigint")
+    val loCents = (lo * 100).toBigIntExact
+      .getOrElse(throw new IllegalArgumentException(s"lo must have <=2 decimals: $lo")).toLong
+    val wCents = (width * 100).toBigIntExact
+      .getOrElse(throw new IllegalArgumentException(s"width must have <=2 decimals: $width")).toLong
+    val bin = least(floor((cents - loCents) / wCents).cast("bigint"), lit(nbins - 1L))
+    val counts = df
+      .groupBy(col(groupCol), bin.as("bin"))
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("nr"),
+        sum(when(isRef, 0L).otherwise(1L)).as("nc"))
+    val dense = df.select(col(groupCol)).distinct()
+      .select(col(groupCol), explode(sequence(lit(0L), lit(nbins - 1L))).as("bin"))
+    val binned = dense.join(counts, Seq(groupCol, "bin"), "left")
+      .select(col(groupCol), col("bin"),
+        coalesce(col("nr"), lit(0L)).as("nr"), coalesce(col("nc"), lit(0L)).as("nc"))
+    val totals = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val withP = binned
+      .withColumn("tr", sum(col("nr")).over(totals))
+      .withColumn("tc", sum(col("nc")).over(totals))
+      .withColumn("pr", (col("nr") + 1).cast("double") / (col("tr") + nbins).cast("double"))
+      .withColumn("pc", (col("nc") + 1).cast("double") / (col("tc") + nbins).cast("double"))
+    withP
+      .select(col(groupCol), col("tr"), col("tc"),
+        round((col("pc") - col("pr")) * log(col("pc") / col("pr")), 9)
+          .cast(DecimalType(28, 9)).as("term"))
+      .groupBy(col(groupCol))
+      .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cmp"),
+        round(sum(col("term")).cast("double"), 6).as("psi"))
+  }
 }

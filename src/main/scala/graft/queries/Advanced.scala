@@ -779,9 +779,61 @@ object Advanced {
           AND (q.quality > p.quality OR q.n_chars > p.n_chars))
       ORDER BY p.doc_id"""))
 
+  /** PSI drift monitoring ([[Stats.psiDrift]]): value-distribution shift
+    * per event type between the first and second half of the month —
+    * Laplace-smoothed fixed-bin proportions, `Σ (p_c − p_r)·ln(p_c/p_r)`,
+    * bin terms rounded then DECIMAL-summed so the score is partitioning-
+    * exact. One map-combined count pass over the data; everything after
+    * is groups × bins sized. */
+  val q69PsiDrift = GraftQuery(
+    "q69_psi_drift",
+    (s, dir) =>
+      Stats.psiDrift(graft.Graft.eventsTable(s, dir), "event_type", col("value"),
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00")),
+          lo = BigDecimal(0), width = BigDecimal(50), nbins = 10)
+        .orderBy(col("event_type")),
+    Some("""
+      WITH binned AS (
+        SELECT event_type,
+               least(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000, 9) AS bin,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_ref
+        FROM events),
+      counts AS (
+        SELECT event_type, bin,
+               CAST(SUM(is_ref) AS BIGINT) AS nr,
+               CAST(SUM(1 - is_ref) AS BIGINT) AS nc
+        FROM binned GROUP BY event_type, bin),
+      dense AS (
+        SELECT g.event_type, CAST(b.b AS BIGINT) AS bin
+        FROM (SELECT DISTINCT event_type FROM events) g, range(0, 10) b(b)),
+      filled AS (
+        SELECT d.event_type, d.bin,
+               COALESCE(c.nr, 0) AS nr, COALESCE(c.nc, 0) AS nc
+        FROM dense d LEFT JOIN counts c
+          ON d.event_type = c.event_type AND d.bin = c.bin),
+      withp AS (
+        SELECT event_type, nr, nc,
+               CAST(SUM(nr) OVER (PARTITION BY event_type) AS BIGINT) AS tr,
+               CAST(SUM(nc) OVER (PARTITION BY event_type) AS BIGINT) AS tc
+        FROM filled),
+      terms AS (
+        SELECT event_type, tr, tc,
+               CAST(round((CAST(nc + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE)
+                         - CAST(nr + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))
+                 * ln((CAST(nc + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+                    / (CAST(nr + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))), 9)
+                 AS DECIMAL(28,9)) AS term
+        FROM withp)
+      SELECT event_type, MAX(tr) AS n_ref, MAX(tc) AS n_cmp,
+             round(CAST(SUM(term) AS DOUBLE), 6) AS psi
+      FROM terms
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
     q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution,
     q56Transitions, q57RollingAnomaly, q58IncrementalAgg, q59StringBreadth,
-    q60DateBreadth, q63CoOccurrence, q64Triangles, q67TimeWeighted, q68ParetoFrontier)
+    q60DateBreadth, q63CoOccurrence, q64Triangles, q67TimeWeighted, q68ParetoFrontier,
+    q69PsiDrift)
 }

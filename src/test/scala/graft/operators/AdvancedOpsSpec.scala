@@ -263,4 +263,27 @@ class AdvancedOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), got.toString)
   }
+
+  test("psiDrift: ~0 on identical slices, large on a planted shift, finite on an empty slice") {
+    // same distribution in both slices: PSI ≈ 0 (exactly 0 up to smoothing
+    // asymmetry when totals match)
+    val same = (1 to 1000).map(i => ("a", (i % 10) * 10.0 + 5.0, i <= 500)).toDF("g", "v", "ref")
+    val psiSame = Stats.psiDrift(same, "g", col("v"), col("ref"),
+        lo = BigDecimal(0), width = BigDecimal(10), nbins = 10)
+      .select("psi").as[Double].head()
+    assert(math.abs(psiSame) < 0.001, s"identical slices scored $psiSame")
+    // planted shift: reference mass in bins 0-4, comparison in bins 5-9
+    val shifted = ((1 to 500).map(i => ("a", (i % 5) * 10.0 + 5.0, true)) ++
+      (1 to 500).map(i => ("a", 50.0 + (i % 5) * 10.0 + 5.0, false))).toDF("g", "v", "ref")
+    val psiShift = Stats.psiDrift(shifted, "g", col("v"), col("ref"),
+        lo = BigDecimal(0), width = BigDecimal(10), nbins = 10)
+      .select("psi").as[Double].head()
+    assert(psiShift > 1.0, s"full shift scored only $psiShift")
+    // one slice empty: Laplace smoothing keeps every term finite
+    val oneSided = (1 to 100).map(i => ("a", i.toDouble, true)).toDF("g", "v", "ref")
+    val psiOne = Stats.psiDrift(oneSided, "g", col("v"), col("ref"),
+        lo = BigDecimal(0), width = BigDecimal(10), nbins = 10)
+      .select("psi").as[Double].head()
+    assert(!psiOne.isNaN && !psiOne.isInfinite, s"empty slice produced $psiOne")
+  }
 }
