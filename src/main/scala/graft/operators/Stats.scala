@@ -211,4 +211,39 @@ object Stats {
       .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cmp"),
         round(sum(col("term")).cast("double"), 6).as("psi"))
   }
+
+  /** EXACT per-group median (interpolated, quantile_cont semantics) of a
+    * money-like column — without per-group buffering. Spark's exact
+    * `percentile` collects every value of a group into one aggregation
+    * buffer (OOM at 100 TB group sizes); this computes the same number
+    * from the VALUE HISTOGRAM instead: group by (key, cents) with a
+    * map-combined count, one cumulative-count window per key ordered by
+    * cents, and the median is the mean of the values at ranks ⌊(n+1)/2⌋
+    * and ⌈(n+1)/2⌉. State scales with DISTINCT VALUES per group (bounded
+    * by the value domain — ~49k for prices under $500), never with row
+    * count. All arithmetic on exact integer cents; the only division is
+    * the final /2 and /100 — exact in double for in-domain money.
+    *
+    * Returns (groupCols..., n, median). */
+  def exactMedianByValue(df: DataFrame, groupCols: Seq[Column], valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (valueCol.cast(in) * 100).cast("bigint")
+    val counts = df.groupBy((groupCols :+ cents.as("__graft_cents")): _*)
+      .agg(count(lit(1)).as("__graft_cnt"))
+    val w = Window.partitionBy(groupCols: _*).orderBy(col("__graft_cents"))
+    val ranked = counts
+      .withColumn("__graft_cum", sum(col("__graft_cnt")).over(w))
+      .withColumn("__graft_n", sum(col("__graft_cnt"))
+        .over(Window.partitionBy(groupCols: _*)))
+    // the two middle ranks (equal for odd n); a value row covers rank r
+    // iff cum - cnt < r <= cum
+    val lo = expr("(__graft_n + 1) div 2") // floor((n+1)/2)
+    val hi = expr("__graft_n div 2 + 1")   // ceil((n+1)/2)
+    ranked
+      .filter((col("__graft_cum") - col("__graft_cnt") < lo && lo <= col("__graft_cum")) ||
+        (col("__graft_cum") - col("__graft_cnt") < hi && hi <= col("__graft_cum")))
+      .groupBy(groupCols: _*)
+      .agg(max(col("__graft_n")).as("n"),
+        (avg(col("__graft_cents")) / 100.0).as("median"))
+  }
 }

@@ -830,10 +830,30 @@ object Advanced {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** EXACT interpolated median per group from the value histogram
+    * ([[Stats.exactMedianByValue]]) — Spark's own exact `percentile`
+    * buffers every group value (unusable at 100 TB group sizes); the
+    * value-space plan's state is bounded by distinct cents, not rows.
+    * Oracle: DuckDB's `median` (quantile_cont) on the same column. */
+  val q70ExactMedian = GraftQuery(
+    "q70_exact_median",
+    (s, dir) =>
+      Stats.exactMedianByValue(table(s, dir, "lineitem"),
+          Seq(col("l_returnflag")), col("l_extendedprice"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(median(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+               / 100.0 AS median
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
     q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution,
     q56Transitions, q57RollingAnomaly, q58IncrementalAgg, q59StringBreadth,
     q60DateBreadth, q63CoOccurrence, q64Triangles, q67TimeWeighted, q68ParetoFrontier,
-    q69PsiDrift)
+    q69PsiDrift, q70ExactMedian)
 }

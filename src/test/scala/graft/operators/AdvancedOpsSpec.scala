@@ -286,4 +286,26 @@ class AdvancedOpsSpec extends SparkSpec {
       .select("psi").as[Double].head()
     assert(!psiOne.isNaN && !psiOne.isInfinite, s"empty slice produced $psiOne")
   }
+
+  test("exactMedianByValue: odd/even interpolation, duplicates, equals Spark's percentile(0.5)") {
+    val hand = Seq(
+      ("odd", 1.0), ("odd", 2.0), ("odd", 9.0),            // median 2.0
+      ("even", 1.0), ("even", 2.0), ("even", 3.0), ("even", 10.0), // (2+3)/2
+      ("dup", 5.0), ("dup", 5.0), ("dup", 5.0), ("dup", 7.0)       // middles both 5
+    ).toDF("g", "v")
+    val got = Stats.exactMedianByValue(hand, Seq(col("g")), col("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map("odd" -> (3L, 2.0), "even" -> (4L, 2.5), "dup" -> (4L, 5.0)), got.toString)
+    // random cross-check vs Spark's exact percentile (which buffers values)
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 500).map(_ => (s"g${rnd.nextInt(3)}",
+      math.round(rnd.nextDouble() * 10000) / 100.0)).toDF("g", "v")
+    val ours = Stats.exactMedianByValue(data, Seq(col("g")), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val ref = data.groupBy("g").agg(expr("percentile(v, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ours.foreach { case (g, m) =>
+      assert(math.abs(m - ref(g)) < 1e-9, s"$g: value-space $m vs percentile ${ref(g)}")
+    }
+  }
 }
