@@ -372,4 +372,59 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"),
         (min(col("__graft_pos")) + 1).cast("bigint").as("first_pos"))
   }
+
+  /** Pairwise Jensen–Shannon divergence between the unigram distributions
+    * of every two sources — the vocabulary-level distance a mixture
+    * designer reads before weighting sources ([[Curation.temperatureMix]]'s
+    * diagnostic sibling; c19's n-gram overlap measures shared SEQUENCES,
+    * this measures shared WORD USAGE). Natural-log JS: symmetric, finite
+    * even for disjoint vocabularies, bounded by ln 2.
+    *
+    * The textbook shape needs p and q aligned on the UNION of both
+    * vocabularies — a full-outer join per pair. This uses only the
+    * INTERSECTION join: tokens present in a but not b contribute exactly
+    * `p_a·ln 2` to JS, so their total is recoverable algebraically as
+    * `(1 − Σ_common p_a)·ln 2` from the same aggregate. One token-keyed
+    * equi self-join (fan-out per token bounded by sources², with sources
+    * per corpus small; shard by language first when they are not), one
+    * pair-keyed aggregate.
+    *
+    * Determinism: probabilities are exact long-count ratios; every summed
+    * quantity is rounded to 9 decimals and accumulated as DECIMAL(28,9)
+    * (order-independent), then one double expression produces the score,
+    * rounded to 6 — the engine's standard float-reduction discipline.
+    *
+    * Returns (src_a, src_b, n_common_tokens, js) for src_a < src_b.
+    * Pairs sharing NO token are absent from the output (their JS is
+    * exactly ln 2 — maximal). */
+  def sourceJsDivergence(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = docs
+      .select(col(srcCol).as("__graft_src"),
+        explode(tokens(lower(col(textCol)))).as("__graft_tok"))
+      .groupBy(col("__graft_src"), col("__graft_tok"))
+      .agg(count(lit(1)).as("__graft_cnt"))
+    val totals = counts.groupBy(col("__graft_src"))
+      .agg(sum(col("__graft_cnt")).as("__graft_tot"))
+    val probs = counts.join(totals, "__graft_src")
+      .select(col("__graft_src"), col("__graft_tok"),
+        (col("__graft_cnt").cast("double") / col("__graft_tot").cast("double")).as("__graft_p"))
+    val a = probs.select(col("__graft_src").as("src_a"), col("__graft_tok").as("tok"),
+      col("__graft_p").as("pa"))
+    val b = probs.select(col("__graft_src").as("src_b"), col("__graft_tok").as("tok"),
+      col("__graft_p").as("pb"))
+    val ln2 = math.log(2.0)
+    a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb")))
+          + col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))), 9)
+          .cast(DecimalType(28, 9)).as("term"),
+        round(col("pa"), 9).cast(DecimalType(28, 9)).as("pa9"),
+        round(col("pb"), 9).cast(DecimalType(28, 9)).as("pb9"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common_tokens"),
+        round((lit(0.5) * (sum(col("term")).cast("double")
+          + (lit(1.0) - sum(col("pa9")).cast("double")) * ln2
+          + (lit(1.0) - sum(col("pb9")).cast("double")) * ln2)), 6).as("js"))
+  }
 }

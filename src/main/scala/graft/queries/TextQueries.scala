@@ -673,9 +673,45 @@ object TextQueries {
       GROUP BY doc_id, phrase
       ORDER BY doc_id, phrase"""))
 
+  /** Pairwise source-vocabulary JS divergence ([[TextAnalysis
+    * .sourceJsDivergence]]): the mixture-design distance matrix. The
+    * oracle replays probabilities, the intersection-join terms, AND the
+    * algebraic disjoint-mass recovery — value-for-value. */
+  val t17JsDivergence = GraftQuery(
+    "t17_source_js_divergence",
+    (s, dir) =>
+      graft.operators.TextAnalysis.sourceJsDivergence(
+          table(s, dir, "documents"), "source", "text")
+        .orderBy(col("src_a"), col("src_b")),
+    Some("""
+      WITH counts AS (
+        SELECT source AS src, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT source,
+                unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+              FROM documents)
+        GROUP BY source, tok),
+      totals AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS tot FROM counts GROUP BY src),
+      probs AS (
+        SELECT c.src, c.tok, CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+        FROM counts c JOIN totals t USING (src)),
+      joined AS (
+        SELECT a.src AS src_a, b.src AS src_b,
+               CAST(round(a.p * ln(2.0 * a.p / (a.p + b.p))
+                        + b.p * ln(2.0 * b.p / (a.p + b.p)), 9) AS DECIMAL(28,9)) AS term,
+               CAST(round(a.p, 9) AS DECIMAL(28,9)) AS pa9,
+               CAST(round(b.p, 9) AS DECIMAL(28,9)) AS pb9
+        FROM probs a JOIN probs b ON a.tok = b.tok AND a.src < b.src)
+      SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_common_tokens,
+             round(0.5 * (CAST(SUM(term) AS DOUBLE)
+                        + (1.0 - CAST(SUM(pa9) AS DOUBLE)) * ln(2.0)
+                        + (1.0 - CAST(SUM(pb9) AS DOUBLE)) * ln(2.0)), 6) AS js
+      FROM joined
+      GROUP BY src_a, src_b
+      ORDER BY src_a, src_b"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
       t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t10Bm25,
       t11UnigramXent, t12QualityClassifier, t13BigramXent, t14ZipfSlope,
-      t15Novelty, t16Blocklist)
+      t15Novelty, t16Blocklist, t17JsDivergence)
 }

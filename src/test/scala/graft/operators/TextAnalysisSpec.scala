@@ -301,6 +301,29 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, "a a", 2L, 1L)))
   }
 
+  test("sourceJsDivergence: zero for identical, ln2-bounded, matches hand JS, disjoint absent") {
+    val docs = Seq(
+      ("a", "x x y"), ("b", "x x y"),       // identical distribution -> JS 0
+      ("c", "x y"),                          // vs a: p=(2/3,1/3), q=(1/2,1/2)
+      ("d", "z z w")                         // disjoint vocab with a/b/c
+    ).toDF("source", "text")
+    val got = TextAnalysis.sourceJsDivergence(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(("a", "b"))._2 == 0.0, got.toString)
+    // hand JS for a vs c in nats
+    def kl(p: Seq[Double], q: Seq[Double]) =
+      p.zip(q).map { case (pi, qi) => if (pi == 0) 0.0 else pi * math.log(pi / qi) }.sum
+    val p = Seq(2.0 / 3, 1.0 / 3); val q = Seq(0.5, 0.5)
+    val m = p.zip(q).map { case (x, y) => (x + y) / 2 }
+    val want = 0.5 * kl(p, m) + 0.5 * kl(q, m)
+    assert(math.abs(got(("a", "c"))._2 - want) < 1e-5,
+      s"a-c: ${got(("a", "c"))._2} vs hand $want")
+    // every score within [0, ln 2]; disjoint pairs (d vs others) absent
+    assert(got.values.forall(v => v._2 >= 0.0 && v._2 <= math.log(2.0) + 1e-9))
+    assert(!got.keySet.exists { case (x, y) => x == "d" || y == "d" })
+  }
+
   test("phrase hits plan: blocklist broadcasts; the corpus never sort-merges") {
     val docs = Seq((1L, "x y")).toDF("doc_id", "text")
     val p = TextAnalysis.phraseHits(docs, "doc_id", "text", Seq("x y"))
