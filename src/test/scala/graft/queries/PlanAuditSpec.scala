@@ -255,6 +255,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("sorted_intersect_size"), p.take(3000))
   }
 
+  test("q69 PSI: ONE exchange touches the data; the dense-bin resolve is groups-sized") {
+    val p = simplePlan(q("q69_psi_drift"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the (group, bin, slice) count is the only aggregate over raw rows —
+    // it must partial-aggregate (map-side combine) before its exchange
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q70 exact median: value-histogram aggregate precedes the window; no row buffering") {
+    val p = simplePlan(q("q70_exact_median"))
+    // the (key, cents) count aggregate must sit BETWEEN the scan and the
+    // window (plans print top-down, scan last): the LAST HashAggregate —
+    // the one nearest the scan — comes after the Window in print order,
+    // proving state is value-bounded, not a per-group collect
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"expected scan->aggregate->window layering\n$p")
+    assert(p.contains("partial_count"), p) // map-side combined histogram
+    assert(!p.contains("percentile"), p)
+  }
+
+  test("t16 blocklist: phrase list broadcasts; corpus scan never shuffles before the join") {
+    val p = simplePlan(q("t16_blocklist_phrases"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t17 JS divergence: intersection equi-join only — no cartesian pair expansion") {
+    val p = plan(q("t17_source_js_divergence"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("c24 negative pairs: bucket-keyed windows and equi-join resolve; no global sort rank") {
+    val p = plan(q("c24_negative_pairs"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // ranking windows must be partitioned (hashpartitioning), never a
+    // single-partition global order
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("q68 pareto frontier: no quadratic self-join — equi-joins + windows only") {
     val p = plan(q("q68_pareto_frontier"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
