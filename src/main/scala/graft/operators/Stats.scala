@@ -246,4 +246,41 @@ object Stats {
       .agg(max(col("__graft_n")).as("n"),
         (avg(col("__graft_cents")) / 100.0).as("median"))
   }
+
+  /** Chi-square test of homogeneity between two slices of a CATEGORICAL
+    * column — [[psiDrift]]'s sibling for category-mix drift (event types,
+    * languages, sources): `χ² = Σ_cells (O − E)² / E` over the 2 × K
+    * contingency table, with `E = rowTotal · colTotal / grandTotal`.
+    * Large χ² relative to K−1 degrees of freedom = the mix moved.
+    *
+    * All observed counts are exact integers from ONE map-combined pass;
+    * expected counts and cell terms are fixed double expressions of those
+    * integers, rounded to 9 and DECIMAL-summed — partitioning-exact, the
+    * standard discipline. Categories seen in only one slice contribute
+    * their full observed mass (E stays > 0 whenever both slices are
+    * non-empty). Output is one row: (k_categories, n_ref, n_cmp, chi2,
+    * dof). */
+  def chiSquareDrift(df: DataFrame, catCol: Column, isRef: Column): DataFrame = {
+    val counts = df
+      .groupBy(catCol.as("__graft_cat"))
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("nr"),
+        sum(when(isRef, 0L).otherwise(1L)).as("nc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val withT = counts
+      .withColumn("tr", sum(col("nr")).over(w))
+      .withColumn("tc", sum(col("nc")).over(w))
+      .withColumn("tot", (col("tr") + col("tc")).cast("double"))
+    val er = (col("nr") + col("nc")).cast("double") * col("tr").cast("double") / col("tot")
+    val ec = (col("nr") + col("nc")).cast("double") * col("tc").cast("double") / col("tot")
+    withT
+      .select(col("tr"), col("tc"),
+        round((col("nr") - er) * (col("nr") - er) / er
+          + (col("nc") - ec) * (col("nc") - ec) / ec, 9)
+          .cast(DecimalType(28, 9)).as("term"))
+      .groupBy()
+      .agg(count(lit(1)).as("k_categories"), max(col("tr")).as("n_ref"),
+        max(col("tc")).as("n_cmp"),
+        round(sum(col("term")).cast("double"), 6).as("chi2"),
+        (count(lit(1)) - 1).as("dof"))
+  }
 }

@@ -850,10 +850,47 @@ object Advanced {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** Chi-square homogeneity between the month's halves on the event-type
+    * mix ([[Stats.chiSquareDrift]]) — categorical drift next to q69's
+    * numeric PSI. One map-combined count pass; the contingency algebra
+    * runs on the K-row category frame. */
+  val q71ChiSquare = GraftQuery(
+    "q71_chi_square_drift",
+    (s, dir) =>
+      Stats.chiSquareDrift(graft.Graft.eventsTable(s, dir), col("event_type"),
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))),
+    Some("""
+      WITH counts AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS nc
+        FROM events GROUP BY event_type),
+      witht AS (
+        SELECT nr, nc,
+               CAST(SUM(nr) OVER () AS BIGINT) AS tr,
+               CAST(SUM(nc) OVER () AS BIGINT) AS tc
+        FROM counts),
+      terms AS (
+        SELECT tr, tc,
+               CAST(round(
+                 (nr - CAST(nr + nc AS DOUBLE) * tr / CAST(tr + tc AS DOUBLE))
+               * (nr - CAST(nr + nc AS DOUBLE) * tr / CAST(tr + tc AS DOUBLE))
+               / (CAST(nr + nc AS DOUBLE) * tr / CAST(tr + tc AS DOUBLE))
+               + (nc - CAST(nr + nc AS DOUBLE) * tc / CAST(tr + tc AS DOUBLE))
+               * (nc - CAST(nr + nc AS DOUBLE) * tc / CAST(tr + tc AS DOUBLE))
+               / (CAST(nr + nc AS DOUBLE) * tc / CAST(tr + tc AS DOUBLE)), 9)
+                 AS DECIMAL(28,9)) AS term
+        FROM witht)
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_categories,
+             MAX(tr) AS n_ref, MAX(tc) AS n_cmp,
+             round(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+             CAST(COUNT(*) - 1 AS BIGINT) AS dof
+      FROM terms"""))
+
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
     q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution,
     q56Transitions, q57RollingAnomaly, q58IncrementalAgg, q59StringBreadth,
     q60DateBreadth, q63CoOccurrence, q64Triangles, q67TimeWeighted, q68ParetoFrontier,
-    q69PsiDrift, q70ExactMedian)
+    q69PsiDrift, q70ExactMedian, q71ChiSquare)
 }

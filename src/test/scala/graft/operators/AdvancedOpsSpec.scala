@@ -308,4 +308,20 @@ class AdvancedOpsSpec extends SparkSpec {
       assert(math.abs(m - ref(g)) < 1e-9, s"$g: value-space $m vs percentile ${ref(g)}")
     }
   }
+
+  test("chiSquareDrift: exact on a hand table, ~0 for identical mixes, large for a flip") {
+    // hand 2x2 table: ref (30 a, 10 b), cmp (10 a, 30 b)
+    // E(a,ref)=E(a,cmp)=20 etc.; chi2 = 4 * (10^2/20) = 20
+    val hand = (Seq.fill(30)(("a", true)) ++ Seq.fill(10)(("b", true)) ++
+      Seq.fill(10)(("a", false)) ++ Seq.fill(30)(("b", false))).toDF("cat", "ref")
+    val r = Stats.chiSquareDrift(hand, col("cat"), col("ref")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 40 && r.getLong(2) == 40)
+    assert(math.abs(r.getDouble(3) - 20.0) < 1e-6, s"chi2 ${r.getDouble(3)}")
+    assert(r.getLong(4) == 1)
+    // identical mixes: chi2 exactly 0
+    val same = (Seq.fill(25)(("a", true)) ++ Seq.fill(25)(("a", false)) ++
+      Seq.fill(15)(("b", true)) ++ Seq.fill(15)(("b", false))).toDF("cat", "ref")
+    assert(Stats.chiSquareDrift(same, col("cat"), col("ref"))
+      .collect().head.getDouble(3) == 0.0)
+  }
 }
