@@ -298,6 +298,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog then terminates on its own") {
+    // the nightly-catch-up mode: process everything that exists, checkpoint,
+    // exit — the scheduled-batch complement of a continuously-running query
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:00:01", 2, "view", 2.0),
+      ev(3, "2024-01-01 10:00:02", 1, "click", 3.0))
+    val q = input.toDF().groupBy("event_type").count()
+      .writeStream.format("memory").queryName("drain_out")
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    val got = spark.table("drain_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("click" -> 2L, "view" -> 1L), got.toString)
+    // data arriving AFTER termination is not consumed by this run — it
+    // belongs to the next scheduled invocation
+    input.addData(ev(4, "2024-01-01 11:00:00", 3, "click", 1.0))
+    Thread.sleep(200)
+    assert(spark.table("drain_out").collect().length == 2)
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim; unmatched pass through") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
