@@ -283,4 +283,137 @@ object Stats {
         round(sum(col("term")).cast("double"), 6).as("chi2"),
         (count(lit(1)) - 1).as("dof"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic per group — the distribution-
+    * shape drift test next to [[psiDrift]] (binned) and [[chiSquareDrift]]
+    * (categorical): `D = max_v |F_ref(v) − F_cmp(v)|` over the two
+    * empirical CDFs of a money-like column. Unlike PSI it needs no bin
+    * choice and detects any shape change, at the cost of an ordered scan
+    * of the VALUE HISTOGRAM.
+    *
+    * Plan (the [[exactMedianByValue]] shape): ONE map-combined
+    * (group, cents, slice)-count aggregate — the only pass that scales
+    * with rows — then cumulative-count windows over the per-group value
+    * histogram, whose size is bounded by the value domain (≈49k cents
+    * buckets for sub-$500 money), never by row count. Spark's own KS test
+    * (mllib) sorts the full dataset; this never materializes row-level
+    * order.
+    *
+    * Determinism: every CDF value is a ratio of exact longs (identical in
+    * IEEE double on any engine/partitioning), |Δ| of two such doubles is
+    * exact, and MAX is order-independent — so the result is reproducible
+    * bit-for-bit without DECIMAL summation. Groups where either slice is
+    * empty yield NULL (no distribution to compare).
+    *
+    * Returns (groupCol, n_ref, n_cmp, ks_d). */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: Column, isRef: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (valueCol.cast(in) * 100).cast("bigint")
+    val counts = df
+      .groupBy(col(groupCol), cents.as("__graft_cents"))
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("nr"),
+        sum(when(isRef, 0L).otherwise(1L)).as("nc"))
+    val ord = Window.partitionBy(col(groupCol)).orderBy(col("__graft_cents"))
+    val all = Window.partitionBy(col(groupCol))
+    counts
+      .withColumn("cr", sum(col("nr")).over(ord))
+      .withColumn("cc", sum(col("nc")).over(ord))
+      .withColumn("tr", sum(col("nr")).over(all))
+      .withColumn("tc", sum(col("nc")).over(all))
+      .groupBy(col(groupCol))
+      .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cmp"),
+        round(max(when(col("tr") > 0 && col("tc") > 0,
+          abs(col("cr").cast("double") / col("tr").cast("double")
+            - col("cc").cast("double") / col("tc").cast("double")))), 6).as("ks_d"))
+  }
+
+  /** Mutual information (and its normalized form) between two CATEGORICAL
+    * columns — the dependence measure a feature audit runs over pairs like
+    * (language, source) to find redundant or leaking features:
+    * `MI = Σ_xy p(x,y) · ln(p(x,y) / (p(x)·p(y)))`, and
+    * `NMI = MI / sqrt(H(x)·H(y))` ∈ [0, 1].
+    *
+    * Plan: ONE map-combined (x, y)-count pass over the data; marginals
+    * come from windows over the JOINT frame (k_x·k_y rows — category
+    * cardinality, not row count), and the two marginal entropies from
+    * k_x- and k_y-row aggregates of the same frame. Nothing after the
+    * first pass scales with rows.
+    *
+    * Determinism: every p is a ratio of exact longs; each cell term is
+    * rounded to 9 decimals and DECIMAL-summed (order-independent), the
+    * engine's standard float-reduction discipline. Cells with nxy = 0
+    * never appear (0·ln 0 = 0 is their correct contribution). */
+  def mutualInfo(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joint = df.groupBy(xCol.as("__graft_x"), yCol.as("__graft_y"))
+      .agg(count(lit(1)).as("nxy"))
+    val wx = Window.partitionBy(col("__graft_x"))
+    val wy = Window.partitionBy(col("__graft_y"))
+    val wAll = Window.partitionBy(lit(0))
+    val cells = joint
+      .withColumn("nx", sum(col("nxy")).over(wx))
+      .withColumn("ny", sum(col("nxy")).over(wy))
+      .withColumn("n", sum(col("nxy")).over(wAll))
+    val nD = col("n").cast("double")
+    val miTerm = round(col("nxy").cast("double") / nD
+      * log(col("nxy").cast("double") * nD
+        / (col("nx").cast("double") * col("ny").cast("double"))), 9)
+      .cast(DecimalType(28, 9))
+    // marginal entropies from the joint frame's distinct (key, marginal)
+    // rows — k_x- and k_y-sized frames, no second pass over the data.
+    val hx = cells.select(col("__graft_x"), col("nx"), col("n")).distinct()
+      .select(round(-(col("nx").cast("double") / col("n").cast("double"))
+        * log(col("nx").cast("double") / col("n").cast("double")), 9)
+        .cast(DecimalType(28, 9)).as("t"))
+      .agg(sum(col("t")).cast("double").as("h")).select(col("h"))
+    val hy = cells.select(col("__graft_y"), col("ny"), col("n")).distinct()
+      .select(round(-(col("ny").cast("double") / col("n").cast("double"))
+        * log(col("ny").cast("double") / col("n").cast("double")), 9)
+        .cast(DecimalType(28, 9)).as("t"))
+      .agg(sum(col("t")).cast("double").as("h")).select(col("h"))
+    val mi = cells
+      .groupBy()
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("__graft_x")).as("k_x"),
+        countDistinct(col("__graft_y")).as("k_y"),
+        sum(miTerm).cast("double").as("__graft_mi"))
+    mi.crossJoin(hx.select(col("h").as("__graft_hx")))
+      .crossJoin(hy.select(col("h").as("__graft_hy")))
+      .select(col("n"), col("k_x"), col("k_y"),
+        round(col("__graft_mi"), 6).as("mi_nats"),
+        round(col("__graft_mi")
+          / sqrt(col("__graft_hx") * col("__graft_hy")), 6).as("nmi"))
+  }
+
+  /** Per-group ordinary least squares y = a·x + b — slope, intercept and
+    * R² from the SAME six exact sufficient statistics as [[momentStats]]:
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *   r2 = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+    * ONE map-combined pass, a handful of decimals per group over the
+    * shuffle — the single-pass regression a feature/quality audit runs
+    * per stratum at 100 TB (SQL's regr_* float-sum in nondeterministic
+    * order; these DECIMAL sums are partitioning-exact). Degenerate groups
+    * (n < 2 or zero x-variance) get NULL fit columns; r2 is additionally
+    * NULL when y has zero variance (0/0). */
+  def olsByGroup(df: DataFrame, groupCols: Seq[Column], x: Column, y: Column): DataFrame = {
+    val s = sufficientStats(df, groupCols, x, y)
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val dx = n * sxx - sx * sx
+    val dy = n * syy - sy * sy
+    val cv = n * sxy - sx * sy
+    val ok = when(col("n") > 1 && dx =!= 0.0, lit(1.0))
+    s.select(
+      groupCols.map(c => c) ++ Seq(
+        col("n"),
+        round(ok * cv / dx, 6).as("slope"),
+        round(ok * (sy - cv / dx * sx) / n, 6).as("intercept"),
+        round(when(col("n") > 1 && dx =!= 0.0 && dy =!= 0.0, lit(1.0))
+          * cv * cv / (dx * dy), 6).as("r2")): _*)
+  }
 }

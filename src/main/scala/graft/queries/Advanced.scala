@@ -887,10 +887,120 @@ object Advanced {
              CAST(COUNT(*) - 1 AS BIGINT) AS dof
       FROM terms"""))
 
+  /** Two-sample Kolmogorov–Smirnov per event type between the month's
+    * halves ([[Stats.ksDrift]]) — bin-free distribution-shape drift next
+    * to q69's PSI and q71's chi-square. One map-combined pass; the CDF
+    * windows run over the value histogram (distinct cents), never rows. */
+  val q72KsDrift = GraftQuery(
+    "q72_ks_drift",
+    (s, dir) =>
+      Stats.ksDrift(graft.Graft.eventsTable(s, dir), "event_type", col("value"),
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00")))
+        .orderBy(col("event_type")),
+    Some("""
+      WITH counts AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS nc
+        FROM events GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type,
+               CAST(SUM(nr) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cr,
+               CAST(SUM(nc) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cc,
+               CAST(SUM(nr) OVER (PARTITION BY event_type) AS BIGINT) AS tr,
+               CAST(SUM(nc) OVER (PARTITION BY event_type) AS BIGINT) AS tc
+        FROM counts)
+      SELECT event_type, MAX(tr) AS n_ref, MAX(tc) AS n_cmp,
+             round(MAX(CASE WHEN tr > 0 AND tc > 0
+               THEN abs(CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE)
+                      - CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE)) END), 6) AS ks_d
+      FROM cum
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Mutual information between document language and source
+    * ([[Stats.mutualInfo]]) — the feature-dependence audit over two
+    * categoricals. One (x, y)-count pass; marginals, entropies and the
+    * cell terms all run on the k_x·k_y joint frame. */
+  val q73MutualInfo = GraftQuery(
+    "q73_mutual_info",
+    (s, dir) =>
+      Stats.mutualInfo(
+        s.read.parquet(s"$dir/documents.parquet"), col("lang"), col("source")),
+    Some("""
+      WITH joint AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nxy
+        FROM documents GROUP BY 1, 2),
+      cells AS (
+        SELECT lang, source, nxy,
+               CAST(SUM(nxy) OVER (PARTITION BY lang) AS BIGINT) AS nx,
+               CAST(SUM(nxy) OVER (PARTITION BY source) AS BIGINT) AS ny,
+               CAST(SUM(nxy) OVER () AS BIGINT) AS n
+        FROM joint),
+      mi AS (
+        SELECT MAX(n) AS n,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS k_x,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS k_y,
+               CAST(SUM(CAST(round(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+                 * ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+                     / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS mi
+        FROM cells),
+      hx AS (
+        SELECT CAST(SUM(CAST(round(-(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS h
+        FROM (SELECT DISTINCT lang, nx, n FROM cells)),
+      hy AS (
+        SELECT CAST(SUM(CAST(round(-(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS h
+        FROM (SELECT DISTINCT source, ny, n FROM cells))
+      SELECT mi.n AS n, mi.k_x AS k_x, mi.k_y AS k_y,
+             round(mi.mi, 6) AS mi_nats,
+             round(mi.mi / sqrt(hx.h * hy.h), 6) AS nmi
+      FROM mi, hx, hy"""))
+
+  /** Per-return-flag OLS of extended price on quantity
+    * ([[Stats.olsByGroup]]) — single-pass regression from the q45
+    * sufficient statistics; the per-stratum trend audit at scale. */
+  val q74OlsByGroup = GraftQuery(
+    "q74_ols_by_group",
+    (s, dir) =>
+      Stats.olsByGroup(table(s, dir, "lineitem"), Seq(col("l_returnflag")),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        FROM lineitem GROUP BY l_returnflag),
+      d AS (
+        SELECT l_returnflag, n,
+               CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+               CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy, CAST(sxy AS DOUBLE) AS sxy
+        FROM s)
+      SELECT l_returnflag, n,
+             CASE WHEN n > 1 AND nd * sxx - sx * sx <> 0
+               THEN round(1.0 * (nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) END AS slope,
+             CASE WHEN n > 1 AND nd * sxx - sx * sx <> 0
+               THEN round(1.0 * (sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx) / nd, 6) END AS intercept,
+             CASE WHEN n > 1 AND nd * sxx - sx * sx <> 0 AND nd * syy - sy * sy <> 0
+               THEN round(1.0 * (nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+                 / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) END AS r2
+      FROM d
+      ORDER BY l_returnflag"""))
+
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
     q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution,
     q56Transitions, q57RollingAnomaly, q58IncrementalAgg, q59StringBreadth,
     q60DateBreadth, q63CoOccurrence, q64Triangles, q67TimeWeighted, q68ParetoFrontier,
-    q69PsiDrift, q70ExactMedian, q71ChiSquare)
+    q69PsiDrift, q70ExactMedian, q71ChiSquare, q72KsDrift, q73MutualInfo, q74OlsByGroup)
 }

@@ -324,4 +324,71 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(Stats.chiSquareDrift(same, col("cat"), col("ref"))
       .collect().head.getDouble(3) == 0.0)
   }
+
+  test("ksDrift: hand CDFs, 0 for identical slices, 1 for disjoint, NULL one-sided") {
+    // ref {1,2,3} vs cmp {2,3,4}: max CDF gap is 1/3 (at every step)
+    val hand = (Seq((1.0, true), (2.0, true), (3.0, true)) ++
+      Seq((2.0, false), (3.0, false), (4.0, false)))
+      .map { case (v, r) => ("g", v, r) }.toDF("g", "v", "ref")
+    val h = Stats.ksDrift(hand, "g", col("v"), col("ref")).collect().head
+    assert(h.getLong(1) == 3 && h.getLong(2) == 3)
+    assert(math.abs(h.getDouble(3) - 1.0 / 3.0) < 1e-6, s"ks ${h.getDouble(3)}")
+    // identical multisets: D exactly 0
+    val same = (1 to 200).map(i => ("g", (i % 20).toDouble, i <= 100)).toDF("g", "v", "ref")
+    assert(Stats.ksDrift(same, "g", col("v"), col("ref"))
+      .collect().head.getDouble(3) == 0.0)
+    // disjoint supports: D exactly 1
+    val disj = ((1 to 50).map(i => ("g", i.toDouble, true)) ++
+      (1 to 50).map(i => ("g", 1000.0 + i, false))).toDF("g", "v", "ref")
+    assert(Stats.ksDrift(disj, "g", col("v"), col("ref"))
+      .collect().head.getDouble(3) == 1.0)
+    // a group with an empty slice has no comparison: ks_d is NULL
+    val oneSided = (1 to 10).map(i => ("g", i.toDouble, true)).toDF("g", "v", "ref")
+    assert(Stats.ksDrift(oneSided, "g", col("v"), col("ref")).collect().head.isNullAt(3))
+  }
+
+  test("mutualInfo: ~0 when independent, NMI=1 when deterministic, exact on a hand table") {
+    // independent uniform 4x4 grid: every cell count equal -> MI exactly 0
+    val indep = (0 until 1600).map(i => (s"x${i % 4}", s"y${(i / 4) % 4}")).toDF("x", "y")
+    val ri = Stats.mutualInfo(indep, col("x"), col("y")).collect().head
+    assert(ri.getLong(0) == 1600 && ri.getLong(1) == 4 && ri.getLong(2) == 4)
+    assert(math.abs(ri.getDouble(3)) < 1e-9, s"independent MI ${ri.getDouble(3)}")
+    // y determined by x (bijection): MI = H(X), NMI = 1
+    val det = (0 until 900).map(i => (s"x${i % 3}", s"y${i % 3}")).toDF("x", "y")
+    val rd = Stats.mutualInfo(det, col("x"), col("y")).collect().head
+    assert(math.abs(rd.getDouble(3) - math.log(3.0)) < 1e-6, s"MI ${rd.getDouble(3)}")
+    assert(math.abs(rd.getDouble(4) - 1.0) < 1e-6, s"NMI ${rd.getDouble(4)}")
+    // hand 2x2: cells (a,p)=40 (a,q)=10 (b,p)=10 (b,q)=40, n=100
+    val hand = (Seq.fill(40)(("a", "p")) ++ Seq.fill(10)(("a", "q")) ++
+      Seq.fill(10)(("b", "p")) ++ Seq.fill(40)(("b", "q"))).toDF("x", "y")
+    val want = 2 * (0.4 * math.log(0.4 / 0.25) + 0.1 * math.log(0.1 / 0.25))
+    val rh = Stats.mutualInfo(hand, col("x"), col("y")).collect().head
+    assert(math.abs(rh.getDouble(3) - want) < 1e-6, s"hand MI ${rh.getDouble(3)} want $want")
+  }
+
+  test("olsByGroup: exact fit recovered, NULLs on degenerate groups, matches regr_slope") {
+    // perfect line y = 2x + 1 -> slope 2, intercept 1, r2 = 1
+    val line = (1 to 50).map(i => ("fit", i.toDouble, 2.0 * i + 1.0)).toDF("g", "x", "y")
+    val rl = Stats.olsByGroup(line, Seq(col("g")), col("x"), col("y")).collect().head
+    assert(rl.getDouble(2) == 2.0 && rl.getDouble(3) == 1.0 && rl.getDouble(4) == 1.0,
+      rl.toString)
+    // constant x: dx = 0 -> all fit columns NULL; n = 1 likewise
+    val degen = (Seq(("constx", 5.0, 1.0), ("constx", 5.0, 2.0), ("single", 1.0, 1.0)))
+      .toDF("g", "x", "y")
+    Stats.olsByGroup(degen, Seq(col("g")), col("x"), col("y")).collect().foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4), r.toString)
+    }
+    // noisy data: agrees with Spark's own regr_slope/regr_intercept to 1e-6
+    val rnd = new scala.util.Random(11)
+    val noisy = (1 to 400).map { _ =>
+      val x = math.round(rnd.nextDouble() * 1000) / 100.0
+      ("g", x, math.round((3.0 * x + 7.0 + rnd.nextGaussian()) * 100) / 100.0)
+    }.toDF("g", "x", "y")
+    val ours = Stats.olsByGroup(noisy, Seq(col("g")), col("x"), col("y")).collect().head
+    val ref = noisy.groupBy("g")
+      .agg(expr("regr_slope(y, x)").as("s"), expr("regr_intercept(y, x)").as("i"))
+      .collect().head
+    assert(math.abs(ours.getDouble(2) - ref.getDouble(1)) < 1e-6)
+    assert(math.abs(ours.getDouble(3) - ref.getDouble(2)) < 1e-6)
+  }
 }
