@@ -45,15 +45,28 @@ object Graft {
     if (name == "events") eventsTable(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS); with nanosAsLong it
-    * arrives as nanos-since-epoch BIGINT. Convert to TimestampType by
-    * truncating to micros (floor division — identical to DuckDB's ns→µs cast)
-    * so both engines see the same microsecond values.
+  /** `events.parquet`'s `ts` encoding has varied across testdata generations:
+    * TIMESTAMP(NANOS) (arrives as nanos-since-epoch BIGINT under the
+    * `nanosAsLong` session setting) vs TIMESTAMP(MICROS) without UTC
+    * adjustment (arrives as TIMESTAMP_NTZ). Normalize both to TimestampType
+    * so every downstream query sees identical microsecond values regardless
+    * of which fixture generation is on disk — the session is pinned UTC, so
+    * the NTZ→TZ cast is value-preserving, and the nanos branch floor-divides
+    * exactly like DuckDB's ns→µs cast.
     */
-  def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsTable(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(spark.read.parquet(s"$sfDir/events.parquet"))
+
+  /** Schema-adaptive `ts` normalization shared by the batch and streaming
+    * events readers (see [[eventsTable]] for the encoding history). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df // already TimestampType
+    }
   }
 
   val tableNames: Seq[String] = Seq(

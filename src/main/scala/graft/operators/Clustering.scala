@@ -146,6 +146,18 @@ object Clustering {
     require(k >= 1 && nprobe >= 1, s"k and nprobe must be >= 1, got k=$k nprobe=$nprobe")
     val cells = materializedCells(corpus, idCol, embCol)
     val assign = assignCells(corpus, idCol, embCol, cells)
+    ivfTopKFromIndex(queries, corpus, cells, assign, k, nprobe, idCol, embCol)
+  }
+
+  /** [[ivfTopK]] probing a PREBUILT index: `cells` (cell_id, c_emb, c_norm)
+    * and `assign` (vec_id, cell_id, …) built once at write time and stored
+    * at rest — the deployment shape, where index construction is amortized
+    * across every query instead of paid per probe. Plan is identical to
+    * [[ivfTopK]] from the probe step on. */
+  def ivfTopKFromIndex(queries: DataFrame, corpus: DataFrame,
+      cells: DataFrame, assign: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"k and nprobe must be >= 1, got k=$k nprobe=$nprobe")
 
     // query → nprobe nearest cells, bounded aggregate again (k=nprobe)
     val qScored = queries
@@ -370,11 +382,24 @@ object Clustering {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numSub: Int, subDim: Int, rerank: Int = 0,
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val cells = materializedCells(corpus, idCol, embCol)
+    val codes = pqCodes(corpus, idCol, embCol, cells, numSub, subDim)
+    pqTopKFromCodes(queries, corpus, cells, codes, k, numSub, subDim, rerank, idCol, embCol)
+  }
+
+  /** [[pqTopK]] probing PREBUILT artifacts: the `cells` codebook
+    * (cell_id, c_emb, …) and the corpus `codes` table
+    * (vec_id, code_0 … code_{numSub−1}) built once at write time and stored
+    * at rest — the deployment shape (the whole point of PQ is that the code
+    * table, ~8 B/vector, is the only thing the ADC scan touches). Plan is
+    * identical to [[pqTopK]] from the query-distance-table step on. */
+  def pqTopKFromCodes(queries: DataFrame, corpus: DataFrame,
+      cells: DataFrame, codes: DataFrame, k: Int,
+      numSub: Int, subDim: Int, rerank: Int = 0,
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(k >= 1 && numSub >= 1 && subDim >= 1, s"bad k=$k numSub=$numSub subDim=$subDim")
     require(rerank == 0 || rerank >= k, s"rerank must be 0 or >= k, got $rerank")
-    val cells = materializedCells(corpus, idCol, embCol)
-    val codes = pqCodes(corpus, idCol, embCol, cells, numSub, subDim)
 
     val qd = queries
       .select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"))

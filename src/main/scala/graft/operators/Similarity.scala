@@ -271,11 +271,21 @@ object Similarity {
   }
 
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, probeRadius: Int = 1): DataFrame = {
+    val cPostings = corpus.select(col("id").as("neighbor_id"),
+      posexplode(tableKeys(col("embedding"))).as(Seq("table_id", "bucket")))
+    lshTopKFromPostings(queries, corpus, cPostings, k, probeRadius)
+  }
+
+  /** [[lshTopK]] probing a PREBUILT posting index
+    * (neighbor_id, table_id, bucket) — the at-rest deployment shape: corpus
+    * band keys are computed once at write time (they are pure functions of
+    * the embedding) and every query amortizes that pass. Same plan from the
+    * probe join on. */
+  def lshTopKFromPostings(queries: DataFrame, corpus: DataFrame,
+      cPostings: DataFrame, k: Int, probeRadius: Int = 1): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 2, s"probeRadius 0..2, got $probeRadius")
     val cBase = corpus.select(col("id").as("neighbor_id"), col("embedding").as("c_emb"),
       l2Norm(col("embedding")).as("c_norm"))
-    val cPostings = corpus.select(col("id").as("neighbor_id"),
-        posexplode(tableKeys(col("embedding"))).as(Seq("table_id", "bucket")))
     val qBase = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
       l2Norm(col("embedding")).as("q_norm"))
     val qKeys = queries.select(col("id").as("query_id"),

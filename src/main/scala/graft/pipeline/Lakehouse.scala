@@ -24,9 +24,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * MATERIALIZED VIEW` semantics — recompute is the correctness baseline,
   * incremental refresh an optimization on top).
   */
-final class Lakehouse(val spark: SparkSession, val root: String) {
+final class Lakehouse(val spark: SparkSession, val root: String,
+    schemaOverrides: Map[String, String] = Lakehouse.envSchemaOverrides()) {
 
-  private def dir(layer: String, name: String): Path = Paths.get(root, layer, name)
+  /** Logical → physical schema name (dbt-style indirection; identity unless
+    * overridden via constructor or `GRAFT_SCHEMA_*` env vars). */
+  def physicalSchema(layer: String): String = schemaOverrides.getOrElse(layer, layer)
+
+  private def dir(layer: String, name: String): Path =
+    Paths.get(root, physicalSchema(layer), name)
 
   def exists(layer: String, name: String): Boolean = Files.exists(dir(layer, name))
 
@@ -50,7 +56,7 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
   def deleteBronzeWhere(name: String, condition: org.apache.spark.sql.Column): Unit = {
     val live = dir("bronze", name)
     if (Files.exists(live)) {
-      val tmp = Paths.get(root, "bronze", s".${name}__rewrite")
+      val tmp = Paths.get(root, physicalSchema("bronze"), s".${name}__rewrite")
       deleteRecursively(tmp)
       val retained = spark.read.parquet(live.toString)
         .filter(!condition)
@@ -71,7 +77,7 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
   /** Materialize one silver/gold model (MV refresh = full recompute). */
   def materialize(layer: String, name: String, df: DataFrame): Unit = {
     // write-then-swap so a refresh never reads its own half-written output
-    val tmp = Paths.get(root, layer, s".${name}__refresh")
+    val tmp = Paths.get(root, physicalSchema(layer), s".${name}__refresh")
     deleteRecursively(tmp)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val live = dir(layer, name)
@@ -100,13 +106,28 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", dir(layer, s"${name}__bucketed").toString)
-      .saveAsTable(s"${layer}_$name")
+      .saveAsTable(s"${physicalSchema(layer)}_$name")
 
   def bucketedTable(layer: String, name: String): DataFrame =
-    spark.table(s"${layer}_$name")
+    spark.table(s"${physicalSchema(layer)}_$name")
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
     }
+}
+
+object Lakehouse {
+
+  /** dbt-style runtime schema indirection (reference `dbt/models/schema.yml:5`
+    * + `scripts/dbt_run_gold.py:211` resolve schema names per environment at
+    * run time): `GRAFT_SCHEMA_BRONZE` / `GRAFT_SCHEMA_SILVER` /
+    * `GRAFT_SCHEMA_GOLD` re-point a logical layer at a different physical
+    * schema directory — the dev-sandbox / blue-green pattern — without any
+    * code change. `env` is injectable so specs can exercise the parse
+    * without mutating the process environment. */
+  def envSchemaOverrides(env: String => Option[String] = sys.env.get): Map[String, String] =
+    Seq("bronze", "silver", "gold")
+      .flatMap(l => env(s"GRAFT_SCHEMA_${l.toUpperCase}").map(l -> _))
+      .toMap
 }

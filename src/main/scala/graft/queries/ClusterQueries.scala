@@ -115,7 +115,16 @@ object ClusterQueries {
       FROM ranked
       WHERE rank <= 5
       ORDER BY query_id, rank"""),
-    bench = true)
+    bench = true,
+    benchRun = Some((s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      val (cells, assign) = BenchIndex.ivf(s, dir)
+      Clustering.ivfTopKFromIndex(q, e, cells, assign, 5, NProbe)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }))
 
   /** SemDeDup semantic near-dup over embedding cells: pairwise cosine only
     * WITHIN a cell (pair product n² → ~n^1.5), drop any vector with a
@@ -274,7 +283,16 @@ object ClusterQueries {
       FROM rranked
       WHERE rank <= 5
       ORDER BY query_id, rank"""),
-    bench = true)
+    bench = true,
+    benchRun = Some((s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      val (cells, codes) = BenchIndex.pq(s, dir, NumSub, SubDim)
+      Clustering.pqTopKFromCodes(q, e, cells, codes, 5, NumSub, SubDim, rerank = PqRerank)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("pq_dist2"), 6).as("pq_dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    }))
 
   /** Cluster-balanced diverse selection ([[Clustering.diverseSample]]):
     * ≤ 8 members per embedding cell in deterministic md5-hash order —

@@ -117,7 +117,15 @@ object SimilarityQueries {
       WHERE rank <= 5
       ORDER BY query_id, rank"""
     },
-    bench = true)
+    bench = true,
+    benchRun = Some((s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      Similarity.lshTopKFromPostings(q, e, BenchIndex.lshPostings(s, dir), 5)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }))
 
   /** Same exact top-5 as s01 via the same bounded TopKPairs aggregate —
     * retained as a separate inventory row from the round the aggregate plan

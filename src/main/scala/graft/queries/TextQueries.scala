@@ -293,13 +293,17 @@ object TextQueries {
     * ≥ 12 chars leaves a common hash, at ~22% of the full shingle-set
     * storage. The near-dup INDEX format for overlap detection at scale;
     * per-row map, no shuffle. Oracle restates the identical windows over
-    * the identical portable polynomial hashes. */
+    * the identical portable polynomial hashes. The sorted hash set is
+    * emitted as ONE comma-joined string, not an array column — flat-typed
+    * output any row comparator can sort/hash (an array cell crashed the
+    * r05 driver comparator's pandas sort). */
   val t09WinnowFingerprint = GraftQuery(
     "t09_winnow_fingerprint",
     (s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"),
-          winnowFingerprint(col("text"), k = 5, w = 8).as("fingerprint"))
+          concat_ws(",", winnowFingerprint(col("text"), k = 5, w = 8).cast("array<string>"))
+            .as("fingerprint"))
         .orderBy(col("doc_id")),
     Some(s"""
       WITH codes_t AS (
@@ -307,9 +311,11 @@ object TextQueries {
       hs_t AS (
         SELECT doc_id, ${DedupQueries.duckShingleHashesN(5)} AS hs FROM codes_t)
       SELECT doc_id,
-             list_sort(list_distinct(list_transform(
-               range(1, greatest(len(hs) - 7, 1) + 1),
-               i -> list_aggregate(hs[i:i+7], 'min')))) AS fingerprint
+             array_to_string(list_transform(
+               list_sort(list_distinct(list_transform(
+                 range(1, greatest(len(hs) - 7, 1) + 1),
+                 i -> list_aggregate(hs[i:i+7], 'min')))),
+               x -> CAST(x AS VARCHAR)), ',') AS fingerprint
       FROM hs_t
       ORDER BY doc_id"""))
 

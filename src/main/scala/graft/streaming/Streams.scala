@@ -40,15 +40,16 @@ object Streams {
 
   /** Read the events table shape as a file stream (one new parquet file per
     * micro-batch at scale; schema pinned — streaming reads never infer).
-    * The fixture stores `ts` as parquet TIMESTAMP(NANOS), which arrives as
-    * nanos-since-epoch BIGINT under `nanosAsLong` (the session setting
-    * `Graft.session` pins) — converted here exactly like the batch reader
-    * (`Graft.eventsTable`), so stream and batch see identical µs values. */
-  def eventFileStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    * The schema is pinned from a one-time batch snapshot of the directory
+    * (footer read at stream definition, not per micro-batch), then `ts` is
+    * normalized exactly like the batch reader (`Graft.normalizeEventTs`) —
+    * the fixture's on-disk encoding has varied between TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS)/NTZ across generations, and stream and batch must see
+    * identical µs values under either. */
+  def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val pinned = spark.read.parquet(dir).schema
+    graft.Graft.normalizeEventTs(spark.readStream.schema(pinned).parquet(dir))
+  }
 
   /** Tumbling-window counts per event type with a watermark bounding state:
     * late events beyond `watermark` are dropped, closed windows are evicted. */

@@ -42,4 +42,29 @@ class LakehouseSpec extends SparkSpec {
     Bronze.ingest(lake, ctx2, _ => Map("channels_raw" -> Seq("""{"items": []}""")))
     assert(lake.table("bronze", "channels_raw").count() == 1)
   }
+
+  test("schema override re-points a logical layer at a different physical schema") {
+    // dbt-style indirection (reference dbt/models/schema.yml): the same code
+    // writes to silver_dev when the override is set, silver when it isn't —
+    // and the two tables are independent
+    val root = Files.createTempDirectory("graft-schema").toString
+    val dev = new Lakehouse(spark, root, Map("silver" -> "silver_dev"))
+    val prod = new Lakehouse(spark, root)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    dev.materialize("silver", "t", df)
+    assert(Files.exists(Paths.get(root, "silver_dev", "t")))
+    assert(!Files.exists(Paths.get(root, "silver", "t")))
+    assert(dev.table("silver", "t").count() == 2)
+    assert(dev.exists("silver", "t") && !prod.exists("silver", "t"))
+    prod.materialize("silver", "t", df.limit(1))
+    assert(prod.table("silver", "t").count() == 1)
+    assert(dev.table("silver", "t").count() == 2)
+  }
+
+  test("envSchemaOverrides parses GRAFT_SCHEMA_* vars, ignoring unset layers") {
+    val env = Map("GRAFT_SCHEMA_SILVER" -> "silver_ci", "GRAFT_SCHEMA_GOLD" -> "gold_blue")
+    assert(Lakehouse.envSchemaOverrides(env.get) ==
+      Map("silver" -> "silver_ci", "gold" -> "gold_blue"))
+    assert(Lakehouse.envSchemaOverrides(_ => None) == Map.empty)
+  }
 }
