@@ -18,16 +18,21 @@ object Bench {
     // shape); the oracle-checked `run` path still covers construction.
     val benchQs = SparkEntry.registry.filter(_.bench)
       .map(q => q.benchRun.fold(q)(br => q.copy(run = br)))
-    // Warm EVERY query once before timing: the first execution of a plan
-    // pays codegen compilation + JIT + classloading — a fixed per-query
-    // constant (measured 0.5-2.4 s/query at sf0.1, i.e. 2-6× the warm
-    // runtime) that is pure noise for the question this bench answers
-    // ("what is the engine's throughput at scale", where plans run for
-    // minutes and the constant vanishes). Timed runs below are steady
-    // state; cold times are printed to stderr so both are on the record.
-    // Warmup is guarded so a failing query still reaches the instrumented
-    // loop and gets reported there instead of killing the bench record.
-    benchQs.foreach { q =>
+    // Warm each query once and time it IMMEDIATELY after its warmup: the
+    // first execution of a plan pays codegen compilation + JIT +
+    // classloading — a fixed per-query constant (measured 0.5-20 s/query
+    // at sf0.1, i.e. 2-6× the warm runtime) that is pure noise for the
+    // question this bench answers ("what is the engine's throughput at
+    // scale", where plans run for minutes and the constant vanishes).
+    // Interleaving matters: Spark's generated-class cache is a bounded
+    // LRU, so a warm-ALL-then-time-ALL loop evicts each query's compiled
+    // stages before its timed run (measured: q49's timed run re-paid most
+    // of its codegen, 3.2 s → 14.7 s across an 18-query roster). Timed
+    // runs are steady state; cold times go to stderr so both are on the
+    // record. Warmup is guarded so a failing query still reaches the
+    // instrumented run and gets reported there instead of killing the
+    // bench record.
+    val results = benchQs.map { q =>
       val w0 = System.nanoTime()
       try {
         q.run(spark, sfDir).count()
@@ -35,8 +40,6 @@ object Bench {
       } catch { case t: Throwable =>
         System.err.println(s"[bench] warmup ${q.name} FAILED: ${t.getMessage}")
       }
-    }
-    val results = benchQs.map { q =>
       val t0 = System.nanoTime()
       val ok =
         try { q.run(spark, sfDir).count(); true }

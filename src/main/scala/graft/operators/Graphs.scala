@@ -36,9 +36,11 @@ object Graphs {
     * standard "no dangling redistribution" simplification; with symmetric
     * edge sets every node has out-degree ≥ 1 and no mass is lost.
     * Returns (node, rank_micro). */
-  def pageRankMicro(spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame = {
+  def pageRankMicro(spark: SparkSession, edges: DataFrame, iterations: Int,
+      checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"iterations must be in [1, 20], got $iterations")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val e = edges.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
@@ -50,7 +52,7 @@ object Graphs {
       .repartition(col("src"))
       .cache()
     var ranks = nodes.select(col("node"), lit(RankUnit).as("rank_micro"))
-    for (_ <- 1 to iterations) {
+    for (iter <- 1 to iterations) {
       // shuffle_hash hints: without them AQE broadcasts the node-sized rank
       // state from the driver EVERY iteration — latency-bound at bench
       // scale and impossible at cluster scale (rank state ~ node count).
@@ -63,19 +65,26 @@ object Graphs {
           expr("rank_micro div outdeg").as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("inflow"))
-      ranks = nodes
+      val next = nodes
         .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (lit(TeleportMicro) +
             expr("85 * coalesce(inflow, 0L) div 100")).as("rank_micro"))
-        // truncate the lineage each round — without this the plan nests one
-        // join+agg level PER iteration and re-executes the whole prefix
-        // (measured: 10 s for 5 iterations at sf0.1 vs ~1.5 s truncated);
-        // localCheckpoint materializes on the executors, no driver collect.
-        // LAZY: the block still truncates lineage, but materializes inside
-        // the NEXT iteration's job instead of one eager job per round —
-        // saves iterations-many job launches (~0.5 s at sf0.1)
-        .localCheckpoint(false)
+      // truncate the lineage every `checkpointEvery` rounds: each
+      // checkpoint round costs a fixed materialization-job launch, while a
+      // deeper nested plan between checkpoints costs only plan/codegen
+      // size — and the nest is BOUNDED at checkpointEvery join+agg levels,
+      // so neither analysis time nor failure-recovery depth grows with
+      // total iterations. A/B at sf0.1, 5 iterations, warm (BASELINE.md
+      // round 6): cadence 1 → 6.0 s, 2 → 3.2 s, 5 → 2.8 s, all
+      // bit-identical ranks — the per-round job-launch fixed cost
+      // dominates, hence the cadence-5 default. localCheckpoint is LAZY
+      // (materializes inside the next job, no driver collect); the final
+      // iteration always checkpoints so callers never receive an
+      // unbounded-lineage frame.
+      ranks =
+        if (iter % checkpointEvery == 0 || iter == iterations) next.localCheckpoint(false)
+        else next
     }
     ranks
   }
