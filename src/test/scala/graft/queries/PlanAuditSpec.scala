@@ -436,4 +436,30 @@ class PlanAuditSpec extends SparkSpec {
     // per-pair sizes join back broadcast (|sources|-row dims)
     assert("BroadcastHashJoin".r.findAllIn(s).length >= 2, s)
   }
+
+  private def benchQ(name: String): DataFrame =
+    graft.SparkEntry.registry.find(_.name == name).get.benchRun.get(spark, dir)
+
+  test("s06 at-rest probe: query distance maps broadcast into the code scan; no corpus shuffle") {
+    // the ADC estimate must be 8 broadcast-map lookups per code row — the
+    // code table (the 100 TB side) joins only through BroadcastHashJoins;
+    // any hashpartitioning of it would shuffle the corpus per query batch
+    val s = simplePlan(benchQ("s06_pq_topk"))
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 2, s) // qMaps est + shortlist re-rank
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+  }
+
+  test("s02 at-rest probe: posting-index probe joins broadcast the query side") {
+    val s = simplePlan(benchQ("s02_lsh_ann_topk"))
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("s05 at-rest probe: candidate generation is equi-join; only cell scoring crosses (broadcast, ~√n)") {
+    val s = simplePlan(benchQ("s05_ivf_topk"))
+    // queries × cells centroid scoring is a DELIBERATE broadcast cross
+    // (√n-row build side); everything corpus-sized must stay equi-joined
+    assert(!s.contains("CartesianProduct"), s)
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 2, s) // probe-cell + member-embedding joins
+  }
 }
