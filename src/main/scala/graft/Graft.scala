@@ -43,6 +43,7 @@ object Graft {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") eventsTable(spark, sfDir)
+    else if (name == "embeddings") embeddingsTable(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** `events.parquet`'s `ts` encoding has varied across testdata generations:
@@ -66,6 +67,26 @@ object Graft {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df // already TimestampType
+    }
+  }
+
+  /** `embeddings.parquet` with the vector column normalized to
+    * `array<float>` — the element type every native vector expression
+    * ([[graft.sql.FloatVecDot]], [[graft.sql.SignPlaneKeys]], …) is typed
+    * for. Defensive for the same reason [[normalizeEventTs]] exists: a
+    * driver-side fixture regeneration that re-encodes the list as float64
+    * would otherwise fail ANALYSIS on every ANN/clustering query (the r05
+    * events `ts` failure class — a dead query produces no correctness row
+    * at all, which is strictly worse than a value diff we would see and
+    * react to). */
+  def embeddingsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(_, _) => df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => df
     }
   }
 
