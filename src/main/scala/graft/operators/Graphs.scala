@@ -114,6 +114,44 @@ object Graphs {
     ranks
   }
 
+  /** Root + depth resolution over a parent-pointer forest — the recursive-CTE
+    * capability (`WITH RECURSIVE` hierarchy walks: org charts, category
+    * trees, thread ancestry) Spark SQL lacks, via POINTER DOUBLING: each
+    * round every node's known ancestor jumps to that ancestor's known
+    * ancestor, so the resolved distance doubles per round and a forest of
+    * depth d needs ⌈log₂ d⌉ rounds — NOT d rounds like the naive
+    * one-level-per-iteration walk (at a 100 TB scale a depth-1000 chain
+    * resolves in 10 shuffles instead of 1000).
+    *
+    * `parents`: (node, parent) with parent NULL for roots; every parent
+    * value must itself appear as a node. Each round is ONE self equi-join
+    * on the ancestor key (both sides hash-partitioned on it) + the same
+    * lazy-localCheckpoint lineage cadence as [[pageRankMicro]]. `rounds`
+    * must satisfy 2^rounds ≥ max depth; extra rounds are cheap no-ops
+    * (the fixpoint is stable: a root's ancestor is itself at distance 0).
+    *
+    * Returns (node, root, depth) — exact integers, so an external
+    * recursive oracle verifies values bit-for-bit. */
+  def hierarchyRollup(parents: DataFrame, rounds: Int, checkpointEvery: Int = 5): DataFrame = {
+    require(rounds >= 1 && rounds <= 30, s"rounds must be in [1, 30], got $rounds")
+    var st = parents.select(
+      col("node"),
+      coalesce(col("parent"), col("node")).as("anc"),
+      when(col("parent").isNull, lit(0L)).otherwise(lit(1L)).as("depth"))
+    for (iter <- 1 to rounds) {
+      val jump = st.select(
+        col("node").as("j_node"), col("anc").as("j_anc"), col("depth").as("j_depth"))
+      val next = st
+        .join(jump.hint("shuffle_hash"), col("anc") === col("j_node"))
+        .select(col("node"), col("j_anc").as("anc"),
+          (col("depth") + col("j_depth")).as("depth"))
+      st =
+        if (iter % checkpointEvery == 0 || iter == rounds) next.localCheckpoint(false)
+        else next
+    }
+    st.select(col("node"), col("anc").as("root"), col("depth"))
+  }
+
   /** Per-node triangle counts via DEGREE-ORDERED ORIENTATION (Schank's
     * forward algorithm; the MapReduce formulation is Suri & Vassilvitskii
     * WWW'11): orient each undirected edge from its (degree, id)-smaller

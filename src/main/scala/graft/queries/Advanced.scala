@@ -997,10 +997,38 @@ object Advanced {
       FROM d
       ORDER BY l_returnflag"""))
 
+  /** Recursive hierarchy rollup ([[Graphs.hierarchyRollup]]): root + depth
+    * for every node of a parent-pointer forest (parent = ⌊key/8⌋, roots
+    * below 8 — an ~8-ary category forest over the part keys). The oracle
+    * is a genuine `WITH RECURSIVE` walk — the capability Spark SQL lacks
+    * and the operator supplies via O(log depth) pointer-doubling rounds
+    * (5 rounds cover depth ≤ 32; the sf0.1 forest is depth ≤ 5). */
+  val q75HierarchyRollup = GraftQuery(
+    "q75_hierarchy_rollup",
+    (s, dir) => {
+      val parents = table(s, dir, "part")
+        .select(col("p_partkey").cast("bigint").as("node"),
+          when(col("p_partkey") >= 8, expr("p_partkey div 8").cast("bigint")).as("parent"))
+      Graphs.hierarchyRollup(parents, rounds = 5)
+        .orderBy(col("node"))
+    },
+    Some("""
+      WITH RECURSIVE walk AS (
+        SELECT p_partkey AS node, CAST(p_partkey AS BIGINT) AS cur,
+               CAST(0 AS BIGINT) AS depth
+        FROM part
+        UNION ALL
+        SELECT node, cur // 8 AS cur, depth + 1 FROM walk WHERE cur >= 8)
+      SELECT CAST(node AS BIGINT) AS node, cur AS root, depth
+      FROM walk
+      WHERE cur < 8
+      ORDER BY node"""))
+
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
     q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution,
     q56Transitions, q57RollingAnomaly, q58IncrementalAgg, q59StringBreadth,
     q60DateBreadth, q63CoOccurrence, q64Triangles, q67TimeWeighted, q68ParetoFrontier,
-    q69PsiDrift, q70ExactMedian, q71ChiSquare, q72KsDrift, q73MutualInfo, q74OlsByGroup)
+    q69PsiDrift, q70ExactMedian, q71ChiSquare, q72KsDrift, q73MutualInfo, q74OlsByGroup,
+    q75HierarchyRollup)
 }

@@ -391,4 +391,32 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(math.abs(ours.getDouble(2) - ref.getDouble(1)) < 1e-6)
     assert(math.abs(ours.getDouble(3) - ref.getDouble(2)) < 1e-6)
   }
+
+  // ---- Graphs.hierarchyRollup ---------------------------------------------
+
+  test("hierarchyRollup resolves root + depth over a mixed forest, incl. a deep chain") {
+    // two trees + an 11-deep chain (forces the log-rounds path: 4 rounds
+    // resolve depth ≤ 16, 3 would not)
+    val parents = (Seq(
+      (1L, None), (2L, Some(1L)), (3L, Some(1L)), (4L, Some(2L)), // tree at 1
+      (10L, None), (11L, Some(10L))) ++ // tree at 10
+      (21L to 31L).map(n => (n, Some(n - 1))) ++ Seq((20L, None)) // chain 20..31
+      ).toDF("node", "parent")
+    val got = Graphs.hierarchyRollup(parents, rounds = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((1L, 0L)) && got(4L) == ((1L, 2L)) && got(3L) == ((1L, 1L)))
+    assert(got(11L) == ((10L, 1L)))
+    assert(got(20L) == ((20L, 0L)) && got(31L) == ((20L, 11L)))
+    assert(got.size == parents.count())
+  }
+
+  test("hierarchyRollup is a stable fixpoint: extra rounds change nothing") {
+    val parents = (3L to 200L).map(n => (n, Some(n / 3))).toDF("node", "parent")
+      .union(Seq((1L, None: Option[Long]), (2L, None: Option[Long])).toDF("node", "parent"))
+    val a = Graphs.hierarchyRollup(parents, rounds = 4).orderBy("node").collect().toSeq
+    val b = Graphs.hierarchyRollup(parents, rounds = 9).orderBy("node").collect().toSeq
+    assert(a == b)
+    val roots = a.map(_.getLong(1)).toSet
+    assert(roots == Set(1L, 2L)) // every n/3 chain terminates at root 1 or 2
+  }
 }
