@@ -172,8 +172,23 @@ object Graphs {
     *
     * Input: undirected `edges` with (u, v) columns (direction and
     * duplicates ignored; self-loops dropped). Returns (node, n_triangles)
-    * for every node in ≥ 1 triangle. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+    * for every node in ≥ 1 triangle.
+    *
+    * Execution notes (round-6 measurement, sf0.1 co-purchase graph):
+    * the oriented edge set `o` feeds THREE join sides (wedge p1/p2 +
+    * closure), and uncached its whole upstream pipeline (self-join →
+    * distinct → degree joins) re-executed per side — caching it removes
+    * two full recomputes. The closure join's probe side is the wedge
+    * fan-out (Σ outdeg² — the Θ(m^1.5) term); when the edge list itself
+    * is small enough to broadcast (`closureBroadcastMaxEdges`, ~24 B/edge
+    * — 10M edges ≈ 240 MB), broadcasting `o` turns the closure into a
+    * map-side hash probe and the WEDGE SET never shuffles at all. Beyond
+    * that size the plan falls back to the shuffle closure join — at
+    * billion-edge scale the wedge shuffle is the honest cost, and its
+    * keys are fan-out-bounded by the orientation. The count() gating the
+    * choice is a 1-long driver pull off the already-cached `o`. */
+  def triangleCounts(edges: DataFrame,
+      closureBroadcastMaxEdges: Long = 10000000L): DataFrame = {
     val e = edges
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -191,15 +206,19 @@ object Graphs {
         when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("s"),
         when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("t"),
         when(col("du") <= col("dv"), col("dv")).otherwise(col("du")).as("dt"))
+      .cache()
+    val m = o.count() // materializes the cache; 1 long to the driver
     // wedge: two out-edges of s with t₁ < t₂ in orientation (deg, id)
     // order, so each unordered wedge is emitted once; closure: the
     // oriented edge t₁→t₂ must exist with exactly that direction
+    val closure =
+      if (m <= closureBroadcastMaxEdges) broadcast(o.as("e3")) else o.as("e3")
     val tri = o.as("p1").join(o.as("p2"),
         col("p1.s") === col("p2.s") &&
           (col("p1.dt") < col("p2.dt") ||
             (col("p1.dt") === col("p2.dt") && col("p1.t") < col("p2.t"))))
       .select(col("p1.s").as("a"), col("p1.t").as("b"), col("p2.t").as("c"))
-      .join(o.as("e3"), col("e3.s") === col("b") && col("e3.t") === col("c"))
+      .join(closure, col("e3.s") === col("b") && col("e3.t") === col("c"))
       .select(col("a"), col("b"), col("c"))
     tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
