@@ -125,14 +125,21 @@ object Graphs {
     *
     * `parents`: (node, parent) with parent NULL for roots; every parent
     * value must itself appear as a node. Each round is ONE self equi-join
-    * on the ancestor key (both sides hash-partitioned on it) + the same
-    * lazy-localCheckpoint lineage cadence as [[pageRankMicro]]. `rounds`
+    * on the ancestor key (both sides hash-partitioned on it). `rounds`
     * must satisfy 2^rounds ≥ max depth; extra rounds are cheap no-ops
     * (the fixpoint is stable: a root's ancestor is itself at distance 0).
     *
+    * Lineage cadence differs from [[pageRankMicro]] deliberately: the
+    * state frame feeds BOTH sides of the round's self-join, on different
+    * keys (node vs anc), so neither exchange reuse nor plan sharing dedups
+    * it — without truncation the un-truncated subtree DOUBLES per round
+    * (2^k leaf recomputes after k rounds). The default therefore
+    * checkpoints every round; with only ⌈log₂ depth⌉ total rounds the
+    * per-round materialization cost is bounded and small.
+    *
     * Returns (node, root, depth) — exact integers, so an external
     * recursive oracle verifies values bit-for-bit. */
-  def hierarchyRollup(parents: DataFrame, rounds: Int, checkpointEvery: Int = 5): DataFrame = {
+  def hierarchyRollup(parents: DataFrame, rounds: Int, checkpointEvery: Int = 1): DataFrame = {
     require(rounds >= 1 && rounds <= 30, s"rounds must be in [1, 30], got $rounds")
     var st = parents.select(
       col("node"),
