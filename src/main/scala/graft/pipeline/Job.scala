@@ -31,12 +31,12 @@ object Job {
 
   /** Execute one full run. `now` is injectable for deterministic tests.
     *
-    * `incremental = true` refreshes the latest-wins silver models by
-    * MERGING only bronze partitions newer than the previous run's snapshot
-    * (partition-pruned scan — refresh cost scales with new data, the
-    * reference's `CREATE OR REFRESH` promise); models without an
-    * incremental spec (SCD2, dims, dim_date, the channel fact) recompute.
-    * Falls back to a full refresh on the first run. */
+    * `incremental = true` refreshes the latest-wins silver models, the
+    * SCD2 metadata model, and silver_videos by MERGING only bronze
+    * partitions newer than the previous run's snapshot (partition-pruned
+    * scan — refresh cost scales with new data, the reference's `CREATE OR
+    * REFRESH` promise); the remaining models (dims, dim_date, the channel
+    * fact) recompute. Falls back to a full refresh on the first run. */
   def run(
       lake: Lakehouse,
       dataClient: DataApiIngest.DataApiClient,
@@ -62,7 +62,7 @@ object Job {
     // latest-wins silver table to exist (else fall back to full).
     val prevSnapshot: Option[Date] =
       if (!incremental || !lake.exists("bronze", "run_context_log")
-          || !Silver.latestWinsSpecs.keys.forall(lake.exists("silver", _))) None
+          || !Silver.incrementalModels.forall(lake.exists("silver", _))) None
       else {
         import org.apache.spark.sql.functions.{col, max}
         lake.table("bronze", "run_context_log")
@@ -99,8 +99,11 @@ object Job {
       prevSnapshot match {
         case Some(since) =>
           Silver.latestWinsSpecs.keys.foreach(n => Silver.refreshIncremental(lake, n, since))
+          // SCD2 before silver_videos: the latter re-attaches current flags
+          Silver.refreshIncremental(lake, "silver_video_metadata_scd2", since)
+          Silver.refreshIncremental(lake, "silver_videos", since)
           Silver.refreshParallel(lake,
-            Some(Silver.models.map(_.name).toSet -- Silver.latestWinsSpecs.keySet))
+            Some(Silver.models.map(_.name).toSet -- Silver.incrementalModels))
         case None =>
           Silver.refreshParallel(lake)
       }

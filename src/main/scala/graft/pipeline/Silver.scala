@@ -180,14 +180,102 @@ object Silver {
     * it), so refresh cost scales with NEW data, not table history — the
     * difference between a nightly refresh reading one day and reading 100 TB.
     * Requires the model to have been fully refreshed at least once. */
-  def refreshIncremental(lake: Lakehouse, name: String, sinceSnapshot: java.sql.Date): Unit = {
-    val spec = latestWinsSpecs(name)
-    val fresh = spec.typed(
-      lake.table("bronze", spec.bronzeTable)
+  def refreshIncremental(lake: Lakehouse, name: String, sinceSnapshot: java.sql.Date): Unit =
+    name match {
+      case "silver_video_metadata_scd2" => refreshScd2Incremental(lake, sinceSnapshot)
+      case "silver_videos"              => refreshVideosIncremental(lake, sinceSnapshot)
+      case _ =>
+        val spec = latestWinsSpecs(name)
+        val fresh = spec.typed(
+          lake.table("bronze", spec.bronzeTable)
+            .filter(col("snapshot_date") >= lit(sinceSnapshot)))
+        val merged = latestWins(
+          lake.table("silver", name).unionByName(fresh), spec.grain, spec.order)
+        lake.materialize("silver", name, merged)
+    }
+
+  /** Every model [[refreshIncremental]] can merge (vs full recompute).
+    * silver_videos depends on the SCD2 table's current flags, so merge the
+    * SCD2 model before it (Job does). */
+  val incrementalModels: Set[String] =
+    latestWinsSpecs.keySet ++ Set("silver_video_metadata_scd2", "silver_videos")
+
+  /** The SCD2 observation log: every (video, ingest) observation with its
+    * metadata fields, change hash, and envelope — `scd2Typed(videos_raw)`
+    * materialized with `video_id`/`metadata_hash` as first-class parquet
+    * columns. It exists so incremental refresh can re-read any id's FULL
+    * observation history (late data can re-segment the middle of a
+    * version chain) without re-parsing bronze JSON: at scale the log is
+    * read with a video_id predicate over columnar data while bronze would
+    * need a full-history parse of every payload. Invariant: the log holds
+    * every observation in bronze partitions ≤ its max snapshot_date
+    * (snapshot dates are monotone per run; a manual bronze backfill BELOW
+    * that frontier requires deleting the log to force a rebuild). */
+  val scd2ObsTable = "silver_video_metadata_obs"
+
+  /** Incremental SCD2 refresh — Lakeflow-refresh parity for the
+    * reference's richest MV (`bronze_to_silver_pipeline.sql:132-297`):
+    *
+    *   1. parse ONLY bronze partitions ≥ `sinceSnapshot` (partition-pruned;
+    *      widened to the observation log's own frontier when a full refresh
+    *      ran in between and left the log behind);
+    *   2. merge them into the observation log (exact-duplicate re-merges
+    *      collapse on the (video_id, observed_at, request_id) key —
+    *      inclusive boundaries stay idempotent);
+    *   3. re-segment ONLY the ids observed in the new slice, from their
+    *      complete log history — so A→B→A reversions and late-arriving
+    *      observations that split an existing version are handled exactly
+    *      like a full recompute;
+    *   4. keep every other id's version rows untouched (anti-join).
+    *
+    * Cost scales with new data + affected-id history, never with table
+    * history. Bootstraps the log from full bronze on first use. */
+  def refreshScd2Incremental(lake: Lakehouse, sinceSnapshot: java.sql.Date): Unit = {
+    val bronze = lake.table("bronze", "videos_raw")
+    val haveLog = lake.exists("silver", scd2ObsTable)
+    // widen the merge window to the log frontier: a full model refresh
+    // between incremental runs advances silver without advancing the log,
+    // and those snapshots must not be skipped
+    val since: java.sql.Date =
+      if (!haveLog) sinceSnapshot
+      else lake.table("silver", scd2ObsTable)
+        .agg(max(col("snapshot_date")).as("m")).collect().headOption
+        .flatMap(r => Option(r.getDate(0)))
+        .map(m => if (m.before(sinceSnapshot)) m else sinceSnapshot)
+        .getOrElse(sinceSnapshot)
+    val freshObs = scd2Typed(bronze.filter(col("snapshot_date") >= lit(since)))
+    val baseObs = if (haveLog) lake.table("silver", scd2ObsTable) else scd2Typed(bronze)
+    val mergedObs = baseObs.unionByName(freshObs)
+      .dropDuplicates("video_id", "observed_at_utc", "request_id")
+    // log first: if the refresh dies between the two writes, a re-run
+    // re-merges from a complete log (the reverse order would leave the log
+    // missing this batch's observations under an already-advanced silver)
+    lake.materialize("silver", scd2ObsTable, mergedObs)
+    // bronze is untouched by the log swap, so the pruned parse is reusable
+    val affected = freshObs.select(col("video_id")).distinct()
+    val existing = lake.table("silver", "silver_video_metadata_scd2")
+    val untouched = existing.join(affected, Seq("video_id"), "left_anti")
+    val rebuilt = scd2Segment(
+      lake.table("silver", scd2ObsTable).join(affected, Seq("video_id"), "left_semi"))
+    // the USING joins float video_id to the front; restore the canonical
+    // column order so merge and recompute produce byte-identical tables
+    lake.materialize("silver", "silver_video_metadata_scd2",
+      untouched.unionByName(rebuilt).select(existing.columns.map(col).toSeq: _*))
+  }
+
+  /** Incremental silver_videos refresh: latest-wins merge of the new slim
+    * snapshots into the standing table (same merge algebra as the
+    * latest-wins specs), then re-attach the current SCD2 surrogate key —
+    * the FK re-join is over silver-sized frames only; bronze history is
+    * never re-parsed. Run [[refreshScd2Incremental]] first so the current
+    * flags are fresh. */
+  def refreshVideosIncremental(lake: Lakehouse, sinceSnapshot: java.sql.Date): Unit = {
+    val fresh = videosSlimTyped(
+      lake.table("bronze", "videos_raw")
         .filter(col("snapshot_date") >= lit(sinceSnapshot)))
-    val merged = latestWins(
-      lake.table("silver", name).unionByName(fresh), spec.grain, spec.order)
-    lake.materialize("silver", name, merged)
+    val existing = lake.table("silver", "silver_videos").drop("current_video_meta_sk")
+    val merged = latestWins(existing.unionByName(fresh), Seq("video_id"))
+    lake.materialize("silver", "silver_videos", videosAttachSk(merged, lake))
   }
 
   // ---------------------------------------------------------------- models
@@ -222,11 +310,14 @@ object Silver {
     col("made_for_kids").cast("string"), col("self_declared_made_for_kids").cast("string"),
     col("topic_categories_csv"))
 
-  /** reference `:132-297`: SCD2 versioning of video metadata — hash change
-    * detection via lag, validity windows via lead (next − 1µs, open-ended
-    * sentinel), surrogate key sha2(video_id||valid_from). */
-  val silverVideoMetadataScd2: Model = Model("silver_video_metadata_scd2", Nil, lake => {
-    val typed = parseItems(lake.table("bronze", "videos_raw"), Schemas.videoMetadataPayloadDdl)
+  /** Typed + hashed SCD2 observations from a `videos_raw` slice: one row
+    * per (video, ingest) observation with the 19 metadata fields, the
+    * change-detection hash, and the envelope. This is the frame the
+    * OBSERVATION LOG (`silver_video_metadata_obs`) materializes — the
+    * compact per-id history that lets [[refreshScd2Incremental]] re-segment
+    * only affected ids without ever re-parsing bronze JSON. */
+  private def scd2Typed(raw: DataFrame): DataFrame = {
+    val typed = parseItems(raw, Schemas.videoMetadataPayloadDdl)
       .select(
         col("item.id").as("video_id"),
         col("item.snippet.channelId").as("channel_id"),
@@ -252,8 +343,17 @@ object Silver {
         col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
         col("schema_version"))
       .filter(col("video_id").isNotNull)
-    val hashed = typed.withColumn("metadata_hash",
+    typed.withColumn("metadata_hash",
       sha2(concat_ws("||", scd2HashFields.map(c => coalesce(c, lit(""))): _*), 256))
+  }
+
+  /** SCD2 segmentation over hashed observations: version starts where the
+    * hash changes vs the per-id predecessor (lag), validity windows via
+    * lead (next − 1µs, open-ended sentinel), surrogate key
+    * sha2(video_id||valid_from). Pure function of the observation set —
+    * full refresh runs it over all of bronze, incremental refresh over the
+    * affected ids' observation-log slice; both segment identically. */
+  private def scd2Segment(hashed: DataFrame): DataFrame = {
     // version starts: first observation or hash change vs the predecessor
     // (an A→B→A reversion correctly yields three versions)
     val w = Window.partitionBy(col("video_id"))
@@ -280,11 +380,15 @@ object Silver {
                 lit("9999-12-31 23:59:59.999999").cast("timestamp")).as("valid_to_utc"),
               col("next_valid_from_utc").isNull.as("is_current")) ++
             envelopeCols.map(col)): _*)
-  })
+  }
 
-  /** reference `:299-364`: latest video snapshot + current SCD2 FK. */
-  val silverVideos: Model = Model("silver_videos", Seq("silver_video_metadata_scd2"), lake => {
-    val typed = parseItems(lake.table("bronze", "videos_raw"), Schemas.videosSlimPayloadDdl)
+  /** reference `:132-297`: SCD2 versioning of video metadata — see
+    * [[scd2Typed]] (parse + hash) and [[scd2Segment]] (windows). */
+  val silverVideoMetadataScd2: Model = Model("silver_video_metadata_scd2", Nil, lake =>
+    scd2Segment(scd2Typed(lake.table("bronze", "videos_raw"))))
+
+  private def videosSlimTyped(raw: DataFrame): DataFrame =
+    parseItems(raw, Schemas.videosSlimPayloadDdl)
       .select(
         col("item.id").as("video_id"),
         col("item.snippet.channelId").as("channel_id"),
@@ -295,16 +399,25 @@ object Silver {
         col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
         col("schema_version"))
       .filter(col("video_id").isNotNull)
+
+  /** Join the per-video latest snapshot to the current SCD2 surrogate key
+    * and project the silver_videos column order. */
+  private def videosAttachSk(latest: DataFrame, lake: Lakehouse): DataFrame = {
     val current = lake.table("silver", "silver_video_metadata_scd2")
       .filter(col("is_current"))
       .select(col("video_id"), col("video_meta_sk").as("current_video_meta_sk"))
-    latestWins(typed, Seq("video_id"))
+    latest
       .join(broadcast(current), Seq("video_id"), "left")
       .select(
         (Seq("video_id", "channel_id", "current_video_meta_sk", "latest_video_title",
           "video_published_at_utc", "latest_privacy_status", "latest_upload_status") ++
           envelopeCols).map(col): _*)
-  })
+  }
+
+  /** reference `:299-364`: latest video snapshot + current SCD2 FK. */
+  val silverVideos: Model = Model("silver_videos", Seq("silver_video_metadata_scd2"), lake =>
+    videosAttachSk(
+      latestWins(videosSlimTyped(lake.table("bronze", "videos_raw")), Seq("video_id")), lake))
 
   /** reference `:366-443`: channel daily metrics — the single silver channel
     * id (top-1, deterministic ties) cross-joined onto every report row, then

@@ -274,6 +274,63 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(snapshot_date"), plan)
   }
 
+  test("SCD2 + silver_videos incremental merge equals full recompute (A→B→A, late arrivals, full-refresh interleave)") {
+    val l = new Lakehouse(spark, Files.createTempDirectory("graft-scd2inc").toString)
+    def land(run: String, snap: String, at: String, title: String, views: Long): Unit = {
+      val ctx = Bronze.RunContext(run, s"req-$run", d(snap), ts(at))
+      Bronze.ingest(l, ctx, _ => Map(
+        "videos_raw" -> Seq(videosPayload(
+          videoItem("V1", "UC_1", title, views),
+          videoItem("V2", "UC_1", "Stable", views)))))
+    }
+    val tables = Seq("silver_video_metadata_scd2", "silver_videos")
+    def capture(): Map[String, Seq[String]] = tables.map(t =>
+      t -> l.table("silver", t).collect().map(_.toString).sorted.toSeq).toMap
+    def mergeThenCompare(since: String): Unit = {
+      Silver.refreshIncremental(l, "silver_video_metadata_scd2", d(since))
+      Silver.refreshIncremental(l, "silver_videos", d(since))
+      val inc = capture()
+      Silver.refresh(l, Some(tables.toSet))
+      assert(inc == capture(), s"incremental(since=$since) != full recompute")
+      // leave the tables as the merge produced them (identical content —
+      // re-materializing just proved it)
+    }
+
+    land("r1", "2025-06-01", "2025-06-01 10:00:00", "Title A", 10)
+    land("r2", "2025-06-02", "2025-06-02 10:00:00", "Title B", 20)
+    Silver.refresh(l, Some(tables.toSet))
+
+    // A→B→A reversion merged incrementally (bootstraps the observation log)
+    land("r3", "2025-06-03", "2025-06-03 10:00:00", "Title A", 30)
+    mergeThenCompare("2025-06-03")
+    assert(l.exists("silver", Silver.scd2ObsTable))
+    val titles = l.table("silver", "silver_video_metadata_scd2")
+      .filter(col("video_id") === "V1").orderBy("valid_from_utc")
+      .collect().map(_.getAs[String]("video_title")).toSeq
+    assert(titles == Seq("Title A", "Title B", "Title A"))
+    assert(l.table("silver", "silver_video_metadata_scd2")
+      .filter(col("video_id") === "V2").count() == 1)
+
+    // late arrival: lands in snapshot 06-04 but OBSERVED between r1 and r2 —
+    // re-segments the middle of V1's existing version chain. The preceding
+    // full recompute also left the obs log behind silver; the log-frontier
+    // widening must absorb both.
+    land("r4", "2025-06-04", "2025-06-01 18:00:00", "Title C", 15)
+    mergeThenCompare("2025-06-04")
+    val after = l.table("silver", "silver_video_metadata_scd2")
+      .filter(col("video_id") === "V1").orderBy("valid_from_utc")
+      .collect().map(_.getAs[String]("video_title")).toSeq
+    assert(after == Seq("Title A", "Title C", "Title B", "Title A"))
+    // silver_videos: latest-wins is snapshot-first, so r4 (newest snapshot)
+    // wins despite its older ingest ts, and the FK tracks the current version
+    val v1 = l.table("silver", "silver_videos").filter(col("video_id") === "V1").head()
+    assert(v1.getAs[String]("latest_video_title") == "Title C")
+    val curSk = l.table("silver", "silver_video_metadata_scd2")
+      .filter(col("video_id") === "V1" && col("is_current")).head()
+      .getAs[String]("video_meta_sk")
+    assert(v1.getAs[String]("current_video_meta_sk") == curSk)
+  }
+
   test("parallel level-order refresh materializes the same silver as sequential") {
     refreshed
     // re-baseline sequentially first: earlier tests appended bronze data
