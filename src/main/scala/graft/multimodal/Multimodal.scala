@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus partition-local decode / feature-extract /
   * resize / frame-sample operators.
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs, so
-  * [[MediaDecoder.Fake]] produces deterministic synthetic pixels/samples
-  * from the bytes. Everything around it — the asset schema, binary column
-  * handling, bounded-batch `mapPartitions` iteration, fixed-width feature
-  * output, frame-row explosion — is the real Spark plumbing a production
-  * decoder drops into (swap `Fake` for a codec-backed implementation; no
-  * plan shape changes).
+  * Decode binds behind the [[MediaDecoder]] seam. [[MediaDecoder.Uncompressed]]
+  * is a REAL pure-JVM decoder for the uncompressed container formats —
+  * 16-bit PCM RIFF/WAVE and 24-bit uncompressed BMP — needing no codec
+  * dependency. Only genuinely-compressed codecs (JPEG/PNG inflate, AAC,
+  * H.264) remain stubbed via [[MediaDecoder.Fake]], which produces
+  * deterministic synthetic pixels/samples from the bytes (this container
+  * ships no codec libraries; a codec-backed implementation drops into the
+  * same seam with no plan shape changes). Everything else — the asset
+  * schema, binary column handling, bounded-batch `mapPartitions`
+  * iteration, fixed-width feature output, frame-row explosion — is the
+  * real Spark plumbing either decoder runs through.
   *
   * Scale posture: decode/feature work is per-partition with NO shuffle —
   * plans are embarrassingly parallel maps; batching bounds peak memory per
@@ -34,7 +38,8 @@ object Multimodal {
 
   final case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
-  /** Decoder seam — the ONLY stubbed piece. */
+  /** Decoder seam — real for uncompressed formats ([[MediaDecoder.Uncompressed]]),
+    * stubbed only for compressed codecs ([[MediaDecoder.Fake]]). */
   trait MediaDecoder extends Serializable {
     /** Decode to a row-major grayscale byte matrix of (height × width). */
     def decodeImage(content: Array[Byte], meta: MediaMeta): Array[Array[Byte]]
@@ -57,6 +62,83 @@ object Multimodal {
         else Array.tabulate(math.max(1, content.length / 2)) { i =>
           ((content(2 * i % content.length) << 8) | (content((2 * i + 1) % content.length) & 0xff)).toShort
         }
+    }
+
+    /** Real pure-JVM decode for the uncompressed container formats: 16-bit
+      * PCM RIFF/WAVE audio and 24-bit uncompressed (BI_RGB) BMP images.
+      * Both formats are byte-layout specifications, not codecs — a chunk
+      * walk and an integer luma transform — so no external dependency is
+      * needed and decoded values are bit-deterministic across engines.
+      * Compressed inputs fail fast with the format found, rather than
+      * degrading to the synthetic fake. */
+    object Uncompressed extends MediaDecoder {
+      private def le16(b: Array[Byte], o: Int): Int =
+        (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      private def le32(b: Array[Byte], o: Int): Int =
+        (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+      /** 24-bit BMP → row-major grayscale via the ITU-R BT.601 integer luma
+        * (299·R + 587·G + 114·B)/1000. Handles bottom-up (positive height,
+        * the common case) and top-down (negative height) pixel arrays and
+        * the 4-byte row padding. */
+      def decodeImage(content: Array[Byte], meta: MediaMeta): Array[Array[Byte]] = {
+        require(content.length >= 54 && content(0) == 'B'.toByte && content(1) == 'M'.toByte,
+          "not a BMP payload (missing BM magic)")
+        val pixOff = le32(content, 10)
+        val width = le32(content, 18)
+        val rawH = le32(content, 22)
+        val bpp = le16(content, 28)
+        val compression = le32(content, 30)
+        require(bpp == 24 && compression == 0,
+          s"only 24-bit uncompressed (BI_RGB) BMP decodes without codecs, got bpp=$bpp compression=$compression")
+        require(width > 0 && rawH != 0, s"degenerate BMP dimensions ${width}x$rawH")
+        val height = math.abs(rawH)
+        val bottomUp = rawH > 0
+        val rowBytes = ((width * 3 + 3) / 4) * 4
+        require(pixOff >= 54 && pixOff.toLong + rowBytes.toLong * height <= content.length,
+          "truncated BMP pixel array")
+        Array.tabulate(height, width) { (r, c) =>
+          val srcRow = if (bottomUp) height - 1 - r else r
+          val o = pixOff + srcRow * rowBytes + c * 3 // B, G, R byte order
+          val blue = content(o) & 0xff
+          val green = content(o + 1) & 0xff
+          val red = content(o + 2) & 0xff
+          ((299 * red + 587 * green + 114 * blue) / 1000).toByte
+        }
+      }
+
+      /** RIFF/WAVE chunk walk → little-endian 16-bit PCM samples
+        * (interleaved across channels, as stored). */
+      def decodeAudio(content: Array[Byte], meta: MediaMeta): Array[Short] = {
+        require(content.length >= 44
+            && new String(content, 0, 4, "US-ASCII") == "RIFF"
+            && new String(content, 8, 4, "US-ASCII") == "WAVE",
+          "not a RIFF/WAVE payload")
+        var off = 12
+        var fmtCode = -1
+        var bits = -1
+        var dataOff = -1
+        var dataLen = -1
+        while (off + 8 <= content.length && (dataOff < 0 || fmtCode < 0)) {
+          val id = new String(content, off, 4, "US-ASCII")
+          val sz = le32(content, off + 4)
+          require(sz >= 0 && off + 8 + sz.toLong <= content.length, s"truncated WAV chunk $id")
+          id match {
+            case "fmt " =>
+              fmtCode = le16(content, off + 8)
+              bits = le16(content, off + 8 + 14)
+            case "data" =>
+              dataOff = off + 8
+              dataLen = sz
+            case _ => // skip LIST/fact/cue/…
+          }
+          off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+        }
+        require(fmtCode == 1 && bits == 16,
+          s"only 16-bit PCM WAV decodes without codecs, got fmt=$fmtCode bits=$bits")
+        require(dataOff >= 0, "WAV data chunk missing")
+        Array.tabulate(dataLen / 2)(i => le16(content, dataOff + 2 * i).toShort)
+      }
     }
   }
 

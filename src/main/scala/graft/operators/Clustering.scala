@@ -73,6 +73,19 @@ object Clustering {
         Similarity.l2Norm(col(embCol)).as("c_norm"))
   }
 
+  /** Hard ceiling on cells/centroids pulled to the driver by
+    * [[materializedCells]] / [[kmeans]]. √n sizing crosses it around
+    * n ≈ 4·10¹² corpus rows (2M cells × ~264 B/row at dim 64 ≈ 0.5 GB of
+    * driver heap — the same order a broadcast join already tolerates).
+    * Mirrors `triangleCounts(closureBroadcastMaxEdges)`: an explicit,
+    * parameterized gate instead of a silent driver OOM. Above the cap the
+    * right structure is TWO-LEVEL assignment — a coarse codebook of ≤ cap
+    * cells (collected/broadcast as today) routing each vector to a fine
+    * cell refined distributively within its coarse partition — which keeps
+    * every driver structure at ⁴√n; that variant belongs with the
+    * deployment that needs it, so the gate fails fast and names it. */
+  val MaxDriverCellsDefault: Int = 2000000
+
   /** [[seedCells]], materialized: collects the ~√n seed rows and
     * re-literalizes them as a local DataFrame. Every consumer broadcasts
     * the seed side anyway — the rows land on the driver either way — but a
@@ -81,15 +94,24 @@ object Clustering {
     * 3 extra full scans at production scale). Collecting once pins a single
     * scan; at n = 10⁹ the seed set is ~√n·dim ≈ 8 MB — driver-safe by
     * construction, same order as any broadcast dim. Values are identical to
-    * [[seedCells]] (same rows, same floats), so oracles are unaffected. */
-  def materializedCells(corpus: DataFrame, idCol: String, embCol: String): DataFrame = {
+    * [[seedCells]] (same rows, same floats), so oracles are unaffected.
+    * `maxDriverCells` gates the collect (see [[MaxDriverCellsDefault]]). */
+  def materializedCells(corpus: DataFrame, idCol: String, embCol: String,
+      maxDriverCells: Int = MaxDriverCellsDefault): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // limit(cap+1) bounds the transfer: on a compliant corpus it is a
+    // no-op (seed count ≤ cap), and on an oversized one the driver sees
+    // cap+1 rows — enough to fail — instead of the whole seed set
     val rows = seedCells(corpus, idCol, embCol)
       .select(col("cell_id"), col("c_emb"))
+      .limit(maxDriverCells + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .toSeq
+    require(rows.length <= maxDriverCells,
+      s"seed cell count exceeds maxDriverCells=$maxDriverCells — the √n codebook no longer " +
+        "fits the driver; use a two-level (coarse-then-fine) assignment or raise the cap")
     spark.createDataset(rows).toDF("cell_id", "c_emb")
       .select(col("cell_id"), col("c_emb"), Similarity.l2Norm(col("c_emb")).as("c_norm"))
   }
@@ -247,10 +269,15 @@ object Clustering {
     * Returns the final model; [[assignKMeans]] replays the argmin for the
     * final centroids. */
   def kmeans(spark: SparkSession, corpus: DataFrame, idCol: String, embCol: String,
-      iters: Int): KMeansModel = {
+      iters: Int, maxDriverCells: Int = MaxDriverCellsDefault): KMeansModel = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // ~√n rows, k·dim floats; gated like materializedCells — the per-
+    // iteration stats collect below is bounded by the same k
     val seedRows = seedCells(corpus, idCol, embCol)
-      .select(col("cell_id"), col("c_emb")).collect() // ~√n rows, k·dim floats
+      .select(col("cell_id"), col("c_emb")).limit(maxDriverCells + 1).collect()
+    require(seedRows.length <= maxDriverCells,
+      s"centroid count exceeds maxDriverCells=$maxDriverCells — the √n codebook no longer " +
+        "fits the driver; use a two-level (coarse-then-fine) assignment or raise the cap")
     var centroids: Array[(Long, Array[Float])] = seedRows
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
     val wcss = scala.collection.mutable.ArrayBuffer.empty[Double]

@@ -138,9 +138,24 @@ object Graphs {
     * per-round materialization cost is bounded and small.
     *
     * Returns (node, root, depth) — exact integers, so an external
-    * recursive oracle verifies values bit-for-bit. */
-  def hierarchyRollup(parents: DataFrame, rounds: Int, checkpointEvery: Int = 1): DataFrame = {
+    * recursive oracle verifies values bit-for-bit.
+    *
+    * Precondition: every non-null parent value appears as a node —
+    * violations would silently DROP the orphaned subtree at the first
+    * self-join. `validateParents = true` spends one up-front anti-join
+    * count to fail fast on malformed input instead (off by default: the
+    * check is eager, and trusted pipelines shouldn't pay it per call). */
+  def hierarchyRollup(parents: DataFrame, rounds: Int, checkpointEvery: Int = 1,
+      validateParents: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 30, s"rounds must be in [1, 30], got $rounds")
+    if (validateParents) {
+      val orphans = parents.filter(col("parent").isNotNull)
+        .join(parents.select(col("node").as("parent")), Seq("parent"), "left_anti")
+        .count()
+      require(orphans == 0L,
+        s"$orphans row(s) reference a parent that never appears as a node — " +
+          "their subtrees would silently drop; fix the input or add the missing roots")
+    }
     var st = parents.select(
       col("node"),
       coalesce(col("parent"), col("node")).as("anc"),
@@ -193,9 +208,21 @@ object Graphs {
     * that size the plan falls back to the shuffle closure join — at
     * billion-edge scale the wedge shuffle is the honest cost, and its
     * keys are fan-out-bounded by the orientation. The count() gating the
-    * choice is a 1-long driver pull off the already-cached `o`. */
+    * choice is a 1-long driver pull off the already-cached `o`.
+    *
+    * Lifecycle knobs (plan-only callers and long sessions): the gate
+    * count materializes the cache at DEFINITION time — pass
+    * `orientedEdgeCountHint` (any upper bound ≤ `closureBroadcastMaxEdges`
+    * picks broadcast, anything above it picks shuffle) to keep the call
+    * fully lazy, e.g. when only `.explain` is wanted. The cache entry
+    * lives until Spark's LRU evicts it; callers issuing many triangle
+    * queries per session can pass `cacheOriented = false` (correct, at
+    * the cost of the oriented set recomputing per join side) instead of
+    * accumulating entries. */
   def triangleCounts(edges: DataFrame,
-      closureBroadcastMaxEdges: Long = 10000000L): DataFrame = {
+      closureBroadcastMaxEdges: Long = 10000000L,
+      orientedEdgeCountHint: Option[Long] = None,
+      cacheOriented: Boolean = true): DataFrame = {
     val e = edges
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -206,15 +233,16 @@ object Graphs {
     // degree tie keeps u as the source. `dt` (target degree) rides along
     // so the wedge join can order targets by the same orientation key
     // without re-joining degrees.
-    val o = e
+    val oPlan = e
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
       .select(
         when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("s"),
         when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("t"),
         when(col("du") <= col("dv"), col("dv")).otherwise(col("du")).as("dt"))
-      .cache()
-    val m = o.count() // materializes the cache; 1 long to the driver
+    val o = if (cacheOriented) oPlan.cache() else oPlan
+    // 1 long to the driver (materializes the cache) unless hinted lazy
+    val m = orientedEdgeCountHint.getOrElse(o.count())
     // wedge: two out-edges of s with t₁ < t₂ in orientation (deg, id)
     // order, so each unordered wedge is emitted once; closure: the
     // oriented edge t₁→t₂ must exist with exactly that direction

@@ -18,17 +18,24 @@ import org.apache.spark.sql.functions._
   * materialize each artifact to parquet once per (sf dir, data generation)
   * under the JVM temp dir and hand back the re-read frames.
   *
-  * Cache keying: the source `embeddings.parquet` path + mtime + size, so a
-  * driver-side testdata regeneration invalidates automatically.
+  * Cache keying: the source `embeddings.parquet` path + mtime + size (so a
+  * driver-side testdata regeneration invalidates automatically) salted
+  * with [[IndexFormatVersion]] (so an index-construction code change
+  * invalidates too — without it a new seed hash / plane set / codebook
+  * layout would silently probe a stale artifact until tmp was cleared).
   */
 object BenchIndex {
+
+  /** Bump on ANY change to how the artifacts below are constructed
+    * (seed hashing, SignPlaneKeys planes, PQ codebook logic, schemas). */
+  val IndexFormatVersion = 1
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
 
   private def cacheRoot(dir: String): java.nio.file.Path = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
-    val raw = s"${src.getAbsolutePath}|${src.lastModified}|${src.length}"
+    val raw = s"v$IndexFormatVersion|${src.getAbsolutePath}|${src.lastModified}|${src.length}"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     Paths.get(System.getProperty("java.io.tmpdir"), s"graft-bench-index-$key")

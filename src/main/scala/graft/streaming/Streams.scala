@@ -47,7 +47,16 @@ object Streams {
     * TIMESTAMP(MICROS)/NTZ across generations, and stream and batch must see
     * identical µs values under either. */
   def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
-    val pinned = spark.read.parquet(dir).schema
+    // empty or not-yet-created stream dirs have no footer to pin from —
+    // fall back to the canonical events DDL so a stream can be DEFINED
+    // before its first file lands (the normal file-stream deployment order)
+    val pinned =
+      try spark.read.parquet(dir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      }
     graft.Graft.normalizeEventTs(spark.readStream.schema(pinned).parquet(dir))
   }
 

@@ -125,4 +125,123 @@ class MultimodalSpec extends SparkSpec {
       .select("neighbor_id").as[Long].head()
     assert(top1 == 30L, s"nearest neighbor of the near-copy was $top1")
   }
+
+  // ---- real uncompressed-format decode (no codec dependency) ----
+
+  private def le16(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Seq[Byte] =
+    Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Minimal canonical 16-bit PCM WAV encoder (mono), with an extra LIST
+    * chunk before data to exercise the chunk walk. */
+  private def wavPcm16(samples: Seq[Short], sampleRate: Int = 16000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val listBody = "INFO".getBytes("US-ASCII").toSeq
+    val riffLen = 4 + (8 + 16) + (8 + listBody.length) + (8 + dataLen)
+    val bytes = Seq.newBuilder[Byte]
+    bytes ++= "RIFF".getBytes("US-ASCII"); bytes ++= le32(riffLen)
+    bytes ++= "WAVE".getBytes("US-ASCII")
+    bytes ++= "fmt ".getBytes("US-ASCII"); bytes ++= le32(16)
+    bytes ++= le16(1)                    // PCM
+    bytes ++= le16(1)                    // mono
+    bytes ++= le32(sampleRate)
+    bytes ++= le32(sampleRate * 2)       // byte rate
+    bytes ++= le16(2)                    // block align
+    bytes ++= le16(16)                   // bits per sample
+    bytes ++= "LIST".getBytes("US-ASCII"); bytes ++= le32(listBody.length); bytes ++= listBody
+    bytes ++= "data".getBytes("US-ASCII"); bytes ++= le32(dataLen)
+    samples.foreach(s => bytes ++= le16(s & 0xffff))
+    bytes.result().toArray
+  }
+
+  /** Minimal 24-bit BI_RGB BMP encoder; `pixels(r)(c) = (red, green, blue)`
+    * top row first. Positive height → bottom-up pixel array (the common
+    * on-disk layout), negative → top-down. */
+  private def bmp24(pixels: Seq[Seq[(Int, Int, Int)]], topDown: Boolean = false): Array[Byte] = {
+    val h = pixels.length
+    val w = pixels.head.length
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val pixOff = 54
+    val bytes = Seq.newBuilder[Byte]
+    bytes ++= "BM".getBytes("US-ASCII"); bytes ++= le32(pixOff + rowBytes * h)
+    bytes ++= le32(0); bytes ++= le32(pixOff)
+    bytes ++= le32(40); bytes ++= le32(w); bytes ++= le32(if (topDown) -h else h)
+    bytes ++= le16(1); bytes ++= le16(24); bytes ++= le32(0) // planes, bpp, BI_RGB
+    bytes ++= le32(rowBytes * h); bytes ++= le32(2835); bytes ++= le32(2835)
+    bytes ++= le32(0); bytes ++= le32(0)
+    val storageRows = if (topDown) pixels else pixels.reverse
+    storageRows.foreach { row =>
+      row.foreach { case (r, g, b) =>
+        bytes += b.toByte; bytes += g.toByte; bytes += r.toByte
+      }
+      (w * 3 until rowBytes).foreach(_ => bytes += 0.toByte)
+    }
+    bytes.result().toArray
+  }
+
+  test("real WAV decode: PCM16 samples round-trip bit-exactly through the chunk walk") {
+    val samples = Seq[Short](0, 1, -1, 12345, -12345, Short.MaxValue, Short.MinValue)
+    val decoded = MediaDecoder.Uncompressed.decodeAudio(
+      wavPcm16(samples), MediaMeta("wav", 0, 0, 16000, 0L))
+    assert(decoded.toSeq == samples)
+    // compressed/float formats must fail fast, not degrade to the fake
+    val floatWav = {
+      val b = wavPcm16(samples)
+      b(20) = 3.toByte // fmt code 3 = IEEE float
+      b
+    }
+    val e = intercept[IllegalArgumentException] {
+      MediaDecoder.Uncompressed.decodeAudio(floatWav, MediaMeta("wav", 0, 0, 16000, 0L))
+    }
+    assert(e.getMessage.contains("16-bit PCM"))
+  }
+
+  test("real BMP decode: 24-bit pixels to BT.601 luma, bottom-up and top-down, padded rows") {
+    // 3x2: distinct channel mixes; width 3 forces a padded (9→12 byte) row
+    val px = Seq(
+      Seq((255, 0, 0), (0, 255, 0), (0, 0, 255)),
+      Seq((255, 255, 255), (0, 0, 0), (100, 150, 200)))
+    val expected = px.map(_.map { case (r, g, b) => ((299 * r + 587 * g + 114 * b) / 1000).toByte })
+    val meta = MediaMeta("bmp", 3, 2, 0, 0L)
+    val up = MediaDecoder.Uncompressed.decodeImage(bmp24(px), meta)
+    assert(up.map(_.toSeq).toSeq == expected)
+    val down = MediaDecoder.Uncompressed.decodeImage(bmp24(px, topDown = true), meta)
+    assert(down.map(_.toSeq).toSeq == expected)
+    val e = intercept[IllegalArgumentException] {
+      MediaDecoder.Uncompressed.decodeImage("BM".getBytes ++ new Array[Byte](60), meta)
+    }
+    assert(e.getMessage.contains("24-bit"))
+  }
+
+  test("real decoders drive the full Spark plumbing end-to-end on real bytes") {
+    import spark.implicits._
+    // image assets (id % 3 == 0) carry real BMPs, audio (id % 3 == 1) real
+    // WAVs — the same mapPartitions/flatMap operators, zero plan changes
+    val imgBytes = bmp24(Seq(
+      Seq((10, 20, 30), (40, 50, 60)),
+      Seq((70, 80, 90), (200, 210, 220))))
+    val wavBytes = wavPcm16(Seq.tabulate(300)(i => ((i * 37) % 2000 - 1000).toShort))
+    val rows = Seq(
+      MediaAsset(0L, "image", imgBytes, MediaMeta("bmp", 2, 2, 0, 0L)),
+      MediaAsset(1L, "audio", wavBytes, MediaMeta("wav", 0, 0, 16000, 300L)))
+    val ds = spark.createDataset(rows)
+    val feats = extractFeatures(ds, MediaDecoder.Uncompressed).collect().sortBy(_.asset_id)
+    assert(feats.length == 2 && feats.forall(_.features.length == 4))
+    // mean pixel/sample features agree with a direct local decode
+    val pxMean = {
+      val flat = MediaDecoder.Uncompressed.decodeImage(imgBytes, rows(0).meta).flatten
+      (flat.map(b => (b & 0xff).toLong).sum.toDouble / flat.length).toFloat
+    }
+    assert(feats(0).features(1) == pxMean)
+    val sMean = {
+      val s = MediaDecoder.Uncompressed.decodeAudio(wavBytes, rows(1).meta)
+      (s.map(_.toLong).sum.toDouble / s.length).toFloat
+    }
+    assert(feats(1).features(1) == sMean)
+    // audio windowing over real samples partitions them exactly
+    val ws = audioWindows(ds, MediaDecoder.Uncompressed, windowSamples = 128)
+      .collect().sortBy(_.window_idx)
+    assert(ws.map(_.n_samples).sum == 300)
+    assert(ws.map(_.n_samples).toSeq == Seq(128, 128, 44))
+  }
 }

@@ -264,6 +264,28 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), got.toString)
   }
 
+  test("triangleCounts lifecycle knobs: count hint + uncached stay value-identical and lazy") {
+    val rng = new scala.util.Random(11)
+    val edges = Seq.fill(120)((rng.nextInt(30).toLong, rng.nextInt(30).toLong)).toDF("u", "v")
+    val base = Graphs.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hinted-broadcast, hinted-shuffle, and uncached paths all agree
+    val hintedBc = Graphs.triangleCounts(edges, orientedEdgeCountHint = Some(100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hintedShuffle = Graphs.triangleCounts(edges,
+        closureBroadcastMaxEdges = 1L, orientedEdgeCountHint = Some(100L), cacheOriented = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hintedBc == base && hintedShuffle == base)
+    // with a hint and no cache, DEFINING the frame runs no Spark job —
+    // plan-only callers (explain/plan audits) stay free
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val lazyDf = Graphs.triangleCounts(edges, orientedEdgeCountHint = Some(100L),
+      cacheOriented = false)
+    lazyDf.queryExecution.executedPlan // force planning, not execution
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, s"plan-only call launched ${after - before} job(s)")
+  }
+
   test("psiDrift: ~0 on identical slices, large on a planted shift, finite on an empty slice") {
     // same distribution in both slices: PSI ≈ 0 (exactly 0 up to smoothing
     // asymmetry when totals match)
@@ -418,5 +440,22 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(a == b)
     val roots = a.map(_.getLong(1)).toSet
     assert(roots == Set(1L, 2L)) // every n/3 chain terminates at root 1 or 2
+  }
+
+  test("hierarchyRollup validateParents fails fast on an orphaned parent instead of dropping rows") {
+    // node 5's parent 99 never appears as a node: the default silently
+    // drops 5 from the output; validation turns that into a fast error
+    val malformed = Seq((1L, None), (2L, Some(1L)), (5L, Some(99L)))
+      .toDF("node", "parent")
+    val e = intercept[IllegalArgumentException] {
+      Graphs.hierarchyRollup(malformed, rounds = 2, validateParents = true)
+    }
+    assert(e.getMessage.contains("parent"))
+    // well-formed input is unchanged by validation
+    val ok = Seq((1L, None), (2L, Some(1L)), (3L, Some(2L))).toDF("node", "parent")
+    val plain = Graphs.hierarchyRollup(ok, rounds = 2).orderBy("node").collect().toSeq
+    val checked = Graphs.hierarchyRollup(ok, rounds = 2, validateParents = true)
+      .orderBy("node").collect().toSeq
+    assert(plain == checked)
   }
 }

@@ -270,4 +270,23 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList
     assert(picked.toSet == repicked.toSet, "selection changed with partitioning")
   }
+
+  test("driver collects are size-gated: oversized codebooks fail fast, defaults unchanged") {
+    // this corpus yields more than 2 seed cells — a cap of 2 must trip the
+    // gate instead of silently pulling the codebook through the driver
+    val e1 = intercept[IllegalArgumentException] {
+      Clustering.materializedCells(sf0001, "vec_id", "embedding", maxDriverCells = 2)
+    }
+    assert(e1.getMessage.contains("maxDriverCells"))
+    val e2 = intercept[IllegalArgumentException] {
+      Clustering.kmeans(spark, sf0001, "vec_id", "embedding", iters = 0, maxDriverCells = 2)
+    }
+    assert(e2.getMessage.contains("maxDriverCells"))
+    // under the default cap the gated path is value-identical to seedCells
+    val gated = Clustering.materializedCells(sf0001, "vec_id", "embedding")
+      .select("cell_id").as[Long].collect().sorted
+    val direct = Clustering.seedCells(sf0001, "vec_id", "embedding")
+      .select("cell_id").as[Long].collect().sorted
+    assert(gated.sameElements(direct))
+  }
 }

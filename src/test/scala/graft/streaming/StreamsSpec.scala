@@ -123,6 +123,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file stream defines on an EMPTY dir (DDL fallback) and picks up the first file") {
+    // deployment order: the stream is defined before any file lands — the
+    // pinned-schema footer read has nothing to pin from and must fall back
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-empty")
+    val stream = Streams.eventFileStream(spark, dir.toString) // must not throw
+    assert(stream.schema.fieldNames.toSet ==
+      Set("event_id", "ts", "user_id", "event_type", "value"))
+    val q = Streams.windowedEventCounts(stream, windowLen = "1 day", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("empty_start_win")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("empty_start_win").isEmpty) // no files yet
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        dir.resolve("events.parquet"))
+      q.processAllAvailable()
+      assert(spark.table("empty_start_win").count() > 0)
+    } finally q.stop()
+  }
+
   test("running per-user stats accumulate state across micro-batches (mapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
