@@ -23,6 +23,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * full-refresh materializations (the reference's `CREATE OR REFRESH
   * MATERIALIZED VIEW` semantics — recompute is the correctness baseline,
   * incremental refresh an optimization on top).
+  *
+  * Materialized tables carry a SINGLE-WRITER TRANSACTION LOG — the
+  * minimal slice of what Delta's `_delta_log` provides the reference:
+  * each refresh writes a fresh immutable `_v{N}` data directory, then
+  * commits by atomically renaming a `_VERSION` manifest (version number +
+  * live file list) over the previous one. Readers resolve the manifest
+  * first, so they observe either the old version or the new one — never
+  * a half-written directory — and a crash at ANY point of a refresh
+  * leaves the previous committed version live (the old
+  * delete-then-rename swap had a window where the table was briefly
+  * absent). The previously-committed data directory survives one more
+  * commit before GC, so in-flight readers of the just-replaced version
+  * finish their scan. Still DIVERGENT from Delta (README "Known
+  * divergence"): no optimistic concurrency — two simultaneous writers to
+  * one table can still interleave version numbers; bronze appends/deletes
+  * are directory-based, not logged.
   */
 final class Lakehouse(val spark: SparkSession, val root: String,
     schemaOverrides: Map[String, String] = Lakehouse.envSchemaOverrides()) {
@@ -36,8 +52,28 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 
   def exists(layer: String, name: String): Boolean = Files.exists(dir(layer, name))
 
+  private val ManifestName = "_VERSION"
+  private val versionDir = "_v(\\d+)".r
+
+  /** Committed version from the manifest; 0 = plain (pre-manifest) layout. */
+  private def currentVersion(base: Path): Int = {
+    val m = base.resolve(ManifestName)
+    if (!Files.exists(m)) 0
+    else new String(Files.readAllBytes(m), java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.next().trim.toInt
+  }
+
+  /** Directory holding the table's LIVE data files: the committed `_v{N}`
+    * when a manifest exists, the table dir itself for plain-layout tables
+    * (bronze, pre-upgrade materializations). */
+  def currentDataDir(layer: String, name: String): Path = {
+    val base = dir(layer, name)
+    val v = currentVersion(base)
+    if (v == 0) base else base.resolve(s"_v$v")
+  }
+
   def table(layer: String, name: String): DataFrame =
-    spark.read.parquet(dir(layer, name).toString)
+    spark.read.parquet(currentDataDir(layer, name).toString)
 
   /** Append rows (bronze ingest; partitioned by snapshot_date). */
   def appendBronze(name: String, df: DataFrame): Unit =
@@ -74,16 +110,39 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
   }
 
-  /** Materialize one silver/gold model (MV refresh = full recompute). */
+  /** Materialize one silver/gold model (MV refresh = full recompute).
+    *
+    * Commit protocol (single-writer ACID): (1) execute the plan into a
+    * fresh immutable `_v{N+1}` directory — the previous version stays live
+    * throughout, so a refresh can read its own table; (2) atomically
+    * rename the `_VERSION` manifest (version + file list) into place — THE
+    * commit point; (3) GC versions older than the immediately-previous
+    * one, plus any pre-manifest legacy files. A crash before (2) leaves
+    * the old version committed; after (2) the new one. Readers never see
+    * a partial table. */
   def materialize(layer: String, name: String, df: DataFrame): Unit = {
-    // write-then-swap so a refresh never reads its own half-written output
-    val tmp = Paths.get(root, physicalSchema(layer), s".${name}__refresh")
-    deleteRecursively(tmp)
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val live = dir(layer, name)
-    deleteRecursively(live)
-    Files.createDirectories(live.getParent)
-    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    val base = dir(layer, name)
+    Files.createDirectories(base)
+    val next = currentVersion(base) + 1
+    val dataDir = base.resolve(s"_v$next")
+    deleteRecursively(dataDir) // debris from a crashed earlier attempt
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val live = Files.list(dataDir).toArray.map(_.asInstanceOf[Path].getFileName.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    val tmp = base.resolve(s".$ManifestName.tmp")
+    Files.write(tmp, (next.toString +: live).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, base.resolve(ManifestName), StandardCopyOption.ATOMIC_MOVE) // commit
+    // GC: keep the committed version and one predecessor (in-flight readers
+    // of the just-replaced version finish their scan); drop everything older
+    // and any plain-layout legacy files now shadowed by the manifest
+    Files.list(base).toArray.map(_.asInstanceOf[Path]).foreach { p =>
+      p.getFileName.toString match {
+        case ManifestName =>
+        case versionDir(k) => if (k.toInt < next - 1) deleteRecursively(p)
+        case _ => deleteRecursively(p)
+      }
+    }
   }
 
   /** Compaction pass — the OPTIMIZE parity op

@@ -17,7 +17,7 @@ class LakehouseSpec extends SparkSpec {
     // 40 tiny writes → a fragmented table (the small-files problem OPTIMIZE fixes)
     val df = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(40)
     lake.materialize("silver", "frag", df)
-    def partFiles = Files.list(Paths.get(lake.root, "silver", "frag")).toArray
+    def partFiles = Files.list(lake.currentDataDir("silver", "frag")).toArray
       .map(_.toString).count(_.endsWith(".parquet"))
     assert(partFiles > 10, s"fixture not fragmented: $partFiles files")
     val before = lake.table("silver", "frag").orderBy("id").collect().toSeq
@@ -59,6 +59,48 @@ class LakehouseSpec extends SparkSpec {
     prod.materialize("silver", "t", df.limit(1))
     assert(prod.table("silver", "t").count() == 1)
     assert(dev.table("silver", "t").count() == 2)
+  }
+
+  test("crash mid-materialize: readers keep the committed version; a re-run recovers") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-txn").toString)
+    lake.materialize("silver", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v1 = lake.table("silver", "t").orderBy("id").collect().toSeq
+    assert(v1.size == 2)
+    // simulate a refresh that died mid-write: a half-written _v2 directory
+    // exists (invalid parquet debris) but the manifest was never renamed
+    val base = Paths.get(lake.root, "silver", "t")
+    val crashed = base.resolve("_v2")
+    Files.createDirectories(crashed)
+    Files.write(crashed.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    assert(lake.table("silver", "t").orderBy("id").collect().toSeq == v1,
+      "reader saw the uncommitted version")
+    // a re-run of the refresh overwrites the debris and commits atomically
+    lake.materialize("silver", "t", Seq((1L, "a2"), (3L, "c")).toDF("id", "v"))
+    val v2 = lake.table("silver", "t").orderBy("id").collect().toSeq
+    assert(v2.map(_.getString(1)) == Seq("a2", "c"))
+    // the predecessor data dir survives one commit (in-flight readers),
+    // older ones are GC'd on the next commit
+    assert(Files.exists(base.resolve("_v1")))
+    lake.materialize("silver", "t", Seq((9L, "z")).toDF("id", "v"))
+    assert(!Files.exists(base.resolve("_v1")) && Files.exists(base.resolve("_v2")))
+    assert(lake.table("silver", "t").count() == 1)
+  }
+
+  test("manifest upgrade: a plain-layout table re-materializes into versioned layout in place") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-upgrade").toString)
+    val base = Paths.get(lake.root, "silver", "legacy")
+    // pre-manifest layout: parquet files directly under the table dir
+    Seq((1L, "old")).toDF("id", "v").write.parquet(base.toString)
+    assert(lake.table("silver", "legacy").count() == 1)
+    // a refresh that READS the plain table while replacing it — the
+    // incremental-merge shape — must both work and upgrade the layout
+    lake.materialize("silver", "legacy",
+      lake.table("silver", "legacy").unionByName(Seq((2L, "new")).toDF("id", "v")))
+    val rows = lake.table("silver", "legacy").orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(rows == Seq("old", "new"))
+    assert(Files.exists(base.resolve("_VERSION")))
+    // legacy loose files were GC'd after the commit
+    assert(!Files.list(base).toArray.map(_.toString).exists(_.endsWith("_SUCCESS")))
   }
 
   test("envSchemaOverrides parses GRAFT_SCHEMA_* vars, ignoring unset layers") {
