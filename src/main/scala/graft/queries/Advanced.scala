@@ -84,7 +84,7 @@ object Advanced {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_max,
              (d.day_max IS NULL) AS is_gap
       FROM spine s LEFT JOIN daily d ON s.o_custkey = d.o_custkey AND s.day = d.day
-      ORDER BY s.o_custkey, s.day"""))
+      ORDER BY s.o_custkey, s.day""")).copy(bench = true)
 
   /** Blocked fuzzy entity resolution over part names: block on the noun,
     * levenshtein ≤ 2 within the block ([[EntityResolution]]) — candidate
@@ -731,7 +731,7 @@ object Advanced {
         SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
       SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
       FROM corners GROUP BY node
-      ORDER BY n_triangles DESC, node"""))
+      ORDER BY n_triangles DESC, node""")).copy(bench = true)
 
   /** Pareto frontier of the document corpus on (quality score, length):
     * the docs no other doc beats on both axes at once — the candidate set
@@ -1022,7 +1022,7 @@ object Advanced {
       SELECT CAST(node AS BIGINT) AS node, cur AS root, depth
       FROM walk
       WHERE cur < 8
-      ORDER BY node"""))
+      ORDER BY node""")).copy(bench = true)
 
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,

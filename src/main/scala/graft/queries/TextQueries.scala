@@ -417,7 +417,7 @@ object TextQueries {
       SELECT doc_id,
              round(-CAST(SUM(c9) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6) AS unigram_xent
       FROM c GROUP BY doc_id
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")).copy(bench = true)
 
   /** fastText-style hashed-feature linear quality classifier: each token
     * hashes to one of 1024 buckets and contributes a fixed integer
