@@ -216,6 +216,148 @@ object Clustering {
     Similarity.topKByCosine(cand, k)
   }
 
+  /** TWO-LEVEL (coarse→fine) cells — the above-cap layout the
+    * [[materializedCells]] gate names, made concrete. The only structure
+    * that ever reaches the driver/broadcast is the COARSE codebook of
+    * ~⁴√n seeds (10⁴ rows at n = 10¹⁶ — trivially driver-safe at any
+    * conceivable corpus); the FINE codebook (~√n cells total, ~⁴√n per
+    * coarse cell) stays a DISTRIBUTED frame keyed by coarse cell, and
+    * every fine-level computation is an equi-join on that key with
+    * per-key cardinality bounded by coarse-cell size × fine-per-cell.
+    *
+    * Layout (inverted multi-index family — Babenko & Lempitsky, CVPR
+    * 2012, on top of the [[seedCells]] hash-seed discipline):
+    *   - sizing in EXACT integers both engines replay: S = ⌈√n⌉,
+    *     K1 = ⌈√S⌉, coarse stride = n div K1, fine target/cell = S div K1
+    *     (double-sqrt of integers — no cross-engine pow(x, 0.25) ulp risk);
+    *   - coarse seeds: the [[seedCells]] md5 draw on the coarse stride;
+    *   - fine seeds of a coarse cell: members on a SALTED md5 draw
+    *     ("f|" || id — independent of the coarse draw) on stride
+    *     cellSize div fineTarget, PLUS the cell's own coarse seed (so no
+    *     cell is ever fine-seedless);
+    *   - assignments: argmax cosine, ties to the smaller id — the
+    *     [[assignCells]] semantics at both levels.
+    *
+    * Returns (coarse ≤ K1 rows materialized, fineAll distributed
+    * (coarse_id, fine_id, f_emb, f_norm), assign (vec_id, coarse_id,
+    * fine_id, fine_cos)). Deterministic and layout-invariant, so the
+    * DuckDB oracle replays it bit-for-bit (s09). */
+  def twoLevelIndex(corpus: DataFrame, idCol: String, embCol: String,
+      maxDriverCells: Int = MaxDriverCellsDefault): (DataFrame, DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sizing = corpus.agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        greatest(lit(1L), ceil(sqrt(col("n").cast("double"))).cast("long")).as("S"))
+      .select(col("n"), col("S"),
+        greatest(lit(1L), ceil(sqrt(col("S").cast("double"))).cast("long")).as("K1"))
+      .select(
+        greatest(lit(1L), expr("n div K1")).as("stride_c"),
+        greatest(lit(1L), expr("S div K1")).as("fine_target"))
+    // coarse codebook: unsalted md5 draw on the coarse stride, collected
+    // under the same driver gate as materializedCells (≤ ⁴√n rows by
+    // construction — far under any cap)
+    val coarseRows = corpus.join(broadcast(sizing),
+        pmod(conv(substring(Curation.hashKey(col(idCol)), 1, 8), 16, 10).cast("bigint"),
+          col("stride_c")) === 0L)
+      .select(col(idCol).cast("bigint").as("cell_id"), col(embCol).as("c_emb"))
+      .limit(maxDriverCells + 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    require(coarseRows.length <= maxDriverCells,
+      s"coarse cell count exceeds maxDriverCells=$maxDriverCells — raise the cap or deepen the hierarchy")
+    val coarse = spark.createDataset(coarseRows).toDF("cell_id", "c_emb")
+      .select(col("cell_id"), col("c_emb"), Similarity.l2Norm(col("c_emb")).as("c_norm"))
+
+    val members = corpus
+      .select(col(idCol).cast("bigint").as("vec_id"), col(embCol).as("emb"),
+        Similarity.l2Norm(col(embCol)).as("norm"))
+      .join(assignCells(corpus, idCol, embCol, coarse)
+        .select(col("vec_id"), col("cell_id").as("coarse_id")), "vec_id")
+    val cellSizes = members.groupBy(col("coarse_id")).agg(count(lit(1)).as("m"))
+    val selected = members
+      .join(cellSizes, "coarse_id")
+      .crossJoin(broadcast(sizing.select(col("fine_target"))))
+      .filter(pmod(
+        conv(substring(md5(concat(lit("f|"), col("vec_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("bigint"),
+        greatest(lit(1L), expr("m div fine_target"))) === 0L)
+      .select(col("coarse_id"), col("vec_id").as("fine_id"),
+        col("emb").as("f_emb"), col("norm").as("f_norm"))
+    val fineAll = selected
+      .unionByName(coarse.select(col("cell_id").as("coarse_id"), col("cell_id").as("fine_id"),
+        col("c_emb").as("f_emb"), col("c_norm").as("f_norm")))
+      .dropDuplicates("coarse_id", "fine_id")
+
+    // fine assignment: equi-join on coarse_id — never a corpus×codebook product
+    val fScored = members.join(fineAll, "coarse_id")
+      .select(col("vec_id"), col("coarse_id"),
+        (Similarity.dot(col("emb"), col("f_emb")) / (col("norm") * col("f_norm"))).as("cos"),
+        col("fine_id"))
+    val agg = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.TopKPairs(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("cos")),
+        org.apache.spark.sql.graft.ColumnShim.expression(col("fine_id")),
+        1).toAggregateExpression())
+    val assign = fScored.groupBy(col("vec_id"), col("coarse_id"))
+      .agg(agg.as("top"))
+      .filter(size(col("top")) > 0)
+      .select(col("vec_id"), col("coarse_id"),
+        col("top")(0).getField("id").as("fine_id"),
+        col("top")(0).getField("score").as("fine_cos"))
+    (coarse, fineAll, assign)
+  }
+
+  /** Two-level IVF top-k: probe `nprobeCoarse` coarse cells per query
+    * (broadcast — ⁴√n rows), then the best `nprobeFine` FINE cells across
+    * them (equi-join on coarse_id), then exact-score only those fine
+    * cells' members. Candidate volume ≈ nprobeFine · n/S members per
+    * query with no structure anywhere bigger than ⁴√n on the driver —
+    * the shape that still stands at 10¹⁶ vectors where the flat √n
+    * codebook ([[ivfTopK]]) would blow the driver gate. */
+  def twoLevelTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobeCoarse: Int, nprobeFine: Int,
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nprobeCoarse >= 1 && nprobeFine >= 1,
+      s"k/nprobeCoarse/nprobeFine must be >= 1, got $k/$nprobeCoarse/$nprobeFine")
+    val (coarse, fineAll, assign) = twoLevelIndex(corpus, idCol, embCol)
+    def topAgg(pick: String, kk: Int) = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.TopKPairs(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("cos")),
+        org.apache.spark.sql.graft.ColumnShim.expression(col(pick)),
+        kk).toAggregateExpression())
+
+    val q = queries.select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"),
+      Similarity.l2Norm(col(embCol)).as("q_norm"))
+    val qc = q.join(broadcast(coarse))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        (Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("cos"),
+        col("cell_id"))
+      .groupBy(col("query_id"), col("q_emb"), col("q_norm"))
+      .agg(topAgg("cell_id", nprobeCoarse).as("cells"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        explode(col("cells").getField("id")).as("coarse_id"))
+    val qf = qc.join(fineAll, "coarse_id")
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        (Similarity.dot(col("q_emb"), col("f_emb")) / (col("q_norm") * col("f_norm"))).as("cos"),
+        col("fine_id"))
+      .groupBy(col("query_id"), col("q_emb"), col("q_norm"))
+      .agg(topAgg("fine_id", nprobeFine).as("fs"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        explode(col("fs").getField("id")).as("fine_id"))
+    val cEmb = corpus.select(col(idCol).cast("bigint").as("neighbor_id"),
+      col(embCol).as("c_emb2"), Similarity.l2Norm(col(embCol)).as("c_norm2"))
+    val cand = qf
+      .join(assign.select(col("fine_id"), col("vec_id")), "fine_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("vec_id").as("neighbor_id"))
+      .join(cEmb, "neighbor_id")
+      .withColumn("cosine",
+        Similarity.dot(col("q_emb"), col("c_emb2")) / (col("q_norm") * col("c_norm2")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    Similarity.topKByCosine(cand, k)
+  }
+
   /** SemDeDup candidate pairs: within-cell (id_a < id_b) embedding pairs
     * with cosine ≥ `minCosine`. The cell equi-join bounds the pair product
     * to cell size (~√n) instead of the corpus. */

@@ -95,6 +95,37 @@ object DataApiIngest {
       "chunk_size" -> JInt(ChunkSize))
   }
 
+  /** [[fetchVideosByIds]] through the partition-per-chunk
+    * [[graft.sources.RestVideosSource]] DataSourceV2: the chunk requests
+    * fire from EXECUTORS in parallel instead of walking sequentially on
+    * the driver — the at-scale ingest shape (SURVEY §2.1/S1). Returns the
+    * rendered envelope BYTE-IDENTICAL to `fetchVideosByIds(...).render`
+    * given the same client responses: item rows are reassembled in
+    * (chunk_idx, item_idx) order and spliced into the same sorted-key
+    * JSON layout, so bronze rows are indistinguishable between the two
+    * paths (ApiIngestSpec pins this). The driver collect mirrors the
+    * sequential path's accumulation — at a scale where collecting items
+    * is unreasonable, keep the source's DataFrame distributed and land it
+    * as item rows instead. */
+  def fetchVideosByIdsParallel(spark: SparkSession,
+      clientFactory: () => DataApiClient, videoIds: Seq[String]): String = {
+    val key = graft.sources.RestClientRegistry.register(clientFactory)
+    try {
+      val items = spark.read.format("graft.sources.RestVideosSource")
+        .option("clientKey", key)
+        .option("videoIds", videoIds.mkString(","))
+        .option("chunkSize", ChunkSize.toString)
+        .load()
+        .orderBy(col("chunk_idx"), col("item_idx"))
+        .select(col("item_json"))
+        .collect().map(_.getString(0))
+      // JObj.render sorts keys — splice the pre-rendered items into the
+      // same alphabetical envelope layout
+      s"""{"chunk_size":$ChunkSize,"item_count":${items.length},""" +
+        s""""items":[${items.mkString(",")}],"requested_video_count":${videoIds.size}}"""
+    } finally graft.sources.RestClientRegistry.unregister(key)
+  }
+
   /** `items[0].contentDetails.relatedPlaylists.uploads`, else ""
     * (main-flow extraction, `:241-249`). */
   def uploadsPlaylistIdFrom(channelsResponse: JObj): String =

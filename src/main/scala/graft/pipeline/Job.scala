@@ -32,11 +32,12 @@ object Job {
   /** Execute one full run. `now` is injectable for deterministic tests.
     *
     * `incremental = true` refreshes the latest-wins silver models, the
-    * SCD2 metadata model, and silver_videos by MERGING only bronze
-    * partitions newer than the previous run's snapshot (partition-pruned
-    * scan — refresh cost scales with new data, the reference's `CREATE OR
-    * REFRESH` promise); the remaining models (dims, dim_date, the channel
-    * fact) recompute. Falls back to a full refresh on the first run. */
+    * SCD2 metadata model, silver_videos, and the channel fact by MERGING
+    * only bronze partitions newer than the previous run's snapshot
+    * (partition-pruned scan — refresh cost scales with new data, the
+    * reference's `CREATE OR REFRESH` promise); the remaining models (the
+    * dims and dim_date — all small) recompute. Falls back to a full
+    * refresh on the first run. */
   def run(
       lake: Lakehouse,
       dataClient: DataApiIngest.DataApiClient,
@@ -99,9 +100,11 @@ object Job {
       prevSnapshot match {
         case Some(since) =>
           Silver.latestWinsSpecs.keys.foreach(n => Silver.refreshIncremental(lake, n, since))
-          // SCD2 before silver_videos: the latter re-attaches current flags
+          // SCD2 before silver_videos (current-flag FK); the channel fact
+          // after silver_channels (its top-1 cross-join input, merged above)
           Silver.refreshIncremental(lake, "silver_video_metadata_scd2", since)
           Silver.refreshIncremental(lake, "silver_videos", since)
+          Silver.refreshIncremental(lake, "fact_channel_daily_metrics", since)
           Silver.refreshParallel(lake,
             Some(Silver.models.map(_.name).toSet -- Silver.incrementalModels))
         case None =>

@@ -75,6 +75,33 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   def table(layer: String, name: String): DataFrame =
     spark.read.parquet(currentDataDir(layer, name).toString)
 
+  /** Committed version number of a materialized table (0 = plain layout /
+    * never materialized under the manifest protocol). */
+  def tableVersion(layer: String, name: String): Int = currentVersion(dir(layer, name))
+
+  /** Versions still on disk, ascending. Retention is bounded: [[materialize]]
+    * GCs all but the committed version and its immediate predecessor, so
+    * this is at most two entries — enough for "what did the last refresh
+    * change" diffs without Delta's unbounded log. */
+  def tableVersions(layer: String, name: String): Seq[Int] = {
+    val base = dir(layer, name)
+    val committed = currentVersion(base)
+    if (!Files.exists(base) || committed == 0) Seq.empty
+    else Files.list(base).toArray.map(_.asInstanceOf[Path].getFileName.toString)
+      .collect { case versionDir(k) if k.toInt <= committed => k.toInt }
+      .sorted.toSeq
+  }
+
+  /** Time-travel read: the table AS OF `version`. Only versions within the
+    * retention window ([[tableVersions]]) are readable; asking for a GC'd
+    * or uncommitted version fails fast. */
+  def tableAt(layer: String, name: String, version: Int): DataFrame = {
+    val avail = tableVersions(layer, name)
+    require(avail.contains(version),
+      s"version $version of $layer.$name is not on disk (available: ${avail.mkString(",")})")
+    spark.read.parquet(dir(layer, name).resolve(s"_v$version").toString)
+  }
+
   /** Append rows (bronze ingest; partitioned by snapshot_date). */
   def appendBronze(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).partitionBy("snapshot_date")

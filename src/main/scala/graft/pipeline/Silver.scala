@@ -182,8 +182,9 @@ object Silver {
     * Requires the model to have been fully refreshed at least once. */
   def refreshIncremental(lake: Lakehouse, name: String, sinceSnapshot: java.sql.Date): Unit =
     name match {
-      case "silver_video_metadata_scd2" => refreshScd2Incremental(lake, sinceSnapshot)
-      case "silver_videos"              => refreshVideosIncremental(lake, sinceSnapshot)
+      case "silver_video_metadata_scd2"  => refreshScd2Incremental(lake, sinceSnapshot)
+      case "silver_videos"               => refreshVideosIncremental(lake, sinceSnapshot)
+      case "fact_channel_daily_metrics"  => refreshChannelFactIncremental(lake, sinceSnapshot)
       case _ =>
         val spec = latestWinsSpecs(name)
         val fresh = spec.typed(
@@ -195,10 +196,12 @@ object Silver {
     }
 
   /** Every model [[refreshIncremental]] can merge (vs full recompute).
-    * silver_videos depends on the SCD2 table's current flags, so merge the
-    * SCD2 model before it (Job does). */
+    * silver_videos depends on the SCD2 table's current flags and the
+    * channel fact on silver_channels' top-1, so merge those dependencies
+    * first (Job does). */
   val incrementalModels: Set[String] =
-    latestWinsSpecs.keySet ++ Set("silver_video_metadata_scd2", "silver_videos")
+    latestWinsSpecs.keySet ++
+      Set("silver_video_metadata_scd2", "silver_videos", "fact_channel_daily_metrics")
 
   /** The SCD2 observation log: every (video, ingest) observation with its
     * metadata fields, change hash, and envelope — `scd2Typed(videos_raw)`
@@ -419,17 +422,18 @@ object Silver {
     videosAttachSk(
       latestWins(videosSlimTyped(lake.table("bronze", "videos_raw")), Seq("video_id")), lake))
 
-  /** reference `:366-443`: channel daily metrics — the single silver channel
-    * id (top-1, deterministic ties) cross-joined onto every report row, then
-    * name-bound metrics and latest-wins on (channel_id, date). */
-  val factChannelDailyMetrics: Model =
-    Model("fact_channel_daily_metrics", Seq("silver_channels"), lake => {
-      val currentChannel = lake.table("silver", "silver_channels")
-        .orderBy(col("ingest_ts_utc").desc, col("request_id").desc)
-        .limit(1).select(col("channel_id"))
-      val rows = parseReport(lake.table("bronze", "analytics_channel_daily_raw"))
-        .crossJoin(broadcast(currentChannel))
-      val typed = rows.select(
+  /** The single current silver channel id (top-1, deterministic ties). */
+  private def currentChannelFrame(lake: Lakehouse): DataFrame =
+    lake.table("silver", "silver_channels")
+      .orderBy(col("ingest_ts_utc").desc, col("request_id").desc)
+      .limit(1).select(col("channel_id"))
+
+  /** Typed channel-daily rows: report matrix → name-bound metrics with the
+    * current channel id cross-joined onto every row. */
+  private def channelDailyTyped(raw: DataFrame, currentChannel: DataFrame): DataFrame =
+    parseReport(raw)
+      .crossJoin(broadcast(currentChannel))
+      .select(
         col("channel_id"), strictDate,
         bind("views").cast("bigint").as("views"),
         bind("likes").cast("bigint").as("likes"),
@@ -439,9 +443,44 @@ object Silver {
         bind("subscribersLost").cast("bigint").as("subscribers_lost"),
         col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
         col("schema_version"))
-        .filter(col("channel_id").isNotNull && col("date").isNotNull)
-      latestWins(typed, Seq("channel_id", "date"))
-    })
+      .filter(col("channel_id").isNotNull && col("date").isNotNull)
+
+  /** reference `:366-443`: channel daily metrics — the single silver channel
+    * id (top-1, deterministic ties) cross-joined onto every report row, then
+    * name-bound metrics and latest-wins on (channel_id, date). */
+  val factChannelDailyMetrics: Model =
+    Model("fact_channel_daily_metrics", Seq("silver_channels"), lake =>
+      latestWins(
+        channelDailyTyped(
+          lake.table("bronze", "analytics_channel_daily_raw"), currentChannelFrame(lake)),
+        Seq("channel_id", "date")))
+
+  /** Incremental channel-fact refresh: latest-wins merge of the new bronze
+    * partitions, PROVIDED the current channel id still matches the standing
+    * rows — the cross-joined id is "current at refresh time" state, so a
+    * channel change means a full recompute re-stamps history (matching the
+    * reference MV's semantics) while a stable channel (the overwhelmingly
+    * common case — the API serves one `mine=true` channel) merges at
+    * new-data cost. Refresh silver_channels first (Job does). */
+  def refreshChannelFactIncremental(lake: Lakehouse, sinceSnapshot: java.sql.Date): Unit = {
+    val current = currentChannelFrame(lake)
+    val existing = lake.table("silver", "fact_channel_daily_metrics")
+    val currentId = current.collect().headOption.map(_.getString(0))
+    val standingIds = existing.select(col("channel_id")).distinct()
+      .collect().map(_.getString(0)).toSeq // 1 row in practice — the single-channel grain
+    if (standingIds.forall(currentId.contains)) {
+      val fresh = channelDailyTyped(
+        lake.table("bronze", "analytics_channel_daily_raw")
+          .filter(col("snapshot_date") >= lit(sinceSnapshot)),
+        current)
+      lake.materialize("silver", "fact_channel_daily_metrics",
+        latestWins(existing.unionByName(fresh), Seq("channel_id", "date")))
+    } else {
+      // channel changed: merge would freeze the stale id on old rows
+      lake.materialize("silver", "fact_channel_daily_metrics",
+        factChannelDailyMetrics.build(lake))
+    }
+  }
 
   /** reference `:445-512`. Grain: (video_id, date). */
   val factVideoDailyMetrics: Model = Model("fact_video_daily_metrics", Nil, lake =>

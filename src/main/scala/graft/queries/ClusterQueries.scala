@@ -294,6 +294,130 @@ object ClusterQueries {
         .orderBy(col("query_id"), col("rank"))
     }))
 
+  /** Coarse cells probed per query at the first level of s09. */
+  val NProbeCoarse = 3
+  /** Fine cells kept per query (ranked jointly across probed coarse). */
+  val NProbeFine = 12
+
+  /** Two-level (coarse→fine) IVF top-5 ([[Clustering.twoLevelTopK]]) —
+    * the above-cap ANN layout: the driver/broadcast holds only the ~⁴√n
+    * COARSE codebook; the ~√n fine codebook stays distributed, keyed by
+    * coarse cell, and every fine computation is an equi-join on that key.
+    * Same query set and output shape as s01/s02/s05, so the recall/cost
+    * frontier is directly comparable; the oracle replays both levels'
+    * hash-seeded codebooks, assignments and probes bit-for-bit (sizing is
+    * exact integer double-sqrt — no cross-engine pow(x,¼) ulp risk). */
+  val s09TwoLevelIvf = GraftQuery(
+    "s09_two_level_ivf_topk",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      Clustering.twoLevelTopK(q, e, 5, NProbeCoarse, NProbeFine)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH nrm AS (
+        SELECT vec_id, embedding,
+               sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nm
+        FROM embeddings),
+      sz AS (
+        SELECT COUNT(*) AS n,
+               greatest(1, CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS S
+        FROM embeddings),
+      sz2 AS (
+        SELECT n, S, greatest(1, CAST(ceil(sqrt(CAST(S AS DOUBLE))) AS BIGINT)) AS K1
+        FROM sz),
+      par2 AS (
+        SELECT greatest(1, n // K1) AS stride_c, greatest(1, S // K1) AS fine_t
+        FROM sz2),
+      coarse AS (
+        SELECT vec_id AS coarse_id, embedding AS c_emb, nm AS c_nm
+        FROM nrm, par2
+        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % stride_c = 0),
+      cscored AS (
+        SELECT v.vec_id, c.coarse_id, v.embedding, v.nm,
+               list_aggregate(list_transform(range(1, len(v.embedding)+1),
+                 i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
+                 / (v.nm * c.c_nm) AS cos
+        FROM nrm v CROSS JOIN coarse c
+        WHERE v.nm > 0),
+      cassign AS (
+        SELECT vec_id, coarse_id FROM (
+          SELECT vec_id, coarse_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, coarse_id ASC) AS rn
+          FROM cscored) z
+        WHERE rn = 1),
+      members AS (
+        SELECT a.coarse_id, a.vec_id, n.embedding, n.nm
+        FROM cassign a JOIN nrm n ON a.vec_id = n.vec_id),
+      csize AS (SELECT coarse_id, COUNT(*) AS m FROM members GROUP BY coarse_id),
+      fineall AS (
+        SELECT mem.coarse_id, mem.vec_id AS fine_id, mem.embedding AS f_emb, mem.nm AS f_nm
+        FROM members mem JOIN csize USING (coarse_id), par2
+        WHERE ('0x' || substr(md5('f|' || CAST(mem.vec_id AS VARCHAR)), 1, 8))::BIGINT
+              % greatest(1, m // fine_t) = 0
+        UNION
+        SELECT coarse_id, coarse_id AS fine_id, c_emb AS f_emb, c_nm AS f_nm
+        FROM coarse),
+      fscored AS (
+        SELECT mem.vec_id, mem.coarse_id, f.fine_id,
+               list_aggregate(list_transform(range(1, len(mem.embedding)+1),
+                 i -> CAST(mem.embedding[i] AS DOUBLE) * CAST(f.f_emb[i] AS DOUBLE)), 'sum')
+                 / (mem.nm * f.f_nm) AS cos
+        FROM members mem JOIN fineall f USING (coarse_id)
+        WHERE mem.nm > 0),
+      fassign AS (
+        SELECT vec_id, fine_id FROM (
+          SELECT vec_id, fine_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, fine_id ASC) AS rn
+          FROM fscored) z
+        WHERE rn = 1),
+      qc AS (
+        SELECT vec_id AS query_id, coarse_id FROM (
+          SELECT vec_id, coarse_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, coarse_id ASC) AS rn
+          FROM cscored WHERE vec_id % 50 = 0) z
+        WHERE rn <= $NProbeCoarse),
+      qf AS (
+        SELECT query_id, fine_id FROM (
+          SELECT qc.query_id, f.fine_id,
+                 row_number() OVER (PARTITION BY qc.query_id
+                   ORDER BY list_aggregate(list_transform(range(1, len(q.embedding)+1),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(f.f_emb[i] AS DOUBLE)), 'sum')
+                     / (q.nm * f.f_nm) DESC, f.fine_id ASC) AS rn
+          FROM qc JOIN fineall f USING (coarse_id)
+          JOIN nrm q ON qc.query_id = q.vec_id) z
+        WHERE rn <= $NProbeFine),
+      cand AS (
+        SELECT qf.query_id, fa.vec_id AS neighbor_id
+        FROM qf JOIN fassign fa USING (fine_id)
+        WHERE qf.query_id <> fa.vec_id),
+      pairs AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               q.embedding AS q_emb, q.nm AS q_nm, c.embedding AS c_emb, c.nm AS c_nm
+        FROM cand
+        JOIN nrm q ON cand.query_id = q.vec_id
+        JOIN nrm c ON cand.neighbor_id = c.vec_id),
+      scored AS (
+        SELECT query_id, neighbor_id, $duckDot / (q_nm * c_nm) AS cos_raw
+        FROM pairs),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+             round(cos_raw, 6) AS cosine
+      FROM ranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   /** Cluster-balanced diverse selection ([[Clustering.diverseSample]]):
     * ≤ 8 members per embedding cell in deterministic md5-hash order —
     * density-flattening coverage sampling along learned geometry (dense
@@ -322,5 +446,6 @@ object ClusterQueries {
       ORDER BY cell_id, pick_rank"""))
 
   val all: Seq[GraftQuery] = Seq(
-    s05IvfTopK, d08SemanticDedup, c10CellProfile, s06PqTopK, c22DiverseSample)
+    s05IvfTopK, d08SemanticDedup, c10CellProfile, s06PqTopK, c22DiverseSample,
+    s09TwoLevelIvf)
 }

@@ -271,6 +271,30 @@ class ClusteringSpec extends SparkSpec {
     assert(picked.toSet == repicked.toSet, "selection changed with partitioning")
   }
 
+  test("two-level index: every vector lands in a fine cell of its own coarse cell; layout-invariant") {
+    val (coarse, fineAll, assign) = Clustering.twoLevelIndex(sf0001, "vec_id", "embedding")
+    val nCoarse = coarse.count()
+    val n = sf0001.count()
+    // coarse codebook is ~⁴√n — the only driver-sized structure
+    assert(nCoarse > 0 && nCoarse < math.sqrt(math.sqrt(n.toDouble)) * 4,
+      s"$nCoarse coarse cells for n=$n")
+    // every coarse cell has at least one fine seed (its own coarse seed)
+    val coarseIds = coarse.select("cell_id").as[Long].collect().toSet
+    val fineCoarse = fineAll.select("coarse_id").distinct().as[Long].collect().toSet
+    assert(coarseIds.subsetOf(fineCoarse))
+    // full assignment, one fine cell per vector, and the fine cell belongs
+    // to the vector's coarse cell
+    assert(assign.count() == n)
+    assert(assign.groupBy("vec_id").count().filter(col("count") > 1).isEmpty)
+    val badPair = assign.join(
+        fineAll.select(col("coarse_id").as("f_coarse"), col("fine_id")), "fine_id")
+      .filter(col("coarse_id") =!= col("f_coarse"))
+    assert(badPair.isEmpty, "a vector was assigned a fine cell outside its coarse cell")
+    // deterministic under a different physical layout
+    val (_, _, assign2) = Clustering.twoLevelIndex(sf0001.repartition(13), "vec_id", "embedding")
+    assert(assign.orderBy("vec_id").collect().toSeq == assign2.orderBy("vec_id").collect().toSeq)
+  }
+
   test("driver collects are size-gated: oversized codebooks fail fast, defaults unchanged") {
     // this corpus yields more than 2 seed cells — a cap of 2 must trip the
     // gate instead of silently pulling the codebook through the driver

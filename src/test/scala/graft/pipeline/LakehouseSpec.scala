@@ -86,6 +86,21 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.table("silver", "t").count() == 1)
   }
 
+  test("time travel: the predecessor version stays readable until GC'd; others fail fast") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-tt").toString)
+    lake.materialize("silver", "t", Seq((1L, "v1")).toDF("id", "v"))
+    lake.materialize("silver", "t", Seq((1L, "v2"), (2L, "v2")).toDF("id", "v"))
+    assert(lake.tableVersion("silver", "t") == 2)
+    assert(lake.tableVersions("silver", "t") == Seq(1, 2))
+    assert(lake.tableAt("silver", "t", 1).collect().map(_.getString(1)).toSeq == Seq("v1"))
+    assert(lake.tableAt("silver", "t", 2).orderBy("id").collect().toSeq
+      == lake.table("silver", "t").orderBy("id").collect().toSeq)
+    lake.materialize("silver", "t", Seq((3L, "v3")).toDF("id", "v"))
+    assert(lake.tableVersions("silver", "t") == Seq(2, 3)) // v1 GC'd
+    val e = intercept[IllegalArgumentException](lake.tableAt("silver", "t", 1))
+    assert(e.getMessage.contains("not on disk"))
+  }
+
   test("manifest upgrade: a plain-layout table re-materializes into versioned layout in place") {
     val lake = new Lakehouse(spark, Files.createTempDirectory("graft-upgrade").toString)
     val base = Paths.get(lake.root, "silver", "legacy")

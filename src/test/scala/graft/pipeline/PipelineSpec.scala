@@ -331,6 +331,43 @@ class PipelineSpec extends SparkSpec {
     assert(v1.getAs[String]("current_video_meta_sk") == curSk)
   }
 
+  test("channel fact incremental: merges while the channel is stable, recomputes on a channel change") {
+    val l = new Lakehouse(spark, Files.createTempDirectory("graft-chfact").toString)
+    val tables = Set("silver_channels", "fact_channel_daily_metrics")
+    def land(run: String, snap: String, at: String, channel: String, day: String, views: Long): Unit = {
+      val ctx = Bronze.RunContext(run, s"req-$run", d(snap), ts(at))
+      Bronze.ingest(l, ctx, _ => Map(
+        "channels_raw" -> Seq(channelPayload(channel, s"Chan $channel", 100, 10)),
+        "analytics_channel_daily_raw" -> Seq(report(chHeaders, Seq(
+          Seq(day, views.toString, "2", "1", "7", "3", "1"))))))
+    }
+    land("r1", "2025-06-01", "2025-06-01 10:00:00", "UC_1", "2025-05-31", 11)
+    Silver.refresh(l, Some(tables))
+    // stable channel: day-2 merge equals full recompute
+    land("r2", "2025-06-02", "2025-06-02 10:00:00", "UC_1", "2025-06-01", 20)
+    Silver.refreshIncremental(l, "silver_channels", d("2025-06-02"))
+    Silver.refreshIncremental(l, "fact_channel_daily_metrics", d("2025-06-02"))
+    val merged = l.table("silver", "fact_channel_daily_metrics")
+      .orderBy("date").collect().map(_.toString).toSeq
+    Silver.refresh(l, Some(tables))
+    val full = l.table("silver", "fact_channel_daily_metrics")
+      .orderBy("date").collect().map(_.toString).toSeq
+    assert(merged == full)
+    assert(merged.size == 2)
+    // channel change: the guard must re-stamp HISTORY with the new current
+    // id (merge would freeze UC_1 on the old rows)
+    land("r3", "2025-06-03", "2025-06-03 10:00:00", "UC_2", "2025-06-02", 30)
+    Silver.refreshIncremental(l, "silver_channels", d("2025-06-03"))
+    Silver.refreshIncremental(l, "fact_channel_daily_metrics", d("2025-06-03"))
+    val after = l.table("silver", "fact_channel_daily_metrics").collect()
+    assert(after.length == 3)
+    assert(after.forall(_.getAs[String]("channel_id") == "UC_2"),
+      after.map(_.getAs[String]("channel_id")).mkString(","))
+    Silver.refresh(l, Some(tables))
+    val full3 = l.table("silver", "fact_channel_daily_metrics").collect()
+    assert(after.map(_.toString).sorted.toSeq == full3.map(_.toString).sorted.toSeq)
+  }
+
   test("parallel level-order refresh materializes the same silver as sequential") {
     refreshed
     // re-baseline sequentially first: earlier tests appended bronze data

@@ -75,4 +75,61 @@ class SourcesSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("malformed") ||
       Option(err.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
   }
+
+  // ── DataSourceV2 REST source (partition-per-chunk parallel ingest) ───────
+
+  import graft.pipeline.DataApiIngest
+  import graft.pipeline.Json._
+
+  /** Thread-safe echo client: answers a videos request with one item per
+    * requested id (parallel tasks call it concurrently). */
+  private object EchoVideosClient extends DataApiIngest.DataApiClient {
+    def getJson(path: String, params: Map[String, String]): JObj = {
+      assert(path == "videos", s"unexpected path $path")
+      assert(params("part") == "id,snippet,contentDetails,statistics,status,topicDetails")
+      JObj.of("items" -> JArr(params("id").split(",").toSeq.map(id =>
+        JObj.of("id" -> JStr(id), "snippet" -> JObj.of("title" -> JStr(s"title of $id"))))))
+    }
+  }
+
+  test("V2 REST source plans one partition per 50-id chunk and lands every item with provenance") {
+    val ids = (1 to 120).map(i => f"v$i%03d")
+    val key = RestClientRegistry.register(() => EchoVideosClient)
+    try {
+      val df = spark.read.format("graft.sources.RestVideosSource")
+        .option("clientKey", key)
+        .option("videoIds", ids.mkString(","))
+        .option("chunkSize", "50")
+        .load()
+      assert(df.rdd.getNumPartitions == 3, "one input partition per chunk (50+50+20)")
+      val rows = df.orderBy("chunk_idx", "item_idx").collect()
+      assert(rows.length == 120)
+      // chunk provenance matches the sequential walk's grouping
+      assert(rows.map(_.getInt(0)).toSeq == ids.indices.map(_ / 50))
+      // items arrive in request order within each chunk
+      val roundTripped = rows.map(r => r.getString(2)).toSeq
+      assert(roundTripped.zip(ids).forall { case (json, id) => json.contains(s""""id":"$id"""") })
+    } finally RestClientRegistry.unregister(key)
+  }
+
+  test("V2 parallel fetch reproduces the sequential envelope byte-for-byte") {
+    val ids = (1 to 120).map(i => f"v$i%03d")
+    val sequential = DataApiIngest.fetchVideosByIds(EchoVideosClient, ids).render
+    val parallel = DataApiIngest.fetchVideosByIdsParallel(spark, () => EchoVideosClient, ids)
+    assert(parallel == sequential)
+    // the empty-id edge produces the same (empty) envelope on both paths
+    assert(DataApiIngest.fetchVideosByIdsParallel(spark, () => EchoVideosClient, Seq.empty)
+      == DataApiIngest.fetchVideosByIds(EchoVideosClient, Seq.empty).render)
+  }
+
+  test("V2 source fails fast on a missing client registration") {
+    val df = spark.read.format("graft.sources.RestVideosSource")
+      .option("clientKey", "no-such-key")
+      .option("videoIds", "a,b")
+      .load()
+    val e = intercept[Exception] { df.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("no DataApiClient factory")))
+  }
 }
