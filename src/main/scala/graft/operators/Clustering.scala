@@ -318,9 +318,20 @@ object Clustering {
   def twoLevelTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nprobeCoarse: Int, nprobeFine: Int,
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val (coarse, fineAll, assign) = twoLevelIndex(corpus, idCol, embCol)
+    twoLevelTopKFromIndex(queries, corpus, coarse, fineAll, assign,
+      k, nprobeCoarse, nprobeFine, idCol, embCol)
+  }
+
+  /** [[twoLevelTopK]] probing a PREBUILT index (coarse, fineAll, assign
+    * built once at write time) — the deployment/bench shape, matching
+    * [[ivfTopKFromIndex]]. */
+  def twoLevelTopKFromIndex(queries: DataFrame, corpus: DataFrame,
+      coarse: DataFrame, fineAll: DataFrame, assign: DataFrame, k: Int,
+      nprobeCoarse: Int, nprobeFine: Int,
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     require(k >= 1 && nprobeCoarse >= 1 && nprobeFine >= 1,
       s"k/nprobeCoarse/nprobeFine must be >= 1, got $k/$nprobeCoarse/$nprobeFine")
-    val (coarse, fineAll, assign) = twoLevelIndex(corpus, idCol, embCol)
     def topAgg(pick: String, kk: Int) = org.apache.spark.sql.graft.ColumnShim.column(
       graft.sql.TopKPairs(
         org.apache.spark.sql.graft.ColumnShim.expression(col("cos")),

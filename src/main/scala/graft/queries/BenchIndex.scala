@@ -91,4 +91,20 @@ object BenchIndex {
       Seq("postings" -> corpus(s, dir).select(col("id").as("neighbor_id"),
         posexplode(Similarity.tableKeys(col("embedding"))).as(Seq("table_id", "bucket"))))
     }.head
+
+  /** Two-level IVF artifacts: (coarse codebook with norms, fine codebook,
+    * fine assignment). */
+  def twoLevel(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val Seq(coarseRaw, fineAll, assign) =
+      artifacts(s, dir, "twolevel", Seq("coarse", "fine", "assign")) {
+        val (coarse, fine, asg) = Clustering.twoLevelIndex(corpus(s, dir), "id", "embedding")
+        Seq(
+          "coarse" -> coarse.select(col("cell_id"), col("c_emb")),
+          "fine" -> fine,
+          "assign" -> asg)
+      }
+    val coarse = coarseRaw.select(col("cell_id"), col("c_emb"),
+      Similarity.l2Norm(col("c_emb")).as("c_norm"))
+    (coarse, fineAll, assign)
+  }
 }

@@ -306,7 +306,15 @@ object ClusterQueries {
     * Same query set and output shape as s01/s02/s05, so the recall/cost
     * frontier is directly comparable; the oracle replays both levels'
     * hash-seeded codebooks, assignments and probes bit-for-bit (sizing is
-    * exact integer double-sqrt — no cross-engine pow(x,¼) ulp risk). */
+    * exact integer double-sqrt — no cross-engine pow(x,¼) ulp risk).
+    *
+    * Measured frontier (vs exact s01): sf0.1 recall@5 **0.54 @ 30%** of
+    * corpus scored — vs flat IVF's 0.66 @ 30% at the same candidate
+    * budget (sf0.01's 0.98 @ 81% just reflects parameters exhausting a
+    * 500-vector toy corpus). The second quantization level costs ~0.8×
+    * the flat recall here; the operator's role is the DRIVER-SCALE cap
+    * (flat √n codebooks stop fitting at ~10¹² vectors), not a recall
+    * win — prefer s05 below the cap. */
   val s09TwoLevelIvf = GraftQuery(
     "s09_two_level_ivf_topk",
     (s, dir) => {
@@ -416,7 +424,18 @@ object ClusterQueries {
              round(cos_raw, 6) AS cosine
       FROM ranked
       WHERE rank <= 5
-      ORDER BY query_id, rank"""))
+      ORDER BY query_id, rank"""),
+    bench = true,
+    benchRun = Some((s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      val (coarse, fineAll, assign) = BenchIndex.twoLevel(s, dir)
+      Clustering.twoLevelTopKFromIndex(q, e, coarse, fineAll, assign,
+          5, NProbeCoarse, NProbeFine)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }))
 
   /** Cluster-balanced diverse selection ([[Clustering.diverseSample]]):
     * ≤ 8 members per embedding cell in deterministic md5-hash order —
