@@ -462,4 +462,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
     assert("BroadcastHashJoin".r.findAllIn(s).length >= 2, s) // probe-cell + member-embedding joins
   }
+
+  test("s09 two-level IVF: only the coarse codebook crosses; fine level is equi-joined on coarse_id") {
+    val p = plan(q("s09_two_level_ivf_topk"))
+    // the ⁴√n coarse codebook may broadcast-cross (queries × coarse and the
+    // assignment scoring); NOTHING may shuffle a cartesian — the fine
+    // codebook and all member scoring must ride equi-joins on
+    // coarse_id / fine_id so no corpus-sized side ever crosses
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("coarse_id"), p)
+    assert(p.contains("fine_id"), p)
+    // both assignment levels + probes use the bounded TopKPairs aggregate,
+    // never a scored-pair window
+    assert(p.contains("topk_pairs"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("V2 REST source: a chunk scan is a plain BatchScan with no exchange before the row output") {
+    val key = graft.sources.RestClientRegistry.register(() =>
+      new graft.pipeline.DataApiIngest.DataApiClient {
+        def getJson(path: String, params: Map[String, String]) =
+          graft.pipeline.Json.JObj.of("items" -> graft.pipeline.Json.JArr(Seq.empty))
+      })
+    try {
+      val df = spark.read.format("graft.sources.RestVideosSource")
+        .option("clientKey", key).option("videoIds", (1 to 120).map("v" + _).mkString(","))
+        .load()
+      val s = simplePlan(df)
+      assert(s.contains("BatchScan"), s)
+      assert(!s.contains("Exchange"), s) // items land partition-local
+    } finally graft.sources.RestClientRegistry.unregister(key)
+  }
 }
