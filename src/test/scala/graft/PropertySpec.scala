@@ -490,4 +490,66 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("WAV encode→decode round-trips arbitrary PCM16 sample runs bit-exactly") {
+    import graft.multimodal.Multimodal.{MediaDecoder, MediaMeta}
+    val rnd = new Random(1234)
+    def le16(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def wav(samples: Seq[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val b = Seq.newBuilder[Byte]
+      b ++= "RIFF".getBytes; b ++= le32(36 + dataLen); b ++= "WAVE".getBytes
+      b ++= "fmt ".getBytes; b ++= le32(16)
+      b ++= le16(1); b ++= le16(1); b ++= le32(16000); b ++= le32(32000)
+      b ++= le16(2); b ++= le16(16)
+      b ++= "data".getBytes; b ++= le32(dataLen)
+      samples.foreach(s => b ++= le16(s & 0xffff))
+      b.result().toArray
+    }
+    val meta = MediaMeta("wav", 0, 0, 16000, 0L)
+    for (round <- 1 to 25) {
+      // lengths 0..999 incl. empty; extreme values seeded in every run
+      val n = rnd.nextInt(1000)
+      val samples = Seq(Short.MinValue, Short.MaxValue, 0.toShort) ++
+        Seq.fill(n)(rnd.nextInt(65536).toShort)
+      val decoded = MediaDecoder.Uncompressed.decodeAudio(wav(samples), meta)
+      assert(decoded.toSeq == samples, s"round $round n=$n diverged")
+    }
+  }
+
+  test("BMP encode→decode recovers the exact BT.601 luma for arbitrary pixel grids") {
+    import graft.multimodal.Multimodal.{MediaDecoder, MediaMeta}
+    val rnd = new Random(99)
+    def le16(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def bmp(px: Seq[Seq[(Int, Int, Int)]], topDown: Boolean): Array[Byte] = {
+      val h = px.length; val w = px.head.length
+      val rowBytes = ((w * 3 + 3) / 4) * 4
+      val b = Seq.newBuilder[Byte]
+      b ++= "BM".getBytes; b ++= le32(54 + rowBytes * h); b ++= le32(0); b ++= le32(54)
+      b ++= le32(40); b ++= le32(w); b ++= le32(if (topDown) -h else h)
+      b ++= le16(1); b ++= le16(24); b ++= le32(0); b ++= le32(rowBytes * h)
+      b ++= le32(2835); b ++= le32(2835); b ++= le32(0); b ++= le32(0)
+      (if (topDown) px else px.reverse).foreach { row =>
+        row.foreach { case (r, g, bl) => b += bl.toByte; b += g.toByte; b += r.toByte }
+        (w * 3 until rowBytes).foreach(_ => b += 0.toByte)
+      }
+      b.result().toArray
+    }
+    for (round <- 1 to 20) {
+      // widths 1..9 cover every row-padding residue; both storage orders
+      val w = 1 + rnd.nextInt(9); val h = 1 + rnd.nextInt(6)
+      val px = Seq.fill(h)(Seq.fill(w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256))))
+      val expected = px.map(_.map { case (r, g, bl) =>
+        ((299 * r + 587 * g + 114 * bl) / 1000).toByte })
+      for (topDown <- Seq(false, true)) {
+        val got = MediaDecoder.Uncompressed
+          .decodeImage(bmp(px, topDown), MediaMeta("bmp", w, h, 0, 0L))
+        assert(got.map(_.toSeq).toSeq == expected, s"round $round ${w}x$h topDown=$topDown")
+      }
+    }
+  }
 }
