@@ -174,8 +174,17 @@ object DataApiIngest {
 
   /** The full Data API ingest as a [[Bronze.PayloadSource]]: channels →
     * uploads playlist pages → chunked videos, with the reference's
-    * missing-playlist / no-videos warning payloads (main flow, `:227-287`). */
-  final class DataApiPayloadSource(client: DataApiClient) extends Bronze.PayloadSource {
+    * missing-playlist / no-videos warning payloads (main flow, `:227-287`).
+    *
+    * `parallelVideos`: when a SparkSession and client factory are
+    * supplied, the chunked video fetch goes through the partition-per-
+    * chunk [[graft.sources.RestVideosSource]] (executors issue the chunk
+    * requests concurrently) instead of the sequential driver walk; the
+    * bronze envelope is byte-identical either way (spec-pinned), so this
+    * is purely a throughput switch for large video inventories. */
+  final class DataApiPayloadSource(client: DataApiClient,
+      parallelVideos: Option[(SparkSession, () => DataApiClient)] = None)
+      extends Bronze.PayloadSource {
     def payloads(ctx: Bronze.RunContext): Map[String, Seq[String]] = {
       val channels = client.getJson("channels",
         Map("part" -> "id,snippet,contentDetails,statistics", "mine" -> "true"))
@@ -186,15 +195,19 @@ object DataApiIngest {
           "items" -> JArr(Seq.empty),
           "warning" -> JStr("uploads playlist id missing from channels response."))
       val videoIds = videoIdsFromPlaylist(playlist)
-      val videos =
-        if (videoIds.nonEmpty) fetchVideosByIds(client, videoIds)
-        else JObj.of(
-          "items" -> JArr(Seq.empty),
-          "warning" -> JStr("no video ids found in playlist items response."))
+      val videos: String =
+        if (videoIds.isEmpty)
+          JObj.of(
+            "items" -> JArr(Seq.empty),
+            "warning" -> JStr("no video ids found in playlist items response.")).render
+        else parallelVideos match {
+          case Some((spark, factory)) => fetchVideosByIdsParallel(spark, factory, videoIds)
+          case None                   => fetchVideosByIds(client, videoIds).render
+        }
       Map(
         "channels_raw" -> Seq(channels.render),
         "playlist_items_raw" -> Seq(playlist.render),
-        "videos_raw" -> Seq(videos.render))
+        "videos_raw" -> Seq(videos))
     }
   }
 }

@@ -24,7 +24,9 @@ class RawIngestPipelineSpec extends SparkSpec {
   private lazy val lake = new Lakehouse(spark, Files.createTempDirectory("graft-raw-lake").toString)
 
   // ── raw Data API fake: 2 playlist pages, videos served in chunks ────────
-  private object RawDataClient extends DataApiClient {
+  // a CLASS (not object): pagination is stateful, so each ingest needs a
+  // fresh instance; the videos path is pure and thread-safe (parallel tasks)
+  private class RawDataClientImpl extends DataApiClient {
     private var playlistPage = 0
     def getJson(path: String, params: Map[String, String]): JObj = path match {
       case "channels" => JObj.of("items" -> JArr(Seq(JObj.of(
@@ -73,6 +75,8 @@ class RawIngestPipelineSpec extends SparkSpec {
         JObj.of("items" -> JArr(items))
     }
   }
+
+  private lazy val RawDataClient = new RawDataClientImpl
 
   // ── raw Analytics API fake: per-report-family behaviors ─────────────────
   private object RawAnalyticsClient extends AnalyticsApiClient {
@@ -137,6 +141,20 @@ class RawIngestPipelineSpec extends SparkSpec {
     Bronze.ingest(lake, ctx,
       new AnalyticsPayloadSource(RawAnalyticsClient, start, end, mode, 7, videoIds))
     Silver.refresh(lake)
+  }
+
+  test("data api ingest through the V2 parallel source lands byte-identical bronze") {
+    refreshed
+    val lake2 = new Lakehouse(spark, java.nio.file.Files.createTempDirectory("graft-rawpar").toString)
+    val ctx = Bronze.RunContext("rawrun1", "rawreq1", d("2025-06-01"), ts("2025-06-01 10:00:00"))
+    val fresh = new RawDataClientImpl // pagination state starts clean
+    Bronze.ingest(lake2, ctx,
+      new DataApiPayloadSource(fresh, parallelVideos = Some((spark, () => fresh))))
+    for (t <- Seq("channels_raw", "playlist_items_raw", "videos_raw")) {
+      val a = lake.table("bronze", t).select("payload").collect().map(_.getString(0)).sorted.toSeq
+      val b = lake2.table("bronze", t).select("payload").collect().map(_.getString(0)).sorted.toSeq
+      assert(a == b, s"$t payloads diverge between sequential and parallel ingest")
+    }
   }
 
   test("data api: paginated playlist + chunked videos land accumulated payloads") {
