@@ -87,9 +87,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val base = dir(layer, name)
     val committed = currentVersion(base)
     if (!Files.exists(base) || committed == 0) Seq.empty
-    else Files.list(base).toArray.map(_.asInstanceOf[Path].getFileName.toString)
-      .collect { case versionDir(k) if k.toInt <= committed => k.toInt }
-      .sorted.toSeq
+    else Files.list(base).toArray.map(_.asInstanceOf[Path]).collect {
+      case p if {
+        val n = p.getFileName.toString
+        versionDir.pattern.matcher(n).matches() &&
+          n.drop(2).toInt <= committed &&
+          // a fully-written Spark parquet dir carries _SUCCESS — excludes
+          // the debris of a claimed-then-crashed slot below the committed
+          // version
+          Files.exists(p.resolve("_SUCCESS"))
+      } => p.getFileName.toString.drop(2).toInt
+    }.sorted.toSeq
   }
 
   /** Time-travel read: the table AS OF `version`. Only versions within the
@@ -137,36 +145,83 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
   }
 
+  private val commitMarker = "_commit_v(\\d+)".r
+
   /** Materialize one silver/gold model (MV refresh = full recompute).
     *
-    * Commit protocol (single-writer ACID): (1) execute the plan into a
-    * fresh immutable `_v{N+1}` directory — the previous version stays live
-    * throughout, so a refresh can read its own table; (2) atomically
-    * rename the `_VERSION` manifest (version + file list) into place — THE
-    * commit point; (3) GC versions older than the immediately-previous
-    * one, plus any pre-manifest legacy files. A crash before (2) leaves
-    * the old version committed; after (2) the new one. Readers never see
-    * a partial table. */
+    * Commit protocol (versioned ACID with slot-claim OCC): (1) CLAIM the
+    * next version slot by exclusively creating a `_commit_v{N}` marker —
+    * `Files.createFile` is atomic on POSIX, so of two concurrent writers
+    * exactly one owns a slot and the other retries on the following
+    * number (Delta's optimistic log-entry race, reduced to the
+    * filesystem); (2) execute the plan into the claimed immutable
+    * `_v{N}` directory — the previous version stays live throughout, so
+    * a refresh can read its own table; (3) atomically rename the
+    * `_VERSION` manifest (version + file list) into place — THE commit
+    * point for readers; (4) GC versions older than the immediately-
+    * previous one, plus pre-manifest legacy files and stale markers. A
+    * crash before (3) leaves the old version committed; after (3) the
+    * new one. Readers never see a partial or absent table.
+    *
+    * Concurrency contract: concurrent FULL refreshes of one table
+    * serialize cleanly (each claims its own version; last committed
+    * manifest wins — the correct semantics for recompute-from-upstream
+    * MVs, Delta's blind-overwrite equivalence). Concurrent INCREMENTAL
+    * merges of the SAME table remain single-writer: a merge's read of
+    * the standing table is not conflict-checked against a commit that
+    * lands between its read and its claim (Delta would fail that
+    * transaction; we document it — the reference's scheduler runs one
+    * job DAG at a time). */
   def materialize(layer: String, name: String, df: DataFrame): Unit = {
     val base = dir(layer, name)
     Files.createDirectories(base)
-    val next = currentVersion(base) + 1
+    // claim a version slot (OCC): first free number at-or-above current+1
+    var next = currentVersion(base) + 1
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      try {
+        Files.createFile(base.resolve(s"_commit_v$next"))
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          require(attempts < 1000, s"could not claim a commit slot for $layer.$name")
+          next += 1 // another writer (or a crashed attempt) owns that slot
+      }
+    }
     val dataDir = base.resolve(s"_v$next")
     deleteRecursively(dataDir) // debris from a crashed earlier attempt
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     val live = Files.list(dataDir).toArray.map(_.asInstanceOf[Path].getFileName.toString)
       .filter(_.endsWith(".parquet")).sorted
-    val tmp = base.resolve(s".$ManifestName.tmp")
+    val tmp = base.resolve(s".$ManifestName.$next.tmp")
     Files.write(tmp, (next.toString +: live).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, base.resolve(ManifestName), StandardCopyOption.ATOMIC_MOVE) // commit
-    // GC: keep the committed version and one predecessor (in-flight readers
-    // of the just-replaced version finish their scan); drop everything older
-    // and any plain-layout legacy files now shadowed by the manifest
+    // publish unless a HIGHER version already committed while we wrote —
+    // keeps the manifest monotonic when concurrent full refreshes overlap
+    // (both recompute from the same upstream, so the later version winning
+    // is a valid serialization; best-effort — the check-then-rename pair
+    // is not atomic, and a theoretical interleave can still publish the
+    // lower version: the result is then older-but-complete, never torn)
+    if (currentVersion(base) < next)
+      Files.move(tmp, base.resolve(ManifestName), StandardCopyOption.ATOMIC_MOVE) // commit
+    else Files.delete(tmp)
+    // GC relative to the CURRENT manifest (a concurrent writer may have
+    // committed a higher version after ours): keep the committed version
+    // and one predecessor (in-flight readers of the just-replaced version
+    // finish their scan); drop older versions, their markers, stale
+    // manifest tmps, and any plain-layout legacy files now shadowed
+    val keepFrom = currentVersion(base) - 1
+    val manifestTmp = s"\\.$ManifestName\\.(\\d+)\\.tmp".r
     Files.list(base).toArray.map(_.asInstanceOf[Path]).foreach { p =>
       p.getFileName.toString match {
         case ManifestName =>
-        case versionDir(k) => if (k.toInt < next - 1) deleteRecursively(p)
+        case versionDir(k) => if (k.toInt < keepFrom) deleteRecursively(p)
+        case commitMarker(k) => if (k.toInt < keepFrom) deleteRecursively(p)
+        // a concurrent writer's in-flight manifest tmp carries a version
+        // ≥ current — only stale (crashed) tmps below the keep window go
+        case manifestTmp(k) => if (k.toInt < keepFrom) deleteRecursively(p)
         case _ => deleteRecursively(p)
       }
     }
