@@ -267,4 +267,71 @@ object Streams {
         ()
     }
   }
+
+  /** Streaming NEAR-DUP GATE over an unbounded document stream — the
+    * continuous-ingest face of the batch dedup stack: each micro-batch
+    *
+    *   1. resolves its own internal near-dups (greedy min-id keeper over
+    *      [[graft.operators.Dedup.lshNearDupPairs]], the d04 semantics);
+    *   2. probes the standing corpus's AT-REST LSH index
+    *      ([[graft.operators.Dedup.bandPostings]] + shingle sets — the
+    *      same two tables the incremental curation funnel maintains) and
+    *      drops every document with a corpus near-dup: the join touches
+    *      |batch| band probes, NEVER the corpus pair-space;
+    *   3. appends survivors to the output AND to both index halves, so
+    *      every later batch dedups against everything that ever passed.
+    *
+    * `foreachBatch` is the composition point: inside it the micro-batch
+    * is a plain DataFrame, so the whole batch operator stack applies
+    * unchanged while the streaming engine contributes ordering,
+    * checkpointing and restart semantics. State lives in the three
+    * parquet dirs (not the state store) — it must outlive the query and
+    * serve batch consumers too, exactly like the curation funnel's
+    * standing corpus. Replays after a crash between the three appends can
+    * duplicate survivor rows; index probes and downstream latest-wins
+    * readers are insensitive to that (same doc probing twice drops both
+    * times), matching the at-least-once + idempotent-sink pairing
+    * documented on [[streamingDedupBounded]].
+    *
+    * `docs` schema: (doc_id BIGINT, text STRING). Returns the query;
+    * survivors land under `survivorsDir`. */
+  def nearDupGate(docs: DataFrame, indexDir: String, survivorsDir: String,
+      minJaccard: Double = 0.5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Dedup
+    docs.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF.select(col("doc_id"), col("text")).cache()
+        try {
+          // 1. within-batch greedy min-id dedup
+          val internalDrops = Dedup.lshNearDupPairs(b, "doc_id", "text", minJaccard)
+            .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+          val selfKept = b.join(internalDrops, Seq("doc_id"), "left_anti")
+          // 2. probe the standing at-rest index (absent on the first batch)
+          val postingsPath = Paths.get(indexDir, "postings")
+          val shinglesPath = Paths.get(indexDir, "shingles")
+          val kept =
+            if (Files.exists(postingsPath)) {
+              val corpusDrops = Dedup.lshNearDupPairsAgainstIndex(
+                  selfKept, "doc_id", "text",
+                  spark.read.parquet(postingsPath.toString),
+                  spark.read.parquet(shinglesPath.toString), minJaccard)
+                .select(col("id_a").as("doc_id")).distinct()
+              selfKept.join(corpusDrops, Seq("doc_id"), "left_anti")
+            } else selfKept
+          // 3. survivors extend the output and BOTH index halves
+          val keptC = kept.cache()
+          try {
+            keptC.write.mode("append").parquet(survivorsDir)
+            val base = Dedup.shingleSets(keptC, "doc_id", "text").cache()
+            try {
+              base.write.mode("append").parquet(shinglesPath.toString)
+              Dedup.bandPostings(base).write.mode("append").parquet(postingsPath.toString)
+            } finally base.unpersist()
+          } finally keptC.unpersist()
+        } finally b.unpersist()
+        ()
+    }
+  }
 }

@@ -145,6 +145,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup gate: within-batch, cross-batch, and novel docs across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ndg-idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ndg-out").resolve("survivors").toString
+    val q = Streams.nearDupGate(docs, idx, out, minJaccard = 0.5)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ndg-ckpt").toString)
+      .start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+      input.addData(
+        (1L, base),                         // novel
+        (2L, base + " with a small tail"),  // near-dup of 1 WITHIN the batch → dropped
+        (10L, "completely different content about spark engines and parquet files " * 5))
+      q.processAllAvailable()
+      input.addData(
+        (20L, base + " minor edit"),        // near-dup of standing doc 1 → dropped
+        (30L, "yet another unrelated corpus of words entirely fresh and new " * 5))
+      q.processAllAvailable()
+      val surv = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      assert(surv == Set(1L, 10L, 30L), s"survivors were $surv")
+      // the at-rest index covers exactly the survivors — later batches (or
+      // a BATCH consumer: the same tables the curation funnel probes) see
+      // every doc that ever passed
+      val indexed = spark.read.parquet(s"$idx/shingles").select("doc_id").as[Long].collect().toSet
+      assert(indexed == Set(1L, 10L, 30L))
+    } finally q.stop()
+  }
+
   test("running per-user stats accumulate state across micro-batches (mapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
