@@ -35,10 +35,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * delete-then-rename swap had a window where the table was briefly
   * absent). The previously-committed data directory survives one more
   * commit before GC, so in-flight readers of the just-replaced version
-  * finish their scan. Still DIVERGENT from Delta (README "Known
-  * divergence"): no optimistic concurrency — two simultaneous writers to
-  * one table can still interleave version numbers; bronze appends/deletes
-  * are directory-based, not logged.
+  * finish their scan. Concurrency: full refreshes serialize via
+  * exclusive-create slot claims; incremental merges run read-set-checked
+  * OCC transactions ([[transactMerge]]) that retry on conflict instead
+  * of losing updates. Remaining divergence from Delta (README "Known
+  * divergence"): bronze appends/deletes are directory-based, not logged.
   */
 final class Lakehouse(val spark: SparkSession, val root: String,
     schemaOverrides: Map[String, String] = Lakehouse.envSchemaOverrides()) {
@@ -90,12 +91,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     else Files.list(base).toArray.map(_.asInstanceOf[Path]).collect {
       case p if {
         val n = p.getFileName.toString
-        versionDir.pattern.matcher(n).matches() &&
-          n.drop(2).toInt <= committed &&
-          // a fully-written Spark parquet dir carries _SUCCESS — excludes
-          // the debris of a claimed-then-crashed slot below the committed
-          // version
-          Files.exists(p.resolve("_SUCCESS"))
+        versionDir.pattern.matcher(n).matches() && {
+          val v = n.drop(2).toInt
+          // only the retention window counts as history: the committed
+          // version and its immediate predecessor. Anything else on disk
+          // (a claimed-then-crashed slot, an abandoned OCC loser) is
+          // debris awaiting GC, never time-travel-readable. _SUCCESS
+          // additionally excludes half-written directories.
+          (v == committed || v == committed - 1) &&
+            Files.exists(p.resolve("_SUCCESS"))
+        }
       } => p.getFileName.toString.drop(2).toInt
     }.sorted.toSeq
   }
@@ -167,11 +172,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * serialize cleanly (each claims its own version; last committed
     * manifest wins — the correct semantics for recompute-from-upstream
     * MVs, Delta's blind-overwrite equivalence). Concurrent INCREMENTAL
-    * merges of the SAME table remain single-writer: a merge's read of
-    * the standing table is not conflict-checked against a commit that
-    * lands between its read and its claim (Delta would fail that
-    * transaction; we document it — the reference's scheduler runs one
-    * job DAG at a time). */
+    * merges must NOT use this entry point (a merge's read of the
+    * standing table is not conflict-checked here) — they go through
+    * [[transactMerge]], whose exact-successor slot claim turns the
+    * read-write race into a detected conflict + retry. */
   def materialize(layer: String, name: String, df: DataFrame): Unit = {
     val base = dir(layer, name)
     Files.createDirectories(base)
@@ -190,6 +194,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           next += 1 // another writer (or a crashed attempt) owns that slot
       }
     }
+    writeVersion(base, next, df)
+    publishIfMonotonic(base, next)
+    gcVersions(base)
+  }
+
+  /** Write the immutable `_v{next}` data directory and its manifest tmp.
+    * No commit happens here — the previous version stays live. */
+  private def writeVersion(base: Path, next: Int, df: DataFrame): Unit = {
     val dataDir = base.resolve(s"_v$next")
     deleteRecursively(dataDir) // debris from a crashed earlier attempt
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
@@ -198,15 +210,30 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val tmp = base.resolve(s".$ManifestName.$next.tmp")
     Files.write(tmp, (next.toString +: live).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // publish unless a HIGHER version already committed while we wrote —
-    // keeps the manifest monotonic when concurrent full refreshes overlap
-    // (both recompute from the same upstream, so the later version winning
-    // is a valid serialization; best-effort — the check-then-rename pair
-    // is not atomic, and a theoretical interleave can still publish the
-    // lower version: the result is then older-but-complete, never torn)
-    if (currentVersion(base) < next)
+  }
+
+  /** Atomically rename the manifest into place UNLESS a higher version
+    * already committed while we wrote — keeps the manifest monotonic when
+    * concurrent refreshes overlap (best-effort — the check-then-rename
+    * pair is not atomic, and a theoretical interleave can still publish
+    * the lower version: the result is then older-but-complete, never
+    * torn). When the publish is abandoned, the orphan data directory is
+    * removed immediately so an uncommitted version can never be mistaken
+    * for table history. Returns whether THIS version became the
+    * committed one. */
+  private def publishIfMonotonic(base: Path, next: Int): Boolean = {
+    val tmp = base.resolve(s".$ManifestName.$next.tmp")
+    if (currentVersion(base) < next) {
       Files.move(tmp, base.resolve(ManifestName), StandardCopyOption.ATOMIC_MOVE) // commit
-    else Files.delete(tmp)
+      true
+    } else {
+      Files.delete(tmp)
+      deleteRecursively(base.resolve(s"_v$next"))
+      false
+    }
+  }
+
+  private def gcVersions(base: Path): Unit = {
     // GC relative to the CURRENT manifest (a concurrent writer may have
     // committed a higher version after ours): keep the committed version
     // and one predecessor (in-flight readers of the just-replaced version
@@ -225,6 +252,61 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         case _ => deleteRecursively(p)
       }
     }
+  }
+
+  /** Transactional (read-set-checked) refresh of one materialized table —
+    * the optimistic-concurrency semantics Delta gives the reference's
+    * incremental MERGEs, reduced to the manifest protocol:
+    *
+    *   1. READ: note the committed version, hand the live table to `plan`;
+    *   2. VALIDATE+CLAIM: the commit slot claimed is EXACTLY
+    *      `readVersion + 1` — if any other writer committed (or even
+    *      claimed) that slot since the read, the exclusive marker create
+    *      fails and the transaction retries from a fresh read, merging on
+    *      top of the winner instead of silently overwriting it (the
+    *      lost-update Delta raises `ConcurrentModificationException` for);
+    *   3. COMMIT: publish stays monotonic — if a full refresh claimed a
+    *      later slot and won the manifest race mid-write, this version is
+    *      abandoned (orphan dir removed) and the merge retries.
+    *
+    * The conflict-checked read-set is the TARGET table (the standing rows
+    * a merge folds new data into — the read whose staleness loses
+    * updates). Upstream bronze inputs are append-only and re-read on
+    * every attempt, so a retry always folds the latest data. Returns the
+    * number of attempts taken (1 = no contention). */
+  def transactMerge(layer: String, name: String, maxAttempts: Int = 5)(
+      plan: DataFrame => DataFrame): Int = {
+    var attempt = 1
+    while (true) {
+      val readVersion = tableVersion(layer, name)
+      val df = plan(table(layer, name))
+      if (materializeIfUnchanged(layer, name, readVersion, df)) return attempt
+      require(attempt < maxAttempts,
+        s"transactMerge($layer.$name) lost $maxAttempts consecutive OCC races")
+      attempt += 1
+    }
+    -1 // unreachable
+  }
+
+  /** Conditional materialize: commit `df` as version `readVersion + 1`
+    * ONLY if `readVersion` is still the committed version — i.e. no other
+    * writer has touched the table since the caller read it. Returns false
+    * (leaving the table untouched and no debris in [[tableVersions]]) on
+    * any conflict; callers re-read and retry ([[transactMerge]]). */
+  def materializeIfUnchanged(
+      layer: String, name: String, readVersion: Int, df: DataFrame): Boolean = {
+    val base = dir(layer, name)
+    Files.createDirectories(base)
+    if (currentVersion(base) != readVersion) return false // committed past us
+    val next = readVersion + 1
+    val claimed =
+      try { Files.createFile(base.resolve(s"_commit_v$next")); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!claimed) return false // a competing writer owns the successor slot
+    writeVersion(base, next, df)
+    val committed = publishIfMonotonic(base, next)
+    gcVersions(base)
+    committed
   }
 
   /** Compaction pass — the OPTIMIZE parity op

@@ -187,12 +187,15 @@ object Silver {
       case "fact_channel_daily_metrics"  => refreshChannelFactIncremental(lake, sinceSnapshot)
       case _ =>
         val spec = latestWinsSpecs(name)
-        val fresh = spec.typed(
-          lake.table("bronze", spec.bronzeTable)
-            .filter(col("snapshot_date") >= lit(sinceSnapshot)))
-        val merged = latestWins(
-          lake.table("silver", name).unionByName(fresh), spec.grain, spec.order)
-        lake.materialize("silver", name, merged)
+        // OCC transaction: the standing table is the conflict-checked
+        // read-set; bronze (append-only) is re-pruned on every attempt
+        lake.transactMerge("silver", name) { existing =>
+          val fresh = spec.typed(
+            lake.table("bronze", spec.bronzeTable)
+              .filter(col("snapshot_date") >= lit(sinceSnapshot)))
+          latestWins(existing.unionByName(fresh), spec.grain, spec.order)
+        }
+        ()
     }
 
   /** Every model [[refreshIncremental]] can merge (vs full recompute).
@@ -253,17 +256,25 @@ object Silver {
     // log first: if the refresh dies between the two writes, a re-run
     // re-merges from a complete log (the reverse order would leave the log
     // missing this batch's observations under an already-advanced silver)
-    lake.materialize("silver", scd2ObsTable, mergedObs)
+    if (haveLog)
+      lake.transactMerge("silver", scd2ObsTable) { base =>
+        base.unionByName(freshObs)
+          .dropDuplicates("video_id", "observed_at_utc", "request_id")
+      }
+    else lake.materialize("silver", scd2ObsTable, mergedObs)
     // bronze is untouched by the log swap, so the pruned parse is reusable
     val affected = freshObs.select(col("video_id")).distinct()
-    val existing = lake.table("silver", "silver_video_metadata_scd2")
-    val untouched = existing.join(affected, Seq("video_id"), "left_anti")
-    val rebuilt = scd2Segment(
-      lake.table("silver", scd2ObsTable).join(affected, Seq("video_id"), "left_semi"))
-    // the USING joins float video_id to the front; restore the canonical
-    // column order so merge and recompute produce byte-identical tables
-    lake.materialize("silver", "silver_video_metadata_scd2",
-      untouched.unionByName(rebuilt).select(existing.columns.map(col).toSeq: _*))
+    // OCC on the target table: a concurrent writer's commit between this
+    // read and our publish forces a re-read + re-merge (transactMerge)
+    lake.transactMerge("silver", "silver_video_metadata_scd2") { existing =>
+      val untouched = existing.join(affected, Seq("video_id"), "left_anti")
+      val rebuilt = scd2Segment(
+        lake.table("silver", scd2ObsTable).join(affected, Seq("video_id"), "left_semi"))
+      // the USING joins float video_id to the front; restore the canonical
+      // column order so merge and recompute produce byte-identical tables
+      untouched.unionByName(rebuilt).select(existing.columns.map(col).toSeq: _*)
+    }
+    ()
   }
 
   /** Incremental silver_videos refresh: latest-wins merge of the new slim
@@ -276,9 +287,12 @@ object Silver {
     val fresh = videosSlimTyped(
       lake.table("bronze", "videos_raw")
         .filter(col("snapshot_date") >= lit(sinceSnapshot)))
-    val existing = lake.table("silver", "silver_videos").drop("current_video_meta_sk")
-    val merged = latestWins(existing.unionByName(fresh), Seq("video_id"))
-    lake.materialize("silver", "silver_videos", videosAttachSk(merged, lake))
+    lake.transactMerge("silver", "silver_videos") { existing0 =>
+      val existing = existing0.drop("current_video_meta_sk")
+      val merged = latestWins(existing.unionByName(fresh), Seq("video_id"))
+      videosAttachSk(merged, lake)
+    }
+    ()
   }
 
   // ---------------------------------------------------------------- models
@@ -473,8 +487,10 @@ object Silver {
         lake.table("bronze", "analytics_channel_daily_raw")
           .filter(col("snapshot_date") >= lit(sinceSnapshot)),
         current)
-      lake.materialize("silver", "fact_channel_daily_metrics",
-        latestWins(existing.unionByName(fresh), Seq("channel_id", "date")))
+      lake.transactMerge("silver", "fact_channel_daily_metrics") { standing =>
+        latestWins(standing.unionByName(fresh), Seq("channel_id", "date"))
+      }
+      ()
     } else {
       // channel changed: merge would freeze the stale id on old rows
       lake.materialize("silver", "fact_channel_daily_metrics",

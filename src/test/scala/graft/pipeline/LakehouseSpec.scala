@@ -156,6 +156,56 @@ class LakehouseSpec extends SparkSpec {
     assert(!Files.list(base).toArray.map(_.toString).exists(_.endsWith("_SUCCESS")))
   }
 
+  test("transactMerge: a commit landing after the read is a detected conflict, then the retry merges on top of it") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-txm").toString)
+    lake.materialize("silver", "t", Seq((1L, "base")).toDF("id", "v"))
+    // conditional materialize against a stale read loses cleanly: the
+    // competitor's slot-2 marker blocks the claim and nothing is written
+    val stale = lake.tableVersion("silver", "t")
+    lake.materialize("silver", "t", Seq((1L, "competitor")).toDF("id", "v"))
+    assert(!lake.materializeIfUnchanged("silver", "t", stale,
+      Seq((1L, "lost-update")).toDF("id", "v")))
+    assert(lake.table("silver", "t").head().getString(1) == "competitor")
+    assert(lake.tableVersions("silver", "t") == Seq(1, 2), "aborted txn left debris")
+    // the retry loop re-reads and folds the merge into the WINNING version:
+    // first attempt reads v2, a competitor commits v3 mid-transaction, the
+    // second attempt merges on top of the competitor's rows
+    var calls = 0
+    val attempts = lake.transactMerge("silver", "t") { existing =>
+      calls += 1
+      if (calls == 1)
+        lake.materialize("silver", "t", Seq((2L, "interloper")).toDF("id", "v"))
+      existing.unionByName(Seq((9L, "merged")).toDF("id", "v"))
+    }
+    assert(attempts == 2 && calls == 2)
+    val rows = lake.table("silver", "t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((2L, "interloper"), (9L, "merged")),
+      s"merge must build on the interloper's commit, got $rows")
+  }
+
+  test("transactMerge: uncontended merge commits in one attempt with normal retention") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-txm1").toString)
+    lake.materialize("silver", "t", Seq((1L, "a")).toDF("id", "v"))
+    val attempts = lake.transactMerge("silver", "t")(
+      _.unionByName(Seq((2L, "b")).toDF("id", "v")))
+    assert(attempts == 1)
+    assert(lake.tableVersion("silver", "t") == 2)
+    assert(lake.table("silver", "t").count() == 2)
+    assert(lake.tableVersions("silver", "t") == Seq(1, 2))
+  }
+
+  test("tableVersions exposes only the retention window, never sub-window debris") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-ttd").toString)
+    (1 to 3).foreach(i => lake.materialize("silver", "t", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val base = Paths.get(lake.root, "silver", "t")
+    // a complete-looking directory below the retention window (a crashed
+    // or abandoned writer whose GC never ran) must not read as history
+    Seq((99L, "debris")).toDF("id", "v").write.parquet(base.resolve("_v1").toString)
+    assert(lake.tableVersions("silver", "t") == Seq(2, 3))
+    intercept[IllegalArgumentException](lake.tableAt("silver", "t", 1))
+  }
+
   test("envSchemaOverrides parses GRAFT_SCHEMA_* vars, ignoring unset layers") {
     val env = Map("GRAFT_SCHEMA_SILVER" -> "silver_ci", "GRAFT_SCHEMA_GOLD" -> "gold_blue")
     assert(Lakehouse.envSchemaOverrides(env.get) ==
