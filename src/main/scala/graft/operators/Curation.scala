@@ -576,4 +576,67 @@ object Curation {
       .filter(col("neg_id") =!= col(idCol))
       .select(col(idCol), col("neg_j"), col("neg_id"))
   }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * its average unigram log-likelihood ratio between a TARGET sub-corpus
+    * (rows where `isTarget`) and the full RAW corpus — Laplace-smoothed
+    * over the raw vocabulary — then draw `k` docs without replacement with
+    * probability ∝ exp(score/temperature) via the Gumbel-top-k trick. The
+    * Gumbel noise is derived from md5(key)||"|dsir", NOT an RNG, so the
+    * draw is layout-/rerun-stable and an oracle can restate it exactly.
+    *
+    * Scale shape: token occurrences shuffle ONCE into the two vocab count
+    * tables (vocab-sized → broadcast back); per-doc scoring is a broadcast
+    * join + one doc-keyed aggregation; the final selection is a global
+    * top-k (TakeOrdered — k rows per map task to the driver-side heap, no
+    * full sort). Nothing is quadratic and no model state lives on the
+    * driver. Cross-engine determinism follows the t11 pattern: per-term
+    * contributions rounded to 9 decimals and summed as DECIMAL(28,9), so
+    * float addition order never matters.
+    *
+    * Output: (sample_rank, key, score) — score is the raw (unrounded)
+    * average log ratio; callers round for display.
+    */
+  def importanceResample(docs: DataFrame, keyCol: String, textCol: String,
+      isTarget: Column, k: Int, temperature: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    requireFresh(docs, "sample_rank", "score", "__graft_term", "__graft_tf",
+      "__graft_is_target", "__graft_gkey")
+    val tf = docs.select(col(keyCol), isTarget.as("__graft_is_target"),
+      explode(TextAnalysis.termFreqs(TextAnalysis.tokens(lower(col(textCol)))))
+        .as(Seq("__graft_term", "__graft_tf")))
+    val vocab = tf.groupBy(col("__graft_term")).agg(
+      sum(col("__graft_tf")).as("__graft_cnt_raw"),
+      sum(when(col("__graft_is_target"), col("__graft_tf")).otherwise(lit(0L)))
+        .as("__graft_cnt_tgt"))
+    val tot = vocab.agg(
+      sum(col("__graft_cnt_raw")).cast("double").as("__graft_n_raw"),
+      sum(col("__graft_cnt_tgt")).cast("double").as("__graft_n_tgt"),
+      count(lit(1)).cast("double").as("__graft_v"))
+    // ln of the smoothed ratio — op order mirrored verbatim in the oracle
+    val ratio = log(
+      ((col("__graft_cnt_tgt").cast("double") + 1.0d) / (col("__graft_n_tgt") + col("__graft_v"))) /
+      ((col("__graft_cnt_raw").cast("double") + 1.0d) / (col("__graft_n_raw") + col("__graft_v"))))
+    val scored = tf.join(broadcast(vocab), "__graft_term").crossJoin(broadcast(tot))
+      .withColumn("__graft_c9",
+        round(col("__graft_tf").cast("double") * ratio, 9).cast(DecimalType(28, 9)))
+      .groupBy(col(keyCol))
+      .agg((sum(col("__graft_c9")).cast("double") /
+        sum(col("__graft_tf")).cast("double")).as("score"))
+    // deterministic uniform in (0,1) from the salted md5; Gumbel = -ln(-ln u)
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"), lit("|dsir"))
+        .cast("binary")), 1, 8), 16, 10).cast("double") + 0.5d) / 4294967296.0d
+    val keyed = scored.withColumn("__graft_gkey",
+      round(col("score") / temperature, 9) + round(-log(-log(u)), 9))
+    keyed
+      .orderBy(col("__graft_gkey").desc, col(keyCol))
+      .limit(k)
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(col("__graft_gkey").desc, col(keyCol))))
+      .select(col("sample_rank"), col(keyCol), col("score"))
+  }
 }

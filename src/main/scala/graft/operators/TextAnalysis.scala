@@ -427,4 +427,28 @@ object TextAnalysis {
           + (lit(1.0) - sum(col("pa9")).cast("double")) * ln2
           + (lit(1.0) - sum(col("pb9")).cast("double")) * ln2)), 6).as("js"))
   }
+
+  /** Moving-average type-token ratio (MATTR, Covington & McFall 2010):
+    * mean distinct-token fraction over every sliding `window`-token span.
+    * Unlike a global distinct/n TTR this is length-invariant, which is what
+    * makes it usable as a corpus-wide lexical-diversity filter. Docs
+    * shorter than the window fall back to plain TTR; empty docs yield null.
+    * Pure higher-order-function expression (sequence/transform/slice/
+    * array_distinct): per-row, no shuffle, no UDF; the per-window distinct
+    * counts sum as integers so the value is engine- and order-exact. The
+    * O(n·window) per-row cost is a constant-factor scan at any corpus
+    * size. The sequence() upper bound only evaluates under the n >= window
+    * branch (CaseWhen evaluates lazily), so short docs never build a
+    * descending sequence. */
+  def mattr(toks: Column, window: Int): Column = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val n = size(toks)
+    val nWin = n - lit(window - 1)
+    val winDistinct = transform(sequence(lit(1), nWin),
+      i => size(array_distinct(slice(toks, i, lit(window)))).cast("long"))
+    val sumD = aggregate(winDistinct, lit(0L), (acc, x) => acc + x)
+    val ttr = size(array_distinct(toks)).cast("double") / n.cast("double")
+    when(n >= window, sumD.cast("double") / (nWin.cast("double") * window))
+      .otherwise(when(n > 0, ttr))
+  }
 }

@@ -841,11 +841,69 @@ object CurationQueries {
       SELECT doc_id, neg_j, neg_id FROM resolved
       ORDER BY doc_id, neg_j"""))
 
+  /** DSIR importance resampling (Xie et al. 2023): average unigram
+    * log-likelihood ratio of target (src1–src3) vs raw corpus, Gumbel-top-k
+    * draw ∝ exp(score/τ) with md5-derived (layout-stable) noise. One token
+    * shuffle to vocab counts → broadcast back → doc-keyed decimal-sum
+    * score → global top-k; linear in corpus tokens at any scale. */
+  val c25ImportanceResample = GraftQuery(
+    "c25_importance_resample",
+    (s, dir) =>
+      Curation.importanceResample(
+          table(s, dir, "documents"), "doc_id", "text",
+          col("source").isin("src1", "src2", "src3"), k = 100)
+        .select(col("sample_rank"), col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("sample_rank")),
+    Some("""
+      WITH occurrences AS (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+        FROM documents),
+      terms AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+               max(CASE WHEN source IN ('src1','src2','src3') THEN 1 ELSE 0 END) AS is_tgt
+        FROM occurrences GROUP BY doc_id, term),
+      vocab AS (
+        SELECT term,
+               CAST(SUM(tf) AS BIGINT) AS cnt_raw,
+               CAST(SUM(CASE WHEN is_tgt = 1 THEN tf ELSE 0 END) AS BIGINT) AS cnt_tgt
+        FROM terms GROUP BY term),
+      tot AS (
+        SELECT CAST(SUM(cnt_raw) AS DOUBLE) AS n_raw,
+               CAST(SUM(cnt_tgt) AS DOUBLE) AS n_tgt,
+               CAST(COUNT(*) AS DOUBLE) AS v
+        FROM vocab),
+      c AS (
+        SELECT doc_id, tf,
+               CAST(round(CAST(tf AS DOUBLE) *
+                 ln(((CAST(cnt_tgt AS DOUBLE) + 1.0) / (n_tgt + v))
+                  / ((CAST(cnt_raw AS DOUBLE) + 1.0) / (n_raw + v))), 9)
+                 AS DECIMAL(28,9)) AS c9
+        FROM terms JOIN vocab USING (term), tot),
+      scored AS (
+        SELECT doc_id, CAST(SUM(c9) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS score
+        FROM c GROUP BY doc_id),
+      u AS (
+        SELECT doc_id, score,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|dsir'), 1, 8))::BIGINT + 0.5)
+                 / 4294967296.0 AS uniform
+        FROM scored),
+      keyed AS (
+        SELECT doc_id, score,
+               round(score / 0.05, 9) + round(-ln(-ln(uniform)), 9) AS gkey
+        FROM u)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY gkey DESC, doc_id) AS INT) AS sample_rank,
+             doc_id, round(score, 6) AS score
+      FROM keyed
+      ORDER BY gkey DESC, doc_id
+      LIMIT 100"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
       c08TokenQuotaMix, c09Decontamination, c11AdaptiveThreshold,
       c12BloomDecontamination, c13QualityKeeper, c14HashSplit, c15ChunkWindows,
       c16TemperatureMix, c17KAnonymity, c18QualityEnsemble, c19SourceOverlap,
-      c20WeightedSample, c21LDiversity, c23EpochMix, c24NegativePairs)
+      c20WeightedSample, c21LDiversity, c23EpochMix, c24NegativePairs,
+      c25ImportanceResample)
 }

@@ -295,7 +295,67 @@ $rounds
       FROM acc10 ORDER BY pick"""
     })
 
+  /** kNN label-vote classification over the embedding corpus: exact top-10
+    * cosine neighbors per query (bounded TopKPairs partial agg — ≤ k pairs
+    * per map task, no scored-pair shuffle), then a neighbor_id equi-join to
+    * the label column and a per-query majority vote. Ties break by vote
+    * count desc → closest-neighbor rank asc → smaller label (total order,
+    * so the oracle selects the identical winner). The label join shuffles
+    * only k·|queries| rows against the corpus — at 100 TB that is the
+    * k-bounded side, not an all-pairs product. */
+  val s10KnnClassify = GraftQuery(
+    "s10_knn_classify",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 37 === 0)
+      val labels = table(s, dir, "embeddings")
+        .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+      val votes = Similarity.bruteForceTopK(q, e, 10)
+        .join(labels, "neighbor_id")
+        .groupBy(col("query_id"), col("n_label"))
+        .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("best_rank").asc, col("n_label").asc)
+      val pred = votes.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("query_id"), col("n_label").as("pred_label"),
+          col("votes").cast("bigint").as("votes"))
+      val truth = table(s, dir, "embeddings")
+        .select(col("vec_id").as("query_id"), col("label").as("true_label"))
+      pred.join(truth, "query_id")
+        .select(col("query_id"), col("true_label"), col("pred_label"), col("votes"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, label AS true_label
+        FROM embeddings WHERE vec_id % 37 = 0),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, label AS n_label FROM embeddings),
+      scored AS (
+        SELECT query_id, true_label, neighbor_id, n_label,
+               $duckDot / (${duckNorm("q_emb")} * ${duckNorm("c_emb")}) AS cos_raw
+        FROM c CROSS JOIN q
+        WHERE query_id <> neighbor_id),
+      ranked AS (
+        SELECT query_id, true_label, n_label,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        FROM scored),
+      votes AS (
+        SELECT query_id, true_label, n_label,
+               CAST(COUNT(*) AS BIGINT) AS votes, MIN(rank) AS best_rank
+        FROM ranked WHERE rank <= 10
+        GROUP BY query_id, true_label, n_label),
+      best AS (
+        SELECT query_id, true_label, n_label AS pred_label, votes,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY votes DESC, best_rank ASC, n_label ASC) AS r
+        FROM votes)
+      SELECT query_id, true_label, pred_label, votes
+      FROM best WHERE r = 1
+      ORDER BY query_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01BruteForceTopK, s02LshTopK, s03BruteForceTopKAgg, s04Int8Quantize,
-      s07JlProjection, s08MmrRerank)
+      s07JlProjection, s08MmrRerank, s10KnnClassify)
 }

@@ -715,9 +715,49 @@ object TextQueries {
       GROUP BY src_a, src_b
       ORDER BY src_a, src_b"""))
 
+  /** MATTR lexical diversity (Covington & McFall 2010, moving-average
+    * type-token ratio): mean distinct-fraction over every sliding 50-token
+    * window — unlike t07's GLOBAL distinct_frac, MATTR is length-invariant,
+    * the property that makes it usable as a corpus-wide quality filter.
+    * Docs shorter than the window fall back to plain TTR. Per-row
+    * higher-order functions only (transform/sequence/slice/array_distinct —
+    * all codegen'd): no shuffle, no UDF; the window-distinct sums are
+    * integers so the oracle restates the arithmetic exactly. The O(n·w)
+    * per-row cost is a constant-factor scan at any corpus size. */
+  val t18Mattr = GraftQuery(
+    "t18_mattr",
+    (s, dir) => {
+      val toks = tokens(lower(col("text")))
+      val n = size(toks)
+      val ttr = size(array_distinct(toks)).cast("double") / n.cast("double")
+      table(s, dir, "documents")
+        .select(col("doc_id"), n.as("n_tok"),
+          when(n > 0, round(ttr, 6)).as("ttr"),
+          round(mattr(toks, 50), 6).as("mattr"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(tk) AS INT) AS n_tok,
+             CASE WHEN len(tk) > 0
+                  THEN round(CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE), 6)
+             END AS ttr,
+             CASE WHEN len(tk) >= 50 THEN
+                    round(CAST(list_aggregate(list_transform(range(1, len(tk) - 48),
+                            i -> CAST(len(list_distinct(list_slice(tk, i, i + 49))) AS BIGINT)), 'sum') AS DOUBLE)
+                          / (CAST(len(tk) - 49 AS DOUBLE) * 50), 6)
+                  WHEN len(tk) > 0
+                  THEN round(CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE), 6)
+             END AS mattr
+      FROM t
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
       t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t10Bm25,
       t11UnigramXent, t12QualityClassifier, t13BigramXent, t14ZipfSlope,
-      t15Novelty, t16Blocklist, t17JsDivergence)
+      t15Novelty, t16Blocklist, t17JsDivergence, t18Mattr)
 }

@@ -375,4 +375,43 @@ class CurationSpec extends SparkSpec {
     val tiny = Seq(1L).toDF("doc_id")
     assert(Curation.negativePairs(tiny, "doc_id", k = 3, buckets = 8).count() == 0)
   }
+
+  test("importanceResample prefers target-typical docs and is layout-stable") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha", true),
+      (2L, "alpha alpha beta beta alpha", true),
+      (3L, "gamma delta gamma delta gamma", false),
+      (4L, "delta delta gamma gamma delta", false),
+      (5L, "alpha beta alpha gamma alpha", false),
+      (6L, "gamma delta delta delta gamma", false)
+    ).toDF("doc_id", "text", "tgt")
+    val scored = Curation.importanceResample(docs, "doc_id", "text",
+      col("tgt"), k = 6, temperature = 0.05)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    // docs written in target vocabulary score above raw-only docs
+    assert(scored(5L) > scored(6L), s"target-vocab doc must outscore: $scored")
+    assert(scored(1L) > scored(3L), s"$scored")
+    // k bounds the output; rank is 1..k
+    val top2 = Curation.importanceResample(docs, "doc_id", "text", col("tgt"), k = 2)
+    assert(top2.count() == 2)
+    assert(top2.select("sample_rank").as[Int].collect().sorted.sameElements(Array(1, 2)))
+    // deterministic under partition layout (scores AND selection)
+    val again = Curation.importanceResample(docs.repartition(7), "doc_id", "text",
+      col("tgt"), k = 6, temperature = 0.05)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == scored, "resample changed with partitioning")
+  }
+
+  test("importanceResample low temperature concentrates on high scores") {
+    // 30 target-ish docs vs 30 raw-only; with tau → 0 the draw must pick
+    // the score-ordered head (Gumbel noise is bounded; score/tau dominates)
+    val docs = (1L to 30L).map(i => (i, "alpha beta alpha beta", i <= 15)) ++
+      (31L to 60L).map(i => (i, "gamma delta gamma delta", false))
+    val df = docs.toDF("doc_id", "text", "tgt")
+    val picked = Curation.importanceResample(df, "doc_id", "text", col("tgt"),
+      k = 10, temperature = 1e-6)
+      .select("doc_id").as[Long].collect().toSet
+    // all 10 winners come from the 30 alpha/beta docs (strictly higher score)
+    assert(picked.forall(_ <= 30L), s"low-tau draw leaked low-score docs: $picked")
+  }
 }

@@ -154,4 +154,38 @@ class SimilaritySpec extends SparkSpec {
       .orderBy(col("pick")).select("id").as[Long].collect().toSeq
     assert(picks == Seq(1L, 2L), s"k beyond candidates must stop early: $picks")
   }
+
+  test("s10 kNN classify: one prediction per query, votes bounded, labels real") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.SimilarityQueries.s10KnnClassify.run(spark, dir).collect()
+    val nq = graft.Graft.table(spark, dir, "embeddings")
+      .filter(col("vec_id") % 37 === 0).count()
+    assert(out.length == nq, s"one row per query expected: ${out.length} vs $nq")
+    val labels = graft.Graft.table(spark, dir, "embeddings")
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    out.foreach { r =>
+      val votes = r.getAs[Long]("votes")
+      assert(votes >= 1L && votes <= 10L, s"votes out of range: $votes")
+      assert(labels.contains(r.getAs[Int]("pred_label")), "pred must be a corpus label")
+    }
+    // majority vote can never be beaten by an unreported label with more votes:
+    // re-derive votes for one query and check the winner matches
+    val q0 = out.head.getAs[Long]("query_id")
+    val knn = Similarity.bruteForceTopK(
+      graft.Graft.table(spark, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding")).filter(col("id") === q0),
+      graft.Graft.table(spark, dir, "embeddings").select(col("vec_id").as("id"), col("embedding")),
+      10)
+    val nbrLabels = knn.join(
+        graft.Graft.table(spark, dir, "embeddings")
+          .select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .select("label").collect().map(_.getInt(0))
+    val tally = nbrLabels.groupBy(identity).map { case (l, xs) => (l, xs.length) }
+    val maxVotes = tally.values.max
+    val expected = tally.filter(_._2 == maxVotes).keys.toSeq
+    val got = out.find(_.getAs[Long]("query_id") == q0).get
+    assert(expected.contains(got.getAs[Int]("pred_label")),
+      s"winner ${got.getAs[Int]("pred_label")} not among max-vote labels $expected")
+    assert(got.getAs[Long]("votes") == maxVotes.toLong)
+  }
 }

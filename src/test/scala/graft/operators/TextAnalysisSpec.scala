@@ -331,4 +331,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("mattr: short docs fall back to TTR; repetition drives it down") {
+    val docs = Seq(
+      (1L, "a b c d e"),                       // 5 distinct / 5 => 1.0
+      (2L, "a a a a a"),                       // 1 distinct / 5 => 0.2
+      (3L, ""),                                 // empty => null
+      (4L, ((1 to 60).map(i => s"w$i")).mkString(" ")),   // all-distinct long doc
+      (5L, Array.fill(60)("x").mkString(" "))  // fully repeated long doc
+    ).toDF("doc_id", "text")
+    val m = docs.select(col("doc_id"),
+        TextAnalysis.mattr(TextAnalysis.tokens(col("text")), 50).as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(m(1L) == Some(1.0))
+    assert(m(2L) == Some(0.2))
+    assert(m(3L) == None)
+    assert(m(4L) == Some(1.0))       // every 50-window of distinct words is 50/50
+    assert(m(5L) == Some(1.0 / 50))  // every 50-window has 1 distinct token
+  }
+
+  test("mattr is length-invariant where global TTR is not") {
+    // same local diversity, 10x the length: global TTR collapses, MATTR holds
+    val unit = (1 to 25).map(i => s"w$i").mkString(" ")
+    val short = unit + " " + unit
+    val long = Array.fill(20)(unit).mkString(" ")
+    val df = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+        TextAnalysis.mattr(TextAnalysis.tokens(col("text")), 50).as("m"),
+        (size(array_distinct(TextAnalysis.tokens(col("text")))).cast("double")
+          / size(TextAnalysis.tokens(col("text"))).cast("double")).as("ttr"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val (mShort, ttrShort) = rows(1L)
+    val (mLong, ttrLong) = rows(2L)
+    assert(math.abs(mShort - mLong) < 0.02, s"MATTR drifted: $mShort vs $mLong")
+    assert(ttrShort / ttrLong > 5.0, s"TTR should collapse with length: $ttrShort vs $ttrLong")
+  }
 }
