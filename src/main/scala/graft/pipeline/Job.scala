@@ -105,6 +105,10 @@ object Job {
           Silver.refreshIncremental(lake, "silver_video_metadata_scd2", since)
           Silver.refreshIncremental(lake, "silver_videos", since)
           Silver.refreshIncremental(lake, "fact_channel_daily_metrics", since)
+          // dims last: the observed-value dims merge from fresh bronze; the
+          // calendar dim unions dates observed in the fresh partitions
+          Seq("dim_traffic_source", "dim_device", "dim_country", "dim_date")
+            .foreach(n => Silver.refreshIncremental(lake, n, since))
           Silver.refreshParallel(lake,
             Some(Silver.models.map(_.name).toSet -- Silver.incrementalModels))
         case None =>

@@ -185,6 +185,8 @@ object Silver {
       case "silver_video_metadata_scd2"  => refreshScd2Incremental(lake, sinceSnapshot)
       case "silver_videos"               => refreshVideosIncremental(lake, sinceSnapshot)
       case "fact_channel_daily_metrics"  => refreshChannelFactIncremental(lake, sinceSnapshot)
+      case "dim_traffic_source" | "dim_device" | "dim_country" | "dim_date" =>
+        refreshDimIncremental(lake, name, sinceSnapshot)
       case _ =>
         val spec = latestWinsSpecs(name)
         // OCC transaction: the standing table is the conflict-checked
@@ -204,7 +206,8 @@ object Silver {
     * first (Job does). */
   val incrementalModels: Set[String] =
     latestWinsSpecs.keySet ++
-      Set("silver_video_metadata_scd2", "silver_videos", "fact_channel_daily_metrics")
+      Set("silver_video_metadata_scd2", "silver_videos", "fact_channel_daily_metrics",
+        "dim_traffic_source", "dim_device", "dim_country", "dim_date")
 
   /** The SCD2 observation log: every (video, ingest) observation with its
     * metadata fields, change hash, and envelope — `scd2Typed(videos_raw)`
@@ -498,6 +501,65 @@ object Silver {
     }
   }
 
+  /** Incremental dim refresh. The observed-value dims are latest-wins on
+    * the dim value, so they merge exactly like the latest-wins facts
+    * (projection commutes with latest-wins because the recency-order
+    * columns survive it, and latestWins(latestWins(A) ∪ fresh) ==
+    * latestWins(A ∪ fresh)). dim_date only ever GAINS dates (latest-wins
+    * never drops a grain group), and every fact date descends from some
+    * bronze row — so the standing calendar unions with the dates observed
+    * in the new bronze partitions. Refresh cost scales with new data; the
+    * standing tables are read but never recomputed. */
+  def refreshDimIncremental(lake: Lakehouse, name: String,
+      sinceSnapshot: java.sql.Date): Unit = {
+    val since = lit(sinceSnapshot)
+    def freshBronze(tbl: String): DataFrame =
+      lake.table("bronze", tbl).filter(col("snapshot_date") >= since)
+    name match {
+      case "dim_traffic_source" =>
+        lake.transactMerge("silver", name) { existing =>
+          val fresh = observedDimTyped(freshBronze("analytics_video_traffic_source_daily_raw"),
+              "insightTrafficSourceType", "source_id")
+            .select(col("source_id") +: col("source_id").as("source_name") +:
+              envelopeCols.map(col): _*)
+          latestWins(existing.unionByName(fresh), Seq("source_id"))
+        }
+      case "dim_device" =>
+        lake.transactMerge("silver", name) { existing =>
+          val fresh = observedDimTyped(freshBronze("analytics_video_device_daily_raw"),
+              "deviceType", "device_type")
+            .select(col("device_type") +: col("device_type").as("device_name") +:
+              envelopeCols.map(col): _*)
+          latestWins(existing.unionByName(fresh), Seq("device_type"))
+        }
+      case "dim_country" =>
+        lake.transactMerge("silver", name) { existing =>
+          val fresh = countryEnrich(
+            latestWins(observedDimTyped(freshBronze("analytics_video_country_daily_raw"),
+              "country", "country_code"), Seq("country_code")), lake)
+          latestWins(existing.unionByName(fresh), Seq("country_code"))
+        }
+      case "dim_date" =>
+        lake.transactMerge("silver", "dim_date") { existing =>
+          val videoDates = Seq("fact_video_daily_metrics", "fact_video_traffic_source_metrics",
+              "fact_video_country_metrics", "fact_video_device_metrics")
+            .map { f =>
+              val spec = latestWinsSpecs(f)
+              spec.typed(freshBronze(spec.bronzeTable)).select(col("date"))
+            }
+          val channelDates = channelDailyTyped(
+              freshBronze("analytics_channel_daily_raw"), currentChannelFrame(lake))
+            .select(col("date"))
+          val freshDates = (videoDates :+ channelDates).reduce(_ union _)
+            .filter(col("date").isNotNull).distinct()
+          existing.unionByName(dateAttrs(freshDates)).distinct()
+        }
+      case other =>
+        throw new IllegalArgumentException(s"not an incrementally-refreshable dim: $other")
+    }
+    ()
+  }
+
   /** reference `:445-512`. Grain: (video_id, date). */
   val factVideoDailyMetrics: Model = Model("fact_video_daily_metrics", Nil, lake =>
     latestWins(videoDailyTyped(lake.table("bronze", "analytics_video_daily_raw")),
@@ -524,57 +586,65 @@ object Silver {
 
   /** Shared shape of the observed-value dims (reference `:787-841,903-957`):
     * distinct uppercased dim values, latest-wins per value. */
+  private def observedDimTyped(raw: DataFrame, headerName: String, dimCol: String): DataFrame =
+    parseReport(raw)
+      .select(
+        upper(bind(headerName)).as(dimCol),
+        col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
+        col("schema_version"))
+      .filter(col(dimCol).isNotNull && col(dimCol) =!= "")
+
   private def observedDim(rawTable: String, headerName: String, dimCol: String): Lakehouse => DataFrame =
-    lake => {
-      val typed = parseReport(lake.table("bronze", rawTable))
-        .select(
-          upper(bind(headerName)).as(dimCol),
-          col("snapshot_date"), col("ingest_ts_utc"), col("request_id"), col("run_id"),
-          col("schema_version"))
-        .filter(col(dimCol).isNotNull && col(dimCol) =!= "")
-      latestWins(typed, Seq(dimCol))
-    }
+    lake => latestWins(
+      observedDimTyped(lake.table("bronze", rawTable), headerName, dimCol), Seq(dimCol))
 
   val dimTrafficSource: Model = Model("dim_traffic_source", Nil, lake =>
     observedDim("analytics_video_traffic_source_daily_raw", "insightTrafficSourceType", "source_id")(lake)
       .select(col("source_id") +: col("source_id").as("source_name") +: envelopeCols.map(col): _*))
 
-  /** reference `:844-901`: observed countries enriched from the static ISO
-    * reference (broadcast — 249 rows). */
-  val dimCountry: Model = Model("dim_country", Seq("dim_country_reference"), lake => {
-    val observed = observedDim("analytics_video_country_daily_raw", "country", "country_code")(lake)
+  /** ISO-reference enrich shared by the full dim_country build and its
+    * incremental merge (broadcast — 249 rows). */
+  private def countryEnrich(observed: DataFrame, lake: Lakehouse): DataFrame = {
     val ref = lake.table("silver", "dim_country_reference")
       .select(col("country_code"), col("country_name").as("ref_country_name"))
     observed.join(broadcast(ref), Seq("country_code"), "left")
       .select(col("country_code") +:
         coalesce(col("ref_country_name"), col("country_code")).as("country_name") +:
         envelopeCols.map(col): _*)
-  })
+  }
+
+  /** reference `:844-901`: observed countries enriched from the static ISO
+    * reference. */
+  val dimCountry: Model = Model("dim_country", Seq("dim_country_reference"), lake =>
+    countryEnrich(
+      observedDim("analytics_video_country_daily_raw", "country", "country_code")(lake), lake))
 
   val dimDevice: Model = Model("dim_device", Nil, lake =>
     observedDim("analytics_video_device_daily_raw", "deviceType", "device_type")(lake)
       .select(col("device_type") +: col("device_type").as("device_name") +: envelopeCols.map(col): _*))
 
+  /** Calendar attributes — every column a pure function of `date`, so a
+    * distinct() over derived rows equals a distinct over the dates. */
+  private def dateAttrs(dates: DataFrame): DataFrame =
+    dates.select(
+      col("date"),
+      year(col("date")).as("year"),
+      month(col("date")).as("month"),
+      dayofmonth(col("date")).as("day_of_month"),
+      dayofweek(col("date")).as("day_of_week"),
+      dayofweek(col("date")).isin(1, 7).as("is_weekend"))
+
+  private val factTables = Seq("fact_channel_daily_metrics", "fact_video_daily_metrics",
+    "fact_video_traffic_source_metrics", "fact_video_country_metrics",
+    "fact_video_device_metrics")
+
   /** reference `:960-983`: calendar dim from the union of fact dates. */
-  val dimDate: Model = Model("dim_date",
-    Seq("fact_channel_daily_metrics", "fact_video_daily_metrics",
-      "fact_video_traffic_source_metrics", "fact_video_country_metrics",
-      "fact_video_device_metrics"),
-    lake => {
-      val dates = Seq("fact_channel_daily_metrics", "fact_video_daily_metrics",
-        "fact_video_traffic_source_metrics", "fact_video_country_metrics",
-        "fact_video_device_metrics")
+  val dimDate: Model = Model("dim_date", factTables,
+    lake => dateAttrs(
+      factTables
         .map(t => lake.table("silver", t).select(col("date")).filter(col("date").isNotNull))
         .reduce(_ union _)
-        .distinct()
-      dates.select(
-        col("date"),
-        year(col("date")).as("year"),
-        month(col("date")).as("month"),
-        dayofmonth(col("date")).as("day_of_month"),
-        dayofweek(col("date")).as("day_of_week"),
-        dayofweek(col("date")).isin(1, 7).as("is_weekend"))
-    })
+        .distinct()))
 
   /** All 14 silver models. */
   val models: Seq[Model] = Seq(

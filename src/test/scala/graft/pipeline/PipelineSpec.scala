@@ -440,4 +440,49 @@ class PipelineSpec extends SparkSpec {
       assert(Checks.latestRunSuccess.run(lake).isEmpty)
     }
   }
+
+  test("dims incremental merge equals full recompute (new values and dates)") {
+    refreshed
+    // run 5 lands one new value per observed dim and one new calendar date
+    val ctx5 = Bronze.RunContext("run5", "req5", d("2025-06-05"), ts("2025-06-05 10:00:00"))
+    Bronze.ingest(lake, ctx5, _ => Map(
+      "analytics_video_traffic_source_daily_raw" -> Seq(report(
+        Seq(dim("video"), dim("day"), dim("insightTrafficSourceType"), met("views")),
+        Seq(Seq("V1", "2025-06-04", "ext_url", "2")))),
+      "analytics_video_device_daily_raw" -> Seq(report(
+        Seq(dim("video"), dim("day"), dim("deviceType"), met("views")),
+        Seq(Seq("V2", "2025-06-04", "tablet", "1")))),
+      "analytics_video_country_daily_raw" -> Seq(report(
+        Seq(dim("video"), dim("day"), dim("country"), met("views")),
+        Seq(Seq("V1", "2025-06-04", "de", "3")))),
+      "analytics_video_daily_raw" -> Seq(report(vidHeaders, Seq(
+        Seq("V1", "2025-06-04", "4", "1", "0", "2", "30.0")))),
+      "analytics_channel_daily_raw" -> Seq(report(chHeaders, Seq(
+        Seq("2025-06-04", "25", "5", "2", "12", "4", "0"))))))
+    Bronze.finalizeRun(lake, "run5", "success", ts("2025-06-05 10:05:00"))
+    val since = d("2025-06-05")
+    // facts first (Job order: dims read the merged facts' bronze frontier)
+    Silver.latestWinsSpecs.keys.foreach(n => Silver.refreshIncremental(lake, n, since))
+    Silver.refreshIncremental(lake, "fact_channel_daily_metrics", since)
+    val dims = Seq("dim_traffic_source", "dim_device", "dim_country", "dim_date")
+    dims.foreach(n => Silver.refreshIncremental(lake, n, since))
+    val inc = dims.map(t =>
+      t -> lake.table("silver", t).collect().map(_.toString).sorted.toSeq).toMap
+    // merged-in values are present, enriched, and unique at the dim grain
+    assert(lake.table("silver", "dim_traffic_source")
+      .filter(col("source_id") === "EXT_URL").count() == 1)
+    assert(lake.table("silver", "dim_device")
+      .filter(col("device_type") === "TABLET").count() == 1)
+    val de = lake.table("silver", "dim_country")
+      .filter(col("country_code") === "DE").collect()
+    assert(de.length == 1 && de.head.getAs[String]("country_name") == "Germany",
+      s"expected enriched DE row, got ${de.toSeq}")
+    assert(lake.table("silver", "dim_date")
+      .filter(col("date") === lit(d("2025-06-04"))).count() == 1)
+    // identical to a full recompute over all bronze history
+    Silver.refresh(lake, Some(dims.toSet))
+    val full = dims.map(t =>
+      t -> lake.table("silver", t).collect().map(_.toString).sorted.toSeq).toMap
+    assert(inc == full, "dims incremental != full recompute")
+  }
 }
