@@ -599,6 +599,15 @@ object Clustering {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         est.cast("double").as("est_d2"))
+    rankAdc(scored, queries, corpus, k, rerank, idCol, embCol)
+  }
+
+  /** Shared ADC ranking tail: top-k by estimated d² (ASC, neighbor ASC),
+    * optionally refined by exact-scoring a `rerank`-sized shortlist against
+    * the original vectors (shortlist broadcast into one corpus scan — the
+    * corpus never shuffles). `scored`: (query_id, neighbor_id, est_d2). */
+  private def rankAdc(scored: DataFrame, queries: DataFrame, corpus: DataFrame,
+      k: Int, rerank: Int, idCol: String, embCol: String): DataFrame = {
     // top-k by distance ASC == TopKPairs score DESC on the negated estimate
     val negScored =
       scored.select(col("query_id"), col("neighbor_id"), (-col("est_d2")).as("cosine"))
@@ -626,6 +635,90 @@ object Clustering {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           (-col("cosine")).as("pq_dist2"))
     }
+  }
+
+  /** IVFPQ / IVFADC (Jégou, Douze & Schmid 2011 — the FAISS `IVFx,PQy`
+    * layout, non-residual variant): the coarse IVF cells restrict WHICH
+    * code rows the ADC scan estimates, and PQ codes decide HOW each is
+    * estimated — the composition that serves ANN from RAM at 100 TB
+    * (codes ≈ 8 B/vector, scan cost ≈ nprobe/√n of the corpus instead of
+    * all of it).
+    *
+    * Plan: both codebooks are the same ~√n seed set (broadcast); the query
+    * side computes its nprobe probe cells and per-subspace distance maps
+    * (bounded TopKPairs + one collect_list agg — query-sized); the
+    * at-rest code table carries its coarse cell_id, so candidate
+    * restriction is ONE broadcast equi-join on cell_id (at rest the codes
+    * are partitioned by cell_id, turning the join into partition pruning);
+    * the estimate is numSub map lookups per candidate row and the bounded
+    * top-k keeps k. The corpus data never shuffles at any step. Exact
+    * rerank refines the shortlist exactly as [[pqTopKFromCodes]].
+    *
+    * Determinism: per-subspace distances round to 9 decimals and sum as
+    * DECIMAL (t11 discipline); ranks tie-break (dist ASC, neighbor ASC).
+    * Output: (query_id, rank, neighbor_id, pq_dist2). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+      numSub: Int, subDim: Int, rerank: Int = 0,
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val cells = materializedCells(corpus, idCol, embCol)
+    val assign = assignCells(corpus, idCol, embCol, cells)
+    val codes = pqCodes(corpus, idCol, embCol, cells, numSub, subDim)
+    ivfPqTopKFromIndex(queries, corpus, cells, assign, codes,
+      k, nprobe, numSub, subDim, rerank, idCol, embCol)
+  }
+
+  /** [[ivfPqTopK]] probing PREBUILT at-rest artifacts (`cells` codebook,
+    * `assign` cell membership, `codes` PQ code table). */
+  def ivfPqTopKFromIndex(queries: DataFrame, corpus: DataFrame,
+      cells: DataFrame, assign: DataFrame, codes: DataFrame,
+      k: Int, nprobe: Int, numSub: Int, subDim: Int, rerank: Int = 0,
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1 && nprobe >= 1 && numSub >= 1 && subDim >= 1,
+      s"bad k=$k nprobe=$nprobe numSub=$numSub subDim=$subDim")
+    require(rerank == 0 || rerank >= k, s"rerank must be 0 or >= k, got $rerank")
+
+    // query → nprobe nearest coarse cells (bounded TopKPairs, nprobe per query)
+    val qScored = queries
+      .select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"),
+        Similarity.l2Norm(col(embCol)).as("q_norm"))
+      .join(broadcast(cells))
+      .select(col("query_id"),
+        (Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+          .as("cos"),
+        col("cell_id"))
+    val probeAgg = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.TopKPairs(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("cos")),
+        org.apache.spark.sql.graft.ColumnShim.expression(col("cell_id")),
+        nprobe).toAggregateExpression())
+    val probes = qScored.groupBy(col("query_id")).agg(probeAgg.as("cells"))
+      .select(col("query_id"), explode(col("cells").getField("id")).as("cell_id"))
+
+    // per-query per-subspace (codebook entry → distance) maps — query-sized
+    val qd = queries
+      .select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"))
+      .join(broadcast(cells.select(col("cell_id"), col("c_emb"))))
+      .select(col("query_id") +: col("cell_id") +: (0 until numSub).map(m =>
+        round(subDist2(col("q_emb"), col("c_emb"), m, subDim), 9)
+          .cast(DecimalType(28, 9)).as(s"qd_$m")): _*)
+    val qMaps = qd.groupBy(col("query_id")).agg(
+      map_from_entries(collect_list(struct(col("cell_id"), col("qd_0")))).as("qm_0"),
+      (1 until numSub).map(m =>
+        map_from_entries(collect_list(struct(col("cell_id"), col(s"qd_$m")))).as(s"qm_$m")): _*)
+
+    // candidate restriction: code rows of probed cells only — the at-rest
+    // code table keyed by cell_id meets the broadcast (query, cell) probes
+    val codesCell = codes.join(assign.select(col("vec_id"), col("cell_id")), "vec_id")
+    val est = (0 until numSub)
+      .map(m => element_at(col(s"qm_$m"), col(s"code_$m")))
+      .reduce(_ + _)
+    val scored = codesCell
+      .join(broadcast(probes.join(qMaps, "query_id")), "cell_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        est.cast("double").as("est_d2"))
+    rankAdc(scored, queries, corpus, k, rerank, idCol, embCol)
   }
 
   /** Cluster-balanced (diversity-preserving) selection: at most `perCell`

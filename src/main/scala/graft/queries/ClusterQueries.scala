@@ -464,7 +464,98 @@ object ClusterQueries {
       FROM ranked WHERE pick_rank <= 8
       ORDER BY cell_id, pick_rank"""))
 
+  /** IVFPQ / IVFADC (Jégou et al. 2011 — the FAISS `IVFx,PQy` layout,
+    * non-residual): coarse IVF cells restrict WHICH code rows the ADC scan
+    * estimates (nprobe/√n of the corpus), PQ codes decide HOW (numSub map
+    * lookups per row, ~8 B/vector at rest) — the composition that serves
+    * ANN from RAM at 100 TB. Same query set/shape as s05/s06 so the
+    * recall/cost tradeoff reads straight across; exact rerank refines the
+    * shortlist as in s06. The oracle replays seed cells, assignment,
+    * probes, codes, the DECIMAL-summed ADC estimate, and the rerank. */
+  val s11IvfPqTopK = GraftQuery(
+    "s11_ivfpq_topk",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      Clustering.ivfPqTopK(q, e, 5, NProbe, NumSub, SubDim, rerank = PqRerank)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("pq_dist2"), 6).as("pq_dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $duckCellCtes,
+      probes AS (
+        SELECT vec_id AS query_id, cell_id
+        FROM (SELECT vec_id, cell_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell_id ASC) AS rn
+              FROM cell_scored WHERE vec_id % 50 = 0) z
+        WHERE rn <= $NProbe),
+      sub AS (SELECT unnest(range(0, $NumSub)) AS m),
+      vd AS (
+        SELECT v.vec_id, s.m, c.cell_id,
+               ${duckSubDist2("v.embedding", "c.c_emb")} AS d2
+        FROM embeddings v CROSS JOIN cents c CROSS JOIN sub s),
+      codes AS (
+        SELECT vec_id, m, cell_id AS code
+        FROM (SELECT vec_id, m, cell_id,
+                     row_number() OVER (PARTITION BY vec_id, m
+                       ORDER BY d2 ASC, cell_id ASC) AS rn
+              FROM vd) z
+        WHERE rn = 1),
+      qd AS (
+        SELECT q.vec_id AS query_id, s.m, c.cell_id,
+               CAST(round(${duckSubDist2("q.embedding", "c.c_emb")}, 9)
+                 AS DECIMAL(28,9)) AS d9
+        FROM embeddings q CROSS JOIN cents c CROSS JOIN sub s
+        WHERE q.vec_id % 50 = 0),
+      est AS (
+        SELECT qd.query_id, cd.vec_id AS neighbor_id,
+               CAST(SUM(qd.d9) AS DOUBLE) AS est_d2
+        FROM codes cd
+        JOIN assign a ON cd.vec_id = a.vec_id
+        JOIN probes p ON a.cell_id = p.cell_id
+        JOIN qd ON qd.query_id = p.query_id AND cd.m = qd.m AND cd.code = qd.cell_id
+        WHERE cd.vec_id <> qd.query_id
+        GROUP BY qd.query_id, cd.vec_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, est_d2,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY est_d2 ASC, neighbor_id ASC) AS rank
+        FROM est),
+      short AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $PqRerank),
+      rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               (${duckFullDot("q.embedding", "q.embedding")}
+                + ${duckFullDot("v.embedding", "v.embedding")}
+                - 2.0 * ${duckFullDot("q.embedding", "v.embedding")}) AS d2
+        FROM short s
+        JOIN embeddings q ON s.query_id = q.vec_id
+        JOIN embeddings v ON s.neighbor_id = v.vec_id),
+      rranked AS (
+        SELECT query_id, neighbor_id, d2,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY d2 ASC, neighbor_id ASC) AS rank
+        FROM rr)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+             round(d2, 6) AS pq_dist2
+      FROM rranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""),
+    bench = true,
+    benchRun = Some((s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      val (cells, assign) = BenchIndex.ivf(s, dir)
+      val (_, codes) = BenchIndex.pq(s, dir, NumSub, SubDim)
+      Clustering.ivfPqTopKFromIndex(q, e, cells, assign, codes,
+          5, NProbe, NumSub, SubDim, rerank = PqRerank)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("pq_dist2"), 6).as("pq_dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    }))
+
   val all: Seq[GraftQuery] = Seq(
     s05IvfTopK, d08SemanticDedup, c10CellProfile, s06PqTopK, c22DiverseSample,
-    s09TwoLevelIvf)
+    s09TwoLevelIvf, s11IvfPqTopK)
 }

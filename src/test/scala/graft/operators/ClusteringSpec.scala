@@ -347,4 +347,33 @@ class ClusteringSpec extends SparkSpec {
       .select("cell_id").as[Long].collect().sorted
     assert(gated.sameElements(direct))
   }
+
+  test("IVFPQ: at-rest probe equals inline build; rerank recall meets the floor") {
+    val q = sf0001.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val c = sf0001.select(col("vec_id").as("id"), col("embedding"))
+    import graft.queries.ClusterQueries.{NProbe, NumSub, SubDim, PqRerank}
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getAs[Long](0), r.getAs[Any](1).toString, r.getAs[Long](2))).toSet
+    val inline = Clustering.ivfPqTopK(q, c, 5, NProbe, NumSub, SubDim, rerank = PqRerank)
+    // from-index with the same (deterministically rebuilt) artifacts
+    val cells = Clustering.materializedCells(c, "id", "embedding")
+    val assign = Clustering.assignCells(c, "id", "embedding", cells)
+    val codes = Clustering.pqCodes(c, "id", "embedding", cells, NumSub, SubDim)
+    val atRest = Clustering.ivfPqTopKFromIndex(q, c, cells, assign, codes,
+      5, NProbe, NumSub, SubDim, rerank = PqRerank)
+    assert(rows(inline) == rows(atRest), "at-rest probe diverged from inline build")
+    // recall floor: measured 0.54 at sf0.001 / 0.74 at sf0.01 (bounded by
+    // the IVF candidate restriction; rerank recovers the PQ estimate loss)
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = sets(Similarity.bruteForceTopK(q, c, 5))
+    val got = sets(inline)
+    val recall = exact.map { case (qid, ex) =>
+      got.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    assert(recall >= 0.4, f"IVFPQ recall@5 = $recall%.2f below floor")
+  }
 }
