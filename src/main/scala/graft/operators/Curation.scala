@@ -364,7 +364,12 @@ object Curation {
       /** optional hashed-classifier gate: keep docs whose t12 linear score
         * exceeds this milli-threshold (None = stage off — default keeps the
         * historical 5-stage funnel shape and every existing oracle). */
-      classifierMinScoreMilli: Option[Long] = None): Seq[(String, DataFrame)] = {
+      classifierMinScoreMilli: Option[Long] = None,
+      /** optional DSIR stage ((isTarget predicate, k)): after the quality
+        * gates, keep only the k docs [[importanceResample]] draws toward
+        * the target distribution — budget-driven target-conditioned
+        * selection as a funnel stage (None = stage off). */
+      dsirTarget: Option[(Column, Int)] = None): Seq[(String, DataFrame)] = {
     val toks = TextAnalysis.tokens(col("text"))
     val keepers = docs
       .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -389,7 +394,20 @@ object Curation {
           s3.filter(TextAnalysis.hashedLinearScoreMilli(toks) > minScore))
       case None => heuristic
     }
-    gated :+ ("weighted_mix" -> weightedMix(gated.last._2, "lang", "doc_id", weights))
+    val resampled = dsirTarget match {
+      case Some((isTarget, k)) =>
+        // the selection is computed over the gate survivors (scores against
+        // the POST-quality raw distribution — the DSIR paper's setting) and
+        // applied as a semi-join, so stage rows keep the document schema
+        gated :+ ("importance_resample" ->
+          gated.last._2.join(
+            importanceResample(gated.last._2, "doc_id", "text", isTarget, k)
+              .select(col("doc_id")),
+            Seq("doc_id"), "left_semi"))
+      case None => gated
+    }
+    resampled :+
+      ("weighted_mix" -> weightedMix(resampled.last._2, "lang", "doc_id", weights))
   }
 
   /** Per-stage (stage_idx, stage, docs, tokens) attrition rows for a funnel

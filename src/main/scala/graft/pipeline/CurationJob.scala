@@ -44,20 +44,22 @@ object CurationJob {
       packBudget: Int = 512,
       packShards: Int = 8,
       classifierMinScoreMilli: Option[Long] = None,
+      dsirTarget: Option[(org.apache.spark.sql.Column, Int)] = None,
       now: Timestamp = new Timestamp(System.currentTimeMillis()),
       runId: String = UUID.randomUUID().toString): CurationReport = {
 
     val snapshot = Date.valueOf(now.toLocalDateTime.toLocalDate)
     val ctx = Bronze.RunContext(runId, UUID.randomUUID().toString, snapshot, now)
     Bronze.logRunStart(lake, ctx,
-      s"""{"mode":"curation","min_jaccard":$minJaccard,"pack_budget":$packBudget,"classifier_gate":${classifierMinScoreMilli.isDefined}}""")
+      s"""{"mode":"curation","min_jaccard":$minJaccard,"pack_budget":$packBudget,"classifier_gate":${classifierMinScoreMilli.isDefined},"dsir_gate":${dsirTarget.isDefined}}""")
 
     var status = "success"
     var failure: Option[Throwable] = None
     var funnel: Seq[(String, Long, Long)] = Seq.empty
     try {
       val stages = Curation.curationFunnel(docs, weights, minJaccard,
-        qualityMinDistinctFrac, qualityMaxTopBigramFrac, classifierMinScoreMilli)
+        qualityMinDistinctFrac, qualityMaxTopBigramFrac, classifierMinScoreMilli,
+        dsirTarget)
 
       // Two actions read the funnel (the survivor materialization and the
       // stats write); persisting the intermediate stages keeps the

@@ -414,4 +414,28 @@ class CurationSpec extends SparkSpec {
     // all 10 winners come from the 30 alpha/beta docs (strictly higher score)
     assert(picked.forall(_ <= 30L), s"low-tau draw leaked low-score docs: $picked")
   }
+
+  test("curationFunnel optional DSIR stage bounds the budget and matches a direct draw") {
+    val docs = ((1L to 40L).map(i => (i, s"alpha beta alpha w$i", "en")) ++
+      (41L to 80L).map(i => (i, s"gamma delta gamma w$i", "en"))).toDF("doc_id", "text", "lang")
+    val isTgt = col("doc_id") <= 20L  // target = a subset of the alpha/beta docs
+    val stages = Curation.curationFunnel(docs, Seq("en" -> 1.0), minJaccard = 0.99,
+      minDistinctFrac = 0.0, maxTopBigramFrac = 1.0,
+      dsirTarget = Some((isTgt, 25)))
+    val names = stages.map(_._1)
+    assert(names.contains("importance_resample"), names.toString)
+    assert(names.last == "weighted_mix")
+    val prev = stages(names.indexOf("importance_resample") - 1)._2
+    val stage = stages(names.indexOf("importance_resample"))._2
+    val stageIds = stage.select("doc_id").as[Long].collect().toSet
+    assert(stageIds.size <= 25, s"budget exceeded: ${stageIds.size}")
+    val prevIds = prev.select("doc_id").as[Long].collect().toSet
+    assert(stageIds.subsetOf(prevIds), "stage must be a subset of its input")
+    // matches a direct draw over the same input
+    val direct = Curation.importanceResample(prev, "doc_id", "text", isTgt, 25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(stageIds == direct, "funnel stage diverged from direct importanceResample")
+    // stage rows keep the document schema (semi-join, not projection)
+    assert(stage.columns.toSeq == docs.columns.toSeq)
+  }
 }
