@@ -623,7 +623,7 @@ object Clustering {
         col(embCol).as("q_emb2"))
       val shortlist = Similarity.topKByCosine(negScored, rerank)
         .select(col("query_id"), col("neighbor_id"))
-        .join(qv, "query_id")
+        .join(broadcast(qv), "query_id")
       val exact = corpus
         .select(col(idCol).cast("bigint").as("neighbor_id"), col(embCol).as("c_emb2"))
         .join(broadcast(shortlist), "neighbor_id")
@@ -708,13 +708,18 @@ object Clustering {
         map_from_entries(collect_list(struct(col("cell_id"), col(s"qd_$m")))).as(s"qm_$m")): _*)
 
     // candidate restriction: code rows of probed cells only — the at-rest
-    // code table keyed by cell_id meets the broadcast (query, cell) probes
-    val codesCell = codes.join(assign.select(col("vec_id"), col("cell_id")), "vec_id")
+    // code table keyed by cell_id meets the broadcast (query, cell) probes.
+    // A `codes` frame already carrying cell_id (the deployment layout —
+    // codes are WRITTEN partitioned by their coarse cell) skips the
+    // build-time corpus-sized codes⋈assign join entirely.
+    val codesCell =
+      if (codes.columns.contains("cell_id")) codes
+      else codes.join(assign.select(col("vec_id"), col("cell_id")), "vec_id")
     val est = (0 until numSub)
       .map(m => element_at(col(s"qm_$m"), col(s"code_$m")))
       .reduce(_ + _)
     val scored = codesCell
-      .join(broadcast(probes.join(qMaps, "query_id")), "cell_id")
+      .join(broadcast(probes.join(broadcast(qMaps), "query_id")), "cell_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         est.cast("double").as("est_d2"))

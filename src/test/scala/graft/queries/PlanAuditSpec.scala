@@ -493,4 +493,40 @@ class PlanAuditSpec extends SparkSpec {
       assert(!s.contains("Exchange"), s) // items land partition-local
     } finally graft.sources.RestClientRegistry.unregister(key)
   }
+
+  test("t18 MATTR: single scan, no shuffle beyond the output sort, codegen'd HOFs") {
+    val sp = simplePlan(q("t18_mattr"))
+    // per-row expression work only: the sole exchange is the final ORDER BY range
+    assert("Exchange".r.findAllIn(sp).length <= 1, sp)
+    assert(!sp.contains("SortMergeJoin") && !sp.contains("BroadcastHashJoin"), sp)
+  }
+
+  test("c25 DSIR: vocab and totals broadcast back; the token stream shuffles once") {
+    val sp = simplePlan(q("c25_importance_resample"))
+    assert(sp.contains("BroadcastHashJoin"), sp)
+    assert(!sp.contains("SortMergeJoin"), sp)
+    // TakeOrdered for the Gumbel top-k — never a global sort of all docs
+    assert(sp.contains("TakeOrderedAndProject"), sp)
+  }
+
+  test("s11 IVFPQ at-rest probe: broadcasts only — the code table never sort-merges") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Clustering
+    import graft.queries.ClusterQueries.{NProbe, NumSub, SubDim, PqRerank}
+    val e = graft.Graft.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val qs = e.filter(col("id") % 50 === 0)
+    val cells = Clustering.materializedCells(e, "id", "embedding")
+    val assign = Clustering.assignCells(e, "id", "embedding", cells)
+    // deployment layout: codes WRITTEN carrying their coarse cell — the
+    // probe plan must then contain no corpus-sized sort-merge join at all
+    val codesCell = Clustering.pqCodes(e, "id", "embedding", cells, NumSub, SubDim)
+      .join(assign.select(col("vec_id"), col("cell_id")), "vec_id")
+      .localCheckpoint()
+    val sp = simplePlan(Clustering.ivfPqTopKFromIndex(qs, e, cells, assign, codesCell,
+      5, NProbe, NumSub, SubDim, rerank = PqRerank))
+    assert(sp.contains("BroadcastHashJoin"), sp)
+    assert(!sp.contains("SortMergeJoin"), sp)
+    assert(!sp.contains("CartesianProduct"), sp)
+  }
 }
