@@ -334,4 +334,41 @@ object Streams {
         ()
     }
   }
+
+  /** CONTINUOUS silver maintenance — the Lakeflow streaming-MV refresh
+    * shape: a file stream over a latest-wins model's bronze directory;
+    * each micro-batch OCC-merges only the NEW files' typed rows into the
+    * standing silver table (`Lakehouse.transactMerge`, so a concurrent
+    * batch refresh is a detected conflict, not a lost update). The merge
+    * is the same latest-wins algebra as `Silver.refreshIncremental` —
+    * batch-driven by arrival instead of snapshot-date-driven, and
+    * idempotent under replays (re-merging rows is a latest-wins no-op),
+    * which is exactly the at-least-once + idempotent-sink pairing file
+    * streams need. Cost per micro-batch scales with the new files, never
+    * with bronze history — the 100 TB continuous-ingest shape.
+    *
+    * Requires the model to have been fully refreshed once (the standing
+    * table is the merge base). Returns the writer; caller starts it with
+    * a checkpoint dir (AvailableNow for drain-and-stop catch-up runs). */
+  def silverRefreshStream(lake: graft.pipeline.Lakehouse, model: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.pipeline.Silver
+    val spec = Silver.latestWinsSpecs(model)
+    require(lake.exists("silver", model),
+      s"$model must be fully refreshed once before streaming maintenance")
+    val dir = lake.currentDataDir("bronze", spec.bronzeTable).toString
+    // schema pinned from a one-time batch footer read (streams never infer)
+    val pinned = lake.spark.read.parquet(dir).schema
+    lake.spark.readStream.schema(pinned).parquet(dir)
+      .writeStream.outputMode(OutputMode.Update).foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val fresh = spec.typed(batch.toDF)
+          if (!fresh.isEmpty) {
+            lake.transactMerge("silver", model) { existing =>
+              Silver.latestWins(existing.unionByName(fresh), spec.grain, spec.order)
+            }
+            ()
+          }
+      }
+  }
 }

@@ -426,4 +426,43 @@ class StreamsSpec extends SparkSpec {
       assert(after1 == Set((1L, 2L), (2L, 4L), (5L, 5L)))
     } finally q.stop()
   }
+
+  test("silverRefreshStream: continuous latest-wins maintenance equals full recompute") {
+    import java.nio.file.Files
+    import graft.pipeline.{Bronze, Lakehouse, Silver}
+    import graft.pipeline.Fixtures.{channelPayload, d}
+    import org.apache.spark.sql.functions.col
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-streamlake").toString)
+    def land(run: String, snap: String, at: String, title: String, views: Long): Unit =
+      Bronze.ingest(lake, Bronze.RunContext(run, s"req-$run", d(snap), graft.pipeline.Fixtures.ts(at)), _ => Map(
+        "channels_raw" -> Seq(channelPayload("UC_1", title, views, 10))))
+    land("r1", "2025-06-01", "2025-06-01 10:00:00", "Chan A", 100)
+    Silver.refresh(lake, Some(Set("silver_channels")))
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    // catch-up 1: nothing new — the stream consumes the initial files but
+    // latest-wins re-merge is a no-op
+    def drain(): Unit = {
+      val q = Streams.silverRefreshStream(lake, "silver_channels")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    val afterNoop = lake.table("silver", "silver_channels")
+      .collect().map(_.toString).sorted.toSeq
+    // two updates land while the stream is down; catch-up 2 merges both
+    land("r2", "2025-06-02", "2025-06-02 10:00:00", "Chan B", 150)
+    land("r3", "2025-06-03", "2025-06-03 10:00:00", "Chan C", 160)
+    drain()
+    val streamed = lake.table("silver", "silver_channels")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed != afterNoop, "merge must pick up the new bronze files")
+    // equals a full recompute over all bronze history
+    Silver.refresh(lake, Some(Set("silver_channels")))
+    val full = lake.table("silver", "silver_channels")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == full, "streamed maintenance != full recompute")
+    assert(lake.table("silver", "silver_channels")
+      .filter(col("channel_title") === "Chan C").count() == 1)
+  }
 }
