@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Graft.table
-import graft.operators.Clustering
+import graft.operators.{Clustering, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Embedding-clustering operator queries over `embeddings` — deterministic
@@ -555,7 +555,105 @@ object ClusterQueries {
         .orderBy(col("query_id"), col("rank"))
     }))
 
+  /** Retrieval-quality metrics (recall@5 / MRR / binary nDCG@5) of the IVF
+    * index against the exact top-5 ground truth — the tuning loop every
+    * ANN deployment runs when it moves nprobe/codebook knobs, as an
+    * oracle-checked operator. Metric joins are k-bounded per query (they
+    * scale with k·|queries|, never the corpus); DCG/IDCG terms follow the
+    * round-9/DECIMAL-sum discipline so the floats hash-match. */
+  val s12RetrievalMetrics = GraftQuery(
+    "s12_retrieval_metrics",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      val truth = Similarity.bruteForceTopK(q, e, 5)
+      val results = Clustering.ivfTopK(q, e, 5, NProbe)
+      graft.operators.Eval.retrievalMetrics(results, truth, 5)
+        .select(col("query_id"), col("n_truth").cast("bigint").as("n_truth"),
+          col("n_hits"),
+          round(col("recall_at_k"), 6).as("recall_at_5"),
+          round(col("mrr"), 6).as("mrr"),
+          round(col("ndcg_at_k"), 6).as("ndcg_at_5"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH $duckCellCtes,
+      probes AS (
+        SELECT vec_id AS query_id, cell_id
+        FROM (SELECT vec_id, cell_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell_id ASC) AS rn
+              FROM cell_scored WHERE vec_id % 50 = 0) z
+        WHERE rn <= $NProbe),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.cell_id = a.cell_id
+        WHERE p.query_id <> a.vec_id),
+      ivf_scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_aggregate(list_transform(range(1, len(q.embedding)+1),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+                 / (q.nm * c.nm) AS cos_raw
+        FROM cand
+        JOIN nrm q ON cand.query_id = q.vec_id
+        JOIN nrm c ON cand.neighbor_id = c.vec_id),
+      res AS (
+        SELECT query_id, neighbor_id, rank
+        FROM (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+              FROM ivf_scored) z
+        WHERE rank <= 5),
+      exact_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_aggregate(list_transform(range(1, len(q.embedding)+1),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+                 / (q.nm * c.nm) AS cos_raw
+        FROM nrm q CROSS JOIN nrm c
+        WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+      truth AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+              FROM exact_scored) z
+        WHERE rn <= 5),
+      hits AS (
+        SELECT r.query_id, r.rank AS r_rank,
+               CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        FROM res r LEFT JOIN truth t
+          ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id),
+      perq AS (
+        SELECT query_id,
+               CAST(SUM(rel) AS BIGINT) AS n_hits,
+               MIN(CASE WHEN rel = 1 THEN r_rank END) AS first_rel,
+               SUM(CASE WHEN rel = 1
+                   THEN CAST(round(1.0 / (ln(r_rank + 1.0) / ln(2.0)), 9) AS DECIMAL(28,9))
+                   ELSE CAST(0 AS DECIMAL(28,9)) END) AS dcg9
+        FROM hits GROUP BY query_id),
+      tc AS (
+        SELECT query_id, least(CAST(COUNT(*) AS BIGINT), 5) AS n_truth
+        FROM truth GROUP BY query_id),
+      ranks AS (SELECT unnest(range(1, 6)) AS i),
+      idcg AS (
+        SELECT tc.query_id,
+               SUM(CAST(round(1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)), 9)
+                 AS DECIMAL(28,9))) AS idcg9
+        FROM tc JOIN ranks ON i <= tc.n_truth
+        GROUP BY tc.query_id)
+      SELECT tc.query_id, tc.n_truth,
+             COALESCE(p.n_hits, 0) AS n_hits,
+             round(CAST(COALESCE(p.n_hits, 0) AS DOUBLE) / CAST(tc.n_truth AS DOUBLE), 6)
+               AS recall_at_5,
+             round(COALESCE(1.0 / CAST(p.first_rel AS DOUBLE), 0.0), 6) AS mrr,
+             round(CAST(COALESCE(p.dcg9, CAST(0 AS DECIMAL(28,9))) AS DOUBLE)
+               / CAST(i.idcg9 AS DOUBLE), 6) AS ndcg_at_5
+      FROM tc
+      LEFT JOIN perq p ON tc.query_id = p.query_id
+      JOIN idcg i ON tc.query_id = i.query_id
+      ORDER BY tc.query_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     s05IvfTopK, d08SemanticDedup, c10CellProfile, s06PqTopK, c22DiverseSample,
-    s09TwoLevelIvf, s11IvfPqTopK)
+    s09TwoLevelIvf, s11IvfPqTopK, s12RetrievalMetrics)
 }
