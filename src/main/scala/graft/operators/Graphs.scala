@@ -89,6 +89,56 @@ object Graphs {
     ranks
   }
 
+  /** PERSONALIZED PageRank (Haveliwala 2002 topic-sensitive variant, same
+    * integer micro-unit arithmetic as [[pageRankMicro]]): teleport mass
+    * lands ONLY on the `seeds` node set, so rank measures proximity to the
+    * seeds rather than global centrality — the crawl-frontier /
+    * seed-expansion ranking a training-data acquisition pipeline runs
+    * ("given these trusted sources, which candidates are closest?").
+    * Non-seed nodes start at 0 and receive rank only through inflow.
+    *
+    * Plan is identical to [[pageRankMicro]] — the cached pre-partitioned
+    * (src, dst, outdeg) frame never moves after setup; each iteration
+    * shuffles only the (node, rank) frame; the seed flag rides the cached
+    * node frame (one broadcast-or-hash join at setup, reused every
+    * round). Same checkpoint cadence and lineage bound. */
+  def personalizedPageRankMicro(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, iterations: Int, checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seeds.select(col("node"), lit(true).as("__seed")).distinct(),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(false)).as("is_seed"))
+      .cache()
+    val edgesDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src"))
+      .cache()
+    val teleport = when(col("is_seed"), lit(TeleportMicro)).otherwise(lit(0L))
+    var ranks = nodes.select(col("node"),
+      when(col("is_seed"), lit(RankUnit)).otherwise(lit(0L)).as("rank_micro"))
+    for (iter <- 1 to iterations) {
+      val contribs = edgesDeg
+        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+        .select(col("dst").as("node"),
+          expr("rank_micro div outdeg").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("inflow"))
+      val next = nodes
+        .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          (teleport + expr("85 * coalesce(inflow, 0L) div 100")).as("rank_micro"))
+      ranks =
+        if (iter % checkpointEvery == 0 || iter == iterations) next.localCheckpoint(false)
+        else next
+    }
+    ranks
+  }
+
   /** Double-arithmetic power-method reference (same plan, float math) — the
     * executable specification the integer variant is sanity-checked against
     * in GraphsSpec (rank ordering agreement). */

@@ -1024,11 +1024,86 @@ object Advanced {
       WHERE cur < 8
       ORDER BY node""")).copy(bench = true)
 
+
+  /** Personalized PageRank (q76, Haveliwala 2002): teleport mass lands only
+    * on a seed set (suppliers with suppkey % 7 = 0), so rank is proximity
+    * to the seeds — the crawl-frontier / seed-expansion ranking of a data
+    * acquisition pipeline. Same integer micro-unit fixpoint prefix as q49
+    * (engine- and partitioning-exact ⇒ the oracle verifies VALUES), same
+    * iterative plan: the cached pre-partitioned edge frame never moves,
+    * each round shuffles only the (node, rank) frame. Unreachable nodes
+    * stay at 0 and are filtered (both sides). */
+  val q76PersonalizedPageRank = GraftQuery(
+    "q76_personalized_pagerank",
+    (s, dir) => {
+      val pairs = table(s, dir, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = table(s, dir, "lineitem")
+        .filter(col("l_suppkey") % 7 === 0)
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("node"))
+        .distinct()
+      Graphs.personalizedPageRankMicro(s, edges, seeds, iterations = 5)
+        .filter(col("rank_micro") > 0L)
+        .orderBy(col("rank_micro").desc, col("node"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'p' || CAST(l_partkey AS VARCHAR) AS dst
+        FROM lineitem),
+      e AS (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM e),
+      seeds AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS node
+        FROM lineitem WHERE l_suppkey % 7 = 0),
+      nodes2 AS (
+        SELECT n.node, (s.node IS NOT NULL) AS is_seed
+        FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(CASE WHEN is_seed THEN 1000000 ELSE 0 END AS BIGINT) AS rank_micro
+             FROM nodes2),
+      i1 AS (SELECT e.dst AS node, CAST(SUM(r.rank_micro // d.outdeg) AS BIGINT) AS inflow
+             FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      r1 AS (SELECT n.node,
+               CAST(CASE WHEN n.is_seed THEN 150000 ELSE 0 END
+                    + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank_micro
+             FROM nodes2 n LEFT JOIN i1 i ON n.node = i.node),
+      i2 AS (SELECT e.dst AS node, CAST(SUM(r.rank_micro // d.outdeg) AS BIGINT) AS inflow
+             FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      r2 AS (SELECT n.node,
+               CAST(CASE WHEN n.is_seed THEN 150000 ELSE 0 END
+                    + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank_micro
+             FROM nodes2 n LEFT JOIN i2 i ON n.node = i.node),
+      i3 AS (SELECT e.dst AS node, CAST(SUM(r.rank_micro // d.outdeg) AS BIGINT) AS inflow
+             FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      r3 AS (SELECT n.node,
+               CAST(CASE WHEN n.is_seed THEN 150000 ELSE 0 END
+                    + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank_micro
+             FROM nodes2 n LEFT JOIN i3 i ON n.node = i.node),
+      i4 AS (SELECT e.dst AS node, CAST(SUM(r.rank_micro // d.outdeg) AS BIGINT) AS inflow
+             FROM e JOIN r3 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      r4 AS (SELECT n.node,
+               CAST(CASE WHEN n.is_seed THEN 150000 ELSE 0 END
+                    + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank_micro
+             FROM nodes2 n LEFT JOIN i4 i ON n.node = i.node),
+      i5 AS (SELECT e.dst AS node, CAST(SUM(r.rank_micro // d.outdeg) AS BIGINT) AS inflow
+             FROM e JOIN r4 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      r5 AS (SELECT n.node,
+               CAST(CASE WHEN n.is_seed THEN 150000 ELSE 0 END
+                    + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank_micro
+             FROM nodes2 n LEFT JOIN i5 i ON n.node = i.node)
+      SELECT node, rank_micro FROM r5
+      WHERE rank_micro > 0
+      ORDER BY rank_micro DESC, node"""))
+
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
     q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution,
     q56Transitions, q57RollingAnomaly, q58IncrementalAgg, q59StringBreadth,
     q60DateBreadth, q63CoOccurrence, q64Triangles, q67TimeWeighted, q68ParetoFrontier,
     q69PsiDrift, q70ExactMedian, q71ChiSquare, q72KsDrift, q73MutualInfo, q74OlsByGroup,
-    q75HierarchyRollup)
+    q75HierarchyRollup, q76PersonalizedPageRank)
 }

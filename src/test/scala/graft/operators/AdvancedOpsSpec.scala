@@ -458,4 +458,23 @@ class AdvancedOpsSpec extends SparkSpec {
       .orderBy("node").collect().toSeq
     assert(plain == checked)
   }
+
+  test("personalized PageRank: all-seeds degenerates to standard; seedless components stay 0") {
+    import spark.implicits._
+    // two disconnected components: a-b-c cycle and x-y pair
+    val edges = Seq(("a","b"), ("b","c"), ("c","a"), ("x","y"), ("y","x"))
+      .toDF("src", "dst")
+    val allNodes = Seq("a","b","c","x","y").toDF("node")
+    val std = Graphs.pageRankMicro(spark, edges, iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allSeeded = Graphs.personalizedPageRankMicro(spark, edges, allNodes, iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(allSeeded == std, "teleporting to every node must equal standard PageRank")
+    // seeds only in the cycle: the x-y component receives no mass at all
+    val seeded = Graphs.personalizedPageRankMicro(spark, edges,
+        Seq("a").toDF("node"), iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seeded("x") == 0L && seeded("y") == 0L, s"unreachable nodes must stay 0: $seeded")
+    assert(seeded("a") > 0L && seeded("b") > 0L && seeded("c") > 0L)
+  }
 }
