@@ -755,9 +755,86 @@ object TextQueries {
       FROM t
       ORDER BY doc_id"""))
 
+  /** RAKE keyword extraction (t19, Rose et al. 2010): candidate phrases are
+    * the maximal runs between stopword delimiters; each word scores
+    * degree/frequency over the doc's phrase occurrences (degree = sum of
+    * containing-phrase lengths — co-occurrence weight); a phrase scores the
+    * sum of its word scores, top-3 per doc with a total tie order. Every
+    * shuffle is doc-keyed (word stats, phrase scores, the top-3 window) —
+    * per-doc work bounded by doc length, linear across the corpus. Word
+    * scores are round-9/DECIMAL-summed per phrase so the ranking and the
+    * emitted score are engine-exact. */
+  val t19RakeKeywords = GraftQuery(
+    "t19_rake_keywords",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val stopRe = "\\b(?:the|a|of|and|to|in|is|it|that|for)\\b"
+      val occ = table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), stopRe)).as("chunk"))
+        .select(col("doc_id"), tokens(col("chunk")).as("words"))
+        .filter(size(col("words")) > 0)
+        .select(col("doc_id"), col("words"),
+          array_join(col("words"), " ").as("phrase"), size(col("words")).as("n_words"))
+      val wstat = occ
+        .select(col("doc_id"), col("n_words"), explode(col("words")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("degree"))
+      val scored = occ.dropDuplicates("doc_id", "phrase")
+        .select(col("doc_id"), col("phrase"), explode(col("words")).as("word"))
+        .join(wstat, Seq("doc_id", "word"))
+        .groupBy(col("doc_id"), col("phrase"))
+        .agg(sum(round(col("degree").cast("double") / col("freq").cast("double"), 9)
+          .cast(DecimalType(28, 9))).as("s9"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("s9").desc, col("phrase").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("bigint").as("rank"), col("phrase"),
+          round(col("s9").cast("double"), 6).as("rake_score"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""
+      WITH phr AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text),
+                 '\b(?:the|a|of|and|to|in|is|it|that|for)\b')) AS chunk
+        FROM documents),
+      occ AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(chunk, '\s+'), t -> t <> '') AS words
+        FROM phr),
+      pnz AS (
+        SELECT doc_id, words, array_to_string(words, ' ') AS phrase,
+               CAST(len(words) AS BIGINT) AS n_words
+        FROM occ WHERE len(words) > 0),
+      wstat AS (
+        SELECT doc_id, w AS word,
+               CAST(COUNT(*) AS BIGINT) AS freq, CAST(SUM(n_words) AS BIGINT) AS degree
+        FROM (SELECT doc_id, n_words, unnest(words) AS w FROM pnz) z
+        GROUP BY doc_id, w),
+      dp AS (SELECT DISTINCT doc_id, phrase, words FROM pnz),
+      score AS (
+        SELECT t.doc_id, t.phrase,
+               SUM(CAST(round(CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE), 9)
+                 AS DECIMAL(28,9))) AS s9
+        FROM (SELECT doc_id, phrase, unnest(words) AS w FROM dp) t
+        JOIN wstat ON t.doc_id = wstat.doc_id AND t.w = wstat.word
+        GROUP BY t.doc_id, t.phrase),
+      ranked AS (
+        SELECT doc_id, phrase, s9,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY s9 DESC, phrase ASC) AS rank
+        FROM score)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase,
+             round(CAST(s9 AS DOUBLE), 6) AS rake_score
+      FROM ranked
+      WHERE rank <= 3
+      ORDER BY doc_id, rank"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
       t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t10Bm25,
       t11UnigramXent, t12QualityClassifier, t13BigramXent, t14ZipfSlope,
-      t15Novelty, t16Blocklist, t17JsDivergence, t18Mattr)
+      t15Novelty, t16Blocklist, t17JsDivergence, t18Mattr, t19RakeKeywords)
 }

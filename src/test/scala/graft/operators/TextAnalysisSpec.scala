@@ -366,4 +366,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(mShort - mLong) < 0.02, s"MATTR drifted: $mShort vs $mLong")
     assert(ttrShort / ttrLong > 5.0, s"TTR should collapse with length: $ttrShort vs $ttrLong")
   }
+
+  test("t19 RAKE: hand-computed phrase scores on the canonical example shape") {
+    // "deep neural nets and deep learning in models":
+    // stopwords {and, in} delimit phrases [deep neural nets][deep learning][models]
+    // freq(deep)=2, degree(deep)=3+2=5; neural/nets freq 1 degree 3; learning 1/2
+    // score("deep neural nets") = 5/2 + 3 + 3 = 8.5
+    // score("deep learning")    = 5/2 + 2     = 4.5
+    // score("models")           = 1.0
+    val dir = java.nio.file.Files.createTempDirectory("graft-rake").toString
+    Seq((1L, "deep neural nets and deep learning in models"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQueries.t19RakeKeywords.run(spark, dir)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[String]("phrase"),
+        r.getAs[Double]("rake_score")))
+    assert(out.toSeq == Seq(
+      (1L, "deep neural nets", 8.5),
+      (2L, "deep learning", 4.5),
+      (3L, "models", 1.0)), out.toSeq.toString)
+  }
 }
