@@ -161,6 +161,49 @@ object Multimodal {
     }
   }
 
+  /** Synthesize a VALID RIFF/WAVE 16-bit PCM mono payload whose samples are
+    * the pure function ((seed·31 + i·7) mod 65536) − 32768 — restatable by
+    * an external oracle. The container includes a junk LIST chunk with an
+    * ODD size between fmt and data, so a decoder only produces the right
+    * samples if its chunk walk (including RIFF word-alignment padding) is
+    * correct: the decode path itself becomes oracle-gated. */
+  def synthWav(seed: Long, nSamples: Int, sampleRateHz: Int = 8000): Array[Byte] = {
+    require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
+    val dataLen = nSamples * 2
+    // RIFF(12) + fmt(8+16) + LIST(8+5+1 pad) + data(8+dataLen)
+    val total = 12 + 24 + 14 + 8 + dataLen
+    val b = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(total - 8).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                       // PCM, mono
+      .putInt(sampleRateHz).putInt(sampleRateHz * 2) // byte rate
+      .putShort(2).putShort(16)                      // block align, bits
+    b.put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put("INFOx".getBytes("US-ASCII")).put(0.toByte) // odd size + pad byte
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      b.putShort((((seed * 31 + i * 7) % 65536) - 32768).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** Assets carrying REAL WAV containers (doc_id % 3 == 2; sample count
+    * (n_chars mod 50) + 20): the end-to-end real-decode input shape —
+    * [[MediaDecoder.Uncompressed]] must walk the container correctly to
+    * reproduce the synthesis formula. */
+  def wavAssetsFromDocuments(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].map { case (id, nChars) =>
+        val n = (nChars % 50 + 20).toInt
+        val wav = synthWav(id, n)
+        MediaAsset(id, "audio", wav,
+          MediaMeta("wav", 0, 0, sampleRateHz = 8000, durationMs = n * 1000L / 8000))
+      }
+  }
+
   /** Decode + fixed-width feature extraction in bounded batches per
     * partition. Features: [n_bytes, mean_pixel/sample, byte entropy proxy,
     * aspect/duration] — a stand-in embedding with a FIXED width of 4, the

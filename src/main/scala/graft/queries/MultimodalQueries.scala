@@ -170,6 +170,45 @@ object MultimodalQueries {
       GROUP BY asset_id, shot_id
       ORDER BY asset_id, shot_id"""))
 
+  /** REAL-decoder end-to-end (m05): every asset carries a genuine
+    * RIFF/WAVE 16-bit PCM container (synthesized with a junk odd-sized
+    * LIST chunk between fmt and data), decoded by the pure-JVM
+    * `MediaDecoder.Uncompressed` chunk walk — NOT the fake. The samples
+    * are a pure function of (doc_id, i), so the oracle restates the window
+    * stats from the formula; a header-offset, alignment, sign or
+    * endianness bug in the decoder would change the decoded samples and
+    * break the hash. This closes the loop m01–m04 could not: the decode
+    * path itself is oracle-gated, not just the plumbing around it. */
+  val m05WavDecodeWindows = GraftQuery(
+    "m05_wav_decode_windows",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.audioWindows(
+          Multimodal.wavAssetsFromDocuments(table(s, dir, "documents")),
+          Multimodal.MediaDecoder.Uncompressed, windowSamples = 16)
+        .toDF()
+        .select(col("asset_id"), col("window_idx"), col("n_samples"),
+          col("sum_amp"), col("peak_amp"))
+        .orderBy(col("asset_id"), col("window_idx"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, CAST(n_chars % 50 + 20 AS BIGINT) AS n
+        FROM documents WHERE doc_id % 3 = 2),
+      s AS (
+        SELECT asset_id, i,
+               ((asset_id * 31 + i * 7) % 65536) - 32768 AS samp
+        FROM a, LATERAL unnest(range(0, n)) AS t(i))
+      SELECT asset_id,
+             CAST(i // 16 AS INT) AS window_idx,
+             CAST(COUNT(*) AS INT) AS n_samples,
+             CAST(SUM(samp) AS BIGINT) AS sum_amp,
+             CAST(MAX(abs(samp)) AS INT) AS peak_amp
+      FROM s
+      GROUP BY asset_id, i // 16
+      ORDER BY asset_id, window_idx"""))
+
   val all: Seq[GraftQuery] = Seq(
-    m01BinaryStats, m02FrameStats, m03AudioWindows, m04ShotKeyframes)
+    m01BinaryStats, m02FrameStats, m03AudioWindows, m04ShotKeyframes,
+    m05WavDecodeWindows)
 }

@@ -244,4 +244,22 @@ class MultimodalSpec extends SparkSpec {
     assert(ws.map(_.n_samples).sum == 300)
     assert(ws.map(_.n_samples).toSeq == Seq(128, 128, 44))
   }
+
+  test("synthWav: real decoder round-trips the formula; the LIST chunk must be walked") {
+    import Multimodal._
+    val wav = synthWav(seed = 7L, nSamples = 33)
+    val meta = MediaMeta("wav", 0, 0, 8000, 0L)
+    val got = MediaDecoder.Uncompressed.decodeAudio(wav, meta)
+    val want = Array.tabulate(33)(i => (((7L * 31 + i * 7) % 65536) - 32768).toShort)
+    assert(got.sameElements(want), "decoded samples must equal the synthesis formula")
+    // the fake decoder CANNOT reproduce them (it reads the container bytes
+    // positionally) — proving m05 exercises the real chunk walk
+    val fake = MediaDecoder.Fake.decodeAudio(wav, meta)
+    assert(!fake.sameElements(want), "fake decoder must diverge on a real container")
+    // corrupting the RIFF magic fails fast, not garbage output
+    val bad = wav.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException] {
+      MediaDecoder.Uncompressed.decodeAudio(bad, meta)
+    }
+  }
 }
