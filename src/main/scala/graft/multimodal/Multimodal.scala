@@ -204,6 +204,66 @@ object Multimodal {
       }
   }
 
+  /** Synthesize a VALID bottom-up 24-bit BI_RGB BMP whose channel bytes are
+    * pure functions of (seed, row, col): R = (seed + r·3 + c·7) mod 256,
+    * G = (seed·5 + r·11 + c) mod 256, B = (seed·7 + r + c·13) mod 256 —
+    * restatable by an external oracle through the BT.601 integer luma. The
+    * pixel array is stored BOTTOM-UP with 4-byte row padding (width chosen
+    * off-multiple), so a decoder only reproduces the formula if its row
+    * flip and stride handling are correct. */
+  def synthBmp(seed: Long, width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"degenerate ${width}x$height")
+    val rowBytes = ((width * 3 + 3) / 4) * 4
+    val total = 54 + rowBytes * height
+    val b = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(total).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height) // positive height = bottom-up
+      .putShort(1).putShort(24).putInt(0)     // planes, bpp, BI_RGB
+      .putInt(rowBytes * height).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var j = 0
+    while (j < height) {
+      val r = height - 1 - j // file rows bottom-up
+      var c = 0
+      while (c < width) {
+        b.put((((seed * 7 + r + c * 13) % 256)).toByte)  // B
+        b.put((((seed * 5 + r * 11 + c) % 256)).toByte)  // G
+        b.put((((seed + r * 3 + c * 7) % 256)).toByte)   // R
+        c += 1
+      }
+      var pad = rowBytes - width * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      j += 1
+    }
+    b.array()
+  }
+
+  /** Assets carrying REAL BMP containers (doc_id % 3 == 0; width
+    * (n_chars mod 3) + 3 — deliberately off-4 so row padding is exercised;
+    * height 4). */
+  def bmpAssetsFromDocuments(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].map { case (id, nChars) =>
+        val w = (nChars % 3 + 3).toInt
+        MediaAsset(id, "image", synthBmp(id, w, 4), MediaMeta("bmp", w, 4, 0, 0L))
+      }
+  }
+
+  final case class RowLuma(
+    asset_id: Long, row_idx: Int, sum_luma: Long, min_luma: Int, max_luma: Int)
+
+  /** Per-row grayscale stats over decoded images — exact integer sums, so
+    * the values are engine-reproducible. Pure flatMap, no shuffle. */
+  def imageRowStats(assets: Dataset[MediaAsset], decoder: MediaDecoder): Dataset[RowLuma] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").flatMap { a =>
+      decoder.decodeImage(a.content, a.meta).iterator.zipWithIndex.map { case (row, r) =>
+        val lumas = row.map(_ & 0xff)
+        RowLuma(a.asset_id, r, lumas.map(_.toLong).sum, lumas.min, lumas.max)
+      }
+    }
+  }
+
   /** Decode + fixed-width feature extraction in bounded batches per
     * partition. Features: [n_bytes, mean_pixel/sample, byte entropy proxy,
     * aspect/duration] — a stand-in embedding with a FIXED width of 4, the

@@ -208,7 +208,47 @@ object MultimodalQueries {
       GROUP BY asset_id, i // 16
       ORDER BY asset_id, window_idx"""))
 
+  /** REAL BMP decode end-to-end (m06, image sibling of m05): genuine
+    * bottom-up 24-bit BI_RGB containers with 4-byte row padding (width
+    * deliberately off-multiple), decoded by the real chunk-parse +
+    * BT.601 integer-luma path; channel bytes are pure functions of
+    * (doc_id, row, col) so the oracle restates per-row luma stats from
+    * the formula — a stride, row-flip, channel-order or luma-weight bug
+    * breaks the hash. */
+  val m06BmpDecodeRows = GraftQuery(
+    "m06_bmp_decode_rows",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.imageRowStats(
+          Multimodal.bmpAssetsFromDocuments(table(s, dir, "documents")),
+          Multimodal.MediaDecoder.Uncompressed)
+        .toDF()
+        .select(col("asset_id"), col("row_idx"), col("sum_luma"),
+          col("min_luma"), col("max_luma"))
+        .orderBy(col("asset_id"), col("row_idx"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, CAST(n_chars % 3 + 3 AS BIGINT) AS w
+        FROM documents WHERE doc_id % 3 = 0),
+      px AS (
+        SELECT asset_id, r, c,
+               (299 * ((asset_id + r*3 + c*7) % 256)
+                + 587 * ((asset_id*5 + r*11 + c) % 256)
+                + 114 * ((asset_id*7 + r + c*13) % 256)) // 1000 AS luma
+        FROM a,
+             LATERAL unnest(range(0, 4)) AS t1(r),
+             LATERAL unnest(range(0, w)) AS t2(c))
+      SELECT asset_id,
+             CAST(r AS INT) AS row_idx,
+             CAST(SUM(luma) AS BIGINT) AS sum_luma,
+             CAST(MIN(luma) AS INT) AS min_luma,
+             CAST(MAX(luma) AS INT) AS max_luma
+      FROM px
+      GROUP BY asset_id, r
+      ORDER BY asset_id, row_idx"""))
+
   val all: Seq[GraftQuery] = Seq(
     m01BinaryStats, m02FrameStats, m03AudioWindows, m04ShotKeyframes,
-    m05WavDecodeWindows)
+    m05WavDecodeWindows, m06BmpDecodeRows)
 }

@@ -262,4 +262,18 @@ class MultimodalSpec extends SparkSpec {
       MediaDecoder.Uncompressed.decodeAudio(bad, meta)
     }
   }
+
+  test("synthBmp: real decoder round-trips the luma formula incl. flip and padding") {
+    import Multimodal._
+    val (seed, w, h) = (9L, 5, 4)   // w=5 -> rowBytes 16, real padding
+    val px = MediaDecoder.Uncompressed.decodeImage(
+      synthBmp(seed, w, h), MediaMeta("bmp", w, h, 0, 0L))
+    assert(px.length == h && px.head.length == w)
+    for (r <- 0 until h; c <- 0 until w) {
+      val want = (299 * ((seed + r * 3 + c * 7) % 256)
+        + 587 * ((seed * 5 + r * 11 + c) % 256)
+        + 114 * ((seed * 7 + r + c * 13) % 256)) / 1000
+      assert((px(r)(c) & 0xff) == want.toInt, s"($r,$c): got ${px(r)(c) & 0xff} want $want")
+    }
+  }
 }
