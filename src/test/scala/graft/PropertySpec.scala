@@ -552,4 +552,83 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("retrievalMetrics invariants: bounds, identity, and naive-reference equality") {
+    val rnd = new Random(1007)
+    for (_ <- 1 to 6) {
+      val k = 1 + rnd.nextInt(5)
+      val queries = (1L to 8L)
+      def ranked(pool: Int): Seq[(Long, Long, Long)] = queries.flatMap { q =>
+        val ids = rnd.shuffle((1 to pool).map(_.toLong)).take(k)
+        ids.zipWithIndex.map { case (n, i) => (q, (i + 1).toLong, n) }
+      }
+      val truth = ranked(12).toDF("query_id", "rank", "neighbor_id")
+      val results = ranked(12).toDF("query_id", "rank", "neighbor_id")
+      val got = graft.operators.Eval.retrievalMetrics(results, truth, k)
+        .collect().map(r => r.getAs[Long]("query_id") ->
+          ((r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k"),
+            r.getAs[Double]("mrr"), r.getAs[Double]("ndcg_at_k")))).toMap
+      // naive reference
+      val tMap = truth.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rMap = results.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      queries.foreach { q =>
+        val (hits, recall, mrr, ndcg) = got(q)
+        val rel = rMap(q).filter(x => tMap(q).contains(x._3))
+        assert(hits == rel.size)
+        assert(math.abs(recall - rel.size.toDouble / math.min(tMap(q).size, k)) < 1e-9)
+        val wantMrr = rel.headOption.map(x => 1.0 / x._2).getOrElse(0.0)
+        assert(math.abs(mrr - wantMrr) < 1e-9, s"q$q mrr $mrr != $wantMrr")
+        assert(recall >= 0 && recall <= 1 && mrr >= 0 && mrr <= 1 && ndcg >= 0 && ndcg <= 1 + 1e-12,
+          s"metric out of bounds: $recall $mrr $ndcg")
+      }
+      // identity: scoring truth against itself is perfect everywhere
+      val ident = graft.operators.Eval.retrievalMetrics(truth, truth, k).collect()
+      ident.foreach { r =>
+        assert(r.getAs[Double]("recall_at_k") == 1.0 && r.getAs[Double]("mrr") == 1.0
+          && math.abs(r.getAs[Double]("ndcg_at_k") - 1.0) < 1e-9, r.toString)
+      }
+    }
+  }
+
+  test("mattr bounds and all-distinct invariance across random docs") {
+    val rnd = new Random(2027)
+    val docs = (1L to 30L).map { i =>
+      val n = 1 + rnd.nextInt(150)
+      val vocab = 1 + rnd.nextInt(40)
+      (i, (1 to n).map(_ => s"w${rnd.nextInt(vocab)}").mkString(" "), n)
+    }
+    val rows = docs.map { case (i, t, _) => (i, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.mattr(
+          graft.operators.TextAnalysis.tokens(col("text")), 50).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    docs.foreach { case (i, _, n) =>
+      val m = rows(i)
+      assert(m > 0.0 && m <= 1.0, s"doc $i mattr $m out of (0,1]")
+      assert(m >= 1.0 / 50 - 1e-9, s"doc $i mattr $m below the 1-distinct floor")
+    }
+    // all-distinct docs hit exactly 1.0 at ANY length
+    val distinctDocs = Seq((1L, (1 to 7).map(i => s"u$i").mkString(" ")),
+      (2L, (1 to 200).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    distinctDocs.select(graft.operators.TextAnalysis.mattr(
+        graft.operators.TextAnalysis.tokens(col("text")), 50).as("m"))
+      .collect().foreach(r => assert(r.getDouble(0) == 1.0))
+  }
+
+  test("synthWav round-trips through the real decoder for random sizes") {
+    val rnd = new Random(3001)
+    for (_ <- 1 to 12) {
+      val seed = rnd.nextInt(100000).toLong
+      val n = 1 + rnd.nextInt(400)
+      val got = graft.multimodal.Multimodal.MediaDecoder.Uncompressed.decodeAudio(
+        graft.multimodal.Multimodal.synthWav(seed, n),
+        graft.multimodal.Multimodal.MediaMeta("wav", 0, 0, 8000, 0L))
+      assert(got.length == n)
+      (0 until n).foreach { i =>
+        assert(got(i) == (((seed * 31 + i * 7) % 65536) - 32768).toShort)
+      }
+    }
+  }
 }
