@@ -898,6 +898,62 @@ object CurationQueries {
       ORDER BY gkey DESC, doc_id
       LIMIT 100"""))
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must land
+    * in the SAME split, or eval examples leak into training as paraphrases
+    * (the standard contamination failure a plain per-doc hash split — c14 —
+    * cannot prevent). Split membership is decided by md5 of the document's
+    * near-dup CLUSTER representative (LSH pairs → connected components;
+    * singletons represent themselves), so every member of a cluster
+    * inherits one verdict, deterministically across reruns and engines.
+    *
+    * Scale shape: the graph work runs only on the near-dup PAIR set (docs
+    * with at least one near-dup — a small fraction of any deduped corpus),
+    * labels join back to the corpus on doc_id (broadcast in the common
+    * regime, plain hash join otherwise), and the split itself is the c14
+    * per-row CASE — no corpus-sized shuffle beyond that one join. */
+  val c26LeakageSafeSplit = GraftQuery(
+    "c26_leakage_safe_split",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text", 0.5)
+      val labels = Curation.connectedComponents(pairs)
+        .withColumnRenamed("member_id", "doc_id")
+      val keyed = docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
+      Curation.hashSplit(keyed, "split_key",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val t80 = Curation.rateThreshold(0.8)
+      val t90 = Curation.rateThreshold(0.9)
+      val t100 = Curation.rateThreshold(1.0)
+      s"""
+      WITH RECURSIVE ${DedupQueries.duckLshPairCtes},
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
+      reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (
+        SELECT src AS member_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+      keyed AS (
+        SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.member_id)
+      SELECT doc_id, split_key,
+             CASE WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 3) < '$t80' THEN 'train'
+                  WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 3) < '$t90' THEN 'val'
+                  WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 3) < '$t100' THEN 'test'
+                  ELSE 'rest' END AS split
+      FROM keyed
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
@@ -905,5 +961,5 @@ object CurationQueries {
       c12BloomDecontamination, c13QualityKeeper, c14HashSplit, c15ChunkWindows,
       c16TemperatureMix, c17KAnonymity, c18QualityEnsemble, c19SourceOverlap,
       c20WeightedSample, c21LDiversity, c23EpochMix, c24NegativePairs,
-      c25ImportanceResample)
+      c25ImportanceResample, c26LeakageSafeSplit)
 }

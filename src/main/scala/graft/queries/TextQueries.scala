@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Graft.table
+import graft.operators.Curation
 import graft.operators.TextAnalysis._
 import org.apache.spark.sql.functions._
 
@@ -832,9 +833,120 @@ object TextQueries {
       WHERE rank <= 3
       ORDER BY doc_id, rank"""))
 
+  /** Stupid-backoff bigram LM score under a HELD-OUT model (Brants et al.
+    * 2007): the model is trained on the md5-hash half of the corpus and
+    * scores EVERY document — unlike t13 (model = scored corpus), unseen
+    * bigrams genuinely occur, which is the shape of real perplexity
+    * filtering where the LM is trained on a reference corpus (CCNet trains
+    * on Wikipedia and scores Common Crawl). Per bigram occurrence:
+    * P = cnt(w₁w₂)/cnt(w₁·) when the model saw the bigram, else backoff
+    * 0.4·(cnt(w₂)+1)/(N+V) (add-one smoothed unigram — also covers
+    * words the model never saw). Score = −Σ tf·ln P / Σ tf; NULL for
+    * < 2-token docs.
+    *
+    * Scale shape: same as t11/t13 — per-doc bigram tf is the native
+    * per-row map (no occurrence shuffle), the trained model is a
+    * vocab-sized aggregate over HALF the corpus broadcast back, and
+    * contributions are rounded to 9 decimals and summed as DECIMAL(28,9)
+    * (exact, order-independent). The train-half filter is the c14 md5 rule
+    * — a pure per-row predicate, so "train the model" is one scan-side
+    * subset, not a separate pipeline. */
+  val t20BackoffXent = GraftQuery(
+    "t20_backoff_xent",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val docs = table(s, dir, "documents")
+      val toks = tokens(lower(col("text")))
+      val train = docs.filter(
+        substring(Curation.hashKey(col("doc_id")), 1, 3) <
+          lit(Curation.rateThreshold(0.5)))
+      val uni = train.select(explode(termFreqs(toks)).as(Seq("w2", "tf")))
+        .groupBy(col("w2")).agg(sum(col("tf")).as("cnt_w2"))
+      val totals = uni.agg(sum(col("cnt_w2")).cast("double").as("n_train"),
+        count(lit(1)).cast("double").as("v_train"))
+      val bgModel = train.select(explode(termFreqs(wordBigrams(toks))).as(Seq("bg", "tf")))
+        .groupBy(col("bg")).agg(sum(col("tf")).as("cnt_bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val prefix = bgModel.groupBy(col("w1")).agg(sum(col("cnt_bg")).as("cnt_w1"))
+      val tf = docs.select(col("doc_id"),
+          explode(termFreqs(wordBigrams(toks))).as(Seq("bg", "tf")))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+      val p = when(col("cnt_bg").isNotNull,
+          col("cnt_bg").cast("double") / col("cnt_w1").cast("double"))
+        .otherwise(lit(0.4) * (coalesce(col("cnt_w2"), lit(0L)).cast("double") + 1.0)
+          / (col("n_train") + col("v_train")))
+      val perDoc = tf
+        .join(broadcast(bgModel.select(col("bg"), col("cnt_bg"), col("w1"))), Seq("bg"), "left")
+        .join(broadcast(prefix), Seq("w1"), "left")
+        .join(broadcast(uni), Seq("w2"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("c9", round(col("tf").cast("double") * log(p), 9)
+          .cast(DecimalType(28, 9)))
+        .groupBy(col("doc_id"))
+        .agg(round(-sum(col("c9")).cast("double") / sum(col("tf")).cast("double"), 6)
+          .as("backoff_xent"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val t50 = Curation.rateThreshold(0.5)
+      s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+        FROM documents),
+      train AS (
+        SELECT * FROM toks
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '$t50'),
+      tr_occ AS (SELECT unnest(t) AS term FROM train),
+      uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_w2 FROM tr_occ GROUP BY term),
+      totals AS (
+        SELECT CAST(SUM(cnt_w2) AS DOUBLE) AS n_train,
+               CAST(COUNT(*) AS DOUBLE) AS v_train
+        FROM uni),
+      tr_bgs AS (
+        SELECT unnest(CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)),
+                   i -> t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)])
+                 ELSE [] END) AS bg
+        FROM train),
+      bg_model AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt_bg FROM tr_bgs GROUP BY bg),
+      prefix AS (
+        SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(cnt_bg) AS BIGINT) AS cnt_w1
+        FROM bg_model GROUP BY 1),
+      bgs AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)),
+                   i -> t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)])
+                 ELSE [] END) AS bg
+        FROM toks),
+      tf AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf FROM bgs GROUP BY 1, 2),
+      c AS (
+        SELECT tf.doc_id, tf.tf,
+               CAST(round(CAST(tf.tf AS DOUBLE) * ln(
+                 CASE WHEN m.cnt_bg IS NOT NULL
+                      THEN CAST(m.cnt_bg AS DOUBLE) / CAST(p.cnt_w1 AS DOUBLE)
+                      ELSE 0.4 * (CAST(COALESCE(u.cnt_w2, 0) AS DOUBLE) + 1.0)
+                           / (t.n_train + t.v_train) END), 9)
+                 AS DECIMAL(28,9)) AS c9
+        FROM tf
+        LEFT JOIN bg_model m USING (bg)
+        LEFT JOIN prefix p ON split_part(tf.bg, ' ', 1) = p.w1
+        LEFT JOIN uni u ON split_part(tf.bg, ' ', 2) = u.term,
+        totals t),
+      x AS (
+        SELECT doc_id,
+               round(-CAST(SUM(c9) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6) AS backoff_xent
+        FROM c GROUP BY doc_id)
+      SELECT d.doc_id, x.backoff_xent
+      FROM documents d LEFT JOIN x USING (doc_id)
+      ORDER BY d.doc_id"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
       t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t10Bm25,
       t11UnigramXent, t12QualityClassifier, t13BigramXent, t14ZipfSlope,
-      t15Novelty, t16Blocklist, t17JsDivergence, t18Mattr, t19RakeKeywords)
+      t15Novelty, t16Blocklist, t17JsDivergence, t18Mattr, t19RakeKeywords,
+      t20BackoffXent)
 }

@@ -438,4 +438,50 @@ class CurationSpec extends SparkSpec {
     // stage rows keep the document schema (semi-join, not projection)
     assert(stage.columns.toSeq == docs.columns.toSeq)
   }
+
+  test("leakage-safe split (c26): near-dup pairs never straddle splits; singletons match c14") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Graft.table(spark, dir, "documents")
+    val out = graft.queries.CurationQueries.c26LeakageSafeSplit.run(spark, dir)
+      .select("doc_id", "split_key", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size == docs.count())
+    // THE property: every LSH near-dup pair shares one split
+    val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._2 == out(b)._2, s"pair ($a,$b) split across ${out(a)._2}/${out(b)._2}")
+    }
+    // docs with no near-dup keep their own key, so they split exactly like c14
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val plain = Curation.hashSplit(docs.select(col("doc_id")), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filterNot(kv => paired(kv._1)).foreach { case (id, (key, split)) =>
+      assert(key == id, s"singleton $id must represent itself")
+      assert(split == plain(id), s"singleton $id diverged from the per-doc split")
+    }
+  }
+
+  test("held-out backoff LM (t20): scores non-negative, short docs NULL, backoff branch exercised") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.TextQueries.t20BackoffXent.run(spark, dir).collect()
+    assert(rows.length == 500)
+    val scored = rows.filterNot(_.isNullAt(1)).map(r => r.getLong(0) -> r.getDouble(1))
+    // -ln P of probabilities <= 1 on every branch
+    scored.foreach { case (id, x) => assert(x >= 0.0, s"doc $id scored negative xent $x") }
+    // the held-out half guarantees genuinely unseen bigrams: docs OUTSIDE
+    // the train half must on average score worse than docs inside it
+    val inTrain = graft.Graft.table(spark, dir, "documents")
+      .filter(substring(Curation.hashKey(col("doc_id")), 1, 3) <
+        lit(Curation.rateThreshold(0.5)))
+      .select("doc_id").as[Long].collect().toSet
+    val (tr, held) = scored.partition(kv => inTrain(kv._1))
+    assert(tr.nonEmpty && held.nonEmpty)
+    val trMean = tr.map(_._2).sum / tr.length
+    val heldMean = held.map(_._2).sum / held.length
+    assert(heldMean > trMean,
+      s"held-out mean $heldMean should exceed train mean $trMean under a held-out model")
+  }
 }
