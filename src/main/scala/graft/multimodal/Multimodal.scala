@@ -432,6 +432,25 @@ object Multimodal {
         col("__kf.s").as("keyframe_sum"))
   }
 
+  final case class ResizedPixel(asset_id: Long, row_idx: Int, col_idx: Int, luma: Int)
+
+  /** Nearest-neighbor resize over REAL decoded pixels, emitted as the
+    * resized luma grid — the oracle-checkable face of [[resizeImages]]
+    * (same source-index mapping: target (r,c) samples source
+    * (r·H/newH, c·W/newW), integer division). Per-row flatMap, no shuffle;
+    * output is newW·newH rows per asset regardless of source size, the
+    * fixed-width contract a thumbnail/training-patch stage wants. */
+  def imageResizeGrid(assets: Dataset[MediaAsset], decoder: MediaDecoder,
+      newW: Int, newH: Int): Dataset[ResizedPixel] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").flatMap { a =>
+      val px = decoder.decodeImage(a.content, a.meta)
+      for { r <- 0 until newH; c <- 0 until newW } yield
+        ResizedPixel(a.asset_id, r, c,
+          px(r * a.meta.height / newH)(c * a.meta.width / newW) & 0xff)
+    }
+  }
+
   /** Resize plumbing: recompute metadata + stub-resample pixels through the
     * decoder. Plan shape (per-row map over binary + struct) is what a codec
     * resize looks like. */

@@ -248,7 +248,43 @@ object MultimodalQueries {
       GROUP BY asset_id, r
       ORDER BY asset_id, row_idx"""))
 
+  /** REAL-decode nearest-neighbor resize (m07): the BMP containers of m06
+    * decoded by the real chunk-parse path, downsampled to a fixed 2×2 luma
+    * grid — the thumbnail / training-patch shape. Target pixel (r,c)
+    * samples source (r·H/2, c·W/2) (integer division), so the oracle
+    * restates the resized grid directly from the synthesis formula; any
+    * decode bug m06 would catch ALSO breaks this hash, and on top of it any
+    * index-mapping bug in the resize itself. */
+  val m07ResizeGrid = GraftQuery(
+    "m07_resize_grid",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.imageResizeGrid(
+          Multimodal.bmpAssetsFromDocuments(table(s, dir, "documents")),
+          Multimodal.MediaDecoder.Uncompressed, newW = 2, newH = 2)
+        .toDF()
+        .select(col("asset_id"), col("row_idx"), col("col_idx"), col("luma"))
+        .orderBy(col("asset_id"), col("row_idx"), col("col_idx"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, CAST(n_chars % 3 + 3 AS BIGINT) AS w
+        FROM documents WHERE doc_id % 3 = 0),
+      g AS (
+        SELECT asset_id, r, c, (r * 4) // 2 AS sr, (c * w) // 2 AS sc
+        FROM a,
+             LATERAL unnest(range(0, 2)) AS t1(r),
+             LATERAL unnest(range(0, 2)) AS t2(c))
+      SELECT asset_id,
+             CAST(r AS INT) AS row_idx,
+             CAST(c AS INT) AS col_idx,
+             CAST((299 * ((asset_id + sr*3 + sc*7) % 256)
+                  + 587 * ((asset_id*5 + sr*11 + sc) % 256)
+                  + 114 * ((asset_id*7 + sr + sc*13) % 256)) // 1000 AS INT) AS luma
+      FROM g
+      ORDER BY asset_id, row_idx, col_idx"""))
+
   val all: Seq[GraftQuery] = Seq(
     m01BinaryStats, m02FrameStats, m03AudioWindows, m04ShotKeyframes,
-    m05WavDecodeWindows, m06BmpDecodeRows)
+    m05WavDecodeWindows, m06BmpDecodeRows, m07ResizeGrid)
 }

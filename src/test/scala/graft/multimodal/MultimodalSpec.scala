@@ -276,4 +276,25 @@ class MultimodalSpec extends SparkSpec {
       assert((px(r)(c) & 0xff) == want.toInt, s"($r,$c): got ${px(r)(c) & 0xff} want $want")
     }
   }
+
+  test("imageResizeGrid matches resizeImages' index mapping on real BMP decode") {
+    import Multimodal._
+    import spark.implicits._
+    val docs = graft.Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val assets = bmpAssetsFromDocuments(docs)
+    val grid = imageResizeGrid(assets, MediaDecoder.Uncompressed, newW = 2, newH = 2)
+      .collect().map(p => (p.asset_id, p.row_idx, p.col_idx) -> p.luma).toMap
+    // 4 pixels per image asset, values equal to direct decode + the
+    // resizeImages source-index formula
+    val sample = assets.take(5)
+    assert(sample.nonEmpty)
+    sample.foreach { a =>
+      val px = MediaDecoder.Uncompressed.decodeImage(a.content, a.meta)
+      for (r <- 0 until 2; c <- 0 until 2) {
+        val want = px(r * a.meta.height / 2)(c * a.meta.width / 2) & 0xff
+        assert(grid((a.asset_id, r, c)) == want, s"asset ${a.asset_id} ($r,$c)")
+      }
+    }
+    assert(grid.size == assets.count() * 4)
+  }
 }
