@@ -149,6 +149,54 @@ object TextAnalysis {
       .otherwise(array_max(map_values(termFreqs(wordBigrams(toks)))).cast("double") * 2.0
         / size(toks).cast("double"))
 
+  /** Stupid-backoff bigram LM score under a model trained on the md5-hash
+    * `trainRate` fraction of the corpus (Brants et al. 2007), scoring EVERY
+    * document: P = cnt(w₁w₂)/cnt(w₁·) for model bigrams, else
+    * 0.4·(cnt(w₂)+1)/(N+V). Returns (idCol, backoff_xent) — NULL for
+    * < 2-token docs. At trainRate = 1.0 every scored bigram is in the
+    * model, so this reduces EXACTLY to the t13 conditional bigram
+    * cross-entropy (the property the spec pins).
+    *
+    * Scale shape: per-doc bigram tf is the native per-row map, the trained
+    * model is a vocab-sized aggregate over the train subset broadcast back,
+    * contributions are rounded to 9 decimals and summed as DECIMAL(28,9)
+    * (exact, order-independent). */
+  def heldOutBackoffXent(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, trainRate: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.operators.Curation
+    val toks = tokens(lower(col(textCol)))
+    val train = docs.filter(
+      substring(Curation.hashKey(col(idCol)), 1, 3) <
+        lit(Curation.rateThreshold(trainRate)))
+    val uni = train.select(explode(termFreqs(toks)).as(Seq("w2", "tf")))
+      .groupBy(col("w2")).agg(sum(col("tf")).as("cnt_w2"))
+    val totals = uni.agg(sum(col("cnt_w2")).cast("double").as("n_train"),
+      count(lit(1)).cast("double").as("v_train"))
+    val bgModel = train.select(explode(termFreqs(wordBigrams(toks))).as(Seq("bg", "tf")))
+      .groupBy(col("bg")).agg(sum(col("tf")).as("cnt_bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val prefix = bgModel.groupBy(col("w1")).agg(sum(col("cnt_bg")).as("cnt_w1"))
+    val tf = docs.select(col(idCol),
+        explode(termFreqs(wordBigrams(toks))).as(Seq("bg", "tf")))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val p = when(col("cnt_bg").isNotNull,
+        col("cnt_bg").cast("double") / col("cnt_w1").cast("double"))
+      .otherwise(lit(0.4) * (coalesce(col("cnt_w2"), lit(0L)).cast("double") + 1.0)
+        / (col("n_train") + col("v_train")))
+    val perDoc = tf
+      .join(broadcast(bgModel.select(col("bg"), col("cnt_bg"), col("w1"))), Seq("bg"), "left")
+      .join(broadcast(prefix), Seq("w1"), "left")
+      .join(broadcast(uni), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("c9", round(col("tf").cast("double") * log(p), 9)
+        .cast(DecimalType(28, 9)))
+      .groupBy(col(idCol))
+      .agg(round(-sum(col("c9")).cast("double") / sum(col("tf")).cast("double"), 6)
+        .as("backoff_xent"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+  }
+
   // ---- retrieval scoring --------------------------------------------------
 
   /** BM25 scores (Robertson/Lucene idf variant) for a fixed term list over

@@ -853,41 +853,9 @@ object TextQueries {
     * subset, not a separate pipeline. */
   val t20BackoffXent = GraftQuery(
     "t20_backoff_xent",
-    (s, dir) => {
-      import org.apache.spark.sql.types.DecimalType
-      val docs = table(s, dir, "documents")
-      val toks = tokens(lower(col("text")))
-      val train = docs.filter(
-        substring(Curation.hashKey(col("doc_id")), 1, 3) <
-          lit(Curation.rateThreshold(0.5)))
-      val uni = train.select(explode(termFreqs(toks)).as(Seq("w2", "tf")))
-        .groupBy(col("w2")).agg(sum(col("tf")).as("cnt_w2"))
-      val totals = uni.agg(sum(col("cnt_w2")).cast("double").as("n_train"),
-        count(lit(1)).cast("double").as("v_train"))
-      val bgModel = train.select(explode(termFreqs(wordBigrams(toks))).as(Seq("bg", "tf")))
-        .groupBy(col("bg")).agg(sum(col("tf")).as("cnt_bg"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-      val prefix = bgModel.groupBy(col("w1")).agg(sum(col("cnt_bg")).as("cnt_w1"))
-      val tf = docs.select(col("doc_id"),
-          explode(termFreqs(wordBigrams(toks))).as(Seq("bg", "tf")))
-        .withColumn("w2", substring_index(col("bg"), " ", -1))
-      val p = when(col("cnt_bg").isNotNull,
-          col("cnt_bg").cast("double") / col("cnt_w1").cast("double"))
-        .otherwise(lit(0.4) * (coalesce(col("cnt_w2"), lit(0L)).cast("double") + 1.0)
-          / (col("n_train") + col("v_train")))
-      val perDoc = tf
-        .join(broadcast(bgModel.select(col("bg"), col("cnt_bg"), col("w1"))), Seq("bg"), "left")
-        .join(broadcast(prefix), Seq("w1"), "left")
-        .join(broadcast(uni), Seq("w2"), "left")
-        .crossJoin(broadcast(totals))
-        .withColumn("c9", round(col("tf").cast("double") * log(p), 9)
-          .cast(DecimalType(28, 9)))
-        .groupBy(col("doc_id"))
-        .agg(round(-sum(col("c9")).cast("double") / sum(col("tf")).cast("double"), 6)
-          .as("backoff_xent"))
-      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) =>
+      heldOutBackoffXent(table(s, dir, "documents"), "doc_id", "text", trainRate = 0.5)
+        .orderBy(col("doc_id")),
     Some {
       val t50 = Curation.rateThreshold(0.5)
       s"""

@@ -386,4 +386,19 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "deep learning", 4.5),
       (3L, "models", 1.0)), out.toSeq.toString)
   }
+
+  test("heldOutBackoffXent at trainRate 1.0 reduces exactly to t13 bigram cross-entropy") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Graft.table(spark, dir, "documents")
+    val full = TextAnalysis.heldOutBackoffXent(docs, "doc_id", "text", trainRate = 1.0)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val t13 = graft.queries.TextQueries.t13BigramXent.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(full.keySet == t13.keySet)
+    // model == scored corpus -> every bigram hits the model branch, the
+    // formula collapses to t13's; identical rounding makes it EXACT
+    full.foreach { case (id, v) =>
+      assert(v == t13(id), s"doc $id: backoff(1.0)=$v vs t13=${t13(id)}")
+    }
+  }
 }
