@@ -954,6 +954,50 @@ object CurationQueries {
       ORDER BY doc_id"""
     })
 
+  /** Per-source corpus health report (c27) — the dataset-card statistics a
+    * curation pipeline publishes per release: document/token volume, token
+    * length distribution (mean + exact interpolated median), exact-dup rate
+    * (normalized-text fingerprint collisions, the d01 signal as a RATE),
+    * and language breadth. One hash-agg shuffle keyed by source; every
+    * per-doc input (token count, fingerprint) is a per-row map, so the
+    * report costs one corpus scan at any scale. (The exact median sorts
+    * per-group values inside the aggregate; at 100 TB swap for
+    * approx_percentile, same plan shape — the exactness is what lets the
+    * DuckDB oracle hash-match, exactly as c11 documents.) */
+  val c27CorpusReport = GraftQuery(
+    "c27_corpus_report",
+    (s, dir) => {
+      val base = table(s, dir, "documents").select(col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tok"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      base.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          round(avg(col("n_tok")), 6).as("mean_tokens"),
+          round(percentile(col("n_tok"), lit(0.5)), 6).as("p50_tokens"),
+          round((count(lit(1)) - countDistinct(col("fp"))).cast("double")
+            / count(lit(1)).cast("double"), 6).as("exact_dup_rate"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT source, lang,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tok,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             round(AVG(n_tok), 6) AS mean_tokens,
+             round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
+             round(CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS exact_dup_rate,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM base
+      GROUP BY source
+      ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
@@ -961,5 +1005,5 @@ object CurationQueries {
       c12BloomDecontamination, c13QualityKeeper, c14HashSplit, c15ChunkWindows,
       c16TemperatureMix, c17KAnonymity, c18QualityEnsemble, c19SourceOverlap,
       c20WeightedSample, c21LDiversity, c23EpochMix, c24NegativePairs,
-      c25ImportanceResample, c26LeakageSafeSplit)
+      c25ImportanceResample, c26LeakageSafeSplit, c27CorpusReport)
 }

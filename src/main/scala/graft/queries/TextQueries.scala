@@ -909,7 +909,7 @@ object TextQueries {
       SELECT d.doc_id, x.backoff_xent
       FROM documents d LEFT JOIN x USING (doc_id)
       ORDER BY d.doc_id"""
-    })
+    }).copy(bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
