@@ -529,4 +529,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!sp.contains("SortMergeJoin"), sp)
     assert(!sp.contains("CartesianProduct"), sp)
   }
+
+  test("t20 held-out LM: all three model joins broadcast; the doc bigram stream never sort-merges") {
+    val p = simplePlan(q("t20_backoff_xent"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"model join degraded to sort-merge\n$p")
+  }
+
+  test("c27 corpus report: one scan, source-keyed aggregation, no join") {
+    val p = simplePlan(q("c27_corpus_report"))
+    assert(!p.contains("Join"), s"report should be join-free\n$p")
+    // distinct-agg rewrite (expand) still keys every exchange on source
+    assert(p.contains("hashpartitioning(source"), p)
+  }
 }
