@@ -355,7 +355,48 @@ $rounds
       FROM best WHERE r = 1
       ORDER BY query_id"""))
 
+  /** Filtered vector search (s13): exact cosine top-5 restricted to corpus
+    * rows passing a metadata predicate — the standard vector-DB "filtered
+    * search" workload (retrieve only in-license / in-language / in-domain
+    * neighbors). This is PRE-filtering: the predicate applies to the corpus
+    * scan BEFORE any distance work (plan-audited to reach the parquet
+    * scan), so cost scales with the surviving fraction — vs post-filtering
+    * a top-k list, which under-fills k whenever the filter is selective.
+    * Same bounded TopKPairs aggregation as s01; at IVF/PQ scale the same
+    * predicate drops onto the code/posting tables (they carry the metadata
+    * columns), leaving the probe shape unchanged. */
+  val s13FilteredTopK = GraftQuery(
+    "s13_filtered_topk",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val corpus = emb.filter(col("label") % 2 === 0)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.bruteForceTopK(q, corpus, 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings WHERE label % 2 = 0),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               $duckDot / (${duckNorm("q_emb")} * ${duckNorm("c_emb")}) AS cos_raw
+        FROM c CROSS JOIN q
+        WHERE query_id <> neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos_raw, 6) AS cosine
+      FROM ranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01BruteForceTopK, s02LshTopK, s03BruteForceTopKAgg, s04Int8Quantize,
-      s07JlProjection, s08MmrRerank, s10KnnClassify)
+      s07JlProjection, s08MmrRerank, s10KnnClassify, s13FilteredTopK)
 }

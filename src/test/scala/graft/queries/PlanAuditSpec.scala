@@ -542,4 +542,9 @@ class PlanAuditSpec extends SparkSpec {
     // distinct-agg rewrite (expand) still keys every exchange on source
     assert(p.contains("hashpartitioning(source"), p)
   }
+
+  test("s13 filtered search: the metadata predicate reaches the parquet scan") {
+    val p = plan(q("s13_filtered_topk"))
+    assert(p.contains("PushedFilters: [IsNotNull(label)"), s"label filter not pushed\n$p")
+  }
 }
