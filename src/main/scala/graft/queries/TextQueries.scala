@@ -911,10 +911,52 @@ object TextQueries {
       ORDER BY d.doc_id"""
     }).copy(bench = true)
 
+  /** Per-language tokenizer fertility (t21): BPE-ish subword tokens per
+    * whitespace word and per character, by language — the budgeting stat
+    * that decides how many TRAINING tokens a language's bytes actually
+    * cost (fertility ≫ 1 languages eat budget; the standard multilingual
+    * tokenizer-health metric). Sums are exact BIGINTs (ratios computed
+    * once at the end), one lang-keyed agg over a single scan — the t04
+    * per-row counters aggregated one level up. */
+  val t21TokenizerFertility = GraftQuery(
+    "t21_tokenizer_fertility",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("lang"),
+          tokenCount(col("text")).cast("bigint").as("words"),
+          bpeIshTokenCount(col("text")).cast("bigint").as("bpe"),
+          length(col("text")).cast("bigint").as("chars"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("bpe")).as("bpe_tokens"),
+          sum(col("words")).as("word_tokens"),
+          round(sum(col("bpe")).cast("double") / sum(col("words")).cast("double"), 6)
+            .as("fertility"),
+          round(sum(col("bpe")).cast("double") / sum(col("chars")).cast("double"), 6)
+            .as("tokens_per_char"))
+        .orderBy(col("lang")),
+    Some(s"""
+      WITH base AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS words,
+               CAST(len(regexp_extract_all(text, '$BpeIshPattern', 0)) AS BIGINT) AS bpe,
+               CAST(length(text) AS BIGINT) AS chars
+        FROM documents)
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+             CAST(SUM(words) AS BIGINT) AS word_tokens,
+             round(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(words) AS DOUBLE), 6) AS fertility,
+             round(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE), 6) AS tokens_per_char
+      FROM base
+      GROUP BY lang
+      ORDER BY lang"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
       t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t10Bm25,
       t11UnigramXent, t12QualityClassifier, t13BigramXent, t14ZipfSlope,
       t15Novelty, t16Blocklist, t17JsDivergence, t18Mattr, t19RakeKeywords,
-      t20BackoffXent)
+      t20BackoffXent, t21TokenizerFertility)
 }
