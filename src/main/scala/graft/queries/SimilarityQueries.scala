@@ -396,7 +396,73 @@ $rounds
       WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Embedding-space outlier ranking (s14): cosine of every vector to its
+    * own LABEL's centroid, ranked ascending within the label — the
+    * SemDeDup/CLIP-score-style curation signal (lowest-cos rows are
+    * mislabeled/out-of-distribution candidates; a pipeline prunes the
+    * bottom ranks).
+    *
+    * Determinism: centroid dims are per-(label,dim) DECIMAL(28,9) sums of
+    * round-9 values divided by the group count — exact, order-independent
+    * (a float mean would depend on partitioning); the cosine itself is
+    * then one sequential left-to-right double fold on both engines.
+    * Scale shape: the dim explode map-combines down to |labels|·dim rows
+    * (the only shuffle), centroids broadcast back, scoring is per-row; the
+    * within-label rank windows on |label| partitions. */
+  val s14CentroidOutliers = GraftQuery(
+    "s14_centroid_outliers",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val e = table(s, dir, "embeddings")
+      val dims = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      val cent = dims.groupBy(col("label"), col("dim"))
+        .agg((sum(round(col("v").cast("double"), 9).cast(DecimalType(28, 9))).cast("double")
+          / count(lit(1)).cast("double")).as("cv"))
+      val carr = cent.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("c"))
+      val dot = aggregate(
+        zip_with(col("embedding"), col("c"), (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x)
+      def norm(arr: org.apache.spark.sql.Column) = sqrt(aggregate(
+        transform(arr, a => a.cast("double") * a.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+      e.join(broadcast(carr), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          (dot / (norm(col("embedding")) * norm(col("c")))).as("cos_raw"))
+        .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("centroid_cos"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("label"))
+            .orderBy(col("cos_raw").asc, col("vec_id").asc)).as("outlier_rank"))
+        .orderBy(col("label"), col("outlier_rank"))
+    },
+    Some(s"""
+      WITH dims AS (
+        SELECT vec_id, label, i AS dim,
+               CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS t(i)),
+      cent AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(round(v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS cv
+        FROM dims GROUP BY label, dim),
+      carr AS (SELECT label, list(cv ORDER BY dim) AS c FROM cent GROUP BY label),
+      scored AS (
+        SELECT e.vec_id, e.label,
+               list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * c[CAST(i AS INT)]), 'sum')
+               / (${duckNorm("e.embedding")}
+                  * sqrt(list_aggregate(list_transform(c, x -> x * x), 'sum'))) AS cos_raw
+        FROM embeddings e JOIN carr USING (label))
+      SELECT vec_id, label, round(cos_raw, 6) AS centroid_cos,
+             CAST(row_number() OVER (PARTITION BY label ORDER BY cos_raw ASC, vec_id ASC)
+               AS INT) AS outlier_rank
+      FROM scored
+      ORDER BY label, outlier_rank"""))
+
   val all: Seq[GraftQuery] =
     Seq(s01BruteForceTopK, s02LshTopK, s03BruteForceTopKAgg, s04Int8Quantize,
-      s07JlProjection, s08MmrRerank, s10KnnClassify, s13FilteredTopK)
+      s07JlProjection, s08MmrRerank, s10KnnClassify, s13FilteredTopK,
+      s14CentroidOutliers)
 }
