@@ -953,10 +953,96 @@ object TextQueries {
       GROUP BY lang
       ORDER BY lang"""))
 
+  /** Gopher-style composite document quality rules (t22, Rae et al. 2021
+    * §A1.1, thresholds scaled to the fixture's short docs): word count in
+    * [10, 1000], mean word length in [3, 10], symbol-to-word ratio ('#'
+    * chars + '...' runs) ≤ 0.1, ≥ 80% of words containing an alphabetic
+    * character, and ≥ 2 distinct English stopwords present (the
+    * boilerplate/gibberish gate). Emits each metric AND each rule verdict
+    * so a pipeline can audit WHICH rule kills a doc, plus the composite
+    * keep. Pure per-row map over one scan — scan-speed at any scale; every
+    * metric is integer arithmetic divided once, so the oracle matches
+    * exactly. */
+  val t22GopherRules = GraftQuery(
+    "t22_gopher_rules",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      val nw = size(toks).cast("bigint")
+      val nwSafe = greatest(nw, lit(1L)).cast("double")
+      val meanLen = aggregate(transform(toks, t => length(t)), lit(0),
+        (acc, x) => acc + x).cast("double") / nwSafe
+      val symbols = (length(regexp_replace(col("text"), "[^#]", "")) +
+        (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+        .cast("double")
+      val symbolRatio = symbols / nwSafe
+      val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nwSafe
+      val stopList = graft.operators.TextAnalysis.Stopwords.head._2
+      val stopPresent = size(filter(lit(stopList.toArray),
+        w => array_contains(toks, w))).cast("bigint")
+      table(s, dir, "documents")
+        .select(col("doc_id"), nw.as("n_words"),
+          round(meanLen, 6).as("mean_word_len"),
+          round(symbolRatio, 6).as("symbol_ratio"),
+          round(alphaFrac, 6).as("alpha_frac"),
+          stopPresent.as("stop_present"),
+          (nw >= 10 && nw <= 1000).as("r_words"),
+          (meanLen >= 3.0 && meanLen <= 10.0).as("r_word_len"),
+          (symbolRatio <= 0.1).as("r_symbols"),
+          (alphaFrac >= 0.8).as("r_alpha"),
+          (stopPresent >= 2).as("r_stopwords"))
+        .withColumn("keep",
+          col("r_words") && col("r_word_len") && col("r_symbols")
+            && col("r_alpha") && col("r_stopwords"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val stopSql = graft.operators.TextAnalysis.Stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""
+      WITH base AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_words,
+               CAST(GREATEST(len(t), 1) AS DOUBLE) AS nw_safe,
+               CAST(COALESCE(list_aggregate(list_transform(t, tok -> length(tok)), 'sum'), 0) AS DOUBLE) AS len_sum,
+               CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+                 + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3
+                 AS DOUBLE) AS symbols,
+               CAST(len(list_filter(t, tok -> regexp_matches(tok, '[A-Za-z]'))) AS DOUBLE) AS alpha_words,
+               CAST(len(list_filter($stopSql, w -> list_contains(t, w))) AS BIGINT) AS stop_present
+        FROM base),
+      r AS (
+        SELECT doc_id, n_words,
+               len_sum / nw_safe AS mean_word_len_raw,
+               symbols / nw_safe AS symbol_ratio_raw,
+               alpha_words / nw_safe AS alpha_frac_raw,
+               stop_present
+        FROM m)
+      SELECT doc_id, n_words,
+             round(mean_word_len_raw, 6) AS mean_word_len,
+             round(symbol_ratio_raw, 6) AS symbol_ratio,
+             round(alpha_frac_raw, 6) AS alpha_frac,
+             stop_present,
+             n_words >= 10 AND n_words <= 1000 AS r_words,
+             mean_word_len_raw >= 3.0 AND mean_word_len_raw <= 10.0 AS r_word_len,
+             symbol_ratio_raw <= 0.1 AS r_symbols,
+             alpha_frac_raw >= 0.8 AS r_alpha,
+             stop_present >= 2 AS r_stopwords,
+             (n_words >= 10 AND n_words <= 1000)
+               AND (mean_word_len_raw >= 3.0 AND mean_word_len_raw <= 10.0)
+               AND symbol_ratio_raw <= 0.1
+               AND alpha_frac_raw >= 0.8
+               AND stop_present >= 2 AS keep
+      FROM r
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
       t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t10Bm25,
       t11UnigramXent, t12QualityClassifier, t13BigramXent, t14ZipfSlope,
       t15Novelty, t16Blocklist, t17JsDivergence, t18Mattr, t19RakeKeywords,
-      t20BackoffXent, t21TokenizerFertility)
+      t20BackoffXent, t21TokenizerFertility, t22GopherRules)
 }
