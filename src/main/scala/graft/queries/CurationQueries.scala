@@ -998,6 +998,55 @@ object CurationQueries {
       GROUP BY source
       ORDER BY source"""))
 
+  /** Quality-threshold yield sweep (c28): document and token survival at
+    * every candidate quality cutoff (0.0 … 0.9) — the operating-point
+    * curve a pipeline reads to price quality against volume BEFORE fixing
+    * a gate ("0.6 keeps 80 % of tokens; 0.7 keeps 45 %"). One corpus scan
+    * computes (quality, tokens) per doc; the 10-row threshold grid
+    * broadcasts; the agg shuffles ≤ 10·|partitions| partial rows. The
+    * same sweep composes with any scoring column (t20 xent, t12
+    * classifier margin). */
+  val c28QualitySweep = GraftQuery(
+    "c28_quality_sweep",
+    (s, dir) => {
+      val base = table(s, dir, "documents").select(
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tok"))
+      val grid = s.range(0, 10).select((col("id") / 10.0).as("threshold"))
+      base.crossJoin(broadcast(grid))
+        .filter(col("quality") >= col("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          // round-6 scores summed as DECIMAL: the mean is partitioning-exact
+          round(sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double") / count(lit(1)).cast("double"), 6).as("mean_quality"))
+        .orderBy(col("threshold"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT round(least(CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS DOUBLE) / 50.0, 1.0) * 0.4
+                 + (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                          / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3
+                 + CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+                     t -> t IN ('the','a','of','and','to','in','is','it','that','for',
+                                'el','la','de','y','que','los','un','es','en','se',
+                                'der','die','das','und','ist','ein','zu','den','mit','nicht',
+                                'le','la','de','et','est','les','un','une','du','pour'))) AS DOUBLE)
+                   / greatest(CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS DOUBLE), 1.0) * 0.3,
+                 6) AS quality,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+        FROM documents),
+      grid AS (SELECT i / 10.0 AS threshold FROM range(0, 10) t(i))
+      SELECT threshold,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_quality
+      FROM base JOIN grid ON quality >= threshold
+      GROUP BY threshold
+      ORDER BY threshold"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
@@ -1005,5 +1054,6 @@ object CurationQueries {
       c12BloomDecontamination, c13QualityKeeper, c14HashSplit, c15ChunkWindows,
       c16TemperatureMix, c17KAnonymity, c18QualityEnsemble, c19SourceOverlap,
       c20WeightedSample, c21LDiversity, c23EpochMix, c24NegativePairs,
-      c25ImportanceResample, c26LeakageSafeSplit, c27CorpusReport)
+      c25ImportanceResample, c26LeakageSafeSplit, c27CorpusReport,
+      c28QualitySweep)
 }

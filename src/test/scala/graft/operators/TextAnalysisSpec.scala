@@ -401,4 +401,32 @@ class TextAnalysisSpec extends SparkSpec {
       assert(v == t13(id), s"doc $id: backoff(1.0)=$v vs t13=${t13(id)}")
     }
   }
+
+  test("t22 Gopher rules: planted documents fail exactly the targeted rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the cat sat of the mat and it is that good for everyone here today now"), // clean
+      (2L, "a b c"),                                                   // too few words
+      (3L, "the ### #### ##### of ###### it ####### is ######## that ######### for a to in and is it"), // symbols
+      (4L, "the 111 222 333 444 555 666 777 888 999 000 111 222 333 444"), // low alpha frac
+      (5L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn mmm lll")  // no stopwords
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("planted_docs_t22")
+    // reuse the query body by aiming it at a temp dir is heavier than
+    // recomputing: evaluate the same rule columns directly
+    val out = graft.queries.TextQueries.t22GopherRules
+    // write planted docs as a parquet 'documents' table in a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("t22spec").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = out.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Boolean]("keep"), s"clean doc must pass: ${rows(1L)}")
+    assert(!rows(2L).getAs[Boolean]("r_words") && !rows(2L).getAs[Boolean]("keep"))
+    assert(!rows(3L).getAs[Boolean]("r_symbols") && !rows(3L).getAs[Boolean]("keep"))
+    assert(!rows(4L).getAs[Boolean]("r_alpha") && !rows(4L).getAs[Boolean]("keep"))
+    assert(!rows(5L).getAs[Boolean]("r_stopwords") && !rows(5L).getAs[Boolean]("keep"))
+  }
 }
