@@ -459,7 +459,7 @@ $rounds
              CAST(row_number() OVER (PARTITION BY label ORDER BY cos_raw ASC, vec_id ASC)
                AS INT) AS outlier_rank
       FROM scored
-      ORDER BY label, outlier_rank"""))
+      ORDER BY label, outlier_rank""")).copy(bench = true)
 
   val all: Seq[GraftQuery] =
     Seq(s01BruteForceTopK, s02LshTopK, s03BruteForceTopKAgg, s04Int8Quantize,
