@@ -484,4 +484,54 @@ class CurationSpec extends SparkSpec {
     assert(heldMean > trMean,
       s"held-out mean $heldMean should exceed train mean $trMean under a held-out model")
   }
+
+  test("c27 corpus report: planted duplicates and languages produce exact rates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("c27spec").toString
+    Seq(
+      (1L, "alpha beta gamma", "en", "srcA", 16L),
+      (2L, "alpha  beta   gamma", "de", "srcA", 19L),  // same after whitespace normalize
+      (3L, "delta epsilon", "en", "srcA", 13L),
+      (4L, "zeta", "en", "srcB", 4L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.CurationQueries.c27CorpusReport.run(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = rows("srcA")
+    assert(a.getAs[Long]("n_docs") == 3)
+    assert(a.getAs[Long]("n_tokens") == 8)        // 3 + 3 + 2
+    // docs 1 and 2 collide on the normalized fingerprint -> 1 dup of 3
+    assert(math.abs(a.getAs[Double]("exact_dup_rate") - 1.0 / 3.0) < 1e-6)
+    assert(a.getAs[Long]("n_langs") == 2)
+    val b = rows("srcB")
+    assert(b.getAs[Long]("n_docs") == 1 && b.getAs[Double]("exact_dup_rate") == 0.0)
+  }
+
+  test("t21 fertility: a pure alpha-word corpus has fertility exactly 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t21spec").toString
+    Seq(
+      (1L, "alpha beta gamma", "en", "s", 16L),
+      (2L, "delta epsilon", "en", "s", 13L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.TextQueries.t21TokenizerFertility.run(spark, dir).collect()
+    assert(r.length == 1)
+    // every whitespace word is one [A-Za-z]+ run -> bpe tokens == words
+    assert(r.head.getAs[Double]("fertility") == 1.0, r.head.toString)
+    assert(r.head.getAs[Long]("bpe_tokens") == r.head.getAs[Long]("word_tokens"))
+  }
+
+  test("s13 filtered search: every returned neighbor satisfies the predicate") {
+    val rows = graft.queries.SimilarityQueries.s13FilteredTopK
+      .run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val labels = graft.Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val n = r.getAs[Long]("neighbor_id")
+      assert(labels(n) % 2 == 0, s"neighbor $n has odd label ${labels(n)}")
+    }
+  }
 }
