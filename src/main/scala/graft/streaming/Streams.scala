@@ -335,6 +335,51 @@ object Streams {
     }
   }
 
+  /** CONTINUOUS dataset-card maintenance: each micro-batch folds its docs
+    * into the standing [[graft.operators.Reports]] count index with a
+    * versioned overwrite — `v{batchId}` is written complete before older
+    * versions are pruned, so a reader always sees one whole index, and a
+    * foreachBatch REPLAY of the same batchId rewrites the same version
+    * (idempotent, the exactly-once-effect pairing MemoryStream/file
+    * streams need). Per-batch cost scales with |standing index| + |batch|,
+    * never the corpus ever ingested; the c27 report derives from the
+    * latest version at read time via `Reports.corpusReportFromIndex`.
+    *
+    * `docs` schema: (doc_id, text, lang, source[, …]). */
+  def corpusReportStream(docs: DataFrame, indexDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Reports
+    docs.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val merged = latestReportIndexVersion(indexDir) match {
+          case Some(v) => Reports.mergeCorpusReportIndex(
+            spark.read.parquet(s"$indexDir/v$v"), batch.toDF)
+          case None => Reports.corpusReportIndex(batch.toDF)
+        }
+        merged.write.mode("overwrite").parquet(s"$indexDir/v$batchId")
+        // prune strictly-older versions only after the new one is complete
+        val dir = new java.io.File(indexDir)
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("v") &&
+            f.getName.drop(1).toLongOption.exists(_ < batchId))
+          .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
+        ()
+    }
+  }
+
+  /** Highest complete (`_SUCCESS`-marked) report-index version under
+    * `indexDir`, if any — what both the next micro-batch and any report
+    * reader should open. */
+  def latestReportIndexVersion(indexDir: String): Option[Long] = {
+    val dir = new java.io.File(indexDir)
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v")
+        && new java.io.File(f, "_SUCCESS").exists())
+      .flatMap(_.getName.drop(1).toLongOption)
+      .sorted.lastOption
+  }
+
   /** CONTINUOUS silver maintenance — the Lakeflow streaming-MV refresh
     * shape: a file stream over a latest-wins model's bronze directory;
     * each micro-batch OCC-merges only the NEW files' typed rows into the

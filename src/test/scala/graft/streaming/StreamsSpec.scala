@@ -465,4 +465,41 @@ class StreamsSpec extends SparkSpec {
     assert(lake.table("silver", "silver_channels")
       .filter(col("channel_title") === "Chan C").count() == 1)
   }
+
+  test("corpus-report stream: the maintained index derives the exact batch report") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, String, String)]
+    val docs = input.toDF.toDF("doc_id", "text", "lang", "source")
+    val idx = java.nio.file.Files.createTempDirectory("graft-crs-idx").toString
+    val q = Streams.corpusReportStream(docs, idx)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-crs-ckpt").toString)
+      .start()
+    try {
+      input.addData(
+        (1L, "alpha beta gamma", "en", "srcA"),
+        (2L, "alpha  beta   gamma", "de", "srcA"))   // dup fingerprint of 1
+      q.processAllAvailable()
+      input.addData(
+        (3L, "delta epsilon", "en", "srcA"),
+        (4L, "zeta", "en", "srcB"))
+      q.processAllAvailable()
+      val v = Streams.latestReportIndexVersion(idx)
+      assert(v.nonEmpty, "no complete index version on disk")
+      // older versions pruned after the newer one landed complete
+      assert(new java.io.File(idx).listFiles().count(_.getName.startsWith("v")) == 1)
+      val streamed = graft.operators.Reports.corpusReportFromIndex(
+        spark.read.parquet(s"$idx/v${v.get}"))
+      val direct = graft.operators.Reports.corpusReportFromIndex(
+        graft.operators.Reports.corpusReportIndex(
+          Seq((1L, "alpha beta gamma", "en", "srcA"),
+              (2L, "alpha  beta   gamma", "de", "srcA"),
+              (3L, "delta epsilon", "en", "srcA"),
+              (4L, "zeta", "en", "srcB"))
+            .toDF("doc_id", "text", "lang", "source")))
+      assert(streamed.collect().map(_.toString).toSeq
+        == direct.collect().map(_.toString).toSeq)
+    } finally q.stop()
+  }
 }
