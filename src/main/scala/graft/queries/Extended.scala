@@ -774,11 +774,55 @@ object Extended {
       ORDER BY e.exact_count DESC, e.term"""
     })
 
+  /** Trailing-7-day distinct users per day via MERGEABLE daily HLL
+    * sketches (q77) — the sketch-reuse window pattern: each day's raw
+    * events are folded ONCE into a DataSketches HLL
+    * (`hll_sketch_agg`), and every overlapping window merges the 7 daily
+    * SKETCHES (`hll_union_agg`, bytes not rows) — at 100 TB the daily
+    * sketch table is the at-rest artifact and each day's report touches
+    * 7 tiny blobs instead of re-scanning a week of raw events (distinct
+    * counts don't sum, so without sketches every window re-counts).
+    * Oracle-checked the q34 way: the exact trailing count is computed on
+    * both engines and the hash covers (exact, within_bound) — a broken
+    * sketch/merge flips within_bound. */
+  val q77SlidingDistinctSketch = GraftQuery(
+    "q77_sliding_distinct_sketch",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val days = ev.select(col("day")).distinct()
+      val daily = ev.groupBy(col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val wd = days.select(col("day").as("wday"))
+      val approx = wd.join(daily,
+          col("day").between(date_sub(col("wday"), 6), col("wday")))
+        .groupBy(col("wday"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"))
+      val exact = wd.join(ev,
+          col("day").between(date_sub(col("wday"), 6), col("wday")))
+        .groupBy(col("wday"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(approx, Seq("wday"))
+        .select(col("wday").as("day"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * lit(0.06)).as("within_bound"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+      days AS (SELECT DISTINCT day FROM ev)
+      SELECT d.day,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_users,
+             TRUE AS within_bound
+      FROM days d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+      ORDER BY d.day"""))
+
   val all: Seq[GraftQuery] = Seq(
     q26WindowFrames, q27Ranking, q28GroupingSets, q29Pivot, q30AsOfJoin,
     q31RangeJoin, q32Sessionize, q33Percentiles, q34ApproxDistinct,
     q35ScalarSubquery, q36FromJson, q37ApproxPercentile, q38SaltedJoin,
     q39HeavyHitters, q40ZorderCodes, q41SmbBucketJoin, q42Profile,
     q43HoppingWindows, q44Cube, q61HilbertCodes, q62SessionWindow,
-    q65CountMin, q66Unpivot)
+    q65CountMin, q66Unpivot, q77SlidingDistinctSketch)
 }
