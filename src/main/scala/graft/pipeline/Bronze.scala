@@ -101,7 +101,8 @@ object Bronze {
           lake.spark.sparkContext.parallelize(updatedRows.toSeq, 1), updated.schema))
       lake.deleteBronzeWhere("run_context_log",
         col("run_id") === runId &&
-          (col("finalized_ts_utc").isNull || col("finalized_ts_utc") =!= lit(finalizedTs)))
+          (col("finalized_ts_utc").isNull || col("finalized_ts_utc") =!= lit(finalizedTs)),
+        Seq(ManifestStats.StatEq("run_id", runId)))
     }
   }
 }

@@ -10,19 +10,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Plays the role Unity Catalog + Delta play for the reference
   * (`lakeflow/bootstrap_unity_catalog.sql`): bronze tables are
-  * snapshot_date-partitioned append-only parquet; "DELETE WHERE run_id"
-  * (the reference's idempotent re-run primitive, Delta DML at
-  * `ingest_data_api_to_bronze.py:91-93`) is emulated with
-  * rewrite-filter-swap, which is exactly what a copy-on-write table format
-  * does under the hood — at cluster scale this slot is filled by Delta (a
-  * one-line `format("delta")` swap); the engine semantics above it are
-  * identical.
+  * log-managed append+delete parquet ("DELETE WHERE run_id", the
+  * reference's idempotent re-run primitive at
+  * `ingest_data_api_to_bronze.py:91-93`, is file-granular copy-on-write —
+  * exactly Delta's `add`/`remove` semantics); at cluster scale this slot
+  * is filled by Delta (a one-line `format("delta")` swap); the engine
+  * semantics above it are identical.
   *
-  * Partitioning posture for 100 TB: bronze partitioned by `snapshot_date`
-  * so silver refreshes prune to the snapshots they need; silver/gold are
-  * full-refresh materializations (the reference's `CREATE OR REFRESH
-  * MATERIALIZED VIEW` semantics — recompute is the correctness baseline,
-  * incremental refresh an optimization on top).
+  * Pruning posture for 100 TB: bronze manifests record per-file
+  * `snapshot_date`/`run_id` min-max stats ([[ManifestStats]]) so silver
+  * refreshes FILE-SKIP to the snapshots they need (the
+  * Delta-data-skipping generalization of hive partition pruning — same
+  * O(new data) scans, no small-partition-directory explosion);
+  * silver/gold are full-refresh materializations (the reference's
+  * `CREATE OR REFRESH MATERIALIZED VIEW` semantics — recompute is the
+  * correctness baseline, incremental refresh an optimization on top).
   *
   * Materialized tables carry a SINGLE-WRITER TRANSACTION LOG — the
   * minimal slice of what Delta's `_delta_log` provides the reference:
@@ -38,8 +40,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * finish their scan. Concurrency: full refreshes serialize via
   * exclusive-create slot claims; incremental merges run read-set-checked
   * OCC transactions ([[transactMerge]]) that retry on conflict instead
-  * of losing updates. Remaining divergence from Delta (README "Known
-  * divergence"): bronze appends/deletes are directory-based, not logged.
+  * of losing updates. Bronze appends/deletes go through their own
+  * file-granular `_FILES` log (same atomic-manifest commit point;
+  * single-writer appends, matching the reference's serialized ingest
+  * task — the one remaining divergence from Delta's concurrent blind
+  * appends).
   */
 final class Lakehouse(val spark: SparkSession, val root: String,
     schemaOverrides: Map[String, String] = Lakehouse.envSchemaOverrides()) {
@@ -73,8 +78,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     if (v == 0) base else base.resolve(s"_v$v")
   }
 
-  def table(layer: String, name: String): DataFrame =
-    spark.read.parquet(currentDataDir(layer, name).toString)
+  def table(layer: String, name: String): DataFrame = {
+    val base = dir(layer, name)
+    readFilesManifest(base) match {
+      case Some((_, entries)) => // log-managed bronze: read the LIVE file set
+        spark.read.parquet(entries.map(e => base.resolve(e.relPath).toString): _*)
+      case None =>
+        spark.read.parquet(currentDataDir(layer, name).toString)
+    }
+  }
 
   /** Committed version number of a materialized table (0 = plain layout /
     * never materialized under the manifest protocol). */
@@ -115,39 +127,225 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     spark.read.parquet(dir(layer, name).resolve(s"_v$version").toString)
   }
 
-  /** Append rows (bronze ingest; partitioned by snapshot_date). */
-  def appendBronze(name: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).partitionBy("snapshot_date")
-      .parquet(dir("bronze", name).toString)
+  // ───── bronze transaction log ─────────────────────────────────────────
+  //
+  // Bronze tables are APPEND+DELETE workloads, so their log tracks live
+  // FILES across immutable `_a{N}` append directories instead of whole
+  // version directories: an append commits O(new files), a predicate
+  // delete rewrites only the files that contain matching rows (Delta's
+  // copy-on-write `add`/`remove` shape), and the `_FILES` manifest rename
+  // is the single atomic commit point — a crash anywhere mid-ingest
+  // leaves the previous committed file set live, never a half-appended
+  // table. Each manifest line carries per-file min/max stats
+  // ([[ManifestStats]]) for file-level data skipping; `snapshot_date`
+  // lives as a DATA column (stats replace hive directory partitioning,
+  // the Delta-without-partitioning layout), so pruning by snapshot range
+  // goes through [[tableWhere]]. Appends are SINGLE-WRITER per table
+  // (the reference's bronze writer is one serialized job task); readers
+  // are never blocked and always see a committed version.
 
-  /** Idempotent re-run delete: drop all rows of `run_id` before re-append. */
-  def deleteByRunId(name: String, runId: String): Unit =
-    deleteBronzeWhere(name, org.apache.spark.sql.functions.col("run_id").equalTo(runId))
+  private val FilesManifest = "_FILES"
+  private val appendDir = "_a(\\d+)".r
+  private val filesHistory = "_files_v(\\d+)".r
 
-  /** Predicate delete — "DELETE WHERE <condition>" over a bronze table.
-    * Copy-on-write: materialize the retained rows next to the live dir, then
-    * swap — the live table is never half-written. Rows where `condition` is
-    * null are treated as matching (dropped), the DML convention the run-id
-    * variant above has always had. */
-  def deleteBronzeWhere(name: String, condition: org.apache.spark.sql.Column): Unit = {
-    val live = dir("bronze", name)
-    if (Files.exists(live)) {
-      val tmp = Paths.get(root, physicalSchema("bronze"), s".${name}__rewrite")
-      deleteRecursively(tmp)
-      val retained = spark.read.parquet(live.toString)
-        .filter(!condition)
-      if (retained.isEmpty) {
-        // a partitioned write of zero rows yields a directory with no data
-        // files — unreadable later; write one empty unpartitioned file so the
-        // schema survives (snapshot_date becomes a plain column, same schema)
-        retained.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      } else {
-        retained.write.mode(SaveMode.Overwrite).partitionBy("snapshot_date")
-          .parquet(tmp.toString)
-      }
-      deleteRecursively(live)
-      Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+  private def readFilesManifest(base: Path): Option[(Int, Seq[ManifestStats.FileEntry])] =
+    readManifestFile(base.resolve(FilesManifest))
+
+  private def readManifestFile(m: Path): Option[(Int, Seq[ManifestStats.FileEntry])] =
+    if (!Files.exists(m)) None
+    else {
+      val lines = new String(Files.readAllBytes(m), java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.toSeq
+      Some((lines.head.trim.toInt,
+        lines.tail.filter(_.nonEmpty).map(ManifestStats.parseLine)))
     }
+
+  /** Write `_files_v{version}` history first (GC's reference set), then
+    * atomically rename the live `_FILES` manifest into place — THE commit. */
+  private def commitFilesManifest(
+      base: Path, version: Int, entries: Seq[ManifestStats.FileEntry]): Unit = {
+    val body = (version.toString +: entries.map(_.render)).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Files.write(base.resolve(s"_files_v$version"), body)
+    val tmp = base.resolve(s".$FilesManifest.$version.tmp")
+    Files.write(tmp, body)
+    Files.move(tmp, base.resolve(FilesManifest), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** GC after a commit: data files referenced by NEITHER the committed
+    * manifest NOR its predecessor go (in-flight readers of the replaced
+    * version finish their scan — the [[materialize]] retention window),
+    * along with emptied `_a` dirs and history files below the window. */
+  private def gcBronze(base: Path, committed: Int): Unit = {
+    val keep = (readManifestFile(base.resolve(s"_files_v$committed")).toSeq ++
+        readManifestFile(base.resolve(s"_files_v${committed - 1}")).toSeq)
+      .flatMap(_._2).map(_.relPath).toSet
+    Files.list(base).toArray.map(_.asInstanceOf[Path]).foreach { p =>
+      p.getFileName.toString match {
+        case appendDir(_) =>
+          Files.list(p).toArray.map(_.asInstanceOf[Path]).foreach { f =>
+            val n = f.getFileName.toString
+            if (n.endsWith(".parquet") &&
+                !keep.contains(s"${p.getFileName}/$n")) {
+              Files.delete(f)
+              val crc = f.resolveSibling(s".$n.crc")
+              if (Files.exists(crc)) Files.delete(crc)
+            }
+          }
+          if (!Files.list(p).toArray.map(_.asInstanceOf[Path])
+              .exists(_.getFileName.toString.endsWith(".parquet")))
+            deleteRecursively(p)
+        case filesHistory(k) => if (k.toInt < committed - 1) Files.delete(p)
+        case _ =>
+      }
+    }
+  }
+
+  /** One-time migration of a pre-log bronze directory (hive-partitioned
+    * parquet, or the old empty-table single file) into the `_FILES`
+    * protocol: rewrite the rows (snapshot_date becomes a data column) as
+    * `_a1` and commit them as version 1. */
+  private def upgradeLegacyBronze(base: Path, statsCols: Seq[String]): Unit = {
+    if (readFilesManifest(base).nonEmpty || !Files.exists(base)) return
+    val legacy = Files.list(base).toArray.map(_.asInstanceOf[Path]).filter { p =>
+      val n = p.getFileName.toString
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (legacy.isEmpty) return
+    val df = spark.read.parquet(base.toString)
+    // project partition columns back into the data files, original order
+    val ordered = graft.pipeline.Schemas.bronzeEnvelope.fieldNames.toSeq
+    val cols = if (df.columns.toSet == ordered.toSet) ordered else df.columns.toSeq
+    val dataDir = base.resolve("_a1")
+    deleteRecursively(dataDir)
+    df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    commitFilesManifest(base, 1,
+      ManifestStats.collectStats(df, dataDir.toString, statsCols, "_a1"))
+    legacy.foreach(deleteRecursively)
+  }
+
+  /** Append rows (bronze ingest) as a logged transaction: new files land
+    * in an immutable `_a{N}` dir, their min/max stats are recorded, and
+    * the `_FILES` manifest rename commits — a crash at any earlier point
+    * leaves the table at the previous version (no half-appended data is
+    * ever visible, the Delta-bronze guarantee the reference gets from
+    * `USING DELTA`). */
+  def appendBronze(name: String, df: DataFrame,
+      statsCols: Seq[String] = Lakehouse.BronzeStatsCols): Unit = {
+    val base = dir("bronze", name)
+    Files.createDirectories(base)
+    upgradeLegacyBronze(base, statsCols)
+    val (v, entries) = readFilesManifest(base).getOrElse((0, Seq.empty))
+    // first free append-dir number ≥ v+1 (skips crash debris awaiting GC)
+    var next = v + 1
+    while (Files.exists(base.resolve(s"_a$next"))) next += 1
+    val dataDir = base.resolve(s"_a$next")
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    commitFilesManifest(base, next,
+      entries ++ ManifestStats.collectStats(df, dataDir.toString, statsCols, s"_a$next"))
+    gcBronze(base, next)
+  }
+
+  /** Idempotent re-run delete: drop all rows of `run_id` before re-append.
+    * The manifest's run_id file stats bound the scan to files whose range
+    * covers the run — a re-ingest never rewrites unrelated history. */
+  def deleteByRunId(name: String, runId: String): Unit =
+    deleteBronzeWhere(name, org.apache.spark.sql.functions.col("run_id").equalTo(runId),
+      Seq(ManifestStats.StatEq("run_id", runId)))
+
+  /** Predicate delete — "DELETE WHERE <condition>" over a bronze table,
+    * copy-on-write at FILE granularity: stats-candidate files are scanned
+    * for true matches, only files actually containing matching rows are
+    * rewritten (their retained rows land in a fresh `_a{N}`), untouched
+    * files stay live as-is, and the manifest rename commits the swap.
+    * Rows where `condition` is null are treated as matching (dropped),
+    * the DML convention the run-id variant above has always had.
+    * `statPreds` (optional) conservatively describe the DELETED rows so
+    * file stats can prune the candidate scan. */
+  def deleteBronzeWhere(name: String, condition: org.apache.spark.sql.Column,
+      statPreds: Seq[ManifestStats.StatPred] = Nil): Unit = {
+    import org.apache.spark.sql.functions.input_file_name
+    val base = dir("bronze", name)
+    if (!Files.exists(base)) return
+    upgradeLegacyBronze(base, Lakehouse.BronzeStatsCols)
+    readFilesManifest(base) match {
+      case None => // never written
+      case Some((v, entries)) =>
+        val candidates = entries.filter(e => ManifestStats.mightMatch(e, statPreds))
+        if (candidates.isEmpty) return
+        val candPaths = candidates.map(e => base.resolve(e.relPath).toString)
+        // null condition counts as a match (dropped), so detect via NOT(NOT cond)
+        val matchCond = !org.apache.spark.sql.functions.coalesce(
+          !condition, org.apache.spark.sql.functions.lit(false))
+        val affectedNames = spark.read.parquet(candPaths: _*)
+          .withColumn("__f", input_file_name()).filter(matchCond)
+          .select("__f").distinct().collect()
+          .map(_.getString(0).split('/').takeRight(2).mkString("/")).toSet
+        if (affectedNames.isEmpty) return
+        val (affected, untouched) = entries.partition(e => affectedNames.contains(e.relPath))
+        val retained = spark.read
+          .parquet(affected.map(e => base.resolve(e.relPath).toString): _*)
+          .filter(!condition)
+        var next = v + 1
+        while (Files.exists(base.resolve(s"_a$next"))) next += 1
+        val newEntries =
+          if (retained.isEmpty && untouched.nonEmpty) Seq.empty
+          else {
+            val dataDir = base.resolve(s"_a$next")
+            // zero-row rewrite keeps ONE schema file so an emptied table
+            // stays readable
+            val out = if (retained.isEmpty) retained.repartition(1) else retained
+            out.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+            ManifestStats.collectStats(retained, dataDir.toString,
+              Lakehouse.BronzeStatsCols, s"_a$next")
+          }
+        commitFilesManifest(base, next, untouched ++ newEntries)
+        gcBronze(base, next)
+    }
+  }
+
+  /** Live data files of a table after FILE-LEVEL DATA SKIPPING: entries
+    * whose recorded min/max ranges cannot satisfy `preds` are pruned
+    * before Spark ever lists them. Works for both manifest species —
+    * bronze `_FILES` logs and materialized `_VERSION` manifests (whose
+    * lines carry stats when the refresh recorded them). Plain-layout
+    * tables return their directory (no stats → no skipping). */
+  def prunedFilePaths(layer: String, name: String,
+      preds: Seq[ManifestStats.StatPred]): Seq[String] = {
+    val base = dir(layer, name)
+    readFilesManifest(base) match {
+      case Some((_, entries)) =>
+        entries.filter(e => ManifestStats.mightMatch(e, preds))
+          .map(e => base.resolve(e.relPath).toString)
+      case None =>
+        val dd = currentDataDir(layer, name)
+        readManifestFile(base.resolve(ManifestName)) match {
+          case Some((_, entries)) if entries.nonEmpty =>
+            entries.filter(e => ManifestStats.mightMatch(e, preds))
+              .map(e => dd.resolve(e.relPath).toString)
+          case _ => Seq(dd.toString)
+        }
+    }
+  }
+
+  /** Scan with file skipping: only files whose stats admit `preds` are
+    * read. The caller still applies its exact row filter — skipping is a
+    * superset guarantee, like parquet row-group pruning one level up. */
+  def tableWhere(layer: String, name: String,
+      preds: Seq[ManifestStats.StatPred]): DataFrame = {
+    val pruned = prunedFilePaths(layer, name, preds)
+    if (pruned.nonEmpty) spark.read.parquet(pruned: _*)
+    else table(layer, name).filter(org.apache.spark.sql.functions.lit(false))
+  }
+
+  /** Path a STREAMING source should monitor for this table: the `_a*`
+    * append-dir glob for log-managed bronze (appends land as new matched
+    * dirs), the live data dir otherwise. */
+  def streamSourcePath(layer: String, name: String): String = {
+    val base = dir(layer, name)
+    if (readFilesManifest(base).nonEmpty) s"$base/_a*"
+    else currentDataDir(layer, name).toString
   }
 
   private val commitMarker = "_commit_v(\\d+)".r
@@ -176,7 +374,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * standing table is not conflict-checked here) — they go through
     * [[transactMerge]], whose exact-successor slot claim turns the
     * read-write race into a detected conflict + retry. */
-  def materialize(layer: String, name: String, df: DataFrame): Unit = {
+  def materialize(layer: String, name: String, df: DataFrame,
+      statsCols: Seq[String] = Nil): Unit = {
     val base = dir(layer, name)
     Files.createDirectories(base)
     // claim a version slot (OCC): first free number at-or-above current+1
@@ -194,21 +393,28 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           next += 1 // another writer (or a crashed attempt) owns that slot
       }
     }
-    writeVersion(base, next, df)
+    writeVersion(base, next, df, statsCols)
     publishIfMonotonic(base, next)
     gcVersions(base)
   }
 
-  /** Write the immutable `_v{next}` data directory and its manifest tmp.
-    * No commit happens here — the previous version stays live. */
-  private def writeVersion(base: Path, next: Int, df: DataFrame): Unit = {
+  /** Write the immutable `_v{next}` data directory and its manifest tmp
+    * (per-file min/max stats recorded for `statsCols` — the data-skipping
+    * read path of [[tableWhere]]). No commit happens here — the previous
+    * version stays live. */
+  private def writeVersion(base: Path, next: Int, df: DataFrame,
+      statsCols: Seq[String] = Nil): Unit = {
     val dataDir = base.resolve(s"_v$next")
     deleteRecursively(dataDir) // debris from a crashed earlier attempt
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    val live = Files.list(dataDir).toArray.map(_.asInstanceOf[Path].getFileName.toString)
-      .filter(_.endsWith(".parquet")).sorted
+    val entries =
+      if (statsCols.isEmpty)
+        ManifestStats.listParquet(dataDir.toString)
+          .map(f => ManifestStats.FileEntry(f, Map.empty))
+      else ManifestStats.collectStats(df, dataDir.toString, statsCols, "")
+        .map(e => e.copy(relPath = e.relPath.stripPrefix("/")))
     val tmp = base.resolve(s".$ManifestName.$next.tmp")
-    Files.write(tmp, (next.toString +: live).mkString("\n")
+    Files.write(tmp, (next.toString +: entries.map(_.render)).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -311,9 +517,29 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 
   /** Compaction pass — the OPTIMIZE parity op
     * (reference `job_tasks/ops/optimize_tables.py:116-132`): rewrite a
-    * table's files at a target partition count. */
-  def compact(layer: String, name: String, numFiles: Int = 1): Unit =
-    materialize(layer, name, table(layer, name).repartition(numFiles))
+    * table's files at a target partition count. Log-managed bronze tables
+    * compact WITHIN their log: all live files rewrite into one fresh
+    * `_a{N}` and the manifest swap commits, so readers never see a
+    * half-compacted table and stats are rebuilt for the new files. */
+  def compact(layer: String, name: String, numFiles: Int = 1): Unit = {
+    val base = dir(layer, name)
+    readFilesManifest(base) match {
+      case Some((v, entries)) =>
+        val df = spark.read
+          .parquet(entries.map(e => base.resolve(e.relPath).toString): _*)
+          .repartition(numFiles)
+        var next = v + 1
+        while (Files.exists(base.resolve(s"_a$next"))) next += 1
+        val dataDir = base.resolve(s"_a$next")
+        df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+        commitFilesManifest(base, next,
+          ManifestStats.collectStats(df, dataDir.toString,
+            Lakehouse.BronzeStatsCols, s"_a$next"))
+        gcBronze(base, next)
+      case None =>
+        materialize(layer, name, table(layer, name).repartition(numFiles))
+    }
+  }
 
   /** Materialize as a BUCKETED catalog table (`<layer>_<name>`): rows
     * hash-partitioned into `buckets` files on `bucketCols` at write time, so
@@ -341,6 +567,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 }
 
 object Lakehouse {
+
+  /** Default file-stats columns for bronze logs: `snapshot_date` (the
+    * incremental-refresh prune key — file skipping replaces hive
+    * partition pruning) and `run_id` (bounds idempotent re-ingest deletes
+    * to the files a run actually touched). */
+  val BronzeStatsCols: Seq[String] = Seq("snapshot_date", "run_id")
 
   /** dbt-style runtime schema indirection (reference `dbt/models/schema.yml:5`
     * + `scripts/dbt_run_gold.py:211` resolve schema names per environment at

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
+
+/** File-level metadata for the transaction-log manifests: one entry per
+  * live data file, carrying per-column min/max statistics for DATA
+  * SKIPPING — the slice of Delta's per-file stats (`add.stats`) that lets
+  * a reader prune whole FILES from a scan before Spark ever lists them,
+  * on top of the row-group pruning parquet footers already give.
+  *
+  * Values are stored with a one-character type tag so comparisons are
+  * typed, not lexical: `l` integral (dates as epoch-day, timestamps as
+  * epoch-micros — both order-preserving), `f` floating, `s` string,
+  * `b` boolean. Stats are computed over NON-NULL values only (the
+  * `min`/`max` aggregate convention), so pruning is sound exactly for
+  * NULL-REJECTING predicates — which is all [[StatPred]] can express.
+  * A column with no recorded stats (all-null file, type we don't encode,
+  * or a pre-stats manifest line) never causes a skip.
+  *
+  * Line format (tab-separated, URL-encoded tokens — robust to any path or
+  * string value): `relPath TAB col TAB tag TAB min TAB max [TAB col ...]`.
+  * A bare `relPath` line (no tabs) is a stats-free entry, which keeps
+  * round-1..7 manifests readable.
+  */
+object ManifestStats {
+
+  final case class ColStats(tag: Char, min: String, max: String)
+
+  final case class FileEntry(relPath: String, stats: Map[String, ColStats]) {
+    def render: String = {
+      val statsPart = stats.toSeq.sortBy(_._1).flatMap { case (c, s) =>
+        Seq(enc(c), s.tag.toString, enc(s.min), enc(s.max))
+      }
+      (enc(relPath) +: statsPart).mkString("\t")
+    }
+  }
+
+  /** Null-rejecting file-skipping predicates ("would any row of this file
+    * survive?"). Compose with `Seq` = conjunction. */
+  sealed trait StatPred { def column: String; def value: Any }
+  final case class StatGte(column: String, value: Any) extends StatPred
+  final case class StatLte(column: String, value: Any) extends StatPred
+  final case class StatEq(column: String, value: Any) extends StatPred
+
+  private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
+  private def dec(s: String): String = URLDecoder.decode(s, UTF_8)
+
+  /** Encode one collected aggregate value; None = type we don't track
+    * (a file with such a column simply records no stats for it). */
+  def encodeValue(v: Any): Option[(Char, String)] = v match {
+    case null => None
+    case d: java.sql.Date => Some(('l', d.toLocalDate.toEpochDay.toString))
+    case d: java.time.LocalDate => Some(('l', d.toEpochDay.toString))
+    case t: java.sql.Timestamp =>
+      Some(('l', (t.getTime / 1000 * 1000000L + t.getNanos / 1000).toString))
+    case t: java.time.Instant =>
+      Some(('l', (t.getEpochSecond * 1000000L + t.getNano / 1000).toString))
+    case n: Long => Some(('l', n.toString))
+    case n: Int => Some(('l', n.toString))
+    case n: Short => Some(('l', n.toString))
+    case n: Byte => Some(('l', n.toString))
+    case n: Double => Some(('f', n.toString))
+    case n: Float => Some(('f', n.toDouble.toString))
+    case n: java.math.BigDecimal => Some(('f', n.doubleValue.toString))
+    case s: String => Some(('s', s))
+    case b: Boolean => Some(('b', if (b) "1" else "0"))
+    case _ => None
+  }
+
+  private def cmp(tag: Char, a: String, b: String): Int = tag match {
+    case 'l' => java.lang.Long.compare(a.toLong, b.toLong)
+    case 'f' => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ => a.compareTo(b)
+  }
+
+  /** Conservative survival test: keep the file unless its recorded range
+    * PROVES no row can match every predicate. Missing stats → keep. */
+  def mightMatch(entry: FileEntry, preds: Seq[StatPred]): Boolean =
+    preds.forall { p =>
+      (entry.stats.get(p.column), encodeValue(p.value)) match {
+        case (Some(s), Some((tag, v))) if tag == s.tag => p match {
+          case _: StatGte => cmp(tag, s.max, v) >= 0
+          case _: StatLte => cmp(tag, s.min, v) <= 0
+          case _: StatEq => cmp(tag, s.min, v) <= 0 && cmp(tag, s.max, v) >= 0
+        }
+        case _ => true // no stats / tag mismatch: never skip on a guess
+      }
+    }
+
+  def parseLine(line: String): FileEntry = {
+    val toks = line.split("\t", -1)
+    val stats = toks.drop(1).grouped(4).collect {
+      case Array(c, tag, mn, mx) if tag.length == 1 =>
+        dec(c) -> ColStats(tag.head, dec(mn), dec(mx))
+    }.toMap
+    FileEntry(dec(toks.head), stats)
+  }
+
+  /** Per-file min/max over `statsCols` for every parquet file under
+    * `dataDir`, keyed by file name — ONE Spark job over just-written data
+    * (the write-side stats pass Delta folds into its commit). Columns not
+    * present in the data are ignored. */
+  def collectStats(df: DataFrame, dataDir: String, statsCols: Seq[String],
+      relPrefix: String): Seq[FileEntry] = {
+    val spark = df.sparkSession
+    val files = spark.read.parquet(dataDir)
+    val cols = statsCols.filter(files.columns.contains)
+    if (cols.isEmpty) {
+      listParquet(dataDir).map(f => FileEntry(s"$relPrefix/$f", Map.empty))
+    } else {
+      val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+      val rows = files.groupBy(input_file_name().as("__file"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      val byFile = rows.map { r =>
+        val name = r.getAs[String]("__file").split('/').last
+        val stats = cols.flatMap { c =>
+          (encodeValue(r.getAs[Any](s"__min_$c")), encodeValue(r.getAs[Any](s"__max_$c"))) match {
+            case (Some((t1, mn)), Some((t2, mx))) if t1 == t2 => Some(c -> ColStats(t1, mn, mx))
+            case _ => None
+          }
+        }.toMap
+        name -> stats
+      }.toMap
+      // every file gets an entry even if the stats job missed it (empty file)
+      listParquet(dataDir).map(f => FileEntry(s"$relPrefix/$f", byFile.getOrElse(f, Map.empty)))
+    }
+  }
+
+  def listParquet(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).sorted
+  }
+}

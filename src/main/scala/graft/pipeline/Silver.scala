@@ -180,6 +180,14 @@ object Silver {
     * it), so refresh cost scales with NEW data, not table history — the
     * difference between a nightly refresh reading one day and reading 100 TB.
     * Requires the model to have been fully refreshed at least once. */
+  /** Bronze scan bounded to snapshots ≥ `since`: the bronze log's per-file
+    * snapshot_date stats prune whole files before Spark lists them
+    * ([[Lakehouse.tableWhere]]), and the exact row filter stays on top —
+    * refresh cost scales with the new snapshots, not bronze history. */
+  def bronzeSince(lake: Lakehouse, tbl: String, since: java.sql.Date): DataFrame =
+    lake.tableWhere("bronze", tbl, Seq(ManifestStats.StatGte("snapshot_date", since)))
+      .filter(col("snapshot_date") >= lit(since))
+
   def refreshIncremental(lake: Lakehouse, name: String, sinceSnapshot: java.sql.Date): Unit =
     name match {
       case "silver_video_metadata_scd2"  => refreshScd2Incremental(lake, sinceSnapshot)
@@ -192,9 +200,7 @@ object Silver {
         // OCC transaction: the standing table is the conflict-checked
         // read-set; bronze (append-only) is re-pruned on every attempt
         lake.transactMerge("silver", name) { existing =>
-          val fresh = spec.typed(
-            lake.table("bronze", spec.bronzeTable)
-              .filter(col("snapshot_date") >= lit(sinceSnapshot)))
+          val fresh = spec.typed(bronzeSince(lake, spec.bronzeTable, sinceSnapshot))
           latestWins(existing.unionByName(fresh), spec.grain, spec.order)
         }
         ()
@@ -252,7 +258,7 @@ object Silver {
         .flatMap(r => Option(r.getDate(0)))
         .map(m => if (m.before(sinceSnapshot)) m else sinceSnapshot)
         .getOrElse(sinceSnapshot)
-    val freshObs = scd2Typed(bronze.filter(col("snapshot_date") >= lit(since)))
+    val freshObs = scd2Typed(bronzeSince(lake, "videos_raw", since))
     val baseObs = if (haveLog) lake.table("silver", scd2ObsTable) else scd2Typed(bronze)
     val mergedObs = baseObs.unionByName(freshObs)
       .dropDuplicates("video_id", "observed_at_utc", "request_id")
@@ -287,9 +293,7 @@ object Silver {
     * never re-parsed. Run [[refreshScd2Incremental]] first so the current
     * flags are fresh. */
   def refreshVideosIncremental(lake: Lakehouse, sinceSnapshot: java.sql.Date): Unit = {
-    val fresh = videosSlimTyped(
-      lake.table("bronze", "videos_raw")
-        .filter(col("snapshot_date") >= lit(sinceSnapshot)))
+    val fresh = videosSlimTyped(bronzeSince(lake, "videos_raw", sinceSnapshot))
     lake.transactMerge("silver", "silver_videos") { existing0 =>
       val existing = existing0.drop("current_video_meta_sk")
       val merged = latestWins(existing.unionByName(fresh), Seq("video_id"))
@@ -487,9 +491,7 @@ object Silver {
       .collect().map(_.getString(0)).toSeq // 1 row in practice — the single-channel grain
     if (standingIds.forall(currentId.contains)) {
       val fresh = channelDailyTyped(
-        lake.table("bronze", "analytics_channel_daily_raw")
-          .filter(col("snapshot_date") >= lit(sinceSnapshot)),
-        current)
+        bronzeSince(lake, "analytics_channel_daily_raw", sinceSnapshot), current)
       lake.transactMerge("silver", "fact_channel_daily_metrics") { standing =>
         latestWins(standing.unionByName(fresh), Seq("channel_id", "date"))
       }
@@ -512,9 +514,8 @@ object Silver {
     * standing tables are read but never recomputed. */
   def refreshDimIncremental(lake: Lakehouse, name: String,
       sinceSnapshot: java.sql.Date): Unit = {
-    val since = lit(sinceSnapshot)
     def freshBronze(tbl: String): DataFrame =
-      lake.table("bronze", tbl).filter(col("snapshot_date") >= since)
+      bronzeSince(lake, tbl, sinceSnapshot)
     name match {
       case "dim_traffic_source" =>
         lake.transactMerge("silver", name) { existing =>

@@ -156,4 +156,36 @@ class LayoutSpec extends SparkSpec {
       .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).max
     assert(scanned <= 10000 / 8 * 2 + 4, s"fact scan read $scanned rows — DPP did not prune")
   }
+
+  test("manifest stats skip whole FILES of a z-ordered table, not just row groups") {
+    import graft.pipeline.{Lakehouse, ManifestStats}
+    import graft.pipeline.ManifestStats.{StatGte, StatLte}
+    // the OPTIMIZE ZORDER + stats story end-to-end: a z-ordered refresh
+    // records per-file x/y min-max in its _VERSION manifest, and a
+    // rectangle query resolves the file list from the manifest BEFORE
+    // Spark lists anything — file-level data skipping on both dimensions
+    val lake = new Lakehouse(spark, java.nio.file.Files.createTempDirectory("graft-skip").toString)
+    val n = 256 * 256
+    val grid = spark.range(n.toLong)
+      .select((col("id") % 256).cast("int").as("x"),
+        ((col("id") / 256) % 256).cast("int").as("y"),
+        col("id").as("payload"))
+    lake.materialize("silver", "zgrid",
+      Layout.zorderBy(grid, col("x"), col("y"), bits = 8, partitions = 16),
+      statsCols = Seq("x", "y"))
+    val all = lake.prunedFilePaths("silver", "zgrid", Nil)
+    assert(all.size >= 12, s"expected a multi-file table, got ${all.size}")
+    val preds = Seq(StatGte("x", 0), StatLte("x", 31), StatGte("y", 0), StatLte("y", 31))
+    val pruned = lake.prunedFilePaths("silver", "zgrid", preds)
+    // one corner of the z-curve: the manifest must rule out most files
+    assert(pruned.nonEmpty && pruned.size <= all.size / 4,
+      s"file skipping kept ${pruned.size}/${all.size} files")
+    // superset guarantee: skipped scan + exact filter == full scan + filter
+    val exact = col("x") <= 31 && col("y") <= 31
+    val viaSkip = lake.tableWhere("silver", "zgrid", preds).filter(exact)
+      .agg(sum(col("payload"))).head().getLong(0)
+    val viaFull = lake.table("silver", "zgrid").filter(exact)
+      .agg(sum(col("payload"))).head().getLong(0)
+    assert(viaSkip == viaFull)
+  }
 }

@@ -43,6 +43,43 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.table("bronze", "channels_raw").count() == 1)
   }
 
+  test("crash mid-ingest: bronze readers keep the committed file set; debris is GC'd") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-bcrash").toString)
+    val ctx1 = Bronze.RunContext("run1", "r1", d("2025-06-01"), ts("2025-06-01 10:00:00"))
+    Bronze.ingest(lake, ctx1, _ => Map("channels_raw" -> Seq("""{"items": [1]}""")))
+    val committed = lake.table("bronze", "channels_raw").collect().map(_.toString).sorted.toSeq
+    // a crashed append: data files fully written, manifest NEVER committed
+    val base = Paths.get(lake.root, "bronze", "channels_raw")
+    lake.table("bronze", "channels_raw").limit(1)
+      .write.parquet(base.resolve("_a2").toString)
+    assert(Files.exists(base.resolve("_a2")))
+    // readers see exactly the committed version — the half-appended data
+    // is invisible (the Delta-bronze guarantee)
+    assert(lake.table("bronze", "channels_raw")
+      .collect().map(_.toString).sorted.toSeq == committed)
+    // the next successful append skips the debris slot, commits, and GC
+    // removes the orphaned files
+    val ctx2 = Bronze.RunContext("run2", "r2", d("2025-06-02"), ts("2025-06-02 10:00:00"))
+    Bronze.ingest(lake, ctx2, _ => Map("channels_raw" -> Seq("""{"items": [2]}""")))
+    assert(lake.table("bronze", "channels_raw").count() == 2)
+    assert(!Files.exists(base.resolve("_a2")), "crashed-append debris survived GC")
+  }
+
+  test("delete with stats pruning: an absent run_id is a no-version no-op") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-bnoop").toString)
+    val ctx1 = Bronze.RunContext("run1", "r1", d("2025-06-01"), ts("2025-06-01 10:00:00"))
+    Bronze.ingest(lake, ctx1, _ => Map("channels_raw" -> Seq("""{"items": [1]}""")))
+    val base = Paths.get(lake.root, "bronze", "channels_raw")
+    def version: Int = new String(Files.readAllBytes(base.resolve("_FILES")))
+      .linesIterator.next().trim.toInt
+    val v1 = version
+    // run_id outside every file's [min,max] → candidate set empty → no scan,
+    // no rewrite, no new version (the stats-bounded idempotent re-ingest)
+    lake.deleteByRunId("channels_raw", "zzz-absent-run")
+    assert(version == v1, "no-op delete must not commit a new version")
+    assert(lake.table("bronze", "channels_raw").count() == 1)
+  }
+
   test("schema override re-points a logical layer at a different physical schema") {
     // dbt-style indirection (reference dbt/models/schema.yml): the same code
     // writes to silver_dev when the override is set, silver when it isn't —

@@ -246,7 +246,7 @@ class PipelineSpec extends SparkSpec {
     assert(after == before)
   }
 
-  test("incremental refresh equals full recompute and partition-prunes the bronze scan") {
+  test("incremental refresh equals full recompute and file-skips the bronze scan") {
     refreshed
     // run 4 lands one genuinely new date and re-reports an existing one
     val ctx4 = Bronze.RunContext("run4", "req4", d("2025-06-04"), ts("2025-06-04 10:00:00"))
@@ -266,12 +266,21 @@ class PipelineSpec extends SparkSpec {
     val full = lake.table("silver", "fact_video_daily_metrics")
       .orderBy("video_id", "date").collect().toSeq
     assert(incremental == full)
-    // the since-filter reaches the scan as a partition filter (bronze is
-    // partitioned by snapshot_date) — refresh cost scales with new data
-    val pruned = lake.table("bronze", "analytics_video_daily_raw")
-      .filter(col("snapshot_date") > lit(d("2025-06-03")))
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [isnotnull(snapshot_date"), plan)
+    // the since-filter prunes at FILE level through the bronze log's
+    // per-file snapshot_date stats — refresh cost scales with new data
+    import graft.pipeline.ManifestStats.StatGte
+    val allFiles = lake.prunedFilePaths("bronze", "analytics_video_daily_raw", Nil)
+    val newFiles = lake.prunedFilePaths("bronze", "analytics_video_daily_raw",
+      Seq(StatGte("snapshot_date", d("2025-06-04"))))
+    assert(newFiles.nonEmpty && newFiles.size < allFiles.size,
+      s"file skipping read ${newFiles.size}/${allFiles.size} files")
+    // and the skipped scan returns exactly the filtered rows
+    val viaSkip = Silver.bronzeSince(lake, "analytics_video_daily_raw", d("2025-06-04"))
+      .collect().map(_.toString).sorted.toSeq
+    val viaFull = lake.table("bronze", "analytics_video_daily_raw")
+      .filter(col("snapshot_date") >= lit(d("2025-06-04")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSkip == viaFull)
   }
 
   test("SCD2 + silver_videos incremental merge equals full recompute (A→B→A, late arrivals, full-refresh interleave)") {
