@@ -287,98 +287,186 @@ object Streams {
     * checkpointing and restart semantics. State lives in the three
     * parquet dirs (not the state store) — it must outlive the query and
     * serve batch consumers too, exactly like the curation funnel's
-    * standing corpus. Replays after a crash between the three appends can
-    * duplicate survivor rows; index probes and downstream latest-wins
-    * readers are insensitive to that (same doc probing twice drops both
-    * times), matching the at-least-once + idempotent-sink pairing
-    * documented on [[streamingDedupBounded]].
+    * standing corpus.
+    *
+    * EXACTLY-ONCE EFFECTS: each batch writes its survivor/shingle/posting
+    * rows into a per-batch `b{batchId}` subdirectory (write-to-hidden-tmp,
+    * then atomic rename — never a visible half-written dir), and the
+    * standing-index probe reads only COMPLETE subdirs with id < batchId.
+    * A foreachBatch replay after a crash therefore (a) recomputes the
+    * identical survivor set — debris this batch left behind is excluded
+    * from its own probe — and (b) REWRITES the same three subdirs instead
+    * of appending duplicates. See [[gateBatch]]; read the output/index
+    * with [[batchedTable]] (recursive lookup over the `b*` subdirs).
     *
     * `docs` schema: (doc_id BIGINT, text STRING). Returns the query;
     * survivors land under `survivorsDir`. */
   def nearDupGate(docs: DataFrame, indexDir: String, survivorsDir: String,
-      minJaccard: Double = 0.5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    import java.nio.file.{Files, Paths}
-    import graft.operators.Dedup
+      minJaccard: Double = 0.5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.toDF.select(col("doc_id"), col("text")).cache()
-        try {
-          // 1. within-batch greedy min-id dedup
-          val internalDrops = Dedup.lshNearDupPairs(b, "doc_id", "text", minJaccard)
-            .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
-          val selfKept = b.join(internalDrops, Seq("doc_id"), "left_anti")
-          // 2. probe the standing at-rest index (absent on the first batch)
-          val postingsPath = Paths.get(indexDir, "postings")
-          val shinglesPath = Paths.get(indexDir, "shingles")
-          val kept =
-            if (Files.exists(postingsPath)) {
-              val corpusDrops = Dedup.lshNearDupPairsAgainstIndex(
-                  selfKept, "doc_id", "text",
-                  spark.read.parquet(postingsPath.toString),
-                  spark.read.parquet(shinglesPath.toString), minJaccard)
-                .select(col("id_a").as("doc_id")).distinct()
-              selfKept.join(corpusDrops, Seq("doc_id"), "left_anti")
-            } else selfKept
-          // 3. survivors extend the output and BOTH index halves
-          val keptC = kept.cache()
-          try {
-            keptC.write.mode("append").parquet(survivorsDir)
-            val base = Dedup.shingleSets(keptC, "doc_id", "text").cache()
-            try {
-              base.write.mode("append").parquet(shinglesPath.toString)
-              Dedup.bandPostings(base).write.mode("append").parquet(postingsPath.toString)
-            } finally base.unpersist()
-          } finally keptC.unpersist()
-        } finally b.unpersist()
-        ()
+        gateBatch(batch.toDF, batchId, indexDir, survivorsDir, minJaccard)
     }
+
+  /** One [[nearDupGate]] micro-batch. Deterministic in (batch rows,
+    * complete index subdirs with id < batchId), so re-invoking it with the
+    * same batchId — Spark's replay after any crash — converges to the same
+    * on-disk state regardless of which of the three writes the crashed
+    * attempt completed. */
+  def gateBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      survivorsDir: String, minJaccard: Double): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val b = batch.select(col("doc_id"), col("text")).cache()
+    try {
+      // 1. within-batch greedy min-id dedup
+      val internalDrops = Dedup.lshNearDupPairs(b, "doc_id", "text", minJaccard)
+        .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+      val selfKept = b.join(internalDrops, Seq("doc_id"), "left_anti")
+      // 2. probe the standing at-rest index: complete batches BEFORE this
+      //    one only (empty on the first batch; a replay never sees its own
+      //    crashed attempt's output)
+      val postings = completeBatchDirs(s"$indexDir/postings", batchId)
+      val shingles = completeBatchDirs(s"$indexDir/shingles", batchId)
+      val kept =
+        if (postings.nonEmpty && shingles.nonEmpty) {
+          val corpusDrops = Dedup.lshNearDupPairsAgainstIndex(
+              selfKept, "doc_id", "text",
+              spark.read.parquet(postings: _*),
+              spark.read.parquet(shingles: _*), minJaccard)
+            .select(col("id_a").as("doc_id")).distinct()
+          selfKept.join(corpusDrops, Seq("doc_id"), "left_anti")
+        } else selfKept
+      // 3. survivors extend the output and BOTH index halves — versioned
+      //    by batchId, so a replay rewrites rather than duplicates
+      val keptC = kept.cache()
+      try {
+        writeBatchDir(keptC, survivorsDir, batchId)
+        val base = Dedup.shingleSets(keptC, "doc_id", "text").cache()
+        try {
+          writeBatchDir(base, s"$indexDir/shingles", batchId)
+          writeBatchDir(Dedup.bandPostings(base), s"$indexDir/postings", batchId)
+        } finally base.unpersist()
+      } finally keptC.unpersist()
+    } finally b.unpersist()
   }
+
+  /** Write one batch's rows as `dir/b{batchId}`: fully written to a hidden
+    * tmp dir first (Spark file listings skip `.`/`_` prefixes), then
+    * atomically renamed into place — a visible `b{N}` dir is always
+    * complete, and a rewrite of the same batchId replaces it whole. */
+  private def writeBatchDir(df: DataFrame, dir: String, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val tmp = base.resolve(s".tmp_b$batchId")
+    if (Files.exists(tmp)) {
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.delete(p))
+    }
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val live = base.resolve(s"b$batchId")
+    if (Files.exists(live)) {
+      Files.walk(live).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.delete(p))
+    }
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Complete (`_SUCCESS`-marked) `b{N}` subdirs of `dir` with N strictly
+    * below `belowBatchId`, as paths — the standing-state read set for a
+    * batch: everything COMMITTED before it, nothing from its own replays. */
+  private def completeBatchDirs(dir: String, belowBatchId: Long): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("b")
+        && new java.io.File(f, "_SUCCESS").exists()
+        && f.getName.drop(1).toLongOption.exists(_ < belowBatchId))
+      .sortBy(_.getName.drop(1).toLong)
+      .map(_.getAbsolutePath)
+  }
+
+  /** Read a batch-versioned table ([[nearDupGate]] survivors or either
+    * index half): recursive lookup over the complete `b*` subdirs. */
+  def batchedTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(completeBatchDirs(dir, Long.MaxValue): _*)
 
   /** CONTINUOUS dataset-card maintenance: each micro-batch folds its docs
     * into the standing [[graft.operators.Reports]] count index with a
     * versioned overwrite — `v{batchId}` is written complete before older
-    * versions are pruned, so a reader always sees one whole index, and a
-    * foreachBatch REPLAY of the same batchId rewrites the same version
-    * (idempotent, the exactly-once-effect pairing MemoryStream/file
-    * streams need). Per-batch cost scales with |standing index| + |batch|,
-    * never the corpus ever ingested; the c27 report derives from the
-    * latest version at read time via `Reports.corpusReportFromIndex`.
+    * versions are pruned, so a reader always sees one whole index. Per-batch
+    * cost scales with |standing index| + |batch|, never the corpus ever
+    * ingested; the c27 report derives from the latest version at read time
+    * via `Reports.corpusReportFromIndex`.
+    *
+    * Replay semantics (exactly-once effects): a foreachBatch replay whose
+    * complete `v{batchId}` already landed is a NO-OP — merging again would
+    * double-count the batch, and rewriting would overwrite the very path
+    * the merge reads. When `v{batchId}` is absent or incomplete, the merge
+    * base is the latest complete version STRICTLY BELOW batchId (never the
+    * crashed attempt's own output). Pruning keeps the previous complete
+    * version alongside the new one, so a concurrent reader that just
+    * resolved it finishes its scan ([[reportIndexRetainVersions]]).
     *
     * `docs` schema: (doc_id, text, lang, source[, …]). */
   def corpusReportStream(docs: DataFrame, indexDir: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    import graft.operators.Reports
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val merged = latestReportIndexVersion(indexDir) match {
-          case Some(v) => Reports.mergeCorpusReportIndex(
-            spark.read.parquet(s"$indexDir/v$v"), batch.toDF)
-          case None => Reports.corpusReportIndex(batch.toDF)
-        }
-        merged.write.mode("overwrite").parquet(s"$indexDir/v$batchId")
-        // prune strictly-older versions only after the new one is complete
-        val dir = new java.io.File(indexDir)
-        Option(dir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("v") &&
-            f.getName.drop(1).toLongOption.exists(_ < batchId))
-          .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
-        ()
+        foldReportBatch(batch.toDF, batchId, indexDir)
     }
+
+  /** How many complete report-index versions pruning retains (current +
+    * predecessor — the [[graft.pipeline.Lakehouse]] retention window). */
+  val reportIndexRetainVersions = 2
+
+  /** One [[corpusReportStream]] micro-batch; idempotent under replays of
+    * the same batchId (see the stream's doc for the contract). */
+  def foldReportBatch(batch: DataFrame, batchId: Long, indexDir: String): Unit = {
+    import graft.operators.Reports
+    val spark = batch.sparkSession
+    def complete(v: Long): Boolean = {
+      val f = new java.io.File(s"$indexDir/v$v")
+      f.isDirectory && new java.io.File(f, "_SUCCESS").exists()
+    }
+    if (!complete(batchId)) {
+      val mergeBase = completeReportIndexVersions(indexDir).filter(_ < batchId).lastOption
+      val merged = mergeBase match {
+        case Some(v) => Reports.mergeCorpusReportIndex(
+          spark.read.parquet(s"$indexDir/v$v"), batch)
+        case None => Reports.corpusReportIndex(batch)
+      }
+      merged.write.mode("overwrite").parquet(s"$indexDir/v$batchId")
+    }
+    // prune AFTER the new version is complete, keeping the newest
+    // `reportIndexRetainVersions` complete versions (in-flight readers of
+    // the just-replaced one finish their scan); incomplete debris below the
+    // retention window goes too. The filter mirrors the
+    // isDirectory/_SUCCESS checks of [[latestReportIndexVersion]].
+    val keep = completeReportIndexVersions(indexDir)
+      .takeRight(reportIndexRetainVersions).toSet
+    Option(new java.io.File(indexDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        f.getName.drop(1).toLongOption.exists(v => !keep.contains(v) && v < batchId))
+      .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
+    ()
   }
 
-  /** Highest complete (`_SUCCESS`-marked) report-index version under
-    * `indexDir`, if any — what both the next micro-batch and any report
-    * reader should open. */
-  def latestReportIndexVersion(indexDir: String): Option[Long] = {
+  /** Complete (`_SUCCESS`-marked) report-index versions, ascending. */
+  def completeReportIndexVersions(indexDir: String): Seq[Long] = {
     val dir = new java.io.File(indexDir)
     Option(dir.listFiles()).getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("v")
         && new java.io.File(f, "_SUCCESS").exists())
       .flatMap(_.getName.drop(1).toLongOption)
-      .sorted.lastOption
+      .sorted
   }
+
+  /** Highest complete (`_SUCCESS`-marked) report-index version under
+    * `indexDir`, if any — what both the next micro-batch and any report
+    * reader should open. */
+  def latestReportIndexVersion(indexDir: String): Option[Long] =
+    completeReportIndexVersions(indexDir).lastOption
 
   /** CONTINUOUS silver maintenance — the Lakeflow streaming-MV refresh
     * shape: a file stream over a latest-wins model's bronze directory;
@@ -401,9 +489,11 @@ object Streams {
     val spec = Silver.latestWinsSpecs(model)
     require(lake.exists("silver", model),
       s"$model must be fully refreshed once before streaming maintenance")
-    val dir = lake.currentDataDir("bronze", spec.bronzeTable).toString
+    // log-managed bronze: monitor the `_a*` append-dir glob (each commit
+    // lands a new matched dir); plain layout: the live data dir
+    val dir = lake.streamSourcePath("bronze", spec.bronzeTable)
     // schema pinned from a one-time batch footer read (streams never infer)
-    val pinned = lake.spark.read.parquet(dir).schema
+    val pinned = lake.table("bronze", spec.bronzeTable).schema
     lake.spark.readStream.schema(pinned).parquet(dir)
       .writeStream.outputMode(OutputMode.Update).foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>

@@ -167,14 +167,47 @@ class StreamsSpec extends SparkSpec {
         (20L, base + " minor edit"),        // near-dup of standing doc 1 → dropped
         (30L, "yet another unrelated corpus of words entirely fresh and new " * 5))
       q.processAllAvailable()
-      val surv = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      val surv = Streams.batchedTable(spark, out).select("doc_id").as[Long].collect().toSet
       assert(surv == Set(1L, 10L, 30L), s"survivors were $surv")
       // the at-rest index covers exactly the survivors — later batches (or
       // a BATCH consumer: the same tables the curation funnel probes) see
       // every doc that ever passed
-      val indexed = spark.read.parquet(s"$idx/shingles").select("doc_id").as[Long].collect().toSet
+      val indexed = Streams.batchedTable(spark, s"$idx/shingles")
+        .select("doc_id").as[Long].collect().toSet
       assert(indexed == Set(1L, 10L, 30L))
     } finally q.stop()
+  }
+
+  test("near-dup gate is exactly-once: a replayed batch rewrites, never duplicates") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ndg2-idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ndg2-out").resolve("survivors").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val b0 = Seq((1L, base),
+      (10L, "completely different content about spark engines and parquet files " * 5))
+      .toDF("doc_id", "text")
+    val b1 = Seq((20L, base + " minor edit"), // near-dup of standing doc 1
+      (30L, "yet another unrelated corpus of words entirely fresh and new " * 5))
+      .toDF("doc_id", "text")
+    Streams.gateBatch(b0, 0L, idx, out, 0.5)
+    Streams.gateBatch(b1, 1L, idx, out, 0.5)
+    def state() = (
+      Streams.batchedTable(spark, out).select("doc_id").as[Long].collect().sorted.toSeq,
+      Streams.batchedTable(spark, s"$idx/shingles").select("doc_id").as[Long].collect().sorted.toSeq,
+      Streams.batchedTable(spark, s"$idx/postings").count())
+    val clean = state()
+    assert(clean._1 == Seq(1L, 10L, 30L), s"survivors were ${clean._1}")
+    // full replay of batch 1 (crash after all three writes, before the
+    // checkpoint commit): state is REWRITTEN, not appended
+    Streams.gateBatch(b1, 1L, idx, out, 0.5)
+    assert(state() == clean, "full replay changed on-disk state")
+    // crash BETWEEN the three writes: survivors+shingles of batch 1 landed,
+    // postings did not — replay must converge to the same clean state (its
+    // probe ignores its own batch's debris, so doc 20 still drops)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$idx/postings/b1"))
+    Streams.gateBatch(b1, 1L, idx, out, 0.5)
+    assert(state() == clean, "partial-crash replay diverged")
   }
 
   test("running per-user stats accumulate state across micro-batches (mapGroupsWithState)") {
@@ -487,8 +520,10 @@ class StreamsSpec extends SparkSpec {
       q.processAllAvailable()
       val v = Streams.latestReportIndexVersion(idx)
       assert(v.nonEmpty, "no complete index version on disk")
-      // older versions pruned after the newer one landed complete
-      assert(new java.io.File(idx).listFiles().count(_.getName.startsWith("v")) == 1)
+      // retention window: the committed version plus its predecessor stay
+      // (in-flight readers of the just-replaced one finish their scan)
+      assert(new java.io.File(idx).listFiles().count(_.getName.startsWith("v"))
+        == Streams.reportIndexRetainVersions)
       val streamed = graft.operators.Reports.corpusReportFromIndex(
         spark.read.parquet(s"$idx/v${v.get}"))
       val direct = graft.operators.Reports.corpusReportFromIndex(
@@ -501,5 +536,33 @@ class StreamsSpec extends SparkSpec {
       assert(streamed.collect().map(_.toString).toSeq
         == direct.collect().map(_.toString).toSeq)
     } finally q.stop()
+  }
+
+  test("corpus-report stream replay: rerunning a committed batchId is a no-op") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-crs-replay").toString
+    val b0 = Seq((1L, "alpha beta gamma", "en", "srcA"),
+                 (2L, "alpha  beta   gamma", "de", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val b1 = Seq((3L, "delta epsilon", "en", "srcA"),
+                 (4L, "zeta", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    Streams.foldReportBatch(b0, 0L, idx)
+    Streams.foldReportBatch(b1, 1L, idx)
+    def latest() = graft.operators.Reports.corpusReportFromIndex(
+        spark.read.parquet(s"$idx/v${Streams.latestReportIndexVersion(idx).get}"))
+      .collect().map(_.toString).sorted.toSeq
+    val clean = latest()
+    // crash AFTER v1 landed complete but BEFORE the checkpoint commit:
+    // Spark replays batch 1 — the fold must neither double-count the batch
+    // nor overwrite the path it reads
+    Streams.foldReportBatch(b1, 1L, idx)
+    assert(Streams.latestReportIndexVersion(idx).contains(1L))
+    assert(latest() == clean, "replay of a committed batch changed the index")
+    // crash MID-WRITE of v1 (incomplete dir, no _SUCCESS): the replay must
+    // merge from the latest complete version BELOW it, never its own debris
+    new java.io.File(s"$idx/v1/_SUCCESS").delete()
+    Streams.foldReportBatch(b1, 1L, idx)
+    assert(latest() == clean, "replay over an incomplete version diverged")
   }
 }
