@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * Decode binds behind the [[MediaDecoder]] seam. [[MediaDecoder.Uncompressed]]
   * is a REAL pure-JVM decoder for the uncompressed container formats —
   * 16-bit PCM RIFF/WAVE and 24-bit uncompressed BMP — needing no codec
-  * dependency. Only genuinely-compressed codecs (JPEG/PNG inflate, AAC,
-  * H.264) remain stubbed via [[MediaDecoder.Fake]], which produces
-  * deterministic synthetic pixels/samples from the bytes (this container
-  * ships no codec libraries; a codec-backed implementation drops into the
+  * dependency, and [[MediaDecoder.ImageIo]] is a REAL compressed-image
+  * decoder (PNG/JPEG/GIF/BMP) through the stock JDK's `javax.imageio`.
+  * Only compressed AUDIO/VIDEO codecs (AAC, H.264) remain stubbed via
+  * [[MediaDecoder.Fake]], which produces deterministic synthetic
+  * pixels/samples from the bytes (those libraries are genuinely absent
+  * from a stock JVM; a codec-backed implementation drops into the
   * same seam with no plan shape changes). Everything else — the asset
   * schema, binary column handling, bounded-batch `mapPartitions`
   * iteration, fixed-width feature output, frame-row explosion — is the
@@ -140,6 +142,35 @@ object Multimodal {
         Array.tabulate(dataLen / 2)(i => le16(content, dataOff + 2 * i).toShort)
       }
     }
+
+    /** Real COMPRESSED-image decode via the stock JDK's `javax.imageio`
+      * (PNG, JPEG, BMP and GIF readers ship in every JRE — zero external
+      * codec dependency): `ImageIO.read` → per-pixel sRGB → the same
+      * BT.601 integer luma as [[Uncompressed]]. PNG/GIF/BMP are lossless,
+      * so decoded pixels are an exact function of the encoded image and
+      * fully oracle-restatable (m08); JPEG decodes deterministically for a
+      * fixed JRE but is lossy by spec, so its gate is dimensions-exact +
+      * luma-sum-within-tolerance (m09, [[Multimodal.imageDecodeCheck]]).
+      * Audio delegates to the [[Uncompressed]] RIFF/WAVE chunk walk —
+      * genuinely-compressed audio/video codecs (AAC, H.264) remain the
+      * only [[Fake]]-stubbed formats, as those libraries are truly absent
+      * from a stock JVM. */
+    object ImageIo extends MediaDecoder {
+      def decodeImage(content: Array[Byte], meta: MediaMeta): Array[Array[Byte]] = {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        require(img != null,
+          s"javax.imageio found no reader for this payload (format hint: ${meta.format})")
+        Array.tabulate(img.getHeight, img.getWidth) { (r, c) =>
+          val rgb = img.getRGB(c, r)
+          val red = (rgb >> 16) & 0xff
+          val green = (rgb >> 8) & 0xff
+          val blue = rgb & 0xff
+          ((299 * red + 587 * green + 114 * blue) / 1000).toByte
+        }
+      }
+      def decodeAudio(content: Array[Byte], meta: MediaMeta): Array[Short] =
+        Uncompressed.decodeAudio(content, meta)
+    }
   }
 
   /** Build a deterministic media-asset Dataset over the `documents` fixture
@@ -235,6 +266,93 @@ object Multimodal {
       j += 1
     }
     b.array()
+  }
+
+  /** RGB channel formulas shared by every synthesized image container
+    * (BMP, PNG, JPEG): pure functions of (seed, row, col), restatable by
+    * an external oracle. `r` is the logical TOP-DOWN row. */
+  private def synthChannels(seed: Long, r: Int, c: Int): (Int, Int, Int) = (
+    ((seed + r * 3 + c * 7) % 256).toInt,   // R
+    ((seed * 5 + r * 11 + c) % 256).toInt,  // G
+    ((seed * 7 + r + c * 13) % 256).toInt)  // B
+
+  /** Exact integer BT.601 luma sum of the [[synthChannels]] image — the
+    * per-asset expected value a lossy-decode gate compares against. */
+  def synthLumaSum(seed: Long, width: Int, height: Int): Long = {
+    var sum = 0L
+    for (r <- 0 until height; c <- 0 until width) {
+      val (red, green, blue) = synthChannels(seed, r, c)
+      sum += (299 * red + 587 * green + 114 * blue) / 1000
+    }
+    sum
+  }
+
+  /** Synthesize a genuinely-compressed image container through the JDK's
+    * own encoder (`javax.imageio.ImageIO.write`) with [[synthChannels]]
+    * pixels: `format` = "png" (zlib-deflated, LOSSLESS — decode recovers
+    * the formula exactly) or "jpg" (DCT-quantized, lossy). The bytes are a
+    * real compressed bitstream, so decoding them exercises a real inflate /
+    * entropy-decode path, not a byte-layout walk. */
+  def synthCompressedImage(seed: Long, width: Int, height: Int, format: String): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"degenerate ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (r <- 0 until height; c <- 0 until width) {
+      val (red, green, blue) = synthChannels(seed, r, c)
+      img.setRGB(c, r, (red << 16) | (green << 8) | blue)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, baos), s"no JDK encoder for $format")
+    baos.toByteArray
+  }
+
+  /** Assets carrying REAL zlib-compressed PNG containers (doc_id % 3 == 1;
+    * width (n_chars mod 5) + 3, height 4): PNG is lossless, so the decoded
+    * lumas are the [[synthChannels]] formula exactly — the m08 gate. */
+  def pngAssetsFromDocuments(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].map { case (id, nChars) =>
+        val w = (nChars % 5 + 3).toInt
+        MediaAsset(id, "image", synthCompressedImage(id, w, 4, "png"),
+          MediaMeta("png", w, 4, 0, 0L))
+      }
+  }
+
+  /** Assets carrying REAL JPEG containers (doc_id % 3 == 2; width
+    * (n_chars mod 3) + 8, height 8 — at least one full 8×8 DCT block). */
+  def jpegAssetsFromDocuments(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].map { case (id, nChars) =>
+        val w = (nChars % 3 + 8).toInt
+        MediaAsset(id, "image", synthCompressedImage(id, w, 8, "jpg"),
+          MediaMeta("jpeg", w, 8, 0, 0L))
+      }
+  }
+
+  final case class DecodeCheck(
+      asset_id: Long, width: Int, height: Int, n_pixels: Long, mean_within_tol: Boolean)
+
+  /** Lossy-decode gate: decode each image and compare its EXACT integer
+    * luma sum against a per-asset expected sum, within `tolPerPixel`·n —
+    * the oracle shape for codecs (JPEG) whose output is deterministic for
+    * a fixed decoder but not spec-exact across decoders. Width/height/
+    * pixel-count come from the DECODED array, so a container-parse failure
+    * or dimension drift is a hard mismatch, not a tolerance miss. Pure
+    * map, no shuffle. */
+  def imageDecodeCheck(assets: Dataset[MediaAsset], decoder: MediaDecoder,
+      expectedSum: MediaAsset => Long, tolPerPixel: Int): Dataset[DecodeCheck] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").map { a =>
+      val px = decoder.decodeImage(a.content, a.meta)
+      val h = px.length
+      val w = if (h == 0) 0 else px(0).length
+      val n = w.toLong * h
+      val sum = px.iterator.flatMap(_.iterator).map(b => (b & 0xff).toLong).sum
+      DecodeCheck(a.asset_id, w, h, n,
+        math.abs(sum - expectedSum(a)) <= tolPerPixel.toLong * n)
+    }
   }
 
   /** Assets carrying REAL BMP containers (doc_id % 3 == 0; width
@@ -442,12 +560,17 @@ object Multimodal {
     * fixed-width contract a thumbnail/training-patch stage wants. */
   def imageResizeGrid(assets: Dataset[MediaAsset], decoder: MediaDecoder,
       newW: Int, newH: Int): Dataset[ResizedPixel] = {
+    require(newW > 0 && newH > 0, s"degenerate resize target ${newW}x$newH")
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "image").flatMap { a =>
       val px = decoder.decodeImage(a.content, a.meta)
+      // index by the DECODED dimensions; a metadata/header mismatch fails
+      // fast with the asset named rather than as an executor AIOOBE
+      val (h, w) = (px.length, if (px.isEmpty) 0 else px(0).length)
+      require(h == a.meta.height && w == a.meta.width,
+        s"asset ${a.asset_id}: decoded ${w}x$h != metadata ${a.meta.width}x${a.meta.height}")
       for { r <- 0 until newH; c <- 0 until newW } yield
-        ResizedPixel(a.asset_id, r, c,
-          px(r * a.meta.height / newH)(c * a.meta.width / newW) & 0xff)
+        ResizedPixel(a.asset_id, r, c, px(r * h / newH)(c * w / newW) & 0xff)
     }
   }
 

@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Binary-column queries over document bytes — the oracle-checkable half of
   * the multimodal surface (typed decode/feature plumbing lives in
-  * `graft.multimodal` with its own spec; decoding is stubbed there because
-  * this environment ships no codecs).
+  * `graft.multimodal` with its own spec). m05–m09 gate REAL decoders
+  * end-to-end: pure-JVM WAV/BMP chunk walks and the stock-JDK
+  * `javax.imageio` PNG/JPEG paths; only compressed audio/video codecs
+  * (absent from any stock JVM) stay stubbed.
   */
 object MultimodalQueries {
 
@@ -284,7 +286,82 @@ object MultimodalQueries {
       FROM g
       ORDER BY asset_id, row_idx, col_idx"""))
 
+  /** REAL PNG decode end-to-end (m08): genuine zlib-compressed PNG
+    * containers produced by the JDK's own encoder, decoded by
+    * `MediaDecoder.ImageIo` (`javax.imageio` — stock-JRE PNG reader, no
+    * external codec). PNG is lossless, so the decoded lumas are the
+    * synthesis formula EXACTLY and the oracle restates per-row stats the
+    * same way m06 does for BMP — but here a real inflate + scanline-filter
+    * reconstruction sits between the bytes and the pixels, so the gate
+    * covers a true compressed-codec decode path, not a byte-layout walk. */
+  val m08PngDecodeRows = GraftQuery(
+    "m08_png_decode_rows",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.imageRowStats(
+          Multimodal.pngAssetsFromDocuments(table(s, dir, "documents")),
+          Multimodal.MediaDecoder.ImageIo)
+        .toDF()
+        .select(col("asset_id"), col("row_idx"), col("sum_luma"),
+          col("min_luma"), col("max_luma"))
+        .orderBy(col("asset_id"), col("row_idx"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, CAST(n_chars % 5 + 3 AS BIGINT) AS w
+        FROM documents WHERE doc_id % 3 = 1),
+      px AS (
+        SELECT asset_id, r, c,
+               (299 * ((asset_id + r*3 + c*7) % 256)
+                + 587 * ((asset_id*5 + r*11 + c) % 256)
+                + 114 * ((asset_id*7 + r + c*13) % 256)) // 1000 AS luma
+        FROM a,
+             LATERAL unnest(range(0, 4)) AS t1(r),
+             LATERAL unnest(range(0, w)) AS t2(c))
+      SELECT asset_id,
+             CAST(r AS INT) AS row_idx,
+             CAST(SUM(luma) AS BIGINT) AS sum_luma,
+             CAST(MIN(luma) AS INT) AS min_luma,
+             CAST(MAX(luma) AS INT) AS max_luma
+      FROM px
+      GROUP BY asset_id, r
+      ORDER BY asset_id, row_idx"""))
+
+  /** REAL JPEG decode (m09): genuine DCT-quantized JPEG bitstreams decoded
+    * by the stock-JRE `javax.imageio` reader. JPEG is lossy BY SPEC, so
+    * exact pixel restatement is impossible for any engine; the gate is the
+    * q34/q37 sketch pattern — dimensions and pixel count must be EXACT
+    * (recovered from the decoded array, so a container-parse failure is a
+    * hard mismatch) and the decoded luma sum must sit within ±8/pixel of
+    * the synthesis formula's exact sum (DC coefficients survive default
+    * quantization; a wrong-colorspace, wrong-subsampling or garbage decode
+    * lands far outside). The oracle restates the dims from the synthesis
+    * parameters and expects the tolerance verdict true. */
+  val m09JpegDecodeCheck = GraftQuery(
+    "m09_jpeg_decode_check",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.imageDecodeCheck(
+          Multimodal.jpegAssetsFromDocuments(table(s, dir, "documents")),
+          Multimodal.MediaDecoder.ImageIo,
+          a => Multimodal.synthLumaSum(a.asset_id, a.meta.width, a.meta.height),
+          tolPerPixel = 8)
+        .toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          col("n_pixels"), col("mean_within_tol"))
+        .orderBy(col("asset_id"))
+    },
+    Some("""
+      SELECT doc_id AS asset_id,
+             CAST(n_chars % 3 + 8 AS INT) AS width,
+             8 AS height,
+             CAST((n_chars % 3 + 8) * 8 AS BIGINT) AS n_pixels,
+             TRUE AS mean_within_tol
+      FROM documents WHERE doc_id % 3 = 2
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     m01BinaryStats, m02FrameStats, m03AudioWindows, m04ShotKeyframes,
-    m05WavDecodeWindows, m06BmpDecodeRows, m07ResizeGrid)
+    m05WavDecodeWindows, m06BmpDecodeRows, m07ResizeGrid,
+    m08PngDecodeRows, m09JpegDecodeCheck)
 }

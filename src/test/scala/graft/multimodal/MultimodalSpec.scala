@@ -297,4 +297,93 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(grid.size == assets.count() * 4)
   }
+
+  test("synthCompressedImage png: ImageIo decoder recovers the luma formula exactly") {
+    import Multimodal._
+    val (seed, w, h) = (11L, 6, 4)
+    val png = synthCompressedImage(seed, w, h, "png")
+    // a real PNG bitstream, not a raw byte layout
+    assert(png.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val px = MediaDecoder.ImageIo.decodeImage(png, MediaMeta("png", w, h, 0, 0L))
+    assert(px.length == h && px.head.length == w)
+    for (r <- 0 until h; c <- 0 until w) {
+      val want = (299 * ((seed + r * 3 + c * 7) % 256)
+        + 587 * ((seed * 5 + r * 11 + c) % 256)
+        + 114 * ((seed * 7 + r + c * 13) % 256)) / 1000
+      assert((px(r)(c) & 0xff) == want.toInt, s"($r,$c): got ${px(r)(c) & 0xff} want $want")
+    }
+    // garbage bytes fail fast with a named error, not a null-deref
+    intercept[IllegalArgumentException] {
+      MediaDecoder.ImageIo.decodeImage(Array[Byte](1, 2, 3, 4), MediaMeta("png", 1, 1, 0, 0L))
+    }
+  }
+
+  test("ImageIo also decodes the synthBmp containers, agreeing with the pure-JVM walk") {
+    import Multimodal._
+    val (seed, w, h) = (9L, 5, 4)
+    val bmp = synthBmp(seed, w, h)
+    val meta = MediaMeta("bmp", w, h, 0, 0L)
+    val a = MediaDecoder.Uncompressed.decodeImage(bmp, meta)
+    val b = MediaDecoder.ImageIo.decodeImage(bmp, meta)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (ra, rb) => assert(ra.sameElements(rb)) }
+  }
+
+  test("jpeg decode: real bitstream, exact dims, luma sum within DC-quantization tolerance") {
+    import Multimodal._
+    val (seed, w, h) = (13L, 9, 8)
+    val jpg = synthCompressedImage(seed, w, h, "jpg")
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8, "JPEG SOI marker")
+    val px = MediaDecoder.ImageIo.decodeImage(jpg, MediaMeta("jpeg", w, h, 0, 0L))
+    assert(px.length == h && px.head.length == w)
+    val sum = px.iterator.flatMap(_.iterator).map(b => (b & 0xff).toLong).sum
+    val want = synthLumaSum(seed, w, h)
+    assert(math.abs(sum - want) <= 8L * w * h,
+      s"decoded luma sum $sum vs exact $want drifted past 8/pixel")
+    // and the synthLumaSum helper agrees with a direct PNG (lossless) decode
+    val pngPx = MediaDecoder.ImageIo.decodeImage(
+      synthCompressedImage(seed, w, h, "png"), MediaMeta("png", w, h, 0, 0L))
+    assert(pngPx.iterator.flatMap(_.iterator).map(b => (b & 0xff).toLong).sum == want)
+  }
+
+  test("imageDecodeCheck end-to-end over the png/jpeg asset builders") {
+    import Multimodal._
+    val docs = graft.Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val png = imageDecodeCheck(pngAssetsFromDocuments(docs), MediaDecoder.ImageIo,
+      a => synthLumaSum(a.asset_id, a.meta.width, a.meta.height), tolPerPixel = 0)
+      .collect()
+    assert(png.nonEmpty)
+    // PNG is lossless: tolerance ZERO must already hold everywhere
+    png.foreach(c => assert(c.mean_within_tol, s"asset ${c.asset_id} png decode drifted"))
+    val jpg = imageDecodeCheck(jpegAssetsFromDocuments(docs), MediaDecoder.ImageIo,
+      a => synthLumaSum(a.asset_id, a.meta.width, a.meta.height), tolPerPixel = 8)
+      .collect()
+    assert(jpg.nonEmpty)
+    jpg.foreach { c =>
+      assert(c.height == 8 && c.width >= 8 && c.n_pixels == c.width.toLong * 8)
+      assert(c.mean_within_tol, s"asset ${c.asset_id} jpeg luma sum outside 8/pixel")
+    }
+    // a WRONG expected sum fails the gate — the tolerance is a gate, not a pass
+    val bad = imageDecodeCheck(jpegAssetsFromDocuments(docs).limit(3), MediaDecoder.ImageIo,
+      a => synthLumaSum(a.asset_id, a.meta.width, a.meta.height) + 100000L, tolPerPixel = 8)
+      .collect()
+    bad.foreach(c => assert(!c.mean_within_tol))
+  }
+
+  test("imageResizeGrid fails fast on degenerate targets and metadata mismatches") {
+    import Multimodal._
+    import spark.implicits._
+    val docs = graft.Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    intercept[IllegalArgumentException] {
+      imageResizeGrid(bmpAssetsFromDocuments(docs), MediaDecoder.Uncompressed, 0, 2)
+    }
+    // metadata claiming the wrong dims surfaces as a named require, not AIOOBE
+    val lying = bmpAssetsFromDocuments(docs).limit(1)
+      .map(a => a.copy(meta = a.meta.copy(width = a.meta.width + 1)))
+    val err = intercept[org.apache.spark.SparkException] {
+      imageResizeGrid(lying, MediaDecoder.Uncompressed, 2, 2).collect()
+    }
+    assert(err.getMessage.contains("decoded") || Option(err.getCause).exists(
+      _.getMessage.contains("decoded")))
+  }
 }
