@@ -726,6 +726,145 @@ object Clustering {
     rankAdc(scored, queries, corpus, k, rerank, idCol, embCol)
   }
 
+  // ---- residual IVFADC (FAISS IVFx,PQy default: encode v − centroid) ------
+
+  /** Residual PQ codebook: one entry per coarse cell — the cell centroid
+    * MINUS its nearest other centroid (cosine argmax, ties → smallest id;
+    * float subtraction). Rationale: residuals live near the origin with
+    * magnitudes on the order of inter-centroid gaps, so centroid
+    * DIFFERENCES sample that distribution — while staying a pure,
+    * hash-seeded, oracle-replayable function of the corpus the way
+    * [[seedCells]] is (a k-means-trained residual codebook slots into the
+    * same frame spec-verified, like Lloyd does for IVF). √n × √n = O(n)
+    * scoring work, broadcast join, one window on the √n rows.
+    * Output: (rcode_id, r_emb). */
+  def residualCodebook(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val other = cells.select(col("cell_id").as("o_id"), col("c_emb").as("o_emb"),
+      col("c_norm").as("o_norm"))
+    val scored = cells.select(col("cell_id"), col("c_emb"), col("c_norm"))
+      .join(broadcast(other), col("cell_id") =!= col("o_id"))
+      .select(col("cell_id"), col("c_emb"), col("o_id"), col("o_emb"),
+        (Similarity.dot(col("c_emb"), col("o_emb")) / (col("c_norm") * col("o_norm")))
+          .as("cos"))
+    val w = Window.partitionBy(col("cell_id")).orderBy(col("cos").desc, col("o_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("cell_id").as("rcode_id"),
+        zip_with(col("c_emb"), col("o_emb"), (x, y) => x - y).as("r_emb"))
+  }
+
+  /** Residual PQ codes: each vector's RESIDUAL against its coarse centroid
+    * (v − c, float subtraction) quantized per subspace against the
+    * [[residualCodebook]] — the FAISS IVFADC default encoding, which
+    * spends the code budget on the within-cell offset instead of
+    * re-describing the centroid the cell id already names. Same plan shape
+    * as [[pqCodes]] plus one broadcast centroid join; carries `cell_id` so
+    * the at-rest table is directly the IVF-partitioned deployment layout.
+    * Output: (vec_id, cell_id, code_0 … code_{numSub−1}). */
+  def residualPqCodes(corpus: DataFrame, idCol: String, embCol: String,
+      cells: DataFrame, rcb: DataFrame, numSub: Int, subDim: Int): DataFrame = {
+    val assign = assignCells(corpus, idCol, embCol, cells)
+    val res = corpus
+      .select(col(idCol).cast("bigint").as("vec_id"), col(embCol).as("v_emb"))
+      .join(assign.select(col("vec_id"), col("cell_id")), "vec_id")
+      .join(broadcast(cells.select(col("cell_id"), col("c_emb"))), "cell_id")
+      .select(col("vec_id"), col("cell_id"),
+        zip_with(col("v_emb"), col("c_emb"), (x, y) => x - y).as("v_res"))
+    val scored = res.join(broadcast(rcb))
+    val aggs = (0 until numSub).map { m =>
+      min(struct(subDist2(col("v_res"), col("r_emb"), m, subDim).as("d"),
+        col("rcode_id").as("c")))
+        .getField("c").as(s"code_$m")
+    }
+    scored.groupBy(col("vec_id"), col("cell_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Residual IVFADC top-k (Jégou, Douze & Schmid 2011, §IV-B — the FAISS
+    * `IVFx,PQy` DEFAULT, closing the non-residual gap of [[ivfPqTopK]]):
+    * candidates come from the nprobe coarse cells exactly as in
+    * [[ivfPqTopKFromIndex]], but the estimate is
+    * `d²(q − c_cell, codebook[code])` — the query re-expressed in each
+    * probed cell's residual frame. Because distances now depend on the
+    * (cell, code) PAIR, the query side builds one distance table per
+    * probed cell (Q·nprobe·√n·numSub entries — the per-probe table FAISS
+    * also computes per query; still query-sized, never corpus-sized) and
+    * the scan keys its map lookups by (cell_id, code). Corpus data never
+    * shuffles; exact rerank refines the shortlist as in [[pqTopKFromCodes]].
+    *
+    * Determinism: per-subspace distances round to 9 decimals and sum as
+    * DECIMAL (t11 discipline); ranks tie-break (dist ASC, neighbor ASC).
+    * Output: (query_id, rank, neighbor_id, pq_dist2). */
+  def ivfAdcResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+      numSub: Int, subDim: Int, rerank: Int = 0,
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val cells = materializedCells(corpus, idCol, embCol)
+    val rcb = residualCodebook(cells)
+    val codes = residualPqCodes(corpus, idCol, embCol, cells, rcb, numSub, subDim)
+    ivfAdcResidualFromIndex(queries, corpus, cells, rcb, codes,
+      k, nprobe, numSub, subDim, rerank, idCol, embCol)
+  }
+
+  /** [[ivfAdcResidualTopK]] probing PREBUILT at-rest artifacts (`cells`
+    * coarse codebook, `rcb` residual codebook, `codes` cell-carrying
+    * residual code table). */
+  def ivfAdcResidualFromIndex(queries: DataFrame, corpus: DataFrame,
+      cells: DataFrame, rcb: DataFrame, codes: DataFrame,
+      k: Int, nprobe: Int, numSub: Int, subDim: Int, rerank: Int = 0,
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1 && nprobe >= 1 && numSub >= 1 && subDim >= 1,
+      s"bad k=$k nprobe=$nprobe numSub=$numSub subDim=$subDim")
+    require(rerank == 0 || rerank >= k, s"rerank must be 0 or >= k, got $rerank")
+
+    // query → nprobe nearest coarse cells (identical to ivfPqTopKFromIndex)
+    val qScored = queries
+      .select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"),
+        Similarity.l2Norm(col(embCol)).as("q_norm"))
+      .join(broadcast(cells))
+      .select(col("query_id"),
+        (Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+          .as("cos"),
+        col("cell_id"))
+    val probeAgg = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.TopKPairs(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("cos")),
+        org.apache.spark.sql.graft.ColumnShim.expression(col("cell_id")),
+        nprobe).toAggregateExpression())
+    val probes = qScored.groupBy(col("query_id")).agg(probeAgg.as("cells"))
+      .select(col("query_id"), explode(col("cells").getField("id")).as("cell_id"))
+
+    // query residual per PROBED cell, then per-subspace distance tables
+    // keyed by (cell_id, rcode) — the FAISS per-probe lookup table
+    val qres = probes
+      .join(queries.select(col(idCol).cast("bigint").as("query_id"),
+        col(embCol).as("q_emb")), "query_id")
+      .join(broadcast(cells.select(col("cell_id"), col("c_emb"))), "cell_id")
+      .select(col("query_id"), col("cell_id"),
+        zip_with(col("q_emb"), col("c_emb"), (x, y) => x - y).as("q_res"))
+    val qd = qres.join(broadcast(rcb))
+      .select(col("query_id") +: col("cell_id") +: col("rcode_id") +:
+        (0 until numSub).map(m =>
+          round(subDist2(col("q_res"), col("r_emb"), m, subDim), 9)
+            .cast(DecimalType(28, 9)).as(s"qd_$m")): _*)
+    def mapKey = struct(col("cell_id").as("c"), col("rcode_id").as("r"))
+    val qMaps = qd.groupBy(col("query_id")).agg(
+      map_from_entries(collect_list(struct(mapKey.as("k"), col("qd_0").as("v")))).as("qm_0"),
+      (1 until numSub).map(m =>
+        map_from_entries(collect_list(struct(mapKey.as("k"), col(s"qd_$m").as("v"))))
+          .as(s"qm_$m")): _*)
+
+    val est = (0 until numSub)
+      .map(m => element_at(col(s"qm_$m"),
+        struct(col("cell_id").as("c"), col(s"code_$m").as("r"))))
+      .reduce(_ + _)
+    val scored = codes
+      .join(broadcast(probes.join(qMaps, "query_id")), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        est.cast("double").as("est_d2"))
+    rankAdc(scored, queries, corpus, k, rerank, idCol, embCol)
+  }
+
   /** Cluster-balanced (diversity-preserving) selection: at most `perCell`
     * members from every embedding cell, chosen in deterministic hash order
     * (the [[Curation.hashKey]] md5 rule — rerun/engine/layout invariant).

@@ -85,6 +85,25 @@ object BenchIndex {
     (cells, assign)
   }
 
+  /** Residual IVFADC artifacts: (coarse cells with norms, residual
+    * codebook, cell-carrying residual code table). */
+  def residualPq(s: SparkSession, dir: String, numSub: Int, subDim: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val Seq(cellsRaw, rcb, codes) =
+      artifacts(s, dir, s"rpq_${numSub}_$subDim", Seq("cells", "rcb", "codes")) {
+        val e = corpus(s, dir)
+        val cells = Clustering.materializedCells(e, "id", "embedding")
+        val r = Clustering.residualCodebook(cells)
+        Seq(
+          "cells" -> cells.select(col("cell_id"), col("c_emb")),
+          "rcb" -> r,
+          "codes" -> Clustering.residualPqCodes(e, "id", "embedding", cells, r, numSub, subDim))
+      }
+    val cells = cellsRaw.select(col("cell_id"), col("c_emb"),
+      Similarity.l2Norm(col("c_emb")).as("c_norm"))
+    (cells, rcb, codes)
+  }
+
   /** LSH posting index: (neighbor_id, table_id, bucket). */
   def lshPostings(s: SparkSession, dir: String): DataFrame =
     artifacts(s, dir, "lsh", Seq("postings")) {

@@ -555,6 +555,127 @@ object ClusterQueries {
         .orderBy(col("query_id"), col("rank"))
     }))
 
+  /** Residual IVFADC top-5 ([[Clustering.ivfAdcResidualTopK]] — the FAISS
+    * `IVFx,PQy` DEFAULT, upgrading s11's non-residual variant): corpus
+    * vectors are PQ-coded as their RESIDUAL against the coarse centroid,
+    * and the query builds one distance table per probed cell in that
+    * cell's residual frame. Same query set / probe budget / rerank as s11,
+    * so the two variants read directly across. Measured frontier
+    * (tools/RecallAb, BASELINE.md round 8): on the synthetic
+    * near-orthogonal fixture the rerank path SATURATES the IVF probe
+    * bound for both variants (recall is candidate-limited, not
+    * estimator-limited), and raw residual ≈ raw non-residual — the
+    * residual frame pays off on clustered real-world corpora, and this
+    * operator is the ready, oracle-gated layout for them. The oracle
+    * replays seed cells, the nearest-other-centroid residual codebook,
+    * residual assignment + codes, the per-probe DECIMAL-summed ADC
+    * estimate, and the exact rerank. */
+  val s15ResidualIvfAdc = GraftQuery(
+    "s15_residual_ivfadc_topk",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      Clustering.ivfAdcResidualTopK(q, e, 5, NProbe, NumSub, SubDim, rerank = PqRerank)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("pq_dist2"), 6).as("pq_dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $duckCellCtes,
+      probes AS (
+        SELECT vec_id AS query_id, cell_id
+        FROM (SELECT vec_id, cell_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell_id ASC) AS rn
+              FROM cell_scored WHERE vec_id % 50 = 0) z
+        WHERE rn <= $NProbe),
+      cnn AS (
+        SELECT a.cell_id, a.c_emb, b.cell_id AS o_id, b.c_emb AS o_emb,
+               row_number() OVER (PARTITION BY a.cell_id
+                 ORDER BY ${duckFullDot("a.c_emb", "b.c_emb")} / (a.c_nm * b.c_nm) DESC,
+                          b.cell_id ASC) AS rn
+        FROM cents a JOIN cents b ON a.cell_id <> b.cell_id),
+      rcb AS (
+        SELECT cell_id AS rcode_id,
+               list_transform(range(1, len(c_emb) + 1),
+                 i -> CAST(c_emb[CAST(i AS INT)] - o_emb[CAST(i AS INT)] AS FLOAT)) AS r_emb
+        FROM cnn WHERE rn = 1),
+      vres AS (
+        SELECT a.vec_id, a.cell_id,
+               list_transform(range(1, len(v.embedding) + 1),
+                 i -> CAST(v.embedding[CAST(i AS INT)] - c.c_emb[CAST(i AS INT)] AS FLOAT))
+                 AS v_res
+        FROM assign a
+        JOIN embeddings v ON a.vec_id = v.vec_id
+        JOIN cents c ON a.cell_id = c.cell_id),
+      sub AS (SELECT unnest(range(0, $NumSub)) AS m),
+      vd AS (
+        SELECT r.vec_id, r.cell_id, s.m, rc.rcode_id,
+               ${duckSubDist2("r.v_res", "rc.r_emb")} AS d2
+        FROM vres r CROSS JOIN rcb rc CROSS JOIN sub s),
+      codes AS (
+        SELECT vec_id, cell_id, m, rcode_id AS code
+        FROM (SELECT vec_id, cell_id, m, rcode_id,
+                     row_number() OVER (PARTITION BY vec_id, m
+                       ORDER BY d2 ASC, rcode_id ASC) AS rn
+              FROM vd) z
+        WHERE rn = 1),
+      qres AS (
+        SELECT p.query_id, p.cell_id,
+               list_transform(range(1, len(q.embedding) + 1),
+                 i -> CAST(q.embedding[CAST(i AS INT)] - c.c_emb[CAST(i AS INT)] AS FLOAT))
+                 AS q_res
+        FROM probes p
+        JOIN embeddings q ON p.query_id = q.vec_id
+        JOIN cents c ON p.cell_id = c.cell_id),
+      qd AS (
+        SELECT qr.query_id, qr.cell_id, s.m, rc.rcode_id,
+               CAST(round(${duckSubDist2("qr.q_res", "rc.r_emb")}, 9)
+                 AS DECIMAL(28,9)) AS d9
+        FROM qres qr CROSS JOIN rcb rc CROSS JOIN sub s),
+      est AS (
+        SELECT qd.query_id, cd.vec_id AS neighbor_id,
+               CAST(SUM(qd.d9) AS DOUBLE) AS est_d2
+        FROM codes cd
+        JOIN qd ON qd.cell_id = cd.cell_id AND qd.m = cd.m AND qd.rcode_id = cd.code
+        WHERE cd.vec_id <> qd.query_id
+        GROUP BY qd.query_id, cd.vec_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, est_d2,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY est_d2 ASC, neighbor_id ASC) AS rank
+        FROM est),
+      short AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $PqRerank),
+      rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               (${duckFullDot("q.embedding", "q.embedding")}
+                + ${duckFullDot("v.embedding", "v.embedding")}
+                - 2.0 * ${duckFullDot("q.embedding", "v.embedding")}) AS d2
+        FROM short s
+        JOIN embeddings q ON s.query_id = q.vec_id
+        JOIN embeddings v ON s.neighbor_id = v.vec_id),
+      rranked AS (
+        SELECT query_id, neighbor_id, d2,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY d2 ASC, neighbor_id ASC) AS rank
+        FROM rr)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+             round(d2, 6) AS pq_dist2
+      FROM rranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""),
+    bench = true,
+    benchRun = Some((s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      val (cells, rcb, codes) = BenchIndex.residualPq(s, dir, NumSub, SubDim)
+      Clustering.ivfAdcResidualFromIndex(q, e, cells, rcb, codes,
+          5, NProbe, NumSub, SubDim, rerank = PqRerank)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("pq_dist2"), 6).as("pq_dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    }))
+
   /** Retrieval-quality metrics (recall@5 / MRR / binary nDCG@5) of the IVF
     * index against the exact top-5 ground truth — the tuning loop every
     * ANN deployment runs when it moves nprobe/codebook knobs, as an
@@ -655,5 +776,5 @@ object ClusterQueries {
 
   val all: Seq[GraftQuery] = Seq(
     s05IvfTopK, d08SemanticDedup, c10CellProfile, s06PqTopK, c22DiverseSample,
-    s09TwoLevelIvf, s11IvfPqTopK, s12RetrievalMetrics)
+    s09TwoLevelIvf, s11IvfPqTopK, s12RetrievalMetrics, s15ResidualIvfAdc)
 }

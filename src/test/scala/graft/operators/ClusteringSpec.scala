@@ -376,4 +376,57 @@ class ClusteringSpec extends SparkSpec {
     }.sum / exact.size
     assert(recall >= 0.4, f"IVFPQ recall@5 = $recall%.2f below floor")
   }
+
+  test("residual IVFADC: at-rest equals inline; rerank recall within [floor, probe bound]") {
+    val q = sf0001.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val c = sf0001.select(col("vec_id").as("id"), col("embedding"))
+    import graft.queries.ClusterQueries.{NProbe, NumSub, SubDim}
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getAs[Long](0), r.getAs[Any](1).toString, r.getAs[Long](2))).toSet
+    val inline = Clustering.ivfAdcResidualTopK(q, c, 5, NProbe, NumSub, SubDim)
+    val cells = Clustering.materializedCells(c, "id", "embedding")
+    val rcb = Clustering.residualCodebook(cells)
+    val codes = Clustering.residualPqCodes(c, "id", "embedding", cells, rcb, NumSub, SubDim)
+    val atRest = Clustering.ivfAdcResidualFromIndex(q, c, cells, rcb, codes,
+      5, NProbe, NumSub, SubDim)
+    assert(rows(inline) == rows(atRest), "at-rest probe diverged from inline build")
+    // structure: one residual-codebook entry per coarse cell; every code a
+    // codebook entry; each vector carries its coarse cell
+    assert(rcb.count() == cells.count())
+    val rcodeIds = rcb.select("rcode_id").collect().map(_.getLong(0)).toSet
+    val codeRows = codes.collect()
+    assert(codeRows.map(_.getAs[Long]("vec_id")).toSet.size == codeRows.length)
+    (0 until NumSub).foreach(m => codeRows.foreach(r =>
+      assert(rcodeIds.contains(r.getAs[Long](s"code_$m")))))
+    // recall frontier (measured, tools/RecallAb): with rerank the recall
+    // of BOTH PQ variants is capped by — and at sf0.01 saturates — the
+    // IVF candidate-restriction bound (0.74 @ nprobe=12), so the
+    // estimator-quality claim lives on the RAW path. On this synthetic
+    // near-orthogonal corpus residual coding measures ≈ non-residual
+    // (no cluster structure for the residual frame to exploit — the
+    // regime where FAISS's default wins is multi-modal data), so the
+    // pinned properties are: rerank recall meets the same floor as s11,
+    // and never exceeds the probe bound it is mathematically capped by.
+    import graft.queries.ClusterQueries.PqRerank
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = sets(Similarity.bruteForceTopK(q, c, 5))
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val got = sets(df)
+      exact.map { case (qid, ex) =>
+        got.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+      }.sum / exact.size
+    }
+    val bound = recallOf(
+      Clustering.ivfTopKFromIndex(q, c, cells,
+        Clustering.assignCells(c, "id", "embedding", cells), 5, NProbe))
+    val reranked = recallOf(Clustering.ivfAdcResidualFromIndex(q, c, cells, rcb, codes,
+      5, NProbe, NumSub, SubDim, rerank = PqRerank))
+    assert(reranked >= 0.4, f"residual IVFADC rerank recall $reranked%.2f below floor")
+    assert(reranked <= bound + 1e-9,
+      f"recall $reranked%.2f exceeded the probe bound $bound%.2f — candidate leak")
+  }
 }
