@@ -846,19 +846,20 @@ object Clustering {
         (0 until numSub).map(m =>
           round(subDist2(col("q_res"), col("r_emb"), m, subDim), 9)
             .cast(DecimalType(28, 9)).as(s"qd_$m")): _*)
-    def mapKey = struct(col("cell_id").as("c"), col("rcode_id").as("r"))
-    val qMaps = qd.groupBy(col("query_id")).agg(
-      map_from_entries(collect_list(struct(mapKey.as("k"), col("qd_0").as("v")))).as("qm_0"),
+    // one row per (query, probed cell) carrying that probe's √n-entry
+    // rcode→distance maps: lookups scan a per-PROBE table (the FAISS
+    // layout), not one (cell,code)-keyed table nprobe times larger
+    val qMaps = qd.groupBy(col("query_id"), col("cell_id")).agg(
+      map_from_entries(collect_list(struct(col("rcode_id"), col("qd_0")))).as("qm_0"),
       (1 until numSub).map(m =>
-        map_from_entries(collect_list(struct(mapKey.as("k"), col(s"qd_$m").as("v"))))
+        map_from_entries(collect_list(struct(col("rcode_id"), col(s"qd_$m"))))
           .as(s"qm_$m")): _*)
 
     val est = (0 until numSub)
-      .map(m => element_at(col(s"qm_$m"),
-        struct(col("cell_id").as("c"), col(s"code_$m").as("r"))))
+      .map(m => element_at(col(s"qm_$m"), col(s"code_$m")))
       .reduce(_ + _)
     val scored = codes
-      .join(broadcast(probes.join(qMaps, "query_id")), Seq("cell_id"))
+      .join(broadcast(qMaps), Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         est.cast("double").as("est_d2"))
