@@ -98,6 +98,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * change" diffs without Delta's unbounded log. */
   def tableVersions(layer: String, name: String): Seq[Int] = {
     val base = dir(layer, name)
+    if (Files.exists(base.resolve(FilesManifest))) {
+      // log-managed bronze: the retention window is the history manifests
+      // gcBronze keeps (committed + predecessor), whose files are all live
+      return Files.list(base).toArray.map(_.asInstanceOf[Path]).collect {
+        case p if filesHistory.pattern.matcher(p.getFileName.toString).matches() =>
+          p.getFileName.toString.stripPrefix("_files_v").toInt
+      }.sorted.toSeq
+    }
     val committed = currentVersion(base)
     if (!Files.exists(base) || committed == 0) Seq.empty
     else Files.list(base).toArray.map(_.asInstanceOf[Path]).collect {
@@ -124,7 +132,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val avail = tableVersions(layer, name)
     require(avail.contains(version),
       s"version $version of $layer.$name is not on disk (available: ${avail.mkString(",")})")
-    spark.read.parquet(dir(layer, name).resolve(s"_v$version").toString)
+    val base = dir(layer, name)
+    readManifestFile(base.resolve(s"_files_v$version")) match {
+      case Some((_, entries)) => // log-managed bronze: the version's file set
+        spark.read.parquet(entries.map(e => base.resolve(e.relPath).toString): _*)
+      case None =>
+        spark.read.parquet(base.resolve(s"_v$version").toString)
+    }
   }
 
   // ───── bronze transaction log ─────────────────────────────────────────
@@ -538,6 +552,44 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         gcBronze(base, next)
       case None =>
         materialize(layer, name, table(layer, name).repartition(numFiles))
+    }
+  }
+
+  /** `OPTIMIZE ... ZORDER BY (x, y)` parity: rewrite the table clustered
+    * along a space-filling curve over two columns AND record per-file
+    * min/max for both in the manifest — after this, [[tableWhere]]
+    * rectangle predicates skip whole files on EITHER dimension (and
+    * parquet row-group pruning continues below file level). `curve`:
+    * "hilbert" (default — tighter envelopes, see `operators/Layout`) or
+    * "zorder". Log-managed bronze clusters within its file log; the
+    * rewrite is a fresh committed version either way, readers never see
+    * a half-clustered table. */
+  def compactClustered(layer: String, name: String, xCol: String, yCol: String,
+      numFiles: Int, curve: String = "hilbert"): Unit = {
+    import org.apache.spark.sql.functions.col
+    def clustered(df: DataFrame): DataFrame = curve match {
+      case "hilbert" => graft.operators.Layout.hilbertBy(df, col(xCol), col(yCol),
+        partitions = numFiles)
+      case "zorder" => graft.operators.Layout.zorderBy(df, col(xCol), col(yCol),
+        partitions = numFiles)
+      case other => throw new IllegalArgumentException(s"unknown curve $other")
+    }
+    val base = dir(layer, name)
+    readFilesManifest(base) match {
+      case Some((v, entries)) =>
+        val df = clustered(spark.read
+          .parquet(entries.map(e => base.resolve(e.relPath).toString): _*))
+        var next = v + 1
+        while (Files.exists(base.resolve(s"_a$next"))) next += 1
+        val dataDir = base.resolve(s"_a$next")
+        df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+        commitFilesManifest(base, next,
+          ManifestStats.collectStats(df, dataDir.toString,
+            (Lakehouse.BronzeStatsCols ++ Seq(xCol, yCol)).distinct, s"_a$next"))
+        gcBronze(base, next)
+      case None =>
+        materialize(layer, name, clustered(table(layer, name)),
+          statsCols = Seq(xCol, yCol))
     }
   }
 

@@ -65,6 +65,72 @@ class LakehouseSpec extends SparkSpec {
     assert(!Files.exists(base.resolve("_a2")), "crashed-append debris survived GC")
   }
 
+  test("compactClustered: OPTIMIZE ZORDER parity — rewrite + stats, skipping works, data unchanged") {
+    import graft.pipeline.ManifestStats.{StatGte, StatLte}
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-optz").toString)
+    val n = 128 * 128
+    val grid = spark.range(n.toLong)
+      .select((col("id") % 128).cast("int").as("x"),
+        ((col("id") / 128) % 128).cast("int").as("y"),
+        col("id").as("payload"))
+    lake.materialize("silver", "g", grid) // unclustered, no stats
+    val before = lake.table("silver", "g").orderBy("payload").collect().toSeq
+    lake.compactClustered("silver", "g", "x", "y", numFiles = 16)
+    assert(lake.table("silver", "g").orderBy("payload").collect().toSeq == before,
+      "clustering must not change the data")
+    val all = lake.prunedFilePaths("silver", "g", Nil)
+    val corner = lake.prunedFilePaths("silver", "g",
+      Seq(StatGte("x", 0), StatLte("x", 15), StatGte("y", 0), StatLte("y", 15)))
+    assert(all.size >= 12 && corner.size <= all.size / 4,
+      s"corner rectangle kept ${corner.size}/${all.size} files")
+  }
+
+  test("bronze compaction rewrites the live file set within the log, data unchanged") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-bcompact").toString)
+    // 5 appends → 5 live files across 5 append dirs (the small-files problem)
+    (1 to 5).foreach { i =>
+      val ctx = Bronze.RunContext(s"run$i", s"r$i", d(f"2025-06-$i%02d"),
+        ts(f"2025-06-$i%02d 10:00:00"))
+      Bronze.ingest(lake, ctx, _ => Map("channels_raw" -> Seq(s"""{"items": [$i]}""")))
+    }
+    val before = lake.table("bronze", "channels_raw")
+      .collect().map(_.toString).sorted.toSeq
+    assert(lake.prunedFilePaths("bronze", "channels_raw", Nil).size >= 5)
+    lake.compact("bronze", "channels_raw", numFiles = 1)
+    assert(lake.prunedFilePaths("bronze", "channels_raw", Nil).size == 1,
+      "compaction must leave one live file")
+    assert(lake.table("bronze", "channels_raw")
+      .collect().map(_.toString).sorted.toSeq == before)
+    // stats were rebuilt: a run-scoped delete still prunes (now a no-op scan
+    // is impossible — one file holds everything — but the predicate read
+    // and rewrite stay correct)
+    lake.deleteByRunId("channels_raw", "run3")
+    assert(lake.table("bronze", "channels_raw").count() == 4)
+  }
+
+  test("bronze time travel: the pre-delete file set stays readable one commit back") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-btt").toString)
+    val ctx1 = Bronze.RunContext("run1", "r1", d("2025-06-01"), ts("2025-06-01 10:00:00"))
+    val ctx2 = Bronze.RunContext("run2", "r2", d("2025-06-02"), ts("2025-06-02 10:00:00"))
+    Bronze.ingest(lake, ctx1, _ => Map("channels_raw" -> Seq("""{"items": [1]}""")))
+    Bronze.ingest(lake, ctx2, _ => Map("channels_raw" -> Seq("""{"items": [2]}""")))
+    val versions = lake.tableVersions("bronze", "channels_raw")
+    assert(versions.size == 2, s"retention window should hold 2 versions, got $versions")
+    // AS OF the first version: only run1's row
+    val v1 = lake.tableAt("bronze", "channels_raw", versions.head)
+    assert(v1.select("run_id").collect().map(_.getString(0)).toSeq == Seq("run1"))
+    assert(lake.table("bronze", "channels_raw").count() == 2)
+    // a delete commits a new version; the predecessor (both rows) stays
+    // readable for the retention window, older versions fail fast
+    lake.deleteByRunId("channels_raw", "run1")
+    val after = lake.tableVersions("bronze", "channels_raw")
+    assert(lake.tableAt("bronze", "channels_raw", after.head).count() == 2)
+    assert(lake.table("bronze", "channels_raw").count() == 1)
+    intercept[IllegalArgumentException] {
+      lake.tableAt("bronze", "channels_raw", versions.head - 1)
+    }
+  }
+
   test("delete with stats pruning: an absent run_id is a no-version no-op") {
     val lake = new Lakehouse(spark, Files.createTempDirectory("graft-bnoop").toString)
     val ctx1 = Bronze.RunContext("run1", "r1", d("2025-06-01"), ts("2025-06-01 10:00:00"))
