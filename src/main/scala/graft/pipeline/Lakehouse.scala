@@ -41,10 +41,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * exclusive-create slot claims; incremental merges run read-set-checked
   * OCC transactions ([[transactMerge]]) that retry on conflict instead
   * of losing updates. Bronze appends/deletes go through their own
-  * file-granular `_FILES` log (same atomic-manifest commit point;
-  * single-writer appends, matching the reference's serialized ingest
-  * task — the one remaining divergence from Delta's concurrent blind
-  * appends).
+  * file-granular log whose commit is put-if-absent creation of the
+  * versioned manifest itself (Delta's log-entry CAS): concurrent blind
+  * appends all land (losers re-commit their written files on the next
+  * version), deletes restart from the winner on a lost race, and
+  * unreferenced files are reclaimed by the explicit [[vacuumBronze]].
   */
 final class Lakehouse(val spark: SparkSession, val root: String,
     schemaOverrides: Map[String, String] = Lakehouse.envSchemaOverrides()) {
@@ -98,14 +99,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * change" diffs without Delta's unbounded log. */
   def tableVersions(layer: String, name: String): Seq[Int] = {
     val base = dir(layer, name)
-    if (Files.exists(base.resolve(FilesManifest))) {
-      // log-managed bronze: the retention window is the history manifests
-      // gcBronze keeps (committed + predecessor), whose files are all live
-      return Files.list(base).toArray.map(_.asInstanceOf[Path]).collect {
-        case p if filesHistory.pattern.matcher(p.getFileName.toString).matches() =>
-          p.getFileName.toString.stripPrefix("_files_v").toInt
-      }.sorted.toSeq
-    }
+    // log-managed bronze: the retention window is the history manifests the
+    // commit path keeps (committed + predecessor), whose files stay live
+    // until an explicit vacuum below that window
+    val bronzeVs = bronzeVersions(base)
+    if (bronzeVs.nonEmpty) return bronzeVs
     val committed = currentVersion(base)
     if (!Files.exists(base) || committed == 0) Seq.empty
     else Files.list(base).toArray.map(_.asInstanceOf[Path]).collect {
@@ -144,26 +142,43 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   // ───── bronze transaction log ─────────────────────────────────────────
   //
   // Bronze tables are APPEND+DELETE workloads, so their log tracks live
-  // FILES across immutable `_a{N}` append directories instead of whole
-  // version directories: an append commits O(new files), a predicate
-  // delete rewrites only the files that contain matching rows (Delta's
-  // copy-on-write `add`/`remove` shape), and the `_FILES` manifest rename
-  // is the single atomic commit point — a crash anywhere mid-ingest
-  // leaves the previous committed file set live, never a half-appended
-  // table. Each manifest line carries per-file min/max stats
-  // ([[ManifestStats]]) for file-level data skipping; `snapshot_date`
-  // lives as a DATA column (stats replace hive directory partitioning,
-  // the Delta-without-partitioning layout), so pruning by snapshot range
-  // goes through [[tableWhere]]. Appends are SINGLE-WRITER per table
-  // (the reference's bronze writer is one serialized job task); readers
-  // are never blocked and always see a committed version.
+  // FILES across immutable `_a{N}_{uid}` append directories instead of
+  // whole version directories: an append commits O(new files), a
+  // predicate delete rewrites only the files that contain matching rows
+  // (Delta's copy-on-write `add`/`remove` shape). The COMMIT is
+  // put-if-absent creation of the `_files_v{N}` manifest itself — a
+  // fully-written tmp hard-LINKED into place (`Files.createLink` is
+  // atomic and fails if the name exists), which is exactly Delta's
+  // log-entry CAS on a filesystem: of any number of CONCURRENT writers
+  // racing for version N, exactly one wins; losers re-read the winning
+  // manifest and retry on N+1 folding the winner's files in (blind
+  // appends never conflict — their already-written data dir is reused
+  // verbatim). A crash anywhere before the link leaves the previous
+  // committed version live, never a half-appended table.
+  //
+  // Each manifest line carries per-file min/max stats ([[ManifestStats]])
+  // for file-level data skipping; `snapshot_date` lives as a DATA column
+  // (stats replace hive directory partitioning, the
+  // Delta-without-partitioning layout), so pruning by snapshot range goes
+  // through [[tableWhere]]. Unreferenced data files are reclaimed by the
+  // EXPLICIT [[vacuumBronze]] (Delta VACUUM semantics: run it quiesced or
+  // with enough retained versions — inline cleanup could delete a racing
+  // writer's in-flight files); commits only prune history manifests below
+  // the retention window, which is always safe.
 
-  private val FilesManifest = "_FILES"
-  private val appendDir = "_a(\\d+)".r
+  private val appendDir = "_a.*".r
   private val filesHistory = "_files_v(\\d+)".r
 
+  private def bronzeVersions(base: Path): Seq[Int] =
+    if (!Files.exists(base)) Seq.empty
+    else Files.list(base).toArray.map(_.asInstanceOf[Path]).collect {
+      case p if filesHistory.pattern.matcher(p.getFileName.toString).matches() =>
+        p.getFileName.toString.stripPrefix("_files_v").toInt
+    }.sorted.toSeq
+
   private def readFilesManifest(base: Path): Option[(Int, Seq[ManifestStats.FileEntry])] =
-    readManifestFile(base.resolve(FilesManifest))
+    bronzeVersions(base).lastOption.flatMap(v =>
+      readManifestFile(base.resolve(s"_files_v$v")))
 
   private def readManifestFile(m: Path): Option[(Int, Seq[ManifestStats.FileEntry])] =
     if (!Files.exists(m)) None
@@ -174,51 +189,73 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         lines.tail.filter(_.nonEmpty).map(ManifestStats.parseLine)))
     }
 
-  /** Write `_files_v{version}` history first (GC's reference set), then
-    * atomically rename the live `_FILES` manifest into place — THE commit. */
+  /** Attempt to commit `entries` as `_files_v{version}` by put-if-absent:
+    * the fully-written tmp is hard-linked to the versioned name — atomic,
+    * and it FAILS if another writer claimed the version first. Returns
+    * whether THIS writer won; on a win, history manifests below the
+    * retention window are pruned (metadata only — always safe). */
   private def commitFilesManifest(
-      base: Path, version: Int, entries: Seq[ManifestStats.FileEntry]): Unit = {
+      base: Path, version: Int, entries: Seq[ManifestStats.FileEntry]): Boolean = {
     val body = (version.toString +: entries.map(_.render)).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    Files.write(base.resolve(s"_files_v$version"), body)
-    val tmp = base.resolve(s".$FilesManifest.$version.tmp")
+    val tmp = base.resolve(s".manifest_${version}_${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, body)
-    Files.move(tmp, base.resolve(FilesManifest), StandardCopyOption.ATOMIC_MOVE)
+    val won =
+      try { Files.createLink(base.resolve(s"_files_v$version"), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    Files.delete(tmp)
+    if (won) {
+      bronzeVersions(base).filter(_ < version - 1)
+        .foreach(k => Files.deleteIfExists(base.resolve(s"_files_v$k")))
+    }
+    won
   }
 
-  /** GC after a commit: data files referenced by NEITHER the committed
-    * manifest NOR its predecessor go (in-flight readers of the replaced
-    * version finish their scan — the [[materialize]] retention window),
-    * along with emptied `_a` dirs and history files below the window. */
-  private def gcBronze(base: Path, committed: Int): Unit = {
-    val keep = (readManifestFile(base.resolve(s"_files_v$committed")).toSeq ++
-        readManifestFile(base.resolve(s"_files_v${committed - 1}")).toSeq)
+  /** A fresh, collision-free append directory for a write targeting
+    * `version` (the version tag is cosmetic/debugging — uniqueness comes
+    * from the uid, so concurrent writers never collide on a dir). */
+  private def newAppendDir(base: Path, version: Int): Path =
+    base.resolve(s"_a${version}_${java.util.UUID.randomUUID.toString.take(8)}")
+
+  /** VACUUM: delete data files referenced by NONE of the retained history
+    * manifests (default: the committed version + its predecessor, the
+    * [[materialize]] retention window), plus emptied append dirs and
+    * stale tmps. Like Delta VACUUM this is an EXPLICIT maintenance op
+    * with a concurrency contract: run it quiesced, or keep enough
+    * versions that no in-flight reader/writer references what it
+    * removes (a writer mid-commit holds files not yet in any manifest —
+    * exactly what `keepVersions` cannot protect; quiesce for that). */
+  def vacuumBronze(name: String, keepVersions: Int = 2): Unit = {
+    val base = dir("bronze", name)
+    if (!Files.exists(base)) return
+    val retained = bronzeVersions(base).takeRight(math.max(1, keepVersions))
+    val keep = retained
+      .flatMap(v => readManifestFile(base.resolve(s"_files_v$v")).toSeq)
       .flatMap(_._2).map(_.relPath).toSet
     Files.list(base).toArray.map(_.asInstanceOf[Path]).foreach { p =>
       p.getFileName.toString match {
-        case appendDir(_) =>
+        case n if appendDir.pattern.matcher(n).matches() && Files.isDirectory(p) =>
           Files.list(p).toArray.map(_.asInstanceOf[Path]).foreach { f =>
-            val n = f.getFileName.toString
-            if (n.endsWith(".parquet") &&
-                !keep.contains(s"${p.getFileName}/$n")) {
+            val fn = f.getFileName.toString
+            if (fn.endsWith(".parquet") && !keep.contains(s"$n/$fn")) {
               Files.delete(f)
-              val crc = f.resolveSibling(s".$n.crc")
+              val crc = f.resolveSibling(s".$fn.crc")
               if (Files.exists(crc)) Files.delete(crc)
             }
           }
           if (!Files.list(p).toArray.map(_.asInstanceOf[Path])
               .exists(_.getFileName.toString.endsWith(".parquet")))
             deleteRecursively(p)
-        case filesHistory(k) => if (k.toInt < committed - 1) Files.delete(p)
+        case n if n.startsWith(".manifest_") => Files.deleteIfExists(p)
         case _ =>
       }
     }
   }
 
   /** One-time migration of a pre-log bronze directory (hive-partitioned
-    * parquet, or the old empty-table single file) into the `_FILES`
-    * protocol: rewrite the rows (snapshot_date becomes a data column) as
-    * `_a1` and commit them as version 1. */
+    * parquet, or the old empty-table single file) into the file-log
+    * protocol: rewrite the rows (snapshot_date becomes a data column)
+    * into an append dir and commit them as version 1. */
   private def upgradeLegacyBronze(base: Path, statsCols: Seq[String]): Unit = {
     if (readFilesManifest(base).nonEmpty || !Files.exists(base)) return
     val legacy = Files.list(base).toArray.map(_.asInstanceOf[Path]).filter { p =>
@@ -230,35 +267,42 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // project partition columns back into the data files, original order
     val ordered = graft.pipeline.Schemas.bronzeEnvelope.fieldNames.toSeq
     val cols = if (df.columns.toSet == ordered.toSet) ordered else df.columns.toSeq
-    val dataDir = base.resolve("_a1")
-    deleteRecursively(dataDir)
+    val dataDir = newAppendDir(base, 1)
     df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     commitFilesManifest(base, 1,
-      ManifestStats.collectStats(df, dataDir.toString, statsCols, "_a1"))
+      ManifestStats.collectStats(df, dataDir.toString, statsCols,
+        dataDir.getFileName.toString))
     legacy.foreach(deleteRecursively)
   }
 
   /** Append rows (bronze ingest) as a logged transaction: new files land
-    * in an immutable `_a{N}` dir, their min/max stats are recorded, and
-    * the `_FILES` manifest rename commits — a crash at any earlier point
-    * leaves the table at the previous version (no half-appended data is
-    * ever visible, the Delta-bronze guarantee the reference gets from
-    * `USING DELTA`). */
+    * in a fresh immutable append dir, their min/max stats are recorded,
+    * and the put-if-absent manifest link commits — a crash at any earlier
+    * point leaves the table at the previous version (no half-appended
+    * data is ever visible, the Delta-bronze guarantee the reference gets
+    * from `USING DELTA`). CONCURRENT appends are safe: a writer losing
+    * the version CAS re-reads the winner's manifest and re-commits its
+    * already-written files on the next version — blind appends never
+    * conflict, matching Delta's concurrent-append semantics. */
   def appendBronze(name: String, df: DataFrame,
       statsCols: Seq[String] = Lakehouse.BronzeStatsCols): Unit = {
     val base = dir("bronze", name)
     Files.createDirectories(base)
     upgradeLegacyBronze(base, statsCols)
-    val (v, entries) = readFilesManifest(base).getOrElse((0, Seq.empty))
-    // first free append-dir number ≥ v+1 (skips crash debris awaiting GC)
-    var next = v + 1
-    while (Files.exists(base.resolve(s"_a$next"))) next += 1
-    val dataDir = base.resolve(s"_a$next")
+    val v0 = readFilesManifest(base).map(_._1).getOrElse(0)
+    val dataDir = newAppendDir(base, v0 + 1)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    commitFilesManifest(base, next,
-      entries ++ ManifestStats.collectStats(df, dataDir.toString, statsCols, s"_a$next"))
-    gcBronze(base, next)
+    val mine = ManifestStats.collectStats(df, dataDir.toString, statsCols,
+      dataDir.getFileName.toString)
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      attempts += 1
+      require(attempts <= 1000, s"bronze append to $name lost 1000 consecutive CAS races")
+      val (v, entries) = readFilesManifest(base).getOrElse((0, Seq.empty))
+      committed = commitFilesManifest(base, v + 1, entries ++ mine)
+    }
   }
 
   /** Idempotent re-run delete: drop all rows of `run_id` before re-append.
@@ -276,47 +320,56 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * Rows where `condition` is null are treated as matching (dropped),
     * the DML convention the run-id variant above has always had.
     * `statPreds` (optional) conservatively describe the DELETED rows so
-    * file stats can prune the candidate scan. */
+    * file stats can prune the candidate scan.
+    *
+    * Concurrency: the delete's read-set is the file list it scanned, so a
+    * lost version CAS RESTARTS the whole computation from the winner's
+    * manifest (a racing append may have landed files containing matching
+    * rows) — the transactMerge discipline at the file-log level. */
   def deleteBronzeWhere(name: String, condition: org.apache.spark.sql.Column,
-      statPreds: Seq[ManifestStats.StatPred] = Nil): Unit = {
+      statPreds: Seq[ManifestStats.StatPred] = Nil, maxAttempts: Int = 5): Unit = {
     import org.apache.spark.sql.functions.input_file_name
     val base = dir("bronze", name)
     if (!Files.exists(base)) return
     upgradeLegacyBronze(base, Lakehouse.BronzeStatsCols)
-    readFilesManifest(base) match {
-      case None => // never written
-      case Some((v, entries)) =>
-        val candidates = entries.filter(e => ManifestStats.mightMatch(e, statPreds))
-        if (candidates.isEmpty) return
-        val candPaths = candidates.map(e => base.resolve(e.relPath).toString)
-        // null condition counts as a match (dropped), so detect via NOT(NOT cond)
-        val matchCond = !org.apache.spark.sql.functions.coalesce(
-          !condition, org.apache.spark.sql.functions.lit(false))
-        val affectedNames = spark.read.parquet(candPaths: _*)
-          .withColumn("__f", input_file_name()).filter(matchCond)
-          .select("__f").distinct().collect()
-          .map(_.getString(0).split('/').takeRight(2).mkString("/")).toSet
-        if (affectedNames.isEmpty) return
-        val (affected, untouched) = entries.partition(e => affectedNames.contains(e.relPath))
-        val retained = spark.read
-          .parquet(affected.map(e => base.resolve(e.relPath).toString): _*)
-          .filter(!condition)
-        var next = v + 1
-        while (Files.exists(base.resolve(s"_a$next"))) next += 1
-        val newEntries =
-          if (retained.isEmpty && untouched.nonEmpty) Seq.empty
-          else {
-            val dataDir = base.resolve(s"_a$next")
-            // zero-row rewrite keeps ONE schema file so an emptied table
-            // stays readable
-            val out = if (retained.isEmpty) retained.repartition(1) else retained
-            out.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-            ManifestStats.collectStats(retained, dataDir.toString,
-              Lakehouse.BronzeStatsCols, s"_a$next")
-          }
-        commitFilesManifest(base, next, untouched ++ newEntries)
-        gcBronze(base, next)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      readFilesManifest(base) match {
+        case None => return // never written
+        case Some((v, entries)) =>
+          val candidates = entries.filter(e => ManifestStats.mightMatch(e, statPreds))
+          if (candidates.isEmpty) return
+          val candPaths = candidates.map(e => base.resolve(e.relPath).toString)
+          // null condition counts as a match (dropped): detect via NOT(NOT cond)
+          val matchCond = !org.apache.spark.sql.functions.coalesce(
+            !condition, org.apache.spark.sql.functions.lit(false))
+          val affectedNames = spark.read.parquet(candPaths: _*)
+            .withColumn("__f", input_file_name()).filter(matchCond)
+            .select("__f").distinct().collect()
+            .map(_.getString(0).split('/').takeRight(2).mkString("/")).toSet
+          if (affectedNames.isEmpty) return
+          val (affected, untouched) = entries.partition(e => affectedNames.contains(e.relPath))
+          val retained = spark.read
+            .parquet(affected.map(e => base.resolve(e.relPath).toString): _*)
+            .filter(!condition)
+          val newEntries =
+            if (retained.isEmpty && untouched.nonEmpty) Seq.empty
+            else {
+              val dataDir = newAppendDir(base, v + 1)
+              // zero-row rewrite keeps ONE schema file so an emptied table
+              // stays readable
+              val out = if (retained.isEmpty) retained.repartition(1) else retained
+              out.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+              ManifestStats.collectStats(retained, dataDir.toString,
+                Lakehouse.BronzeStatsCols, dataDir.getFileName.toString)
+            }
+          if (commitFilesManifest(base, v + 1, untouched ++ newEntries)) return
+          // lost the CAS: the read-set is stale — recompute from the winner
+      }
     }
+    throw new IllegalStateException(
+      s"deleteBronzeWhere($name) lost $maxAttempts consecutive CAS races")
   }
 
   /** Live data files of a table after FILE-LEVEL DATA SKIPPING: entries
@@ -537,22 +590,32 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * half-compacted table and stats are rebuilt for the new files. */
   def compact(layer: String, name: String, numFiles: Int = 1): Unit = {
     val base = dir(layer, name)
-    readFilesManifest(base) match {
-      case Some((v, entries)) =>
-        val df = spark.read
-          .parquet(entries.map(e => base.resolve(e.relPath).toString): _*)
-          .repartition(numFiles)
-        var next = v + 1
-        while (Files.exists(base.resolve(s"_a$next"))) next += 1
-        val dataDir = base.resolve(s"_a$next")
-        df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-        commitFilesManifest(base, next,
-          ManifestStats.collectStats(df, dataDir.toString,
-            Lakehouse.BronzeStatsCols, s"_a$next"))
-        gcBronze(base, next)
-      case None =>
-        materialize(layer, name, table(layer, name).repartition(numFiles))
+    if (readFilesManifest(base).nonEmpty)
+      rewriteBronzeLive(base, name, _.repartition(numFiles), Lakehouse.BronzeStatsCols)
+    else materialize(layer, name, table(layer, name).repartition(numFiles))
+  }
+
+  /** Full-rewrite commit over a bronze log's live file set (compaction,
+    * clustering): transform → fresh append dir → CAS; a lost race restarts
+    * from the winner's manifest so a concurrent append's files are never
+    * dropped by the rewrite. */
+  private def rewriteBronzeLive(base: Path, name: String,
+      transform: DataFrame => DataFrame, statsCols: Seq[String],
+      maxAttempts: Int = 5): Unit = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val (v, entries) = readFilesManifest(base).getOrElse(return)
+      val df = transform(spark.read
+        .parquet(entries.map(e => base.resolve(e.relPath).toString): _*))
+      val dataDir = newAppendDir(base, v + 1)
+      df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+      if (commitFilesManifest(base, v + 1,
+          ManifestStats.collectStats(df, dataDir.toString, statsCols,
+            dataDir.getFileName.toString))) return
     }
+    throw new IllegalStateException(
+      s"bronze rewrite of $name lost $maxAttempts consecutive CAS races")
   }
 
   /** `OPTIMIZE ... ZORDER BY (x, y)` parity: rewrite the table clustered
@@ -575,22 +638,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       case other => throw new IllegalArgumentException(s"unknown curve $other")
     }
     val base = dir(layer, name)
-    readFilesManifest(base) match {
-      case Some((v, entries)) =>
-        val df = clustered(spark.read
-          .parquet(entries.map(e => base.resolve(e.relPath).toString): _*))
-        var next = v + 1
-        while (Files.exists(base.resolve(s"_a$next"))) next += 1
-        val dataDir = base.resolve(s"_a$next")
-        df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-        commitFilesManifest(base, next,
-          ManifestStats.collectStats(df, dataDir.toString,
-            (Lakehouse.BronzeStatsCols ++ Seq(xCol, yCol)).distinct, s"_a$next"))
-        gcBronze(base, next)
-      case None =>
-        materialize(layer, name, clustered(table(layer, name)),
-          statsCols = Seq(xCol, yCol))
-    }
+    if (readFilesManifest(base).nonEmpty)
+      rewriteBronzeLive(base, name, clustered,
+        (Lakehouse.BronzeStatsCols ++ Seq(xCol, yCol)).distinct)
+    else materialize(layer, name, clustered(table(layer, name)),
+      statsCols = Seq(xCol, yCol))
   }
 
   /** Materialize as a BUCKETED catalog table (`<layer>_<name>`): rows

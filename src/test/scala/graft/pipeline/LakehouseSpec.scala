@@ -57,12 +57,42 @@ class LakehouseSpec extends SparkSpec {
     // is invisible (the Delta-bronze guarantee)
     assert(lake.table("bronze", "channels_raw")
       .collect().map(_.toString).sorted.toSeq == committed)
-    // the next successful append skips the debris slot, commits, and GC
-    // removes the orphaned files
+    // the next successful append commits normally; VACUUM (the explicit
+    // maintenance op, Delta semantics) then removes the orphaned files
     val ctx2 = Bronze.RunContext("run2", "r2", d("2025-06-02"), ts("2025-06-02 10:00:00"))
     Bronze.ingest(lake, ctx2, _ => Map("channels_raw" -> Seq("""{"items": [2]}""")))
     assert(lake.table("bronze", "channels_raw").count() == 2)
-    assert(!Files.exists(base.resolve("_a2")), "crashed-append debris survived GC")
+    lake.vacuumBronze("channels_raw")
+    assert(!Files.exists(base.resolve("_a2")), "crashed-append debris survived vacuum")
+    assert(lake.table("bronze", "channels_raw").count() == 2, "vacuum touched live files")
+  }
+
+  test("concurrent bronze appends: every writer's rows commit (CAS, no lost update)") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-bconc").toString)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = 4
+    val perWriter = 3
+    val fs = (0 until writers).map { w =>
+      Future {
+        (0 until perWriter).foreach { i =>
+          val ctx = Bronze.RunContext(s"run-$w-$i", s"r$w$i",
+            d("2025-06-01"), ts("2025-06-01 10:00:00"))
+          Bronze.ingest(lake, ctx,
+            _ => Map("channels_raw" -> Seq(s"""{"items": ["$w-$i"]}""")))
+        }
+      }
+    }
+    fs.foreach(Await.result(_, 5.minutes))
+    val runs = lake.table("bronze", "channels_raw")
+      .select("run_id").collect().map(_.getString(0)).sorted.toSeq
+    val expected = (for (w <- 0 until writers; i <- 0 until perWriter)
+      yield s"run-$w-$i").sorted
+    assert(runs == expected, s"lost updates: got ${runs.size}/${expected.size} rows")
+    // the log advanced once per committed transaction (each ingest is a
+    // no-op delete + one append): monotone versions, one winner each
+    assert(lake.tableVersions("bronze", "channels_raw").max >= writers * perWriter)
   }
 
   test("compactClustered: OPTIMIZE ZORDER parity — rewrite + stats, skipping works, data unchanged") {
@@ -135,9 +165,7 @@ class LakehouseSpec extends SparkSpec {
     val lake = new Lakehouse(spark, Files.createTempDirectory("graft-bnoop").toString)
     val ctx1 = Bronze.RunContext("run1", "r1", d("2025-06-01"), ts("2025-06-01 10:00:00"))
     Bronze.ingest(lake, ctx1, _ => Map("channels_raw" -> Seq("""{"items": [1]}""")))
-    val base = Paths.get(lake.root, "bronze", "channels_raw")
-    def version: Int = new String(Files.readAllBytes(base.resolve("_FILES")))
-      .linesIterator.next().trim.toInt
+    def version: Int = lake.tableVersions("bronze", "channels_raw").max
     val v1 = version
     // run_id outside every file's [min,max] → candidate set empty → no scan,
     // no rewrite, no new version (the stats-bounded idempotent re-ingest)
