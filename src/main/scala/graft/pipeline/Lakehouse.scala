@@ -82,8 +82,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   def table(layer: String, name: String): DataFrame = {
     val base = dir(layer, name)
     readFilesManifest(base) match {
-      case Some((_, entries)) => // log-managed bronze: read the LIVE file set
-        spark.read.parquet(entries.map(e => base.resolve(e.relPath).toString): _*)
+      case Some(snap) => // log-managed bronze: the LIVE file set, read under
+        // the LOG's schema (older files yield null for later-added columns)
+        val r = snap.schema.fold(spark.read)(spark.read.schema)
+        r.parquet(snap.entries.map(e => base.resolve(e.relPath).toString): _*)
       case None =>
         spark.read.parquet(currentDataDir(layer, name).toString)
     }
@@ -132,8 +134,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       s"version $version of $layer.$name is not on disk (available: ${avail.mkString(",")})")
     val base = dir(layer, name)
     readManifestFile(base.resolve(s"_files_v$version")) match {
-      case Some((_, entries)) => // log-managed bronze: the version's file set
-        spark.read.parquet(entries.map(e => base.resolve(e.relPath).toString): _*)
+      case Some(snap) => // log-managed bronze: that version's files AND schema
+        val r = snap.schema.fold(spark.read)(spark.read.schema)
+        r.parquet(snap.entries.map(e => base.resolve(e.relPath).toString): _*)
       case None =>
         spark.read.parquet(base.resolve(s"_v$version").toString)
     }
@@ -176,27 +179,60 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         p.getFileName.toString.stripPrefix("_files_v").toInt
     }.sorted.toSeq
 
-  private def readFilesManifest(base: Path): Option[(Int, Seq[ManifestStats.FileEntry])] =
+  /** One committed bronze version: number, the TABLE SCHEMA AS OF that
+    * version (tracked in the log, Delta-style — reads never merge parquet
+    * footers, and widening appends evolve it), and the live file entries. */
+  private final case class BronzeSnapshot(version: Int,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      entries: Seq[ManifestStats.FileEntry])
+
+  private def readFilesManifest(base: Path): Option[BronzeSnapshot] =
     bronzeVersions(base).lastOption.flatMap(v =>
       readManifestFile(base.resolve(s"_files_v$v")))
 
-  private def readManifestFile(m: Path): Option[(Int, Seq[ManifestStats.FileEntry])] =
+  private val SchemaLine = "#schema\t(.*)".r
+
+  private def readManifestFile(m: Path): Option[BronzeSnapshot] =
     if (!Files.exists(m)) None
     else {
       val lines = new String(Files.readAllBytes(m), java.nio.charset.StandardCharsets.UTF_8)
         .linesIterator.toSeq
-      Some((lines.head.trim.toInt,
-        lines.tail.filter(_.nonEmpty).map(ManifestStats.parseLine)))
+      val schema = lines.tail.collectFirst { case SchemaLine(enc) =>
+        org.apache.spark.sql.types.DataType.fromJson(
+          java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+      Some(BronzeSnapshot(lines.head.trim.toInt, schema,
+        lines.tail.filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map(ManifestStats.parseLine)))
     }
+
+  /** Widen `existing` with any columns `incoming` adds (appended in
+    * incoming order); same-name columns must keep their type — schema
+    * evolution here is ADD COLUMNS only, the Delta default. */
+  private def mergedSchema(existing: org.apache.spark.sql.types.StructType,
+      incoming: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val have = existing.fieldNames.toSet
+    incoming.fields.filter(f => have(f.name)).foreach { f =>
+      require(existing(f.name).dataType == f.dataType,
+        s"column ${f.name}: incompatible type ${f.dataType} vs ${existing(f.name).dataType} " +
+          "(bronze schema evolution is ADD COLUMNS only)")
+    }
+    org.apache.spark.sql.types.StructType(
+      existing.fields ++ incoming.fields.filterNot(f => have(f.name)))
+  }
 
   /** Attempt to commit `entries` as `_files_v{version}` by put-if-absent:
     * the fully-written tmp is hard-linked to the versioned name — atomic,
     * and it FAILS if another writer claimed the version first. Returns
     * whether THIS writer won; on a win, history manifests below the
     * retention window are pruned (metadata only — always safe). */
-  private def commitFilesManifest(
-      base: Path, version: Int, entries: Seq[ManifestStats.FileEntry]): Boolean = {
-    val body = (version.toString +: entries.map(_.render)).mkString("\n")
+  private def commitFilesManifest(base: Path, version: Int,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      entries: Seq[ManifestStats.FileEntry]): Boolean = {
+    val schemaLine = schema.toSeq.map(st => "#schema\t" +
+      java.net.URLEncoder.encode(st.json, java.nio.charset.StandardCharsets.UTF_8))
+    val body = ((version.toString +: schemaLine) ++ entries.map(_.render)).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val tmp = base.resolve(s".manifest_${version}_${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, body)
@@ -231,7 +267,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val retained = bronzeVersions(base).takeRight(math.max(1, keepVersions))
     val keep = retained
       .flatMap(v => readManifestFile(base.resolve(s"_files_v$v")).toSeq)
-      .flatMap(_._2).map(_.relPath).toSet
+      .flatMap(_.entries).map(_.relPath).toSet
     Files.list(base).toArray.map(_.asInstanceOf[Path]).foreach { p =>
       p.getFileName.toString match {
         case n if appendDir.pattern.matcher(n).matches() && Files.isDirectory(p) =>
@@ -270,7 +306,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val dataDir = newAppendDir(base, 1)
     df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    commitFilesManifest(base, 1,
+    commitFilesManifest(base, 1, Some(df.select(
+        cols.map(org.apache.spark.sql.functions.col): _*).schema),
       ManifestStats.collectStats(df, dataDir.toString, statsCols,
         dataDir.getFileName.toString))
     legacy.foreach(deleteRecursively)
@@ -290,7 +327,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val base = dir("bronze", name)
     Files.createDirectories(base)
     upgradeLegacyBronze(base, statsCols)
-    val v0 = readFilesManifest(base).map(_._1).getOrElse(0)
+    val v0 = readFilesManifest(base).map(_.version).getOrElse(0)
     val dataDir = newAppendDir(base, v0 + 1)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     val mine = ManifestStats.collectStats(df, dataDir.toString, statsCols,
@@ -300,8 +337,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     while (!committed) {
       attempts += 1
       require(attempts <= 1000, s"bronze append to $name lost 1000 consecutive CAS races")
-      val (v, entries) = readFilesManifest(base).getOrElse((0, Seq.empty))
-      committed = commitFilesManifest(base, v + 1, entries ++ mine)
+      val snap = readFilesManifest(base)
+      val v = snap.map(_.version).getOrElse(0)
+      val entries = snap.map(_.entries).getOrElse(Seq.empty)
+      // ADD-COLUMNS schema evolution: a wider append widens the log schema
+      // (the reference's ALTER TABLE ADD COLUMNS, finalize_run_log.py:82-93)
+      val schema = mergedSchema(
+        snap.flatMap(_.schema).getOrElse(df.schema), df.schema)
+      committed = commitFilesManifest(base, v + 1, Some(schema), entries ++ mine)
     }
   }
 
@@ -337,20 +380,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       attempt += 1
       readFilesManifest(base) match {
         case None => return // never written
-        case Some((v, entries)) =>
+        case Some(BronzeSnapshot(v, schemaOpt, entries)) =>
+          def rd = schemaOpt.fold(spark.read)(spark.read.schema)
           val candidates = entries.filter(e => ManifestStats.mightMatch(e, statPreds))
           if (candidates.isEmpty) return
           val candPaths = candidates.map(e => base.resolve(e.relPath).toString)
           // null condition counts as a match (dropped): detect via NOT(NOT cond)
           val matchCond = !org.apache.spark.sql.functions.coalesce(
             !condition, org.apache.spark.sql.functions.lit(false))
-          val affectedNames = spark.read.parquet(candPaths: _*)
+          val affectedNames = rd.parquet(candPaths: _*)
             .withColumn("__f", input_file_name()).filter(matchCond)
             .select("__f").distinct().collect()
             .map(_.getString(0).split('/').takeRight(2).mkString("/")).toSet
           if (affectedNames.isEmpty) return
           val (affected, untouched) = entries.partition(e => affectedNames.contains(e.relPath))
-          val retained = spark.read
+          val retained = rd
             .parquet(affected.map(e => base.resolve(e.relPath).toString): _*)
             .filter(!condition)
           val newEntries =
@@ -364,7 +408,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
               ManifestStats.collectStats(retained, dataDir.toString,
                 Lakehouse.BronzeStatsCols, dataDir.getFileName.toString)
             }
-          if (commitFilesManifest(base, v + 1, untouched ++ newEntries)) return
+          if (commitFilesManifest(base, v + 1, schemaOpt, untouched ++ newEntries)) return
           // lost the CAS: the read-set is stale — recompute from the winner
       }
     }
@@ -382,14 +426,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       preds: Seq[ManifestStats.StatPred]): Seq[String] = {
     val base = dir(layer, name)
     readFilesManifest(base) match {
-      case Some((_, entries)) =>
-        entries.filter(e => ManifestStats.mightMatch(e, preds))
+      case Some(snap) =>
+        snap.entries.filter(e => ManifestStats.mightMatch(e, preds))
           .map(e => base.resolve(e.relPath).toString)
       case None =>
         val dd = currentDataDir(layer, name)
         readManifestFile(base.resolve(ManifestName)) match {
-          case Some((_, entries)) if entries.nonEmpty =>
-            entries.filter(e => ManifestStats.mightMatch(e, preds))
+          case Some(snap) if snap.entries.nonEmpty =>
+            snap.entries.filter(e => ManifestStats.mightMatch(e, preds))
               .map(e => dd.resolve(e.relPath).toString)
           case _ => Seq(dd.toString)
         }
@@ -402,8 +446,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   def tableWhere(layer: String, name: String,
       preds: Seq[ManifestStats.StatPred]): DataFrame = {
     val pruned = prunedFilePaths(layer, name, preds)
-    if (pruned.nonEmpty) spark.read.parquet(pruned: _*)
-    else table(layer, name).filter(org.apache.spark.sql.functions.lit(false))
+    if (pruned.isEmpty) return table(layer, name).filter(org.apache.spark.sql.functions.lit(false))
+    val rd = readFilesManifest(dir(layer, name)).flatMap(_.schema)
+      .fold(spark.read)(spark.read.schema)
+    rd.parquet(pruned: _*)
   }
 
   /** Path a STREAMING source should monitor for this table: the `_a*`
@@ -605,12 +651,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val (v, entries) = readFilesManifest(base).getOrElse(return)
-      val df = transform(spark.read
+      val BronzeSnapshot(v, schemaOpt, entries) = readFilesManifest(base).getOrElse(return)
+      val df = transform(schemaOpt.fold(spark.read)(spark.read.schema)
         .parquet(entries.map(e => base.resolve(e.relPath).toString): _*))
       val dataDir = newAppendDir(base, v + 1)
       df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-      if (commitFilesManifest(base, v + 1,
+      if (commitFilesManifest(base, v + 1, schemaOpt,
           ManifestStats.collectStats(df, dataDir.toString, statsCols,
             dataDir.getFileName.toString))) return
     }

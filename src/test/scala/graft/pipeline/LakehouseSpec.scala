@@ -67,6 +67,38 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.table("bronze", "channels_raw").count() == 2, "vacuum touched live files")
   }
 
+  test("bronze schema evolution: a wider append widens the LOG schema (ADD COLUMNS parity)") {
+    import spark.implicits._
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-bschema").toString)
+    val ctx = Bronze.RunContext("run1", "r1", d("2025-06-01"), ts("2025-06-01 10:00:00"))
+    Bronze.ingest(lake, ctx, _ => Map("channels_raw" -> Seq("""{"items": [1]}""")))
+    val preWiden = lake.tableVersions("bronze", "channels_raw").max
+    // the reference widens run tables with ALTER TABLE ADD COLUMNS
+    // (finalize_run_log.py:82-93); here a wider append evolves the schema
+    // tracked IN the log — no parquet footer merging at read time
+    val wide = lake.table("bronze", "channels_raw")
+      .withColumn("run_status", org.apache.spark.sql.functions.lit("success"))
+      .withColumn("run_id", org.apache.spark.sql.functions.lit("run2"))
+    lake.appendBronze("channels_raw", wide)
+    val t = lake.table("bronze", "channels_raw")
+    assert(t.columns.contains("run_status"))
+    val byRun = t.collect().map(r =>
+      r.getAs[String]("run_id") -> Option(r.getAs[String]("run_status"))).toMap
+    assert(byRun("run1").isEmpty, "pre-widen rows must read NULL for the new column")
+    assert(byRun("run2").contains("success"))
+    // AS OF the pre-widen version: the old schema
+    assert(!lake.tableAt("bronze", "channels_raw", preWiden).columns.contains("run_status"))
+    // a delete rewrite preserves the widened schema
+    lake.deleteByRunId("channels_raw", "run2")
+    assert(lake.table("bronze", "channels_raw").columns.contains("run_status"))
+    // type CHANGES are rejected — evolution is ADD COLUMNS only
+    val clash = lake.table("bronze", "channels_raw")
+      .withColumn("run_status", org.apache.spark.sql.functions.lit(7L))
+    intercept[IllegalArgumentException] {
+      lake.appendBronze("channels_raw", clash)
+    }
+  }
+
   test("concurrent bronze appends: every writer's rows commit (CAS, no lost update)") {
     val lake = new Lakehouse(spark, Files.createTempDirectory("graft-bconc").toString)
     import scala.concurrent.{Await, Future}
