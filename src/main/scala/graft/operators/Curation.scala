@@ -657,4 +657,32 @@ object Curation {
         row_number().over(Window.orderBy(col("__graft_gkey").desc, col(keyCol))))
       .select(col("sample_rank"), col(keyCol), col("score"))
   }
+
+  /** Deterministic EPOCH SHUFFLE + sharding — the training-order
+    * randomization step every epoch of a data loader needs: each row gets
+    * a shard in [0, numShards) and a position within it, both pure
+    * functions of (key, epoch), so changing the epoch salt reshuffles the
+    * whole corpus reproducibly and any worker can recompute its shard's
+    * order with no coordination.
+    *
+    * Scale posture: there is deliberately NO global total order — a
+    * 100 TB global sort-and-enumerate is the anti-pattern (single
+    * ordering bottleneck); shard assignment is an embarrassingly-parallel
+    * map (salted md5, [[hashShard]]) and the within-shard order is one
+    * window per shard key (each shard ~n/numShards rows — pick numShards
+    * so a shard fits a task, exactly like data-loader file shards).
+    * Epoch-salted md5 keys make the result rerun/layout/engine invariant.
+    *
+    * Output: input columns + (shard INT, pos_in_shard INT), positions
+    * 0-based and dense within each shard. */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Long, numShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    requireFresh(df, "shard", "pos_in_shard")
+    val salted = concat(col(keyCol).cast("string"), lit(s"#e$epoch"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashKey(salted), col(keyCol))
+    df.withColumn("shard", hashShard(salted, numShards))
+      .withColumn("pos_in_shard", row_number().over(w) - 1)
+  }
 }

@@ -1047,6 +1047,36 @@ object CurationQueries {
       GROUP BY threshold
       ORDER BY threshold"""))
 
+  /** Deterministic epoch shuffle + sharding ([[Curation.epochShuffle]]):
+    * the data-loader order step — every doc gets a shard and a dense
+    * 0-based position within it, both pure functions of (doc_id, epoch),
+    * so epoch 2 is a fresh reproducible permutation of epoch 1 and any
+    * worker recomputes its own shard's order with no coordination.
+    * Deliberately NO global total order (the 100 TB anti-pattern): shard
+    * assignment is a salted-md5 map, within-shard order one window per
+    * shard (~n/shards rows each). The oracle replays key, shard and
+    * position value-for-value. */
+  val c29EpochShuffle = GraftQuery(
+    "c29_epoch_shuffle",
+    (s, dir) =>
+      Curation.epochShuffle(
+          table(s, dir, "documents").select(col("doc_id")),
+          "doc_id", epoch = 2L, numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+        .orderBy(col("shard"), col("pos_in_shard")),
+    Some("""
+      WITH k AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || '#e2') AS key,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#e2'), 1, 8))::BIGINT
+                 % 8 AS INT) AS shard
+        FROM documents)
+      SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1
+               AS INT) AS pos_in_shard
+      FROM k
+      ORDER BY shard, pos_in_shard"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
@@ -1055,5 +1085,5 @@ object CurationQueries {
       c16TemperatureMix, c17KAnonymity, c18QualityEnsemble, c19SourceOverlap,
       c20WeightedSample, c21LDiversity, c23EpochMix, c24NegativePairs,
       c25ImportanceResample, c26LeakageSafeSplit, c27CorpusReport,
-      c28QualitySweep)
+      c28QualitySweep, c29EpochShuffle)
 }

@@ -534,4 +534,33 @@ class CurationSpec extends SparkSpec {
       assert(labels(n) % 2 == 0, s"neighbor $n has odd label ${labels(n)}")
     }
   }
+
+  test("epochShuffle: dense per-shard positions, epoch reshuffles, layout-invariant") {
+    val docs = graft.Graft.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"))
+    def run(epoch: Long, df: org.apache.spark.sql.DataFrame = docs) =
+      Curation.epochShuffle(df, "doc_id", epoch, numShards = 8)
+        .select("doc_id", "shard", "pos_in_shard").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val e1 = run(1L)
+    // every doc exactly once, shards in range, positions dense per shard
+    assert(e1.map(_._1).distinct.length == e1.length && e1.length == docs.count())
+    e1.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 8)
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // deterministic: rerun and a different input layout give identical rows
+    assert(run(1L).sortBy(_._1).toSeq == e1.sortBy(_._1).toSeq)
+    assert(run(1L, docs.repartition(13)).sortBy(_._1).toSeq == e1.sortBy(_._1).toSeq)
+    // a new epoch is a genuinely different permutation (shards AND order)
+    val e2 = run(2L)
+    val moved = e1.sortBy(_._1).zip(e2.sortBy(_._1))
+      .count { case ((_, s1, p1), (_, s2, p2)) => s1 != s2 || p1 != p2 }
+    assert(moved > e1.length / 2, s"epoch salt barely reshuffled ($moved moved)")
+    // collision guard: an occupied output column name fails fast
+    intercept[IllegalArgumentException] {
+      Curation.epochShuffle(docs.withColumn("shard", lit(1)), "doc_id", 1L, 8)
+    }
+  }
 }
