@@ -530,6 +530,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!sp.contains("CartesianProduct"), sp)
   }
 
+  test("s15 residual IVFADC at-rest probe: corpus code scan broadcasts only, never sort-merges") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Clustering
+    import graft.queries.ClusterQueries.{NProbe, NumSub, SubDim, PqRerank}
+    val e = graft.Graft.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val qs = e.filter(col("id") % 50 === 0)
+    val cells = Clustering.materializedCells(e, "id", "embedding")
+    val rcb = Clustering.residualCodebook(cells).localCheckpoint()
+    // deployment layout: the cell-carrying residual code table at rest —
+    // the probe joins it ONLY against broadcast per-probe tables
+    val codes = Clustering.residualPqCodes(e, "id", "embedding", cells, rcb,
+      NumSub, SubDim).localCheckpoint()
+    val sp = simplePlan(Clustering.ivfAdcResidualFromIndex(qs, e, cells, rcb, codes,
+      5, NProbe, NumSub, SubDim, rerank = PqRerank))
+    assert(sp.contains("BroadcastHashJoin"), sp)
+    assert(!sp.contains("SortMergeJoin"), sp)
+    assert(!sp.contains("CartesianProduct"), sp)
+  }
+
   test("t20 held-out LM: all three model joins broadcast; the doc bigram stream never sort-merges") {
     val p = simplePlan(q("t20_backoff_xent"))
     assert(p.contains("BroadcastHashJoin"), p)
