@@ -499,4 +499,59 @@ object TextAnalysis {
     when(n >= window, sumD.cast("double") / (nWin.cast("double") * window))
       .otherwise(when(n > 0, ttr))
   }
+
+  /** T5-style DETERMINISTIC span corruption (Raffel et al. 2020 §3.1.4,
+    * hash-derandomized): tokens group into fixed `blockTokens`-wide
+    * blocks; block b of document d is masked iff
+    * md5(d:b) mod 100 < noisePct — a pure function of (doc, position), so
+    * every epoch/engine/layout reproduces the same corruption and an
+    * external oracle restates it. The corrupted input replaces each
+    * masked block with its ordinal sentinel `<extra_id_k>`; the target is
+    * the sentinel-prefixed masked content — the denoising pair a
+    * span-corruption pretraining objective consumes.
+    *
+    * Everything is codegen'd higher-order Column work over the token
+    * array (transform/filter/aggregate/array_join — no UDF): per-row
+    * O(blocks²) for the ordinal prefix counts, no shuffle. Output adds
+    * (n_tokens, n_blocks, n_sentinels, n_masked_tokens, corrupted,
+    * target). */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 5, noisePct: Int = 15): DataFrame = {
+    require(blockTokens >= 1 && noisePct >= 0 && noisePct <= 100,
+      s"bad blockTokens=$blockTokens noisePct=$noisePct")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nBlocks = ceil(n.cast("double") / blockTokens).cast("int")
+    val blockIds = when(nBlocks > 0, sequence(lit(0), nBlocks - 1))
+      .otherwise(array().cast("array<int>"))
+    def masked(b: Column): Column =
+      pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        b.cast("string")).cast("binary")), 1, 8), 16, 10).cast("bigint"),
+        lit(100L)) < lit(noisePct.toLong)
+    def blockStr(b: Column): Column =
+      array_join(slice(toks, b * blockTokens + 1, lit(blockTokens)), " ")
+    def blockLen(b: Column): Column =
+      least(lit(blockTokens), n - b * blockTokens)
+    // ordinal sentinel index = masked blocks strictly before b
+    def sentIdx(flags: Column, b: Column): Column =
+      size(filter(slice(flags, lit(1), b), f => f))
+    df.withColumn("__flags", transform(blockIds, b => masked(b)))
+      .withColumn("n_tokens", n.cast("int"))
+      .withColumn("n_blocks", nBlocks)
+      .withColumn("n_sentinels", size(filter(col("__flags"), f => f)))
+      .withColumn("n_masked_tokens",
+        aggregate(blockIds, lit(0),
+          (acc, b) => acc + when(element_at(col("__flags"), b + 1), blockLen(b))
+            .otherwise(lit(0))))
+      .withColumn("corrupted",
+        array_join(transform(blockIds, b =>
+          when(element_at(col("__flags"), b + 1),
+            concat(lit("<extra_id_"), sentIdx(col("__flags"), b).cast("string"), lit(">")))
+            .otherwise(blockStr(b))), " "))
+      .withColumn("target",
+        array_join(transform(filter(blockIds, b => element_at(col("__flags"), b + 1)),
+          b => concat(lit("<extra_id_"), sentIdx(col("__flags"), b).cast("string"),
+            lit("> "), blockStr(b))), " "))
+      .drop("__flags")
+  }
 }

@@ -1039,10 +1039,64 @@ object TextQueries {
       ORDER BY doc_id"""
     })
 
+  /** T5-style deterministic span corruption
+    * ([[TextAnalysis.spanCorrupt]], Raffel et al. 2020 §3.1.4): 5-token
+    * blocks, block b masked iff md5(doc:b) mod 100 < 15 — corruption is a
+    * pure function of (doc, position), so every epoch/engine reproduces
+    * it. The hash gate covers counts AND the md5 of the corrupted input
+    * and sentinel target strings, so block slicing, sentinel ordinals and
+    * join spacing are all value-pinned. Per-row HOF work, no shuffle. */
+  val t23SpanCorruption = GraftQuery(
+    "t23_span_corruption",
+    (s, dir) =>
+      spanCorrupt(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_blocks"),
+          col("n_sentinels"), col("n_masked_tokens"),
+          md5(col("corrupted").cast("binary")).as("corrupted_md5"),
+          md5(col("target").cast("binary")).as("target_md5"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      b AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CAST(ceil(len(toks) / 5.0) AS INT) AS nb
+        FROM t),
+      f AS (
+        SELECT doc_id, toks, n, nb,
+               list_transform(range(0, nb), bi ->
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(bi AS VARCHAR)), 1, 8))::BIGINT % 100 < 15) AS flags
+        FROM b)
+      SELECT doc_id,
+             CAST(n AS INT) AS n_tokens,
+             nb AS n_blocks,
+             CAST(len(list_filter(flags, x -> x)) AS INT) AS n_sentinels,
+             CAST(coalesce(list_sum(list_transform(range(0, nb), bi ->
+               CASE WHEN flags[CAST(bi AS INT) + 1]
+                 THEN least(5, n - bi * 5) ELSE 0 END)), 0) AS INT) AS n_masked_tokens,
+             md5(coalesce(array_to_string(list_transform(range(0, nb), bi ->
+               CASE WHEN flags[CAST(bi AS INT) + 1]
+                 THEN '<extra_id_' || CAST(len(list_filter(flags[1:CAST(bi AS INT)],
+                   x -> x)) AS VARCHAR) || '>'
+                 ELSE array_to_string(list_slice(toks, CAST(bi AS INT) * 5 + 1,
+                   CAST(bi AS INT) * 5 + 5), ' ')
+               END), ' '), '')) AS corrupted_md5,
+             md5(coalesce(array_to_string(list_transform(
+               list_filter(range(0, nb), bi -> flags[CAST(bi AS INT) + 1]), bi ->
+               '<extra_id_' || CAST(len(list_filter(flags[1:CAST(bi AS INT)],
+                 x -> x)) AS VARCHAR) || '> ' ||
+               array_to_string(list_slice(toks, CAST(bi AS INT) * 5 + 1,
+                 CAST(bi AS INT) * 5 + 5), ' ')), ' '), '')) AS target_md5
+      FROM f
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(t01TokenStats, t02LangId, t03Quality, t04BpeTokens, t05TfIdf, t06Sentences,
       t07RepetitionFilter, t08Redaction, t09WinnowFingerprint, t10Bm25,
       t11UnigramXent, t12QualityClassifier, t13BigramXent, t14ZipfSlope,
       t15Novelty, t16Blocklist, t17JsDivergence, t18Mattr, t19RakeKeywords,
-      t20BackoffXent, t21TokenizerFertility, t22GopherRules)
+      t20BackoffXent, t21TokenizerFertility, t22GopherRules, t23SpanCorruption)
 }

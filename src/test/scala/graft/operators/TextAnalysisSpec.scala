@@ -429,4 +429,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!rows(4L).getAs[Boolean]("r_alpha") && !rows(4L).getAs[Boolean]("keep"))
     assert(!rows(5L).getAs[Boolean]("r_stopwords") && !rows(5L).getAs[Boolean]("keep"))
   }
+
+  test("spanCorrupt: hash-rule masking, sentinel ordinals, corrupted/target round-trip") {
+    import spark.implicits._
+    val text = (1 to 23).map(i => s"w$i").mkString(" ") // 23 tokens → 5 blocks
+    val df = Seq((7L, text), (8L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.spanCorrupt(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r7 = out(7L)
+    assert(r7.getAs[Int]("n_tokens") == 23 && r7.getAs[Int]("n_blocks") == 5)
+    // independently replay the hash rule
+    def maskedBlock(id: Long, b: Int): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$b".getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((a, x) => (a << 8) | (x & 0xff))
+      h % 100 < 15
+    }
+    val flags = (0 until 5).map(maskedBlock(7L, _))
+    assert(r7.getAs[Int]("n_sentinels") == flags.count(identity))
+    val expMasked = flags.zipWithIndex.collect {
+      case (true, b) => math.min(5, 23 - b * 5) }.sum
+    assert(r7.getAs[Int]("n_masked_tokens") == expMasked)
+    // reconstruct corrupted/target from the same rule and compare strings
+    val toks = text.split(" ")
+    var k = 0
+    val pieces = (0 until 5).map { b =>
+      val blockTok = toks.slice(b * 5, math.min(b * 5 + 5, 23)).mkString(" ")
+      if (flags(b)) { val s = s"<extra_id_$k>"; k += 1; s } else blockTok
+    }
+    var k2 = 0
+    val tgt = (0 until 5).flatMap { b =>
+      if (flags(b)) {
+        val s = s"<extra_id_$k2> ${toks.slice(b * 5, math.min(b * 5 + 5, 23)).mkString(" ")}"
+        k2 += 1; Some(s)
+      } else None
+    }
+    assert(r7.getAs[String]("corrupted") == pieces.mkString(" "))
+    assert(r7.getAs[String]("target") == tgt.mkString(" "))
+    // empty doc: zero everything, empty strings
+    val r8 = out(8L)
+    assert(r8.getAs[Int]("n_tokens") == 0 && r8.getAs[Int]("n_blocks") == 0
+      && r8.getAs[Int]("n_masked_tokens") == 0 && r8.getAs[String]("corrupted") == "")
+    // noise extremes: 0 → identity (token-joined), 100 → all sentinels
+    val id0 = TextAnalysis.spanCorrupt(df.filter($"doc_id" === 7L),
+      "doc_id", "text", noisePct = 0).head()
+    assert(id0.getAs[String]("corrupted") == text && id0.getAs[String]("target") == "")
+    val all100 = TextAnalysis.spanCorrupt(df.filter($"doc_id" === 7L),
+      "doc_id", "text", noisePct = 100).head()
+    assert(all100.getAs[Int]("n_sentinels") == 5
+      && all100.getAs[Int]("n_masked_tokens") == 23)
+  }
 }
