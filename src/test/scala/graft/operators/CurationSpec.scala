@@ -535,6 +535,53 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("training-data pipeline composition: funnel → epoch shuffle → span corruption → packing") {
+    // the ops must CHAIN: curation survivors flow through the data-loader
+    // ordering, the denoising objective, and token-budget packing with
+    // conserved row counts and deterministic output — the end-to-end shape
+    // a pretraining data pipeline runs nightly
+    val docs = graft.Graft.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
+    def chain() = {
+      val survivors = Curation.curationFunnel(docs,
+        weights = Seq(), minJaccard = 0.5,
+        minDistinctFrac = 0.2, maxTopBigramFrac = 0.2)
+        .collectFirst { case ("quality_filter", df) => df }.get
+        .select(col("doc_id"), col("text"))
+      val ordered = Curation.epochShuffle(survivors, "doc_id", epoch = 1L, numShards = 4)
+      val corrupted = TextAnalysis.spanCorrupt(
+        ordered.drop("shard", "pos_in_shard"), "doc_id", "text")
+      val packed = Curation.packSequences(
+        corrupted.select(col("doc_id"), col("n_tokens"), col("n_masked_tokens"),
+          col("n_sentinels"),
+          // packed length = corrupted-input tokens: unmasked + one sentinel
+          // token per span
+          (col("n_tokens") - col("n_masked_tokens") + col("n_sentinels")).as("len")),
+        "doc_id", col("len"), budget = 256, shards = 4)
+      (survivors, ordered, corrupted, packed)
+    }
+    val (survivors, ordered, corrupted, packed) = chain()
+    val n = survivors.count()
+    assert(n > 0 && n < docs.count(), "funnel must drop something and keep something")
+    // row conservation through every stage
+    assert(ordered.count() == n && corrupted.count() == n && packed.count() == n)
+    // greedy-cut contract: every non-final bin's last running total crosses
+    // its budget boundary (underfill bounded by one doc's tokens)
+    val bins = packed.groupBy(col("shard"), col("bin"))
+      .agg(max(col("running")).as("last_running")).collect()
+    val lastBin = bins.groupBy(_.getAs[Int]("shard"))
+      .view.mapValues(_.map(_.getAs[Long]("bin")).max).toMap
+    bins.foreach { r =>
+      val (s, b, lr) = (r.getAs[Int]("shard"), r.getAs[Long]("bin"),
+        r.getAs[Long]("last_running"))
+      if (b != lastBin(s))
+        assert(lr >= (b + 1) * 256, s"shard $s bin $b closed at running=$lr")
+    }
+    // deterministic end to end: the full chain reruns identically
+    val again = chain()._4.collect().map(_.toString).sorted.toSeq
+    assert(again == packed.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("epochShuffle: dense per-shard positions, epoch reshuffles, layout-invariant") {
     val docs = graft.Graft.table(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"))
