@@ -419,7 +419,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   /** Live data files of a table after FILE-LEVEL DATA SKIPPING: entries
     * whose recorded min/max ranges cannot satisfy `preds` are pruned
     * before Spark ever lists them. Works for both manifest species —
-    * bronze `_FILES` logs and materialized `_VERSION` manifests (whose
+    * bronze `_files_v{N}` logs and materialized `_VERSION` manifests (whose
     * lines carry stats when the refresh recorded them). Plain-layout
     * tables return their directory (no stats → no skipping). */
   def prunedFilePaths(layer: String, name: String,
