@@ -306,11 +306,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val dataDir = newAppendDir(base, 1)
     df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    commitFilesManifest(base, 1, Some(df.select(
+    val won = commitFilesManifest(base, 1, Some(df.select(
         cols.map(org.apache.spark.sql.functions.col): _*).schema),
       ManifestStats.collectStats(df, dataDir.toString, statsCols,
         dataDir.getFileName.toString))
-    legacy.foreach(deleteRecursively)
+    // Only the CAS winner may delete the legacy files: a racing upgrader
+    // that lost may still be scanning them for its own (now abandoned)
+    // rewrite — deleting under it would fail that writer's append with
+    // FileNotFoundException. On a loss the winner's manifest is
+    // authoritative and our orphan append dir is vacuum debris.
+    if (won) legacy.foreach(deleteRecursively)
   }
 
   /** Append rows (bronze ingest) as a logged transaction: new files land
@@ -332,6 +337,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     val mine = ManifestStats.collectStats(df, dataDir.toString, statsCols,
       dataDir.getFileName.toString)
+    commitAppendEntries(base, name, df.schema, mine)
+  }
+
+  /** CAS loop committing already-written file entries as an append: a lost
+    * race re-reads the winner's manifest and folds our files into the next
+    * version (blind appends never conflict). Schema evolution is
+    * ADD COLUMNS (the reference's ALTER TABLE ADD COLUMNS,
+    * finalize_run_log.py:82-93): a wider append widens the log schema. */
+  private def commitAppendEntries(base: Path, name: String,
+      incoming: org.apache.spark.sql.types.StructType,
+      mine: Seq[ManifestStats.FileEntry]): Unit = {
     var attempts = 0
     var committed = false
     while (!committed) {
@@ -340,13 +356,40 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val snap = readFilesManifest(base)
       val v = snap.map(_.version).getOrElse(0)
       val entries = snap.map(_.entries).getOrElse(Seq.empty)
-      // ADD-COLUMNS schema evolution: a wider append widens the log schema
-      // (the reference's ALTER TABLE ADD COLUMNS, finalize_run_log.py:82-93)
-      val schema = mergedSchema(
-        snap.flatMap(_.schema).getOrElse(df.schema), df.schema)
+      val schema = mergedSchema(snap.flatMap(_.schema).getOrElse(incoming), incoming)
       committed = commitFilesManifest(base, v + 1, Some(schema), entries ++ mine)
     }
   }
+
+  /** Crash recovery: ADOPT an already-written append directory whose commit
+    * never landed (a writer that crashed between writing its `_a*` dir and
+    * winning the manifest CAS). The dir's files re-enter the log as a
+    * normal append — stats recollected, schema merged, CAS-committed.
+    * No-op if any of the dir's files are already live (it did commit). */
+  def adoptAppendDir(name: String, dirName: String,
+      statsCols: Seq[String] = Lakehouse.BronzeStatsCols): Unit = {
+    val base = dir("bronze", name)
+    val dataDir = base.resolve(dirName)
+    require(Files.isDirectory(dataDir), s"no append dir $dirName under bronze.$name")
+    val df = spark.read.parquet(dataDir.toString)
+    val mine = ManifestStats.collectStats(df, dataDir.toString, statsCols, dirName)
+    val live = committedBronzeRelPaths(name).getOrElse(Set.empty)
+    if (mine.exists(e => live(e.relPath))) return
+    commitAppendEntries(base, name, df.schema, mine)
+  }
+
+  /** Filesystem directory of a table (the log/aux root for log-managed
+    * bronze — where `_files_v*` manifests and append dirs live). */
+  def tableDir(layer: String, name: String): Path = dir(layer, name)
+
+  /** Relative paths (`_aN_uid/part-*.parquet`) of the files in the current
+    * COMMITTED bronze snapshot; None when the table is not log-managed
+    * (plain layout — every file under the data dir is live by definition).
+    * This is the committed-visibility boundary streaming readers filter
+    * against: files on disk but absent here are crash debris or a commit
+    * that has not landed yet. */
+  def committedBronzeRelPaths(name: String): Option[Set[String]] =
+    readFilesManifest(dir("bronze", name)).map(_.entries.map(_.relPath).toSet)
 
   /** Idempotent re-run delete: drop all rows of `run_id` before re-append.
     * The manifest's run_id file stats bound the scan to files whose range
@@ -454,7 +497,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 
   /** Path a STREAMING source should monitor for this table: the `_a*`
     * append-dir glob for log-managed bronze (appends land as new matched
-    * dirs), the live data dir otherwise. */
+    * dirs), the live data dir otherwise.
+    *
+    * VISIBILITY CAVEAT: append dirs are written BEFORE the manifest CAS,
+    * so a raw file stream over this glob sees at-least-once, possibly
+    * UNCOMMITTED files (a writer that crashed before winning its commit).
+    * Consumers must filter each micro-batch against
+    * [[committedBronzeRelPaths]] — [[graft.streaming.Streams.silverRefreshStream]]
+    * does exactly that (uncommitted files park in a pending set and fold in
+    * once their commit lands, the Delta streaming-source committed-add-files
+    * contract) — or pair the raw glob with an idempotent sink AND accept
+    * crash debris. */
   def streamSourcePath(layer: String, name: String): String = {
     val base = dir(layer, name)
     if (readFilesManifest(base).nonEmpty) s"$base/_a*"

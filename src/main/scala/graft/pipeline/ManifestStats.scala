@@ -56,7 +56,9 @@ object ManifestStats {
     case d: java.sql.Date => Some(('l', d.toLocalDate.toEpochDay.toString))
     case d: java.time.LocalDate => Some(('l', d.toEpochDay.toString))
     case t: java.sql.Timestamp =>
-      Some(('l', (t.getTime / 1000 * 1000000L + t.getNanos / 1000).toString))
+      // floorDiv, not /: truncation toward zero mis-encodes pre-epoch
+      // timestamps (getTime is floor-seconds*1000, getNanos ∈ [0,1e9))
+      Some(('l', (Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000).toString))
     case t: java.time.Instant =>
       Some(('l', (t.getEpochSecond * 1000000L + t.getNano / 1000).toString))
     case n: Long => Some(('l', n.toString))
@@ -74,7 +76,13 @@ object ManifestStats {
   private def cmp(tag: Char, a: String, b: String): Int = tag match {
     case 'l' => java.lang.Long.compare(a.toLong, b.toLong)
     case 'f' => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case _ => a.compareTo(b)
+    case _ =>
+      // UTF-8 byte order, matching how Spark's min/max aggregate compares
+      // UTF8String (code-point order). String.compareTo is UTF-16 code-UNIT
+      // order, which disagrees for supplementary characters and would make
+      // mightMatch wrongly prune files (Delta compares its string stats the
+      // same binary way).
+      java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
   }
 
   /** Conservative survival test: keep the file unless its recorded range

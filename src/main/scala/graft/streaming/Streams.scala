@@ -387,9 +387,15 @@ object Streams {
   }
 
   /** Read a batch-versioned table ([[nearDupGate]] survivors or either
-    * index half): recursive lookup over the complete `b*` subdirs. */
-  def batchedTable(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(completeBatchDirs(dir, Long.MaxValue): _*)
+    * index half): recursive lookup over the complete `b*` subdirs. Fails
+    * fast with a named error when no batch has committed yet — zero paths
+    * would otherwise surface as Spark's opaque unable-to-infer-schema. */
+  def batchedTable(spark: SparkSession, dir: String): DataFrame = {
+    val dirs = completeBatchDirs(dir, Long.MaxValue)
+    require(dirs.nonEmpty,
+      s"no complete b{N} batch dir under $dir — no micro-batch has committed yet")
+    spark.read.parquet(dirs: _*)
+  }
 
   /** CONTINUOUS dataset-card maintenance: each micro-batch folds its docs
     * into the standing [[graft.operators.Reports]] count index with a
@@ -480,6 +486,21 @@ object Streams {
     * streams need. Cost per micro-batch scales with the new files, never
     * with bronze history — the 100 TB continuous-ingest shape.
     *
+    * COMMITTED-ONLY VISIBILITY: the raw `_a*` glob the file source monitors
+    * is written BEFORE the bronze manifest CAS, so a micro-batch can carry
+    * rows of files the log never committed (a writer that crashed pre-commit
+    * — debris `vacuumBronze` will delete) or whose commit has not landed
+    * YET. Each batch therefore splits its files against the committed
+    * manifest ([[graft.pipeline.Lakehouse.committedBronzeRelPaths]]):
+    * committed files merge; uncommitted files are EXCLUDED and parked in an
+    * on-disk pending set (the file source never re-delivers a seen path, so
+    * forgetting them would lose a commit that lands one instant after the
+    * listing). Every batch re-probes the pending set — files whose commit
+    * has since landed are read back and folded in; files that vanished
+    * while still uncommitted (vacuumed debris) drop out. Net effect: silver
+    * receives exactly the committed bronze rows, the Delta
+    * streaming-source committed-add-files contract.
+    *
     * Requires the model to have been fully refreshed once (the standing
     * table is the merge base). Returns the writer; caller starts it with
     * a checkpoint dir (AvailableNow for drain-and-stop catch-up runs). */
@@ -494,16 +515,111 @@ object Streams {
     val dir = lake.streamSourcePath("bronze", spec.bronzeTable)
     // schema pinned from a one-time batch footer read (streams never infer)
     val pinned = lake.table("bronze", spec.bronzeTable).schema
+    // resolve parked files whose commit landed while the stream was down —
+    // a quiet catch-up run may deliver NO new files, so the per-batch sweep
+    // alone would never re-probe them
+    sweepPendingCommits(lake, model)
     lake.spark.readStream.schema(pinned).parquet(dir)
       .writeStream.outputMode(OutputMode.Update).foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val fresh = spec.typed(batch.toDF)
-          if (!fresh.isEmpty) {
-            lake.transactMerge("silver", model) { existing =>
-              Silver.latestWins(existing.unionByName(fresh), spec.grain, spec.order)
-            }
-            ()
-          }
+          refreshSilverBatch(lake, model, batch.toDF)
       }
   }
+
+  /** One [[silverRefreshStream]] micro-batch: committed-only filter →
+    * latest-wins OCC merge → pending-set maintenance. Idempotent under
+    * foreachBatch replays (re-merging rows is a latest-wins no-op; marker
+    * create/delete are idempotent), so any crash point converges. */
+  private[graft] def refreshSilverBatch(lake: graft.pipeline.Lakehouse,
+      model: String, batch: DataFrame): Unit = {
+    import graft.pipeline.Silver
+    val spec = Silver.latestWinsSpecs(model)
+    val rows = lake.committedBronzeRelPaths(spec.bronzeTable) match {
+      case None => batch // plain layout: every file on disk is live
+      case Some(live) =>
+        val pendingDir = lake.tableDir("bronze", spec.bronzeTable)
+          .resolve(s"_stream_pending_$model")
+        // relPath of each row's source file, matching manifest entries
+        // ("_aN_uid/part-*.parquet")
+        val withRel = batch.withColumn("__rel", concat_ws("/",
+          element_at(split(input_file_name(), "/"), -2),
+          element_at(split(input_file_name(), "/"), -1)))
+        // distinct files in this batch: bounded by the trigger's file cap,
+        // never by table size
+        val batchFiles = withRel.select("__rel").distinct()
+          .collect().map(_.getString(0)).toSet
+        val uncommitted = batchFiles.filterNot(live)
+        // park uncommitted files: their commit may land AFTER this listing,
+        // and the file source will never re-deliver the path
+        uncommitted.foreach(r => writePendingMarker(pendingDir, r))
+        (if (uncommitted.isEmpty) withRel
+         else withRel.filter(!col("__rel").isInCollection(uncommitted))).drop("__rel")
+    }
+    mergeLatestWins(lake, model, rows)
+    // then re-probe the pending set: commits that landed since park time
+    // fold in, vacuumed debris drops out
+    sweepPendingCommits(lake, model)
+  }
+
+  /** Fold into silver every PARKED bronze file whose commit has landed
+    * since it was seen, and drop markers of vacuumed debris (file gone,
+    * still uncommitted). Runs at stream construction — so a catch-up run
+    * resolves parked commits even when no new files arrive and foreachBatch
+    * never fires — and after every data-bearing micro-batch. Idempotent:
+    * markers clear only after the merge commits; a crash in between
+    * re-merges (a latest-wins no-op). */
+  private[graft] def sweepPendingCommits(lake: graft.pipeline.Lakehouse,
+      model: String): Unit = {
+    import graft.pipeline.Silver
+    val spec = Silver.latestWinsSpecs(model)
+    lake.committedBronzeRelPaths(spec.bronzeTable).foreach { live =>
+      val base = lake.tableDir("bronze", spec.bronzeTable)
+      val pendingDir = base.resolve(s"_stream_pending_$model")
+      val pending = listPendingMarkers(pendingDir)
+      if (pending.nonEmpty) {
+        val ready = pending.filter(live).toSeq.sorted
+        (pending -- ready.toSet)
+          .filterNot(r => java.nio.file.Files.exists(base.resolve(r)))
+          .foreach(r => deletePendingMarker(pendingDir, r))
+        if (ready.nonEmpty) {
+          mergeLatestWins(lake, model, lake.spark.read
+            .schema(lake.table("bronze", spec.bronzeTable).schema)
+            .parquet(ready.map(r => base.resolve(r).toString): _*))
+          ready.foreach(r => deletePendingMarker(pendingDir, r))
+        }
+      }
+    }
+  }
+
+  /** OCC latest-wins merge of raw bronze rows into a silver model (no-op
+    * on an empty projection). */
+  private def mergeLatestWins(lake: graft.pipeline.Lakehouse, model: String,
+      raw: DataFrame): Unit = {
+    import graft.pipeline.Silver
+    val spec = Silver.latestWinsSpecs(model)
+    val fresh = spec.typed(raw)
+    if (!fresh.isEmpty) {
+      lake.transactMerge("silver", model) { existing =>
+        Silver.latestWins(existing.unionByName(fresh), spec.grain, spec.order)
+      }
+      ()
+    }
+  }
+
+  private def markerName(rel: String): String =
+    java.net.URLEncoder.encode(rel, java.nio.charset.StandardCharsets.UTF_8)
+
+  private def writePendingMarker(dir: java.nio.file.Path, rel: String): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve(markerName(rel)), Array.emptyByteArray)
+  }
+
+  private def listPendingMarkers(dir: java.nio.file.Path): Set[String] =
+    if (!java.nio.file.Files.isDirectory(dir)) Set.empty
+    else java.nio.file.Files.list(dir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .map(p => java.net.URLDecoder.decode(p.getFileName.toString,
+        java.nio.charset.StandardCharsets.UTF_8)).toSet
+
+  private def deletePendingMarker(dir: java.nio.file.Path, rel: String): Unit =
+    java.nio.file.Files.deleteIfExists(dir.resolve(markerName(rel)))
 }

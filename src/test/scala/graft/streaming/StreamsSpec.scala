@@ -499,6 +499,74 @@ class StreamsSpec extends SparkSpec {
       .filter(col("channel_title") === "Chan C").count() == 1)
   }
 
+  test("silverRefreshStream is committed-only: crash debris never reaches silver; a late commit still folds in") {
+    import java.nio.file.Files
+    import graft.pipeline.{Bronze, Lakehouse, Silver}
+    import graft.pipeline.Fixtures.{channelPayload, d}
+    import org.apache.spark.sql.functions.{col, lit}
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-committed-only").toString)
+    Bronze.ingest(lake, Bronze.RunContext("r1", "req-r1", d("2025-06-01"),
+      graft.pipeline.Fixtures.ts("2025-06-01 10:00:00")), _ => Map(
+      "channels_raw" -> Seq(channelPayload("UC_1", "Chan A", 100, 10))))
+    Silver.refresh(lake, Some(Set("silver_channels")))
+    val ckpt = Files.createTempDirectory("graft-co-ckpt").toString
+    def drain(): Unit = {
+      val q = Streams.silverRefreshStream(lake, "silver_channels")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain() // consume the initial committed file
+    def silverRows() = lake.table("silver", "silver_channels")
+      .collect().map(_.toString).sorted.toSeq
+    def recomputed() = {
+      Silver.refresh(lake, Some(Set("silver_channels")))
+      silverRows()
+    }
+    // two CRASHED writers: append dirs fully written, manifest CAS never won
+    // — exactly the debris vacuumBronze deletes
+    val base = lake.tableDir("bronze", "channels_raw")
+    def plantDebris(dirName: String, title: String, snap: String): Unit =
+      lake.table("bronze", "channels_raw")
+        .withColumn("payload", lit(channelPayload("UC_1", title, 999, 10)))
+        .withColumn("snapshot_date", lit(d(snap)))
+        .withColumn("run_id", lit(s"crash-$dirName"))
+        .write.parquet(base.resolve(dirName).toString)
+    plantDebris("_a8_gone", "Chan GONE", "2025-06-08")
+    plantDebris("_a9_late", "Chan LATE", "2025-06-09")
+    drain()
+    // neither uncommitted file's rows may reach silver: streamed state must
+    // equal a recompute from committed bronze
+    val streamed = silverRows()
+    assert(!streamed.exists(_.contains("Chan GONE")), "uncommitted rows reached silver")
+    assert(!streamed.exists(_.contains("Chan LATE")), "uncommitted rows reached silver")
+    assert(streamed == recomputed(), "streamed silver != recompute from committed bronze")
+    // one crashed append is ADOPTED (its commit finally lands); the other is
+    // vacuumed away (committed files survive vacuum, debris does not)
+    lake.adoptAppendDir("channels_raw", "_a9_late")
+    lake.vacuumBronze("channels_raw")
+    assert(!Files.exists(base.resolve("_a8_gone")), "vacuum left uncommitted debris")
+    assert(Files.exists(base.resolve("_a9_late")), "vacuum deleted committed files")
+    // the stream already consumed both paths — the pending set must fold the
+    // now-committed file in and drop the vacuumed one
+    drain()
+    val after = silverRows()
+    assert(after.exists(_.contains("Chan LATE")),
+      "late-committed file never reached silver (lost by the seen-files filter)")
+    assert(!after.exists(_.contains("Chan GONE")))
+    assert(after == recomputed(), "final silver != recompute from committed bronze")
+    // pending markers fully drained
+    val pendingDir = base.resolve("_stream_pending_silver_channels")
+    assert(!Files.isDirectory(pendingDir) ||
+      Files.list(pendingDir).toArray.isEmpty, "stale pending markers remain")
+  }
+
+  test("batchedTable on a dir with no committed batch fails fast with a named error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nobatch").toString
+    val e = intercept[IllegalArgumentException](Streams.batchedTable(spark, dir))
+    assert(e.getMessage.contains("no complete"))
+  }
+
   test("corpus-report stream: the maintained index derives the exact batch report") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
