@@ -48,7 +48,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * unreferenced files are reclaimed by the explicit [[vacuumBronze]].
   */
 final class Lakehouse(val spark: SparkSession, val root: String,
-    schemaOverrides: Map[String, String] = Lakehouse.envSchemaOverrides()) {
+    schemaOverrides: Map[String, String] = Lakehouse.envSchemaOverrides(),
+    /** Every Nth bronze commit writes a full-snapshot checkpoint instead of
+      * a delta record: bounds log-resolve cost AND the retained record
+      * count to one interval. Delta's `delta.checkpointInterval` dial. */
+    val bronzeCheckpointInterval: Int = Lakehouse.DefaultCheckpointInterval) {
 
   /** Logical → physical schema name (dbt-style indirection; identity unless
     * overridden via constructor or `GRAFT_SCHEMA_*` env vars). */
@@ -133,7 +137,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     require(avail.contains(version),
       s"version $version of $layer.$name is not on disk (available: ${avail.mkString(",")})")
     val base = dir(layer, name)
-    readManifestFile(base.resolve(s"_files_v$version")) match {
+    resolveSnapshot(base, version) match {
       case Some(snap) => // log-managed bronze: that version's files AND schema
         val r = snap.schema.fold(spark.read)(spark.read.schema)
         r.parquet(snap.entries.map(e => base.resolve(e.relPath).toString): _*)
@@ -168,6 +172,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   // with enough retained versions — inline cleanup could delete a racing
   // writer's in-flight files); commits only prune history manifests below
   // the retention window, which is always safe.
+  //
+  // COMMIT SCALING (Delta's log-entry + checkpoint design): a routine
+  // commit writes a DELTA record — only the file entries it adds and the
+  // relPaths it removes — so an append's commit is O(new files) no matter
+  // how many millions of files are live. Every
+  // [[bronzeCheckpointInterval]]-th version (and any full rewrite, e.g.
+  // compaction) writes a full-snapshot CHECKPOINT, which bounds both the
+  // resolve chain ([[resolveSnapshot]] walks back to the nearest
+  // checkpoint) and the retained record count to one interval. Pre-delta
+  // manifests are plain checkpoints, so round-1..8 logs read unchanged.
 
   private val appendDir = "_a.*".r
   private val filesHistory = "_files_v(\\d+)".r
@@ -186,13 +200,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       schema: Option[org.apache.spark.sql.types.StructType],
       entries: Seq[ManifestStats.FileEntry])
 
+  /** One log record as WRITTEN: either a full snapshot (checkpoint — every
+    * live file) or a delta (only the files this commit added/removed,
+    * Delta's incremental log-entry shape). The schema line is always the
+    * table schema AS OF this version. */
+  private final case class LogRecord(version: Int, isDelta: Boolean,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      adds: Seq[ManifestStats.FileEntry], removes: Seq[String])
+
   private def readFilesManifest(base: Path): Option[BronzeSnapshot] =
-    bronzeVersions(base).lastOption.flatMap(v =>
-      readManifestFile(base.resolve(s"_files_v$v")))
+    bronzeVersions(base).lastOption.flatMap(v => resolveSnapshot(base, v))
 
   private val SchemaLine = "#schema\t(.*)".r
+  private val RemoveLine = "#rm\t(.*)".r
 
-  private def readManifestFile(m: Path): Option[BronzeSnapshot] =
+  private def readRecord(m: Path): Option[LogRecord] =
     if (!Files.exists(m)) None
     else {
       val lines = new String(Files.readAllBytes(m), java.nio.charset.StandardCharsets.UTF_8)
@@ -202,9 +224,29 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
       }
-      Some(BronzeSnapshot(lines.head.trim.toInt, schema,
+      val removes = lines.tail.collect { case RemoveLine(enc) =>
+        java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8) }
+      Some(LogRecord(lines.head.trim.toInt, lines.tail.contains("#delta"), schema,
         lines.tail.filter(l => l.nonEmpty && !l.startsWith("#"))
-          .map(ManifestStats.parseLine)))
+          .map(ManifestStats.parseLine), removes))
+    }
+
+  /** The LIVE STATE as of `version`: a checkpoint record is the state; a
+    * delta record applies its add/remove entries on top of the resolved
+    * predecessor. Pruning keeps every record back to the newest checkpoint
+    * at-or-below the retention floor, so the chain is always intact —
+    * resolve cost is O(records since last checkpoint), bounded by the
+    * checkpoint cadence, never by table history. */
+  private def resolveSnapshot(base: Path, version: Int): Option[BronzeSnapshot] =
+    readRecord(base.resolve(s"_files_v$version")).map { rec =>
+      if (!rec.isDelta) BronzeSnapshot(version, rec.schema, rec.adds)
+      else {
+        val parent = resolveSnapshot(base, version - 1).getOrElse(throw new IllegalStateException(
+          s"delta record _files_v$version has no resolvable parent — log chain broken at $base"))
+        val removed = rec.removes.toSet
+        BronzeSnapshot(version, rec.schema.orElse(parent.schema),
+          parent.entries.filterNot(e => removed(e.relPath)) ++ rec.adds)
+      }
     }
 
   /** Widen `existing` with any columns `incoming` adds (appended in
@@ -222,18 +264,46 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       existing.fields ++ incoming.fields.filterNot(f => have(f.name)))
   }
 
-  /** Attempt to commit `entries` as `_files_v{version}` by put-if-absent:
-    * the fully-written tmp is hard-linked to the versioned name — atomic,
-    * and it FAILS if another writer claimed the version first. Returns
-    * whether THIS writer won; on a win, history manifests below the
-    * retention window are pruned (metadata only — always safe). */
+  /** Attempt to commit the transition `prev → entries` as `_files_v{version}`
+    * by put-if-absent: the fully-written tmp is hard-linked to the versioned
+    * name — atomic, and it FAILS if another writer claimed the version
+    * first. Returns whether THIS writer won.
+    *
+    * RECORD SHAPE — the commit-scaling design (Delta's incremental log
+    * entries + periodic checkpoints): when the predecessor state `prev` is
+    * known, the record is a DELTA carrying only this commit's added entries
+    * and removed relPaths, so a blind append's commit costs O(new files)
+    * regardless of table size. Every [[bronzeCheckpointInterval]]-th
+    * version — and any commit whose delta would not be smaller (a full
+    * rewrite) or whose predecessor is unknown — writes a full-snapshot
+    * CHECKPOINT instead, which (a) bounds resolve cost to O(records since
+    * the last checkpoint) and (b) lets pruning drop everything below the
+    * newest checkpoint at-or-below the retention floor (`version - 1`,
+    * keeping the predecessor readable for in-flight readers — metadata
+    * only, always safe). */
   private def commitFilesManifest(base: Path, version: Int,
       schema: Option[org.apache.spark.sql.types.StructType],
-      entries: Seq[ManifestStats.FileEntry]): Boolean = {
+      entries: Seq[ManifestStats.FileEntry],
+      prev: Option[Seq[ManifestStats.FileEntry]] = None): Boolean = {
     val schemaLine = schema.toSeq.map(st => "#schema\t" +
       java.net.URLEncoder.encode(st.json, java.nio.charset.StandardCharsets.UTF_8))
-    val body = ((version.toString +: schemaLine) ++ entries.map(_.render)).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val delta = prev.map { p =>
+      val prevPaths = p.map(_.relPath).toSet
+      val newPaths = entries.map(_.relPath).toSet
+      (entries.filterNot(e => prevPaths(e.relPath)),
+        p.map(_.relPath).filterNot(newPaths))
+    }
+    val asDelta = delta.exists { case (adds, removes) =>
+      version % bronzeCheckpointInterval != 0 &&
+        adds.size + removes.size < entries.size }
+    val body = (delta match {
+      case Some((adds, removes)) if asDelta =>
+        (version.toString +: "#delta" +: schemaLine) ++
+          removes.map(r => "#rm\t" +
+            java.net.URLEncoder.encode(r, java.nio.charset.StandardCharsets.UTF_8)) ++
+          adds.map(_.render)
+      case _ => (version.toString +: schemaLine) ++ entries.map(_.render)
+    }).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val tmp = base.resolve(s".manifest_${version}_${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, body)
     val won =
@@ -241,7 +311,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     Files.delete(tmp)
     if (won) {
-      bronzeVersions(base).filter(_ < version - 1)
+      // retention floor: the predecessor stays readable, so keep every
+      // record back to the newest CHECKPOINT at-or-below version - 1
+      // (deltas below it depend on their own parents; a checkpoint cuts
+      // the chain). Bounded work: at most one checkpoint interval of
+      // records is ever on disk above the floor.
+      val floor = bronzeVersions(base).filter(v => v <= version - 1 &&
+          readRecord(base.resolve(s"_files_v$v")).exists(!_.isDelta))
+        .maxOption.getOrElse(version)
+      bronzeVersions(base).filter(_ < floor)
         .foreach(k => Files.deleteIfExists(base.resolve(s"_files_v$k")))
     }
     won
@@ -266,7 +344,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     if (!Files.exists(base)) return
     val retained = bronzeVersions(base).takeRight(math.max(1, keepVersions))
     val keep = retained
-      .flatMap(v => readManifestFile(base.resolve(s"_files_v$v")).toSeq)
+      .flatMap(v => resolveSnapshot(base, v).toSeq)
       .flatMap(_.entries).map(_.relPath).toSet
     Files.list(base).toArray.map(_.asInstanceOf[Path]).foreach { p =>
       p.getFileName.toString match {
@@ -357,7 +435,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val v = snap.map(_.version).getOrElse(0)
       val entries = snap.map(_.entries).getOrElse(Seq.empty)
       val schema = mergedSchema(snap.flatMap(_.schema).getOrElse(incoming), incoming)
-      committed = commitFilesManifest(base, v + 1, Some(schema), entries ++ mine)
+      committed = commitFilesManifest(base, v + 1, Some(schema), entries ++ mine,
+        prev = snap.map(_.entries))
     }
   }
 
@@ -451,7 +530,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
               ManifestStats.collectStats(retained, dataDir.toString,
                 Lakehouse.BronzeStatsCols, dataDir.getFileName.toString)
             }
-          if (commitFilesManifest(base, v + 1, schemaOpt, untouched ++ newEntries)) return
+          if (commitFilesManifest(base, v + 1, schemaOpt, untouched ++ newEntries,
+              prev = Some(entries))) return
           // lost the CAS: the read-set is stale — recompute from the winner
       }
     }
@@ -474,9 +554,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           .map(e => base.resolve(e.relPath).toString)
       case None =>
         val dd = currentDataDir(layer, name)
-        readManifestFile(base.resolve(ManifestName)) match {
-          case Some(snap) if snap.entries.nonEmpty =>
-            snap.entries.filter(e => ManifestStats.mightMatch(e, preds))
+        // `_VERSION` manifests are always full snapshots (materialized
+        // tables rewrite whole versions — no delta records to resolve)
+        readRecord(base.resolve(ManifestName)) match {
+          case Some(rec) if rec.adds.nonEmpty =>
+            rec.adds.filter(e => ManifestStats.mightMatch(e, preds))
               .map(e => dd.resolve(e.relPath).toString)
           case _ => Seq(dd.toString)
         }
@@ -709,9 +791,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         .parquet(entries.map(e => base.resolve(e.relPath).toString): _*))
       val dataDir = newAppendDir(base, v + 1)
       df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+      // prev provided, but a full rewrite's delta is never smaller than the
+      // snapshot — this commit lands as a natural CHECKPOINT
       if (commitFilesManifest(base, v + 1, schemaOpt,
           ManifestStats.collectStats(df, dataDir.toString, statsCols,
-            dataDir.getFileName.toString))) return
+            dataDir.getFileName.toString), prev = Some(entries))) return
     }
     throw new IllegalStateException(
       s"bronze rewrite of $name lost $maxAttempts consecutive CAS races")
@@ -776,6 +860,10 @@ object Lakehouse {
     * partition pruning) and `run_id` (bounds idempotent re-ingest deletes
     * to the files a run actually touched). */
   val BronzeStatsCols: Seq[String] = Seq("snapshot_date", "run_id")
+
+  /** Default bronze checkpoint cadence (see `bronzeCheckpointInterval`):
+    * Delta's `delta.checkpointInterval` default. */
+  val DefaultCheckpointInterval: Int = 10
 
   /** dbt-style runtime schema indirection (reference `dbt/models/schema.yml:5`
     * + `scripts/dbt_run_gold.py:211` resolve schema names per environment at

@@ -183,10 +183,12 @@ class LakehouseSpec extends SparkSpec {
     assert(v1.select("run_id").collect().map(_.getString(0)).toSeq == Seq("run1"))
     assert(lake.table("bronze", "channels_raw").count() == 2)
     // a delete commits a new version; the predecessor (both rows) stays
-    // readable for the retention window, older versions fail fast
+    // readable (retention reaches at least one commit back — further when
+    // the checkpoint chain keeps more), GC'd versions fail fast
     lake.deleteByRunId("channels_raw", "run1")
     val after = lake.tableVersions("bronze", "channels_raw")
-    assert(lake.tableAt("bronze", "channels_raw", after.head).count() == 2)
+    val predecessor = after.takeRight(2).head
+    assert(lake.tableAt("bronze", "channels_raw", predecessor).count() == 2)
     assert(lake.table("bronze", "channels_raw").count() == 1)
     intercept[IllegalArgumentException] {
       lake.tableAt("bronze", "channels_raw", versions.head - 1)
@@ -204,6 +206,50 @@ class LakehouseSpec extends SparkSpec {
     lake.deleteByRunId("channels_raw", "zzz-absent-run")
     assert(version == v1, "no-op delete must not commit a new version")
     assert(lake.table("bronze", "channels_raw").count() == 1)
+  }
+
+  test("bronze commit cost is O(new files): delta records + checkpoint cadence bound the log") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-dlog").toString,
+      bronzeCheckpointInterval = 5)
+    def append(t: String, i: Int): Unit =
+      lake.appendBronze(t, Seq((i.toLong, s"v$i", d(f"2025-06-${i % 27 + 1}%02d"), s"run$i"))
+        .toDF("id", "v", "snapshot_date", "run_id").repartition(1))
+    (1 to 3).foreach(append("small", _))
+    (1 to 23).foreach(append("big", _))
+    append("small", 99) // v4: delta
+    append("big", 99) // v24: delta
+    val bigBase = Paths.get(lake.root, "bronze", "big")
+    def manifestSize(t: String, v: Int): Long =
+      Files.size(Paths.get(lake.root, "bronze", t).resolve(s"_files_v$v"))
+    // the same one-file append must cost the same log bytes whether 3 or 23
+    // files are live — THE commit-scaling property (pre-delta logs rewrote
+    // the full manifest, so big's record was ~8x small's)
+    val (s4, b24) = (manifestSize("small", 4), manifestSize("big", 24))
+    assert(math.abs(s4 - b24) < 64,
+      s"delta record size must track NEW files, not live files: small=$s4 big=$b24")
+    // ...and be far smaller than a full snapshot (v20 is big's checkpoint)
+    assert(manifestSize("big", 20) > b24 * 4,
+      s"checkpoint=${manifestSize("big", 20)}B vs delta=${b24}B")
+    // correctness through the chain: all 24 appends visible
+    assert(lake.table("bronze", "big").count() == 24)
+    // pruning keeps exactly checkpoint..current (the chain stays intact)
+    assert(lake.tableVersions("bronze", "big") == (20 to 24),
+      s"got ${lake.tableVersions("bronze", "big")}")
+    // time travel to a mid-chain DELTA version resolves through its parents
+    assert(lake.tableAt("bronze", "big", 22).count() == 22)
+    // a delete commits as a remove-only delta (v26: the file holding run6
+    // rewrites away entirely — no survivors, no added file)
+    lake.deleteByRunId("big", "run5") // v25 → forced checkpoint (interval)
+    lake.deleteByRunId("big", "run6") // v26 → delta
+    val v26 = new String(Files.readAllBytes(bigBase.resolve("_files_v26")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(v26.linesIterator.toSeq.contains("#delta") && v26.contains("#rm"),
+      s"remove-only delete must land as a delta record:\n$v26")
+    assert(lake.table("bronze", "big").count() == 22)
+    // vacuum reclaims the deleted files; the live chain still reads
+    lake.vacuumBronze("big", keepVersions = 1)
+    assert(lake.table("bronze", "big").count() == 22)
+    assert(lake.tableAt("bronze", "big", lake.tableVersions("bronze", "big").max).count() == 22)
   }
 
   test("schema override re-points a logical layer at a different physical schema") {
