@@ -360,8 +360,44 @@ object MultimodalQueries {
       FROM documents WHERE doc_id % 3 = 2
       ORDER BY doc_id"""))
 
+  /** REAL VIDEO decode (m10): genuine MJPEG-in-AVI containers — a RIFF
+    * `AVI ` chunk tree (hdrl headers, an odd-sized JUNK alignment trap,
+    * `movi` LIST) whose `00dc` chunks hold real DCT-quantized JPEG
+    * bitstreams — walked and decoded per frame by the stock-JDK JPEG
+    * reader. The gate is m09's lossy discipline lifted to the FRAME grain:
+    * every frame's dimensions and pixel count must be exact (recovered
+    * from the decoded arrays, so a container mis-walk, frame drop or
+    * misordering is a hard row mismatch) and each frame's luma sum within
+    * ±8/pixel of its per-frame synthesis formula. Only inter-frame codecs
+    * (H.264) remain beyond a stock JVM. */
+  val m10AviVideoDecodeCheck = GraftQuery(
+    "m10_avi_video_decode_check",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.videoDecodeCheck(
+          Multimodal.aviAssetsFromDocuments(table(s, dir, "documents")),
+          (a, f) => Multimodal.synthLumaSum(
+            Multimodal.frameSeed(a.asset_id, f), a.meta.width, a.meta.height),
+          tolPerPixel = 8)
+        .toDF()
+        .select(col("asset_id"), col("frame_idx"), col("width"), col("height"),
+          col("n_pixels"), col("mean_within_tol"))
+        .orderBy(col("asset_id"), col("frame_idx"))
+    },
+    Some("""
+      SELECT doc_id AS asset_id,
+             CAST(f AS INT) AS frame_idx,
+             CAST(n_chars % 3 + 8 AS INT) AS width,
+             8 AS height,
+             CAST((n_chars % 3 + 8) * 8 AS BIGINT) AS n_pixels,
+             TRUE AS mean_within_tol
+      FROM documents,
+           LATERAL unnest(range(0, n_chars % 4 + 2)) AS t(f)
+      WHERE doc_id % 3 = 0
+      ORDER BY asset_id, frame_idx"""))
+
   val all: Seq[GraftQuery] = Seq(
     m01BinaryStats, m02FrameStats, m03AudioWindows, m04ShotKeyframes,
     m05WavDecodeWindows, m06BmpDecodeRows, m07ResizeGrid,
-    m08PngDecodeRows, m09JpegDecodeCheck)
+    m08PngDecodeRows, m09JpegDecodeCheck, m10AviVideoDecodeCheck)
 }

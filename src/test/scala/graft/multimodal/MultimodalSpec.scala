@@ -386,4 +386,46 @@ class MultimodalSpec extends SparkSpec {
     assert(err.getMessage.contains("decoded") || Option(err.getCause).exists(
       _.getMessage.contains("decoded")))
   }
+
+  test("mjpeg avi: real container walk + per-frame JPEG decode recovers every frame") {
+    val avi = synthMjpegAvi(seed = 42L, width = 9, height = 8, nFrames = 3)
+    // a real RIFF/AVI container, not a bare JPEG concat
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF"
+      && new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val frames = decodeAviMjpegFrames(avi)
+    assert(frames.length == 3, s"container walk found ${frames.length}/3 frames")
+    frames.zipWithIndex.foreach { case (px, f) =>
+      assert(px.length == 8 && px(0).length == 9, "decoded frame dims drifted")
+      val sum = px.iterator.flatMap(_.iterator).map(b => (b & 0xff).toLong).sum
+      val expected = synthLumaSum(frameSeed(42L, f), 9, 8)
+      assert(math.abs(sum - expected) <= 8L * 9 * 8,
+        s"frame $f luma sum $sum vs expected $expected beyond DC tolerance")
+    }
+    // frames differ (per-frame seeds), so a shuffled/misordered walk would
+    // fail the per-frame sums above
+    assert(frames.map(_.flatten.toSeq).distinct.length == 3)
+    // non-AVI payloads fail fast with what was found
+    val e = intercept[IllegalArgumentException](decodeAviMjpegFrames("not avi at all".getBytes))
+    assert(e.getMessage.contains("RIFF/AVI"))
+  }
+
+  test("mjpeg avi: decoded frames feed the standard frame operators unchanged") {
+    import spark.implicits._
+    val docs = graft.Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val vids = aviAssetsFromDocuments(docs).limit(6)
+    val frames = framesFromAvi(vids)
+    val byAsset = frames.collect().groupBy(_.asset_id)
+    val metas = vids.collect().map(a => a.asset_id -> a.meta).toMap
+    assert(byAsset.keySet == metas.keySet)
+    byAsset.foreach { case (id, fs) =>
+      assert(fs.length == (metas(id).durationMs / 40L).toInt,
+        s"asset $id: ${fs.length} decoded frames vs declared ${metas(id).durationMs / 40L}")
+      assert(fs.forall(_.frame_bytes.length == metas(id).width * metas(id).height))
+    }
+    // signatures + shot segmentation run on genuinely-decoded pixels
+    val sigs = frameSignatures(frames).collect()
+    assert(sigs.length == byAsset.values.map(_.length).sum)
+    val shots = shotKeyframes(frames).collect()
+    assert(shots.nonEmpty && shots.map(_.getAs[Long]("asset_id")).toSet == metas.keySet)
+  }
 }
