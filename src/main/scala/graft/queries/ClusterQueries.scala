@@ -22,12 +22,14 @@ object ClusterQueries {
     * candidates instead of the corpus. Offline sweep on the fixtures (this
     * corpus is the documented hard regime: true neighbors at cos ≈ 0.3 over
     * a ≈ 0 background, so cell membership only weakly predicts
-    * neighborhood): sf0.01 recall@5 = 0.74 @ 32% of corpus scored
-    * (nprobe 4 → 0.34 @ 10%, 8 → 0.56 @ 22%, 16 → 0.82 @ 42%); sf0.1
-    * holds at 0.66 @ 30%. That matches the s02 LSH frontier (0.70 @ 36%)
-    * — and unlike LSH the candidate fraction falls as the corpus grows
-    * (fixed nprobe over ~√n cells). */
-  val NProbe = 12
+    * neighborhood): the round-9 frontier sweep (tools/RecallAb,
+    * BASELINE.md) put the KNEE at nprobe=24 — candidate bound 0.90/0.94/
+    * 0.87 @ sf0.001/0.01/0.1 vs 0.54/0.74/0.66 at the old default 12,
+    * with nprobe=48 scanning every cell for ≤ +0.06 more — so 24 ships.
+    * Unlike LSH the candidate fraction falls as the corpus grows (fixed
+    * nprobe over ~√n cells: 62% of these tiny fixtures' 39 cells, 0.08%
+    * of a 1B-vector corpus's 31623). */
+  val NProbe = 24
 
   /** Within-cell near-dup cosine threshold (same corpus regime as d06's
     * all-pairs 0.4 — d08 finds the same pairs when they share a cell). */
@@ -199,11 +201,15 @@ object ClusterQueries {
   }
 
   /** PQ shortlist size before exact re-rank (the IVFADC refinement step).
-    * Measured frontier on the fixtures: recall@5 0.92 @ 20% exact-scored
-    * (sf0.001), 0.61 @ 5% (sf0.1) — at/above the s02/s05 recall band with
-    * a much smaller exact-score budget (raw ADC alone is 0.16 in this
-    * hard near-orthogonal regime). */
-  val PqRerank = 100
+    * Round-9 frontier (tools/RecallAb, BASELINE.md): above nprobe=12 the
+    * binding constraint flips from candidates to the SHORTLIST — at sf0.1
+    * s11 plateaus at 0.60 under rerank=100 while the candidate bound hits
+    * 1.0; rerank=200 lifts it to 0.74 (0.81 at 400, diminishing). 200
+    * ships with nprobe=24: recall@5 s11/s15 = 0.90/0.88 (sf0.001),
+    * 0.92/0.92 (sf0.01), 0.74/0.635 (sf0.1). Raw ADC alone stays ~0.1–0.2
+    * in this hard near-orthogonal regime — the shortlist rescue is where
+    * PQ earns its keep on isotropic data. */
+  val PqRerank = 200
 
   /** Product-quantization ADC top-5 with exact re-rank (Jégou et al. 2011;
     * same query set and shape as s01/s02/s05): the corpus is quantized to

@@ -36,15 +36,27 @@ object RecallAb {
     val codes = Clustering.pqCodes(e, "id", "embedding", cells, NumSub, SubDim)
     val rcb = Clustering.residualCodebook(cells)
     val rcodes = Clustering.residualPqCodes(e, "id", "embedding", cells, rcb, NumSub, SubDim)
-    val bound = recall(Clustering.ivfTopKFromIndex(q, e, cells, assign, 5, NProbe))
-    println(f"[recall] dir=$dir queries=${exact.size} nprobe=$NProbe")
-    println(f"[recall] ivf_exact_candidates(bound) = $bound%.3f")
-    for (rr <- Seq(0, 20, 50, PqRerank)) {
-      val s11 = recall(Clustering.ivfPqTopKFromIndex(q, e, cells, assign, codes,
-        5, NProbe, NumSub, SubDim, rerank = rr))
-      val s15 = recall(Clustering.ivfAdcResidualFromIndex(q, e, cells, rcb, rcodes,
-        5, NProbe, NumSub, SubDim, rerank = rr))
-      println(f"[recall] rerank=$rr%3d  s11_nonresidual = $s11%.3f  s15_residual = $s15%.3f")
+    val nCells = cells.count()
+    // optional 2nd arg: comma-separated nprobe values for the recall-vs-
+    // scanned-fraction FRONTIER (the round-8 finding: recall is
+    // candidate-limited at nprobe=12, so the lever is probes, not encoder)
+    val nprobes = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(NProbe))
+    // optional 3rd arg: rerank depths (default raw + shipped)
+    val reranks = args.lift(2).map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(0, PqRerank))
+    println(f"[recall] dir=$dir queries=${exact.size} cells=$nCells")
+    for (np <- nprobes) {
+      val frac = np.toDouble / nCells
+      val bound = recall(Clustering.ivfTopKFromIndex(q, e, cells, assign, 5, np))
+      println(f"[recall] nprobe=$np%3d scanned_fraction=$frac%.3f ivf_exact_candidates(bound) = $bound%.3f")
+      for (rr <- reranks) {
+        val s11 = recall(Clustering.ivfPqTopKFromIndex(q, e, cells, assign, codes,
+          5, np, NumSub, SubDim, rerank = rr))
+        val s15 = recall(Clustering.ivfAdcResidualFromIndex(q, e, cells, rcb, rcodes,
+          5, np, NumSub, SubDim, rerank = rr))
+        println(f"[recall] nprobe=$np%3d rerank=$rr%3d  s11_nonresidual = $s11%.3f  s15_residual = $s15%.3f")
+      }
     }
     spark.stop()
   }
