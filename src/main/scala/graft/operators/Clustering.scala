@@ -138,6 +138,35 @@ object Clustering {
       .select(col("vec_id"), col("id").as("cell_id"), col("score").as("cell_cos"))
   }
 
+  /** Fold NEW vectors into a standing IVF index WITHOUT a rebuild: assign
+    * the delta against the EXISTING cells and append to the standing
+    * assignment — the append-only index maintenance a continuously-
+    * ingesting corpus needs (a full codebook rebuild over 100 TB per
+    * ingest batch is the anti-pattern; the codebook re-derives only when
+    * [[cellSkewReport]] says the geometry drifted). Because assignment is
+    * a per-row argmax against the same centroids, the folded index is
+    * EXACTLY the one-shot assignment of the union — probes are identical,
+    * not approximately so (spec-pinned). */
+  def foldIntoIndex(delta: DataFrame, idCol: String, embCol: String,
+      cells: DataFrame, standingAssign: DataFrame): DataFrame =
+    standingAssign.unionByName(assignCells(delta, idCol, embCol, cells))
+
+  /** Index-maintenance signal: per-cell member counts against the corpus
+    * mean. `needs_split` flags cells above `splitFactor`× the mean — the
+    * re-seed/split trigger after ingest drift (a hot cell degrades probe
+    * cost toward a scan; a dead codebook degrades recall). One bounded
+    * groupBy + a 1-row broadcast — never a corpus shuffle.
+    *
+    * Output: (cell_id, n_members, skew_ratio, needs_split). */
+  def cellSkewReport(assign: DataFrame, splitFactor: Double = 2.0): DataFrame = {
+    val counts = assign.groupBy(col("cell_id")).agg(count(lit(1)).as("n_members"))
+    val mean = counts.agg(avg(col("n_members")).as("avg_members"))
+    counts.join(broadcast(mean))
+      .select(col("cell_id"), col("n_members"),
+        round(col("n_members") / col("avg_members"), 6).as("skew_ratio"),
+        (col("n_members") > col("avg_members") * splitFactor).as("needs_split"))
+  }
+
   /** Bounded top-1 of (scoreCol, idCol) per group — shared argmax kernel. */
   private def top1(scored: DataFrame, groupCol: String, scoreCol: String,
       pickCol: String): DataFrame = {

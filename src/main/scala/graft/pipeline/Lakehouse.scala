@@ -490,7 +490,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * Concurrency: the delete's read-set is the file list it scanned, so a
     * lost version CAS RESTARTS the whole computation from the winner's
     * manifest (a racing append may have landed files containing matching
-    * rows) — the transactMerge discipline at the file-log level. */
+    * rows) — the transactMerge discipline at the file-log level.
+    *
+    * Driver-memory bound: the only `collect` is the DISTINCT NAMES of
+    * files that actually contain matching rows — bounded by the
+    * stats-candidate set (for run-scoped deletes: the files whose run_id
+    * range covers one run), never the table's live-file count; ~100 bytes
+    * per name, and the commit itself records them as a remove-list delta
+    * (same O(affected) scale). A delete whose predicate genuinely touches
+    * millions of files rewrites millions of files — the collect is not
+    * the bottleneck of that operation. */
   def deleteBronzeWhere(name: String, condition: org.apache.spark.sql.Column,
       statPreds: Seq[ManifestStats.StatPred] = Nil, maxAttempts: Int = 5): Unit = {
     import org.apache.spark.sql.functions.input_file_name

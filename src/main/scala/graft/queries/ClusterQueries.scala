@@ -780,7 +780,129 @@ object ClusterQueries {
       JOIN idcg i ON tc.query_id = i.query_id
       ORDER BY tc.query_id"""))
 
+  /** Shared DuckDB CTEs for the INCREMENTAL index: the codebook derives
+    * from the BASE slice only (vec_id % 10 <> 7 — the standing corpus),
+    * while assignment covers every vector including the later-ingested
+    * delta — the append-only index-maintenance shape. */
+  private val duckIncCellCtes = s"""
+      nrm AS (
+        SELECT vec_id, embedding,
+               sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nm
+        FROM embeddings),
+      par AS (
+        SELECT greatest(1, CAST(floor(COUNT(*) /
+                 greatest(1, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS BIGINT)) AS stride
+        FROM embeddings WHERE vec_id % 10 <> 7),
+      cents AS (
+        SELECT vec_id AS cell_id, embedding AS c_emb, nm AS c_nm
+        FROM nrm, par
+        WHERE vec_id % 10 <> 7
+          AND ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % stride = 0),
+      cell_scored AS (
+        SELECT v.vec_id, c.cell_id,
+               list_aggregate(list_transform(range(1, len(v.embedding)+1),
+                 i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
+                 / (v.nm * c.c_nm) AS cos
+        FROM nrm v CROSS JOIN cents c
+        WHERE v.nm > 0),
+      assign AS (
+        SELECT vec_id, cell_id, cos AS cell_cos
+        FROM (SELECT vec_id, cell_id, cos,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell_id ASC) AS rn
+              FROM cell_scored) z
+        WHERE rn = 1)"""
+
+  /** Incremental index maintenance (s16): the standing corpus
+    * (vec_id % 10 ≠ 7) built its codebook once; the later-ingested delta
+    * (vec_id % 10 = 7) FOLDS into the existing cells via
+    * `Clustering.foldIntoIndex` — assignment only, no codebook rebuild —
+    * and probes run over the folded index. Because per-row assignment
+    * against fixed centroids is order-independent, the folded index equals
+    * a one-shot assignment exactly (spec-pinned), so the oracle replays
+    * the same base-codebook + full-assignment path. The 100 TB point:
+    * ingest cost is O(delta · √n) assignment work, never a corpus rebuild. */
+  val s16IncrementalIndexTopK = GraftQuery(
+    "s16_incremental_index_topk",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val base = e.filter(col("id") % 10 =!= 7)
+      val delta = e.filter(col("id") % 10 === 7)
+      val cells = Clustering.materializedCells(base, "id", "embedding")
+      val standing = Clustering.assignCells(base, "id", "embedding", cells)
+      val folded = Clustering.foldIntoIndex(delta, "id", "embedding", cells, standing)
+      val q = e.filter(col("id") % 50 === 0)
+      Clustering.ivfTopKFromIndex(q, e, cells, folded, 5, NProbe)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $duckIncCellCtes,
+      probes AS (
+        SELECT vec_id AS query_id, cell_id
+        FROM (SELECT vec_id, cell_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell_id ASC) AS rn
+              FROM cell_scored WHERE vec_id % 50 = 0) z
+        WHERE rn <= $NProbe),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.cell_id = a.cell_id
+        WHERE p.query_id <> a.vec_id),
+      pairs AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               q.embedding AS q_emb, q.nm AS q_nm, c.embedding AS c_emb, c.nm AS c_nm
+        FROM cand
+        JOIN nrm q ON cand.query_id = q.vec_id
+        JOIN nrm c ON cand.neighbor_id = c.vec_id),
+      scored AS (
+        SELECT query_id, neighbor_id, $duckDot / (q_nm * c_nm) AS cos_raw
+        FROM pairs),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+             round(cos_raw, 6) AS cosine
+      FROM ranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** Cell-skew maintenance report (s17): per-cell member counts of the
+    * folded s16 index vs the corpus mean; `needs_split` (> 2× mean) is the
+    * re-seed trigger after ingest drift — the signal that decides when the
+    * O(delta) fold of s16 must give way to a codebook rebuild. One bounded
+    * groupBy + 1-row broadcast. */
+  val s17CellSkewReport = GraftQuery(
+    "s17_cell_skew_report",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val base = e.filter(col("id") % 10 =!= 7)
+      val delta = e.filter(col("id") % 10 === 7)
+      val cells = Clustering.materializedCells(base, "id", "embedding")
+      val folded = Clustering.foldIntoIndex(delta, "id", "embedding", cells,
+        Clustering.assignCells(base, "id", "embedding", cells))
+      Clustering.cellSkewReport(folded)
+        .select(col("cell_id"), col("n_members"), col("skew_ratio"), col("needs_split"))
+        .orderBy(col("cell_id"))
+    },
+    Some(s"""
+      WITH $duckIncCellCtes,
+      counts AS (
+        SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM assign GROUP BY cell_id),
+      m AS (SELECT avg(n_members) AS avg_members FROM counts)
+      SELECT cell_id, n_members,
+             round(n_members / avg_members, 6) AS skew_ratio,
+             n_members > avg_members * 2.0 AS needs_split
+      FROM counts, m
+      ORDER BY cell_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     s05IvfTopK, d08SemanticDedup, c10CellProfile, s06PqTopK, c22DiverseSample,
-    s09TwoLevelIvf, s11IvfPqTopK, s12RetrievalMetrics, s15ResidualIvfAdc)
+    s09TwoLevelIvf, s11IvfPqTopK, s12RetrievalMetrics, s15ResidualIvfAdc,
+    s16IncrementalIndexTopK, s17CellSkewReport)
 }

@@ -591,6 +591,28 @@ object Streams {
     }
   }
 
+  /** CONTINUOUS ANN-index maintenance — the streaming face of
+    * `Clustering.foldIntoIndex`: each micro-batch of newly-ingested
+    * embeddings assigns against the STANDING broadcast codebook (never a
+    * rebuild) and lands in a per-batch `b{batchId}` dir with the
+    * [[nearDupGate]] exactly-once discipline (hidden-tmp + atomic rename;
+    * a replay rewrites its own dir instead of appending duplicates). Read
+    * the standing assignment with [[batchedTable]]; because per-row
+    * assignment against fixed centroids is order-independent, the batched
+    * table equals a one-shot assignment of everything ever streamed
+    * (spec-pinned). Per-batch cost is O(batch · √n) score work — the
+    * 100 TB continuous-ingest shape; `Clustering.cellSkewReport` over the
+    * folded table is the codebook-rebuild trigger.
+    *
+    * `embeddings` schema: (id BIGINT, embedding ARRAY<FLOAT>). */
+  def indexMaintenanceStream(embeddings: DataFrame, cells: DataFrame, assignDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    embeddings.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeBatchDir(graft.operators.Clustering.assignCells(
+          batch.toDF, "id", "embedding", cells), assignDir, batchId)
+    }
+
   /** OCC latest-wins merge of raw bronze rows into a silver model (no-op
     * on an empty projection). */
   private def mergeLatestWins(lake: graft.pipeline.Lakehouse, model: String,

@@ -429,4 +429,38 @@ class ClusteringSpec extends SparkSpec {
     assert(reranked <= bound + 1e-9,
       f"recall $reranked%.2f exceeded the probe bound $bound%.2f — candidate leak")
   }
+
+  test("foldIntoIndex: incremental fold equals one-shot assignment exactly") {
+    val e = sf0001.select(col("vec_id").as("id"), col("embedding"))
+    val base = e.filter(col("id") % 10 =!= 7)
+    val delta = e.filter(col("id") % 10 === 7)
+    assert(delta.count() > 0, "fixture has no delta slice")
+    val cells = Clustering.materializedCells(base, "id", "embedding")
+    val folded = Clustering.foldIntoIndex(delta, "id", "embedding", cells,
+      Clustering.assignCells(base, "id", "embedding", cells))
+    val oneShot = Clustering.assignCells(e, "id", "embedding", cells)
+    val f = folded.orderBy("vec_id").collect().map(_.toString).toSeq
+    val o = oneShot.orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(f == o, "incremental fold diverged from one-shot assignment")
+    // probes over the folded index are therefore the one-shot probes
+    val q = e.filter(col("id") % 50 === 0)
+    assert(Clustering.ivfTopKFromIndex(q, e, cells, folded, 5, 4)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+      == Clustering.ivfTopKFromIndex(q, e, cells, oneShot, 5, 4)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq)
+  }
+
+  test("cellSkewReport flags only cells above the split factor") {
+    // constructed assignment: cell 1 ×8, cell 2 ×2, cell 3 ×2 (mean 4;
+    // only cell 1 exceeds 2×mean... 8 > 8 is false — use ×9 to exceed)
+    val assign = ((1 to 9).map(i => (i.toLong, 1L)) ++
+      Seq((101L, 2L), (102L, 2L), (103L, 3L))).toDF("vec_id", "cell_id")
+    val rep = Clustering.cellSkewReport(assign).collect()
+      .map(r => r.getAs[Long]("cell_id") ->
+        (r.getAs[Long]("n_members"), r.getAs[Boolean]("needs_split"))).toMap
+    // mean = 12/3 = 4; threshold 8: cell 1 (9) splits, cells 2 (2) and 3 (1) don't
+    assert(rep(1L) == ((9L, true)), s"got ${rep(1L)}")
+    assert(rep(2L) == ((2L, false)))
+    assert(rep(3L) == ((1L, false)))
+  }
 }

@@ -561,6 +561,38 @@ class StreamsSpec extends SparkSpec {
       Files.list(pendingDir).toArray.isEmpty, "stale pending markers remain")
   }
 
+  test("index-maintenance stream: per-batch folds equal a one-shot assignment") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Clustering
+    import org.apache.spark.sql.functions.col
+    val e = graft.Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val rows = e.as[(Long, Array[Float])].collect().sortBy(_._1).take(60)
+    val cells = Clustering.materializedCells(
+      spark.createDataset(rows.take(40).toSeq).toDF("id", "embedding"), "id", "embedding")
+    val assignDir = java.nio.file.Files.createTempDirectory("graft-idxm").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Streams.indexMaintenanceStream(
+        input.toDF().toDF("id", "embedding"), cells, assignDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-idxm-ckpt").toString)
+      .start()
+    try {
+      input.addData(rows.take(30).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(30).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streams.batchedTable(spark, assignDir)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    val oneShot = Clustering.assignCells(
+        spark.createDataset(rows.toSeq).toDF("id", "embedding"), "id", "embedding", cells)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(streamed == oneShot,
+      "streamed per-batch index folds diverged from one-shot assignment")
+  }
+
   test("batchedTable on a dir with no committed batch fails fast with a named error") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nobatch").toString
     val e = intercept[IllegalArgumentException](Streams.batchedTable(spark, dir))
