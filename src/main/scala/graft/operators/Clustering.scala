@@ -245,6 +245,60 @@ object Clustering {
     Similarity.topKByCosine(cand, k)
   }
 
+  /** IVF probe with a CANDIDATE BUDGET instead of a fixed cell count
+    * (adaptive nprobe): each query probes its nearest cells by centroid
+    * cosine until the probed cells' member count reaches
+    * `candidateBudget` (the budget-crossing cell included; always ≥ 1
+    * cell). Fixed-nprobe cost is hostage to cell-size skew — one query
+    * hitting hot cells exact-scores 10× another's candidates, while a
+    * run of near-empty cells starves recall at the same nprobe.
+    * Budget-probing equalizes the exact-scoring work per query and pairs
+    * with [[cellSkewReport]]'s drift signal. Deterministic (cos desc,
+    * cell_id asc prefix), so an external oracle replays the probe set
+    * with a window cumsum.
+    *
+    * Plan: query×cells broadcast score (~√n rows per query), ONE bounded
+    * window per query over those rows for the running member count (cell
+    * sizes from a ~√n-row groupBy, broadcast), then the standard
+    * cell-keyed candidate join + exact top-k — no new shuffle shape vs
+    * the fixed-nprobe probe. */
+  def ivfTopKAdaptive(queries: DataFrame, corpus: DataFrame,
+      cells: DataFrame, assign: DataFrame, k: Int, candidateBudget: Long,
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && candidateBudget >= 1,
+      s"k and candidateBudget must be >= 1, got k=$k budget=$candidateBudget")
+    import org.apache.spark.sql.expressions.Window
+    val sizes = assign.groupBy(col("cell_id")).agg(count(lit(1)).as("cell_n"))
+    val qScored = queries
+      .select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"),
+        Similarity.l2Norm(col(embCol)).as("q_norm"))
+      .join(broadcast(cells))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        (Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+          .as("cos"),
+        col("cell_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cell_id").asc)
+    val probes = qScored
+      .join(broadcast(sizes), Seq("cell_id"), "left")
+      .withColumn("cell_n", coalesce(col("cell_n"), lit(0L))) // memberless cells cost nothing
+      .withColumn("cum", sum(col("cell_n")).over(w))
+      // prefix of cells that start BEFORE the budget fills (crossing cell
+      // included; the first cell always qualifies at cum − cell_n = 0)
+      .filter(col("cum") - col("cell_n") < candidateBudget)
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("cell_id"))
+    val cEmb = corpus.select(col(idCol).cast("bigint").as("neighbor_id"),
+      col(embCol).as("c_emb2"), Similarity.l2Norm(col(embCol)).as("c_norm2"))
+    val cand = probes
+      .join(assign, "cell_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("vec_id").as("neighbor_id"))
+      .join(cEmb, "neighbor_id")
+      .withColumn("cosine",
+        Similarity.dot(col("q_emb"), col("c_emb2")) / (col("q_norm") * col("c_norm2")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    Similarity.topKByCosine(cand, k)
+  }
+
   /** TWO-LEVEL (coarse→fine) cells — the above-cap layout the
     * [[materializedCells]] gate names, made concrete. The only structure
     * that ever reaches the driver/broadcast is the COARSE codebook of

@@ -901,8 +901,71 @@ object ClusterQueries {
       FROM counts, m
       ORDER BY cell_id"""))
 
+  /** Candidate budget for the adaptive probe (s18): ~the exact-scoring
+    * volume the fixed-nprobe s05 does at sf0.1 (24/39 cells × 2000
+    * vectors ≈ 1231), so the two probes are cost-comparable there. */
+  val AdaptiveBudget = 1000L
+
+  /** Adaptive-nprobe IVF (s18): probe cells in centroid-cosine order
+    * until the probed MEMBER COUNT reaches [[AdaptiveBudget]] — cost per
+    * query is the budget, not nprobe × (skew-dependent) cell size. The
+    * oracle replays the prefix rule with a window cumsum over the same
+    * (cos desc, cell_id) order. */
+  val s18AdaptiveIvfTopK = GraftQuery(
+    "s18_adaptive_ivf_topk",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      val cells = Clustering.materializedCells(e, "id", "embedding")
+      val assign = Clustering.assignCells(e, "id", "embedding", cells)
+      Clustering.ivfTopKAdaptive(q, e, cells, assign, 5, AdaptiveBudget)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $duckCellCtes,
+      sizes AS (
+        SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS cell_n
+        FROM assign GROUP BY cell_id),
+      qcells AS (
+        SELECT cs.vec_id AS query_id, cs.cell_id, cs.cos,
+               coalesce(sz.cell_n, 0) AS cell_n
+        FROM cell_scored cs LEFT JOIN sizes sz ON cs.cell_id = sz.cell_id
+        WHERE cs.vec_id % 50 = 0),
+      probes AS (
+        SELECT query_id, cell_id
+        FROM (SELECT query_id, cell_id, cell_n,
+                     SUM(cell_n) OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, cell_id ASC) AS cum
+              FROM qcells) z
+        WHERE cum - cell_n < $AdaptiveBudget),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.cell_id = a.cell_id
+        WHERE p.query_id <> a.vec_id),
+      pairs AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               q.embedding AS q_emb, q.nm AS q_nm, c.embedding AS c_emb, c.nm AS c_nm
+        FROM cand
+        JOIN nrm q ON cand.query_id = q.vec_id
+        JOIN nrm c ON cand.neighbor_id = c.vec_id),
+      scored AS (
+        SELECT query_id, neighbor_id, $duckDot / (q_nm * c_nm) AS cos_raw
+        FROM pairs),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+             round(cos_raw, 6) AS cosine
+      FROM ranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(
     s05IvfTopK, d08SemanticDedup, c10CellProfile, s06PqTopK, c22DiverseSample,
     s09TwoLevelIvf, s11IvfPqTopK, s12RetrievalMetrics, s15ResidualIvfAdc,
-    s16IncrementalIndexTopK, s17CellSkewReport)
+    s16IncrementalIndexTopK, s17CellSkewReport, s18AdaptiveIvfTopK)
 }

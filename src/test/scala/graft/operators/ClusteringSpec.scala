@@ -450,6 +450,26 @@ class ClusteringSpec extends SparkSpec {
         .orderBy("query_id", "rank").collect().map(_.toString).toSeq)
   }
 
+  test("ivfTopKAdaptive: budget extremes bracket the fixed-nprobe probe") {
+    val e = sf0001.select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") % 50 === 0)
+    val cells = Clustering.materializedCells(e, "id", "embedding")
+    val assign = Clustering.assignCells(e, "id", "embedding", cells)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    // budget 1: exactly one cell probed per query == nprobe 1
+    assert(rows(Clustering.ivfTopKAdaptive(q, e, cells, assign, 5, 1L))
+      == rows(Clustering.ivfTopKFromIndex(q, e, cells, assign, 5, 1)))
+    // budget ≥ corpus: every cell probed == nprobe = all cells (exhaustive)
+    val nCells = cells.count().toInt
+    assert(rows(Clustering.ivfTopKAdaptive(q, e, cells, assign, 5, e.count() + 1))
+      == rows(Clustering.ivfTopKFromIndex(q, e, cells, assign, 5, nCells)))
+    // a mid budget probes a per-query VARIABLE cell count but stays exact
+    // on whatever it scores: results are a subset-ranking of exhaustive
+    val mid = Clustering.ivfTopKAdaptive(q, e, cells, assign, 5, 100L)
+    assert(mid.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
+  }
+
   test("cellSkewReport flags only cells above the split factor") {
     // constructed assignment: cell 1 ×8, cell 2 ×2, cell 3 ×2 (mean 4;
     // only cell 1 exceeds 2×mean... 8 > 8 is false — use ×9 to exceed)
