@@ -104,6 +104,25 @@ object BenchIndex {
     (cells, rcb, codes)
   }
 
+  /** Incremental-index artifacts (s16): codebook from the BASE slice
+    * (vec_id % 10 ≠ 7), assignment = standing base assignment with the
+    * delta FOLDED in — the at-rest state after an incremental ingest. */
+  def incremental(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val Seq(cellsRaw, folded) = artifacts(s, dir, "incr", Seq("cells", "assign")) {
+      val e = corpus(s, dir)
+      val base = e.filter(col("id") % 10 =!= 7)
+      val delta = e.filter(col("id") % 10 === 7)
+      val cells = Clustering.materializedCells(base, "id", "embedding")
+      Seq(
+        "cells" -> cells.select(col("cell_id"), col("c_emb")),
+        "assign" -> Clustering.foldIntoIndex(delta, "id", "embedding", cells,
+          Clustering.assignCells(base, "id", "embedding", cells)))
+    }
+    val cells = cellsRaw.select(col("cell_id"), col("c_emb"),
+      Similarity.l2Norm(col("c_emb")).as("c_norm"))
+    (cells, folded)
+  }
+
   /** LSH posting index: (neighbor_id, table_id, bucket). */
   def lshPostings(s: SparkSession, dir: String): DataFrame =
     artifacts(s, dir, "lsh", Seq("postings")) {

@@ -869,7 +869,17 @@ object ClusterQueries {
              round(cos_raw, 6) AS cosine
       FROM ranked
       WHERE rank <= 5
-      ORDER BY query_id, rank"""))
+      ORDER BY query_id, rank"""),
+    bench = true,
+    benchRun = Some((s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      val (cells, folded) = BenchIndex.incremental(s, dir)
+      Clustering.ivfTopKFromIndex(q, e, cells, folded, 5, NProbe)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }))
 
   /** Cell-skew maintenance report (s17): per-cell member counts of the
     * folded s16 index vs the corpus mean; `needs_split` (> 2× mean) is the
@@ -962,7 +972,17 @@ object ClusterQueries {
              round(cos_raw, 6) AS cosine
       FROM ranked
       WHERE rank <= 5
-      ORDER BY query_id, rank"""))
+      ORDER BY query_id, rank"""),
+    bench = true,
+    benchRun = Some((s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      val (cells, assign) = BenchIndex.ivf(s, dir)
+      Clustering.ivfTopKAdaptive(q, e, cells, assign, 5, AdaptiveBudget)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }))
 
   val all: Seq[GraftQuery] = Seq(
     s05IvfTopK, d08SemanticDedup, c10CellProfile, s06PqTopK, c22DiverseSample,
