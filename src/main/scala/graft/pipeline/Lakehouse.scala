@@ -54,9 +54,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       * count to one interval. Delta's `delta.checkpointInterval` dial. */
     val bronzeCheckpointInterval: Int = Lakehouse.DefaultCheckpointInterval) {
 
+  require(bronzeCheckpointInterval >= 1,
+    s"bronzeCheckpointInterval must be >= 1, got $bronzeCheckpointInterval")
+
   /** Logical → physical schema name (dbt-style indirection; identity unless
     * overridden via constructor or `GRAFT_SCHEMA_*` env vars). */
   def physicalSchema(layer: String): String = schemaOverrides.getOrElse(layer, layer)
+
+  /** Children of `p`, with the directory stream CLOSED before returning —
+    * `Files.list` holds an open fd until closed, and per-batch/per-commit
+    * callers (streaming refresh, CAS retry loops) would otherwise leak one
+    * descriptor per call for the life of the JVM. */
+  private def listDir(p: Path): Array[Path] = {
+    val s = Files.list(p)
+    try s.toArray.map(_.asInstanceOf[Path]) finally s.close()
+  }
 
   private def dir(layer: String, name: String): Path =
     Paths.get(root, physicalSchema(layer), name)
@@ -112,7 +124,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     if (bronzeVs.nonEmpty) return bronzeVs
     val committed = currentVersion(base)
     if (!Files.exists(base) || committed == 0) Seq.empty
-    else Files.list(base).toArray.map(_.asInstanceOf[Path]).collect {
+    else listDir(base).collect {
       case p if {
         val n = p.getFileName.toString
         versionDir.pattern.matcher(n).matches() && {
@@ -139,6 +151,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val base = dir(layer, name)
     resolveSnapshot(base, version) match {
       case Some(snap) => // log-managed bronze: that version's files AND schema
+        // the checkpoint chain can retain MORE versions than vacuumBronze's
+        // keepVersions protects data files for — fail fast with the remedy
+        // instead of an opaque FileNotFoundException mid-scan
+        val missing = snap.entries.filterNot(e => Files.exists(base.resolve(e.relPath)))
+        require(missing.isEmpty,
+          s"version $version of $layer.$name references ${missing.size} vacuumed file(s) " +
+            s"(e.g. ${missing.head.relPath}); keep vacuumBronze keepVersions >= " +
+            s"bronzeCheckpointInterval ($bronzeCheckpointInterval) for full time travel")
         val r = snap.schema.fold(spark.read)(spark.read.schema)
         r.parquet(snap.entries.map(e => base.resolve(e.relPath).toString): _*)
       case None =>
@@ -188,7 +208,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 
   private def bronzeVersions(base: Path): Seq[Int] =
     if (!Files.exists(base)) Seq.empty
-    else Files.list(base).toArray.map(_.asInstanceOf[Path]).collect {
+    else listDir(base).collect {
       case p if filesHistory.pattern.matcher(p.getFileName.toString).matches() =>
         p.getFileName.toString.stripPrefix("_files_v").toInt
     }.sorted.toSeq
@@ -213,6 +233,54 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 
   private val SchemaLine = "#schema\t(.*)".r
   private val RemoveLine = "#rm\t(.*)".r
+  private val CkptLine = "#ckpt\t(.*)".r
+
+  /** Header-only peek at a log record — version, delta/checkpoint kind, and
+    * the parquet-twin reference — WITHOUT parsing the entry lines. The
+    * distributed resolve ([[resolvePrunedDistributed]]) needs exactly this:
+    * parsing a 1M-entry checkpoint's lines into driver objects is the very
+    * cost it exists to avoid. */
+  private final case class RecordHeader(version: Int, isDelta: Boolean,
+      ckptDir: Option[String], schema: Option[org.apache.spark.sql.types.StructType])
+
+  private def readRecordHeader(m: Path): Option[RecordHeader] =
+    if (!Files.exists(m)) None
+    else {
+      val in = Files.newBufferedReader(m, java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        val version = in.readLine().trim.toInt
+        var isDelta = false
+        var ckpt: Option[String] = None
+        var schema: Option[org.apache.spark.sql.types.StructType] = None
+        var line = in.readLine()
+        // header lines all start with '#' and precede the entry lines
+        // (#rm lines of a delta are skipped — this peek never needs them)
+        while (line != null && line.startsWith("#")) {
+          line match {
+            case "#delta" => isDelta = true
+            case CkptLine(enc) => ckpt = Some(
+              java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
+            case SchemaLine(enc) => schema = Some(
+              org.apache.spark.sql.types.DataType.fromJson(
+                java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
+                .asInstanceOf[org.apache.spark.sql.types.StructType])
+            case _ =>
+          }
+          line = in.readLine()
+        }
+        Some(RecordHeader(version, isDelta, ckpt, schema))
+      } finally in.close()
+    }
+
+  /** The log schema as of the LATEST version, via header peeks only (every
+    * commit writes its schema line, so this terminates at the newest
+    * record in practice) — never materializes a snapshot's entries. */
+  private def logSchemaLight(base: Path): Option[org.apache.spark.sql.types.StructType] = {
+    val vs = bronzeVersions(base)
+    vs.reverseIterator
+      .flatMap(v => readRecordHeader(base.resolve(s"_files_v$v")).flatMap(_.schema))
+      .nextOption()
+  }
 
   private def readRecord(m: Path): Option[LogRecord] =
     if (!Files.exists(m)) None
@@ -264,6 +332,59 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       existing.fields ++ incoming.fields.filterNot(f => have(f.name)))
   }
 
+  /** Write a checkpoint's PARQUET TWIN — the same entries as the text
+    * record, one row per live file with TYPED per-column min/max stats —
+    * so stats-pruned scans ([[tableWhere]]) can resolve through a
+    * DISTRIBUTED filter with predicate pushdown instead of materializing
+    * every live entry on the driver (Delta reads its checkpoint parquet
+    * the same way, for the same reason). Written BEFORE the commit CAS and
+    * referenced by a `#ckpt` header line; a CAS loser deletes its twin.
+    * Column layout: `relPath` + (`__min__c`, `__max__c`) per stats column,
+    * typed from the stats tag ('l'→LONG — dates as epoch-day, timestamps
+    * as epoch-micros; 'f'→DOUBLE; 's'→STRING, binary-collated like the
+    * text compare; 'b'→INT 0/1); files without stats for a column carry
+    * NULLs, which the probe keeps (null = "can't prune"). Returns the twin
+    * dir name. */
+  private def writeCheckpointParquet(base: Path, version: Int,
+      entries: Seq[ManifestStats.FileEntry]): String = {
+    import org.apache.spark.sql.types._
+    // a column participates only when every file that records it agrees on
+    // the tag — a mixed-tag column can't be typed, so it's left to the
+    // conservative keep-all rule
+    val tags = entries.iterator.flatMap(_.stats.iterator.map { case (c, s) => c -> s.tag })
+      .foldLeft(Map.empty[String, Char]) { case (acc, (c, t)) => acc.get(c) match {
+        case None => acc + (c -> t)
+        case Some(x) if x == t => acc
+        case _ => acc + (c -> '!')
+      } }.filter(_._2 != '!').toSeq.sortBy(_._1)
+    def dec(t: Char, v: String): Any = t match {
+      case 'l' => v.toLong
+      case 'f' => v.toDouble
+      case 'b' => if (v == "1") 1 else 0
+      case _ => v
+    }
+    val schema = StructType(StructField("relPath", StringType, nullable = false) +:
+      tags.flatMap { case (c, t) =>
+        Seq(StructField(s"__min__$c", Lakehouse.tagType(t)),
+          StructField(s"__max__$c", Lakehouse.tagType(t)))
+      })
+    val rows: java.util.List[org.apache.spark.sql.Row] = {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row](entries.size)
+      entries.foreach { e =>
+        l.add(org.apache.spark.sql.Row.fromSeq(
+          e.relPath +: tags.flatMap { case (c, t) => e.stats.get(c) match {
+            case Some(s) if s.tag == t => Seq(dec(t, s.min), dec(t, s.max))
+            case _ => Seq(null, null)
+          } }))
+      }
+      l
+    }
+    val name = s"_ckpt_v${version}_${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.createDataFrame(rows, schema).repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(base.resolve(name).toString)
+    name
+  }
+
   /** Attempt to commit the transition `prev → entries` as `_files_v{version}`
     * by put-if-absent: the fully-written tmp is hard-linked to the versioned
     * name — atomic, and it FAILS if another writer claimed the version
@@ -296,13 +417,22 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val asDelta = delta.exists { case (adds, removes) =>
       version % bronzeCheckpointInterval != 0 &&
         adds.size + removes.size < entries.size }
+    // large checkpoints get a parquet twin for the distributed stats-pruned
+    // resolve; tiny tables skip it (a Spark job per commit would dominate,
+    // and a driver-side scan of a small entry list is already O(small))
+    val ckptDirName: Option[String] =
+      if (!asDelta && entries.size >= Lakehouse.CheckpointParquetMinEntries)
+        Some(writeCheckpointParquet(base, version, entries))
+      else None
+    val ckptLine = ckptDirName.toSeq.map(d => "#ckpt\t" +
+      java.net.URLEncoder.encode(d, java.nio.charset.StandardCharsets.UTF_8))
     val body = (delta match {
       case Some((adds, removes)) if asDelta =>
         (version.toString +: "#delta" +: schemaLine) ++
           removes.map(r => "#rm\t" +
             java.net.URLEncoder.encode(r, java.nio.charset.StandardCharsets.UTF_8)) ++
           adds.map(_.render)
-      case _ => (version.toString +: schemaLine) ++ entries.map(_.render)
+      case _ => (version.toString +: (schemaLine ++ ckptLine)) ++ entries.map(_.render)
     }).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val tmp = base.resolve(s".manifest_${version}_${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, body)
@@ -319,8 +449,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val floor = bronzeVersions(base).filter(v => v <= version - 1 &&
           readRecord(base.resolve(s"_files_v$v")).exists(!_.isDelta))
         .maxOption.getOrElse(version)
-      bronzeVersions(base).filter(_ < floor)
-        .foreach(k => Files.deleteIfExists(base.resolve(s"_files_v$k")))
+      bronzeVersions(base).filter(_ < floor).foreach { k =>
+        val rec = base.resolve(s"_files_v$k")
+        // a pruned checkpoint's parquet twin goes with it (metadata only)
+        readRecordHeader(rec).flatMap(_.ckptDir)
+          .foreach(d => deleteRecursively(base.resolve(d)))
+        Files.deleteIfExists(rec)
+      }
+    } else {
+      // CAS loser: our never-referenced twin is debris — remove it now
+      ckptDirName.foreach(d => deleteRecursively(base.resolve(d)))
     }
     won
   }
@@ -342,14 +480,20 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   def vacuumBronze(name: String, keepVersions: Int = 2): Unit = {
     val base = dir("bronze", name)
     if (!Files.exists(base)) return
-    val retained = bronzeVersions(base).takeRight(math.max(1, keepVersions))
+    val allVersions = bronzeVersions(base)
+    val retained = allVersions.takeRight(math.max(1, keepVersions))
     val keep = retained
       .flatMap(v => resolveSnapshot(base, v).toSeq)
       .flatMap(_.entries).map(_.relPath).toSet
-    Files.list(base).toArray.map(_.asInstanceOf[Path]).foreach { p =>
+    // parquet twins referenced by ANY retained record stay (time travel
+    // through the chain); the rest — crashed pre-CAS writers — are debris
+    val liveTwins = allVersions
+      .flatMap(v => readRecordHeader(base.resolve(s"_files_v$v")))
+      .flatMap(_.ckptDir).toSet
+    listDir(base).foreach { p =>
       p.getFileName.toString match {
         case n if appendDir.pattern.matcher(n).matches() && Files.isDirectory(p) =>
-          Files.list(p).toArray.map(_.asInstanceOf[Path]).foreach { f =>
+          listDir(p).foreach { f =>
             val fn = f.getFileName.toString
             if (fn.endsWith(".parquet") && !keep.contains(s"$n/$fn")) {
               Files.delete(f)
@@ -357,9 +501,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
               if (Files.exists(crc)) Files.delete(crc)
             }
           }
-          if (!Files.list(p).toArray.map(_.asInstanceOf[Path])
+          if (!listDir(p)
               .exists(_.getFileName.toString.endsWith(".parquet")))
             deleteRecursively(p)
+        case n if n.startsWith("_ckpt_v") && !liveTwins.contains(n) =>
+          deleteRecursively(p)
         case n if n.startsWith(".manifest_") => Files.deleteIfExists(p)
         case _ =>
       }
@@ -372,7 +518,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * into an append dir and commit them as version 1. */
   private def upgradeLegacyBronze(base: Path, statsCols: Seq[String]): Unit = {
     if (readFilesManifest(base).nonEmpty || !Files.exists(base)) return
-    val legacy = Files.list(base).toArray.map(_.asInstanceOf[Path]).filter { p =>
+    val legacy = listDir(base).filter { p =>
       val n = p.getFileName.toString
       !n.startsWith("_") && !n.startsWith(".")
     }
@@ -422,7 +568,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * race re-reads the winner's manifest and folds our files into the next
     * version (blind appends never conflict). Schema evolution is
     * ADD COLUMNS (the reference's ALTER TABLE ADD COLUMNS,
-    * finalize_run_log.py:82-93): a wider append widens the log schema. */
+    * finalize_run_log.py:82-93): a wider append widens the log schema.
+    *
+    * Every attempt re-checks the winner's LIVE relPath set and drops
+    * entries already committed — without it, [[adoptAppendDir]] racing the
+    * presumed-crashed original writer (whose commit lands between the
+    * adopt's liveness probe and its CAS) would commit the same files twice
+    * and every subsequent scan would read each path twice. */
   private def commitAppendEntries(base: Path, name: String,
       incoming: org.apache.spark.sql.types.StructType,
       mine: Seq[ManifestStats.FileEntry]): Unit = {
@@ -434,8 +586,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val snap = readFilesManifest(base)
       val v = snap.map(_.version).getOrElse(0)
       val entries = snap.map(_.entries).getOrElse(Seq.empty)
+      val live = entries.map(_.relPath).toSet
+      val fresh = mine.filterNot(e => live(e.relPath))
+      if (fresh.isEmpty) return // all files already committed (adopt raced the writer)
       val schema = mergedSchema(snap.flatMap(_.schema).getOrElse(incoming), incoming)
-      committed = commitFilesManifest(base, v + 1, Some(schema), entries ++ mine,
+      committed = commitFilesManifest(base, v + 1, Some(schema), entries ++ fresh,
         prev = snap.map(_.entries))
     }
   }
@@ -548,28 +703,117 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       s"deleteBronzeWhere($name) lost $maxAttempts consecutive CAS races")
   }
 
+  /** One [[ManifestStats.StatPred]] as a Column over the parquet-twin
+    * layout ([[writeCheckpointParquet]]). NULL stats are kept (can't
+    * prune); a column or type the twin doesn't carry degrades to keep-all
+    * for that predicate — skipping stays a superset guarantee. */
+  private def ckptPredCond(schema: org.apache.spark.sql.types.StructType,
+      p: ManifestStats.StatPred): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    ManifestStats.encodeValue(p.value) match {
+      case Some((tag, s)) =>
+        val (mn, mx) = (s"__min__${p.column}", s"__max__${p.column}")
+        def litV = tag match {
+          case 'l' => lit(s.toLong)
+          case 'f' => lit(s.toDouble)
+          case 'b' => lit(if (s == "1") 1 else 0)
+          case _ => lit(s)
+        }
+        def has(c: String) = schema.fieldNames.contains(c) &&
+          schema(c).dataType == Lakehouse.tagType(tag)
+        p match {
+          case _: ManifestStats.StatGte =>
+            if (has(mx)) col(mx).isNull || col(mx) >= litV else lit(true)
+          case _: ManifestStats.StatLte =>
+            if (has(mn)) col(mn).isNull || col(mn) <= litV else lit(true)
+          case _: ManifestStats.StatEq =>
+            (if (has(mn)) col(mn).isNull || col(mn) <= litV else lit(true)) &&
+              (if (has(mx)) col(mx).isNull || col(mx) >= litV else lit(true))
+        }
+      case None => lit(true)
+    }
+  }
+
+  /** DISTRIBUTED stats-pruned resolve — the Delta checkpoint-parquet read:
+    * the nearest checkpoint's parquet twin is filtered as a DataFrame
+    * (min/max predicates pushed to the parquet scan), so the DRIVER
+    * materializes only the MATCHING relPaths plus the delta-chain tail
+    * (bounded by the checkpoint cadence), never the full live-file list —
+    * at 1M live files a one-date probe holds the date's files, not 100 MB
+    * of entries. Returns (matching paths, driver-materialized entry
+    * count); None when the chain has no parquet twin (small table or
+    * pre-twin log) — callers fall back to the in-memory resolve. */
+  private def resolvePrunedDistributed(base: Path, version: Int,
+      preds: Seq[ManifestStats.StatPred]): Option[(Seq[String], Int)] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    // walk down to the nearest checkpoint via header peeks only
+    var deltas = List.empty[LogRecord]
+    var ckptHeader: Option[RecordHeader] = None
+    var v = version
+    while (ckptHeader.isEmpty) {
+      val h = readRecordHeader(base.resolve(s"_files_v$v")).getOrElse(return None)
+      if (!h.isDelta) ckptHeader = Some(h)
+      else {
+        deltas = readRecord(base.resolve(s"_files_v$v")).get :: deltas
+        v -= 1
+      }
+    }
+    val ckptDir = ckptHeader.get.ckptDir.map(base.resolve)
+      .filter(Files.exists(_)).getOrElse(return None)
+    // fold the delta tail (ascending): O(interval activity) driver objects
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, ManifestStats.FileEntry]
+    val removed = scala.collection.mutable.Set.empty[String]
+    deltas.foreach { d =>
+      d.removes.foreach { r => if (adds.remove(r).isEmpty) removed += r }
+      d.adds.foreach(e => adds(e.relPath) = e)
+    }
+    val df = spark.read.parquet(ckptDir.toString)
+    val cond = preds.map(ckptPredCond(df.schema, _)).reduceOption(_ && _).getOrElse(lit(true))
+    val filtered =
+      if (removed.isEmpty) df.filter(cond)
+      else df.filter(cond && !col("relPath").isInCollection(removed))
+    val fromCkpt = filtered.select("relPath").collect().map(_.getString(0)).toSeq
+    val fromDeltas = adds.valuesIterator
+      .filter(e => ManifestStats.mightMatch(e, preds)).map(_.relPath).toSeq
+    Some(((fromCkpt ++ fromDeltas).map(r => base.resolve(r).toString),
+      fromCkpt.size + adds.size))
+  }
+
   /** Live data files of a table after FILE-LEVEL DATA SKIPPING: entries
     * whose recorded min/max ranges cannot satisfy `preds` are pruned
     * before Spark ever lists them. Works for both manifest species —
     * bronze `_files_v{N}` logs and materialized `_VERSION` manifests (whose
     * lines carry stats when the refresh recorded them). Plain-layout
-    * tables return their directory (no stats → no skipping). */
+    * tables return their directory (no stats → no skipping). Large bronze
+    * logs resolve DISTRIBUTED through the checkpoint parquet twin
+    * ([[resolvePrunedDistributed]]); smaller ones in driver memory. */
   def prunedFilePaths(layer: String, name: String,
-      preds: Seq[ManifestStats.StatPred]): Seq[String] = {
+      preds: Seq[ManifestStats.StatPred]): Seq[String] =
+    prunedFilePathsMetered(layer, name, preds)._1
+
+  /** [[prunedFilePaths]] plus the number of entries the DRIVER materialized
+    * to answer it — the observable the 100 TB scaling spec pins: with a
+    * parquet-twin checkpoint, a selective probe must cost O(matching +
+    * delta tail), not O(live files). */
+  private[pipeline] def prunedFilePathsMetered(layer: String, name: String,
+      preds: Seq[ManifestStats.StatPred]): (Seq[String], Int) = {
     val base = dir(layer, name)
-    readFilesManifest(base) match {
-      case Some(snap) =>
-        snap.entries.filter(e => ManifestStats.mightMatch(e, preds))
-          .map(e => base.resolve(e.relPath).toString)
+    bronzeVersions(base).lastOption match {
+      case Some(v) =>
+        resolvePrunedDistributed(base, v, preds).getOrElse {
+          val snap = resolveSnapshot(base, v).get
+          (snap.entries.filter(e => ManifestStats.mightMatch(e, preds))
+            .map(e => base.resolve(e.relPath).toString), snap.entries.size)
+        }
       case None =>
         val dd = currentDataDir(layer, name)
         // `_VERSION` manifests are always full snapshots (materialized
         // tables rewrite whole versions — no delta records to resolve)
         readRecord(base.resolve(ManifestName)) match {
           case Some(rec) if rec.adds.nonEmpty =>
-            rec.adds.filter(e => ManifestStats.mightMatch(e, preds))
-              .map(e => dd.resolve(e.relPath).toString)
-          case _ => Seq(dd.toString)
+            (rec.adds.filter(e => ManifestStats.mightMatch(e, preds))
+              .map(e => dd.resolve(e.relPath).toString), rec.adds.size)
+          case _ => (Seq(dd.toString), 0)
         }
     }
   }
@@ -579,9 +823,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * superset guarantee, like parquet row-group pruning one level up. */
   def tableWhere(layer: String, name: String,
       preds: Seq[ManifestStats.StatPred]): DataFrame = {
+    val base = dir(layer, name)
     val pruned = prunedFilePaths(layer, name, preds)
     if (pruned.isEmpty) return table(layer, name).filter(org.apache.spark.sql.functions.lit(false))
-    val rd = readFilesManifest(dir(layer, name)).flatMap(_.schema)
+    // schema via header peeks — resolving the full snapshot here would
+    // re-materialize the very list the distributed prune avoided
+    val rd = (if (bronzeVersions(base).nonEmpty) logSchemaLight(base) else None)
       .fold(spark.read)(spark.read.schema)
     rd.parquet(pruned: _*)
   }
@@ -704,7 +951,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // manifest tmps, and any plain-layout legacy files now shadowed
     val keepFrom = currentVersion(base) - 1
     val manifestTmp = s"\\.$ManifestName\\.(\\d+)\\.tmp".r
-    Files.list(base).toArray.map(_.asInstanceOf[Path]).foreach { p =>
+    listDir(base).foreach { p =>
       p.getFileName.toString match {
         case ManifestName =>
         case versionDir(k) => if (k.toInt < keepFrom) deleteRecursively(p)
@@ -873,6 +1120,20 @@ object Lakehouse {
   /** Default bronze checkpoint cadence (see `bronzeCheckpointInterval`):
     * Delta's `delta.checkpointInterval` default. */
   val DefaultCheckpointInterval: Int = 10
+
+  /** Entry-count floor for writing a checkpoint's parquet twin: below it
+    * the driver-side resolve is already cheap and a Spark write job per
+    * commit would dominate; above it stats-pruned scans resolve
+    * distributed. */
+  val CheckpointParquetMinEntries: Int = 64
+
+  /** Spark type of a stats tag in the checkpoint parquet twin. */
+  private[pipeline] def tagType(t: Char): org.apache.spark.sql.types.DataType = t match {
+    case 'l' => org.apache.spark.sql.types.LongType
+    case 'f' => org.apache.spark.sql.types.DoubleType
+    case 'b' => org.apache.spark.sql.types.IntegerType
+    case _ => org.apache.spark.sql.types.StringType
+  }
 
   /** dbt-style runtime schema indirection (reference `dbt/models/schema.yml:5`
     * + `scripts/dbt_run_gold.py:211` resolve schema names per environment at

@@ -57,7 +57,14 @@ object ManifestStats {
     case d: java.time.LocalDate => Some(('l', d.toEpochDay.toString))
     case t: java.sql.Timestamp =>
       // floorDiv, not /: truncation toward zero mis-encodes pre-epoch
-      // timestamps (getTime is floor-seconds*1000, getNanos ∈ [0,1e9))
+      // timestamps (getTime is floor-seconds*1000, getNanos ∈ [0,1e9)).
+      // FORMAT NOTE: manifests persisted by the pre-floorDiv encoder carry
+      // pre-epoch micros up to ~1s TOO HIGH; a floor-encoded probe against
+      // such legacy stats could wrongly prune a boundary file. No shipped
+      // stats column (snapshot_date/run_id + clustering keys over the
+      // 2024+ fixtures) ever held a pre-epoch timestamp, so no legacy
+      // manifest is affected; if one ever could be, compact the table
+      // (stats are recollected on rewrite) before probing pre-epoch ranges.
       Some(('l', (Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000).toString))
     case t: java.time.Instant =>
       Some(('l', (t.getEpochSecond * 1000000L + t.getNano / 1000).toString))

@@ -286,6 +286,37 @@ object Silver {
     ()
   }
 
+  /** SCD2 merge of an ALREADY-SLICED raw frame — the micro-batch face of
+    * [[refreshScd2Incremental]] for the streaming refresh
+    * ([[graft.streaming.Streams.silverRefreshStream]]): the stream hands
+    * the committed new bronze rows directly, so no snapshot-date window or
+    * bronze re-scan is needed. Same algebra, same write order (observation
+    * log first), same OCC discipline; idempotent under foreachBatch
+    * replays (obs re-merge collapses on its key; re-segmenting an id from
+    * its complete log history is deterministic). Bootstraps the log from
+    * full bronze on first use, exactly like the batch path. */
+  def refreshScd2FromRaw(lake: Lakehouse, raw: DataFrame): Unit = {
+    val freshObs = scd2Typed(raw)
+    val haveLog = lake.exists("silver", scd2ObsTable)
+    if (freshObs.isEmpty && haveLog) return
+    if (haveLog)
+      lake.transactMerge("silver", scd2ObsTable) { base =>
+        base.unionByName(freshObs)
+          .dropDuplicates("video_id", "observed_at_utc", "request_id")
+      }
+    else lake.materialize("silver", scd2ObsTable,
+      scd2Typed(lake.table("bronze", "videos_raw")).unionByName(freshObs)
+        .dropDuplicates("video_id", "observed_at_utc", "request_id"))
+    val affected = freshObs.select(col("video_id")).distinct()
+    lake.transactMerge("silver", "silver_video_metadata_scd2") { existing =>
+      val untouched = existing.join(affected, Seq("video_id"), "left_anti")
+      val rebuilt = scd2Segment(
+        lake.table("silver", scd2ObsTable).join(affected, Seq("video_id"), "left_semi"))
+      untouched.unionByName(rebuilt).select(existing.columns.map(col).toSeq: _*)
+    }
+    ()
+  }
+
   /** Incremental silver_videos refresh: latest-wins merge of the new slim
     * snapshots into the standing table (same merge algebra as the
     * latest-wins specs), then re-attach the current SCD2 surrogate key —

@@ -316,6 +316,10 @@ object Streams {
   def gateBatch(batch: DataFrame, batchId: Long, indexDir: String,
       survivorsDir: String, minJaccard: Double): Unit = {
     import graft.operators.Dedup
+    // a replay of a batch a compaction already subsumed must be a no-op:
+    // its rows live in the consolidated segment, and rewriting its b dir
+    // would re-surface a second copy the reader can't distinguish
+    if (batchId <= compactedWatermark(survivorsDir)) return
     val spark = batch.sparkSession
     val b = batch.select(col("doc_id"), col("text")).cache()
     try {
@@ -373,17 +377,124 @@ object Streams {
     Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Complete (`_SUCCESS`-marked) `b{N}` subdirs of `dir` with N strictly
-    * below `belowBatchId`, as paths — the standing-state read set for a
-    * batch: everything COMMITTED before it, nothing from its own replays. */
+  /** The standing-state read set for a batch: everything COMMITTED before
+    * `belowBatchId`, nothing from its own replays — the consolidated
+    * `c{W}` segment (when a compaction has run; it subsumes every batch id
+    * ≤ W) plus the complete (`_SUCCESS`-marked) `b{N}` subdirs with
+    * W < N < belowBatchId. */
   private def completeBatchDirs(dir: String, belowBatchId: Long): Seq[String] = {
     val d = new java.io.File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+    val w = compactedWatermark(dir)
+    val consolidated = {
+      val c = new java.io.File(d, s"c$w")
+      if (w >= 0 && w < belowBatchId && c.isDirectory
+          && new java.io.File(c, "_SUCCESS").exists()) Seq(c.getAbsolutePath)
+      else Seq.empty
+    }
+    consolidated ++ Option(d.listFiles()).getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("b")
         && new java.io.File(f, "_SUCCESS").exists()
-        && f.getName.drop(1).toLongOption.exists(_ < belowBatchId))
+        && f.getName.drop(1).toLongOption.exists(n => n > w && n < belowBatchId))
       .sortBy(_.getName.drop(1).toLong)
       .map(_.getAbsolutePath)
+  }
+
+  /** Highest batch id subsumed by a [[compactBatches]] consolidation of
+    * `dir` (−1 = never compacted): batch ids at-or-below this are SUBSUMED —
+    * their rows live in the `c{W}` segment, their `b{N}` dirs are ignored
+    * by readers, and a foreachBatch replay of one must be a no-op. */
+  def compactedWatermark(dir: String): Long = {
+    val m = java.nio.file.Paths.get(dir, "_compacted")
+    if (!java.nio.file.Files.exists(m)) -1L
+    else new String(java.nio.file.Files.readAllBytes(m),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  }
+
+  /** OPTIMIZE for the batch-versioned layout — the reference runs OPTIMIZE
+    * every job (`job_tasks/ops/optimize_tables.py:116-132`) for exactly
+    * this streaming-sink small-files problem: without it a long-lived
+    * stream accumulates one `b{N}` dir per micro-batch FOREVER, so
+    * per-batch listing cost and the reader's path count are O(stream
+    * lifetime) and files stay micro-batch-sized. This folds every
+    * complete batch dir strictly below `belowBatchId` (the stream's
+    * committed frontier — batches at-or-above it may still be replayed
+    * and must stay untouched), together with any previous consolidation,
+    * into ONE `c{W}` segment of `numFiles` parquet files; after it, a
+    * reader opens O(1) + O(batches since compaction) paths.
+    *
+    * Crash-safe commit discipline (the [[writeBatchDir]] family):
+    * the consolidated segment is fully written to a hidden tmp, renamed to
+    * `c{W}` (invisible to readers — the standing `_compacted` watermark
+    * still points below it), and the atomic replace of `_compacted` is THE
+    * commit point: before it readers see the old segment + all b dirs,
+    * after it the new segment + the tail — never both copies of a batch.
+    * Subsumed `b{N}` dirs and the previous segment are GC'd last; a crash
+    * mid-GC leaves ignored debris the next compaction removes. Replays of
+    * subsumed batch ids are no-ops ([[gateBatch]] and
+    * [[indexMaintenanceStream]] check the watermark), so exactly-once
+    * survives compaction. */
+  def compactBatches(spark: SparkSession, dir: String, belowBatchId: Long,
+      numFiles: Int = 1): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Paths.get(dir)
+    if (!Files.isDirectory(base)) return
+    val w0 = compactedWatermark(dir)
+    // sweep debris a crash-mid-GC left behind: subsumed b dirs at-or-below
+    // the watermark and abandoned segments that are not the committed one
+    Option(base.toFile.listFiles()).getOrElse(Array.empty).toSeq
+      .filter { f =>
+        f.isDirectory && (
+          (f.getName.startsWith("b") && f.getName.drop(1).toLongOption.exists(_ <= w0)) ||
+          (f.getName.startsWith("c") && f.getName.drop(1).toLongOption.exists(_ != w0)))
+      }
+      .foreach { f =>
+        Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.delete(p))
+      }
+    val bs = Option(base.toFile.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("b")
+        && new java.io.File(f, "_SUCCESS").exists())
+      .flatMap(f => f.getName.drop(1).toLongOption)
+      .filter(n => n > w0 && n < belowBatchId)
+    if (bs.isEmpty) return // nothing new below the frontier
+    val readSet = completeBatchDirs(dir, belowBatchId)
+    if (readSet.size <= 1) return // already one segment
+    val newW = bs.max
+    val tmp = base.resolve(s".ctmp_$newW")
+    if (Files.exists(tmp)) {
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.delete(p))
+    }
+    spark.read.parquet(readSet: _*).repartition(numFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val seg = base.resolve(s"c$newW")
+    if (Files.exists(seg)) { // debris of a crashed earlier attempt at this W
+      Files.walk(seg).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.delete(p))
+    }
+    Files.move(tmp, seg, StandardCopyOption.ATOMIC_MOVE)
+    // COMMIT: atomically advance the watermark — readers switch from
+    // (c{w0} + b{≤newW} + tail) to (c{newW} + tail) in one step
+    val mTmp = base.resolve(s"._compacted_$newW.tmp")
+    Files.write(mTmp, newW.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(mTmp, base.resolve("_compacted"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // GC the subsumed inputs (ignored by readers since the commit)
+    (bs.map(n => base.resolve(s"b$n")) ++
+        (if (w0 >= 0) Seq(base.resolve(s"c$w0")) else Seq.empty))
+      .filter(Files.exists(_)).foreach { p =>
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
+      }
+  }
+
+  /** [[compactBatches]] over all three dirs of a [[nearDupGate]] stream
+    * (survivors + both index halves) — one maintenance call per gate. */
+  def compactGate(spark: SparkSession, indexDir: String, survivorsDir: String,
+      belowBatchId: Long, numFiles: Int = 1): Unit = {
+    compactBatches(spark, survivorsDir, belowBatchId, numFiles)
+    compactBatches(spark, s"$indexDir/shingles", belowBatchId, numFiles)
+    compactBatches(spark, s"$indexDir/postings", belowBatchId, numFiles)
   }
 
   /** Read a batch-versioned table ([[nearDupGate]] survivors or either
@@ -501,20 +612,25 @@ object Streams {
     * receives exactly the committed bronze rows, the Delta
     * streaming-source committed-add-files contract.
     *
+    * Models: every latest-wins spec AND the SCD2 model
+    * (`silver_video_metadata_scd2`), whose per-batch merge goes through the
+    * observation log + affected-id re-segmentation
+    * ([[graft.pipeline.Silver.refreshScd2FromRaw]]) — so all
+    * incrementally-refreshable single-source MVs have a continuous face.
+    *
     * Requires the model to have been fully refreshed once (the standing
     * table is the merge base). Returns the writer; caller starts it with
     * a checkpoint dir (AvailableNow for drain-and-stop catch-up runs). */
   def silverRefreshStream(lake: graft.pipeline.Lakehouse, model: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    import graft.pipeline.Silver
-    val spec = Silver.latestWinsSpecs(model)
+    val (bronzeTable, _) = streamModel(lake, model)
     require(lake.exists("silver", model),
       s"$model must be fully refreshed once before streaming maintenance")
     // log-managed bronze: monitor the `_a*` append-dir glob (each commit
     // lands a new matched dir); plain layout: the live data dir
-    val dir = lake.streamSourcePath("bronze", spec.bronzeTable)
+    val dir = lake.streamSourcePath("bronze", bronzeTable)
     // schema pinned from a one-time batch footer read (streams never infer)
-    val pinned = lake.table("bronze", spec.bronzeTable).schema
+    val pinned = lake.table("bronze", bronzeTable).schema
     // resolve parked files whose commit landed while the stream was down —
     // a quiet catch-up run may deliver NO new files, so the per-batch sweep
     // alone would never re-probe them
@@ -532,12 +648,11 @@ object Streams {
     * create/delete are idempotent), so any crash point converges. */
   private[graft] def refreshSilverBatch(lake: graft.pipeline.Lakehouse,
       model: String, batch: DataFrame): Unit = {
-    import graft.pipeline.Silver
-    val spec = Silver.latestWinsSpecs(model)
-    val rows = lake.committedBronzeRelPaths(spec.bronzeTable) match {
+    val (bronzeTable, merge) = streamModel(lake, model)
+    val rows = lake.committedBronzeRelPaths(bronzeTable) match {
       case None => batch // plain layout: every file on disk is live
       case Some(live) =>
-        val pendingDir = lake.tableDir("bronze", spec.bronzeTable)
+        val pendingDir = lake.tableDir("bronze", bronzeTable)
           .resolve(s"_stream_pending_$model")
         // relPath of each row's source file, matching manifest entries
         // ("_aN_uid/part-*.parquet")
@@ -555,10 +670,23 @@ object Streams {
         (if (uncommitted.isEmpty) withRel
          else withRel.filter(!col("__rel").isInCollection(uncommitted))).drop("__rel")
     }
-    mergeLatestWins(lake, model, rows)
+    merge(rows)
     // then re-probe the pending set: commits that landed since park time
     // fold in, vacuumed debris drops out
     sweepPendingCommits(lake, model)
+  }
+
+  /** (bronze source table, per-slice merge) for a model the streaming
+    * refresh can maintain: any latest-wins spec, plus the SCD2 model via
+    * its observation-log merge — together the continuous face of every
+    * incrementally-refreshable single-source MV. */
+  private def streamModel(lake: graft.pipeline.Lakehouse, model: String)
+      : (String, DataFrame => Unit) = model match {
+    case "silver_video_metadata_scd2" =>
+      ("videos_raw", raw => graft.pipeline.Silver.refreshScd2FromRaw(lake, raw))
+    case m =>
+      val spec = graft.pipeline.Silver.latestWinsSpecs(m)
+      (spec.bronzeTable, raw => mergeLatestWins(lake, m, raw))
   }
 
   /** Fold into silver every PARKED bronze file whose commit has landed
@@ -570,10 +698,9 @@ object Streams {
     * re-merges (a latest-wins no-op). */
   private[graft] def sweepPendingCommits(lake: graft.pipeline.Lakehouse,
       model: String): Unit = {
-    import graft.pipeline.Silver
-    val spec = Silver.latestWinsSpecs(model)
-    lake.committedBronzeRelPaths(spec.bronzeTable).foreach { live =>
-      val base = lake.tableDir("bronze", spec.bronzeTable)
+    val (bronzeTable, merge) = streamModel(lake, model)
+    lake.committedBronzeRelPaths(bronzeTable).foreach { live =>
+      val base = lake.tableDir("bronze", bronzeTable)
       val pendingDir = base.resolve(s"_stream_pending_$model")
       val pending = listPendingMarkers(pendingDir)
       if (pending.nonEmpty) {
@@ -582,8 +709,8 @@ object Streams {
           .filterNot(r => java.nio.file.Files.exists(base.resolve(r)))
           .foreach(r => deletePendingMarker(pendingDir, r))
         if (ready.nonEmpty) {
-          mergeLatestWins(lake, model, lake.spark.read
-            .schema(lake.table("bronze", spec.bronzeTable).schema)
+          merge(lake.spark.read
+            .schema(lake.table("bronze", bronzeTable).schema)
             .parquet(ready.map(r => base.resolve(r).toString): _*))
           ready.foreach(r => deletePendingMarker(pendingDir, r))
         }
@@ -609,9 +736,17 @@ object Streams {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     embeddings.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        writeBatchDir(graft.operators.Clustering.assignCells(
-          batch.toDF, "id", "embedding", cells), assignDir, batchId)
+        foldAssignBatch(batch.toDF, cells, assignDir, batchId)
     }
+
+  /** One [[indexMaintenanceStream]] micro-batch: assign against the standing
+    * codebook and land as `b{batchId}`. Replays of compaction-subsumed
+    * batches are no-ops (see [[gateBatch]]). */
+  def foldAssignBatch(batch: DataFrame, cells: DataFrame, assignDir: String,
+      batchId: Long): Unit =
+    if (batchId > compactedWatermark(assignDir))
+      writeBatchDir(graft.operators.Clustering.assignCells(
+        batch, "id", "embedding", cells), assignDir, batchId)
 
   /** OCC latest-wins merge of raw bronze rows into a silver model (no-op
     * on an empty projection). */
@@ -638,9 +773,16 @@ object Streams {
 
   private def listPendingMarkers(dir: java.nio.file.Path): Set[String] =
     if (!java.nio.file.Files.isDirectory(dir)) Set.empty
-    else java.nio.file.Files.list(dir).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .map(p => java.net.URLDecoder.decode(p.getFileName.toString,
-        java.nio.charset.StandardCharsets.UTF_8)).toSet
+    else {
+      // close the directory stream: this runs once per micro-batch plus a
+      // sweep, and an unclosed Files.list leaks one fd per call for the
+      // life of a long-running refresh stream
+      val s = java.nio.file.Files.list(dir)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => java.net.URLDecoder.decode(p.getFileName.toString,
+          java.nio.charset.StandardCharsets.UTF_8)).toSet
+      finally s.close()
+    }
 
   private def deletePendingMarker(dir: java.nio.file.Path, rel: String): Unit =
     java.nio.file.Files.deleteIfExists(dir.resolve(markerName(rel)))

@@ -415,6 +415,102 @@ class LakehouseSpec extends SparkSpec {
     intercept[IllegalArgumentException](lake.tableAt("silver", "t", 1))
   }
 
+  test("concurrent adopts of one crashed append dir commit its files exactly once") {
+    // the check-then-act race: adoptAppendDir probes the live set, then
+    // CAS-commits — if the presumed-crashed writer's (or a second recovery
+    // job's) commit lands in between, the retry loop must DROP the
+    // already-live relPaths instead of committing them twice
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-adopt").toString)
+    val ctx = Bronze.RunContext("run1", "r1", d("2025-06-01"), ts("2025-06-01 10:00:00"))
+    Bronze.ingest(lake, ctx, _ => Map("channels_raw" -> Seq("""{"items": [1]}""")))
+    val base = Paths.get(lake.root, "bronze", "channels_raw")
+    lake.table("bronze", "channels_raw").limit(1)
+      .write.parquet(base.resolve("_a2_crashed").toString)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val adopters = (1 to 8).map(_ => Future {
+      lake.adoptAppendDir("channels_raw", "_a2_crashed")
+    })
+    adopters.foreach(Await.result(_, 5.minutes))
+    assert(lake.table("bronze", "channels_raw").count() == 2,
+      "racing adopters committed the same files more than once")
+    // a later sequential re-adopt is a clean no-op too
+    lake.adoptAppendDir("channels_raw", "_a2_crashed")
+    assert(lake.table("bronze", "channels_raw").count() == 2)
+  }
+
+  test("tableAt fails fast (with the remedy) when a retained version's files were vacuumed") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-ttv").toString,
+      bronzeCheckpointInterval = 5)
+    (1 to 6).foreach { i =>
+      lake.appendBronze("t", Seq((i.toLong, d("2025-06-01"), s"run$i"))
+        .toDF("id", "snapshot_date", "run_id").repartition(1))
+    }
+    lake.deleteByRunId("t", "run1") // v7: run1's file leaves the live set
+    val versions = lake.tableVersions("bronze", "t")
+    assert(versions.size >= 3, s"need a checkpoint-chain window, got $versions")
+    // vacuum protecting only the newest version: run1's file is reclaimed,
+    // but the checkpoint chain still ADVERTISES the older versions
+    lake.vacuumBronze("t", keepVersions = 1)
+    val e = intercept[IllegalArgumentException] {
+      lake.tableAt("bronze", "t", versions.head)
+    }
+    assert(e.getMessage.contains("vacuumed") && e.getMessage.contains("keepVersions"),
+      s"expected a fail-fast with remedy, got: ${e.getMessage}")
+    assert(lake.tableAt("bronze", "t", versions.max).count() == 5, "live version must still read")
+  }
+
+  test("bronzeCheckpointInterval < 1 is rejected at construction") {
+    val root = Files.createTempDirectory("graft-ckpt0").toString
+    intercept[IllegalArgumentException](new Lakehouse(spark, root, bronzeCheckpointInterval = 0))
+    intercept[IllegalArgumentException](new Lakehouse(spark, root, bronzeCheckpointInterval = -3))
+  }
+
+  test("stats-pruned resolve goes distributed through the checkpoint parquet twin: driver holds O(matching + delta tail), not O(live files)") {
+    import graft.pipeline.ManifestStats.StatEq
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-ckptpq").toString,
+      bronzeCheckpointInterval = 5)
+    // 15 appends x 5 files: v15 is a checkpoint with 75 live entries — over
+    // the twin floor, so the parquet twin lands alongside the text record
+    (1 to 15).foreach { i =>
+      lake.appendBronze("t", (1 to 20).map(r =>
+          ((i * 100 + r).toLong, d(f"2025-07-$i%02d"), s"run$i"))
+        .toDF("id", "snapshot_date", "run_id").repartition(5))
+    }
+    val base = Paths.get(lake.root, "bronze", "t")
+    assert(Files.list(base).toArray.map(_.toString)
+      .exists(_.contains("_ckpt_v15_")), "checkpoint parquet twin missing")
+    // a delta tail on top of the checkpoint
+    (16 to 17).foreach { i =>
+      lake.appendBronze("t", Seq((i.toLong * 100, d(f"2025-08-${i - 15}%02d"), s"run$i"))
+        .toDF("id", "snapshot_date", "run_id").repartition(1))
+    }
+    // selective probe: one date = one append's 5 files out of 77 live
+    val probe = Seq(StatEq("snapshot_date", d("2025-07-03")))
+    val (paths, held) = lake.prunedFilePathsMetered("bronze", "t", probe)
+    assert(paths.size == 5, s"expected the date's 5 files, got ${paths.size}")
+    assert(held <= 8, s"driver materialized $held entries for a 5-file probe over 77 live files")
+    assert(lake.tableWhere("bronze", "t", probe).count() == 20,
+      "pruned scan must return exactly the probed date's rows")
+    // no-match probe: the driver holds only the delta tail
+    val (none, heldNone) = lake.prunedFilePathsMetered("bronze", "t",
+      Seq(StatEq("snapshot_date", d("1999-01-01"))))
+    assert(none.isEmpty && heldNone <= 2, s"got ${none.size} paths / $heldNone entries")
+    assert(lake.tableWhere("bronze", "t",
+      Seq(StatEq("snapshot_date", d("1999-01-01")))).count() == 0)
+    // run-scoped probe through the same path (run_id stats are strings)
+    val (runPaths, _) = lake.prunedFilePathsMetered("bronze", "t",
+      Seq(StatEq("run_id", "run16")))
+    assert(runPaths.size == 1, s"got ${runPaths.size}")
+    // a delete rewrite stays correct through the twin chain: drop one run,
+    // then the probe of a REMOVED file's date finds the post-delete state
+    lake.deleteByRunId("t", "run3")
+    assert(lake.tableWhere("bronze", "t", probe).count() == 0,
+      "distributed resolve must apply the delete's remove-list")
+    assert(lake.table("bronze", "t").count() == 15 * 20 - 20 + 2)
+  }
+
   test("envSchemaOverrides parses GRAFT_SCHEMA_* vars, ignoring unset layers") {
     val env = Map("GRAFT_SCHEMA_SILVER" -> "silver_ci", "GRAFT_SCHEMA_GOLD" -> "gold_blue")
     assert(Lakehouse.envSchemaOverrides(env.get) ==

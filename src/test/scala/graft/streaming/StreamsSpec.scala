@@ -210,6 +210,76 @@ class StreamsSpec extends SparkSpec {
     assert(state() == clean, "partial-crash replay diverged")
   }
 
+  test("compactBatches: mid-stream OPTIMIZE folds batch dirs into one segment — output, replays, and later batches unaffected") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ndc-idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ndc-out").resolve("survivors").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val batches = Seq(
+      Seq((1L, base),
+        (10L, "completely different content about spark engines and parquet files " * 5)),
+      Seq((20L, base + " minor edit"), // near-dup of standing doc 1 → dropped
+        (30L, "yet another unrelated corpus of words entirely fresh and new " * 5)),
+      Seq((40L, "a third wholly distinct batch of tokens about lakehouse manifests " * 5)),
+      Seq((50L, "fourth batch fresh material concerning adaptive query execution plans " * 5)))
+      .map(_.toDF("doc_id", "text"))
+    batches.zipWithIndex.foreach { case (b, i) => Streams.gateBatch(b, i.toLong, idx, out, 0.5) }
+    def state() = (
+      Streams.batchedTable(spark, out).select("doc_id").as[Long].collect().sorted.toSeq,
+      Streams.batchedTable(spark, s"$idx/shingles").select("doc_id").as[Long].collect().sorted.toSeq,
+      Streams.batchedTable(spark, s"$idx/postings").count())
+    val before = state()
+    assert(before._1 == Seq(1L, 10L, 30L, 40L, 50L), s"survivors were ${before._1}")
+    def dirNames(d: String) = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirNames(out).count(_.startsWith("b")) == 4)
+    // frontier = 3: batch 3's checkpoint commit may not have landed, so it
+    // stays untouched; batches 0-2 fold into one segment
+    Streams.compactGate(spark, idx, out, belowBatchId = 3L)
+    assert(state() == before, "compaction changed the gate's visible state")
+    assert(dirNames(out) == Seq("b3", "c2"),
+      s"expected one segment + the frontier tail, got ${dirNames(out)}")
+    assert(Streams.compactedWatermark(out) == 2L)
+    // replay of a SUBSUMED batch id (crash-recovery rerun straddling the
+    // compaction) must be a no-op — its rows already live in the segment
+    Streams.gateBatch(batches(1), 1L, idx, out, 0.5)
+    assert(state() == before, "replay of a compacted batch changed state")
+    assert(dirNames(out) == Seq("b3", "c2"), "replay re-created a subsumed batch dir")
+    // the stream continues: a near-dup of a COMPACTED doc still drops (the
+    // probe reads the segment), novel docs still pass
+    Streams.gateBatch(Seq((60L, base + " tiny tail change"),
+      (70L, "entirely novel fifth batch content regarding broadcast joins at scale " * 5))
+      .toDF("doc_id", "text"), 4L, idx, out, 0.5)
+    val after = state()
+    assert(after._1 == Seq(1L, 10L, 30L, 40L, 50L, 70L), s"survivors were ${after._1}")
+    // a second compaction folds the previous segment + the tail into c4
+    Streams.compactGate(spark, idx, out, belowBatchId = 5L)
+    assert(state() == after, "re-compaction changed the gate's visible state")
+    assert(dirNames(out) == Seq("c4"), s"got ${dirNames(out)}")
+    assert(Streams.batchedTable(spark, out).inputFiles.length == 1,
+      "consolidation must also fix the small-files problem")
+  }
+
+  test("compactBatches on an index-maintenance stream preserves the folded assignment") {
+    import spark.implicits._
+    val assignDir = java.nio.file.Files.createTempDirectory("graft-imc").resolve("assign").toString
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat + 1f)))
+    val cells = graft.operators.Clustering.materializedCells(
+      vecs.toDF("id", "embedding"), "id", "embedding")
+    vecs.grouped(20).zipWithIndex.foreach { case (chunk, i) =>
+      Streams.foldAssignBatch(chunk.toDF("id", "embedding"), cells, assignDir, i.toLong)
+    }
+    val before = Streams.batchedTable(spark, assignDir)
+      .select("vec_id", "cell_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(before.size == 60)
+    Streams.compactBatches(spark, assignDir, belowBatchId = 3L)
+    val after = Streams.batchedTable(spark, assignDir)
+      .select("vec_id", "cell_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after == before, "compaction changed the standing assignment")
+    assert(Streams.compactedWatermark(assignDir) == 2L)
+  }
+
   test("running per-user stats accumulate state across micro-batches (mapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -497,6 +567,55 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == full, "streamed maintenance != full recompute")
     assert(lake.table("silver", "silver_channels")
       .filter(col("channel_title") === "Chan C").count() == 1)
+  }
+
+  test("silverRefreshStream maintains SCD2: streamed == batch recompute across A→B→A and late-arrival micro-batch orderings") {
+    import java.nio.file.Files
+    import graft.pipeline.{Bronze, Lakehouse, Silver}
+    import graft.pipeline.Fixtures.{d, videoItem, videosPayload}
+    import org.apache.spark.sql.functions.col
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-scd2stream").toString)
+    def land(run: String, snap: String, at: String, title: String, views: Long): Unit =
+      Bronze.ingest(lake, Bronze.RunContext(run, s"req-$run", d(snap),
+        graft.pipeline.Fixtures.ts(at)), _ => Map(
+        "videos_raw" -> Seq(videosPayload(
+          videoItem("V1", "UC_1", title, views),
+          videoItem("V2", "UC_1", "Stable", views)))))
+    land("r1", "2025-06-01", "2025-06-01 10:00:00", "Title A", 10)
+    Silver.refresh(lake, Some(Set("silver_video_metadata_scd2")))
+    val ckpt = Files.createTempDirectory("graft-scd2stream-ckpt").toString
+    def drain(): Unit = {
+      val q = Streams.silverRefreshStream(lake, "silver_video_metadata_scd2")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def scd2Rows() = lake.table("silver", "silver_video_metadata_scd2")
+      .collect().map(_.toString).sorted.toSeq
+    def v1Titles() = lake.table("silver", "silver_video_metadata_scd2")
+      .filter(col("video_id") === "V1").orderBy("valid_from_utc")
+      .collect().map(_.getAs[String]("video_title")).toSeq
+    drain() // consumes the initial file; bootstraps the observation log
+    // an A→B→A reversion lands across micro-batches while the stream is down
+    land("r2", "2025-06-02", "2025-06-02 10:00:00", "Title B", 20)
+    land("r3", "2025-06-03", "2025-06-03 10:00:00", "Title A", 30)
+    drain()
+    assert(v1Titles() == Seq("Title A", "Title B", "Title A"),
+      s"A→B→A reversion missegmented: ${v1Titles()}")
+    assert(lake.table("silver", "silver_video_metadata_scd2")
+      .filter(col("video_id") === "V2").count() == 1, "unchanged video must stay at 1 version")
+    val streamed = scd2Rows()
+    Silver.refresh(lake, Some(Set("silver_video_metadata_scd2")))
+    assert(streamed == scd2Rows(), "streamed SCD2 != full recompute")
+    // LATE ARRIVAL: lands in snapshot 06-04 but observed between r1 and r2 —
+    // the streamed merge must re-segment the MIDDLE of V1's version chain
+    land("r4", "2025-06-04", "2025-06-01 18:00:00", "Title C", 15)
+    drain()
+    assert(v1Titles() == Seq("Title A", "Title C", "Title B", "Title A"),
+      s"late arrival missegmented: ${v1Titles()}")
+    val streamed2 = scd2Rows()
+    Silver.refresh(lake, Some(Set("silver_video_metadata_scd2")))
+    assert(streamed2 == scd2Rows(), "streamed SCD2 after late arrival != full recompute")
   }
 
   test("silverRefreshStream is committed-only: crash debris never reaches silver; a late commit still folds in") {
