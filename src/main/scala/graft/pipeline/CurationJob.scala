@@ -32,7 +32,8 @@ object CurationJob {
       status: String,
       /** (stage, docs, tokens) in funnel order. */
       funnel: Seq[(String, Long, Long)],
-      error: Option[Throwable])
+      error: Option[Throwable],
+      maintenance: Option[Maintenance.Report] = None)
 
   def run(
       lake: Lakehouse,
@@ -45,6 +46,8 @@ object CurationJob {
       packShards: Int = 8,
       classifierMinScoreMilli: Option[Long] = None,
       dsirTarget: Option[(org.apache.spark.sql.Column, Int)] = None,
+      optimize: Boolean = true,
+      gates: Seq[Maintenance.GateDirs] = Seq.empty,
       now: Timestamp = new Timestamp(System.currentTimeMillis()),
       runId: String = UUID.randomUUID().toString): CurationReport = {
 
@@ -120,7 +123,16 @@ object CurationJob {
     }
 
     Bronze.finalizeRun(lake, runId, status, new Timestamp(System.currentTimeMillis()))
-    CurationReport(runId, status, funnel, failure)
+
+    // OPTIMIZE pass, every run (reference optimize_tables.py:116-132):
+    // bronze fragments one append per run log write; registered near-dup
+    // gates fold their b{N} tails to the committed frontier. AFTER
+    // finalize (a fatal error here must not leave the run log dangling);
+    // non-strict — failures land in the report, not the run status.
+    val maint = if (optimize)
+        Some(Maintenance.run(lake, layers = Seq("bronze"), gates = gates))
+      else None
+    CurationReport(runId, status, funnel, failure, maint)
   }
 
   /** Incremental (day-N) curation: take a NEW batch through the funnel
@@ -154,6 +166,8 @@ object CurationJob {
       packBudget: Int = 512,
       packShards: Int = 8,
       classifierMinScoreMilli: Option[Long] = None,
+      optimize: Boolean = true,
+      gates: Seq[Maintenance.GateDirs] = Seq.empty,
       now: Timestamp = new Timestamp(System.currentTimeMillis()),
       runId: String = UUID.randomUUID().toString): CurationReport = {
     import graft.operators.Dedup
@@ -276,6 +290,9 @@ object CurationJob {
     }
 
     Bronze.finalizeRun(lake, runId, status, new Timestamp(System.currentTimeMillis()))
-    CurationReport(runId, status, funnel, failure)
+    val maint = if (optimize)
+        Some(Maintenance.run(lake, layers = Seq("bronze"), gates = gates))
+      else None
+    CurationReport(runId, status, funnel, failure, maint)
   }
 }

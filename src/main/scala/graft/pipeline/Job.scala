@@ -27,7 +27,8 @@ object Job {
       runId: String,
       status: String,
       checkFailures: Seq[(String, String, Long)],
-      error: Option[Throwable])
+      error: Option[Throwable],
+      maintenance: Option[Maintenance.Report] = None)
 
   /** Execute one full run. `now` is injectable for deterministic tests.
     *
@@ -46,6 +47,8 @@ object Job {
       endDate: String = "auto",
       lookbackDays: Int = 7,
       incremental: Boolean = false,
+      optimize: Boolean = true,
+      gates: Seq[Maintenance.GateDirs] = Seq.empty,
       now: Timestamp = new Timestamp(System.currentTimeMillis()),
       runId: String = UUID.randomUUID().toString): RunReport = {
 
@@ -129,6 +132,15 @@ object Job {
     // finalize_run_log: ALL_DONE — records the terminal status even when a
     // stage threw
     Bronze.finalizeRun(lake, runId, status, new Timestamp(System.currentTimeMillis()))
-    RunReport(runId, status, checkFailures, failure)
+
+    // OPTIMIZE pass, every run — the reference's optimize_tables task
+    // (`job_tasks/ops/optimize_tables.py:116-132`). AFTER finalize so a
+    // fatal error here can never leave the run log dangling; non-strict
+    // like the reference's default — per-table failures land in the
+    // report, never change the run's recorded outcome.
+    val maint = if (optimize)
+        Some(Maintenance.run(lake, layers = Seq("bronze"), gates = gates))
+      else None
+    RunReport(runId, status, checkFailures, failure, maint)
   }
 }

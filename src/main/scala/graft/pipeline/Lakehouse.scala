@@ -75,6 +75,34 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 
   def exists(layer: String, name: String): Boolean = Files.exists(dir(layer, name))
 
+  /** Table names under a layer (SHOW TABLES parity — every non-hidden
+    * child directory of the layer's schema dir). */
+  def tableNames(layer: String): Seq[String] = {
+    val base = Paths.get(root, physicalSchema(layer))
+    if (!Files.isDirectory(base)) Seq.empty
+    else listDir(base).collect {
+      case p if Files.isDirectory(p) && {
+        val n = p.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      } => p.getFileName.toString
+    }.sorted.toSeq
+  }
+
+  /** Number of LIVE data files backing a table — the OPTIMIZE trigger
+    * signal (file-count metadata only; no data is read). Log-managed
+    * bronze counts its manifest entries; versioned/plain tables count
+    * parquet files in the committed data dir. */
+  def liveFileCount(layer: String, name: String): Int = {
+    val base = dir(layer, name)
+    readFilesManifest(base) match {
+      case Some(snap) => snap.entries.size
+      case None =>
+        val d = currentDataDir(layer, name)
+        if (!Files.isDirectory(d)) 0
+        else listDir(d).count(_.getFileName.toString.endsWith(".parquet"))
+    }
+  }
+
   private val ManifestName = "_VERSION"
   private val versionDir = "_v(\\d+)".r
 
@@ -234,6 +262,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private val SchemaLine = "#schema\t(.*)".r
   private val RemoveLine = "#rm\t(.*)".r
   private val CkptLine = "#ckpt\t(.*)".r
+  private val DirsLine = "#dirs\t(.*)".r
 
   /** Header-only peek at a log record — version, delta/checkpoint kind, and
     * the parquet-twin reference — WITHOUT parsing the entry lines. The
@@ -241,7 +270,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * parsing a 1M-entry checkpoint's lines into driver objects is the very
     * cost it exists to avoid. */
   private final case class RecordHeader(version: Int, isDelta: Boolean,
-      ckptDir: Option[String], schema: Option[org.apache.spark.sql.types.StructType])
+      ckptDir: Option[String], schema: Option[org.apache.spark.sql.types.StructType],
+      addDirs: Seq[String] = Seq.empty)
 
   private def readRecordHeader(m: Path): Option[RecordHeader] =
     if (!Files.exists(m)) None
@@ -252,6 +282,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         var isDelta = false
         var ckpt: Option[String] = None
         var schema: Option[org.apache.spark.sql.types.StructType] = None
+        var addDirs: Seq[String] = Seq.empty
         var line = in.readLine()
         // header lines all start with '#' and precede the entry lines
         // (#rm lines of a delta are skipped — this peek never needs them)
@@ -260,6 +291,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
             case "#delta" => isDelta = true
             case CkptLine(enc) => ckpt = Some(
               java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
+            case DirsLine(enc) => addDirs = enc.split(',').toSeq.filter(_.nonEmpty)
+              .map(java.net.URLDecoder.decode(_, java.nio.charset.StandardCharsets.UTF_8))
             case SchemaLine(enc) => schema = Some(
               org.apache.spark.sql.types.DataType.fromJson(
                 java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
@@ -268,9 +301,35 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           }
           line = in.readLine()
         }
-        Some(RecordHeader(version, isDelta, ckpt, schema))
+        Some(RecordHeader(version, isDelta, ckpt, schema, addDirs))
       } finally in.close()
     }
+
+  /** Every append-dir name EVER committed, as far as the retained log
+    * records — the set [[adoptAppendDir]] checks to distinguish "never
+    * committed" from "committed, then its rows deleted" (the live relPath
+    * set alone cannot; an adopter trusting it would re-commit a dir whose
+    * rows a later DELETE removed, resurrecting them). Resolved like a
+    * snapshot: union the `#dirs` header of records newest→oldest until a
+    * checkpoint, whose `#dirs` line is CUMULATIVE (deltas carry only their
+    * own new dirs, keeping delta commits O(new files)). Checkpoints prune
+    * the cumulative set to dirs still on disk — a physically-vacuumed dir
+    * can never be adopted (adopt requires the dir to exist), so its name
+    * needs no further tracking and the set stays bounded by dirs-on-disk.
+    * Pre-`#dirs` records contribute nothing: old logs keep the previous
+    * (live-relPath-only) behavior until their next checkpoint. */
+  private def committedDirNames(base: Path): Set[String] = {
+    val acc = scala.collection.mutable.Set.empty[String]
+    val it = bronzeVersions(base).reverseIterator
+    var done = false
+    while (it.hasNext && !done) {
+      readRecordHeader(base.resolve(s"_files_v${it.next()}")).foreach { h =>
+        acc ++= h.addDirs
+        if (!h.isDelta) done = true
+      }
+    }
+    acc.toSet
+  }
 
   /** The log schema as of the LATEST version, via header peeks only (every
     * commit writes its schema line, so this terminates at the newest
@@ -426,13 +485,24 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       else None
     val ckptLine = ckptDirName.toSeq.map(d => "#ckpt\t" +
       java.net.URLEncoder.encode(d, java.nio.charset.StandardCharsets.UTF_8))
+    // committed-dir tracking (see [[committedDirNames]]): a delta's #dirs
+    // line carries only the dirs of ITS adds; a checkpoint's is cumulative
+    // (prior history ∪ this state's dirs), pruned to dirs still on disk
+    def dirOf(rel: String): String = rel.takeWhile(_ != '/')
+    val dirsOfRecord: Seq[String] =
+      if (asDelta) delta.get._1.map(e => dirOf(e.relPath)).distinct
+      else (committedDirNames(base) ++ entries.map(e => dirOf(e.relPath)))
+        .toSeq.distinct.filter(d => Files.isDirectory(base.resolve(d)))
+    val dirsLine = if (dirsOfRecord.isEmpty) Seq.empty else Seq("#dirs\t" +
+      dirsOfRecord.map(java.net.URLEncoder.encode(_,
+        java.nio.charset.StandardCharsets.UTF_8)).mkString(","))
     val body = (delta match {
       case Some((adds, removes)) if asDelta =>
-        (version.toString +: "#delta" +: schemaLine) ++
+        (version.toString +: "#delta" +: (schemaLine ++ dirsLine)) ++
           removes.map(r => "#rm\t" +
             java.net.URLEncoder.encode(r, java.nio.charset.StandardCharsets.UTF_8)) ++
           adds.map(_.render)
-      case _ => (version.toString +: (schemaLine ++ ckptLine)) ++ entries.map(_.render)
+      case _ => (version.toString +: (schemaLine ++ ckptLine ++ dirsLine)) ++ entries.map(_.render)
     }).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val tmp = base.resolve(s".manifest_${version}_${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, body)
@@ -570,11 +640,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * ADD COLUMNS (the reference's ALTER TABLE ADD COLUMNS,
     * finalize_run_log.py:82-93): a wider append widens the log schema.
     *
-    * Every attempt re-checks the winner's LIVE relPath set and drops
-    * entries already committed — without it, [[adoptAppendDir]] racing the
-    * presumed-crashed original writer (whose commit lands between the
-    * adopt's liveness probe and its CAS) would commit the same files twice
-    * and every subsequent scan would read each path twice. */
+    * Every attempt re-checks the winner's LIVE relPath set AND the
+    * ever-committed dir set ([[committedDirNames]]) and drops entries
+    * already committed — without the relPath check, [[adoptAppendDir]]
+    * racing the presumed-crashed original writer (whose commit lands
+    * between the adopt's liveness probe and its CAS) would commit the same
+    * files twice; without the dir check, the same race PLUS a
+    * [[deleteBronzeWhere]] covering those files inside the retry window
+    * would re-commit files a delete already removed, resurrecting deleted
+    * rows (live relPaths alone cannot tell "never committed" from
+    * "committed then deleted"). */
   private def commitAppendEntries(base: Path, name: String,
       incoming: org.apache.spark.sql.types.StructType,
       mine: Seq[ManifestStats.FileEntry]): Unit = {
@@ -587,7 +662,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val v = snap.map(_.version).getOrElse(0)
       val entries = snap.map(_.entries).getOrElse(Seq.empty)
       val live = entries.map(_.relPath).toSet
-      val fresh = mine.filterNot(e => live(e.relPath))
+      val everCommitted = committedDirNames(base)
+      val fresh = mine.filterNot(e => live(e.relPath) ||
+        everCommitted(e.relPath.takeWhile(_ != '/')))
       if (fresh.isEmpty) return // all files already committed (adopt raced the writer)
       val schema = mergedSchema(snap.flatMap(_.schema).getOrElse(incoming), incoming)
       committed = commitFilesManifest(base, v + 1, Some(schema), entries ++ fresh,
@@ -599,12 +676,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * never landed (a writer that crashed between writing its `_a*` dir and
     * winning the manifest CAS). The dir's files re-enter the log as a
     * normal append — stats recollected, schema merged, CAS-committed.
-    * No-op if any of the dir's files are already live (it did commit). */
+    * No-op if any of the dir's files are already live (it did commit), or
+    * if the dir name is in the log's ever-committed set (it committed and
+    * its rows were DELETED since — re-adding them would resurrect them). */
   def adoptAppendDir(name: String, dirName: String,
       statsCols: Seq[String] = Lakehouse.BronzeStatsCols): Unit = {
     val base = dir("bronze", name)
     val dataDir = base.resolve(dirName)
     require(Files.isDirectory(dataDir), s"no append dir $dirName under bronze.$name")
+    if (committedDirNames(base).contains(dirName)) return // committed (rows possibly deleted since)
     val df = spark.read.parquet(dataDir.toString)
     val mine = ManifestStats.collectStats(df, dataDir.toString, statsCols, dirName)
     val live = committedBronzeRelPaths(name).getOrElse(Set.empty)
@@ -825,12 +905,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       preds: Seq[ManifestStats.StatPred]): DataFrame = {
     val base = dir(layer, name)
     val pruned = prunedFilePaths(layer, name, preds)
-    if (pruned.isEmpty) return table(layer, name).filter(org.apache.spark.sql.functions.lit(false))
-    // schema via header peeks — resolving the full snapshot here would
-    // re-materialize the very list the distributed prune avoided
-    val rd = (if (bronzeVersions(base).nonEmpty) logSchemaLight(base) else None)
-      .fold(spark.read)(spark.read.schema)
-    rd.parquet(pruned: _*)
+    // schema via header peeks — resolving the full snapshot here (even on
+    // the no-match path) would re-materialize the very O(live-files) entry
+    // list the distributed prune exists to avoid
+    val light = if (bronzeVersions(base).nonEmpty) logSchemaLight(base) else None
+    if (pruned.isEmpty) {
+      val schema = light.getOrElse(table(layer, name).schema)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    light.fold(spark.read)(spark.read.schema).parquet(pruned: _*)
   }
 
   /** Path a STREAMING source should monitor for this table: the `_a*`

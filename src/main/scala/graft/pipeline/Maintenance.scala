@@ -1,0 +1,89 @@
+package graft.pipeline
+
+/** The end-of-job OPTIMIZE pass. The reference runs `OPTIMIZE` over every
+  * table of its schemas at the end of every pipeline run
+  * (`job_tasks/ops/optimize_tables.py:116-132`, wired as the job's last
+  * task) — Delta's OPTIMIZE is cheap on an every-run cadence because it
+  * only rewrites under-sized files and skips already-compact tables. This
+  * pass keeps that contract for the graft engine:
+  *
+  *   - **Log-managed bronze tables** fragment one append dir per ingest;
+  *     any whose LIVE file count exceeds `maxLiveFiles` is rewritten to
+  *     `targetFiles` through the transaction log ([[Lakehouse.compact]] —
+  *     readers never see a half-compacted table). The file-count gate is
+  *     manifest metadata only, so a well-compacted 100 TB table costs one
+  *     log read to skip — never a scan.
+  *   - **Versioned materializations** (silver/gold/curated) are replaced
+  *     whole by every refresh and do not fragment across runs; they are
+  *     skipped the way the reference skips views.
+  *   - **Streaming batch-dir state** (a [[graft.streaming.Streams.nearDupGate]]'s
+  *     survivors + index halves) accumulates one `b{N}` dir per
+  *     micro-batch; each registered gate folds to its committed frontier
+  *     ([[graft.streaming.Streams.compactGateAuto]]), and standalone
+  *     batch-versioned dirs fold via
+  *     [[graft.streaming.Streams.compactBatches]] the same way.
+  *
+  * Per-target failures are collected, not thrown (the reference's
+  * non-strict mode: a failed OPTIMIZE yields `partial_error`, the run's
+  * outcome is already decided by the pipeline stages).
+  */
+object Maintenance {
+
+  /** State roots of one [[graft.streaming.Streams.nearDupGate]]. */
+  final case class GateDirs(indexDir: String, survivorsDir: String)
+
+  final case class Report(
+      optimized: Seq[String],
+      skipped: Seq[String],
+      gatesCompacted: Seq[GateDirs],
+      batchDirsCompacted: Seq[String],
+      failed: Seq[(String, String)]) {
+    def status: String = if (failed.isEmpty) "ok" else "partial_error"
+  }
+
+  /** Run the pass. `layers` defaults to bronze — the only layer whose
+    * tables fragment across runs (appends); versioned materializations
+    * rewrite whole on refresh. */
+  def run(
+      lake: Lakehouse,
+      layers: Seq[String] = Seq("bronze"),
+      gates: Seq[GateDirs] = Seq.empty,
+      batchDirs: Seq[String] = Seq.empty,
+      maxLiveFiles: Int = 64,
+      targetFiles: Int = 8): Report = {
+    val optimized = Seq.newBuilder[String]
+    val skipped = Seq.newBuilder[String]
+    val gatesDone = Seq.newBuilder[GateDirs]
+    val dirsDone = Seq.newBuilder[String]
+    val failed = Seq.newBuilder[(String, String)]
+
+    for (layer <- layers; name <- lake.tableNames(layer)) {
+      val fqn = s"$layer.$name"
+      try {
+        if (lake.liveFileCount(layer, name) > maxLiveFiles) {
+          lake.compact(layer, name, numFiles = targetFiles)
+          optimized += fqn
+        } else skipped += fqn
+      } catch { case scala.util.control.NonFatal(t) =>
+        failed += fqn -> t.toString }
+    }
+    gates.foreach { g =>
+      try {
+        graft.streaming.Streams.compactGateAuto(lake.spark, g.indexDir,
+          g.survivorsDir, numFiles = targetFiles)
+        gatesDone += g
+      } catch { case scala.util.control.NonFatal(t) =>
+        failed += g.survivorsDir -> t.toString }
+    }
+    batchDirs.foreach { d =>
+      try {
+        graft.streaming.Streams.compactBatches(lake.spark, d,
+          graft.streaming.Streams.committedBatchId(d) + 1, numFiles = targetFiles)
+        dirsDone += d
+      } catch { case scala.util.control.NonFatal(t) =>
+        failed += d -> t.toString }
+    }
+    Report(optimized.result(), skipped.result(), gatesDone.result(),
+      dirsDone.result(), failed.result())
+  }
+}

@@ -364,18 +364,23 @@ object Streams {
     val base = Paths.get(dir)
     Files.createDirectories(base)
     val tmp = base.resolve(s".tmp_b$batchId")
-    if (Files.exists(tmp)) {
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.delete(p))
-    }
+    deleteRecursively(tmp)
     df.write.mode("overwrite").parquet(tmp.toString)
     val live = base.resolve(s"b$batchId")
-    if (Files.exists(live)) {
-      Files.walk(live).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.delete(p))
-    }
+    deleteRecursively(live)
     Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** Delete a file tree, closing the walk stream (a bare `Files.walk(...)
+    * .forEach` leaks one directory fd per call until GC). No-op when
+    * `p` does not exist. */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally s.close()
+    }
 
   /** The standing-state read set for a batch: everything COMMITTED before
     * `belowBatchId`, nothing from its own replays — the consolidated
@@ -387,9 +392,21 @@ object Streams {
     val w = compactedWatermark(dir)
     val consolidated = {
       val c = new java.io.File(d, s"c$w")
-      if (w >= 0 && w < belowBatchId && c.isDirectory
-          && new java.io.File(c, "_SUCCESS").exists()) Seq(c.getAbsolutePath)
-      else Seq.empty
+      // the committed segment is load-bearing state: silently omitting it
+      // when destroyed (e.g. by an out-of-band delete) would make every
+      // subsumed row vanish from readers with no error — fail fast instead
+      if (w >= 0 && !(c.isDirectory && new java.io.File(c, "_SUCCESS").exists()))
+        throw new IllegalStateException(
+          s"$dir: compacted watermark is $w but consolidated segment c$w is " +
+            "absent or incomplete — the committed segment was destroyed " +
+            "(concurrent compaction? out-of-band delete?); subsumed rows are " +
+            "unrecoverable from the b{N} tail")
+      if (w >= 0 && w >= belowBatchId)
+        throw new IllegalStateException(
+          s"$dir: read frontier $belowBatchId is at-or-below the compacted " +
+            s"watermark $w — batches below the frontier were folded into c$w " +
+            "and cannot be read in isolation")
+      if (w >= 0) Seq(c.getAbsolutePath) else Seq.empty
     }
     consolidated ++ Option(d.listFiles()).getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("b")
@@ -435,57 +452,75 @@ object Streams {
     * survives compaction. */
   def compactBatches(spark: SparkSession, dir: String, belowBatchId: Long,
       numFiles: Int = 1): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     val base = Paths.get(dir)
     if (!Files.isDirectory(base)) return
-    val w0 = compactedWatermark(dir)
-    // sweep debris a crash-mid-GC left behind: subsumed b dirs at-or-below
-    // the watermark and abandoned segments that are not the committed one
-    Option(base.toFile.listFiles()).getOrElse(Array.empty).toSeq
-      .filter { f =>
-        f.isDirectory && (
-          (f.getName.startsWith("b") && f.getName.drop(1).toLongOption.exists(_ <= w0)) ||
-          (f.getName.startsWith("c") && f.getName.drop(1).toLongOption.exists(_ != w0)))
-      }
-      .foreach { f =>
-        Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => Files.delete(p))
-      }
-    val bs = Option(base.toFile.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("b")
-        && new java.io.File(f, "_SUCCESS").exists())
-      .flatMap(f => f.getName.drop(1).toLongOption)
-      .filter(n => n > w0 && n < belowBatchId)
-    if (bs.isEmpty) return // nothing new below the frontier
-    val readSet = completeBatchDirs(dir, belowBatchId)
-    if (readSet.size <= 1) return // already one segment
-    val newW = bs.max
-    val tmp = base.resolve(s".ctmp_$newW")
-    if (Files.exists(tmp)) {
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.delete(p))
+    // one compaction per dir at a time: a concurrent run's debris sweep
+    // would delete the other's just-committed c{X} segment (it only spares
+    // its OWN stale w0), destroying every subsumed row. The OS releases
+    // the lock on process death, so a crashed compaction never wedges the
+    // dir; a same-JVM overlap surfaces as OverlappingFileLockException.
+    val lockCh = java.nio.channels.FileChannel.open(base.resolve("._compact.lock"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock =
+      try lockCh.tryLock()
+      catch { case _: java.nio.channels.OverlappingFileLockException => null }
+    if (lock == null) {
+      lockCh.close()
+      throw new IllegalStateException(
+        s"another compaction holds $dir — one compactBatches per dir at a time")
     }
-    spark.read.parquet(readSet: _*).repartition(numFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val seg = base.resolve(s"c$newW")
-    if (Files.exists(seg)) { // debris of a crashed earlier attempt at this W
-      Files.walk(seg).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.delete(p))
-    }
-    Files.move(tmp, seg, StandardCopyOption.ATOMIC_MOVE)
-    // COMMIT: atomically advance the watermark — readers switch from
-    // (c{w0} + b{≤newW} + tail) to (c{newW} + tail) in one step
-    val mTmp = base.resolve(s"._compacted_$newW.tmp")
-    Files.write(mTmp, newW.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(mTmp, base.resolve("_compacted"), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    // GC the subsumed inputs (ignored by readers since the commit)
-    (bs.map(n => base.resolve(s"b$n")) ++
-        (if (w0 >= 0) Seq(base.resolve(s"c$w0")) else Seq.empty))
-      .filter(Files.exists(_)).foreach { p =>
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.delete(f))
-      }
+    try {
+      val w0 = compactedWatermark(dir)
+      // sweep debris a crash-mid-GC left behind: subsumed b dirs at-or-below
+      // the watermark and abandoned segments that are not the committed one
+      Option(base.toFile.listFiles()).getOrElse(Array.empty).toSeq
+        .filter { f =>
+          f.isDirectory && (
+            (f.getName.startsWith("b") && f.getName.drop(1).toLongOption.exists(_ <= w0)) ||
+            (f.getName.startsWith("c") && f.getName.drop(1).toLongOption.exists(_ != w0)))
+        }
+        .foreach(f => deleteRecursively(f.toPath))
+      val bs = Option(base.toFile.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("b")
+          && new java.io.File(f, "_SUCCESS").exists())
+        .flatMap(f => f.getName.drop(1).toLongOption)
+        .filter(n => n > w0 && n < belowBatchId)
+      if (bs.isEmpty) return // nothing new below the frontier
+      val newW = bs.max
+      // the watermark advance declares every batch id ≤ newW SUBSUMED (its
+      // replay becomes a no-op), so every one of those ids must actually be
+      // in the fold set. The writeBatchDir streams emit one complete b{N}
+      // per batch id with no gaps, so a hole here means the caller passed a
+      // frontier above the stream's true committed point (a batch that
+      // never committed would be watermarked away and its rows silently
+      // lost forever) — fail fast instead.
+      val missing = ((w0 + 1) to newW).filterNot(bs.contains)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"$dir: batch ids ${missing.mkString(",")} have no complete b{N} dir " +
+          s"but would be subsumed by a compaction to watermark $newW — is " +
+          s"belowBatchId=$belowBatchId above the stream's committed frontier?")
+      val readSet = completeBatchDirs(dir, belowBatchId)
+      if (readSet.size <= 1) return // already one segment
+      val tmp = base.resolve(s".ctmp_$newW")
+      deleteRecursively(tmp)
+      spark.read.parquet(readSet: _*).repartition(numFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val seg = base.resolve(s"c$newW")
+      // debris of a crashed earlier attempt at this W
+      deleteRecursively(seg)
+      Files.move(tmp, seg, StandardCopyOption.ATOMIC_MOVE)
+      // COMMIT: atomically advance the watermark — readers switch from
+      // (c{w0} + b{≤newW} + tail) to (c{newW} + tail) in one step
+      val mTmp = base.resolve(s"._compacted_$newW.tmp")
+      Files.write(mTmp, newW.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(mTmp, base.resolve("_compacted"), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      // GC the subsumed inputs (ignored by readers since the commit)
+      (bs.map(n => base.resolve(s"b$n")) ++
+          (if (w0 >= 0) Seq(base.resolve(s"c$w0")) else Seq.empty))
+        .foreach(deleteRecursively)
+    } finally { lock.release(); lockCh.close() }
   }
 
   /** [[compactBatches]] over all three dirs of a [[nearDupGate]] stream
@@ -496,6 +531,47 @@ object Streams {
     compactBatches(spark, s"$indexDir/shingles", belowBatchId, numFiles)
     compactBatches(spark, s"$indexDir/postings", belowBatchId, numFiles)
   }
+
+  /** Highest batch id COMMITTED in a batch-versioned dir — a complete
+    * (`_SUCCESS`-marked) `b{N}` on disk, or already subsumed by a
+    * compaction; −1 when neither. This is the signal a maintenance pass
+    * derives the fold frontier from without any channel to the stream. */
+  def committedBatchId(dir: String): Long = {
+    val d = new java.io.File(dir)
+    val maxB = Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("b")
+        && new java.io.File(f, "_SUCCESS").exists())
+      .flatMap(_.getName.drop(1).toLongOption)
+      .maxOption.getOrElse(-1L)
+    math.max(compactedWatermark(dir), maxB)
+  }
+
+  /** A [[nearDupGate]]'s committed frontier: the first batch id NOT yet
+    * fully committed across all three state dirs. [[gateBatch]] writes
+    * survivors → shingles → postings in order, so a crashed batch can
+    * leave a partial tail (survivors landed, index halves missing);
+    * folding past it would watermark the survivors copy as subsumed while
+    * the replay that must rebuild the index halves no-ops — the index
+    * would be missing that batch forever. Taking the MINIMUM committed id
+    * across the three dirs keeps any partial tail replayable. A batch
+    * fully committed in all three is safe to fold even if the engine
+    * replays it (offset commit lost in a crash): the replay no-ops on the
+    * watermark, and its rows already live in every `c` segment. */
+  def gateCommittedFrontier(indexDir: String, survivorsDir: String): Long =
+    Seq(survivorsDir, s"$indexDir/shingles", s"$indexDir/postings")
+      .map(committedBatchId).min + 1
+
+  /** [[compactGate]] at the frontier derived from the dirs themselves
+    * ([[gateCommittedFrontier]]) — the form a job-level maintenance pass
+    * calls ([[graft.pipeline.Maintenance]]); the reference runs OPTIMIZE
+    * at the end of every job (`job_tasks/ops/optimize_tables.py:116-132`).
+    * Run it quiesced or between micro-batches: a probe whose dir listing
+    * raced the GC of just-subsumed `b{N}` dirs fails that micro-batch
+    * (the engine's retry replays it against the new segment). */
+  def compactGateAuto(spark: SparkSession, indexDir: String,
+      survivorsDir: String, numFiles: Int = 1): Unit =
+    compactGate(spark, indexDir, survivorsDir,
+      gateCommittedFrontier(indexDir, survivorsDir), numFiles)
 
   /** Read a batch-versioned table ([[nearDupGate]] survivors or either
     * index half): recursive lookup over the complete `b*` subdirs. Fails

@@ -35,6 +35,10 @@ class CurationJobSpec extends SparkSpec {
 
     // run lifecycle: logged + finalized success → smoke checks on the run log pass
     assert(Checks.latestRunSuccess.run(lake).isEmpty)
+
+    // the OPTIMIZE pass ran (reference: optimize_tables every job);
+    // nothing is fragmented on run 1, so it must have been all-skip
+    assert(report.maintenance.exists(_.status == "ok"), report.maintenance.toString)
   }
 
   test("a failing stage marks the run failed and still finalizes the run log") {

@@ -74,6 +74,13 @@ class JobSpec extends SparkSpec {
     val log = lake.table("bronze", "run_context_log").filter(col("run_id") === "jobrun1").head()
     assert(log.getAs[String]("run_status") == "success")
     assert(log.getAs[Timestamp]("finalized_ts_utc") != null)
+    // the OPTIMIZE pass ran (reference: optimize_tables every job) and
+    // visited every bronze table; nothing here is fragmented enough to
+    // rewrite, so the pass must have been all-skip (cheap every run)
+    val maint = r.maintenance.get
+    assert(maint.status == "ok", maint.toString)
+    assert(maint.skipped.contains("bronze.run_context_log"), maint.toString)
+    assert(maint.optimized.isEmpty, maint.toString)
   }
 
   test("day-2 incremental run equals a full recompute over the same bronze") {

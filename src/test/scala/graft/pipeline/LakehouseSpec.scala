@@ -440,6 +440,36 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.table("bronze", "channels_raw").count() == 2)
   }
 
+  test("adopt of a committed-then-deleted append dir is a no-op (no row resurrection)") {
+    // live relPaths alone cannot tell "never committed" from "committed,
+    // then deleted": after deleteByRunId removes a dir's rows, none of its
+    // relPaths are live, so a recovery job mistaking it for a crashed
+    // writer would re-commit the files and resurrect the deleted rows.
+    // The log's #dirs ever-committed set must block that — including
+    // ACROSS a checkpoint written after the delete (cumulative carry).
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-resur").toString,
+      bronzeCheckpointInterval = 3)
+    lake.appendBronze("t", Seq((1L, d("2025-06-01"), "run1"))
+      .toDF("id", "snapshot_date", "run_id").repartition(1))
+    lake.appendBronze("t", Seq((2L, d("2025-06-01"), "run2"))
+      .toDF("id", "snapshot_date", "run_id").repartition(1))
+    val base = Paths.get(lake.root, "bronze", "t")
+    val run1Dir = {
+      val s = Files.list(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .find(_.startsWith("_a1_")).get
+      } finally s.close()
+    }
+    lake.deleteByRunId("t", "run1") // v3 = checkpoint (interval 3)
+    assert(lake.table("bronze", "t").where($"run_id" === "run1").count() == 0)
+    lake.adoptAppendDir("t", run1Dir)
+    assert(lake.table("bronze", "t").where($"run_id" === "run1").count() == 0,
+      "adoptAppendDir resurrected rows a DELETE had removed")
+    assert(lake.table("bronze", "t").count() == 1)
+  }
+
   test("tableAt fails fast (with the remedy) when a retained version's files were vacuumed") {
     val lake = new Lakehouse(spark, Files.createTempDirectory("graft-ttv").toString,
       bronzeCheckpointInterval = 5)

@@ -260,6 +260,45 @@ class StreamsSpec extends SparkSpec {
       "consolidation must also fix the small-files problem")
   }
 
+  test("compactGateAuto derives the frontier from the dirs; a partial tail holds it back") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ndca-idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ndca-out").resolve("survivors").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val batches = Seq(
+      Seq((1L, base)),
+      Seq((10L, "completely different content about spark engines and parquet " * 5)),
+      Seq((20L, "yet another unrelated corpus of words entirely fresh and new " * 5)),
+      Seq((30L, "fourth batch fresh material concerning adaptive query plans " * 5)))
+      .map(_.toDF("doc_id", "text"))
+    batches.take(3).zipWithIndex.foreach { case (b, i) =>
+      Streams.gateBatch(b, i.toLong, idx, out, 0.5) }
+    def survivors() = Streams.batchedTable(spark, out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val clean = survivors()
+    assert(Streams.gateCommittedFrontier(idx, out) == 3L)
+    // batch 3 crashes between its three writes: survivors+shingles land,
+    // postings does not — the frontier must hold at 3 (min across dirs)
+    Streams.gateBatch(batches(3), 3L, idx, out, 0.5)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$idx/postings/b3"))
+    assert(Streams.gateCommittedFrontier(idx, out) == 3L,
+      "a partially-committed tail batch must not advance the frontier")
+    Streams.compactGateAuto(spark, idx, out)
+    assert(Streams.compactedWatermark(out) == 2L,
+      "auto-compaction folded a batch whose index writes never committed")
+    // the replay (Spark re-runs batch 3 after the crash) must still work
+    // post-compaction and rebuild all three b3 dirs
+    Streams.gateBatch(batches(3), 3L, idx, out, 0.5)
+    assert(survivors() == (clean :+ 30L).sorted)
+    // now fully committed: auto folds everything, zero tail, one segment
+    Streams.compactGateAuto(spark, idx, out)
+    assert(Streams.compactedWatermark(out) == 3L)
+    assert(Streams.compactedWatermark(s"$idx/postings") == 3L)
+    assert(survivors() == (clean :+ 30L).sorted,
+      "auto-compaction changed the gate's visible state")
+  }
+
   test("compactBatches on an index-maintenance stream preserves the folded assignment") {
     import spark.implicits._
     val assignDir = java.nio.file.Files.createTempDirectory("graft-imc").resolve("assign").toString
