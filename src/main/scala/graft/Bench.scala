@@ -50,14 +50,31 @@ object Bench {
         }
       (q.name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    // storage composite: the bronze log's write side (append / CoW delete /
+    // clustered compact / vacuum) as ONE tracked entry, so log performance
+    // is driver-visible round-over-round instead of only in ad-hoc
+    // recordings; the per-op breakdown goes to stderr and the `storage`
+    // object below. Guarded like a query: a failure reports null.
+    val storage =
+      try Some(BenchStorage.runOps(spark, sfDir))
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] storage_ops FAILED: ${t.getClass.getName}: ${t.getMessage}")
+        None
+      }
+    storage.foreach(s =>
+      System.err.println(f"[bench] storage_ops ${s.totalSec}%.3f s (${s.detailJson(sfDir)})"))
+
     // failed queries report null so a fast failure can't masquerade as a fast pass
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v.toString else "null") }
+    val qs = (results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v.toString else "null") }
+        :+ ("\"storage_ops\":" + storage.fold("null")(_.totalSec.toString)))
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map(_._1)
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} failed: ${failed.mkString(",")}")
-    val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.filter(_._3).map(_._2).sum + storage.fold(0.0)(_.totalSec)
+    val storageJson = storage.fold("null")(_.detailJson(sfDir))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""storage":$storageJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,14 +1,18 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 
 import graft.pipeline.Lakehouse
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Storage-path benchmark: the bronze transaction log's write-side ops —
   * append, predicate delete (copy-on-write), clustered compaction
   * (OPTIMIZE ZORDER parity) and vacuum — timed at SPARK_GRAFT_SF_DIR scale.
-  * Prints one JSON line.
+  * Prints one JSON line standalone; [[Bench]] folds the same measurement
+  * into the driver's bench record as the `storage_ops` composite entry so
+  * log-write performance is tracked round-over-round, not only in ad-hoc
+  * recordings.
   *
   * The scale claim under test: a COMMIT should cost O(files it adds), not
   * O(live files in the table) — `manifest_bytes` (size of the newest log
@@ -18,9 +22,29 @@ import org.apache.spark.sql.functions._
   * evidence.
   */
 object BenchStorage {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Graft.session(appName = "graft-bench-storage")
+
+  final case class StorageResult(
+      rows: Long,
+      append16Sec: Double,
+      tinyAppendSec: Double,
+      manifestBytes: Long,
+      liveFiles: Int,
+      deleteSec: Double,
+      rowsAfterDelete: Long,
+      compactSec: Double,
+      vacuumSec: Double) {
+    /** Composite seconds — the one number the driver bench tracks. */
+    def totalSec: Double = append16Sec + tinyAppendSec + deleteSec + compactSec + vacuumSec
+    def detailJson(sfDir: String): String =
+      s"""{"metric":"storage","rows":$rows,"append16_sec":$append16Sec,""" +
+        s""""tiny_append_sec":$tinyAppendSec,"manifest_bytes":$manifestBytes,""" +
+        s""""live_files":$liveFiles,"delete_run_sec":$deleteSec,""" +
+        s""""rows_after_delete":$rowsAfterDelete,"compact_clustered_sec":$compactSec,""" +
+        s""""vacuum_sec":$vacuumSec,"sf":"$sfDir"}"""
+  }
+
+  /** Run the full write-side sequence against a throwaway lakehouse. */
+  def runOps(spark: SparkSession, sfDir: String): StorageResult = {
     val lake = new Lakehouse(spark, Files.createTempDirectory("graft-bench-storage").toString)
 
     def timed[A](f: => A): (A, Double) = {
@@ -33,48 +57,56 @@ object BenchStorage {
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
         col("l_extendedprice"), col("l_shipdate"))
       .cache()
-    val rows = li.count()
+    try {
+      val rows = li.count()
 
-    // ── appends: 16 run-stamped slices (the nightly-ingest cadence) ──────
-    val slices = 16
-    val (_, appendSec) = timed {
-      (0 until slices).foreach { i =>
-        val slice = li.filter(pmod(col("l_orderkey"), lit(slices)) === i)
-          .withColumn("snapshot_date", lit(java.sql.Date.valueOf(f"2026-01-${i + 1}%02d")))
-          .withColumn("run_id", lit(f"run-$i%02d"))
-        lake.appendBronze("facts", slice)
+      // ── appends: 16 run-stamped slices (the nightly-ingest cadence) ────
+      val slices = 16
+      val (_, appendSec) = timed {
+        (0 until slices).foreach { i =>
+          val slice = li.filter(pmod(col("l_orderkey"), lit(slices)) === i)
+            .withColumn("snapshot_date", lit(java.sql.Date.valueOf(f"2026-01-${i + 1}%02d")))
+            .withColumn("run_id", lit(f"run-$i%02d"))
+          lake.appendBronze("facts", slice)
+        }
       }
-    }
 
-    // ── the commit-cost probe: ONE tiny append into the populated table ──
-    val tiny = li.limit(10)
-      .withColumn("snapshot_date", lit(java.sql.Date.valueOf("2026-02-01")))
-      .withColumn("run_id", lit("run-tiny"))
-      .repartition(1)
-    val (_, tinyAppendSec) = timed(lake.appendBronze("facts", tiny))
-    val base = lake.tableDir("bronze", "facts")
-    val newestManifest = Files.list(base).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(_.getFileName.toString.startsWith("_files_v"))
-      .maxBy(_.getFileName.toString.stripPrefix("_files_v").toInt)
-    val manifestBytes = Files.size(newestManifest)
-    val liveFiles = lake.committedBronzeRelPaths("facts").map(_.size).getOrElse(0)
+      // ── the commit-cost probe: ONE tiny append into the populated table ──
+      val tiny = li.limit(10)
+        .withColumn("snapshot_date", lit(java.sql.Date.valueOf("2026-02-01")))
+        .withColumn("run_id", lit("run-tiny"))
+        .repartition(1)
+      val (_, tinyAppendSec) = timed(lake.appendBronze("facts", tiny))
+      val base = lake.tableDir("bronze", "facts")
+      val manifestBytes = {
+        val s = Files.list(base)
+        try Files.size(s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.startsWith("_files_v"))
+          .maxBy(_.getFileName.toString.stripPrefix("_files_v").toInt))
+        finally s.close()
+      }
+      val liveFiles = lake.committedBronzeRelPaths("facts").map(_.size).getOrElse(0)
 
-    // ── predicate delete: one run's rows, stats-pruned copy-on-write ─────
-    val (_, deleteSec) = timed(lake.deleteByRunId("facts", "run-07"))
-    val afterDelete = lake.table("bronze", "facts").count()
+      // ── predicate delete: one run's rows, stats-pruned copy-on-write ───
+      val (_, deleteSec) = timed(lake.deleteByRunId("facts", "run-07"))
+      val afterDelete = lake.table("bronze", "facts").count()
 
-    // ── clustered compaction (OPTIMIZE ZORDER parity) ────────────────────
-    val (_, compactSec) = timed(
-      lake.compactClustered("bronze", "facts", "l_orderkey", "l_partkey", numFiles = 16))
+      // ── clustered compaction (OPTIMIZE ZORDER parity) ──────────────────
+      val (_, compactSec) = timed(
+        lake.compactClustered("bronze", "facts", "l_orderkey", "l_partkey", numFiles = 16))
 
-    // ── vacuum: reclaim the files the delete + compaction unreferenced ───
-    val (_, vacuumSec) = timed(lake.vacuumBronze("facts", keepVersions = 1))
+      // ── vacuum: reclaim the files the delete + compaction unreferenced ──
+      val (_, vacuumSec) = timed(lake.vacuumBronze("facts", keepVersions = 1))
 
-    println(s"""{"metric":"storage","rows":$rows,"append16_sec":$appendSec,""" +
-      s""""tiny_append_sec":$tinyAppendSec,"manifest_bytes":$manifestBytes,""" +
-      s""""live_files":$liveFiles,"delete_run_sec":$deleteSec,""" +
-      s""""rows_after_delete":$afterDelete,"compact_clustered_sec":$compactSec,""" +
-      s""""vacuum_sec":$vacuumSec,"sf":"$sfDir"}""")
+      StorageResult(rows, appendSec, tinyAppendSec, manifestBytes, liveFiles,
+        deleteSec, afterDelete, compactSec, vacuumSec)
+    } finally li.unpersist()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Graft.session(appName = "graft-bench-storage")
+    println(runOps(spark, sfDir).detailJson(sfDir))
     spark.stop()
   }
 }
