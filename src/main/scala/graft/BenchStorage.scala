@@ -96,7 +96,7 @@ object BenchStorage {
         lake.compactClustered("bronze", "facts", "l_orderkey", "l_partkey", numFiles = 16))
 
       // ── vacuum: reclaim the files the delete + compaction unreferenced ──
-      val (_, vacuumSec) = timed(lake.vacuumBronze("facts", keepVersions = 1))
+      val (_, vacuumSec) = timed(lake.vacuumBronze("facts", keepVersions = 1, retainMillis = 0L))
 
       StorageResult(rows, appendSec, tinyAppendSec, manifestBytes, liveFiles,
         deleteSec, afterDelete, compactSec, vacuumSec)

@@ -186,7 +186,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         require(missing.isEmpty,
           s"version $version of $layer.$name references ${missing.size} vacuumed file(s) " +
             s"(e.g. ${missing.head.relPath}); keep vacuumBronze keepVersions >= " +
-            s"bronzeCheckpointInterval ($bronzeCheckpointInterval) for full time travel")
+            s"bronzeCheckpointInterval ($bronzeCheckpointInterval) — or rely on its " +
+            "wall-clock floor (retainMillis, default 168h: versions committed inside " +
+            "the window keep their files) — for full time travel")
         val r = snap.schema.fold(spark.read)(spark.read.schema)
         r.parquet(snap.entries.map(e => base.resolve(e.relPath).toString): _*)
       case None =>
@@ -540,18 +542,42 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     base.resolve(s"_a${version}_${java.util.UUID.randomUUID.toString.take(8)}")
 
   /** VACUUM: delete data files referenced by NONE of the retained history
-    * manifests (default: the committed version + its predecessor, the
-    * [[materialize]] retention window), plus emptied append dirs and
-    * stale tmps. Like Delta VACUUM this is an EXPLICIT maintenance op
-    * with a concurrency contract: run it quiesced, or keep enough
-    * versions that no in-flight reader/writer references what it
-    * removes (a writer mid-commit holds files not yet in any manifest —
-    * exactly what `keepVersions` cannot protect; quiesce for that). */
-  def vacuumBronze(name: String, keepVersions: Int = 2): Unit = {
+    * manifests, plus emptied append dirs and stale tmps. Retention is the
+    * UNION of two floors, so either alone protects a version's files:
+    *
+    *   - `keepVersions` newest versions (default: committed + predecessor,
+    *     the [[materialize]] retention window), and
+    *   - every version COMMITTED within `retainMillis` of `now` — the
+    *     Delta `VACUUM ... RETAIN n HOURS` wall-clock contract (default
+    *     168 h, Delta's default). This is the floor that makes the
+    *     "keepVersions ≥ checkpointInterval for time travel" rule
+    *     self-enforcing on any realistic maintenance cadence: a version
+    *     younger than the window keeps its files regardless of how many
+    *     commits landed after it. Commit time is the manifest record's
+    *     mtime; `now` is injectable for deterministic tests.
+    *
+    * Passing `retainMillis = 0` (the pre-r11 behavior) is the Delta
+    * "retentionDurationCheck disabled" escape hatch — callers own the
+    * in-flight-reader risk.
+    *
+    * Like Delta VACUUM this is an EXPLICIT maintenance op with a
+    * concurrency contract: run it quiesced, or keep enough retention that
+    * no in-flight reader/writer references what it removes (a writer
+    * mid-commit holds files not yet in any manifest — exactly what
+    * retention cannot protect; quiesce for that). */
+  def vacuumBronze(name: String, keepVersions: Int = 2,
+      retainMillis: Long = Lakehouse.DefaultVacuumRetainMillis,
+      now: Long = System.currentTimeMillis()): Unit = {
+    require(retainMillis >= 0, s"retainMillis must be >= 0, got $retainMillis")
     val base = dir("bronze", name)
     if (!Files.exists(base)) return
     val allVersions = bronzeVersions(base)
-    val retained = allVersions.takeRight(math.max(1, keepVersions))
+    val youngEnough = allVersions.filter { v =>
+      val m = base.resolve(s"_files_v$v")
+      Files.exists(m) && Files.getLastModifiedTime(m).toMillis >= now - retainMillis
+    }
+    val retained =
+      (allVersions.takeRight(math.max(1, keepVersions)) ++ youngEnough).distinct.sorted
     val keep = retained
       .flatMap(v => resolveSnapshot(base, v).toSeq)
       .flatMap(_.entries).map(_.relPath).toSet
@@ -560,23 +586,33 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val liveTwins = allVersions
       .flatMap(v => readRecordHeader(base.resolve(s"_files_v$v")))
       .flatMap(_.ckptDir).toSet
+    // the wall-clock floor applies to UNREFERENCED files too (the Delta
+    // rule): a fresh file in no manifest is very likely an IN-FLIGHT
+    // writer's — deleting it would fail that writer's commit. Only files
+    // older than the window are provably abandoned debris.
+    def expired(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis < now - retainMillis
     listDir(base).foreach { p =>
       p.getFileName.toString match {
         case n if appendDir.pattern.matcher(n).matches() && Files.isDirectory(p) =>
+          // captured BEFORE the child deletions below bump the dir's mtime
+          val dirExpired = expired(p)
           listDir(p).foreach { f =>
             val fn = f.getFileName.toString
-            if (fn.endsWith(".parquet") && !keep.contains(s"$n/$fn")) {
+            if (fn.endsWith(".parquet") && !keep.contains(s"$n/$fn") && expired(f)) {
               Files.delete(f)
               val crc = f.resolveSibling(s".$fn.crc")
               if (Files.exists(crc)) Files.delete(crc)
             }
           }
-          if (!listDir(p)
+          // the emptied-dir sweep honors the floor too: a fresh dir with
+          // no parquet yet is an in-flight writer's, not debris
+          if (dirExpired && !listDir(p)
               .exists(_.getFileName.toString.endsWith(".parquet")))
             deleteRecursively(p)
-        case n if n.startsWith("_ckpt_v") && !liveTwins.contains(n) =>
+        case n if n.startsWith("_ckpt_v") && !liveTwins.contains(n) && expired(p) =>
           deleteRecursively(p)
-        case n if n.startsWith(".manifest_") => Files.deleteIfExists(p)
+        case n if n.startsWith(".manifest_") && expired(p) => Files.deleteIfExists(p)
         case _ =>
       }
     }
@@ -1210,6 +1246,10 @@ object Lakehouse {
     * commit would dominate; above it stats-pruned scans resolve
     * distributed. */
   val CheckpointParquetMinEntries: Int = 64
+
+  /** Default wall-clock retention for [[Lakehouse.vacuumBronze]] — 168 h,
+    * Delta's `VACUUM ... RETAIN` default. */
+  val DefaultVacuumRetainMillis: Long = 168L * 60 * 60 * 1000
 
   /** Spark type of a stats tag in the checkpoint parquet twin. */
   private[pipeline] def tagType(t: Char): org.apache.spark.sql.types.DataType = t match {

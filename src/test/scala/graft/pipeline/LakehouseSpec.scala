@@ -62,7 +62,7 @@ class LakehouseSpec extends SparkSpec {
     val ctx2 = Bronze.RunContext("run2", "r2", d("2025-06-02"), ts("2025-06-02 10:00:00"))
     Bronze.ingest(lake, ctx2, _ => Map("channels_raw" -> Seq("""{"items": [2]}""")))
     assert(lake.table("bronze", "channels_raw").count() == 2)
-    lake.vacuumBronze("channels_raw")
+    lake.vacuumBronze("channels_raw", retainMillis = 0L)
     assert(!Files.exists(base.resolve("_a2")), "crashed-append debris survived vacuum")
     assert(lake.table("bronze", "channels_raw").count() == 2, "vacuum touched live files")
   }
@@ -247,7 +247,7 @@ class LakehouseSpec extends SparkSpec {
       s"remove-only delete must land as a delta record:\n$v26")
     assert(lake.table("bronze", "big").count() == 22)
     // vacuum reclaims the deleted files; the live chain still reads
-    lake.vacuumBronze("big", keepVersions = 1)
+    lake.vacuumBronze("big", keepVersions = 1, retainMillis = 0L)
     assert(lake.table("bronze", "big").count() == 22)
     assert(lake.tableAt("bronze", "big", lake.tableVersions("bronze", "big").max).count() == 22)
   }
@@ -440,6 +440,42 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.table("bronze", "channels_raw").count() == 2)
   }
 
+  test("vacuum wall-clock floor: versions inside the retention window keep their files") {
+    // Delta's `VACUUM ... RETAIN n HOURS` contract, clock-injected: a
+    // version committed within the window keeps its data files no matter
+    // how small keepVersions is; once the clock passes the window the
+    // same vacuum call reclaims them.
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-vacret").toString,
+      bronzeCheckpointInterval = 5)
+    (1 to 4).foreach { i =>
+      lake.appendBronze("t", Seq((i.toLong, d("2025-06-01"), s"run$i"))
+        .toDF("id", "snapshot_date", "run_id").repartition(1))
+    }
+    lake.deleteByRunId("t", "run1") // run1's file leaves the live set
+    val versions = lake.tableVersions("bronze", "t")
+    val t0 = System.currentTimeMillis()
+    // inside the window: nothing reclaimed even at keepVersions = 1
+    lake.vacuumBronze("t", keepVersions = 1, retainMillis = 60000L, now = t0)
+    assert(lake.tableAt("bronze", "t", versions.head).count() == 1,
+      "a version committed inside the retention window lost its files")
+    // fresh UNREFERENCED debris survives too (it may be an in-flight writer)
+    val base = Paths.get(lake.root, "bronze", "t")
+    Seq((99L, d("2025-06-02"), "inflight")).toDF("id", "snapshot_date", "run_id")
+      .repartition(1).write.parquet(base.resolve("_a99_inflight").toString)
+    lake.vacuumBronze("t", keepVersions = 1, retainMillis = 60000L, now = t0)
+    assert(Files.exists(base.resolve("_a99_inflight")),
+      "vacuum deleted files younger than the retention window")
+    // the clock passes the window: both reclaim
+    lake.vacuumBronze("t", keepVersions = 1, retainMillis = 60000L, now = t0 + 120000L)
+    assert(!Files.exists(base.resolve("_a99_inflight")), "expired debris survived")
+    val e = intercept[IllegalArgumentException] {
+      lake.tableAt("bronze", "t", versions.head)
+    }
+    assert(e.getMessage.contains("vacuumed") && e.getMessage.contains("retainMillis"),
+      s"expected the fail-fast to cite the wall-clock floor, got: ${e.getMessage}")
+    assert(lake.table("bronze", "t").count() == 3, "vacuum touched live rows")
+  }
+
   test("adopt of a committed-then-deleted append dir is a no-op (no row resurrection)") {
     // live relPaths alone cannot tell "never committed" from "committed,
     // then deleted": after deleteByRunId removes a dir's rows, none of its
@@ -482,7 +518,7 @@ class LakehouseSpec extends SparkSpec {
     assert(versions.size >= 3, s"need a checkpoint-chain window, got $versions")
     // vacuum protecting only the newest version: run1's file is reclaimed,
     // but the checkpoint chain still ADVERTISES the older versions
-    lake.vacuumBronze("t", keepVersions = 1)
+    lake.vacuumBronze("t", keepVersions = 1, retainMillis = 0L)
     val e = intercept[IllegalArgumentException] {
       lake.tableAt("bronze", "t", versions.head)
     }

@@ -702,7 +702,7 @@ class StreamsSpec extends SparkSpec {
     // one crashed append is ADOPTED (its commit finally lands); the other is
     // vacuumed away (committed files survive vacuum, debris does not)
     lake.adoptAppendDir("channels_raw", "_a9_late")
-    lake.vacuumBronze("channels_raw")
+    lake.vacuumBronze("channels_raw", retainMillis = 0L)
     assert(!Files.exists(base.resolve("_a8_gone")), "vacuum left uncommitted debris")
     assert(Files.exists(base.resolve("_a9_late")), "vacuum deleted committed files")
     // the stream already consumed both paths — the pending set must fold the
