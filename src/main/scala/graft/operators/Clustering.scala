@@ -193,25 +193,20 @@ object Clustering {
     * assignment side is precomputed once and written partitioned by
     * cell_id, turning the probe join into partition pruning. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+      candidateBudget: Option[Long] = None,
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"k and nprobe must be >= 1, got k=$k nprobe=$nprobe")
     val cells = materializedCells(corpus, idCol, embCol)
     val assign = assignCells(corpus, idCol, embCol, cells)
-    ivfTopKFromIndex(queries, corpus, cells, assign, k, nprobe, idCol, embCol)
+    ivfTopKFromIndex(queries, corpus, cells, assign, k, nprobe, candidateBudget,
+      idCol, embCol)
   }
 
-  /** [[ivfTopK]] probing a PREBUILT index: `cells` (cell_id, c_emb, c_norm)
-    * and `assign` (vec_id, cell_id, …) built once at write time and stored
-    * at rest — the deployment shape, where index construction is amortized
-    * across every query instead of paid per probe. Plan is identical to
-    * [[ivfTopK]] from the probe step on. */
-  def ivfTopKFromIndex(queries: DataFrame, corpus: DataFrame,
-      cells: DataFrame, assign: DataFrame, k: Int, nprobe: Int,
-      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
-    require(k >= 1 && nprobe >= 1, s"k and nprobe must be >= 1, got k=$k nprobe=$nprobe")
-
-    // query → nprobe nearest cells, bounded aggregate again (k=nprobe)
-    val qScored = queries
+  /** Scored (query × cell) frame every probe starts from:
+    * (query_id, q_emb, q_norm, cos, cell_id). */
+  private def qCellScores(queries: DataFrame, cells: DataFrame,
+      idCol: String, embCol: String): DataFrame =
+    queries
       .select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"),
         Similarity.l2Norm(col(embCol)).as("q_norm"))
       .join(broadcast(cells))
@@ -219,16 +214,70 @@ object Clustering {
         (Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
           .as("cos"),
         col("cell_id"))
+
+  /** Probe-cell selection shared by the WHOLE IVF family (plain, PQ,
+    * residual-ADC): cells in (centroid-cos desc, cell_id asc) order until
+    * the probed cells' cumulative member count reaches `candidateBudget`
+    * (crossing cell included; always ≥ 1 cell). This is the s18 budget
+    * rule — fixed-nprobe cost is hostage to cell-size skew (one query
+    * hitting hot cells exact-scores 10× another's candidates, a run of
+    * near-empty cells starves recall at the same nprobe); budget probing
+    * equalizes per-query work. `sizes` = (cell_id, cell_n) from the
+    * assignment or any cell-carrying code table. Deterministic (cos desc,
+    * cell_id asc prefix) so an external oracle replays it with a window
+    * cumsum. Returns (query_id, q_emb, q_norm, cell_id). */
+  private def budgetProbes(queries: DataFrame, cells: DataFrame, sizes: DataFrame,
+      candidateBudget: Long, idCol: String, embCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cell_id").asc)
+    qCellScores(queries, cells, idCol, embCol)
+      .join(broadcast(sizes), Seq("cell_id"), "left")
+      .withColumn("cell_n", coalesce(col("cell_n"), lit(0L))) // memberless cells cost nothing
+      .withColumn("cum", sum(col("cell_n")).over(w))
+      // prefix of cells that start BEFORE the budget fills (crossing cell
+      // included; the first cell always qualifies at cum − cell_n = 0)
+      .filter(col("cum") - col("cell_n") < candidateBudget)
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("cell_id"))
+  }
+
+  /** Fixed-nprobe probe selection (bounded TopKPairs aggregate, k=nprobe).
+    * Returns (query_id, q_emb, q_norm, cell_id). */
+  private def fixedProbes(queries: DataFrame, cells: DataFrame, nprobe: Int,
+      idCol: String, embCol: String): DataFrame = {
     val probeAgg = org.apache.spark.sql.graft.ColumnShim.column(
       graft.sql.TopKPairs(
         org.apache.spark.sql.graft.ColumnShim.expression(col("cos")),
         org.apache.spark.sql.graft.ColumnShim.expression(col("cell_id")),
         nprobe).toAggregateExpression())
-    val probes = qScored
+    qCellScores(queries, cells, idCol, embCol)
       .groupBy(col("query_id"), col("q_emb"), col("q_norm"))
       .agg(probeAgg.as("cells"))
       .select(col("query_id"), col("q_emb"), col("q_norm"),
         explode(col("cells").getField("id")).as("cell_id"))
+  }
+
+  private def cellSizes(assign: DataFrame): DataFrame =
+    assign.groupBy(col("cell_id")).agg(count(lit(1)).as("cell_n"))
+
+  /** [[ivfTopK]] probing a PREBUILT index: `cells` (cell_id, c_emb, c_norm)
+    * and `assign` (vec_id, cell_id, …) built once at write time and stored
+    * at rest — the deployment shape, where index construction is amortized
+    * across every query instead of paid per probe. Plan is identical to
+    * [[ivfTopK]] from the probe step on. `candidateBudget` switches the
+    * probe from fixed-nprobe to the [[budgetProbes]] rule (the shipped
+    * s05/s18 config; `nprobe` is ignored then). */
+  def ivfTopKFromIndex(queries: DataFrame, corpus: DataFrame,
+      cells: DataFrame, assign: DataFrame, k: Int, nprobe: Int,
+      candidateBudget: Option[Long] = None,
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"k and nprobe must be >= 1, got k=$k nprobe=$nprobe")
+    require(candidateBudget.forall(_ >= 1),
+      s"candidateBudget must be >= 1, got $candidateBudget")
+
+    val probes = candidateBudget match {
+      case Some(b) => budgetProbes(queries, cells, cellSizes(assign), b, idCol, embCol)
+      case None => fixedProbes(queries, cells, nprobe, idCol, embCol)
+    }
 
     // candidates: members of probed cells (each corpus vector lives in
     // exactly ONE cell, so (query, neighbor) pairs are already distinct)
@@ -267,36 +316,8 @@ object Clustering {
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     require(k >= 1 && candidateBudget >= 1,
       s"k and candidateBudget must be >= 1, got k=$k budget=$candidateBudget")
-    import org.apache.spark.sql.expressions.Window
-    val sizes = assign.groupBy(col("cell_id")).agg(count(lit(1)).as("cell_n"))
-    val qScored = queries
-      .select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"),
-        Similarity.l2Norm(col(embCol)).as("q_norm"))
-      .join(broadcast(cells))
-      .select(col("query_id"), col("q_emb"), col("q_norm"),
-        (Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
-          .as("cos"),
-        col("cell_id"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cell_id").asc)
-    val probes = qScored
-      .join(broadcast(sizes), Seq("cell_id"), "left")
-      .withColumn("cell_n", coalesce(col("cell_n"), lit(0L))) // memberless cells cost nothing
-      .withColumn("cum", sum(col("cell_n")).over(w))
-      // prefix of cells that start BEFORE the budget fills (crossing cell
-      // included; the first cell always qualifies at cum − cell_n = 0)
-      .filter(col("cum") - col("cell_n") < candidateBudget)
-      .select(col("query_id"), col("q_emb"), col("q_norm"), col("cell_id"))
-    val cEmb = corpus.select(col(idCol).cast("bigint").as("neighbor_id"),
-      col(embCol).as("c_emb2"), Similarity.l2Norm(col(embCol)).as("c_norm2"))
-    val cand = probes
-      .join(assign, "cell_id")
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("q_emb"), col("q_norm"), col("vec_id").as("neighbor_id"))
-      .join(cEmb, "neighbor_id")
-      .withColumn("cosine",
-        Similarity.dot(col("q_emb"), col("c_emb2")) / (col("q_norm") * col("c_norm2")))
-      .select(col("query_id"), col("neighbor_id"), col("cosine"))
-    Similarity.topKByCosine(cand, k)
+    ivfTopKFromIndex(queries, corpus, cells, assign, k, nprobe = 1,
+      candidateBudget = Some(candidateBudget), idCol = idCol, embCol = embCol)
   }
 
   /** TWO-LEVEL (coarse→fine) cells — the above-cap layout the
@@ -742,41 +763,33 @@ object Clustering {
     * Output: (query_id, rank, neighbor_id, pq_dist2). */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
       numSub: Int, subDim: Int, rerank: Int = 0,
+      candidateBudget: Option[Long] = None,
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     val cells = materializedCells(corpus, idCol, embCol)
     val assign = assignCells(corpus, idCol, embCol, cells)
     val codes = pqCodes(corpus, idCol, embCol, cells, numSub, subDim)
     ivfPqTopKFromIndex(queries, corpus, cells, assign, codes,
-      k, nprobe, numSub, subDim, rerank, idCol, embCol)
+      k, nprobe, numSub, subDim, rerank, candidateBudget, idCol, embCol)
   }
 
   /** [[ivfPqTopK]] probing PREBUILT at-rest artifacts (`cells` codebook,
-    * `assign` cell membership, `codes` PQ code table). */
+    * `assign` cell membership, `codes` PQ code table). `candidateBudget`
+    * switches the coarse probe to the [[budgetProbes]] rule. */
   def ivfPqTopKFromIndex(queries: DataFrame, corpus: DataFrame,
       cells: DataFrame, assign: DataFrame, codes: DataFrame,
       k: Int, nprobe: Int, numSub: Int, subDim: Int, rerank: Int = 0,
+      candidateBudget: Option[Long] = None,
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(k >= 1 && nprobe >= 1 && numSub >= 1 && subDim >= 1,
       s"bad k=$k nprobe=$nprobe numSub=$numSub subDim=$subDim")
     require(rerank == 0 || rerank >= k, s"rerank must be 0 or >= k, got $rerank")
 
-    // query → nprobe nearest coarse cells (bounded TopKPairs, nprobe per query)
-    val qScored = queries
-      .select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"),
-        Similarity.l2Norm(col(embCol)).as("q_norm"))
-      .join(broadcast(cells))
-      .select(col("query_id"),
-        (Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
-          .as("cos"),
-        col("cell_id"))
-    val probeAgg = org.apache.spark.sql.graft.ColumnShim.column(
-      graft.sql.TopKPairs(
-        org.apache.spark.sql.graft.ColumnShim.expression(col("cos")),
-        org.apache.spark.sql.graft.ColumnShim.expression(col("cell_id")),
-        nprobe).toAggregateExpression())
-    val probes = qScored.groupBy(col("query_id")).agg(probeAgg.as("cells"))
-      .select(col("query_id"), explode(col("cells").getField("id")).as("cell_id"))
+    // query → probed coarse cells (budget prefix or bounded TopKPairs)
+    val probes = (candidateBudget match {
+      case Some(b) => budgetProbes(queries, cells, cellSizes(assign), b, idCol, embCol)
+      case None => fixedProbes(queries, cells, nprobe, idCol, embCol)
+    }).select(col("query_id"), col("cell_id"))
 
     // per-query per-subspace (codebook entry → distance) maps — query-sized
     val qd = queries
@@ -879,42 +892,37 @@ object Clustering {
     * Output: (query_id, rank, neighbor_id, pq_dist2). */
   def ivfAdcResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
       numSub: Int, subDim: Int, rerank: Int = 0,
+      candidateBudget: Option[Long] = None,
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     val cells = materializedCells(corpus, idCol, embCol)
     val rcb = residualCodebook(cells)
     val codes = residualPqCodes(corpus, idCol, embCol, cells, rcb, numSub, subDim)
     ivfAdcResidualFromIndex(queries, corpus, cells, rcb, codes,
-      k, nprobe, numSub, subDim, rerank, idCol, embCol)
+      k, nprobe, numSub, subDim, rerank, candidateBudget, idCol, embCol)
   }
 
   /** [[ivfAdcResidualTopK]] probing PREBUILT at-rest artifacts (`cells`
     * coarse codebook, `rcb` residual codebook, `codes` cell-carrying
-    * residual code table). */
+    * residual code table). `candidateBudget` switches the coarse probe to
+    * the [[budgetProbes]] rule; cell sizes come from the code table
+    * itself (one row per vector, cell_id-carrying), so no separate
+    * assignment frame is needed. */
   def ivfAdcResidualFromIndex(queries: DataFrame, corpus: DataFrame,
       cells: DataFrame, rcb: DataFrame, codes: DataFrame,
       k: Int, nprobe: Int, numSub: Int, subDim: Int, rerank: Int = 0,
+      candidateBudget: Option[Long] = None,
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(k >= 1 && nprobe >= 1 && numSub >= 1 && subDim >= 1,
       s"bad k=$k nprobe=$nprobe numSub=$numSub subDim=$subDim")
     require(rerank == 0 || rerank >= k, s"rerank must be 0 or >= k, got $rerank")
 
-    // query → nprobe nearest coarse cells (identical to ivfPqTopKFromIndex)
-    val qScored = queries
-      .select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"),
-        Similarity.l2Norm(col(embCol)).as("q_norm"))
-      .join(broadcast(cells))
-      .select(col("query_id"),
-        (Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
-          .as("cos"),
-        col("cell_id"))
-    val probeAgg = org.apache.spark.sql.graft.ColumnShim.column(
-      graft.sql.TopKPairs(
-        org.apache.spark.sql.graft.ColumnShim.expression(col("cos")),
-        org.apache.spark.sql.graft.ColumnShim.expression(col("cell_id")),
-        nprobe).toAggregateExpression())
-    val probes = qScored.groupBy(col("query_id")).agg(probeAgg.as("cells"))
-      .select(col("query_id"), explode(col("cells").getField("id")).as("cell_id"))
+    // query → probed coarse cells (budget prefix or bounded TopKPairs)
+    val probes = (candidateBudget match {
+      case Some(b) => budgetProbes(queries, cells,
+        cellSizes(codes.select(col("cell_id"))), b, idCol, embCol)
+      case None => fixedProbes(queries, cells, nprobe, idCol, embCol)
+    }).select(col("query_id"), col("cell_id"))
 
     // query residual per PROBED cell, then per-subspace distance tables
     // keyed by (cell_id, rcode) — the FAISS per-probe lookup table

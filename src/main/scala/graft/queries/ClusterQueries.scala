@@ -31,6 +31,17 @@ object ClusterQueries {
     * of a 1B-vector corpus's 31623). */
   val NProbe = 24
 
+  /** Candidate budget for the SHIPPED probe config (s05/s11/s15, r11):
+    * every IVF-family probe now selects cells by the s18 budget rule
+    * (cells in centroid-cos order until this many members are covered)
+    * instead of a fixed cell count — fixed-nprobe cost is hostage to
+    * cell-size skew (s17's own signal). 1200 ≈ the exact-scoring volume
+    * nprobe=24 did at sf0.1 (24/39 cells × 2000 vectors ≈ 1231), so cost
+    * and recall carry over; at smaller fixtures the budget covers the
+    * whole corpus exactly as nprobe=24 covered every cell. s18 keeps the
+    * tighter 1000 budget as a second point on the cost/recall frontier. */
+  val IvfBudget = 1200L
+
   /** Within-cell near-dup cosine threshold (same corpus regime as d06's
     * all-pairs 0.4 — d08 finds the same pairs when they share a cell). */
   val MinCosine = 0.4
@@ -71,29 +82,42 @@ object ClusterQueries {
               FROM cell_scored) z
         WHERE rn = 1)"""
 
+  /** Oracle replay of the shipped BUDGET probe ([[Clustering]]'s
+    * budgetProbes / the s18 rule): the prefix of cells in (cos desc,
+    * cell_id asc) order that starts before `budget` members are covered —
+    * a window cumsum over per-cell member counts. */
+  private def duckBudgetProbes(budget: Long) = s"""
+      sizes AS (
+        SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS cell_n
+        FROM assign GROUP BY cell_id),
+      probes AS (
+        SELECT query_id, cell_id
+        FROM (SELECT cs.vec_id AS query_id, cs.cell_id,
+                     coalesce(sz.cell_n, 0) AS cell_n,
+                     SUM(coalesce(sz.cell_n, 0)) OVER (PARTITION BY cs.vec_id
+                       ORDER BY cs.cos DESC, cs.cell_id ASC) AS cum
+              FROM cell_scored cs LEFT JOIN sizes sz ON cs.cell_id = sz.cell_id
+              WHERE cs.vec_id % 50 = 0) z
+        WHERE cum - cell_n < $budget)"""
+
   /** IVF approximate top-5 neighbors (same query set and output shape as
-    * s01/s02): probe the NProbe nearest seed cells, exact cosine on their
-    * members only. The approximation is WHICH pairs get scored; every
-    * score is exact, and the oracle replays the identical probe set. */
+    * s01/s02): probe seed cells under the [[IvfBudget]] candidate budget,
+    * exact cosine on their members only. The approximation is WHICH pairs
+    * get scored; every score is exact, and the oracle replays the
+    * identical probe set. */
   val s05IvfTopK = GraftQuery(
     "s05_ivf_topk",
     (s, dir) => {
       val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       val q = e.filter(col("id") % 50 === 0)
-      Clustering.ivfTopK(q, e, 5, NProbe)
+      Clustering.ivfTopK(q, e, 5, NProbe, candidateBudget = Some(IvfBudget))
         .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""
       WITH $duckCellCtes,
-      probes AS (
-        SELECT vec_id AS query_id, cell_id
-        FROM (SELECT vec_id, cell_id,
-                     row_number() OVER (PARTITION BY vec_id
-                       ORDER BY cos DESC, cell_id ASC) AS rn
-              FROM cell_scored WHERE vec_id % 50 = 0) z
-        WHERE rn <= $NProbe),
+      ${duckBudgetProbes(IvfBudget)},
       cand AS (
         SELECT p.query_id, a.vec_id AS neighbor_id
         FROM probes p JOIN assign a ON p.cell_id = a.cell_id
@@ -122,7 +146,8 @@ object ClusterQueries {
       val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       val q = e.filter(col("id") % 50 === 0)
       val (cells, assign) = BenchIndex.ivf(s, dir)
-      Clustering.ivfTopKFromIndex(q, e, cells, assign, 5, NProbe)
+      Clustering.ivfTopKFromIndex(q, e, cells, assign, 5, NProbe,
+          candidateBudget = Some(IvfBudget))
         .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
@@ -483,20 +508,15 @@ object ClusterQueries {
     (s, dir) => {
       val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       val q = e.filter(col("id") % 50 === 0)
-      Clustering.ivfPqTopK(q, e, 5, NProbe, NumSub, SubDim, rerank = PqRerank)
+      Clustering.ivfPqTopK(q, e, 5, NProbe, NumSub, SubDim, rerank = PqRerank,
+          candidateBudget = Some(IvfBudget))
         .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
           round(col("pq_dist2"), 6).as("pq_dist2"))
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""
       WITH $duckCellCtes,
-      probes AS (
-        SELECT vec_id AS query_id, cell_id
-        FROM (SELECT vec_id, cell_id,
-                     row_number() OVER (PARTITION BY vec_id
-                       ORDER BY cos DESC, cell_id ASC) AS rn
-              FROM cell_scored WHERE vec_id % 50 = 0) z
-        WHERE rn <= $NProbe),
+      ${duckBudgetProbes(IvfBudget)},
       sub AS (SELECT unnest(range(0, $NumSub)) AS m),
       vd AS (
         SELECT v.vec_id, s.m, c.cell_id,
@@ -555,7 +575,8 @@ object ClusterQueries {
       val (cells, assign) = BenchIndex.ivf(s, dir)
       val (_, codes) = BenchIndex.pq(s, dir, NumSub, SubDim)
       Clustering.ivfPqTopKFromIndex(q, e, cells, assign, codes,
-          5, NProbe, NumSub, SubDim, rerank = PqRerank)
+          5, NProbe, NumSub, SubDim, rerank = PqRerank,
+          candidateBudget = Some(IvfBudget))
         .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
           round(col("pq_dist2"), 6).as("pq_dist2"))
         .orderBy(col("query_id"), col("rank"))
@@ -581,20 +602,15 @@ object ClusterQueries {
     (s, dir) => {
       val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       val q = e.filter(col("id") % 50 === 0)
-      Clustering.ivfAdcResidualTopK(q, e, 5, NProbe, NumSub, SubDim, rerank = PqRerank)
+      Clustering.ivfAdcResidualTopK(q, e, 5, NProbe, NumSub, SubDim, rerank = PqRerank,
+          candidateBudget = Some(IvfBudget))
         .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
           round(col("pq_dist2"), 6).as("pq_dist2"))
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""
       WITH $duckCellCtes,
-      probes AS (
-        SELECT vec_id AS query_id, cell_id
-        FROM (SELECT vec_id, cell_id,
-                     row_number() OVER (PARTITION BY vec_id
-                       ORDER BY cos DESC, cell_id ASC) AS rn
-              FROM cell_scored WHERE vec_id % 50 = 0) z
-        WHERE rn <= $NProbe),
+      ${duckBudgetProbes(IvfBudget)},
       cnn AS (
         SELECT a.cell_id, a.c_emb, b.cell_id AS o_id, b.c_emb AS o_emb,
                row_number() OVER (PARTITION BY a.cell_id
@@ -676,7 +692,8 @@ object ClusterQueries {
       val q = e.filter(col("id") % 50 === 0)
       val (cells, rcb, codes) = BenchIndex.residualPq(s, dir, NumSub, SubDim)
       Clustering.ivfAdcResidualFromIndex(q, e, cells, rcb, codes,
-          5, NProbe, NumSub, SubDim, rerank = PqRerank)
+          5, NProbe, NumSub, SubDim, rerank = PqRerank,
+          candidateBudget = Some(IvfBudget))
         .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
           round(col("pq_dist2"), 6).as("pq_dist2"))
         .orderBy(col("query_id"), col("rank"))

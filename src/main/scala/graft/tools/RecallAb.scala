@@ -58,6 +58,49 @@ object RecallAb {
         println(f"[recall] nprobe=$np%3d rerank=$rr%3d  s11_nonresidual = $s11%.3f  s15_residual = $s15%.3f")
       }
     }
+
+    // ── budget-vs-fixed frontier: recall AND per-query candidate variance
+    // (the reason the shipped config is budget-probed: fixed nprobe's
+    // exact-scoring cost per query swings with cell-size skew; the budget
+    // rule pins it). Candidate count per query = Σ cell_n over its probe
+    // set, replayed here for both probe rules from the same scored frame.
+    import org.apache.spark.sql.expressions.Window
+    val sizes = assign.groupBy(col("cell_id")).agg(count(lit(1)).as("cell_n"))
+    val qcell = q
+      .select(col("id").cast("bigint").as("query_id"), col("embedding").as("q_emb"),
+        graft.operators.Similarity.l2Norm(col("embedding")).as("q_norm"))
+      .join(broadcast(cells))
+      .select(col("query_id"),
+        (graft.operators.Similarity.dot(col("q_emb"), col("c_emb"))
+          / (col("q_norm") * col("c_norm"))).as("cos"),
+        col("cell_id"))
+      .join(broadcast(sizes), Seq("cell_id"), "left")
+      .na.fill(0L, Seq("cell_n"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cell_id").asc)
+    def candStats(probes: DataFrame): String = {
+      val per = probes.groupBy(col("query_id")).agg(sum(col("cell_n")).as("cand"))
+        .collect().map(_.getAs[Long]("cand").toDouble)
+      val avg = per.sum / per.length
+      val sd = math.sqrt(per.map(x => (x - avg) * (x - avg)).sum / per.length)
+      f"cand avg=$avg%.0f min=${per.min}%.0f max=${per.max}%.0f sd=$sd%.1f"
+    }
+    val budgets = args.lift(3).map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(1000L, graft.queries.ClusterQueries.IvfBudget))
+    for (np <- nprobes) {
+      val fixedP = qcell.withColumn("rn", row_number().over(w)).filter(col("rn") <= np)
+      println(f"[frontier] mode=fixed  nprobe=$np%4d ${candStats(fixedP)}")
+    }
+    for (b <- budgets) {
+      val budP = qcell.withColumn("cum", sum(col("cell_n")).over(w))
+        .filter(col("cum") - col("cell_n") < b)
+      val rB = recall(Clustering.ivfTopKFromIndex(q, e, cells, assign, 5, 1,
+        candidateBudget = Some(b)))
+      val s11B = recall(Clustering.ivfPqTopKFromIndex(q, e, cells, assign, codes,
+        5, 1, NumSub, SubDim, rerank = PqRerank, candidateBudget = Some(b)))
+      val s15B = recall(Clustering.ivfAdcResidualFromIndex(q, e, cells, rcb, rcodes,
+        5, 1, NumSub, SubDim, rerank = PqRerank, candidateBudget = Some(b)))
+      println(f"[frontier] mode=budget b=$b%5d bound=$rB%.3f s11=$s11B%.3f s15=$s15B%.3f ${candStats(budP)}")
+    }
     spark.stop()
   }
 }
