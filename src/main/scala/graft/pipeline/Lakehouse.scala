@@ -915,12 +915,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       preds: Seq[ManifestStats.StatPred]): (Seq[String], Int) = {
     val base = dir(layer, name)
     bronzeVersions(base).lastOption match {
-      case Some(v) =>
-        resolvePrunedDistributed(base, v, preds).getOrElse {
-          val snap = resolveSnapshot(base, v).get
-          (snap.entries.filter(e => ManifestStats.mightMatch(e, preds))
-            .map(e => base.resolve(e.relPath).toString), snap.entries.size)
-        }
+      case Some(v) => prunedAtVersionMetered(base, v, preds)
       case None =>
         val dd = currentDataDir(layer, name)
         // `_VERSION` manifests are always full snapshots (materialized
@@ -933,6 +928,61 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         }
     }
   }
+
+  /** Stats-pruned file paths AS OF any retained bronze version: the twin
+    * read ([[resolvePrunedDistributed]]) works at every version, not just
+    * the latest — the walk to the nearest checkpoint starts wherever the
+    * caller points it — so an AS-OF probe holds O(matching + delta tail)
+    * on the driver too; falls back to the in-memory resolve when the
+    * version's chain has no twin. */
+  private def prunedAtVersionMetered(base: Path, version: Int,
+      preds: Seq[ManifestStats.StatPred]): (Seq[String], Int) =
+    resolvePrunedDistributed(base, version, preds).getOrElse {
+      val snap = resolveSnapshot(base, version).get
+      (snap.entries.filter(e => ManifestStats.mightMatch(e, preds))
+        .map(e => base.resolve(e.relPath).toString), snap.entries.size)
+    }
+
+  /** [[tableAtWhere]] plus the driver-materialized entry count (the AS-OF
+    * twin of [[prunedFilePathsMetered]], for the scaling spec). */
+  private[pipeline] def tableAtWhereMetered(layer: String, name: String,
+      version: Int, preds: Seq[ManifestStats.StatPred]): (DataFrame, Int) = {
+    val avail = tableVersions(layer, name)
+    require(avail.contains(version),
+      s"version $version of $layer.$name is not on disk (available: ${avail.mkString(",")})")
+    val base = dir(layer, name)
+    if (bronzeVersions(base).isEmpty)
+      // materialized `_v{N}` layout: whole-version dirs carry no per-file
+      // stats — the AS-OF read is the version dir, no skipping to apply
+      return (spark.read.parquet(base.resolve(s"_v$version").toString), 0)
+    val (paths, held) = prunedAtVersionMetered(base, version, preds)
+    val missing = paths.filterNot(p => Files.exists(Paths.get(p)))
+    require(missing.isEmpty,
+      s"version $version of $layer.$name references ${missing.size} vacuumed file(s) " +
+        s"(e.g. ${missing.head}); keep vacuumBronze keepVersions >= " +
+        s"bronzeCheckpointInterval ($bronzeCheckpointInterval) — or rely on its " +
+        "wall-clock floor (retainMillis, default 168h) — for full time travel")
+    // schema AS OF that version via a header peek (every commit writes
+    // its schema line), never a snapshot resolve
+    val schema = readRecordHeader(base.resolve(s"_files_v$version")).flatMap(_.schema)
+    if (paths.isEmpty) {
+      val s = schema.getOrElse(tableAt(layer, name, version).schema)
+      return (spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s), held)
+    }
+    (schema.fold(spark.read)(spark.read.schema).parquet(paths: _*), held)
+  }
+
+  /** Time-travel scan WITH file skipping — [[tableWhere]] AS OF `version`:
+    * only files of that version whose stats admit `preds` are read, and
+    * the resolve goes through the checkpoint parquet twin exactly like the
+    * latest-version path, so a selective AS-OF probe costs the driver
+    * O(matching + delta tail), never O(live files at that version). The
+    * caller still applies its exact row filter (skipping is a superset
+    * guarantee). */
+  def tableAtWhere(layer: String, name: String, version: Int,
+      preds: Seq[ManifestStats.StatPred]): DataFrame =
+    tableAtWhereMetered(layer, name, version, preds)._1
 
   /** Scan with file skipping: only files whose stats admit `preds` are
     * read. The caller still applies its exact row filter — skipping is a

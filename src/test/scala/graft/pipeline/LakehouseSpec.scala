@@ -571,10 +571,22 @@ class LakehouseSpec extends SparkSpec {
     assert(runPaths.size == 1, s"got ${runPaths.size}")
     // a delete rewrite stays correct through the twin chain: drop one run,
     // then the probe of a REMOVED file's date finds the post-delete state
+    val preDelete = lake.tableVersions("bronze", "t").max
     lake.deleteByRunId("t", "run3")
     assert(lake.tableWhere("bronze", "t", probe).count() == 0,
       "distributed resolve must apply the delete's remove-list")
     assert(lake.table("bronze", "t").count() == 15 * 20 - 20 + 2)
+    // AS-OF reads go through the same twin: a selective probe at the
+    // PRE-DELETE version sees run3's rows again, and the driver still
+    // holds O(matching + delta tail) — never that version's 77 entries
+    val (asOf, heldAsOf) = lake.tableAtWhereMetered("bronze", "t", preDelete, probe)
+    assert(asOf.count() == 20, "AS-OF pruned scan must see the pre-delete rows")
+    assert(heldAsOf <= 8,
+      s"driver materialized $heldAsOf entries for an AS-OF 5-file probe")
+    val (asOfNone, heldAsOfNone) = lake.tableAtWhereMetered("bronze", "t", preDelete,
+      Seq(StatEq("snapshot_date", d("1999-01-01"))))
+    assert(asOfNone.count() == 0 && heldAsOfNone <= 2,
+      s"got $heldAsOfNone entries for a no-match AS-OF probe")
   }
 
   test("envSchemaOverrides parses GRAFT_SCHEMA_* vars, ignoring unset layers") {
