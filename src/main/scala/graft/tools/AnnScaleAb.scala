@@ -45,7 +45,11 @@ object AnnScaleAb {
     val base = graft.Graft.table(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding"))
 
-    for (n <- Seq(1, 10)) {
+    // optional 2nd arg: comma-separated replication factors (the r9 record
+    // ran 1,10; the second-decade confirmation runs 1,10,100)
+    val scales = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 10))
+    for (n <- scales) {
       val e = mat(base.select(col("id"), col("embedding"),
           explode(lit((0 until n).toArray)).as("i"))
         .select((col("id") + col("i") * offset).as("id"), col("embedding")),
