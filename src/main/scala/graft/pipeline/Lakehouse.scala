@@ -638,7 +638,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     val won = commitFilesManifest(base, 1, Some(df.select(
         cols.map(org.apache.spark.sql.functions.col): _*).schema),
-      ManifestStats.collectStats(df, dataDir.toString, statsCols,
+      ManifestStats.collectStats(spark, dataDir.toString, statsCols,
         dataDir.getFileName.toString))
     // Only the CAS winner may delete the legacy files: a racing upgrader
     // that lost may still be scanning them for its own (now abandoned)
@@ -665,7 +665,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val v0 = readFilesManifest(base).map(_.version).getOrElse(0)
     val dataDir = newAppendDir(base, v0 + 1)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    val mine = ManifestStats.collectStats(df, dataDir.toString, statsCols,
+    val mine = ManifestStats.collectStats(spark, dataDir.toString, statsCols,
       dataDir.getFileName.toString)
     commitAppendEntries(base, name, df.schema, mine)
   }
@@ -722,7 +722,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     require(Files.isDirectory(dataDir), s"no append dir $dirName under bronze.$name")
     if (committedDirNames(base).contains(dirName)) return // committed (rows possibly deleted since)
     val df = spark.read.parquet(dataDir.toString)
-    val mine = ManifestStats.collectStats(df, dataDir.toString, statsCols, dirName)
+    val mine = ManifestStats.collectStats(spark, dataDir.toString, statsCols, dirName)
     val live = committedBronzeRelPaths(name).getOrElse(Set.empty)
     if (mine.exists(e => live(e.relPath))) return
     commitAppendEntries(base, name, df.schema, mine)
@@ -807,7 +807,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
               // stays readable
               val out = if (retained.isEmpty) retained.repartition(1) else retained
               out.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-              ManifestStats.collectStats(retained, dataDir.toString,
+              ManifestStats.collectStats(spark, dataDir.toString,
                 Lakehouse.BronzeStatsCols, dataDir.getFileName.toString)
             }
           if (commitFilesManifest(base, v + 1, schemaOpt, untouched ++ newEntries,
@@ -1085,7 +1085,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       if (statsCols.isEmpty)
         ManifestStats.listParquet(dataDir.toString)
           .map(f => ManifestStats.FileEntry(f, Map.empty))
-      else ManifestStats.collectStats(df, dataDir.toString, statsCols, "")
+      else ManifestStats.collectStats(spark, dataDir.toString, statsCols, "")
         .map(e => e.copy(relPath = e.relPath.stripPrefix("/")))
     val tmp = base.resolve(s".$ManifestName.$next.tmp")
     Files.write(tmp, (next.toString +: entries.map(_.render)).mkString("\n")
@@ -1220,7 +1220,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // prev provided, but a full rewrite's delta is never smaller than the
       // snapshot — this commit lands as a natural CHECKPOINT
       if (commitFilesManifest(base, v + 1, schemaOpt,
-          ManifestStats.collectStats(df, dataDir.toString, statsCols,
+          ManifestStats.collectStats(spark, dataDir.toString, statsCols,
             dataDir.getFileName.toString), prev = Some(entries))) return
     }
     throw new IllegalStateException(

@@ -116,10 +116,127 @@ object ManifestStats {
   }
 
   /** Per-file min/max over `statsCols` for every parquet file under
-    * `dataDir`, keyed by file name — ONE Spark job over just-written data
-    * (the write-side stats pass Delta folds into its commit). Columns not
-    * present in the data are ignored. */
-  def collectStats(df: DataFrame, dataDir: String, statsCols: Seq[String],
+    * `dataDir` — read from the files' own FOOTER statistics, so the
+    * commit-side stats pass costs O(files) metadata reads and NEVER a
+    * second scan over just-written data (the previous aggregate pass
+    * re-read every appended byte; at a 100 TB ingest cadence that second
+    * pass IS the commit cost. Delta avoids it the same way: stats ride
+    * the writer's own metadata). Bounds are the parquet writer's exact
+    * chunk statistics merged across row groups; any column whose physical
+    * type falls outside the encoding we track — or whose chunk carries no
+    * usable statistics — records nothing, which readers treat as
+    * "never skip". Type mapping mirrors [[encodeValue]] exactly:
+    * DATE→epoch-day, TIMESTAMP(UTC-adjusted micros/millis)→epoch-micros,
+    * signed INT32/INT64→'l', FLOAT/DOUBLE→'f', UTF8 BINARY→'s' (parquet
+    * binary stats compare in unsigned byte order — the same collation
+    * [[cmp]] uses), BOOLEAN→'b'. NTZ timestamps, INT96, unsigned ints and
+    * DECIMAL are deliberately skipped (their aggregate-side encoding is
+    * absent or lossy, and missing stats are always sound). */
+  def collectStats(spark: org.apache.spark.sql.SparkSession, dataDir: String,
+      statsCols: Seq[String], relPrefix: String): Seq[FileEntry] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val wanted = statsCols.toSet
+    val names = listParquet(dataDir)
+    def statsOf(name: String): Map[String, ColStats] = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dataDir/$name"), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val acc = scala.collection.mutable.Map.empty[String, ColStats]
+        reader.getFooter.getBlocks.forEach { block =>
+          block.getColumns.forEach { cc =>
+            val path = cc.getPath.toDotString
+            if (wanted.contains(path)) {
+              val st = cc.getStatistics
+              if (st != null && !st.isEmpty && st.hasNonNullValue) {
+                footerMinMax(schema.getType(Seq(path): _*).asPrimitiveType(), st).foreach {
+                  case (tag, mn, mx) =>
+                    acc.get(path) match {
+                      case Some(prev) if prev.tag == tag =>
+                        acc(path) = ColStats(tag,
+                          if (cmp(tag, mn, prev.min) < 0) mn else prev.min,
+                          if (cmp(tag, mx, prev.max) > 0) mx else prev.max)
+                      case Some(_) => // tag clash across row groups: drop (never guess)
+                        acc.remove(path)
+                      case None => acc(path) = ColStats(tag, mn, mx)
+                    }
+                }
+              } else if (st == null || st.isEmpty)
+                // a row group WITHOUT statistics poisons the whole file's
+                // column: footer bounds must cover every row or none
+                acc.remove(path)
+            }
+          }
+        }
+        // a column missing stats in ANY block must not keep partial bounds
+        val blocks = reader.getFooter.getBlocks
+        val complete = acc.filter { case (c, _) =>
+          var covered = 0
+          blocks.forEach { b => b.getColumns.forEach { cc =>
+            if (cc.getPath.toDotString == c) {
+              val st = cc.getStatistics
+              if (st != null && !st.isEmpty) covered += 1
+            }
+          } }
+          covered == blocks.size()
+        }
+        complete.toMap
+      } finally reader.close()
+    }
+    names.map(f => FileEntry(s"$relPrefix/$f", statsOf(f)))
+  }
+
+  /** (tag, min, max) of one column chunk's footer statistics in the
+    * [[encodeValue]] encoding; None for types we do not track. */
+  private def footerMinMax(pt: org.apache.parquet.schema.PrimitiveType,
+      st: org.apache.parquet.column.statistics.Statistics[_]): Option[(Char, String, String)] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val ann = pt.getLogicalTypeAnnotation
+    (pt.getPrimitiveTypeName, ann) match {
+      case (INT32, d: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+        val _ = d
+        Some(('l', st.genericGetMin.toString, st.genericGetMax.toString))
+      case (INT64, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+          if t.isAdjustedToUTC =>
+        val scale = t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+          case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+          case _ => return None // NANOS: not representable in our micros encoding
+        }
+        val mn = st.genericGetMin.asInstanceOf[java.lang.Long] * scale
+        val mx = st.genericGetMax.asInstanceOf[java.lang.Long] * scale
+        Some(('l', mn.toString, mx.toString))
+      case (INT32 | INT64, null) =>
+        Some(('l', st.genericGetMin.toString, st.genericGetMax.toString))
+      case (INT32 | INT64, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation) if i.isSigned =>
+        Some(('l', st.genericGetMin.toString, st.genericGetMax.toString))
+      case (FLOAT, _) =>
+        Some(('f', st.genericGetMin.asInstanceOf[java.lang.Float].doubleValue.toString,
+          st.genericGetMax.asInstanceOf[java.lang.Float].doubleValue.toString))
+      case (DOUBLE, _) =>
+        Some(('f', st.genericGetMin.toString, st.genericGetMax.toString))
+      case (BINARY, s: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+        val _ = s
+        val mn = new String(st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+          .getBytes, UTF_8)
+        val mx = new String(st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+          .getBytes, UTF_8)
+        Some(('s', mn, mx))
+      case (BOOLEAN, _) =>
+        Some(('b', if (st.genericGetMin.asInstanceOf[java.lang.Boolean]) "1" else "0",
+          if (st.genericGetMax.asInstanceOf[java.lang.Boolean]) "1" else "0"))
+      case _ => None
+    }
+  }
+
+  /** The pre-r11 stats pass: ONE Spark aggregate job re-reading the
+    * just-written data. Kept as the parity reference for
+    * [[collectStats]]'s footer path (the spec pins footer ≡ scan on every
+    * tracked type) and as an escape hatch for files whose footers carry
+    * no statistics. */
+  def collectStatsScan(df: DataFrame, dataDir: String, statsCols: Seq[String],
       relPrefix: String): Seq[FileEntry] = {
     val spark = df.sparkSession
     val files = spark.read.parquet(dataDir)

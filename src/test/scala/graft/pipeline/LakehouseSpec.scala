@@ -589,6 +589,39 @@ class LakehouseSpec extends SparkSpec {
       s"got $heldAsOfNone entries for a no-match AS-OF probe")
   }
 
+  test("footer-based stats collection equals the aggregate scan on every tracked type") {
+    // the commit-side stats pass reads parquet FOOTERS (O(files) metadata)
+    // instead of re-scanning the appended data; bounds must be IDENTICAL
+    // to the aggregate pass for every type the encoding tracks — includes
+    // a supplementary char (footer binary stats are unsigned byte order,
+    // the cmp collation), a pre-epoch timestamp (floor micros), nulls,
+    // and an empty output file
+    val dir = Files.createTempDirectory("graft-footstats").resolve("data").toString
+    val df = Seq(
+      (1L, 42, d("2025-06-01"), ts("2025-06-01 10:00:00"), "alpha", true, 1.5,
+        Option(7L), BigDecimal("12.34")),
+      (2L, -7, d("2025-07-04"), java.sql.Timestamp.valueOf("1969-12-31 23:59:59.123456"),
+        "Ω😀", false, -2.25, Option.empty[Long], BigDecimal("-0.5")),
+      (3L, 0, d("2024-01-01"), ts("2025-08-15 00:00:00"), "zulu", true, 99.0,
+        Option(-3L), BigDecimal("7.00")))
+      .toDF("l", "i", "dt", "tstamp", "s", "b", "f", "opt", "dec")
+    df.repartition(4).write.parquet(dir) // 3 rows / 4 files: one file empty
+    val cols = Seq("l", "i", "dt", "tstamp", "s", "b", "f", "opt", "dec")
+    val foot = ManifestStats.collectStats(spark, dir, cols, "p")
+    val scan = ManifestStats.collectStatsScan(spark.read.parquet(dir), dir, cols, "p")
+    assert(foot.map(_.relPath) == scan.map(_.relPath))
+    foot.zip(scan).foreach { case (fe, se) =>
+      // DECIMAL is deliberately untracked by the footer path (the scan
+      // encodes it lossily through double); everything else must agree
+      assert(fe.stats == (se.stats - "dec"), s"${fe.relPath}: ${fe.stats} vs ${se.stats}")
+      assert(!fe.stats.contains("dec"))
+    }
+    val tags = foot.flatMap(_.stats.values.map(_.tag)).toSet
+    assert(tags == Set('l', 'f', 's', 'b'), s"missing tracked tags: $tags")
+    // the timestamp column actually carried stats through the footer path
+    assert(foot.exists(_.stats.contains("tstamp")), "timestamp footer stats missing")
+  }
+
   test("envSchemaOverrides parses GRAFT_SCHEMA_* vars, ignoring unset layers") {
     val env = Map("GRAFT_SCHEMA_SILVER" -> "silver_ci", "GRAFT_SCHEMA_GOLD" -> "gold_blue")
     assert(Lakehouse.envSchemaOverrides(env.get) ==
