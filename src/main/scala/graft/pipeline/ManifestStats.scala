@@ -137,54 +137,77 @@ object ManifestStats {
     val conf = spark.sessionState.newHadoopConf()
     val wanted = statsCols.toSet
     val names = listParquet(dataDir)
-    def statsOf(name: String): Map[String, ColStats] = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(s"$dataDir/$name"), conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        val schema = reader.getFooter.getFileMetaData.getSchema
-        val acc = scala.collection.mutable.Map.empty[String, ColStats]
-        reader.getFooter.getBlocks.forEach { block =>
-          block.getColumns.forEach { cc =>
-            val path = cc.getPath.toDotString
-            if (wanted.contains(path)) {
-              val st = cc.getStatistics
-              if (st != null && !st.isEmpty && st.hasNonNullValue) {
-                footerMinMax(schema.getType(Seq(path): _*).asPrimitiveType(), st).foreach {
-                  case (tag, mn, mx) =>
-                    acc.get(path) match {
-                      case Some(prev) if prev.tag == tag =>
-                        acc(path) = ColStats(tag,
-                          if (cmp(tag, mn, prev.min) < 0) mn else prev.min,
-                          if (cmp(tag, mx, prev.max) > 0) mx else prev.max)
-                      case Some(_) => // tag clash across row groups: drop (never guess)
-                        acc.remove(path)
-                      case None => acc(path) = ColStats(tag, mn, mx)
-                    }
-                }
-              } else if (st == null || st.isEmpty)
-                // a row group WITHOUT statistics poisons the whole file's
-                // column: footer bounds must cover every row or none
-                acc.remove(path)
+    val stats: Seq[(String, Map[String, ColStats])] =
+      if (names.size <= DistributeFooterThreshold)
+        names.map(f => f -> footerStats(s"$dataDir/$f", wanted, conf))
+      else {
+        // a big commit (bulk load, full rewrite) reads its footers on the
+        // EXECUTORS: tens of thousands of sequential driver-side metadata
+        // reads would otherwise be the commit's critical path. The result
+        // (one entry per new file) is driver-sized by construction — it
+        // IS the manifest being written.
+        val sconf = org.apache.spark.sql.graft.ConfShim.serializable(conf)
+        val dd = dataDir
+        val parts = math.min(spark.sparkContext.defaultParallelism,
+          math.max(1, names.size / 64))
+        spark.sparkContext.parallelize(names, parts)
+          .map(f => f -> footerStats(s"$dd/$f", wanted, sconf.value))
+          .collect().toSeq.sortBy(_._1)
+      }
+    stats.map { case (f, s) => FileEntry(s"$relPrefix/$f", s) }
+  }
+
+  /** Footer reads distribute to executors above this many new files. */
+  val DistributeFooterThreshold = 64
+
+  /** One file's footer statistics, restricted to `wanted` columns. */
+  private def footerStats(file: String, wanted: Set[String],
+      conf: org.apache.hadoop.conf.Configuration): Map[String, ColStats] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val acc = scala.collection.mutable.Map.empty[String, ColStats]
+      reader.getFooter.getBlocks.forEach { block =>
+        block.getColumns.forEach { cc =>
+          val path = cc.getPath.toDotString
+          if (wanted.contains(path)) {
+            val st = cc.getStatistics
+            if (st != null && !st.isEmpty && st.hasNonNullValue) {
+              footerMinMax(schema.getType(Seq(path): _*).asPrimitiveType(), st).foreach {
+                case (tag, mn, mx) =>
+                  acc.get(path) match {
+                    case Some(prev) if prev.tag == tag =>
+                      acc(path) = ColStats(tag,
+                        if (cmp(tag, mn, prev.min) < 0) mn else prev.min,
+                        if (cmp(tag, mx, prev.max) > 0) mx else prev.max)
+                    case Some(_) => // tag clash across row groups: drop (never guess)
+                      acc.remove(path)
+                    case None => acc(path) = ColStats(tag, mn, mx)
+                  }
+              }
             }
           }
         }
-        // a column missing stats in ANY block must not keep partial bounds
-        val blocks = reader.getFooter.getBlocks
-        val complete = acc.filter { case (c, _) =>
-          var covered = 0
-          blocks.forEach { b => b.getColumns.forEach { cc =>
-            if (cc.getPath.toDotString == c) {
-              val st = cc.getStatistics
-              if (st != null && !st.isEmpty) covered += 1
-            }
-          } }
-          covered == blocks.size()
-        }
-        complete.toMap
-      } finally reader.close()
-    }
-    names.map(f => FileEntry(s"$relPrefix/$f", statsOf(f)))
+      }
+      // a column missing usable stats in ANY row group must not keep
+      // partial bounds — footer bounds must cover every row or none (an
+      // all-null chunk counts as covered: stats bound NON-NULL values,
+      // the aggregate convention, and it contributes none)
+      val blocks = reader.getFooter.getBlocks
+      val complete = acc.filter { case (c, _) =>
+        var covered = 0
+        blocks.forEach { b => b.getColumns.forEach { cc =>
+          if (cc.getPath.toDotString == c) {
+            val st = cc.getStatistics
+            if (st != null && !st.isEmpty) covered += 1
+          }
+        } }
+        covered == blocks.size()
+      }
+      complete.toMap
+    } finally reader.close()
   }
 
   /** (tag, min, max) of one column chunk's footer statistics in the

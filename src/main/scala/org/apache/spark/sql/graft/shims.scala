@@ -12,3 +12,12 @@ object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Serializable Hadoop configuration for executor-side metadata reads
+  * (Spark's own `SerializableConfiguration` is `private[spark]`, so the
+  * one-line wrapper lives in this package). */
+object ConfShim {
+  def serializable(conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(conf)
+}

@@ -622,6 +622,25 @@ class LakehouseSpec extends SparkSpec {
     assert(foot.exists(_.stats.contains("tstamp")), "timestamp footer stats missing")
   }
 
+  test("footer stats of a bulk commit collect on the executors, same result") {
+    // above DistributeFooterThreshold files the footer reads fan out to
+    // executors (a bulk load's commit must not serialize tens of
+    // thousands of metadata reads on the driver); result must be
+    // identical to the driver-side path's ordering and bounds
+    val dir = Files.createTempDirectory("graft-footdist").resolve("data").toString
+    val n = ManifestStats.DistributeFooterThreshold + 6
+    spark.range(1000L).select(col("id"),
+        (col("id") % 97).cast("string").as("run_id"))
+      .repartition(n).write.parquet(dir)
+    val cols = Seq("id", "run_id")
+    val dist = ManifestStats.collectStats(spark, dir, cols, "p")
+    val scan = ManifestStats.collectStatsScan(spark.read.parquet(dir), dir, cols, "p")
+    assert(dist.size == n)
+    assert(dist.map(_.relPath) == scan.map(_.relPath))
+    dist.zip(scan).foreach { case (de, se) =>
+      assert(de.stats == se.stats, s"${de.relPath}: ${de.stats} vs ${se.stats}") }
+  }
+
   test("envSchemaOverrides parses GRAFT_SCHEMA_* vars, ignoring unset layers") {
     val env = Map("GRAFT_SCHEMA_SILVER" -> "silver_ci", "GRAFT_SCHEMA_GOLD" -> "gold_blue")
     assert(Lakehouse.envSchemaOverrides(env.get) ==
