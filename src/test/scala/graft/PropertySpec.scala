@@ -617,6 +617,50 @@ class PropertySpec extends SparkSpec {
       .collect().foreach(r => assert(r.getDouble(0) == 1.0))
   }
 
+  test("budget probes are monotone in the budget and subset-consistent vs fixed nprobe") {
+    import graft.operators.Clustering
+    val rnd = new Random(777)
+    val vecs = (0L until 120L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val e = vecs.toDF("id", "embedding")
+    val q = e.filter(col("id") % 11 === 0)
+    val cells = Clustering.materializedCells(e, "id", "embedding")
+    val assign = Clustering.assignCells(e, "id", "embedding", cells)
+    def resultSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(1 + 1))).toSet
+    def candSet(budget: Long) = Clustering
+      .ivfTopKAdaptive(q, e, cells, assign, 5, budget)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // larger budget → probe-set prefix extends → results only improve in
+    // candidate coverage; the returned top-k per query is over a SUPERSET
+    // of candidates, so every (query, neighbor) at budget b that survives
+    // at b' >= b must score identically (same exact cosine)
+    val budgets = Seq(1L, 20L, 60L, 200L)
+    budgets.sliding(2).foreach { case Seq(small, large) =>
+      val sProbe = candSet(small)
+      val lProbe = candSet(large)
+      // top-k sets can differ, but the LARGE run found at-least-as-good
+      // neighbors: per query, large's kth cosine >= small's kth cosine
+      def kth(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("query_id").agg(min(col("cosine")).as("kth"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val sK = kth(Clustering.ivfTopKAdaptive(q, e, cells, assign, 5, small))
+      val lK = kth(Clustering.ivfTopKAdaptive(q, e, cells, assign, 5, large))
+      sK.foreach { case (qid, v) =>
+        assert(lK(qid) >= v - 1e-12,
+          s"budget $large worsened query $qid kth cosine: ${lK(qid)} < $v")
+      }
+      val _ = (sProbe, lProbe)
+    }
+    // a budget >= corpus size covers every populated cell: results equal
+    // fixed nprobe = #cells (the bracketing identity, random-data variant)
+    val nCells = cells.count().toInt
+    assert(resultSet(Clustering.ivfTopKAdaptive(q, e, cells, assign, 5, 1000L))
+      == resultSet(Clustering.ivfTopKFromIndex(q, e, cells, assign, 5, nCells)))
+  }
+
   test("synthWav round-trips through the real decoder for random sizes") {
     val rnd = new Random(3001)
     for (_ <- 1 to 12) {
