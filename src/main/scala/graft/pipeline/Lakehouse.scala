@@ -1202,6 +1202,64 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     else materialize(layer, name, table(layer, name).repartition(numFiles))
   }
 
+  /** Whether a table is managed by the bronze file log (vs the versioned
+    * `_v{N}` materialization layout or plain parquet). */
+  def isLogManaged(layer: String, name: String): Boolean =
+    bronzeVersions(dir(layer, name)).nonEmpty
+
+  /** OPTIMIZE bin-packing — the INCREMENTAL semantics Delta's OPTIMIZE
+    * actually has, which [[compact]]'s full rewrite lacks: only live
+    * files SMALLER than `targetBytes` rewrite (packed into
+    * ~`targetBytes` outputs); well-sized files stay untouched, so an
+    * every-run cadence costs the small-file BACKLOG, never the table —
+    * on a 100 TB table whose nightly append landed 2 GB of small files,
+    * this rewrites 2 GB, where [[compact]] would rewrite 100 TB. No-op
+    * (returns false) below `minSmallFiles` candidates, which is also
+    * what makes repeated runs converge: the packed output may itself be
+    * under-sized, but one file never re-triggers.
+    *
+    * File sizes come from the manifest's `__size` pseudo-stat (recorded
+    * by every r11+ commit, Delta's `add.size`); entries from older
+    * manifests fall back to one filesystem stat each. Commits as a
+    * remove+add DELTA through the normal CAS — a lost race (concurrent
+    * append or delete) recomputes the candidate set from the winner's
+    * manifest; the orphaned rewrite dir is vacuum debris. Log-managed
+    * tables only (versioned materializations rewrite whole on refresh). */
+  def compactSmall(layer: String, name: String,
+      targetBytes: Long = Lakehouse.DefaultTargetFileBytes,
+      minSmallFiles: Int = 4,
+      statsCols: Seq[String] = Lakehouse.BronzeStatsCols,
+      maxAttempts: Int = 5): Boolean = {
+    require(targetBytes > 0 && minSmallFiles >= 2,
+      s"need targetBytes > 0 and minSmallFiles >= 2, got $targetBytes/$minSmallFiles")
+    val base = dir(layer, name)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val BronzeSnapshot(v, schemaOpt, entries) =
+        readFilesManifest(base).getOrElse(return false)
+      def sizeOf(e: ManifestStats.FileEntry): Long =
+        ManifestStats.sizeOf(e).getOrElse(Files.size(base.resolve(e.relPath)))
+      val smalls = entries.filter(e => sizeOf(e) < targetBytes)
+      if (smalls.size < minSmallFiles) return false
+      val total = smalls.map(sizeOf).sum
+      val outFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+      val dataDir = newAppendDir(base, v + 1)
+      schemaOpt.fold(spark.read)(spark.read.schema)
+        .parquet(smalls.map(e => base.resolve(e.relPath).toString): _*)
+        .repartition(outFiles)
+        .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+      val newEntries = ManifestStats.collectStats(spark, dataDir.toString,
+        statsCols, dataDir.getFileName.toString)
+      val smallPaths = smalls.map(_.relPath).toSet
+      val untouched = entries.filterNot(e => smallPaths(e.relPath))
+      if (commitFilesManifest(base, v + 1, schemaOpt, untouched ++ newEntries,
+          prev = Some(entries))) return true
+    }
+    throw new IllegalStateException(
+      s"OPTIMIZE bin-packing of $name lost $maxAttempts consecutive CAS races")
+  }
+
   /** Full-rewrite commit over a bronze log's live file set (compaction,
     * clustering): transform → fresh append dir → CAS; a lost race restarts
     * from the winner's manifest so a concurrent append's files are never
@@ -1300,6 +1358,10 @@ object Lakehouse {
   /** Default wall-clock retention for [[Lakehouse.vacuumBronze]] — 168 h,
     * Delta's `VACUUM ... RETAIN` default. */
   val DefaultVacuumRetainMillis: Long = 168L * 60 * 60 * 1000
+
+  /** Target output size for [[Lakehouse.compactSmall]] bin-packing —
+    * 128 MiB, one HDFS/parquet-friendly split. */
+  val DefaultTargetFileBytes: Long = 128L << 20
 
   /** Spark type of a stats tag in the checkpoint parquet twin. */
   private[pipeline] def tagType(t: Char): org.apache.spark.sql.types.DataType = t match {

@@ -8,11 +8,12 @@ package graft.pipeline
   * pass keeps that contract for the graft engine:
   *
   *   - **Log-managed bronze tables** fragment one append dir per ingest;
-  *     any whose LIVE file count exceeds `maxLiveFiles` is rewritten to
-  *     `targetFiles` through the transaction log ([[Lakehouse.compact]] —
-  *     readers never see a half-compacted table). The file-count gate is
-  *     manifest metadata only, so a well-compacted 100 TB table costs one
-  *     log read to skip — never a scan.
+  *     each runs [[Lakehouse.compactSmall]] — Delta's INCREMENTAL
+  *     bin-packing, rewriting only files under `targetBytes` when at
+  *     least `minSmallFiles` of them exist. Cost tracks the small-file
+  *     backlog, never the table: a well-compacted 100 TB table costs one
+  *     manifest read to skip, and a nightly append's small files rewrite
+  *     without touching settled data.
   *   - **Versioned materializations** (silver/gold/curated) are replaced
   *     whole by every refresh and do not fragment across runs; they are
   *     skipped the way the reference skips views.
@@ -43,12 +44,17 @@ object Maintenance {
 
   /** Run the pass. `layers` defaults to bronze — the only layer whose
     * tables fragment across runs (appends); versioned materializations
-    * rewrite whole on refresh. */
+    * rewrite whole on refresh. Log-managed tables bin-pack incrementally
+    * (`targetBytes`/`minSmallFiles`); legacy plain-layout tables keep the
+    * file-count-gated full rewrite (`maxLiveFiles`/`targetFiles`, also
+    * the gate segment file count). */
   def run(
       lake: Lakehouse,
       layers: Seq[String] = Seq("bronze"),
       gates: Seq[GateDirs] = Seq.empty,
       batchDirs: Seq[String] = Seq.empty,
+      targetBytes: Long = Lakehouse.DefaultTargetFileBytes,
+      minSmallFiles: Int = 4,
       maxLiveFiles: Int = 64,
       targetFiles: Int = 8): Report = {
     val optimized = Seq.newBuilder[String]
@@ -60,7 +66,11 @@ object Maintenance {
     for (layer <- layers; name <- lake.tableNames(layer)) {
       val fqn = s"$layer.$name"
       try {
-        if (lake.liveFileCount(layer, name) > maxLiveFiles) {
+        if (lake.isLogManaged(layer, name)) {
+          if (lake.compactSmall(layer, name, targetBytes, minSmallFiles))
+            optimized += fqn
+          else skipped += fqn
+        } else if (lake.liveFileCount(layer, name) > maxLiveFiles) {
           lake.compact(layer, name, numFiles = targetFiles)
           optimized += fqn
         } else skipped += fqn

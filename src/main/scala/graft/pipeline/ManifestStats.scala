@@ -160,7 +160,19 @@ object ManifestStats {
   /** Footer reads distribute to executors above this many new files. */
   val DistributeFooterThreshold = 64
 
-  /** One file's footer statistics, restricted to `wanted` columns. */
+  /** Pseudo-column carrying the FILE SIZE in bytes (min = max = size) —
+    * rides the stats map so the line format is unchanged and old
+    * manifests simply lack it. [[graft.pipeline.Lakehouse.compactSmall]]
+    * reads it to find under-sized files without stat-ing the filesystem
+    * (Delta records `add.size` for the same reason). Never matches a
+    * [[StatPred]] (no real column is named this). */
+  val SizeCol = "__size"
+
+  def sizeOf(e: FileEntry): Option[Long] =
+    e.stats.get(SizeCol).map(_.min.toLong)
+
+  /** One file's footer statistics, restricted to `wanted` columns, plus
+    * the [[SizeCol]] pseudo-stat. */
   private def footerStats(file: String, wanted: Set[String],
       conf: org.apache.hadoop.conf.Configuration): Map[String, ColStats] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -206,7 +218,8 @@ object ManifestStats {
         } }
         covered == blocks.size()
       }
-      complete.toMap
+      complete.toMap + (SizeCol ->
+        ColStats('l', in.getLength.toString, in.getLength.toString))
     } finally reader.close()
   }
 
@@ -265,7 +278,11 @@ object ManifestStats {
     val files = spark.read.parquet(dataDir)
     val cols = statsCols.filter(files.columns.contains)
     if (cols.isEmpty) {
-      listParquet(dataDir).map(f => FileEntry(s"$relPrefix/$f", Map.empty))
+      listParquet(dataDir).map { f =>
+        val size = new java.io.File(dataDir, f).length
+        FileEntry(s"$relPrefix/$f",
+          Map(SizeCol -> ColStats('l', size.toString, size.toString)))
+      }
     } else {
       val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
       val rows = files.groupBy(input_file_name().as("__file"))
@@ -281,7 +298,12 @@ object ManifestStats {
         name -> stats
       }.toMap
       // every file gets an entry even if the stats job missed it (empty file)
-      listParquet(dataDir).map(f => FileEntry(s"$relPrefix/$f", byFile.getOrElse(f, Map.empty)))
+      listParquet(dataDir).map { f =>
+        val size = new java.io.File(dataDir, f).length
+        FileEntry(s"$relPrefix/$f",
+          byFile.getOrElse(f, Map.empty) +
+            (SizeCol -> ColStats('l', size.toString, size.toString)))
+      }
     }
   }
 

@@ -75,12 +75,13 @@ class JobSpec extends SparkSpec {
     assert(log.getAs[String]("run_status") == "success")
     assert(log.getAs[Timestamp]("finalized_ts_utc") != null)
     // the OPTIMIZE pass ran (reference: optimize_tables every job) and
-    // visited every bronze table; nothing here is fragmented enough to
-    // rewrite, so the pass must have been all-skip (cheap every run)
+    // visited every bronze table without errors; whether a table packed
+    // depends on its small-file backlog, but everything must be visited
     val maint = r.maintenance.get
     assert(maint.status == "ok", maint.toString)
-    assert(maint.skipped.contains("bronze.run_context_log"), maint.toString)
-    assert(maint.optimized.isEmpty, maint.toString)
+    assert((maint.skipped ++ maint.optimized).contains("bronze.run_context_log"),
+      maint.toString)
+    assert((maint.skipped ++ maint.optimized).size >= 5, maint.toString)
   }
 
   test("day-2 incremental run equals a full recompute over the same bronze") {

@@ -9,7 +9,7 @@ class MaintenanceSpec extends SparkSpec {
 
   import spark.implicits._
 
-  test("fragmented bronze compacts to the target file count; compact tables skip untouched") {
+  test("fragmented bronze bin-packs its small files; settled tables skip; reruns converge") {
     val lake = new Lakehouse(spark, Files.createTempDirectory("graft-maint").toString)
     (1 to 6).foreach { i =>
       lake.appendBronze("frag", Seq((i.toLong, java.sql.Date.valueOf("2025-06-01"), s"run$i"))
@@ -20,14 +20,52 @@ class MaintenanceSpec extends SparkSpec {
     assert(lake.liveFileCount("bronze", "frag") == 12)
     val smallVersion = lake.tableVersion("bronze", "small")
 
-    val report = Maintenance.run(lake, maxLiveFiles = 4, targetFiles = 2)
+    val report = Maintenance.run(lake)
     assert(report.status == "ok", report.toString)
     assert(report.optimized == Seq("bronze.frag"))
-    assert(report.skipped == Seq("bronze.small"))
-    assert(lake.liveFileCount("bronze", "frag") == 2)
+    assert(report.skipped == Seq("bronze.small"),
+      "a below-threshold table must skip without a rewrite")
+    assert(lake.liveFileCount("bronze", "frag") == 1,
+      s"12 tiny files should pack into one, got ${lake.liveFileCount("bronze", "frag")}")
     assert(lake.table("bronze", "frag").count() == 6, "OPTIMIZE changed the data")
     assert(lake.tableVersion("bronze", "small") == smallVersion,
       "a compact table was rewritten — the pass must stay cheap every run")
+
+    // convergence: the packed output is itself under-sized, but ONE small
+    // file never re-triggers — the second pass is a version-stable no-op
+    val fragVersion = lake.tableVersion("bronze", "frag")
+    val again = Maintenance.run(lake)
+    assert(again.optimized.isEmpty, again.toString)
+    assert(lake.tableVersion("bronze", "frag") == fragVersion,
+      "repeated OPTIMIZE must converge, not rewrite forever")
+  }
+
+  test("compactSmall rewrites ONLY under-sized files; settled files keep their paths") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-binpack").toString)
+    // one BIG append (well-sized at the test's targetBytes) + 5 tiny ones
+    lake.appendBronze("t", (1 to 3000).map(i =>
+        (i.toLong, java.sql.Date.valueOf("2025-06-01"), "bulk"))
+      .toDF("id", "snapshot_date", "run_id").repartition(1))
+    (1 to 5).foreach { i =>
+      lake.appendBronze("t", Seq((100000L + i, java.sql.Date.valueOf("2025-06-02"), s"run$i"))
+        .toDF("id", "snapshot_date", "run_id").repartition(1))
+    }
+    val before = lake.committedBronzeRelPaths("t").get
+    val big = before.filter(_.startsWith("_a1_"))
+    assert(big.size == 1 && before.size == 6)
+    val target = 4096L // the bulk file is bigger than this, the tiny ones are not
+    assert(Files.size(lake.tableDir("bronze", "t").resolve(big.head)) > target)
+
+    assert(lake.compactSmall("bronze", "t", targetBytes = target, minSmallFiles = 4))
+    val after = lake.committedBronzeRelPaths("t").get
+    assert(after.contains(big.head), "a well-sized file was rewritten")
+    assert((before - big.head).forall(p => !after.contains(p)),
+      "an under-sized file survived the bin-pack")
+    assert(lake.table("bronze", "t").count() == 3005, "bin-pack changed the data")
+    // below the candidate floor: no-op, version stable
+    val v = lake.tableVersion("bronze", "t")
+    assert(!lake.compactSmall("bronze", "t", targetBytes = target, minSmallFiles = 4))
+    assert(lake.tableVersion("bronze", "t") == v)
   }
 
   test("registered gates fold to their committed frontier; gate output unchanged") {
