@@ -38,7 +38,8 @@ object Maintenance {
       skipped: Seq[String],
       gatesCompacted: Seq[GateDirs],
       batchDirsCompacted: Seq[String],
-      failed: Seq[(String, String)]) {
+      failed: Seq[(String, String)],
+      vacuumed: Seq[String] = Seq.empty) {
     def status: String = if (failed.isEmpty) "ok" else "partial_error"
   }
 
@@ -56,12 +57,15 @@ object Maintenance {
       targetBytes: Long = Lakehouse.DefaultTargetFileBytes,
       minSmallFiles: Int = 4,
       maxLiveFiles: Int = 64,
-      targetFiles: Int = 8): Report = {
+      targetFiles: Int = 8,
+      vacuum: Boolean = false,
+      vacuumRetainMillis: Long = Lakehouse.DefaultVacuumRetainMillis): Report = {
     val optimized = Seq.newBuilder[String]
     val skipped = Seq.newBuilder[String]
     val gatesDone = Seq.newBuilder[GateDirs]
     val dirsDone = Seq.newBuilder[String]
     val failed = Seq.newBuilder[(String, String)]
+    val vacuumed = Seq.newBuilder[String]
 
     for (layer <- layers; name <- lake.tableNames(layer)) {
       val fqn = s"$layer.$name"
@@ -70,6 +74,18 @@ object Maintenance {
           if (lake.compactSmall(layer, name, targetBytes, minSmallFiles))
             optimized += fqn
           else skipped += fqn
+          // opt-in scheduled VACUUM (the Delta cadence): safe on a live
+          // table BECAUSE of the wall-clock floor — in-flight writers'
+          // fresh uncommitted files and recently-committed versions are
+          // inside the window; only readers time-traveling past the
+          // retention window can lose files (the documented Delta trade).
+          // Bin-packing above + vacuum here also bound the table dir's
+          // entry count, keeping per-commit directory listings
+          // O(activity since maintenance), not O(table lifetime).
+          if (vacuum && layer == "bronze") {
+            lake.vacuumBronze(name, retainMillis = vacuumRetainMillis)
+            vacuumed += fqn
+          }
         } else if (lake.liveFileCount(layer, name) > maxLiveFiles) {
           lake.compact(layer, name, numFiles = targetFiles)
           optimized += fqn
@@ -94,6 +110,6 @@ object Maintenance {
         failed += d -> t.toString }
     }
     Report(optimized.result(), skipped.result(), gatesDone.result(),
-      dirsDone.result(), failed.result())
+      dirsDone.result(), failed.result(), vacuumed.result())
   }
 }

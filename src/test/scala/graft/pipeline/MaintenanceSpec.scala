@@ -68,6 +68,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(lake.tableVersion("bronze", "t") == v)
   }
 
+  test("opt-in vacuum reclaims expired debris but spares the retention window") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-maintv").toString)
+    lake.appendBronze("t", Seq((1L, java.sql.Date.valueOf("2025-06-01"), "run1"))
+      .toDF("id", "snapshot_date", "run_id").repartition(1))
+    val base = lake.tableDir("bronze", "t")
+    // a crashed writer's uncommitted dir
+    Seq((9L, java.sql.Date.valueOf("2025-06-02"), "crashed"))
+      .toDF("id", "snapshot_date", "run_id").repartition(1)
+      .write.parquet(base.resolve("_a9_crashed").toString)
+    // default 168h window: the fresh debris is potentially an in-flight
+    // writer — the per-run vacuum must spare it
+    val r1 = Maintenance.run(lake, vacuum = true)
+    assert(r1.vacuumed == Seq("bronze.t"), r1.toString)
+    assert(Files.exists(base.resolve("_a9_crashed")),
+      "per-run vacuum deleted files inside the retention window")
+    // zero window (the explicit escape hatch): debris reclaims
+    val r2 = Maintenance.run(lake, vacuum = true, vacuumRetainMillis = 0L)
+    assert(r2.status == "ok", r2.toString)
+    assert(!Files.exists(base.resolve("_a9_crashed")), "expired debris survived")
+    assert(lake.table("bronze", "t").count() == 1, "vacuum touched live data")
+  }
+
   test("registered gates fold to their committed frontier; gate output unchanged") {
     val lake = new Lakehouse(spark, Files.createTempDirectory("graft-maintg").toString)
     val idx = Files.createTempDirectory("graft-maintg-idx").toString
