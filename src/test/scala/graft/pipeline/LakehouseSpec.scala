@@ -622,6 +622,33 @@ class LakehouseSpec extends SparkSpec {
     assert(foot.exists(_.stats.contains("tstamp")), "timestamp footer stats missing")
   }
 
+  test("footer stats merge across multiple row groups, equal to the scan") {
+    // tiny parquet block size forces several row groups per file — the
+    // footer path must merge chunk bounds across ALL blocks, and its
+    // coverage rule must accept a column present in every block
+    val dir = Files.createTempDirectory("graft-footrg").resolve("data").toString
+    spark.range(50000L).select(col("id"),
+        concat(lit("k"), lpad((col("id") * 37 % 1000).cast("string"), 4, "0")).as("s"),
+        (col("id") % 2 === 0).as("b"))
+      .repartition(1)
+      .write.option("parquet.block.size", "4096").parquet(dir)
+    val blocks = {
+      val f = ManifestStats.listParquet(dir).head
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/$f"),
+        spark.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.size() finally r.close()
+    }
+    assert(blocks > 1, s"fixture must span row groups, got $blocks block(s)")
+    val cols = Seq("id", "s", "b")
+    val foot = ManifestStats.collectStats(spark, dir, cols, "p")
+    val scan = ManifestStats.collectStatsScan(spark.read.parquet(dir), dir, cols, "p")
+    assert(foot.size == 1 && foot.head.stats == scan.head.stats,
+      s"${foot.head.stats} vs ${scan.head.stats}")
+    assert(foot.head.stats.keySet == Set("id", "s", "b", ManifestStats.SizeCol))
+  }
+
   test("footer stats of a bulk commit collect on the executors, same result") {
     // above DistributeFooterThreshold files the footer reads fan out to
     // executors (a bulk load's commit must not serialize tens of
