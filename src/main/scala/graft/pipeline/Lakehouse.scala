@@ -169,6 +169,48 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }.sorted.toSeq
   }
 
+  /** `DESCRIBE HISTORY` parity for log-managed bronze: one row per
+    * RETAINED log record — (version, timestamp, operation, record kind,
+    * files added/removed by that commit). The operation name is recorded
+    * by the writer in the `#op` header (Delta's `commitInfo.operation`);
+    * pre-r11 records read as `UNKNOWN`. Timestamps are the record's
+    * commit (file) time. Driver cost is O(retained records), which the
+    * checkpoint cadence bounds — never table history. Empty DataFrame
+    * for tables that are not log-managed. */
+  def history(layer: String, name: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = dir(layer, name)
+    val rows = bronzeVersions(base).map { v =>
+      val m = base.resolve(s"_files_v$v")
+      val rec = readRecord(m).get
+      val ts = new java.sql.Timestamp(Files.getLastModifiedTime(m).toMillis)
+      val op = readRecordHeader(m).flatMap(_.op).getOrElse("UNKNOWN")
+      // a checkpoint's `adds` are the full state, not this commit's adds —
+      // its per-commit delta is only known vs the resolvable predecessor
+      val (numAdds, numRemoves) =
+        if (rec.isDelta) (rec.adds.size.toLong, rec.removes.size.toLong)
+        else resolveSnapshot(base, v - 1) match {
+          case Some(prevSnap) =>
+            val prevPaths = prevSnap.entries.map(_.relPath).toSet
+            val nowPaths = rec.adds.map(_.relPath).toSet
+            (rec.adds.count(e => !prevPaths(e.relPath)).toLong,
+              prevSnap.entries.count(e => !nowPaths(e.relPath)).toLong)
+          case None => (rec.adds.size.toLong, 0L)
+        }
+      Row(v, ts, op, if (rec.isDelta) "delta" else "checkpoint", numAdds, numRemoves)
+    }
+    val schema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("timestamp", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("record", StringType, nullable = false),
+      StructField("num_added_files", LongType, nullable = false),
+      StructField("num_removed_files", LongType, nullable = false)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
   /** Time-travel read: the table AS OF `version`. Only versions within the
     * retention window ([[tableVersions]]) are readable; asking for a GC'd
     * or uncommitted version fails fast. */
@@ -265,6 +307,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private val RemoveLine = "#rm\t(.*)".r
   private val CkptLine = "#ckpt\t(.*)".r
   private val DirsLine = "#dirs\t(.*)".r
+  private val OpLine = "#op\t(.*)".r
 
   /** Header-only peek at a log record — version, delta/checkpoint kind, and
     * the parquet-twin reference — WITHOUT parsing the entry lines. The
@@ -273,7 +316,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * cost it exists to avoid. */
   private final case class RecordHeader(version: Int, isDelta: Boolean,
       ckptDir: Option[String], schema: Option[org.apache.spark.sql.types.StructType],
-      addDirs: Seq[String] = Seq.empty)
+      addDirs: Seq[String] = Seq.empty, op: Option[String] = None)
 
   private def readRecordHeader(m: Path): Option[RecordHeader] =
     if (!Files.exists(m)) None
@@ -285,6 +328,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         var ckpt: Option[String] = None
         var schema: Option[org.apache.spark.sql.types.StructType] = None
         var addDirs: Seq[String] = Seq.empty
+        var op: Option[String] = None
         var line = in.readLine()
         // header lines all start with '#' and precede the entry lines
         // (#rm lines of a delta are skipped — this peek never needs them)
@@ -295,6 +339,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
               java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
             case DirsLine(enc) => addDirs = enc.split(',').toSeq.filter(_.nonEmpty)
               .map(java.net.URLDecoder.decode(_, java.nio.charset.StandardCharsets.UTF_8))
+            case OpLine(enc) => op = Some(
+              java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
             case SchemaLine(enc) => schema = Some(
               org.apache.spark.sql.types.DataType.fromJson(
                 java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
@@ -303,7 +349,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           }
           line = in.readLine()
         }
-        Some(RecordHeader(version, isDelta, ckpt, schema, addDirs))
+        Some(RecordHeader(version, isDelta, ckpt, schema, addDirs, op))
       } finally in.close()
     }
 
@@ -466,9 +512,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private def commitFilesManifest(base: Path, version: Int,
       schema: Option[org.apache.spark.sql.types.StructType],
       entries: Seq[ManifestStats.FileEntry],
-      prev: Option[Seq[ManifestStats.FileEntry]] = None): Boolean = {
-    val schemaLine = schema.toSeq.map(st => "#schema\t" +
-      java.net.URLEncoder.encode(st.json, java.nio.charset.StandardCharsets.UTF_8))
+      prev: Option[Seq[ManifestStats.FileEntry]] = None,
+      op: String = "WRITE"): Boolean = {
+    val schemaLine = ("#op\t" + java.net.URLEncoder.encode(op,
+        java.nio.charset.StandardCharsets.UTF_8)) +:
+      schema.toSeq.map(st => "#schema\t" +
+        java.net.URLEncoder.encode(st.json, java.nio.charset.StandardCharsets.UTF_8))
     val delta = prev.map { p =>
       val prevPaths = p.map(_.relPath).toSet
       val newPaths = entries.map(_.relPath).toSet
@@ -639,7 +688,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val won = commitFilesManifest(base, 1, Some(df.select(
         cols.map(org.apache.spark.sql.functions.col): _*).schema),
       ManifestStats.collectStats(spark, dataDir.toString, statsCols,
-        dataDir.getFileName.toString))
+        dataDir.getFileName.toString), op = "UPGRADE")
     // Only the CAS winner may delete the legacy files: a racing upgrader
     // that lost may still be scanning them for its own (now abandoned)
     // rewrite — deleting under it would fail that writer's append with
@@ -704,7 +753,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       if (fresh.isEmpty) return // all files already committed (adopt raced the writer)
       val schema = mergedSchema(snap.flatMap(_.schema).getOrElse(incoming), incoming)
       committed = commitFilesManifest(base, v + 1, Some(schema), entries ++ fresh,
-        prev = snap.map(_.entries))
+        prev = snap.map(_.entries), op = "APPEND")
     }
   }
 
@@ -811,7 +860,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
                 Lakehouse.BronzeStatsCols, dataDir.getFileName.toString)
             }
           if (commitFilesManifest(base, v + 1, schemaOpt, untouched ++ newEntries,
-              prev = Some(entries))) return
+              prev = Some(entries), op = "DELETE")) return
           // lost the CAS: the read-set is stale — recompute from the winner
       }
     }
@@ -1254,7 +1303,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val smallPaths = smalls.map(_.relPath).toSet
       val untouched = entries.filterNot(e => smallPaths(e.relPath))
       if (commitFilesManifest(base, v + 1, schemaOpt, untouched ++ newEntries,
-          prev = Some(entries))) return true
+          prev = Some(entries), op = "OPTIMIZE")) return true
     }
     throw new IllegalStateException(
       s"OPTIMIZE bin-packing of $name lost $maxAttempts consecutive CAS races")
@@ -1266,7 +1315,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * dropped by the rewrite. */
   private def rewriteBronzeLive(base: Path, name: String,
       transform: DataFrame => DataFrame, statsCols: Seq[String],
-      maxAttempts: Int = 5): Unit = {
+      maxAttempts: Int = 5, op: String = "OPTIMIZE"): Unit = {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -1279,7 +1328,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // snapshot — this commit lands as a natural CHECKPOINT
       if (commitFilesManifest(base, v + 1, schemaOpt,
           ManifestStats.collectStats(spark, dataDir.toString, statsCols,
-            dataDir.getFileName.toString), prev = Some(entries))) return
+            dataDir.getFileName.toString), prev = Some(entries), op = op)) return
     }
     throw new IllegalStateException(
       s"bronze rewrite of $name lost $maxAttempts consecutive CAS races")
@@ -1307,7 +1356,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val base = dir(layer, name)
     if (readFilesManifest(base).nonEmpty)
       rewriteBronzeLive(base, name, clustered,
-        (Lakehouse.BronzeStatsCols ++ Seq(xCol, yCol)).distinct)
+        (Lakehouse.BronzeStatsCols ++ Seq(xCol, yCol)).distinct, op = "OPTIMIZE ZORDER")
     else materialize(layer, name, clustered(table(layer, name)),
       statsCols = Seq(xCol, yCol))
   }

@@ -622,6 +622,35 @@ class LakehouseSpec extends SparkSpec {
     assert(foot.exists(_.stats.contains("tstamp")), "timestamp footer stats missing")
   }
 
+  test("history records each commit's operation, kind and add/remove counts") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-hist").toString)
+    (1 to 3).foreach { i =>
+      lake.appendBronze("t", Seq((i.toLong, d("2025-06-01"), s"run$i"))
+        .toDF("id", "snapshot_date", "run_id").repartition(1))
+    }
+    lake.deleteByRunId("t", "run1")
+    lake.compact("bronze", "t", numFiles = 1)
+    val h = lake.history("bronze", "t").orderBy("version").collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getString(3), r.getLong(4), r.getLong(5)))
+    assert(h.map(_._1).toSeq == lake.tableVersions("bronze", "t"))
+    // v1-3 appends (v1 = first commit → checkpoint), v4 delete, v5 OPTIMIZE
+    assert(h.map(_._2).toSeq ==
+      Seq("APPEND", "APPEND", "APPEND", "DELETE", "OPTIMIZE"), h.mkString(","))
+    assert(h.map(_._3).toSeq ==
+      Seq("checkpoint", "delta", "delta", "delta", "checkpoint"), h.mkString(","))
+    val byV = h.map(x => x._1 -> x).toMap
+    assert(byV(2)._4 == 1 && byV(2)._5 == 0, byV(2).toString) // append: +1/-0
+    assert(byV(4)._4 == 0 && byV(4)._5 == 1, byV(4).toString) // delete drops run1's file
+    assert(byV(5)._4 == 1 && byV(5)._5 == 2, byV(5).toString) // rewrite 2 live files → 1
+    // ZORDER records its own operation name
+    lake.compactClustered("bronze", "t", "id", "id", numFiles = 1)
+    assert(lake.history("bronze", "t").orderBy(col("version").desc)
+      .head().getString(2) == "OPTIMIZE ZORDER")
+    // non-log tables: empty history, never an error
+    lake.materialize("silver", "m", Seq((1L, "a")).toDF("id", "v"))
+    assert(lake.history("silver", "m").isEmpty)
+  }
+
   test("footer stats merge across multiple row groups, equal to the scan") {
     // tiny parquet block size forces several row groups per file — the
     // footer path must merge chunk bounds across ALL blocks, and its
