@@ -71,7 +71,10 @@ object Bench {
     val failed = results.filterNot(_._3).map(_._1)
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} failed: ${failed.mkString(",")}")
-    val total = results.filter(_._3).map(_._2).sum + storage.fold(0.0)(_.totalSec)
+    // `value` stays the QUERY total (comparable with every prior round's
+    // records); the storage composite is tracked via its queries entry
+    // and the detail object, never folded into the headline number
+    val total = results.filter(_._3).map(_._2).sum
     val storageJson = storage.fold("null")(_.detailJson(sfDir))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""storage":$storageJson,"sf":"$sfDir"}""")

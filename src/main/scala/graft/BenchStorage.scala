@@ -43,9 +43,22 @@ object BenchStorage {
         s""""vacuum_sec":$vacuumSec,"sf":"$sfDir"}"""
   }
 
-  /** Run the full write-side sequence against a throwaway lakehouse. */
+  /** Run the full write-side sequence against a throwaway lakehouse (the
+    * temp tree is deleted on exit — [[Bench]] runs this every invocation,
+    * and each run writes the dataset several times over). */
   def runOps(spark: SparkSession, sfDir: String): StorageResult = {
-    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-bench-storage").toString)
+    val tmpRoot = Files.createTempDirectory("graft-bench-storage")
+    try runOpsAt(spark, sfDir, tmpRoot.toString)
+    finally {
+      val s = Files.walk(tmpRoot)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
+  private def runOpsAt(spark: SparkSession, sfDir: String, root: String): StorageResult = {
+    val lake = new Lakehouse(spark, root)
 
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()

@@ -174,39 +174,40 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * files added/removed by that commit). The operation name is recorded
     * by the writer in the `#op` header (Delta's `commitInfo.operation`);
     * pre-r11 records read as `UNKNOWN`. Timestamps are the record's
-    * commit (file) time. Driver cost is O(retained records), which the
-    * checkpoint cadence bounds — never table history. Empty DataFrame
+    * commit (file) time.
+    *
+    * DRIVER COST: delta records parse (O(that commit's activity));
+    * CHECKPOINT records are header-peeked ONLY — their per-commit
+    * add/remove counts read as NULL (Delta reports operation metrics
+    * only when the commit recorded them), because deriving them would
+    * materialize O(live files) entries, the very cost the header peek
+    * exists to avoid. A version pruned by a concurrent commit between
+    * the listing and the read is skipped, not an error. Empty DataFrame
     * for tables that are not log-managed. */
   def history(layer: String, name: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val base = dir(layer, name)
-    val rows = bronzeVersions(base).map { v =>
+    val rows = bronzeVersions(base).flatMap { v =>
       val m = base.resolve(s"_files_v$v")
-      val rec = readRecord(m).get
-      val ts = new java.sql.Timestamp(Files.getLastModifiedTime(m).toMillis)
-      val op = readRecordHeader(m).flatMap(_.op).getOrElse("UNKNOWN")
-      // a checkpoint's `adds` are the full state, not this commit's adds —
-      // its per-commit delta is only known vs the resolvable predecessor
-      val (numAdds, numRemoves) =
-        if (rec.isDelta) (rec.adds.size.toLong, rec.removes.size.toLong)
-        else resolveSnapshot(base, v - 1) match {
-          case Some(prevSnap) =>
-            val prevPaths = prevSnap.entries.map(_.relPath).toSet
-            val nowPaths = rec.adds.map(_.relPath).toSet
-            (rec.adds.count(e => !prevPaths(e.relPath)).toLong,
-              prevSnap.entries.count(e => !nowPaths(e.relPath)).toLong)
-          case None => (rec.adds.size.toLong, 0L)
-        }
-      Row(v, ts, op, if (rec.isDelta) "delta" else "checkpoint", numAdds, numRemoves)
+      readRecordHeader(m).flatMap { h =>
+        val ts = new java.sql.Timestamp(Files.getLastModifiedTime(m).toMillis)
+        val op = h.op.getOrElse("UNKNOWN")
+        if (h.isDelta)
+          readRecord(m).map(rec => Row(v, ts, op, "delta",
+            rec.adds.size.toLong: java.lang.Long,
+            rec.removes.size.toLong: java.lang.Long))
+        else Some(Row(v, ts, op, "checkpoint",
+          null: java.lang.Long, null: java.lang.Long))
+      }
     }
     val schema = StructType(Seq(
       StructField("version", IntegerType, nullable = false),
       StructField("timestamp", TimestampType, nullable = false),
       StructField("operation", StringType, nullable = false),
       StructField("record", StringType, nullable = false),
-      StructField("num_added_files", LongType, nullable = false),
-      StructField("num_removed_files", LongType, nullable = false)))
+      StructField("num_added_files", LongType, nullable = true),
+      StructField("num_removed_files", LongType, nullable = true)))
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
@@ -1258,14 +1259,20 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 
   /** OPTIMIZE bin-packing — the INCREMENTAL semantics Delta's OPTIMIZE
     * actually has, which [[compact]]'s full rewrite lacks: only live
-    * files SMALLER than `targetBytes` rewrite (packed into
+    * files smaller than `targetBytes / 2` rewrite (packed into
     * ~`targetBytes` outputs); well-sized files stay untouched, so an
     * every-run cadence costs the small-file BACKLOG, never the table —
     * on a 100 TB table whose nightly append landed 2 GB of small files,
     * this rewrites 2 GB, where [[compact]] would rewrite 100 TB. No-op
-    * (returns false) below `minSmallFiles` candidates, which is also
-    * what makes repeated runs converge: the packed output may itself be
-    * under-sized, but one file never re-triggers.
+    * (returns false) below `minSmallFiles` candidates.
+    *
+    * CONVERGENCE: the candidate threshold is HALF the packing target
+    * (Delta's minFileSize < maxFileSize split) precisely so outputs
+    * cannot re-qualify forever — when total backlog ≥ targetBytes, each
+    * packed output averages ≥ targetBytes/2 and leaves the candidate
+    * set; a smaller backlog packs into ONE file, and one file never
+    * re-triggers. A same-threshold rule would rewrite a large backlog on
+    * every run (outputs land just UNDER the target).
     *
     * File sizes come from the manifest's `__size` pseudo-stat (recorded
     * by every r11+ commit, Delta's `add.size`); entries from older
@@ -1289,7 +1296,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         readFilesManifest(base).getOrElse(return false)
       def sizeOf(e: ManifestStats.FileEntry): Long =
         ManifestStats.sizeOf(e).getOrElse(Files.size(base.resolve(e.relPath)))
-      val smalls = entries.filter(e => sizeOf(e) < targetBytes)
+      val smalls = entries.filter(e => sizeOf(e) < targetBytes / 2)
       if (smalls.size < minSmallFiles) return false
       val total = smalls.map(sizeOf).sum
       val outFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)

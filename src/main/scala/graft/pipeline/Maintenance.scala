@@ -74,24 +74,37 @@ object Maintenance {
           if (lake.compactSmall(layer, name, targetBytes, minSmallFiles))
             optimized += fqn
           else skipped += fqn
-          // opt-in scheduled VACUUM (the Delta cadence): safe on a live
-          // table BECAUSE of the wall-clock floor — in-flight writers'
-          // fresh uncommitted files and recently-committed versions are
-          // inside the window; only readers time-traveling past the
-          // retention window can lose files (the documented Delta trade).
-          // Bin-packing above + vacuum here also bound the table dir's
-          // entry count, keeping per-commit directory listings
-          // O(activity since maintenance), not O(table lifetime).
-          if (vacuum && layer == "bronze") {
-            lake.vacuumBronze(name, retainMillis = vacuumRetainMillis)
-            vacuumed += fqn
-          }
+        } else if (layer == "bronze") {
+          // a PLAIN-layout bronze table (legacy, pre-log) must NOT be
+          // compacted here: compact() would materialize it into the
+          // versioned `_v{N}` layout, and the next appendBronze's legacy
+          // upgrade skips '_'-prefixed children — the log would then be
+          // born holding only the append's files, hiding every earlier
+          // row. Its correct migration path is the upgrade that runs on
+          // its next append; until then it skips.
+          skipped += fqn
         } else if (lake.liveFileCount(layer, name) > maxLiveFiles) {
           lake.compact(layer, name, numFiles = targetFiles)
           optimized += fqn
         } else skipped += fqn
       } catch { case scala.util.control.NonFatal(t) =>
         failed += fqn -> t.toString }
+      // opt-in scheduled VACUUM (the Delta cadence): safe on a live table
+      // BECAUSE of the wall-clock floor — in-flight writers' fresh
+      // uncommitted files and recently-committed versions are inside the
+      // window; only readers time-traveling past the retention window can
+      // lose files (the documented Delta trade). Bin-packing + vacuum
+      // together bound the table dir's entry count, keeping per-commit
+      // directory listings O(activity since maintenance), not O(table
+      // lifetime). Separate try: a vacuum failure reports as
+      // "<fqn> (vacuum)" and never doubles with the OPTIMIZE outcome.
+      if (vacuum && layer == "bronze" && lake.isLogManaged(layer, name)) {
+        try {
+          lake.vacuumBronze(name, retainMillis = vacuumRetainMillis)
+          vacuumed += fqn
+        } catch { case scala.util.control.NonFatal(t) =>
+          failed += s"$fqn (vacuum)" -> t.toString }
+      }
     }
     gates.foreach { g =>
       try {

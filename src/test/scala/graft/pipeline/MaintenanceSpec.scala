@@ -53,8 +53,12 @@ class MaintenanceSpec extends SparkSpec {
     val before = lake.committedBronzeRelPaths("t").get
     val big = before.filter(_.startsWith("_a1_"))
     assert(big.size == 1 && before.size == 6)
-    val target = 4096L // the bulk file is bigger than this, the tiny ones are not
+    // candidates are files under target/2: the bulk file clears the
+    // target itself, the tiny ones sit under half of it
+    val target = 8192L
     assert(Files.size(lake.tableDir("bronze", "t").resolve(big.head)) > target)
+    (before - big.head).foreach { p =>
+      assert(Files.size(lake.tableDir("bronze", "t").resolve(p)) < target / 2) }
 
     assert(lake.compactSmall("bronze", "t", targetBytes = target, minSmallFiles = 4))
     val after = lake.committedBronzeRelPaths("t").get
