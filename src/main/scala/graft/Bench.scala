@@ -65,15 +65,16 @@ object Bench {
       System.err.println(f"[bench] storage_ops ${s.totalSec}%.3f s (${s.detailJson(sfDir)})"))
 
     // failed queries report null so a fast failure can't masquerade as a fast pass
-    val qs = (results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v.toString else "null") }
-        :+ ("\"storage_ops\":" + storage.fold("null")(_.totalSec.toString)))
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v.toString else "null") }
       .mkString("{", ",", "}")
-    val failed = results.filterNot(_._3).map(_._1)
+    val failed = (results.filterNot(_._3).map(_._1)
+      ++ (if (storage.isEmpty) Seq("storage_ops") else Nil))
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} failed: ${failed.mkString(",")}")
     // `value` stays the QUERY total (comparable with every prior round's
-    // records); the storage composite is tracked via its queries entry
-    // and the detail object, never folded into the headline number
+    // records); the storage composite lives ONLY in the top-level `storage`
+    // object (totalSec + per-op breakdown) — keeping it out of the queries
+    // map means sum(queries) == value holds for any consumer
     val total = results.filter(_._3).map(_._2).sum
     val storageJson = storage.fold("null")(_.detailJson(sfDir))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -36,7 +36,7 @@ object BenchStorage {
     /** Composite seconds — the one number the driver bench tracks. */
     def totalSec: Double = append16Sec + tinyAppendSec + deleteSec + compactSec + vacuumSec
     def detailJson(sfDir: String): String =
-      s"""{"metric":"storage","rows":$rows,"append16_sec":$append16Sec,""" +
+      s"""{"metric":"storage","total_sec":$totalSec,"rows":$rows,"append16_sec":$append16Sec,""" +
         s""""tiny_append_sec":$tinyAppendSec,"manifest_bytes":$manifestBytes,""" +
         s""""live_files":$liveFiles,"delete_run_sec":$deleteSec,""" +
         s""""rows_after_delete":$rowsAfterDelete,"compact_clustered_sec":$compactSec,""" +

@@ -308,6 +308,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private val RemoveLine = "#rm\t(.*)".r
   private val CkptLine = "#ckpt\t(.*)".r
   private val DirsLine = "#dirs\t(.*)".r
+  private val NoDataDirsLine = "#nddirs\t(.*)".r
   private val OpLine = "#op\t(.*)".r
 
   /** Header-only peek at a log record — version, delta/checkpoint kind, and
@@ -317,7 +318,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * cost it exists to avoid. */
   private final case class RecordHeader(version: Int, isDelta: Boolean,
       ckptDir: Option[String], schema: Option[org.apache.spark.sql.types.StructType],
-      addDirs: Seq[String] = Seq.empty, op: Option[String] = None)
+      addDirs: Seq[String] = Seq.empty, op: Option[String] = None,
+      noDataDirs: Seq[String] = Seq.empty)
 
   private def readRecordHeader(m: Path): Option[RecordHeader] =
     if (!Files.exists(m)) None
@@ -330,6 +332,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         var schema: Option[org.apache.spark.sql.types.StructType] = None
         var addDirs: Seq[String] = Seq.empty
         var op: Option[String] = None
+        var noDataDirs: Seq[String] = Seq.empty
         var line = in.readLine()
         // header lines all start with '#' and precede the entry lines
         // (#rm lines of a delta are skipped — this peek never needs them)
@@ -338,6 +341,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
             case "#delta" => isDelta = true
             case CkptLine(enc) => ckpt = Some(
               java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
+            case NoDataDirsLine(enc) => noDataDirs = enc.split(',').toSeq.filter(_.nonEmpty)
+              .map(java.net.URLDecoder.decode(_, java.nio.charset.StandardCharsets.UTF_8))
             case DirsLine(enc) => addDirs = enc.split(',').toSeq.filter(_.nonEmpty)
               .map(java.net.URLDecoder.decode(_, java.nio.charset.StandardCharsets.UTF_8))
             case OpLine(enc) => op = Some(
@@ -350,7 +355,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           }
           line = in.readLine()
         }
-        Some(RecordHeader(version, isDelta, ckpt, schema, addDirs, op))
+        Some(RecordHeader(version, isDelta, ckpt, schema, addDirs, op, noDataDirs))
       } finally in.close()
     }
 
@@ -379,6 +384,38 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
     acc.toSet
   }
+
+  /** Append-dir names whose files were added by dataChange=false commits
+    * (OPTIMIZE / OPTIMIZE ZORDER — rewrites that rearrange existing rows
+    * without adding data, Delta's `add.dataChange = false`). Resolved like
+    * [[committedDirNames]]: union the `#nddirs` header newest→oldest until
+    * a checkpoint (whose `#nddirs` is CUMULATIVE, pruned to dirs still on
+    * disk). Dir-level attribution is exact because every commit writes
+    * into its own fresh uid'd append dir — a dir never mixes data-bearing
+    * and repack files. */
+  private def nodataDirNames(base: Path): Set[String] = {
+    val acc = scala.collection.mutable.Set.empty[String]
+    val it = bronzeVersions(base).reverseIterator
+    var done = false
+    while (it.hasNext && !done) {
+      readRecordHeader(base.resolve(s"_files_v${it.next()}")).foreach { h =>
+        acc ++= h.noDataDirs
+        if (!h.isDelta) done = true
+      }
+    }
+    acc.toSet
+  }
+
+  /** PUBLIC face of [[nodataDirNames]] — the set a STREAMING consumer of
+    * [[streamSourcePath]] must skip: files under these dirs are committed
+    * but carry no new rows (an OPTIMIZE repack of rows the stream already
+    * delivered). Delta's streaming source skips `dataChange = false` adds
+    * for exactly this reason; without the skip every maintenance pass
+    * re-delivers the packed rows to every file stream (full re-delivery
+    * cost for idempotent sinks, duplicate rows for non-idempotent ones).
+    * Empty for non-log-managed tables. */
+  def nodataDirs(layer: String, name: String): Set[String] =
+    nodataDirNames(dir(layer, name))
 
   /** The log schema as of the LATEST version, via header peeks only (every
     * commit writes its schema line, so this terminates at the newest
@@ -514,7 +551,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       schema: Option[org.apache.spark.sql.types.StructType],
       entries: Seq[ManifestStats.FileEntry],
       prev: Option[Seq[ManifestStats.FileEntry]] = None,
-      op: String = "WRITE"): Boolean = {
+      op: String = "WRITE",
+      dataChange: Boolean = true): Boolean = {
     val schemaLine = ("#op\t" + java.net.URLEncoder.encode(op,
         java.nio.charset.StandardCharsets.UTF_8)) +:
       schema.toSeq.map(st => "#schema\t" +
@@ -548,13 +586,30 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val dirsLine = if (dirsOfRecord.isEmpty) Seq.empty else Seq("#dirs\t" +
       dirsOfRecord.map(java.net.URLEncoder.encode(_,
         java.nio.charset.StandardCharsets.UTF_8)).mkString(","))
+    // dataChange=false attribution (see [[nodataDirNames]]): a delta's
+    // #nddirs line carries the dirs of ITS adds when this commit is a
+    // repack; a checkpoint's is cumulative (prior nodata set ∪ this
+    // commit's, when applicable), pruned to dirs still on disk — the same
+    // scaling discipline as #dirs
+    val myNoDataDirs: Seq[String] =
+      if (dataChange) Seq.empty
+      else delta.map(_._1.map(e => dirOf(e.relPath)).distinct)
+        .getOrElse(entries.map(e => dirOf(e.relPath)).distinct)
+    val ndDirsOfRecord: Seq[String] =
+      if (asDelta) myNoDataDirs
+      else (nodataDirNames(base) ++ myNoDataDirs)
+        .toSeq.distinct.filter(d => Files.isDirectory(base.resolve(d)))
+    val ndLine = if (ndDirsOfRecord.isEmpty) Seq.empty else Seq("#nddirs\t" +
+      ndDirsOfRecord.map(java.net.URLEncoder.encode(_,
+        java.nio.charset.StandardCharsets.UTF_8)).mkString(","))
     val body = (delta match {
       case Some((adds, removes)) if asDelta =>
-        (version.toString +: "#delta" +: (schemaLine ++ dirsLine)) ++
+        (version.toString +: "#delta" +: (schemaLine ++ dirsLine ++ ndLine)) ++
           removes.map(r => "#rm\t" +
             java.net.URLEncoder.encode(r, java.nio.charset.StandardCharsets.UTF_8)) ++
           adds.map(_.render)
-      case _ => (version.toString +: (schemaLine ++ ckptLine ++ dirsLine)) ++ entries.map(_.render)
+      case _ => (version.toString +: (schemaLine ++ ckptLine ++ dirsLine ++ ndLine)) ++
+        entries.map(_.render)
     }).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val tmp = base.resolve(s".manifest_${version}_${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, body)
@@ -606,9 +661,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     *     commits landed after it. Commit time is the manifest record's
     *     mtime; `now` is injectable for deterministic tests.
     *
-    * Passing `retainMillis = 0` (the pre-r11 behavior) is the Delta
-    * "retentionDurationCheck disabled" escape hatch — callers own the
-    * in-flight-reader risk.
+    * NOTE (default changed in r11): `retainMillis` defaults to 168 h, so a
+    * bare `vacuumBronze(name)` is a near-no-op for a week after a write —
+    * unreferenced files younger than the window are deliberately kept
+    * (they may be an in-flight writer's). Callers wanting immediate
+    * reclamation must pass `retainMillis = 0` explicitly (the pre-r11
+    * behavior, Delta's "retentionDurationCheck disabled" escape hatch —
+    * callers own the in-flight-reader risk). To make the floor visible,
+    * the call RETURNS how many files it retained solely because of the
+    * wall-clock window and logs one stderr line when that count is
+    * non-zero — "vacuum reclaimed nothing" is then attributable.
     *
     * Like Delta VACUUM this is an EXPLICIT maintenance op with a
     * concurrency contract: run it quiesced, or keep enough retention that
@@ -617,10 +679,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * retention cannot protect; quiesce for that). */
   def vacuumBronze(name: String, keepVersions: Int = 2,
       retainMillis: Long = Lakehouse.DefaultVacuumRetainMillis,
-      now: Long = System.currentTimeMillis()): Unit = {
+      now: Long = System.currentTimeMillis()): Int = {
     require(retainMillis >= 0, s"retainMillis must be >= 0, got $retainMillis")
     val base = dir("bronze", name)
-    if (!Files.exists(base)) return
+    if (!Files.exists(base)) return 0
+    var floorRetained = 0 // unreferenced files kept ONLY by the wall-clock floor
     val allVersions = bronzeVersions(base)
     val youngEnough = allVersions.filter { v =>
       val m = base.resolve(s"_files_v$v")
@@ -649,10 +712,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           val dirExpired = expired(p)
           listDir(p).foreach { f =>
             val fn = f.getFileName.toString
-            if (fn.endsWith(".parquet") && !keep.contains(s"$n/$fn") && expired(f)) {
-              Files.delete(f)
-              val crc = f.resolveSibling(s".$fn.crc")
-              if (Files.exists(crc)) Files.delete(crc)
+            if (fn.endsWith(".parquet") && !keep.contains(s"$n/$fn")) {
+              if (expired(f)) {
+                Files.delete(f)
+                val crc = f.resolveSibling(s".$fn.crc")
+                if (Files.exists(crc)) Files.delete(crc)
+              } else floorRetained += 1
             }
           }
           // the emptied-dir sweep honors the floor too: a fresh dir with
@@ -660,12 +725,18 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           if (dirExpired && !listDir(p)
               .exists(_.getFileName.toString.endsWith(".parquet")))
             deleteRecursively(p)
-        case n if n.startsWith("_ckpt_v") && !liveTwins.contains(n) && expired(p) =>
-          deleteRecursively(p)
-        case n if n.startsWith(".manifest_") && expired(p) => Files.deleteIfExists(p)
+        case n if n.startsWith("_ckpt_v") && !liveTwins.contains(n) =>
+          if (expired(p)) deleteRecursively(p) else floorRetained += 1
+        case n if n.startsWith(".manifest_") =>
+          if (expired(p)) Files.deleteIfExists(p) else floorRetained += 1
         case _ =>
       }
     }
+    if (floorRetained > 0)
+      System.err.println(f"[vacuum] bronze.$name retained $floorRetained " +
+        f"unreferenced file(s) younger than the ${retainMillis / 3600000.0}%.1f h " +
+        "wall-clock window (pass retainMillis=0 to reclaim immediately)")
+    floorRetained
   }
 
   /** One-time migration of a pre-log bronze directory (hive-partitioned
@@ -1065,7 +1136,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * does exactly that (uncommitted files park in a pending set and fold in
     * once their commit lands, the Delta streaming-source committed-add-files
     * contract) — or pair the raw glob with an idempotent sink AND accept
-    * crash debris. */
+    * crash debris. Consumers must ALSO skip files under [[nodataDirs]]:
+    * OPTIMIZE repacks land as new `_a*` dirs the glob matches, but their
+    * rows were already delivered (Delta streams skip dataChange=false adds
+    * the same way). */
   def streamSourcePath(layer: String, name: String): String = {
     val base = dir(layer, name)
     if (readFilesManifest(base).nonEmpty) s"$base/_a*"
@@ -1310,7 +1384,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val smallPaths = smalls.map(_.relPath).toSet
       val untouched = entries.filterNot(e => smallPaths(e.relPath))
       if (commitFilesManifest(base, v + 1, schemaOpt, untouched ++ newEntries,
-          prev = Some(entries), op = "OPTIMIZE")) return true
+          prev = Some(entries), op = "OPTIMIZE", dataChange = false)) return true
     }
     throw new IllegalStateException(
       s"OPTIMIZE bin-packing of $name lost $maxAttempts consecutive CAS races")
@@ -1332,10 +1406,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val dataDir = newAppendDir(base, v + 1)
       df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
       // prev provided, but a full rewrite's delta is never smaller than the
-      // snapshot — this commit lands as a natural CHECKPOINT
+      // snapshot — this commit lands as a natural CHECKPOINT. Rewrites
+      // rearrange existing rows, so they commit dataChange=false (streams
+      // over the `_a*` glob skip the repacked files)
       if (commitFilesManifest(base, v + 1, schemaOpt,
           ManifestStats.collectStats(spark, dataDir.toString, statsCols,
-            dataDir.getFileName.toString), prev = Some(entries), op = op)) return
+            dataDir.getFileName.toString), prev = Some(entries), op = op,
+          dataChange = false)) return
     }
     throw new IllegalStateException(
       s"bronze rewrite of $name lost $maxAttempts consecutive CAS races")

@@ -187,7 +187,11 @@ object ManifestStats {
           if (wanted.contains(path)) {
             val st = cc.getStatistics
             if (st != null && !st.isEmpty && st.hasNonNullValue) {
-              footerMinMax(schema.getType(Seq(path): _*).asPrimitiveType(), st).foreach {
+              // resolve the chunk's type by its PATH ELEMENTS — getType with
+              // the dotted string as one element throws on a nested column
+              // (e.g. statsCols = ["a.b"]), where the old scan path just
+              // ignored it; element-wise lookup handles both
+              footerMinMax(schema.getType(cc.getPath.toArray: _*).asPrimitiveType(), st).foreach {
                 case (tag, mn, mx) =>
                   acc.get(path) match {
                     case Some(prev) if prev.tag == tag =>

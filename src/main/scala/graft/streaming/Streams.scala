@@ -487,20 +487,35 @@ object Streams {
         .flatMap(f => f.getName.drop(1).toLongOption)
         .filter(n => n > w0 && n < belowBatchId)
       if (bs.isEmpty) return // nothing new below the frontier
-      val newW = bs.max
       // the watermark advance declares every batch id ≤ newW SUBSUMED (its
-      // replay becomes a no-op), so every one of those ids must actually be
-      // in the fold set. The writeBatchDir streams emit one complete b{N}
-      // per batch id with no gaps, so a hole here means the caller passed a
-      // frontier above the stream's true committed point (a batch that
-      // never committed would be watermarked away and its rows silently
-      // lost forever) — fail fast instead.
-      val missing = ((w0 + 1) to newW).filterNot(bs.contains)
-      if (missing.nonEmpty) throw new IllegalStateException(
-        s"$dir: batch ids ${missing.mkString(",")} have no complete b{N} dir " +
-          s"but would be subsumed by a compaction to watermark $newW — is " +
-          s"belowBatchId=$belowBatchId above the stream's committed frontier?")
-      val readSet = completeBatchDirs(dir, belowBatchId)
+      // replay becomes a no-op), so every id in (start, newW] must actually
+      // be in the fold set — a hole is usually a batch still mid-replay
+      // (crashed attempt whose b{N} will appear on restart), and advancing
+      // past it would silently lose its rows forever. Instead of failing
+      // the compaction permanently (which lets the b{N} count grow without
+      // bound), fold only the CONTIGUOUS prefix and leave the hole and
+      // everything above it for a later pass. The fold START is w0+1 when
+      // a watermark exists; a never-compacted dir folds from its LOWEST id
+      // — ids may legitimately begin above 0 (a stream restarted against a
+      // retained checkpoint but a recreated state dir: the retained
+      // checkpoint guarantees the missing low ids are never replayed).
+      val ids = bs.toSet
+      val start = if (w0 >= 0) w0 + 1 else bs.min
+      if (!ids.contains(start)) {
+        System.err.println(s"[compactBatches] $dir: b$start absent " +
+          s"(watermark $w0, complete ids ${bs.sorted.mkString(",")}) — " +
+          "nothing contiguous to fold yet; skipping this pass")
+        return
+      }
+      var newW = start
+      while (ids.contains(newW + 1)) newW += 1
+      if (newW < bs.max)
+        System.err.println(s"[compactBatches] $dir: hole at b${newW + 1} — " +
+          s"folding only b$start..b$newW this pass " +
+          s"(ids above the hole: ${bs.filter(_ > newW + 1).sorted.mkString(",")})")
+      // read set shrinks with newW: folding rows of an above-the-hole batch
+      // while its b{N} dir survives would double them for readers
+      val readSet = completeBatchDirs(dir, newW + 1)
       if (readSet.size <= 1) return // already one segment
       val tmp = base.resolve(s".ctmp_$newW")
       deleteRecursively(tmp)
@@ -516,8 +531,10 @@ object Streams {
       Files.write(mTmp, newW.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       Files.move(mTmp, base.resolve("_compacted"), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-      // GC the subsumed inputs (ignored by readers since the commit)
-      (bs.map(n => base.resolve(s"b$n")) ++
+      // GC the subsumed inputs (ignored by readers since the commit) —
+      // ONLY ids at-or-below the committed watermark: ids above a hole
+      // were not folded and remain the readers' live tail
+      (bs.filter(_ <= newW).map(n => base.resolve(s"b$n")) ++
           (if (w0 >= 0) Seq(base.resolve(s"c$w0")) else Seq.empty))
         .foreach(deleteRecursively)
     } finally { lock.release(); lockCh.close() }
@@ -739,12 +756,20 @@ object Streams {
         // never by table size
         val batchFiles = withRel.select("__rel").distinct()
           .collect().map(_.getString(0)).toSet
-        val uncommitted = batchFiles.filterNot(live)
+        // dataChange=false files (an OPTIMIZE repack of rows this stream
+        // already delivered) are SKIPPED outright — not merged, not parked
+        // (the Delta streaming-source rule of ignoring non-dataChange
+        // adds). Checked before the live filter: a repack committed
+        // between the two manifest reads is nodata either way.
+        val nodata = lake.nodataDirs("bronze", bronzeTable)
+        val repacked = batchFiles.filter(r => nodata(r.takeWhile(_ != '/')))
+        val uncommitted = (batchFiles -- repacked).filterNot(live)
         // park uncommitted files: their commit may land AFTER this listing,
         // and the file source will never re-deliver the path
         uncommitted.foreach(r => writePendingMarker(pendingDir, r))
-        (if (uncommitted.isEmpty) withRel
-         else withRel.filter(!col("__rel").isInCollection(uncommitted))).drop("__rel")
+        val excluded = repacked ++ uncommitted
+        (if (excluded.isEmpty) withRel
+         else withRel.filter(!col("__rel").isInCollection(excluded))).drop("__rel")
     }
     merge(rows)
     // then re-probe the pending set: commits that landed since park time
@@ -778,7 +803,16 @@ object Streams {
     lake.committedBronzeRelPaths(bronzeTable).foreach { live =>
       val base = lake.tableDir("bronze", bronzeTable)
       val pendingDir = base.resolve(s"_stream_pending_$model")
-      val pending = listPendingMarkers(pendingDir)
+      var pending = listPendingMarkers(pendingDir)
+      if (pending.nonEmpty) {
+        // a parked file whose dir turned out to be an OPTIMIZE repack
+        // (listed between the rewrite's dir-write and its commit) carries
+        // no new rows — drop its marker without merging
+        val nodata = lake.nodataDirs("bronze", bronzeTable)
+        val repacked = pending.filter(r => nodata(r.takeWhile(_ != '/')))
+        repacked.foreach(r => deletePendingMarker(pendingDir, r))
+        pending = pending -- repacked
+      }
       if (pending.nonEmpty) {
         val ready = pending.filter(live).toSeq.sorted
         (pending -- ready.toSet)

@@ -622,6 +622,22 @@ class LakehouseSpec extends SparkSpec {
     assert(foot.exists(_.stats.contains("tstamp")), "timestamp footer stats missing")
   }
 
+  test("footer stats handle a NESTED statsCols entry instead of failing the commit") {
+    // a statsCols entry naming a nested field ("s.a") matches the chunk's
+    // dotted path; the type lookup must resolve by path ELEMENTS (a single
+    // dotted element throws InvalidRecordException and would fail the
+    // whole commit, where the old scan path just ignored the column)
+    val dir = Files.createTempDirectory("graft-nested").resolve("data").toString
+    Seq((1L, (10L, "x")), (2L, (20L, "y")))
+      .toDF("id", "s").repartition(1).write.parquet(dir)
+    val foot = ManifestStats.collectStats(spark, dir, Seq("id", "s._1", "nope"), "p")
+    assert(foot.nonEmpty)
+    val stats = foot.head.stats
+    assert(stats.contains("id"))
+    assert(stats.get("s._1").exists(s => s.min == "10" && s.max == "20"),
+      s"nested column stats missing or wrong: $stats")
+  }
+
   test("history records each commit's operation, kind and add/remove counts") {
     val lake = new Lakehouse(spark, Files.createTempDirectory("graft-hist").toString)
     (1 to 3).foreach { i =>

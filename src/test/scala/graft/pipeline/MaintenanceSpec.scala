@@ -72,6 +72,36 @@ class MaintenanceSpec extends SparkSpec {
     assert(lake.tableVersion("bronze", "t") == v)
   }
 
+  test("OPTIMIZE commits are dataChange=false: nodataDirs tracks packed dirs, appends never enter, attribution survives checkpoints") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-nodata").toString)
+    def append(i: Long): Unit =
+      lake.appendBronze("t", Seq((i, java.sql.Date.valueOf("2025-06-01"), s"run$i"))
+        .toDF("id", "snapshot_date", "run_id").repartition(1))
+    (1L to 5L).foreach(append)
+    assert(lake.nodataDirs("bronze", "t").isEmpty, "appends must not be nodata")
+    assert(lake.compactSmall("bronze", "t", targetBytes = 1L << 20, minSmallFiles = 4))
+    val nd = lake.nodataDirs("bronze", "t")
+    assert(nd.size == 1, s"exactly the packed dir should be nodata, got $nd")
+    val live = lake.committedBronzeRelPaths("t").get
+    assert(live.forall(r => nd(r.takeWhile(_ != '/'))),
+      "all live files were packed — every one should sit under the nodata dir")
+    // a fresh append's dir never enters the set
+    append(100L)
+    assert(lake.nodataDirs("bronze", "t") == nd)
+    // attribution survives checkpoint pruning: cross the checkpoint cadence
+    // (v10/v20 are checkpoints; records below the newest one are pruned)
+    (101L to 112L).foreach(append)
+    assert(lake.nodataDirs("bronze", "t") == nd,
+      "nodata attribution lost across a log checkpoint")
+    // a full-rewrite OPTIMIZE (compact) marks its output too
+    lake.compact("bronze", "t")
+    val nd2 = lake.nodataDirs("bronze", "t")
+    val live2 = lake.committedBronzeRelPaths("t").get
+    assert(live2.forall(r => nd2(r.takeWhile(_ != '/'))),
+      "full-rewrite OPTIMIZE output must be nodata")
+    assert(lake.table("bronze", "t").count() == 18, "OPTIMIZE changed the data")
+  }
+
   test("opt-in vacuum reclaims expired debris but spares the retention window") {
     val lake = new Lakehouse(spark, Files.createTempDirectory("graft-maintv").toString)
     lake.appendBronze("t", Seq((1L, java.sql.Date.valueOf("2025-06-01"), "run1"))
@@ -87,6 +117,9 @@ class MaintenanceSpec extends SparkSpec {
     assert(r1.vacuumed == Seq("bronze.t"), r1.toString)
     assert(Files.exists(base.resolve("_a9_crashed")),
       "per-run vacuum deleted files inside the retention window")
+    // the wall-clock floor is VISIBLE: the return counts what it retained
+    assert(lake.vacuumBronze("t") > 0,
+      "vacuum must report files retained only by the wall-clock window")
     // zero window (the explicit escape hatch): debris reclaims
     val r2 = Maintenance.run(lake, vacuum = true, vacuumRetainMillis = 0L)
     assert(r2.status == "ok", r2.toString)

@@ -719,6 +719,82 @@ class StreamsSpec extends SparkSpec {
       Files.list(pendingDir).toArray.isEmpty, "stale pending markers remain")
   }
 
+  test("silverRefreshStream skips OPTIMIZE repacks: dataChange=false files are neither merged nor parked") {
+    import java.nio.file.Files
+    import graft.pipeline.{Bronze, Lakehouse, Silver}
+    import graft.pipeline.Fixtures.{channelPayload, d}
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-nodata-stream").toString)
+    def land(run: String, snap: String, title: String): Unit =
+      Bronze.ingest(lake, Bronze.RunContext(run, s"req-$run", d(snap),
+        graft.pipeline.Fixtures.ts(s"$snap 10:00:00")), _ => Map(
+        "channels_raw" -> Seq(channelPayload("UC_1", title, 100, 10))))
+    (1 to 5).foreach(i => land(s"r$i", f"2025-06-${i}%02d", s"Chan v$i"))
+    Silver.refresh(lake, Some(Set("silver_channels")))
+    val ckpt = Files.createTempDirectory("graft-nodata-ckpt").toString
+    def drain(): Unit = {
+      val q = Streams.silverRefreshStream(lake, "silver_channels")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain() // consume the initial committed files
+    val rows0 = lake.table("silver", "silver_channels").collect().map(_.toString).sorted.toSeq
+    val v0 = lake.tableVersion("silver", "silver_channels")
+    // maintenance packs the 5 small ingest files into one new _a* dir — the
+    // file stream's glob matches it, but the commit is dataChange=false
+    assert(lake.compactSmall("bronze", "channels_raw",
+      targetBytes = 1L << 20, minSmallFiles = 4))
+    drain()
+    assert(lake.tableVersion("silver", "silver_channels") == v0,
+      "a repack-only catch-up run must not commit a silver merge at all")
+    assert(lake.table("silver", "silver_channels")
+      .collect().map(_.toString).sorted.toSeq == rows0)
+    // nothing parked: repacked files are skipped, not pended
+    val pendingDir = lake.tableDir("bronze", "channels_raw")
+      .resolve("_stream_pending_silver_channels")
+    assert(!Files.isDirectory(pendingDir) ||
+      Files.list(pendingDir).toArray.isEmpty, "repacked files were parked")
+    // the stream still works: a genuine append after the OPTIMIZE merges
+    land("r6", "2025-06-09", "Chan v6")
+    drain()
+    assert(lake.table("silver", "silver_channels").collect().map(_.toString).sorted.toSeq
+      != rows0, "a real append after the OPTIMIZE must still merge")
+    Silver.refresh(lake, Some(Set("silver_channels")))
+    assert(lake.table("silver", "silver_channels").count() == 1) // latest-wins grain
+  }
+
+  test("compactBatches folds only the contiguous prefix around a hole, and folds from the lowest id of an above-zero dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hole").resolve("state").toString
+    def put(n: Long): Unit =
+      Seq((n, s"row$n")).toDF("id", "v").write.parquet(s"$dir/b$n")
+    Seq(0L, 1L, 3L, 4L).foreach(put) // b2 missing: a crashed replay in flight
+    Streams.compactBatches(spark, dir, belowBatchId = 5L)
+    assert(Streams.compactedWatermark(dir) == 1L,
+      "the watermark must stop at the hole — advancing would subsume b2's replay")
+    def names() = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(names() == Seq("b3", "b4", "c1"), s"got ${names()}")
+    assert(Streams.batchedTable(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      == Seq(0L, 1L, 3L, 4L), "rows above the hole must stay visible exactly once")
+    // the replay lands; the next pass folds everything
+    put(2L)
+    Streams.compactBatches(spark, dir, belowBatchId = 5L)
+    assert(Streams.compactedWatermark(dir) == 4L)
+    assert(names() == Seq("c4"), s"got ${names()}")
+    assert(Streams.batchedTable(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      == (0L to 4L).toSeq)
+    // a recreated state dir whose ids START above zero (retained checkpoint,
+    // recreated dir) compacts from its lowest id instead of failing forever
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-hole2").resolve("state").toString
+    Seq(7L, 8L).foreach(n => Seq((n, s"row$n")).toDF("id", "v").write.parquet(s"$dir2/b$n"))
+    Streams.compactBatches(spark, dir2, belowBatchId = 9L)
+    assert(Streams.compactedWatermark(dir2) == 8L,
+      "an above-zero start must fold from the lowest id present")
+    assert(Streams.batchedTable(spark, dir2).select("id").as[Long].collect().sorted.toSeq
+      == Seq(7L, 8L))
+  }
+
   test("index-maintenance stream: per-batch folds equal a one-shot assignment") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
