@@ -421,21 +421,40 @@ object Clustering {
     * codebook ([[ivfTopK]]) would blow the driver gate. */
   def twoLevelTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nprobeCoarse: Int, nprobeFine: Int,
+      candidateBudget: Option[Long] = None,
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     val (coarse, fineAll, assign) = twoLevelIndex(corpus, idCol, embCol)
     twoLevelTopKFromIndex(queries, corpus, coarse, fineAll, assign,
-      k, nprobeCoarse, nprobeFine, idCol, embCol)
+      k, nprobeCoarse, nprobeFine, candidateBudget, idCol, embCol)
   }
 
   /** [[twoLevelTopK]] probing a PREBUILT index (coarse, fineAll, assign
     * built once at write time) — the deployment/bench shape, matching
-    * [[ivfTopKFromIndex]]. */
+    * [[ivfTopKFromIndex]].
+    *
+    * `candidateBudget` extends the s18 BUDGET rule to the two-level probe
+    * (`nprobeFine` is ignored then): fine cells — ranked jointly across
+    * the probed coarse cells by (cos desc, fine_id asc) — are taken until
+    * their cumulative member count reaches the budget (crossing cell
+    * included; always ≥ 1). The coarse probe stays fixed-`nprobeCoarse`
+    * (it only routes to fine codebook shards; the exact-scoring work the
+    * budget pins happens at the fine level). This gives the above-
+    * driver-cap layout the same skew-proof per-query cost pin as the flat
+    * family: exact-scored candidates ≈ budget regardless of corpus size
+    * or cell skew. The fine-size join is NOT broadcast — fine-cell count
+    * is ~√n (beyond driver caps in exactly the regime this layout
+    * exists for); the query-side frame is the small side
+    * (Q · nprobeCoarse · ~⁴√n rows) and the sizes aggregate is already
+    * distributed. */
   def twoLevelTopKFromIndex(queries: DataFrame, corpus: DataFrame,
       coarse: DataFrame, fineAll: DataFrame, assign: DataFrame, k: Int,
       nprobeCoarse: Int, nprobeFine: Int,
+      candidateBudget: Option[Long] = None,
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     require(k >= 1 && nprobeCoarse >= 1 && nprobeFine >= 1,
       s"k/nprobeCoarse/nprobeFine must be >= 1, got $k/$nprobeCoarse/$nprobeFine")
+    require(candidateBudget.forall(_ >= 1),
+      s"candidateBudget must be >= 1, got $candidateBudget")
     def topAgg(pick: String, kk: Int) = org.apache.spark.sql.graft.ColumnShim.column(
       graft.sql.TopKPairs(
         org.apache.spark.sql.graft.ColumnShim.expression(col("cos")),
@@ -452,14 +471,29 @@ object Clustering {
       .agg(topAgg("cell_id", nprobeCoarse).as("cells"))
       .select(col("query_id"), col("q_emb"), col("q_norm"),
         explode(col("cells").getField("id")).as("coarse_id"))
-    val qf = qc.join(fineAll, "coarse_id")
+    val qfScored = qc.join(fineAll, "coarse_id")
       .select(col("query_id"), col("q_emb"), col("q_norm"),
         (Similarity.dot(col("q_emb"), col("f_emb")) / (col("q_norm") * col("f_norm"))).as("cos"),
         col("fine_id"))
-      .groupBy(col("query_id"), col("q_emb"), col("q_norm"))
-      .agg(topAgg("fine_id", nprobeFine).as("fs"))
-      .select(col("query_id"), col("q_emb"), col("q_norm"),
-        explode(col("fs").getField("id")).as("fine_id"))
+    val qf = candidateBudget match {
+      case Some(b) =>
+        import org.apache.spark.sql.expressions.Window
+        val sizes = assign.groupBy(col("fine_id")).agg(count(lit(1)).as("cell_n"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("fine_id").asc)
+        qfScored
+          .join(sizes, Seq("fine_id"), "left")
+          .withColumn("cell_n", coalesce(col("cell_n"), lit(0L)))
+          .withColumn("cum", sum(col("cell_n")).over(w))
+          .filter(col("cum") - col("cell_n") < b)
+          .select(col("query_id"), col("q_emb"), col("q_norm"), col("fine_id"))
+      case None =>
+        qfScored
+          .groupBy(col("query_id"), col("q_emb"), col("q_norm"))
+          .agg(topAgg("fine_id", nprobeFine).as("fs"))
+          .select(col("query_id"), col("q_emb"), col("q_norm"),
+            explode(col("fs").getField("id")).as("fine_id"))
+    }
     val cEmb = corpus.select(col(idCol).cast("bigint").as("neighbor_id"),
       col(embCol).as("c_emb2"), Similarity.l2Norm(col(embCol)).as("c_norm2"))
     val cand = qf

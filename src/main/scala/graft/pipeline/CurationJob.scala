@@ -130,7 +130,7 @@ object CurationJob {
     // finalize (a fatal error here must not leave the run log dangling);
     // non-strict — failures land in the report, not the run status.
     val maint = if (optimize)
-        Some(Maintenance.run(lake, layers = Seq("bronze"), gates = gates))
+        Some(Maintenance.run(lake, gates = gates))
       else None
     CurationReport(runId, status, funnel, failure, maint)
   }
@@ -291,7 +291,7 @@ object CurationJob {
 
     Bronze.finalizeRun(lake, runId, status, new Timestamp(System.currentTimeMillis()))
     val maint = if (optimize)
-        Some(Maintenance.run(lake, layers = Seq("bronze"), gates = gates))
+        Some(Maintenance.run(lake, gates = gates))
       else None
     CurationReport(runId, status, funnel, failure, maint)
   }

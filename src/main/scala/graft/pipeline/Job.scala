@@ -139,7 +139,7 @@ object Job {
     // like the reference's default — per-table failures land in the
     // report, never change the run's recorded outcome.
     val maint = if (optimize)
-        Some(Maintenance.run(lake, layers = Seq("bronze"), gates = gates))
+        Some(Maintenance.run(lake, gates = gates))
       else None
     RunReport(runId, status, checkFailures, failure, maint)
   }

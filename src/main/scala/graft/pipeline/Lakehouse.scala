@@ -1390,6 +1390,46 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       s"OPTIMIZE bin-packing of $name lost $maxAttempts consecutive CAS races")
   }
 
+  /** OPTIMIZE bin-packing for the VERSIONED materialized layout
+    * (silver/gold) — the reference OPTIMIZEs all of bronze+silver+gold
+    * every run (`job_tasks/ops/optimize_tables.py:17-52`). Full refreshes
+    * rewrite these tables whole, but INCREMENTAL merges
+    * (`Silver.refreshIncremental` / `transactMerge`) re-commit the live
+    * version at whatever file count the merge plan produced — typically
+    * `shuffle.partitions` small files per commit — so a merge-maintained
+    * table fragments exactly like bronze does.
+    *
+    * The versioned layout has no partial commit (a `_v{N}` dir is
+    * immutable and replaced whole), so the rewrite IS the whole table —
+    * appropriate here because materialized tables are bounded current
+    * state, not unbounded history. Triggers only when the live version
+    * holds ≥ `minSmallFiles` files under `targetBytes / 2` AND packing
+    * would reduce the file count (the convergence guard: packed outputs
+    * average ≥ targetBytes/2, and a repack to the same count is skipped,
+    * so an every-run cadence costs one directory listing on a settled
+    * table). Commits through [[materializeIfUnchanged]]: a concurrent
+    * refresh wins the slot and the pack simply skips this pass — never a
+    * lost update. NOTE: like any full refresh, the rewrite does not
+    * preserve a clustered layout or per-file stats a custom
+    * materialization recorded; re-cluster on refresh where that matters. */
+  def compactSmallMaterialized(layer: String, name: String,
+      targetBytes: Long = Lakehouse.DefaultTargetFileBytes,
+      minSmallFiles: Int = 4): Boolean = {
+    require(targetBytes > 0 && minSmallFiles >= 2,
+      s"need targetBytes > 0 and minSmallFiles >= 2, got $targetBytes/$minSmallFiles")
+    val base = dir(layer, name)
+    val v = currentVersion(base)
+    if (v == 0) return false // plain layout (or absent): not version-managed
+    val dataDir = base.resolve(s"_v$v")
+    if (!Files.isDirectory(dataDir)) return false
+    val sizes = ManifestStats.listParquet(dataDir.toString)
+      .map(f => Files.size(dataDir.resolve(f)))
+    if (sizes.count(_ < targetBytes / 2) < minSmallFiles) return false
+    val outFiles = math.max(1, math.ceil(sizes.sum.toDouble / targetBytes).toInt)
+    if (outFiles >= sizes.size) return false // no reduction: already packed
+    materializeIfUnchanged(layer, name, v, table(layer, name).repartition(outFiles))
+  }
+
   /** Full-rewrite commit over a bronze log's live file set (compaction,
     * clustering): transform → fresh append dir → CAS; a lost race restarts
     * from the winner's manifest so a concurrent append's files are never

@@ -43,15 +43,19 @@ object Maintenance {
     def status: String = if (failed.isEmpty) "ok" else "partial_error"
   }
 
-  /** Run the pass. `layers` defaults to bronze — the only layer whose
-    * tables fragment across runs (appends); versioned materializations
-    * rewrite whole on refresh. Log-managed tables bin-pack incrementally
-    * (`targetBytes`/`minSmallFiles`); legacy plain-layout tables keep the
-    * file-count-gated full rewrite (`maxLiveFiles`/`targetFiles`, also
-    * the gate segment file count). */
+  /** Run the pass. `layers` defaults to all three — the reference
+    * OPTIMIZEs every bronze+silver+gold table each run
+    * (`optimize_tables.py:17-52`). Log-managed bronze bin-packs
+    * incrementally (`targetBytes`/`minSmallFiles`); versioned
+    * materializations bin-pack via [[Lakehouse.compactSmallMaterialized]]
+    * when incremental merges have fragmented the live version (full
+    * refreshes replace them whole, so a refresh-only table always skips
+    * at the cost of one directory listing); legacy plain-layout
+    * non-bronze tables keep the file-count-gated full rewrite
+    * (`maxLiveFiles`/`targetFiles`, also the gate segment file count). */
   def run(
       lake: Lakehouse,
-      layers: Seq[String] = Seq("bronze"),
+      layers: Seq[String] = Seq("bronze", "silver", "gold"),
       gates: Seq[GateDirs] = Seq.empty,
       batchDirs: Seq[String] = Seq.empty,
       targetBytes: Long = Lakehouse.DefaultTargetFileBytes,
@@ -83,6 +87,9 @@ object Maintenance {
           // row. Its correct migration path is the upgrade that runs on
           // its next append; until then it skips.
           skipped += fqn
+        } else if (lake.compactSmallMaterialized(layer, name, targetBytes, minSmallFiles)) {
+          // a merge-fragmented materialized live version bin-packed
+          optimized += fqn
         } else if (lake.liveFileCount(layer, name) > maxLiveFiles) {
           lake.compact(layer, name, numFiles = targetFiles)
           optimized += fqn

@@ -327,7 +327,9 @@ object ClusterQueries {
 
   /** Coarse cells probed per query at the first level of s09. */
   val NProbeCoarse = 3
-  /** Fine cells kept per query (ranked jointly across probed coarse). */
+  /** Fine cells kept per query when probing FIXED (ranked jointly across
+    * probed coarse); the shipped s09 config probes by [[IvfBudget]]
+    * instead — kept as the fixed-probe point on the frontier. */
   val NProbeFine = 12
 
   /** Two-level (coarse→fine) IVF top-5 ([[Clustering.twoLevelTopK]]) —
@@ -339,19 +341,26 @@ object ClusterQueries {
     * hash-seeded codebooks, assignments and probes bit-for-bit (sizing is
     * exact integer double-sqrt — no cross-engine pow(x,¼) ulp risk).
     *
-    * Measured frontier (vs exact s01): sf0.1 recall@5 **0.54 @ 30%** of
-    * corpus scored — vs flat IVF's 0.66 @ 30% at the same candidate
-    * budget (sf0.01's 0.98 @ 81% just reflects parameters exhausting a
-    * 500-vector toy corpus). The second quantization level costs ~0.8×
-    * the flat recall here; the operator's role is the DRIVER-SCALE cap
-    * (flat √n codebooks stop fitting at ~10¹² vectors), not a recall
-    * win — prefer s05 below the cap. */
+    * SHIPPED PROBE (r12): the same [[IvfBudget]] candidate-budget rule as
+    * the whole flat IVF family (s05/s11/s15/s18), extended to the fine
+    * level — fine cells in (cos desc, fine_id asc) order across the
+    * probed coarse cells until the budget of members is covered — so the
+    * above-driver-cap layout carries the identical skew-proof per-query
+    * cost pin. r12 frontier vs exact s01 at the shared 1200 budget
+    * (RecallAb, sf0.1): recall@5 0.585, up from 0.54 at the old fixed
+    * nprobeFine=12 — coarse routing caps reachable members at ~3/7 of
+    * this toy corpus (857 < budget), so recall here is routing-limited;
+    * the budget binds only as the corpus outgrows nprobeCoarse·n/K1,
+    * exactly the at-scale regime the layout exists for. The operator's
+    * role is the DRIVER-SCALE cap (flat √n codebooks stop fitting at
+    * ~10¹² vectors); prefer s05 below the cap. */
   val s09TwoLevelIvf = GraftQuery(
     "s09_two_level_ivf_topk",
     (s, dir) => {
       val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       val q = e.filter(col("id") % 50 === 0)
-      Clustering.twoLevelTopK(q, e, 5, NProbeCoarse, NProbeFine)
+      Clustering.twoLevelTopK(q, e, 5, NProbeCoarse, NProbeFine,
+          candidateBudget = Some(IvfBudget))
         .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
@@ -423,16 +432,20 @@ object ClusterQueries {
                    ORDER BY cos DESC, coarse_id ASC) AS rn
           FROM cscored WHERE vec_id % 50 = 0) z
         WHERE rn <= $NProbeCoarse),
+      fsize AS (
+        SELECT fine_id, CAST(COUNT(*) AS BIGINT) AS cell_n
+        FROM fassign GROUP BY fine_id),
       qf AS (
         SELECT query_id, fine_id FROM (
-          SELECT qc.query_id, f.fine_id,
-                 row_number() OVER (PARTITION BY qc.query_id
+          SELECT qc.query_id, f.fine_id, coalesce(fs.cell_n, 0) AS cell_n,
+                 SUM(coalesce(fs.cell_n, 0)) OVER (PARTITION BY qc.query_id
                    ORDER BY list_aggregate(list_transform(range(1, len(q.embedding)+1),
                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(f.f_emb[i] AS DOUBLE)), 'sum')
-                     / (q.nm * f.f_nm) DESC, f.fine_id ASC) AS rn
+                     / (q.nm * f.f_nm) DESC, f.fine_id ASC) AS cum
           FROM qc JOIN fineall f USING (coarse_id)
-          JOIN nrm q ON qc.query_id = q.vec_id) z
-        WHERE rn <= $NProbeFine),
+          JOIN nrm q ON qc.query_id = q.vec_id
+          LEFT JOIN fsize fs ON f.fine_id = fs.fine_id) z
+        WHERE cum - cell_n < $IvfBudget),
       cand AS (
         SELECT qf.query_id, fa.vec_id AS neighbor_id
         FROM qf JOIN fassign fa USING (fine_id)
@@ -462,7 +475,7 @@ object ClusterQueries {
       val q = e.filter(col("id") % 50 === 0)
       val (coarse, fineAll, assign) = BenchIndex.twoLevel(s, dir)
       Clustering.twoLevelTopKFromIndex(q, e, coarse, fineAll, assign,
-          5, NProbeCoarse, NProbeFine)
+          5, NProbeCoarse, NProbeFine, candidateBudget = Some(IvfBudget))
         .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))

@@ -101,6 +101,17 @@ object RecallAb {
         5, 1, NumSub, SubDim, rerank = PqRerank, candidateBudget = Some(b)))
       println(f"[frontier] mode=budget b=$b%5d bound=$rB%.3f s11=$s11B%.3f s15=$s15B%.3f ${candStats(budP)}")
     }
+
+    // ── s09 two-level on the same budget rule (the above-driver-cap
+    // layout): recall at the shipped budget, next to the flat family's —
+    // the cost pin is identical, the delta is coarse-routing loss.
+    val (coarse2, fine2, assign2) = Clustering.twoLevelIndex(e, "id", "embedding")
+    for (b <- budgets) {
+      val s09 = recall(Clustering.twoLevelTopKFromIndex(q, e, coarse2, fine2, assign2,
+        5, graft.queries.ClusterQueries.NProbeCoarse, 1, candidateBudget = Some(b)))
+      println(f"[frontier] mode=twolevel b=$b%5d s09=$s09%.3f " +
+        f"(nprobeCoarse=${graft.queries.ClusterQueries.NProbeCoarse})")
+    }
     spark.stop()
   }
 }

@@ -116,6 +116,42 @@ class ClusteringSpec extends SparkSpec {
     assert(recall >= 0.6, f"two-level recall@5 = $recall%.2f below floor")
   }
 
+  test("two-level budget probe: corpus-sized budget == probing every reachable fine cell; tiny budget stays exact and bounded") {
+    import graft.queries.ClusterQueries.NProbeCoarse
+    val q = sf0001.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val c = sf0001.select(col("vec_id").as("id"), col("embedding"))
+    val (coarse, fineAll, assign) = Clustering.twoLevelIndex(c, "id", "embedding")
+    val fineCount = fineAll.count().toInt
+    val corpusN = c.count()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Number]("rank").longValue(),
+        r.getAs[Long]("neighbor_id"))).sorted.toSeq
+    // a budget covering the whole corpus probes exactly the fine cells a
+    // fixed probe of ALL fine cells reaches — identical results
+    val fixedAll = Clustering.twoLevelTopKFromIndex(q, c, coarse, fineAll, assign,
+      5, NProbeCoarse, fineCount)
+    val budgetAll = Clustering.twoLevelTopKFromIndex(q, c, coarse, fineAll, assign,
+      5, NProbeCoarse, 1, candidateBudget = Some(corpusN))
+    assert(rows(budgetAll) == rows(fixedAll),
+      "corpus-sized budget must equal the probe-everything fixed config")
+    // a tiny budget returns a (possibly smaller) EXACT-scored subset
+    val allCos = Similarity.bruteForceTopK(q, c, corpusN.toInt).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Double]("cosine")).toMap
+    val tiny = Clustering.twoLevelTopKFromIndex(q, c, coarse, fineAll, assign,
+      5, NProbeCoarse, 1, candidateBudget = Some(1L)).collect()
+    assert(tiny.nonEmpty, "budget=1 must still probe at least one fine cell")
+    tiny.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(allCos.contains(key), s"budget probe returned non-corpus pair $key")
+      assert(math.abs(allCos(key) - r.getAs[Double]("cosine")) < 1e-12,
+        "budget probe must return exact cosines")
+    }
+    val perQuery = tiny.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ <= 5))
+  }
+
   test("semantic dedup: in-cell near-dups drop, min id of a chain survives") {
     // fixture: 3 near-identical vectors (a chain) + 1 orthogonal, in 2-dim
     // space padded to 8 dims so seed selection stays sane

@@ -82,6 +82,13 @@ class JobSpec extends SparkSpec {
     assert((maint.skipped ++ maint.optimized).contains("bronze.run_context_log"),
       maint.toString)
     assert((maint.skipped ++ maint.optimized).size >= 5, maint.toString)
+    // r12: the pass covers ALL THREE layers (the reference OPTIMIZEs every
+    // bronze+silver+gold table each run — optimize_tables.py:17-52)
+    val visited = (maint.skipped ++ maint.optimized)
+    Seq("bronze.", "silver.", "gold.").foreach { prefix =>
+      assert(visited.exists(_.startsWith(prefix)),
+        s"maintenance never visited a $prefix table: $maint")
+    }
   }
 
   test("day-2 incremental run equals a full recompute over the same bronze") {

@@ -72,6 +72,37 @@ class MaintenanceSpec extends SparkSpec {
     assert(lake.tableVersion("bronze", "t") == v)
   }
 
+  test("a merge-fragmented silver materialization bin-packs; settled and refresh-only tables skip; reruns converge") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-maint-silver").toString)
+    // a silver table left fragmented by incremental merges: the live
+    // version holds 8 tiny files (each far under target/2)
+    lake.materialize("silver", "frag",
+      (1 to 64).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(8))
+    assert(lake.liveFileCount("silver", "frag") == 8)
+    val rows0 = lake.table("silver", "frag").collect().map(_.toString).sorted.toSeq
+    // a well-packed gold table must skip untouched
+    lake.materialize("gold", "settled",
+      (1 to 64).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(1))
+    val settledV = lake.tableVersion("gold", "settled")
+
+    val report = Maintenance.run(lake)
+    assert(report.status == "ok", report.toString)
+    assert(report.optimized == Seq("silver.frag"), report.toString)
+    assert(report.skipped.contains("gold.settled"), report.toString)
+    assert(lake.liveFileCount("silver", "frag") == 1,
+      s"8 tiny files should pack into one, got ${lake.liveFileCount("silver", "frag")}")
+    assert(lake.table("silver", "frag").collect().map(_.toString).sorted.toSeq == rows0,
+      "OPTIMIZE changed the data")
+    assert(lake.tableVersion("gold", "settled") == settledV)
+
+    // convergence: one packed file never re-triggers
+    val v = lake.tableVersion("silver", "frag")
+    val again = Maintenance.run(lake)
+    assert(again.optimized.isEmpty, again.toString)
+    assert(lake.tableVersion("silver", "frag") == v,
+      "repeated OPTIMIZE of a materialization must converge, not rewrite forever")
+  }
+
   test("OPTIMIZE commits are dataChange=false: nodataDirs tracks packed dirs, appends never enter, attribution survives checkpoints") {
     val lake = new Lakehouse(spark, Files.createTempDirectory("graft-nodata").toString)
     def append(i: Long): Unit =
