@@ -71,6 +71,16 @@ object Maintenance {
     val failed = Seq.newBuilder[(String, String)]
     val vacuumed = Seq.newBuilder[String]
 
+    // AUTO-DISCOVERY: streams registered their state dirs under the lake
+    // root at definition time (Streams.registerGate/registerBatchDir), so
+    // a deployment that never wires `gates` still gets its b{N} growth
+    // bounded — the silent-regrowth failure mode is gone. The explicit
+    // params remain as overrides/additions (state living outside the lake
+    // root, or a caller narrowing the pass).
+    val (regGates, regDirs) = graft.streaming.Streams.registeredState(lake.root)
+    val allGates = (gates ++ regGates.map { case (i, s) => GateDirs(i, s) }).distinct
+    val allBatchDirs = (batchDirs ++ regDirs).distinct
+
     for (layer <- layers; name <- lake.tableNames(layer)) {
       val fqn = s"$layer.$name"
       try {
@@ -113,7 +123,7 @@ object Maintenance {
           failed += s"$fqn (vacuum)" -> t.toString }
       }
     }
-    gates.foreach { g =>
+    allGates.foreach { g =>
       try {
         graft.streaming.Streams.compactGateAuto(lake.spark, g.indexDir,
           g.survivorsDir, numFiles = targetFiles)
@@ -121,7 +131,7 @@ object Maintenance {
       } catch { case scala.util.control.NonFatal(t) =>
         failed += g.survivorsDir -> t.toString }
     }
-    batchDirs.foreach { d =>
+    allBatchDirs.foreach { d =>
       try {
         graft.streaming.Streams.compactBatches(lake.spark, d,
           graft.streaming.Streams.committedBatchId(d) + 1, numFiles = targetFiles)

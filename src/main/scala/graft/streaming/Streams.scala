@@ -590,6 +590,96 @@ object Streams {
     compactGate(spark, indexDir, survivorsDir,
       gateCommittedFrontier(indexDir, survivorsDir), numFiles)
 
+  // ---- streaming-state registry (maintenance auto-discovery) ---------------
+  //
+  // A deployment that forgets to pass its gate/state dirs to
+  // Maintenance.run silently regrows unbounded b{N} dirs — the exact
+  // failure compactGateAuto exists to prevent. The lake-aware stream
+  // constructors below drop ONE marker file per state owner under
+  // `<lakeRoot>/_stream_state/` at stream DEFINITION time, and
+  // Maintenance.run folds every registered owner by default (the explicit
+  // `gates`/`batchDirs` params remain as overrides/additions). Markers are
+  // tiny tab-separated lines (kind + URL-encoded dirs), named by the md5
+  // of their content so re-registration is idempotent; a marker whose
+  // dirs have ALL vanished is dropped by the next discovery pass.
+
+  private def registryDir(lakeRoot: String): java.nio.file.Path =
+    java.nio.file.Paths.get(lakeRoot, "_stream_state")
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  private def writeRegistryMarker(lakeRoot: String, line: String): Unit = {
+    val dir = registryDir(lakeRoot)
+    java.nio.file.Files.createDirectories(dir)
+    val name = java.security.MessageDigest.getInstance("MD5")
+      .digest(line.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val p = dir.resolve(s"$name.state")
+    if (!java.nio.file.Files.exists(p))
+      java.nio.file.Files.write(p,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Register a [[nearDupGate]]'s three state dirs for maintenance
+    * discovery. Idempotent; called automatically by the lake-aware
+    * [[nearDupGate]] overload. */
+  def registerGate(lakeRoot: String, indexDir: String, survivorsDir: String): Unit =
+    writeRegistryMarker(lakeRoot, s"gate\t${enc(indexDir)}\t${enc(survivorsDir)}")
+
+  /** Register a standalone batch-versioned state dir (e.g. an
+    * [[indexMaintenanceStream]] assignment dir) for maintenance
+    * discovery. Idempotent. */
+  def registerBatchDir(lakeRoot: String, dir: String): Unit =
+    writeRegistryMarker(lakeRoot, s"dir\t${enc(dir)}")
+
+  /** All registered (indexDir, survivorsDir) gates and standalone batch
+    * dirs under a lake root. Markers whose dirs have ALL vanished are
+    * dropped (state deleted out-of-band — nothing left to maintain). */
+  def registeredState(lakeRoot: String): (Seq[(String, String)], Seq[String]) = {
+    val dir = registryDir(lakeRoot)
+    if (!java.nio.file.Files.isDirectory(dir)) return (Seq.empty, Seq.empty)
+    val gates = Seq.newBuilder[(String, String)]
+    val dirs = Seq.newBuilder[String]
+    val s = java.nio.file.Files.list(dir)
+    try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".state"))
+      .sortBy(_.getFileName.toString)
+      .foreach { p =>
+        val parts = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).trim.split('\t')
+        def alive(d: String) = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d))
+        parts.toSeq match {
+          case Seq("gate", i, sv) if alive(dec(i)) || alive(dec(sv)) =>
+            gates += ((dec(i), dec(sv)))
+          case Seq("dir", d) if alive(dec(d)) => dirs += dec(d)
+          case _ => java.nio.file.Files.deleteIfExists(p) // vanished or malformed
+        }
+      }
+    finally s.close()
+    (gates.result(), dirs.result())
+  }
+
+  /** [[nearDupGate]] that also REGISTERS its state dirs under the lake
+    * root, so the per-run maintenance pass folds them without any manual
+    * `gates` wiring — the safe-by-default deployment shape. */
+  def nearDupGate(lake: graft.pipeline.Lakehouse, docs: DataFrame,
+      indexDir: String, survivorsDir: String, minJaccard: Double)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    registerGate(lake.root, indexDir, survivorsDir)
+    nearDupGate(docs, indexDir, survivorsDir, minJaccard)
+  }
+
+  /** [[indexMaintenanceStream]] that also REGISTERS its assignment dir
+    * under the lake root (see [[registerBatchDir]]). */
+  def indexMaintenanceStream(lake: graft.pipeline.Lakehouse, embeddings: DataFrame,
+      cells: DataFrame, assignDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    registerBatchDir(lake.root, assignDir)
+    indexMaintenanceStream(embeddings, cells, assignDir)
+  }
+
   /** Read a batch-versioned table ([[nearDupGate]] survivors or either
     * index half): recursive lookup over the complete `b*` subdirs. Fails
     * fast with a named error when no batch has committed yet — zero paths
