@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Advanced, ClusterQueries, CurationQueries, DedupQueries, Extended, GraftQuery, MultimodalQueries, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{Advanced, ClusterQueries, CurationQueries, DedupQueries, Extended, GraftQuery, MultimodalQueries, Relational, SimilarityQueries, StorageQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     Relational.all ++ Extended.all ++ Advanced.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      CurationQueries.all ++ ClusterQueries.all
+      CurationQueries.all ++ ClusterQueries.all ++ StorageQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

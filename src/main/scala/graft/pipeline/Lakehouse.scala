@@ -128,11 +128,50 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     readFilesManifest(base) match {
       case Some(snap) => // log-managed bronze: the LIVE file set, read under
         // the LOG's schema (older files yield null for later-added columns)
-        val r = snap.schema.fold(spark.read)(spark.read.schema)
-        r.parquet(snap.entries.map(e => base.resolve(e.relPath).toString): _*)
+        readEntriesWithDv(base, snap.schema, snap.entries)
       case None =>
         spark.read.parquet(currentDataDir(layer, name).toString)
     }
+  }
+
+  /** Read a set of live entries applying DELETION VECTORS (merge-on-read —
+    * see [[DeletionVectors]]): files without a vector take the plain scan
+    * (no metadata columns, no per-row work — the fast path stays exactly
+    * what it was); files WITH one read with `_metadata` and subtract their
+    * deleted positions via the codegen'd [[graft.sql.DvRowDeleted]] filter.
+    * The two branches union AFTER the filter, so only vector-carrying
+    * files — bounded by one OPTIMIZE interval of deletes — pay anything. */
+  private def readEntriesWithDv(base: Path,
+      schemaOpt: Option[org.apache.spark.sql.types.StructType],
+      entries: Seq[ManifestStats.FileEntry]): DataFrame = {
+    def rd = schemaOpt.fold(spark.read)(spark.read.schema)
+    val (dvd, plain) = entries.partition(e => ManifestStats.dvRef(e).isDefined)
+    if (dvd.isEmpty)
+      rd.parquet(entries.map(e => base.resolve(e.relPath).toString): _*)
+    else {
+      val masked = readDvFiltered(base, rd,
+        dvd.map(e => base.resolve(e.relPath).toString),
+        dvRefPairs(dvd))
+      if (plain.isEmpty) masked
+      else masked.unionByName(
+        rd.parquet(plain.map(e => base.resolve(e.relPath).toString): _*))
+    }
+  }
+
+  /** (data relPath, dv relPath) pairs for vector-carrying entries. */
+  private def dvRefPairs(entries: Seq[ManifestStats.FileEntry]): Seq[(String, String)] =
+    entries.flatMap(e => ManifestStats.dvRef(e).map { case (p, _) => e.relPath -> p })
+
+  /** Scan `paths` subtracting the deletion vectors in `refs`. */
+  private def readDvFiltered(base: Path, rd: org.apache.spark.sql.DataFrameReader,
+      paths: Seq[String], refs: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnShim
+    val dvMap = DeletionVectors.loadMap(base, refs)
+    val df = rd.parquet(paths: _*)
+    df.filter(!ColumnShim.column(graft.sql.DvRowDeleted(
+      ColumnShim.expression(df.col("_metadata.file_path")),
+      ColumnShim.expression(df.col("_metadata.row_index")),
+      dvMap)))
   }
 
   /** Committed version number of a materialized table (0 = plain layout /
@@ -224,16 +263,18 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       case Some(snap) => // log-managed bronze: that version's files AND schema
         // the checkpoint chain can retain MORE versions than vacuumBronze's
         // keepVersions protects data files for — fail fast with the remedy
-        // instead of an opaque FileNotFoundException mid-scan
-        val missing = snap.entries.filterNot(e => Files.exists(base.resolve(e.relPath)))
+        // instead of an opaque FileNotFoundException mid-scan. Deletion
+        // vectors are part of a version's read set, so a vacuumed vector
+        // fails the same way (not as a resurrected-row silent wrong read)
+        val missing = (snap.entries.map(_.relPath) ++ dvRefPairs(snap.entries).map(_._2))
+          .filterNot(r => Files.exists(base.resolve(r)))
         require(missing.isEmpty,
           s"version $version of $layer.$name references ${missing.size} vacuumed file(s) " +
-            s"(e.g. ${missing.head.relPath}); keep vacuumBronze keepVersions >= " +
+            s"(e.g. ${missing.head}); keep vacuumBronze keepVersions >= " +
             s"bronzeCheckpointInterval ($bronzeCheckpointInterval) — or rely on its " +
             "wall-clock floor (retainMillis, default 168h: versions committed inside " +
             "the window keep their files) — for full time travel")
-        val r = snap.schema.fold(spark.read)(spark.read.schema)
-        r.parquet(snap.entries.map(e => base.resolve(e.relPath).toString): _*)
+        readEntriesWithDv(base, snap.schema, snap.entries)
       case None =>
         spark.read.parquet(base.resolve(s"_v$version").toString)
     }
@@ -558,10 +599,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       schema.toSeq.map(st => "#schema\t" +
         java.net.URLEncoder.encode(st.json, java.nio.charset.StandardCharsets.UTF_8))
     val delta = prev.map { p =>
-      val prevPaths = p.map(_.relPath).toSet
+      // diff on the full RENDERED entry, not the relPath alone: a commit
+      // that only changes a file's metadata (e.g. its deletion-vector
+      // reference) keeps the relPath but must still land as remove+re-add
+      // — resolveSnapshot applies removes before adds, so the pair
+      // replaces the entry in place
+      val prevRender = p.map(e => e.relPath -> e.render).toMap
       val newPaths = entries.map(_.relPath).toSet
-      (entries.filterNot(e => prevPaths(e.relPath)),
-        p.map(_.relPath).filterNot(newPaths))
+      val changed = entries.filter(e =>
+        prevRender.get(e.relPath).exists(_ != e.render)).map(_.relPath).toSet
+      (entries.filterNot(e => prevRender.get(e.relPath).contains(e.render)),
+        p.map(_.relPath).filter(r => !newPaths(r) || changed(r)))
     }
     val asDelta = delta.exists { case (adds, removes) =>
       version % bronzeCheckpointInterval != 0 &&
@@ -691,9 +739,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
     val retained =
       (allVersions.takeRight(math.max(1, keepVersions)) ++ youngEnough).distinct.sorted
-    val keep = retained
+    val retainedEntries = retained
       .flatMap(v => resolveSnapshot(base, v).toSeq)
-      .flatMap(_.entries).map(_.relPath).toSet
+      .flatMap(_.entries)
+    // a retained version's read set includes its deletion vectors — a
+    // vacuumed vector would silently RESURRECT deleted rows on that
+    // version's reads, worse than a missing data file
+    val keep = (retainedEntries.map(_.relPath) ++
+      dvRefPairs(retainedEntries).map(_._2)).toSet
     // parquet twins referenced by ANY retained record stay (time travel
     // through the chain); the rest — crashed pre-CAS writers — are debris
     val liveTwins = allVersions
@@ -724,6 +777,19 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           // no parquet yet is an in-flight writer's, not debris
           if (dirExpired && !listDir(p)
               .exists(_.getFileName.toString.endsWith(".parquet")))
+            deleteRecursively(p)
+        case n if n.startsWith(DeletionVectors.DirPrefix) && Files.isDirectory(p) =>
+          // superseded deletion vectors (a later delete re-merged them, or
+          // OPTIMIZE purged the file) are debris like any unreferenced
+          // file; referenced or young vectors stay
+          val dirExpired = expired(p)
+          listDir(p).foreach { f =>
+            val fn = f.getFileName.toString
+            if (fn.endsWith(".dv") && !keep.contains(s"$n/$fn")) {
+              if (expired(f)) Files.delete(f) else floorRetained += 1
+            }
+          }
+          if (dirExpired && !listDir(p).exists(_.getFileName.toString.endsWith(".dv")))
             deleteRecursively(p)
         case n if n.startsWith("_ckpt_v") && !liveTwins.contains(n) =>
           if (expired(p)) deleteRecursively(p) else floorRetained += 1
@@ -779,15 +845,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * already-written files on the next version — blind appends never
     * conflict, matching Delta's concurrent-append semantics. */
   def appendBronze(name: String, df: DataFrame,
-      statsCols: Seq[String] = Lakehouse.BronzeStatsCols): Unit = {
+      statsCols: Seq[String] = Lakehouse.BronzeStatsCols,
+      bloomCols: Seq[String] = Nil): Unit = {
     val base = dir("bronze", name)
     Files.createDirectories(base)
     upgradeLegacyBronze(base, statsCols)
     val v0 = readFilesManifest(base).map(_.version).getOrElse(0)
     val dataDir = newAppendDir(base, v0 + 1)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    val mine = ManifestStats.collectStats(spark, dataDir.toString, statsCols,
-      dataDir.getFileName.toString)
+    // footer min/max are free; blooms (opt-in) cost one scan over the
+    // just-written files — see the tradeoff note at [[ManifestStats.bloomKey]]
+    val mine = ManifestStats.withBlooms(
+      ManifestStats.collectStats(spark, dataDir.toString, statsCols,
+        dataDir.getFileName.toString),
+      ManifestStats.bloomStats(spark, dataDir.toString, bloomCols,
+        dataDir.getFileName.toString))
     commitAppendEntries(base, name, df.schema, mine)
   }
 
@@ -904,21 +976,20 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       readFilesManifest(base) match {
         case None => return // never written
         case Some(BronzeSnapshot(v, schemaOpt, entries)) =>
-          def rd = schemaOpt.fold(spark.read)(spark.read.schema)
           val candidates = entries.filter(e => ManifestStats.mightMatch(e, statPreds))
           if (candidates.isEmpty) return
-          val candPaths = candidates.map(e => base.resolve(e.relPath).toString)
           // null condition counts as a match (dropped): detect via NOT(NOT cond)
           val matchCond = !org.apache.spark.sql.functions.coalesce(
             !condition, org.apache.spark.sql.functions.lit(false))
-          val affectedNames = rd.parquet(candPaths: _*)
+          // scans subtract any existing deletion vectors: an already
+          // vector-deleted row neither triggers a rewrite nor survives one
+          val affectedNames = readEntriesWithDv(base, schemaOpt, candidates)
             .withColumn("__f", input_file_name()).filter(matchCond)
             .select("__f").distinct().collect()
             .map(_.getString(0).split('/').takeRight(2).mkString("/")).toSet
           if (affectedNames.isEmpty) return
           val (affected, untouched) = entries.partition(e => affectedNames.contains(e.relPath))
-          val retained = rd
-            .parquet(affected.map(e => base.resolve(e.relPath).toString): _*)
+          val retained = readEntriesWithDv(base, schemaOpt, affected)
             .filter(!condition)
           val newEntries =
             if (retained.isEmpty && untouched.nonEmpty) Seq.empty
@@ -938,6 +1009,164 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
     throw new IllegalStateException(
       s"deleteBronzeWhere($name) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** Predicate delete — MERGE-ON-READ via deletion vectors, the scale
+    * path [[deleteBronzeWhere]]'s copy-on-write is not: instead of
+    * rewriting every file that contains a matching row, this records the
+    * matching rows' PHYSICAL POSITIONS per file ([[DeletionVectors]], one
+    * `.dv` file per affected data file) and commits updated manifest
+    * entries pointing at them; reads subtract the positions at scan time.
+    * A delete touching one row in each of 10 000 files costs O(deleted
+    * rows) of metadata where copy-on-write re-writes every touched file —
+    * Delta's deletion-vector DELETE, re-expressed on the file log.
+    *
+    *   - A file whose VISIBLE rows all match is dropped from the manifest
+    *     entirely (pure metadata — no vector, no rewrite); if that empties
+    *     the table, one zero-row schema file keeps it readable.
+    *   - A repeat delete on a vectored file writes a NEW merged vector;
+    *     the superseded one becomes vacuum debris.
+    *   - Vectors are PURGED by OPTIMIZE ([[compactSmall]] treats any
+    *     vectored file as a rewrite candidate) and by any full rewrite,
+    *     so read-side subtract cost is bounded by one maintenance
+    *     interval of deletes, never by delete history.
+    *   - File min/max stats stay as written (a superset bound over the
+    *     surviving rows — skipping remains sound, just less tight until
+    *     the purge).
+    *
+    * Same stats-candidate pruning, null-matches-drop convention, and
+    * lost-CAS-restarts-from-winner discipline as the CoW delete. The only
+    * driver materialization is the matched positions themselves
+    * (O(deleted rows in this delete) — the metadata being written) plus
+    * any prior vectors of the affected files.
+    *
+    * STREAMING NOTE: like CoW deletes, vector deletes do NOT propagate to
+    * file streams over [[streamSourcePath]] — the deleted rows were
+    * already delivered when their file was appended (Delta's streaming
+    * source has the same contract: deletes require CDF, not the add-files
+    * stream). */
+  def deleteBronzeWhereDv(name: String, condition: org.apache.spark.sql.Column,
+      statPreds: Seq[ManifestStats.StatPred] = Nil, maxAttempts: Int = 5): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, collect_list, count, lit, when, size => sizeFn}
+    import org.apache.spark.sql.graft.ColumnShim
+    val base = dir("bronze", name)
+    if (!Files.exists(base)) return
+    upgradeLegacyBronze(base, Lakehouse.BronzeStatsCols)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      readFilesManifest(base) match {
+        case None => return // never written
+        case Some(BronzeSnapshot(v, schemaOpt, entries)) =>
+          val candidates = entries.filter(e => ManifestStats.mightMatch(e, statPreds))
+          if (candidates.isEmpty) return
+          def rd = schemaOpt.fold(spark.read)(spark.read.schema)
+          // null condition counts as a match (dropped) — the DML convention
+          val matchCond = !coalesce(!condition, lit(false))
+          val priorRefs = dvRefPairs(candidates).toMap
+          val priorVecs = DeletionVectors.loadMap(base, priorRefs.toSeq)
+          val scan = rd.parquet(candidates.map(e => base.resolve(e.relPath).toString): _*)
+          // file identity + physical position + match flag; existing
+          // vectors applied so an already-deleted row is never re-counted
+          val flagged0 = scan.select(
+            col("_metadata.file_path").as("__f"),
+            col("_metadata.row_index").as("__ridx"),
+            matchCond.as("__m"))
+          val flagged = if (priorVecs.isEmpty) flagged0
+            else flagged0.filter(!ColumnShim.column(graft.sql.DvRowDeleted(
+              ColumnShim.expression(col("__f")),
+              ColumnShim.expression(col("__ridx")), priorVecs)))
+          // one row per file that contains matches: its matched positions
+          // (the vector being written — O(deleted rows), the only driver
+          // materialization) and its visible-row count (full-file detect)
+          val perFile = flagged
+            .groupBy(col("__f"))
+            .agg(collect_list(when(col("__m"), col("__ridx"))).as("__dels"),
+              count(lit(1)).as("__visible"))
+            .filter(sizeFn(col("__dels")) > 0)
+            .collect()
+          if (perFile.isEmpty) return
+          val dvDirName =
+            s"${DeletionVectors.DirPrefix}${v + 1}_${java.util.UUID.randomUUID.toString.take(8)}"
+          val dvDir = base.resolve(dvDirName)
+          val updates: Map[String, Option[(String, Long)]] = perFile.map { r =>
+            val rel = graft.sql.DvRowDeleted.relPathKey(r.getString(0))
+            val newDels = r.getSeq[Long](1).toArray.sorted
+            if (newDels.length == r.getLong(2)) rel -> None // all visible rows match
+            else {
+              val prior = priorVecs.getOrElse(rel, Array.emptyLongArray)
+              val merged = DeletionVectors.merge(prior, newDels)
+              Files.createDirectories(dvDir)
+              val fn = DeletionVectors.fileName(rel)
+              DeletionVectors.write(dvDir.resolve(fn), merged)
+              rel -> Some((s"$dvDirName/$fn", merged.length.toLong))
+            }
+          }.toMap
+          val kept = entries.flatMap { e =>
+            updates.get(e.relPath) match {
+              case None => Some(e) // untouched by this delete
+              case Some(None) => None // fully deleted: drop, pure metadata
+              case Some(Some((dvRel, card))) => Some(ManifestStats.withDv(e, dvRel, card))
+            }
+          }
+          val newEntries =
+            if (kept.nonEmpty) kept
+            else { // emptied table: one zero-row schema file keeps it readable
+              val dataDir = newAppendDir(base, v + 1)
+              val s = schemaOpt.getOrElse(scan.schema)
+              spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+                .repartition(1)
+                .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+              ManifestStats.collectStats(spark, dataDir.toString,
+                Lakehouse.BronzeStatsCols, dataDir.getFileName.toString)
+            }
+          if (commitFilesManifest(base, v + 1, schemaOpt, newEntries,
+              prev = Some(entries), op = "DELETE")) return
+          // lost the CAS: our vectors reference a stale read-set — drop
+          // them and recompute from the winner's manifest
+          deleteRecursively(dvDir)
+      }
+    }
+    throw new IllegalStateException(
+      s"deleteBronzeWhereDv($name) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** `RESTORE TABLE ... TO VERSION AS OF n` — Delta parity: commit the
+    * file set AND schema of a retained `version` as a NEW version on top
+    * of the log. Pure metadata — the restored files are re-referenced,
+    * never copied — so restoring a 100 TB table after a bad delete costs
+    * one log record. History is preserved (the bad commit stays
+    * inspectable; RESTORE lands as its own operation, Delta's model), and
+    * the restore itself is undoable by another restore. Fails fast if any
+    * of the target version's files (data or deletion vectors) were
+    * already vacuumed. Concurrency: the usual CAS discipline — a lost
+    * race re-commits the same target state on top of the winner (restore
+    * semantics are "make the table look like version n", which is
+    * insensitive to the intervening writer's version number). */
+  def restoreBronze(name: String, version: Int, maxAttempts: Int = 5): Unit = {
+    val base = dir("bronze", name)
+    val avail = bronzeVersions(base)
+    require(avail.contains(version),
+      s"version $version of bronze.$name is not retained (available: ${avail.mkString(",")})")
+    val target = resolveSnapshot(base, version).getOrElse(throw new IllegalStateException(
+      s"version $version of bronze.$name did not resolve — log chain broken"))
+    val missing = (target.entries.map(_.relPath) ++ dvRefPairs(target.entries).map(_._2))
+      .filterNot(r => Files.exists(base.resolve(r)))
+    require(missing.isEmpty,
+      s"cannot restore bronze.$name to version $version: ${missing.size} file(s) " +
+        s"already vacuumed (e.g. ${missing.headOption.getOrElse("")})")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = readFilesManifest(base).getOrElse(throw new IllegalStateException(
+        s"bronze.$name has no committed version to restore on top of"))
+      if (cur.version == version) return // already there
+      if (commitFilesManifest(base, cur.version + 1, target.schema, target.entries,
+          prev = Some(cur.entries), op = "RESTORE")) return
+    }
+    throw new IllegalStateException(
+      s"restoreBronze($name) lost $maxAttempts consecutive CAS races")
   }
 
   /** One [[ManifestStats.StatPred]] as a Column over the parquet-twin
@@ -981,7 +1210,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * count); None when the chain has no parquet twin (small table or
     * pre-twin log) — callers fall back to the in-memory resolve. */
   private def resolvePrunedDistributed(base: Path, version: Int,
-      preds: Seq[ManifestStats.StatPred]): Option[(Seq[String], Int)] = {
+      preds: Seq[ManifestStats.StatPred]): Option[(Seq[(String, Option[String])], Int)] = {
     import org.apache.spark.sql.functions.{col, lit}
     // walk down to the nearest checkpoint via header peeks only
     var deltas = List.empty[LogRecord]
@@ -1009,11 +1238,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val filtered =
       if (removed.isEmpty) df.filter(cond)
       else df.filter(cond && !col("relPath").isInCollection(removed))
-    val fromCkpt = filtered.select("relPath").collect().map(_.getString(0)).toSeq
+    // the deletion-vector reference rides the twin as the __min__ column of
+    // the [[ManifestStats.DvCol]] pseudo-stat; pre-DV twins lack the column
+    // and read as vector-free (correct: their entries predate vectors)
+    val dvTwinCol = s"__min__${ManifestStats.DvCol}"
+    val fromCkpt =
+      if (df.schema.fieldNames.contains(dvTwinCol))
+        filtered.select(col("relPath"), col(dvTwinCol)).collect()
+          .map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+      else filtered.select("relPath").collect()
+        .map(r => (r.getString(0), Option.empty[String])).toSeq
     val fromDeltas = adds.valuesIterator
-      .filter(e => ManifestStats.mightMatch(e, preds)).map(_.relPath).toSeq
-    Some(((fromCkpt ++ fromDeltas).map(r => base.resolve(r).toString),
-      fromCkpt.size + adds.size))
+      .filter(e => ManifestStats.mightMatch(e, preds))
+      .map(e => (e.relPath, ManifestStats.dvRef(e).map(_._1))).toSeq
+    Some(((fromCkpt ++ fromDeltas).map { case (r, dv) =>
+      (base.resolve(r).toString, dv) }, fromCkpt.size + adds.size))
   }
 
   /** Live data files of a table after FILE-LEVEL DATA SKIPPING: entries
@@ -1026,26 +1265,28 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * ([[resolvePrunedDistributed]]); smaller ones in driver memory. */
   def prunedFilePaths(layer: String, name: String,
       preds: Seq[ManifestStats.StatPred]): Seq[String] =
-    prunedFilePathsMetered(layer, name, preds)._1
+    prunedFilePathsMetered(layer, name, preds)._1.map(_._1)
 
   /** [[prunedFilePaths]] plus the number of entries the DRIVER materialized
     * to answer it — the observable the 100 TB scaling spec pins: with a
     * parquet-twin checkpoint, a selective probe must cost O(matching +
     * delta tail), not O(live files). */
   private[pipeline] def prunedFilePathsMetered(layer: String, name: String,
-      preds: Seq[ManifestStats.StatPred]): (Seq[String], Int) = {
+      preds: Seq[ManifestStats.StatPred]): (Seq[(String, Option[String])], Int) = {
     val base = dir(layer, name)
     bronzeVersions(base).lastOption match {
       case Some(v) => prunedAtVersionMetered(base, v, preds)
       case None =>
         val dd = currentDataDir(layer, name)
         // `_VERSION` manifests are always full snapshots (materialized
-        // tables rewrite whole versions — no delta records to resolve)
+        // tables rewrite whole versions — no delta records to resolve;
+        // the materialized layout never carries deletion vectors)
         readRecord(base.resolve(ManifestName)) match {
           case Some(rec) if rec.adds.nonEmpty =>
             (rec.adds.filter(e => ManifestStats.mightMatch(e, preds))
-              .map(e => dd.resolve(e.relPath).toString), rec.adds.size)
-          case _ => (Seq(dd.toString), 0)
+              .map(e => (dd.resolve(e.relPath).toString, Option.empty[String])),
+              rec.adds.size)
+          case _ => (Seq((dd.toString, Option.empty[String])), 0)
         }
     }
   }
@@ -1057,12 +1298,29 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * on the driver too; falls back to the in-memory resolve when the
     * version's chain has no twin. */
   private def prunedAtVersionMetered(base: Path, version: Int,
-      preds: Seq[ManifestStats.StatPred]): (Seq[String], Int) =
+      preds: Seq[ManifestStats.StatPred]): (Seq[(String, Option[String])], Int) =
     resolvePrunedDistributed(base, version, preds).getOrElse {
       val snap = resolveSnapshot(base, version).get
       (snap.entries.filter(e => ManifestStats.mightMatch(e, preds))
-        .map(e => base.resolve(e.relPath).toString), snap.entries.size)
+        .map(e => (base.resolve(e.relPath).toString, ManifestStats.dvRef(e).map(_._1))),
+        snap.entries.size)
     }
+
+  /** Scan pruned (absolute path, dv relPath) pairs applying any deletion
+    * vectors — the pruned-read twin of [[readEntriesWithDv]]. */
+  private def readPrunedWithDv(base: Path,
+      schemaOpt: Option[org.apache.spark.sql.types.StructType],
+      paths: Seq[(String, Option[String])]): DataFrame = {
+    def rd = schemaOpt.fold(spark.read)(spark.read.schema)
+    val (dvd, plain) = paths.partition(_._2.isDefined)
+    if (dvd.isEmpty) rd.parquet(paths.map(_._1): _*)
+    else {
+      val masked = readDvFiltered(base, rd, dvd.map(_._1),
+        dvd.map { case (p, dv) => graft.sql.DvRowDeleted.relPathKey(p) -> dv.get })
+      if (plain.isEmpty) masked
+      else masked.unionByName(rd.parquet(plain.map(_._1): _*))
+    }
+  }
 
   /** [[tableAtWhere]] plus the driver-materialized entry count (the AS-OF
     * twin of [[prunedFilePathsMetered]], for the scaling spec). */
@@ -1077,7 +1335,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // stats — the AS-OF read is the version dir, no skipping to apply
       return (spark.read.parquet(base.resolve(s"_v$version").toString), 0)
     val (paths, held) = prunedAtVersionMetered(base, version, preds)
-    val missing = paths.filterNot(p => Files.exists(Paths.get(p)))
+    val missing = (paths.map(_._1) ++ paths.flatMap(_._2.map(r => base.resolve(r).toString)))
+      .filterNot(p => Files.exists(Paths.get(p)))
     require(missing.isEmpty,
       s"version $version of $layer.$name references ${missing.size} vacuumed file(s) " +
         s"(e.g. ${missing.head}); keep vacuumBronze keepVersions >= " +
@@ -1091,7 +1350,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       return (spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s), held)
     }
-    (schema.fold(spark.read)(spark.read.schema).parquet(paths: _*), held)
+    (readPrunedWithDv(base, schema, paths), held)
   }
 
   /** Time-travel scan WITH file skipping — [[tableWhere]] AS OF `version`:
@@ -1111,7 +1370,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   def tableWhere(layer: String, name: String,
       preds: Seq[ManifestStats.StatPred]): DataFrame = {
     val base = dir(layer, name)
-    val pruned = prunedFilePaths(layer, name, preds)
+    val (pruned, _) = prunedFilePathsMetered(layer, name, preds)
     // schema via header peeks — resolving the full snapshot here (even on
     // the no-match path) would re-materialize the very O(live-files) entry
     // list the distributed prune exists to avoid
@@ -1121,7 +1380,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    light.fold(spark.read)(spark.read.schema).parquet(pruned: _*)
+    readPrunedWithDv(base, light, pruned)
   }
 
   /** Path a STREAMING source should monitor for this table: the `_a*`
@@ -1359,7 +1618,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       targetBytes: Long = Lakehouse.DefaultTargetFileBytes,
       minSmallFiles: Int = 4,
       statsCols: Seq[String] = Lakehouse.BronzeStatsCols,
-      maxAttempts: Int = 5): Boolean = {
+      maxAttempts: Int = 5,
+      bloomCols: Seq[String] = Nil): Boolean = {
     require(targetBytes > 0 && minSmallFiles >= 2,
       s"need targetBytes > 0 and minSmallFiles >= 2, got $targetBytes/$minSmallFiles")
     val base = dir(layer, name)
@@ -1370,17 +1630,29 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         readFilesManifest(base).getOrElse(return false)
       def sizeOf(e: ManifestStats.FileEntry): Long =
         ManifestStats.sizeOf(e).getOrElse(Files.size(base.resolve(e.relPath)))
-      val smalls = entries.filter(e => sizeOf(e) < targetBytes / 2)
-      if (smalls.size < minSmallFiles) return false
+      // a file carrying a deletion vector is ALWAYS a candidate regardless
+      // of size: the rewrite materializes its deletes and drops the vector
+      // (Delta's OPTIMIZE-purges-DVs rule), which bounds both the vector
+      // metadata a table accumulates and the per-read subtract cost to one
+      // maintenance interval of deletes. Outputs are clean, so they never
+      // re-qualify on this rule either — convergence holds.
+      val smalls = entries.filter(e => sizeOf(e) < targetBytes / 2 ||
+        ManifestStats.dvRef(e).isDefined)
+      if (smalls.size < minSmallFiles &&
+        !smalls.exists(e => ManifestStats.dvRef(e).isDefined)) return false
       val total = smalls.map(sizeOf).sum
       val outFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
       val dataDir = newAppendDir(base, v + 1)
-      schemaOpt.fold(spark.read)(spark.read.schema)
-        .parquet(smalls.map(e => base.resolve(e.relPath).toString): _*)
+      readEntriesWithDv(base, schemaOpt, smalls)
         .repartition(outFiles)
         .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-      val newEntries = ManifestStats.collectStats(spark, dataDir.toString,
-        statsCols, dataDir.getFileName.toString)
+      // packed files MIX keys — exactly when membership pruning matters
+      // most — so bloom-maintained tables re-collect blooms on the repack
+      val newEntries = ManifestStats.withBlooms(
+        ManifestStats.collectStats(spark, dataDir.toString,
+          statsCols, dataDir.getFileName.toString),
+        ManifestStats.bloomStats(spark, dataDir.toString, bloomCols,
+          dataDir.getFileName.toString))
       val smallPaths = smalls.map(_.relPath).toSet
       val untouched = entries.filterNot(e => smallPaths(e.relPath))
       if (commitFilesManifest(base, v + 1, schemaOpt, untouched ++ newEntries,
@@ -1441,8 +1713,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     while (attempt < maxAttempts) {
       attempt += 1
       val BronzeSnapshot(v, schemaOpt, entries) = readFilesManifest(base).getOrElse(return)
-      val df = transform(schemaOpt.fold(spark.read)(spark.read.schema)
-        .parquet(entries.map(e => base.resolve(e.relPath).toString): _*))
+      // deletion vectors are applied and PURGED by any full rewrite: the
+      // output files carry only surviving rows and a clean entry
+      val df = transform(readEntriesWithDv(base, schemaOpt, entries))
       val dataDir = newAppendDir(base, v + 1)
       df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
       // prev provided, but a full rewrite's delta is never smaller than the

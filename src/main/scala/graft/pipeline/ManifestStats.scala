@@ -96,7 +96,7 @@ object ManifestStats {
     * PROVES no row can match every predicate. Missing stats → keep. */
   def mightMatch(entry: FileEntry, preds: Seq[StatPred]): Boolean =
     preds.forall { p =>
-      (entry.stats.get(p.column), encodeValue(p.value)) match {
+      val range = (entry.stats.get(p.column), encodeValue(p.value)) match {
         case (Some(s), Some((tag, v))) if tag == s.tag => p match {
           case _: StatGte => cmp(tag, s.max, v) >= 0
           case _: StatLte => cmp(tag, s.min, v) <= 0
@@ -104,6 +104,17 @@ object ManifestStats {
         }
         case _ => true // no stats / tag mismatch: never skip on a guess
       }
+      // equality probes additionally consult the file's bloom (if one was
+      // recorded): range says "the value COULD fall here", the bloom says
+      // "it definitely doesn't" — files that mix high-cardinality keys
+      // (post-compaction) prune on membership where ranges cannot
+      range && (p match {
+        case _: StatEq => encodeValue(p.value) match {
+          case Some((tag, v)) => bloomAdmits(entry, p.column, tag, v)
+          case None => true
+        }
+        case _ => true
+      })
     }
 
   def parseLine(line: String): FileEntry = {
@@ -170,6 +181,113 @@ object ManifestStats {
 
   def sizeOf(e: FileEntry): Option[Long] =
     e.stats.get(SizeCol).map(_.min.toLong)
+
+  /** Pseudo-column carrying a DELETION-VECTOR reference (Delta's
+    * `add.deletionVector` descriptor): `min` = the vector's relPath under
+    * the table dir, `max` = its cardinality (deleted-row count). Rides
+    * the stats map like [[SizeCol]] so the manifest line format, delta
+    * records and the checkpoint parquet twin all carry it unchanged.
+    * Never matches a [[StatPred]]; a file's data min/max stay recorded
+    * over ALL physical rows, which remains a sound SUPERSET bound for
+    * skipping after rows are vector-deleted. */
+  val DvCol = "__dv"
+
+  /** (dv relPath, cardinality) of a file's deletion vector, if any. */
+  def dvRef(e: FileEntry): Option[(String, Long)] =
+    e.stats.get(DvCol).map(s => (s.min, s.max.toLong))
+
+  def withDv(e: FileEntry, dvRelPath: String, cardinality: Long): FileEntry =
+    e.copy(stats = e.stats + (DvCol -> ColStats('s', dvRelPath, cardinality.toString)))
+
+  // ───── per-file bloom-filter skipping ───────────────────────────────
+  //
+  // min/max ranges cannot prune EQUALITY probes on high-cardinality
+  // identity columns once files mix values (compaction packs many runs
+  // into one file: every file's [min,max] covers most of the key space,
+  // so a run-scoped delete or point lookup degenerates to a full scan).
+  // A per-file bloom filter restores precise membership pruning at a few
+  // bits per distinct value — Delta/iceberg solve the same problem with
+  // writer-side bloom indexes. Stored like every pseudo-stat: key
+  // `__bloom__<col>`, tag 's', min = base64 of Spark's statically-seeded
+  // sketch (engine-deterministic), max = the distinct count it covers.
+  //
+  // OPT-IN (`appendBronze(..., bloomCols = ...)`) because building one
+  // costs the second scan over just-written files that footer-based
+  // min/max stats deliberately eliminated — enable it on tables probed by
+  // equality on non-clustered keys, where the scan at ingest buys back
+  // whole-file skips on every subsequent delete/lookup. A file without a
+  // bloom simply never skips on membership — the usual superset rule.
+
+  val BloomPrefix = "__bloom__"
+  def bloomKey(col: String): String = BloomPrefix + col
+
+  /** False-positive rate blooms are sized for: ~10 bits/value. */
+  val BloomFpp = 0.01
+
+  /** Per-file distinct-count cap: above it no bloom is recorded (the
+    * manifest line would bloat past usefulness — a column this dense per
+    * file is not an identity-probe column). */
+  val MaxBloomItemsPerFile = 100000
+
+  /** Values enter the bloom in the [[encodeValue]] encoding (`tag:value`),
+    * so membership tests are typed exactly like min/max comparisons. */
+  private def bloomItem(tag: Char, v: String): String = s"$tag:$v"
+
+  /** One SCAN over `dataDir` building per-file bloom pseudo-stats for
+    * `cols`: relPath → (bloomKey(col) → ColStats). Distinct values are
+    * gathered per (file, column) executor-side and capped BEFORE they
+    * reach the driver; the sketch itself is built on the driver (a few KB
+    * per file·column at identity-column cardinalities). */
+  def bloomStats(spark: org.apache.spark.sql.SparkSession, dataDir: String,
+      cols: Seq[String], relPrefix: String): Map[String, Map[String, ColStats]] = {
+    import org.apache.spark.sql.functions.{collect_set, input_file_name, slice}
+    if (cols.isEmpty) return Map.empty
+    val df = spark.read.parquet(dataDir)
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val aggs = present.map(c =>
+      slice(collect_set(col(c)), 1, MaxBloomItemsPerFile + 1).as(c))
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.map { r =>
+      val file = r.getString(0).split('/').last
+      val stats = present.zipWithIndex.flatMap { case (c, i) =>
+        val vals = r.getSeq[Any](i + 1)
+        val encoded = vals.flatMap(v => encodeValue(v).map { case (t, s) => bloomItem(t, s) })
+        if (vals.size > MaxBloomItemsPerFile || encoded.isEmpty) None
+        else {
+          val bf = org.apache.spark.util.sketch.BloomFilter.create(encoded.size.toLong, BloomFpp)
+          encoded.foreach(bf.putString)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          Some(bloomKey(c) -> ColStats('s',
+            java.util.Base64.getEncoder.encodeToString(bos.toByteArray),
+            encoded.size.toString))
+        }
+      }.toMap
+      s"$relPrefix/$file" -> stats
+    }.toMap
+  }
+
+  /** Merge bloom stats into collected entries (missing files keep none). */
+  def withBlooms(entries: Seq[FileEntry],
+      blooms: Map[String, Map[String, ColStats]]): Seq[FileEntry] =
+    entries.map(e => blooms.get(e.relPath) match {
+      case Some(b) if b.nonEmpty => e.copy(stats = e.stats ++ b)
+      case _ => e
+    })
+
+  /** Bloom membership test for an EQUALITY probe: false = the value is
+    * definitely not in the file (no false negatives — safe to skip). */
+  private def bloomAdmits(entry: FileEntry, column: String, tag: Char, v: String): Boolean =
+    entry.stats.get(bloomKey(column)) match {
+      case Some(b) =>
+        val bytes = java.util.Base64.getDecoder.decode(b.min)
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainString(bloomItem(tag, v))
+      case None => true
+    }
 
   /** One file's footer statistics, restricted to `wanted` columns, plus
     * the [[SizeCol]] pseudo-stat. */

@@ -1,0 +1,101 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.Graft.table
+import graft.pipeline.Lakehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Storage-engine DML surface, oracle-gated end to end: the queries build a
+  * real file-log table in a scratch dir from the driver's parquet, run the
+  * storage op under test (deletion-vector DELETE, RESTORE), read the result
+  * back through the log, and return it MATERIALIZED (the scratch lakehouse
+  * is deleted before returning, so nothing leaks per run and the returned
+  * frame owns its rows). DuckDB replays the visible-row semantics as plain
+  * SELECTs over the same source parquet — the oracle checks that
+  * merge-on-read subtraction and metadata-only restore produce EXACTLY the
+  * rows a from-scratch filter would.
+  */
+object StorageQueries {
+
+  private val money = DecimalType(12, 2)
+
+  /** Collect `df`, drop the scratch dir, return a self-contained frame. */
+  private def materialized(s: SparkSession, df: DataFrame,
+      scratch: java.nio.file.Path): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    val out = s.createDataFrame(rows, df.schema)
+    // the scratch lakehouse is gone before the caller ever runs the plan
+    Files.walk(scratch).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.delete(p))
+    out
+  }
+
+  /** Deletion-vector DELETE (merge-on-read): two appends land the sample
+    * across files, two vector deletes subtract rows WITHOUT rewriting any
+    * data file (the second merges into the first's vectors), and the read
+    * back through the log must equal DuckDB's plain NOT-filter. Covers
+    * vector write, merge, full-file drop, and the scan-time subtract. */
+  val q78DvDelete = GraftQuery(
+    "q78_dv_delete",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-q78")
+      val lake = new Lakehouse(s, scratch.toString)
+      val base = table(s, dir, "orders")
+        .filter(col("o_custkey") % 20 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(money).as("price"))
+      lake.appendBronze("ord", base.filter(col("o_orderkey") % 2 === 0).repartition(4))
+      lake.appendBronze("ord", base.filter(col("o_orderkey") % 2 =!= 0).repartition(4))
+      lake.deleteBronzeWhereDv("ord", col("o_orderkey") % 5 === 0)
+      lake.deleteBronzeWhereDv("ord", col("o_orderkey") % 7 === 3)
+      val res = lake.table("bronze", "ord")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("price").cast("double").as("price"))
+        .orderBy(col("o_orderkey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      FROM orders
+      WHERE o_custkey % 20 = 0
+        AND NOT (o_orderkey % 5 = 0)
+        AND NOT (o_orderkey % 7 = 3)
+      ORDER BY o_orderkey"""))
+
+  /** RESTORE TO VERSION AS OF: a vector delete removes rows, a
+    * metadata-only restore to the pre-delete version resurrects them, and
+    * the read back must equal the UNDELETED sample — proving restore
+    * re-references the exact pre-delete file set (vectors dropped), not a
+    * re-filtered approximation. */
+  val q79RestoreRead = GraftQuery(
+    "q79_restore_read",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-q79")
+      val lake = new Lakehouse(s, scratch.toString)
+      val base = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal").cast(money).as("acctbal"))
+      lake.appendBronze("cust", base.filter(col("c_custkey") % 10 === 0).repartition(2))
+      lake.appendBronze("cust", base.filter(col("c_custkey") % 10 === 5).repartition(2))
+      val preDelete = lake.tableVersions("bronze", "cust").max
+      lake.deleteBronzeWhereDv("cust", col("acctbal") < 0)
+      lake.restoreBronze("cust", preDelete)
+      val res = lake.table("bronze", "cust")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("acctbal").cast("double").as("acctbal"))
+        .orderBy(col("c_custkey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+      FROM customer
+      WHERE c_custkey % 10 = 0 OR c_custkey % 10 = 5
+      ORDER BY c_custkey"""))
+
+  val all: Seq[GraftQuery] = Seq(q78DvDelete, q79RestoreRead)
+}
