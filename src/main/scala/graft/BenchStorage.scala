@@ -29,16 +29,23 @@ object BenchStorage {
       tinyAppendSec: Double,
       manifestBytes: Long,
       liveFiles: Int,
+      deleteDvSec: Double,
+      readDvSec: Double,
       deleteSec: Double,
       rowsAfterDelete: Long,
       compactSec: Double,
       vacuumSec: Double) {
-    /** Composite seconds — the one number the driver bench tracks. */
-    def totalSec: Double = append16Sec + tinyAppendSec + deleteSec + compactSec + vacuumSec
+    /** Composite seconds — the one number the driver bench tracks.
+      * PROTOCOL NOTE (r12): now includes the two deletion-vector steps
+      * (delete_dv_sec + read_dv_sec) on top of the r11 sequence — compare
+      * composites across rounds only after subtracting the new fields. */
+    def totalSec: Double = append16Sec + tinyAppendSec + deleteDvSec + readDvSec +
+      deleteSec + compactSec + vacuumSec
     def detailJson(sfDir: String): String =
       s"""{"metric":"storage","total_sec":$totalSec,"rows":$rows,"append16_sec":$append16Sec,""" +
         s""""tiny_append_sec":$tinyAppendSec,"manifest_bytes":$manifestBytes,""" +
-        s""""live_files":$liveFiles,"delete_run_sec":$deleteSec,""" +
+        s""""live_files":$liveFiles,"delete_dv_sec":$deleteDvSec,""" +
+        s""""read_dv_sec":$readDvSec,"delete_run_sec":$deleteSec,""" +
         s""""rows_after_delete":$rowsAfterDelete,"compact_clustered_sec":$compactSec,""" +
         s""""vacuum_sec":$vacuumSec,"sf":"$sfDir"}"""
   }
@@ -100,11 +107,23 @@ object BenchStorage {
       }
       val liveFiles = lake.committedBronzeRelPaths("facts").map(_.size).getOrElse(0)
 
+      // ── deletion-vector delete: a PARTIAL predicate (half of run-06 by
+      // orderkey parity), so vectors are genuinely written and the
+      // subsequent read pays the merge-on-read subtract — the honest cost
+      // pair (a run-aligned full-file delete is pure metadata and would
+      // time ~0)
+      val (_, deleteDvSec) = timed(lake.deleteBronzeWhereDv("facts",
+        col("run_id") === "run-06" && pmod(col("l_orderkey"), lit(32)) === 6,
+        Seq(graft.pipeline.ManifestStats.StatEq("run_id", "run-06"))))
+      val (_, readDvSec) = timed(lake.table("bronze", "facts").count())
+
       // ── predicate delete: one run's rows, stats-pruned copy-on-write ───
-      val (_, deleteSec) = timed(lake.deleteByRunId("facts", "run-07"))
+      val (_, deleteSec) = timed(lake.deleteBronzeWhere("facts",
+        col("run_id") === "run-07",
+        Seq(graft.pipeline.ManifestStats.StatEq("run_id", "run-07"))))
       val afterDelete = lake.table("bronze", "facts").count()
 
-      // ── clustered compaction (OPTIMIZE ZORDER parity) ──────────────────
+      // ── clustered compaction (OPTIMIZE ZORDER parity; purges vectors) ──
       val (_, compactSec) = timed(
         lake.compactClustered("bronze", "facts", "l_orderkey", "l_partkey", numFiles = 16))
 
@@ -112,7 +131,7 @@ object BenchStorage {
       val (_, vacuumSec) = timed(lake.vacuumBronze("facts", keepVersions = 1, retainMillis = 0L))
 
       StorageResult(rows, appendSec, tinyAppendSec, manifestBytes, liveFiles,
-        deleteSec, afterDelete, compactSec, vacuumSec)
+        deleteDvSec, readDvSec, deleteSec, afterDelete, compactSec, vacuumSec)
     } finally li.unpersist()
   }
 

@@ -935,11 +935,33 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     readFilesManifest(dir("bronze", name)).map(_.entries.map(_.relPath).toSet)
 
   /** Idempotent re-run delete: drop all rows of `run_id` before re-append.
-    * The manifest's run_id file stats bound the scan to files whose range
-    * covers the run — a re-ingest never rewrites unrelated history. */
+    * The manifest's run_id file stats (min/max, plus bloom when recorded)
+    * bound the scan to files whose range covers the run — a re-ingest
+    * never touches unrelated history.
+    *
+    * Runs via the DELETION-VECTOR path ([[deleteBronzeWhereDv]]): ingest
+    * appends are run-aligned, so the typical re-run delete finds files
+    * whose every row matches and drops them from the manifest as PURE
+    * METADATA — no rewrite, no vector, just a remove-list delta. Files
+    * that mix runs (post-compaction) get a vector; the next OPTIMIZE
+    * purges it. The copy-on-write alternative ([[deleteBronzeWhere]])
+    * remains for callers that must not leave vectors behind. */
   def deleteByRunId(name: String, runId: String): Unit =
-    deleteBronzeWhere(name, org.apache.spark.sql.functions.col("run_id").equalTo(runId),
+    deleteBronzeWhereDv(name, org.apache.spark.sql.functions.col("run_id").equalTo(runId),
       Seq(ManifestStats.StatEq("run_id", runId)))
+
+  /** Exact visible row count from LOG METADATA alone: Σ per-file physical
+    * rows ([[ManifestStats.RowsCol]], recorded from footers at commit)
+    * minus Σ deletion-vector cardinalities. One log resolve — never a
+    * data scan — on any table whose live entries all carry the stat
+    * (every r12+ commit); None otherwise (caller falls back to count()).
+    * The Delta `numRecords` fast path for count(*)-class questions. */
+  def rowCount(layer: String, name: String): Option[Long] =
+    readFilesManifest(dir(layer, name)).flatMap { snap =>
+      val per = snap.entries.map(e => ManifestStats.rowsOf(e)
+        .map(_ - ManifestStats.dvRef(e).map(_._2).getOrElse(0L)))
+      if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+    }
 
   /** Predicate delete — "DELETE WHERE <condition>" over a bronze table,
     * copy-on-write at FILE granularity: stats-candidate files are scanned

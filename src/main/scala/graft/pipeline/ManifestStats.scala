@@ -4,7 +4,7 @@ import java.net.{URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
 
 /** File-level metadata for the transaction-log manifests: one entry per
   * live data file, carrying per-column min/max statistics for DATA
@@ -182,6 +182,18 @@ object ManifestStats {
   def sizeOf(e: FileEntry): Option[Long] =
     e.stats.get(SizeCol).map(_.min.toLong)
 
+  /** Pseudo-column carrying the file's PHYSICAL ROW COUNT (min = max =
+    * rows, from the footer's block metadata — free at commit time, like
+    * [[SizeCol]]; Delta records `numRecords` the same way). Lets
+    * `count(*)`-class questions resolve from the LOG instead of a scan:
+    * [[graft.pipeline.Lakehouse.rowCount]] sums these minus any
+    * deletion-vector cardinalities — on a 100 TB table that is one log
+    * read, not a 100 TB scan. */
+  val RowsCol = "__rows"
+
+  def rowsOf(e: FileEntry): Option[Long] =
+    e.stats.get(RowsCol).map(_.min.toLong)
+
   /** Pseudo-column carrying a DELETION-VECTOR reference (Delta's
     * `add.deletionVector` descriptor): `min` = the vector's relPath under
     * the table dir, `max` = its cardinality (deleted-row count). Rides
@@ -340,8 +352,11 @@ object ManifestStats {
         } }
         covered == blocks.size()
       }
-      complete.toMap + (SizeCol ->
-        ColStats('l', in.getLength.toString, in.getLength.toString))
+      var rowCount = 0L
+      blocks.forEach { b => rowCount += b.getRowCount }
+      complete.toMap +
+        (SizeCol -> ColStats('l', in.getLength.toString, in.getLength.toString)) +
+        (RowsCol -> ColStats('l', rowCount.toString, rowCount.toString))
     } finally reader.close()
   }
 
@@ -399,33 +414,30 @@ object ManifestStats {
     val spark = df.sparkSession
     val files = spark.read.parquet(dataDir)
     val cols = statsCols.filter(files.columns.contains)
-    if (cols.isEmpty) {
-      listParquet(dataDir).map { f =>
-        val size = new java.io.File(dataDir, f).length
-        FileEntry(s"$relPrefix/$f",
-          Map(SizeCol -> ColStats('l', size.toString, size.toString)))
-      }
-    } else {
-      val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
-      val rows = files.groupBy(input_file_name().as("__file"))
-        .agg(aggs.head, aggs.tail: _*).collect()
-      val byFile = rows.map { r =>
-        val name = r.getAs[String]("__file").split('/').last
-        val stats = cols.flatMap { c =>
-          (encodeValue(r.getAs[Any](s"__min_$c")), encodeValue(r.getAs[Any](s"__max_$c"))) match {
-            case (Some((t1, mn)), Some((t2, mx))) if t1 == t2 => Some(c -> ColStats(t1, mn, mx))
-            case _ => None
-          }
-        }.toMap
-        name -> stats
+    // `__rows` rides both paths (parity with the footer path's block-row
+    // sum); a file the stats job never sees is empty → 0 rows
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))) :+
+      count(lit(1)).as("__cnt")
+    val rows = files.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val byFile = rows.map { r =>
+      val name = r.getAs[String]("__file").split('/').last
+      val stats = cols.flatMap { c =>
+        (encodeValue(r.getAs[Any](s"__min_$c")), encodeValue(r.getAs[Any](s"__max_$c"))) match {
+          case (Some((t1, mn)), Some((t2, mx))) if t1 == t2 => Some(c -> ColStats(t1, mn, mx))
+          case _ => None
+        }
       }.toMap
-      // every file gets an entry even if the stats job missed it (empty file)
-      listParquet(dataDir).map { f =>
-        val size = new java.io.File(dataDir, f).length
-        FileEntry(s"$relPrefix/$f",
-          byFile.getOrElse(f, Map.empty) +
-            (SizeCol -> ColStats('l', size.toString, size.toString)))
-      }
+      val cnt = r.getAs[Long]("__cnt")
+      name -> (stats + (RowsCol -> ColStats('l', cnt.toString, cnt.toString)))
+    }.toMap
+    // every file gets an entry even if the stats job missed it (empty file)
+    listParquet(dataDir).map { f =>
+      val size = new java.io.File(dataDir, f).length
+      FileEntry(s"$relPrefix/$f",
+        byFile.getOrElse(f, Map(RowsCol -> ColStats('l', "0", "0"))) +
+          (SizeCol -> ColStats('l', size.toString, size.toString)))
     }
   }
 

@@ -102,6 +102,28 @@ object RecallAb {
       println(f"[frontier] mode=budget b=$b%5d bound=$rB%.3f s11=$s11B%.3f s15=$s15B%.3f ${candStats(budP)}")
     }
 
+    // ── subspace-config sweep at the shipped budget: the r11 frontier
+    // showed the gap is ESTIMATOR-limited (probe bound 0.880 vs s11 0.750
+    // / s15 0.645), so the lever is finer subspaces (same √n codebook,
+    // smaller slices → finer per-subspace quantization). 5th arg:
+    // "numSub:subDim" pairs, default shipped + 2 finer splits.
+    val subCfgs = args.lift(4)
+      .map(_.split(",").map { p => val Array(a, b) = p.split(":"); (a.trim.toInt, b.trim.toInt) }.toSeq)
+      .getOrElse(Seq((NumSub, SubDim), (16, 4), (32, 2)))
+    val shippedB = graft.queries.ClusterQueries.IvfBudget
+    for ((ns, sd) <- subCfgs) {
+      val cfgCodes = Clustering.pqCodes(e, "id", "embedding", cells, ns, sd)
+      val cfgRcodes = Clustering.residualPqCodes(e, "id", "embedding", cells, rcb, ns, sd)
+      val s11C = recall(Clustering.ivfPqTopKFromIndex(q, e, cells, assign, cfgCodes,
+        5, 1, ns, sd, rerank = PqRerank, candidateBudget = Some(shippedB)))
+      val s15C = recall(Clustering.ivfAdcResidualFromIndex(q, e, cells, rcb, cfgRcodes,
+        5, 1, ns, sd, rerank = PqRerank, candidateBudget = Some(shippedB)))
+      val s11Raw = recall(Clustering.ivfPqTopKFromIndex(q, e, cells, assign, cfgCodes,
+        5, 1, ns, sd, rerank = 0, candidateBudget = Some(shippedB)))
+      println(f"[subspace] numSub=$ns%2d subDim=$sd%2d b=$shippedB " +
+        f"s11_raw=$s11Raw%.3f s11=$s11C%.3f s15=$s15C%.3f")
+    }
+
     // ── s09 two-level on the same budget rule (the above-driver-cap
     // layout): recall at the shipped budget, next to the flat family's —
     // the cost pin is identical, the delta is coarse-routing loss.

@@ -54,7 +54,7 @@ class BloomSkipSpec extends SparkSpec {
     assert(probe(10L).size == 1 && probe(30L).size == 1)
   }
 
-  test("deleteByRunId on a bloom-maintained table rewrites only the matching file") {
+  test("deleteByRunId on a bloom-maintained table vectors only the matching file") {
     val lake = mkLake("bloomdel")
     lake.appendBronze("t", runRows(Seq("r01", "r09")), bloomCols = Seq("run_id"))
     lake.appendBronze("t", runRows(Seq("r02", "r08")), bloomCols = Seq("run_id"))
@@ -62,10 +62,14 @@ class BloomSkipSpec extends SparkSpec {
     val fileA = lake.prunedFilePaths("bronze", "t",
       Seq(ManifestStats.StatEq("run_id", "r01"))).head
     lake.deleteByRunId("t", "r02") // ranges overlap; the bloom bounds the scan to file B
-    val after = lake.prunedFilePaths("bronze", "t", Nil).toSet
-    assert(after.contains(fileA), "delete rewrote a file its bloom excluded")
+    // deleteByRunId rides the deletion-vector path: the mixed file stays
+    // LIVE with a 1-row vector; the bloom-excluded file must carry none
+    val after = lake.prunedFilePathsMetered("bronze", "t", Nil)._1
+    assert(after.map(_._1).toSet == before, "DV delete must not change the live file set")
+    val dvByFile = after.toMap
+    assert(dvByFile(fileA).isEmpty, "delete vectored a file its bloom excluded")
+    assert(after.count(_._2.isDefined) == 1, "exactly one file should carry a vector")
     assert(lake.table("bronze", "t").count() == 3)
-    assert((before -- after).size == 1, "exactly one file should leave the live set")
   }
 
   test("compactSmall(bloomCols) re-collects blooms on packed outputs") {

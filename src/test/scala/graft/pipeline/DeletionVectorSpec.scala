@@ -208,6 +208,17 @@ class DeletionVectorSpec extends SparkSpec {
       "stats-pruned read resurrected vector-deleted rows")
   }
 
+  test("rowCount answers from log metadata through vectors and full-file drops") {
+    val lake = mkLake("dvrows")
+    seed(lake, "t", runs = 2, n = 10)
+    assert(lake.rowCount("bronze", "t").contains(20L))
+    lake.deleteBronzeWhereDv("t", col("id") % 2 === 0) // vectors: 5 per run
+    assert(lake.rowCount("bronze", "t").contains(10L), "vector cardinality not subtracted")
+    lake.deleteBronzeWhereDv("t", col("run_id") === "run1") // full-file drops
+    assert(lake.rowCount("bronze", "t").contains(5L))
+    assert(lake.table("bronze", "t").count() == 5, "metadata count disagrees with scan")
+  }
+
   test("RESTORE undoes a delete as pure metadata; history keeps both commits") {
     val lake = mkLake("dvrestore")
     seed(lake, "t", runs = 2, n = 10)

@@ -695,7 +695,8 @@ class LakehouseSpec extends SparkSpec {
     val scan = ManifestStats.collectStatsScan(spark.read.parquet(dir), dir, cols, "p")
     assert(foot.size == 1 && foot.head.stats == scan.head.stats,
       s"${foot.head.stats} vs ${scan.head.stats}")
-    assert(foot.head.stats.keySet == Set("id", "s", "b", ManifestStats.SizeCol))
+    assert(foot.head.stats.keySet ==
+      Set("id", "s", "b", ManifestStats.SizeCol, ManifestStats.RowsCol))
   }
 
   test("footer stats of a bulk commit collect on the executors, same result") {
