@@ -709,7 +709,7 @@ object Clustering {
     * (cell_id, c_emb, …) and the corpus `codes` table
     * (vec_id, code_0 … code_{numSub−1}) built once at write time and stored
     * at rest — the deployment shape (the whole point of PQ is that the code
-    * table, ~8 B/vector, is the only thing the ADC scan touches). Plan is
+    * table, ~numSub·log₂√n bits/vector, is the only thing the ADC scan touches). Plan is
     * identical to [[pqTopK]] from the query-distance-table step on. */
   def pqTopKFromCodes(queries: DataFrame, corpus: DataFrame,
       cells: DataFrame, codes: DataFrame, k: Int,
@@ -779,7 +779,7 @@ object Clustering {
     * layout, non-residual variant): the coarse IVF cells restrict WHICH
     * code rows the ADC scan estimates, and PQ codes decide HOW each is
     * estimated — the composition that serves ANN from RAM at 100 TB
-    * (codes ≈ 8 B/vector, scan cost ≈ nprobe/√n of the corpus instead of
+    * (codes ≈ numSub·log₂√n bits/vector, scan cost ≈ nprobe/√n of the corpus instead of
     * all of it).
     *
     * Plan: both codebooks are the same ~√n seed set (broadcast); the query

@@ -251,6 +251,85 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
 
+  /** `DESCRIBE DETAIL` parity: ONE row of table-level metadata resolved
+    * from the log manifest and directory metadata alone — NEVER a data
+    * scan (on a 100 TB table this is one log read). Fields mirror Delta's
+    * where the concept exists:
+    *   - `format`: `bronze-log` (transaction-log managed), `materialized`
+    *     (versioned full-rewrite), or `plain` (bare parquet dir);
+    *   - `version` / `last_modified`: committed version and its commit
+    *     (manifest file) time;
+    *   - `num_files` / `size_bytes`: live file count and Σ `__size` stats
+    *     (`size_bytes` NULL if any live entry predates size stats);
+    *   - `num_rows`: [[rowCount]]'s metadata-only count (Σ `__rows` minus
+    *     deletion-vector cardinalities; NULL if any live file predates
+    *     row stats — the caller falls back to `count()`);
+    *   - `num_deletion_vectors` / `dv_cardinality`: merge-on-read debt the
+    *     next OPTIMIZE purges;
+    *   - `num_nodata_dirs`: append dirs from dataChange=false rewrites
+    *     (what streaming readers skip);
+    *   - `num_check_constraints`: active CHECK constraints
+    *     ([[checkConstraints]] lists them).
+    * Non-log tables report what directory metadata offers (file count,
+    * bytes, mtime) with the log-only fields NULL. */
+  def describeDetail(layer: String, name: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = dir(layer, name)
+    val snap = readFilesManifest(base)
+    def jl(v: Option[Long]): java.lang.Long = v.map(Long.box).orNull
+    val row = snap match {
+      case Some(s) =>
+        val v = s.version
+        val mtime = new java.sql.Timestamp(
+          Files.getLastModifiedTime(base.resolve(s"_files_v$v")).toMillis)
+        val sizes = s.entries.map(ManifestStats.sizeOf)
+        val dvs = s.entries.flatMap(ManifestStats.dvRef)
+        Row(layer, name, base.toString, "bronze-log", v: java.lang.Integer, mtime,
+          s.entries.size.toLong: java.lang.Long,
+          jl(if (sizes.forall(_.isDefined)) Some(sizes.flatten.sum) else None),
+          jl(rowCount(layer, name)),
+          dvs.size.toLong: java.lang.Long,
+          dvs.map(_._2).sum: java.lang.Long,
+          nodataDirs(layer, name).size.toLong: java.lang.Long,
+          constraintsOf(base).size.toLong: java.lang.Long)
+      case None =>
+        val committed = currentVersion(base)
+        val (fmt, dataDir) =
+          if (committed > 0) ("materialized", base.resolve(s"_v$committed"))
+          else ("plain", base)
+        val files =
+          if (Files.isDirectory(dataDir)) ManifestStats.listParquet(dataDir.toString)
+          else Seq.empty
+        val mtime =
+          if (Files.exists(dataDir))
+            new java.sql.Timestamp(Files.getLastModifiedTime(dataDir).toMillis)
+          else null
+        Row(layer, name, base.toString, fmt,
+          (if (committed > 0) Int.box(committed) else null): java.lang.Integer, mtime,
+          files.size.toLong: java.lang.Long,
+          files.map(f => dataDir.resolve(f).toFile.length).sum: java.lang.Long,
+          null: java.lang.Long, null: java.lang.Long, null: java.lang.Long,
+          null: java.lang.Long, null: java.lang.Long)
+    }
+    val schema = StructType(Seq(
+      StructField("layer", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("location", StringType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = true),
+      StructField("last_modified", TimestampType, nullable = true),
+      StructField("num_files", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = true),
+      StructField("num_rows", LongType, nullable = true),
+      StructField("num_deletion_vectors", LongType, nullable = true),
+      StructField("dv_cardinality", LongType, nullable = true),
+      StructField("num_nodata_dirs", LongType, nullable = true),
+      StructField("num_check_constraints", LongType, nullable = true)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(Seq(row)).asJava, schema)
+  }
+
   /** Time-travel read: the table AS OF `version`. Only versions within the
     * retention window ([[tableVersions]]) are readable; asking for a GC'd
     * or uncommitted version fails fast. */
@@ -351,6 +430,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private val DirsLine = "#dirs\t(.*)".r
   private val NoDataDirsLine = "#nddirs\t(.*)".r
   private val OpLine = "#op\t(.*)".r
+  private val ConstraintsLine = "#constraints\t(.*)".r
 
   /** Header-only peek at a log record — version, delta/checkpoint kind, and
     * the parquet-twin reference — WITHOUT parsing the entry lines. The
@@ -360,7 +440,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private final case class RecordHeader(version: Int, isDelta: Boolean,
       ckptDir: Option[String], schema: Option[org.apache.spark.sql.types.StructType],
       addDirs: Seq[String] = Seq.empty, op: Option[String] = None,
-      noDataDirs: Seq[String] = Seq.empty)
+      noDataDirs: Seq[String] = Seq.empty,
+      // None = record carries no #constraints line; Some(Nil) = the
+      // explicit drop-to-zero marker (distinct so resolution can stop)
+      constraints: Option[Seq[(String, String)]] = None)
 
   private def readRecordHeader(m: Path): Option[RecordHeader] =
     if (!Files.exists(m)) None
@@ -374,6 +457,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         var addDirs: Seq[String] = Seq.empty
         var op: Option[String] = None
         var noDataDirs: Seq[String] = Seq.empty
+        var constraints: Option[Seq[(String, String)]] = None
         var line = in.readLine()
         // header lines all start with '#' and precede the entry lines
         // (#rm lines of a delta are skipped — this peek never needs them)
@@ -388,6 +472,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
               .map(java.net.URLDecoder.decode(_, java.nio.charset.StandardCharsets.UTF_8))
             case OpLine(enc) => op = Some(
               java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
+            case ConstraintsLine(enc) => constraints = Some(
+              enc.split(',').toSeq.filter(_.nonEmpty).map { pair =>
+                val Array(n, e) = pair.split(":", 2)
+                (java.net.URLDecoder.decode(n, java.nio.charset.StandardCharsets.UTF_8),
+                  java.net.URLDecoder.decode(e, java.nio.charset.StandardCharsets.UTF_8))
+              })
             case SchemaLine(enc) => schema = Some(
               org.apache.spark.sql.types.DataType.fromJson(
                 java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
@@ -396,7 +486,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           }
           line = in.readLine()
         }
-        Some(RecordHeader(version, isDelta, ckpt, schema, addDirs, op, noDataDirs))
+        Some(RecordHeader(version, isDelta, ckpt, schema, addDirs, op, noDataDirs,
+          constraints))
       } finally in.close()
     }
 
@@ -593,11 +684,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       entries: Seq[ManifestStats.FileEntry],
       prev: Option[Seq[ManifestStats.FileEntry]] = None,
       op: String = "WRITE",
-      dataChange: Boolean = true): Boolean = {
-    val schemaLine = ("#op\t" + java.net.URLEncoder.encode(op,
-        java.nio.charset.StandardCharsets.UTF_8)) +:
-      schema.toSeq.map(st => "#schema\t" +
-        java.net.URLEncoder.encode(st.json, java.nio.charset.StandardCharsets.UTF_8))
+      dataChange: Boolean = true,
+      constraints: Option[Seq[(String, String)]] = None): Boolean = {
+    def enc(s: String) =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    // CHECK constraints persist like schema: every commit RE-EMITS the
+    // current set while one exists (so the newest retained record always
+    // carries the truth and log pruning can never lose it); a
+    // drop-to-zero override writes the explicit empty marker so stale
+    // non-empty lines below it can never win resolution
+    val effConstraints = constraints
+      .orElse(Some(constraintsOf(base)).filter(_.nonEmpty))
+    val constraintsLine = effConstraints.toSeq.map(cs =>
+      "#constraints\t" + cs.map { case (n, e) => enc(n) + ":" + enc(e) }.mkString(","))
+    val schemaLine = (("#op\t" + enc(op)) +:
+      schema.toSeq.map(st => "#schema\t" + enc(st.json))) ++ constraintsLine
     val delta = prev.map { p =>
       // diff on the full RENDERED entry, not the relPath alone: a commit
       // that only changes a file's metadata (e.g. its deletion-vector
@@ -853,6 +954,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val v0 = readFilesManifest(base).map(_.version).getOrElse(0)
     val dataDir = newAppendDir(base, v0 + 1)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    // CHECK constraints gate the commit: validated over the staged files
+    // only (aborts + cleans up before any stats work)
+    enforceConstraints(base, name, dataDir)
     // footer min/max are free; blooms (opt-in) cost one scan over the
     // just-written files — see the tradeoff note at [[ManifestStats.bloomKey]]
     val mine = ManifestStats.withBlooms(
@@ -962,6 +1066,100 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         .map(_ - ManifestStats.dvRef(e).map(_._2).getOrElse(0L)))
       if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
     }
+
+  // ───── CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` parity) ──
+
+  /** The table's current CHECK constraints, `(name, sql-expression)` in
+    * add order — resolved from the newest retained log record carrying a
+    * `#constraints` line (commits re-emit the set, so that is normally
+    * the committed head). Empty for unconstrained or non-log tables. */
+  def checkConstraints(name: String): Seq[(String, String)] =
+    constraintsOf(dir("bronze", name))
+
+  private def constraintsOf(base: Path): Seq[(String, String)] =
+    bronzeVersions(base).reverseIterator
+      .flatMap(v => readRecordHeader(base.resolve(s"_files_v$v")).flatMap(_.constraints))
+      .nextOption().getOrElse(Seq.empty)
+
+  /** `ALTER TABLE ADD CONSTRAINT <cname> CHECK (<exprSql>)`: validates
+    * EXISTING visible rows first (Delta semantics — one scan, pruned to
+    * nothing when the table is empty), then commits the constraint as a
+    * metadata-only log record. From that commit on, every [[appendBronze]]
+    * batch is validated against the set before its commit (SQL CHECK
+    * semantics: NULL passes, only FALSE rejects) — on any writer, since
+    * the set rides the log, not this instance. */
+  def addCheckConstraint(name: String, cname: String, exprSql: String,
+      maxAttempts: Int = 5): Unit = {
+    require(cname.matches("[A-Za-z][A-Za-z0-9_]*"), s"bad constraint name: $cname")
+    val base = dir("bronze", name)
+    require(readFilesManifest(base).isDefined,
+      s"bronze.$name is not log-managed (append first, then constrain)")
+    require(!constraintsOf(base).exists(_._1 == cname),
+      s"constraint $cname already exists on bronze.$name")
+    val violating = table("bronze", name)
+      .filter(s"NOT coalesce(($exprSql), true)").limit(1).count()
+    require(violating == 0,
+      s"cannot add CHECK constraint $cname: existing rows of bronze.$name violate ($exprSql)")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = readFilesManifest(base).get
+      if (commitFilesManifest(base, cur.version + 1, cur.schema, cur.entries,
+          prev = Some(cur.entries), op = "ADD CONSTRAINT",
+          constraints = Some(constraintsOf(base) :+ (cname -> exprSql)))) return
+    }
+    throw new IllegalStateException(
+      s"addCheckConstraint($name, $cname) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** `ALTER TABLE DROP CONSTRAINT` — metadata-only commit; dropping the
+    * last constraint writes the explicit empty marker so resolution can
+    * never fall through to a stale non-empty line. */
+  def dropCheckConstraint(name: String, cname: String, maxAttempts: Int = 5): Unit = {
+    val base = dir("bronze", name)
+    require(constraintsOf(base).exists(_._1 == cname),
+      s"no CHECK constraint $cname on bronze.$name")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = readFilesManifest(base).getOrElse(throw new IllegalStateException(
+        s"bronze.$name lost its committed version mid-drop"))
+      if (commitFilesManifest(base, cur.version + 1, cur.schema, cur.entries,
+          prev = Some(cur.entries), op = "DROP CONSTRAINT",
+          constraints = Some(constraintsOf(base).filterNot(_._1 == cname)))) return
+    }
+    throw new IllegalStateException(
+      s"dropCheckConstraint($name, $cname) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** Enforce the table's CHECK constraints over a STAGED append dir — one
+    * scan of the new files only, never the table. Columns the batch lacks
+    * (narrow append under a widened log schema) evaluate as NULL exactly
+    * as readers null-fill them, so CHECK's NULL-passes rule applies. On
+    * violation the staged dir is deleted and the append aborts — nothing
+    * was committed. */
+  private def enforceConstraints(base: Path, name: String, dataDir: Path): Unit = {
+    val cs = constraintsOf(base)
+    if (cs.isEmpty) return
+    val staged0 = spark.read.parquet(dataDir.toString)
+    val logSchema = readFilesManifest(base).flatMap(_.schema)
+    val staged = logSchema.map { ss =>
+      ss.fields.filterNot(f => staged0.columns.contains(f.name))
+        .foldLeft(staged0)((d, f) => d.withColumn(f.name,
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+    }.getOrElse(staged0)
+    val anyViolation = cs.map { case (_, e) => s"NOT coalesce(($e), true)" }.mkString(" OR ")
+    if (staged.filter(anyViolation).limit(1).count() > 0) {
+      // one more pass only on the failure path, to NAME the constraint
+      val culprit = cs.find { case (_, e) =>
+        staged.filter(s"NOT coalesce(($e), true)").limit(1).count() > 0 }
+      deleteRecursively(dataDir)
+      throw new IllegalArgumentException(
+        s"CHECK constraint ${culprit.map(_._1).getOrElse(cs.head._1)} " +
+          s"(${culprit.map(_._2).getOrElse(cs.head._2)}) violated: append to " +
+          s"bronze.$name aborted, nothing committed")
+    }
+  }
 
   /** Predicate delete — "DELETE WHERE <condition>" over a bronze table,
     * copy-on-write at FILE granularity: stats-candidate files are scanned

@@ -204,12 +204,21 @@ object ClusterQueries {
       GROUP BY cell_id
       ORDER BY cell_id"""))
 
-  /** Spark-side PQ geometry: 64-dim embeddings, 8 subspaces of 8 dims. */
-  val NumSub = 8
-  val SubDim = 8
+  /** Spark-side PQ geometry: 64-dim embeddings, 16 subspaces of 4 dims.
+    * Round-12 sweep (tools/RecallAb `[subspace]`, BASELINE.md): the r11
+    * budget frontier was ESTIMATOR-limited (probe bound 0.880 vs s11
+    * 0.750 / s15 0.645 at sf0.1, budget 1200); finer slices against the
+    * same √n codebook close it — 16×4 lifts recall@5 to s11 0.865 /
+    * s15 0.825, and 32×2 saturates the candidate bound outright
+    * (0.880/0.880) at 2× the lookup cost and half the compression.
+    * 16×4 ships: both variants clear 0.80 with the ~18× at-rest
+    * compression story intact (16 codes ≈ 14 B packed vs 256 B raw). */
+  val NumSub = 16
+  val SubDim = 4
 
   /** DuckDB fold identical to the Spark side's sliced FloatVecDot: slice
-    * `[m·8+1, m·8+8]`, cast each float to double, multiply, sum in order. */
+    * `[m·SubDim+1, m·SubDim+SubDim]`, cast each float to double, multiply,
+    * sum in order. */
   private def duckSubDot(x: String, y: String) =
     s"""list_aggregate(list_transform(range(1, $SubDim + 1),
           i -> CAST($x[CAST(i AS INT)] AS DOUBLE) * CAST($y[CAST(i AS INT)] AS DOUBLE)), 'sum')"""
@@ -230,17 +239,17 @@ object ClusterQueries {
     * binding constraint flips from candidates to the SHORTLIST — at sf0.1
     * s11 plateaus at 0.60 under rerank=100 while the candidate bound hits
     * 1.0; rerank=200 lifts it to 0.74 (0.81 at 400, diminishing). 200
-    * ships with nprobe=24: recall@5 s11/s15 = 0.90/0.88 (sf0.001),
-    * 0.92/0.92 (sf0.01), 0.74/0.635 (sf0.1). Raw ADC alone stays ~0.1–0.2
-    * in this hard near-orthogonal regime — the shortlist rescue is where
-    * PQ earns its keep on isotropic data. */
+    * ships. Under the round-12 16×4 geometry (see [[NumSub]]) the
+    * rerank-200 recalls at the shipped budget are s11 0.865 / s15 0.825
+    * (sf0.1) with raw ADC at 0.265 — the finer estimator means the
+    * shortlist wastes fewer of its 200 slots on mis-ranked candidates. */
   val PqRerank = 200
 
   /** Product-quantization ADC top-5 with exact re-rank (Jégou et al. 2011;
     * same query set and shape as s01/s02/s05): the corpus is quantized to
     * per-subspace nearest seed codes, a query's distance to EVERY codebook
     * entry per subspace is precomputed (one broadcast row per query), and
-    * the corpus-code scan estimates distances by 8 map lookups per row — no
+    * the corpus-code scan estimates distances by numSub map lookups per row — no
     * corpus shuffle, no original vectors touched by the estimate. The
     * PQ-estimate shortlist (PqRerank per query) is then exact-scored in one
     * broadcast join against the corpus scan. Subspace distances are rounded
@@ -511,7 +520,7 @@ object ClusterQueries {
   /** IVFPQ / IVFADC (Jégou et al. 2011 — the FAISS `IVFx,PQy` layout,
     * non-residual): coarse IVF cells restrict WHICH code rows the ADC scan
     * estimates (nprobe/√n of the corpus), PQ codes decide HOW (numSub map
-    * lookups per row, ~8 B/vector at rest) — the composition that serves
+    * lookups per row, ~14 B/vector packed at rest) — the composition that serves
     * ANN from RAM at 100 TB. Same query set/shape as s05/s06 so the
     * recall/cost tradeoff reads straight across; exact rerank refines the
     * shortlist as in s06. The oracle replays seed cells, assignment,

@@ -671,6 +671,43 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.history("silver", "m").isEmpty)
   }
 
+  test("describeDetail reports log-resolved metadata for each table format") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-detail").toString)
+    (1 to 2).foreach { i =>
+      lake.appendBronze("t", Seq((i.toLong, d("2025-06-01"), s"run$i"),
+          (i + 10L, d("2025-06-01"), s"run$i"))
+        .toDF("id", "snapshot_date", "run_id").repartition(1))
+    }
+    // a partial DV delete: one vector, cardinality 1, rows 4 -> 3
+    lake.deleteBronzeWhereDv("t", col("id") === 1L)
+    val r = lake.describeDetail("bronze", "t").head()
+    assert(r.getAs[String]("format") == "bronze-log")
+    assert(r.getAs[Int]("version") == lake.tableVersions("bronze", "t").max)
+    assert(r.getAs[Long]("num_files") == 2)
+    assert(r.getAs[Long]("size_bytes") > 0)
+    assert(r.getAs[Long]("num_rows") == 3)
+    assert(r.getAs[Long]("num_deletion_vectors") == 1)
+    assert(r.getAs[Long]("dv_cardinality") == 1)
+    assert(r.getAs[Long]("num_nodata_dirs") == 0)
+    assert(!r.isNullAt(r.fieldIndex("last_modified")))
+    // OPTIMIZE purges the vector and commits dataChange=false
+    lake.compact("bronze", "t", numFiles = 1)
+    val o = lake.describeDetail("bronze", "t").head()
+    assert(o.getAs[Long]("num_deletion_vectors") == 0)
+    assert(o.getAs[Long]("num_rows") == 3)
+    assert(o.getAs[Long]("num_nodata_dirs") == 1)
+    // materialized: version + directory metadata, log-only fields NULL
+    lake.materialize("silver", "m", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val m = lake.describeDetail("silver", "m").head()
+    assert(m.getAs[String]("format") == "materialized")
+    assert(m.getAs[Int]("version") >= 1 && m.getAs[Long]("num_files") > 0)
+    assert(m.getAs[Long]("size_bytes") > 0)
+    assert(m.isNullAt(m.fieldIndex("num_rows")))
+    // a table that was never written: plain, zero files, no error
+    val p = lake.describeDetail("gold", "nope").head()
+    assert(p.getAs[String]("format") == "plain" && p.getAs[Long]("num_files") == 0)
+  }
+
   test("footer stats merge across multiple row groups, equal to the scan") {
     // tiny parquet block size forces several row groups per file — the
     // footer path must merge chunk bounds across ALL blocks, and its
