@@ -158,9 +158,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
   }
 
-  /** (data relPath, dv relPath) pairs for vector-carrying entries. */
+  /** (data file KEY, dv relPath) pairs for vector-carrying entries. The
+    * key is [[graft.sql.DvRowDeleted.relPathKey]] (last two path
+    * segments) — NOT the raw relPath — because the scan side derives its
+    * lookup key from `_metadata.file_path`, which normalizes away the
+    * `../src/` prefix a [[cloneBronze]] entry carries. Append-dir names
+    * are UUID-unique, so the two-segment key never collides across
+    * tables. Callers needing resolvable paths use `_._2` (dv rel, always
+    * relative to THIS table's dir) or the entry's own relPath. */
   private def dvRefPairs(entries: Seq[ManifestStats.FileEntry]): Seq[(String, String)] =
-    entries.flatMap(e => ManifestStats.dvRef(e).map { case (p, _) => e.relPath -> p })
+    entries.flatMap(e => ManifestStats.dvRef(e).map { case (p, _) =>
+      graft.sql.DvRowDeleted.relPathKey(e.relPath) -> p })
 
   /** Scan `paths` subtracting the deletion vectors in `refs`. */
   private def readDvFiltered(base: Path, rd: org.apache.spark.sql.DataFrameReader,
@@ -1022,6 +1030,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val mine = ManifestStats.collectStats(spark, dataDir.toString, statsCols, dirName)
     val live = committedBronzeRelPaths(name).getOrElse(Set.empty)
     if (mine.exists(e => live(e.relPath))) return
+    // an adopted dir enters the log like any append: the crashed writer
+    // may have died BEFORE its own constraint validation ran
+    enforceConstraints(base, name, dataDir)
     commitAppendEntries(base, name, df.schema, mine)
   }
 
@@ -1208,7 +1219,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
             .select("__f").distinct().collect()
             .map(_.getString(0).split('/').takeRight(2).mkString("/")).toSet
           if (affectedNames.isEmpty) return
-          val (affected, untouched) = entries.partition(e => affectedNames.contains(e.relPath))
+          // two-segment key match (not raw relPath): clone entries carry a
+          // ../src/ prefix the scan's file_path normalizes away
+          val (affected, untouched) = entries.partition(e =>
+            affectedNames.contains(graft.sql.DvRowDeleted.relPathKey(e.relPath)))
           val retained = readEntriesWithDv(base, schemaOpt, affected)
             .filter(!condition)
           val newEntries =
@@ -1323,7 +1337,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
             }
           }.toMap
           val kept = entries.flatMap { e =>
-            updates.get(e.relPath) match {
+            updates.get(graft.sql.DvRowDeleted.relPathKey(e.relPath)) match {
               case None => Some(e) // untouched by this delete
               case Some(None) => None // fully deleted: drop, pure metadata
               case Some(Some((dvRel, card))) => Some(ManifestStats.withDv(e, dvRel, card))
@@ -1387,6 +1401,83 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
     throw new IllegalStateException(
       s"restoreBronze($name) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** `FSCK REPAIR TABLE` parity: drop live manifest entries whose DATA
+    * file no longer exists on disk (external deletion, partial backup
+    * restore) so reads fail-fast paths stop tripping mid-scan. An entry
+    * whose deletion VECTOR is missing is dropped too — keeping the data
+    * file without its vector would silently RESURRECT deleted rows,
+    * strictly worse than losing the file's surviving rows (Delta's FSCK
+    * makes the same call). Metadata-only commit (op `FSCK`); returns the
+    * dropped relPaths; `dryRun` reports without committing. Older
+    * retained versions still referencing the files keep failing fast in
+    * [[tableAt]] with the vacuum remedy message. */
+  def repairBronze(name: String, dryRun: Boolean = false,
+      maxAttempts: Int = 5): Seq[String] = {
+    val base = dir("bronze", name)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = readFilesManifest(base).getOrElse(return Seq.empty)
+      val broken = cur.entries.filter { e =>
+        !Files.exists(base.resolve(e.relPath)) ||
+          ManifestStats.dvRef(e).exists { case (p, _) => !Files.exists(base.resolve(p)) }
+      }
+      if (broken.isEmpty) return Seq.empty
+      if (dryRun) return broken.map(_.relPath)
+      val brokenPaths = broken.map(_.relPath).toSet
+      if (commitFilesManifest(base, cur.version + 1, cur.schema,
+          cur.entries.filterNot(e => brokenPaths(e.relPath)),
+          prev = Some(cur.entries), op = "FSCK")) return broken.map(_.relPath)
+    }
+    throw new IllegalStateException(
+      s"repairBronze($name) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** Delta `SHALLOW CLONE` parity: create `dst` as a ZERO-COPY clone of
+    * `src` at `version` (default: the committed head) — one metadata
+    * commit referencing the source's data files through rerooted
+    * relPaths (`../src/...`), copying nothing. File stats, blooms,
+    * deletion-vector references and CHECK constraints all carry over, so
+    * skipping and merge-on-read work identically on the clone.
+    *
+    * The clone is INDEPENDENT from its first commit on: deletes /
+    * appends / OPTIMIZE on either table never touch the other's log, and
+    * a rewrite on the clone lands in the clone's own dirs (an OPTIMIZE
+    * makes it fully self-contained). The one shared-fate caveat is
+    * Delta's own: a VACUUM of the SOURCE can reclaim files the clone
+    * still references — [[repairBronze]] on the clone then drops them,
+    * and [[vacuumBronze]] of the clone itself only ever considers files
+    * under the clone's directory, never the source's. */
+  def cloneBronze(src: String, dst: String, version: Option[Int] = None): Unit = {
+    require(src != dst, "cannot clone a table onto itself")
+    val sbase = dir("bronze", src)
+    val dbase = dir("bronze", dst)
+    require(readFilesManifest(dbase).isEmpty && currentVersion(dbase) == 0,
+      s"bronze.$dst already exists")
+    val snap = version match {
+      case Some(v) =>
+        require(bronzeVersions(sbase).contains(v),
+          s"version $v of bronze.$src is not retained")
+        resolveSnapshot(sbase, v).getOrElse(throw new IllegalStateException(
+          s"version $v of bronze.$src did not resolve — log chain broken"))
+      case None => readFilesManifest(sbase).getOrElse(throw new IllegalArgumentException(
+        s"bronze.$src is not a log-managed table"))
+    }
+    Files.createDirectories(dbase)
+    val prefix = dbase.relativize(sbase).toString.replace('\\', '/')
+    def reroot(rel: String) = s"$prefix/$rel"
+    val entries = snap.entries.map { e =>
+      val moved = e.copy(relPath = reroot(e.relPath))
+      ManifestStats.dvRef(e) match {
+        case Some((p, c)) => ManifestStats.withDv(moved, reroot(p), c)
+        case None => moved
+      }
+    }
+    require(commitFilesManifest(dbase, 1, snap.schema, entries, op = "CLONE",
+        constraints = Some(constraintsOf(sbase)).filter(_.nonEmpty)),
+      s"cloneBronze($src, $dst) lost the v1 commit race — dst created concurrently")
   }
 
   /** One [[ManifestStats.StatPred]] as a Column over the parquet-twin

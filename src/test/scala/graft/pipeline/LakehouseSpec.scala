@@ -708,6 +708,43 @@ class LakehouseSpec extends SparkSpec {
     assert(p.getAs[String]("format") == "plain" && p.getAs[Long]("num_files") == 0)
   }
 
+  test("repairBronze drops entries for vanished files and missing vectors") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-fsck").toString)
+    (1 to 3).foreach { i =>
+      lake.appendBronze("t", Seq((i.toLong, d("2025-06-01"), s"run$i"),
+          (i + 10L, d("2025-06-01"), s"run$i"))
+        .toDF("id", "snapshot_date", "run_id").repartition(1))
+    }
+    assert(lake.repairBronze("t", dryRun = true).isEmpty)
+    // externally delete one live data file
+    val victimAbs = lake.prunedFilePaths("bronze", "t",
+      Seq(ManifestStats.StatEq("run_id", "run2"))).head
+    val victim = lake.tableDir("bronze", "t").relativize(
+      java.nio.file.Paths.get(victimAbs)).toString
+    Files.delete(java.nio.file.Paths.get(victimAbs))
+    assert(lake.repairBronze("t", dryRun = true) == Seq(victim))
+    assert(lake.repairBronze("t") == Seq(victim))
+    assert(lake.table("bronze", "t").count() == 4)
+    assert(lake.repairBronze("t").isEmpty)
+    assert(lake.history("bronze", "t").orderBy(col("version").desc)
+      .head().getString(2) == "FSCK")
+    // a missing deletion vector drops its entry (never resurrects rows)
+    lake.deleteBronzeWhereDv("t", col("id") === 1L)
+    val dvRel = lake.prunedFilePathsMetered("bronze", "t", Nil)._1
+      .collectFirst { case (_, Some(_)) => () }
+    assert(dvRel.isDefined, "expected a vector-carrying entry")
+    val dvFile = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(lake.tableDir("bronze", "t"))
+      try s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+        p.getParent.getFileName.toString.startsWith(DeletionVectors.DirPrefix)).toSeq.head
+      finally s.close()
+    }
+    Files.delete(dvFile)
+    assert(lake.repairBronze("t").size == 1)
+    assert(lake.table("bronze", "t").count() == 2) // run1's whole file dropped
+  }
+
   test("footer stats merge across multiple row groups, equal to the scan") {
     // tiny parquet block size forces several row groups per file — the
     // footer path must merge chunk bounds across ALL blocks, and its
