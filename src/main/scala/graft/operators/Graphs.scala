@@ -139,6 +139,48 @@ object Graphs {
     ranks
   }
 
+  /** Multi-source BFS depths (unweighted shortest paths, k-hop seed
+    * expansion) over directed `edges`: (node, depth) = MIN hop count from
+    * any seed, for every node reached within `maxDepth` hops (seeds at 0).
+    * The training-data acquisition shape: "expand k hops out from these
+    * trusted seed sources" — the exact-frontier companion to
+    * [[personalizedPageRankMicro]]'s proximity rank.
+    *
+    * Plan: the deduped edge frame is pre-partitioned on src and cached
+    * ONCE (the big side never moves again); each round shuffles only the
+    * FRONTIER — nodes first reached at depth d — through one shuffle_hash
+    * join + distinct + left_anti against the visited set (node-bounded,
+    * never edge-bounded). Rounds are FIXED at maxDepth: a frontier that
+    * empties early makes the remaining rounds empty joins rather than
+    * paying a driver-side emptiness action per round (which would
+    * serialize the job stream). Integer depths — deterministic on any
+    * partitioning. Lineage per round is one join+distinct+anti on top of
+    * the previous frontier, truncated at `checkpointEvery` like
+    * [[pageRankMicro]]. */
+  def bfsDepths(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int, checkpointEvery: Int = 5): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 20, s"maxDepth must be in [1, 20], got $maxDepth")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).cache()
+    var visited = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("depth"))
+    var frontier = visited.select(col("node"))
+    for (d <- 1 to maxDepth) {
+      val next0 = e
+        .join(frontier.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")).hint("shuffle_hash"), Seq("node"), "left_anti")
+        .select(col("node"), lit(d.toLong).as("depth"))
+      val next =
+        if (d % checkpointEvery == 0 || d == maxDepth) next0.localCheckpoint(false)
+        else next0
+      visited = visited.union(next)
+      frontier = next.select(col("node"))
+    }
+    visited
+  }
+
   /** Double-arithmetic power-method reference (same plan, float math) — the
     * executable specification the integer variant is sanity-checked against
     * in GraphsSpec (rank ordering agreement). */

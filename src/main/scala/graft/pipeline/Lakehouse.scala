@@ -1449,7 +1449,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * Delta's own: a VACUUM of the SOURCE can reclaim files the clone
     * still references — [[repairBronze]] on the clone then drops them,
     * and [[vacuumBronze]] of the clone itself only ever considers files
-    * under the clone's directory, never the source's. */
+    * under the clone's directory, never the source's.
+    *
+    * Streaming caveat: [[streamSourcePath]] globs the table's OWN `_a*`
+    * dirs, so a file stream over a clone delivers only rows appended to
+    * the clone AFTER the clone — pre-clone history is batch-readable
+    * ([[table]]), not stream-replayable (same contract as Delta's
+    * shallow clone + `readStream` without `startingVersion`). */
   def cloneBronze(src: String, dst: String, version: Option[Int] = None): Unit = {
     require(src != dst, "cannot clone a table onto itself")
     val sbase = dir("bronze", src)

@@ -1099,11 +1099,54 @@ object Advanced {
       WHERE rank_micro > 0
       ORDER BY rank_micro DESC, node"""))
 
+  /** Multi-source BFS / k-hop seed expansion ([[Graphs.bfsDepths]]) over
+    * the q49 supplier↔part co-supply graph: min hop count from a sparse
+    * trusted-seed supplier set within 4 hops — the exact-frontier
+    * companion to q76's proximity rank ("which nodes are ≤ k hops from
+    * the seeds, and how close"). Iterative frontier expansion, one
+    * frontier-sized shuffle per hop, edges cached and never reshuffled;
+    * integer depths are engine-exact. The oracle replays it as a bounded
+    * recursive CTE + MIN(depth). */
+  val q78BfsDepths = GraftQuery(
+    "q78_bfs_depths",
+    (s, dir) => {
+      val pairs = table(s, dir, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = table(s, dir, "lineitem")
+        .filter(col("l_suppkey") % 25 === 0)
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("node"))
+        .distinct()
+      Graphs.bfsDepths(s, edges, seeds, maxDepth = 4)
+        .orderBy(col("depth"), col("node"))
+    },
+    Some("""
+      WITH RECURSIVE pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'p' || CAST(l_partkey AS VARCHAR) AS dst
+        FROM lineitem),
+      e AS (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+      seeds AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS node
+        FROM lineitem WHERE l_suppkey % 25 = 0),
+      r AS (
+        SELECT node, 0 AS depth FROM seeds
+        UNION
+        SELECT e.dst AS node, r.depth + 1 AS depth
+        FROM r JOIN e ON e.src = r.node
+        WHERE r.depth < 4)
+      SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
+      FROM r GROUP BY node
+      ORDER BY depth, node"""),
+    bench = true)
+
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
     q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution,
     q56Transitions, q57RollingAnomaly, q58IncrementalAgg, q59StringBreadth,
     q60DateBreadth, q63CoOccurrence, q64Triangles, q67TimeWeighted, q68ParetoFrontier,
     q69PsiDrift, q70ExactMedian, q71ChiSquare, q72KsDrift, q73MutualInfo, q74OlsByGroup,
-    q75HierarchyRollup, q76PersonalizedPageRank)
+    q75HierarchyRollup, q76PersonalizedPageRank, q78BfsDepths)
 }

@@ -51,6 +51,34 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bfsDepths: min depth from any seed, unreached excluded, empty-frontier rounds harmless") {
+    // path a-b-c-d-e plus isolated pair f-g; seeds {a, e}: min-depth from
+    // EITHER end (c reached from both at 2), f/g unreached
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("f", "g"))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a", "e").toDF("node")
+    val r = Graphs.bfsDepths(spark, edges, seeds, maxDepth = 10).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 0L, "e" -> 0L, "b" -> 1L, "d" -> 1L, "c" -> 2L), r.toString)
+    // maxDepth 10 on a diameter-2 reach: rounds 3..10 are empty joins, no
+    // duplicate or deeper rows appear
+    assert(Graphs.bfsDepths(spark, edges, seeds, maxDepth = 10).count() == 5)
+    // depth bound respected
+    val shallow = Graphs.bfsDepths(spark, edges, Seq("a").toDF("node"), maxDepth = 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(shallow == Map("a" -> 0L, "b" -> 1L, "c" -> 2L), shallow.toString)
+  }
+
+  test("bfsDepths is partition-layout independent") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("f", "g"))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val x = Graphs.bfsDepths(spark, edges, seeds, 4).orderBy("node").collect().toSeq
+    val y = Graphs.bfsDepths(spark, edges.repartition(7), seeds, 4)
+      .orderBy("node").collect().toSeq
+    assert(x == y)
+  }
+
   // ---- TimeSeries.gapFillForwardFill --------------------------------------
 
   test("gapFillForwardFill densifies and carries last observation forward") {

@@ -51,6 +51,11 @@ class CloneSpec extends SparkSpec {
       Seq(ManifestStats.StatEq("run_id", "run2"))).size == 1)
     assert(lake.history("bronze", "dst").head().getString(2) == "CLONE")
     intercept[IllegalArgumentException](lake.cloneBronze("src", "dst"))
+    // the stats-pruned read path resolves rerooted paths too (and still
+    // subtracts the carried vector)
+    val pruned = lake.tableWhere("bronze", "dst",
+      Seq(ManifestStats.StatEq("run_id", "run1")))
+    assert(pruned.count() == 3 && pruned.filter(col("id") === 101L).isEmpty)
   }
 
   test("clone and source are independent; OPTIMIZE makes the clone self-contained") {

@@ -509,6 +509,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(sp.contains("TakeOrderedAndProject"), sp)
   }
 
+  test("q78 BFS: frontier rounds are hash joins — no node-state broadcast, no cartesian") {
+    // the shuffle_hash hints must hold: AQE broadcasting the frontier /
+    // visited state from the driver each round is impossible at graph
+    // scale (state ~ node count), and any pair-generating join is wrong
+    val sp = simplePlan(q("q78_bfs_depths"))
+    assert(sp.contains("ShuffledHashJoin"), sp)
+    assert(!sp.contains("CartesianProduct"), sp)
+    assert(!sp.contains("BroadcastNestedLoopJoin"), sp)
+  }
+
   test("s11 IVFPQ at-rest probe: broadcasts only — the code table never sort-merges") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Clustering
