@@ -154,32 +154,42 @@ object Graphs {
     * empties early makes the remaining rounds empty joins rather than
     * paying a driver-side emptiness action per round (which would
     * serialize the job stream). Integer depths — deterministic on any
-    * partitioning. Lineage per round is one join+distinct+anti on top of
-    * the previous frontier, truncated at `checkpointEvery` like
-    * [[pageRankMicro]]. */
+    * partitioning.
+    *
+    * Every round CHECKPOINTS its frontier (lazy localCheckpoint) — unlike
+    * [[pageRankMicro]]'s cadence-5, because here round d's anti-join
+    * re-reads EVERY prior frontier through the visited union: left
+    * un-materialized, round-i work re-executes once per later round
+    * (multiplicative re-computation: the warm sf0.1 bench read 14.9 s
+    * without per-round checkpoints, 1.4 s with, 4 rounds), while the
+    * materialization itself is frontier-sized — node-bounded, never
+    * edge-bounded. */
   def bfsDepths(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
-      maxDepth: Int, checkpointEvery: Int = 5): DataFrame = {
+      maxDepth: Int): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 20, s"maxDepth must be in [1, 20], got $maxDepth")
-    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src")).cache()
     var visited = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("depth"))
+      .localCheckpoint(false)
     var frontier = visited.select(col("node"))
     for (d <- 1 to maxDepth) {
-      val next0 = e
-        .join(frontier.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select(col("node")).hint("shuffle_hash"), Seq("node"), "left_anti")
-        .select(col("node"), lit(d.toLong).as("depth"))
-      val next =
-        if (d % checkpointEvery == 0 || d == maxDepth) next0.localCheckpoint(false)
-        else next0
-      visited = visited.union(next)
+      val next = bfsRound(e, frontier, visited, d).localCheckpoint(false)
+      visited = visited.union(next).localCheckpoint(false)
       frontier = next.select(col("node"))
     }
     visited
   }
+
+  /** One BFS round: nodes first reached at depth `d` — factored out so
+    * the plan audit can pin the round's physical shape (the per-round
+    * checkpoints hide it from the composed plan). */
+  private[graft] def bfsRound(e: DataFrame, frontier: DataFrame,
+      visited: DataFrame, d: Int): DataFrame =
+    e.join(frontier.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+      .select(col("dst").as("node")).distinct()
+      .join(visited.select(col("node")).hint("shuffle_hash"), Seq("node"), "left_anti")
+      .select(col("node"), lit(d.toLong).as("depth"))
 
   /** Double-arithmetic power-method reference (same plan, float math) — the
     * executable specification the integer variant is sanity-checked against

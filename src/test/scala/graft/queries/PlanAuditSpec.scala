@@ -512,8 +512,18 @@ class PlanAuditSpec extends SparkSpec {
   test("q78 BFS: frontier rounds are hash joins — no node-state broadcast, no cartesian") {
     // the shuffle_hash hints must hold: AQE broadcasting the frontier /
     // visited state from the driver each round is impossible at graph
-    // scale (state ~ node count), and any pair-generating join is wrong
-    val sp = simplePlan(q("q78_bfs_depths"))
+    // scale (state ~ node count), and any pair-generating join is wrong.
+    // Audited on ONE round's plan (the composed query checkpoints each
+    // round, collapsing the returned plan to a union of leaves).
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.operators.Graphs
+    val pairs = graft.Graft.table(spark, dir, "lineitem")
+      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("dst")).distinct()
+    val e = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = pairs.select(col("src").as("node")).distinct()
+    val visited = seeds.withColumn("depth", lit(0L))
+    val sp = simplePlan(Graphs.bfsRound(e, seeds, visited, 1))
     assert(sp.contains("ShuffledHashJoin"), sp)
     assert(!sp.contains("CartesianProduct"), sp)
     assert(!sp.contains("BroadcastNestedLoopJoin"), sp)
