@@ -962,9 +962,6 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val v0 = readFilesManifest(base).map(_.version).getOrElse(0)
     val dataDir = newAppendDir(base, v0 + 1)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    // CHECK constraints gate the commit: validated over the staged files
-    // only (aborts + cleans up before any stats work)
-    enforceConstraints(base, name, dataDir)
     // footer min/max are free; blooms (opt-in) cost one scan over the
     // just-written files — see the tradeoff note at [[ManifestStats.bloomKey]]
     val mine = ManifestStats.withBlooms(
@@ -972,6 +969,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         dataDir.getFileName.toString),
       ManifestStats.bloomStats(spark, dataDir.toString, bloomCols,
         dataDir.getFileName.toString))
+    // CHECK constraints gate the commit: stats collected above prove the
+    // simple ones without a scan (constrain a statsCols column to get the
+    // metadata-only fast path); the rest validate in one staged-file scan
+    enforceConstraints(base, name, dataDir, mine)
     commitAppendEntries(base, name, df.schema, mine)
   }
 
@@ -1032,7 +1033,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     if (mine.exists(e => live(e.relPath))) return
     // an adopted dir enters the log like any append: the crashed writer
     // may have died BEFORE its own constraint validation ran
-    enforceConstraints(base, name, dataDir)
+    enforceConstraints(base, name, dataDir, mine)
     commitAppendEntries(base, name, df.schema, mine)
   }
 
@@ -1143,14 +1144,28 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       s"dropCheckConstraint($name, $cname) lost $maxAttempts consecutive CAS races")
   }
 
-  /** Enforce the table's CHECK constraints over a STAGED append dir — one
-    * scan of the new files only, never the table. Columns the batch lacks
-    * (narrow append under a widened log schema) evaluate as NULL exactly
-    * as readers null-fill them, so CHECK's NULL-passes rule applies. On
-    * violation the staged dir is deleted and the append aborts — nothing
-    * was committed. */
-  private def enforceConstraints(base: Path, name: String, dataDir: Path): Unit = {
-    val cs = constraintsOf(base)
+  /** Enforce the table's CHECK constraints over a STAGED append dir — at
+    * most one scan of the new files, never the table. Constraints of the
+    * shape `col <op> literal` are first checked against the batch's
+    * FOOTER STATS ([[ManifestStats.provesCheck]] — sound because NULLs
+    * pass CHECK and stats bound the non-null values): when every staged
+    * file's range proves every such constraint, validation is METADATA-
+    * ONLY and the append pays no second read — the common case for the
+    * sanity constraints (`id > 0`, `score >= 0`) a 100 TB ingest carries.
+    * Unproven constraints fall back to one scan of the staged files.
+    * Columns the batch lacks (narrow append under a widened log schema)
+    * evaluate as NULL exactly as readers null-fill them, so CHECK's
+    * NULL-passes rule applies. On violation the staged dir is deleted
+    * and the append aborts — nothing was committed. */
+  private def enforceConstraints(base: Path, name: String, dataDir: Path,
+      stagedEntries: Seq[ManifestStats.FileEntry] = Seq.empty): Unit = {
+    val all = constraintsOf(base)
+    if (all.isEmpty) return
+    val cs =
+      if (stagedEntries.isEmpty) all
+      else all.filterNot { case (_, ex) => Lakehouse.simpleComparison(spark, ex)
+        .exists { case (c, op, v) =>
+          stagedEntries.forall(ManifestStats.provesCheck(_, c, op, v)) } }
     if (cs.isEmpty) return
     val staged0 = spark.read.parquet(dataDir.toString)
     val logSchema = readFilesManifest(base).flatMap(_.schema)
@@ -2101,6 +2116,39 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 }
 
 object Lakehouse {
+
+  /** Parse a CHECK expression of the shape `col <op> literal` (either
+    * operand order) into (column, op, value) — the subset
+    * [[ManifestStats.provesCheck]] can prove from footer stats. Anything
+    * else (compound predicates, functions, col-to-col) returns None and
+    * validation falls back to the staged-file scan. */
+  private[pipeline] def simpleComparison(spark: SparkSession,
+      exprSql: String): Option[(String, String, Any)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def v(l: Literal): Option[Any] = Option(l.value).map {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case x => x
+    }
+    val e =
+      try spark.sessionState.sqlParser.parseExpression(exprSql)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    e match {
+      case GreaterThan(a: UnresolvedAttribute, l: Literal) => v(l).map((a.name, ">", _))
+      case GreaterThan(l: Literal, a: UnresolvedAttribute) => v(l).map((a.name, "<", _))
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => v(l).map((a.name, ">=", _))
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => v(l).map((a.name, "<=", _))
+      case LessThan(a: UnresolvedAttribute, l: Literal) => v(l).map((a.name, "<", _))
+      case LessThan(l: Literal, a: UnresolvedAttribute) => v(l).map((a.name, ">", _))
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => v(l).map((a.name, "<=", _))
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => v(l).map((a.name, ">=", _))
+      case EqualTo(a: UnresolvedAttribute, l: Literal) => v(l).map((a.name, "=", _))
+      case EqualTo(l: Literal, a: UnresolvedAttribute) => v(l).map((a.name, "=", _))
+      case Not(EqualTo(a: UnresolvedAttribute, l: Literal)) => v(l).map((a.name, "!=", _))
+      case Not(EqualTo(l: Literal, a: UnresolvedAttribute)) => v(l).map((a.name, "!=", _))
+      case _ => None
+    }
+  }
 
   /** Default file-stats columns for bronze logs: `snapshot_date` (the
     * incremental-refresh prune key — file skipping replaces hive

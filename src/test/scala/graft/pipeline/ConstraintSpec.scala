@@ -107,6 +107,65 @@ class ConstraintSpec extends SparkSpec {
       .getAs[Long]("num_check_constraints") == 0)
   }
 
+  test("provesCheck interval logic and simpleComparison parsing") {
+    import ManifestStats._
+    val e = FileEntry("p/f", Map("id" -> ColStats('l', "1", "5"),
+      "s" -> ColStats('s', "b", "d"), RowsCol -> ColStats('l', "3", "3")))
+    assert(provesCheck(e, "id", ">", 0))
+    assert(!provesCheck(e, "id", ">", 1))
+    assert(provesCheck(e, "id", ">=", 1))
+    assert(provesCheck(e, "id", "<=", 5L))
+    assert(!provesCheck(e, "id", "<", 5))
+    assert(!provesCheck(e, "id", "=", 3))
+    assert(provesCheck(e, "id", "!=", 9))
+    assert(!provesCheck(e, "id", "!=", 3))
+    assert(provesCheck(e, "s", ">=", "a") && !provesCheck(e, "s", ">", "b"))
+    assert(!provesCheck(e, "missing", ">", 0))
+    assert(!provesCheck(e, "id", ">", 0.5), "tag mismatch must not prove")
+    val empty = FileEntry("p/g", Map(RowsCol -> ColStats('l', "0", "0")))
+    assert(provesCheck(empty, "anything", "=", 42), "a proven-empty file proves all")
+
+    assert(Lakehouse.simpleComparison(spark, "id > 0").contains(("id", ">", 0)))
+    assert(Lakehouse.simpleComparison(spark, "0 < id").contains(("id", ">", 0)))
+    assert(Lakehouse.simpleComparison(spark, "run_id = 'r1'").contains(("run_id", "=", "r1")))
+    assert(Lakehouse.simpleComparison(spark, "id <> 3").contains(("id", "!=", 3)))
+    assert(Lakehouse.simpleComparison(spark, "id > 0 AND s IS NOT NULL").isEmpty)
+    assert(Lakehouse.simpleComparison(spark, "length(s) > 2").isEmpty)
+    assert(Lakehouse.simpleComparison(spark, "this is !! not sql").isEmpty)
+  }
+
+  test("stats-proof fast path: proven constraints skip the validation scan") {
+    val lake = mkLake("cfast")
+    val idStats = Seq("run_id", "id")
+    lake.appendBronze("t", Seq(row(1, "r1")).toDF("id", "snapshot_date", "run_id"),
+      statsCols = idStats)
+    lake.addCheckConstraint("t", "id_pos", "id > 0")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    def countJobs(f: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      jobs = 0
+      try { f; Thread.sleep(800); jobs }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // id carries footer stats -> min(id)=2 > 0 proves the constraint:
+    // the append must run FEWER jobs than one whose batch lacks id stats
+    // (which pays the staged-file validation scan)
+    val proven = countJobs(lake.appendBronze("t",
+      Seq(row(2, "r2")).toDF("id", "snapshot_date", "run_id"), statsCols = idStats))
+    val scanned = countJobs(lake.appendBronze("t",
+      Seq(row(3, "r3")).toDF("id", "snapshot_date", "run_id"),
+      statsCols = Seq("run_id")))
+    assert(proven < scanned, s"proven=$proven scanned=$scanned")
+    // a violating batch's own stats cannot prove it; the scan still rejects
+    intercept[IllegalArgumentException](lake.appendBronze("t",
+      Seq(row(-1, "r4")).toDF("id", "snapshot_date", "run_id"), statsCols = idStats))
+    assert(lake.table("bronze", "t").count() == 3)
+  }
+
   test("two constraints both enforce; violation names the right one") {
     val lake = mkLake("ctwo")
     lake.appendBronze("t", Seq(row(1, "r1")).toDF("id", "snapshot_date", "run_id"))
