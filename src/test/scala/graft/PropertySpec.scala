@@ -675,4 +675,48 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bronze log invariants hold through a random append/DV-delete/CoW/compact walk") {
+    import graft.pipeline.{Lakehouse, ManifestStats}
+    val rnd = new Random(7)
+    val lake = new Lakehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-logwalk").toString,
+      bronzeCheckpointInterval = 4)
+    val day = java.sql.Date.valueOf("2025-06-01")
+    var model = Map.empty[Long, String] // id -> run, the in-memory truth
+    var nextId = 0L
+    def appendRun(step: Int): Unit = {
+      val run = s"run$step"
+      val ids = (1 to 1 + rnd.nextInt(5)).map { _ => nextId += 1; nextId }
+      lake.appendBronze("t",
+        ids.map(i => (i, day, run)).toDF("id", "snapshot_date", "run_id")
+          .repartition(1 + rnd.nextInt(2)))
+      model ++= ids.map(_ -> run)
+    }
+    appendRun(0)
+    for (step <- 1 to 16) {
+      rnd.nextInt(5) match {
+        case 0 | 1 => appendRun(step)
+        case 2 => // merge-on-read delete by id residue
+          val p = rnd.nextInt(4)
+          lake.deleteBronzeWhereDv("t", pmod(col("id"), lit(4)) === p)
+          model = model.filter { case (i, _) => i % 4 != p }
+        case 3 if model.nonEmpty => // copy-on-write delete of one whole run
+          val run = model.values.toSeq(rnd.nextInt(model.size))
+          lake.deleteBronzeWhere("t", col("run_id") === run,
+            Seq(ManifestStats.StatEq("run_id", run)))
+          model = model.filter(_._2 != run)
+        case _ => lake.compactSmall("bronze", "t", minSmallFiles = 2) // may no-op
+      }
+      // invariants after EVERY step: scan content == model, metadata
+      // rowCount == model size, DESCRIBE DETAIL agrees
+      val got = lake.table("bronze", "t").select("id", "run_id").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == model, s"step $step: scan diverged from model")
+      assert(lake.rowCount("bronze", "t").contains(model.size.toLong),
+        s"step $step: metadata rowCount != ${model.size}")
+      assert(lake.describeDetail("bronze", "t").head()
+        .getAs[Long]("num_rows") == model.size.toLong, s"step $step: detail num_rows")
+    }
+  }
 }
