@@ -245,7 +245,33 @@ object Multimodal {
     * pixel array is stored BOTTOM-UP with 4-byte row padding (width chosen
     * off-multiple), so a decoder only reproduces the formula if its row
     * flip and stride handling are correct. */
-  def synthBmp(seed: Long, width: Int, height: Int): Array[Byte] = {
+  def synthBmp(seed: Long, width: Int, height: Int): Array[Byte] =
+    writeBmp(width, height) { (r, c) =>
+      (((seed + r * 3 + c * 7) % 256).toInt,
+        ((seed * 5 + r * 11 + c) % 256).toInt,
+        ((seed * 7 + r + c * 13) % 256).toInt)
+    }
+
+  /** BMP whose pixels sample a WIDTH-NORMALIZED multiplicative pattern —
+    * the near-dup fixture: the channel formulas read the virtual column
+    * `vc = c·8 / width`, so two widths render nearly the same 8-wide
+    * pattern (an 8-grid dHash of them differs in a few roundtrip-rounding
+    * bits — a true near-duplicate), while the MULTIPLICATIVE seed makes
+    * neighbor comparisons seed-dependent (distinct seeds → unrelated
+    * hashes; the additive [[synthBmp]] formula cancels the seed out of
+    * every horizontal comparison, collapsing all dHashes together). */
+  def synthBmpKeyed(seed: Long, width: Int, height: Int): Array[Byte] =
+    writeBmp(width, height) { (r, c) =>
+      val vc = c * 8 / width
+      ((seed * (1 + 3 * r + 7 * vc) % 256).toInt,
+        (seed * (2 + 11 * r + vc) % 256).toInt,
+        (seed * (3 + r + 13 * vc) % 256).toInt)
+    }
+
+  /** 24bpp bottom-up BI_RGB container around a per-pixel (R,G,B) function
+    * (`r` = logical top-down row). */
+  private def writeBmp(width: Int, height: Int)
+      (rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     require(width >= 1 && height >= 1, s"degenerate ${width}x$height")
     val rowBytes = ((width * 3 + 3) / 4) * 4
     val total = 54 + rowBytes * height
@@ -259,9 +285,8 @@ object Multimodal {
       val r = height - 1 - j // file rows bottom-up
       var c = 0
       while (c < width) {
-        b.put((((seed * 7 + r + c * 13) % 256)).toByte)  // B
-        b.put((((seed * 5 + r * 11 + c) % 256)).toByte)  // G
-        b.put((((seed + r * 3 + c * 7) % 256)).toByte)   // R
+        val (red, green, blue) = rgb(r, c)
+        b.put(blue.toByte).put(green.toByte).put(red.toByte)
         c += 1
       }
       var pad = rowBytes - width * 3
@@ -509,6 +534,62 @@ object Multimodal {
         val w = (nChars % 3 + 3).toInt
         MediaAsset(id, "image", synthBmp(id, w, 4), MediaMeta("bmp", w, 4, 0, 0L))
       }
+  }
+
+  /** BMP assets whose pixel seed is a CONTENT KEY shared across documents
+    * (`doc_id % keyMod`) instead of the doc_id itself — the fixture for
+    * image-level near-dup detection: same-key same-width assets are exact
+    * pixel duplicates, same-key different-width assets are near-duplicates
+    * (the resize to the hash grid shifts a few comparisons), different
+    * keys are unrelated. Same population as [[bmpAssetsFromDocuments]]. */
+  def bmpAssetsKeyed(docs: DataFrame, keyMod: Int = 60): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].map { case (id, nChars) =>
+        // 16-18 px wide: wide enough that the 8-grid virtual-column
+        // roundtrip is tight (same-key different-width = a few flipped
+        // bits, a TRUE near-dup; the 3-5 px m06 sizes quantize too
+        // coarsely and scatter same-key pairs across the hash space)
+        val w = (16 + nChars % 3).toInt
+        MediaAsset(id, "image", synthBmpKeyed(id % keyMod + 1, w, 16),
+          MediaMeta("bmp", w, 16, 0, 0L))
+      }
+  }
+
+  final case class ImageHash(asset_id: Long, dhash: Long)
+
+  /** Difference hash (dHash) over decoded images: nearest-neighbor
+    * resample the luma grid to `gridW`×`gridH`, emit one bit per
+    * horizontal neighbor pair (left > right), row-major — the standard
+    * perceptual fingerprint for image near-dup detection. The default
+    * 8×8 grid yields 56 bits, keeping every value (and every 14-bit LSH
+    * band of it) in positive BIGINT range on any engine. Pure per-row
+    * map over the real decode path — no shuffle. */
+  def imageDHash(assets: Dataset[MediaAsset], decoder: MediaDecoder,
+      gridW: Int = 8, gridH: Int = 8): Dataset[ImageHash] = {
+    require(gridW >= 2 && gridH >= 1 && (gridW - 1) * gridH <= 63,
+      s"grid ${gridW}x$gridH out of the 63-bit budget")
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").map { a =>
+      val px = decoder.decodeImage(a.content, a.meta)
+      val (h, w) = (px.length, if (px.isEmpty) 0 else px(0).length)
+      require(h == a.meta.height && w == a.meta.width,
+        s"asset ${a.asset_id}: decoded ${w}x$h != metadata ${a.meta.width}x${a.meta.height}")
+      var bits = 0L
+      var i = 0
+      var r = 0
+      while (r < gridH) {
+        var c = 0
+        while (c < gridW - 1) {
+          val l = px(r * h / gridH)(c * w / gridW) & 0xff
+          val rt = px(r * h / gridH)((c + 1) * w / gridW) & 0xff
+          if (l > rt) bits |= 1L << i
+          i += 1; c += 1
+        }
+        r += 1
+      }
+      ImageHash(a.asset_id, bits)
+    }
   }
 
   final case class RowLuma(

@@ -396,8 +396,78 @@ object MultimodalQueries {
       WHERE doc_id % 3 = 0
       ORDER BY asset_id, frame_idx"""))
 
+  /** Image-level near-dup detection via difference hash (m11): REAL BMP
+    * decode → 8×8 nearest-neighbor luma grid → 56-bit dHash → 4×14-bit
+    * LSH bands → bucket-join candidates → Hamming-verify (≤ 4). The
+    * fixture plants duplicates by seeding pixels with `doc_id % 60`:
+    * same-key same-width assets are exact dups (Hamming 0), same-key
+    * different-width assets are true NEAR-dups (the resize shifts a few
+    * neighbor comparisons), different keys are unrelated. Banding is the
+    * d03/d04 discipline applied to images — candidates come from an
+    * inverted index, never an all-pairs join — and the oracle replays
+    * pixels, grid, bits, bands and Hamming from the synthesis formula. */
+  val m11ImageDHashNearDup = GraftQuery(
+    "m11_image_dhash_neardup",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      val hashes = Multimodal.imageDHash(
+          Multimodal.bmpAssetsKeyed(table(s, dir, "documents")),
+          Multimodal.MediaDecoder.Uncompressed).toDF()
+      val bands = hashes.select(col("asset_id"), col("dhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("dhash"), 14 * b).bitwiseAND(lit(16383L))): _*))
+          .as(Seq("band", "key")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.asset_id") < col("y.asset_id"))
+        .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
+          col("x.dhash").as("ha"), col("y.dhash").as("hb"))
+        .distinct()
+      cand.select(col("asset_a"), col("asset_b"),
+          expr("bit_count(ha ^ hb)").cast("bigint").as("hamming"))
+        .filter(col("hamming") <= 4)
+        .orderBy(col("asset_a"), col("asset_b"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, doc_id % 60 + 1 AS seed,
+               CAST(16 + n_chars % 3 AS BIGINT) AS w
+        FROM documents WHERE doc_id % 3 = 0),
+      -- grid sample (gr, gc): physical pixel (gr*4//8, gc*w//8), whose
+      -- channels read the VIRTUAL column vc = pc*8//w (synthBmpKeyed)
+      bits AS (
+        SELECT asset_id, gr * 7 + gc AS i,
+          CASE WHEN
+            (299 * ((seed * (1 + 3*(gr*16//8) + 7*(((gc*w//8)*8)//w))) % 256)
+             + 587 * ((seed * (2 + 11*(gr*16//8) + (((gc*w//8)*8)//w))) % 256)
+             + 114 * ((seed * (3 + (gr*16//8) + 13*(((gc*w//8)*8)//w))) % 256)) // 1000
+            >
+            (299 * ((seed * (1 + 3*(gr*16//8) + 7*((((gc+1)*w//8)*8)//w))) % 256)
+             + 587 * ((seed * (2 + 11*(gr*16//8) + ((((gc+1)*w//8)*8)//w))) % 256)
+             + 114 * ((seed * (3 + (gr*16//8) + 13*((((gc+1)*w//8)*8)//w))) % 256)) // 1000
+          THEN (CAST(1 AS BIGINT) << CAST(gr * 7 + gc AS INT)) ELSE 0 END AS bitval
+        FROM a,
+             LATERAL unnest(range(0, 8)) t1(gr),
+             LATERAL unnest(range(0, 7)) t2(gc)),
+      h AS (
+        SELECT asset_id, CAST(SUM(bitval) AS BIGINT) AS dhash
+        FROM bits GROUP BY asset_id),
+      bands AS (
+        SELECT asset_id, dhash, b AS band,
+               (dhash >> CAST(14 * b AS INT)) & 16383 AS key
+        FROM h, LATERAL unnest(range(0, 4)) t(b)),
+      cand AS (
+        SELECT DISTINCT x.asset_id AS asset_a, y.asset_id AS asset_b,
+               x.dhash AS ha, y.dhash AS hb
+        FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+          AND x.asset_id < y.asset_id)
+      SELECT asset_a, asset_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+      ORDER BY asset_a, asset_b"""))
+
   val all: Seq[GraftQuery] = Seq(
     m01BinaryStats, m02FrameStats, m03AudioWindows, m04ShotKeyframes,
     m05WavDecodeWindows, m06BmpDecodeRows, m07ResizeGrid,
-    m08PngDecodeRows, m09JpegDecodeCheck, m10AviVideoDecodeCheck)
+    m08PngDecodeRows, m09JpegDecodeCheck, m10AviVideoDecodeCheck,
+    m11ImageDHashNearDup)
 }

@@ -428,4 +428,36 @@ class MultimodalSpec extends SparkSpec {
     val shots = shotKeyframes(frames).collect()
     assert(shots.nonEmpty && shots.map(_.getAs[Long]("asset_id")).toSet == metas.keySet)
   }
+
+  test("imageDHash: exact dup = 0, same-key width change = small, distinct keys = far") {
+    import Multimodal._
+    import spark.implicits._
+    def hashOf(seed: Long, w: Int): Long = {
+      val a = MediaAsset(1L, "image", synthBmpKeyed(seed, w, 16), MediaMeta("bmp", w, 16, 0, 0L))
+      imageDHash(Seq(a).toDS(), MediaDecoder.Uncompressed).head().dhash
+    }
+    val base = hashOf(7L, 16)
+    assert(hashOf(7L, 16) == base, "same seed+width must hash identically")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // the near-dup plant: across the key space, width-changed twins land
+    // CLOSE for a meaningful fraction of keys (how close is seed-dependent
+    // - a virtual-column shift of 1 flips more bits for some multipliers)
+    // (the 17/18 widths' virtual-column patterns nearly coincide; 16's
+    // pattern is exact and sits farther from both)
+    val widthHams = (1L to 60L).map(k => ham(hashOf(k, 17), hashOf(k, 18)))
+    assert(widthHams.count(h => h > 0 && h <= 4) >= 5,
+      s"expected planted near-dups across keys, got ${widthHams.sorted.take(10)}")
+    // distinct keys separate STATISTICALLY: like any perceptual hash,
+    // dHash admits rare borderline collisions (low seeds with no mod-256
+    // wraparound can agree on many comparison signs) - the property is a
+    // tiny cross-key collision RATE, not zero
+    val keys = (1L to 60L).map(hashOf(_, 16))
+    val crossHams = for (i <- keys.indices; j <- i + 1 until keys.size)
+      yield ham(keys(i), keys(j))
+    val colliding = crossHams.count(_ <= 4)
+    assert(colliding <= crossHams.size / 100,
+      s"$colliding of ${crossHams.size} cross-key pairs under the verify threshold")
+    // 56-bit budget: every hash (and every 14-bit band) stays non-negative
+    assert(base >= 0L && (base >> 56) == 0L)
+  }
 }
