@@ -116,6 +116,29 @@ object GraphScaleAb {
         require(pr.size == 10 * ranks1.size, "10x node count mismatch")
       }
     }
+    // ---- q78 BFS: co-supply graph at 1x and 10x ---------------------------
+    // same disjoint-copy pin: every copy of a reached node gets the SAME
+    // min depth (copies replicate seeds too), so the depth histogram
+    // scales exactly 10×; wall clock should scale ~linearly (per-round
+    // frontier shuffles over 10× nodes; rounds unchanged)
+    var hist1: Map[Long, Long] = null
+    for (n <- Seq(1, 10)) {
+      val base = materializeCopies(cosupply, n, "cosupply_bfs")
+      val e = base.select(concat(lit("n"), col("u").cast("string")).as("src"),
+        concat(lit("n"), col("v").cast("string")).as("dst"))
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = base.filter(col("u") % 25 === 0)
+        .select(concat(lit("n"), col("u").cast("string")).as("node")).distinct()
+      val hist = time(s"bfsDepths ${n}x") {
+        Graphs.bfsDepths(spark, sym, seeds, maxDepth = 4)
+          .groupBy(col("depth")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      println(s"[scale] ${n}x bfs depth histogram: ${hist.toSeq.sorted.mkString(", ")}")
+      if (n == 1) hist1 = hist
+      else require(hist == hist1.map { case (d, c) => d -> c * 10 },
+        s"10x BFS depth histogram pin failed: $hist vs 10x of $hist1")
+    }
     spark.stop()
   }
 }
