@@ -201,7 +201,31 @@ object Multimodal {
     * ODD size between fmt and data, so a decoder only produces the right
     * samples if its chunk walk (including RIFF word-alignment padding) is
     * correct: the decode path itself becomes oracle-gated. */
-  def synthWav(seed: Long, nSamples: Int, sampleRateHz: Int = 8000): Array[Byte] = {
+  def synthWav(seed: Long, nSamples: Int, sampleRateHz: Int = 8000): Array[Byte] =
+    writeWav(nSamples, sampleRateHz)(i => (((seed * 31 + i * 7) % 65536) - 32768).toShort)
+
+  /** WAV whose samples follow a LENGTH-NORMALIZED multiplicative pattern —
+    * the audio near-dup fixture (the [[synthBmpKeyed]] idea on PCM):
+    * sample i reads virtual position `vp = i·64 / n`, so slightly
+    * different lengths render nearly the same 64-step contour (a binned
+    * energy hash of them differs in a few bits — a true near-duplicate);
+    * the seed is scaled by a prime so products WRAP mod 65536 and
+    * distinct keys decorrelate (unscaled small seeds never wrap — every
+    * contour is monotone and all hashes collapse, measured before
+    * scaling). */
+  def synthWavKeyed(seedKey: Long, nSamples: Int, sampleRateHz: Int = 8000): Array[Byte] =
+    writeWav(nSamples, sampleRateHz) { i =>
+      val vp = i * 64 / nSamples
+      (((seedKey * 1103 * (1 + 7 * vp)) % 65536) - 32768).toShort
+    }
+
+  /** Valid RIFF/WAVE 16-bit PCM mono container around a per-index sample
+    * function. The container includes a junk LIST chunk with an ODD size
+    * between fmt and data, so a decoder only produces the right samples
+    * if its chunk walk (including RIFF word-alignment padding) is
+    * correct: the decode path itself becomes oracle-gated. */
+  private def writeWav(nSamples: Int, sampleRateHz: Int)
+      (sample: Int => Short): Array[Byte] = {
     require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
     val dataLen = nSamples * 2
     // RIFF(12) + fmt(8+16) + LIST(8+5+1 pad) + data(8+dataLen)
@@ -217,7 +241,7 @@ object Multimodal {
     b.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < nSamples) {
-      b.putShort((((seed * 31 + i * 7) % 65536) - 32768).toShort)
+      b.putShort(sample(i))
       i += 1
     }
     b.array()
@@ -554,6 +578,56 @@ object Multimodal {
         MediaAsset(id, "image", synthBmpKeyed(id % keyMod + 1, w, 16),
           MediaMeta("bmp", w, 16, 0, 0L))
       }
+  }
+
+  /** WAV assets with a CONTENT KEY (`doc_id % keyMod`) and small length
+    * jitter — the audio near-dup fixture: same-key same-length assets are
+    * exact duplicates, same-key jittered lengths are near-duplicates
+    * under the contour hash, distinct keys decorrelate. Same population
+    * as [[wavAssetsFromDocuments]] (doc_id % 3 == 2). */
+  def wavAssetsKeyed(docs: DataFrame, keyMod: Int = 60): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].map { case (id, nChars) =>
+        val n = (80 + nChars % 5).toInt
+        MediaAsset(id, "audio", synthWavKeyed(id % keyMod + 1, n),
+          MediaMeta("wav", 0, 0, 8000, n * 1000L / 8000))
+      }
+  }
+
+  final case class AudioHash(asset_id: Long, chash: Long)
+
+  /** Energy-contour hash over decoded PCM: mean |amplitude| in `bins`
+    * length-normalized bins, one bit per adjacent-bin comparison
+    * (left > right) — the audio counterpart of [[imageDHash]] (a
+    * Shazam-style constellation reduced to its monotone-contour core).
+    * 32 bins → 31 bits: the hash and its 16-bit LSH bands stay positive
+    * on any engine. Pure per-row map over the real RIFF chunk walk. */
+  def audioContourHash(assets: Dataset[MediaAsset], decoder: MediaDecoder,
+      bins: Int = 32): Dataset[AudioHash] = {
+    require(bins >= 2 && bins <= 64, s"bins out of range: $bins")
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "audio").map { a =>
+      val s = decoder.decodeAudio(a.content, a.meta)
+      val n = s.length
+      val sums = new Array[Long](bins)
+      val cnts = new Array[Long](bins)
+      var i = 0
+      while (i < n) {
+        val b = (i.toLong * bins / n).toInt
+        sums(b) += math.abs(s(i).toLong)
+        cnts(b) += 1
+        i += 1
+      }
+      def mean(j: Int): Long = if (cnts(j) == 0) 0L else sums(j) / cnts(j)
+      var bits = 0L
+      var j = 0
+      while (j < bins - 1) {
+        if (mean(j) > mean(j + 1)) bits |= 1L << j
+        j += 1
+      }
+      AudioHash(a.asset_id, bits)
+    }
   }
 
   final case class ImageHash(asset_id: Long, dhash: Long)

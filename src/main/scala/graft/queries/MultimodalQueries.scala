@@ -465,9 +465,73 @@ object MultimodalQueries {
       FROM cand WHERE bit_count(xor(ha, hb)) <= 4
       ORDER BY asset_a, asset_b"""))
 
+  /** Audio-level near-dup detection via energy-contour hash (m12): REAL
+    * RIFF/WAVE chunk walk → 32-bin mean-|amplitude| contour → 31-bit
+    * adjacent-bin comparison hash → 2×16-bit LSH bands → bucket-join →
+    * Hamming-verify (≤ 3). The keyed fixture plants exact duplicates
+    * (same key + length) and TRUE near-duplicates (same key, 80–84
+    * sample lengths: the length-normalized pattern shifts a few bin
+    * boundaries). Measured at sf0.01: cross-key minimum Hamming 4, so
+    * threshold 3 admits zero false pairs. The oracle replays samples,
+    * bins, integer means, bits, bands and Hamming from the synthesis
+    * formula. */
+  val m12AudioContourNearDup = GraftQuery(
+    "m12_audio_contour_neardup",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      val hashes = Multimodal.audioContourHash(
+          Multimodal.wavAssetsKeyed(table(s, dir, "documents")),
+          Multimodal.MediaDecoder.Uncompressed).toDF()
+      val bands = hashes.select(col("asset_id"), col("chash"),
+        posexplode(array(
+          col("chash").bitwiseAND(lit(65535L)),
+          shiftright(col("chash"), 16).bitwiseAND(lit(32767L))))
+          .as(Seq("band", "key")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.asset_id") < col("y.asset_id"))
+        .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
+          col("x.chash").as("ha"), col("y.chash").as("hb"))
+        .distinct()
+      cand.select(col("asset_a"), col("asset_b"),
+          expr("bit_count(ha ^ hb)").cast("bigint").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("asset_a"), col("asset_b"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, doc_id % 60 + 1 AS seed,
+               CAST(80 + n_chars % 5 AS BIGINT) AS n
+        FROM documents WHERE doc_id % 3 = 2),
+      s AS (
+        SELECT asset_id, i * 32 // n AS bin,
+               abs(((seed * 1103 * (1 + 7 * (i * 64 // n))) % 65536) - 32768) AS amp
+        FROM a, LATERAL unnest(range(0, n)) t(i)),
+      m AS (
+        SELECT asset_id, bin, SUM(amp) // COUNT(*) AS mean
+        FROM s GROUP BY asset_id, bin),
+      b AS (
+        SELECT l.asset_id,
+               CASE WHEN l.mean > r.mean
+                 THEN (CAST(1 AS BIGINT) << CAST(l.bin AS INT)) ELSE 0 END AS bitval
+        FROM m l JOIN m r ON l.asset_id = r.asset_id AND r.bin = l.bin + 1),
+      h AS (SELECT asset_id, CAST(SUM(bitval) AS BIGINT) AS chash FROM b GROUP BY asset_id),
+      bands AS (
+        SELECT asset_id, chash, 0 AS band, chash & 65535 AS key FROM h
+        UNION ALL
+        SELECT asset_id, chash, 1 AS band, (chash >> 16) & 32767 AS key FROM h),
+      cand AS (
+        SELECT DISTINCT x.asset_id AS asset_a, y.asset_id AS asset_b,
+               x.chash AS ha, y.chash AS hb
+        FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+          AND x.asset_id < y.asset_id)
+      SELECT asset_a, asset_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+      ORDER BY asset_a, asset_b"""))
+
   val all: Seq[GraftQuery] = Seq(
     m01BinaryStats, m02FrameStats, m03AudioWindows, m04ShotKeyframes,
     m05WavDecodeWindows, m06BmpDecodeRows, m07ResizeGrid,
     m08PngDecodeRows, m09JpegDecodeCheck, m10AviVideoDecodeCheck,
-    m11ImageDHashNearDup)
+    m11ImageDHashNearDup, m12AudioContourNearDup)
 }

@@ -460,4 +460,28 @@ class MultimodalSpec extends SparkSpec {
     // 56-bit budget: every hash (and every 14-bit band) stays non-negative
     assert(base >= 0L && (base >> 56) == 0L)
   }
+
+  test("audioContourHash: exact dup = 0, length jitter = near, distinct keys = far") {
+    import Multimodal._
+    import spark.implicits._
+    def hashOf(seedKey: Long, n: Int): Long = {
+      val a = MediaAsset(1L, "audio", synthWavKeyed(seedKey, n),
+        MediaMeta("wav", 0, 0, 8000, n * 1000L / 8000))
+      audioContourHash(Seq(a).toDS(), MediaDecoder.Uncompressed).head().chash
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hashOf(7L, 82) == hashOf(7L, 82))
+    // length jitter lands NEAR for a meaningful fraction of keys
+    val jitterHams = (1L to 60L).flatMap(k =>
+      Seq(ham(hashOf(k, 80), hashOf(k, 82)), ham(hashOf(k, 82), hashOf(k, 84))))
+    assert(jitterHams.count(h => h > 0 && h <= 3) >= 10,
+      s"expected planted near-dups, got ${jitterHams.sorted.take(10)}")
+    // distinct keys decorrelate: rare borderline collisions at most
+    val keys = (1L to 60L).map(hashOf(_, 82))
+    val cross = for (i <- keys.indices; j <- i + 1 until keys.size) yield ham(keys(i), keys(j))
+    assert(cross.count(_ <= 3) <= cross.size / 100,
+      s"${cross.count(_ <= 3)} of ${cross.size} cross-key pairs under the threshold")
+    // 31-bit budget: hash and both bands stay non-negative
+    assert(keys.forall(h => h >= 0L && (h >> 31) == 0L))
+  }
 }
