@@ -279,7 +279,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     *   - `num_check_constraints`: active CHECK constraints
     *     ([[checkConstraints]] lists them).
     * Non-log tables report what directory metadata offers (file count,
-    * bytes, mtime) with the log-only fields NULL. */
+    * bytes, mtime, and `num_rows` from parquet footer block metadata
+    * when the directory holds ≤ 256 files) with the log-only fields
+    * NULL. */
   def describeDetail(layer: String, name: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -313,11 +315,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           if (Files.exists(dataDir))
             new java.sql.Timestamp(Files.getLastModifiedTime(dataDir).toMillis)
           else null
+        // num_rows from footer block metadata — O(files) header reads,
+        // bounded: a huge un-managed directory reports NULL instead of
+        // paying thousands of opens inside an interactive DESCRIBE
+        val rows: java.lang.Long =
+          if (files.isEmpty || files.size > 256) null
+          else {
+            val conf = spark.sessionState.newHadoopConf()
+            Long.box(files.map(f =>
+              ManifestStats.footerRowCount(dataDir.resolve(f).toString, conf)).sum)
+          }
         Row(layer, name, base.toString, fmt,
           (if (committed > 0) Int.box(committed) else null): java.lang.Integer, mtime,
           files.size.toLong: java.lang.Long,
           files.map(f => dataDir.resolve(f).toFile.length).sum: java.lang.Long,
-          null: java.lang.Long, null: java.lang.Long, null: java.lang.Long,
+          rows, null: java.lang.Long, null: java.lang.Long,
           null: java.lang.Long, null: java.lang.Long)
     }
     val schema = StructType(Seq(

@@ -702,7 +702,8 @@ class LakehouseSpec extends SparkSpec {
     assert(m.getAs[String]("format") == "materialized")
     assert(m.getAs[Int]("version") >= 1 && m.getAs[Long]("num_files") > 0)
     assert(m.getAs[Long]("size_bytes") > 0)
-    assert(m.isNullAt(m.fieldIndex("num_rows")))
+    assert(m.getAs[Long]("num_rows") == 2, "materialized num_rows from footers")
+    assert(m.isNullAt(m.fieldIndex("num_deletion_vectors")))
     // a table that was never written: plain, zero files, no error
     val p = lake.describeDetail("gold", "nope").head()
     assert(p.getAs[String]("format") == "plain" && p.getAs[Long]("num_files") == 0)
