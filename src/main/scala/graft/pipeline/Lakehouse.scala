@@ -2123,7 +2123,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      // close the walk stream (it holds an fd) — same discipline as
+      // Streams.deleteRecursively and listDir
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
     }
 }
 
