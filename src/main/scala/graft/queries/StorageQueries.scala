@@ -28,8 +28,10 @@ object StorageQueries {
     val rows = java.util.Arrays.asList(df.collect(): _*)
     val out = s.createDataFrame(rows, df.schema)
     // the scratch lakehouse is gone before the caller ever runs the plan
-    Files.walk(scratch).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+    val w = Files.walk(scratch)
+    try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(p => Files.delete(p))
+    finally w.close()
     out
   }
 

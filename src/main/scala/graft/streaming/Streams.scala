@@ -258,8 +258,9 @@ object Streams {
         merged.write.mode("overwrite").parquet(tmp.toString)
         def rmRf(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(p).iterator().asScala.toSeq.reverseIterator
-            .foreach(Files.delete)
+          val s = Files.walk(p)
+          try s.iterator().asScala.toSeq.reverseIterator.foreach(Files.delete)
+          finally s.close()
         }
         rmRf(live)
         Files.createDirectories(live.getParent)
