@@ -82,10 +82,16 @@ object Graphs {
       // (materializes inside the next job, no driver collect); the final
       // iteration always checkpoints so callers never receive an
       // unbounded-lineage frame.
+      // the FINAL checkpoint is eager: once the result is materialized the
+      // cached setup frames can be released (repeated calls must not pin
+      // block-manager storage for the session's lifetime)
       ranks =
-        if (iter % checkpointEvery == 0 || iter == iterations) next.localCheckpoint(false)
+        if (iter == iterations) next.localCheckpoint(true)
+        else if (iter % checkpointEvery == 0) next.localCheckpoint(false)
         else next
     }
+    nodes.unpersist()
+    edgesDeg.unpersist()
     ranks
   }
 
@@ -133,9 +139,12 @@ object Graphs {
         .select(col("node"),
           (teleport + expr("85 * coalesce(inflow, 0L) div 100")).as("rank_micro"))
       ranks =
-        if (iter % checkpointEvery == 0 || iter == iterations) next.localCheckpoint(false)
+        if (iter == iterations) next.localCheckpoint(true) // eager: release caches below
+        else if (iter % checkpointEvery == 0) next.localCheckpoint(false)
         else next
     }
+    nodes.unpersist()
+    edgesDeg.unpersist()
     ranks
   }
 
@@ -175,9 +184,14 @@ object Graphs {
     var frontier = visited.select(col("node"))
     for (d <- 1 to maxDepth) {
       val next = bfsRound(e, frontier, visited, d).localCheckpoint(false)
-      visited = visited.union(next).localCheckpoint(false)
+      // final round checkpoints EAGERLY so the cached edge frame can be
+      // released before returning — repeated calls (q78 per run, the scale
+      // A/B's 1×/10× copies) must not accumulate pinned storage in the
+      // block manager for the session's lifetime
+      visited = visited.union(next).localCheckpoint(d == maxDepth)
       frontier = next.select(col("node"))
     }
+    e.unpersist()
     visited
   }
 
@@ -202,7 +216,7 @@ object Graphs {
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
       .cache()
     var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
-    for (_ <- 1 to iterations) {
+    for (iter <- 1 to iterations) {
       val contribs = edgesDeg
         .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("contrib"))
@@ -211,8 +225,10 @@ object Graphs {
       ranks = nodes
         .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"), (lit(0.15) + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-        .localCheckpoint(false)
+        .localCheckpoint(iter == iterations) // final is eager: release caches below
     }
+    nodes.unpersist()
+    edgesDeg.unpersist()
     ranks
   }
 

@@ -984,8 +984,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // CHECK constraints gate the commit: stats collected above prove the
     // simple ones without a scan (constrain a statsCols column to get the
     // metadata-only fast path); the rest validate in one staged-file scan
-    enforceConstraints(base, name, dataDir, mine)
-    commitAppendEntries(base, name, df.schema, mine)
+    val validated = enforceConstraints(base, name, dataDir, mine)
+    commitAppendEntries(base, name, df.schema, mine, dataDir, validated)
   }
 
   /** CAS loop committing already-written file entries as an append: a lost
@@ -1003,16 +1003,32 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * [[deleteBronzeWhere]] covering those files inside the retry window
     * would re-commit files a delete already removed, resurrecting deleted
     * rows (live relPaths alone cannot tell "never committed" from
-    * "committed then deleted"). */
+    * "committed then deleted").
+    *
+    * CONSTRAINT TOCTOU GUARD: the caller validated the staged batch
+    * against the constraint set as of `validated`; a concurrent
+    * `addCheckConstraint` landing between that validation and our CAS win
+    * would otherwise let a violating batch slip in under the recorded
+    * constraint. Each attempt therefore re-reads the set from the log and
+    * RE-VALIDATES the staged dir when it differs (the mirror guard lives
+    * in [[addCheckConstraint]]: a lost CAS re-validates existing rows at
+    * the winner's version — between the two, whichever commit serializes
+    * second has seen the other). */
   private def commitAppendEntries(base: Path, name: String,
       incoming: org.apache.spark.sql.types.StructType,
-      mine: Seq[ManifestStats.FileEntry]): Unit = {
+      mine: Seq[ManifestStats.FileEntry],
+      dataDir: Path,
+      validated: Seq[(String, String)]): Unit = {
     var attempts = 0
     var committed = false
+    var checkedAgainst = validated
     while (!committed) {
       attempts += 1
       require(attempts <= 1000, s"bronze append to $name lost 1000 consecutive CAS races")
       val snap = readFilesManifest(base)
+      val curConstraints = constraintsOf(base)
+      if (curConstraints != checkedAgainst)
+        checkedAgainst = enforceConstraints(base, name, dataDir, mine)
       val v = snap.map(_.version).getOrElse(0)
       val entries = snap.map(_.entries).getOrElse(Seq.empty)
       val live = entries.map(_.relPath).toSet
@@ -1045,8 +1061,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     if (mine.exists(e => live(e.relPath))) return
     // an adopted dir enters the log like any append: the crashed writer
     // may have died BEFORE its own constraint validation ran
-    enforceConstraints(base, name, dataDir, mine)
-    commitAppendEntries(base, name, df.schema, mine)
+    val validated = enforceConstraints(base, name, dataDir, mine)
+    commitAppendEntries(base, name, df.schema, mine, dataDir, validated)
   }
 
   /** Filesystem directory of a table (the log/aux root for log-managed
@@ -1101,7 +1117,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     constraintsOf(dir("bronze", name))
 
   private def constraintsOf(base: Path): Seq[(String, String)] =
-    bronzeVersions(base).reverseIterator
+    constraintsAsOf(base, Int.MaxValue)
+
+  /** Constraint set AS OF a retained `version` — newest retained record
+    * at-or-below it carrying a `#constraints` line (commits re-emit the
+    * set while one exists, so the target's own record normally carries
+    * the truth; the walk covers pre-constraints-era records). RESTORE
+    * resolves the target's set through this so it restores table
+    * METADATA along with the file set, Delta's RESTORE contract. */
+  private def constraintsAsOf(base: Path, version: Int): Seq[(String, String)] =
+    bronzeVersions(base).filter(_ <= version).reverseIterator
       .flatMap(v => readRecordHeader(base.resolve(s"_files_v$v")).flatMap(_.constraints))
       .nextOption().getOrElse(Seq.empty)
 
@@ -1120,14 +1145,23 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       s"bronze.$name is not log-managed (append first, then constrain)")
     require(!constraintsOf(base).exists(_._1 == cname),
       s"constraint $cname already exists on bronze.$name")
-    val violating = table("bronze", name)
-      .filter(s"NOT coalesce(($exprSql), true)").limit(1).count()
-    require(violating == 0,
-      s"cannot add CHECK constraint $cname: existing rows of bronze.$name violate ($exprSql)")
+    def validateExisting(): Int = {
+      val at = readFilesManifest(base).get.version
+      val violating = table("bronze", name)
+        .filter(s"NOT coalesce(($exprSql), true)").limit(1).count()
+      require(violating == 0,
+        s"cannot add CHECK constraint $cname: existing rows of bronze.$name violate ($exprSql)")
+      at
+    }
+    var validatedAt = validateExisting()
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val cur = readFilesManifest(base).get
+      // TOCTOU guard (mirror of [[commitAppendEntries]]'s): a concurrent
+      // append landing between our existing-rows validation and this CAS
+      // could carry violating rows — re-validate at the winner's version
+      if (cur.version != validatedAt) validatedAt = validateExisting()
       if (commitFilesManifest(base, cur.version + 1, cur.schema, cur.entries,
           prev = Some(cur.entries), op = "ADD CONSTRAINT",
           constraints = Some(constraintsOf(base) :+ (cname -> exprSql)))) return
@@ -1168,17 +1202,19 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * Columns the batch lacks (narrow append under a widened log schema)
     * evaluate as NULL exactly as readers null-fill them, so CHECK's
     * NULL-passes rule applies. On violation the staged dir is deleted
-    * and the append aborts — nothing was committed. */
+    * and the append aborts — nothing was committed. Returns the
+    * constraint set validated against, so [[commitAppendEntries]] can
+    * detect a set that changed under it and re-validate. */
   private def enforceConstraints(base: Path, name: String, dataDir: Path,
-      stagedEntries: Seq[ManifestStats.FileEntry] = Seq.empty): Unit = {
+      stagedEntries: Seq[ManifestStats.FileEntry] = Seq.empty): Seq[(String, String)] = {
     val all = constraintsOf(base)
-    if (all.isEmpty) return
+    if (all.isEmpty) return all
     val cs =
       if (stagedEntries.isEmpty) all
       else all.filterNot { case (_, ex) => Lakehouse.simpleComparison(spark, ex)
         .exists { case (c, op, v) =>
           stagedEntries.forall(ManifestStats.provesCheck(_, c, op, v)) } }
-    if (cs.isEmpty) return
+    if (cs.isEmpty) return all
     val staged0 = spark.read.parquet(dataDir.toString)
     val logSchema = readFilesManifest(base).flatMap(_.schema)
     val staged = logSchema.map { ss =>
@@ -1197,6 +1233,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           s"(${culprit.map(_._2).getOrElse(cs.head._2)}) violated: append to " +
           s"bronze.$name aborted, nothing committed")
     }
+    all
   }
 
   /** Predicate delete — "DELETE WHERE <condition>" over a bronze table,
@@ -1423,8 +1460,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val cur = readFilesManifest(base).getOrElse(throw new IllegalStateException(
         s"bronze.$name has no committed version to restore on top of"))
       if (cur.version == version) return // already there
+      // restore table METADATA with the file set: the target version's own
+      // constraint set, not the current head's — Some(Nil) writes the
+      // explicit empty marker when the target had none
       if (commitFilesManifest(base, cur.version + 1, target.schema, target.entries,
-          prev = Some(cur.entries), op = "RESTORE")) return
+          prev = Some(cur.entries), op = "RESTORE",
+          constraints = Some(constraintsAsOf(base, version)))) return
     }
     throw new IllegalStateException(
       s"restoreBronze($name) lost $maxAttempts consecutive CAS races")

@@ -252,6 +252,15 @@ object ManifestStats {
   // equality on non-clustered keys, where the scan at ingest buys back
   // whole-file skips on every subsequent delete/lookup. A file without a
   // bloom simply never skips on membership — the usual superset rule.
+  //
+  // The bloom entry's ColStats TAG records the ITEM tag its members were
+  // encoded with (uniform per column — one Spark type per column). A probe
+  // whose encoded tag differs (Double 5.0 against a LONG column hashes to
+  // 'f:5.0', absent from an 'l:…' bloom) must ADMIT, not skip — the same
+  // "never skip on a guess" rule the min/max path applies on tag mismatch.
+  // Legacy manifests recorded tag 's' unconditionally: for string columns
+  // that IS the item tag (still prunes); for any other column type the
+  // mismatch now admits-all until the file is rewritten.
 
   val BloomPrefix = "__bloom__"
   def bloomKey(col: String): String = BloomPrefix + col
@@ -288,16 +297,17 @@ object ManifestStats {
       val file = r.getString(0).split('/').last
       val stats = present.zipWithIndex.flatMap { case (c, i) =>
         val vals = r.getSeq[Any](i + 1)
-        val encoded = vals.flatMap(v => encodeValue(v).map { case (t, s) => bloomItem(t, s) })
-        if (vals.size > MaxBloomItemsPerFile || encoded.isEmpty) None
+        val pairs = vals.flatMap(encodeValue)
+        val tags = pairs.map(_._1).distinct
+        if (vals.size > MaxBloomItemsPerFile || pairs.isEmpty || tags.size != 1) None
         else {
-          val bf = org.apache.spark.util.sketch.BloomFilter.create(encoded.size.toLong, BloomFpp)
-          encoded.foreach(bf.putString)
+          val bf = org.apache.spark.util.sketch.BloomFilter.create(pairs.size.toLong, BloomFpp)
+          pairs.foreach { case (t, s) => bf.putString(bloomItem(t, s)) }
           val bos = new java.io.ByteArrayOutputStream()
           bf.writeTo(bos)
-          Some(bloomKey(c) -> ColStats('s',
+          Some(bloomKey(c) -> ColStats(tags.head,
             java.util.Base64.getEncoder.encodeToString(bos.toByteArray),
-            encoded.size.toString))
+            pairs.size.toString))
         }
       }.toMap
       s"$relPrefix/$file" -> stats
@@ -313,15 +323,18 @@ object ManifestStats {
     })
 
   /** Bloom membership test for an EQUALITY probe: false = the value is
-    * definitely not in the file (no false negatives — safe to skip). */
+    * definitely not in the file (no false negatives — safe to skip). A
+    * probe whose tag differs from the bloom's recorded item tag admits
+    * unconditionally — its encoding could never be a member, so "absent"
+    * proves nothing about the column's actual values. */
   private def bloomAdmits(entry: FileEntry, column: String, tag: Char, v: String): Boolean =
     entry.stats.get(bloomKey(column)) match {
-      case Some(b) =>
+      case Some(b) if b.tag == tag =>
         val bytes = java.util.Base64.getDecoder.decode(b.min)
         org.apache.spark.util.sketch.BloomFilter
           .readFrom(new java.io.ByteArrayInputStream(bytes))
           .mightContainString(bloomItem(tag, v))
-      case None => true
+      case _ => true
     }
 
   /** One file's footer statistics, restricted to `wanted` columns, plus

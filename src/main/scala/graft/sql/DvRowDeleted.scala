@@ -67,8 +67,17 @@ object DvRowDeleted {
   // threads outlive queries, and two scans of the same file under
   // different table versions carry different vectors for the same path —
   // a path-only key would silently reuse the older vector.
-  private val lastFile =
-    new ThreadLocal[(java.util.HashMap[String, Array[Long]], UTF8String, Array[Long])]
+  //
+  // Both the map and the resolved vector are held WEAKLY: executor threads
+  // are pooled and outlive queries, so a strong ThreadLocal reference would
+  // pin the last query's O(deleted rows) vector map until the next
+  // DV-filtered scan happens to land on the same thread. During a scan the
+  // map is strongly reachable from the running plan (and the map holds its
+  // vectors), so the weak refs can never clear mid-query — they clear
+  // exactly when the plan is gone and the memory is garbage.
+  private val lastFile = new ThreadLocal[(
+    java.lang.ref.WeakReference[java.util.HashMap[String, Array[Long]]],
+    UTF8String, java.lang.ref.WeakReference[Array[Long]])]
 
   private val Empty = Array.emptyLongArray
 
@@ -83,12 +92,16 @@ object DvRowDeleted {
 
   def deleted(map: java.util.HashMap[String, Array[Long]],
       path: UTF8String, idx: Long): Boolean = {
-    var e = lastFile.get()
-    if (e == null || (e._1 ne map) || !e._2.equals(path)) {
-      val arr = map.get(relPathKey(path.toString))
-      e = (map, path.clone(), if (arr == null) Empty else arr)
-      lastFile.set(e)
+    val e = lastFile.get()
+    var arr: Array[Long] =
+      if (e != null && (e._1.get() eq map) && e._2.equals(path)) e._3.get()
+      else null
+    if (arr == null) {
+      val a = map.get(relPathKey(path.toString))
+      arr = if (a == null) Empty else a
+      lastFile.set((new java.lang.ref.WeakReference(map), path.clone(),
+        new java.lang.ref.WeakReference(arr)))
     }
-    java.util.Arrays.binarySearch(e._3, idx) >= 0
+    java.util.Arrays.binarySearch(arr, idx) >= 0
   }
 }

@@ -54,6 +54,21 @@ class BloomSkipSpec extends SparkSpec {
     assert(probe(10L).size == 1 && probe(30L).size == 1)
   }
 
+  test("bloom tag mismatch ADMITS: a Double probe against a LONG column never prunes") {
+    val lake = mkLake("bloomtag")
+    lake.appendBronze("t",
+      Seq((10L, d("2025-06-01"), "r1"), (30L, d("2025-06-01"), "r1"))
+        .toDF("id", "snapshot_date", "run_id").repartition(1),
+      statsCols = Seq("run_id"), // no min/max for id: the bloom is the only signal
+      bloomCols = Seq("id"))
+    // a Double 10.0 probe encodes as 'f:10.0' — absent from the 'l:…' bloom
+    // items; skipping on that absence would be a silent wrong prune. The
+    // recorded item tag mismatch must admit the file instead.
+    val kept = lake.prunedFilePaths("bronze", "t",
+      Seq(ManifestStats.StatEq("id", 10.0)))
+    assert(kept.size == 1, "tag-mismatched probe wrongly pruned the file")
+  }
+
   test("deleteByRunId on a bloom-maintained table vectors only the matching file") {
     val lake = mkLake("bloomdel")
     lake.appendBronze("t", runRows(Seq("r01", "r09")), bloomCols = Seq("run_id"))

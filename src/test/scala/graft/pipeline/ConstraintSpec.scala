@@ -178,4 +178,29 @@ class ConstraintSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       lake.addCheckConstraint("t", "id_pos", "id > 5"))
   }
+
+  test("RESTORE restores the target version's constraint set, not the head's") {
+    val lake = mkLake("crestore")
+    lake.appendBronze("t", Seq(row(1, "r1")).toDF("id", "snapshot_date", "run_id"))
+    val unconstrained = lake.tableVersions("bronze", "t").max
+    lake.addCheckConstraint("t", "id_pos", "id > 0")
+    val constrained = lake.tableVersions("bronze", "t").max
+
+    // restore to the pre-constraint version: the set restores to EMPTY
+    // (Delta RESTORE restores table metadata along with the file set) —
+    // a previously-violating batch now commits
+    lake.restoreBronze("t", unconstrained)
+    assert(lake.checkConstraints("t").isEmpty,
+      "restore kept a constraint added after the target version")
+    lake.appendBronze("t", Seq(row(-5, "r2")).toDF("id", "snapshot_date", "run_id"))
+    assert(lake.table("bronze", "t").count() == 2)
+
+    // restore forward to the constrained version: enforcement resumes
+    // (the -5 row predates this restore's file set, so it vanishes too)
+    lake.restoreBronze("t", constrained)
+    assert(lake.checkConstraints("t") == Seq("id_pos" -> "id > 0"))
+    intercept[IllegalArgumentException](
+      lake.appendBronze("t", Seq(row(-6, "r3")).toDF("id", "snapshot_date", "run_id")))
+    assert(lake.table("bronze", "t").count() == 1)
+  }
 }
