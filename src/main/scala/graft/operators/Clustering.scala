@@ -432,20 +432,33 @@ object Clustering {
     * built once at write time) — the deployment/bench shape, matching
     * [[ivfTopKFromIndex]].
     *
-    * `candidateBudget` extends the s18 BUDGET rule to the two-level probe
-    * (`nprobeFine` is ignored then): fine cells — ranked jointly across
-    * the probed coarse cells by (cos desc, fine_id asc) — are taken until
-    * their cumulative member count reaches the budget (crossing cell
-    * included; always ≥ 1). The coarse probe stays fixed-`nprobeCoarse`
-    * (it only routes to fine codebook shards; the exact-scoring work the
-    * budget pins happens at the fine level). This gives the above-
-    * driver-cap layout the same skew-proof per-query cost pin as the flat
-    * family: exact-scored candidates ≈ budget regardless of corpus size
-    * or cell skew. The fine-size join is NOT broadcast — fine-cell count
-    * is ~√n (beyond driver caps in exactly the regime this layout
-    * exists for); the query-side frame is the small side
-    * (Q · nprobeCoarse · ~⁴√n rows) and the sizes aggregate is already
-    * distributed. */
+    * `candidateBudget` extends the s18 BUDGET rule to BOTH levels of the
+    * two-level probe (`nprobeCoarse`/`nprobeFine` are ignored then):
+    * first the COARSE prefix — cells in (centroid-cos desc, cell_id asc)
+    * order — expands until the REACHABLE member mass (members assigned
+    * under the probed coarse cells) covers the budget, then fine cells —
+    * ranked jointly across that prefix by (cos desc, fine_id asc) — are
+    * taken until their cumulative member count reaches it (crossing cell
+    * included at both levels; always ≥ 1). A fixed coarse prefix would
+    * cap reachable members at nprobeCoarse·n/K1 and STARVE the fine
+    * budget whenever the corpus is small relative to it (the r12 s09
+    * recall limit: 3 of 7 coarse cells reached ~857 < 1200 budgeted
+    * members); the two-level expansion guarantees the fine rule always
+    * has ≥ budget members to choose from while exact-scored candidates
+    * stay ≈ budget regardless of corpus size or cell skew. The
+    * coarse-size aggregate is ≤ K1 ≈ ⁴√n rows (broadcast with the
+    * codebook); the fine-size join is NOT broadcast — fine-cell count is
+    * ~√n (beyond driver caps in exactly the regime this layout exists
+    * for); the query-side frame is the small side and the sizes
+    * aggregate is already distributed. */
+  /** Coarse-prefix expansion factor for the budget probe: the coarse
+    * prefix covers this multiple of the candidate budget in member mass,
+    * so the fine-level rule selects its ~budget members from a wider
+    * routed region (1× tracked the budget exactly but clipped recall —
+    * the best fine cells of the (F+1)-th coarse cell beat the worst of
+    * the F-th's). Exact-scoring stays budget-pinned regardless. */
+  val CoarseOverprobe = 2L
+
   def twoLevelTopKFromIndex(queries: DataFrame, corpus: DataFrame,
       coarse: DataFrame, fineAll: DataFrame, assign: DataFrame, k: Int,
       nprobeCoarse: Int, nprobeFine: Int,
@@ -463,14 +476,40 @@ object Clustering {
 
     val q = queries.select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"),
       Similarity.l2Norm(col(embCol)).as("q_norm"))
-    val qc = q.join(broadcast(coarse))
+    val qcScored = q.join(broadcast(coarse))
       .select(col("query_id"), col("q_emb"), col("q_norm"),
         (Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("cos"),
         col("cell_id"))
-      .groupBy(col("query_id"), col("q_emb"), col("q_norm"))
-      .agg(topAgg("cell_id", nprobeCoarse).as("cells"))
-      .select(col("query_id"), col("q_emb"), col("q_norm"),
-        explode(col("cells").getField("id")).as("coarse_id"))
+    val qc = candidateBudget match {
+      case Some(b) =>
+        // budget-expanded coarse prefix: probe coarse cells (cos desc,
+        // cell_id asc) until their assigned-member mass covers
+        // CoarseOverprobe × the budget, so the fine-level budget rule
+        // below chooses its ~b members from a wider routed region — the
+        // r12 fixed-nprobeCoarse routing starved it (reachable mass 857 <
+        // 1200 pinned recall@5 at 0.585; 1× expansion read 0.795, the 2×
+        // over-probe 0.835 ≥ the 0.80 target at the shipped 1200 budget,
+        // sf0.1 RecallAb). Exact-scoring work stays pinned at ~b by the
+        // fine rule; the over-probe only widens the FINE-CODEBOOK scoring
+        // (≈ prefix cells · ⁴√n rows per query, still query-sized).
+        import org.apache.spark.sql.expressions.Window
+        val csizes = assign.groupBy(col("coarse_id")).agg(count(lit(1)).as("coarse_n"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("cell_id").asc)
+        qcScored
+          .join(broadcast(csizes), col("cell_id") === csizes("coarse_id"), "left")
+          .withColumn("coarse_n", coalesce(col("coarse_n"), lit(0L)))
+          .withColumn("cum", sum(col("coarse_n")).over(w))
+          .filter(col("cum") - col("coarse_n") < b * CoarseOverprobe)
+          .select(col("query_id"), col("q_emb"), col("q_norm"),
+            col("cell_id").as("coarse_id"))
+      case None =>
+        qcScored
+          .groupBy(col("query_id"), col("q_emb"), col("q_norm"))
+          .agg(topAgg("cell_id", nprobeCoarse).as("cells"))
+          .select(col("query_id"), col("q_emb"), col("q_norm"),
+            explode(col("cells").getField("id")).as("coarse_id"))
+    }
     val qfScored = qc.join(fineAll, "coarse_id")
       .select(col("query_id"), col("q_emb"), col("q_norm"),
         (Similarity.dot(col("q_emb"), col("f_emb")) / (col("q_norm") * col("f_norm"))).as("cos"),
@@ -637,6 +676,39 @@ object Clustering {
 
   // ---- product quantization (Jégou et al., PAMI 2011) ----------------------
 
+  /** Codebook rows with a DENSE 1-based `pos` in ascending-id order. PQ
+    * codes store the POSITION, not the entry's id: the ADC scan then
+    * resolves each subspace distance by O(1) ARRAY indexing into a
+    * per-query table sorted once at probe time, instead of the O(√n)
+    * linear scan Catalyst's map `element_at` performs per lookup — at
+    * numSub=16 that linear scan was the dominant per-candidate cost (16
+    * scans of a ~√n-entry map per code row). Position order is id order,
+    * so argmin ties (→ smallest pos) pick the same entry as the id-keyed
+    * encoding and every estimate is bit-identical; external oracles keep
+    * replaying the id-keyed spelling. The rank is computed by ONE
+    * driver-side collect of the codebook ids — the codebook is
+    * driver-bounded by the [[materializedCells]] gate by construction
+    * (same discipline), and the join back broadcasts, so query plans stay
+    * window-free. */
+  private def withPos(cells: DataFrame, idCol: String): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val ids = cells.select(col(idCol).cast("bigint")).collect().map(_.getLong(0)).sorted
+    require(ids.length <= MaxDriverCellsDefault,
+      s"codebook of ${ids.length} entries exceeds the driver gate ($MaxDriverCellsDefault)")
+    val pos = ids.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }.toSeq
+    cells.join(broadcast(pos.toDF("__pid", "pos")), col(idCol) === col("__pid"))
+      .drop("__pid")
+  }
+
+  /** Per-subspace (pos → distance) ARRAY aggregate: entries collected per
+    * group, sorted by pos (unique — deterministic), distances extracted.
+    * `element_at(arr, code)` with the 1-based positional code is the O(1)
+    * ADC lookup. */
+  private def posArray(m: Int): Column =
+    transform(array_sort(collect_list(struct(col("pos"), col(s"qd_$m").as("d")))),
+      x => x.getField("d"))
+
   /** Squared L2 distance between the `m`-th `subDim`-wide subspace slices of
     * two `array<float>` columns, spelled `|a|² + |b|² − 2·a·b` with each term
     * a native sequential [[graft.sql.FloatVecDot]] fold — fixed op order, so
@@ -654,20 +726,23 @@ object Clustering {
     * is oracle-replayable (k-means-trained codebooks slot in the same way
     * Lloyd does for IVF: spec-verified, not oracle-gated).
     *
-    * Output: (vec_id, code_0 … code_{numSub−1}). Cost: corpus × ~√n seed
-    * broadcast, then ONE partial `min(struct)` aggregate per subspace —
-    * each map task ships numSub structs per vector to the shuffle, never
-    * the scored candidates. A 64-dim float vector (256 B) compresses to
-    * numSub codes (~numSub·log₂√n bits — 8 B here): the memory lever that
-    * lets a 100 TB corpus's ANN index live in RAM. */
+    * Output: (vec_id, code_0 … code_{numSub−1}) — each code the entry's
+    * dense 1-based POSITION in ascending-cell_id codebook order (see
+    * [[withPos]]; ties → smallest position ≡ smallest cell_id, so the
+    * selected entry is identical to the id-keyed encoding). Cost: corpus ×
+    * ~√n seed broadcast, then ONE partial `min(struct)` aggregate per
+    * subspace — each map task ships numSub structs per vector to the
+    * shuffle, never the scored candidates. A 64-dim float vector (256 B)
+    * compresses to numSub codes (~numSub·log₂√n bits — 8 B here): the
+    * memory lever that lets a 100 TB corpus's ANN index live in RAM. */
   def pqCodes(corpus: DataFrame, idCol: String, embCol: String,
       cells: DataFrame, numSub: Int, subDim: Int): DataFrame = {
     val scored = corpus
       .select(col(idCol).cast("bigint").as("vec_id"), col(embCol).as("v_emb"))
-      .join(broadcast(cells.select(col("cell_id"), col("c_emb"))))
+      .join(broadcast(withPos(cells.select(col("cell_id"), col("c_emb")), "cell_id")))
     val aggs = (0 until numSub).map { m =>
       min(struct(subDist2(col("v_emb"), col("c_emb"), m, subDim).as("d"),
-        col("cell_id").as("c")))
+        col("pos").as("c")))
         .getField("c").as(s"code_$m")
     }
     scored.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
@@ -675,9 +750,10 @@ object Clustering {
 
   /** PQ asymmetric-distance (ADC) approximate top-k: queries stay exact,
     * the corpus is its PQ codes. Per query, ONE broadcast row holds a
-    * (cell_id → subspace-distance) map per subspace; the corpus-code scan
-    * estimates `d²(q, v) ≈ Σ_m d²(q_m, codebook[code_m])` by `numSub` map
-    * lookups per row and the bounded TopKPairs aggregate keeps k — the
+    * positional subspace-distance ARRAY per subspace (see [[withPos]]);
+    * the corpus-code scan estimates
+    * `d²(q, v) ≈ Σ_m d²(q_m, codebook[code_m])` by `numSub` O(1) array
+    * indexes per row and the bounded TopKPairs aggregate keeps k — the
     * corpus never shuffles, never materializes scored pairs, and never
     * touches the original vectors. This is the scan shape that runs ANN
     * over a RAM-resident code table at 100 TB.
@@ -721,17 +797,18 @@ object Clustering {
 
     val qd = queries
       .select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"))
-      .join(broadcast(cells.select(col("cell_id"), col("c_emb"))))
-      .select(col("query_id") +: col("cell_id") +: (0 until numSub).map(m =>
+      .join(broadcast(withPos(cells.select(col("cell_id"), col("c_emb")), "cell_id")))
+      .select(col("query_id") +: col("pos") +: (0 until numSub).map(m =>
         round(subDist2(col("q_emb"), col("c_emb"), m, subDim), 9)
           .cast(DecimalType(28, 9)).as(s"qd_$m")): _*)
+    // per-query POSITIONAL distance arrays (see [[withPos]]): the scan
+    // resolves each subspace by O(1) array indexing, not a map scan
     val qMaps = qd.groupBy(col("query_id")).agg(
-      map_from_entries(collect_list(struct(col("cell_id"), col("qd_0")))).as("qm_0"),
-      (1 until numSub).map(m =>
-        map_from_entries(collect_list(struct(col("cell_id"), col(s"qd_$m")))).as(s"qm_$m")): _*)
+      posArray(0).as("qa_0"),
+      (1 until numSub).map(m => posArray(m).as(s"qa_$m")): _*)
 
     val est = (0 until numSub)
-      .map(m => element_at(col(s"qm_$m"), col(s"code_$m")))
+      .map(m => element_at(col(s"qa_$m"), col(s"code_$m").cast("int")))
       .reduce(_ + _)
     val scored = codes.join(broadcast(qMaps))
       .filter(col("vec_id") =!= col("query_id"))
@@ -825,17 +902,17 @@ object Clustering {
       case None => fixedProbes(queries, cells, nprobe, idCol, embCol)
     }).select(col("query_id"), col("cell_id"))
 
-    // per-query per-subspace (codebook entry → distance) maps — query-sized
+    // per-query per-subspace POSITIONAL distance arrays — query-sized
+    // (see [[withPos]]: codes are positions, lookups O(1) array indexes)
     val qd = queries
       .select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"))
-      .join(broadcast(cells.select(col("cell_id"), col("c_emb"))))
-      .select(col("query_id") +: col("cell_id") +: (0 until numSub).map(m =>
+      .join(broadcast(withPos(cells.select(col("cell_id"), col("c_emb")), "cell_id")))
+      .select(col("query_id") +: col("pos") +: (0 until numSub).map(m =>
         round(subDist2(col("q_emb"), col("c_emb"), m, subDim), 9)
           .cast(DecimalType(28, 9)).as(s"qd_$m")): _*)
     val qMaps = qd.groupBy(col("query_id")).agg(
-      map_from_entries(collect_list(struct(col("cell_id"), col("qd_0")))).as("qm_0"),
-      (1 until numSub).map(m =>
-        map_from_entries(collect_list(struct(col("cell_id"), col(s"qd_$m")))).as(s"qm_$m")): _*)
+      posArray(0).as("qa_0"),
+      (1 until numSub).map(m => posArray(m).as(s"qa_$m")): _*)
 
     // candidate restriction: code rows of probed cells only — the at-rest
     // code table keyed by cell_id meets the broadcast (query, cell) probes.
@@ -846,7 +923,7 @@ object Clustering {
       if (codes.columns.contains("cell_id")) codes
       else codes.join(assign.select(col("vec_id"), col("cell_id")), "vec_id")
     val est = (0 until numSub)
-      .map(m => element_at(col(s"qm_$m"), col(s"code_$m")))
+      .map(m => element_at(col(s"qa_$m"), col(s"code_$m").cast("int")))
       .reduce(_ + _)
     val scored = codesCell
       .join(broadcast(probes.join(broadcast(qMaps), "query_id")), "cell_id")
@@ -900,10 +977,12 @@ object Clustering {
       .join(broadcast(cells.select(col("cell_id"), col("c_emb"))), "cell_id")
       .select(col("vec_id"), col("cell_id"),
         zip_with(col("v_emb"), col("c_emb"), (x, y) => x - y).as("v_res"))
-    val scored = res.join(broadcast(rcb))
+    // codes are the entry's dense POSITION in rcode_id order (see
+    // [[withPos]]; ties → smallest position ≡ smallest rcode_id)
+    val scored = res.join(broadcast(withPos(rcb, "rcode_id")))
     val aggs = (0 until numSub).map { m =>
       min(struct(subDist2(col("v_res"), col("r_emb"), m, subDim).as("d"),
-        col("rcode_id").as("c")))
+        col("pos").as("c")))
         .getField("c").as(s"code_$m")
     }
     scored.groupBy(col("vec_id"), col("cell_id")).agg(aggs.head, aggs.tail: _*)
@@ -966,22 +1045,21 @@ object Clustering {
       .join(broadcast(cells.select(col("cell_id"), col("c_emb"))), "cell_id")
       .select(col("query_id"), col("cell_id"),
         zip_with(col("q_emb"), col("c_emb"), (x, y) => x - y).as("q_res"))
-    val qd = qres.join(broadcast(rcb))
-      .select(col("query_id") +: col("cell_id") +: col("rcode_id") +:
+    val qd = qres.join(broadcast(withPos(rcb, "rcode_id")))
+      .select(col("query_id") +: col("cell_id") +: col("pos") +:
         (0 until numSub).map(m =>
           round(subDist2(col("q_res"), col("r_emb"), m, subDim), 9)
             .cast(DecimalType(28, 9)).as(s"qd_$m")): _*)
     // one row per (query, probed cell) carrying that probe's √n-entry
-    // rcode→distance maps: lookups scan a per-PROBE table (the FAISS
-    // layout), not one (cell,code)-keyed table nprobe times larger
+    // POSITIONAL distance arrays (see [[withPos]]): lookups index a
+    // per-PROBE table in O(1) — the FAISS layout, not one
+    // (cell,code)-keyed table nprobe times larger
     val qMaps = qd.groupBy(col("query_id"), col("cell_id")).agg(
-      map_from_entries(collect_list(struct(col("rcode_id"), col("qd_0")))).as("qm_0"),
-      (1 until numSub).map(m =>
-        map_from_entries(collect_list(struct(col("rcode_id"), col(s"qd_$m"))))
-          .as(s"qm_$m")): _*)
+      posArray(0).as("qa_0"),
+      (1 until numSub).map(m => posArray(m).as(s"qa_$m")): _*)
 
     val est = (0 until numSub)
-      .map(m => element_at(col(s"qm_$m"), col(s"code_$m")))
+      .map(m => element_at(col(s"qa_$m"), col(s"code_$m").cast("int")))
       .reduce(_ + _)
     val scored = codes
       .join(broadcast(qMaps), Seq("cell_id"))

@@ -1089,10 +1089,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * METADATA — no rewrite, no vector, just a remove-list delta. Files
     * that mix runs (post-compaction) get a vector; the next OPTIMIZE
     * purges it. The copy-on-write alternative ([[deleteBronzeWhere]])
-    * remains for callers that must not leave vectors behind. */
+    * remains for callers that must not leave vectors behind.
+    *
+    * Commits under op `DELETE RUN` (not plain `DELETE`): the streaming
+    * refresh gate ([[graft.streaming.Streams.silverRefreshStream]])
+    * ALLOWS run-aligned re-ingest deletes — the paired re-append
+    * re-delivers the run's rows and latest-wins converges — while plain
+    * deletes fail the stream fast by default. */
   def deleteByRunId(name: String, runId: String): Unit =
     deleteBronzeWhereDv(name, org.apache.spark.sql.functions.col("run_id").equalTo(runId),
-      Seq(ManifestStats.StatEq("run_id", runId)))
+      Seq(ManifestStats.StatEq("run_id", runId)), opLabel = "DELETE RUN")
 
   /** Exact visible row count from LOG METADATA alone: Σ per-file physical
     * rows ([[ManifestStats.RowsCol]], recorded from footers at commit)
@@ -1106,6 +1112,28 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         .map(_ - ManifestStats.dvRef(e).map(_._2).getOrElse(0L)))
       if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
     }
+
+  /** Live manifest entries carrying a DELETION VECTOR — the streaming
+    * gate's fresh-start check (a file stream reads parquet directly, so a
+    * vectored table would deliver vector-deleted ghost rows; OPTIMIZE
+    * purges vectors). One log resolve, never a scan. */
+  def deletionVectorCount(name: String): Int =
+    readFilesManifest(dir("bronze", name))
+      .map(_.entries.count(e => ManifestStats.dvRef(e).isDefined)).getOrElse(0)
+
+  /** (version, operation) of every RETAINED log record with version >
+    * `afterVersion`, ascending — header-only reads, the cheap source the
+    * streaming visibility gate polls per micro-batch ([[history]] builds
+    * a full DataFrame with per-record add/remove counts; this does not).
+    * Retention caveat: records below the pruning floor are gone — callers
+    * must check contiguity against [[tableVersions]] before trusting an
+    * empty answer across a long-down window. */
+  def opsSince(name: String, afterVersion: Int): Seq[(Int, String)] = {
+    val base = dir("bronze", name)
+    bronzeVersions(base).filter(_ > afterVersion).map(v =>
+      v -> readRecordHeader(base.resolve(s"_files_v$v"))
+        .flatMap(_.op).getOrElse("UNKNOWN"))
+  }
 
   // ───── CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` parity) ──
 
@@ -1344,7 +1372,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * source has the same contract: deletes require CDF, not the add-files
     * stream). */
   def deleteBronzeWhereDv(name: String, condition: org.apache.spark.sql.Column,
-      statPreds: Seq[ManifestStats.StatPred] = Nil, maxAttempts: Int = 5): Unit = {
+      statPreds: Seq[ManifestStats.StatPred] = Nil, maxAttempts: Int = 5,
+      opLabel: String = "DELETE"): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, collect_list, count, lit, when, size => sizeFn}
     import org.apache.spark.sql.graft.ColumnShim
     val base = dir("bronze", name)
@@ -1420,7 +1449,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
                 Lakehouse.BronzeStatsCols, dataDir.getFileName.toString)
             }
           if (commitFilesManifest(base, v + 1, schemaOpt, newEntries,
-              prev = Some(entries), op = "DELETE")) return
+              prev = Some(entries), op = opLabel)) return
           // lost the CAS: our vectors reference a stale read-set — drop
           // them and recompute from the winner's manifest
           deleteRecursively(dvDir)

@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
 object BenchIndex {
 
   /** Bump on ANY change to how the artifacts below are constructed
-    * (seed hashing, SignPlaneKeys planes, PQ codebook logic, schemas). */
-  val IndexFormatVersion = 1
+    * (seed hashing, SignPlaneKeys planes, PQ codebook logic, schemas).
+    * v2: PQ code tables store dense codebook POSITIONS, not entry ids. */
+  val IndexFormatVersion = 2
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))

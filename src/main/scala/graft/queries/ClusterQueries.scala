@@ -334,7 +334,9 @@ object ClusterQueries {
         .orderBy(col("query_id"), col("rank"))
     }))
 
-  /** Coarse cells probed per query at the first level of s09. */
+  /** Coarse cells probed per query at the first level of s09 when probing
+    * FIXED; the shipped budget probe expands the coarse prefix by member
+    * mass instead (this constant is then ignored). */
   val NProbeCoarse = 3
   /** Fine cells kept per query when probing FIXED (ranked jointly across
     * probed coarse); the shipped s09 config probes by [[IvfBudget]]
@@ -350,19 +352,18 @@ object ClusterQueries {
     * hash-seeded codebooks, assignments and probes bit-for-bit (sizing is
     * exact integer double-sqrt — no cross-engine pow(x,¼) ulp risk).
     *
-    * SHIPPED PROBE (r12): the same [[IvfBudget]] candidate-budget rule as
-    * the whole flat IVF family (s05/s11/s15/s18), extended to the fine
-    * level — fine cells in (cos desc, fine_id asc) order across the
-    * probed coarse cells until the budget of members is covered — so the
+    * SHIPPED PROBE (r13): the same [[IvfBudget]] candidate-budget rule as
+    * the whole flat IVF family (s05/s11/s15/s18), applied at BOTH levels —
+    * the coarse prefix (centroid-cos desc, cell_id asc) expands until its
+    * assigned-member mass covers the budget, then fine cells ranked
+    * jointly across it are taken under the same cumsum rule — so the
     * above-driver-cap layout carries the identical skew-proof per-query
-    * cost pin. r12 frontier vs exact s01 at the shared 1200 budget
-    * (RecallAb, sf0.1): recall@5 0.585, up from 0.54 at the old fixed
-    * nprobeFine=12 — coarse routing caps reachable members at ~3/7 of
-    * this toy corpus (857 < budget), so recall here is routing-limited;
-    * the budget binds only as the corpus outgrows nprobeCoarse·n/K1,
-    * exactly the at-scale regime the layout exists for. The operator's
-    * role is the DRIVER-SCALE cap (flat √n codebooks stop fitting at
-    * ~10¹² vectors); prefer s05 below the cap. */
+    * cost pin AND the fine rule is never starved of reachable members
+    * (the r12 fixed-nprobeCoarse=3 routing capped them at ~857 < 1200,
+    * pinning recall@5 at 0.585; the expansion lifts it to the flat
+    * family's band — see BASELINE r13). The operator's role is the
+    * DRIVER-SCALE cap (flat √n codebooks stop fitting at ~10¹²
+    * vectors); prefer s05 below the cap. */
   val s09TwoLevelIvf = GraftQuery(
     "s09_two_level_ivf_topk",
     (s, dir) => {
@@ -434,13 +435,18 @@ object ClusterQueries {
                    ORDER BY cos DESC, fine_id ASC) AS rn
           FROM fscored) z
         WHERE rn = 1),
+      coarsesize AS (
+        SELECT coarse_id, CAST(COUNT(*) AS BIGINT) AS coarse_n
+        FROM cassign GROUP BY coarse_id),
       qc AS (
-        SELECT vec_id AS query_id, coarse_id FROM (
-          SELECT vec_id, coarse_id,
-                 row_number() OVER (PARTITION BY vec_id
-                   ORDER BY cos DESC, coarse_id ASC) AS rn
-          FROM cscored WHERE vec_id % 50 = 0) z
-        WHERE rn <= $NProbeCoarse),
+        SELECT query_id, coarse_id FROM (
+          SELECT s.vec_id AS query_id, s.coarse_id,
+                 coalesce(cs.coarse_n, 0) AS coarse_n,
+                 SUM(coalesce(cs.coarse_n, 0)) OVER (PARTITION BY s.vec_id
+                   ORDER BY s.cos DESC, s.coarse_id ASC) AS cum
+          FROM cscored s LEFT JOIN coarsesize cs USING (coarse_id)
+          WHERE s.vec_id % 50 = 0) z
+        WHERE cum - coarse_n < ${graft.operators.Clustering.CoarseOverprobe * IvfBudget}),
       fsize AS (
         SELECT fine_id, CAST(COUNT(*) AS BIGINT) AS cell_n
         FROM fassign GROUP BY fine_id),

@@ -40,10 +40,10 @@ object StorageQueries {
     * data file (the second merges into the first's vectors), and the read
     * back through the log must equal DuckDB's plain NOT-filter. Covers
     * vector write, merge, full-file drop, and the scan-time subtract. */
-  val q78DvDelete = GraftQuery(
-    "q78_dv_delete",
+  val st01DvDelete = GraftQuery(
+    "st01_dv_delete",
     (s, dir) => {
-      val scratch = Files.createTempDirectory("graft-q78")
+      val scratch = Files.createTempDirectory("graft-st01")
       val lake = new Lakehouse(s, scratch.toString)
       val base = table(s, dir, "orders")
         .filter(col("o_custkey") % 20 === 0)
@@ -73,10 +73,10 @@ object StorageQueries {
     * the read back must equal the UNDELETED sample — proving restore
     * re-references the exact pre-delete file set (vectors dropped), not a
     * re-filtered approximation. */
-  val q79RestoreRead = GraftQuery(
-    "q79_restore_read",
+  val st02RestoreRead = GraftQuery(
+    "st02_restore_read",
     (s, dir) => {
-      val scratch = Files.createTempDirectory("graft-q79")
+      val scratch = Files.createTempDirectory("graft-st02")
       val lake = new Lakehouse(s, scratch.toString)
       val base = table(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
@@ -99,5 +99,5 @@ object StorageQueries {
       WHERE c_custkey % 10 = 0 OR c_custkey % 10 = 5
       ORDER BY c_custkey"""))
 
-  val all: Seq[GraftQuery] = Seq(q78DvDelete, q79RestoreRead)
+  val all: Seq[GraftQuery] = Seq(st01DvDelete, st02RestoreRead)
 }

@@ -802,14 +802,33 @@ object Streams {
     * ([[graft.pipeline.Silver.refreshScd2FromRaw]]) — so all
     * incrementally-refreshable single-source MVs have a continuous face.
     *
+    * DELETE / VISIBILITY CONTRACT (`ignoreDeletes`, default false — the
+    * Delta streaming-source rule): a file stream delivers each file's
+    * physical rows ONCE, so any commit that RETRACTS visibility of rows
+    * already delivered (plain DELETE — copy-on-write or deletion-vector —
+    * RESTORE, FSCK) cannot propagate to the insert-only latest-wins
+    * silver table. By default the stream FAILS FAST when such a commit
+    * lands (gated per micro-batch and at construction against the log's
+    * op history), and a FRESH stream refuses a table whose live entries
+    * carry deletion vectors (the raw parquet read would deliver
+    * vector-deleted ghost rows; OPTIMIZE purges vectors first).
+    * Run-aligned re-ingest deletes (`deleteByRunId`, op `DELETE RUN`) are
+    * ALLOWED: the paired re-append re-delivers the run's rows and
+    * latest-wins converges — the idempotent re-ingest contract.
+    * `ignoreDeletes = true` opts into proceeding past all of it, with the
+    * documented consequence that silver never retracts: rows deleted from
+    * bronze after delivery simply remain in silver.
+    *
     * Requires the model to have been fully refreshed once (the standing
     * table is the merge base). Returns the writer; caller starts it with
     * a checkpoint dir (AvailableNow for drain-and-stop catch-up runs). */
-  def silverRefreshStream(lake: graft.pipeline.Lakehouse, model: String)
+  def silverRefreshStream(lake: graft.pipeline.Lakehouse, model: String,
+      ignoreDeletes: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val (bronzeTable, _) = streamModel(lake, model)
     require(lake.exists("silver", model),
       s"$model must be fully refreshed once before streaming maintenance")
+    gateStreamVisibility(lake, model, bronzeTable, ignoreDeletes)
     // log-managed bronze: monitor the `_a*` append-dir glob (each commit
     // lands a new matched dir); plain layout: the live data dir
     val dir = lake.streamSourcePath("bronze", bronzeTable)
@@ -822,8 +841,65 @@ object Streams {
     lake.spark.readStream.schema(pinned).parquet(dir)
       .writeStream.outputMode(OutputMode.Update).foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          refreshSilverBatch(lake, model, batch.toDF)
+          refreshSilverBatch(lake, model, batch.toDF, ignoreDeletes)
       }
+  }
+
+  /** The [[silverRefreshStream]] delete/visibility gate. Default mode
+    * fails fast when (a) a FRESH stream (no gate marker yet) starts over a
+    * table whose live entries carry deletion vectors, or (b) any log
+    * record since the last gated version carries a visibility-retracting
+    * op (`DELETE`, `RESTORE`, `FSCK` — `DELETE RUN` is the allowed
+    * re-ingest delete), or (c) the log's retention pruned records inside
+    * the gate window (a long-down stream can no longer prove no delete
+    * landed). `ignoreDeletes` skips the checks but still advances the
+    * marker, so switching back to the default later does not re-fail on
+    * already-acknowledged deletes. The marker is the table-dir file
+    * `_stream_gate_<model>` (NOT inside the pending set — sweeps list
+    * that dir as parked-file markers). */
+  private[graft] def gateStreamVisibility(lake: graft.pipeline.Lakehouse,
+      model: String, bronzeTable: String, ignoreDeletes: Boolean): Unit = {
+    import java.nio.file.Files
+    val versions = lake.tableVersions("bronze", bronzeTable)
+    if (versions.isEmpty) return // plain layout / never written: nothing to gate
+    val head = versions.max
+    val marker = lake.tableDir("bronze", bronzeTable)
+      .resolve(s"_stream_gate_$model")
+    if (!ignoreDeletes) {
+      val last: Option[Int] =
+        if (Files.exists(marker))
+          Some(new String(Files.readAllBytes(marker),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+        else None
+      last match {
+        case None =>
+          require(lake.deletionVectorCount(bronzeTable) == 0,
+            s"bronze.$bronzeTable carries deletion vectors: a file stream would " +
+              "deliver vector-deleted ghost rows. Run OPTIMIZE (Maintenance) to " +
+              "purge the vectors, or pass ignoreDeletes=true to accept that " +
+              s"silver.$model never retracts")
+        case Some(from) =>
+          require(from >= versions.min - 1,
+            s"bronze.$bronzeTable pruned log records inside the stream's gate " +
+              s"window (gated at v$from, oldest retained v${versions.min}): cannot " +
+              "prove no delete landed while the stream was down. Re-run the full " +
+              s"refresh of $model, or pass ignoreDeletes=true")
+          val bad = lake.opsSince(bronzeTable, from).collect {
+            case (v, op) if op == "DELETE" || op == "RESTORE" || op == "FSCK" =>
+              s"v$v=$op"
+          }
+          require(bad.isEmpty,
+            s"bronze.$bronzeTable committed visibility-retracting operation(s) " +
+              s"${bad.mkString(", ")} since the stream last ran: already-delivered " +
+              s"rows were deleted and insert-only silver.$model cannot retract " +
+              "them. Re-run the full refresh, or pass ignoreDeletes=true to " +
+              "proceed without retraction (deleteByRunId re-ingest deletes are " +
+              "allowed and do not trip this gate)")
+      }
+    }
+    Files.createDirectories(marker.getParent)
+    Files.write(marker, head.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** One [[silverRefreshStream]] micro-batch: committed-only filter →
@@ -831,8 +907,9 @@ object Streams {
     * foreachBatch replays (re-merging rows is a latest-wins no-op; marker
     * create/delete are idempotent), so any crash point converges. */
   private[graft] def refreshSilverBatch(lake: graft.pipeline.Lakehouse,
-      model: String, batch: DataFrame): Unit = {
+      model: String, batch: DataFrame, ignoreDeletes: Boolean = false): Unit = {
     val (bronzeTable, merge) = streamModel(lake, model)
+    gateStreamVisibility(lake, model, bronzeTable, ignoreDeletes)
     val rows = lake.committedBronzeRelPaths(bronzeTable) match {
       case None => batch // plain layout: every file on disk is live
       case Some(live) =>
@@ -981,7 +1058,11 @@ object Streams {
       val s = java.nio.file.Files.list(dir)
       try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
         .map(p => java.net.URLDecoder.decode(p.getFileName.toString,
-          java.nio.charset.StandardCharsets.UTF_8)).toSet
+          java.nio.charset.StandardCharsets.UTF_8))
+        // a real pending marker encodes an `_aN_uid/part-*` relPath — the
+        // '/' filter keeps the gate marker (`_gate_version`, no slash)
+        // from being swept as a vanished pending file
+        .filter(_.contains('/')).toSet
       finally s.close()
     }
 

@@ -608,6 +608,76 @@ class StreamsSpec extends SparkSpec {
       .filter(col("channel_title") === "Chan C").count() == 1)
   }
 
+  test("silverRefreshStream delete contract: plain deletes fail fast; ignoreDeletes proceeds without retraction; re-ingest deletes pass") {
+    import java.nio.file.Files
+    import graft.pipeline.{Bronze, Lakehouse, Silver}
+    import graft.pipeline.Fixtures.{channelPayload, d}
+    import org.apache.spark.sql.functions.col
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-streamgate").toString)
+    def land(run: String, snap: String, at: String, title: String, views: Long): Unit =
+      Bronze.ingest(lake, Bronze.RunContext(run, s"req-$run", d(snap),
+        graft.pipeline.Fixtures.ts(at)), _ => Map(
+        "channels_raw" -> Seq(channelPayload("UC_1", title, views, 10))))
+    land("r1", "2025-06-01", "2025-06-01 10:00:00", "Chan A", 100)
+    Silver.refresh(lake, Some(Set("silver_channels")))
+    val ckpt = Files.createTempDirectory("graft-gate-ckpt").toString
+    def drain(ignoreDeletes: Boolean = false): Unit = {
+      val q = Streams.silverRefreshStream(lake, "silver_channels", ignoreDeletes)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain() // establishes the gate marker at the current head
+
+    // run-aligned RE-INGEST (internal deleteByRunId → op DELETE RUN) is
+    // the allowed delete: the paired re-append converges latest-wins
+    land("r1", "2025-06-01", "2025-06-01 11:00:00", "Chan A2", 110)
+    drain()
+    assert(lake.table("silver", "silver_channels")
+      .filter(col("channel_title") === "Chan A2").count() == 1)
+
+    // a PLAIN delete retracts visibility of delivered rows: default fails
+    // fast at construction with the remedy, ignoreDeletes proceeds and
+    // silver (insert-only) keeps the row
+    land("r2", "2025-06-02", "2025-06-02 10:00:00", "Chan B", 150)
+    drain()
+    lake.deleteBronzeWhereDv("channels_raw", col("run_id") === "r2")
+    val ex = intercept[IllegalArgumentException](drain())
+    assert(ex.getMessage.contains("visibility-retracting"), ex.getMessage)
+    drain(ignoreDeletes = true)
+    assert(lake.table("bronze", "channels_raw")
+      .filter(col("run_id") === "r2").count() == 0, "bronze delete applied")
+    assert(lake.table("silver", "silver_channels").count() == 1,
+      "latest-wins silver keeps exactly the current channel row")
+    // ignore mode advanced the marker: default mode works again
+    land("r3", "2025-06-03", "2025-06-03 10:00:00", "Chan C", 160)
+    drain()
+    assert(lake.table("silver", "silver_channels")
+      .filter(col("channel_title") === "Chan C").count() == 1)
+
+    // FRESH stream over a table with live deletion vectors: refused
+    // (a file stream would deliver vector-deleted ghost rows)
+    val lake2 = new Lakehouse(spark, Files.createTempDirectory("graft-streamgate2").toString)
+    // both rows in ONE file, so a one-row delete writes a real vector
+    lake2.appendBronze("channels_raw", Bronze.envelopeDf(spark, Seq(
+      Bronze.Envelope(d("2025-06-01"), graft.pipeline.Fixtures.ts("2025-06-01 10:00:00"),
+        "yt", "req-r1", "1", "r1", channelPayload("UC_A", "A", 10, 1)),
+      Bronze.Envelope(d("2025-06-01"), graft.pipeline.Fixtures.ts("2025-06-01 10:00:00"),
+        "yt", "req-r1", "1", "r1", channelPayload("UC_B", "B", 20, 2))))
+      .repartition(1))
+    // partial in-file delete -> a real vector on a live file
+    lake2.deleteBronzeWhereDv("channels_raw",
+      org.apache.spark.sql.functions.get_json_object(
+        col("payload"), "$.items[0].id") === "UC_A")
+    assert(lake2.deletionVectorCount("channels_raw") > 0, "expected a live vector")
+    Silver.refresh(lake2, Some(Set("silver_channels")))
+    val ex2 = intercept[IllegalArgumentException](
+      Streams.silverRefreshStream(lake2, "silver_channels"))
+    assert(ex2.getMessage.contains("deletion vectors"), ex2.getMessage)
+    // opt-in constructs (ghost rows accepted by contract)
+    Streams.silverRefreshStream(lake2, "silver_channels", ignoreDeletes = true)
+  }
+
   test("silverRefreshStream maintains SCD2: streamed == batch recompute across A→B→A and late-arrival micro-batch orderings") {
     import java.nio.file.Files
     import graft.pipeline.{Bronze, Lakehouse, Silver}
