@@ -182,6 +182,20 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       dvMap)))
   }
 
+  /** Scan `paths` keeping ONLY the rows at the listed physical positions
+    * (`sel`: [[graft.sql.DvRowDeleted.relPathKey]] → sorted positions) —
+    * the positive twin of [[readDvFiltered]], used by [[tableChanges]] to
+    * materialize exactly a deletion-vector DELTA's rows. */
+  private def readDvSelected(rd: org.apache.spark.sql.DataFrameReader,
+      paths: Seq[String], sel: Map[String, Array[Long]]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnShim
+    val df = rd.parquet(paths: _*)
+    df.filter(ColumnShim.column(graft.sql.DvRowDeleted(
+      ColumnShim.expression(df.col("_metadata.file_path")),
+      ColumnShim.expression(df.col("_metadata.row_index")),
+      sel)))
+  }
+
   /** Committed version number of a materialized table (0 = plain layout /
     * never materialized under the manifest protocol). */
   def tableVersion(layer: String, name: String): Int = currentVersion(dir(layer, name))
@@ -376,6 +390,107 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         readEntriesWithDv(base, snap.schema, snap.entries)
       case None =>
         spark.read.parquet(base.resolve(s"_v$version").toString)
+    }
+  }
+
+  /** CHANGE DATA FEED read over the log (Delta's `table_changes`): the
+    * row-level changes committed after `fromVersion` (exclusive) up to
+    * `toVersion` (inclusive), as the table's columns plus `_change_type`
+    * (`insert` | `delete`) and `_commit_version`. Derived purely from the
+    * log's add/remove diffs and deletion-vector deltas — the engine keeps
+    * no separate change journal, so the feed costs O(changed files +
+    * vector deltas), never a diff of two full table reads:
+    *
+    *   - a file ADDED at v contributes its v-visible rows as `insert`s;
+    *   - a file REMOVED at v contributes its (v−1)-visible rows as
+    *     `delete`s;
+    *   - a carried-over file whose deletion VECTOR grew at v contributes
+    *     exactly the newly-vectored positions as `delete`s (a shrink —
+    *     RESTORE re-referencing a smaller vector — re-emits those rows as
+    *     `insert`s);
+    *   - OPTIMIZE commits (op `OPTIMIZE*`, dataChange=false) rearrange
+    *     rows without changing them and contribute NOTHING — Delta's CDF
+    *     skips non-dataChange adds the same way.
+    *
+    * The delete+append DML model (run re-ingest, [[mergeBronze]]) reads
+    * as delete+insert pairs, Delta's own shape for DV-based MERGE.
+    * Requires every version in [fromVersion, toVersion] retained (time
+    * travel's vacuum caveat applies to the referenced files). Rows read
+    * under `toVersion`'s schema (older files null-fill later columns). */
+  def tableChanges(name: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    val base = dir("bronze", name)
+    val avail = bronzeVersions(base).toSet
+    require(fromVersion < toVersion,
+      s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
+    (fromVersion to toVersion).foreach(v => require(avail(v),
+      s"version $v of bronze.$name is not retained " +
+        s"(available: ${avail.toSeq.sorted.mkString(",")})"))
+    val headSchema = resolveSnapshot(base, toVersion).flatMap(_.schema)
+    def rd = headSchema.fold(spark.read)(spark.read.schema)
+    def dvPositions(e: ManifestStats.FileEntry): Array[Long] =
+      ManifestStats.dvRef(e) match {
+        case Some((dvRel, _)) => DeletionVectors.loadMap(base,
+          Seq("k" -> dvRel)).getOrElse("k", Array.emptyLongArray)
+        case None => Array.emptyLongArray
+      }
+    val frames = (fromVersion + 1 to toVersion).flatMap { v =>
+      val op = readRecordHeader(base.resolve(s"_files_v$v")).flatMap(_.op).getOrElse("")
+      if (op.startsWith("OPTIMIZE")) Seq.empty
+      else {
+        def snap(at: Int) = resolveSnapshot(base, at).getOrElse(
+          throw new IllegalStateException(
+            s"version $at of bronze.$name did not resolve — log chain broken"))
+        val prev = snap(v - 1)
+        val cur = snap(v)
+        val pm = prev.entries.map(e => e.relPath -> e).toMap
+        val cm = cur.entries.map(e => e.relPath -> e).toMap
+        def tag(df: DataFrame, t: String) = df
+          .withColumn("_change_type", org.apache.spark.sql.functions.lit(t))
+          .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
+        val added = cur.entries.filterNot(e => pm.contains(e.relPath))
+        val removed = prev.entries.filterNot(e => cm.contains(e.relPath))
+        // deletion-vector deltas on carried-over files: grown = deletes,
+        // shrunk = re-appearing inserts
+        val (delSel, insSel) = {
+          val del = scala.collection.mutable.Map.empty[String, Array[Long]]
+          val ins = scala.collection.mutable.Map.empty[String, Array[Long]]
+          cur.entries.foreach { e =>
+            pm.get(e.relPath).filter(_.render != e.render).foreach { pe =>
+              val before = dvPositions(pe).toSet
+              val after = dvPositions(e).toSet
+              val key = graft.sql.DvRowDeleted.relPathKey(e.relPath)
+              val grown = (after -- before).toArray.sorted
+              val shrunk = (before -- after).toArray.sorted
+              if (grown.nonEmpty) del(key) = grown
+              if (shrunk.nonEmpty) ins(key) = shrunk
+            }
+          }
+          (del.toMap, ins.toMap)
+        }
+        def pathsOf(keys: Set[String]) = cur.entries
+          .filter(e => keys(graft.sql.DvRowDeleted.relPathKey(e.relPath)))
+          .map(e => base.resolve(e.relPath).toString)
+        Seq(
+          Option.when(added.nonEmpty)(
+            tag(readEntriesWithDv(base, headSchema, added), "insert")),
+          Option.when(removed.nonEmpty)(
+            tag(readEntriesWithDv(base, headSchema, removed), "delete")),
+          Option.when(delSel.nonEmpty)(
+            tag(readDvSelected(rd, pathsOf(delSel.keySet), delSel), "delete")),
+          Option.when(insSel.nonEmpty)(
+            tag(readDvSelected(rd, pathsOf(insSel.keySet), insSel), "insert"))
+        ).flatten
+      }
+    }
+    if (frames.nonEmpty) frames.reduce(_.unionByName(_))
+    else {
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      val dataSchema = headSchema.getOrElse(table("bronze", name).schema)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(dataSchema.fields ++ Seq(
+          StructField("_change_type", StringType, nullable = false),
+          StructField("_commit_version", IntegerType, nullable = false))))
     }
   }
 
@@ -1457,6 +1572,140 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
     throw new IllegalStateException(
       s"deleteBronzeWhereDv($name) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** `MERGE INTO` as log-managed DML (upsert): delete the target's rows
+    * whose `keys` tuple appears in `source`, and append ALL of `source`'s
+    * rows — in ONE atomic commit (op `MERGE`), so readers never observe
+    * the deleted-but-not-yet-inserted half state. Completes the
+    * DELETE/UPDATE/MERGE triad at O(touched files): the delete side rides
+    * the DELETION-VECTOR path (fully-matched files drop as pure metadata,
+    * partially-matched files get a vector — never a rewrite), and the
+    * insert side is a staged append dir whose files are written ONCE and
+    * reused across CAS retries. `operators/Merge.scala` (q50) is the same
+    * algebra as a pure transform; this is its storage-engine face.
+    *
+    * Scale shape: the only full scan is over the stats-CANDIDATE files
+    * (the source's per-key min/max bound the probe — a merge keyed on a
+    * clustered or bloom-indexed column touches only covering files), the
+    * match flag is one equi-join against the source's distinct key set,
+    * and the commit is a remove+re-add delta of O(touched + new files).
+    *
+    * Semantics notes (Delta's WHEN MATCHED DELETE + INSERT *): every
+    * matched target row is replaced by the source's row(s) for that key;
+    * source rows with new keys insert; duplicate keys WITHIN the source
+    * all land (dedupe upstream for upsert-exactly-one). NULL key values
+    * never match (SQL join semantics) — such source rows insert.
+    * Constraints are enforced on the staged batch exactly as in
+    * [[appendBronze]], including the re-validate-on-change guard.
+    * Concurrency: lost CAS restarts the delete computation from the
+    * winner's manifest (the staged insert files are version-independent);
+    * an empty target degenerates to a plain append. */
+  def mergeBronze(name: String, source: DataFrame, keys: Seq[String],
+      maxAttempts: Int = 5): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, collect_list, count, lit, when, size => sizeFn}
+    import org.apache.spark.sql.graft.ColumnShim
+    require(keys.nonEmpty, "mergeBronze needs at least one key column")
+    keys.foreach(k => require(source.columns.contains(k),
+      s"merge source lacks key column $k"))
+    val base = dir("bronze", name)
+    Files.createDirectories(base)
+    upgradeLegacyBronze(base, Lakehouse.BronzeStatsCols)
+    val head = readFilesManifest(base)
+    if (head.isEmpty) { appendBronze(name, source); return }
+    // stage the source ONCE; files never change across CAS retries
+    val dataDir = newAppendDir(base, head.get.version + 1)
+    source.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val staged = ManifestStats.collectStats(spark, dataDir.toString,
+      Lakehouse.BronzeStatsCols, dataDir.getFileName.toString)
+    var validated = enforceConstraints(base, name, dataDir, staged)
+    val stagedDf = spark.read.parquet(dataDir.toString)
+    // the source's per-key bounds prune the delete's candidate scan
+    val keyBounds: Seq[ManifestStats.StatPred] = {
+      val aggs = keys.flatMap(k => Seq(
+        org.apache.spark.sql.functions.min(col(k)).as(s"__mn_$k"),
+        org.apache.spark.sql.functions.max(col(k)).as(s"__mx_$k")))
+      val r = stagedDf.agg(aggs.head, aggs.tail: _*).collect().head
+      keys.flatMap { k =>
+        (Option(r.getAs[Any](s"__mn_$k")), Option(r.getAs[Any](s"__mx_$k"))) match {
+          case (Some(mn), Some(mx)) =>
+            Seq(ManifestStats.StatGte(k, mn), ManifestStats.StatLte(k, mx))
+          case _ => Seq.empty // all-null source key: never matches, no bound
+        }
+      }
+    }
+    val keySet = stagedDf.select(keys.map(col): _*).distinct()
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val BronzeSnapshot(v, schemaOpt, entries) = readFilesManifest(base).getOrElse(
+        throw new IllegalStateException(s"bronze.$name lost its committed version mid-merge"))
+      val curConstraints = constraintsOf(base)
+      if (curConstraints != validated)
+        validated = enforceConstraints(base, name, dataDir, staged)
+      val mergedSch = mergedSchema(schemaOpt.getOrElse(source.schema), source.schema)
+      val candidates = entries.filter(e => ManifestStats.mightMatch(e, keyBounds))
+      if (candidates.isEmpty) {
+        // pure insert: no target row matches any source key range
+        if (commitFilesManifest(base, v + 1, Some(mergedSch), entries ++ staged,
+            prev = Some(entries), op = "MERGE")) return
+      } else {
+        def rd = schemaOpt.fold(spark.read)(spark.read.schema)
+        val priorRefs = dvRefPairs(candidates).toMap
+        val priorVecs = DeletionVectors.loadMap(base, priorRefs.toSeq)
+        val scan = rd.parquet(candidates.map(e => base.resolve(e.relPath).toString): _*)
+        val flagged0 = scan
+          .select(col("_metadata.file_path").as("__f") +:
+            col("_metadata.row_index").as("__ridx") +: keys.map(col): _*)
+          .join(keySet.withColumn("__hit", lit(true)), keys, "left")
+          .select(col("__f"), col("__ridx"),
+            coalesce(col("__hit"), lit(false)).as("__m"))
+        val flagged = if (priorVecs.isEmpty) flagged0
+          else flagged0.filter(!ColumnShim.column(graft.sql.DvRowDeleted(
+            ColumnShim.expression(col("__f")),
+            ColumnShim.expression(col("__ridx")), priorVecs)))
+        val perFile = flagged
+          .groupBy(col("__f"))
+          .agg(collect_list(when(col("__m"), col("__ridx"))).as("__dels"),
+            count(lit(1)).as("__visible"))
+          .filter(sizeFn(col("__dels")) > 0)
+          .collect()
+        if (perFile.isEmpty) {
+          if (commitFilesManifest(base, v + 1, Some(mergedSch), entries ++ staged,
+              prev = Some(entries), op = "MERGE")) return
+        } else {
+          val dvDirName =
+            s"${DeletionVectors.DirPrefix}${v + 1}_${java.util.UUID.randomUUID.toString.take(8)}"
+          val dvDir = base.resolve(dvDirName)
+          val updates: Map[String, Option[(String, Long)]] = perFile.map { r =>
+            val rel = graft.sql.DvRowDeleted.relPathKey(r.getString(0))
+            val newDels = r.getSeq[Long](1).toArray.sorted
+            if (newDels.length == r.getLong(2)) rel -> None // all visible rows match
+            else {
+              val prior = priorVecs.getOrElse(rel, Array.emptyLongArray)
+              val merged = DeletionVectors.merge(prior, newDels)
+              Files.createDirectories(dvDir)
+              val fn = DeletionVectors.fileName(rel)
+              DeletionVectors.write(dvDir.resolve(fn), merged)
+              rel -> Some((s"$dvDirName/$fn", merged.length.toLong))
+            }
+          }.toMap
+          val kept = entries.flatMap { e =>
+            updates.get(graft.sql.DvRowDeleted.relPathKey(e.relPath)) match {
+              case None => Some(e)
+              case Some(None) => None
+              case Some(Some((dvRel, card))) => Some(ManifestStats.withDv(e, dvRel, card))
+            }
+          }
+          if (commitFilesManifest(base, v + 1, Some(mergedSch), kept ++ staged,
+              prev = Some(entries), op = "MERGE")) return
+          // lost the CAS: our vectors reference a stale read-set
+          deleteRecursively(dvDir)
+        }
+      }
+    }
+    throw new IllegalStateException(
+      s"mergeBronze($name) lost $maxAttempts consecutive CAS races")
   }
 
   /** `RESTORE TABLE ... TO VERSION AS OF n` — Delta parity: commit the

@@ -99,5 +99,90 @@ object StorageQueries {
       WHERE c_custkey % 10 = 0 OR c_custkey % 10 = 5
       ORDER BY c_custkey"""))
 
-  val all: Seq[GraftQuery] = Seq(st01DvDelete, st02RestoreRead)
+  /** Change-data-feed read ([[Lakehouse.tableChanges]]): two appends land
+    * the sample (v1, v2), a vector delete subtracts rows (v3), and the
+    * feed over (v1, v3] must emit exactly v2's rows as inserts and the
+    * deleted rows as deletes — derived from the log's add/remove + DV
+    * diffs alone, with commit-version attribution the oracle replays as
+    * literals. OPTIMIZE-skip and the insert/delete split are covered by
+    * LakehouseSpec; this pins the row-level algebra against DuckDB. */
+  val st03CdfRead = GraftQuery(
+    "st03_cdf_read",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-st03")
+      val lake = new Lakehouse(s, scratch.toString)
+      val base = table(s, dir, "orders")
+        .filter(col("o_custkey") % 25 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(money).as("price"))
+      lake.appendBronze("ord", base.filter(col("o_orderkey") % 2 === 0).repartition(4)) // v1
+      lake.appendBronze("ord", base.filter(col("o_orderkey") % 2 =!= 0).repartition(4)) // v2
+      lake.deleteBronzeWhereDv("ord", col("o_orderkey") % 5 === 0) // v3
+      val res = lake.tableChanges("ord", 1, 3)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("price").cast("double").as("price"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").cast("bigint").as("commit_version"))
+        .orderBy(col("commit_version"), col("change_type"), col("o_orderkey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      WITH sample AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        FROM orders WHERE o_custkey % 25 = 0)
+      SELECT o_orderkey, o_orderstatus, price,
+             'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version
+      FROM sample WHERE o_orderkey % 2 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, price,
+             'delete' AS change_type, CAST(3 AS BIGINT) AS commit_version
+      FROM sample WHERE o_orderkey % 5 = 0
+      ORDER BY commit_version, change_type, o_orderkey"""))
+
+  /** MERGE INTO as log-managed DML ([[Lakehouse.mergeBronze]]): the
+    * source updates every 20th key (+100 balance) and inserts new %10=3
+    * keys; the merged table read back through the log must equal DuckDB's
+    * anti-join + union — proving matched rows were vector-deleted and the
+    * source appended in the same atomic commit. */
+  val st04MergeUpsert = GraftQuery(
+    "st04_merge_upsert",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-st04")
+      val lake = new Lakehouse(s, scratch.toString)
+      val base = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast(money).as("acctbal"))
+      lake.appendBronze("cust", base.filter(col("c_custkey") % 10 === 0).repartition(2))
+      lake.appendBronze("cust", base.filter(col("c_custkey") % 10 === 5).repartition(2))
+      val source = base.filter(col("c_custkey") % 20 === 0)
+          .withColumn("acctbal", (col("acctbal") + lit(100)).cast(money))
+        .unionByName(base.filter(col("c_custkey") % 10 === 3))
+      lake.mergeBronze("cust", source, Seq("c_custkey"))
+      val res = lake.table("bronze", "cust")
+        .select(col("c_custkey"), col("c_name"),
+          col("acctbal").cast("double").as("acctbal"))
+        .orderBy(col("c_custkey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      WITH target AS (
+        SELECT c_custkey, c_name,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+        FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 10 = 5),
+      src AS (
+        SELECT c_custkey, c_name,
+               CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+        FROM customer WHERE c_custkey % 20 = 0
+        UNION ALL
+        SELECT c_custkey, c_name,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+        FROM customer WHERE c_custkey % 10 = 3)
+      SELECT c_custkey, c_name, acctbal FROM target
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+      UNION ALL
+      SELECT c_custkey, c_name, acctbal FROM src
+      ORDER BY c_custkey"""))
+
+  val all: Seq[GraftQuery] = Seq(st01DvDelete, st02RestoreRead, st03CdfRead, st04MergeUpsert)
 }

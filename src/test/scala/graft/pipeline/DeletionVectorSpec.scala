@@ -268,4 +268,123 @@ class DeletionVectorSpec extends SparkSpec {
       "vacuum removed a vector a retained version references")
     assert(lake.table("bronze", "t").count() == 14)
   }
+
+  private def idsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("tableChanges: add/remove/DV-delta changes; OPTIMIZE contributes nothing; apply-algebra closes") {
+    val lake = mkLake("cdf")
+    // 4 files per run, so the point delete below touches a MINORITY of
+    // files and its commit stays a DELTA (a commit whose diff is not
+    // smaller than the snapshot lands as a checkpoint, which advances the
+    // retention floor — the feed reads only retained ranges by contract)
+    seed(lake, "t", runs = 2, n = 10, filesPerRun = 4) // v1 run1, v2 run2
+    lake.deleteBronzeWhereDv("t", col("id") === 1000L || col("id") === 2005L) // v3 DV delta
+    def ch(from: Int, to: Int) = lake.tableChanges("t", from, to)
+    def part(df: org.apache.spark.sql.DataFrame, t: String) =
+      idsOf(df.filter(col("_change_type") === t))
+    // v2: run2's rows insert
+    assert(part(ch(1, 2), "insert") == (0 until 10).map(i => 2000L + i))
+    assert(part(ch(1, 2), "delete").isEmpty)
+    // v3: exactly the newly-vectored rows delete — a DV DELTA, no file
+    // was added or removed at this version
+    assert(part(ch(2, 3), "delete") == Seq(1000L, 2005L))
+    assert(part(ch(2, 3), "insert").isEmpty)
+    // commit attribution rides every row
+    assert(ch(1, 3).select("_commit_version").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    // apply algebra over the range: v1 + inserts − deletes = v3 state
+    val v1Ids = idsOf(lake.tableAt("bronze", "t", 1))
+    val all = ch(1, 3)
+    val applied = (v1Ids ++ part(all, "insert")).diff(part(all, "delete")).sorted
+    assert(applied == idsOf(lake.table("bronze", "t")), "CDF apply-algebra broke")
+    // v4: run-aligned full-file drops delete the run's VISIBLE rows only
+    // (1000 is already vector-deleted and must not re-appear as a delete)
+    lake.deleteByRunId("t", "run1")
+    assert(part(ch(3, 4), "delete") == (1 until 10).map(i => 1000L + i))
+    assert(part(ch(3, 4), "insert").isEmpty)
+    // v5 OPTIMIZE: rearrangement only — contributes nothing
+    lake.compact("bronze", "t", numFiles = 1)
+    assert(ch(4, 5).count() == 0, "OPTIMIZE leaked into the change feed")
+    // RESTORE emits its diff as changes too; algebra closes across it
+    lake.restoreBronze("t", 4) // v6: re-reference v4's file set
+    val r = ch(5, 6)
+    val appliedR = (idsOf(lake.tableAt("bronze", "t", 5)) ++ part(r, "insert"))
+      .diff(part(r, "delete")).sorted
+    assert(appliedR == idsOf(lake.table("bronze", "t")), "restore CDF algebra broke")
+  }
+
+  test("tableChanges resolves through a checkpoint-boundary base and fails fast on pruned versions") {
+    val lake = mkLake("cdfckpt", interval = 4)
+    seed(lake, "t", runs = 3, n = 6, filesPerRun = 1) // v1..v3
+    seed(lake, "t", runs = 1, n = 6, filesPerRun = 1) // v4 — but run ids restart...
+    lake.deleteBronzeWhereDv("t", col("id") % 3 === 0) // v5 (v4 was the checkpoint)
+    // base v4 resolves FROM the checkpoint record; v5 is a delta on top
+    val d5 = lake.tableChanges("t", 4, 5)
+    assert(d5.filter(col("_change_type") === "insert").count() == 0)
+    assert(idsOf(d5.filter(col("_change_type") === "delete")) ==
+      idsOf(lake.tableAt("bronze", "t", 4)).filter(_ % 3 == 0))
+    // v1/v2 fell below the retention floor (newest checkpoint ≤ head−1):
+    // the feed refuses instead of returning a silent partial answer
+    val e = intercept[IllegalArgumentException](lake.tableChanges("t", 1, 5))
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+  }
+
+  test("mergeBronze: matched rows vector-delete + source appends in ONE atomic commit") {
+    val lake = mkLake("mrg")
+    seed(lake, "t", runs = 2, n = 10) // ids 1000-1009, 2000-2009 across 4 files
+    val vBefore = lake.tableVersions("bronze", "t").max
+    val dirsBefore = appendDirCount(lake, "t")
+    val filesBefore = liveParquet(lake, "t")
+    val source = Seq(
+      (1002L, d("2025-06-02"), "merged"), (1004L, d("2025-06-02"), "merged"),
+      (9999L, d("2025-06-02"), "merged"))
+      .toDF("id", "snapshot_date", "run_id").repartition(1)
+    lake.mergeBronze("t", source, Seq("id"))
+    // ONE commit, op MERGE
+    assert(lake.tableVersions("bronze", "t").max == vBefore + 1, "merge must be atomic")
+    assert(lake.history("bronze", "t").orderBy(col("version").desc)
+      .select("operation").first().getString(0) == "MERGE")
+    // 20 − 2 matched + 3 source = 21 rows; matched keys carry source values
+    val t = lake.table("bronze", "t")
+    assert(t.count() == 21)
+    assert(t.filter(col("id") === 1002L).select("run_id").first().getString(0) == "merged")
+    assert(t.filter(col("id") === 9999L).count() == 1)
+    assert(t.filter(col("run_id") === "run1").count() == 8)
+    // merge-on-read: target files NOT rewritten — one staged dir added,
+    // the touched file gains a vector
+    assert(appendDirCount(lake, "t") == dirsBefore + 1, "merge rewrote target files")
+    assert(filesBefore.subsetOf(liveParquet(lake, "t")), "merge dropped a live file")
+    assert(dvRefCount(lake, "t") >= 1, "matched rows should be vector-deleted")
+    // re-merging the same source is idempotent on row content
+    lake.mergeBronze("t", source, Seq("id"))
+    val again = lake.table("bronze", "t")
+    assert(again.count() == 21)
+    assert(again.filter(col("run_id") === "merged").count() == 3)
+    // CDF reads the merge as delete+insert pairs in one version
+    val vm = lake.tableVersions("bronze", "t").max
+    val feed = lake.tableChanges("t", vm - 1, vm)
+    assert(idsOf(feed.filter(col("_change_type") === "delete")) == Seq(1002L, 1004L, 9999L))
+    assert(idsOf(feed.filter(col("_change_type") === "insert")) == Seq(1002L, 1004L, 9999L))
+  }
+
+  test("mergeBronze: empty target appends; no-match merge is a pure insert; constraints gate the staged batch") {
+    val lake = mkLake("mrgedge")
+    val src = Seq((5L, d("2025-06-01"), "r1")).toDF("id", "snapshot_date", "run_id")
+    lake.mergeBronze("t", src, Seq("id")) // empty target → plain append
+    assert(lake.table("bronze", "t").count() == 1)
+    val noMatch = Seq((77L, d("2025-06-01"), "r2")).toDF("id", "snapshot_date", "run_id")
+    lake.mergeBronze("t", noMatch, Seq("id"))
+    assert(lake.table("bronze", "t").count() == 2)
+    assert(dvRefCount(lake, "t") == 0, "pure-insert merge must not vector anything")
+    // CHECK constraints enforce on the staged merge batch, atomically
+    lake.addCheckConstraint("t", "id_pos", "id > 0")
+    val vBefore = lake.tableVersions("bronze", "t").max
+    intercept[IllegalArgumentException] {
+      lake.mergeBronze("t", Seq((-3L, d("2025-06-01"), "r3"))
+        .toDF("id", "snapshot_date", "run_id"), Seq("id"))
+    }
+    assert(lake.tableVersions("bronze", "t").max == vBefore, "violating merge committed")
+    assert(lake.table("bronze", "t").count() == 2)
+  }
 }

@@ -651,9 +651,11 @@ class LakehouseSpec extends SparkSpec {
         if (r.isNullAt(4)) -1L else r.getLong(4),
         if (r.isNullAt(5)) -1L else r.getLong(5)))
     assert(h.map(_._1).toSeq == lake.tableVersions("bronze", "t"))
-    // v1-3 appends (v1 = first commit → checkpoint), v4 delete, v5 OPTIMIZE
+    // v1-3 appends (v1 = first commit → checkpoint), v4 run-aligned delete
+    // (op DELETE RUN — the streaming gate's allowed re-ingest delete),
+    // v5 OPTIMIZE
     assert(h.map(_._2).toSeq ==
-      Seq("APPEND", "APPEND", "APPEND", "DELETE", "OPTIMIZE"), h.mkString(","))
+      Seq("APPEND", "APPEND", "APPEND", "DELETE RUN", "OPTIMIZE"), h.mkString(","))
     assert(h.map(_._3).toSeq ==
       Seq("checkpoint", "delta", "delta", "delta", "checkpoint"), h.mkString(","))
     val byV = h.map(x => x._1 -> x).toMap
