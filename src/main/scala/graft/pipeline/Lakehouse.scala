@@ -127,8 +127,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val base = dir(layer, name)
     readFilesManifest(base) match {
       case Some(snap) => // log-managed bronze: the LIVE file set, read under
-        // the LOG's schema (older files yield null for later-added columns)
-        readEntriesWithDv(base, snap.schema, snap.entries)
+        // the LOG's schema (older files yield null for later-added columns;
+        // renamed columns coalesce through their chain — see colMapOf)
+        readEntriesWithDv(base, snap.schema, snap.entries, colMapOf(base))
       case None =>
         spark.read.parquet(currentDataDir(layer, name).toString)
     }
@@ -143,19 +144,22 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * files — bounded by one OPTIMIZE interval of deletes — pay anything. */
   private def readEntriesWithDv(base: Path,
       schemaOpt: Option[org.apache.spark.sql.types.StructType],
-      entries: Seq[ManifestStats.FileEntry]): DataFrame = {
-    def rd = schemaOpt.fold(spark.read)(spark.read.schema)
+      entries: Seq[ManifestStats.FileEntry],
+      colMap: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    def rd = schemaOpt.fold(spark.read)(s => spark.read.schema(readSchemaFor(s, colMap)))
     val (dvd, plain) = entries.partition(e => ManifestStats.dvRef(e).isDefined)
-    if (dvd.isEmpty)
-      rd.parquet(entries.map(e => base.resolve(e.relPath).toString): _*)
-    else {
-      val masked = readDvFiltered(base, rd,
-        dvd.map(e => base.resolve(e.relPath).toString),
-        dvRefPairs(dvd))
-      if (plain.isEmpty) masked
-      else masked.unionByName(
-        rd.parquet(plain.map(e => base.resolve(e.relPath).toString): _*))
-    }
+    val raw =
+      if (dvd.isEmpty)
+        rd.parquet(entries.map(e => base.resolve(e.relPath).toString): _*)
+      else {
+        val masked = readDvFiltered(base, rd,
+          dvd.map(e => base.resolve(e.relPath).toString),
+          dvRefPairs(dvd))
+        if (plain.isEmpty) masked
+        else masked.unionByName(
+          rd.parquet(plain.map(e => base.resolve(e.relPath).toString): _*))
+      }
+    schemaOpt.fold(raw)(renameView(raw, _, colMap))
   }
 
   /** (data file KEY, dv relPath) pairs for vector-carrying entries. The
@@ -387,7 +391,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
             s"bronzeCheckpointInterval ($bronzeCheckpointInterval) — or rely on its " +
             "wall-clock floor (retainMillis, default 168h: versions committed inside " +
             "the window keep their files) — for full time travel")
-        readEntriesWithDv(base, snap.schema, snap.entries)
+        // that version's OWN column mapping: AS-OF reads see the names the
+        // version had, including pre-rename ones
+        readEntriesWithDv(base, snap.schema, snap.entries, colMapAsOf(base, version))
       case None =>
         spark.read.parquet(base.resolve(s"_v$version").toString)
     }
@@ -426,7 +432,6 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       s"version $v of bronze.$name is not retained " +
         s"(available: ${avail.toSeq.sorted.mkString(",")})"))
     val headSchema = resolveSnapshot(base, toVersion).flatMap(_.schema)
-    def rd = headSchema.fold(spark.read)(spark.read.schema)
     def dvPositions(e: ManifestStats.FileEntry): Array[Long] =
       ManifestStats.dvRef(e) match {
         case Some((dvRel, _)) => DeletionVectors.loadMap(base,
@@ -470,15 +475,22 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         def pathsOf(keys: Set[String]) = cur.entries
           .filter(e => keys(graft.sql.DvRowDeleted.relPathKey(e.relPath)))
           .map(e => base.resolve(e.relPath).toString)
+        // every read uses toVersion's column mapping: its rename chains
+        // cover the ancestor names of every file in the range, so older
+        // files coalesce into the feed's (head-logical) column names
+        val mapHead = colMapAsOf(base, toVersion)
+        def rdv = headSchema
+          .fold(spark.read)(s => spark.read.schema(readSchemaFor(s, mapHead)))
+        def viewed(df: DataFrame) = headSchema.fold(df)(renameView(df, _, mapHead))
         Seq(
           Option.when(added.nonEmpty)(
-            tag(readEntriesWithDv(base, headSchema, added), "insert")),
+            tag(readEntriesWithDv(base, headSchema, added, mapHead), "insert")),
           Option.when(removed.nonEmpty)(
-            tag(readEntriesWithDv(base, headSchema, removed), "delete")),
+            tag(readEntriesWithDv(base, headSchema, removed, mapHead), "delete")),
           Option.when(delSel.nonEmpty)(
-            tag(readDvSelected(rd, pathsOf(delSel.keySet), delSel), "delete")),
+            tag(viewed(readDvSelected(rdv, pathsOf(delSel.keySet), delSel)), "delete")),
           Option.when(insSel.nonEmpty)(
-            tag(readDvSelected(rd, pathsOf(insSel.keySet), insSel), "insert"))
+            tag(viewed(readDvSelected(rdv, pathsOf(insSel.keySet), insSel)), "insert"))
         ).flatten
       }
     }
@@ -566,6 +578,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private val NoDataDirsLine = "#nddirs\t(.*)".r
   private val OpLine = "#op\t(.*)".r
   private val ConstraintsLine = "#constraints\t(.*)".r
+  private val ColMapLine = "#colmap\t(.*)".r
 
   /** Header-only peek at a log record — version, delta/checkpoint kind, and
     * the parquet-twin reference — WITHOUT parsing the entry lines. The
@@ -578,7 +591,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       noDataDirs: Seq[String] = Seq.empty,
       // None = record carries no #constraints line; Some(Nil) = the
       // explicit drop-to-zero marker (distinct so resolution can stop)
-      constraints: Option[Seq[(String, String)]] = None)
+      constraints: Option[Seq[(String, String)]] = None,
+      // column-mapping rename chains: key → PRIOR physical names, newest
+      // first (see [[renameBronzeColumn]]); keys starting with '!' are
+      // drop tombstones reserving their names. None = no line.
+      colMap: Option[Map[String, Seq[String]]] = None)
 
   private def readRecordHeader(m: Path): Option[RecordHeader] =
     if (!Files.exists(m)) None
@@ -593,6 +610,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         var op: Option[String] = None
         var noDataDirs: Seq[String] = Seq.empty
         var constraints: Option[Seq[(String, String)]] = None
+        var colMap: Option[Map[String, Seq[String]]] = None
         var line = in.readLine()
         // header lines all start with '#' and precede the entry lines
         // (#rm lines of a delta are skipped — this peek never needs them)
@@ -613,6 +631,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
                 (java.net.URLDecoder.decode(n, java.nio.charset.StandardCharsets.UTF_8),
                   java.net.URLDecoder.decode(e, java.nio.charset.StandardCharsets.UTF_8))
               })
+            case ColMapLine(enc) => colMap = Some(
+              enc.split(',').toSeq.filter(_.nonEmpty).map { pair =>
+                val Array(n, chain) = pair.split(":", 2)
+                java.net.URLDecoder.decode(n, java.nio.charset.StandardCharsets.UTF_8) ->
+                  chain.split('|').toSeq.filter(_.nonEmpty)
+                    .map(java.net.URLDecoder.decode(_, java.nio.charset.StandardCharsets.UTF_8))
+              }.toMap)
             case SchemaLine(enc) => schema = Some(
               org.apache.spark.sql.types.DataType.fromJson(
                 java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
@@ -622,7 +647,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           line = in.readLine()
         }
         Some(RecordHeader(version, isDelta, ckpt, schema, addDirs, op, noDataDirs,
-          constraints))
+          constraints, colMap))
       } finally in.close()
     }
 
@@ -820,7 +845,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       prev: Option[Seq[ManifestStats.FileEntry]] = None,
       op: String = "WRITE",
       dataChange: Boolean = true,
-      constraints: Option[Seq[(String, String)]] = None): Boolean = {
+      constraints: Option[Seq[(String, String)]] = None,
+      colMap: Option[Map[String, Seq[String]]] = None): Boolean = {
     def enc(s: String) =
       java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
     // CHECK constraints persist like schema: every commit RE-EMITS the
@@ -832,8 +858,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       .orElse(Some(constraintsOf(base)).filter(_.nonEmpty))
     val constraintsLine = effConstraints.toSeq.map(cs =>
       "#constraints\t" + cs.map { case (n, e) => enc(n) + ":" + enc(e) }.mkString(","))
+    // column-mapping rename chains re-emit the same way (resolution reads
+    // the NEWEST record only, so every commit must carry the truth)
+    val effColMap = colMap.orElse(Some(colMapOf(base)).filter(_.nonEmpty))
+    val colMapLine = effColMap.filter(_.nonEmpty).toSeq.map(m =>
+      "#colmap\t" + m.toSeq.sortBy(_._1).map { case (n, chain) =>
+        enc(n) + ":" + chain.map(enc).mkString("|") }.mkString(","))
     val schemaLine = (("#op\t" + enc(op)) +:
-      schema.toSeq.map(st => "#schema\t" + enc(st.json))) ++ constraintsLine
+      schema.toSeq.map(st => "#schema\t" + enc(st.json))) ++ constraintsLine ++ colMapLine
     val delta = prev.map { p =>
       // diff on the full RENDERED entry, not the relPath alone: a commit
       // that only changes a file's metadata (e.g. its deletion-vector
@@ -1152,6 +1184,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         everCommitted(e.relPath.takeWhile(_ != '/')))
       if (fresh.isEmpty) return // all files already committed (adopt raced the writer)
       val schema = mergedSchema(snap.flatMap(_.schema).getOrElse(incoming), incoming)
+      guardReservedColumns(base, name,
+        snap.flatMap(_.schema).map(_.fieldNames.toSet).getOrElse(Set.empty),
+        schema, dataDir)
       committed = commitFilesManifest(base, v + 1, Some(schema), entries ++ fresh,
         prev = snap.map(_.entries), op = "APPEND")
     }
@@ -1228,6 +1263,23 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
     }
 
+  /** Streaming-read support for a bronze table under its CURRENT column
+    * mapping: (scan schema to pin on the file source, logical-view
+    * projector to apply per micro-batch). Without a mapping this is the
+    * plain log schema and identity. A rename AFTER the stream pinned its
+    * schema invalidates it — the streaming gate fails those ops fast so
+    * the caller restarts and re-pins. */
+  def streamReadSupport(name: String)
+      : (org.apache.spark.sql.types.StructType, DataFrame => DataFrame) = {
+    val base = dir("bronze", name)
+    readFilesManifest(base).flatMap(_.schema) match {
+      case Some(s) =>
+        val m = colMapOf(base)
+        (readSchemaFor(s, m), (df: DataFrame) => renameView(df, s, m))
+      case None => (table("bronze", name).schema, identity[DataFrame] _)
+    }
+  }
+
   /** Live manifest entries carrying a DELETION VECTOR — the streaming
     * gate's fresh-start check (a file stream reads parquet directly, so a
     * vectored table would deliver vector-deleted ghost rows; OPTIMIZE
@@ -1272,6 +1324,95 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     bronzeVersions(base).filter(_ <= version).reverseIterator
       .flatMap(v => readRecordHeader(base.resolve(s"_files_v$v")).flatMap(_.constraints))
       .nextOption().getOrElse(Seq.empty)
+
+  // ───── column mapping (rename/drop without rewrites) ──────────────────
+  //
+  // A RENAME is a metadata-only commit: files keep the names they were
+  // written with, and the log records per-column RENAME CHAINS — logical
+  // name → its prior physical names, newest first. Reads scan under a
+  // WIDENED schema (logical + ancestor fields, ancestors nullable) and
+  // project `coalesce(logical, ancestors…)` per renamed column: a file
+  // written before the rename lacks the new name entirely (parquet
+  // null-fills it), so the coalesce falls through to the name it WAS
+  // written with — never to a value, because no file carries two names of
+  // the same chain (appends and rewrites always write the
+  // CURRENT logical names, so OPTIMIZE naturally migrates files off old
+  // names). DROP keeps a '!'-prefixed tombstone chain reserving the
+  // dropped names; re-ADDING any chain member is refused (the old files'
+  // data would silently resurrect under the new column) — Delta solves
+  // the same hazard with permanent column ids.
+  //
+  // Stats/bloom entries in old files stay keyed by their write-time
+  // names: a probe on the new name finds no stats there and KEEPS the
+  // file ("never skip on a guess") — pruning weakens on renamed columns
+  // until files are rewritten, correctness never does.
+  //
+  // Resolution reads the NEWEST (retained, ≤ version) record only: every
+  // commit re-emits the chains while any exist, so absence of the line IS
+  // the empty mapping — which also makes RESTORE's explicit as-of
+  // mapping land naturally.
+
+  private def colMapOf(base: Path): Map[String, Seq[String]] =
+    bronzeVersions(base).lastOption.map(colMapAsOf(base, _)).getOrElse(Map.empty)
+
+  private def colMapAsOf(base: Path, version: Int): Map[String, Seq[String]] =
+    readRecordHeader(base.resolve(s"_files_v$version")).flatMap(_.colMap)
+      .getOrElse(Map.empty)
+
+  /** Rename chains restricted to live (non-tombstone) logical columns. */
+  private def liveChains(m: Map[String, Seq[String]]): Map[String, Seq[String]] =
+    m.filterNot(_._1.startsWith("!"))
+
+  /** Every name RESERVED by the mapping: ancestors of live columns plus
+    * tombstoned drop chains — a new column may not take any of them. */
+  private def reservedNames(m: Map[String, Seq[String]]): Set[String] =
+    m.values.flatten.toSet
+
+  /** Scan schema for a logical schema under rename chains: each renamed
+    * column also reads its ancestor fields (nullable — old files carry
+    * one of them, new files none). Identity when no chains. */
+  private def readSchemaFor(logical: org.apache.spark.sql.types.StructType,
+      m: Map[String, Seq[String]]): org.apache.spark.sql.types.StructType = {
+    val chains = liveChains(m)
+    if (chains.isEmpty) logical
+    else org.apache.spark.sql.types.StructType(logical.fields.flatMap { f =>
+      f +: chains.getOrElse(f.name, Seq.empty)
+        .map(a => org.apache.spark.sql.types.StructField(a, f.dataType, nullable = true))
+    })
+  }
+
+  /** Project the logical view of a frame scanned under [[readSchemaFor]]:
+    * renamed columns coalesce through their ancestor names. */
+  private def renameView(df: DataFrame,
+      logical: org.apache.spark.sql.types.StructType,
+      m: Map[String, Seq[String]]): DataFrame = {
+    val chains = liveChains(m)
+    if (chains.isEmpty) df
+    else df.select(logical.fieldNames.map { n =>
+      chains.get(n) match {
+        case Some(anc) if anc.nonEmpty =>
+          org.apache.spark.sql.functions.coalesce(
+            (n +: anc).map(df.col): _*).as(n)
+        case _ => df.col(n)
+      }
+    }: _*)
+  }
+
+  /** The coalesce projections of [[renameView]] as named columns over an
+    * existing frame (for scans that must keep `_metadata` alongside). */
+  private def renameViewCols(df: DataFrame,
+      logical: org.apache.spark.sql.types.StructType,
+      m: Map[String, Seq[String]]): Seq[org.apache.spark.sql.Column] = {
+    val chains = liveChains(m)
+    logical.fieldNames.toSeq.map { n =>
+      chains.get(n) match {
+        case Some(anc) if anc.nonEmpty =>
+          org.apache.spark.sql.functions.coalesce(
+            (n +: anc).map(df.col): _*).as(n)
+        case _ => df.col(n)
+      }
+    }
+  }
 
   /** `ALTER TABLE ADD CONSTRAINT <cname> CHECK (<exprSql>)`: validates
     * EXISTING visible rows first (Delta semantics — one scan, pruned to
@@ -1331,6 +1472,105 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
     throw new IllegalStateException(
       s"dropCheckConstraint($name, $cname) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** `ALTER TABLE RENAME COLUMN from TO to` — METADATA-ONLY via column
+    * mapping: no file is rewritten; the log records the rename CHAIN and
+    * reads coalesce old-named files into the new name (see the column-
+    * mapping notes at [[colMapOf]]). Time travel keeps each version's own
+    * names (`tableAt` resolves the mapping AS OF the version). Renaming
+    * BACK to a chain ancestor is supported (the chain just reorders);
+    * taking a name reserved by ANOTHER column's chain or a drop tombstone
+    * is refused — old files' data would bleed into the new column.
+    * Refused while a CHECK constraint references the column (Delta's
+    * rule; drop and re-add the constraint around the rename). */
+  def renameBronzeColumn(name: String, from: String, to: String,
+      maxAttempts: Int = 5): Unit = {
+    require(from != to, "rename requires distinct names")
+    require(!to.startsWith("!"), "names starting with '!' are reserved for drop tombstones")
+    val base = dir("bronze", name)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = readFilesManifest(base).getOrElse(throw new IllegalArgumentException(
+        s"bronze.$name is not log-managed (append first, then rename)"))
+      val schema = cur.schema.getOrElse(throw new IllegalStateException(
+        s"bronze.$name carries no log schema — cannot rename"))
+      require(schema.fieldNames.contains(from), s"no column $from on bronze.$name")
+      require(!schema.fieldNames.contains(to), s"column $to already exists on bronze.$name")
+      val ident = ("""\b""" + java.util.regex.Pattern.quote(from) + """\b""").r
+      constraintsOf(base).find(c => ident.findFirstIn(c._2).isDefined).foreach(c =>
+        throw new IllegalArgumentException(
+          s"CHECK constraint ${c._1} (${c._2}) references $from: drop it, rename, re-add"))
+      val m = colMapOf(base)
+      require(!reservedNames(m - from).contains(to),
+        s"name $to is reserved by a rename/drop chain of bronze.$name — old files' " +
+          "data would resurrect under it; pick another name")
+      val newMap = (m - from) +
+        (to -> (from +: m.getOrElse(from, Seq.empty)).filterNot(_ == to).distinct)
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      if (commitFilesManifest(base, cur.version + 1, Some(newSchema), cur.entries,
+          prev = Some(cur.entries), op = "RENAME COLUMN",
+          colMap = Some(newMap))) return
+    }
+    throw new IllegalStateException(
+      s"renameBronzeColumn($name, $from) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** `ALTER TABLE DROP COLUMN` — metadata-only: the column leaves the log
+    * schema (reads stop projecting it; the data stays in files until they
+    * are rewritten) and its name chain is kept as a '!'-prefixed TOMBSTONE
+    * so no later ADD COLUMNS can take any of its names and silently
+    * resurrect the old values — re-adding requires a fresh name (Delta
+    * avoids the same hazard with permanent column ids). Time travel to
+    * pre-drop versions still reads the column. */
+  def dropBronzeColumn(name: String, colName: String, maxAttempts: Int = 5): Unit = {
+    val base = dir("bronze", name)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = readFilesManifest(base).getOrElse(throw new IllegalArgumentException(
+        s"bronze.$name is not log-managed"))
+      val schema = cur.schema.getOrElse(throw new IllegalStateException(
+        s"bronze.$name carries no log schema — cannot drop a column"))
+      require(schema.fieldNames.contains(colName), s"no column $colName on bronze.$name")
+      require(schema.fields.length > 1, s"cannot drop the last column of bronze.$name")
+      val ident = ("""\b""" + java.util.regex.Pattern.quote(colName) + """\b""").r
+      constraintsOf(base).find(c => ident.findFirstIn(c._2).isDefined).foreach(c =>
+        throw new IllegalArgumentException(
+          s"CHECK constraint ${c._1} (${c._2}) references $colName: drop it first"))
+      val m = colMapOf(base)
+      val tomb = s"!$colName@${cur.version + 1}"
+      val newMap = (m - colName) +
+        (tomb -> (colName +: m.getOrElse(colName, Seq.empty)).distinct)
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == colName))
+      if (commitFilesManifest(base, cur.version + 1, Some(newSchema), cur.entries,
+          prev = Some(cur.entries), op = "DROP COLUMN",
+          colMap = Some(newMap))) return
+    }
+    throw new IllegalStateException(
+      s"dropBronzeColumn($name, $colName) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** Refuse a widening append/merge whose NEW columns take names reserved
+    * by rename chains or drop tombstones (old files' data would silently
+    * resurrect under them). Deletes the staged dir before throwing —
+    * nothing was committed. */
+  private def guardReservedColumns(base: Path, name: String,
+      priorNames: Set[String],
+      merged: org.apache.spark.sql.types.StructType, dataDir: Path): Unit = {
+    val reserved = reservedNames(colMapOf(base))
+    if (reserved.isEmpty) return
+    val clash = merged.fieldNames.filterNot(priorNames).filter(reserved)
+    if (clash.nonEmpty) {
+      deleteRecursively(dataDir)
+      throw new IllegalArgumentException(
+        s"cannot add column(s) ${clash.mkString(", ")} to bronze.$name: the names " +
+          "are reserved by rename/drop chains (old files still carry data under " +
+          "them — it would resurrect); use different names")
+    }
   }
 
   /** Enforce the table's CHECK constraints over a STAGED append dir — at
@@ -1420,8 +1660,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           val matchCond = !org.apache.spark.sql.functions.coalesce(
             !condition, org.apache.spark.sql.functions.lit(false))
           // scans subtract any existing deletion vectors: an already
-          // vector-deleted row neither triggers a rewrite nor survives one
-          val affectedNames = readEntriesWithDv(base, schemaOpt, candidates)
+          // vector-deleted row neither triggers a rewrite nor survives one.
+          // Reads go through the column-mapping view, so the predicate sees
+          // logical names and the rewrite below MIGRATES files onto them.
+          val cmap = colMapOf(base)
+          val affectedNames = readEntriesWithDv(base, schemaOpt, candidates, cmap)
             .withColumn("__f", input_file_name()).filter(matchCond)
             .select("__f").distinct().collect()
             .map(_.getString(0).split('/').takeRight(2).mkString("/")).toSet
@@ -1430,7 +1673,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           // ../src/ prefix the scan's file_path normalizes away
           val (affected, untouched) = entries.partition(e =>
             affectedNames.contains(graft.sql.DvRowDeleted.relPathKey(e.relPath)))
-          val retained = readEntriesWithDv(base, schemaOpt, affected)
+          val retained = readEntriesWithDv(base, schemaOpt, affected, cmap)
             .filter(!condition)
           val newEntries =
             if (retained.isEmpty && untouched.nonEmpty) Seq.empty
@@ -1502,18 +1745,26 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         case Some(BronzeSnapshot(v, schemaOpt, entries)) =>
           val candidates = entries.filter(e => ManifestStats.mightMatch(e, statPreds))
           if (candidates.isEmpty) return
-          def rd = schemaOpt.fold(spark.read)(spark.read.schema)
+          val cmap = colMapOf(base)
+          def rd = schemaOpt.fold(spark.read)(s =>
+            spark.read.schema(readSchemaFor(s, cmap)))
           // null condition counts as a match (dropped) — the DML convention
           val matchCond = !coalesce(!condition, lit(false))
           val priorRefs = dvRefPairs(candidates).toMap
           val priorVecs = DeletionVectors.loadMap(base, priorRefs.toSeq)
           val scan = rd.parquet(candidates.map(e => base.resolve(e.relPath).toString): _*)
           // file identity + physical position + match flag; existing
-          // vectors applied so an already-deleted row is never re-counted
-          val flagged0 = scan.select(
-            col("_metadata.file_path").as("__f"),
-            col("_metadata.row_index").as("__ridx"),
-            matchCond.as("__m"))
+          // vectors applied so an already-deleted row is never re-counted.
+          // The predicate evaluates over the column-mapping VIEW (logical
+          // names coalesced through rename chains), alongside _metadata.
+          val dataCols = schemaOpt match {
+            case Some(s) => renameViewCols(scan, s, cmap)
+            case None => scan.columns.toSeq.map(scan.col)
+          }
+          val vscan = scan.select(
+            col("_metadata.file_path").as("__f") +:
+              col("_metadata.row_index").as("__ridx") +: dataCols: _*)
+          val flagged0 = vscan.select(col("__f"), col("__ridx"), matchCond.as("__m"))
           val flagged = if (priorVecs.isEmpty) flagged0
             else flagged0.filter(!ColumnShim.column(graft.sql.DvRowDeleted(
               ColumnShim.expression(col("__f")),
@@ -1644,19 +1895,28 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       if (curConstraints != validated)
         validated = enforceConstraints(base, name, dataDir, staged)
       val mergedSch = mergedSchema(schemaOpt.getOrElse(source.schema), source.schema)
+      guardReservedColumns(base, name,
+        schemaOpt.map(_.fieldNames.toSet).getOrElse(Set.empty), mergedSch, dataDir)
       val candidates = entries.filter(e => ManifestStats.mightMatch(e, keyBounds))
       if (candidates.isEmpty) {
         // pure insert: no target row matches any source key range
         if (commitFilesManifest(base, v + 1, Some(mergedSch), entries ++ staged,
             prev = Some(entries), op = "MERGE")) return
       } else {
-        def rd = schemaOpt.fold(spark.read)(spark.read.schema)
+        val cmap = colMapOf(base)
+        def rd = schemaOpt.fold(spark.read)(s =>
+          spark.read.schema(readSchemaFor(s, cmap)))
         val priorRefs = dvRefPairs(candidates).toMap
         val priorVecs = DeletionVectors.loadMap(base, priorRefs.toSeq)
         val scan = rd.parquet(candidates.map(e => base.resolve(e.relPath).toString): _*)
+        val dataCols = schemaOpt match {
+          case Some(s) => renameViewCols(scan, s, cmap)
+          case None => scan.columns.toSeq.map(scan.col)
+        }
         val flagged0 = scan
           .select(col("_metadata.file_path").as("__f") +:
-            col("_metadata.row_index").as("__ridx") +: keys.map(col): _*)
+            col("_metadata.row_index").as("__ridx") +: dataCols: _*)
+          .select(col("__f") +: col("__ridx") +: keys.map(col): _*)
           .join(keySet.withColumn("__hit", lit(true)), keys, "left")
           .select(col("__f"), col("__ridx"),
             coalesce(col("__hit"), lit(false)).as("__m"))
@@ -1739,11 +1999,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         s"bronze.$name has no committed version to restore on top of"))
       if (cur.version == version) return // already there
       // restore table METADATA with the file set: the target version's own
-      // constraint set, not the current head's — Some(Nil) writes the
-      // explicit empty marker when the target had none
+      // constraint set and column mapping, not the current head's —
+      // Some(Nil) writes the explicit empty constraints marker when the
+      // target had none (the colmap line is simply absent then: resolution
+      // reads the newest record only)
       if (commitFilesManifest(base, cur.version + 1, target.schema, target.entries,
           prev = Some(cur.entries), op = "RESTORE",
-          constraints = Some(constraintsAsOf(base, version)))) return
+          constraints = Some(constraintsAsOf(base, version)),
+          colMap = Some(colMapAsOf(base, version)))) return
     }
     throw new IllegalStateException(
       s"restoreBronze($name) lost $maxAttempts consecutive CAS races")
@@ -1828,7 +2091,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       }
     }
     require(commitFilesManifest(dbase, 1, snap.schema, entries, op = "CLONE",
-        constraints = Some(constraintsOf(sbase)).filter(_.nonEmpty)),
+        constraints = Some(constraintsOf(sbase)).filter(_.nonEmpty),
+        colMap = Some(colMapAsOf(sbase, snap.version)).filter(_.nonEmpty)),
       s"cloneBronze($src, $dst) lost the v1 commit race — dst created concurrently")
   }
 
@@ -1973,16 +2237,19 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * vectors — the pruned-read twin of [[readEntriesWithDv]]. */
   private def readPrunedWithDv(base: Path,
       schemaOpt: Option[org.apache.spark.sql.types.StructType],
-      paths: Seq[(String, Option[String])]): DataFrame = {
-    def rd = schemaOpt.fold(spark.read)(spark.read.schema)
+      paths: Seq[(String, Option[String])],
+      colMap: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    def rd = schemaOpt.fold(spark.read)(s => spark.read.schema(readSchemaFor(s, colMap)))
     val (dvd, plain) = paths.partition(_._2.isDefined)
-    if (dvd.isEmpty) rd.parquet(paths.map(_._1): _*)
-    else {
-      val masked = readDvFiltered(base, rd, dvd.map(_._1),
-        dvd.map { case (p, dv) => graft.sql.DvRowDeleted.relPathKey(p) -> dv.get })
-      if (plain.isEmpty) masked
-      else masked.unionByName(rd.parquet(plain.map(_._1): _*))
-    }
+    val raw =
+      if (dvd.isEmpty) rd.parquet(paths.map(_._1): _*)
+      else {
+        val masked = readDvFiltered(base, rd, dvd.map(_._1),
+          dvd.map { case (p, dv) => graft.sql.DvRowDeleted.relPathKey(p) -> dv.get })
+        if (plain.isEmpty) masked
+        else masked.unionByName(rd.parquet(plain.map(_._1): _*))
+      }
+    schemaOpt.fold(raw)(renameView(raw, _, colMap))
   }
 
   /** [[tableAtWhere]] plus the driver-materialized entry count (the AS-OF
@@ -2013,7 +2280,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       return (spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s), held)
     }
-    (readPrunedWithDv(base, schema, paths), held)
+    (readPrunedWithDv(base, schema, paths, colMapAsOf(base, version)), held)
   }
 
   /** Time-travel scan WITH file skipping — [[tableWhere]] AS OF `version`:
@@ -2043,7 +2310,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    readPrunedWithDv(base, light, pruned)
+    readPrunedWithDv(base, light, pruned, colMapOf(base))
   }
 
   /** Path a STREAMING source should monitor for this table: the `_a*`
@@ -2306,7 +2573,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val total = smalls.map(sizeOf).sum
       val outFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
       val dataDir = newAppendDir(base, v + 1)
-      readEntriesWithDv(base, schemaOpt, smalls)
+      // the rewrite reads through the column-mapping view, so repacked
+      // files MIGRATE onto the current logical names
+      readEntriesWithDv(base, schemaOpt, smalls, colMapOf(base))
         .repartition(outFiles)
         .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
       // packed files MIX keys — exactly when membership pruning matters
@@ -2377,8 +2646,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       attempt += 1
       val BronzeSnapshot(v, schemaOpt, entries) = readFilesManifest(base).getOrElse(return)
       // deletion vectors are applied and PURGED by any full rewrite: the
-      // output files carry only surviving rows and a clean entry
-      val df = transform(readEntriesWithDv(base, schemaOpt, entries))
+      // output files carry only surviving rows and a clean entry (read
+      // through the column-mapping view — rewrites migrate names)
+      val df = transform(readEntriesWithDv(base, schemaOpt, entries, colMapOf(base)))
       val dataDir = newAppendDir(base, v + 1)
       df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
       // prev provided, but a full rewrite's delta is never smaller than the

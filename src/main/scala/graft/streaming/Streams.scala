@@ -828,12 +828,15 @@ object Streams {
     val (bronzeTable, _) = streamModel(lake, model)
     require(lake.exists("silver", model),
       s"$model must be fully refreshed once before streaming maintenance")
-    gateStreamVisibility(lake, model, bronzeTable, ignoreDeletes)
+    gateStreamVisibility(lake, model, bronzeTable, ignoreDeletes, atConstruction = true)
     // log-managed bronze: monitor the `_a*` append-dir glob (each commit
     // lands a new matched dir); plain layout: the live data dir
     val dir = lake.streamSourcePath("bronze", bronzeTable)
-    // schema pinned from a one-time batch footer read (streams never infer)
-    val pinned = lake.table("bronze", bronzeTable).schema
+    // schema pinned from the log (streams never infer) — the COLUMN-MAPPING
+    // scan schema, so files written before a rename still deliver their
+    // data (the per-batch logical view coalesces the chains; a rename
+    // AFTER pinning fails the gate → restart re-pins)
+    val (pinned, _) = lake.streamReadSupport(bronzeTable)
     // resolve parked files whose commit landed while the stream was down —
     // a quiet catch-up run may deliver NO new files, so the per-batch sweep
     // alone would never re-probe them
@@ -858,19 +861,34 @@ object Streams {
     * `_stream_gate_<model>` (NOT inside the pending set — sweeps list
     * that dir as parked-file markers). */
   private[graft] def gateStreamVisibility(lake: graft.pipeline.Lakehouse,
-      model: String, bronzeTable: String, ignoreDeletes: Boolean): Unit = {
+      model: String, bronzeTable: String, ignoreDeletes: Boolean,
+      atConstruction: Boolean = false): Unit = {
     import java.nio.file.Files
     val versions = lake.tableVersions("bronze", bronzeTable)
     if (versions.isEmpty) return // plain layout / never written: nothing to gate
     val head = versions.max
     val marker = lake.tableDir("bronze", bronzeTable)
       .resolve(s"_stream_gate_$model")
+    val last: Option[Int] =
+      if (Files.exists(marker))
+        Some(new String(Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      else None
+    // schema-CHANGING ops invalidate the PINNED scan schema regardless of
+    // ignoreDeletes: the running stream would read new-named files as all
+    // nulls. The check runs per micro-batch only — at construction the pin
+    // is fresh (streamReadSupport read the current mapping), so the remedy
+    // is exactly a restart and restarts must pass.
+    if (!atConstruction) last.foreach { from =>
+      val schemaOps = lake.opsSince(bronzeTable, from).collect {
+        case (v, op) if op == "RENAME COLUMN" || op == "DROP COLUMN" => s"v$v=$op"
+      }
+      require(schemaOps.isEmpty,
+        s"bronze.$bronzeTable changed its column mapping " +
+          s"(${schemaOps.mkString(", ")}) after this stream pinned its scan " +
+          "schema: restart the stream (construction re-pins the mapping)")
+    }
     if (!ignoreDeletes) {
-      val last: Option[Int] =
-        if (Files.exists(marker))
-          Some(new String(Files.readAllBytes(marker),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
-        else None
       last match {
         case None =>
           require(lake.deletionVectorCount(bronzeTable) == 0,
@@ -939,7 +957,8 @@ object Streams {
         (if (excluded.isEmpty) withRel
          else withRel.filter(!col("__rel").isInCollection(excluded))).drop("__rel")
     }
-    merge(rows)
+    // project the column-mapping logical view (identity without a mapping)
+    merge(lake.streamReadSupport(bronzeTable)._2(rows))
     // then re-probe the pending set: commits that landed since park time
     // fold in, vacuumed debris drops out
     sweepPendingCommits(lake, model)
@@ -987,9 +1006,9 @@ object Streams {
           .filterNot(r => java.nio.file.Files.exists(base.resolve(r)))
           .foreach(r => deletePendingMarker(pendingDir, r))
         if (ready.nonEmpty) {
-          merge(lake.spark.read
-            .schema(lake.table("bronze", bronzeTable).schema)
-            .parquet(ready.map(r => base.resolve(r).toString): _*))
+          val (scanSchema, view) = lake.streamReadSupport(bronzeTable)
+          merge(view(lake.spark.read.schema(scanSchema)
+            .parquet(ready.map(r => base.resolve(r).toString): _*)))
           ready.foreach(r => deletePendingMarker(pendingDir, r))
         }
       }

@@ -678,6 +678,38 @@ class StreamsSpec extends SparkSpec {
     Streams.silverRefreshStream(lake2, "silver_channels", ignoreDeletes = true)
   }
 
+  test("stream gate: a column rename after pinning fails per-batch; a restart re-pins and passes") {
+    import java.nio.file.Files
+    import graft.pipeline.{Bronze, Lakehouse, Silver}
+    import graft.pipeline.Fixtures.{channelPayload, d}
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-gaterename").toString)
+    Bronze.ingest(lake, Bronze.RunContext("r1", "req-r1", d("2025-06-01"),
+      graft.pipeline.Fixtures.ts("2025-06-01 10:00:00")), _ => Map(
+      "channels_raw" -> Seq(channelPayload("UC_1", "A", 10, 1))))
+    Silver.refresh(lake, Some(Set("silver_channels")))
+    val ckpt = Files.createTempDirectory("graft-gaterename-ckpt").toString
+    val q = Streams.silverRefreshStream(lake, "silver_channels")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000) // pins the scan schema + gate marker
+    lake.renameBronzeColumn("channels_raw", "request_id", "req_id")
+    // mid-stream (per-batch) gate: the pinned schema is stale — fail fast
+    val ex = intercept[IllegalArgumentException](
+      Streams.gateStreamVisibility(lake, "silver_channels", "channels_raw",
+        ignoreDeletes = false))
+    assert(ex.getMessage.contains("restart"), ex.getMessage)
+    // ...even in ignoreDeletes mode (schema staleness is not a delete)
+    intercept[IllegalArgumentException](
+      Streams.gateStreamVisibility(lake, "silver_channels", "channels_raw",
+        ignoreDeletes = true))
+    // a RESTART re-pins at construction: the gate passes and advances, so
+    // subsequent per-batch checks are clean again
+    Streams.gateStreamVisibility(lake, "silver_channels", "channels_raw",
+      ignoreDeletes = false, atConstruction = true)
+    Streams.gateStreamVisibility(lake, "silver_channels", "channels_raw",
+      ignoreDeletes = false)
+  }
+
   test("silverRefreshStream maintains SCD2: streamed == batch recompute across A→B→A and late-arrival micro-batch orderings") {
     import java.nio.file.Files
     import graft.pipeline.{Bronze, Lakehouse, Silver}
