@@ -38,17 +38,32 @@ object Graphs {
     * Returns (node, rank_micro). */
   def pageRankMicro(spark: SparkSession, edges: DataFrame, iterations: Int,
       checkpointEvery: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val edgesDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+    pageRankMicroFromIndex(spark, nodes, edgesDeg, iterations, checkpointEvery)
+  }
+
+  /** [[pageRankMicro]] over PREBUILT at-rest graph artifacts: `nodes`
+    * (node) and `edgesDeg` (src, dst, outdeg) — the deduped,
+    * degree-annotated layout a deployment maintains once at write time
+    * (the BenchIndex discipline), so the per-run cost is the iterations,
+    * not the edge-dedup + degree shuffles. On a cluster the at-rest table
+    * would be BUCKETED by src, making the per-iteration co-partitioning
+    * free; here the frame is re-partitioned once and cached. */
+  def pageRankMicroFromIndex(spark: SparkSession, nodesIn: DataFrame,
+      edgesDegIn: DataFrame, iterations: Int,
+      checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"iterations must be in [1, 20], got $iterations")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
-    val e = edges.select(col("src"), col("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val nodes = nodesIn.select(col("node")).cache()
     // one cached (src, dst, outdeg) frame, pre-partitioned on the join key:
     // each iteration then shuffles ONLY the (node, rank) frame — the edge
     // list (the big side at graph scale) never moves again after this
-    val edgesDeg = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+    val edgesDeg = edgesDegIn.select(col("src"), col("dst"), col("outdeg"))
       .repartition(col("src"))
       .cache()
     var ranks = nodes.select(col("node"), lit(RankUnit).as("rank_micro"))
@@ -174,9 +189,18 @@ object Graphs {
     * materialization itself is frontier-sized — node-bounded, never
     * edge-bounded. */
   def bfsDepths(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int): DataFrame =
+    bfsDepthsFromIndex(spark, edges.select(col("src"), col("dst")).distinct(),
+      seeds, maxDepth)
+
+  /** [[bfsDepths]] over a PREBUILT deduped edge list — the at-rest layout
+    * (BenchIndex discipline): per-run cost skips the edge-dedup shuffle;
+    * a bucketed-by-src deployment table would also skip the
+    * re-partitioning this method still pays once. */
+  def bfsDepthsFromIndex(spark: SparkSession, dedupedEdges: DataFrame,
+      seeds: DataFrame, maxDepth: Int): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 20, s"maxDepth must be in [1, 20], got $maxDepth")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    val e = dedupedEdges.select(col("src"), col("dst"))
       .repartition(col("src")).cache()
     var visited = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("depth"))
@@ -340,7 +364,17 @@ object Graphs {
   def triangleCounts(edges: DataFrame,
       closureBroadcastMaxEdges: Long = 10000000L,
       orientedEdgeCountHint: Option[Long] = None,
-      cacheOriented: Boolean = true): DataFrame = {
+      cacheOriented: Boolean = true): DataFrame =
+    triangleCountsFromOriented(orientEdges(edges), closureBroadcastMaxEdges,
+      orientedEdgeCountHint, cacheOriented)
+
+  /** Degree-ordered orientation of an undirected edge list — the at-rest
+    * triangle-query layout (duplicates/direction collapsed, self-loops
+    * dropped, each edge oriented toward its (degree, id)-larger endpoint
+    * with the target degree riding along). Built once at write time by a
+    * deployment (BenchIndex discipline); [[triangleCountsFromOriented]]
+    * probes it. Output: (s, t, dt). */
+  def orientEdges(edges: DataFrame): DataFrame = {
     val e = edges
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -351,13 +385,21 @@ object Graphs {
     // degree tie keeps u as the source. `dt` (target degree) rides along
     // so the wedge join can order targets by the same orientation key
     // without re-joining degrees.
-    val oPlan = e
-      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+    e.join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
       .select(
         when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("s"),
         when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("t"),
         when(col("du") <= col("dv"), col("dv")).otherwise(col("du")).as("dt"))
+  }
+
+  /** [[triangleCounts]] over a PREBUILT oriented edge set (`orientEdges`
+    * output, possibly read back from at-rest parquet). */
+  def triangleCountsFromOriented(oriented: DataFrame,
+      closureBroadcastMaxEdges: Long = 10000000L,
+      orientedEdgeCountHint: Option[Long] = None,
+      cacheOriented: Boolean = true): DataFrame = {
+    val oPlan = oriented.select(col("s"), col("t"), col("dt"))
     val o = if (cacheOriented) oPlan.cache() else oPlan
     // 1 long to the driver (materializes the cache) unless hinted lazy
     val m = orientedEdgeCountHint.getOrElse(o.count())

@@ -34,8 +34,8 @@ object BenchIndex {
   private def corpus(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
 
-  private def cacheRoot(dir: String): java.nio.file.Path = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
+  private def cacheRoot(dir: String, srcTable: String = "embeddings"): java.nio.file.Path = {
+    val src = new java.io.File(s"$dir/$srcTable.parquet")
     val raw = s"v$IndexFormatVersion|${src.getAbsolutePath}|${src.lastModified}|${src.length}"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
@@ -46,8 +46,9 @@ object BenchIndex {
     * materialize each (subdir, frame) of `build()`; always return the
     * re-read frames in order. */
   private def artifacts(s: SparkSession, dir: String, name: String,
-      parts: Seq[String])(build: => Seq[(String, DataFrame)]): Seq[DataFrame] = {
-    val base = cacheRoot(dir).resolve(name)
+      parts: Seq[String], srcTable: String = "embeddings")
+      (build: => Seq[(String, DataFrame)]): Seq[DataFrame] = {
+    val base = cacheRoot(dir, srcTable).resolve(name)
     if (!Files.exists(base.resolve("_DONE"))) {
       build.foreach { case (part, df) =>
         df.write.mode("overwrite").parquet(base.resolve(part).toString)
@@ -146,4 +147,50 @@ object BenchIndex {
       Similarity.l2Norm(col("c_emb")).as("c_norm"))
     (coarse, fineAll, assign)
   }
+
+  // ───── at-rest GRAPH layouts (q49 / q76 / q78 / q64) ─────────────────
+  //
+  // A graph deployment maintains its adjacency ONCE at write time — edges
+  // deduped, degree-annotated, oriented — and amortizes the build across
+  // every traversal; per-query cost is then the iterations/wedge probe,
+  // not the edge-dedup + degree shuffles. Keyed on lineitem.parquet
+  // (mtime + size + IndexFormatVersion) like the ANN artifacts. On a
+  // cluster these tables would be BUCKETED by their join key so the
+  // per-iteration co-partitioning is free as well.
+
+  /** Co-supply graph artifacts (symmetric supplier↔part edges from
+    * lineitem, the q49/q78 graph): (nodes (node), edgesDeg (src, dst,
+    * outdeg), edges (src, dst) deduped). */
+  def cosupplyGraph(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val Seq(nodes, edgesDeg, edges) =
+      artifacts(s, dir, "cosupply", Seq("nodes", "edges_deg", "edges"),
+        srcTable = "lineitem") {
+        val pairs = table(s, dir, "lineitem")
+          .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+            concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+          .distinct()
+        val e = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+        Seq(
+          "nodes" -> e.select(col("src").as("node"))
+            .union(e.select(col("dst").as("node"))).distinct(),
+          "edges_deg" -> e.join(
+            e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src"),
+          "edges" -> e)
+      }
+    (nodes, edgesDeg, edges)
+  }
+
+  /** Degree-oriented co-purchase edges (parts sharing an order — the q64
+    * triangle graph): (s, t, dt) per [[graft.operators.Graphs.orientEdges]]. */
+  def copurchaseOriented(s: SparkSession, dir: String): DataFrame =
+    artifacts(s, dir, "copurchase_oriented", Seq("oriented"),
+      srcTable = "lineitem") {
+      val items = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      Seq("oriented" -> graft.operators.Graphs.orientEdges(edges))
+    }.head
 }
