@@ -676,7 +676,7 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("bronze log invariants hold through a random append/DV-delete/CoW/compact walk") {
+  test("bronze log invariants hold through a random append/DV-delete/CoW/merge/rename/compact walk") {
     import graft.pipeline.{Lakehouse, ManifestStats}
     val rnd = new Random(7)
     val lake = new Lakehouse(spark,
@@ -685,38 +685,68 @@ class PropertySpec extends SparkSpec {
     val day = java.sql.Date.valueOf("2025-06-01")
     var model = Map.empty[Long, String] // id -> run, the in-memory truth
     var nextId = 0L
+    var idCol = "id" // renamed back and forth mid-walk (column mapping)
     def appendRun(step: Int): Unit = {
       val run = s"run$step"
       val ids = (1 to 1 + rnd.nextInt(5)).map { _ => nextId += 1; nextId }
       lake.appendBronze("t",
-        ids.map(i => (i, day, run)).toDF("id", "snapshot_date", "run_id")
+        ids.map(i => (i, day, run)).toDF(idCol, "snapshot_date", "run_id")
           .repartition(1 + rnd.nextInt(2)))
       model ++= ids.map(_ -> run)
     }
+    def scanPairs(): Seq[(Long, String)] =
+      lake.table("bronze", "t").select(idCol, "run_id").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSeq
     appendRun(0)
-    for (step <- 1 to 16) {
-      rnd.nextInt(5) match {
+    for (step <- 1 to 22) {
+      val modelBefore = model
+      val vBefore = lake.tableVersions("bronze", "t").max
+      rnd.nextInt(7) match {
         case 0 | 1 => appendRun(step)
         case 2 => // merge-on-read delete by id residue
           val p = rnd.nextInt(4)
-          lake.deleteBronzeWhereDv("t", pmod(col("id"), lit(4)) === p)
+          lake.deleteBronzeWhereDv("t", pmod(col(idCol), lit(4)) === p)
           model = model.filter { case (i, _) => i % 4 != p }
         case 3 if model.nonEmpty => // copy-on-write delete of one whole run
           val run = model.values.toSeq(rnd.nextInt(model.size))
           lake.deleteBronzeWhere("t", col("run_id") === run,
             Seq(ManifestStats.StatEq("run_id", run)))
           model = model.filter(_._2 != run)
+        case 4 => // MERGE: update up to 2 existing keys + insert a new one
+          val run = s"m$step"
+          val existing = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+          val ids = existing :+ { nextId += 1; nextId }
+          lake.mergeBronze("t",
+            ids.map(i => (i, day, run)).toDF(idCol, "snapshot_date", "run_id"),
+            Seq(idCol))
+          model ++= ids.map(_ -> run)
+        case 5 => // metadata-only rename, back and forth
+          val next = if (idCol == "id") "doc_id" else "id"
+          lake.renameBronzeColumn("t", idCol, next)
+          idCol = next
         case _ => lake.compactSmall("bronze", "t", minSmallFiles = 2) // may no-op
       }
       // invariants after EVERY step: scan content == model, metadata
       // rowCount == model size, DESCRIBE DETAIL agrees
-      val got = lake.table("bronze", "t").select("id", "run_id").collect()
-        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val got = scanPairs().toMap
       assert(got == model, s"step $step: scan diverged from model")
       assert(lake.rowCount("bronze", "t").contains(model.size.toLong),
         s"step $step: metadata rowCount != ${model.size}")
       assert(lake.describeDetail("bronze", "t").head()
         .getAs[Long]("num_rows") == model.size.toLong, s"step $step: detail num_rows")
+      // CDF apply-algebra: modelBefore + inserts − deletes == model, for
+      // every committed step (OPTIMIZE/rename steps emit an empty feed)
+      val vAfter = lake.tableVersions("bronze", "t").max
+      if (vAfter > vBefore) {
+        val feed = lake.tableChanges("t", vBefore, vAfter)
+          .select(col(idCol), col("run_id"), col("_change_type")).collect()
+          .map(r => (r.getLong(0) -> r.getString(1), r.getString(2)))
+        val ins = feed.filter(_._2 == "insert").map(_._1).toSeq
+        val del = feed.filter(_._2 == "delete").map(_._1).toSeq
+        val applied = (modelBefore.toSeq ++ ins).diff(del).sorted
+        assert(applied == model.toSeq.sorted,
+          s"step $step: CDF apply-algebra diverged (v$vBefore → v$vAfter)")
+      }
     }
   }
 }
