@@ -486,6 +486,69 @@ object Multimodal {
       }
   }
 
+  /** AVI assets with a CONTENT KEY (`doc_id % keyMod`) — the VIDEO
+    * near-dup fixture: width AND every frame's pixel seed derive from the
+    * key, so same-key assets are byte-identical up to their FRAME COUNT
+    * (which keeps the per-doc jitter) — the "same video, different cut"
+    * case. Their keyframes are therefore byte-identical (keyframe dHash
+    * Hamming 0, EXACTLY — deterministic through the real lossy decode,
+    * because the decoder sees identical JPEG bytes); distinct keys
+    * decorrelate. Population: doc_id % 3 == 1 (disjoint from the m11 BMP
+    * and m12 WAV keyed fixtures). */
+  def aviAssetsKeyed(docs: DataFrame, keyMod: Int = 60): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].map { case (id, nChars) =>
+        val k = id % keyMod
+        // 32-48 px frames: several JPEG blocks per frame, so the lossy
+        // roundtrip keeps enough cross-seed LOW-FREQUENCY structure for
+        // distinct keys to land far apart in dHash space (the 8-10 px m10
+        // sizes are 1-2 blocks: quantization flattens them and cross-key
+        // hashes collide under any useful Hamming gate)
+        val w = (32 + (k % 3) * 8).toInt
+        val n = (nChars % 4 + 2).toInt
+        MediaAsset(id, "video", synthMjpegAvi(k + 1, w, 32, n),
+          MediaMeta("avi", w, 32, 0, durationMs = 40L * n))
+      }
+  }
+
+  /** Difference hash of each video's KEYFRAME (frame 0) through the REAL
+    * MJPEG-in-AVI decode — the video face of [[imageDHash]]: container
+    * walk → stock-JDK JPEG decode → luma grid → 56-bit dHash. Duplicate
+    * detection over video at the keyframe grain (full-sequence matching
+    * composes [[frameSignatures]] the same way). Pure per-row map. */
+  def videoKeyframeDHash(assets: Dataset[MediaAsset],
+      gridW: Int = 8, gridH: Int = 8): Dataset[ImageHash] = {
+    require(gridW >= 2 && gridH >= 1 && (gridW - 1) * gridH <= 63,
+      s"grid ${gridW}x$gridH out of the 63-bit budget")
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video").map { a =>
+      val frames = decodeAviMjpegFrames(a.content)
+      require(frames.nonEmpty, s"asset ${a.asset_id}: no frames decoded")
+      ImageHash(a.asset_id, dHashBits(frames(0), gridW, gridH))
+    }
+  }
+
+  /** The dHash bit loop over a decoded luma matrix (shared by
+    * [[imageDHash]] and [[videoKeyframeDHash]]). */
+  private def dHashBits(px: Array[Array[Byte]], gridW: Int, gridH: Int): Long = {
+    val (h, w) = (px.length, if (px.isEmpty) 0 else px(0).length)
+    var bits = 0L
+    var i = 0
+    var r = 0
+    while (r < gridH) {
+      var c = 0
+      while (c < gridW - 1) {
+        val l = px(r * h / gridH)(c * w / gridW) & 0xff
+        val rt = px(r * h / gridH)((c + 1) * w / gridW) & 0xff
+        if (l > rt) bits |= 1L << i
+        i += 1; c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
   /** REAL decoded video frames as the standard [[Frame]] stream (frame
     * bytes = the decoded luma matrix, row-major), so the downstream frame
     * operators — [[frameSignatures]], [[frameNearDupPairs]],
@@ -649,20 +712,7 @@ object Multimodal {
       val (h, w) = (px.length, if (px.isEmpty) 0 else px(0).length)
       require(h == a.meta.height && w == a.meta.width,
         s"asset ${a.asset_id}: decoded ${w}x$h != metadata ${a.meta.width}x${a.meta.height}")
-      var bits = 0L
-      var i = 0
-      var r = 0
-      while (r < gridH) {
-        var c = 0
-        while (c < gridW - 1) {
-          val l = px(r * h / gridH)(c * w / gridW) & 0xff
-          val rt = px(r * h / gridH)((c + 1) * w / gridW) & 0xff
-          if (l > rt) bits |= 1L << i
-          i += 1; c += 1
-        }
-        r += 1
-      }
-      ImageHash(a.asset_id, bits)
+      ImageHash(a.asset_id, dHashBits(px, gridW, gridH))
     }
   }
 

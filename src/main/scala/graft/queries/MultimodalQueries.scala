@@ -529,9 +529,55 @@ object MultimodalQueries {
       FROM cand WHERE bit_count(xor(ha, hb)) <= 3
       ORDER BY asset_a, asset_b"""))
 
+  /** VIDEO near-dup detection via keyframe dHash (m13): REAL MJPEG-in-AVI
+    * container walk → stock-JDK JPEG decode of frame 0 → 56-bit dHash →
+    * 4×14-bit LSH bands → bucket-join → Hamming-verify (≤ 4) — the m11
+    * banding discipline lifted to video through the LOSSY decode path.
+    * The keyed fixture derives width and every frame's pixel seed from
+    * the content key but keeps per-doc frame-count jitter, so same-key
+    * videos are the "same video, different cut" case: their keyframe JPEG
+    * BYTES are identical, the (deterministic) decoder yields identical
+    * pixels, and the pair's Hamming is EXACTLY 0 — which is what lets a
+    * SQL oracle verify a lossy-codec pipeline value-for-value: it derives
+    * the expected pair set structurally (same key, both in the
+    * population) rather than replaying DCT arithmetic, and the engine
+    * must recover exactly that set through the real decode with ZERO
+    * false pairs (measured cross-key minimum Hamming over the full key
+    * space is 6, so the ≤ 4 gate rejects every band-colliding non-dup —
+    * verified green at all three SFs). */
+  val m13VideoKeyframeNearDup = GraftQuery(
+    "m13_video_keyframe_neardup",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      val hashes = Multimodal.videoKeyframeDHash(
+          Multimodal.aviAssetsKeyed(table(s, dir, "documents"))).toDF()
+      val bands = hashes.select(col("asset_id"), col("dhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("dhash"), 14 * b).bitwiseAND(lit(16383L))): _*))
+          .as(Seq("band", "key")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.asset_id") < col("y.asset_id"))
+        .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
+          col("x.dhash").as("ha"), col("y.dhash").as("hb"))
+        .distinct()
+      cand.select(col("asset_a"), col("asset_b"),
+          expr("bit_count(ha ^ hb)").cast("bigint").as("hamming"))
+        .filter(col("hamming") <= 4)
+        .orderBy(col("asset_a"), col("asset_b"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, doc_id % 60 AS key
+        FROM documents WHERE doc_id % 3 = 1)
+      SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+             CAST(0 AS BIGINT) AS hamming
+      FROM a x JOIN a y ON x.key = y.key AND x.asset_id < y.asset_id
+      ORDER BY asset_a, asset_b"""))
+
   val all: Seq[GraftQuery] = Seq(
     m01BinaryStats, m02FrameStats, m03AudioWindows, m04ShotKeyframes,
     m05WavDecodeWindows, m06BmpDecodeRows, m07ResizeGrid,
     m08PngDecodeRows, m09JpegDecodeCheck, m10AviVideoDecodeCheck,
-    m11ImageDHashNearDup, m12AudioContourNearDup)
+    m11ImageDHashNearDup, m12AudioContourNearDup, m13VideoKeyframeNearDup)
 }

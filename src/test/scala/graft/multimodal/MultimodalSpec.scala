@@ -484,4 +484,33 @@ class MultimodalSpec extends SparkSpec {
     // 31-bit budget: hash and both bands stay non-negative
     assert(keys.forall(h => h >= 0L && (h >> 31) == 0L))
   }
+
+  test("videoKeyframeDHash: same key = 0 through the lossy decode regardless of cut; keys separate") {
+    import Multimodal._
+    import spark.implicits._
+    def hashOf(key: Long, nFrames: Int): Long = {
+      val w = (32 + (key % 3) * 8).toInt
+      val a = MediaAsset(1L, "video", synthMjpegAvi(key + 1, w, 32, nFrames),
+        MediaMeta("avi", w, 32, 0, 40L * nFrames))
+      videoKeyframeDHash(Seq(a).toDS()).head().dhash
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // "same video, different cut": the keyframe JPEG bytes are identical,
+    // so the lossy decode yields EXACTLY the same hash — Hamming 0, not
+    // merely small (this determinism is what the m13 oracle leans on)
+    assert((1L to 20L).forall(k => ham(hashOf(k, 2), hashOf(k, 5)) == 0),
+      "frame-count jitter must not touch the keyframe hash")
+    // distinct keys land far apart despite DCT quantization (the fixture
+    // uses multi-block 32-48 px frames precisely so smoothing does not
+    // collapse the hash space): measured cross-key minimum is 6, so the
+    // m13 verify gate (Hamming <= 4) admits ZERO false pairs even when a
+    // 14-bit band of a close pair collides
+    val keys = (0L to 59L).map(hashOf(_, 3))
+    val cross = for (i <- keys.indices; j <- i + 1 until keys.size) yield ham(keys(i), keys(j))
+    assert(cross.count(_ <= 4) == 0,
+      s"${cross.count(_ <= 4)} of ${cross.size} cross-key pairs under the m13 gate " +
+        s"(min=${cross.min})")
+    // 56-bit budget holds for the video face too
+    assert(keys.forall(h => h >= 0L && (h >> 56) == 0L))
+  }
 }
