@@ -320,7 +320,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           dvs.size.toLong: java.lang.Long,
           dvs.map(_._2).sum: java.lang.Long,
           nodataDirs(layer, name).size.toLong: java.lang.Long,
-          constraintsOf(base).size.toLong: java.lang.Long)
+          constraintsOf(base).size.toLong: java.lang.Long,
+          liveChains(colMapOf(base)).size.toLong: java.lang.Long)
       case None =>
         val committed = currentVersion(base)
         val (fmt, dataDir) =
@@ -348,7 +349,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           files.size.toLong: java.lang.Long,
           files.map(f => dataDir.resolve(f).toFile.length).sum: java.lang.Long,
           rows, null: java.lang.Long, null: java.lang.Long,
-          null: java.lang.Long, null: java.lang.Long)
+          null: java.lang.Long, null: java.lang.Long, null: java.lang.Long)
     }
     val schema = StructType(Seq(
       StructField("layer", StringType, nullable = false),
@@ -363,7 +364,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       StructField("num_deletion_vectors", LongType, nullable = true),
       StructField("dv_cardinality", LongType, nullable = true),
       StructField("num_nodata_dirs", LongType, nullable = true),
-      StructField("num_check_constraints", LongType, nullable = true)))
+      StructField("num_check_constraints", LongType, nullable = true),
+      StructField("num_renamed_columns", LongType, nullable = true)))
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(Seq(row)).asJava, schema)
   }

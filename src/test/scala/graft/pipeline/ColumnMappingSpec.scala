@@ -165,5 +165,8 @@ class ColumnMappingSpec extends SparkSpec {
     lake.cloneBronze("t", "t2")
     assert(lake.table("bronze", "t2").select("doc_id").collect()
       .map(_.getLong(0)).toSeq == Seq(2L))
+    // DESCRIBE DETAIL surfaces the mapping
+    assert(lake.describeDetail("bronze", "t").head()
+      .getAs[Long]("num_renamed_columns") == 1L)
   }
 }
