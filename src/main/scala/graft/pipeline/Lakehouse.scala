@@ -256,7 +256,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val rows = bronzeVersions(base).flatMap { v =>
       val m = base.resolve(s"_files_v$v")
       readRecordHeader(m).flatMap { h =>
-        val ts = new java.sql.Timestamp(Files.getLastModifiedTime(m).toMillis)
+        val ts = new java.sql.Timestamp(
+          h.commitTs.getOrElse(Files.getLastModifiedTime(m).toMillis))
         val op = h.op.getOrElse("UNKNOWN")
         if (h.isDelta)
           readRecord(m).map(rec => Row(v, ts, op, "delta",
@@ -309,8 +310,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val row = snap match {
       case Some(s) =>
         val v = s.version
-        val mtime = new java.sql.Timestamp(
-          Files.getLastModifiedTime(base.resolve(s"_files_v$v")).toMillis)
+        val mtime = new java.sql.Timestamp(commitTimeMillis(base, v))
         val sizes = s.entries.map(ManifestStats.sizeOf)
         val dvs = s.entries.flatMap(ManifestStats.dvRef)
         Row(layer, name, base.toString, "bronze-log", v: java.lang.Integer, mtime,
@@ -401,6 +401,46 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Resolve a wall-clock instant to a committed version — Delta's
+    * `TIMESTAMP AS OF` rule: the LATEST version whose commit time is at or
+    * before `ts`. Commit time is the record's IN-COMMIT timestamp (`#cts`,
+    * monotonic by construction, immune to mtime rewrites from copies or
+    * backup restores — Delta's inCommitTimestamps feature), falling back
+    * to the manifest mtime for pre-feature records; the same clock
+    * [[history]] reports and [[vacuumBronze]]'s wall-clock floor uses.
+    * Fails fast, with the usable bound in the message, when
+    * `ts` predates the earliest retained version (that history is pruned —
+    * resolving to it would silently read a LATER state than asked for) or
+    * postdates the newest commit (Delta errors here too: "as of tomorrow"
+    * answered with today's state would change meaning as commits land).
+    * One header-less directory listing + one mtime per retained version —
+    * never a data scan. */
+  def versionAtTimestamp(layer: String, name: String, ts: java.sql.Timestamp): Int = {
+    val base = dir(layer, name)
+    val stamped = tableVersions(layer, name).map { v =>
+      if (Files.exists(base.resolve(s"_files_v$v"))) v -> commitTimeMillis(base, v)
+      else v -> Files.getLastModifiedTime(base.resolve(s"_v$v")).toMillis
+    }
+    require(stamped.nonEmpty, s"$layer.$name has no committed versions")
+    val t = ts.getTime
+    val (v0, t0) = stamped.head
+    require(t >= t0,
+      s"timestamp $ts predates the earliest retained version of $layer.$name " +
+        s"(version $v0, committed ${new java.sql.Timestamp(t0)}) — earlier history is pruned")
+    val (vn, tn) = stamped.last
+    require(t <= tn,
+      s"timestamp $ts postdates the newest commit of $layer.$name " +
+        s"(version $vn, committed ${new java.sql.Timestamp(tn)}); reading 'as of' an " +
+        "instant no commit has reached is not reproducible — use table() for the " +
+        "current state or pass a timestamp at or before the newest commit")
+    stamped.takeWhile(_._2 <= t).last._1
+  }
+
+  /** Time-travel read AS OF a wall-clock instant: [[tableAt]] at
+    * [[versionAtTimestamp]]'s resolution. */
+  def tableAtTimestamp(layer: String, name: String, ts: java.sql.Timestamp): DataFrame =
+    tableAt(layer, name, versionAtTimestamp(layer, name, ts))
+
   /** CHANGE DATA FEED read over the log (Delta's `table_changes`): the
     * row-level changes committed after `fromVersion` (exclusive) up to
     * `toVersion` (inclusive), as the table's columns plus `_change_type`
@@ -422,15 +462,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     *
     * The delete+append DML model (run re-ingest, [[mergeBronze]]) reads
     * as delete+insert pairs, Delta's own shape for DV-based MERGE.
-    * Requires every version in [fromVersion, toVersion] retained (time
-    * travel's vacuum caveat applies to the referenced files). Rows read
-    * under `toVersion`'s schema (older files null-fill later columns). */
+    * Requires every version in [max(fromVersion,1), toVersion] retained
+    * (time travel's vacuum caveat applies to the referenced files);
+    * `fromVersion = 0` reads "from the empty table" — the whole history
+    * as changes, Delta's `startingVersion = 0` — and is valid exactly
+    * while version 1 is retained. Rows read under `toVersion`'s schema
+    * (older files null-fill later columns). */
   def tableChanges(name: String, fromVersion: Int, toVersion: Int): DataFrame = {
     val base = dir("bronze", name)
     val avail = bronzeVersions(base).toSet
     require(fromVersion < toVersion,
       s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
-    (fromVersion to toVersion).foreach(v => require(avail(v),
+    // fromVersion 0 = "from the empty table" (Delta's startingVersion=0):
+    // version 0 has no record, it IS the empty snapshot — valid only while
+    // version 1 is still retained, which the loop below checks
+    (math.max(fromVersion, 1) to toVersion).foreach(v => require(avail(v),
       s"version $v of bronze.$name is not retained " +
         s"(available: ${avail.toSeq.sorted.mkString(",")})"))
     val headSchema = resolveSnapshot(base, toVersion).flatMap(_.schema)
@@ -444,9 +490,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val op = readRecordHeader(base.resolve(s"_files_v$v")).flatMap(_.op).getOrElse("")
       if (op.startsWith("OPTIMIZE")) Seq.empty
       else {
-        def snap(at: Int) = resolveSnapshot(base, at).getOrElse(
-          throw new IllegalStateException(
-            s"version $at of bronze.$name did not resolve — log chain broken"))
+        def snap(at: Int) =
+          if (at == 0) BronzeSnapshot(0, None, Seq.empty) // the empty table
+          else resolveSnapshot(base, at).getOrElse(
+            throw new IllegalStateException(
+              s"version $at of bronze.$name did not resolve — log chain broken"))
         val prev = snap(v - 1)
         val cur = snap(v)
         val pm = prev.entries.map(e => e.relPath -> e).toMap
@@ -506,6 +554,78 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           StructField("_change_type", StringType, nullable = false),
           StructField("_commit_version", IntegerType, nullable = false))))
     }
+  }
+
+  // ───── incremental CDF consumption (durable cursor) ────────────────────
+  //
+  // A change-feed CONSUMER keeps a cursor — the version it has consumed
+  // through — as `_cursor_v{N}` marker files in its own directory (one
+  // per advance, put-if-absent like the log itself, older markers pruned).
+  // The loop is: [[tableChangesSince]] → process the batch keyed on its
+  // `toVersion` → [[commitChangesCursor]]. A crash between processing and
+  // the cursor commit redelivers the SAME (from, to] range, so a consumer
+  // whose effects are keyed on `toVersion` (e.g. the b{N} batch-dir
+  // discipline in [[graft.streaming.Streams.changesSink]]) is exactly-once
+  // end to end. The cursor must stay within the table's vacuum retention
+  // window — a cursor older than the earliest retained version fails fast
+  // in [[tableChanges]] rather than silently skipping history.
+
+  /** The version a change-feed cursor has consumed through (0 = nothing
+    * consumed yet). */
+  def changesCursor(cursorDir: Path): Int = {
+    if (!Files.isDirectory(cursorDir)) return 0
+    val s = Files.list(cursorDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_cursor_v"))
+        .flatMap(_.stripPrefix("_cursor_v").toIntOption)
+        .maxOption.getOrElse(0)
+    } finally s.close()
+  }
+
+  /** The change batch committed after the cursor: `Some((changes, from,
+    * to))` — [[tableChanges]] over `(from, to]` — or None when the cursor
+    * is caught up with the table. A fresh cursor (version 0) delivers the
+    * whole table as `insert`s first, Delta's `startingVersion=0`. */
+  def tableChangesSince(name: String, cursorDir: Path): Option[(DataFrame, Int, Int)] = {
+    val from = changesCursor(cursorDir)
+    val to = committedBronzeVersion(name)
+    if (to <= from) None else Some((tableChanges(name, from, to), from, to))
+  }
+
+  /** The newest committed version of a log-managed bronze table (0 = no
+    * commit yet) — the log's own version counter, distinct from
+    * [[tableVersion]]'s materialized-table counter. */
+  def committedBronzeVersion(name: String): Int =
+    bronzeVersions(dir("bronze", name)).lastOption.getOrElse(0)
+
+  /** Advance a change-feed cursor to `toVersion` — atomic (put-if-absent
+    * marker; a concurrent consumer landing the same frontier is a no-op),
+    * monotonic (rewinding would re-deliver consumed changes as if new),
+    * and self-pruning (superseded markers are removed). */
+  def commitChangesCursor(cursorDir: Path, toVersion: Int): Unit = {
+    Files.createDirectories(cursorDir)
+    val cur = changesCursor(cursorDir)
+    require(toVersion >= cur,
+      s"cursor at $cursorDir is already at $cur; rewinding to $toVersion would " +
+        "re-deliver consumed changes — use a fresh cursor directory to re-read")
+    if (toVersion == cur) return
+    val tmp = cursorDir.resolve(
+      s".cursor_${toVersion}_${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.write(tmp, Array.emptyByteArray)
+    try Files.createLink(cursorDir.resolve(s"_cursor_v$toVersion"), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => }
+    Files.delete(tmp)
+    val top = changesCursor(cursorDir)
+    val s = Files.list(cursorDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("_cursor_v") &&
+          p.getFileName.toString.stripPrefix("_cursor_v").toIntOption.exists(_ < top))
+        .foreach(Files.deleteIfExists(_))
+    } finally s.close()
   }
 
   // ───── bronze transaction log ─────────────────────────────────────────
@@ -581,6 +701,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private val OpLine = "#op\t(.*)".r
   private val ConstraintsLine = "#constraints\t(.*)".r
   private val ColMapLine = "#colmap\t(.*)".r
+  private val TxnLine = "#txn\t(.*)".r
+  private val FeaturesLine = "#features\t(.*)".r
+  private val CommitTsLine = "#cts\t(\\d+)".r
 
   /** Header-only peek at a log record — version, delta/checkpoint kind, and
     * the parquet-twin reference — WITHOUT parsing the entry lines. The
@@ -597,7 +720,19 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // column-mapping rename chains: key → PRIOR physical names, newest
       // first (see [[renameBronzeColumn]]); keys starting with '!' are
       // drop tombstones reserving their names. None = no line.
-      colMap: Option[Map[String, Seq[String]]] = None)
+      colMap: Option[Map[String, Seq[String]]] = None,
+      // idempotent-writer transactions: appId → newest applied version
+      // (Delta's SetTransaction action). None = no line.
+      txns: Option[Map[String, Long]] = None,
+      // reader features this record REQUIRES (Delta's readerFeatures):
+      // a reader missing one must fail fast, never misread. Empty = the
+      // base format suffices.
+      features: Seq[String] = Seq.empty,
+      // IN-COMMIT timestamp (Delta's inCommitTimestamps writer feature):
+      // the commit instant recorded INSIDE the record, monotonic across
+      // versions — survives file copies/clones where mtimes do not.
+      // None = pre-feature record (readers fall back to the mtime).
+      commitTs: Option[Long] = None)
 
   private def readRecordHeader(m: Path): Option[RecordHeader] =
     if (!Files.exists(m)) None
@@ -613,6 +748,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         var noDataDirs: Seq[String] = Seq.empty
         var constraints: Option[Seq[(String, String)]] = None
         var colMap: Option[Map[String, Seq[String]]] = None
+        var txns: Option[Map[String, Long]] = None
+        var features: Seq[String] = Seq.empty
+        var commitTs: Option[Long] = None
         var line = in.readLine()
         // header lines all start with '#' and precede the entry lines
         // (#rm lines of a delta are skipped — this peek never needs them)
@@ -640,6 +778,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
                   chain.split('|').toSeq.filter(_.nonEmpty)
                     .map(java.net.URLDecoder.decode(_, java.nio.charset.StandardCharsets.UTF_8))
               }.toMap)
+            case TxnLine(enc) => txns = Some(
+              enc.split(',').toSeq.filter(_.nonEmpty).map { pair =>
+                val Array(a, v) = pair.split(":", 2)
+                java.net.URLDecoder.decode(a, java.nio.charset.StandardCharsets.UTF_8) ->
+                  v.toLong
+              }.toMap)
+            case FeaturesLine(enc) => // union across lines: requirements only add
+              features = (features ++ enc.split(',').toSeq.filter(_.nonEmpty)).distinct
+            case CommitTsLine(ms) => commitTs = Some(ms.toLong)
             case SchemaLine(enc) => schema = Some(
               org.apache.spark.sql.types.DataType.fromJson(
                 java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
@@ -649,7 +796,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           line = in.readLine()
         }
         Some(RecordHeader(version, isDelta, ckpt, schema, addDirs, op, noDataDirs,
-          constraints, colMap))
+          constraints, colMap, txns, features, commitTs))
       } finally in.close()
     }
 
@@ -744,7 +891,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * at-or-below the retention floor, so the chain is always intact —
     * resolve cost is O(records since last checkpoint), bounded by the
     * checkpoint cadence, never by table history. */
-  private def resolveSnapshot(base: Path, version: Int): Option[BronzeSnapshot] =
+  private def resolveSnapshot(base: Path, version: Int): Option[BronzeSnapshot] = {
+    // protocol gate: refuse to interpret a record written with reader
+    // features this build lacks (header peek only — cheap, stops at the
+    // first entry line)
+    readRecordHeader(base.resolve(s"_files_v$version"))
+      .foreach(requireReaderFeatures(base, _))
     readRecord(base.resolve(s"_files_v$version")).map { rec =>
       if (!rec.isDelta) BronzeSnapshot(version, rec.schema, rec.adds)
       else {
@@ -755,6 +907,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           parent.entries.filterNot(e => removed(e.relPath)) ++ rec.adds)
       }
     }
+  }
 
   /** Widen `existing` with any columns `incoming` adds (appended in
     * incoming order); same-name columns must keep their type — schema
@@ -848,7 +1001,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       op: String = "WRITE",
       dataChange: Boolean = true,
       constraints: Option[Seq[(String, String)]] = None,
-      colMap: Option[Map[String, Seq[String]]] = None): Boolean = {
+      colMap: Option[Map[String, Seq[String]]] = None,
+      txns: Option[Map[String, Long]] = None): Boolean = {
     def enc(s: String) =
       java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
     // CHECK constraints persist like schema: every commit RE-EMITS the
@@ -866,8 +1020,34 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val colMapLine = effColMap.filter(_.nonEmpty).toSeq.map(m =>
       "#colmap\t" + m.toSeq.sortBy(_._1).map { case (n, chain) =>
         enc(n) + ":" + chain.map(enc).mkString("|") }.mkString(","))
+    // idempotent-writer txns re-emit like constraints/colmap: the newest
+    // retained record always carries the full appId→version map
+    val effTxns = txns.orElse(Some(txnsOf(base)).filter(_.nonEmpty))
+    val txnLine = effTxns.filter(_.nonEmpty).toSeq.map(m =>
+      "#txn\t" + m.toSeq.sortBy(_._1).map { case (a, v) =>
+        enc(a) + ":" + v.toString }.mkString(","))
+    // reader-feature gate (Delta readerFeatures): declare the features a
+    // reader MUST understand to interpret this record's state correctly —
+    // deletion vectors (an entry with a dv ref is NOT "all its rows") and
+    // column mapping (raw file columns are not the logical columns). A
+    // reader that does not know a declared feature fails fast instead of
+    // silently misreading ([[requireReaderFeatures]]).
+    val reqFeatures =
+      (if (entries.exists(e => ManifestStats.dvRef(e).isDefined)) Seq("dv") else Seq.empty) ++
+        (if (effColMap.exists(_.nonEmpty)) Seq("colmap") else Seq.empty)
+    val featuresLine =
+      if (reqFeatures.isEmpty) Seq.empty else Seq("#features\t" + reqFeatures.mkString(","))
+    // in-commit timestamp (Delta inCommitTimestamps): the commit instant
+    // rides the record itself, clamped STRICTLY ABOVE the predecessor's so
+    // the sequence is monotonic even under clock skew — TIMESTAMP AS OF,
+    // history and the vacuum floor read this instead of the mtime, which a
+    // copy/clone/restore-from-backup would silently rewrite
+    val ctsLine = Seq("#cts\t" + (bronzeVersions(base).filter(_ < version).lastOption
+      .map(pv => math.max(System.currentTimeMillis(), commitTimeMillis(base, pv) + 1))
+      .getOrElse(System.currentTimeMillis())))
     val schemaLine = (("#op\t" + enc(op)) +:
-      schema.toSeq.map(st => "#schema\t" + enc(st.json))) ++ constraintsLine ++ colMapLine
+      schema.toSeq.map(st => "#schema\t" + enc(st.json))) ++
+      constraintsLine ++ colMapLine ++ txnLine ++ featuresLine ++ ctsLine
     val delta = prev.map { p =>
       // diff on the full RENDERED entry, not the relPath alone: a commit
       // that only changes a file's metadata (e.g. its deletion-vector
@@ -976,8 +1156,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     *     "keepVersions ≥ checkpointInterval for time travel" rule
     *     self-enforcing on any realistic maintenance cadence: a version
     *     younger than the window keeps its files regardless of how many
-    *     commits landed after it. Commit time is the manifest record's
-    *     mtime; `now` is injectable for deterministic tests.
+    *     commits landed after it. Commit time is the record's in-commit
+    *     timestamp (mtime for pre-feature records — [[commitTimeMillis]]);
+    *     `now` is injectable for deterministic tests.
     *
     * NOTE (default changed in r11): `retainMillis` defaults to 168 h, so a
     * bare `vacuumBronze(name)` is a near-no-op for a week after a write —
@@ -1004,8 +1185,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     var floorRetained = 0 // unreferenced files kept ONLY by the wall-clock floor
     val allVersions = bronzeVersions(base)
     val youngEnough = allVersions.filter { v =>
-      val m = base.resolve(s"_files_v$v")
-      Files.exists(m) && Files.getLastModifiedTime(m).toMillis >= now - retainMillis
+      Files.exists(base.resolve(s"_files_v$v")) &&
+        commitTimeMillis(base, v) >= now - retainMillis
     }
     val retained =
       (allVersions.takeRight(math.max(1, keepVersions)) ++ youngEnough).distinct.sorted
@@ -1113,13 +1294,27 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * from `USING DELTA`). CONCURRENT appends are safe: a writer losing
     * the version CAS re-reads the winner's manifest and re-commits its
     * already-written files on the next version — blind appends never
-    * conflict, matching Delta's concurrent-append semantics. */
+    * conflict, matching Delta's concurrent-append semantics.
+    *
+    * `txn = Some((appId, version))` makes the append an IDEMPOTENT WRITER
+    * TRANSACTION (Delta's txnAppId/txnVersion): the log records the newest
+    * applied version per appId, and an append whose version is at-or-below
+    * the recorded one is SKIPPED (returns false) — the check rides the
+    * commit CAS loop, so a replayed batch (restarted job, retried
+    * micro-batch) can never double-apply even racing its own duplicate.
+    * Returns true when this call committed. */
   def appendBronze(name: String, df: DataFrame,
       statsCols: Seq[String] = Lakehouse.BronzeStatsCols,
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Boolean = {
     val base = dir("bronze", name)
     Files.createDirectories(base)
     upgradeLegacyBronze(base, statsCols)
+    // idempotent-writer fast path (Delta txnAppId/txnVersion): a replay of
+    // an already-applied transaction skips BEFORE staging any files. The
+    // authoritative check re-runs inside the commit CAS loop — this one
+    // just avoids the wasted write.
+    if (txn.exists { case (app, v) => txnsOf(base).get(app).exists(_ >= v) }) return false
     val v0 = readFilesManifest(base).map(_.version).getOrElse(0)
     val dataDir = newAppendDir(base, v0 + 1)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
@@ -1134,7 +1329,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // simple ones without a scan (constrain a statsCols column to get the
     // metadata-only fast path); the rest validate in one staged-file scan
     val validated = enforceConstraints(base, name, dataDir, mine)
-    commitAppendEntries(base, name, df.schema, mine, dataDir, validated)
+    val committed = commitAppendEntries(base, name, df.schema, mine, dataDir, validated, txn)
+    if (!committed) deleteRecursively(dataDir) // lost the txn race — staged files are debris
+    committed
   }
 
   /** CAS loop committing already-written file entries as an append: a lost
@@ -1167,7 +1364,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       incoming: org.apache.spark.sql.types.StructType,
       mine: Seq[ManifestStats.FileEntry],
       dataDir: Path,
-      validated: Seq[(String, String)]): Unit = {
+      validated: Seq[(String, String)],
+      txn: Option[(String, Long)] = None): Boolean = {
     var attempts = 0
     var committed = false
     var checkedAgainst = validated
@@ -1175,6 +1373,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       attempts += 1
       require(attempts <= 1000, s"bronze append to $name lost 1000 consecutive CAS races")
       val snap = readFilesManifest(base)
+      // idempotent-writer gate (Delta SetTransaction): the check rides the
+      // SAME CAS loop as the commit, so a concurrent replay of this txn
+      // that wins the race is seen on our retry — at most one of the two
+      // appends lands, no double-apply window
+      if (txn.exists { case (app, v) => txnsOf(base).get(app).exists(_ >= v) }) return false
       val curConstraints = constraintsOf(base)
       if (curConstraints != checkedAgainst)
         checkedAgainst = enforceConstraints(base, name, dataDir, mine)
@@ -1184,14 +1387,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val everCommitted = committedDirNames(base)
       val fresh = mine.filterNot(e => live(e.relPath) ||
         everCommitted(e.relPath.takeWhile(_ != '/')))
-      if (fresh.isEmpty) return // all files already committed (adopt raced the writer)
+      if (fresh.isEmpty) return true // all files already committed (adopt raced the writer)
       val schema = mergedSchema(snap.flatMap(_.schema).getOrElse(incoming), incoming)
       guardReservedColumns(base, name,
         snap.flatMap(_.schema).map(_.fieldNames.toSet).getOrElse(Set.empty),
         schema, dataDir)
       committed = commitFilesManifest(base, v + 1, Some(schema), entries ++ fresh,
-        prev = snap.map(_.entries), op = "APPEND")
+        prev = snap.map(_.entries), op = "APPEND",
+        txns = txn.map { case (app, tv) => txnsOf(base) + (app -> tv) })
     }
+    true
   }
 
   /** Crash recovery: ADOPT an already-written append directory whose commit
@@ -1326,6 +1531,54 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     bronzeVersions(base).filter(_ <= version).reverseIterator
       .flatMap(v => readRecordHeader(base.resolve(s"_files_v$v")).flatMap(_.constraints))
       .nextOption().getOrElse(Seq.empty)
+
+  // ───── idempotent writer transactions (Delta SetTransaction parity) ───
+
+  /** AppId → newest applied transaction version, from the newest retained
+    * record carrying a `#txn` line (commits re-emit the map while one
+    * exists, like constraints/colmap, so resolution never walks past the
+    * newest writer). */
+  private def txnsOf(base: Path): Map[String, Long] =
+    bronzeVersions(base).reverseIterator
+      .flatMap(v => readRecordHeader(base.resolve(s"_files_v$v")).flatMap(_.txns))
+      .nextOption().getOrElse(Map.empty)
+
+  /** The newest transaction version recorded for `appId` on a bronze
+    * table, or None if the app never committed — Delta's
+    * `txnVersion(appId)`. A resuming writer reads this to decide where to
+    * restart; [[appendBronze]]/[[mergeBronze]] check it atomically inside
+    * their commit loop, so the read here is advisory. */
+  def txnVersion(name: String, appId: String): Option[Long] =
+    txnsOf(dir("bronze", name)).get(appId)
+
+  // ───── reader-feature protocol gate (Delta readerFeatures parity) ─────
+
+  /** Features this build understands. A log record declaring anything
+    * beyond these was written by a NEWER writer whose state this reader
+    * cannot interpret — reads fail fast ([[requireReaderFeatures]])
+    * instead of silently returning wrong rows (ghost deleted rows, raw
+    * physical columns). */
+  private[pipeline] val SupportedReaderFeatures: Set[String] = Set("dv", "colmap")
+
+  /** Commit instant of a retained version: the record's in-commit
+    * timestamp (`#cts`, r13+ commits) when present, else the manifest
+    * file's mtime (pre-feature records — same fallback Delta uses before
+    * the inCommitTimestamps feature is enabled). */
+  private def commitTimeMillis(base: Path, v: Int): Long = {
+    val m = base.resolve(s"_files_v$v")
+    readRecordHeader(m).flatMap(_.commitTs)
+      .getOrElse(Files.getLastModifiedTime(m).toMillis)
+  }
+
+  private def requireReaderFeatures(base: Path, h: RecordHeader): Unit = {
+    val unknown = h.features.filterNot(SupportedReaderFeatures)
+    require(unknown.isEmpty,
+      s"log record _files_v${h.version} at $base requires reader feature(s) " +
+        s"${unknown.mkString(",")} this build does not support " +
+        s"(supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(",")}); " +
+        "upgrade the reader — interpreting the record without the feature " +
+        "would silently return wrong rows")
+  }
 
   // ───── column mapping (rename/drop without rewrites) ──────────────────
   //
@@ -1853,9 +2106,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * [[appendBronze]], including the re-validate-on-change guard.
     * Concurrency: lost CAS restarts the delete computation from the
     * winner's manifest (the staged insert files are version-independent);
-    * an empty target degenerates to a plain append. */
+    * an empty target degenerates to a plain append. `txn` carries the
+    * same idempotent-writer contract as [[appendBronze]] — pass the
+    * sink's (queryId, batchId) and a replayed foreachBatch upsert is a
+    * no-op (returns false; true = this call committed). */
   def mergeBronze(name: String, source: DataFrame, keys: Seq[String],
-      maxAttempts: Int = 5): Unit = {
+      maxAttempts: Int = 5,
+      txn: Option[(String, Long)] = None): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, col, collect_list, count, lit, when, size => sizeFn}
     import org.apache.spark.sql.graft.ColumnShim
     require(keys.nonEmpty, "mergeBronze needs at least one key column")
@@ -1864,8 +2121,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val base = dir("bronze", name)
     Files.createDirectories(base)
     upgradeLegacyBronze(base, Lakehouse.BronzeStatsCols)
+    // idempotent-writer fast path (see [[appendBronze]]): a foreachBatch
+    // upserter passing (queryId, batchId) as its txn replays micro-batches
+    // safely after a sink crash — the authoritative re-check rides the
+    // commit loop below
+    def txnApplied(): Boolean =
+      txn.exists { case (app, v) => txnsOf(base).get(app).exists(_ >= v) }
+    if (txnApplied()) return false
     val head = readFilesManifest(base)
-    if (head.isEmpty) { appendBronze(name, source); return }
+    if (head.isEmpty) return appendBronze(name, source, txn = txn)
     // stage the source ONCE; files never change across CAS retries
     val dataDir = newAppendDir(base, head.get.version + 1)
     source.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
@@ -1888,11 +2152,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       }
     }
     val keySet = stagedDf.select(keys.map(col): _*).distinct()
+    def commitTxns: Option[Map[String, Long]] =
+      txn.map { case (app, tv) => txnsOf(base) + (app -> tv) }
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val BronzeSnapshot(v, schemaOpt, entries) = readFilesManifest(base).getOrElse(
         throw new IllegalStateException(s"bronze.$name lost its committed version mid-merge"))
+      if (txnApplied()) { deleteRecursively(dataDir); return false }
       val curConstraints = constraintsOf(base)
       if (curConstraints != validated)
         validated = enforceConstraints(base, name, dataDir, staged)
@@ -1903,7 +2170,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       if (candidates.isEmpty) {
         // pure insert: no target row matches any source key range
         if (commitFilesManifest(base, v + 1, Some(mergedSch), entries ++ staged,
-            prev = Some(entries), op = "MERGE")) return
+            prev = Some(entries), op = "MERGE", txns = commitTxns)) return true
       } else {
         val cmap = colMapOf(base)
         def rd = schemaOpt.fold(spark.read)(s =>
@@ -1934,7 +2201,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           .collect()
         if (perFile.isEmpty) {
           if (commitFilesManifest(base, v + 1, Some(mergedSch), entries ++ staged,
-              prev = Some(entries), op = "MERGE")) return
+              prev = Some(entries), op = "MERGE", txns = commitTxns)) return true
         } else {
           val dvDirName =
             s"${DeletionVectors.DirPrefix}${v + 1}_${java.util.UUID.randomUUID.toString.take(8)}"
@@ -1960,7 +2227,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
             }
           }
           if (commitFilesManifest(base, v + 1, Some(mergedSch), kept ++ staged,
-              prev = Some(entries), op = "MERGE")) return
+              prev = Some(entries), op = "MERGE", txns = commitTxns)) return true
           // lost the CAS: our vectors reference a stale read-set
           deleteRecursively(dvDir)
         }
@@ -2147,6 +2414,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     var v = version
     while (ckptHeader.isEmpty) {
       val h = readRecordHeader(base.resolve(s"_files_v$v")).getOrElse(return None)
+      requireReaderFeatures(base, h)
       if (!h.isDelta) ckptHeader = Some(h)
       else {
         deltas = readRecord(base.resolve(s"_files_v$v")).get :: deltas

@@ -184,5 +184,95 @@ object StorageQueries {
       SELECT c_custkey, c_name, acctbal FROM src
       ORDER BY c_custkey"""))
 
-  val all: Seq[GraftQuery] = Seq(st01DvDelete, st02RestoreRead, st03CdfRead, st04MergeUpsert)
+  /** Idempotent writer transactions ([[Lakehouse.appendBronze]] with
+    * `txn`, Delta's txnAppId/txnVersion): every append AND its exact
+    * replay run back to back — the replays must be no-ops (skipped before
+    * staging), so the table read back equals the union of each batch
+    * EXACTLY ONCE. DuckDB replays the no-replay semantics as a plain
+    * two-branch union. */
+  val st05TxnIdempotent = GraftQuery(
+    "st05_txn_idempotent",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-st05")
+      val lake = new Lakehouse(s, scratch.toString)
+      val base = table(s, dir, "orders")
+        .filter(col("o_custkey") % 20 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(money).as("price"))
+      val b1 = base.filter(col("o_orderkey") % 2 === 0).repartition(2)
+      val b2 = base.filter(col("o_orderkey") % 2 =!= 0).repartition(2)
+      lake.appendBronze("ord", b1, txn = Some(("loader", 1L)))
+      lake.appendBronze("ord", b1, txn = Some(("loader", 1L))) // replayed batch: no-op
+      lake.appendBronze("ord", b2, txn = Some(("loader", 2L)))
+      lake.appendBronze("ord", b2, txn = Some(("loader", 2L))) // replayed batch: no-op
+      lake.appendBronze("ord", b1, txn = Some(("loader", 1L))) // out-of-order replay: no-op
+      val res = lake.table("bronze", "ord")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("price").cast("double").as("price"))
+        .orderBy(col("o_orderkey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      FROM orders
+      WHERE o_custkey % 20 = 1
+      ORDER BY o_orderkey"""))
+
+  /** Durable change-feed cursor ([[graft.streaming.Streams.changesSink]]):
+    * the feed drains in TWO ticks (after v1; after v2+v3), then a crash is
+    * simulated by rewinding the cursor to the first tick's frontier and
+    * re-draining — the re-derived per-version batches overwrite
+    * byte-identically, so the materialized feed read back equals the full
+    * CDF exactly once. DuckDB replays the three versions' change rows as
+    * literal-tagged unions (same shape as st03). */
+  val st06CdfCursor = GraftQuery(
+    "st06_cdf_cursor",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-st06")
+      val lake = new Lakehouse(s, scratch.toString)
+      val cursor = scratch.resolve("cursor")
+      val feed = scratch.resolve("feed").toString
+      val base = table(s, dir, "orders")
+        .filter(col("o_custkey") % 25 === 7)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(money).as("price"))
+      lake.appendBronze("ord", base.filter(col("o_orderkey") % 2 === 0).repartition(2)) // v1
+      graft.streaming.Streams.changesSink(lake, "ord", cursor.toString, feed) // tick 1: (0,1]
+      lake.appendBronze("ord", base.filter(col("o_orderkey") % 2 =!= 0).repartition(2)) // v2
+      lake.deleteBronzeWhereDv("ord", col("o_orderkey") % 5 === 0) // v3
+      graft.streaming.Streams.changesSink(lake, "ord", cursor.toString, feed) // tick 2: (1,3]
+      // crash replay: the cursor never made it past tick 1 — re-drain
+      val ms = Files.list(cursor)
+      try ms.forEach(p => Files.deleteIfExists(p)) finally ms.close()
+      lake.commitChangesCursor(cursor, 1)
+      graft.streaming.Streams.changesSink(lake, "ord", cursor.toString, feed)
+      val res = graft.streaming.Streams.batchedTable(s, feed)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("price").cast("double").as("price"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").cast("bigint").as("commit_version"))
+        .orderBy(col("commit_version"), col("change_type"), col("o_orderkey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      WITH sample AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        FROM orders WHERE o_custkey % 25 = 7)
+      SELECT o_orderkey, o_orderstatus, price,
+             'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version
+      FROM sample WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, price,
+             'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version
+      FROM sample WHERE o_orderkey % 2 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, price,
+             'delete' AS change_type, CAST(3 AS BIGINT) AS commit_version
+      FROM sample WHERE o_orderkey % 5 = 0
+      ORDER BY commit_version, change_type, o_orderkey"""))
+
+  val all: Seq[GraftQuery] = Seq(st01DvDelete, st02RestoreRead, st03CdfRead, st04MergeUpsert,
+    st05TxnIdempotent, st06CdfCursor)
 }

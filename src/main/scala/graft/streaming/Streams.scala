@@ -692,6 +692,40 @@ object Streams {
     spark.read.parquet(dirs: _*)
   }
 
+  /** EXACTLY-ONCE materialization of a bronze table's change data feed: one
+    * tick drains every version committed since the cursor
+    * ([[graft.pipeline.Lakehouse.changesCursor]]) into per-version `b{V}`
+    * batch dirs under `outDir`, then advances the cursor. Returns the
+    * `(from, to]` range drained, or None when caught up.
+    *
+    * Exactly-once by construction, not by luck: each version's changes
+    * land in a dir KEYED ON THAT VERSION, and
+    * [[graft.pipeline.Lakehouse.tableChanges]] is a pure function of the
+    * log — so a crash anywhere (mid-write, between writes, before the
+    * cursor commit) makes the next tick re-derive byte-identical batches
+    * into the same dirs (an atomic overwrite, [[writeBatchDir]]) and the
+    * end state converges. The feed reads back as a table via
+    * [[batchedTable]] and compacts via [[compactBatches]] like any other
+    * batch-dir stream. The cursor must stay inside the table's vacuum
+    * retention window — see the contract note at
+    * [[graft.pipeline.Lakehouse.tableChangesSince]]. */
+  def changesSink(lake: graft.pipeline.Lakehouse, name: String,
+      cursorDir: String, outDir: String): Option[(Int, Int)] = {
+    val cur = java.nio.file.Paths.get(cursorDir)
+    val from = lake.changesCursor(cur)
+    val to = lake.committedBronzeVersion(name)
+    if (to <= from) None
+    else {
+      // per-version batches: O(versions since cursor) log resolves, each
+      // O(that commit's changed files) — never a two-snapshot diff
+      (from + 1 to to).foreach { v =>
+        writeBatchDir(lake.tableChanges(name, v - 1, v), outDir, v.toLong)
+      }
+      lake.commitChangesCursor(cur, to)
+      Some((from, to))
+    }
+  }
+
   /** CONTINUOUS dataset-card maintenance: each micro-batch folds its docs
     * into the standing [[graft.operators.Reports]] count index with a
     * versioned overwrite — `v{batchId}` is written complete before older
