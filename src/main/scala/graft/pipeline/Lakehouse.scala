@@ -873,6 +873,22 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     else {
       val lines = new String(Files.readAllBytes(m), java.nio.charset.StandardCharsets.UTF_8)
         .linesIterator.toSeq
+      // protocol gate (Delta readerFeatures): refuse to interpret a record
+      // declaring a feature this build lacks — checked HERE, on the bytes
+      // already in hand, so the gate costs zero extra file opens on the
+      // snapshot-resolve hot path
+      lines.tail.iterator.takeWhile(_.startsWith("#")).foreach {
+        case FeaturesLine(enc) =>
+          val unknown = enc.split(',').toSeq.filter(_.nonEmpty)
+            .filterNot(SupportedReaderFeatures)
+          require(unknown.isEmpty,
+            s"log record ${m.getFileName} requires reader feature(s) " +
+              s"${unknown.mkString(",")} this build does not support " +
+              s"(supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(",")}); " +
+              "upgrade the reader — interpreting the record without the feature " +
+              "would silently return wrong rows")
+        case _ =>
+      }
       val schema = lines.tail.collectFirst { case SchemaLine(enc) =>
         org.apache.spark.sql.types.DataType.fromJson(
           java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
@@ -892,11 +908,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * resolve cost is O(records since last checkpoint), bounded by the
     * checkpoint cadence, never by table history. */
   private def resolveSnapshot(base: Path, version: Int): Option[BronzeSnapshot] = {
-    // protocol gate: refuse to interpret a record written with reader
-    // features this build lacks (header peek only — cheap, stops at the
-    // first entry line)
-    readRecordHeader(base.resolve(s"_files_v$version"))
-      .foreach(requireReaderFeatures(base, _))
+    // the reader-feature protocol gate rides [[readRecord]] itself (zero
+    // extra file opens on this hot path)
     readRecord(base.resolve(s"_files_v$version")).map { rec =>
       if (!rec.isDelta) BronzeSnapshot(version, rec.schema, rec.adds)
       else {
@@ -1020,9 +1033,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val colMapLine = effColMap.filter(_.nonEmpty).toSeq.map(m =>
       "#colmap\t" + m.toSeq.sortBy(_._1).map { case (n, chain) =>
         enc(n) + ":" + chain.map(enc).mkString("|") }.mkString(","))
+    // ONE header peek at the newest retained record serves both the txn
+    // re-emit fallback and the in-commit-timestamp monotonicity clamp
+    val newestHeader = bronzeVersions(base).filter(_ < version).lastOption
+      .flatMap(v => readRecordHeader(base.resolve(s"_files_v$v")).map(v -> _))
     // idempotent-writer txns re-emit like constraints/colmap: the newest
     // retained record always carries the full appId→version map
-    val effTxns = txns.orElse(Some(txnsOf(base)).filter(_.nonEmpty))
+    val effTxns = txns.orElse(newestHeader.flatMap(_._2.txns).filter(_.nonEmpty))
     val txnLine = effTxns.filter(_.nonEmpty).toSeq.map(m =>
       "#txn\t" + m.toSeq.sortBy(_._1).map { case (a, v) =>
         enc(a) + ":" + v.toString }.mkString(","))
@@ -1042,9 +1059,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // the sequence is monotonic even under clock skew — TIMESTAMP AS OF,
     // history and the vacuum floor read this instead of the mtime, which a
     // copy/clone/restore-from-backup would silently rewrite
-    val ctsLine = Seq("#cts\t" + (bronzeVersions(base).filter(_ < version).lastOption
-      .map(pv => math.max(System.currentTimeMillis(), commitTimeMillis(base, pv) + 1))
-      .getOrElse(System.currentTimeMillis())))
+    val ctsLine = Seq("#cts\t" + (newestHeader match {
+      case Some((pv, h)) => math.max(System.currentTimeMillis(),
+        h.commitTs.getOrElse(
+          Files.getLastModifiedTime(base.resolve(s"_files_v$pv")).toMillis) + 1)
+      case None => System.currentTimeMillis()
+    }))
     val schemaLine = (("#op\t" + enc(op)) +:
       schema.toSeq.map(st => "#schema\t" + enc(st.json))) ++
       constraintsLine ++ colMapLine ++ txnLine ++ featuresLine ++ ctsLine
@@ -1534,14 +1554,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 
   // ───── idempotent writer transactions (Delta SetTransaction parity) ───
 
-  /** AppId → newest applied transaction version, from the newest retained
-    * record carrying a `#txn` line (commits re-emit the map while one
-    * exists, like constraints/colmap, so resolution never walks past the
-    * newest writer). */
+  /** AppId → newest applied transaction version. Resolution reads the
+    * NEWEST record only (one header peek): every commit re-emits the map
+    * while one exists — the colMapOf discipline — so absence of the line
+    * in the newest record IS the empty map (including every pre-txn-era
+    * log, whose records never carry it). */
   private def txnsOf(base: Path): Map[String, Long] =
-    bronzeVersions(base).reverseIterator
+    bronzeVersions(base).lastOption
       .flatMap(v => readRecordHeader(base.resolve(s"_files_v$v")).flatMap(_.txns))
-      .nextOption().getOrElse(Map.empty)
+      .getOrElse(Map.empty)
 
   /** The newest transaction version recorded for `appId` on a bronze
     * table, or None if the app never committed — Delta's
