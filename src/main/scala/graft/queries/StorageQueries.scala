@@ -273,6 +273,60 @@ object StorageQueries {
       FROM sample WHERE o_orderkey % 5 = 0
       ORDER BY commit_version, change_type, o_orderkey"""))
 
+  /** Incremental aggregate MV with retractions
+    * ([[graft.streaming.Streams.cdfAggregateSink]]): per-custkey count and
+    * price sum maintained from the change feed across three ticks —
+    * inserts, a deletion-vector DELETE (retraction), and a MERGE upsert
+    * (delete+insert pairs) — plus a crash-replayed tick whose merge the
+    * writer txn must skip. The read face must equal DuckDB's from-scratch
+    * GROUP BY of the final visible state: incremental fold ≡ recompute. */
+  val st07CdfAggMv = GraftQuery(
+    "st07_cdf_agg_mv",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-st07")
+      val lake = new Lakehouse(s, scratch.toString)
+      val cursor = scratch.resolve("cursor")
+      def tick() = graft.streaming.Streams.cdfAggregateSink(
+        lake, "ord", "agg", Seq("o_custkey"), Seq("price"), cursor.toString)
+      val base = table(s, dir, "orders")
+        .filter(col("o_custkey") % 25 === 11)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(money).as("price"))
+      lake.appendBronze("ord", base.filter(col("o_orderkey") % 2 === 0).repartition(2))
+      tick()
+      lake.appendBronze("ord", base.filter(col("o_orderkey") % 2 =!= 0).repartition(2))
+      lake.deleteBronzeWhereDv("ord", col("o_orderkey") % 5 === 0)
+      val tick2 = tick()
+      lake.mergeBronze("ord", base.filter(col("o_orderkey") % 7 === 1)
+        .withColumn("price", (col("price") + lit(100)).cast(money)), Seq("o_orderkey"))
+      tick()
+      // crash replay of tick 3: rewind the cursor to tick 2's frontier and
+      // re-tick — the merge's writer txn must skip the double-apply
+      val ms = Files.list(cursor)
+      try ms.forEach(p => Files.deleteIfExists(p)) finally ms.close()
+      lake.commitChangesCursor(cursor, tick2.get._2)
+      tick()
+      val res = graft.streaming.Streams.cdfAggregate(lake, "agg")
+        .select(col("o_custkey"), col("cnt"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy(col("o_custkey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      WITH sample AS (
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders WHERE o_custkey % 25 = 11),
+      final AS (
+        SELECT o_custkey, price FROM sample
+        WHERE NOT (o_orderkey % 5 = 0) AND NOT (o_orderkey % 7 = 1)
+        UNION ALL
+        SELECT o_custkey, CAST(price + 100 AS DECIMAL(12,2)) AS price
+        FROM sample WHERE o_orderkey % 7 = 1)
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(price) AS DOUBLE) AS sum_price
+      FROM final GROUP BY o_custkey
+      ORDER BY o_custkey"""))
+
   val all: Seq[GraftQuery] = Seq(st01DvDelete, st02RestoreRead, st03CdfRead, st04MergeUpsert,
-    st05TxnIdempotent, st06CdfCursor)
+    st05TxnIdempotent, st06CdfCursor, st07CdfAggMv)
 }

@@ -709,6 +709,71 @@ object Streams {
     * batch-dir stream. The cursor must stay inside the table's vacuum
     * retention window — see the contract note at
     * [[graft.pipeline.Lakehouse.tableChangesSince]]. */
+  /** INCREMENTAL AGGREGATE MV WITH RETRACTIONS, maintained from the change
+    * data feed: the target bronze table holds `keys ++ (cnt, sum_<c>…)`
+    * for the source's visible rows, and one tick folds every change since
+    * the cursor into it — `insert` rows add (+1, +value), `delete` rows
+    * RETRACT (−1, −value) — something the latest-wins silver refresh
+    * cannot express (it never retracts; its delete contract fails fast
+    * instead, [[silverRefreshStream]]).
+    *
+    * Per-tick cost ∝ CHURN, never table size: the deltas are one groupBy
+    * over the tick's changes, the current values for affected keys come
+    * from the stats-bounded candidate scan inside
+    * [[graft.pipeline.Lakehouse.mergeBronze]], and the commit touches
+    * O(files covering affected keys). On a 100 TB source a tick costs the
+    * tick's changes, not a re-aggregation.
+    *
+    * EXACTLY-ONCE end to end by composing two primitives of this log:
+    * the merge commits under writer txn `("cdfagg:" + target, toVersion)`
+    * — so a crash AFTER the merge but BEFORE the cursor advance replays
+    * the same range, recomputes, and the replayed merge is a txn NO-OP
+    * (the recomputed frame is discarded unread) — and the cursor advances
+    * only after the merge returns. A key whose count reaches zero keeps a
+    * `cnt = 0` tombstone row (merge cannot delete-without-replacing);
+    * READS must filter `cnt > 0` — [[cdfAggregate]] is that read face.
+    * Returns the `(from, to]` range folded, or None when caught up. */
+  def cdfAggregateSink(lake: graft.pipeline.Lakehouse, source: String,
+      target: String, keys: Seq[String], sumCols: Seq[String],
+      cursorDir: String): Option[(Int, Int)] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+    require(keys.nonEmpty, "cdfAggregateSink needs at least one key column")
+    val cur = java.nio.file.Paths.get(cursorDir)
+    lake.tableChangesSince(source, cur).map { case (changes, from, to) =>
+      val signed = changes.withColumn("__s",
+        when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+      val aggs = (sum(col("__s")).as("cnt") +:
+        sumCols.map(c => sum(col(c) * col("__s")).as(s"sum_$c")))
+      val deltas = signed.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      val merged =
+        if (!lake.exists("bronze", target)) deltas
+        else {
+          val prev = lake.table("bronze", target)
+          // additions widen DECIMAL precision — cast back to the delta
+          // schema's types so the target schema is IDENTICAL every tick
+          // (the log's schema evolution is ADD COLUMNS, never retype)
+          val sumExprs = sumCols.map { c =>
+            (coalesce(prev.col(s"sum_$c"), lit(0)) + deltas.col(s"sum_$c"))
+              .cast(deltas.schema(s"sum_$c").dataType).as(s"sum_$c")
+          }
+          deltas.join(prev, keys, "left").select(
+            keys.map(deltas.col) ++
+              Seq((coalesce(prev.col("cnt"), lit(0L)) + deltas.col("cnt")).as("cnt")) ++
+              sumExprs: _*)
+        }
+      lake.mergeBronze(target, merged, keys, txn = Some((s"cdfagg:$target", to.toLong)))
+      lake.commitChangesCursor(cur, to)
+      (from, to)
+    }
+  }
+
+  /** The read face of a [[cdfAggregateSink]] target: visible aggregate
+    * rows only (zero-count tombstones left by full retraction filtered
+    * out; an OPTIMIZE rewrite purges them physically). */
+  def cdfAggregate(lake: graft.pipeline.Lakehouse, target: String): DataFrame =
+    lake.table("bronze", target)
+      .filter(org.apache.spark.sql.functions.col("cnt") > 0)
+
   def changesSink(lake: graft.pipeline.Lakehouse, name: String,
       cursorDir: String, outDir: String): Option[(Int, Int)] = {
     val cur = java.nio.file.Paths.get(cursorDir)

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.pipeline.Lakehouse
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[Streams.cdfAggregateSink]] — the incremental aggregate MV maintained
+  * from the change data feed, WITH retractions: deletes shrink counts and
+  * sums, full retraction leaves a filtered-out zero tombstone, and the
+  * merge's writer txn makes a crash-replayed tick a no-op. The invariant
+  * checked everywhere: after any tick, the MV equals the from-scratch
+  * groupBy of the source's visible rows. */
+class CdfAggregateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkLake(tag: String): Lakehouse =
+    new Lakehouse(spark, Files.createTempDirectory(s"graft-$tag").toString)
+
+  private def rows(run: String, recs: Seq[(Long, String, Long)]) =
+    recs.map { case (id, k, v) => (id, k, v, run) }
+      .toDF("id", "grp", "val", "run_id").repartition(1)
+
+  /** From-scratch oracle: groupBy over the source's current visible rows. */
+  private def scratch(lake: Lakehouse): DataFrame =
+    lake.table("bronze", "src").groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("val").as("sum_val"))
+
+  private def same(a: DataFrame, b: DataFrame): Boolean = {
+    val an = a.select("grp", "cnt", "sum_val")
+    val bn = b.select(col("grp"), col("cnt"),
+      col("sum_val").cast(an.schema("sum_val").dataType).as("sum_val"))
+    an.exceptAll(bn).isEmpty && bn.exceptAll(an).isEmpty
+  }
+
+  test("MV tracks the from-scratch aggregate through appends, deletes and merges") {
+    val lake = mkLake("cdfagg")
+    val cursor = Files.createTempDirectory("graft-cdfagg-cur").toString
+    def tick() = Streams.cdfAggregateSink(lake, "src", "agg",
+      Seq("grp"), Seq("val"), cursor)
+
+    lake.appendBronze("src", rows("r1",
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))))
+    assert(tick().isDefined)
+    assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
+
+    // more inserts + a retraction in ONE tick
+    lake.appendBronze("src", rows("r2", Seq((4L, "b", 7L), (5L, "c", 1L))))
+    lake.deleteBronzeWhereDv("src", col("id") === 2L, Nil) // retract (a, 20)
+    assert(tick().isDefined)
+    assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
+    val a = Streams.cdfAggregate(lake, "agg").filter(col("grp") === "a").collect().head
+    assert(a.getAs[Long]("cnt") == 1L)
+
+    // an upsert (delete+insert pair in the feed) moves value between rows
+    lake.mergeBronze("src", rows("r3", Seq((3L, "b", 50L))), Seq("id"))
+    assert(tick().isDefined)
+    assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
+
+    // caught up: no-op tick
+    assert(tick().isEmpty)
+  }
+
+  test("full retraction of a key leaves a zero tombstone the read face hides") {
+    val lake = mkLake("cdfagg0")
+    val cursor = Files.createTempDirectory("graft-cdfagg0-cur").toString
+    def tick() = Streams.cdfAggregateSink(lake, "src", "agg",
+      Seq("grp"), Seq("val"), cursor)
+
+    lake.appendBronze("src", rows("r1", Seq((1L, "a", 10L), (2L, "b", 3L))))
+    tick()
+    lake.deleteBronzeWhereDv("src", col("grp") === "a", Nil)
+    tick()
+    // the read face shows only b; the physical table keeps a's tombstone
+    assert(Streams.cdfAggregate(lake, "agg").select("grp")
+      .as[String].collect().toSeq == Seq("b"))
+    val phys = lake.table("bronze", "agg")
+    assert(phys.filter(col("grp") === "a").select("cnt").as[Long].collect().toSeq == Seq(0L))
+    assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
+    // the key coming BACK resumes from the tombstone
+    lake.appendBronze("src", rows("r2", Seq((9L, "a", 4L))))
+    tick()
+    assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
+  }
+
+  test("a crash-replayed tick is exactly-once: the merge txn skips, the cursor catches up") {
+    val lake = mkLake("cdfaggx")
+    val cursorDir = Files.createTempDirectory("graft-cdfaggx-cur")
+    def tick() = Streams.cdfAggregateSink(lake, "src", "agg",
+      Seq("grp"), Seq("val"), cursorDir.toString)
+
+    lake.appendBronze("src", rows("r1", Seq((1L, "a", 10L), (2L, "b", 3L))))
+    val Some((_, to1)) = tick()
+    lake.appendBronze("src", rows("r2", Seq((3L, "a", 5L))))
+    val Some((_, to2)) = tick()
+    val expected = scratch(lake)
+    assert(same(Streams.cdfAggregate(lake, "agg"), expected))
+
+    // CRASH between the merge and the cursor advance: rewind the cursor to
+    // to1 (the merge for (to1, to2] HAS landed) and replay the tick — the
+    // txn check must skip the double-apply, then the cursor catches up
+    val ms = Files.list(cursorDir)
+    try ms.forEach(p => Files.deleteIfExists(p)) finally ms.close()
+    lake.commitChangesCursor(cursorDir, to1)
+    val aggVersion = lake.committedBronzeVersion("agg")
+    val Some((_, to3)) = tick()
+    assert(to3 == to2)
+    assert(lake.committedBronzeVersion("agg") == aggVersion, "replayed merge double-applied")
+    assert(same(Streams.cdfAggregate(lake, "agg"), expected))
+    assert(lake.changesCursor(cursorDir) == to2)
+  }
+}
