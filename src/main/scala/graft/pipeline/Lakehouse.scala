@@ -1794,6 +1794,66 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       s"renameBronzeColumn($name, $from) lost $maxAttempts consecutive CAS races")
   }
 
+  /** Widenings [[widenBronzeColumnType]] accepts: the value set of the old
+    * type embeds losslessly in the new, AND the parquet reader decodes an
+    * old file's pages directly at the new type (probed on this Spark:
+    * integral up-casts, float→double, decimal precision growth at the same
+    * scale), AND the stats/bloom tag encoding is unchanged (integrals all
+    * encode 'l', float/double 'f' — file-skipping keeps working on old
+    * files' recorded stats). */
+  private def widensTo(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Int = t match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 3; case LongType => 4
+      case _ => -1
+    }
+    (from, to) match {
+      case (f, t) if rank(f) > 0 && rank(t) > 0 => rank(f) < rank(t)
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        f.scale == t.scale && f.precision < t.precision
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE ALTER COLUMN TYPE` (Delta's type widening) —
+    * METADATA-ONLY: the log schema's column type widens (integral
+    * up-casts, float→double, decimal precision growth), no file is
+    * rewritten, and every read path already scans under the LOG schema —
+    * the parquet reader decodes old files' narrower pages at the wide type
+    * natively (WidenProbeSpec pins this on both the vectorized and
+    * row-based readers). AS-OF reads keep each version's own narrower
+    * type (schema rides the log per version); appends/merges after the
+    * widen must supply the NEW type ([[mergedSchema]] stays strict — cast
+    * upstream, Delta's writer contract). Stats-based skipping on old
+    * files keeps working because the widenings are tag-preserving
+    * ([[widensTo]]). Narrowing or any other change is refused. */
+  def widenBronzeColumnType(name: String, colName: String,
+      newType: org.apache.spark.sql.types.DataType, maxAttempts: Int = 5): Unit = {
+    val base = dir("bronze", name)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = readFilesManifest(base).getOrElse(throw new IllegalArgumentException(
+        s"bronze.$name is not log-managed (append first, then widen)"))
+      val schema = cur.schema.getOrElse(throw new IllegalStateException(
+        s"bronze.$name carries no log schema — cannot widen"))
+      val field = schema.fields.find(_.name == colName).getOrElse(
+        throw new IllegalArgumentException(s"no column $colName on bronze.$name"))
+      require(widensTo(field.dataType, newType),
+        s"cannot widen $colName: ${field.dataType.simpleString} → " +
+          s"${newType.simpleString} is not a supported lossless widening " +
+          "(integral up-casts, float→double, decimal precision growth)")
+      val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        if (f.name == colName) f.copy(dataType = newType) else f))
+      if (commitFilesManifest(base, cur.version + 1, Some(newSchema), cur.entries,
+          prev = Some(cur.entries), op = "WIDEN COLUMN")) return
+    }
+    throw new IllegalStateException(
+      s"widenBronzeColumnType($name, $colName) lost $maxAttempts consecutive CAS races")
+  }
+
   /** `ALTER TABLE DROP COLUMN` — metadata-only: the column leaves the log
     * schema (reads stop projecting it; the data stays in files until they
     * are rewritten) and its name chain is kept as a '!'-prefixed TOMBSTONE

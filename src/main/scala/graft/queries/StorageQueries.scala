@@ -327,6 +327,45 @@ object StorageQueries {
       FROM final GROUP BY o_custkey
       ORDER BY o_custkey"""))
 
+  /** Type widening ([[Lakehouse.widenBronzeColumnType]], Delta ALTER
+    * COLUMN TYPE): the sample lands as INT keys + DECIMAL(10,2) prices,
+    * the columns widen to LONG / DECIMAL(12,2) metadata-only, a second
+    * batch arrives at the WIDE types, and a vector delete crosses both
+    * eras — the mixed narrow/wide files must read back as exactly the
+    * surviving sample (DuckDB never sees the widen; it checks the VALUES
+    * survive it). */
+  val st08TypeWiden = GraftQuery(
+    "st08_type_widen",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-st08")
+      val lake = new Lakehouse(s, scratch.toString)
+      val base = table(s, dir, "orders")
+        .filter(col("o_custkey") % 25 === 13)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val narrow = base.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").cast("int").as("okey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(10, 2)).as("price"))
+      lake.appendBronze("ord", narrow.repartition(2))
+      lake.widenBronzeColumnType("ord", "okey", org.apache.spark.sql.types.LongType)
+      lake.widenBronzeColumnType("ord", "price", DecimalType(12, 2))
+      val wideBatch = base.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus"),
+          col("o_totalprice").cast(money).as("price"))
+      lake.appendBronze("ord", wideBatch.repartition(2))
+      lake.deleteBronzeWhereDv("ord", col("okey") % 5 === 0)
+      val res = lake.table("bronze", "ord")
+        .select(col("okey"), col("o_orderstatus"),
+          col("price").cast("double").as("price"))
+        .orderBy(col("okey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS okey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      FROM orders
+      WHERE o_custkey % 25 = 13 AND NOT (o_orderkey % 5 = 0)
+      ORDER BY okey"""))
+
   val all: Seq[GraftQuery] = Seq(st01DvDelete, st02RestoreRead, st03CdfRead, st04MergeUpsert,
-    st05TxnIdempotent, st06CdfCursor, st07CdfAggMv)
+    st05TxnIdempotent, st06CdfCursor, st07CdfAggMv, st08TypeWiden)
 }

@@ -980,7 +980,8 @@ object Streams {
     // is exactly a restart and restarts must pass.
     if (!atConstruction) last.foreach { from =>
       val schemaOps = lake.opsSince(bronzeTable, from).collect {
-        case (v, op) if op == "RENAME COLUMN" || op == "DROP COLUMN" => s"v$v=$op"
+        case (v, op) if op == "RENAME COLUMN" || op == "DROP COLUMN" ||
+          op == "WIDEN COLUMN" => s"v$v=$op"
       }
       require(schemaOps.isEmpty,
         s"bronze.$bronzeTable changed its column mapping " +
