@@ -704,6 +704,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private val TxnLine = "#txn\t(.*)".r
   private val FeaturesLine = "#features\t(.*)".r
   private val CommitTsLine = "#cts\t(\\d+)".r
+  private val GenColsLine = "#gencols\t(.*)".r
 
   /** Header-only peek at a log record — version, delta/checkpoint kind, and
     * the parquet-twin reference — WITHOUT parsing the entry lines. The
@@ -732,7 +733,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // the commit instant recorded INSIDE the record, monotonic across
       // versions — survives file copies/clones where mtimes do not.
       // None = pre-feature record (readers fall back to the mtime).
-      commitTs: Option[Long] = None)
+      commitTs: Option[Long] = None,
+      // generated columns: column → generation expression SQL (Delta's
+      // GENERATED ALWAYS AS). Re-emitted per commit, newest-record
+      // resolution. None = no line (empty set).
+      genCols: Option[Seq[(String, String)]] = None)
 
   private def readRecordHeader(m: Path): Option[RecordHeader] =
     if (!Files.exists(m)) None
@@ -751,6 +756,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         var txns: Option[Map[String, Long]] = None
         var features: Seq[String] = Seq.empty
         var commitTs: Option[Long] = None
+        var genCols: Option[Seq[(String, String)]] = None
         var line = in.readLine()
         // header lines all start with '#' and precede the entry lines
         // (#rm lines of a delta are skipped — this peek never needs them)
@@ -787,6 +793,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
             case FeaturesLine(enc) => // union across lines: requirements only add
               features = (features ++ enc.split(',').toSeq.filter(_.nonEmpty)).distinct
             case CommitTsLine(ms) => commitTs = Some(ms.toLong)
+            case GenColsLine(enc) => genCols = Some(
+              enc.split(',').toSeq.filter(_.nonEmpty).map { pair =>
+                val Array(n, e) = pair.split(":", 2)
+                (java.net.URLDecoder.decode(n, java.nio.charset.StandardCharsets.UTF_8),
+                  java.net.URLDecoder.decode(e, java.nio.charset.StandardCharsets.UTF_8))
+              })
             case SchemaLine(enc) => schema = Some(
               org.apache.spark.sql.types.DataType.fromJson(
                 java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
@@ -796,7 +808,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           line = in.readLine()
         }
         Some(RecordHeader(version, isDelta, ckpt, schema, addDirs, op, noDataDirs,
-          constraints, colMap, txns, features, commitTs))
+          constraints, colMap, txns, features, commitTs, genCols))
       } finally in.close()
     }
 
@@ -1015,7 +1027,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       dataChange: Boolean = true,
       constraints: Option[Seq[(String, String)]] = None,
       colMap: Option[Map[String, Seq[String]]] = None,
-      txns: Option[Map[String, Long]] = None): Boolean = {
+      txns: Option[Map[String, Long]] = None,
+      genCols: Option[Seq[(String, String)]] = None): Boolean = {
     def enc(s: String) =
       java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
     // CHECK constraints persist like schema: every commit RE-EMITS the
@@ -1043,6 +1056,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val txnLine = effTxns.filter(_.nonEmpty).toSeq.map(m =>
       "#txn\t" + m.toSeq.sortBy(_._1).map { case (a, v) =>
         enc(a) + ":" + v.toString }.mkString(","))
+    // generated columns re-emit on the same newest-record discipline
+    val effGen = genCols.orElse(newestHeader.flatMap(_._2.genCols).filter(_.nonEmpty))
+    val genLine = effGen.filter(_.nonEmpty).toSeq.map(gs =>
+      "#gencols\t" + gs.map { case (n, e) => enc(n) + ":" + enc(e) }.mkString(","))
     // reader-feature gate (Delta readerFeatures): declare the features a
     // reader MUST understand to interpret this record's state correctly —
     // deletion vectors (an entry with a dv ref is NOT "all its rows") and
@@ -1067,7 +1084,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }))
     val schemaLine = (("#op\t" + enc(op)) +:
       schema.toSeq.map(st => "#schema\t" + enc(st.json))) ++
-      constraintsLine ++ colMapLine ++ txnLine ++ featuresLine ++ ctsLine
+      constraintsLine ++ colMapLine ++ txnLine ++ genLine ++ featuresLine ++ ctsLine
     val delta = prev.map { p =>
       // diff on the full RENDERED entry, not the relPath alone: a commit
       // that only changes a file's metadata (e.g. its deletion-vector
@@ -1337,7 +1354,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     if (txn.exists { case (app, v) => txnsOf(base).get(app).exists(_ >= v) }) return false
     val v0 = readFilesManifest(base).map(_.version).getOrElse(0)
     val dataDir = newAppendDir(base, v0 + 1)
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    // generated columns the writer omitted are computed BEFORE staging —
+    // the files carry materialized values like any other column
+    val staged = fillGenerated(base, df)
+    staged.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     // footer min/max are free; blooms (opt-in) cost one scan over the
     // just-written files — see the tradeoff note at [[ManifestStats.bloomKey]]
     val mine = ManifestStats.withBlooms(
@@ -1349,7 +1369,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // simple ones without a scan (constrain a statsCols column to get the
     // metadata-only fast path); the rest validate in one staged-file scan
     val validated = enforceConstraints(base, name, dataDir, mine)
-    val committed = commitAppendEntries(base, name, df.schema, mine, dataDir, validated, txn)
+    // provided generated columns validate against their expressions in one
+    // staged-dir scan; the re-check rides the commit loop like constraints
+    val gensValidated = enforceGenerated(base, name, dataDir, df.columns.toSet)
+    val committed = commitAppendEntries(base, name, staged.schema, mine, dataDir,
+      validated, txn, gensValidated, df.columns.toSet)
     if (!committed) deleteRecursively(dataDir) // lost the txn race — staged files are debris
     committed
   }
@@ -1385,10 +1409,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       mine: Seq[ManifestStats.FileEntry],
       dataDir: Path,
       validated: Seq[(String, String)],
-      txn: Option[(String, Long)] = None): Boolean = {
+      txn: Option[(String, Long)] = None,
+      gensValidated: Seq[(String, String)] = Seq.empty,
+      providedCols: Set[String] = Set.empty): Boolean = {
     var attempts = 0
     var committed = false
     var checkedAgainst = validated
+    var gensAgainst = gensValidated
     while (!committed) {
       attempts += 1
       require(attempts <= 1000, s"bronze append to $name lost 1000 consecutive CAS races")
@@ -1401,6 +1428,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val curConstraints = constraintsOf(base)
       if (curConstraints != checkedAgainst)
         checkedAgainst = enforceConstraints(base, name, dataDir, mine)
+      // same TOCTOU discipline for generated columns: a set that changed
+      // under us re-validates the staged dir (a column declared after
+      // staging fails there with the retry remedy)
+      if (gencolsOf(base) != gensAgainst)
+        gensAgainst = enforceGenerated(base, name, dataDir, providedCols)
       val v = snap.map(_.version).getOrElse(0)
       val entries = snap.map(_.entries).getOrElse(Seq.empty)
       val live = entries.map(_.relPath).toSet
@@ -1437,9 +1469,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val live = committedBronzeRelPaths(name).getOrElse(Set.empty)
     if (mine.exists(e => live(e.relPath))) return
     // an adopted dir enters the log like any append: the crashed writer
-    // may have died BEFORE its own constraint validation ran
+    // may have died BEFORE its own constraint/generated validation ran
     val validated = enforceConstraints(base, name, dataDir, mine)
-    commitAppendEntries(base, name, df.schema, mine, dataDir, validated)
+    val gensV = enforceGenerated(base, name, dataDir, df.columns.toSet)
+    commitAppendEntries(base, name, df.schema, mine, dataDir, validated,
+      gensValidated = gensV, providedCols = df.columns.toSet)
   }
 
   /** Filesystem directory of a table (the log/aux root for log-managed
@@ -1571,6 +1605,127 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * their commit loop, so the read here is advisory. */
   def txnVersion(name: String, appId: String): Option[Long] =
     txnsOf(dir("bronze", name)).get(appId)
+
+  // ───── generated columns (Delta GENERATED ALWAYS AS parity) ───────────
+  //
+  // A generated column is an existing column the log BINDS to an
+  // expression: writers that omit it get it COMPUTED at append/merge time
+  // (before staging — the files carry the materialized values, so reads,
+  // stats and skipping treat it like any column), and writers that supply
+  // it are VALIDATED against the expression (null-safe equality, one
+  // staged-dir scan) — a batch whose provided values contradict the
+  // expression is rejected before its commit, Delta's writer contract.
+  // The set rides the log (`#gencols`, newest-record resolution) so
+  // enforcement binds ANY writer; RESTORE restores the target version's
+  // set with the file set, like constraints and the column mapping.
+
+  /** Generated columns of a bronze table: (column, generation expression
+    * SQL), in declaration order. */
+  def generatedColumns(name: String): Seq[(String, String)] =
+    gencolsOf(dir("bronze", name))
+
+  private def gencolsOf(base: Path): Seq[(String, String)] =
+    bronzeVersions(base).lastOption.map(gencolsAsOf(base, _)).getOrElse(Seq.empty)
+
+  private def gencolsAsOf(base: Path, version: Int): Seq[(String, String)] =
+    readRecordHeader(base.resolve(s"_files_v$version")).flatMap(_.genCols)
+      .getOrElse(Seq.empty)
+
+  /** Declare `colName` GENERATED ALWAYS AS (`exprSql`). The column must
+    * already exist, and every existing visible row must satisfy the
+    * expression (one scan, Delta's add-time validation); from this commit
+    * on every append/merge computes the column when absent and validates
+    * it when provided. The same TOCTOU guard as [[addCheckConstraint]]:
+    * a lost CAS re-validates at the winner's version. */
+  def addGeneratedColumn(name: String, colName: String, exprSql: String,
+      maxAttempts: Int = 5): Unit = {
+    val base = dir("bronze", name)
+    require(readFilesManifest(base).isDefined,
+      s"bronze.$name is not log-managed (append first, then declare)")
+    require(!gencolsOf(base).exists(_._1 == colName),
+      s"column $colName of bronze.$name is already generated")
+    def validateExisting(): Int = {
+      val cur = readFilesManifest(base).get
+      require(cur.schema.exists(_.fieldNames.contains(colName)),
+        s"no column $colName on bronze.$name — a generated column binds to an " +
+          "existing column (land it with a widening append first)")
+      val bad = table("bronze", name)
+        .filter(s"NOT ($colName <=> ($exprSql))").limit(1).count()
+      require(bad == 0,
+        s"cannot declare $colName generated: existing rows of bronze.$name " +
+          s"contradict ($exprSql)")
+      cur.version
+    }
+    var validatedAt = validateExisting()
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = readFilesManifest(base).get
+      if (cur.version != validatedAt) validatedAt = validateExisting()
+      if (commitFilesManifest(base, cur.version + 1, cur.schema, cur.entries,
+          prev = Some(cur.entries), op = "ADD GENERATED",
+          genCols = Some(gencolsOf(base) :+ (colName -> exprSql)))) return
+    }
+    throw new IllegalStateException(
+      s"addGeneratedColumn($name, $colName) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** Remove a generated-column binding (the column and its data stay;
+    * writers stop computing/validating it). */
+  def dropGeneratedColumn(name: String, colName: String, maxAttempts: Int = 5): Unit = {
+    val base = dir("bronze", name)
+    require(gencolsOf(base).exists(_._1 == colName),
+      s"column $colName of bronze.$name is not generated")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = readFilesManifest(base).getOrElse(throw new IllegalStateException(
+        s"bronze.$name lost its committed version"))
+      if (commitFilesManifest(base, cur.version + 1, cur.schema, cur.entries,
+          prev = Some(cur.entries), op = "DROP GENERATED",
+          genCols = Some(gencolsOf(base).filterNot(_._1 == colName)))) return
+    }
+    throw new IllegalStateException(
+      s"dropGeneratedColumn($name, $colName) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** Compute MISSING generated columns on an incoming frame (writer-side
+    * fill, before staging). Provided columns are left for
+    * [[enforceGenerated]] to validate post-staging. */
+  private def fillGenerated(base: Path, df: DataFrame): DataFrame =
+    gencolsOf(base).foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, org.apache.spark.sql.functions.expr(e))
+    }
+
+  /** Validate a staged dir against the current generated-column set:
+    * columns in `provided` must MATCH their expression row-for-row
+    * (null-safe); a generated column entirely absent from the staged
+    * schema fails with the retry remedy (it was declared after the batch
+    * staged — the files cannot be amended). Returns the set validated
+    * against, for the commit loop's TOCTOU re-check. */
+  private def enforceGenerated(base: Path, name: String, dataDir: Path,
+      provided: Set[String]): Seq[(String, String)] = {
+    val gens = gencolsOf(base)
+    if (gens.isEmpty) return gens
+    lazy val df = spark.read.parquet(dataDir.toString)
+    gens.foreach { case (c, e) =>
+      require(!provided.contains(c) || df.columns.contains(c), // defensive
+        s"staged batch for bronze.$name lost generated column $c")
+      if (!df.columns.contains(c))
+        throw new IllegalStateException(
+          s"generated column $c of bronze.$name was declared after this batch " +
+            "staged — its files cannot be amended; retry the append (the writer " +
+            "computes the column before staging)")
+      if (provided.contains(c)) {
+        val bad = df.filter(s"NOT ($c <=> ($e))").limit(1).count()
+        require(bad == 0,
+          s"staged batch for bronze.$name provides generated column $c with " +
+            s"values contradicting its expression ($e)")
+      }
+    }
+    gens
+  }
 
   // ───── reader-feature protocol gate (Delta readerFeatures parity) ─────
 
@@ -1778,6 +1933,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       constraintsOf(base).find(c => ident.findFirstIn(c._2).isDefined).foreach(c =>
         throw new IllegalArgumentException(
           s"CHECK constraint ${c._1} (${c._2}) references $from: drop it, rename, re-add"))
+      guardGeneratedRefs(base, name, from, "rename")
       val m = colMapOf(base)
       require(!reservedNames(m - from).contains(to),
         s"name $to is reserved by a rename/drop chain of bronze.$name — old files' " +
@@ -1792,6 +1948,20 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
     throw new IllegalStateException(
       s"renameBronzeColumn($name, $from) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** Refuse a schema change on a column that is a GENERATED column or is
+    * referenced by one's expression — the binding would silently change
+    * meaning (a renamed reference stops resolving; a widened target can
+    * change the expression's result type). Mirror of the CHECK-constraint
+    * reference guard. */
+  private def guardGeneratedRefs(base: Path, name: String, colName: String,
+      action: String): Unit = {
+    val ident = ("""\b""" + java.util.regex.Pattern.quote(colName) + """\b""").r
+    gencolsOf(base).find(g => g._1 == colName || ident.findFirstIn(g._2).isDefined)
+      .foreach(g => throw new IllegalArgumentException(
+        s"column $colName of bronze.$name is involved in generated column " +
+          s"${g._1} (${g._2}): drop the generated column, $action, re-declare"))
   }
 
   /** Widenings [[widenBronzeColumnType]] accepts: the value set of the old
@@ -1845,6 +2015,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         s"cannot widen $colName: ${field.dataType.simpleString} → " +
           s"${newType.simpleString} is not a supported lossless widening " +
           "(integral up-casts, float→double, decimal precision growth)")
+      guardGeneratedRefs(base, name, colName, "widen")
       val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
         if (f.name == colName) f.copy(dataType = newType) else f))
       if (commitFilesManifest(base, cur.version + 1, Some(newSchema), cur.entries,
@@ -1876,6 +2047,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       constraintsOf(base).find(c => ident.findFirstIn(c._2).isDefined).foreach(c =>
         throw new IllegalArgumentException(
           s"CHECK constraint ${c._1} (${c._2}) references $colName: drop it first"))
+      guardGeneratedRefs(base, name, colName, "drop")
       val m = colMapOf(base)
       val tomb = s"!$colName@${cur.version + 1}"
       val newMap = (m - colName) +
@@ -2211,12 +2383,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     if (txnApplied()) return false
     val head = readFilesManifest(base)
     if (head.isEmpty) return appendBronze(name, source, txn = txn)
-    // stage the source ONCE; files never change across CAS retries
+    // stage the source ONCE; files never change across CAS retries.
+    // Generated columns the source omits are computed here, before staging
+    val filled = fillGenerated(base, source)
     val dataDir = newAppendDir(base, head.get.version + 1)
-    source.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    filled.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     val staged = ManifestStats.collectStats(spark, dataDir.toString,
       Lakehouse.BronzeStatsCols, dataDir.getFileName.toString)
     var validated = enforceConstraints(base, name, dataDir, staged)
+    var gensAgainst = enforceGenerated(base, name, dataDir, source.columns.toSet)
     val stagedDf = spark.read.parquet(dataDir.toString)
     // the source's per-key bounds prune the delete's candidate scan
     val keyBounds: Seq[ManifestStats.StatPred] = {
@@ -2244,7 +2419,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val curConstraints = constraintsOf(base)
       if (curConstraints != validated)
         validated = enforceConstraints(base, name, dataDir, staged)
-      val mergedSch = mergedSchema(schemaOpt.getOrElse(source.schema), source.schema)
+      if (gencolsOf(base) != gensAgainst)
+        gensAgainst = enforceGenerated(base, name, dataDir, source.columns.toSet)
+      val mergedSch = mergedSchema(schemaOpt.getOrElse(filled.schema), filled.schema)
       guardReservedColumns(base, name,
         schemaOpt.map(_.fieldNames.toSet).getOrElse(Set.empty), mergedSch, dataDir)
       val candidates = entries.filter(e => ManifestStats.mightMatch(e, keyBounds))
@@ -2356,7 +2533,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       if (commitFilesManifest(base, cur.version + 1, target.schema, target.entries,
           prev = Some(cur.entries), op = "RESTORE",
           constraints = Some(constraintsAsOf(base, version)),
-          colMap = Some(colMapAsOf(base, version)))) return
+          colMap = Some(colMapAsOf(base, version)),
+          genCols = Some(gencolsAsOf(base, version)))) return
     }
     throw new IllegalStateException(
       s"restoreBronze($name) lost $maxAttempts consecutive CAS races")

@@ -366,6 +366,51 @@ object StorageQueries {
       WHERE o_custkey % 25 = 13 AND NOT (o_orderkey % 5 = 0)
       ORDER BY okey"""))
 
+  /** Generated columns ([[Lakehouse.addGeneratedColumn]], Delta GENERATED
+    * ALWAYS AS): `price_band = floor(price / 50000)` is declared on the
+    * seeded table, the second batch OMITS the column (the writer computes
+    * it before staging), a MERGE upsert omits it too, and the read back —
+    * including the materialized band values from every write path — must
+    * equal DuckDB computing the expression from scratch. */
+  val st09GeneratedCol = GraftQuery(
+    "st09_generated_col",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-st09")
+      val lake = new Lakehouse(s, scratch.toString)
+      val base = table(s, dir, "orders")
+        .filter(col("o_custkey") % 25 === 17)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(money).as("price"))
+      lake.appendBronze("ord", base.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("price_band", floor(col("price") / 50000)).repartition(2))
+      lake.addGeneratedColumn("ord", "price_band", "floor(price / 50000)")
+      // second batch omits the column: computed before staging
+      lake.appendBronze("ord", base.filter(col("o_orderkey") % 2 =!= 0).repartition(2))
+      // merge upsert omits it too (+100 keeps most rows in their band;
+      // the computed value tracks the NEW price either way)
+      lake.mergeBronze("ord", base.filter(col("o_orderkey") % 7 === 2)
+        .withColumn("price", (col("price") + lit(100)).cast(money)), Seq("o_orderkey"))
+      val res = lake.table("bronze", "ord")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("price").cast("double").as("price"),
+          col("price_band").cast("bigint").as("price_band"))
+        .orderBy(col("o_orderkey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      WITH sample AS (
+        SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders WHERE o_custkey % 25 = 17),
+      final AS (
+        SELECT o_orderkey, o_orderstatus, price FROM sample WHERE NOT (o_orderkey % 7 = 2)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, CAST(price + 100 AS DECIMAL(12,2)) AS price
+        FROM sample WHERE o_orderkey % 7 = 2)
+      SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price,
+             CAST(FLOOR(price / 50000) AS BIGINT) AS price_band
+      FROM final
+      ORDER BY o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(st01DvDelete, st02RestoreRead, st03CdfRead, st04MergeUpsert,
-    st05TxnIdempotent, st06CdfCursor, st07CdfAggMv, st08TypeWiden)
+    st05TxnIdempotent, st06CdfCursor, st07CdfAggMv, st08TypeWiden, st09GeneratedCol)
 }
