@@ -600,6 +600,35 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   def committedBronzeVersion(name: String): Int =
     bronzeVersions(dir("bronze", name)).lastOption.getOrElse(0)
 
+  /** Frontiers of REGISTERED change-feed cursors on a bronze table: the
+    * `cursor\t<table>\t<dir>` markers under `<root>/_stream_state`
+    * (written by [[graft.streaming.Streams.registerCursor]]; the same
+    * registry the maintenance pass auto-discovers gates from). Markers
+    * whose cursor dir vanished are ignored — a deleted consumer holds
+    * nothing. */
+  private def registeredCursorFrontiers(name: String): Seq[Int] = {
+    val dirP = java.nio.file.Paths.get(root, "_stream_state")
+    if (!Files.isDirectory(dirP)) return Seq.empty
+    val s = Files.list(dirP)
+    val lines = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.getFileName.toString.endsWith(".state"))
+        .map(p => new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .toSeq
+    } finally s.close()
+    def dec(x: String) =
+      java.net.URLDecoder.decode(x, java.nio.charset.StandardCharsets.UTF_8)
+    lines.flatMap { l =>
+      l.split('\t') match {
+        case Array("cursor", t, d) if dec(t) == name =>
+          val p = java.nio.file.Paths.get(dec(d))
+          if (Files.isDirectory(p)) Some(changesCursor(p)) else None
+        case _ => None
+      }
+    }
+  }
+
   /** Advance a change-feed cursor to `toVersion` — atomic (put-if-absent
     * marker; a concurrent consumer landing the same frontier is a no-op),
     * monotonic (rewinding would re-deliver consumed changes as if new),
@@ -1157,10 +1186,20 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // record back to the newest CHECKPOINT at-or-below version - 1
       // (deltas below it depend on their own parents; a checkpoint cuts
       // the chain). Bounded work: at most one checkpoint interval of
-      // records is ever on disk above the floor.
-      val floor = bronzeVersions(base).filter(v => v <= version - 1 &&
-          readRecord(base.resolve(s"_files_v$v")).exists(!_.isDelta))
-        .maxOption.getOrElse(version)
+      // records is ever on disk above the floor. A REGISTERED change-feed
+      // cursor lowers the floor to the newest checkpoint at-or-below its
+      // frontier (tableChanges resolves snapshots from the frontier on);
+      // a frontier below every checkpoint prunes nothing. No registry →
+      // one existence check, zero cost.
+      def newestCkptAtOrBelow(cap: Int): Option[Int] =
+        bronzeVersions(base).filter(v => v <= cap &&
+          readRecord(base.resolve(s"_files_v$v")).exists(!_.isDelta)).maxOption
+      val cursorMin = registeredCursorFrontiers(base.getFileName.toString).minOption
+      val floor = cursorMin match {
+        case Some(c) if c < version - 1 =>
+          newestCkptAtOrBelow(math.max(c, 1)).getOrElse(Int.MinValue)
+        case _ => newestCkptAtOrBelow(version - 1).getOrElse(version)
+      }
       bronzeVersions(base).filter(_ < floor).foreach { k =>
         val rec = base.resolve(s"_files_v$k")
         // a pruned checkpoint's parquet twin goes with it (metadata only)
@@ -1225,8 +1264,25 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       Files.exists(base.resolve(s"_files_v$v")) &&
         commitTimeMillis(base, v) >= now - retainMillis
     }
+    // REGISTERED change-feed cursors hold retention: a consumer at frontier
+    // c still reads tableChanges over (c, head] — which resolves snapshots
+    // from c on and emits a removed file's rows as deletes FROM THAT FILE —
+    // so every version at-or-after the slowest registered frontier keeps
+    // its read set. Without this, vacuum would strand the consumer into a
+    // full re-sync (at 100 TB, the failure mode worth a guard). A consumer
+    // that is gone (dir deleted) holds nothing; an abandoned-but-present
+    // cursor is the operator's to delete.
+    val cursorHeld = registeredCursorFrontiers(name).minOption.toSeq
+      .flatMap(c => allVersions.filter(_ >= c))
+    val cursorExtra =
+      cursorHeld.toSet -- allVersions.takeRight(math.max(1, keepVersions)) -- youngEnough
+    if (cursorExtra.nonEmpty)
+      System.err.println(s"[vacuum] bronze.$name: ${cursorExtra.size} version(s) " +
+        s"retained beyond the keepVersions/wall-clock floors for a registered " +
+        s"change-feed cursor (slowest frontier ${registeredCursorFrontiers(name).min})")
     val retained =
-      (allVersions.takeRight(math.max(1, keepVersions)) ++ youngEnough).distinct.sorted
+      (allVersions.takeRight(math.max(1, keepVersions)) ++ youngEnough ++ cursorHeld)
+        .distinct.sorted
     val retainedEntries = retained
       .flatMap(v => resolveSnapshot(base, v).toSeq)
       .flatMap(_.entries)

@@ -635,6 +635,16 @@ object Streams {
   def registerBatchDir(lakeRoot: String, dir: String): Unit =
     writeRegistryMarker(lakeRoot, s"dir\t${enc(dir)}")
 
+  /** Register a change-feed CURSOR on a bronze table. A registered
+    * cursor's frontier HOLDS VACUUM RETENTION on that table (every
+    * version at-or-after the slowest frontier keeps its read set —
+    * [[graft.pipeline.Lakehouse.vacuumBronze]]), so maintenance can never
+    * strand a live consumer into a full re-sync. Called automatically by
+    * [[changesSink]] and [[cdfAggregateSink]]; delete the cursor dir to
+    * release the hold when a consumer is decommissioned. Idempotent. */
+  def registerCursor(lakeRoot: String, table: String, cursorDir: String): Unit =
+    writeRegistryMarker(lakeRoot, s"cursor\t${enc(table)}\t${enc(cursorDir)}")
+
   /** All registered (indexDir, survivorsDir) gates and standalone batch
     * dirs under a lake root. Markers whose dirs have ALL vanished are
     * dropped (state deleted out-of-band — nothing left to maintain). */
@@ -655,6 +665,8 @@ object Streams {
           case Seq("gate", i, sv) if alive(dec(i)) || alive(dec(sv)) =>
             gates += ((dec(i), dec(sv)))
           case Seq("dir", d) if alive(dec(d)) => dirs += dec(d)
+          case Seq("cursor", _, d) if alive(dec(d)) =>
+            () // vacuum-retention hold — read by Lakehouse.vacuumBronze, kept here
           case _ => java.nio.file.Files.deleteIfExists(p) // vanished or malformed
         }
       }
@@ -738,6 +750,7 @@ object Streams {
       cursorDir: String): Option[(Int, Int)] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
     require(keys.nonEmpty, "cdfAggregateSink needs at least one key column")
+    registerCursor(lake.root, source, cursorDir)
     val cur = java.nio.file.Paths.get(cursorDir)
     lake.tableChangesSince(source, cur).map { case (changes, from, to) =>
       val signed = changes.withColumn("__s",
@@ -776,6 +789,7 @@ object Streams {
 
   def changesSink(lake: graft.pipeline.Lakehouse, name: String,
       cursorDir: String, outDir: String): Option[(Int, Int)] = {
+    registerCursor(lake.root, name, cursorDir)
     val cur = java.nio.file.Paths.get(cursorDir)
     val from = lake.changesCursor(cur)
     val to = lake.committedBronzeVersion(name)

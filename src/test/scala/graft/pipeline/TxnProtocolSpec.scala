@@ -227,4 +227,36 @@ class TxnProtocolSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException] { lake.commitChangesCursor(cursor, 1) }
     assert(err.getMessage.contains("re-deliver"))
   }
+
+  test("vacuum holds the read set for a lagging registered cursor, reclaims once it catches up") {
+    val lake = mkLake("curvac")
+    val cursor = Files.createTempDirectory("graft-curvac-cursor")
+    val out = Files.createTempDirectory("graft-curvac-out").toString
+    lake.appendBronze("t", rows("r1", Seq(1L, 2L, 3L))) // v1
+    // one drain registers the cursor and lands its frontier at v1
+    assert(graft.streaming.Streams.changesSink(lake, "t", cursor.toString, out).isDefined)
+    // a copy-on-write delete REMOVES v1's file from the head snapshot —
+    // without the cursor hold an immediate vacuum could reclaim it
+    lake.deleteBronzeWhere("t", col("id") === 2L) // v2 rewrites the file
+    lake.appendBronze("t", rows("r2", Seq(4L)))   // v3
+    lake.vacuumBronze("t", keepVersions = 1, retainMillis = 0)
+    // the lagging cursor (frontier 1) still drains (1, 3] — v1's removed
+    // file must still be readable for the delete emission
+    val Some((_, to)) = graft.streaming.Streams.changesSink(lake, "t", cursor.toString, out)
+    assert(to == lake.committedBronzeVersion("t"))
+    // the CoW rewrite reads as remove-file + re-add: deletes {1,2,3} from
+    // the VACUUM-HELD removed file, inserts {1,3} from its replacement —
+    // net effect: row 2 gone (the log-walk property pins this algebra)
+    val drained = graft.streaming.Streams.batchedTable(spark, out)
+    def ids(tpe: String) = drained
+      .filter(col("_change_type") === tpe && col("_commit_version") === 2)
+      .select("id").as[Long].collect().toSet
+    assert(ids("delete") == Set(1L, 2L, 3L))
+    assert(ids("insert") == Set(1L, 3L))
+    // caught up: vacuum now reclaims what only the cursor was holding
+    val before = lake.prunedFilePaths("bronze", "t", Nil).size
+    lake.vacuumBronze("t", keepVersions = 1, retainMillis = 0)
+    assert(lake.table("bronze", "t").count() == 3) // live data intact
+    assert(lake.prunedFilePaths("bronze", "t", Nil).size == before)
+  }
 }
