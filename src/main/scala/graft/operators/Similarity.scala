@@ -124,6 +124,74 @@ object Similarity {
   def int8Codes(vec: Column, scale: Column): Column =
     transform(vec, v => floor(v.cast("double") / scale + 0.5).cast("int"))
 
+  /** BINARY (1-bit) quantization: pack the sign bits of `vec` into
+    * 64-bit words — bit set iff the coordinate is >= 0, MSB-first within
+    * each word (dim 64 → ONE long, a 32× compression over float32). Built
+    * from shiftleft/bitwiseOR folds, so the packing is pure bit motion:
+    * no arithmetic that ANSI overflow checking could reject, one codegen'd
+    * projection, no shuffle. */
+  def signBits(vec: Column, dim: Int): Column = {
+    require(dim > 0 && dim % 64 == 0, s"dim must be a positive multiple of 64, got $dim")
+    val words = (0 until dim / 64).map { w =>
+      (0 until 64).foldLeft(lit(0L): Column) { (acc, i) =>
+        shiftleft(acc, 1).bitwiseOR(
+          when(element_at(vec, w * 64 + i + 1) >= 0f, lit(1L)).otherwise(lit(0L)))
+      }
+    }
+    array(words: _*)
+  }
+
+  /** Hamming distance between two [[signBits]] codes: Σ popcount(xor) per
+    * word — dim/64 integer ops per pair where the exact path pays dim
+    * float multiplies. */
+  def hammingDist(aBits: Column, bBits: Column): Column =
+    aggregate(zip_with(aBits, bBits,
+      (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Approximate top-k via BINARY QUANTIZATION (the 1-bit "binary
+    * embedding" path modern vector stores ship as their cheapest tier):
+    * sign-bit codes give a Hamming-distance SHORTLIST of `shortlist`
+    * candidates per query (popcount over packed longs — ~32× cheaper per
+    * pair than the float dot), then exact cosine reranks the shortlist to
+    * the final k.
+    *
+    * Plan shape: queries broadcast twice (once as packed bits for the
+    * Hamming pass, once as embeddings for the rerank), the corpus scans
+    * once per stage, and the only shuffles carry ≤ `shortlist` partials
+    * per query per map task ([[graft.sql.TopKPairs]] with score =
+    * −hamming, ties to the smaller id) and the shortlist-sized rerank
+    * join. No all-pairs materialization, no corpus shuffle — the same
+    * discipline as s01/s02, at 1-bit candidate-generation cost.
+    * Recall lever: `shortlist` (the rerank is exact, so recall@k is
+    * purely "did the true neighbor survive the Hamming cut"). */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int, dim: Int = EmbeddingDim): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val qb = queries.select(col("id").as("query_id"),
+      signBits(col("embedding"), dim).as("q_bits"))
+    val cb = corpus.select(col("id").as("neighbor_id"),
+      signBits(col("embedding"), dim).as("c_bits"))
+    val ham = cb.join(broadcast(qb), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-hammingDist(col("q_bits"), col("c_bits")).cast("double")).as("cosine"))
+    // shortlist = per-query top-`shortlist` by (hamming asc, id asc) via
+    // the bounded aggregate (score = -hamming reuses its DESC ordering)
+    val cands = topKByCosine(ham, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank over the shortlist only
+    val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
+      l2Norm(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("embedding").as("c_emb"),
+      l2Norm(col("embedding")).as("c_norm"))
+    val rescored = cands
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    topKByCosine(rescored, k)
+  }
+
   /** Rank scored pairs within each query with a WINDOW: cosine DESC,
     * neighbor ASC, keep rank ≤ k. Kept as the executable specification the
     * bounded-aggregate plan is parity-tested against — the window shuffles

@@ -461,8 +461,55 @@ $rounds
       FROM scored
       ORDER BY label, outlier_rank""")).copy(bench = true)
 
+  /** Binary (1-bit) quantization ANN ([[Similarity.binaryTopK]]): sign-bit
+    * codes packed into ONE long per 64-dim vector (32× compression), a
+    * Hamming-distance shortlist of 50 per query (popcount over xor —
+    * integer ops where the exact path pays float dots), exact cosine
+    * rerank to top-5. The cheapest candidate-generation tier modern vector
+    * stores ship; recall is whatever survives the Hamming cut (measured in
+    * RecallAb), correctness is THIS oracle: DuckDB replays the sign
+    * comparison, the (hamming, id)-ordered shortlist and the rerank
+    * exactly. */
+  val s19BinaryTopK = GraftQuery(
+    "s19_binary_topk",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      Similarity.binaryTopK(q, e, 5, shortlist = 50, dim = 64)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+      ham AS (
+        SELECT query_id, neighbor_id, q_emb, c_emb,
+               len(list_filter(range(1, 65),
+                 i -> (CAST(q_emb[i] AS DOUBLE) >= 0) <> (CAST(c_emb[i] AS DOUBLE) >= 0))) AS h
+        FROM c CROSS JOIN q
+        WHERE query_id <> neighbor_id),
+      short AS (
+        SELECT query_id, neighbor_id, q_emb, c_emb,
+               row_number() OVER (PARTITION BY query_id ORDER BY h ASC, neighbor_id ASC) AS rn
+        FROM ham),
+      rescored AS (
+        SELECT query_id, neighbor_id,
+               $duckDot / (${duckNorm("q_emb")} * ${duckNorm("c_emb")}) AS cos_raw
+        FROM short WHERE rn <= 50),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        FROM rescored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos_raw, 6) AS cosine
+      FROM ranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""),
+    bench = true)
+
   val all: Seq[GraftQuery] =
     Seq(s01BruteForceTopK, s02LshTopK, s03BruteForceTopKAgg, s04Int8Quantize,
       s07JlProjection, s08MmrRerank, s10KnnClassify, s13FilteredTopK,
-      s14CentroidOutliers)
+      s14CentroidOutliers, s19BinaryTopK)
 }

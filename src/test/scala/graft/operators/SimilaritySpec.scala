@@ -91,6 +91,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, f"recall@5 $recall%.3f below 0.6 floor")
   }
 
+  test("binary-quantized ANN: packing round-trips signs, recall@5 meets the floor, shortlist lever works") {
+    val e = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    // sign-bit packing: popcount of the word equals the non-negative count
+    val packed = e.select(col("id"),
+      Similarity.signBits(col("embedding"), 64).as("bits"),
+      aggregate(transform(col("embedding"),
+        v => when(v >= 0f, 1L).otherwise(0L)), lit(0L), (a, v) => a + v).as("nonneg"))
+      .select(col("id"),
+        aggregate(transform(col("bits"), w => bit_count(w).cast("long")),
+          lit(0L), (a, v) => a + v).as("pop"), col("nonneg"))
+    assert(packed.filter(col("pop") =!= col("nonneg")).isEmpty)
+
+    val q = e.filter(col("id") % 50 === 0)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.bruteForceTopK(q, e, 5))
+    val bin50 = hits(Similarity.binaryTopK(q, e, 5, shortlist = 50))
+    val recall50 = (bin50 & exact).size.toDouble / exact.size
+    info(f"binary ANN recall@5 (shortlist 50) = $recall50%.3f")
+    assert(recall50 >= 0.6, f"recall@5 $recall50%.3f below 0.6 floor")
+    // the recall lever: a wider shortlist can only help (exact rerank)
+    val bin200 = hits(Similarity.binaryTopK(q, e, 5, shortlist = 200))
+    val recall200 = (bin200 & exact).size.toDouble / exact.size
+    info(f"binary ANN recall@5 (shortlist 200) = $recall200%.3f")
+    assert(recall200 >= recall50)
+  }
+
   test("approx_count_distinct stays within 10% of exact on fixture data") {
     val ev = Graft.table(spark, "/root/testdata/sf0.001", "events")
     val r = ev.agg(
