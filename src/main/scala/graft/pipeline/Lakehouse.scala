@@ -2674,9 +2674,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         case None => moved
       }
     }
+    // the clone takes the CLONED VERSION's own table metadata (constraints,
+    // rename chains, generated columns) — an as-of clone must not inherit
+    // metadata added to the source after that version. Writer txns are
+    // deliberately NOT carried (a clone is a new table; the source writer's
+    // idempotency ledger must not suppress its first writes to the clone).
     require(commitFilesManifest(dbase, 1, snap.schema, entries, op = "CLONE",
-        constraints = Some(constraintsOf(sbase)).filter(_.nonEmpty),
-        colMap = Some(colMapAsOf(sbase, snap.version)).filter(_.nonEmpty)),
+        constraints = Some(constraintsAsOf(sbase, snap.version)).filter(_.nonEmpty),
+        colMap = Some(colMapAsOf(sbase, snap.version)).filter(_.nonEmpty),
+        genCols = Some(gencolsAsOf(sbase, snap.version)).filter(_.nonEmpty)),
       s"cloneBronze($src, $dst) lost the v1 commit race — dst created concurrently")
   }
 

@@ -120,4 +120,24 @@ class GeneratedColumnSpec extends SparkSpec {
     assert(lake.table("bronze", "t").filter(col("id") === 7L)
       .filter(col("bucket").isNull).count() == 1)
   }
+
+  test("clone carries the cloned version's generated set; writer txns do not carry") {
+    val lake = mkLake("genclone")
+    lake.appendBronze("t", rows("r1", Seq((10L, 0L))), txn = Some(("app", 9L)))
+    lake.addGeneratedColumn("t", "bucket", "id % 10")
+    lake.cloneBronze("t", "t2")
+    // the binding carried: a bare append to the CLONE computes the column
+    assert(lake.generatedColumns("t2") == Seq("bucket" -> "id % 10"))
+    lake.appendBronze("t2", bare("c1", Seq(23L)))
+    assert(lake.table("bronze", "t2").filter(col("id") === 23L)
+      .select("bucket").as[Long].head() == 3L)
+    // the source's txn ledger did NOT carry — the same (app, 9) txn that
+    // already applied on the source applies FRESH on the clone
+    assert(lake.txnVersion("t2", "app").isEmpty)
+    assert(lake.appendBronze("t2", bare("c2", Seq(31L)), txn = Some(("app", 9L))))
+    // an as-of clone takes the PRE-declare version's metadata: no binding
+    val preDeclare = 1
+    lake.cloneBronze("t", "t3", version = Some(preDeclare))
+    assert(lake.generatedColumns("t3").isEmpty)
+  }
 }
