@@ -734,6 +734,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private val FeaturesLine = "#features\t(.*)".r
   private val CommitTsLine = "#cts\t(\\d+)".r
   private val GenColsLine = "#gencols\t(.*)".r
+  private val IdColsLine = "#idcols\t(.*)".r
+  private val DefaultsLine = "#defaults\t(.*)".r
 
   /** Header-only peek at a log record — version, delta/checkpoint kind, and
     * the parquet-twin reference — WITHOUT parsing the entry lines. The
@@ -766,7 +768,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // generated columns: column → generation expression SQL (Delta's
       // GENERATED ALWAYS AS). Re-emitted per commit, newest-record
       // resolution. None = no line (empty set).
-      genCols: Option[Seq[(String, String)]] = None)
+      genCols: Option[Seq[(String, String)]] = None,
+      // identity columns (Delta GENERATED ALWAYS AS IDENTITY): declaration
+      // + allocation high watermark. None = no line; Some(Nil) = explicit
+      // drop-to-zero marker (the constraints discipline — RESTORE to a
+      // pre-identity version must override lower re-emitted lines).
+      idCols: Option[Seq[Lakehouse.IdentityCol]] = None,
+      // column DEFAULT values: column → default expression SQL (column-free,
+      // filled when a writer omits the column). Same marker discipline.
+      defaults: Option[Seq[(String, String)]] = None)
 
   private def readRecordHeader(m: Path): Option[RecordHeader] =
     if (!Files.exists(m)) None
@@ -786,6 +796,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         var features: Seq[String] = Seq.empty
         var commitTs: Option[Long] = None
         var genCols: Option[Seq[(String, String)]] = None
+        var idCols: Option[Seq[Lakehouse.IdentityCol]] = None
+        var defaults: Option[Seq[(String, String)]] = None
         var line = in.readLine()
         // header lines all start with '#' and precede the entry lines
         // (#rm lines of a delta are skipped — this peek never needs them)
@@ -828,6 +840,20 @@ final class Lakehouse(val spark: SparkSession, val root: String,
                 (java.net.URLDecoder.decode(n, java.nio.charset.StandardCharsets.UTF_8),
                   java.net.URLDecoder.decode(e, java.nio.charset.StandardCharsets.UTF_8))
               })
+            case IdColsLine(enc) => idCols = Some(
+              enc.split(',').toSeq.filter(_.nonEmpty).map { quad =>
+                val Array(n, st, sp, wm) = quad.split(":", 4)
+                Lakehouse.IdentityCol(
+                  java.net.URLDecoder.decode(n, java.nio.charset.StandardCharsets.UTF_8),
+                  st.toLong, sp.toLong,
+                  if (wm.isEmpty) None else Some(wm.toLong))
+              })
+            case DefaultsLine(enc) => defaults = Some(
+              enc.split(',').toSeq.filter(_.nonEmpty).map { pair =>
+                val Array(n, e) = pair.split(":", 2)
+                (java.net.URLDecoder.decode(n, java.nio.charset.StandardCharsets.UTF_8),
+                  java.net.URLDecoder.decode(e, java.nio.charset.StandardCharsets.UTF_8))
+              })
             case SchemaLine(enc) => schema = Some(
               org.apache.spark.sql.types.DataType.fromJson(
                 java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
@@ -837,7 +863,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           line = in.readLine()
         }
         Some(RecordHeader(version, isDelta, ckpt, schema, addDirs, op, noDataDirs,
-          constraints, colMap, txns, features, commitTs, genCols))
+          constraints, colMap, txns, features, commitTs, genCols, idCols, defaults))
       } finally in.close()
     }
 
@@ -1057,7 +1083,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       constraints: Option[Seq[(String, String)]] = None,
       colMap: Option[Map[String, Seq[String]]] = None,
       txns: Option[Map[String, Long]] = None,
-      genCols: Option[Seq[(String, String)]] = None): Boolean = {
+      genCols: Option[Seq[(String, String)]] = None,
+      idCols: Option[Seq[Lakehouse.IdentityCol]] = None,
+      defaults: Option[Seq[(String, String)]] = None): Boolean = {
     def enc(s: String) =
       java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
     // CHECK constraints persist like schema: every commit RE-EMITS the
@@ -1089,6 +1117,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val effGen = genCols.orElse(newestHeader.flatMap(_._2.genCols).filter(_.nonEmpty))
     val genLine = effGen.filter(_.nonEmpty).toSeq.map(gs =>
       "#gencols\t" + gs.map { case (n, e) => enc(n) + ":" + enc(e) }.mkString(","))
+    // identity columns and column defaults re-emit with the CONSTRAINTS
+    // discipline (an explicit Some(Nil) marker is written so a RESTORE to
+    // a pre-declaration version overrides re-emitted lines below it)
+    val effId = idCols.orElse(newestHeader.flatMap(_._2.idCols).filter(_.nonEmpty))
+    val idLine = effId.toSeq.map(ids =>
+      "#idcols\t" + ids.map(ic => enc(ic.col) + ":" + ic.start + ":" + ic.step +
+        ":" + ic.highWatermark.map(_.toString).getOrElse("")).mkString(","))
+    val effDefaults = defaults.orElse(newestHeader.flatMap(_._2.defaults).filter(_.nonEmpty))
+    val defaultsLine = effDefaults.toSeq.map(ds =>
+      "#defaults\t" + ds.map { case (n, e) => enc(n) + ":" + enc(e) }.mkString(","))
     // reader-feature gate (Delta readerFeatures): declare the features a
     // reader MUST understand to interpret this record's state correctly —
     // deletion vectors (an entry with a dv ref is NOT "all its rows") and
@@ -1113,7 +1151,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }))
     val schemaLine = (("#op\t" + enc(op)) +:
       schema.toSeq.map(st => "#schema\t" + enc(st.json))) ++
-      constraintsLine ++ colMapLine ++ txnLine ++ genLine ++ featuresLine ++ ctsLine
+      constraintsLine ++ colMapLine ++ txnLine ++ genLine ++ idLine ++
+      defaultsLine ++ featuresLine ++ ctsLine
     val delta = prev.map { p =>
       // diff on the full RENDERED entry, not the relPath alone: a commit
       // that only changes a file's metadata (e.g. its deletion-vector
@@ -1410,10 +1449,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     if (txn.exists { case (app, v) => txnsOf(base).get(app).exists(_ >= v) }) return false
     val v0 = readFilesManifest(base).map(_.version).getOrElse(0)
     val dataDir = newAppendDir(base, v0 + 1)
-    // generated columns the writer omitted are computed BEFORE staging —
-    // the files carry materialized values like any other column
-    val staged = fillGenerated(base, df)
-    staged.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    // defaulted, generated and identity columns the writer omitted are
+    // computed BEFORE staging — the files carry materialized values like
+    // any other column (defaults first: generation expressions may
+    // reference defaulted columns; identity last: it reserves its range in
+    // the log and must count the final row set)
+    val (staged, idRdd) = fillIdentity(base, name, fillGenerated(base, fillDefaults(base, df)))
+    try staged.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    finally idRdd.foreach(_.unpersist(blocking = false))
     // footer min/max are free; blooms (opt-in) cost one scan over the
     // just-written files — see the tradeoff note at [[ManifestStats.bloomKey]]
     val mine = ManifestStats.withBlooms(
@@ -1489,6 +1532,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // staging fails there with the retry remedy)
       if (gencolsOf(base) != gensAgainst)
         gensAgainst = enforceGenerated(base, name, dataDir, providedCols)
+      // an identity column declared AFTER this batch staged cannot be
+      // amended into its files — fail with the retry remedy (the writer
+      // fills identity before staging)
+      idcolsOf(base).foreach(ic => require(incoming.fieldNames.contains(ic.col),
+        s"identity column ${ic.col} of bronze.$name was declared after this " +
+          "batch staged — retry the append (the writer reserves and fills " +
+          "identity values before staging)"))
       val v = snap.map(_.version).getOrElse(0)
       val entries = snap.map(_.entries).getOrElse(Seq.empty)
       val live = entries.map(_.relPath).toSet
@@ -1700,6 +1750,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       s"bronze.$name is not log-managed (append first, then declare)")
     require(!gencolsOf(base).exists(_._1 == colName),
       s"column $colName of bronze.$name is already generated")
+    require(!defaultsOf(base).exists(_._1 == colName),
+      s"column $colName of bronze.$name carries a DEFAULT — generated and " +
+        "default bindings are mutually exclusive")
+    require(!idcolsOf(base).exists(_.col == colName),
+      s"column $colName of bronze.$name is an identity column — it is already engine-generated")
     def validateExisting(): Int = {
       val cur = readFilesManifest(base).get
       require(cur.schema.exists(_.fieldNames.contains(colName)),
@@ -1781,6 +1836,245 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       }
     }
     gens
+  }
+
+  // ───── identity columns (Delta GENERATED ALWAYS AS IDENTITY parity) ───
+  //
+  // An identity column is a LongType column whose values the ENGINE
+  // allocates: writers never provide it (GENERATED ALWAYS — an append
+  // carrying the column is refused), every append/merge fills it from a
+  // log-reserved range. Uniqueness comes from RESERVATION, not
+  // coordination: before staging, the writer commits an O(1) metadata-only
+  // `ID RESERVE` record that advances the column's high watermark by the
+  // batch's row count — the log's put-if-absent CAS makes two concurrent
+  // writers reserve DISJOINT ranges, so the data commit itself needs no
+  // identity logic at all (and a writer that reserves then crashes leaks a
+  // GAP, never a duplicate — exactly Delta's identity contract: unique,
+  // monotonic per writer, not contiguous). RESTORE keeps the watermark at
+  // the FARTHEST point ever reached so a restored-away allocation can
+  // never be re-issued.
+
+  /** Identity columns of a bronze table, declaration order. */
+  def identityColumns(name: String): Seq[Lakehouse.IdentityCol] =
+    idcolsOf(dir("bronze", name))
+
+  private def idcolsOf(base: Path): Seq[Lakehouse.IdentityCol] =
+    idcolsAsOf(base, Int.MaxValue)
+
+  private def idcolsAsOf(base: Path, version: Int): Seq[Lakehouse.IdentityCol] =
+    bronzeVersions(base).filter(_ <= version).reverseIterator
+      .flatMap(v => readRecordHeader(base.resolve(s"_files_v$v")).flatMap(_.idCols))
+      .nextOption().getOrElse(Seq.empty)
+
+  /** Declare `colName` GENERATED ALWAYS AS IDENTITY (START WITH `start`
+    * INCREMENT BY `step`). Creates the table's log when it does not exist
+    * yet (Delta declares identity at CREATE TABLE; this is the
+    * path-catalog equivalent); on an existing table the declaration is
+    * refused unless the table is EMPTY — pre-existing rows can carry no
+    * engine-allocated values, and backfilling would rewrite every file. */
+  def addIdentityColumn(name: String, colName: String,
+      start: Long = 1L, step: Long = 1L, maxAttempts: Int = 5): Unit = {
+    require(step != 0, "identity step must be non-zero")
+    val base = dir("bronze", name)
+    Files.createDirectories(base)
+    require(!idcolsOf(base).exists(_.col == colName),
+      s"column $colName of bronze.$name is already an identity column")
+    require(!gencolsOf(base).exists(_._1 == colName),
+      s"column $colName of bronze.$name is GENERATED ALWAYS AS (${gencolsOf(base).find(_._1 == colName).map(_._2).getOrElse("")}) — cannot also be identity")
+    require(!defaultsOf(base).exists(_._1 == colName),
+      s"column $colName of bronze.$name carries a DEFAULT — drop it before declaring identity")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = readFilesManifest(base)
+      cur.foreach { c =>
+        require(c.entries.isEmpty,
+          s"bronze.$name has committed data files: GENERATED ALWAYS AS IDENTITY " +
+            "declares at table creation (or while the table is empty) — the engine " +
+            "cannot retrofit allocated values onto existing rows")
+        require(!c.schema.exists(_.fieldNames.contains(colName)),
+          s"column $colName already exists on bronze.$name — identity columns are " +
+            "engine-owned from birth")
+      }
+      val ic = Lakehouse.IdentityCol(colName, start, step, None)
+      if (commitFilesManifest(base, cur.map(_.version).getOrElse(0) + 1,
+          cur.flatMap(_.schema), cur.map(_.entries).getOrElse(Seq.empty),
+          prev = cur.map(_.entries), op = "ADD IDENTITY",
+          idCols = Some(idcolsOf(base) :+ ic))) return
+    }
+    throw new IllegalStateException(
+      s"addIdentityColumn($name, $colName) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** Atomically reserve `n` values of every identity column: one
+    * metadata-only `ID RESERVE` commit advancing each high watermark. The
+    * CAS guarantees two concurrent writers get DISJOINT ranges; a crash
+    * after this commit leaks an id gap (allowed) — never a duplicate.
+    * Returns each column's FIRST reserved value. */
+  private def reserveIdentity(base: Path, name: String,
+      n: Long): Seq[(Lakehouse.IdentityCol, Long)] = {
+    var attempts = 0
+    while (attempts < 1000) {
+      attempts += 1
+      val cur = readFilesManifest(base).getOrElse(throw new IllegalStateException(
+        s"bronze.$name lost its committed version mid-reserve"))
+      val ids = idcolsOf(base)
+      if (ids.isEmpty) return Seq.empty
+      val allocated = ids.map { ic =>
+        val first = ic.nextValue
+        (ic.copy(highWatermark = Some(first + ic.step * (n - 1))), first)
+      }
+      if (commitFilesManifest(base, cur.version + 1, cur.schema, cur.entries,
+          prev = Some(cur.entries), op = "ID RESERVE", dataChange = false,
+          idCols = Some(allocated.map(_._1)))) return allocated
+    }
+    throw new IllegalStateException(
+      s"identity reservation on bronze.$name lost 1000 consecutive CAS races")
+  }
+
+  /** Fill identity columns on an incoming frame: refuse writer-provided
+    * values (GENERATED ALWAYS), count the batch, reserve the range, assign
+    * per-partition (the two-pass `zipWithIndex` shape — one counting job,
+    * offsets broadcast with the closure, no global sort). Returns the
+    * filled frame plus the persisted RDD backing it, which the caller
+    * unpersists AFTER staging (the assignment pass must see the exact rows
+    * the counting pass saw). */
+  private def fillIdentity(base: Path, name: String,
+      df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
+    val ids = idcolsOf(base)
+    if (ids.isEmpty) return (df, None)
+    ids.foreach(ic => require(!df.columns.contains(ic.col),
+      s"column ${ic.col} of bronze.$name is GENERATED ALWAYS AS IDENTITY — " +
+        "writers cannot provide it"))
+    import org.apache.spark.sql.types.LongType
+    val outSchema = ids.foldLeft(df.schema)((s, ic) => s.add(ic.col, LongType, nullable = true))
+    val rdd = df.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      var c = 0L; while (it.hasNext) { it.next(); c += 1 }; Iterator(i -> c)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.lastOption.getOrElse(0L)
+    if (n == 0) {
+      rdd.unpersist(blocking = false)
+      // zero rows: nothing to reserve; keep the columns for schema stability
+      return (ids.foldLeft(df)((d, ic) => d.withColumn(ic.col,
+        org.apache.spark.sql.functions.lit(null).cast(LongType))), None)
+    }
+    val firsts = reserveIdentity(base, name, n).map { case (ic, f) => (ic.step, f) }
+    val withIds = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val off = offsets(pi)
+      var k = 0L
+      it.map { r =>
+        val extra = firsts.map { case (step, first) => first + step * (off + k) }
+        k += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ extra)
+      }
+    }
+    (spark.createDataFrame(withIds, outSchema), Some(rdd))
+  }
+
+  // ───── column DEFAULT values (Delta column defaults parity) ───────────
+  //
+  // A default binds a column to a COLUMN-FREE expression: appends/merges
+  // that omit the column get it filled at write time (files carry
+  // materialized values — stats and skipping see a normal column); writers
+  // that provide the column keep their values unvalidated (GENERATED BY
+  // DEFAULT semantics — contrast [[addGeneratedColumn]], which validates).
+  // Delta's contract on history is preserved: a default applies to writes
+  // AFTER its declaration; rows landed before (files lacking the column)
+  // read as NULL, never retroactively as the default.
+
+  /** Column defaults of a bronze table: (column, default expression SQL),
+    * declaration order. */
+  def columnDefaults(name: String): Seq[(String, String)] =
+    defaultsOf(dir("bronze", name))
+
+  private def defaultsOf(base: Path): Seq[(String, String)] =
+    defaultsAsOf(base, Int.MaxValue)
+
+  private def defaultsAsOf(base: Path, version: Int): Seq[(String, String)] =
+    bronzeVersions(base).filter(_ <= version).reverseIterator
+      .flatMap(v => readRecordHeader(base.resolve(s"_files_v$v")).flatMap(_.defaults))
+      .nextOption().getOrElse(Seq.empty)
+
+  /** Declare DEFAULT (`exprSql`) for `colName`. The expression must be
+    * COLUMN-FREE (it evaluates against no row — Delta's same restriction);
+    * it is probed once here by evaluating it over a single synthetic row,
+    * so parse errors and column references fail at declaration, not at
+    * some future writer's append. */
+  def setColumnDefault(name: String, colName: String, exprSql: String,
+      maxAttempts: Int = 5): Unit = {
+    val base = dir("bronze", name)
+    require(readFilesManifest(base).isDefined,
+      s"bronze.$name is not log-managed (append first, then declare)")
+    require(!gencolsOf(base).exists(_._1 == colName),
+      s"column $colName of bronze.$name is GENERATED ALWAYS AS — generated and " +
+        "default bindings are mutually exclusive")
+    require(!idcolsOf(base).exists(_.col == colName),
+      s"column $colName of bronze.$name is an identity column — it cannot carry a default")
+    // column-free probe: any attribute reference fails analysis on range(1)
+    try spark.range(1).select(org.apache.spark.sql.functions.expr(exprSql)).collect()
+    catch { case scala.util.control.NonFatal(e) =>
+      throw new IllegalArgumentException(
+        s"default expression for $colName must be column-free and valid SQL " +
+          s"($exprSql): ${e.getMessage}", e)
+    }
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = readFilesManifest(base).get
+      if (commitFilesManifest(base, cur.version + 1, cur.schema, cur.entries,
+          prev = Some(cur.entries), op = "SET DEFAULT",
+          defaults = Some(defaultsOf(base).filterNot(_._1 == colName) :+ (colName -> exprSql))))
+        return
+    }
+    throw new IllegalStateException(
+      s"setColumnDefault($name, $colName) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** Remove a column's default (the column and its data stay; future
+    * writers that omit it land NULLs again). */
+  def dropColumnDefault(name: String, colName: String, maxAttempts: Int = 5): Unit = {
+    val base = dir("bronze", name)
+    require(defaultsOf(base).exists(_._1 == colName),
+      s"column $colName of bronze.$name carries no default")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = readFilesManifest(base).getOrElse(throw new IllegalStateException(
+        s"bronze.$name lost its committed version"))
+      if (commitFilesManifest(base, cur.version + 1, cur.schema, cur.entries,
+          prev = Some(cur.entries), op = "DROP DEFAULT",
+          defaults = Some(defaultsOf(base).filterNot(_._1 == colName)))) return
+    }
+    throw new IllegalStateException(
+      s"dropColumnDefault($name, $colName) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** Fill MISSING defaulted columns on an incoming frame (writer-side,
+    * before staging — and before [[fillGenerated]], whose expressions may
+    * reference defaulted columns). Provided columns pass through as-is. */
+  private def fillDefaults(base: Path, df: DataFrame): DataFrame =
+    defaultsOf(base).foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, org.apache.spark.sql.functions.expr(e))
+    }
+
+  /** Refuse a schema change on an identity or defaulted column — the
+    * engine-owned binding keys on the logical name. Mirror of
+    * [[guardGeneratedRefs]]. */
+  private def guardIdentityDefaultRefs(base: Path, name: String, colName: String,
+      action: String): Unit = {
+    idcolsOf(base).find(_.col == colName).foreach(ic =>
+      throw new IllegalArgumentException(
+        s"column $colName of bronze.$name is GENERATED ALWAYS AS IDENTITY " +
+          s"(start ${ic.start} step ${ic.step}): identity columns cannot be ${action}d"))
+    defaultsOf(base).find(_._1 == colName).foreach { case (_, e) =>
+      throw new IllegalArgumentException(
+        s"column $colName of bronze.$name carries DEFAULT ($e): drop the " +
+          s"default, $action, re-declare")
+    }
   }
 
   // ───── reader-feature protocol gate (Delta readerFeatures parity) ─────
@@ -1990,6 +2284,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         throw new IllegalArgumentException(
           s"CHECK constraint ${c._1} (${c._2}) references $from: drop it, rename, re-add"))
       guardGeneratedRefs(base, name, from, "rename")
+      guardIdentityDefaultRefs(base, name, from, "rename")
       val m = colMapOf(base)
       require(!reservedNames(m - from).contains(to),
         s"name $to is reserved by a rename/drop chain of bronze.$name — old files' " +
@@ -2072,6 +2367,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           s"${newType.simpleString} is not a supported lossless widening " +
           "(integral up-casts, float→double, decimal precision growth)")
       guardGeneratedRefs(base, name, colName, "widen")
+      guardIdentityDefaultRefs(base, name, colName, "widen")
       val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
         if (f.name == colName) f.copy(dataType = newType) else f))
       if (commitFilesManifest(base, cur.version + 1, Some(newSchema), cur.entries,
@@ -2104,6 +2400,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         throw new IllegalArgumentException(
           s"CHECK constraint ${c._1} (${c._2}) references $colName: drop it first"))
       guardGeneratedRefs(base, name, colName, "drop")
+      guardIdentityDefaultRefs(base, name, colName, "drop")
       val m = colMapOf(base)
       val tomb = s"!$colName@${cur.version + 1}"
       val newMap = (m - colName) +
@@ -2440,10 +2737,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val head = readFilesManifest(base)
     if (head.isEmpty) return appendBronze(name, source, txn = txn)
     // stage the source ONCE; files never change across CAS retries.
-    // Generated columns the source omits are computed here, before staging
-    val filled = fillGenerated(base, source)
+    // Defaulted/generated/identity columns the source omits are computed
+    // here, before staging. NOTE on identity semantics: MERGE rewrites
+    // matched rows as delete + re-insert, so a matched row's identity
+    // value CHANGES (the re-inserted row draws a fresh id) — the CDF shows
+    // exactly that delete/insert pair. Callers needing stable surrogate
+    // keys across upserts should carry their own key column.
+    val (filled, idRdd) = fillIdentity(base, name,
+      fillGenerated(base, fillDefaults(base, source)))
     val dataDir = newAppendDir(base, head.get.version + 1)
-    filled.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    try filled.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    finally idRdd.foreach(_.unpersist(blocking = false))
     val staged = ManifestStats.collectStats(spark, dataDir.toString,
       Lakehouse.BronzeStatsCols, dataDir.getFileName.toString)
     var validated = enforceConstraints(base, name, dataDir, staged)
@@ -2477,6 +2781,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         validated = enforceConstraints(base, name, dataDir, staged)
       if (gencolsOf(base) != gensAgainst)
         gensAgainst = enforceGenerated(base, name, dataDir, source.columns.toSet)
+      idcolsOf(base).foreach(ic => require(filled.schema.fieldNames.contains(ic.col),
+        s"identity column ${ic.col} of bronze.$name was declared after this " +
+          "merge staged — retry the merge (the writer reserves and fills " +
+          "identity values before staging)"))
       val mergedSch = mergedSchema(schemaOpt.getOrElse(filled.schema), filled.schema)
       guardReservedColumns(base, name,
         schemaOpt.map(_.fieldNames.toSet).getOrElse(Set.empty), mergedSch, dataDir)
@@ -2586,11 +2894,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // Some(Nil) writes the explicit empty constraints marker when the
       // target had none (the colmap line is simply absent then: resolution
       // reads the newest record only)
+      // identity DEFINITIONS restore with the rest of the table metadata,
+      // but each high watermark stays at the FARTHEST point ever reached —
+      // re-issuing ids a restored-away version already allocated would
+      // break the uniqueness contract (Delta's identity + RESTORE rule)
+      val restoredIds = idcolsAsOf(base, version).map { ic =>
+        ic.copy(highWatermark =
+          ic.maxWatermark(idcolsOf(base).find(_.col == ic.col).flatMap(_.highWatermark)))
+      }
       if (commitFilesManifest(base, cur.version + 1, target.schema, target.entries,
           prev = Some(cur.entries), op = "RESTORE",
           constraints = Some(constraintsAsOf(base, version)),
           colMap = Some(colMapAsOf(base, version)),
-          genCols = Some(gencolsAsOf(base, version)))) return
+          genCols = Some(gencolsAsOf(base, version)),
+          idCols = Some(restoredIds),
+          defaults = Some(defaultsAsOf(base, version)))) return
     }
     throw new IllegalStateException(
       s"restoreBronze($name) lost $maxAttempts consecutive CAS races")
@@ -2682,7 +3000,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     require(commitFilesManifest(dbase, 1, snap.schema, entries, op = "CLONE",
         constraints = Some(constraintsAsOf(sbase, snap.version)).filter(_.nonEmpty),
         colMap = Some(colMapAsOf(sbase, snap.version)).filter(_.nonEmpty),
-        genCols = Some(gencolsAsOf(sbase, snap.version)).filter(_.nonEmpty)),
+        genCols = Some(gencolsAsOf(sbase, snap.version)).filter(_.nonEmpty),
+        // the as-of watermark is the right one for a clone: every id in the
+        // cloned data is at-or-below it, and the clone allocates independently
+        idCols = Some(idcolsAsOf(sbase, snap.version)).filter(_.nonEmpty),
+        defaults = Some(defaultsAsOf(sbase, snap.version)).filter(_.nonEmpty)),
       s"cloneBronze($src, $dst) lost the v1 commit race — dst created concurrently")
   }
 
@@ -3312,6 +3634,25 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 }
 
 object Lakehouse {
+
+  /** One identity-column declaration (Delta GENERATED ALWAYS AS IDENTITY):
+    * values are allocated by the ENGINE as `start, start+step, …`;
+    * `highWatermark` is the last value ever reserved (None until the first
+    * allocation). Uniqueness is guaranteed by log-atomic range RESERVATION
+    * ([[Lakehouse.reserveIdentity]]); contiguity is NOT — a writer that
+    * reserves and then crashes leaks a gap, exactly Delta's contract. */
+  final case class IdentityCol(col: String, start: Long, step: Long,
+      highWatermark: Option[Long]) {
+    /** First value of the next allocation. */
+    def nextValue: Long = highWatermark.map(_ + step).getOrElse(start)
+    /** The watermark FARTHER along the step direction — RESTORE must never
+      * move allocation backwards (re-issuing ids a restored-away version
+      * already handed out). */
+    def maxWatermark(other: Option[Long]): Option[Long] = (highWatermark, other) match {
+      case (Some(a), Some(b)) => Some(if (step > 0) math.max(a, b) else math.min(a, b))
+      case (a, b) => a.orElse(b)
+    }
+  }
 
   /** Parse a CHECK expression of the shape `col <op> literal` (either
     * operand order) into (column, op, value) — the subset

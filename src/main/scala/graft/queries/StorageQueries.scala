@@ -411,6 +411,95 @@ object StorageQueries {
       FROM final
       ORDER BY o_orderkey"""))
 
+  /** Identity columns ([[Lakehouse.addIdentityColumn]], GENERATED ALWAYS
+    * AS IDENTITY): the engine allocates values via log-atomic range
+    * reservation. Three sorted single-sort appends allocate ranks 1..n1,
+    * n1+1..n1+n2, … — and the third batch's offset proves the watermark
+    * counts ALLOCATED rows, not visible ones (a vector delete between
+    * batches must NOT reclaim ids). DuckDB replays the allocation as
+    * ROW_NUMBER per batch plus the cumulative batch offsets. */
+  val st10IdentityCol = GraftQuery(
+    "st10_identity_col",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-st10")
+      val lake = new Lakehouse(s, scratch.toString)
+      val src = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast(money).cast("double").as("acctbal"))
+      // identity declares at table creation (the log exists before data)
+      lake.addIdentityColumn("cust", "rid")
+      // each batch lands SORTED: range partitions concatenate in partition
+      // order, so allocation order = rank by key — deterministic for the oracle
+      lake.appendBronze("cust",
+        src.filter(col("c_custkey") % 20 === 0).orderBy(col("c_custkey")))
+      lake.appendBronze("cust",
+        src.filter(col("c_custkey") % 10 === 0 && col("c_custkey") % 20 =!= 0)
+          .orderBy(col("c_custkey")))
+      // a vector delete between batches does NOT reclaim allocated ids
+      lake.deleteBronzeWhereDv("cust", col("acctbal") < 0)
+      lake.appendBronze("cust",
+        src.filter(col("c_custkey") % 10 === 5).orderBy(col("c_custkey")))
+      val res = lake.table("bronze", "cust")
+        .select(col("c_custkey"), col("c_name"), col("acctbal"), col("rid"))
+        .orderBy(col("c_custkey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      WITH s AS (
+        SELECT c_custkey, c_name,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+        FROM customer),
+      b1 AS (SELECT *, ROW_NUMBER() OVER (ORDER BY c_custkey) AS rid
+             FROM s WHERE c_custkey % 20 = 0),
+      b2 AS (SELECT *, (SELECT COUNT(*) FROM b1)
+                       + ROW_NUMBER() OVER (ORDER BY c_custkey) AS rid
+             FROM s WHERE c_custkey % 10 = 0 AND c_custkey % 20 <> 0),
+      b3 AS (SELECT *, (SELECT COUNT(*) FROM b1) + (SELECT COUNT(*) FROM b2)
+                       + ROW_NUMBER() OVER (ORDER BY c_custkey) AS rid
+             FROM s WHERE c_custkey % 10 = 5)
+      SELECT c_custkey, c_name, acctbal, rid FROM b1 WHERE acctbal >= 0
+      UNION ALL
+      SELECT c_custkey, c_name, acctbal, rid FROM b2 WHERE acctbal >= 0
+      UNION ALL
+      SELECT c_custkey, c_name, acctbal, rid FROM b3
+      ORDER BY c_custkey"""))
+
+  /** Column defaults ([[Lakehouse.setColumnDefault]]): a default applies
+    * to writes AFTER its declaration — batch 1 (pre-declaration) reads
+    * NULL, batch 2 (omits the column) lands the default, batch 3 keeps
+    * its provided values unvalidated, batch 4 (after DROP DEFAULT) lands
+    * NULL again. DuckDB replays the per-batch visibility as a CASE over
+    * the batch key. */
+  val st11ColumnDefault = GraftQuery(
+    "st11_column_default",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-st11")
+      val lake = new Lakehouse(s, scratch.toString)
+      val src = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      lake.appendBronze("sup", src.filter(col("s_suppkey") % 4 === 0).repartition(2))
+      lake.setColumnDefault("sup", "tier", "'unrated'")
+      lake.appendBronze("sup", src.filter(col("s_suppkey") % 4 === 1).repartition(2))
+      lake.appendBronze("sup", src.filter(col("s_suppkey") % 4 === 2)
+        .withColumn("tier", when(col("s_nationkey") < 12, lit("low")).otherwise(lit("high")))
+        .repartition(2))
+      lake.dropColumnDefault("sup", "tier")
+      lake.appendBronze("sup", src.filter(col("s_suppkey") % 4 === 3).repartition(2))
+      val res = lake.table("bronze", "sup")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("tier"))
+        .orderBy(col("s_suppkey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      SELECT s_suppkey, s_name, s_nationkey,
+             CASE WHEN s_suppkey % 4 = 1 THEN 'unrated'
+                  WHEN s_suppkey % 4 = 2 THEN
+                    (CASE WHEN s_nationkey < 12 THEN 'low' ELSE 'high' END)
+                  ELSE NULL END AS tier
+      FROM supplier
+      ORDER BY s_suppkey"""))
+
   val all: Seq[GraftQuery] = Seq(st01DvDelete, st02RestoreRead, st03CdfRead, st04MergeUpsert,
-    st05TxnIdempotent, st06CdfCursor, st07CdfAggMv, st08TypeWiden, st09GeneratedCol)
+    st05TxnIdempotent, st06CdfCursor, st07CdfAggMv, st08TypeWiden, st09GeneratedCol,
+    st10IdentityCol, st11ColumnDefault)
 }
