@@ -736,6 +736,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private val GenColsLine = "#gencols\t(.*)".r
   private val IdColsLine = "#idcols\t(.*)".r
   private val DefaultsLine = "#defaults\t(.*)".r
+  private val RowIdWmLine = "#rowidwm\t(-?\\d+)".r
 
   /** Header-only peek at a log record — version, delta/checkpoint kind, and
     * the parquet-twin reference — WITHOUT parsing the entry lines. The
@@ -776,7 +777,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       idCols: Option[Seq[Lakehouse.IdentityCol]] = None,
       // column DEFAULT values: column → default expression SQL (column-free,
       // filled when a writer omits the column). Same marker discipline.
-      defaults: Option[Seq[(String, String)]] = None)
+      defaults: Option[Seq[(String, String)]] = None,
+      // row-tracking high watermark (Delta rowTracking): total logical row
+      // ids ever assigned. Presence of the line = the feature is ENABLED;
+      // commits re-emit it (newest-record resolution, the txns discipline).
+      rowIdWm: Option[Long] = None)
 
   private def readRecordHeader(m: Path): Option[RecordHeader] =
     if (!Files.exists(m)) None
@@ -798,6 +803,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         var genCols: Option[Seq[(String, String)]] = None
         var idCols: Option[Seq[Lakehouse.IdentityCol]] = None
         var defaults: Option[Seq[(String, String)]] = None
+        var rowIdWm: Option[Long] = None
         var line = in.readLine()
         // header lines all start with '#' and precede the entry lines
         // (#rm lines of a delta are skipped — this peek never needs them)
@@ -854,6 +860,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
                 (java.net.URLDecoder.decode(n, java.nio.charset.StandardCharsets.UTF_8),
                   java.net.URLDecoder.decode(e, java.nio.charset.StandardCharsets.UTF_8))
               })
+            case RowIdWmLine(w) => rowIdWm = Some(w.toLong)
             case SchemaLine(enc) => schema = Some(
               org.apache.spark.sql.types.DataType.fromJson(
                 java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
@@ -863,7 +870,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           line = in.readLine()
         }
         Some(RecordHeader(version, isDelta, ckpt, schema, addDirs, op, noDataDirs,
-          constraints, colMap, txns, features, commitTs, genCols, idCols, defaults))
+          constraints, colMap, txns, features, commitTs, genCols, idCols, defaults,
+          rowIdWm))
       } finally in.close()
     }
 
@@ -1085,7 +1093,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       txns: Option[Map[String, Long]] = None,
       genCols: Option[Seq[(String, String)]] = None,
       idCols: Option[Seq[Lakehouse.IdentityCol]] = None,
-      defaults: Option[Seq[(String, String)]] = None): Boolean = {
+      defaults: Option[Seq[(String, String)]] = None,
+      rowIdWm: Option[Long] = None): Boolean = {
     def enc(s: String) =
       java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
     // CHECK constraints persist like schema: every commit RE-EMITS the
@@ -1127,6 +1136,32 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val effDefaults = defaults.orElse(newestHeader.flatMap(_._2.defaults).filter(_.nonEmpty))
     val defaultsLine = effDefaults.toSeq.map(ds =>
       "#defaults\t" + ds.map { case (n, e) => enc(n) + ":" + enc(e) }.mkString(","))
+    // ROW TRACKING (Delta rowTracking): when enabled (the newest record
+    // carries `#rowidwm`), every FRESH entry gets its base row id assigned
+    // HERE, inside the commit CAS — pure metadata, atomic with the commit,
+    // so no reservation protocol is needed (contrast identity columns,
+    // whose values live in file bytes and must be reserved before staging).
+    // Entries already carrying a base — surviving files, restored file
+    // sets, rewrite outputs marked PhysicalRowIds — pass through unchanged,
+    // so logical row ids are stable by construction.
+    val effRowWm0 = rowIdWm.orElse(newestHeader.flatMap(_._2.rowIdWm))
+    val (entriesB, effRowWm) = effRowWm0 match {
+      case None => (entries, None)
+      case Some(wm0) =>
+        var wm = wm0
+        val out = entries.map { e =>
+          if (e.stats.contains(ManifestStats.RowBaseCol)) e
+          else {
+            val n = ManifestStats.rowsOf(e).getOrElse(throw new IllegalStateException(
+              s"row tracking needs per-file __rows for ${e.relPath} — " +
+                "compact the table (stats recollect on rewrite) first"))
+            val b = wm; wm += n
+            ManifestStats.withRowBase(e, b)
+          }
+        }
+        (out, Some(wm))
+    }
+    val rowWmLine = effRowWm.toSeq.map(w => "#rowidwm\t" + w)
     // reader-feature gate (Delta readerFeatures): declare the features a
     // reader MUST understand to interpret this record's state correctly —
     // deletion vectors (an entry with a dv ref is NOT "all its rows") and
@@ -1134,7 +1169,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // reader that does not know a declared feature fails fast instead of
     // silently misreading ([[requireReaderFeatures]]).
     val reqFeatures =
-      (if (entries.exists(e => ManifestStats.dvRef(e).isDefined)) Seq("dv") else Seq.empty) ++
+      (if (entriesB.exists(e => ManifestStats.dvRef(e).isDefined)) Seq("dv") else Seq.empty) ++
         (if (effColMap.exists(_.nonEmpty)) Seq("colmap") else Seq.empty)
     val featuresLine =
       if (reqFeatures.isEmpty) Seq.empty else Seq("#features\t" + reqFeatures.mkString(","))
@@ -1152,7 +1187,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val schemaLine = (("#op\t" + enc(op)) +:
       schema.toSeq.map(st => "#schema\t" + enc(st.json))) ++
       constraintsLine ++ colMapLine ++ txnLine ++ genLine ++ idLine ++
-      defaultsLine ++ featuresLine ++ ctsLine
+      defaultsLine ++ rowWmLine ++ featuresLine ++ ctsLine
     val delta = prev.map { p =>
       // diff on the full RENDERED entry, not the relPath alone: a commit
       // that only changes a file's metadata (e.g. its deletion-vector
@@ -1160,21 +1195,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // — resolveSnapshot applies removes before adds, so the pair
       // replaces the entry in place
       val prevRender = p.map(e => e.relPath -> e.render).toMap
-      val newPaths = entries.map(_.relPath).toSet
-      val changed = entries.filter(e =>
+      val newPaths = entriesB.map(_.relPath).toSet
+      val changed = entriesB.filter(e =>
         prevRender.get(e.relPath).exists(_ != e.render)).map(_.relPath).toSet
-      (entries.filterNot(e => prevRender.get(e.relPath).contains(e.render)),
+      (entriesB.filterNot(e => prevRender.get(e.relPath).contains(e.render)),
         p.map(_.relPath).filter(r => !newPaths(r) || changed(r)))
     }
     val asDelta = delta.exists { case (adds, removes) =>
       version % bronzeCheckpointInterval != 0 &&
-        adds.size + removes.size < entries.size }
+        adds.size + removes.size < entriesB.size }
     // large checkpoints get a parquet twin for the distributed stats-pruned
     // resolve; tiny tables skip it (a Spark job per commit would dominate,
     // and a driver-side scan of a small entry list is already O(small))
     val ckptDirName: Option[String] =
-      if (!asDelta && entries.size >= Lakehouse.CheckpointParquetMinEntries)
-        Some(writeCheckpointParquet(base, version, entries))
+      if (!asDelta && entriesB.size >= Lakehouse.CheckpointParquetMinEntries)
+        Some(writeCheckpointParquet(base, version, entriesB))
       else None
     val ckptLine = ckptDirName.toSeq.map(d => "#ckpt\t" +
       java.net.URLEncoder.encode(d, java.nio.charset.StandardCharsets.UTF_8))
@@ -1184,7 +1219,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     def dirOf(rel: String): String = rel.takeWhile(_ != '/')
     val dirsOfRecord: Seq[String] =
       if (asDelta) delta.get._1.map(e => dirOf(e.relPath)).distinct
-      else (committedDirNames(base) ++ entries.map(e => dirOf(e.relPath)))
+      else (committedDirNames(base) ++ entriesB.map(e => dirOf(e.relPath)))
         .toSeq.distinct.filter(d => Files.isDirectory(base.resolve(d)))
     val dirsLine = if (dirsOfRecord.isEmpty) Seq.empty else Seq("#dirs\t" +
       dirsOfRecord.map(java.net.URLEncoder.encode(_,
@@ -1197,7 +1232,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val myNoDataDirs: Seq[String] =
       if (dataChange) Seq.empty
       else delta.map(_._1.map(e => dirOf(e.relPath)).distinct)
-        .getOrElse(entries.map(e => dirOf(e.relPath)).distinct)
+        .getOrElse(entriesB.map(e => dirOf(e.relPath)).distinct)
     val ndDirsOfRecord: Seq[String] =
       if (asDelta) myNoDataDirs
       else (nodataDirNames(base) ++ myNoDataDirs)
@@ -1212,7 +1247,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
             java.net.URLEncoder.encode(r, java.nio.charset.StandardCharsets.UTF_8)) ++
           adds.map(_.render)
       case _ => (version.toString +: (schemaLine ++ ckptLine ++ dirsLine ++ ndLine)) ++
-        entries.map(_.render)
+        entriesB.map(_.render)
     }).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val tmp = base.resolve(s".manifest_${version}_${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, body)
@@ -1447,6 +1482,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // authoritative check re-runs inside the commit CAS loop — this one
     // just avoids the wasted write.
     if (txn.exists { case (app, v) => txnsOf(base).get(app).exists(_ >= v) }) return false
+    guardRowIdCols(base, name, df.columns.toSeq)
     val v0 = readFilesManifest(base).map(_.version).getOrElse(0)
     val dataDir = newAppendDir(base, v0 + 1)
     // defaulted, generated and identity columns the writer omitted are
@@ -2077,6 +2113,131 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
   }
 
+  // ───── row tracking (Delta rowTracking / baseRowId parity) ────────────
+  //
+  // Every row gets a STABLE LOGICAL ID that survives rewrites: fresh files
+  // get a per-file BASE assigned atomically inside the commit CAS from the
+  // log's `#rowidwm` watermark (pure metadata — a row's id is
+  // base + physical position, nothing is written into data files), and any
+  // rewrite that MOVES rows (OPTIMIZE, bin-packing, copy-on-write DELETE)
+  // materializes the ids it read into a physical `__row_id` column of its
+  // output files, marked [[ManifestStats.PhysicalRowIds]] in the manifest.
+  // Deletion-vector deletes never move rows, so ids hold under them for
+  // free. The watermark only grows (RESTORE re-emits the current one), so
+  // an id is never reissued. Readers that do not know the feature are
+  // unaffected: scans read under the LOG schema, which never contains
+  // `__row_id` (Delta ships rowTracking reader-compatible the same way).
+
+  /** The row-tracking watermark (total ids ever assigned), or None when
+    * the feature is not enabled on this table. */
+  def rowIdWatermark(name: String): Option[Long] = rowIdWmOf(dir("bronze", name))
+
+  private def rowIdWmOf(base: Path): Option[Long] =
+    bronzeVersions(base).lastOption
+      .flatMap(v => readRecordHeader(base.resolve(s"_files_v$v")).flatMap(_.rowIdWm))
+
+  private def rowIdWmAsOf(base: Path, version: Int): Option[Long] =
+    bronzeVersions(base).filter(_ <= version).reverseIterator
+      .flatMap(v => readRecordHeader(base.resolve(s"_files_v$v")).flatMap(_.rowIdWm))
+      .nextOption()
+
+  /** Enable row tracking: one metadata-only commit that BACKFILLS a base
+    * row id onto every live file (from its recorded `__rows`) and starts
+    * the watermark; every subsequent commit assigns bases to its fresh
+    * files centrally ([[commitFilesManifest]]). Idempotent. */
+  def enableRowTracking(name: String, maxAttempts: Int = 5): Unit = {
+    val base = dir("bronze", name)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = readFilesManifest(base).getOrElse(throw new IllegalArgumentException(
+        s"bronze.$name is not log-managed (append first, then enable)"))
+      if (rowIdWmOf(base).isDefined) return // already enabled
+      cur.schema.foreach(s => Seq("_row_id", Lakehouse.PhysRowIdCol).foreach(c =>
+        require(!s.fieldNames.contains(c),
+          s"bronze.$name already has a $c column — row tracking owns that name")))
+      if (commitFilesManifest(base, cur.version + 1, cur.schema, cur.entries,
+          prev = Some(cur.entries), op = "ENABLE ROW TRACKING",
+          rowIdWm = Some(0L))) return
+    }
+    throw new IllegalStateException(
+      s"enableRowTracking($name) lost $maxAttempts consecutive CAS races")
+  }
+
+  /** The table with its stable `_row_id` column (Delta's
+    * `row_tracking.enabled` read face). Ids are derived per file — base +
+    * `_metadata.row_index` for log-based files (one plan-embedded map
+    * lookup per file per thread, inside codegen), the physical `__row_id`
+    * column for rewrite outputs — and survive OPTIMIZE, bin-packing, and
+    * both delete flavors. */
+  def tableWithRowIds(name: String): DataFrame = {
+    val base = dir("bronze", name)
+    val snap = readFilesManifest(base).getOrElse(throw new IllegalArgumentException(
+      s"bronze.$name is not log-managed"))
+    require(rowIdWmOf(base).isDefined,
+      s"row tracking is not enabled on bronze.$name (enableRowTracking first)")
+    readEntriesRowIds(base, snap.schema, snap.entries, colMapOf(base))
+      .withColumnRenamed(Lakehouse.PhysRowIdCol, "_row_id")
+  }
+
+  /** Read live entries with their row ids as a `__row_id` column (logical
+    * view columns first — the rewrite paths write this frame back out, so
+    * the id column keeps its PHYSICAL name here). Deletion vectors are
+    * applied; both file species union after their per-branch filter. */
+  private def readEntriesRowIds(base: Path,
+      schemaOpt: Option[org.apache.spark.sql.types.StructType],
+      entries: Seq[ManifestStats.FileEntry],
+      cmap: Map[String, Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnShim
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = schemaOpt.getOrElse(throw new IllegalStateException(
+      "row tracking needs a recorded log schema"))
+    def dvFiltered(df: DataFrame, es: Seq[ManifestStats.FileEntry]): DataFrame = {
+      val refs = dvRefPairs(es.filter(e => ManifestStats.dvRef(e).isDefined))
+      if (refs.isEmpty) df
+      else df.filter(!ColumnShim.column(graft.sql.DvRowDeleted(
+        ColumnShim.expression(df.col("_metadata.file_path")),
+        ColumnShim.expression(df.col("_metadata.row_index")),
+        DeletionVectors.loadMap(base, refs))))
+    }
+    val (phys, based) = entries.partition(e =>
+      ManifestStats.rowBase(e).contains(ManifestStats.PhysicalRowIds))
+    based.find(e => ManifestStats.rowBase(e).isEmpty).foreach(e =>
+      throw new IllegalStateException(
+        s"live file ${e.relPath} carries no base row id — its commit predates " +
+          "enableRowTracking? (enable backfills every live file)"))
+    val parts = Seq.newBuilder[DataFrame]
+    if (based.nonEmpty) {
+      val df = spark.read.schema(readSchemaFor(schema, cmap))
+        .parquet(based.map(e => base.resolve(e.relPath).toString): _*)
+      val bases = based.map(e =>
+        graft.sql.DvRowDeleted.relPathKey(e.relPath) -> ManifestStats.rowBase(e).get).toMap
+      val id = (ColumnShim.column(graft.sql.FileBaseRowId(
+        ColumnShim.expression(df.col("_metadata.file_path")), bases)) +
+        df.col("_metadata.row_index")).as(Lakehouse.PhysRowIdCol)
+      parts += dvFiltered(df, based).select(renameViewCols(df, schema, cmap) :+ id: _*)
+    }
+    if (phys.nonEmpty) {
+      val df = spark.read
+        .schema(readSchemaFor(schema, cmap).add(Lakehouse.PhysRowIdCol, LongType))
+        .parquet(phys.map(e => base.resolve(e.relPath).toString): _*)
+      parts += dvFiltered(df, phys).select(
+        renameViewCols(df, schema, cmap) :+ df.col(Lakehouse.PhysRowIdCol): _*)
+    }
+    parts.result().reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(schema.fields :+ StructField(Lakehouse.PhysRowIdCol, LongType))))
+  }
+
+  /** Refuse writer-provided row-id columns on a row-tracked table — the
+    * ids are engine-owned (the [[fillIdentity]] GENERATED ALWAYS rule). */
+  private def guardRowIdCols(base: Path, name: String, cols: Seq[String]): Unit =
+    if (rowIdWmOf(base).isDefined)
+      Seq("_row_id", Lakehouse.PhysRowIdCol).filter(cols.contains).foreach(c =>
+        throw new IllegalArgumentException(
+          s"column $c of bronze.$name is engine-owned (row tracking) — " +
+            "writers cannot provide it"))
+
   // ───── reader-feature protocol gate (Delta readerFeatures parity) ─────
 
   /** Features this build understands. A log record declaring anything
@@ -2534,7 +2695,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           // ../src/ prefix the scan's file_path normalizes away
           val (affected, untouched) = entries.partition(e =>
             affectedNames.contains(graft.sql.DvRowDeleted.relPathKey(e.relPath)))
-          val retained = readEntriesWithDv(base, schemaOpt, affected, cmap)
+          // copy-on-write moves the surviving rows: on a row-tracked table
+          // they carry their ids into the rewrite as a physical column
+          val tracked = rowIdWmOf(base).isDefined
+          val retained = (if (tracked) readEntriesRowIds(base, schemaOpt, affected, cmap)
+            else readEntriesWithDv(base, schemaOpt, affected, cmap))
             .filter(!condition)
           val newEntries =
             if (retained.isEmpty && untouched.nonEmpty) Seq.empty
@@ -2544,8 +2709,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
               // stays readable
               val out = if (retained.isEmpty) retained.repartition(1) else retained
               out.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-              ManifestStats.collectStats(spark, dataDir.toString,
+              val collected = ManifestStats.collectStats(spark, dataDir.toString,
                 Lakehouse.BronzeStatsCols, dataDir.getFileName.toString)
+              if (tracked)
+                collected.map(ManifestStats.withRowBase(_, ManifestStats.PhysicalRowIds))
+              else collected
             }
           if (commitFilesManifest(base, v + 1, schemaOpt, untouched ++ newEntries,
               prev = Some(entries), op = "DELETE")) return
@@ -2736,6 +2904,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     if (txnApplied()) return false
     val head = readFilesManifest(base)
     if (head.isEmpty) return appendBronze(name, source, txn = txn)
+    guardRowIdCols(base, name, source.columns.toSeq)
     // stage the source ONCE; files never change across CAS retries.
     // Defaulted/generated/identity columns the source omits are computed
     // here, before staging. NOTE on identity semantics: MERGE rewrites
@@ -3004,7 +3173,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         // the as-of watermark is the right one for a clone: every id in the
         // cloned data is at-or-below it, and the clone allocates independently
         idCols = Some(idcolsAsOf(sbase, snap.version)).filter(_.nonEmpty),
-        defaults = Some(defaultsAsOf(sbase, snap.version)).filter(_.nonEmpty)),
+        defaults = Some(defaultsAsOf(sbase, snap.version)).filter(_.nonEmpty),
+        // row tracking carries at the as-of watermark: every id in the
+        // cloned entries is below it, and the clone allocates independently
+        rowIdWm = rowIdWmAsOf(sbase, snap.version)),
       s"cloneBronze($src, $dst) lost the v1 commit race — dst created concurrently")
   }
 
@@ -3487,17 +3659,23 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val outFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
       val dataDir = newAppendDir(base, v + 1)
       // the rewrite reads through the column-mapping view, so repacked
-      // files MIGRATE onto the current logical names
-      readEntriesWithDv(base, schemaOpt, smalls, colMapOf(base))
+      // files MIGRATE onto the current logical names; row-tracked tables
+      // read through the row-id face and materialize ids into the outputs
+      val tracked = rowIdWmOf(base).isDefined
+      (if (tracked) readEntriesRowIds(base, schemaOpt, smalls, colMapOf(base))
+       else readEntriesWithDv(base, schemaOpt, smalls, colMapOf(base)))
         .repartition(outFiles)
         .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
       // packed files MIX keys — exactly when membership pruning matters
       // most — so bloom-maintained tables re-collect blooms on the repack
-      val newEntries = ManifestStats.withBlooms(
+      val newEntries0 = ManifestStats.withBlooms(
         ManifestStats.collectStats(spark, dataDir.toString,
           statsCols, dataDir.getFileName.toString),
         ManifestStats.bloomStats(spark, dataDir.toString, bloomCols,
           dataDir.getFileName.toString))
+      val newEntries = if (tracked)
+        newEntries0.map(ManifestStats.withRowBase(_, ManifestStats.PhysicalRowIds))
+        else newEntries0
       val smallPaths = smalls.map(_.relPath).toSet
       val untouched = entries.filterNot(e => smallPaths(e.relPath))
       if (commitFilesManifest(base, v + 1, schemaOpt, untouched ++ newEntries,
@@ -3561,16 +3739,26 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // deletion vectors are applied and PURGED by any full rewrite: the
       // output files carry only surviving rows and a clean entry (read
       // through the column-mapping view — rewrites migrate names)
-      val df = transform(readEntriesWithDv(base, schemaOpt, entries, colMapOf(base)))
+      // row-tracked tables rewrite through the row-id read face: rows MOVE
+      // here, so the ids materialize into the outputs' __row_id column and
+      // the new entries carry the PhysicalRowIds marker instead of a base
+      val tracked = rowIdWmOf(base).isDefined
+      val src = if (tracked) readEntriesRowIds(base, schemaOpt, entries, colMapOf(base))
+        else readEntriesWithDv(base, schemaOpt, entries, colMapOf(base))
+      val df = transform(src)
       val dataDir = newAppendDir(base, v + 1)
       df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+      val newEntries0 = ManifestStats.collectStats(spark, dataDir.toString, statsCols,
+        dataDir.getFileName.toString)
+      val newEntries = if (tracked)
+        newEntries0.map(ManifestStats.withRowBase(_, ManifestStats.PhysicalRowIds))
+        else newEntries0
       // prev provided, but a full rewrite's delta is never smaller than the
       // snapshot — this commit lands as a natural CHECKPOINT. Rewrites
       // rearrange existing rows, so they commit dataChange=false (streams
       // over the `_a*` glob skip the repacked files)
-      if (commitFilesManifest(base, v + 1, schemaOpt,
-          ManifestStats.collectStats(spark, dataDir.toString, statsCols,
-            dataDir.getFileName.toString), prev = Some(entries), op = op,
+      if (commitFilesManifest(base, v + 1, schemaOpt, newEntries,
+          prev = Some(entries), op = op,
           dataChange = false)) return
     }
     throw new IllegalStateException(
@@ -3634,6 +3822,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 }
 
 object Lakehouse {
+
+  /** Physical column name carrying materialized row ids in REWRITTEN files
+    * (row tracking). Never part of the log schema — plain reads, which scan
+    * under the log schema, never see it. */
+  val PhysRowIdCol = "__row_id"
 
   /** One identity-column declaration (Delta GENERATED ALWAYS AS IDENTITY):
     * values are allocated by the ENGINE as `start, start+step, …`;

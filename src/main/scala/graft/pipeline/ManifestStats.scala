@@ -217,6 +217,25 @@ object ManifestStats {
   def rowsOf(e: FileEntry): Option[Long] =
     e.stats.get(RowsCol).map(_.min.toLong)
 
+  /** Pseudo-column carrying a file's BASE ROW ID (Delta's `add.baseRowId`,
+    * row tracking): the stable logical id of the file's row at physical
+    * position p is `base + p`. Assigned centrally at commit time from the
+    * log's `#rowidwm` watermark — pure metadata, the file bytes never
+    * change. The sentinel [[PhysicalRowIds]] marks a file REWRITTEN by
+    * OPTIMIZE/DELETE, which carries the preserved ids as a physical
+    * `__row_id` column instead (rows moved, so position arithmetic no
+    * longer holds — Delta's materialized-row-id rule). */
+  val RowBaseCol = "__rowbase"
+
+  /** Sentinel base: ids live in the file's own `__row_id` column. */
+  val PhysicalRowIds = -1L
+
+  def rowBase(e: FileEntry): Option[Long] =
+    e.stats.get(RowBaseCol).map(_.min.toLong)
+
+  def withRowBase(e: FileEntry, base: Long): FileEntry =
+    e.copy(stats = e.stats + (RowBaseCol -> ColStats('l', base.toString, base.toString)))
+
   /** Pseudo-column carrying a DELETION-VECTOR reference (Delta's
     * `add.deletionVector` descriptor): `min` = the vector's relPath under
     * the table dir, `max` = its cardinality (deleted-row count). Rides

@@ -499,7 +499,63 @@ object StorageQueries {
       FROM supplier
       ORDER BY s_suppkey"""))
 
+  /** Row tracking ([[Lakehouse.enableRowTracking]], Delta rowTracking):
+    * stable logical row ids — enable backfills batch 1, batch 2 extends,
+    * a deletion-vector delete leaves survivors' ids untouched, the
+    * bin-packing rewrite MATERIALIZES them (rows move; vectors purge), and
+    * batch 3 continues from the watermark. DuckDB replays the id
+    * assignment as ROW_NUMBER per sorted batch plus cumulative offsets —
+    * matching proves the ids survived the rewrite bit-for-bit. */
+  val st12RowIds = GraftQuery(
+    "st12_row_ids",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-st12")
+      val lake = new Lakehouse(s, scratch.toString)
+      def slice(m: Int) = table(s, dir, "orders").filter(col("o_custkey") % 25 === m)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(money).cast("double").as("price"))
+      val src = slice(3)
+      lake.appendBronze("ord",
+        src.filter(col("o_orderkey") % 2 === 0).orderBy(col("o_orderkey")).coalesce(1))
+      lake.enableRowTracking("ord")
+      lake.appendBronze("ord",
+        src.filter(col("o_orderkey") % 2 =!= 0).orderBy(col("o_orderkey")).coalesce(1))
+      lake.deleteBronzeWhereDv("ord", col("o_orderkey") % 5 === 0)
+      lake.compactSmall("bronze", "ord") // rewrites the vectored files, ids materialize
+      lake.appendBronze("ord", slice(4).orderBy(col("o_orderkey")).coalesce(1))
+      val res = lake.tableWithRowIds("ord")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price"),
+          col("_row_id").as("row_id"))
+        .orderBy(col("o_orderkey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      WITH s AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        FROM orders),
+      b1 AS (SELECT o_orderkey, o_orderstatus, price,
+                    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
+             FROM s WHERE o_custkey % 25 = 3 AND o_orderkey % 2 = 0),
+      b2 AS (SELECT o_orderkey, o_orderstatus, price,
+                    (SELECT COUNT(*) FROM b1)
+                    + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
+             FROM s WHERE o_custkey % 25 = 3 AND o_orderkey % 2 <> 0),
+      b3 AS (SELECT o_orderkey, o_orderstatus, price,
+                    (SELECT COUNT(*) FROM b1) + (SELECT COUNT(*) FROM b2)
+                    + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
+             FROM s WHERE o_custkey % 25 = 4)
+      SELECT o_orderkey, o_orderstatus, price, CAST(row_id AS BIGINT) AS row_id
+      FROM b1 WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, price, CAST(row_id AS BIGINT) AS row_id
+      FROM b2 WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, price, CAST(row_id AS BIGINT) AS row_id
+      FROM b3
+      ORDER BY o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(st01DvDelete, st02RestoreRead, st03CdfRead, st04MergeUpsert,
     st05TxnIdempotent, st06CdfCursor, st07CdfAggMv, st08TypeWiden, st09GeneratedCol,
-    st10IdentityCol, st11ColumnDefault)
+    st10IdentityCol, st11ColumnDefault, st12RowIds)
 }
