@@ -321,7 +321,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           dvs.map(_._2).sum: java.lang.Long,
           nodataDirs(layer, name).size.toLong: java.lang.Long,
           constraintsOf(base).size.toLong: java.lang.Long,
-          liveChains(colMapOf(base)).size.toLong: java.lang.Long)
+          liveChains(colMapOf(base)).size.toLong: java.lang.Long,
+          idcolsOf(base).size.toLong: java.lang.Long,
+          defaultsOf(base).size.toLong: java.lang.Long,
+          jl(rowIdWmOf(base)))
       case None =>
         val committed = currentVersion(base)
         val (fmt, dataDir) =
@@ -349,6 +352,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           files.size.toLong: java.lang.Long,
           files.map(f => dataDir.resolve(f).toFile.length).sum: java.lang.Long,
           rows, null: java.lang.Long, null: java.lang.Long,
+          null: java.lang.Long, null: java.lang.Long, null: java.lang.Long,
           null: java.lang.Long, null: java.lang.Long, null: java.lang.Long)
     }
     val schema = StructType(Seq(
@@ -365,7 +369,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       StructField("dv_cardinality", LongType, nullable = true),
       StructField("num_nodata_dirs", LongType, nullable = true),
       StructField("num_check_constraints", LongType, nullable = true),
-      StructField("num_renamed_columns", LongType, nullable = true)))
+      StructField("num_renamed_columns", LongType, nullable = true),
+      StructField("num_identity_columns", LongType, nullable = true),
+      StructField("num_column_defaults", LongType, nullable = true),
+      StructField("row_id_watermark", LongType, nullable = true)))
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(Seq(row)).asJava, schema)
   }

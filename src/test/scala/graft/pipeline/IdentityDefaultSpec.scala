@@ -33,6 +33,8 @@ class IdentityDefaultSpec extends SparkSpec {
     val after2 = lake2.table("bronze", "t").select("k", "rid").as[(Long, Long)].collect().toMap
     assert(after2 == after1 ++ Map(40L -> 4L, 50L -> 5L))
     assert(lake2.identityColumns("t").head.highWatermark.contains(5L))
+    assert(lake2.describeDetail("bronze", "t").head()
+      .getAs[Long]("num_identity_columns") == 1L)
     // GENERATED ALWAYS: a writer providing the column is refused
     val err = intercept[IllegalArgumentException] {
       lake2.appendBronze("t", batch(Seq(60L)).withColumn("rid", lit(99L)))

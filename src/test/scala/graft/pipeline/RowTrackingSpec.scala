@@ -35,6 +35,8 @@ class RowTrackingSpec extends SparkSpec {
     // enable is idempotent; writers cannot provide the engine-owned columns
     lake.enableRowTracking("t")
     assert(lake.rowIdWatermark("t").contains(5L))
+    assert(lake.describeDetail("bronze", "t").head()
+      .getAs[Long]("row_id_watermark") == 5L)
     val err = intercept[IllegalArgumentException] {
       lake.appendBronze("t", batch(Seq(60L)).withColumn("_row_id", lit(9L)))
     }
