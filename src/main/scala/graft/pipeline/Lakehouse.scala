@@ -539,16 +539,36 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         def rdv = headSchema
           .fold(spark.read)(s => spark.read.schema(readSchemaFor(s, mapHead)))
         def viewed(df: DataFrame) = headSchema.fold(df)(renameView(df, _, mapHead))
-        Seq(
+        val inserts = Seq(
           Option.when(added.nonEmpty)(
-            tag(readEntriesWithDv(base, headSchema, added, mapHead), "insert")),
-          Option.when(removed.nonEmpty)(
-            tag(readEntriesWithDv(base, headSchema, removed, mapHead), "delete")),
-          Option.when(delSel.nonEmpty)(
-            tag(viewed(readDvSelected(rdv, pathsOf(delSel.keySet), delSel)), "delete")),
+            readEntriesWithDv(base, headSchema, added, mapHead)),
           Option.when(insSel.nonEmpty)(
-            tag(viewed(readDvSelected(rdv, pathsOf(insSel.keySet), insSel)), "insert"))
-        ).flatten
+            viewed(readDvSelected(rdv, pathsOf(insSel.keySet), insSel)))).flatten
+        val deletes = Seq(
+          Option.when(removed.nonEmpty)(
+            readEntriesWithDv(base, headSchema, removed, mapHead)),
+          Option.when(delSel.nonEmpty)(
+            viewed(readDvSelected(rdv, pathsOf(delSel.keySet), delSel)))).flatten
+        val mkeys = readRecordHeader(base.resolve(s"_files_v$v"))
+          .flatMap(_.mergeKeys).getOrElse(Seq.empty)
+        if (op == "MERGE" && mkeys.nonEmpty && deletes.nonEmpty && inserts.nonEmpty) {
+          // Delta CDF's MERGE classification: the commit recorded its key
+          // columns (#mkeys), so its delete+insert rows sharing a key pair
+          // up as update_preimage/update_postimage. mergeBronze only ever
+          // deletes rows whose key is in the source, so every delete row
+          // of a MERGE is a preimage by construction; the insert side
+          // splits by a semi-join against the delete-side keys —
+          // O(matched churn), broadcastable.
+          val del = deletes.reduce(_.unionByName(_))
+          val ins = inserts.reduce(_.unionByName(_))
+          val delKeys = del
+            .select(mkeys.map(org.apache.spark.sql.functions.col): _*).distinct()
+          Seq(tag(del, "update_preimage"),
+            tag(ins.join(delKeys, mkeys, "left_semi"), "update_postimage"),
+            tag(ins.join(delKeys, mkeys, "left_anti"), "insert"))
+        } else {
+          inserts.map(tag(_, "insert")) ++ deletes.map(tag(_, "delete"))
+        }
       }
     }
     if (frames.nonEmpty) frames.reduce(_.unionByName(_))
@@ -744,6 +764,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private val IdColsLine = "#idcols\t(.*)".r
   private val DefaultsLine = "#defaults\t(.*)".r
   private val RowIdWmLine = "#rowidwm\t(-?\\d+)".r
+  private val MergeKeysLine = "#mkeys\t(.*)".r
 
   /** Header-only peek at a log record — version, delta/checkpoint kind, and
     * the parquet-twin reference — WITHOUT parsing the entry lines. The
@@ -788,7 +809,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // row-tracking high watermark (Delta rowTracking): total logical row
       // ids ever assigned. Presence of the line = the feature is ENABLED;
       // commits re-emit it (newest-record resolution, the txns discipline).
-      rowIdWm: Option[Long] = None)
+      rowIdWm: Option[Long] = None,
+      // MERGE key columns — a PER-COMMIT attribute (like #op, never
+      // re-emitted): lets the change feed pair the commit's delete+insert
+      // rows into update_preimage/update_postimage (Delta CDF's MERGE).
+      mergeKeys: Option[Seq[String]] = None)
 
   private def readRecordHeader(m: Path): Option[RecordHeader] =
     if (!Files.exists(m)) None
@@ -811,6 +836,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         var idCols: Option[Seq[Lakehouse.IdentityCol]] = None
         var defaults: Option[Seq[(String, String)]] = None
         var rowIdWm: Option[Long] = None
+        var mergeKeys: Option[Seq[String]] = None
         var line = in.readLine()
         // header lines all start with '#' and precede the entry lines
         // (#rm lines of a delta are skipped — this peek never needs them)
@@ -868,6 +894,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
                   java.net.URLDecoder.decode(e, java.nio.charset.StandardCharsets.UTF_8))
               })
             case RowIdWmLine(w) => rowIdWm = Some(w.toLong)
+            case MergeKeysLine(enc) => mergeKeys = Some(
+              enc.split(',').toSeq.filter(_.nonEmpty)
+                .map(java.net.URLDecoder.decode(_, java.nio.charset.StandardCharsets.UTF_8)))
             case SchemaLine(enc) => schema = Some(
               org.apache.spark.sql.types.DataType.fromJson(
                 java.net.URLDecoder.decode(enc, java.nio.charset.StandardCharsets.UTF_8))
@@ -878,7 +907,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         }
         Some(RecordHeader(version, isDelta, ckpt, schema, addDirs, op, noDataDirs,
           constraints, colMap, txns, features, commitTs, genCols, idCols, defaults,
-          rowIdWm))
+          rowIdWm, mergeKeys))
       } finally in.close()
     }
 
@@ -1101,7 +1130,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       genCols: Option[Seq[(String, String)]] = None,
       idCols: Option[Seq[Lakehouse.IdentityCol]] = None,
       defaults: Option[Seq[(String, String)]] = None,
-      rowIdWm: Option[Long] = None): Boolean = {
+      rowIdWm: Option[Long] = None,
+      mergeKeys: Option[Seq[String]] = None): Boolean = {
     def enc(s: String) =
       java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
     // CHECK constraints persist like schema: every commit RE-EMITS the
@@ -1169,6 +1199,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         (out, Some(wm))
     }
     val rowWmLine = effRowWm.toSeq.map(w => "#rowidwm\t" + w)
+    // per-commit attribute, deliberately NOT re-emitted (it describes THIS
+    // commit's operation, not table state)
+    val mkeysLine = mergeKeys.filter(_.nonEmpty).toSeq.map(ks =>
+      "#mkeys\t" + ks.map(enc).mkString(","))
     // reader-feature gate (Delta readerFeatures): declare the features a
     // reader MUST understand to interpret this record's state correctly —
     // deletion vectors (an entry with a dv ref is NOT "all its rows") and
@@ -1194,7 +1228,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val schemaLine = (("#op\t" + enc(op)) +:
       schema.toSeq.map(st => "#schema\t" + enc(st.json))) ++
       constraintsLine ++ colMapLine ++ txnLine ++ genLine ++ idLine ++
-      defaultsLine ++ rowWmLine ++ featuresLine ++ ctsLine
+      defaultsLine ++ rowWmLine ++ mkeysLine ++ featuresLine ++ ctsLine
     val delta = prev.map { p =>
       // diff on the full RENDERED entry, not the relPath alone: a commit
       // that only changes a file's metadata (e.g. its deletion-vector
@@ -2968,7 +3002,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       if (candidates.isEmpty) {
         // pure insert: no target row matches any source key range
         if (commitFilesManifest(base, v + 1, Some(mergedSch), entries ++ staged,
-            prev = Some(entries), op = "MERGE", txns = commitTxns)) return true
+            prev = Some(entries), op = "MERGE", txns = commitTxns,
+              mergeKeys = Some(keys))) return true
       } else {
         val cmap = colMapOf(base)
         def rd = schemaOpt.fold(spark.read)(s =>
@@ -2999,7 +3034,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           .collect()
         if (perFile.isEmpty) {
           if (commitFilesManifest(base, v + 1, Some(mergedSch), entries ++ staged,
-              prev = Some(entries), op = "MERGE", txns = commitTxns)) return true
+              prev = Some(entries), op = "MERGE", txns = commitTxns,
+              mergeKeys = Some(keys))) return true
         } else {
           val dvDirName =
             s"${DeletionVectors.DirPrefix}${v + 1}_${java.util.UUID.randomUUID.toString.take(8)}"
@@ -3025,7 +3061,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
             }
           }
           if (commitFilesManifest(base, v + 1, Some(mergedSch), kept ++ staged,
-              prev = Some(entries), op = "MERGE", txns = commitTxns)) return true
+              prev = Some(entries), op = "MERGE", txns = commitTxns,
+              mergeKeys = Some(keys))) return true
           // lost the CAS: our vectors reference a stale read-set
           deleteRecursively(dvDir)
         }

@@ -555,7 +555,51 @@ object StorageQueries {
       FROM b3
       ORDER BY o_orderkey"""))
 
+  /** CDF update pairing (Delta CDF's MERGE semantics): the MERGE commit
+    * records its key columns (`#mkeys`), so the change feed classifies its
+    * rows — matched keys emit update_preimage (the old row) +
+    * update_postimage (the new row), unmatched source keys emit plain
+    * inserts. DuckDB replays the classification from the target/source
+    * key sets. */
+  val st13CdfUpdates = GraftQuery(
+    "st13_cdf_updates",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-st13")
+      val lake = new Lakehouse(s, scratch.toString)
+      val base = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast(money).as("acctbal"))
+      lake.appendBronze("cust", base.filter(col("c_custkey") % 10 === 0).repartition(2)) // v1
+      val source = base.filter(col("c_custkey") % 20 === 0)
+          .withColumn("acctbal", (col("acctbal") + lit(100)).cast(money))
+        .unionByName(base.filter(col("c_custkey") % 10 === 3))
+      lake.mergeBronze("cust", source, Seq("c_custkey")) // v2
+      val res = lake.tableChanges("cust", 1, 2)
+        .select(col("c_custkey"), col("c_name"),
+          col("acctbal").cast("double").as("acctbal"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").cast("bigint").as("commit_version"))
+        .orderBy(col("change_type"), col("c_custkey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      WITH t AS (
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+        FROM customer)
+      SELECT c_custkey, c_name, CAST(acctbal AS DOUBLE) AS acctbal,
+             'update_preimage' AS change_type, CAST(2 AS BIGINT) AS commit_version
+      FROM t WHERE c_custkey % 20 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, CAST(acctbal + 100 AS DOUBLE) AS acctbal,
+             'update_postimage' AS change_type, CAST(2 AS BIGINT) AS commit_version
+      FROM t WHERE c_custkey % 20 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, CAST(acctbal AS DOUBLE) AS acctbal,
+             'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version
+      FROM t WHERE c_custkey % 10 = 3
+      ORDER BY change_type, c_custkey"""))
+
   val all: Seq[GraftQuery] = Seq(st01DvDelete, st02RestoreRead, st03CdfRead, st04MergeUpsert,
     st05TxnIdempotent, st06CdfCursor, st07CdfAggMv, st08TypeWiden, st09GeneratedCol,
-    st10IdentityCol, st11ColumnDefault, st12RowIds)
+    st10IdentityCol, st11ColumnDefault, st12RowIds, st13CdfUpdates)
 }

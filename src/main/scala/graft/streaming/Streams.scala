@@ -754,7 +754,8 @@ object Streams {
     val cur = java.nio.file.Paths.get(cursorDir)
     lake.tableChangesSince(source, cur).map { case (changes, from, to) =>
       val signed = changes.withColumn("__s",
-        when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+        when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+          .otherwise(lit(-1L)))
       val aggs = (sum(col("__s")).as("cnt") +:
         sumCols.map(c => sum(col(c) * col("__s")).as(s"sum_$c")))
       val deltas = signed.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)

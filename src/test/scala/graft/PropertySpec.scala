@@ -741,8 +741,10 @@ class PropertySpec extends SparkSpec {
         val feed = lake.tableChanges("t", vBefore, vAfter)
           .select(col(idCol), col("run_id"), col("_change_type")).collect()
           .map(r => (r.getLong(0) -> r.getString(1), r.getString(2)))
-        val ins = feed.filter(_._2 == "insert").map(_._1).toSeq
-        val del = feed.filter(_._2 == "delete").map(_._1).toSeq
+        val ins = feed.filter(t => t._2 == "insert" || t._2 == "update_postimage")
+          .map(_._1).toSeq
+        val del = feed.filter(t => t._2 == "delete" || t._2 == "update_preimage")
+          .map(_._1).toSeq
         val applied = (modelBefore.toSeq ++ ins).diff(del).sorted
         assert(applied == model.toSeq.sorted,
           s"step $step: CDF apply-algebra diverged (v$vBefore → v$vAfter)")

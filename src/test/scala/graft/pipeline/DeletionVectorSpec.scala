@@ -343,6 +343,15 @@ class DeletionVectorSpec extends SparkSpec {
     lake.mergeBronze("t", source, Seq("id"))
     // ONE commit, op MERGE
     assert(lake.tableVersions("bronze", "t").max == vBefore + 1, "merge must be atomic")
+    // the merge's feed splits by the recorded key columns (#mkeys): matched
+    // keys pair as update_preimage/update_postimage, the fresh key inserts
+    // (read NOW — a later commit may prune this version's record)
+    val first = lake.tableChanges("t", vBefore, vBefore + 1)
+    assert(idsOf(first.filter(col("_change_type") === "update_preimage")) ==
+      Seq(1002L, 1004L))
+    assert(idsOf(first.filter(col("_change_type") === "update_postimage")) ==
+      Seq(1002L, 1004L))
+    assert(idsOf(first.filter(col("_change_type") === "insert")) == Seq(9999L))
     assert(lake.history("bronze", "t").orderBy(col("version").desc)
       .select("operation").first().getString(0) == "MERGE")
     // 20 − 2 matched + 3 source = 21 rows; matched keys carry source values
@@ -361,11 +370,17 @@ class DeletionVectorSpec extends SparkSpec {
     val again = lake.table("bronze", "t")
     assert(again.count() == 21)
     assert(again.filter(col("run_id") === "merged").count() == 3)
-    // CDF reads the merge as delete+insert pairs in one version
+    // CDF classifies the merge via its recorded key columns (#mkeys):
+    // matched keys pair as update_preimage/update_postimage in one version
+    // (Delta CDF's MERGE semantics); an unmatched source key would emit a
+    // plain insert — here the re-merge matched every key
     val vm = lake.tableVersions("bronze", "t").max
     val feed = lake.tableChanges("t", vm - 1, vm)
-    assert(idsOf(feed.filter(col("_change_type") === "delete")) == Seq(1002L, 1004L, 9999L))
-    assert(idsOf(feed.filter(col("_change_type") === "insert")) == Seq(1002L, 1004L, 9999L))
+    assert(idsOf(feed.filter(col("_change_type") === "update_preimage")) ==
+      Seq(1002L, 1004L, 9999L))
+    assert(idsOf(feed.filter(col("_change_type") === "update_postimage")) ==
+      Seq(1002L, 1004L, 9999L))
+    assert(feed.filter(col("_change_type").isin("insert", "delete")).count() == 0)
   }
 
   test("mergeBronze: empty target appends; no-match merge is a pure insert; constraints gate the staged batch") {
