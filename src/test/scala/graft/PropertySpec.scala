@@ -698,6 +698,15 @@ class PropertySpec extends SparkSpec {
       lake.table("bronze", "t").select(idCol, "run_id").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toSeq
     appendRun(0)
+    // row tracking rides the whole walk: ids must stay unique, stable for
+    // untouched rows, below a non-decreasing watermark — across DV deletes,
+    // CoW rewrites, merges, renames and compactions
+    lake.enableRowTracking("t")
+    def rowIds(): Map[Long, Long] =
+      lake.tableWithRowIds("t").select(idCol, "_row_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var prevIds = rowIds()
+    var prevWm = lake.rowIdWatermark("t").get
     for (step <- 1 to 22) {
       val modelBefore = model
       val vBefore = lake.tableVersions("bronze", "t").max
@@ -749,6 +758,21 @@ class PropertySpec extends SparkSpec {
         assert(applied == model.toSeq.sorted,
           s"step $step: CDF apply-algebra diverged (v$vBefore → v$vAfter)")
       }
+      // row-id invariants: same key set as the model, no duplicates,
+      // untouched (key,run) rows keep their exact id, everything below a
+      // non-decreasing watermark
+      val ids = rowIds()
+      assert(ids.keySet == model.keySet, s"step $step: row-id read diverged")
+      assert(ids.values.toSeq.distinct.size == ids.size,
+        s"step $step: duplicate row ids")
+      modelBefore.toSet.intersect(model.toSet).foreach { case (k, _) =>
+        assert(ids(k) == prevIds(k), s"step $step: row id of key $k changed")
+      }
+      val wm = lake.rowIdWatermark("t").get
+      assert(wm >= prevWm, s"step $step: watermark decreased")
+      assert(ids.values.forall(_ < wm), s"step $step: id at/above watermark")
+      prevIds = ids
+      prevWm = wm
     }
   }
 }
