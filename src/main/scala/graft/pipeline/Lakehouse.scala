@@ -2270,6 +2270,29 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         StructType(schema.fields :+ StructField(Lakehouse.PhysRowIdCol, LongType))))
   }
 
+  /** [[tableWithRowIds]] AS OF `version`: that version's files, schema,
+    * column mapping AND row ids (ids are per-entry metadata or physical
+    * columns, so they travel with the snapshot for free — a row keeps ONE
+    * id across its whole retained history). Requires a version at-or-after
+    * `enableRowTracking` (earlier entries carry no base). */
+  def tableAtWithRowIds(name: String, version: Int): DataFrame = {
+    val base = dir("bronze", name)
+    val avail = tableVersions("bronze", name)
+    require(avail.contains(version),
+      s"version $version of bronze.$name is not on disk (available: ${avail.mkString(",")})")
+    require(rowIdWmAsOf(base, version).isDefined,
+      s"version $version of bronze.$name predates enableRowTracking")
+    val snap = resolveSnapshot(base, version).getOrElse(throw new IllegalStateException(
+      s"version $version of bronze.$name did not resolve — log chain broken"))
+    val missing = (snap.entries.map(_.relPath) ++ dvRefPairs(snap.entries).map(_._2))
+      .filterNot(r => Files.exists(base.resolve(r)))
+    require(missing.isEmpty,
+      s"version $version of bronze.$name references ${missing.size} vacuumed file(s) " +
+        s"(e.g. ${missing.headOption.getOrElse("")})")
+    readEntriesRowIds(base, snap.schema, snap.entries, colMapAsOf(base, version))
+      .withColumnRenamed(Lakehouse.PhysRowIdCol, "_row_id")
+  }
+
   /** Refuse writer-provided row-id columns on a row-tracked table — the
     * ids are engine-owned (the [[fillIdentity]] GENERATED ALWAYS rule). */
   private def guardRowIdCols(base: Path, name: String, cols: Seq[String]): Unit =
