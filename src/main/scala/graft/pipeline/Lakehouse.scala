@@ -549,8 +549,18 @@ final class Lakehouse(val spark: SparkSession, val root: String,
             readEntriesWithDv(base, headSchema, removed, mapHead)),
           Option.when(delSel.nonEmpty)(
             viewed(readDvSelected(rdv, pathsOf(delSel.keySet), delSel)))).flatten
+        // the recorded key columns are the names AT MERGE TIME; a rename
+        // landing after the merge means the feed's head-logical frames
+        // carry the NEW name — translate each key through the head
+        // mapping's chains (a key not found anywhere degrades to itself,
+        // failing analysis loudly rather than pairing wrongly)
         val mkeys = readRecordHeader(base.resolve(s"_files_v$v"))
           .flatMap(_.mergeKeys).getOrElse(Seq.empty)
+          .map { k =>
+            val chains = liveChains(mapHead)
+            if (chains.contains(k) || chains.isEmpty) k
+            else chains.find { case (_, anc) => anc.contains(k) }.map(_._1).getOrElse(k)
+          }
         if (op == "MERGE" && mkeys.nonEmpty && deletes.nonEmpty && inserts.nonEmpty) {
           // Delta CDF's MERGE classification: the commit recorded its key
           // columns (#mkeys), so its delete+insert rows sharing a key pair

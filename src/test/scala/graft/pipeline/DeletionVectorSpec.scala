@@ -381,6 +381,15 @@ class DeletionVectorSpec extends SparkSpec {
     assert(idsOf(feed.filter(col("_change_type") === "update_postimage")) ==
       Seq(1002L, 1004L, 9999L))
     assert(feed.filter(col("_change_type").isin("insert", "delete")).count() == 0)
+    // a rename landing AFTER the merge must not break pairing when the
+    // feed range spans both: frames read head-logical names (doc_id), and
+    // the recorded merge keys (id) translate through the rename chain
+    lake.renameBronzeColumn("t", "id", "doc_id")
+    val renamed = lake.tableChanges("t", vm - 1, vm + 1)
+    assert(renamed.filter(col("_change_type") === "update_preimage")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1002L, 1004L, 9999L))
+    assert(renamed.filter(col("_change_type").isin("insert", "delete")).count() == 0)
   }
 
   test("mergeBronze: empty target appends; no-match merge is a pure insert; constraints gate the staged batch") {
