@@ -494,7 +494,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         case None => Array.emptyLongArray
       }
     val frames = (fromVersion + 1 to toVersion).flatMap { v =>
-      val op = readRecordHeader(base.resolve(s"_files_v$v")).flatMap(_.op).getOrElse("")
+      val header = readRecordHeader(base.resolve(s"_files_v$v"))
+      val op = header.flatMap(_.op).getOrElse("")
       if (op.startsWith("OPTIMIZE")) Seq.empty
       else {
         def snap(at: Int) =
@@ -554,12 +555,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         // carry the NEW name — translate each key through the head
         // mapping's chains (a key not found anywhere degrades to itself,
         // failing analysis loudly rather than pairing wrongly)
-        val mkeys = readRecordHeader(base.resolve(s"_files_v$v"))
-          .flatMap(_.mergeKeys).getOrElse(Seq.empty)
+        val headChains = liveChains(mapHead)
+        val mkeys = header.flatMap(_.mergeKeys).getOrElse(Seq.empty)
           .map { k =>
-            val chains = liveChains(mapHead)
-            if (chains.contains(k) || chains.isEmpty) k
-            else chains.find { case (_, anc) => anc.contains(k) }.map(_._1).getOrElse(k)
+            if (headChains.isEmpty || headChains.contains(k)) k
+            else headChains.find { case (_, anc) => anc.contains(k) }
+              .map(_._1).getOrElse(k)
           }
         if (op == "MERGE" && mkeys.nonEmpty && deletes.nonEmpty && inserts.nonEmpty) {
           // Delta CDF's MERGE classification: the commit recorded its key
@@ -1541,7 +1542,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // any other column (defaults first: generation expressions may
     // reference defaulted columns; identity last: it reserves its range in
     // the log and must count the final row set)
-    val (staged, idRdd) = fillIdentity(base, name, fillGenerated(base, fillDefaults(base, df)))
+    val (staged, idRdd, idRows) =
+      fillIdentity(base, name, fillGenerated(base, fillDefaults(base, df)))
     try staged.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     finally idRdd.foreach(_.unpersist(blocking = false))
     // footer min/max are free; blooms (opt-in) cost one scan over the
@@ -1551,6 +1553,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         dataDir.getFileName.toString),
       ManifestStats.bloomStats(spark, dataDir.toString, bloomCols,
         dataDir.getFileName.toString))
+    guardIdentityCount(name, dataDir, mine, idRows)
     // CHECK constraints gate the commit: stats collected above prove the
     // simple ones without a scan (constrain a statsCols column to get the
     // metadata-only fast path); the rest validate in one staged-file scan
@@ -1626,6 +1629,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         s"identity column ${ic.col} of bronze.$name was declared after this " +
           "batch staged — retry the append (the writer reserves and fills " +
           "identity values before staging)"))
+      // same for defaults: fillDefaults materialized every default known at
+      // staging, so a defaulted column ABSENT from the staged schema means
+      // the default landed mid-flight — rows would read NULL forever
+      defaultsOf(base).foreach { case (c, _) =>
+        require(incoming.fieldNames.contains(c),
+          s"default for column $c of bronze.$name was declared after this " +
+            "batch staged — retry the append (the writer fills defaults " +
+            "before staging)")
+      }
       val v = snap.map(_.version).getOrElse(0)
       val entries = snap.map(_.entries).getOrElse(Seq.empty)
       val live = entries.map(_.relPath).toSet
@@ -1964,6 +1976,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     require(step != 0, "identity step must be non-zero")
     val base = dir("bronze", name)
     Files.createDirectories(base)
+    // a legacy (pre-log) bronze dir upgrades FIRST — committing an empty v1
+    // over unmanaged parquet would silently shadow its rows forever
+    upgradeLegacyBronze(base, Lakehouse.BronzeStatsCols)
     require(!idcolsOf(base).exists(_.col == colName),
       s"column $colName of bronze.$name is already an identity column")
     require(!gencolsOf(base).exists(_._1 == colName),
@@ -2026,10 +2041,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * filled frame plus the persisted RDD backing it, which the caller
     * unpersists AFTER staging (the assignment pass must see the exact rows
     * the counting pass saw). */
-  private def fillIdentity(base: Path, name: String,
-      df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
+  private def fillIdentity(base: Path, name: String, df: DataFrame):
+      (DataFrame, Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]], Option[Long]) = {
     val ids = idcolsOf(base)
-    if (ids.isEmpty) return (df, None)
+    if (ids.isEmpty) return (df, None, None)
     ids.foreach(ic => require(!df.columns.contains(ic.col),
       s"column ${ic.col} of bronze.$name is GENERATED ALWAYS AS IDENTITY — " +
         "writers cannot provide it"))
@@ -2037,29 +2052,51 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val outSchema = ids.foldLeft(df.schema)((s, ic) => s.add(ic.col, LongType, nullable = true))
     val rdd = df.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
-      var c = 0L; while (it.hasNext) { it.next(); c += 1 }; Iterator(i -> c)
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val n = offsets.lastOption.getOrElse(0L)
-    if (n == 0) {
-      rdd.unpersist(blocking = false)
-      // zero rows: nothing to reserve; keep the columns for schema stability
-      return (ids.foldLeft(df)((d, ic) => d.withColumn(ic.col,
-        org.apache.spark.sql.functions.lit(null).cast(LongType))), None)
-    }
-    val firsts = reserveIdentity(base, name, n).map { case (ic, f) => (ic.step, f) }
-    val withIds = rdd.mapPartitionsWithIndex { (pi, it) =>
-      val off = offsets(pi)
-      var k = 0L
-      it.map { r =>
-        val extra = firsts.map { case (step, first) => first + step * (off + k) }
-        k += 1
-        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ extra)
+    try {
+      val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }; Iterator(i -> c)
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val n = offsets.lastOption.getOrElse(0L)
+      if (n == 0) {
+        rdd.unpersist(blocking = false)
+        // zero rows: nothing to reserve; keep the columns for schema stability
+        return (ids.foldLeft(df)((d, ic) => d.withColumn(ic.col,
+          org.apache.spark.sql.functions.lit(null).cast(LongType))), None, None)
+      }
+      val firsts = reserveIdentity(base, name, n).map { case (ic, f) => (ic.step, f) }
+      val withIds = rdd.mapPartitionsWithIndex { (pi, it) =>
+        val off = offsets(pi)
+        var k = 0L
+        it.map { r =>
+          val extra = firsts.map { case (step, first) => first + step * (off + k) }
+          k += 1
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ extra)
+        }
+      }
+      // callers verify the STAGED row count equals n ([[guardIdentityCount]]):
+      // persist() is a cache, not a pin — a partition recomputed from a
+      // nondeterministic lineage between the count and the write could hold
+      // a different row count, running assignments past the reserved range.
+      // The footer-count check turns that silent duplicate into an abort.
+      (spark.createDataFrame(withIds, outSchema), Some(rdd), Some(n))
+    } catch { case t: Throwable => rdd.unpersist(blocking = false); throw t }
+  }
+
+  /** Abort when a staged identity batch's footer row count disagrees with
+    * the count its reservation was sized for (see [[fillIdentity]]). */
+  private def guardIdentityCount(name: String, dataDir: Path,
+      staged: Seq[ManifestStats.FileEntry], expected: Option[Long]): Unit =
+    expected.foreach { n =>
+      val got = staged.flatMap(ManifestStats.rowsOf).sum
+      if (got != n) {
+        deleteRecursively(dataDir)
+        throw new IllegalStateException(
+          s"identity batch for bronze.$name staged $got rows but reserved ids for $n " +
+            "(nondeterministic input recomputed between the count and the write?) — " +
+            "staged files discarded; retry the append with a deterministic source")
       }
     }
-    (spark.createDataFrame(withIds, outSchema), Some(rdd))
-  }
 
   // ───── column DEFAULT values (Delta column defaults parity) ───────────
   //
@@ -2100,8 +2137,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         "default bindings are mutually exclusive")
     require(!idcolsOf(base).exists(_.col == colName),
       s"column $colName of bronze.$name is an identity column — it cannot carry a default")
-    // column-free probe: any attribute reference fails analysis on range(1)
-    try spark.range(1).select(org.apache.spark.sql.functions.expr(exprSql)).collect()
+    // column-free probe over a ONE-ROW, ZERO-COLUMN frame: any attribute
+    // reference fails analysis outright (range(1) would leak its built-in
+    // `id` column into scope and accept `id`-referencing expressions)
+    try spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row()),
+        org.apache.spark.sql.types.StructType(Seq.empty))
+      .select(org.apache.spark.sql.functions.expr(exprSql)).collect()
     catch { case scala.util.control.NonFatal(e) =>
       throw new IllegalArgumentException(
         s"default expression for $colName must be column-free and valid SQL " +
@@ -2986,13 +3028,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // value CHANGES (the re-inserted row draws a fresh id) — the CDF shows
     // exactly that delete/insert pair. Callers needing stable surrogate
     // keys across upserts should carry their own key column.
-    val (filled, idRdd) = fillIdentity(base, name,
+    val (filled, idRdd, idRows) = fillIdentity(base, name,
       fillGenerated(base, fillDefaults(base, source)))
     val dataDir = newAppendDir(base, head.get.version + 1)
     try filled.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     finally idRdd.foreach(_.unpersist(blocking = false))
     val staged = ManifestStats.collectStats(spark, dataDir.toString,
       Lakehouse.BronzeStatsCols, dataDir.getFileName.toString)
+    guardIdentityCount(name, dataDir, staged, idRows)
     var validated = enforceConstraints(base, name, dataDir, staged)
     var gensAgainst = enforceGenerated(base, name, dataDir, source.columns.toSet)
     val stagedDf = spark.read.parquet(dataDir.toString)
@@ -3028,6 +3071,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         s"identity column ${ic.col} of bronze.$name was declared after this " +
           "merge staged — retry the merge (the writer reserves and fills " +
           "identity values before staging)"))
+      defaultsOf(base).foreach { case (c, _) =>
+        require(filled.schema.fieldNames.contains(c),
+          s"default for column $c of bronze.$name was declared after this " +
+            "merge staged — retry the merge (the writer fills defaults " +
+            "before staging)")
+      }
       val mergedSch = mergedSchema(schemaOpt.getOrElse(filled.schema), filled.schema)
       guardReservedColumns(base, name,
         schemaOpt.map(_.fieldNames.toSet).getOrElse(Set.empty), mergedSch, dataDir)
@@ -3148,6 +3197,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         ic.copy(highWatermark =
           ic.maxWatermark(idcolsOf(base).find(_.col == ic.col).flatMap(_.highWatermark)))
       }
+      // row tracking: restoring to a PRE-enable version would hand every
+      // restored row a FRESH base (its entries carry none), silently
+      // re-assigning ids the stability contract promises never change —
+      // refuse with the remedy instead (Delta fails protocol-violating
+      // restores the same way)
+      require(!(rowIdWmOf(base).isDefined && rowIdWmAsOf(base, version).isEmpty),
+        s"cannot restore bronze.$name to version $version: it predates " +
+          "enableRowTracking, so its rows carry no row-id bases and the restore " +
+          "would re-assign every logical row id — restore to a post-enable " +
+          "version instead")
       if (commitFilesManifest(base, cur.version + 1, target.schema, target.entries,
           prev = Some(cur.entries), op = "RESTORE",
           constraints = Some(constraintsAsOf(base, version)),

@@ -116,6 +116,12 @@ class IdentityDefaultSpec extends SparkSpec {
       lake.setColumnDefault("t", "tier", "k * 2") // references a column
     }
     assert(err.getMessage.contains("column-free"))
+    // `id` must not leak into scope from the probe frame (range(1) would
+    // accept it and turn the "default" row-dependent)
+    val errId = intercept[IllegalArgumentException] {
+      lake.setColumnDefault("t", "tier", "id % 2")
+    }
+    assert(errId.getMessage.contains("column-free"))
     lake.setColumnDefault("t", "tier", "'x'")
     lake.appendBronze("t", batch(Seq(2L))) // lands tier='x', so the column exists in schema
     // a defaulted column cannot also be generated, and vice versa

@@ -87,6 +87,20 @@ class RowTrackingSpec extends SparkSpec {
       "merge batch did not draw fresh ids from the watermark")
   }
 
+  test("RESTORE to a pre-enable version refuses instead of re-assigning ids") {
+    val lake = mkLake("rtrespre")
+    lake.appendBronze("t", batch(Seq(1L, 2L)).orderBy("k"))
+    lake.appendBronze("t", batch(Seq(3L)).orderBy("k"))
+    val preEnable = lake.committedBronzeVersion("t")
+    lake.enableRowTracking("t")
+    val before = idsOf(lake, "t")
+    val err = intercept[IllegalArgumentException] {
+      lake.restoreBronze("t", preEnable)
+    }
+    assert(err.getMessage.contains("predates"))
+    assert(idsOf(lake, "t") == before, "failed restore disturbed row ids")
+  }
+
   test("RESTORE never lowers the watermark; clone carries the as-of watermark") {
     val lake = mkLake("rtres")
     lake.appendBronze("t", batch(Seq(1L, 2L)).orderBy("k"))
