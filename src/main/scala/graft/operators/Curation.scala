@@ -265,6 +265,47 @@ object Curation {
       .withColumn("bin", floor((col("running") - col(tokenOutCol)) / budget))
   }
 
+  /** GPT-style CONCAT-AND-CHUNK index: documents concatenate in
+    * deterministic hash order within each shard and the token stream
+    * chunks into fixed `chunkTokens` windows — one output row per
+    * (document, chunk) SLICE, the exact map a pretraining dataloader
+    * needs to assemble training sequences. Documents CROSS chunk
+    * boundaries (contrast [[packSequences]], which assigns each doc only
+    * its starting bin). Columns added: `shard`, `doc_tokens`,
+    * `doc_start` (the doc's position in its shard's token stream),
+    * `seq_id` (chunk number within the shard), `doc_off` (first token of
+    * the slice within the doc), `chunk_off` (where the slice lands inside
+    * the chunk), `span` (slice length). Invariants: per (shard, seq_id)
+    * the spans tile [0, chunkTokens) exactly (a shard's final chunk may
+    * be short); per doc the slices tile [0, doc_tokens). Zero-token docs
+    * drop BEFORE the window (they would otherwise emit a descending
+    * `sequence(start, start-1)`).
+    * Scale: one bounded window per shard — the sharded-stream discipline,
+    * no global total order — plus a per-row explode of
+    * O(doc_tokens / chunkTokens) slices. */
+  def concatChunk(df: DataFrame, keyCol: String, tokenCol: Column,
+      chunkTokens: Int, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    requireFresh(df, "shard", "doc_tokens", "doc_start", "seq_id", "doc_off",
+      "chunk_off", "span")
+    val L = lit(chunkTokens.toLong)
+    val w = Window.partitionBy(col("shard")).orderBy(hashKey(col(keyCol)), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("doc_tokens", tokenCol.cast("bigint"))
+      .filter(col("doc_tokens") > 0)
+      .withColumn("shard", hashShard(col(keyCol), shards))
+      .withColumn("doc_start", sum(col("doc_tokens")).over(w) - col("doc_tokens"))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("doc_start") / L),
+        floor((col("doc_start") + col("doc_tokens") - lit(1L)) / L))))
+      .withColumn("doc_off", greatest(lit(0L), col("seq_id") * L - col("doc_start")))
+      .withColumn("chunk_off", greatest(lit(0L), col("doc_start") - col("seq_id") * L))
+      .withColumn("span",
+        least(col("doc_start") + col("doc_tokens"), (col("seq_id") + lit(1L)) * L)
+          - greatest(col("doc_start"), col("seq_id") * L))
+  }
+
   /** Token-quota mixing: take documents per stratum in deterministic hash
     * order until the stratum's TOKEN budget fills — how LLM data recipes
     * are actually specified ("N tokens of source X"), vs the rate-based

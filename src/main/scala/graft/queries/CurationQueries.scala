@@ -1077,6 +1077,44 @@ object CurationQueries {
       FROM k
       ORDER BY shard, pos_in_shard"""))
 
+  /** GPT-style concat-and-chunk dataloader index
+    * ([[Curation.concatChunk]]): docs concatenate in deterministic hash
+    * order per shard, the token stream chunks into 512-token windows, and
+    * every (doc, chunk) slice carries its exact offsets — docs crossing
+    * chunk boundaries emit one row per chunk they touch. DuckDB replays
+    * the cumulative positions and the slice arithmetic verbatim. */
+  val c30ConcatChunk = GraftQuery(
+    "c30_concat_chunk",
+    (s, dir) =>
+      Curation.concatChunk(table(s, dir, "documents"), "doc_id",
+          TextAnalysis.tokenCount(col("text")), chunkTokens = 512, shards = 8)
+        .select(col("shard").cast("bigint").as("shard"), col("doc_id"),
+          col("seq_id"), col("doc_off"), col("chunk_off"), col("span"))
+        .orderBy(col("shard"), col("seq_id"), col("chunk_off"), col("doc_id")),
+    Some("""
+      WITH sized AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS doc_tokens
+        FROM documents),
+      pos AS (
+        SELECT *, CAST(SUM(doc_tokens) OVER (PARTITION BY shard
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - doc_tokens AS BIGINT) AS doc_start
+        FROM sized WHERE doc_tokens > 0),
+      x AS (
+        SELECT shard, doc_id, doc_tokens, doc_start,
+               unnest(generate_series(doc_start // 512, (doc_start + doc_tokens - 1) // 512)) AS seq_id
+        FROM pos)
+      SELECT CAST(shard AS BIGINT) AS shard, doc_id, seq_id,
+             greatest(0, seq_id * 512 - doc_start) AS doc_off,
+             greatest(0, doc_start - seq_id * 512) AS chunk_off,
+             least(doc_start + doc_tokens, (seq_id + 1) * 512)
+               - greatest(doc_start, seq_id * 512) AS span
+      FROM x
+      ORDER BY shard, seq_id, chunk_off, doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
@@ -1085,5 +1123,5 @@ object CurationQueries {
       c16TemperatureMix, c17KAnonymity, c18QualityEnsemble, c19SourceOverlap,
       c20WeightedSample, c21LDiversity, c23EpochMix, c24NegativePairs,
       c25ImportanceResample, c26LeakageSafeSplit, c27CorpusReport,
-      c28QualitySweep, c29EpochShuffle)
+      c28QualitySweep, c29EpochShuffle, c30ConcatChunk)
 }

@@ -610,4 +610,57 @@ class CurationSpec extends SparkSpec {
       Curation.epochShuffle(docs.withColumn("shard", lit(1)), "doc_id", 1L, 8)
     }
   }
+  test("concatChunk: slices tile every chunk and every doc exactly; docs cross boundaries") {
+    val docs = (1L to 120L).map { i =>
+      // token counts 1..60, several docs far larger than the chunk size
+      val n = (i % 60 + 1).toInt * (if (i % 17 == 0) 9 else 1)
+      (i, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val L = 64
+    val out = Curation.concatChunk(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), chunkTokens = L, shards = 4)
+    val rows = out.select("shard", "doc_id", "doc_tokens", "seq_id", "doc_off",
+        "chunk_off", "span")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // per (shard, seq): spans tile [0, L) exactly; only the shard's last
+    // chunk may fall short
+    rows.groupBy(t => (t._1, t._4)).foreach { case ((sh, seq), g) =>
+      val slices = g.map(t => (t._6, t._7)).sortBy(_._1) // (chunk_off, span)
+      assert(slices.head._1 == 0, s"shard $sh seq $seq does not start at 0")
+      slices.sliding(2).foreach {
+        case Array((o1, s1), (o2, _)) =>
+          assert(o1 + s1 == o2, s"gap/overlap in shard $sh seq $seq")
+        case _ =>
+      }
+      val total = slices.map(_._2).sum
+      val lastSeq = rows.filter(_._1 == sh).map(_._4).max
+      if (seq < lastSeq) assert(total == L, s"shard $sh seq $seq holds $total of $L")
+      else assert(total <= L)
+    }
+    // per doc: slices tile [0, doc_tokens) contiguously across chunks
+    rows.groupBy(_._2).foreach { case (doc, g) =>
+      val slices = g.map(t => (t._5, t._7)).sortBy(_._1) // (doc_off, span)
+      assert(slices.head._1 == 0, s"doc $doc does not start at offset 0")
+      slices.sliding(2).foreach {
+        case Array((o1, s1), (o2, _)) => assert(o1 + s1 == o2, s"doc $doc gap")
+        case _ =>
+      }
+      assert(slices.map(_._2).sum == g.head._3, s"doc $doc slices do not sum to its tokens")
+    }
+    // the oversized docs really do cross chunk boundaries
+    assert(rows.groupBy(_._2).exists(_._2.length >= 3),
+      "no document spans 3+ chunks - fixture too small to prove crossing")
+    // deterministic under repartitioning
+    val again = Curation.concatChunk(docs.repartition(7), "doc_id",
+      TextAnalysis.tokenCount(col("text")), chunkTokens = L, shards = 4)
+      .select("shard", "doc_id", "seq_id", "doc_off", "chunk_off", "span")
+      .collect().map(_.toSeq).toSet
+    val first = out.select("shard", "doc_id", "seq_id", "doc_off", "chunk_off", "span")
+      .collect().map(_.toSeq).toSet
+    assert(again == first, "concatChunk depends on partition layout")
+  }
+
 }
