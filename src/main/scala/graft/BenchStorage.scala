@@ -34,20 +34,27 @@ object BenchStorage {
       deleteSec: Double,
       rowsAfterDelete: Long,
       compactSec: Double,
-      vacuumSec: Double) {
+      vacuumSec: Double,
+      plainAppend4Sec: Double,
+      rowtrackAppend4Sec: Double,
+      rowtrackReadSec: Double) {
     /** Composite seconds — the one number the driver bench tracks.
       * PROTOCOL NOTE (r12): now includes the two deletion-vector steps
       * (delete_dv_sec + read_dv_sec) on top of the r11 sequence — compare
       * composites across rounds only after subtracting the new fields. */
     def totalSec: Double = append16Sec + tinyAppendSec + deleteDvSec + readDvSec +
       deleteSec + compactSec + vacuumSec
+    // the r13 row-tracking attribution pair is deliberately EXCLUDED from
+    // total_sec so the composite stays round-over-round comparable
     def detailJson(sfDir: String): String =
       s"""{"metric":"storage","total_sec":$totalSec,"rows":$rows,"append16_sec":$append16Sec,""" +
         s""""tiny_append_sec":$tinyAppendSec,"manifest_bytes":$manifestBytes,""" +
         s""""live_files":$liveFiles,"delete_dv_sec":$deleteDvSec,""" +
         s""""read_dv_sec":$readDvSec,"delete_run_sec":$deleteSec,""" +
         s""""rows_after_delete":$rowsAfterDelete,"compact_clustered_sec":$compactSec,""" +
-        s""""vacuum_sec":$vacuumSec,"sf":"$sfDir"}"""
+        s""""vacuum_sec":$vacuumSec,"plain_append4_sec":$plainAppend4Sec,""" +
+        s""""rowtrack_append4_sec":$rowtrackAppend4Sec,""" +
+        s""""rowtrack_read_sec":$rowtrackReadSec,"sf":"$sfDir"}"""
   }
 
   /** Run the full write-side sequence against a throwaway lakehouse (the
@@ -130,8 +137,30 @@ object BenchStorage {
       // ── vacuum: reclaim the files the delete + compaction unreferenced ──
       val (_, vacuumSec) = timed(lake.vacuumBronze("facts", keepVersions = 1, retainMillis = 0L))
 
+      // ── row-tracking attribution: the SAME 4-slice append with the
+      // feature off vs on (bases assign inside the commit CAS) plus the
+      // id-deriving read — these fields are excluded from total_sec
+      def seed(name: String): Unit = lake.appendBronze(name, li.limit(10)
+        .withColumn("snapshot_date", lit(java.sql.Date.valueOf("2026-03-01")))
+        .withColumn("run_id", lit("rt-seed")).repartition(1))
+      def appendSlices(name: String): Double = timed {
+        (0 until 4).foreach { i =>
+          val slice = li.filter(pmod(col("l_orderkey"), lit(4)) === i)
+            .withColumn("snapshot_date", lit(java.sql.Date.valueOf(f"2026-03-${i + 2}%02d")))
+            .withColumn("run_id", lit(f"rt-$i%02d"))
+          lake.appendBronze(name, slice)
+        }
+      }._2
+      seed("facts_plain"); seed("facts_rt")
+      lake.enableRowTracking("facts_rt")
+      val plain4 = appendSlices("facts_plain")
+      val rt4 = appendSlices("facts_rt")
+      val (_, rtRead) = timed(lake.tableWithRowIds("facts_rt")
+        .select(max(col("_row_id"))).collect())
+
       StorageResult(rows, appendSec, tinyAppendSec, manifestBytes, liveFiles,
-        deleteDvSec, readDvSec, deleteSec, afterDelete, compactSec, vacuumSec)
+        deleteDvSec, readDvSec, deleteSec, afterDelete, compactSec, vacuumSec,
+        plain4, rt4, rtRead)
     } finally li.unpersist()
   }
 
