@@ -51,6 +51,40 @@ object Layout {
     ranged.sortWithinPartitions(code)
   }
 
+  /** N-DIMENSIONAL Morton code: interleaves the low `bits` bits of K
+    * non-negative columns — column j contributes its bit i at position
+    * i*K + j, so K=2 reproduces [[mortonCode]] bit-for-bit. K·bits ≤ 62
+    * keeps the result a positive long; at the default 3-4 cluster keys a
+    * deployment actually uses, 12-15 bits per dimension remain — plenty,
+    * since layout keys are bucketed/clamped ranks, not raw values. */
+  def mortonCodeN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"need at least 2 dimensions, got ${cols.size}")
+    require(bits >= 1 && cols.size * bits <= 62,
+      s"${cols.size} dims x $bits bits exceeds a positive long (need K*bits <= 62)")
+    val k = cols.size
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_ + _)
+  }
+
+  /** [[zorderBy]] for K dimensions: range-partition + in-partition sort by
+    * the K-dim Morton code, so every file AND row group's envelope is a
+    * small K-box — statistics pruning works for a selective filter on ANY
+    * of the K columns. The per-dimension resolution shrinks as K grows
+    * (62/K bits); 3-4 dims is the practical sweet spot, the same guidance
+    * Delta/Iceberg give for ZORDER BY. */
+  def zorderByN(df: DataFrame, cols: Seq[Column], bits: Int = 0,
+      partitions: Int = 0): DataFrame = {
+    val b = if (bits > 0) bits else math.min(16, 62 / cols.size)
+    val code = mortonCodeN(cols, b)
+    val ranged =
+      if (partitions > 0) df.repartitionByRange(partitions, code)
+      else df.repartitionByRange(code)
+    ranged.sortWithinPartitions(code)
+  }
+
   /** Hilbert-curve code for (x, y) on a 2^bits grid — the clustering key
     * table formats moved to AFTER Z-order: no diagonal jumps, so runs of
     * consecutive codes span tighter rectangles and row-group min/max

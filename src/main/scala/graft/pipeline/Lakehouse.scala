@@ -3928,6 +3928,27 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       statsCols = Seq(xCol, yCol))
   }
 
+  /** `OPTIMIZE ... ZORDER BY (c1, …, cK)` for K ≥ 2 dimensions: rewrite
+    * clustered by the K-dim Morton code ([[graft.operators.Layout.zorderByN]])
+    * and record per-file min/max for every cluster column — [[tableWhere]]
+    * then skips whole files for a selective filter on ANY of the K keys.
+    * Per-dimension resolution shrinks as K grows (62/K bits); 3-4 keys is
+    * the practical ceiling, the same guidance Delta gives for ZORDER BY. */
+  def compactClusteredN(layer: String, name: String, clusterCols: Seq[String],
+      numFiles: Int, bits: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(clusterCols.size >= 2, s"need >= 2 cluster columns, got $clusterCols")
+    def clustered(df: DataFrame): DataFrame =
+      graft.operators.Layout.zorderByN(df, clusterCols.map(col), bits,
+        partitions = numFiles)
+    val base = dir(layer, name)
+    if (readFilesManifest(base).nonEmpty)
+      rewriteBronzeLive(base, name, clustered,
+        (Lakehouse.BronzeStatsCols ++ clusterCols).distinct, op = "OPTIMIZE ZORDER")
+    else materialize(layer, name, clustered(table(layer, name)),
+      statsCols = clusterCols)
+  }
+
   /** Materialize as a BUCKETED catalog table (`<layer>_<name>`): rows
     * hash-partitioned into `buckets` files on `bucketCols` at write time, so
     * joins/aggregations on those columns skip their shuffle entirely — the

@@ -188,4 +188,61 @@ class LayoutSpec extends SparkSpec {
       .agg(sum(col("payload"))).head().getLong(0)
     assert(viaSkip == viaFull)
   }
+  test("N-dim z-order: 3-column layout prunes each dimension; K=2 reproduces mortonCode") {
+    // bit parity: the generalized interleave at K=2 IS the 2-dim code
+    val pairs = Seq((3, 200), (255, 0), (170, 85), (1, 1)).toDF("x", "y")
+    val diff = pairs.select((Layout.mortonCodeN(Seq(col("x"), col("y")), 8)
+      - Layout.mortonCode(col("x"), col("y"), 8)).as("d"))
+      .filter(col("d") =!= 0L).count()
+    assert(diff == 0, "mortonCodeN(K=2) diverged from mortonCode")
+
+    // 32x32x32 grid, 8 rows per cell - three independent dimensions.
+    // (Box geometry: a 32 KiB row group holds ~1.6k rows = ~205 cells, a
+    // cube of side ~6 on the 32-grid, so a 1/8 slice on any dim overlaps
+    // ~(4+6)/32 = ~31% of groups. K-dim pruning is inherently coarser than
+    // 2-dim - the 62/K-bits resolution tradeoff the scaladoc documents.)
+    val n = 32 * 32 * 32 * 8
+    val grid = spark.range(n.toLong)
+      .select((col("id") % 32).cast("int").as("x"),
+        ((col("id") / 32) % 32).cast("int").as("y"),
+        ((col("id") / 1024) % 32).cast("int").as("z"),
+        col("id").as("payload"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder3").toString
+    val opts = Map("parquet.block.size" -> (32 * 1024).toString)
+    grid.repartitionByRange(4, col("x")).sortWithinPartitions(col("x"))
+      .write.options(opts).mode("overwrite").parquet(s"$tmp/linear")
+    Layout.zorderByN(grid, Seq(col("x"), col("y"), col("z")), bits = 5, partitions = 4)
+      .write.options(opts).mode("overwrite").parquet(s"$tmp/z3")
+    // a 1/8 slice on EACH dimension must prune the majority of row groups;
+    // the x-linear layout cannot prune y or z at all
+    Seq("x", "y", "z").foreach { d =>
+      val slice = col(d) < 4
+      val z3 = rowsScanned(s"$tmp/z3", slice)
+      assert(z3.toDouble <= n * 0.45, s"3-dim z-order pruned too little on $d: $z3 of $n")
+    }
+    assert(rowsScanned(s"$tmp/linear", col("z") < 4).toDouble >= n * 0.9,
+      "linear layout unexpectedly pruned z")
+
+    // end-to-end through the log: compactClusteredN records per-file stats
+    // for all three keys and tableWhere skips files on the THIRD dimension
+    import graft.pipeline.{Lakehouse, ManifestStats}
+    import graft.pipeline.ManifestStats.{StatGte, StatLte}
+    val lake = new Lakehouse(spark, java.nio.file.Files.createTempDirectory("graft-skip3").toString)
+    lake.appendBronze("g3", grid, statsCols = Seq("x", "y", "z"))
+    lake.compactClusteredN("bronze", "g3", Seq("x", "y", "z"), numFiles = 32, bits = 5)
+    val all = lake.prunedFilePaths("bronze", "g3", Nil)
+    assert(all.size >= 24, s"expected a multi-file table, got ${all.size}")
+    val preds = Seq(StatGte("z", 0), StatLte("z", 3))
+    val pruned = lake.prunedFilePaths("bronze", "g3", preds)
+    // file boxes are ~10 cells wide at 32 files, so a 1/8 z-slice keeps
+    // ~(4+10)/32 = ~44% - assert the manifest rules out a solid minority
+    assert(pruned.nonEmpty && pruned.size <= all.size * 6 / 10,
+      s"3rd-dimension file skipping kept ${pruned.size}/${all.size} files")
+    val viaSkip = lake.tableWhere("bronze", "g3", preds).filter(col("z") < 4)
+      .agg(sum(col("payload"))).head().getLong(0)
+    val viaFull = lake.table("bronze", "g3").filter(col("z") < 4)
+      .agg(sum(col("payload"))).head().getLong(0)
+    assert(viaSkip == viaFull)
+  }
+
 }
