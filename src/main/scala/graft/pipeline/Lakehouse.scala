@@ -1001,14 +1001,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // snapshot-resolve hot path
       lines.tail.iterator.takeWhile(_.startsWith("#")).foreach {
         case FeaturesLine(enc) =>
-          val unknown = enc.split(',').toSeq.filter(_.nonEmpty)
-            .filterNot(SupportedReaderFeatures)
-          require(unknown.isEmpty,
-            s"log record ${m.getFileName} requires reader feature(s) " +
-              s"${unknown.mkString(",")} this build does not support " +
-              s"(supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(",")}); " +
-              "upgrade the reader — interpreting the record without the feature " +
-              "would silently return wrong rows")
+          requireFeatureSupport(m.getFileName.toString,
+            enc.split(',').toSeq.filter(_.nonEmpty))
         case _ =>
       }
       val schema = lines.tail.collectFirst { case SchemaLine(enc) =>
@@ -1398,14 +1392,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // full re-sync (at 100 TB, the failure mode worth a guard). A consumer
     // that is gone (dir deleted) holds nothing; an abandoned-but-present
     // cursor is the operator's to delete.
-    val cursorHeld = registeredCursorFrontiers(name).minOption.toSeq
-      .flatMap(c => allVersions.filter(_ >= c))
+    val cursorFrontier = registeredCursorFrontiers(name).minOption
+    val cursorHeld = cursorFrontier.toSeq.flatMap(c => allVersions.filter(_ >= c))
     val cursorExtra =
       cursorHeld.toSet -- allVersions.takeRight(math.max(1, keepVersions)) -- youngEnough
     if (cursorExtra.nonEmpty)
       System.err.println(s"[vacuum] bronze.$name: ${cursorExtra.size} version(s) " +
         s"retained beyond the keepVersions/wall-clock floors for a registered " +
-        s"change-feed cursor (slowest frontier ${registeredCursorFrontiers(name).min})")
+        s"change-feed cursor (slowest frontier ${cursorFrontier.get})")
     val retained =
       (allVersions.takeRight(math.max(1, keepVersions)) ++ youngEnough ++ cursorHeld)
         .distinct.sorted
@@ -1644,14 +1638,27 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val everCommitted = committedDirNames(base)
       val fresh = mine.filterNot(e => live(e.relPath) ||
         everCommitted(e.relPath.takeWhile(_ != '/')))
-      if (fresh.isEmpty) return true // all files already committed (adopt raced the writer)
-      val schema = mergedSchema(snap.flatMap(_.schema).getOrElse(incoming), incoming)
-      guardReservedColumns(base, name,
-        snap.flatMap(_.schema).map(_.fieldNames.toSet).getOrElse(Set.empty),
-        schema, dataDir)
-      committed = commitFilesManifest(base, v + 1, Some(schema), entries ++ fresh,
-        prev = snap.map(_.entries), op = "APPEND",
-        txns = txn.map { case (app, tv) => txnsOf(base) + (app -> tv) })
+      if (fresh.isEmpty) {
+        // all files already committed (adopt raced the writer). The BATCH
+        // landed exactly once, but the adopting commit could not know this
+        // writer's txn — record it now as a metadata-only commit, or a
+        // future replay of the txn would stage a FRESH dir and double-apply
+        txn match {
+          case Some((app, tv)) if !txnsOf(base).get(app).exists(_ >= tv) =>
+            committed = commitFilesManifest(base, v + 1, snap.flatMap(_.schema),
+              entries, prev = Some(entries), op = "TXN", dataChange = false,
+              txns = Some(txnsOf(base) + (app -> tv)))
+          case _ => return true
+        }
+      } else {
+        val schema = mergedSchema(snap.flatMap(_.schema).getOrElse(incoming), incoming)
+        guardReservedColumns(base, name,
+          snap.flatMap(_.schema).map(_.fieldNames.toSet).getOrElse(Set.empty),
+          schema, dataDir)
+        committed = commitFilesManifest(base, v + 1, Some(schema), entries ++ fresh,
+          prev = snap.map(_.entries), op = "APPEND",
+          txns = txn.map { case (app, tv) => txnsOf(base) + (app -> tv) })
+      }
     }
     true
   }
@@ -1662,7 +1669,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * normal append — stats recollected, schema merged, CAS-committed.
     * No-op if any of the dir's files are already live (it did commit), or
     * if the dir name is in the log's ever-committed set (it committed and
-    * its rows were DELETED since — re-adding them would resurrect them). */
+    * its rows were DELETED since — re-adding them would resurrect them).
+    *
+    * TXN CAVEAT: adopt cannot know the crashed writer's (appId, version),
+    * so an adopted batch enters the log WITHOUT its idempotency record —
+    * if that writer restarts and replays the same txn, the replay stages a
+    * fresh dir and the rows land twice. For txn-writers prefer letting the
+    * writer itself replay (its commit loop records the txn and also covers
+    * the adopt-raced-a-live-writer case by committing a metadata-only TXN
+    * record); reserve adopt for writers that are known dead AND known
+    * txn-less. */
   def adoptAppendDir(name: String, dirName: String,
       statsCols: Seq[String] = Lakehouse.BronzeStatsCols): Unit = {
     val base = dir("bronze", name)
@@ -1922,16 +1938,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     gens.foreach { case (c, e) =>
       require(!provided.contains(c) || df.columns.contains(c), // defensive
         s"staged batch for bronze.$name lost generated column $c")
-      if (!df.columns.contains(c))
+      if (!df.columns.contains(c)) {
+        deleteRecursively(dataDir) // staged-dir hygiene: enforceConstraints parity
         throw new IllegalStateException(
           s"generated column $c of bronze.$name was declared after this batch " +
             "staged — its files cannot be amended; retry the append (the writer " +
             "computes the column before staging)")
+      }
       if (provided.contains(c)) {
         val bad = df.filter(s"NOT ($c <=> ($e))").limit(1).count()
-        require(bad == 0,
-          s"staged batch for bronze.$name provides generated column $c with " +
-            s"values contradicting its expression ($e)")
+        if (bad != 0) {
+          deleteRecursively(dataDir)
+          throw new IllegalArgumentException(
+            s"staged batch for bronze.$name provides generated column $c with " +
+              s"values contradicting its expression ($e)")
+        }
       }
     }
     gens
@@ -2373,10 +2394,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       .getOrElse(Files.getLastModifiedTime(m).toMillis)
   }
 
-  private def requireReaderFeatures(base: Path, h: RecordHeader): Unit = {
-    val unknown = h.features.filterNot(SupportedReaderFeatures)
+  private def requireReaderFeatures(base: Path, h: RecordHeader): Unit =
+    requireFeatureSupport(s"_files_v${h.version} at $base", h.features)
+
+  /** The ONE copy of the reader-feature check+remedy (shared by the
+    * header-peek gate and [[readRecord]]'s already-parsed-lines gate). */
+  private def requireFeatureSupport(label: String, features: Seq[String]): Unit = {
+    val unknown = features.filterNot(SupportedReaderFeatures)
     require(unknown.isEmpty,
-      s"log record _files_v${h.version} at $base requires reader feature(s) " +
+      s"log record $label requires reader feature(s) " +
         s"${unknown.mkString(",")} this build does not support " +
         s"(supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(",")}); " +
         "upgrade the reader — interpreting the record without the feature " +
@@ -2443,18 +2469,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * renamed columns coalesce through their ancestor names. */
   private def renameView(df: DataFrame,
       logical: org.apache.spark.sql.types.StructType,
-      m: Map[String, Seq[String]]): DataFrame = {
-    val chains = liveChains(m)
-    if (chains.isEmpty) df
-    else df.select(logical.fieldNames.map { n =>
-      chains.get(n) match {
-        case Some(anc) if anc.nonEmpty =>
-          org.apache.spark.sql.functions.coalesce(
-            (n +: anc).map(df.col): _*).as(n)
-        case _ => df.col(n)
-      }
-    }: _*)
-  }
+      m: Map[String, Seq[String]]): DataFrame =
+    if (liveChains(m).isEmpty) df
+    else df.select(renameViewCols(df, logical, m): _*)
 
   /** The coalesce projections of [[renameView]] as named columns over an
     * existing frame (for scans that must keep `_metadata` alongside). */

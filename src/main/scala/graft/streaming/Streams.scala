@@ -642,8 +642,17 @@ object Streams {
     * strand a live consumer into a full re-sync. Called automatically by
     * [[changesSink]] and [[cdfAggregateSink]]; delete the cursor dir to
     * release the hold when a consumer is decommissioned. Idempotent. */
-  def registerCursor(lakeRoot: String, table: String, cursorDir: String): Unit =
+  def registerCursor(lakeRoot: String, table: String, cursorDir: String): Unit = {
+    // the registration must HOLD retention from the moment the consumer
+    // exists, not from its first cursor commit: create the (empty) cursor
+    // dir NOW — an empty dir reads as frontier 0 (everything retained) and
+    // keeps the marker alive through registeredState's vanished-dir sweep.
+    // Without this, a maintenance pass during a consumer's FIRST (longest)
+    // drain would both unregister it and vacuum the very versions it is
+    // reading — the stranding the feature exists to prevent.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cursorDir))
     writeRegistryMarker(lakeRoot, s"cursor\t${enc(table)}\t${enc(cursorDir)}")
+  }
 
   /** All registered (indexDir, survivorsDir) gates and standalone batch
     * dirs under a lake root. Markers whose dirs have ALL vanished are
@@ -766,8 +775,13 @@ object Streams {
           // additions widen DECIMAL precision — cast back to the delta
           // schema's types so the target schema is IDENTICAL every tick
           // (the log's schema evolution is ADD COLUMNS, never retype)
+          // BOTH sides need the null-default: a tick whose rows for a key
+          // all carry NULL in the summed column aggregates to a NULL delta,
+          // and 500 + NULL = NULL would wipe the key's accumulated sum
+          // (from-scratch SUM ignores NULLs — the fold must too)
           val sumExprs = sumCols.map { c =>
-            (coalesce(prev.col(s"sum_$c"), lit(0)) + deltas.col(s"sum_$c"))
+            (coalesce(prev.col(s"sum_$c"), lit(0))
+              + coalesce(deltas.col(s"sum_$c"), lit(0)))
               .cast(deltas.schema(s"sum_$c").dataType).as(s"sum_$c")
           }
           deltas.join(prev, keys, "left").select(
@@ -775,7 +789,12 @@ object Streams {
               Seq((coalesce(prev.col("cnt"), lit(0L)) + deltas.col("cnt")).as("cnt")) ++
               sumExprs: _*)
         }
-      lake.mergeBronze(target, merged, keys, txn = Some((s"cdfagg:$target", to.toLong)))
+      // the txn appId carries the SOURCE too: two sources folding into one
+      // target are independent writers — a shared appId would make the
+      // second source's first merge look like a replay of the first's and
+      // silently drop it while its cursor still advanced
+      lake.mergeBronze(target, merged, keys,
+        txn = Some((s"cdfagg:$source:$target", to.toLong)))
       lake.commitChangesCursor(cur, to)
       (from, to)
     }
@@ -984,10 +1003,15 @@ object Streams {
     val marker = lake.tableDir("bronze", bronzeTable)
       .resolve(s"_stream_gate_$model")
     val last: Option[Int] =
-      if (Files.exists(marker))
-        Some(new String(Files.readAllBytes(marker),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
-      else None
+      if (Files.exists(marker)) {
+        val raw = new String(Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        require(raw.nonEmpty && raw.forall(_.isDigit),
+          s"stream gate marker $marker is corrupt ('$raw') — delete it and " +
+            "restart the stream (construction re-pins the gate); markers are " +
+            "written atomically from this build on, so this is a pre-fix relic")
+        Some(raw.toInt)
+      } else None
     // schema-CHANGING ops invalidate the PINNED scan schema regardless of
     // ignoreDeletes: the running stream would read new-named files as all
     // nulls. The check runs per micro-batch only — at construction the pin
@@ -1031,8 +1055,16 @@ object Streams {
       }
     }
     Files.createDirectories(marker.getParent)
-    Files.write(marker, head.toString.getBytes(
+    // atomic replace (tmp + ATOMIC_MOVE): a crash mid-write must never
+    // leave an empty/truncated marker — the read side does `.trim.toInt`
+    // and a torn marker would brick every future construction of this
+    // stream until someone hand-deletes the file
+    val mTmp = marker.resolveSibling(
+      s".${marker.getFileName}_${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.write(mTmp, head.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(mTmp, marker, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** One [[silverRefreshStream]] micro-batch: committed-only filter →

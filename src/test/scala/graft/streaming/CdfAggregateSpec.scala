@@ -111,4 +111,66 @@ class CdfAggregateSpec extends SparkSpec {
     assert(same(Streams.cdfAggregate(lake, "agg"), expected))
     assert(lake.changesCursor(cursorDir) == to2)
   }
+  test("a tick whose delta sums are all NULL must not wipe a key's accumulated sum") {
+    val lake = mkLake("cdfaggnull")
+    val cursor = Files.createTempDirectory("graft-cdfaggnull-cur").toString
+    def tick() = Streams.cdfAggregateSink(lake, "src", "agg",
+      Seq("grp"), Seq("val"), cursor)
+    lake.appendBronze("src", rows("r1", Seq((1L, "a", 10L), (2L, "a", 20L))))
+    assert(tick().isDefined)
+    // tick 2: rows for "a" whose summed column is entirely NULL — the fold
+    // must add 0 (SQL SUM ignores NULLs), never NULL out the 30
+    lake.appendBronze("src",
+      Seq((3L, "a"), (4L, "a")).toDF("id", "grp")
+        .withColumn("val", lit(null).cast("long"))
+        .withColumn("run_id", lit("r2")).repartition(1))
+    assert(tick().isDefined)
+    val a = Streams.cdfAggregate(lake, "agg").filter(col("grp") === "a").collect().head
+    assert(a.getAs[Long]("cnt") == 4L)
+    assert(!a.isNullAt(a.fieldIndex("sum_val")) &&
+      a.getAs[Number]("sum_val").longValue() == 30L,
+      s"NULL-valued tick wiped the accumulated sum: $a")
+    assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
+  }
+
+  test("two sources folding into one target are independent writers") {
+    val lake = mkLake("cdfagg2src")
+    val cur1 = Files.createTempDirectory("graft-cdfagg-c1").toString
+    val cur2 = Files.createTempDirectory("graft-cdfagg-c2").toString
+    // src1 reaches a HIGH version before src2's first tick — a shared txn
+    // appId would make src2's first merge look like a replay and drop it
+    lake.appendBronze("src1", rows("r1", Seq((1L, "a", 10L))))
+    lake.appendBronze("src1", rows("r2", Seq((2L, "a", 5L))))
+    lake.appendBronze("src1", rows("r3", Seq((3L, "b", 1L))))
+    assert(Streams.cdfAggregateSink(lake, "src1", "agg",
+      Seq("grp"), Seq("val"), cur1).isDefined)
+    lake.appendBronze("src2", rows("s1", Seq((9L, "a", 100L))))
+    assert(Streams.cdfAggregateSink(lake, "src2", "agg",
+      Seq("grp"), Seq("val"), cur2).isDefined)
+    val a = Streams.cdfAggregate(lake, "agg").filter(col("grp") === "a").collect().head
+    assert(a.getAs[Long]("cnt") == 3L &&
+      a.getAs[Number]("sum_val").longValue() == 115L,
+      s"second source's merge was dropped as a replay: $a")
+  }
+
+  test("a registered cursor holds vacuum retention BEFORE its first commit") {
+    val lake = mkLake("curhold")
+    lake.appendBronze("src", rows("r1", Seq((1L, "a", 10L))))
+    lake.appendBronze("src", rows("r2", Seq((2L, "b", 20L))))
+    val preV = lake.committedBronzeVersion("src")
+    // consumer registers (changesSink/cdfAggregateSink do this first) but
+    // has NOT committed a cursor yet — mid-first-drain state
+    val cursor = Files.createTempDirectory("graft-curhold").resolve("cur")
+    Streams.registerCursor(lake.root, "src", cursor.toString)
+    // a CoW delete rewrites files, then an aggressive vacuum runs: the
+    // registration alone must hold every version from frontier 0 on
+    lake.deleteBronzeWhere("src", col("id") === 1L)
+    lake.vacuumBronze("src", keepVersions = 1, retainMillis = 0L)
+    // the pre-delete version is still fully readable for the drain
+    assert(lake.tableAt("bronze", "src", preV).count() == 2)
+    val drained = lake.tableChangesSince("src", cursor)
+    assert(drained.isDefined && drained.get._1.count() >= 2,
+      "first drain lost changes to vacuum")
+  }
+
 }

@@ -708,6 +708,15 @@ class StreamsSpec extends SparkSpec {
       ignoreDeletes = false, atConstruction = true)
     Streams.gateStreamVisibility(lake, "silver_channels", "channels_raw",
       ignoreDeletes = false)
+    // a torn/empty marker (pre-atomic-write relic) fails with a NAMED
+    // remedy, not a bare NumberFormatException
+    val marker = lake.tableDir("bronze", "channels_raw")
+      .resolve("_stream_gate_silver_channels")
+    Files.write(marker, Array.emptyByteArray)
+    val torn = intercept[IllegalArgumentException](
+      Streams.gateStreamVisibility(lake, "silver_channels", "channels_raw",
+        ignoreDeletes = false))
+    assert(torn.getMessage.contains("corrupt"), torn.getMessage)
   }
 
   test("silverRefreshStream maintains SCD2: streamed == batch recompute across A→B→A and late-arrival micro-batch orderings") {
