@@ -599,7 +599,42 @@ object StorageQueries {
       FROM t WHERE c_custkey % 10 = 3
       ORDER BY change_type, c_custkey"""))
 
+  /** N-dimensional Z-order clustering ([[Lakehouse.compactClusteredN]]):
+    * the table rewrites clustered by the 3-dim Morton code of
+    * (custkey, orderkey-bucket, price-band) and a stats-pruned read on
+    * the THIRD dimension must return exactly the rows a plain filter
+    * returns — file skipping is a superset guarantee, and the clustered
+    * rewrite is content-invariant. DuckDB sees only the filter. */
+  val st14NdimClusterRead = GraftQuery(
+    "st14_ndim_cluster_read",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-st14")
+      val lake = new Lakehouse(s, scratch.toString)
+      val base = table(s, dir, "orders")
+        .filter(col("o_custkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(money).cast("double").as("price"))
+        .withColumn("okb", (col("o_orderkey") % 64).cast("int"))
+        .withColumn("band", (col("o_custkey") % 32).cast("int"))
+      lake.appendBronze("ord", base.repartition(4), statsCols = Seq("o_custkey", "okb", "band"))
+      lake.compactClusteredN("bronze", "ord", Seq("o_custkey", "okb", "band"),
+        numFiles = 16, bits = 10)
+      val preds = Seq(graft.pipeline.ManifestStats.StatGte("band", 0),
+        graft.pipeline.ManifestStats.StatLte("band", 7))
+      val res = lake.tableWhere("bronze", "ord", preds)
+        .filter(col("band") < 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("price"))
+        .orderBy(col("o_orderkey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      FROM orders
+      WHERE o_custkey % 5 = 0 AND o_custkey % 32 < 8
+      ORDER BY o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(st01DvDelete, st02RestoreRead, st03CdfRead, st04MergeUpsert,
     st05TxnIdempotent, st06CdfCursor, st07CdfAggMv, st08TypeWiden, st09GeneratedCol,
-    st10IdentityCol, st11ColumnDefault, st12RowIds, st13CdfUpdates)
+    st10IdentityCol, st11ColumnDefault, st12RowIds, st13CdfUpdates, st14NdimClusterRead)
 }
