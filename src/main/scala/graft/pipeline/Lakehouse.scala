@@ -626,9 +626,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * to))` — [[tableChanges]] over `(from, to]` — or None when the cursor
     * is caught up with the table. A fresh cursor (version 0) delivers the
     * whole table as `insert`s first, Delta's `startingVersion=0`. */
-  def tableChangesSince(name: String, cursorDir: Path): Option[(DataFrame, Int, Int)] = {
+  def tableChangesSince(name: String, cursorDir: Path,
+      maxVersions: Int = Int.MaxValue): Option[(DataFrame, Int, Int)] = {
+    require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
     val from = changesCursor(cursorDir)
-    val to = committedBronzeVersion(name)
+    // BOUNDED CATCH-UP (Delta's maxFilesPerTrigger analog): a consumer
+    // resuming after a long outage caps each tick at `maxVersions` commits
+    // and converges over repeated ticks — per-tick work stays O(cap), not
+    // O(outage length), and the cursor-held retention releases as it goes
+    val to = math.min(committedBronzeVersion(name).toLong,
+      from.toLong + maxVersions).toInt
     if (to <= from) None else Some((tableChanges(name, from, to), from, to))
   }
 

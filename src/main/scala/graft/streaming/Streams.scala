@@ -756,12 +756,12 @@ object Streams {
     * Returns the `(from, to]` range folded, or None when caught up. */
   def cdfAggregateSink(lake: graft.pipeline.Lakehouse, source: String,
       target: String, keys: Seq[String], sumCols: Seq[String],
-      cursorDir: String): Option[(Int, Int)] = {
+      cursorDir: String, maxVersions: Int = Int.MaxValue): Option[(Int, Int)] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
     require(keys.nonEmpty, "cdfAggregateSink needs at least one key column")
     registerCursor(lake.root, source, cursorDir)
     val cur = java.nio.file.Paths.get(cursorDir)
-    lake.tableChangesSince(source, cur).map { case (changes, from, to) =>
+    lake.tableChangesSince(source, cur, maxVersions).map { case (changes, from, to) =>
       val signed = changes.withColumn("__s",
         when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
           .otherwise(lit(-1L)))
@@ -808,11 +808,15 @@ object Streams {
       .filter(org.apache.spark.sql.functions.col("cnt") > 0)
 
   def changesSink(lake: graft.pipeline.Lakehouse, name: String,
-      cursorDir: String, outDir: String): Option[(Int, Int)] = {
+      cursorDir: String, outDir: String,
+      maxVersions: Int = Int.MaxValue): Option[(Int, Int)] = {
+    require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
     registerCursor(lake.root, name, cursorDir)
     val cur = java.nio.file.Paths.get(cursorDir)
     val from = lake.changesCursor(cur)
-    val to = lake.committedBronzeVersion(name)
+    // bounded catch-up: see [[graft.pipeline.Lakehouse.tableChangesSince]]
+    val to = math.min(lake.committedBronzeVersion(name).toLong,
+      from.toLong + maxVersions).toInt
     if (to <= from) None
     else {
       // per-version batches: O(versions since cursor) log resolves, each

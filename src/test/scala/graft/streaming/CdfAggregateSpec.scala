@@ -173,4 +173,30 @@ class CdfAggregateSpec extends SparkSpec {
       "first drain lost changes to vacuum")
   }
 
+  test("bounded catch-up: capped ticks converge to the uncapped result") {
+    val lake = mkLake("cdfaggcap")
+    val cursor = Files.createTempDirectory("graft-cdfaggcap-cur").toString
+    // 5 commits land while the consumer is down
+    lake.appendBronze("src", rows("r1", Seq((1L, "a", 1L))))
+    lake.appendBronze("src", rows("r2", Seq((2L, "a", 2L))))
+    lake.appendBronze("src", rows("r3", Seq((3L, "b", 3L))))
+    lake.deleteBronzeWhereDv("src", col("id") === 1L)
+    lake.appendBronze("src", rows("r4", Seq((4L, "b", 4L))))
+    // catch up two versions per tick; each tick's (from, to) is bounded
+    var ticks = 0
+    var last: Option[(Int, Int)] = Some((0, 0))
+    while ({
+      last = Streams.cdfAggregateSink(lake, "src", "agg",
+        Seq("grp"), Seq("val"), cursor, maxVersions = 2)
+      last.isDefined
+    }) {
+      ticks += 1
+      val (from, to) = last.get
+      assert(to - from <= 2, s"tick exceeded the cap: ($from, $to]")
+      assert(ticks <= 10, "bounded catch-up failed to converge")
+    }
+    assert(ticks >= 3, s"expected >= 3 capped ticks, got $ticks")
+    assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
+  }
+
 }
