@@ -1381,10 +1381,24 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * retention cannot protect; quiesce for that). */
   def vacuumBronze(name: String, keepVersions: Int = 2,
       retainMillis: Long = Lakehouse.DefaultVacuumRetainMillis,
-      now: Long = System.currentTimeMillis()): Int = {
+      now: Long = System.currentTimeMillis()): Int =
+    vacuumCore(name, keepVersions, retainMillis, now, dryRun = false)._1
+
+  /** `VACUUM ... DRY RUN` parity: the table-relative paths a real vacuum
+    * with the same parameters WOULD delete — computed with the identical
+    * retained-set/floor logic, touching nothing. Append/vector dirs that
+    * would empty out are listed by their dir name. */
+  def vacuumBronzeDryRun(name: String, keepVersions: Int = 2,
+      retainMillis: Long = Lakehouse.DefaultVacuumRetainMillis,
+      now: Long = System.currentTimeMillis()): Seq[String] =
+    vacuumCore(name, keepVersions, retainMillis, now, dryRun = true)._2
+
+  private def vacuumCore(name: String, keepVersions: Int,
+      retainMillis: Long, now: Long, dryRun: Boolean): (Int, Seq[String]) = {
     require(retainMillis >= 0, s"retainMillis must be >= 0, got $retainMillis")
     val base = dir("bronze", name)
-    if (!Files.exists(base)) return 0
+    if (!Files.exists(base)) return (0, Seq.empty)
+    val would = Seq.newBuilder[String]
     var floorRetained = 0 // unreferenced files kept ONLY by the wall-clock floor
     val allVersions = bronzeVersions(base)
     val youngEnough = allVersions.filter { v =>
@@ -1403,7 +1417,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val cursorHeld = cursorFrontier.toSeq.flatMap(c => allVersions.filter(_ >= c))
     val cursorExtra =
       cursorHeld.toSet -- allVersions.takeRight(math.max(1, keepVersions)) -- youngEnough
-    if (cursorExtra.nonEmpty)
+    if (cursorExtra.nonEmpty && !dryRun)
       System.err.println(s"[vacuum] bronze.$name: ${cursorExtra.size} version(s) " +
         s"retained beyond the keepVersions/wall-clock floors for a registered " +
         s"change-feed cursor (slowest frontier ${cursorFrontier.get})")
@@ -1434,46 +1448,62 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         case n if appendDir.pattern.matcher(n).matches() && Files.isDirectory(p) =>
           // captured BEFORE the child deletions below bump the dir's mtime
           val dirExpired = expired(p)
+          val removedHere = scala.collection.mutable.Set.empty[String]
           listDir(p).foreach { f =>
             val fn = f.getFileName.toString
             if (fn.endsWith(".parquet") && !keep.contains(s"$n/$fn")) {
               if (expired(f)) {
-                Files.delete(f)
-                val crc = f.resolveSibling(s".$fn.crc")
-                if (Files.exists(crc)) Files.delete(crc)
+                if (dryRun) { would += s"$n/$fn"; removedHere += fn }
+                else {
+                  Files.delete(f)
+                  val crc = f.resolveSibling(s".$fn.crc")
+                  if (Files.exists(crc)) Files.delete(crc)
+                }
               } else floorRetained += 1
             }
           }
           // the emptied-dir sweep honors the floor too: a fresh dir with
-          // no parquet yet is an in-flight writer's, not debris
-          if (dirExpired && !listDir(p)
-              .exists(_.getFileName.toString.endsWith(".parquet")))
-            deleteRecursively(p)
+          // no parquet yet is an in-flight writer's, not debris (dry runs
+          // subtract their would-deletes instead of looking at disk)
+          if (dirExpired && !listDir(p).exists(f =>
+              f.getFileName.toString.endsWith(".parquet") &&
+                !removedHere(f.getFileName.toString))) {
+            if (dryRun) would += n else deleteRecursively(p)
+          }
         case n if n.startsWith(DeletionVectors.DirPrefix) && Files.isDirectory(p) =>
           // superseded deletion vectors (a later delete re-merged them, or
           // OPTIMIZE purged the file) are debris like any unreferenced
           // file; referenced or young vectors stay
           val dirExpired = expired(p)
+          val removedHere = scala.collection.mutable.Set.empty[String]
           listDir(p).foreach { f =>
             val fn = f.getFileName.toString
             if (fn.endsWith(".dv") && !keep.contains(s"$n/$fn")) {
-              if (expired(f)) Files.delete(f) else floorRetained += 1
+              if (expired(f)) {
+                if (dryRun) { would += s"$n/$fn"; removedHere += fn }
+                else Files.delete(f)
+              } else floorRetained += 1
             }
           }
-          if (dirExpired && !listDir(p).exists(_.getFileName.toString.endsWith(".dv")))
-            deleteRecursively(p)
+          if (dirExpired && !listDir(p).exists(f =>
+              f.getFileName.toString.endsWith(".dv") &&
+                !removedHere(f.getFileName.toString))) {
+            if (dryRun) would += n else deleteRecursively(p)
+          }
         case n if n.startsWith("_ckpt_v") && !liveTwins.contains(n) =>
-          if (expired(p)) deleteRecursively(p) else floorRetained += 1
+          if (expired(p)) { if (dryRun) would += n else deleteRecursively(p) }
+          else floorRetained += 1
         case n if n.startsWith(".manifest_") =>
-          if (expired(p)) Files.deleteIfExists(p) else floorRetained += 1
+          if (expired(p)) { if (dryRun) would += n else Files.deleteIfExists(p) }
+          else floorRetained += 1
         case _ =>
       }
     }
-    if (floorRetained > 0)
+    if (floorRetained > 0 && !dryRun)
       System.err.println(f"[vacuum] bronze.$name retained $floorRetained " +
         f"unreferenced file(s) younger than the ${retainMillis / 3600000.0}%.1f h " +
         "wall-clock window (pass retainMillis=0 to reclaim immediately)")
-    floorRetained
+    (floorRetained, would.result().sorted)
   }
 
   /** One-time migration of a pre-log bronze directory (hive-partitioned
