@@ -628,15 +628,20 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * whole table as `insert`s first, Delta's `startingVersion=0`. */
   def tableChangesSince(name: String, cursorDir: Path,
       maxVersions: Int = Int.MaxValue): Option[(DataFrame, Int, Int)] = {
-    require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
     val from = changesCursor(cursorDir)
-    // BOUNDED CATCH-UP (Delta's maxFilesPerTrigger analog): a consumer
-    // resuming after a long outage caps each tick at `maxVersions` commits
-    // and converges over repeated ticks — per-tick work stays O(cap), not
-    // O(outage length), and the cursor-held retention releases as it goes
-    val to = math.min(committedBronzeVersion(name).toLong,
-      from.toLong + maxVersions).toInt
+    val to = cappedChangesTo(name, from, maxVersions)
     if (to <= from) None else Some((tableChanges(name, from, to), from, to))
+  }
+
+  /** BOUNDED CATCH-UP (Delta's maxFilesPerTrigger analog): the tick's end
+    * version — a consumer resuming after a long outage caps each tick at
+    * `maxVersions` commits and converges over repeated ticks, so per-tick
+    * work stays O(cap), not O(outage length), and cursor-held retention
+    * releases incrementally. ONE copy of the cap arithmetic, shared by
+    * every consumer (tableChangesSince, Streams.changesSink). */
+  private[graft] def cappedChangesTo(name: String, from: Int, maxVersions: Int): Int = {
+    require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
+    math.min(committedBronzeVersion(name).toLong, from.toLong + maxVersions).toInt
   }
 
   /** The newest committed version of a log-managed bronze table (0 = no
@@ -1636,6 +1641,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     var committed = false
     var checkedAgainst = validated
     var gensAgainst = gensValidated
+    // set once fresh.isEmpty is observed: our staged files ARE committed
+    // (adopt raced us). From then on every early exit must report the batch
+    // as IN (true) — returning false would make appendBronze delete a
+    // dataDir whose files are live in the manifest
+    var filesLive = false
     while (!committed) {
       attempts += 1
       require(attempts <= 1000, s"bronze append to $name lost 1000 consecutive CAS races")
@@ -1644,7 +1654,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // SAME CAS loop as the commit, so a concurrent replay of this txn
       // that wins the race is seen on our retry — at most one of the two
       // appends lands, no double-apply window
-      if (txn.exists { case (app, v) => txnsOf(base).get(app).exists(_ >= v) }) return false
+      if (txn.exists { case (app, v) => txnsOf(base).get(app).exists(_ >= v) })
+        return filesLive
       val curConstraints = constraintsOf(base)
       if (curConstraints != checkedAgainst)
         checkedAgainst = enforceConstraints(base, name, dataDir, mine)
@@ -1680,6 +1691,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         // landed exactly once, but the adopting commit could not know this
         // writer's txn — record it now as a metadata-only commit, or a
         // future replay of the txn would stage a FRESH dir and double-apply
+        filesLive = true
         txn match {
           case Some((app, tv)) if !txnsOf(base).get(app).exists(_ >= tv) =>
             committed = commitFilesManifest(base, v + 1, snap.flatMap(_.schema),

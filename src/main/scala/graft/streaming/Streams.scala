@@ -528,10 +528,7 @@ object Streams {
       Files.move(tmp, seg, StandardCopyOption.ATOMIC_MOVE)
       // COMMIT: atomically advance the watermark — readers switch from
       // (c{w0} + b{≤newW} + tail) to (c{newW} + tail) in one step
-      val mTmp = base.resolve(s"._compacted_$newW.tmp")
-      Files.write(mTmp, newW.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      Files.move(mTmp, base.resolve("_compacted"), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      atomicWriteString(base.resolve("_compacted"), newW.toString)
       // GC the subsumed inputs (ignored by readers since the commit) —
       // ONLY ids at-or-below the committed watermark: ids above a hole
       // were not folded and remain the readers' live tail
@@ -761,7 +758,18 @@ object Streams {
     require(keys.nonEmpty, "cdfAggregateSink needs at least one key column")
     registerCursor(lake.root, source, cursorDir)
     val cur = java.nio.file.Paths.get(cursorDir)
-    lake.tableChangesSince(source, cur, maxVersions).map { case (changes, from, to) =>
+    lake.tableChangesSince(source, cur, maxVersions).map { case (changes0, from, to) =>
+      // a CAPPED range can end before an ADD COLUMNS landed a key/summed
+      // column: the feed's frames (self-consistent at the RANGE's head)
+      // then lack it, and referencing it would throw on every retry of the
+      // same capped range — a livelock. Fill the missing column with a
+      // typed NULL from the source's CURRENT schema: exactly what a
+      // from-scratch read of those older files would see
+      lazy val headSchema = lake.table("bronze", source).schema
+      val changes = (keys ++ sumCols).foldLeft(changes0) { (d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(headSchema(c).dataType))
+      }
       val signed = changes.withColumn("__s",
         when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
           .otherwise(lit(-1L)))
@@ -792,9 +800,17 @@ object Streams {
       // the txn appId carries the SOURCE too: two sources folding into one
       // target are independent writers — a shared appId would make the
       // second source's first merge look like a replay of the first's and
-      // silently drop it while its cursor still advanced
-      lake.mergeBronze(target, merged, keys,
-        txn = Some((s"cdfagg:$source:$target", to.toLong)))
+      // silently drop it while its cursor still advanced. UPGRADE SHIM:
+      // ticks applied by the pre-(source,target) binary recorded the bare
+      // "cdfagg:<target>" id — a crash-replayed in-flight tick from before
+      // the upgrade must still dedupe against it (legacy records only ever
+      // came from the single-source pattern, so the check cannot suppress
+      // a new source's first merge beyond that frontier)
+      val legacyApplied =
+        lake.txnVersion(target, s"cdfagg:$target").exists(_ >= to)
+      if (!legacyApplied)
+        lake.mergeBronze(target, merged, keys,
+          txn = Some((s"cdfagg:$source:$target", to.toLong)))
       lake.commitChangesCursor(cur, to)
       (from, to)
     }
@@ -810,13 +826,11 @@ object Streams {
   def changesSink(lake: graft.pipeline.Lakehouse, name: String,
       cursorDir: String, outDir: String,
       maxVersions: Int = Int.MaxValue): Option[(Int, Int)] = {
-    require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
     registerCursor(lake.root, name, cursorDir)
     val cur = java.nio.file.Paths.get(cursorDir)
     val from = lake.changesCursor(cur)
-    // bounded catch-up: see [[graft.pipeline.Lakehouse.tableChangesSince]]
-    val to = math.min(lake.committedBronzeVersion(name).toLong,
-      from.toLong + maxVersions).toInt
+    // bounded catch-up: ONE shared cap ([[graft.pipeline.Lakehouse.cappedChangesTo]])
+    val to = lake.cappedChangesTo(name, from, maxVersions)
     if (to <= from) None
     else {
       // per-version batches: O(versions since cursor) log resolves, each
@@ -1059,15 +1073,23 @@ object Streams {
       }
     }
     Files.createDirectories(marker.getParent)
-    // atomic replace (tmp + ATOMIC_MOVE): a crash mid-write must never
-    // leave an empty/truncated marker — the read side does `.trim.toInt`
-    // and a torn marker would brick every future construction of this
-    // stream until someone hand-deletes the file
-    val mTmp = marker.resolveSibling(
-      s".${marker.getFileName}_${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    Files.write(mTmp, head.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(mTmp, marker, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+    // atomic replace: a crash mid-write must never leave an empty or
+    // truncated marker — the read side parses it and a torn marker would
+    // brick every future construction of this stream
+    atomicWriteString(marker, head.toString)
+  }
+
+  /** Write-tmp-then-ATOMIC_MOVE replace: the ONE copy of the
+    * last-writer-wins marker write (gate markers, compaction watermarks).
+    * Readers see the old content or the new, never a torn file; crash-
+    * leaked `.tmp` siblings share one naming convention. */
+  private def atomicWriteString(target: java.nio.file.Path, content: String): Unit = {
+    val tmp = target.resolveSibling(
+      s".${target.getFileName}_${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    java.nio.file.Files.write(tmp,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 

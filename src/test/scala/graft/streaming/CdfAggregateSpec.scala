@@ -199,4 +199,47 @@ class CdfAggregateSpec extends SparkSpec {
     assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
   }
 
+  test("capped catch-up converges across an ADD COLUMNS of the summed column") {
+    val lake = mkLake("cdfaggwiden")
+    val cursor = Files.createTempDirectory("graft-cdfaggwiden-cur").toString
+    def bare(run: String, recs: Seq[(Long, String)]) =
+      recs.map { case (id, k) => (id, k, run) }
+        .toDF("id", "grp", "run_id").repartition(1)
+    // two commits BEFORE the summed column exists, then the widening append
+    lake.appendBronze("src", bare("r1", Seq((1L, "a"))))
+    lake.appendBronze("src", bare("r2", Seq((2L, "a"), (3L, "b"))))
+    lake.appendBronze("src", rows("r3", Seq((4L, "a", 10L), (5L, "b", 7L))))
+    // one-version ticks: the first capped ranges end BEFORE `val` existed —
+    // the consumer must fill, converge, and match the from-scratch fold
+    var guard = 0
+    while (Streams.cdfAggregateSink(lake, "src", "agg",
+        Seq("grp"), Seq("val"), cursor, maxVersions = 1).isDefined) {
+      guard += 1; assert(guard <= 10, "capped consumer failed to converge")
+    }
+    assert(guard == 3, s"expected 3 one-version ticks, got $guard")
+    assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
+  }
+
+  test("upgrade shim: a tick already applied under the legacy txn appId is not re-applied") {
+    val lake = mkLake("cdfagglegacy")
+    val cursor = Files.createTempDirectory("graft-cdfagglegacy-cur").toString
+    lake.appendBronze("src", rows("r1", Seq((1L, "a", 10L), (2L, "b", 5L)))) // v1
+    // simulate the PRE-upgrade binary having applied tick (0,1] and crashed
+    // before its cursor commit: the fold landed under the bare legacy appId
+    val preFold = Seq(("a", 1L, 10L), ("b", 1L, 5L)).toDF("grp", "cnt", "sum_val")
+    lake.mergeBronze("agg", preFold, Seq("grp"),
+      txn = Some(("cdfagg:agg", 1L)))
+    // the upgraded binary replays the in-flight tick: it must DEDUPE against
+    // the legacy record (no double-count) and still advance the cursor
+    val t1 = Streams.cdfAggregateSink(lake, "src", "agg", Seq("grp"), Seq("val"), cursor)
+    assert(t1.contains((0, 1)))
+    assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)),
+      "legacy-applied tick was re-applied (double count)")
+    // new ticks past the legacy frontier apply normally under the new appId
+    lake.appendBronze("src", rows("r2", Seq((3L, "a", 2L))))
+    assert(Streams.cdfAggregateSink(lake, "src", "agg",
+      Seq("grp"), Seq("val"), cursor).contains((1, 2)))
+    assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
+  }
+
 }
