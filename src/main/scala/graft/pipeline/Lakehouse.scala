@@ -562,7 +562,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
             else headChains.find { case (_, anc) => anc.contains(k) }
               .map(_._1).getOrElse(k)
           }
-        if (op == "MERGE" && mkeys.nonEmpty && deletes.nonEmpty && inserts.nonEmpty) {
+        // a merge key later DROPPED (tombstoned, not renamed) translates to
+        // a name absent from the head schema — pairing would throw
+        // AnalysisException on EVERY read of a range spanning this MERGE,
+        // bricking cursor consumers until the version ages out. Delete +
+        // insert is a valid decomposition of an update pair (Delta reads
+        // degrade the same way), so fall back to plain tagging instead.
+        val mkeysResolvable = mkeys.nonEmpty &&
+          (deletes ++ inserts).forall(f => mkeys.forall(f.columns.contains))
+        if (op == "MERGE" && mkeysResolvable && deletes.nonEmpty && inserts.nonEmpty) {
           // Delta CDF's MERGE classification: the commit recorded its key
           // columns (#mkeys), so its delete+insert rows sharing a key pair
           // up as update_preimage/update_postimage. mergeBronze only ever
@@ -1988,7 +1996,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       require(!provided.contains(c) || df.columns.contains(c), // defensive
         s"staged batch for bronze.$name lost generated column $c")
       if (!df.columns.contains(c)) {
-        deleteRecursively(dataDir) // staged-dir hygiene: enforceConstraints parity
+        deleteStagedIfUncommitted(base, dataDir) // staged-dir hygiene
         throw new IllegalStateException(
           s"generated column $c of bronze.$name was declared after this batch " +
             "staged — its files cannot be amended; retry the append (the writer " +
@@ -1997,7 +2005,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       if (provided.contains(c)) {
         val bad = df.filter(s"NOT ($c <=> ($e))").limit(1).count()
         if (bad != 0) {
-          deleteRecursively(dataDir)
+          deleteStagedIfUncommitted(base, dataDir)
           throw new IllegalArgumentException(
             s"staged batch for bronze.$name provides generated column $c with " +
               s"values contradicting its expression ($e)")
@@ -2006,6 +2014,18 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
     gens
   }
+
+  /** Staged-dir hygiene that cannot destroy live data: [[enforceGenerated]]
+    * and [[enforceConstraints]] re-run INSIDE the commit CAS retry loop, and
+    * by then [[adoptAppendDir]] may have raced the presumed-crashed writer
+    * and committed this very dir's files — an unconditional delete on the
+    * validation-failure path would then remove files LIVE in the manifest.
+    * Skip the delete whenever the dir name is in the log's ever-committed
+    * set (live, or deleted-since — either way the manifest owns it now;
+    * leftover physical debris is vacuum's job, not ours). */
+  private[pipeline] def deleteStagedIfUncommitted(base: Path, dataDir: Path): Unit =
+    if (!committedDirNames(base).contains(dataDir.getFileName.toString))
+      deleteRecursively(dataDir)
 
   // ───── identity columns (Delta GENERATED ALWAYS AS IDENTITY parity) ───
   //
@@ -2814,7 +2834,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // one more pass only on the failure path, to NAME the constraint
       val culprit = cs.find { case (_, e) =>
         staged.filter(s"NOT coalesce(($e), true)").limit(1).count() > 0 }
-      deleteRecursively(dataDir)
+      deleteStagedIfUncommitted(base, dataDir)
       throw new IllegalArgumentException(
         s"CHECK constraint ${culprit.map(_._1).getOrElse(cs.head._1)} " +
           s"(${culprit.map(_._2).getOrElse(cs.head._2)}) violated: append to " +
@@ -3068,7 +3088,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * no-op (returns false; true = this call committed). */
   def mergeBronze(name: String, source: DataFrame, keys: Seq[String],
       maxAttempts: Int = 5,
-      txn: Option[(String, Long)] = None): Boolean = {
+      txn: Option[(String, Long)] = None,
+      nullSafeKeys: Boolean = false): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, col, collect_list, count, lit, when, size => sizeFn}
     import org.apache.spark.sql.graft.ColumnShim
     require(keys.nonEmpty, "mergeBronze needs at least one key column")
@@ -3109,13 +3130,19 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val keyBounds: Seq[ManifestStats.StatPred] = {
       val aggs = keys.flatMap(k => Seq(
         org.apache.spark.sql.functions.min(col(k)).as(s"__mn_$k"),
-        org.apache.spark.sql.functions.max(col(k)).as(s"__mx_$k")))
+        org.apache.spark.sql.functions.max(col(k)).as(s"__mx_$k"),
+        org.apache.spark.sql.functions.max(col(k).isNull).as(s"__nl_$k")))
       val r = stagedDf.agg(aggs.head, aggs.tail: _*).collect().head
       keys.flatMap { k =>
-        (Option(r.getAs[Any](s"__mn_$k")), Option(r.getAs[Any](s"__mx_$k"))) match {
+        // under null-safe matching a NULL source key pairs with NULL target
+        // rows, which min/max stats (computed over non-nulls) cannot bound —
+        // any bound on this key could prune the very file holding them
+        if (nullSafeKeys && Option(r.getAs[Any](s"__nl_$k")).contains(true))
+          Seq.empty
+        else (Option(r.getAs[Any](s"__mn_$k")), Option(r.getAs[Any](s"__mx_$k"))) match {
           case (Some(mn), Some(mx)) =>
             Seq(ManifestStats.StatGte(k, mn), ManifestStats.StatLte(k, mx))
-          case _ => Seq.empty // all-null source key: never matches, no bound
+          case _ => Seq.empty // all-null source key: no sound bound
         }
       }
     }
@@ -3163,13 +3190,27 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           case Some(s) => renameViewCols(scan, s, cmap)
           case None => scan.columns.toSeq.map(scan.col)
         }
-        val flagged0 = scan
+        val scanKeyed = scan
           .select(col("_metadata.file_path").as("__f") +:
             col("_metadata.row_index").as("__ridx") +: dataCols: _*)
           .select(col("__f") +: col("__ridx") +: keys.map(col): _*)
-          .join(keySet.withColumn("__hit", lit(true)), keys, "left")
-          .select(col("__f"), col("__ridx"),
-            coalesce(col("__hit"), lit(false)).as("__m"))
+        // null-safe mode (`<=>`, still a hash-joinable equality): a NULL
+        // source key REPLACES the target's NULL-key row instead of
+        // stranding it — the contract [[graft.streaming.Streams
+        // .cdfAggregateSink]] needs so repeated ticks can't accumulate
+        // duplicate NULL-key aggregate rows. Default stays Delta's
+        // `ON t.k = s.k` equality.
+        val flagged0 = (if (nullSafeKeys) {
+          val probe = keys.zipWithIndex.foldLeft(keySet) { case (d, (k, i)) =>
+            d.withColumnRenamed(k, s"__k$i")
+          }.withColumn("__hit", lit(true))
+          scanKeyed.join(probe,
+            keys.zipWithIndex.map { case (k, i) => scanKeyed(k) <=> probe(s"__k$i") }
+              .reduce(_ && _), "left")
+        } else {
+          scanKeyed.join(keySet.withColumn("__hit", lit(true)), keys, "left")
+        }).select(col("__f"), col("__ridx"),
+          coalesce(col("__hit"), lit(false)).as("__m"))
         val flagged = if (priorVecs.isEmpty) flagged0
           else flagged0.filter(!ColumnShim.column(graft.sql.DvRowDeleted(
             ColumnShim.expression(col("__f")),

@@ -792,7 +792,13 @@ object Streams {
               + coalesce(deltas.col(s"sum_$c"), lit(0)))
               .cast(deltas.schema(s"sum_$c").dataType).as(s"sum_$c")
           }
-          deltas.join(prev, keys, "left").select(
+          // NULL-SAFE fold join: the capped-range missing-column fill above
+          // can hand a KEY column typed NULLs, and a plain equality join
+          // would miss the target's standing NULL-key row — the delta would
+          // then overwrite instead of fold (and the merge below, null-safe
+          // too, would otherwise strand a duplicate NULL-key row per tick)
+          deltas.join(prev,
+            keys.map(k => deltas(k) <=> prev(k)).reduce(_ && _), "left").select(
             keys.map(deltas.col) ++
               Seq((coalesce(prev.col("cnt"), lit(0L)) + deltas.col("cnt")).as("cnt")) ++
               sumExprs: _*)
@@ -800,18 +806,37 @@ object Streams {
       // the txn appId carries the SOURCE too: two sources folding into one
       // target are independent writers — a shared appId would make the
       // second source's first merge look like a replay of the first's and
-      // silently drop it while its cursor still advanced. UPGRADE SHIM:
-      // ticks applied by the pre-(source,target) binary recorded the bare
-      // "cdfagg:<target>" id — a crash-replayed in-flight tick from before
-      // the upgrade must still dedupe against it (legacy records only ever
-      // came from the single-source pattern, so the check cannot suppress
-      // a new source's first merge beyond that frontier)
+      // silently drop it while its cursor still advanced. UPGRADE SHIM,
+      // TIGHTLY SCOPED: ticks applied by the pre-(source,target) binary
+      // recorded the bare "cdfagg:<target>" id, and the one case the shim
+      // exists for is a crash-replayed IN-FLIGHT tick from before the
+      // upgrade — merge committed, cursor not yet advanced. That replay is
+      // (a) this consumer's FIRST post-upgrade tick, (b) before any merge
+      // under the new id has landed, and (c) replays the EXACT range whose
+      // merge wrote the frontier (frontier == its `to`; ticks are
+      // sequential so the frontier can never run ahead of an unconsumed
+      // range). Gating on all three — a one-time per-cursor marker, no
+      // new-format txn yet, and an exact frontier match — keeps the legacy
+      // frontier (recorded against a DIFFERENT source's version sequence)
+      // from silently swallowing a later-added source whose version
+      // numbers happen to sit below it on every tick forever.
+      val shimMarker = cur.resolve("_legacy_txn_shim_done")
       val legacyApplied =
-        lake.txnVersion(target, s"cdfagg:$target").exists(_ >= to)
+        !java.nio.file.Files.exists(shimMarker) &&
+          lake.txnVersion(target, s"cdfagg:$source:$target").isEmpty &&
+          lake.txnVersion(target, s"cdfagg:$target").contains(to.toLong)
       if (!legacyApplied)
         lake.mergeBronze(target, merged, keys,
-          txn = Some((s"cdfagg:$source:$target", to.toLong)))
+          txn = Some((s"cdfagg:$source:$target", to.toLong)),
+          nullSafeKeys = true)
       lake.commitChangesCursor(cur, to)
+      // marker only AFTER the cursor commit: a crash in between replays
+      // this tick with the marker absent, where the exact-frontier match
+      // (shim path) or the just-committed new-format txn (merge path)
+      // still dedupes it; marker-before-cursor would replay a shim-skipped
+      // range with the shim disabled — a double count
+      try java.nio.file.Files.createFile(shimMarker)
+      catch { case _: java.nio.file.FileAlreadyExistsException => }
       (from, to)
     }
   }

@@ -169,4 +169,43 @@ class ColumnMappingSpec extends SparkSpec {
     assert(lake.describeDetail("bronze", "t").head()
       .getAs[Long]("num_renamed_columns") == 1L)
   }
+
+  test("a MERGE key dropped later degrades the feed to delete/insert instead of bricking it") {
+    val lake = mkLake("cmmkdrop")
+    // a registered cursor (the consumer the bug bricks) holds history
+    // retention from frontier 0, so the whole range stays readable
+    val cursor = Files.createTempDirectory("graft-cmmkdrop-cur").toString
+    graft.streaming.Streams.registerCursor(lake.root, "t", cursor)
+    lake.appendBronze("t", rows("r1", Seq(1L, 2L)))
+    // a MERGE commit records its key columns (#mkeys) for CDF pairing
+    lake.mergeBronze("t", rows("r2", Seq(2L, 3L)), Seq("id"))
+    val mergeV = lake.tableVersions("bronze", "t").max
+    // the key column is then DROPPED (tombstoned, not renamed): pairing on
+    // it would throw AnalysisException on EVERY read spanning the MERGE,
+    // permanently bricking cursor consumers until retention ages it out
+    lake.dropBronzeColumn("t", "id")
+    val headV = lake.tableVersions("bronze", "t").max
+    // a range whose HEAD is at/after the drop reads with the head mapping:
+    // the MERGE version's frames lack the key, pairing is impossible
+    val feed = lake.tableChanges("t", mergeV - 1, headV)
+    assert(!feed.columns.contains("id"))
+    // delete+insert is the valid decomposition of the update pair
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("delete", 0L) == 1L &&
+      byType.getOrElse("insert", 0L) == 2L &&
+      !byType.contains("update_preimage"),
+      s"dropped-key MERGE feed mis-tagged: $byType")
+    // the full-history read (what a resuming cursor consumer does) works too
+    val all = lake.tableChanges("t", 0, headV)
+    assert(all.count() >= 4)
+    // a range ENDING BEFORE the drop still pairs under its own mapping
+    val paired = lake.tableChanges("t", mergeV - 1, mergeV)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(paired.getOrElse("update_preimage", 0L) == 1L &&
+      paired.getOrElse("update_postimage", 0L) == 1L &&
+      paired.getOrElse("insert", 0L) == 1L,
+      s"pre-drop range lost MERGE pairing: $paired")
+  }
 }

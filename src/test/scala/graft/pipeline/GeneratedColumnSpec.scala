@@ -140,4 +140,31 @@ class GeneratedColumnSpec extends SparkSpec {
     lake.cloneBronze("t", "t3", version = Some(preDeclare))
     assert(lake.generatedColumns("t3").isEmpty)
   }
+
+  test("validation-failure staged-dir hygiene never deletes a committed dir") {
+    // enforceGenerated/enforceConstraints re-run INSIDE the commit CAS
+    // retry loop, where adoptAppendDir may have raced this writer and
+    // committed its staged dir: the failure-path delete must skip any dir
+    // the manifest ever owned (live OR deleted-since), else it destroys
+    // live data
+    val lake = mkLake("genstaged")
+    lake.appendBronze("t", rows("r1", Seq((10L, 0L), (17L, 7L))))
+    val base = java.nio.file.Paths.get(lake.root, "bronze", "t")
+    val s = Files.list(base)
+    val committedDir = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_a")).toSeq.sorted.head
+    } finally s.close()
+    lake.deleteStagedIfUncommitted(base, base.resolve(committedDir))
+    assert(Files.isDirectory(base.resolve(committedDir)),
+      "hygiene deleted a dir whose files are live in the manifest")
+    assert(lake.table("bronze", "t").count() == 2)
+    // a dir the manifest never owned IS debris and is removed
+    val debris = base.resolve("_a99_debris")
+    Files.createDirectories(debris)
+    Files.write(debris.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    lake.deleteStagedIfUncommitted(base, debris)
+    assert(!Files.exists(debris), "uncommitted staged debris survived hygiene")
+  }
 }

@@ -220,6 +220,66 @@ class CdfAggregateSpec extends SparkSpec {
     assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
   }
 
+  test("upgrade shim cannot swallow a later-added source whose versions sit below the legacy frontier") {
+    val lake = mkLake("cdfaggshim2")
+    val cur2 = Files.createTempDirectory("graft-shim2-c2").toString
+    // the pre-upgrade binary folded an OLD source's history to version 5
+    // under the bare legacy appId — the frontier is in THAT source's
+    // version sequence
+    lake.appendBronze("src1", rows("r1", Seq((1L, "a", 10L), (2L, "a", 5L))))
+    val fold1 = Seq(("a", 2L, 15L)).toDF("grp", "cnt", "sum_val")
+    lake.mergeBronze("agg", fold1, Seq("grp"), txn = Some(("cdfagg:agg", 5L)))
+    // a NEW source is added post-upgrade; its versions (1, 2, …) all sit
+    // below the stale frontier — every tick must still fold
+    lake.appendBronze("src2", rows("s1", Seq((11L, "b", 100L))))
+    assert(Streams.cdfAggregateSink(lake, "src2", "agg",
+      Seq("grp"), Seq("val"), cur2).contains((0, 1)))
+    val b1 = Streams.cdfAggregate(lake, "agg").filter(col("grp") === "b").collect()
+    assert(b1.nonEmpty && b1.head.getAs[Long]("cnt") == 1L,
+      "new source's first tick was swallowed by the stale legacy frontier")
+    lake.appendBronze("src2", rows("s2", Seq((12L, "b", 7L))))
+    assert(Streams.cdfAggregateSink(lake, "src2", "agg",
+      Seq("grp"), Seq("val"), cur2).contains((1, 2)))
+    val b2 = Streams.cdfAggregate(lake, "agg").filter(col("grp") === "b").collect().head
+    assert(b2.getAs[Long]("cnt") == 2L &&
+      b2.getAs[Number]("sum_val").longValue() == 107L,
+      s"new source's later tick was swallowed: $b2")
+  }
+
+  test("NULL-key rows fold into ONE aggregate row across ticks, not one per tick") {
+    val lake = mkLake("cdfaggnullkey")
+    val cursor = Files.createTempDirectory("graft-cdfaggnullkey-cur").toString
+    def tick() = Streams.cdfAggregateSink(lake, "src", "agg",
+      Seq("grp"), Seq("val"), cursor)
+    def withNulls(run: String, recs: Seq[(Long, Option[String], Long)]) =
+      recs.map { case (id, k, v) => (id, k.orNull, v, run) }
+        .toDF("id", "grp", "val", "run_id").repartition(1)
+    // tick 1 seeds a NULL-key group alongside a normal one
+    lake.appendBronze("src", withNulls("r1",
+      Seq((1L, None, 10L), (2L, Some("a"), 3L))))
+    assert(tick().isDefined)
+    // tick 2 adds more NULL-key rows: a null-unsafe fold/merge would strand
+    // the standing NULL-key row and insert a fresh one per tick
+    lake.appendBronze("src", withNulls("r2",
+      Seq((3L, None, 5L), (4L, Some("a"), 1L))))
+    assert(tick().isDefined)
+    val nulls = lake.table("bronze", "agg").filter(col("grp").isNull).collect()
+    assert(nulls.length == 1,
+      s"NULL-key aggregate rows accumulated: ${nulls.length} physical rows")
+    assert(nulls.head.getAs[Long]("cnt") == 2L &&
+      nulls.head.getAs[Number]("sum_val").longValue() == 15L,
+      s"NULL-key fold wrong: ${nulls.head}")
+    assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
+    // retraction of a NULL-key row folds too (delete pairs null-safely)
+    lake.deleteBronzeWhereDv("src", col("id") === 1L, Nil)
+    assert(tick().isDefined)
+    val n2 = lake.table("bronze", "agg").filter(col("grp").isNull).collect()
+    assert(n2.length == 1 && n2.head.getAs[Long]("cnt") == 1L &&
+      n2.head.getAs[Number]("sum_val").longValue() == 5L,
+      s"NULL-key retraction wrong: ${n2.toSeq}")
+    assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
+  }
+
   test("upgrade shim: a tick already applied under the legacy txn appId is not re-applied") {
     val lake = mkLake("cdfagglegacy")
     val cursor = Files.createTempDirectory("graft-cdfagglegacy-cur").toString
