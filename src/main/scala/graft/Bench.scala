@@ -16,22 +16,47 @@ object Bench {
     // Queries with a benchRun variant time the AT-REST probe (index
     // structures built once per data generation and cached — the deployment
     // shape); the oracle-checked `run` path still covers construction.
+    // SPARK_GRAFT_BENCH_ONLY=q49,s15 narrows the roster for local iteration
+    // (the official record always runs the full roster)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benchQs = SparkEntry.registry.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name)))
       .map(q => q.benchRun.fold(q)(br => q.copy(run = br)))
-    // Warm each query once and time it IMMEDIATELY after its warmup: the
-    // first execution of a plan pays codegen compilation + JIT +
+    // SETUP PASS, before ANY timing: materialize every at-rest artifact the
+    // roster probes. A cold java.io.tmpdir otherwise moves each build
+    // inside some query's warmup, and the heat (shuffle files, page cache,
+    // GC debt) bleeds into the timed runs that follow.
+    try queries.BenchIndex.ensureArtifacts(spark, sfDir).foreach { case (n, built) =>
+      System.err.println(s"[bench] artifact $n: ${if (built) "BUILT" else "reused"}")
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] artifact prebuild FAILED (queries will build inline): ${t.getMessage}")
+    }
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
+    // Warm each query once, then time THREE back-to-back runs and report
+    // the MINIMUM. The warmup pays codegen compilation + JIT +
     // classloading — a fixed per-query constant (measured 0.5-20 s/query
     // at sf0.1, i.e. 2-6× the warm runtime) that is pure noise for the
     // question this bench answers ("what is the engine's throughput at
     // scale", where plans run for minutes and the constant vanishes).
-    // Interleaving matters: Spark's generated-class cache is a bounded
-    // LRU, so a warm-ALL-then-time-ALL loop evicts each query's compiled
-    // stages before its timed run (measured: q49's timed run re-paid most
-    // of its codegen, 3.2 s → 14.7 s across an 18-query roster). Timed
-    // runs are steady state; cold times go to stderr so both are on the
-    // record. Warmup is guarded so a failing query still reaches the
-    // instrumented run and gets reported there instead of killing the
-    // bench record.
+    // Min-of-3 makes the record robust to transient box load: two
+    // consecutive rounds the single-timed-run protocol recorded 2-5×
+    // heat artifacts on queries whose code had not changed (r12 s11,
+    // r13 q49/d13/s01/s03), and steady-state minimum is standard bench
+    // hygiene — any one run can be contaminated by external load, but the
+    // min over three is contaminated only if ALL are. Interleaving
+    // (warm-then-time per query, not warm-all-then-time-all) matters:
+    // Spark's generated-class cache is a bounded LRU, so warming the whole
+    // roster first evicts each query's compiled stages before its timed
+    // run (measured: q49 3.2 s → 14.7 s across an 18-query roster). Cold
+    // and per-run times go to stderr so the full record is on file.
+    // Warmup is guarded so a failing query still reaches the instrumented
+    // runs and gets reported there instead of killing the bench record.
+    val TimedRuns = 3
     val results = benchQs.map { q =>
       val w0 = System.nanoTime()
       try {
@@ -40,23 +65,29 @@ object Bench {
       } catch { case t: Throwable =>
         System.err.println(s"[bench] warmup ${q.name} FAILED: ${t.getMessage}")
       }
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.run(spark, sfDir).count(); true }
+      val times = (1 to TimedRuns).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case t: Throwable =>
             System.err.println(s"[bench] ${q.name} FAILED: ${t.getClass.getName}: ${t.getMessage}")
-            false
+            None
         }
-      (q.name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      val ok = times.size == TimedRuns
+      if (ok) System.err.println(f"[bench] ${q.name} min ${times.min}%.3f s " +
+        s"of [${times.map(t => f"$t%.3f").mkString(", ")}]")
+      (q.name, if (ok) times.min else 0.0, ok)
     }
     // storage composite: the bronze log's write side (append / CoW delete /
     // clustered compact / vacuum) as ONE tracked entry, so log performance
     // is driver-visible round-over-round instead of only in ad-hoc
     // recordings; the per-op breakdown goes to stderr and the `storage`
     // object below. Guarded like a query: a failure reports null.
+    val storageAttempted = only.forall(_.contains("storage_ops"))
     val storage =
-      try Some(BenchStorage.runOps(spark, sfDir))
+      if (!storageAttempted) None
+      else try Some(BenchStorage.runOps(spark, sfDir))
       catch { case t: Throwable =>
         System.err.println(s"[bench] storage_ops FAILED: ${t.getClass.getName}: ${t.getMessage}")
         None
@@ -68,7 +99,7 @@ object Bench {
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v.toString else "null") }
       .mkString("{", ",", "}")
     val failed = (results.filterNot(_._3).map(_._1)
-      ++ (if (storage.isEmpty) Seq("storage_ops") else Nil))
+      ++ (if (storageAttempted && storage.isEmpty) Seq("storage_ops") else Nil))
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} failed: ${failed.mkString(",")}")
     // `value` stays the QUERY total (comparable with every prior round's
@@ -77,8 +108,12 @@ object Bench {
     // map means sum(queries) == value holds for any consumer
     val total = results.filter(_._3).map(_._2).sum
     val storageJson = storage.fold("null")(_.detailJson(sfDir))
+    // load averages bracket the run so a contaminated record is
+    // SELF-EVIDENT from the JSON (two rounds of heat-distorted official
+    // records were only refutable by out-of-band quiet re-runs)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""storage":$storageJson,"sf":"$sfDir"}""")
+      s""""storage":$storageJson,"sf":"$sfDir","timing":"warm1-min-of-$TimedRuns",""" +
+      s""""load_start":$loadStart,"load_end":${loadAvg()}}""")
     spark.stop()
   }
 }

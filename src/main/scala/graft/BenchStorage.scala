@@ -37,15 +37,18 @@ object BenchStorage {
       vacuumSec: Double,
       plainAppend4Sec: Double,
       rowtrackAppend4Sec: Double,
-      rowtrackReadSec: Double) {
+      rowtrackReadSec: Double,
+      cdfReadSec: Double,
+      identityAppend4Sec: Double) {
     /** Composite seconds — the one number the driver bench tracks.
       * PROTOCOL NOTE (r12): now includes the two deletion-vector steps
       * (delete_dv_sec + read_dv_sec) on top of the r11 sequence — compare
       * composites across rounds only after subtracting the new fields. */
     def totalSec: Double = append16Sec + tinyAppendSec + deleteDvSec + readDvSec +
       deleteSec + compactSec + vacuumSec
-    // the r13 row-tracking attribution pair is deliberately EXCLUDED from
-    // total_sec so the composite stays round-over-round comparable
+    // the r13 row-tracking attribution pair and the r14 CDF-read /
+    // identity-append probes are deliberately EXCLUDED from total_sec so
+    // the composite stays round-over-round comparable
     def detailJson(sfDir: String): String =
       s"""{"metric":"storage","total_sec":$totalSec,"rows":$rows,"append16_sec":$append16Sec,""" +
         s""""tiny_append_sec":$tinyAppendSec,"manifest_bytes":$manifestBytes,""" +
@@ -54,7 +57,8 @@ object BenchStorage {
         s""""rows_after_delete":$rowsAfterDelete,"compact_clustered_sec":$compactSec,""" +
         s""""vacuum_sec":$vacuumSec,"plain_append4_sec":$plainAppend4Sec,""" +
         s""""rowtrack_append4_sec":$rowtrackAppend4Sec,""" +
-        s""""rowtrack_read_sec":$rowtrackReadSec,"sf":"$sfDir"}"""
+        s""""rowtrack_read_sec":$rowtrackReadSec,"cdf_read_sec":$cdfReadSec,""" +
+        s""""identity_append4_sec":$identityAppend4Sec,"sf":"$sfDir"}"""
   }
 
   /** Run the full write-side sequence against a throwaway lakehouse (the
@@ -124,6 +128,13 @@ object BenchStorage {
         Seq(graft.pipeline.ManifestStats.StatEq("run_id", "run-06"))))
       val (_, readDvSec) = timed(lake.table("bronze", "facts").count())
 
+      // ── CDF read: ONE consumer tick over the DV-delete commit (grown
+      // vectors → delete rows) — the change-extraction cost a cursor
+      // consumer pays per version, timed while both versions are retained
+      val cdfV = lake.committedBronzeVersion("facts")
+      val (_, cdfReadSec) = timed(
+        lake.tableChanges("facts", cdfV - 1, cdfV).count())
+
       // ── predicate delete: one run's rows, stats-pruned copy-on-write ───
       val (_, deleteSec) = timed(lake.deleteBronzeWhere("facts",
         col("run_id") === "run-07",
@@ -158,9 +169,16 @@ object BenchStorage {
       val (_, rtRead) = timed(lake.tableWithRowIds("facts_rt")
         .select(max(col("_row_id"))).collect())
 
+      // ── identity attribution: the SAME 4-slice append with an identity
+      // column (per-batch O(1) ID RESERVE commit + the fill before
+      // staging) — read against plain_append4_sec, excluded from total_sec
+      seed("facts_id")
+      lake.addIdentityColumn("facts_id", "row_sk")
+      val id4 = appendSlices("facts_id")
+
       StorageResult(rows, appendSec, tinyAppendSec, manifestBytes, liveFiles,
         deleteDvSec, readDvSec, deleteSec, afterDelete, compactSec, vacuumSec,
-        plain4, rt4, rtRead)
+        plain4, rt4, rtRead, cdfReadSec, id4)
     } finally li.unpersist()
   }
 

@@ -206,6 +206,93 @@ object Silver {
         ()
     }
 
+  /** CDF-DRIVEN incremental refresh of a latest-wins MV (the Lakeflow
+    * "Enzyme" analog): one tick drains the bronze source's change feed
+    * since a durable cursor and folds it into the standing silver table,
+    * so refresh cost tracks CHANGED ROWS — not changed partitions
+    * ([[refreshIncremental]]'s snapshot-date bound re-merges whole
+    * snapshots) and never table history. Covers every
+    * [[latestWinsSpecs]] model; returns the `(from, to]` range folded,
+    * or None when caught up.
+    *
+    * Delete handling [[refreshIncremental]] cannot express: a
+    * `delete`/`update_preimage` row names a grain whose standing winner
+    * may have been retracted — the tick re-derives those grains from the
+    * source's CURRENT visible rows (the correct new winner can be an
+    * OLDER source row absent from the tick), a key-restricted scan.
+    * Everything else is churn-sized: the merge windows only affected
+    * grains; existing rows elsewhere pass through an anti-join untouched.
+    *
+    * EXACTLY-ONCE by idempotency, not a txn ledger: a crash between the
+    * OCC merge and the cursor advance replays the tick, and latest-wins
+    * re-folding the same rows leaves every winner unchanged (contrast
+    * [[graft.streaming.Streams.cdfAggregateSink]], whose retraction
+    * arithmetic double-applies and therefore needs the writer-txn
+    * dedupe). A fresh cursor (version 0) delivers the whole table as
+    * inserts, so the first drain doubles as the bootstrap full refresh;
+    * `maxVersions` bounds each tick's catch-up exactly like the sinks in
+    * [[graft.streaming.Streams]]. */
+  def refreshFromChangeFeed(lake: Lakehouse, name: String, cursorDir: String,
+      maxVersions: Int = Int.MaxValue): Option[(Int, Int)] = {
+    val spec = latestWinsSpecs(name)
+    latestWinsFeedTick(lake, "silver", name, spec.bronzeTable, spec.grain,
+      spec.order, spec.typed, cursorDir, maxVersions)
+  }
+
+  /** One change-feed tick of the generic latest-wins fold — the machinery
+    * under [[refreshFromChangeFeed]], table-agnostic so the storage suite
+    * can oracle-gate it over TPC-H samples (st15). */
+  def latestWinsFeedTick(lake: Lakehouse, layer: String, target: String,
+      source: String, grain: Seq[String], order: Seq[Column],
+      typed: DataFrame => DataFrame, cursorDir: String,
+      maxVersions: Int = Int.MaxValue): Option[(Int, Int)] = {
+    graft.streaming.Streams.registerCursor(lake.root, source, cursorDir)
+    val cur = java.nio.file.Paths.get(cursorDir)
+    lake.tableChangesSince(source, cur, maxVersions).map { case (changes0, from, to) =>
+      // capped ranges can end before an ADD COLUMNS landed a column the
+      // typed projection references — fill from the head schema exactly
+      // like Streams.cdfAggregateSink (same livelock otherwise)
+      lazy val headSchema = lake.table("bronze", source).schema
+      val changes = headSchema.fields
+        .filterNot(f => changes0.columns.contains(f.name))
+        .foldLeft(changes0)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+      val metaCols = Seq("_change_type", "_commit_version")
+      val freshAll = typed(changes
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .drop(metaCols: _*))
+      val delKeys = typed(changes
+        .filter(col("_change_type").isin("delete", "update_preimage"))
+        .drop(metaCols: _*))
+        .select(grain.map(col): _*).distinct()
+      // fresh rows at a retraction-hit grain may THEMSELVES be retracted
+      // later in the range (insert v5, delete v7) — those grains come
+      // exclusively from the rebuild, which reads the visible truth
+      val fresh = freshAll.join(broadcast(delKeys), grain, "left_anti")
+      val rebuilt = typed(lake.table("bronze", source))
+        .join(broadcast(delKeys), grain, "left_semi")
+      // using-column joins move the grain columns to the front — pin the
+      // typed projection's order so the MV schema matches a full refresh
+      val cols = freshAll.columns.toSeq.map(col)
+      if (!lake.exists(layer, target))
+        lake.materialize(layer, target,
+          latestWins(fresh.unionByName(rebuilt), grain, order).select(cols: _*))
+      else lake.transactMerge(layer, target) { existing =>
+        val freshKeys = fresh.select(grain.map(col): _*).distinct()
+        val affected = freshKeys.union(delKeys).distinct()
+        // standing winners at insert-only grains still compete; winners at
+        // retraction-hit grains are replaced by the rebuild wholesale
+        val standing = existing.join(broadcast(freshKeys), grain, "left_semi")
+        val untouched = existing.join(broadcast(affected), grain, "left_anti")
+        untouched.unionByName(latestWins(
+          standing.unionByName(fresh).unionByName(rebuilt), grain, order))
+          .select(cols: _*)
+      }
+      lake.commitChangesCursor(cur, to)
+      (from, to)
+    }
+  }
+
   /** Every model [[refreshIncremental]] can merge (vs full recompute).
     * silver_videos depends on the SCD2 table's current flags and the
     * channel fact on silver_channels' top-1, so merge those dependencies

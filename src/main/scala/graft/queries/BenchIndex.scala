@@ -180,6 +180,31 @@ object BenchIndex {
     (nodes, edgesDeg, edges)
   }
 
+  /** Pre-build EVERY at-rest artifact the bench roster probes, before any
+    * timing starts, reporting (name, built-this-call). Without this a cold
+    * `java.io.tmpdir` moves each build inside some query's warmup, and the
+    * heat bleeds into the timed runs that follow (q64 swung 1.7× between
+    * consecutive quiet runs before this pass existed). Parameters mirror
+    * the query call sites exactly, so the per-query probes always hit. */
+  def ensureArtifacts(s: SparkSession, dir: String): Seq[(String, Boolean)] = {
+    val (numSub, subDim) = (ClusterQueries.NumSub, ClusterQueries.SubDim)
+    def touch(name: String, srcTable: String)(build: => Unit): (String, Boolean) = {
+      val done = cacheRoot(dir, srcTable).resolve(name).resolve("_DONE")
+      val cold = !Files.exists(done)
+      build
+      (name, cold)
+    }
+    Seq(
+      touch(s"pq_${numSub}_$subDim", "embeddings")(pq(s, dir, numSub, subDim)),
+      touch("ivf", "embeddings")(ivf(s, dir)),
+      touch(s"rpq_${numSub}_$subDim", "embeddings")(residualPq(s, dir, numSub, subDim)),
+      touch("incr", "embeddings")(incremental(s, dir)),
+      touch("lsh", "embeddings")(lshPostings(s, dir)),
+      touch("twolevel", "embeddings")(twoLevel(s, dir)),
+      touch("cosupply", "lineitem")(cosupplyGraph(s, dir)),
+      touch("copurchase_oriented", "lineitem")(copurchaseOriented(s, dir)))
+  }
+
   /** Degree-oriented co-purchase edges (parts sharing an order — the q64
     * triangle graph): (s, t, dt) per [[graft.operators.Graphs.orientEdges]]. */
   def copurchaseOriented(s: SparkSession, dir: String): DataFrame =

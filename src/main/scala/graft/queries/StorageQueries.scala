@@ -634,7 +634,79 @@ object StorageQueries {
       WHERE o_custkey % 5 = 0 AND o_custkey % 32 < 8
       ORDER BY o_orderkey"""))
 
+  /** CDF-driven latest-wins MV refresh ([[graft.pipeline.Silver
+    * .latestWinsFeedTick]] — the machinery under
+    * `Silver.refreshFromChangeFeed`, the Lakeflow-"Enzyme" analog): four
+    * bronze versions land observations of the orders sample (re-observed
+    * rows carry a higher obs_seq and a shifted price), including a DV
+    * delete that RETRACTS some grains' standing obs_seq=2 winners — the
+    * fold must resurrect their obs_seq=1 rows from the source, something
+    * snapshot-driven refresh cannot do. The feed drains in BOUNDED
+    * two-version ticks through a durable cursor, and the multi-tick MV
+    * must equal DuckDB's from-scratch latest-wins over the visible rows. */
+  val st15CdfLatestWinsMv = GraftQuery(
+    "st15_cdf_latestwins_mv",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-st15")
+      val lake = new Lakehouse(s, scratch.toString)
+      val base = table(s, dir, "orders")
+        .filter(col("o_custkey") % 20 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(money).as("price"))
+      def obs(seq: Int, f: org.apache.spark.sql.Column, bump: Int) = base
+        .filter(f)
+        .withColumn("price", (col("price") + lit(bump)).cast(money))
+        .withColumn("obs_seq", lit(seq).cast("int"))
+      lake.appendBronze("ord", obs(1, lit(true), 0).repartition(4))             // v1
+      lake.appendBronze("ord", obs(2, col("o_orderkey") % 3 === 0, 10).repartition(2)) // v2
+      lake.deleteBronzeWhereDv("ord",
+        col("obs_seq") === 2 && col("o_orderkey") % 9 === 0)                    // v3
+      lake.appendBronze("ord", obs(3, col("o_orderkey") % 5 === 0, 20).repartition(2)) // v4
+      // bounded multi-tick drain: (0,2] bootstraps the MV, (2,4] folds the
+      // retraction (winner falls back to obs_seq=1) and the new obs_seq=3
+      val cursor = scratch.resolve("cur").toString
+      var guard = 0
+      while (graft.pipeline.Silver.latestWinsFeedTick(lake, "silver", "mv",
+          "ord", Seq("o_orderkey"), Seq(col("obs_seq").desc),
+          identity, cursor, maxVersions = 2).isDefined) {
+        guard += 1
+        require(guard <= 4, "capped feed drain failed to converge")
+      }
+      val res = lake.table("silver", "mv")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("price").cast("double").as("price"),
+          col("obs_seq").cast("bigint").as("obs_seq"))
+        .orderBy(col("o_orderkey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders WHERE o_custkey % 20 = 0),
+      obs AS (
+        SELECT o_orderkey, o_orderstatus, price, 1 AS obs_seq FROM base
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               CAST(price + 10 AS DECIMAL(12,2)), 2 FROM base
+        WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               CAST(price + 20 AS DECIMAL(12,2)), 3 FROM base
+        WHERE o_orderkey % 5 = 0),
+      vis AS (
+        SELECT * FROM obs WHERE NOT (obs_seq = 2 AND o_orderkey % 9 = 0)),
+      w AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                    ORDER BY obs_seq DESC) AS rn
+        FROM vis)
+      SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price,
+             CAST(obs_seq AS BIGINT) AS obs_seq
+      FROM w WHERE rn = 1
+      ORDER BY o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(st01DvDelete, st02RestoreRead, st03CdfRead, st04MergeUpsert,
     st05TxnIdempotent, st06CdfCursor, st07CdfAggMv, st08TypeWiden, st09GeneratedCol,
-    st10IdentityCol, st11ColumnDefault, st12RowIds, st13CdfUpdates, st14NdimClusterRead)
+    st10IdentityCol, st11ColumnDefault, st12RowIds, st13CdfUpdates, st14NdimClusterRead,
+    st15CdfLatestWinsMv)
 }

@@ -494,4 +494,75 @@ class PipelineSpec extends SparkSpec {
       t -> lake.table("silver", t).collect().map(_.toString).sorted.toSeq).toMap
     assert(inc == full, "dims incremental != full recompute")
   }
+
+  test("CDF-driven feed refresh equals full recompute for every latest-wins model " +
+      "(bounded ticks, re-observations, winner retraction)") {
+    val l = new Lakehouse(spark, Files.createTempDirectory("graft-cdfmv").toString)
+    def land(run: String, snap: String, views: Long, chTitle: String): Unit = {
+      val ctx = Bronze.RunContext(run, s"req-$run", d(snap), ts(s"$snap 10:00:00"))
+      Bronze.logRunStart(l, ctx, """{"mode":"auto"}""")
+      Bronze.ingest(l, ctx, _ => Map(
+        "channels_raw" -> Seq(channelPayload("UC_1", chTitle, views * 10, 10)),
+        "videos_raw" -> Seq(videosPayload(videoItem("V1", "UC_1", "T", views))),
+        "analytics_video_daily_raw" -> Seq(report(vidHeaders, Seq(
+          Seq("V1", snap, views.toString, "1", "0", "3", "41.5"),
+          Seq("V1", "2025-05-31", (views + 1).toString, "1", "0", "3", "42.0")))),
+        "analytics_video_traffic_source_daily_raw" -> Seq(report(
+          Seq(dim("video"), dim("day"), dim("insightTrafficSourceType"), met("views")),
+          Seq(Seq("V1", snap, "yt_search", views.toString)))),
+        "analytics_video_country_daily_raw" -> Seq(report(
+          Seq(dim("video"), dim("day"), dim("country"), met("views")),
+          Seq(Seq("V1", snap, "us", views.toString)))),
+        "analytics_video_device_daily_raw" -> Seq(report(
+          Seq(dim("video"), dim("day"), dim("deviceType"), met("views")),
+          Seq(Seq("V1", snap, "MOBILE", views.toString))))))
+      Bronze.finalizeRun(l, run, "success", ts(s"$snap 10:05:00"))
+    }
+    val models = Silver.latestWinsSpecs.keys.toSeq.sorted
+    val cursors = models.map(n =>
+      n -> Files.createTempDirectory(s"graft-cdfmv-$n").toString).toMap
+    // one-version ticks: convergence must be bounded and multi-tick
+    def drain(n: String): Int = {
+      var t = 0
+      while (Silver.refreshFromChangeFeed(l, n, cursors(n), maxVersions = 1).isDefined) {
+        t += 1; require(t <= 12, s"$n capped feed drain failed to converge")
+      }
+      t
+    }
+    def expected(n: String): Seq[String] = {
+      val spec = Silver.latestWinsSpecs(n)
+      Silver.latestWins(spec.typed(l.table("bronze", spec.bronzeTable)),
+        spec.grain, spec.order).collect().map(_.toString).sorted.toSeq
+    }
+    def actual(n: String): Seq[String] =
+      l.table("silver", n).collect().map(_.toString).sorted.toSeq
+
+    land("runA", "2025-06-01", 10, "Chan A")
+    land("runB", "2025-06-02", 20, "Chan B") // re-observations: latest wins
+    models.foreach { n =>
+      assert(drain(n) >= 2, s"$n expected multi-tick bootstrap")
+      assert(actual(n) == expected(n), s"$n bootstrap feed != recompute")
+    }
+    // a caught-up consumer is a no-op tick
+    models.foreach(n => assert(
+      Silver.refreshFromChangeFeed(l, n, cursors(n)).isEmpty, s"$n not caught up"))
+
+    // new observations fold incrementally
+    land("runC", "2025-06-03", 30, "Chan C")
+    models.foreach { n =>
+      drain(n)
+      assert(actual(n) == expected(n), s"$n post-runC feed != recompute")
+    }
+    // WINNER RETRACTION: delete the current channel winner's bronze rows —
+    // the fold must re-derive the grain from the source and fall back to
+    // runB's row, which snapshot-driven refresh cannot express
+    l.deleteBronzeWhereDv("channels_raw", col("run_id") === "runC", Nil)
+    assert(drain("silver_channels") == 1)
+    assert(actual("silver_channels") == expected("silver_channels"),
+      "retraction fold != recompute")
+    val ch = l.table("silver", "silver_channels").collect()
+    assert(ch.length == 1 && ch.head.getAs[String]("run_id") == "runB" &&
+      ch.head.getAs[String]("channel_title") == "Chan B",
+      s"winner did not fall back to runB: ${ch.toSeq}")
+  }
 }
