@@ -710,10 +710,22 @@ object Clustering {
       x => x.getField("d"))
 
   /** Squared L2 distance between the `m`-th `subDim`-wide subspace slices of
-    * two `array<float>` columns, spelled `|a|² + |b|² − 2·a·b` with each term
-    * a native sequential [[graft.sql.FloatVecDot]] fold — fixed op order, so
-    * an external oracle restates the identical double arithmetic. */
-  private def subDist2(a: Column, b: Column, m: Int, subDim: Int): Column = {
+    * two `array<float>` columns, `|a|² + |b|² − 2·a·b` with each term a
+    * sequential double fold — fixed op order, so an external oracle
+    * restates the identical double arithmetic. One fused native expression
+    * ([[graft.sql.FloatSubDist2]], bit-identical to the slice +
+    * [[graft.sql.FloatVecDot]] composition it replaced): the ADC table
+    * builds evaluate this Q·(nprobe·)√n·numSub times, and the composed
+    * form paid three sliced-array allocations per call on that hot path. */
+  private def subDist2(a: Column, b: Column, m: Int, subDim: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.FloatSubDist2(
+        org.apache.spark.sql.graft.ColumnShim.expression(a),
+        org.apache.spark.sql.graft.ColumnShim.expression(b), m, subDim))
+
+  /** The HOF/slice composition [[subDist2]] fused — kept as the executable
+    * specification its spec pins the native expression against. */
+  private[operators] def subDist2Composed(a: Column, b: Column, m: Int, subDim: Int): Column = {
     val as = slice(a, m * subDim + 1, subDim)
     val bs = slice(b, m * subDim + 1, subDim)
     Similarity.dot(as, as) + Similarity.dot(bs, bs) - lit(2.0) * Similarity.dot(as, bs)

@@ -77,6 +77,58 @@ class ShingleHashesSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("fused subspace distance matches the slice+dot composition bit-for-bit") {
+    import graft.operators.Similarity
+    def fused(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+        m: Int, subDim: Int) =
+      org.apache.spark.sql.graft.ColumnShim.column(
+        FloatSubDist2(
+          org.apache.spark.sql.graft.ColumnShim.expression(a),
+          org.apache.spark.sql.graft.ColumnShim.expression(b), m, subDim))
+    def composed(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+        m: Int, subDim: Int) = {
+      val as = slice(a, m * subDim + 1, subDim)
+      val bs = slice(b, m * subDim + 1, subDim)
+      Similarity.dot(as, as) + Similarity.dot(bs, bs) -
+        lit(2.0) * Similarity.dot(as, bs)
+    }
+    val e = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = e.select(col("embedding").as("a"))
+      .crossJoin(e.limit(5).select(col("embedding").as("b")))
+    (0 until 16).foreach { m =>
+      val diff = pairs.select(
+        fused(col("a"), col("b"), m, 4).as("fast"),
+        composed(col("a"), col("b"), m, 4).as("ref"))
+        .filter(col("fast") =!= col("ref")) // bit-exact: identical fold order
+      assert(diff.isEmpty, s"subspace $m diverged")
+    }
+    // null-poisoning parity: a null INSIDE the slice nulls both, a null
+    // OUTSIDE it affects neither; a slice past the end is 0.0 on both
+    val edge = spark.sql("""
+      SELECT array(CAST(NULL AS FLOAT), CAST(2.0 AS FLOAT),
+                   CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)) AS a,
+             array(CAST(5.0 AS FLOAT), CAST(6.0 AS FLOAT),
+                   CAST(7.0 AS FLOAT), CAST(8.0 AS FLOAT)) AS b""")
+    val r = edge.select(
+      fused(col("a"), col("b"), 0, 2).as("f0"),
+      composed(col("a"), col("b"), 0, 2).as("c0"),
+      fused(col("a"), col("b"), 1, 2).as("f1"),
+      composed(col("a"), col("b"), 1, 2).as("c1"),
+      fused(col("a"), col("b"), 7, 2).as("f7"),
+      composed(col("a"), col("b"), 7, 2).as("c7")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1)) // null in slice 0
+    assert(!r.isNullAt(2) && r.getDouble(2) == r.getDouble(3)) // slice 1 clean
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0) // past the end
+    // mismatched effective lengths null both
+    val mm = spark.sql("""
+      SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)) AS a,
+             array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT)) AS b""")
+    val r2 = mm.select(
+      fused(col("a"), col("b"), 1, 2).as("f"),
+      composed(col("a"), col("b"), 1, 2).as("c")).collect().head
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+  }
+
   test("sorted intersect size equals size(array_intersect) on sorted distinct arrays") {
     val sets = Graft.table(spark, "/root/testdata/sf0.001", "documents")
       .select(array_sort(array_distinct(Dedup.shingleHashes(col("text")))).as("hset"))
