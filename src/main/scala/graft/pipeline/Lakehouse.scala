@@ -324,6 +324,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           liveChains(colMapOf(base)).size.toLong: java.lang.Long,
           idcolsOf(base).size.toLong: java.lang.Long,
           defaultsOf(base).size.toLong: java.lang.Long,
+          gencolsOf(base).size.toLong: java.lang.Long,
+          txnsOf(base).size.toLong: java.lang.Long,
           jl(rowIdWmOf(base)))
       case None =>
         val committed = currentVersion(base)
@@ -347,13 +349,18 @@ final class Lakehouse(val spark: SparkSession, val root: String,
             Long.box(files.map(f =>
               ManifestStats.footerRowCount(dataDir.resolve(f).toString, conf)).sum)
           }
+        // log-feature counters read 0, not NULL: a versioned
+        // materialization DEFINITIVELY has no vectors/constraints/
+        // mapping/identity/defaults/generated/txns (each full rewrite
+        // materializes plain rows) — NULL would claim "unknown". Only the
+        // row-id watermark stays NULL (the concept itself is absent).
+        val zero: java.lang.Long = Long.box(0L)
         Row(layer, name, base.toString, fmt,
           (if (committed > 0) Int.box(committed) else null): java.lang.Integer, mtime,
           files.size.toLong: java.lang.Long,
           files.map(f => dataDir.resolve(f).toFile.length).sum: java.lang.Long,
-          rows, null: java.lang.Long, null: java.lang.Long,
-          null: java.lang.Long, null: java.lang.Long, null: java.lang.Long,
-          null: java.lang.Long, null: java.lang.Long, null: java.lang.Long)
+          rows, zero, zero, zero, zero, zero, zero, zero, zero, zero,
+          null: java.lang.Long)
     }
     val schema = StructType(Seq(
       StructField("layer", StringType, nullable = false),
@@ -372,6 +379,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       StructField("num_renamed_columns", LongType, nullable = true),
       StructField("num_identity_columns", LongType, nullable = true),
       StructField("num_column_defaults", LongType, nullable = true),
+      StructField("num_generated_columns", LongType, nullable = true),
+      StructField("num_txn_app_ids", LongType, nullable = true),
       StructField("row_id_watermark", LongType, nullable = true)))
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(Seq(row)).asJava, schema)

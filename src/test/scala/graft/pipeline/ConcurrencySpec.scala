@@ -132,4 +132,78 @@ class ConcurrencySpec extends SparkSpec {
     }
     assert(err.getMessage.contains("predates enableRowTracking"))
   }
+
+  test("racing writers x cursor consumers x mid-drain vacuum: exactly-once batches, retention held") {
+    import graft.streaming.Streams
+    val lake = mkLake("ccdf")
+    // seed so consumers have a frontier to start from
+    lake.appendBronze("src", Seq((1L, "seed")).toDF("id", "run_id").coalesce(1))
+    // REGISTER BEFORE the writers start: the registration alone (frontier
+    // 0) must hold retention through the whole drain
+    val curs = (1 to 2).map(c =>
+      Files.createTempDirectory(s"graft-ccdf-cur$c").toString)
+    curs.foreach(Streams.registerCursor(lake.root, "src", _))
+    val writersF = Future.sequence((1 to 3).map { w =>
+      Future {
+        (1 to 5).foreach { r =>
+          lake.appendBronze("src",
+            Seq.tabulate(4)(i => (w * 1000L + r * 10L + i, s"w$w-r$r"))
+              .toDF("id", "run_id").coalesce(1))
+          Thread.sleep(100)
+        }
+        w
+      }
+    })
+    // bounded-catch-up consumers drain WHILE writers commit; each keeps
+    // draining until the writers are done AND it reads three quiet ticks
+    val consumersF = Future.sequence(curs.zipWithIndex.map { case (cur, c) =>
+      Future {
+        val out = Files.createTempDirectory(s"graft-ccdf-out$c").toString
+        var quiet = 0
+        var ticks = 0
+        while (quiet < 3) {
+          Streams.changesSink(lake, "src", cur, out, maxVersions = 2) match {
+            case Some(_) =>
+              quiet = 0; ticks += 1
+              require(ticks <= 200, "consumer failed to converge")
+            case None =>
+              if (writersF.isCompleted) quiet += 1 else Thread.sleep(30)
+          }
+        }
+        out
+      }
+    })
+    // a MAINTAINER races the drain: compaction (dataChange=false, skipped
+    // by the feed) keeps unreferencing old files, and age-guarded vacuums
+    // try to reclaim them — cursor-held retention is the only thing
+    // standing between a slow consumer and a stranded full re-sync.
+    // retainMillis honors the documented vacuum contract (an in-flight
+    // writer's staged-but-uncommitted files are younger than the window).
+    val vacuumF = Future {
+      (1 to 6).foreach { _ =>
+        Thread.sleep(250)
+        lake.compactSmall("bronze", "src", minSmallFiles = 2)
+        lake.vacuumBronze("src", keepVersions = 1, retainMillis = 1200L)
+      }
+    }
+    Await.result(writersF, 300.seconds)
+    val outs = Await.result(consumersF, 300.seconds)
+    Await.result(vacuumF, 300.seconds)
+    // append-only source: each consumer's batch-dir union must equal the
+    // table EXACTLY — a version delivered twice duplicates ids, a vacuumed
+    // version skipped mid-drain loses them
+    val expect = lake.table("bronze", "src").select("id").as[Long].collect().sorted.toSeq
+    assert(expect.length == 1 + 3 * 5 * 4)
+    outs.foreach { out =>
+      val got = Streams.batchedTable(spark, out)
+        .filter(col("_change_type") === "insert")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == expect,
+        s"consumer $out diverged: ${got.length} rows vs ${expect.length}")
+    }
+    // quiesced now: an aggressive vacuum (no age guard) still honors the
+    // advanced frontiers (no exception, table intact)
+    lake.vacuumBronze("src", keepVersions = 1, retainMillis = 0L)
+    assert(lake.table("bronze", "src").count() == expect.length)
+  }
 }

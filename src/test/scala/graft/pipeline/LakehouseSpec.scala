@@ -701,14 +701,42 @@ class LakehouseSpec extends SparkSpec {
     assert(o.getAs[Long]("num_deletion_vectors") == 0)
     assert(o.getAs[Long]("num_rows") == 3)
     assert(o.getAs[Long]("num_nodata_dirs") == 1)
-    // materialized: version + directory metadata, log-only fields NULL
+    // the full log-feature surface: declare one of each, DESCRIBE reports it
+    lake.addCheckConstraint("t", "id_pos", "id > 0")
+    lake.renameBronzeColumn("t", "run_id", "run_tag")
+    lake.setColumnDefault("t", "run_tag", "'backfill'")
+    lake.enableRowTracking("t")
+    lake.appendBronze("t", Seq((100L, d("2025-06-02")))
+      .toDF("id", "snapshot_date").repartition(1), txn = Some(("app-x", 1L)))
+    val f = lake.describeDetail("bronze", "t").head()
+    assert(f.getAs[Long]("num_check_constraints") == 1)
+    assert(f.getAs[Long]("num_renamed_columns") == 1)
+    assert(f.getAs[Long]("num_column_defaults") == 1)
+    assert(f.getAs[Long]("num_txn_app_ids") == 1)
+    assert(!f.isNullAt(f.fieldIndex("row_id_watermark")) &&
+      f.getAs[Long]("row_id_watermark") >= 4)
+    // identity declares on an empty table, generated binds to an existing
+    // column — both on their own table
+    lake.addIdentityColumn("t2", "sk")
+    lake.appendBronze("t2", Seq((1L, "a", 1L)).toDF("k", "tag", "k_mod").repartition(1))
+    lake.addGeneratedColumn("t2", "k_mod", "k % 7")
+    val f2 = lake.describeDetail("bronze", "t2").head()
+    assert(f2.getAs[Long]("num_identity_columns") == 1)
+    assert(f2.getAs[Long]("num_generated_columns") == 1)
+    // materialized: version + directory metadata; log-feature counters are
+    // DEFINITIVE zeros (a full rewrite materializes plain rows), not NULL —
+    // only the row-id watermark stays NULL (the concept is absent)
     lake.materialize("silver", "m", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     val m = lake.describeDetail("silver", "m").head()
     assert(m.getAs[String]("format") == "materialized")
     assert(m.getAs[Int]("version") >= 1 && m.getAs[Long]("num_files") > 0)
     assert(m.getAs[Long]("size_bytes") > 0)
     assert(m.getAs[Long]("num_rows") == 2, "materialized num_rows from footers")
-    assert(m.isNullAt(m.fieldIndex("num_deletion_vectors")))
+    Seq("num_deletion_vectors", "dv_cardinality", "num_nodata_dirs",
+      "num_check_constraints", "num_renamed_columns", "num_identity_columns",
+      "num_column_defaults", "num_generated_columns", "num_txn_app_ids")
+      .foreach(c => assert(m.getAs[Long](c) == 0L, s"$c should be a definitive 0"))
+    assert(m.isNullAt(m.fieldIndex("row_id_watermark")))
     // a table that was never written: plain, zero files, no error
     val p = lake.describeDetail("gold", "nope").head()
     assert(p.getAs[String]("format") == "plain" && p.getAs[Long]("num_files") == 0)
