@@ -716,6 +716,101 @@ object Multimodal {
     }
   }
 
+  /** Fixed-point DCT-II basis for [[imagePHash]]:
+    * `T(u)(x) = round(cos(π·(2x+1)·u / (2n)) · 2¹⁴)` — the cosine table
+    * quantized to integers ONCE (StrictMath, so the constants are
+    * identical on any JVM), making the whole perceptual hash pure integer
+    * arithmetic: engine-reproducible bit for bit, and restatable by an
+    * external oracle that interpolates these 256 constants as literals
+    * (the JPEG integer-DCT trick applied to oracle determinism). */
+  def dctBasis(n: Int, block: Int): Array[Array[Long]] =
+    Array.tabulate(block, n)((u, x) =>
+      Math.round(StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * n)) * 16384.0))
+
+  /** Perceptual hash (pHash): decode → nearest-neighbor 32×32 luma →
+    * integer 2-D DCT-II ([[dctBasis]], separable) → keep the low-frequency
+    * `block×block` corner minus DC → 63 bits, bit set iff the coefficient
+    * exceeds the AC mean (`c·63 > Σc` — integer-exact, no division).
+    *
+    * WHY a second image hash next to [[imageDHash]]: dHash compares
+    * POINTWISE neighbor lumas, so a lossy RE-ENCODE (JPEG quantization,
+    * brightness shift) flips bits all over the grid and the pair drifts
+    * past any useful Hamming gate; the low-frequency DCT block is exactly
+    * what lossy codecs preserve, so a re-encoded near-dup stays within a
+    * small Hamming distance (the planted spec pins a JPEG re-encode dHash
+    * demonstrably misses). Pure per-row map over the real decode — no
+    * shuffle; max |coefficient| ≤ 32²·255·2²⁸ < 2⁴⁷, sums < 2⁵³ — no
+    * overflow. */
+  def imagePHash(assets: Dataset[MediaAsset], decoder: MediaDecoder,
+      side: Int = 32, block: Int = 8): Dataset[ImageHash] = {
+    require(side >= block && block >= 2 && block * block - 1 <= 63,
+      s"pHash ${side}/$block out of the 63-bit budget")
+    import assets.sparkSession.implicits._
+    val t = dctBasis(side, block)
+    assets.filter(_.kind == "image").map { a =>
+      val px = decoder.decodeImage(a.content, a.meta)
+      val (h, w) = (px.length, if (px.isEmpty) 0 else px(0).length)
+      require(h > 0 && w > 0, s"asset ${a.asset_id}: empty decode")
+      val luma = Array.tabulate(side, side)((r, c) =>
+        (px(r * h / side)(c * w / side) & 0xff).toLong)
+      val rowPass = Array.tabulate(side, block) { (r, v) =>
+        var s = 0L; var c = 0
+        while (c < side) { s += luma(r)(c) * t(v)(c); c += 1 }
+        s
+      }
+      val ac = new Array[Long](block * block - 1)
+      var u = 0
+      while (u < block) {
+        var v = 0
+        while (v < block) {
+          if (u != 0 || v != 0) {
+            var s = 0L; var r = 0
+            while (r < side) { s += t(u)(r) * rowPass(r)(v); r += 1 }
+            ac(u * block + v - 1) = s
+          }
+          v += 1
+        }
+        u += 1
+      }
+      val total = ac.sum
+      var bits = 0L
+      var i = 0
+      while (i < ac.length) {
+        if (ac(i) * ac.length > total) bits |= 1L << i
+        i += 1
+      }
+      ImageHash(a.asset_id, bits)
+    }
+  }
+
+  /** A real JPEG RE-ENCODE of the [[synthBmpKeyed]] pixel pattern at an
+    * aggressive quality factor — the m14 spec's planted pair:
+    * byte-different container, heavily DCT-quantized lossy pixels, same
+    * underlying image (the social-media/thumbnail recompress case). */
+  def reencodeKeyedJpeg(seed: Long, width: Int, height: Int,
+      quality: Float = 0.35f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (r <- 0 until height; c <- 0 until width) {
+      val vc = c * 8 / width
+      val red = (seed * (1 + 3 * r + 7 * vc) % 256).toInt
+      val green = (seed * (2 + 11 * r + vc) % 256).toInt
+      val blue = (seed * (3 + r + 13 * vc) % 256).toInt
+      img.setRGB(c, r, (red << 16) | (green << 8) | blue)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { ios.close(); writer.dispose() }
+    baos.toByteArray
+  }
+
   final case class RowLuma(
     asset_id: Long, row_idx: Int, sum_luma: Long, min_luma: Int, max_luma: Int)
 

@@ -575,9 +575,103 @@ object MultimodalQueries {
       FROM a x JOIN a y ON x.key = y.key AND x.asset_id < y.asset_id
       ORDER BY asset_a, asset_b"""))
 
+  /** The [[graft.multimodal.Multimodal.dctBasis]] constants as a DuckDB
+    * VALUES list — the integer cosine table interpolated into the m14
+    * oracle so BOTH engines run the same pure-integer DCT (the JPEG
+    * integer-transform trick applied to oracle determinism). */
+  private lazy val phashDctValues: String =
+    graft.multimodal.Multimodal.dctBasis(32, 8).zipWithIndex.flatMap {
+      case (row, u) => row.zipWithIndex.map { case (tv, x) => s"($u,$x,$tv)" }
+    }.mkString(",")
+
+  /** Image near-dup detection via PERCEPTUAL hash (m14): REAL BMP decode →
+    * nearest-neighbor 32×32 luma → integer 8×8 DCT-II block (fixed-point
+    * cosine table) → 63-bit mean-rule hash → 4×15-bit LSH bands →
+    * bucket-join → Hamming-verify (≤ 6). Same fixture and banding
+    * discipline as m11, different estimator: dHash compares pointwise
+    * neighbors and loses lossy RE-ENCODES (JPEG quantization flips bits
+    * grid-wide — the planted MultimodalSpec pair pins it), while the
+    * low-frequency DCT block is what lossy codecs preserve. The whole
+    * hash is integer arithmetic, so the oracle replays pixels → resize →
+    * DCT (interpolated constant table) → mean rule → bands value-exactly. */
+  val m14ImagePHashNearDup = GraftQuery(
+    "m14_image_phash_neardup",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      val hashes = Multimodal.imagePHash(
+          Multimodal.bmpAssetsKeyed(table(s, dir, "documents")),
+          Multimodal.MediaDecoder.Uncompressed).toDF()
+        .select(col("asset_id"), col("dhash").as("phash"))
+      val bands = hashes.select(col("asset_id"), col("phash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("phash"), 15 * b).bitwiseAND(lit(32767L))): _*))
+          .as(Seq("band", "key")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.asset_id") < col("y.asset_id"))
+        .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
+          col("x.phash").as("ha"), col("y.phash").as("hb"))
+        .distinct()
+      cand.select(col("asset_a"), col("asset_b"),
+          expr("bit_count(ha ^ hb)").cast("bigint").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy(col("asset_a"), col("asset_b"))
+    },
+    Some(s"""
+      WITH a AS (
+        SELECT doc_id AS asset_id, doc_id % 60 + 1 AS seed,
+               CAST(16 + n_chars % 3 AS BIGINT) AS w
+        FROM documents WHERE doc_id % 3 = 0),
+      t AS (
+        SELECT u, x, CAST(tv AS BIGINT) AS tv
+        FROM (VALUES $phashDctValues) v(u, x, tv)),
+      -- 32x32 nearest-neighbor luma: physical pixel (r*16//32, c*w//32),
+      -- whose channels read the virtual column vc = pc*8//w (synthBmpKeyed)
+      luma AS (
+        SELECT asset_id, r, c,
+          (299 * ((seed * (1 + 3*(r//2) + 7*(((c*w//32)*8)//w))) % 256)
+           + 587 * ((seed * (2 + 11*(r//2) + (((c*w//32)*8)//w))) % 256)
+           + 114 * ((seed * (3 + (r//2) + 13*(((c*w//32)*8)//w))) % 256)) // 1000
+            AS lum
+        FROM a,
+             LATERAL unnest(range(0, 32)) t1(r),
+             LATERAL unnest(range(0, 32)) t2(c)),
+      -- separable integer DCT: row pass then column pass
+      rp AS (
+        SELECT l.asset_id, l.r, t.u AS v, CAST(SUM(l.lum * t.tv) AS BIGINT) AS s
+        FROM luma l JOIN t ON t.x = l.c
+        GROUP BY l.asset_id, l.r, t.u),
+      coef AS (
+        SELECT rp.asset_id, t.u, rp.v, CAST(SUM(t.tv * rp.s) AS BIGINT) AS cv
+        FROM rp JOIN t ON t.x = rp.r
+        GROUP BY rp.asset_id, t.u, rp.v),
+      ac AS (
+        SELECT asset_id, u * 8 + v - 1 AS i, cv
+        FROM coef WHERE u < 8 AND v < 8 AND NOT (u = 0 AND v = 0)),
+      tot AS (SELECT asset_id, CAST(SUM(cv) AS BIGINT) AS total FROM ac GROUP BY asset_id),
+      h AS (
+        SELECT ac.asset_id,
+               CAST(SUM(CASE WHEN ac.cv * 63 > tot.total
+                 THEN (CAST(1 AS BIGINT) << CAST(ac.i AS INT)) ELSE 0 END) AS BIGINT)
+                 AS phash
+        FROM ac JOIN tot USING (asset_id) GROUP BY ac.asset_id),
+      bands AS (
+        SELECT asset_id, phash, b AS band,
+               (phash >> CAST(15 * b AS INT)) & 32767 AS key
+        FROM h, LATERAL unnest(range(0, 4)) t(b)),
+      cand AS (
+        SELECT DISTINCT x.asset_id AS asset_a, y.asset_id AS asset_b,
+               x.phash AS ha, y.phash AS hb
+        FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+          AND x.asset_id < y.asset_id)
+      SELECT asset_a, asset_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+      ORDER BY asset_a, asset_b"""))
+
   val all: Seq[GraftQuery] = Seq(
     m01BinaryStats, m02FrameStats, m03AudioWindows, m04ShotKeyframes,
     m05WavDecodeWindows, m06BmpDecodeRows, m07ResizeGrid,
     m08PngDecodeRows, m09JpegDecodeCheck, m10AviVideoDecodeCheck,
-    m11ImageDHashNearDup, m12AudioContourNearDup, m13VideoKeyframeNearDup)
+    m11ImageDHashNearDup, m12AudioContourNearDup, m13VideoKeyframeNearDup,
+    m14ImagePHashNearDup)
 }

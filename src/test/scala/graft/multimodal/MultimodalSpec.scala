@@ -461,6 +461,45 @@ class MultimodalSpec extends SparkSpec {
     assert(base >= 0L && (base >> 56) == 0L)
   }
 
+  test("imagePHash catches JPEG re-encodes that dHash demonstrably misses") {
+    import Multimodal._
+    import spark.implicits._
+    def asset(id: Long, bytes: Array[Byte], fmt: String, w: Int): MediaAsset =
+      MediaAsset(id, "image", bytes, MediaMeta(fmt, w, 16, 0, 0L))
+    def pHashOf(a: MediaAsset): Long =
+      imagePHash(Seq(a).toDS(), MediaDecoder.ImageIo).head().dhash
+    def dHashOf(a: MediaAsset): Long =
+      imageDHash(Seq(a).toDS(), MediaDecoder.ImageIo).head().dhash
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // the planted pairs: the SAME synthBmpKeyed image as a lossless BMP
+    // and as a real lossy JPEG re-encode (stock-JDK encoder)
+    val stats = (1L to 60L).map { k =>
+      val bmp = asset(k, synthBmpKeyed(k, 16, 16), "bmp", 16)
+      val jpg = asset(k + 1000, reencodeKeyedJpeg(k, 16, 16), "jpg", 16)
+      (ham(dHashOf(bmp), dHashOf(jpg)), ham(pHashOf(bmp), pHashOf(jpg)))
+    }
+    // dHash: pointwise comparisons scatter under DCT quantization — the
+    // re-encoded twin drifts past the m11 verify gate (<= 4) for most keys
+    val dMissed = stats.count(_._1 > 4)
+    // pHash: the low-frequency block survives the re-encode — same pairs
+    // stay inside a tight gate
+    val pCaught = stats.count(_._2 <= 6)
+    assert(dMissed >= 30, s"expected dHash to miss most re-encodes, missed $dMissed/60 " +
+      s"(dHash hams: ${stats.map(_._1).sorted.mkString(",")})")
+    assert(pCaught >= 45, s"expected pHash to hold re-encodes close, caught $pCaught/60 " +
+      s"(pHash hams: ${stats.map(_._2).sorted.mkString(",")})")
+    // and the pairs dHash loses are still recovered by pHash
+    val recovered = stats.count(s => s._1 > 4 && s._2 <= 6)
+    assert(recovered >= 25, s"pHash recovered only $recovered dHash-missed re-encodes")
+    // cross-key separation: distinct keys stay far under pHash
+    val ph = (1L to 60L).map(k => pHashOf(asset(k, synthBmpKeyed(k, 16, 16), "bmp", 16)))
+    val cross = for (i <- ph.indices; j <- i + 1 until ph.size) yield ham(ph(i), ph(j))
+    assert(cross.count(_ <= 6) <= cross.size / 50,
+      s"${cross.count(_ <= 6)} of ${cross.size} cross-key pairs inside the pHash gate")
+    // 63-bit budget: hash and every 16-bit band non-negative
+    assert(ph.forall(h => h >= 0L && (h >> 63) == 0L))
+  }
+
   test("audioContourHash: exact dup = 0, length jitter = near, distinct keys = far") {
     import Multimodal._
     import spark.implicits._
