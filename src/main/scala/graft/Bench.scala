@@ -26,8 +26,12 @@ object Bench {
     // SETUP PASS, before ANY timing: materialize every at-rest artifact the
     // roster probes. A cold java.io.tmpdir otherwise moves each build
     // inside some query's warmup, and the heat (shuffle files, page cache,
-    // GC debt) bleeds into the timed runs that follow.
-    try queries.BenchIndex.ensureArtifacts(spark, sfDir).foreach { case (n, built) =>
+    // GC debt) bleeds into the timed runs that follow. Skipped under a
+    // narrowed roster — a one-query iteration should not pay all eight
+    // builds; its own warmup builds what it needs.
+    if (only.isDefined)
+      System.err.println("[bench] narrowed roster: artifact prebuild skipped")
+    else try queries.BenchIndex.ensureArtifacts(spark, sfDir).foreach { case (n, built) =>
       System.err.println(s"[bench] artifact $n: ${if (built) "BUILT" else "reused"}")
     } catch { case t: Throwable =>
       System.err.println(s"[bench] artifact prebuild FAILED (queries will build inline): ${t.getMessage}")

@@ -128,13 +128,6 @@ object BenchStorage {
         Seq(graft.pipeline.ManifestStats.StatEq("run_id", "run-06"))))
       val (_, readDvSec) = timed(lake.table("bronze", "facts").count())
 
-      // ── CDF read: ONE consumer tick over the DV-delete commit (grown
-      // vectors → delete rows) — the change-extraction cost a cursor
-      // consumer pays per version, timed while both versions are retained
-      val cdfV = lake.committedBronzeVersion("facts")
-      val (_, cdfReadSec) = timed(
-        lake.tableChanges("facts", cdfV - 1, cdfV).count())
-
       // ── predicate delete: one run's rows, stats-pruned copy-on-write ───
       val (_, deleteSec) = timed(lake.deleteBronzeWhere("facts",
         col("run_id") === "run-07",
@@ -171,10 +164,22 @@ object BenchStorage {
 
       // ── identity attribution: the SAME 4-slice append with an identity
       // column (per-batch O(1) ID RESERVE commit + the fill before
-      // staging) — read against plain_append4_sec, excluded from total_sec
-      seed("facts_id")
+      // staging) — read against plain_append4_sec, excluded from total_sec.
+      // Identity declares while the table is EMPTY (GENERATED ALWAYS
+      // cannot retrofit values onto committed rows), so before the seed.
       lake.addIdentityColumn("facts_id", "row_sk")
+      seed("facts_id")
       val id4 = appendSlices("facts_id")
+
+      // ── CDF read, AFTER the composite sequence so it cannot perturb the
+      // round-over-round-counted steps: one fresh (untimed) DV delete on
+      // the compacted table, then ONE timed consumer tick over that commit
+      // (grown vectors → delete rows) — the change-extraction cost a
+      // cursor consumer pays per version
+      lake.deleteBronzeWhereDv("facts", pmod(col("l_orderkey"), lit(64)) === 9)
+      val cdfV = lake.committedBronzeVersion("facts")
+      val (_, cdfReadSec) = timed(
+        lake.tableChanges("facts", cdfV - 1, cdfV).count())
 
       StorageResult(rows, appendSec, tinyAppendSec, manifestBytes, liveFiles,
         deleteDvSec, readDvSec, deleteSec, afterDelete, compactSec, vacuumSec,

@@ -723,9 +723,10 @@ object Clustering {
         org.apache.spark.sql.graft.ColumnShim.expression(a),
         org.apache.spark.sql.graft.ColumnShim.expression(b), m, subDim))
 
-  /** The HOF/slice composition [[subDist2]] fused — kept as the executable
-    * specification its spec pins the native expression against. */
-  private[operators] def subDist2Composed(a: Column, b: Column, m: Int, subDim: Int): Column = {
+  /** The slice+dot composition [[subDist2]] fused — the executable
+    * specification ShingleHashesSpec pins the native expression against
+    * (bit-for-bit, all 16 subspaces + null/length edges). */
+  private[graft] def subDist2Composed(a: Column, b: Column, m: Int, subDim: Int): Column = {
     val as = slice(a, m * subDim + 1, subDim)
     val bs = slice(b, m * subDim + 1, subDim)
     Similarity.dot(as, as) + Similarity.dot(bs, bs) - lit(2.0) * Similarity.dot(as, bs)

@@ -299,8 +299,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     *     ([[checkConstraints]] lists them).
     * Non-log tables report what directory metadata offers (file count,
     * bytes, mtime, and `num_rows` from parquet footer block metadata
-    * when the directory holds ≤ 256 files) with the log-only fields
-    * NULL. */
+    * when the directory holds ≤ 256 files); their log-feature counters
+    * read a DEFINITIVE 0 — a versioned materialization has no vectors/
+    * constraints/mapping/identity/defaults/generated/txns by construction
+    * — and only `row_id_watermark` stays NULL (concept absent). */
   def describeDetail(layer: String, name: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -1616,7 +1618,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val gensValidated = enforceGenerated(base, name, dataDir, df.columns.toSet)
     val committed = commitAppendEntries(base, name, staged.schema, mine, dataDir,
       validated, txn, gensValidated, df.columns.toSet)
-    if (!committed) deleteRecursively(dataDir) // lost the txn race — staged files are debris
+    // lost the txn race: the staged files are debris — unless adoptAppendDir
+    // raced us and the manifest already owns the dir
+    if (!committed) deleteStagedIfUncommitted(base, dataDir)
     committed
   }
 
@@ -2024,14 +2028,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     gens
   }
 
-  /** Staged-dir hygiene that cannot destroy live data: [[enforceGenerated]]
-    * and [[enforceConstraints]] re-run INSIDE the commit CAS retry loop, and
-    * by then [[adoptAppendDir]] may have raced the presumed-crashed writer
-    * and committed this very dir's files — an unconditional delete on the
-    * validation-failure path would then remove files LIVE in the manifest.
-    * Skip the delete whenever the dir name is in the log's ever-committed
-    * set (live, or deleted-since — either way the manifest owns it now;
-    * leftover physical debris is vacuum's job, not ours). */
+  /** Staged-dir hygiene that cannot destroy live data — EVERY cleanup of a
+    * staged append/merge dir goes through here: validation failures
+    * ([[enforceGenerated]], [[enforceConstraints]], guardReservedColumns,
+    * guardIdentityCount) and lost-txn-race cleanups all run where
+    * [[adoptAppendDir]] may have raced the presumed-crashed writer and
+    * committed this very dir's files — an unconditional delete would then
+    * remove files LIVE in the manifest. Skip the delete whenever the dir
+    * name is in the log's ever-committed set (live, or deleted-since —
+    * either way the manifest owns it now; leftover physical debris is
+    * vacuum's job, not ours). */
   private[pipeline] def deleteStagedIfUncommitted(base: Path, dataDir: Path): Unit =
     if (!committedDirNames(base).contains(dataDir.getFileName.toString))
       deleteRecursively(dataDir)
@@ -2189,7 +2195,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     expected.foreach { n =>
       val got = staged.flatMap(ManifestStats.rowsOf).sum
       if (got != n) {
-        deleteRecursively(dataDir)
+        deleteStagedIfUncommitted(dir("bronze", name), dataDir)
         throw new IllegalStateException(
           s"identity batch for bronze.$name staged $got rows but reserved ids for $n " +
             "(nondeterministic input recomputed between the count and the write?) — " +
@@ -2789,8 +2795,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 
   /** Refuse a widening append/merge whose NEW columns take names reserved
     * by rename chains or drop tombstones (old files' data would silently
-    * resurrect under them). Deletes the staged dir before throwing —
-    * nothing was committed. */
+    * resurrect under them). Cleans the staged dir before throwing via
+    * [[deleteStagedIfUncommitted]] (an adopt may own it by now). */
   private def guardReservedColumns(base: Path, name: String,
       priorNames: Set[String],
       merged: org.apache.spark.sql.types.StructType, dataDir: Path): Unit = {
@@ -2798,7 +2804,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     if (reserved.isEmpty) return
     val clash = merged.fieldNames.filterNot(priorNames).filter(reserved)
     if (clash.nonEmpty) {
-      deleteRecursively(dataDir)
+      deleteStagedIfUncommitted(base, dataDir)
       throw new IllegalArgumentException(
         s"cannot add column(s) ${clash.mkString(", ")} to bronze.$name: the names " +
           "are reserved by rename/drop chains (old files still carry data under " +
@@ -3163,7 +3169,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       attempt += 1
       val BronzeSnapshot(v, schemaOpt, entries) = readFilesManifest(base).getOrElse(
         throw new IllegalStateException(s"bronze.$name lost its committed version mid-merge"))
-      if (txnApplied()) { deleteRecursively(dataDir); return false }
+      if (txnApplied()) { deleteStagedIfUncommitted(base, dataDir); return false }
       val curConstraints = constraintsOf(base)
       if (curConstraints != validated)
         validated = enforceConstraints(base, name, dataDir, staged)

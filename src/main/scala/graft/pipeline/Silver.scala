@@ -265,14 +265,26 @@ object Silver {
         .filter(col("_change_type").isin("delete", "update_preimage"))
         .drop(metaCols: _*))
         .select(grain.map(col): _*).distinct()
+      // NULL-SAFE key matching throughout (`<=>`): latestWins's window
+      // groups NULL grain values as one real grain, so the joins that
+      // route rows around it must pair NULLs too — a plain equality join
+      // would strand a standing NULL-grain winner past its retraction and
+      // diverge from the from-scratch recompute. Key frames are renamed
+      // before the condition join (fresh and delKeys share the `changes`
+      // lineage — same-name references would be ambiguous).
+      def keyMatch(left: DataFrame, keys: DataFrame, how: String): DataFrame = {
+        val renamed = grain.zipWithIndex.foldLeft(keys) {
+          case (d, (k, i)) => d.withColumnRenamed(k, s"__g$i")
+        }
+        left.join(broadcast(renamed),
+          grain.zipWithIndex.map { case (k, i) => left(k) <=> renamed(s"__g$i") }
+            .reduce(_ && _), how)
+      }
       // fresh rows at a retraction-hit grain may THEMSELVES be retracted
       // later in the range (insert v5, delete v7) — those grains come
       // exclusively from the rebuild, which reads the visible truth
-      val fresh = freshAll.join(broadcast(delKeys), grain, "left_anti")
-      val rebuilt = typed(lake.table("bronze", source))
-        .join(broadcast(delKeys), grain, "left_semi")
-      // using-column joins move the grain columns to the front — pin the
-      // typed projection's order so the MV schema matches a full refresh
+      val fresh = keyMatch(freshAll, delKeys, "left_anti")
+      val rebuilt = keyMatch(typed(lake.table("bronze", source)), delKeys, "left_semi")
       val cols = freshAll.columns.toSeq.map(col)
       if (!lake.exists(layer, target))
         lake.materialize(layer, target,
@@ -282,8 +294,8 @@ object Silver {
         val affected = freshKeys.union(delKeys).distinct()
         // standing winners at insert-only grains still compete; winners at
         // retraction-hit grains are replaced by the rebuild wholesale
-        val standing = existing.join(broadcast(freshKeys), grain, "left_semi")
-        val untouched = existing.join(broadcast(affected), grain, "left_anti")
+        val standing = keyMatch(existing, freshKeys, "left_semi")
+        val untouched = keyMatch(existing, affected, "left_anti")
         untouched.unionByName(latestWins(
           standing.unionByName(fresh).unionByName(rebuilt), grain, order))
           .select(cols: _*)

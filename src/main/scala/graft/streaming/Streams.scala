@@ -806,39 +806,59 @@ object Streams {
       // the txn appId carries the SOURCE too: two sources folding into one
       // target are independent writers — a shared appId would make the
       // second source's first merge look like a replay of the first's and
-      // silently drop it while its cursor still advanced. UPGRADE SHIM,
-      // TIGHTLY SCOPED: ticks applied by the pre-(source,target) binary
-      // recorded the bare "cdfagg:<target>" id, and the one case the shim
-      // exists for is a crash-replayed IN-FLIGHT tick from before the
-      // upgrade — merge committed, cursor not yet advanced. That replay is
-      // (a) this consumer's FIRST post-upgrade tick, (b) before any merge
-      // under the new id has landed, and (c) replays the EXACT range whose
-      // merge wrote the frontier (frontier == its `to`; ticks are
-      // sequential so the frontier can never run ahead of an unconsumed
-      // range). Gating on all three — a one-time per-cursor marker, no
-      // new-format txn yet, and an exact frontier match — keeps the legacy
-      // frontier (recorded against a DIFFERENT source's version sequence)
-      // from silently swallowing a later-added source whose version
-      // numbers happen to sit below it on every tick forever.
-      val shimMarker = cur.resolve("_legacy_txn_shim_done")
-      val legacyApplied =
-        !java.nio.file.Files.exists(shimMarker) &&
-          lake.txnVersion(target, s"cdfagg:$source:$target").isEmpty &&
-          lake.txnVersion(target, s"cdfagg:$target").contains(to.toLong)
+      // silently drop it while its cursor still advanced. LEGACY UPGRADE:
+      // ticks applied by the pre-(source,target) binary recorded the bare
+      // "cdfagg:<target>" id, whose frontier is SOURCE-BLIND — whether a
+      // range at-or-below it was already folded is knowledge only the
+      // operator has (the old consumer's source vs a source added later),
+      // so the dedupe is gated on an EXPLICIT one-time migration marker
+      // ([[migrateLegacyCdfAggCursor]], run per pre-existing consumer at
+      // upgrade). A migrated cursor skips every range ending at-or-below
+      // the recorded frontier — correct under ANY tick cap, because the
+      // legacy frontier is the end of an APPLIED prefix, so every subrange
+      // of it has been folded. Unmigrated (post-upgrade) consumers never
+      // consult the stale frontier and can't be swallowed by it.
+      val legacyApplied = legacyFrontier(cur).exists(_ >= to)
       if (!legacyApplied)
         lake.mergeBronze(target, merged, keys,
           txn = Some((s"cdfagg:$source:$target", to.toLong)),
           nullSafeKeys = true)
       lake.commitChangesCursor(cur, to)
-      // marker only AFTER the cursor commit: a crash in between replays
-      // this tick with the marker absent, where the exact-frontier match
-      // (shim path) or the just-committed new-format txn (merge path)
-      // still dedupes it; marker-before-cursor would replay a shim-skipped
-      // range with the shim disabled — a double count
-      try java.nio.file.Files.createFile(shimMarker)
-      catch { case _: java.nio.file.FileAlreadyExistsException => }
       (from, to)
     }
+  }
+
+  /** ONE-TIME migration of a [[cdfAggregateSink]] consumer that predates
+    * the (source, target)-scoped txn appId: records the target's bare
+    * legacy frontier in the consumer's cursor dir, so a crash-replayed
+    * in-flight tick from the old binary (merge committed under
+    * `cdfagg:<target>`, cursor not yet advanced) dedupes instead of
+    * double-applying — under any tick cap, since every range ending
+    * at-or-below the frontier is a subrange of the applied prefix. Run
+    * once per PRE-EXISTING consumer when upgrading; consumers created
+    * after the upgrade must NOT be migrated (the legacy frontier counts a
+    * DIFFERENT source's version sequence — migrating a new source would
+    * silently swallow its first ranges). Idempotent; a no-op when the
+    * target has no legacy record. */
+  def migrateLegacyCdfAggCursor(lake: graft.pipeline.Lakehouse, target: String,
+      cursorDir: String): Unit =
+    lake.txnVersion(target, s"cdfagg:$target").foreach { f =>
+      val dir = java.nio.file.Paths.get(cursorDir)
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = dir.resolve(s".legacy_frontier_${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      java.nio.file.Files.write(tmp,
+        f.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try java.nio.file.Files.createLink(dir.resolve("_legacy_txn_frontier"), tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => }
+      java.nio.file.Files.delete(tmp)
+    }
+
+  /** The migrated legacy frontier of a cursor dir, if any. */
+  private def legacyFrontier(cursorDir: java.nio.file.Path): Option[Long] = {
+    val f = cursorDir.resolve("_legacy_txn_frontier")
+    if (!java.nio.file.Files.exists(f)) None
+    else new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
   }
 
   /** The read face of a [[cdfAggregateSink]] target: visible aggregate

@@ -565,4 +565,36 @@ class PipelineSpec extends SparkSpec {
       ch.head.getAs[String]("channel_title") == "Chan B",
       s"winner did not fall back to runB: ${ch.toSeq}")
   }
+
+  test("feed fold pairs NULL grain values: retraction and re-observation of a NULL-key grain") {
+    import spark.implicits._
+    val l = new Lakehouse(spark, Files.createTempDirectory("graft-cdfnullg").toString)
+    def obs(run: String, recs: Seq[(Long, Option[String], Long)]) =
+      recs.map { case (id, g, v) => (id, g.orNull, v, run) }
+        .toDF("id", "grp", "val", "run_id").repartition(1)
+    val cursor = Files.createTempDirectory("graft-cdfnullg-cur").toString
+    def tick() = Silver.latestWinsFeedTick(l, "silver", "mv", "src",
+      Seq("grp"), Seq(col("id").desc), identity, cursor)
+    def expected: Seq[String] =
+      Silver.latestWins(l.table("bronze", "src"), Seq("grp"), Seq(col("id").desc))
+        .collect().map(_.toString).sorted.toSeq
+    def actual: Seq[String] =
+      l.table("silver", "mv").collect().map(_.toString).sorted.toSeq
+    // NULL-grain observations alongside a real grain
+    l.appendBronze("src", obs("r1", Seq((1L, None, 10L), (2L, Some("a"), 3L))))
+    assert(tick().isDefined)
+    assert(actual == expected, "bootstrap with a NULL grain diverged")
+    // a NEWER NULL-grain observation must REPLACE the standing NULL winner
+    l.appendBronze("src", obs("r2", Seq((3L, None, 7L))))
+    assert(tick().isDefined)
+    assert(actual == expected, "NULL-grain re-observation stranded the old winner")
+    assert(l.table("silver", "mv").filter(col("grp").isNull).count() == 1)
+    // retracting the NULL winner falls back to the OLDER NULL observation
+    l.deleteBronzeWhereDv("src", col("id") === 3L, Nil)
+    assert(tick().isDefined)
+    assert(actual == expected, "NULL-grain retraction diverged from recompute")
+    val n = l.table("silver", "mv").filter(col("grp").isNull).collect()
+    assert(n.length == 1 && n.head.getAs[Long]("id") == 1L,
+      s"NULL-grain winner did not fall back: ${n.toSeq}")
+  }
 }

@@ -86,12 +86,8 @@ class ShingleHashesSpec extends SparkSpec {
           org.apache.spark.sql.graft.ColumnShim.expression(a),
           org.apache.spark.sql.graft.ColumnShim.expression(b), m, subDim))
     def composed(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-        m: Int, subDim: Int) = {
-      val as = slice(a, m * subDim + 1, subDim)
-      val bs = slice(b, m * subDim + 1, subDim)
-      Similarity.dot(as, as) + Similarity.dot(bs, bs) -
-        lit(2.0) * Similarity.dot(as, bs)
-    }
+        m: Int, subDim: Int) =
+      graft.operators.Clustering.subDist2Composed(a, b, m, subDim)
     val e = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
     val pairs = e.select(col("embedding").as("a"))
       .crossJoin(e.limit(5).select(col("embedding").as("b")))

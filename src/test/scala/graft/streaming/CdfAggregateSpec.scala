@@ -280,7 +280,7 @@ class CdfAggregateSpec extends SparkSpec {
     assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
   }
 
-  test("upgrade shim: a tick already applied under the legacy txn appId is not re-applied") {
+  test("legacy upgrade: a MIGRATED cursor dedupes the crash-replayed in-flight tick") {
     val lake = mkLake("cdfagglegacy")
     val cursor = Files.createTempDirectory("graft-cdfagglegacy-cur").toString
     lake.appendBronze("src", rows("r1", Seq((1L, "a", 10L), (2L, "b", 5L)))) // v1
@@ -289,8 +289,10 @@ class CdfAggregateSpec extends SparkSpec {
     val preFold = Seq(("a", 1L, 10L), ("b", 1L, 5L)).toDF("grp", "cnt", "sum_val")
     lake.mergeBronze("agg", preFold, Seq("grp"),
       txn = Some(("cdfagg:agg", 1L)))
+    // the upgrade step records the legacy frontier on the existing consumer
+    Streams.migrateLegacyCdfAggCursor(lake, "agg", cursor)
     // the upgraded binary replays the in-flight tick: it must DEDUPE against
-    // the legacy record (no double-count) and still advance the cursor
+    // the recorded frontier (no double-count) and still advance the cursor
     val t1 = Streams.cdfAggregateSink(lake, "src", "agg", Seq("grp"), Seq("val"), cursor)
     assert(t1.contains((0, 1)))
     assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)),
@@ -299,6 +301,32 @@ class CdfAggregateSpec extends SparkSpec {
     lake.appendBronze("src", rows("r2", Seq((3L, "a", 2L))))
     assert(Streams.cdfAggregateSink(lake, "src", "agg",
       Seq("grp"), Seq("val"), cursor).contains((1, 2)))
+    assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
+  }
+
+  test("legacy upgrade: a migrated replay under a SMALLER tick cap still dedupes every subrange") {
+    val lake = mkLake("cdfaggcapped")
+    val cursor = Files.createTempDirectory("graft-cdfaggcapped-cur").toString
+    lake.appendBronze("src", rows("r1", Seq((1L, "a", 10L))))              // v1
+    lake.appendBronze("src", rows("r2", Seq((2L, "a", 5L), (3L, "b", 2L)))) // v2
+    // pre-upgrade binary folded the WHOLE (0,2] prefix in one tick and
+    // crashed before the cursor commit
+    val preFold = Seq(("a", 2L, 15L), ("b", 1L, 2L)).toDF("grp", "cnt", "sum_val")
+    lake.mergeBronze("agg", preFold, Seq("grp"), txn = Some(("cdfagg:agg", 2L)))
+    Streams.migrateLegacyCdfAggCursor(lake, "agg", cursor)
+    // the post-upgrade consumer replays with maxVersions=1: BOTH one-version
+    // subranges of the applied prefix must be skipped (an exact-frontier
+    // match would re-apply (0,1] — the capped-replay double count)
+    assert(Streams.cdfAggregateSink(lake, "src", "agg",
+      Seq("grp"), Seq("val"), cursor, maxVersions = 1).contains((0, 1)))
+    assert(Streams.cdfAggregateSink(lake, "src", "agg",
+      Seq("grp"), Seq("val"), cursor, maxVersions = 1).contains((1, 2)))
+    assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)),
+      "capped replay double-applied a subrange of the legacy prefix")
+    // and fresh data past the frontier folds normally
+    lake.appendBronze("src", rows("r3", Seq((4L, "b", 7L))))
+    assert(Streams.cdfAggregateSink(lake, "src", "agg",
+      Seq("grp"), Seq("val"), cursor, maxVersions = 1).contains((2, 3)))
     assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
   }
 
