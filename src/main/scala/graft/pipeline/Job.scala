@@ -38,7 +38,17 @@ object Job {
     * (partition-pruned scan — refresh cost scales with new data, the
     * reference's `CREATE OR REFRESH` promise); the remaining models (the
     * dims and dim_date — all small) recompute. Falls back to a full
-    * refresh on the first run. */
+    * refresh on the first run.
+    *
+    * `cdfRefresh = true` upgrades the six latest-wins models from
+    * snapshot-driven merging to CHANGE-FEED consumption
+    * ([[Silver.refreshFromChangeFeed]], the Lakeflow-"Enzyme" analog):
+    * each keeps a durable cursor under `<root>/_silver_cursors/<model>`,
+    * a run's refresh cost tracks the rows changed since the last drain
+    * (not whole snapshot partitions), and bronze DELETEs fold as
+    * retractions instead of being invisible until a full refresh. First
+    * run bootstraps from version 0; safe to mix with `incremental` runs
+    * (latest-wins makes a re-folded overlap idempotent). */
   def run(
       lake: Lakehouse,
       dataClient: DataApiIngest.DataApiClient,
@@ -47,6 +57,7 @@ object Job {
       endDate: String = "auto",
       lookbackDays: Int = 7,
       incremental: Boolean = false,
+      cdfRefresh: Boolean = false,
       optimize: Boolean = true,
       gates: Seq[Maintenance.GateDirs] = Seq.empty,
       now: Timestamp = new Timestamp(System.currentTimeMillis()),
@@ -100,9 +111,20 @@ object Job {
       // dbt with 4 threads; identity with sequential refresh is spec-pinned)
       // then gold marts. Incremental mode merges only new bronze partitions
       // into the latest-wins models and recomputes the rest.
+      // change-feed mode: the six latest-wins models drain their bronze
+      // change feeds through durable cursors FIRST — cost ∝ changed rows,
+      // deletes fold as retractions — and drop out of the snapshot paths
+      val feedModels: Set[String] =
+        if (!cdfRefresh) Set.empty
+        else {
+          Silver.latestWinsSpecs.keys.foreach(n =>
+            Silver.refreshFromChangeFeed(lake, n, s"${lake.root}/_silver_cursors/$n"))
+          Silver.latestWinsSpecs.keySet
+        }
       prevSnapshot match {
         case Some(since) =>
-          Silver.latestWinsSpecs.keys.foreach(n => Silver.refreshIncremental(lake, n, since))
+          (Silver.latestWinsSpecs.keySet -- feedModels)
+            .foreach(n => Silver.refreshIncremental(lake, n, since))
           // SCD2 before silver_videos (current-flag FK); the channel fact
           // after silver_channels (its top-1 cross-join input, merged above)
           Silver.refreshIncremental(lake, "silver_video_metadata_scd2", since)
@@ -115,7 +137,9 @@ object Job {
           Silver.refreshParallel(lake,
             Some(Silver.models.map(_.name).toSet -- Silver.incrementalModels))
         case None =>
-          Silver.refreshParallel(lake)
+          Silver.refreshParallel(lake,
+            if (feedModels.isEmpty) None
+            else Some(Silver.models.map(_.name).toSet -- feedModels))
       }
       Gold.refresh(lake)
 

@@ -182,9 +182,19 @@ class ConcurrencySpec extends SparkSpec {
     val vacuumF = Future {
       (1 to 6).foreach { _ =>
         Thread.sleep(250)
-        lake.compactSmall("bronze", "src", minSmallFiles = 2)
+        // maintenance YIELDS to writers: a compaction that keeps losing the
+        // CAS to live appends just skips this cycle (prod would retry next)
+        try lake.compactSmall("bronze", "src", minSmallFiles = 2)
+        catch { case e: IllegalStateException
+          if e.getMessage.contains("consecutive CAS races") => }
         lake.vacuumBronze("src", keepVersions = 1, retainMillis = 1200L)
       }
+      // writers drained: one quiesced compact is guaranteed to land, so the
+      // racing vacuums below it genuinely have unreferenced files to bite
+      Await.result(writersF, 300.seconds)
+      lake.compactSmall("bronze", "src", minSmallFiles = 2, maxAttempts = 50)
+      Thread.sleep(1300)
+      lake.vacuumBronze("src", keepVersions = 1, retainMillis = 1200L)
     }
     Await.result(writersF, 300.seconds)
     val outs = Await.result(consumersF, 300.seconds)

@@ -127,6 +127,42 @@ class JobSpec extends SparkSpec {
     assert(log.filter(col("run_status") === "success").count() == 2)
   }
 
+  test("day-2 change-feed run equals a full recompute over the same bronze") {
+    // the cdfRefresh mode: the six latest-wins models drain the bronze
+    // change feed through durable cursors instead of snapshot-pruned merges
+    val cdfLake = new Lakehouse(spark, Files.createTempDirectory("graft-job-cdf").toString)
+    val fullLake = new Lakehouse(spark, Files.createTempDirectory("graft-job-cfull").toString)
+    Seq(cdfLake, fullLake).foreach { lake =>
+      val r1 = Job.run(lake, DataClient, AnalyticsClient,
+        startDate = "2025-05-30", endDate = "2025-06-01",
+        cdfRefresh = lake eq cdfLake,
+        now = Timestamp.valueOf("2025-06-02 09:00:00"), runId = "day1")
+      assert(r1.status == "success", r1.toString)
+    }
+    val r2cdf = Job.run(cdfLake, DataClient, AnalyticsClient,
+      startDate = "2025-05-31", endDate = "2025-06-02", cdfRefresh = true,
+      now = Timestamp.valueOf("2025-06-03 09:00:00"), runId = "day2")
+    val r2full = Job.run(fullLake, DataClient, AnalyticsClient,
+      startDate = "2025-05-31", endDate = "2025-06-02",
+      now = Timestamp.valueOf("2025-06-03 09:00:00"), runId = "day2")
+    assert(r2cdf.status == "success", r2cdf.toString)
+    assert(r2full.status == "success", r2full.toString)
+    Silver.models.map(_.name).foreach { m =>
+      def rows(lake: Lakehouse) = lake.table("silver", m)
+        .drop("request_id").collect().map(_.toString).sorted.toSeq
+      assert(rows(cdfLake) == rows(fullLake),
+        s"$m differs between change-feed and full day-2 refresh")
+    }
+    // the cursors advanced to each source's head: a third run with no new
+    // bronze is a pure no-op drain for the feed models
+    Silver.latestWinsSpecs.foreach { case (m, spec) =>
+      val cur = java.nio.file.Paths.get(s"${cdfLake.root}/_silver_cursors/$m")
+      assert(cdfLake.changesCursor(cur) ==
+        cdfLake.committedBronzeVersion(spec.bronzeTable),
+        s"$m cursor not caught up")
+    }
+  }
+
   test("incremental merge does not skip bronze landed by a FAILED run") {
     // day 1 success; day 2 lands Data-API bronze then fails in analytics
     // (silver never refreshed); day 3 incremental must still merge day 2's
