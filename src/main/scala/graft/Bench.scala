@@ -62,6 +62,16 @@ object Bench {
     // runs and gets reported there instead of killing the bench record.
     val TimedRuns = 3
     val results = benchQs.map { q =>
+      // cross-query hygiene: unreferenced broadcasts and shuffle files from
+      // the previous query's 4 executions are only reclaimed by Spark's
+      // ContextCleaner AFTER a JVM GC — without this nudge the debt
+      // accumulates down the roster and later queries read 1.5-2× their
+      // isolated quiet times (q49, 9th in roster, measured 5.8 s in-roster
+      // vs 2.9 s isolated on the same quiet box)
+      // double cycle: the first GC queues the ContextCleaner work, the
+      // pause lets its async deletes drain, the second reclaims what the
+      // cleaner just released
+      System.gc(); Thread.sleep(700); System.gc(); Thread.sleep(300)
       val w0 = System.nanoTime()
       try {
         q.run(spark, sfDir).count()
@@ -89,6 +99,9 @@ object Bench {
     // recordings; the per-op breakdown goes to stderr and the `storage`
     // object below. Guarded like a query: a failure reports null.
     val storageAttempted = only.forall(_.contains("storage_ops"))
+    // same cleanup cycle before the composite: the storage ops follow the
+    // whole timed roster and would otherwise start on its accumulated debt
+    if (storageAttempted) { System.gc(); Thread.sleep(700); System.gc(); Thread.sleep(300) }
     val storage =
       if (!storageAttempted) None
       else try Some(BenchStorage.runOps(spark, sfDir))
