@@ -46,9 +46,14 @@ object Job {
     * each keeps a durable cursor under `<root>/_silver_cursors/<model>`,
     * a run's refresh cost tracks the rows changed since the last drain
     * (not whole snapshot partitions), and bronze DELETEs fold as
-    * retractions instead of being invisible until a full refresh. First
-    * run bootstraps from version 0; safe to mix with `incremental` runs
-    * (latest-wins makes a re-folded overlap idempotent). */
+    * retractions instead of being invisible until a full refresh. The
+    * first drain bootstraps from the source SNAPSHOT (works on a mature
+    * lake whose early manifests are pruned); safe to mix with
+    * `incremental` runs (latest-wins makes a re-folded overlap
+    * idempotent). NOTE: the cursors HOLD log + vacuum retention on their
+    * bronze sources from the moment they register — a deployment that
+    * abandons cdfRefresh must call [[decommissionFeedCursors]] or the
+    * held versions accumulate forever. */
   def run(
       lake: Lakehouse,
       dataClient: DataApiIngest.DataApiClient,
@@ -113,12 +118,19 @@ object Job {
       // into the latest-wins models and recomputes the rest.
       // change-feed mode: the six latest-wins models drain their bronze
       // change feeds through durable cursors FIRST — cost ∝ changed rows,
-      // deletes fold as retractions — and drop out of the snapshot paths
+      // deletes fold as retractions — and drop out of the snapshot paths.
+      // Drains run level-parallel like refreshParallel (disjoint sources,
+      // disjoint targets — serializing them would sum six straggler chains)
       val feedModels: Set[String] =
         if (!cdfRefresh) Set.empty
         else {
-          Silver.latestWinsSpecs.keys.foreach(n =>
-            Silver.refreshFromChangeFeed(lake, n, s"${lake.root}/_silver_cursors/$n"))
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          Await.result(
+            Future.sequence(Silver.latestWinsSpecs.keys.toSeq.map(n => Future {
+              Silver.refreshFromChangeFeed(lake, n, feedCursorDir(lake, n))
+            })), Duration.Inf)
           Silver.latestWinsSpecs.keySet
         }
       prevSnapshot match {
@@ -137,9 +149,9 @@ object Job {
           Silver.refreshParallel(lake,
             Some(Silver.models.map(_.name).toSet -- Silver.incrementalModels))
         case None =>
+          // Some(all-names) when feedModels is empty ≡ None — one path
           Silver.refreshParallel(lake,
-            if (feedModels.isEmpty) None
-            else Some(Silver.models.map(_.name).toSet -- feedModels))
+            Some(Silver.models.map(_.name).toSet -- feedModels))
       }
       Gold.refresh(lake)
 
@@ -167,4 +179,27 @@ object Job {
       else None
     RunReport(runId, status, checkFailures, failure, maint)
   }
+
+  /** The durable cursor dir a `cdfRefresh` run uses for `model`. */
+  def feedCursorDir(lake: Lakehouse, model: String): String =
+    s"${lake.root}/_silver_cursors/$model"
+
+  /** DECOMMISSION the change-feed consumers `cdfRefresh` created: deletes
+    * every feed cursor dir, releasing the log + vacuum retention their
+    * frontiers hold on the bronze sources (the registry markers pointing
+    * at the vanished dirs are ignored from then on). Call when a
+    * deployment reverts to snapshot-mode refresh for good — a frozen
+    * cursor would otherwise pin every version at-or-after its frontier
+    * forever. Re-enabling `cdfRefresh` later is safe: fresh cursors
+    * snapshot-bootstrap. */
+  def decommissionFeedCursors(lake: Lakehouse): Unit =
+    Silver.latestWinsSpecs.keys.foreach { n =>
+      val p = java.nio.file.Paths.get(feedCursorDir(lake, n))
+      if (java.nio.file.Files.exists(p)) {
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(x => java.nio.file.Files.deleteIfExists(x))
+        finally w.close()
+      }
+    }
 }

@@ -228,9 +228,11 @@ object Silver {
     * re-folding the same rows leaves every winner unchanged (contrast
     * [[graft.streaming.Streams.cdfAggregateSink]], whose retraction
     * arithmetic double-applies and therefore needs the writer-txn
-    * dedupe). A fresh cursor (version 0) delivers the whole table as
-    * inserts, so the first drain doubles as the bootstrap full refresh;
-    * `maxVersions` bounds each tick's catch-up exactly like the sinks in
+    * dedupe). A FRESH cursor bootstraps from the source SNAPSHOT (one
+    * visible-rows scan, valid on a mature lake whose early manifests are
+    * pruned) and jumps the cursor to the head; a caught-up cursor whose
+    * MV was deleted rebuilds it the same way. `maxVersions` bounds each
+    * incremental tick's catch-up exactly like the sinks in
     * [[graft.streaming.Streams]]. */
   def refreshFromChangeFeed(lake: Lakehouse, name: String, cursorDir: String,
       maxVersions: Int = Int.MaxValue): Option[(Int, Int)] = {
@@ -248,7 +250,33 @@ object Silver {
       maxVersions: Int = Int.MaxValue): Option[(Int, Int)] = {
     graft.streaming.Streams.registerCursor(lake.root, source, cursorDir)
     val cur = java.nio.file.Paths.get(cursorDir)
-    lake.tableChangesSince(source, cur, maxVersions).map { case (changes0, from, to) =>
+    val head = lake.committedBronzeVersion(source)
+    def snapshotRebuild(): Unit = {
+      val snap = latestWins(typed(lake.table("bronze", source)), grain, order)
+      if (!lake.exists(layer, target)) lake.materialize(layer, target, snap)
+      else lake.transactMerge(layer, target)(_ => snap)
+    }
+    // FRESH CURSOR → SNAPSHOT BOOTSTRAP, never a version-0 feed drain: on
+    // a mature lake the early manifests are pruned (commit-time retention
+    // keeps one checkpoint interval), so a from-0 change read would fail
+    // fast forever — and even where it could run, replaying full history
+    // including later-deleted rows costs strictly more than one
+    // visible-rows scan. Crash-safe: a replay before the cursor commit
+    // rebuilds the same snapshot (idempotent) and re-advances.
+    if (lake.changesCursor(cur) == 0 && head > 0) {
+      snapshotRebuild()
+      lake.commitChangesCursor(cur, head)
+      return Some((0, head))
+    }
+    val tick = lake.tableChangesSince(source, cur, maxVersions)
+    if (tick.isEmpty && head > 0 && !lake.exists(layer, target)) {
+      // caught-up cursor but the MV is GONE (the delete-to-force-a-rebuild
+      // idiom): rebuild from the snapshot without disturbing the cursor —
+      // otherwise the model would silently never materialize again
+      snapshotRebuild()
+      return None
+    }
+    tick.map { case (changes0, from, to) =>
       // capped ranges can end before an ADD COLUMNS landed a column the
       // typed projection references — fill from the head schema exactly
       // like Streams.cdfAggregateSink (same livelock otherwise)
@@ -287,8 +315,11 @@ object Silver {
       val rebuilt = keyMatch(typed(lake.table("bronze", source)), delKeys, "left_semi")
       val cols = freshAll.columns.toSeq.map(col)
       if (!lake.exists(layer, target))
-        lake.materialize(layer, target,
-          latestWins(fresh.unionByName(rebuilt), grain, order).select(cols: _*))
+        // mid-stream missing target (deleted between ticks): the delta
+        // alone would materialize a PARTIAL table — rebuild from the
+        // snapshot (covers this tick's range too; later re-folds of the
+        // overlap are idempotent under latest-wins)
+        snapshotRebuild()
       else lake.transactMerge(layer, target) { existing =>
         val freshKeys = fresh.select(grain.map(col): _*).distinct()
         val affected = freshKeys.union(delKeys).distinct()

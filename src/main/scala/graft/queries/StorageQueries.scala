@@ -657,21 +657,26 @@ object StorageQueries {
         .filter(f)
         .withColumn("price", (col("price") + lit(bump)).cast(money))
         .withColumn("obs_seq", lit(seq).cast("int"))
+      val cursor = scratch.resolve("cur").toString
+      def drain(): Unit = {
+        var guard = 0
+        while (graft.pipeline.Silver.latestWinsFeedTick(lake, "silver", "mv",
+            "ord", Seq("o_orderkey"), Seq(col("obs_seq").desc),
+            identity, cursor, maxVersions = 2).isDefined) {
+          guard += 1
+          require(guard <= 4, "capped feed drain failed to converge")
+        }
+      }
       lake.appendBronze("ord", obs(1, lit(true), 0).repartition(4))             // v1
+      drain() // fresh cursor: ONE snapshot-bootstrap tick
       lake.appendBronze("ord", obs(2, col("o_orderkey") % 3 === 0, 10).repartition(2)) // v2
       lake.deleteBronzeWhereDv("ord",
         col("obs_seq") === 2 && col("o_orderkey") % 9 === 0)                    // v3
       lake.appendBronze("ord", obs(3, col("o_orderkey") % 5 === 0, 20).repartition(2)) // v4
-      // bounded multi-tick drain: (0,2] bootstraps the MV, (2,4] folds the
-      // retraction (winner falls back to obs_seq=1) and the new obs_seq=3
-      val cursor = scratch.resolve("cur").toString
-      var guard = 0
-      while (graft.pipeline.Silver.latestWinsFeedTick(lake, "silver", "mv",
-          "ord", Seq("o_orderkey"), Seq(col("obs_seq").desc),
-          identity, cursor, maxVersions = 2).isDefined) {
-        guard += 1
-        require(guard <= 4, "capped feed drain failed to converge")
-      }
+      // bounded multi-tick INCREMENTAL drain: (1,3] folds the re-observation
+      // and its retraction (winner falls back to obs_seq=1), (3,4] the new
+      // obs_seq=3 — the feed path, not a re-bootstrap
+      drain()
       val res = lake.table("silver", "mv")
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("price").cast("double").as("price"),

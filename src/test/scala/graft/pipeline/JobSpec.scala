@@ -153,13 +153,28 @@ class JobSpec extends SparkSpec {
       assert(rows(cdfLake) == rows(fullLake),
         s"$m differs between change-feed and full day-2 refresh")
     }
-    // the cursors advanced to each source's head: a third run with no new
-    // bronze is a pure no-op drain for the feed models
+    // one more drain catches each cursor up past any maintenance commits
+    // Job ran AFTER the in-run drain (OPTIMIZE is dataChange=false, so the
+    // extra tick folds nothing) — then every cursor sits at its source head
     Silver.latestWinsSpecs.foreach { case (m, spec) =>
-      val cur = java.nio.file.Paths.get(s"${cdfLake.root}/_silver_cursors/$m")
+      Silver.refreshFromChangeFeed(cdfLake, m, Job.feedCursorDir(cdfLake, m))
+      val cur = java.nio.file.Paths.get(Job.feedCursorDir(cdfLake, m))
       assert(cdfLake.changesCursor(cur) ==
         cdfLake.committedBronzeVersion(spec.bronzeTable),
         s"$m cursor not caught up")
+    }
+    // and the MVs are still the recompute after the catch-up ticks
+    Silver.latestWinsSpecs.keys.foreach { m =>
+      def rows(lake: Lakehouse) = lake.table("silver", m)
+        .drop("request_id").collect().map(_.toString).sorted.toSeq
+      assert(rows(cdfLake) == rows(fullLake), s"$m diverged after catch-up")
+    }
+    // decommission releases the retention hold: cursor dirs gone, registry
+    // markers pointing at them are ignored from then on
+    Job.decommissionFeedCursors(cdfLake)
+    Silver.latestWinsSpecs.keys.foreach { m =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(Job.feedCursorDir(cdfLake, m))))
     }
   }
 

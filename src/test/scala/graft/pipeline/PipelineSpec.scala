@@ -540,7 +540,9 @@ class PipelineSpec extends SparkSpec {
     land("runA", "2025-06-01", 10, "Chan A")
     land("runB", "2025-06-02", 20, "Chan B") // re-observations: latest wins
     models.foreach { n =>
-      assert(drain(n) >= 2, s"$n expected multi-tick bootstrap")
+      // a fresh cursor bootstraps from the SNAPSHOT in one tick (never a
+      // version-0 feed drain — pruned early manifests would brick it)
+      assert(drain(n) == 1, s"$n expected one snapshot-bootstrap tick")
       assert(actual(n) == expected(n), s"$n bootstrap feed != recompute")
     }
     // a caught-up consumer is a no-op tick
@@ -564,6 +566,46 @@ class PipelineSpec extends SparkSpec {
     assert(ch.length == 1 && ch.head.getAs[String]("run_id") == "runB" &&
       ch.head.getAs[String]("channel_title") == "Chan B",
       s"winner did not fall back to runB: ${ch.toSeq}")
+  }
+
+  test("fresh-cursor bootstrap works on a MATURE lake whose early manifests are pruned") {
+    import spark.implicits._
+    val l = new Lakehouse(spark, Files.createTempDirectory("graft-cdfmature").toString)
+    // > one checkpoint interval of commits WITHOUT a registered cursor:
+    // commit-time retention prunes the early manifests — a version-0 feed
+    // drain would fail fast forever ('version 1 is not retained')
+    (1 to 14).foreach { i =>
+      l.appendBronze("src",
+        Seq((i.toLong, s"g${i % 3}", i.toLong, s"r$i"))
+          .toDF("id", "grp", "val", "run_id").repartition(1))
+    }
+    assert(l.tableVersions("bronze", "src").min > 1, "expected pruned early manifests")
+    val cursor = Files.createTempDirectory("graft-cdfmature-cur").toString
+    def tick() = Silver.latestWinsFeedTick(l, "silver", "mv", "src",
+      Seq("grp"), Seq(col("id").desc), identity, cursor)
+    def expected: Seq[String] =
+      Silver.latestWins(l.table("bronze", "src"), Seq("grp"), Seq(col("id").desc))
+        .collect().map(_.toString).sorted.toSeq
+    def actual: Seq[String] =
+      l.table("silver", "mv").collect().map(_.toString).sorted.toSeq
+    // snapshot bootstrap: one tick, cursor jumps to the head
+    assert(tick().contains((0, 14)))
+    assert(actual == expected, "mature-lake bootstrap diverged")
+    assert(tick().isEmpty)
+    // incremental from there
+    l.appendBronze("src",
+      Seq((99L, "g1", 99L, "r99")).toDF("id", "grp", "val", "run_id").repartition(1))
+    assert(tick().isDefined)
+    assert(actual == expected)
+    // the delete-to-force-a-rebuild idiom: MV gone + caught-up cursor must
+    // REBUILD from the snapshot, not silently never materialize again
+    val mvDir = java.nio.file.Paths.get(l.root, "silver", "mv")
+    val w = Files.walk(mvDir)
+    try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    finally w.close()
+    assert(tick().isEmpty) // caught up — but the rebuild happened
+    assert(actual == expected, "deleted MV was not rebuilt on the no-op tick")
   }
 
   test("feed fold pairs NULL grain values: retraction and re-observation of a NULL-key grain") {
