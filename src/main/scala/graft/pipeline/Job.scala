@@ -127,10 +127,14 @@ object Job {
           import scala.concurrent.{Await, ExecutionContext, Future}
           import scala.concurrent.duration.Duration
           implicit val ec: ExecutionContext = ExecutionContext.global
-          Await.result(
+          // every drain SETTLES before anything proceeds — a fail-fast
+          // await would leak the still-running drains to race finalize,
+          // maintenance, and even the next run's cursors
+          val settled = Await.result(
             Future.sequence(Silver.latestWinsSpecs.keys.toSeq.map(n => Future {
-              Silver.refreshFromChangeFeed(lake, n, feedCursorDir(lake, n))
+              scala.util.Try(Silver.refreshFromChangeFeed(lake, n, feedCursorDir(lake, n)))
             })), Duration.Inf)
+          settled.collectFirst { case scala.util.Failure(t) => throw t }
           Silver.latestWinsSpecs.keySet
         }
       prevSnapshot match {
@@ -185,21 +189,16 @@ object Job {
     s"${lake.root}/_silver_cursors/$model"
 
   /** DECOMMISSION the change-feed consumers `cdfRefresh` created: deletes
-    * every feed cursor dir, releasing the log + vacuum retention their
-    * frontiers hold on the bronze sources (the registry markers pointing
-    * at the vanished dirs are ignored from then on). Call when a
-    * deployment reverts to snapshot-mode refresh for good — a frozen
-    * cursor would otherwise pin every version at-or-after its frontier
-    * forever. Re-enabling `cdfRefresh` later is safe: fresh cursors
+    * the WHOLE `_silver_cursors` tree (not just the current
+    * latestWinsSpecs names — a cursor left by a model since removed or
+    * renamed would otherwise keep its frontier pinned forever), releasing
+    * the log + vacuum retention held on the bronze sources (registry
+    * markers pointing at the vanished dirs are ignored from then on).
+    * Call when a deployment reverts to snapshot-mode refresh for good.
+    * Re-enabling `cdfRefresh` later is safe: fresh cursors
     * snapshot-bootstrap. */
-  def decommissionFeedCursors(lake: Lakehouse): Unit =
-    Silver.latestWinsSpecs.keys.foreach { n =>
-      val p = java.nio.file.Paths.get(feedCursorDir(lake, n))
-      if (java.nio.file.Files.exists(p)) {
-        val w = java.nio.file.Files.walk(p)
-        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(x => java.nio.file.Files.deleteIfExists(x))
-        finally w.close()
-      }
-    }
+  def decommissionFeedCursors(lake: Lakehouse): Unit = {
+    val root = java.nio.file.Paths.get(s"${lake.root}/_silver_cursors")
+    if (java.nio.file.Files.exists(root)) lake.deleteRecursively(root)
+  }
 }

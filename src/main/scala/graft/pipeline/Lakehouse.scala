@@ -658,9 +658,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * work stays O(cap), not O(outage length), and cursor-held retention
     * releases incrementally. ONE copy of the cap arithmetic, shared by
     * every consumer (tableChangesSince, Streams.changesSink). */
-  private[graft] def cappedChangesTo(name: String, from: Int, maxVersions: Int): Int = {
+  private[graft] def cappedChangesTo(name: String, from: Int, maxVersions: Int): Int =
+    cappedTo(committedBronzeVersion(name), from, maxVersions)
+
+  /** The cap arithmetic with the head already in hand — for callers that
+    * listed the log themselves this tick (no second directory listing). */
+  private[graft] def cappedTo(head: Int, from: Int, maxVersions: Int): Int = {
     require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
-    math.min(committedBronzeVersion(name).toLong, from.toLong + maxVersions).toInt
+    math.min(head.toLong, from.toLong + maxVersions).toInt
   }
 
   /** The newest committed version of a log-managed bronze table (0 = no
@@ -4090,7 +4095,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   def bucketedTable(layer: String, name: String): DataFrame =
     spark.table(s"${physicalSchema(layer)}_$name")
 
-  private def deleteRecursively(p: Path): Unit =
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       // close the walk stream (it holds an fd) — same discipline as
       // Streams.deleteRecursively and listDir

@@ -263,12 +263,17 @@ object Silver {
     // including later-deleted rows costs strictly more than one
     // visible-rows scan. Crash-safe: a replay before the cursor commit
     // rebuilds the same snapshot (idempotent) and re-advances.
-    if (lake.changesCursor(cur) == 0 && head > 0) {
+    val from = lake.changesCursor(cur)
+    if (from == 0 && head > 0) {
       snapshotRebuild()
       lake.commitChangesCursor(cur, head)
       return Some((0, head))
     }
-    val tick = lake.tableChangesSince(source, cur, maxVersions)
+    // head and cursor were read once above — reuse them for the cap
+    // arithmetic instead of re-listing the log and cursor dirs
+    val to = lake.cappedTo(head, from, maxVersions)
+    val tick =
+      if (to <= from) None else Some((lake.tableChanges(source, from, to), from, to))
     if (tick.isEmpty && head > 0 && !lake.exists(layer, target)) {
       // caught-up cursor but the MV is GONE (the delete-to-force-a-rebuild
       // idiom): rebuild from the snapshot without disturbing the cursor —
