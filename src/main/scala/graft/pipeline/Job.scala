@@ -134,7 +134,14 @@ object Job {
             Future.sequence(Silver.latestWinsSpecs.keys.toSeq.map(n => Future {
               scala.util.Try(Silver.refreshFromChangeFeed(lake, n, feedCursorDir(lake, n)))
             })), Duration.Inf)
-          settled.collectFirst { case scala.util.Failure(t) => throw t }
+          // a multi-model incident must not masquerade as a single-model
+          // one: every other drain's failure rides the thrown exception as
+          // a suppressed cause instead of being silently discarded
+          settled.collectFirst { case scala.util.Failure(t) =>
+            settled.collect { case scala.util.Failure(o) if o ne t => o }
+              .foreach(t.addSuppressed)
+            throw t
+          }
           Silver.latestWinsSpecs.keySet
         }
       prevSnapshot match {

@@ -218,8 +218,11 @@ object Silver {
     * Delete handling [[refreshIncremental]] cannot express: a
     * `delete`/`update_preimage` row names a grain whose standing winner
     * may have been retracted — the tick re-derives those grains from the
-    * source's CURRENT visible rows (the correct new winner can be an
-    * OLDER source row absent from the tick), a key-restricted scan.
+    * source's visible rows AS OF the tick's end version (the correct new
+    * winner can be an OLDER source row absent from the tick), a
+    * key-restricted scan. After any tick the MV is exactly
+    * latest-wins(source@frontier) — a consistent view of one source
+    * version, even under capped drains or concurrent writers.
     * Everything else is churn-sized: the merge windows only affected
     * grains; existing rows elsewhere pass through an anti-join untouched.
     *
@@ -241,18 +244,59 @@ object Silver {
       spec.order, spec.typed, cursorDir, maxVersions)
   }
 
+  /** Null-safe key routing shared by every feed fold (`<=>`):
+    * latest-wins's window groups NULL grain values as one real grain, so
+    * the joins that route rows around it must pair NULLs too — a plain
+    * equality join would strand a standing NULL-grain winner past its
+    * retraction and diverge from the from-scratch recompute. Key frames
+    * are renamed before the condition join (both sides often share a
+    * lineage — same-name references would be ambiguous). */
+  private def keyMatch(left: DataFrame, keys: DataFrame, grain: Seq[String],
+      how: String): DataFrame = {
+    val renamed = grain.zipWithIndex.foldLeft(keys) {
+      case (d, (k, i)) => d.withColumnRenamed(k, s"__g$i")
+    }
+    left.join(broadcast(renamed),
+      grain.zipWithIndex.map { case (k, i) => left(k) <=> renamed(s"__g$i") }
+        .reduce(_ && _), how)
+  }
+
+  /** Fill columns a capped range predates (the range's frames are
+    * self-consistent at ITS head; an ADD COLUMNS landing after it would
+    * otherwise make the typed projection throw on every retry of the same
+    * capped range — a livelock). Only source columns are fillable; typed
+    * projections may reference derived names, which pass through. */
+  private def fillHeadColumns(lake: Lakehouse, source: String,
+      changes0: DataFrame): DataFrame = {
+    lazy val headSchema = lake.table("bronze", source).schema
+    headSchema.fields
+      .filterNot(f => changes0.columns.contains(f.name))
+      .foldLeft(changes0)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
   /** One change-feed tick of the generic latest-wins fold — the machinery
     * under [[refreshFromChangeFeed]], table-agnostic so the storage suite
-    * can oracle-gate it over TPC-H samples (st15). */
+    * can oracle-gate it over TPC-H samples (st15).
+    *
+    * `existingPrep` strips columns of the standing table that `typed` does
+    * not produce (derived attachments like silver_videos' SCD2 surrogate
+    * key) before the fold; `finish` re-derives them on the folded affected
+    * rows — untouched rows keep their standing values (valid exactly when
+    * the attachment can only change for ids the same tick touches, which
+    * holds when attachment state and fold drain the SAME source ranges —
+    * [[refreshVideoModelsFromChangeFeed]]'s single-cursor contract). */
   def latestWinsFeedTick(lake: Lakehouse, layer: String, target: String,
       source: String, grain: Seq[String], order: Seq[Column],
       typed: DataFrame => DataFrame, cursorDir: String,
-      maxVersions: Int = Int.MaxValue): Option[(Int, Int)] = {
+      maxVersions: Int = Int.MaxValue,
+      existingPrep: DataFrame => DataFrame = identity,
+      finish: DataFrame => DataFrame = identity): Option[(Int, Int)] = {
     graft.streaming.Streams.registerCursor(lake.root, source, cursorDir)
     val cur = java.nio.file.Paths.get(cursorDir)
     val head = lake.committedBronzeVersion(source)
     def snapshotRebuild(): Unit = {
-      val snap = latestWins(typed(lake.table("bronze", source)), grain, order)
+      val snap = finish(latestWins(typed(lake.table("bronze", source)), grain, order))
       if (!lake.exists(layer, target)) lake.materialize(layer, target, snap)
       else lake.transactMerge(layer, target)(_ => snap)
     }
@@ -282,63 +326,64 @@ object Silver {
       return None
     }
     tick.map { case (changes0, from, to) =>
-      // capped ranges can end before an ADD COLUMNS landed a column the
-      // typed projection references — fill from the head schema exactly
-      // like Streams.cdfAggregateSink (same livelock otherwise)
-      lazy val headSchema = lake.table("bronze", source).schema
-      val changes = headSchema.fields
-        .filterNot(f => changes0.columns.contains(f.name))
-        .foldLeft(changes0)((d, f) =>
-          d.withColumn(f.name, lit(null).cast(f.dataType)))
-      val metaCols = Seq("_change_type", "_commit_version")
-      val freshAll = typed(changes
-        .filter(col("_change_type").isin("insert", "update_postimage"))
-        .drop(metaCols: _*))
-      val delKeys = typed(changes
-        .filter(col("_change_type").isin("delete", "update_preimage"))
-        .drop(metaCols: _*))
-        .select(grain.map(col): _*).distinct()
-      // NULL-SAFE key matching throughout (`<=>`): latestWins's window
-      // groups NULL grain values as one real grain, so the joins that
-      // route rows around it must pair NULLs too — a plain equality join
-      // would strand a standing NULL-grain winner past its retraction and
-      // diverge from the from-scratch recompute. Key frames are renamed
-      // before the condition join (fresh and delKeys share the `changes`
-      // lineage — same-name references would be ambiguous).
-      def keyMatch(left: DataFrame, keys: DataFrame, how: String): DataFrame = {
-        val renamed = grain.zipWithIndex.foldLeft(keys) {
-          case (d, (k, i)) => d.withColumnRenamed(k, s"__g$i")
-        }
-        left.join(broadcast(renamed),
-          grain.zipWithIndex.map { case (k, i) => left(k) <=> renamed(s"__g$i") }
-            .reduce(_ && _), how)
-      }
-      // fresh rows at a retraction-hit grain may THEMSELVES be retracted
-      // later in the range (insert v5, delete v7) — those grains come
-      // exclusively from the rebuild, which reads the visible truth
-      val fresh = keyMatch(freshAll, delKeys, "left_anti")
-      val rebuilt = keyMatch(typed(lake.table("bronze", source)), delKeys, "left_semi")
-      val cols = freshAll.columns.toSeq.map(col)
-      if (!lake.exists(layer, target))
-        // mid-stream missing target (deleted between ticks): the delta
-        // alone would materialize a PARTIAL table — rebuild from the
-        // snapshot (covers this tick's range too; later re-folds of the
-        // overlap are idempotent under latest-wins)
-        snapshotRebuild()
-      else lake.transactMerge(layer, target) { existing =>
-        val freshKeys = fresh.select(grain.map(col): _*).distinct()
-        val affected = freshKeys.union(delKeys).distinct()
-        // standing winners at insert-only grains still compete; winners at
-        // retraction-hit grains are replaced by the rebuild wholesale
-        val standing = keyMatch(existing, freshKeys, "left_semi")
-        val untouched = keyMatch(existing, affected, "left_anti")
-        untouched.unionByName(latestWins(
-          standing.unionByName(fresh).unionByName(rebuilt), grain, order))
-          .select(cols: _*)
-      }
+      latestWinsApplyRange(lake, layer, target, source, grain, order, typed,
+        existingPrep, finish, changes0, to)
       lake.commitChangesCursor(cur, to)
       (from, to)
     }
+  }
+
+  /** Apply ONE drained change range to a latest-wins MV — the
+    * cursor-agnostic fold under [[latestWinsFeedTick]], factored out so a
+    * composite consumer ([[refreshVideoModelsFromChangeFeed]]) can apply
+    * several folds to the SAME range under one cursor. Idempotent: a
+    * replay re-derives the same affected grains and winners (the rebuild
+    * scan is pinned to `to`), so a crash between the merge and the
+    * caller's cursor commit is safe. */
+  private def latestWinsApplyRange(lake: Lakehouse, layer: String,
+      target: String, source: String, grain: Seq[String], order: Seq[Column],
+      typed: DataFrame => DataFrame,
+      existingPrep: DataFrame => DataFrame, finish: DataFrame => DataFrame,
+      changes0: DataFrame, to: Int): Unit = {
+    val changes = fillHeadColumns(lake, source, changes0)
+    val metaCols = Seq("_change_type", "_commit_version")
+    val freshAll = typed(changes
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .drop(metaCols: _*))
+    val delKeys = typed(changes
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .drop(metaCols: _*))
+      .select(grain.map(col): _*).distinct()
+    // fresh rows at a retraction-hit grain may THEMSELVES be retracted
+    // later in the range (insert v5, delete v7) — those grains come
+    // exclusively from the rebuild. The rebuild scan is PINNED to the
+    // tick's end version `to` (not the live head): under a capped drain
+    // or a concurrent writer a head read would commit rows from versions
+    // beyond the cursor frontier — convergent under latest-wins, but the
+    // MV between ticks would not be a consistent view of ANY source
+    // version. Pinned, every tick leaves the MV ≡ latest-wins(source@to).
+    val fresh = keyMatch(freshAll, delKeys, grain, "left_anti")
+    val rebuilt = keyMatch(typed(lake.tableAt("bronze", source, to)), delKeys,
+      grain, "left_semi")
+    if (!lake.exists(layer, target))
+      // mid-stream missing target (deleted between ticks): the delta
+      // alone would materialize a PARTIAL table — rebuild from the
+      // snapshot (covers this tick's range too; later re-folds of the
+      // overlap are idempotent under latest-wins)
+      lake.materialize(layer, target,
+        finish(latestWins(typed(lake.table("bronze", source)), grain, order)))
+    else lake.transactMerge(layer, target) { existing =>
+      val freshKeys = fresh.select(grain.map(col): _*).distinct()
+      val affected = freshKeys.union(delKeys).distinct()
+      // standing winners at insert-only grains still compete; winners at
+      // retraction-hit grains are replaced by the rebuild wholesale
+      val standing = keyMatch(existingPrep(existing), freshKeys, grain, "left_semi")
+      val untouched = keyMatch(existing, affected, grain, "left_anti")
+      untouched.unionByName(finish(latestWins(
+        standing.unionByName(fresh).unionByName(rebuilt), grain, order)))
+        .select(existing.columns.map(col).toSeq: _*)
+    }
+    ()
   }
 
   /** Every model [[refreshIncremental]] can merge (vs full recompute).

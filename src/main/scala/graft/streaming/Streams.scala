@@ -758,7 +758,23 @@ object Streams {
     require(keys.nonEmpty, "cdfAggregateSink needs at least one key column")
     registerCursor(lake.root, source, cursorDir)
     val cur = java.nio.file.Paths.get(cursorDir)
-    lake.tableChangesSince(source, cur, maxVersions).map { case (changes0, from, to) =>
+    // LEGACY-FRONTIER resolution happens BEFORE the range is read: a
+    // migrated cursor ([[migrateLegacyCdfAggCursor]]) records the end of an
+    // APPLIED prefix f, so a range ending at-or-below f skips wholesale —
+    // and a range SPANNING it (from < f < to, e.g. an append landed between
+    // the pre-upgrade crash and the post-upgrade replay under a large tick
+    // cap) must NOT fold whole: (from, f] is already applied and would
+    // double-count. Clamp the tick at f — no merge, cursor advances to f —
+    // and the next tick folds only the unapplied (f, to] suffix.
+    val from0 = lake.changesCursor(cur)
+    val to0 = lake.cappedChangesTo(source, from0, maxVersions)
+    if (to0 <= from0) return None
+    legacyFrontier(cur).filter(_ > from0).foreach { f =>
+      val clampTo = math.min(f, to0.toLong).toInt
+      lake.commitChangesCursor(cur, clampTo)
+      return Some((from0, clampTo))
+    }
+    Some((lake.tableChanges(source, from0, to0), from0, to0)).map { case (changes0, from, to) =>
       // a CAPPED range can end before an ADD COLUMNS landed a key/summed
       // column: the feed's frames (self-consistent at the RANGE's head)
       // then lack it, and referencing it would throw on every retry of the
@@ -813,16 +829,14 @@ object Streams {
       // operator has (the old consumer's source vs a source added later),
       // so the dedupe is gated on an EXPLICIT one-time migration marker
       // ([[migrateLegacyCdfAggCursor]], run per pre-existing consumer at
-      // upgrade). A migrated cursor skips every range ending at-or-below
-      // the recorded frontier — correct under ANY tick cap, because the
-      // legacy frontier is the end of an APPLIED prefix, so every subrange
-      // of it has been folded. Unmigrated (post-upgrade) consumers never
-      // consult the stale frontier and can't be swallowed by it.
-      val legacyApplied = legacyFrontier(cur).exists(_ >= to)
-      if (!legacyApplied)
-        lake.mergeBronze(target, merged, keys,
-          txn = Some((s"cdfagg:$source:$target", to.toLong)),
-          nullSafeKeys = true)
+      // upgrade). The frontier is consumed ABOVE, before the range read:
+      // ranges at-or-below it skip, ranges spanning it clamp — by this
+      // point the whole range is past the applied prefix and always folds.
+      // Unmigrated (post-upgrade) consumers never consult the stale
+      // frontier and can't be swallowed by it.
+      lake.mergeBronze(target, merged, keys,
+        txn = Some((s"cdfagg:$source:$target", to.toLong)),
+        nullSafeKeys = true)
       lake.commitChangesCursor(cur, to)
       (from, to)
     }
@@ -848,9 +862,22 @@ object Streams {
       val tmp = dir.resolve(s".legacy_frontier_${java.util.UUID.randomUUID.toString.take(8)}.tmp")
       java.nio.file.Files.write(tmp,
         f.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      try java.nio.file.Files.createLink(dir.resolve("_legacy_txn_frontier"), tmp)
-      catch { case _: java.nio.file.FileAlreadyExistsException => }
-      java.nio.file.Files.delete(tmp)
+      val dst = dir.resolve("_legacy_txn_frontier")
+      // hard link = atomic put-if-absent on POSIX; filesystems without link
+      // support (some network/object-store mounts) throw
+      // UnsupportedOperationException or a generic FileSystemException —
+      // fall back to an atomic rename (idempotent re-runs write the same
+      // frontier value, so a rename-over is harmless). tmp cleanup lives in
+      // a finally so no failure path leaks it.
+      try {
+        try java.nio.file.Files.createLink(dst, tmp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            java.nio.file.Files.move(tmp, dst,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     }
 
   /** The migrated legacy frontier of a cursor dir, if any. */

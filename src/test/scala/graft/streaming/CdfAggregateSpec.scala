@@ -304,6 +304,33 @@ class CdfAggregateSpec extends SparkSpec {
     assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
   }
 
+  test("legacy upgrade: a tick SPANNING the frontier clamps instead of double-applying the prefix") {
+    val lake = mkLake("cdfaggspan")
+    val cursor = Files.createTempDirectory("graft-cdfaggspan-cur").toString
+    lake.appendBronze("src", rows("r1", Seq((1L, "a", 10L), (2L, "b", 5L)))) // v1
+    // pre-upgrade binary applied (0,1] and crashed before its cursor commit
+    val preFold = Seq(("a", 1L, 10L), ("b", 1L, 5L)).toDF("grp", "cnt", "sum_val")
+    lake.mergeBronze("agg", preFold, Seq("grp"), txn = Some(("cdfagg:agg", 1L)))
+    Streams.migrateLegacyCdfAggCursor(lake, "agg", cursor)
+    // an append lands AFTER migration but BEFORE the replay tick: the first
+    // (uncapped) replay range spans the frontier — from=0 < f=1 < to=2 —
+    // and folding it whole would re-apply the (0,1] prefix (double count)
+    lake.appendBronze("src", rows("r2", Seq((3L, "a", 2L)))) // v2
+    assert(Streams.cdfAggregateSink(lake, "src", "agg",
+      Seq("grp"), Seq("val"), cursor).contains((0, 1)),
+      "spanning tick did not clamp at the legacy frontier")
+    val a1 = Streams.cdfAggregate(lake, "agg").filter(col("grp") === "a").collect().head
+    assert(a1.getAs[Long]("cnt") == 1L &&
+      a1.getAs[Number]("sum_val").longValue() == 10L,
+      s"spanning tick double-applied the legacy prefix: $a1")
+    // the unapplied suffix folds on the next tick
+    assert(Streams.cdfAggregateSink(lake, "src", "agg",
+      Seq("grp"), Seq("val"), cursor).contains((1, 2)))
+    assert(same(Streams.cdfAggregate(lake, "agg"), scratch(lake)))
+    assert(Streams.cdfAggregateSink(lake, "src", "agg",
+      Seq("grp"), Seq("val"), cursor).isEmpty)
+  }
+
   test("legacy upgrade: a migrated replay under a SMALLER tick cap still dedupes every subrange") {
     val lake = mkLake("cdfaggcapped")
     val cursor = Files.createTempDirectory("graft-cdfaggcapped-cur").toString
