@@ -40,20 +40,26 @@ object Job {
     * dims and dim_date — all small) recompute. Falls back to a full
     * refresh on the first run.
     *
-    * `cdfRefresh = true` upgrades the six latest-wins models from
-    * snapshot-driven merging to CHANGE-FEED consumption
-    * ([[Silver.refreshFromChangeFeed]], the Lakeflow-"Enzyme" analog):
-    * each keeps a durable cursor under `<root>/_silver_cursors/<model>`,
-    * a run's refresh cost tracks the rows changed since the last drain
-    * (not whole snapshot partitions), and bronze DELETEs fold as
-    * retractions instead of being invisible until a full refresh. The
-    * first drain bootstraps from the source SNAPSHOT (works on a mature
-    * lake whose early manifests are pruned); safe to mix with
-    * `incremental` runs (latest-wins makes a re-folded overlap
-    * idempotent). NOTE: the cursors HOLD log + vacuum retention on their
-    * bronze sources from the moment they register — a deployment that
-    * abandons cdfRefresh must call [[decommissionFeedCursors]] or the
-    * held versions accumulate forever. */
+    * `cdfRefresh = true` upgrades EVERY silver model from snapshot-driven
+    * refresh to CHANGE-FEED consumption (the Lakeflow-"Enzyme" analog):
+    * the six latest-wins models ([[Silver.refreshFromChangeFeed]]), the
+    * SCD2 pair + silver_videos (one composite cursor,
+    * [[Silver.refreshVideoModelsFromChangeFeed]]), the channel fact
+    * ([[Silver.refreshChannelFactFromChangeFeed]]), the three
+    * observed-value dims ([[Silver.refreshDimFromChangeFeed]]), and the
+    * calendar dim ([[Silver.dimDateFeedTick]] + assemble). Each consumer
+    * keeps a durable cursor under `<root>/_silver_cursors/…`, a run's
+    * refresh cost tracks the rows changed since the last drain (not whole
+    * snapshot partitions), and bronze DELETEs fold as retractions instead
+    * of being invisible until a full refresh. First drains bootstrap from
+    * the source SNAPSHOT (works on a mature lake whose early manifests
+    * are pruned); safe to mix with `incremental` runs (latest-wins makes
+    * a re-folded overlap idempotent). On an unchanged lake the whole
+    * silver stage costs cursor reads only — no model rewrites. NOTE: the
+    * cursors HOLD log + vacuum retention on their bronze sources from the
+    * moment they register — a deployment that abandons cdfRefresh must
+    * call [[decommissionFeedCursors]] or the held versions accumulate
+    * forever. */
   def run(
       lake: Lakehouse,
       dataClient: DataApiIngest.DataApiClient,
@@ -99,6 +105,7 @@ object Job {
     var status = "success"
     var failure: Option[Throwable] = None
     var checkFailures: Seq[(String, String, Long)] = Seq.empty
+    var channelChanged = false
     try {
       val (start, end, mode) =
         AnalyticsIngest.resolveWindow(startDate, endDate, lookbackDays, today)
@@ -116,11 +123,18 @@ object Job {
       // dbt with 4 threads; identity with sequential refresh is spec-pinned)
       // then gold marts. Incremental mode merges only new bronze partitions
       // into the latest-wins models and recomputes the rest.
-      // change-feed mode: the six latest-wins models drain their bronze
-      // change feeds through durable cursors FIRST — cost ∝ changed rows,
-      // deletes fold as retractions — and drop out of the snapshot paths.
-      // Drains run level-parallel like refreshParallel (disjoint sources,
-      // disjoint targets — serializing them would sum six straggler chains)
+      // change-feed mode covers EVERY silver model — no snapshot path runs:
+      //   level 0: the six latest-wins models drain their bronze change
+      //            feeds through durable cursors (cost ∝ changed rows,
+      //            deletes fold as retractions) + the static ISO dim;
+      //   level 1: the SCD2 pair + silver_videos (ONE composite cursor on
+      //            videos_raw — Silver.refreshVideoModelsFromChangeFeed),
+      //            the channel fact (reads level-0 silver_channels), and
+      //            the three observed-value dims;
+      //   level 2: the calendar dim folds per-source date counts from the
+      //            five fact feeds and re-assembles only when one ticked.
+      // Each level's drains run parallel like refreshParallel (disjoint
+      // sources/targets — serializing would sum the straggler chains).
       val feedModels: Set[String] =
         if (!cdfRefresh) Set.empty
         else {
@@ -129,20 +143,50 @@ object Job {
           implicit val ec: ExecutionContext = ExecutionContext.global
           // every drain SETTLES before anything proceeds — a fail-fast
           // await would leak the still-running drains to race finalize,
-          // maintenance, and even the next run's cursors
-          val settled = Await.result(
-            Future.sequence(Silver.latestWinsSpecs.keys.toSeq.map(n => Future {
-              scala.util.Try(Silver.refreshFromChangeFeed(lake, n, feedCursorDir(lake, n)))
-            })), Duration.Inf)
-          // a multi-model incident must not masquerade as a single-model
-          // one: every other drain's failure rides the thrown exception as
-          // a suppressed cause instead of being silently discarded
-          settled.collectFirst { case scala.util.Failure(t) =>
-            settled.collect { case scala.util.Failure(o) if o ne t => o }
-              .foreach(t.addSuppressed)
-            throw t
+          // maintenance, and even the next run's cursors. A multi-model
+          // incident must not masquerade as a single-model one: every
+          // other drain's failure rides the thrown exception as a
+          // suppressed cause instead of being silently discarded.
+          def drainLevel(work: Seq[() => Any]): Unit = {
+            val settled = Await.result(
+              Future.sequence(work.map(w => Future(scala.util.Try(w())))),
+              Duration.Inf)
+            settled.collectFirst { case scala.util.Failure(t) =>
+              settled.collect { case scala.util.Failure(o) if o ne t => o }
+                .foreach(t.addSuppressed)
+              throw t
+            }
+            ()
           }
-          Silver.latestWinsSpecs.keySet
+          // the channel-identity check reads the STANDING fact — evaluated
+          // before any feed refresh fixes it, consumed by the dim_date
+          // channel-counts reset at level 2 and the gold summary reset
+          val chChanged = Silver.channelIdentityChanged(lake)
+          channelChanged = chChanged
+          drainLevel(
+            Silver.latestWinsSpecs.keys.toSeq.map(n => () =>
+              Silver.refreshFromChangeFeed(lake, n, feedCursorDir(lake, n))) :+
+            (() => if (!lake.exists("silver", "dim_country_reference"))
+              lake.materialize("silver", "dim_country_reference",
+                Silver.dimCountryReference.build(lake))))
+          drainLevel(Seq(
+            () => Silver.refreshVideoModelsFromChangeFeed(
+              lake, feedCursorDir(lake, "video_models")),
+            () => Silver.refreshChannelFactFromChangeFeed(
+              lake, feedCursorDir(lake, "fact_channel_daily_metrics")),
+            () => Silver.refreshDimFromChangeFeed(
+              lake, "dim_traffic_source", feedCursorDir(lake, "dim_traffic_source")),
+            () => Silver.refreshDimFromChangeFeed(
+              lake, "dim_device", feedCursorDir(lake, "dim_device")),
+            () => Silver.refreshDimFromChangeFeed(
+              lake, "dim_country", feedCursorDir(lake, "dim_country"))))
+          if (chChanged)
+            Silver.resetDimDateChannelCounts(lake, feedCursorDir(lake, "dim_date"))
+          val dimDateTicked =
+            Silver.dimDateFeedTick(lake, feedCursorDir(lake, "dim_date"))
+          if (dimDateTicked || !lake.exists("silver", "dim_date"))
+            Silver.assembleDimDate(lake)
+          Silver.models.map(_.name).toSet
         }
       prevSnapshot match {
         case Some(since) =>
@@ -150,21 +194,30 @@ object Job {
             .foreach(n => Silver.refreshIncremental(lake, n, since))
           // SCD2 before silver_videos (current-flag FK); the channel fact
           // after silver_channels (its top-1 cross-join input, merged above)
-          Silver.refreshIncremental(lake, "silver_video_metadata_scd2", since)
-          Silver.refreshIncremental(lake, "silver_videos", since)
-          Silver.refreshIncremental(lake, "fact_channel_daily_metrics", since)
           // dims last: the observed-value dims merge from fresh bronze; the
           // calendar dim unions dates observed in the fresh partitions
-          Seq("dim_traffic_source", "dim_device", "dim_country", "dim_date")
+          Seq("silver_video_metadata_scd2", "silver_videos",
+              "fact_channel_daily_metrics",
+              "dim_traffic_source", "dim_device", "dim_country", "dim_date")
+            .filterNot(feedModels.contains)
             .foreach(n => Silver.refreshIncremental(lake, n, since))
           Silver.refreshParallel(lake,
-            Some(Silver.models.map(_.name).toSet -- Silver.incrementalModels))
+            Some(Silver.models.map(_.name).toSet -- Silver.incrementalModels -- feedModels))
         case None =>
-          // Some(all-names) when feedModels is empty ≡ None — one path
+          // Some(all-names) when feedModels is empty ≡ None — one path;
+          // full-coverage change-feed mode leaves this set EMPTY
           Silver.refreshParallel(lake,
             Some(Silver.models.map(_.name).toSet -- feedModels))
       }
-      Gold.refresh(lake)
+      // stage: gold marts. Change-feed mode rebuilds only the grains the
+      // bronze feeds name (Gold.refreshFromChangeFeeds), each dep capped at
+      // the version its SILVER consumer folded this run — gold never
+      // outruns silver. A channel-identity change re-stamped the silver
+      // fact wholesale, so the channel summary's feed state resets first.
+      if (cdfRefresh) {
+        if (channelChanged) Gold.resetChannelSummaryFeed(lake)
+        Gold.refreshFromChangeFeeds(lake, silverFeedFrontier(lake, _))
+      } else Gold.refresh(lake)
 
       // stage: the full check suite; any error-severity offender fails the run
       val results = Checks.run(lake, snapshot)
@@ -195,6 +248,21 @@ object Job {
   def feedCursorDir(lake: Lakehouse, model: String): String =
     s"${lake.root}/_silver_cursors/$model"
 
+  /** The version the SILVER feed consumer of `source` has folded through —
+    * the frontier cap for gold deps on the same source (a gold tick must
+    * never outrun silver). 0 (missing cursor) caps gold at nothing read,
+    * which is exactly right before silver's first drain. */
+  private def silverFeedFrontier(lake: Lakehouse, source: String): Option[Int] = {
+    val consumerOf: Map[String, String] = Map(
+      "videos_raw" -> "video_models",
+      "analytics_channel_daily_raw" -> "fact_channel_daily_metrics") ++
+      Silver.latestWinsSpecs.collect {
+        case (m, s) if s.bronzeTable != "videos_raw" => s.bronzeTable -> m
+      }
+    consumerOf.get(source).map(m =>
+      lake.changesCursor(java.nio.file.Paths.get(feedCursorDir(lake, m))))
+  }
+
   /** DECOMMISSION the change-feed consumers `cdfRefresh` created: deletes
     * the WHOLE `_silver_cursors` tree (not just the current
     * latestWinsSpecs names — a cursor left by a model since removed or
@@ -207,5 +275,12 @@ object Job {
   def decommissionFeedCursors(lake: Lakehouse): Unit = {
     val root = java.nio.file.Paths.get(s"${lake.root}/_silver_cursors")
     if (java.nio.file.Files.exists(root)) lake.deleteRecursively(root)
+    // the calendar dim's per-source count tables are feed-consumer state
+    // too: without their cursors they can never advance again, and a later
+    // re-enable snapshot-bootstraps from scratch — drop them with the
+    // cursors so stale counts can't linger as dead bronze tables
+    lake.tableNames("bronze").filter(_.startsWith("dim_date_counts_"))
+      .foreach(t => lake.deleteRecursively(lake.tableDir("bronze", t)))
+    Gold.decommissionFeedCursors(lake)
   }
 }

@@ -251,7 +251,7 @@ object Silver {
     * retraction and diverge from the from-scratch recompute. Key frames
     * are renamed before the condition join (both sides often share a
     * lineage — same-name references would be ambiguous). */
-  private def keyMatch(left: DataFrame, keys: DataFrame, grain: Seq[String],
+  private[pipeline] def keyMatch(left: DataFrame, keys: DataFrame, grain: Seq[String],
       how: String): DataFrame = {
     val renamed = grain.zipWithIndex.foldLeft(keys) {
       case (d, (k, i)) => d.withColumnRenamed(k, s"__g$i")
@@ -266,7 +266,7 @@ object Silver {
     * otherwise make the typed projection throw on every retry of the same
     * capped range — a livelock). Only source columns are fillable; typed
     * projections may reference derived names, which pass through. */
-  private def fillHeadColumns(lake: Lakehouse, source: String,
+  private[pipeline] def fillHeadColumns(lake: Lakehouse, source: String,
       changes0: DataFrame): DataFrame = {
     lazy val headSchema = lake.table("bronze", source).schema
     headSchema.fields
@@ -345,6 +345,10 @@ object Silver {
       typed: DataFrame => DataFrame,
       existingPrep: DataFrame => DataFrame, finish: DataFrame => DataFrame,
       changes0: DataFrame, to: Int): Unit = {
+    // a range of pure OPTIMIZE/VACUUM commits (dataChange=false) carries no
+    // rows: advance past it without rewriting the MV — an unchanged lake's
+    // refresh must cost cursor reads, not identical-content version bumps
+    if (lake.exists(layer, target) && changes0.isEmpty) return
     val changes = fillHeadColumns(lake, source, changes0)
     val metaCols = Seq("_change_type", "_commit_version")
     val freshAll = typed(changes
@@ -384,6 +388,179 @@ object Silver {
         .select(existing.columns.map(col).toSeq: _*)
     }
     ()
+  }
+
+  /** Rebuild an SCD2 pair (observation log + segmented model) from the
+    * source SNAPSHOT — the bootstrap/recovery face shared by
+    * [[scd2FeedTick]] and [[refreshVideoModelsFromChangeFeed]]. One
+    * visible-rows scan; idempotent (re-running replaces both tables with
+    * the same content). */
+  private def scd2SnapshotRebuild(lake: Lakehouse, layer: String,
+      target: String, obsTable: String, source: String, obsKey: Seq[String],
+      typed: DataFrame => DataFrame, segment: DataFrame => DataFrame): Unit = {
+    val obs = typed(lake.table("bronze", source)).dropDuplicates(obsKey)
+    if (!lake.exists(layer, obsTable)) lake.materialize(layer, obsTable, obs)
+    else lake.transactMerge(layer, obsTable)(_ => obs)
+    val model = segment(lake.table(layer, obsTable))
+    if (!lake.exists(layer, target)) lake.materialize(layer, target, model)
+    else lake.transactMerge(layer, target)(_ => model)
+    ()
+  }
+
+  /** Apply ONE drained change range to an SCD2 pair — the cursor-agnostic
+    * fold under [[scd2FeedTick]]. Per-tick cost ∝ churn + the
+    * retraction-hit ids' source history + the affected ids' log slice:
+    *
+    *   1. the observation log folds the range — insert-side observations
+    *      join, retraction-hit ids' slices are REPLACED wholesale from the
+    *      source pinned at `to` (a retracted observation can resurrect an
+    *      older version boundary; and a row inserted-then-deleted within
+    *      the range must not survive via the insert branch);
+    *   2. only the AFFECTED ids re-segment, from their complete log
+    *      history — late observations that split an existing version and
+    *      A→B→A reversions segment exactly like a full recompute;
+    *   3. every other id's version rows pass through an anti-join
+    *      untouched.
+    *
+    * Idempotent: a replay re-derives the same affected set (the feed is a
+    * pure function of the log), the log re-merge collapses on `obsKey`,
+    * and re-segmenting an id from its complete history is deterministic —
+    * so a crash between the merges and the caller's cursor commit is
+    * safe. */
+  private def scd2ApplyRange(lake: Lakehouse, layer: String, target: String,
+      obsTable: String, source: String, idCols: Seq[String],
+      obsKey: Seq[String], typed: DataFrame => DataFrame,
+      segment: DataFrame => DataFrame, changes0: DataFrame, to: Int): Unit = {
+    if (!lake.exists(layer, target) || !lake.exists(layer, obsTable)) {
+      // mid-stream missing piece (deleted between ticks): a delta-only
+      // fold would leave a PARTIAL table — rebuild both from the snapshot
+      // (covers this range too; replayed overlaps collapse on obsKey)
+      scd2SnapshotRebuild(lake, layer, target, obsTable, source, obsKey, typed, segment)
+      return
+    }
+    // pure-maintenance range (no data change): advance without rewriting
+    if (changes0.isEmpty) return
+    val changes = fillHeadColumns(lake, source, changes0)
+    val metaCols = Seq("_change_type", "_commit_version")
+    val freshObs = typed(changes
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .drop(metaCols: _*))
+    val retractedIds = typed(changes
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .drop(metaCols: _*))
+      .select(idCols.map(col): _*).distinct()
+    val freshIds = freshObs.select(idCols.map(col): _*).distinct()
+    val affected = freshIds.union(retractedIds).distinct()
+    // pinned at `to` for the same between-tick consistency contract as
+    // [[latestWinsApplyRange]]
+    val rebuiltObs = keyMatch(typed(lake.tableAt("bronze", source, to)),
+      retractedIds, idCols, "left_semi")
+    lake.transactMerge(layer, obsTable) { base =>
+      keyMatch(base, retractedIds, idCols, "left_anti")
+        .unionByName(keyMatch(freshObs, retractedIds, idCols, "left_anti"))
+        .unionByName(rebuiltObs)
+        .dropDuplicates(obsKey)
+        .select(base.columns.map(col).toSeq: _*)
+    }
+    lake.transactMerge(layer, target) { existing =>
+      val slice = keyMatch(lake.table(layer, obsTable), affected, idCols, "left_semi")
+      keyMatch(existing, affected, idCols, "left_anti")
+        .unionByName(segment(slice))
+        .select(existing.columns.map(col).toSeq: _*)
+    }
+    ()
+  }
+
+  /** CDF-driven incremental SCD2 refresh — generic machinery, oracle-gated
+    * over TPC-H samples (st16) exactly like [[latestWinsFeedTick]]/st15.
+    * One tick drains the source's change feed since a durable cursor and
+    * folds it into the observation log + segmented model
+    * ([[scd2ApplyRange]]); a FRESH cursor bootstraps both from the source
+    * snapshot and jumps to the head ([[scd2SnapshotRebuild]] — never a
+    * version-0 history drain). Unlike the snapshot-window path
+    * ([[refreshScd2Incremental]]), source DELETES fold as retractions: the
+    * affected ids re-segment from their post-retraction history. */
+  def scd2FeedTick(lake: Lakehouse, layer: String, target: String,
+      obsTable: String, source: String, idCols: Seq[String],
+      obsKey: Seq[String], typed: DataFrame => DataFrame,
+      segment: DataFrame => DataFrame, cursorDir: String,
+      maxVersions: Int = Int.MaxValue): Option[(Int, Int)] = {
+    graft.streaming.Streams.registerCursor(lake.root, source, cursorDir)
+    val cur = java.nio.file.Paths.get(cursorDir)
+    val head = lake.committedBronzeVersion(source)
+    val from = lake.changesCursor(cur)
+    if (from == 0 && head > 0) {
+      scd2SnapshotRebuild(lake, layer, target, obsTable, source, obsKey, typed, segment)
+      lake.commitChangesCursor(cur, head)
+      return Some((0, head))
+    }
+    val to = lake.cappedTo(head, from, maxVersions)
+    if (to <= from) {
+      // caught up but a table is GONE (delete-to-force-a-rebuild): rebuild
+      // from the snapshot without disturbing the cursor
+      if (head > 0 && !(lake.exists(layer, target) && lake.exists(layer, obsTable)))
+        scd2SnapshotRebuild(lake, layer, target, obsTable, source, obsKey, typed, segment)
+      return None
+    }
+    scd2ApplyRange(lake, layer, target, obsTable, source, idCols, obsKey,
+      typed, segment, lake.tableChanges(source, from, to), to)
+    lake.commitChangesCursor(cur, to)
+    Some((from, to))
+  }
+
+  /** COMPOSITE videos_raw drain (the CDF face of the SCD2 model AND
+    * silver_videos): ONE durable cursor drives both folds over the same
+    * drained range — first the SCD2 pair ([[scd2ApplyRange]]), then the
+    * slim latest-wins with the current surrogate key re-attached to the
+    * affected ids ([[latestWinsApplyRange]] with finish = attach).
+    *
+    * The single-cursor contract is what keeps untouched silver_videos
+    * rows' SKs current: an id's `is_current` flag can change ONLY through
+    * a videos_raw change, and both folds consume identical ranges — so
+    * any id whose SK could have moved is in this tick's affected set and
+    * gets re-attached. Two independent cursors could diverge (one drain
+    * fails a run) and leave ids re-segmented by SCD2 but never
+    * re-attached. Crash-safe under the shared cursor because both folds
+    * are idempotent. */
+  def refreshVideoModelsFromChangeFeed(lake: Lakehouse, cursorDir: String,
+      maxVersions: Int = Int.MaxValue): Option[(Int, Int)] = {
+    val source = "videos_raw"
+    val obsKey = Seq("video_id", "observed_at_utc", "request_id")
+    graft.streaming.Streams.registerCursor(lake.root, source, cursorDir)
+    val cur = java.nio.file.Paths.get(cursorDir)
+    val head = lake.committedBronzeVersion(source)
+    def bootstrap(): Unit = {
+      scd2SnapshotRebuild(lake, "silver", "silver_video_metadata_scd2",
+        scd2ObsTable, source, obsKey, scd2Typed, scd2Segment)
+      val snap = videosAttachSk(
+        latestWins(videosSlimTyped(lake.table("bronze", source)), Seq("video_id")), lake)
+      if (!lake.exists("silver", "silver_videos"))
+        lake.materialize("silver", "silver_videos", snap)
+      else lake.transactMerge("silver", "silver_videos")(_ => snap)
+      ()
+    }
+    val from = lake.changesCursor(cur)
+    if (from == 0 && head > 0) {
+      bootstrap()
+      lake.commitChangesCursor(cur, head)
+      return Some((0, head))
+    }
+    val to = lake.cappedTo(head, from, maxVersions)
+    if (to <= from) {
+      if (head > 0 && !(lake.exists("silver", "silver_video_metadata_scd2")
+          && lake.exists("silver", scd2ObsTable)
+          && lake.exists("silver", "silver_videos"))) bootstrap()
+      return None
+    }
+    val changes = lake.tableChanges(source, from, to)
+    scd2ApplyRange(lake, "silver", "silver_video_metadata_scd2", scd2ObsTable,
+      source, Seq("video_id"), obsKey, scd2Typed, scd2Segment, changes, to)
+    latestWinsApplyRange(lake, "silver", "silver_videos", source,
+      Seq("video_id"), recencyOrder, videosSlimTyped,
+      existingPrep = _.drop("current_video_meta_sk"),
+      finish = df => videosAttachSk(df, lake), changes0 = changes, to = to)
+    lake.commitChangesCursor(cur, to)
+    Some((from, to))
   }
 
   /** Every model [[refreshIncremental]] can merge (vs full recompute).
@@ -635,6 +812,16 @@ object Silver {
         col("schema_version"))
       .filter(col("video_id").isNotNull)
 
+  /** Key-frame projections for the gold feed dependencies ([[Gold]]):
+    * change rows → the keys a mart rebuild routes on, using the SAME typed
+    * parses as the silver models so the affected sets line up exactly. */
+  private[pipeline] def videosSlimKeyFrame(raw: DataFrame): DataFrame =
+    videosSlimTyped(raw).select(col("video_id"))
+
+  private[pipeline] def channelDailyKeyFrame(lake: Lakehouse, raw: DataFrame): DataFrame =
+    channelDailyTyped(raw, currentChannelFrame(lake))
+      .select(col("channel_id"), col("date"))
+
   /** Join the per-video latest snapshot to the current SCD2 surrogate key
     * and project the silver_videos column order. */
   private def videosAttachSk(latest: DataFrame, lake: Lakehouse): DataFrame = {
@@ -714,6 +901,53 @@ object Silver {
     }
   }
 
+  /** Whether the CURRENT silver channel id no longer matches the standing
+    * channel-fact rows — the single-channel identity changed, so both the
+    * channel fact and the calendar dim's channel-source counts were
+    * computed under the OLD id's cross-join and must rebuild, not merge.
+    * Read BEFORE any feed refresh fixes the fact (the evidence is the
+    * stale fact itself). */
+  def channelIdentityChanged(lake: Lakehouse): Boolean = {
+    if (!lake.exists("silver", "fact_channel_daily_metrics")
+        || !lake.exists("silver", "silver_channels")) return false
+    val currentId = currentChannelFrame(lake).collect().headOption.map(_.getString(0))
+    val standing = lake.table("silver", "fact_channel_daily_metrics")
+      .select(col("channel_id")).distinct()
+      .collect().map(_.getString(0)).toSeq // 1 row in practice — single-channel grain
+    standing.nonEmpty && !standing.forall(currentId.contains)
+  }
+
+  /** CDF-driven channel-fact refresh: the latest-wins feed fold with the
+    * current channel id cross-joined by `typed` — at new-data cost while
+    * the channel is stable (the overwhelmingly common case; the API serves
+    * one `mine=true` channel). On an identity CHANGE the standing rows
+    * carry a dead channel_id at their grain and a grain-level merge could
+    * never retract them — recompute wholesale, pinned at the source head,
+    * and jump the cursor past everything the recompute covered. Refresh
+    * silver_channels first (Job's level ordering does). */
+  def refreshChannelFactFromChangeFeed(lake: Lakehouse, cursorDir: String,
+      maxVersions: Int = Int.MaxValue): Option[(Int, Int)] = {
+    val source = "analytics_channel_daily_raw"
+    val target = "fact_channel_daily_metrics"
+    val current = currentChannelFrame(lake)
+    val head = lake.committedBronzeVersion(source)
+    if (channelIdentityChanged(lake) && head > 0) {
+      graft.streaming.Streams.registerCursor(lake.root, source, cursorDir)
+      val cur = java.nio.file.Paths.get(cursorDir)
+      val snap = latestWins(
+        channelDailyTyped(lake.tableAt("bronze", source, head), current),
+        Seq("channel_id", "date"))
+      if (!lake.exists("silver", target)) lake.materialize("silver", target, snap)
+      else lake.transactMerge("silver", target)(_ => snap)
+      val from = lake.changesCursor(cur)
+      if (head > from) { lake.commitChangesCursor(cur, head); Some((from, head)) }
+      else None
+    } else
+      latestWinsFeedTick(lake, "silver", target, source,
+        Seq("channel_id", "date"), recencyOrder,
+        raw => channelDailyTyped(raw, current), cursorDir, maxVersions)
+  }
+
   /** Incremental dim refresh. The observed-value dims are latest-wins on
     * the dim value, so they merge exactly like the latest-wins facts
     * (projection commutes with latest-wins because the recency-order
@@ -770,6 +1004,112 @@ object Silver {
         throw new IllegalArgumentException(s"not an incrementally-refreshable dim: $other")
     }
     ()
+  }
+
+  /** CDF-driven refresh of the three observed-value dims: each is
+    * latest-wins on the dim value itself, so [[latestWinsFeedTick]] applies
+    * directly — and unlike the snapshot path, a bronze DELETE retracting
+    * the last row carrying a value drops the value, exactly like the
+    * from-scratch model. dim_country's ISO enrich runs inside `typed`
+    * (per-row, keyed on the grain, recency columns preserved — it commutes
+    * with latest-wins, so enrich-then-dedup ≡ the model's dedup-then-
+    * enrich); dim_country_reference must be materialized first. */
+  def refreshDimFromChangeFeed(lake: Lakehouse, name: String, cursorDir: String,
+      maxVersions: Int = Int.MaxValue): Option[(Int, Int)] = name match {
+    case "dim_traffic_source" =>
+      latestWinsFeedTick(lake, "silver", name,
+        "analytics_video_traffic_source_daily_raw", Seq("source_id"), recencyOrder,
+        raw => observedDimTyped(raw, "insightTrafficSourceType", "source_id")
+          .select(col("source_id") +: col("source_id").as("source_name") +:
+            envelopeCols.map(col): _*),
+        cursorDir, maxVersions)
+    case "dim_device" =>
+      latestWinsFeedTick(lake, "silver", name,
+        "analytics_video_device_daily_raw", Seq("device_type"), recencyOrder,
+        raw => observedDimTyped(raw, "deviceType", "device_type")
+          .select(col("device_type") +: col("device_type").as("device_name") +:
+            envelopeCols.map(col): _*),
+        cursorDir, maxVersions)
+    case "dim_country" =>
+      latestWinsFeedTick(lake, "silver", name,
+        "analytics_video_country_daily_raw", Seq("country_code"), recencyOrder,
+        raw => countryEnrich(observedDimTyped(raw, "country", "country_code"), lake),
+        cursorDir, maxVersions)
+    case other =>
+      throw new IllegalArgumentException(s"not a feed-refreshable dim: $other")
+  }
+
+  /** The five fact sources feeding the calendar dim, each with its date
+    * extraction — the MODEL's own date semantics (same typed projections,
+    * same null filters), so the counted date set equals the fact's date
+    * set: every typed row's date is part of its fact's latest-wins grain,
+    * and a grain's winner carries that date. */
+  private def dimDateSources(lake: Lakehouse): Seq[(String, DataFrame => DataFrame)] = {
+    val video = Seq("fact_video_daily_metrics", "fact_video_traffic_source_metrics",
+      "fact_video_country_metrics", "fact_video_device_metrics").map { f =>
+      val spec = latestWinsSpecs(f)
+      spec.bronzeTable -> ((raw: DataFrame) => spec.typed(raw).select(col("date")))
+    }
+    video :+ ("analytics_channel_daily_raw" ->
+      ((raw: DataFrame) =>
+        channelDailyTyped(raw, currentChannelFrame(lake)).select(col("date"))))
+  }
+
+  /** The per-source date-count state table maintained by [[dimDateFeedTick]]
+    * (bronze-layer, log-managed — the counts need the writer-txn dedupe). */
+  def dimDateCountsTable(source: String): String = s"dim_date_counts_$source"
+
+  /** Drain every fact source's change feed into its per-source date-count
+    * state ([[graft.streaming.Streams.cdfAggregateSink]] with the date
+    * extraction as the typed projection): a date's count tracks the
+    * source's visible rows carrying it, so retractions can DROP a date —
+    * something the grows-only snapshot path cannot express. Fresh cursors
+    * snapshot-bootstrap (never a version-0 drain). One state table per
+    * source (the bootstrap contract) under cursors `<cursorRoot>/<source>`.
+    * Returns true when any tick folded changes. */
+  def dimDateFeedTick(lake: Lakehouse, cursorRoot: String,
+      maxVersions: Int = Int.MaxValue): Boolean =
+    dimDateSources(lake).map { case (source, typedDates) =>
+      var any = false
+      var guard = 0
+      while (graft.streaming.Streams.cdfAggregateSink(lake, source,
+          dimDateCountsTable(source), Seq("date"), Nil,
+          s"$cursorRoot/$source", maxVersions, typed = typedDates,
+          snapshotBootstrap = true).isDefined) {
+        any = true
+        guard += 1
+        require(guard <= 100000, s"dim_date feed drain failed to converge on $source")
+      }
+      any
+    }.reduce(_ || _)
+
+  /** Assemble the calendar dim from the per-source date counts: a date is
+    * in the calendar iff some source still has a visible row carrying it
+    * (cnt > 0). Tiny output (calendar-sized) — a full materialize. */
+  def assembleDimDate(lake: Lakehouse): Unit = {
+    val dates = dimDateSources(lake).map { case (source, _) =>
+      val t = dimDateCountsTable(source)
+      if (lake.exists("bronze", t))
+        graft.streaming.Streams.cdfAggregate(lake, t).select(col("date"))
+      else lake.spark.emptyDataFrame.select(lit(null).cast("date").as("date"))
+    }.reduce(_ union _).filter(col("date").isNotNull).distinct()
+    lake.materialize("silver", "dim_date", dateAttrs(dates))
+  }
+
+  /** Reset the calendar dim's CHANNEL-source count state (table + cursor):
+    * its counts were folded under the OLD channel's cross-join and a
+    * changed identity re-stamps history — the next tick
+    * snapshot-bootstraps under the new identity. Cursor dir first: a crash
+    * between the two deletes then leaves (no cursor, stale table), which
+    * the bootstrap handles by dropping the stale table itself — the
+    * reverse order would leave a live cursor pointing past a missing
+    * table, a partial-rebuild trap. */
+  def resetDimDateChannelCounts(lake: Lakehouse, cursorRoot: String): Unit = {
+    val source = "analytics_channel_daily_raw"
+    val cur = java.nio.file.Paths.get(s"$cursorRoot/$source")
+    if (java.nio.file.Files.exists(cur)) lake.deleteRecursively(cur)
+    val t = dimDateCountsTable(source)
+    if (lake.exists("bronze", t)) lake.deleteRecursively(lake.tableDir("bronze", t))
   }
 
   /** reference `:445-512`. Grain: (video_id, date). */

@@ -710,8 +710,238 @@ object StorageQueries {
       FROM w WHERE rn = 1
       ORDER BY o_orderkey"""))
 
+  /** CDF-driven incremental SCD2 refresh ([[graft.pipeline.Silver
+    * .scd2FeedTick]] — the machinery under
+    * `Silver.refreshVideoModelsFromChangeFeed`): five bronze versions land
+    * price OBSERVATIONS of the orders sample (obs_seq is the observation
+    * clock), including an A→B→A price reversion (three versions must
+    * segment), a hash-stable re-observation (must NOT open a version), and
+    * a DV delete RETRACTING some ids' obs_seq=2 observations — their
+    * version chains re-segment from post-retraction history, collapsing
+    * the middle version. The feed drains in BOUNDED two-version ticks
+    * through a durable cursor (bootstrap tick + two incremental ticks) and
+    * the multi-tick segmented model must equal DuckDB's from-scratch SCD2
+    * windowing over the visible observations. */
+  val st16CdfScd2 = GraftQuery(
+    "st16_cdf_scd2",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-st16")
+      val lake = new Lakehouse(s, scratch.toString)
+      val base = table(s, dir, "orders")
+        .filter(col("o_custkey") % 20 === 3)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(money).as("price"))
+      def obs(seq: Int, f: org.apache.spark.sql.Column, bump: Int) = base
+        .filter(f)
+        .withColumn("price", (col("price") + lit(bump)).cast(money))
+        .withColumn("obs_seq", lit(seq).cast("int"))
+      val segment: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = o => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderkey")).orderBy(col("obs_seq").asc)
+        o.withColumn("prev_price", lag(col("price"), 1).over(w))
+          .filter(col("prev_price").isNull || col("prev_price") =!= col("price"))
+          .withColumn("valid_from_seq", col("obs_seq"))
+          .withColumn("valid_to_seq",
+            coalesce(lead(col("obs_seq"), 1).over(w) - 1, lit(999)))
+          .withColumn("is_current", lead(col("obs_seq"), 1).over(w).isNull)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("price"),
+            col("valid_from_seq"), col("valid_to_seq"), col("is_current"))
+      }
+      val cursor = scratch.resolve("cur").toString
+      def drain(): Unit = {
+        var guard = 0
+        while (graft.pipeline.Silver.scd2FeedTick(lake, "silver", "scd2", "obs",
+            "ord", Seq("o_orderkey"), Seq("o_orderkey", "obs_seq"),
+            identity, segment, cursor, maxVersions = 2).isDefined) {
+          guard += 1
+          require(guard <= 5, "capped scd2 feed drain failed to converge")
+        }
+      }
+      lake.appendBronze("ord", obs(1, lit(true), 0).repartition(4))                   // v1
+      drain() // fresh cursor: ONE snapshot-bootstrap tick
+      lake.appendBronze("ord", obs(2, col("o_orderkey") % 3 === 0, 10).repartition(2)) // v2
+      lake.deleteBronzeWhereDv("ord",
+        col("obs_seq") === 2 && col("o_orderkey") % 9 === 0)                           // v3
+      lake.appendBronze("ord", obs(3, col("o_orderkey") % 6 === 0, 0).repartition(2))  // v4
+      lake.appendBronze("ord", obs(4, col("o_orderkey") % 5 === 0, 20).repartition(2)) // v5
+      // bounded multi-tick INCREMENTAL drain: (1,3] folds the re-observation
+      // and its retraction (the %9 ids' chains collapse back), (3,5] the
+      // reversion (%6∩%3 ids gain a THIRD version back at the base price;
+      // %6\%3 ids' hash-stable obs_seq=3 must not open one) and obs_seq=4
+      drain()
+      val res = lake.table("silver", "scd2")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("price").cast("double").as("price"),
+          col("valid_from_seq").cast("bigint").as("valid_from_seq"),
+          col("valid_to_seq").cast("bigint").as("valid_to_seq"),
+          col("is_current"))
+        .orderBy(col("o_orderkey"), col("valid_from_seq"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders WHERE o_custkey % 20 = 3),
+      obs AS (
+        SELECT o_orderkey, o_orderstatus, price, 1 AS obs_seq FROM base
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               CAST(price + 10 AS DECIMAL(12,2)), 2 FROM base
+        WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, price, 3 FROM base
+        WHERE o_orderkey % 6 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               CAST(price + 20 AS DECIMAL(12,2)), 4 FROM base
+        WHERE o_orderkey % 5 = 0),
+      vis AS (
+        SELECT * FROM obs WHERE NOT (obs_seq = 2 AND o_orderkey % 9 = 0)),
+      starts AS (
+        SELECT * FROM (
+          SELECT *, lag(price) OVER (PARTITION BY o_orderkey
+                      ORDER BY obs_seq) AS prev_price
+          FROM vis)
+        WHERE prev_price IS NULL OR prev_price <> price),
+      seg AS (
+        SELECT o_orderkey, o_orderstatus, price,
+               obs_seq AS valid_from_seq,
+               COALESCE(lead(obs_seq) OVER (PARTITION BY o_orderkey
+                          ORDER BY obs_seq) - 1, 999) AS valid_to_seq,
+               (lead(obs_seq) OVER (PARTITION BY o_orderkey
+                  ORDER BY obs_seq) IS NULL) AS is_current
+        FROM starts)
+      SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price,
+             CAST(valid_from_seq AS BIGINT) AS valid_from_seq,
+             CAST(valid_to_seq AS BIGINT) AS valid_to_seq, is_current
+      FROM seg
+      ORDER BY o_orderkey, valid_from_seq"""))
+
+  /** CDF-driven star-mart refresh ([[graft.pipeline.Gold.starFeedTick]] —
+    * the machinery under `Gold.refreshFromChangeFeeds`): a latest-wins
+    * fact MV (orders observations) and a latest-wins lookup MV (customer
+    * observations) are maintained from their bronze feeds, and the MART —
+    * fact LEFT JOIN lookup + a derived column — is maintained from the
+    * SAME feeds by grain-routed rebuild: fact changes (including a DV
+    * retraction that resurrects older winners) name grains directly,
+    * lookup changes (re-observed customers with renamed names, zero fact
+    * churn) translate to grains via a semi-join on the current fact. Gold
+    * ticks are CAPPED at the silver cursors' frontiers. The multi-tick
+    * mart must equal DuckDB's from-scratch star over the visible
+    * observations. */
+  val st17CdfStarMart = GraftQuery(
+    "st17_cdf_star_mart",
+    (s, dir) => {
+      val scratch = Files.createTempDirectory("graft-st17")
+      val lake = new Lakehouse(s, scratch.toString)
+      val fbase = table(s, dir, "orders")
+        .filter(col("o_custkey") % 20 === 7)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(money).as("price"))
+      def fobs(seq: Int, f: org.apache.spark.sql.Column, bump: Int) = fbase
+        .filter(f)
+        .withColumn("price", (col("price") + lit(bump)).cast(money))
+        .withColumn("obs_seq", lit(seq).cast("int"))
+      val cbase = table(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val factCur = scratch.resolve("fcur").toString
+      val dimCur = scratch.resolve("dcur").toString
+      val goldCur = scratch.resolve("gcur").toString
+      def silverDrain(): Unit = {
+        var guard = 0
+        while (graft.pipeline.Silver.latestWinsFeedTick(lake, "silver", "sfact",
+            "fct", Seq("o_orderkey"), Seq(col("obs_seq").desc),
+            identity, factCur, maxVersions = 2).isDefined ||
+          graft.pipeline.Silver.latestWinsFeedTick(lake, "silver", "sdim",
+            "cust", Seq("c_custkey"), Seq(col("obs_seq").desc),
+            identity, dimCur, maxVersions = 2).isDefined) {
+          guard += 1
+          require(guard <= 6, "capped silver drain failed to converge")
+        }
+      }
+      def goldDrain(): Unit = {
+        // gold deps are CAPPED at the silver cursors' frontiers — the mart
+        // must never rebuild grains from a silver state behind the range
+        // it marks consumed
+        def cap(c: String) =
+          Some(lake.changesCursor(java.nio.file.Paths.get(c)))
+        val factDep = graft.pipeline.Gold.FeedDep("fct", Seq("o_orderkey"),
+          identity, cap(factCur))
+        val dimDep = graft.pipeline.Gold.FeedDep("cust", Seq("o_custkey"),
+          d => d.select(col("c_custkey").as("o_custkey")), cap(dimCur))
+        val build = (l: Lakehouse, f: org.apache.spark.sql.DataFrame) => {
+          val d = l.table("silver", "sdim")
+            .select(col("c_custkey").as("o_custkey"), col("c_name").as("customer_name"))
+          f.join(broadcast(d), Seq("o_custkey"), "left")
+            .select(col("o_orderkey"), col("o_custkey"), col("price"),
+              col("customer_name"),
+              (col("price") + lit(5)).cast(money).as("adjusted_price"))
+        }
+        var guard = 0
+        while (graft.pipeline.Gold.starFeedTick(lake, "mart", Seq("o_orderkey"),
+            factDep, Seq(dimDep), l => l.table("silver", "sfact"), build,
+            goldCur, maxVersions = 2).isDefined) {
+          guard += 1
+          require(guard <= 6, "capped gold drain failed to converge")
+        }
+      }
+      lake.appendBronze("fct", fobs(1, lit(true), 0).repartition(4))         // fct v1
+      lake.appendBronze("cust",
+        cbase.withColumn("obs_seq", lit(1).cast("int")).repartition(2))      // cust v1
+      silverDrain(); goldDrain() // bootstraps: silver snapshots + full mart
+      lake.appendBronze("fct",
+        fobs(2, col("o_orderkey") % 3 === 0, 10).repartition(2))             // fct v2
+      lake.deleteBronzeWhereDv("fct",
+        col("obs_seq") === 2 && col("o_orderkey") % 9 === 0)                 // fct v3
+      lake.appendBronze("cust",
+        cbase.filter(col("c_custkey") % 4 === 0)
+          .withColumn("c_name", concat(col("c_name"), lit("-x")))
+          .withColumn("obs_seq", lit(2).cast("int")).repartition(2))         // cust v2
+      silverDrain(); goldDrain() // incremental: fact grains + lookup-routed grains
+      val res = lake.table("gold", "mart")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("price").cast("double").as("price"),
+          col("customer_name"),
+          col("adjusted_price").cast("double").as("adjusted_price"))
+        .orderBy(col("o_orderkey"))
+      materialized(s, res, scratch)
+    },
+    Some("""
+      WITH fbase AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders WHERE o_custkey % 20 = 7),
+      fobs AS (
+        SELECT o_orderkey, o_custkey, price, 1 AS obs_seq FROM fbase
+        UNION ALL
+        SELECT o_orderkey, o_custkey,
+               CAST(price + 10 AS DECIMAL(12,2)), 2 FROM fbase
+        WHERE o_orderkey % 3 = 0),
+      fvis AS (
+        SELECT * FROM fobs WHERE NOT (obs_seq = 2 AND o_orderkey % 9 = 0)),
+      sfact AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                      ORDER BY obs_seq DESC) AS rn
+          FROM fvis) WHERE rn = 1),
+      cobs AS (
+        SELECT c_custkey, c_name, 1 AS obs_seq FROM customer
+        UNION ALL
+        SELECT c_custkey, c_name || '-x', 2 FROM customer
+        WHERE c_custkey % 4 = 0),
+      sdim AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY c_custkey
+                      ORDER BY obs_seq DESC) AS rn
+          FROM cobs) WHERE rn = 1)
+      SELECT f.o_orderkey, f.o_custkey, CAST(f.price AS DOUBLE) AS price,
+             d.c_name AS customer_name,
+             CAST(CAST(f.price + 5 AS DECIMAL(12,2)) AS DOUBLE) AS adjusted_price
+      FROM sfact f LEFT JOIN sdim d ON f.o_custkey = d.c_custkey
+      ORDER BY f.o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(st01DvDelete, st02RestoreRead, st03CdfRead, st04MergeUpsert,
     st05TxnIdempotent, st06CdfCursor, st07CdfAggMv, st08TypeWiden, st09GeneratedCol,
     st10IdentityCol, st11ColumnDefault, st12RowIds, st13CdfUpdates, st14NdimClusterRead,
-    st15CdfLatestWinsMv)
+    st15CdfLatestWinsMv, st16CdfScd2, st17CdfStarMart)
 }

@@ -750,14 +750,34 @@ object Streams {
     * only after the merge returns. A key whose count reaches zero keeps a
     * `cnt = 0` tombstone row (merge cannot delete-without-replacing);
     * READS must filter `cnt > 0` — [[cdfAggregate]] is that read face.
-    * Returns the `(from, to]` range folded, or None when caught up. */
+    * Returns the `(from, to]` range folded, or None when caught up.
+    *
+    * `typed` projects each change class (insert-side and delete-side,
+    * meta columns stripped) before aggregation — so the keys/sums can be
+    * DERIVED values (a date parsed out of a payload), and a projection
+    * that explodes rows counts each produced row ±1. The count algebra
+    * stays linear because `typed` is applied to inserts and deletes
+    * symmetrically. `snapshotBootstrap = true` makes a FRESH cursor seed
+    * the target from ONE visible-rows scan pinned at the source head
+    * (valid on a mature lake whose early manifests are pruned — a
+    * version-0 history drain would fail fast forever) and jump the cursor
+    * to the head; requires a SINGLE-source target (the bootstrap replaces
+    * a stale pre-existing target wholesale, which would erase other
+    * sources' contributions). */
   def cdfAggregateSink(lake: graft.pipeline.Lakehouse, source: String,
       target: String, keys: Seq[String], sumCols: Seq[String],
-      cursorDir: String, maxVersions: Int = Int.MaxValue): Option[(Int, Int)] = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+      cursorDir: String, maxVersions: Int = Int.MaxValue,
+      typed: DataFrame => DataFrame = identity,
+      snapshotBootstrap: Boolean = false): Option[(Int, Int)] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
     require(keys.nonEmpty, "cdfAggregateSink needs at least one key column")
     registerCursor(lake.root, source, cursorDir)
     val cur = java.nio.file.Paths.get(cursorDir)
+    def fold(signed: DataFrame): DataFrame = {
+      val aggs = (sum(col("__s")).as("cnt") +:
+        sumCols.map(c => sum(col(c) * col("__s")).as(s"sum_$c")))
+      signed.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
     // LEGACY-FRONTIER resolution happens BEFORE the range is read: a
     // migrated cursor ([[migrateLegacyCdfAggCursor]]) records the end of an
     // APPLIED prefix f, so a range ending at-or-below f skips wholesale —
@@ -769,29 +789,57 @@ object Streams {
     val from0 = lake.changesCursor(cur)
     val to0 = lake.cappedChangesTo(source, from0, maxVersions)
     if (to0 <= from0) return None
+    if (snapshotBootstrap && from0 == 0) {
+      // FRESH CURSOR → one pinned visible-rows scan, never a history
+      // drain. A stale target (the reset-for-rebuild idiom: cursor dir
+      // deleted, table left behind by a crash mid-reset) is dropped first
+      // — merging the snapshot into it would strand retired keys. The
+      // whole step is crash-safe: delete → re-bootstrap; merge-then-crash
+      // → the replay deletes the half-built target and redoes it.
+      val head = lake.committedBronzeVersion(source)
+      if (lake.exists("bronze", target))
+        lake.deleteRecursively(lake.tableDir("bronze", target))
+      val snap = fold(typed(lake.tableAt("bronze", source, head))
+        .withColumn("__s", lit(1L)))
+      lake.mergeBronze(target, snap, keys,
+        txn = Some((s"cdfagg:$source:$target", head.toLong)),
+        nullSafeKeys = true)
+      lake.commitChangesCursor(cur, head)
+      return Some((0, head))
+    }
     legacyFrontier(cur).filter(_ > from0).foreach { f =>
       val clampTo = math.min(f, to0.toLong).toInt
       lake.commitChangesCursor(cur, clampTo)
       return Some((from0, clampTo))
     }
     Some((lake.tableChanges(source, from0, to0), from0, to0)).map { case (changes0, from, to) =>
-      // a CAPPED range can end before an ADD COLUMNS landed a key/summed
-      // column: the feed's frames (self-consistent at the RANGE's head)
-      // then lack it, and referencing it would throw on every retry of the
-      // same capped range — a livelock. Fill the missing column with a
-      // typed NULL from the source's CURRENT schema: exactly what a
-      // from-scratch read of those older files would see
-      lazy val headSchema = lake.table("bronze", source).schema
-      val changes = (keys ++ sumCols).foldLeft(changes0) { (d, c) =>
-        if (d.columns.contains(c)) d
-        else d.withColumn(c, lit(null).cast(headSchema(c).dataType))
+      // a range of pure OPTIMIZE/VACUUM commits (dataChange=false) carries
+      // no rows: advance past it without merging — an unchanged source's
+      // tick must cost a cursor read, not an empty-delta merge commit
+      if (lake.exists("bronze", target) && changes0.isEmpty) {
+        lake.commitChangesCursor(cur, to)
+        return Some((from, to))
       }
-      val signed = changes.withColumn("__s",
-        when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
-          .otherwise(lit(-1L)))
-      val aggs = (sum(col("__s")).as("cnt") +:
-        sumCols.map(c => sum(col(c) * col("__s")).as(s"sum_$c")))
-      val deltas = signed.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      // a CAPPED range can end before an ADD COLUMNS landed a column the
+      // typed projection (or the key/sum list) references: the feed's
+      // frames (self-consistent at the RANGE's head) then lack it, and
+      // referencing it would throw on every retry of the same capped
+      // range — a livelock. Fill every missing head-schema column with a
+      // typed NULL: exactly what a from-scratch read of those older files
+      // would see
+      lazy val headSchema = lake.table("bronze", source).schema
+      val changes = headSchema.fields
+        .filterNot(f => changes0.columns.contains(f.name))
+        .foldLeft(changes0)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+      val metaCols = Seq("_change_type", "_commit_version")
+      val signed = typed(changes
+          .filter(col("_change_type").isin("insert", "update_postimage"))
+          .drop(metaCols: _*)).withColumn("__s", lit(1L))
+        .unionByName(typed(changes
+          .filter(col("_change_type").isin("delete", "update_preimage"))
+          .drop(metaCols: _*)).withColumn("__s", lit(-1L)))
+      val deltas = fold(signed)
       val merged =
         if (!lake.exists("bronze", target)) deltas
         else {

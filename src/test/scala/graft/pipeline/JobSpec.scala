@@ -153,28 +153,88 @@ class JobSpec extends SparkSpec {
       assert(rows(cdfLake) == rows(fullLake),
         s"$m differs between change-feed and full day-2 refresh")
     }
-    // one more drain catches each cursor up past any maintenance commits
-    // Job ran AFTER the in-run drain (OPTIMIZE is dataChange=false, so the
-    // extra tick folds nothing) — then every cursor sits at its source head
+    // FULL COVERAGE: every silver consumer left a durable cursor — the
+    // six latest-wins models, the videos composite (SCD2 + silver_videos),
+    // the channel fact, the three observed dims, and the five calendar-dim
+    // count feeds — proving no model went through a snapshot path
+    val consumers = Silver.latestWinsSpecs.keys.toSeq ++
+      Seq("video_models", "fact_channel_daily_metrics",
+        "dim_traffic_source", "dim_device", "dim_country") ++
+      Seq("analytics_video_daily_raw", "analytics_video_traffic_source_daily_raw",
+        "analytics_video_country_daily_raw", "analytics_video_device_daily_raw",
+        "analytics_channel_daily_raw").map(s => s"dim_date/$s")
+    consumers.foreach { c =>
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(Job.feedCursorDir(cdfLake, c))),
+        s"feed cursor missing for $c — a snapshot path must have run")
+    }
+    // …and the GOLD marts match the full recompute and left their own
+    // feed cursors (fact dep per mart; video/dimensional marts also watch
+    // videos_raw for channel_id moves)
+    Gold.models.map(_.name).foreach { m =>
+      def rows(lake: Lakehouse) = lake.table("gold", m)
+        .collect().map(_.toString).sorted.toSeq
+      assert(rows(cdfLake) == rows(fullLake),
+        s"$m differs between change-feed and full day-2 refresh")
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(Gold.feedCursorRoot(cdfLake, m))),
+        s"gold feed cursors missing for $m")
+    }
+    // one more drain pass catches each cursor up past the maintenance
+    // commits (OPTIMIZE is dataChange=false — the ticks advance cursors
+    // WITHOUT rewriting any MV), then a second pass is all-caught-up and
+    // touches nothing: an unchanged lake costs cursor reads only
+    def drainAll(): Boolean = {
+      var any = false
+      Silver.latestWinsSpecs.keys.foreach { m =>
+        any |= Silver.refreshFromChangeFeed(cdfLake, m, Job.feedCursorDir(cdfLake, m)).isDefined
+      }
+      any |= Silver.refreshVideoModelsFromChangeFeed(
+        cdfLake, Job.feedCursorDir(cdfLake, "video_models")).isDefined
+      any |= Silver.refreshChannelFactFromChangeFeed(
+        cdfLake, Job.feedCursorDir(cdfLake, "fact_channel_daily_metrics")).isDefined
+      Seq("dim_traffic_source", "dim_device", "dim_country").foreach { d =>
+        any |= Silver.refreshDimFromChangeFeed(cdfLake, d, Job.feedCursorDir(cdfLake, d)).isDefined
+      }
+      any |= Silver.dimDateFeedTick(cdfLake, Job.feedCursorDir(cdfLake, "dim_date"))
+      Gold.refreshFromChangeFeeds(cdfLake)
+      any
+    }
+    def allVersions() =
+      Silver.models.map(m => m.name -> cdfLake.tableVersion("silver", m.name)) ++
+        Gold.models.map(m => m.name -> cdfLake.tableVersion("gold", m.name))
+    val versBefore = allVersions()
+    drainAll() // maintenance-commit catch-up: cursor advances, no rewrites
+    assert(!drainAll(), "second drain pass on an unchanged lake still ticked")
+    val versAfter = allVersions()
+    assert(versBefore == versAfter,
+      s"caught-up drains rewrote a model: before=$versBefore after=$versAfter")
     Silver.latestWinsSpecs.foreach { case (m, spec) =>
-      Silver.refreshFromChangeFeed(cdfLake, m, Job.feedCursorDir(cdfLake, m))
       val cur = java.nio.file.Paths.get(Job.feedCursorDir(cdfLake, m))
       assert(cdfLake.changesCursor(cur) ==
         cdfLake.committedBronzeVersion(spec.bronzeTable),
         s"$m cursor not caught up")
     }
     // and the MVs are still the recompute after the catch-up ticks
-    Silver.latestWinsSpecs.keys.foreach { m =>
+    Silver.models.map(_.name).foreach { m =>
       def rows(lake: Lakehouse) = lake.table("silver", m)
         .drop("request_id").collect().map(_.toString).sorted.toSeq
       assert(rows(cdfLake) == rows(fullLake), s"$m diverged after catch-up")
     }
     // decommission releases the retention hold: cursor dirs gone, registry
-    // markers pointing at them are ignored from then on
+    // markers pointing at them are ignored from then on, and the calendar
+    // dim's count-state tables go with them
     Job.decommissionFeedCursors(cdfLake)
-    Silver.latestWinsSpecs.keys.foreach { m =>
+    consumers.foreach { c =>
       assert(!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(Job.feedCursorDir(cdfLake, m))))
+        java.nio.file.Paths.get(Job.feedCursorDir(cdfLake, c))))
+    }
+    assert(!cdfLake.tableNames("bronze").exists(_.startsWith("dim_date_counts_")),
+      "decommission left calendar-dim count state behind")
+    Gold.models.map(_.name).foreach { m =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(Gold.feedCursorRoot(cdfLake, m))),
+        s"decommission left gold cursors for $m")
     }
   }
 
