@@ -701,13 +701,15 @@ object Clustering {
       .drop("__pid")
   }
 
-  /** Per-subspace (pos → distance) ARRAY aggregate: entries collected per
-    * group, sorted by pos (unique — deterministic), distances extracted.
+  /** Per-subspace (pos → value) ARRAY aggregate: entries collected per
+    * group, sorted by pos (unique — deterministic), values extracted.
     * `element_at(arr, code)` with the 1-based positional code is the O(1)
     * ADC lookup. */
-  private def posArray(m: Int): Column =
-    transform(array_sort(collect_list(struct(col("pos"), col(s"qd_$m").as("d")))),
+  private def posArrayOf(c: String): Column =
+    transform(array_sort(collect_list(struct(col("pos"), col(c).as("d")))),
       x => x.getField("d"))
+
+  private def posArray(m: Int): Column = posArrayOf(s"qd_$m")
 
   /** Squared L2 distance between the `m`-th `subDim`-wide subspace slices of
     * two `array<float>` columns, `|a|² + |b|² − 2·a·b` with each term a
@@ -722,6 +724,23 @@ object Clustering {
       graft.sql.FloatSubDist2(
         org.apache.spark.sql.graft.ColumnShim.expression(a),
         org.apache.spark.sql.graft.ColumnShim.expression(b), m, subDim))
+
+  /** Subspace dot product — [[graft.sql.FloatSubDot]], the single `a·b`
+    * fold of [[subDist2]] on its own: the kernel of the factored
+    * residual-ADC table build (see [[ivfAdcResidualFromIndex]]). */
+  private def subDot(a: Column, b: Column, m: Int, subDim: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.FloatSubDot(
+        org.apache.spark.sql.graft.ColumnShim.expression(a),
+        org.apache.spark.sql.graft.ColumnShim.expression(b), m, subDim))
+
+  /** The slice+dot composition [[subDot]] fuses — the executable
+    * specification its bit-parity spec pins against. */
+  private[graft] def subDotComposed(a: Column, b: Column, m: Int, subDim: Int): Column =
+    Similarity.dot(slice(a, m * subDim + 1, subDim), slice(b, m * subDim + 1, subDim))
+
+  private[graft] def subDotNative(a: Column, b: Column, m: Int, subDim: Int): Column =
+    subDot(a, b, m, subDim)
 
   /** The slice+dot composition [[subDist2]] fused — the executable
     * specification ShingleHashesSpec pins the native expression against
@@ -1010,8 +1029,13 @@ object Clustering {
     * (cell, code) PAIR, the query side builds one distance table per
     * probed cell (Q·nprobe·√n·numSub entries — the per-probe table FAISS
     * also computes per query; still query-sized, never corpus-sized) and
-    * the scan keys its map lookups by (cell_id, code). Corpus data never
-    * shuffles; exact rerank refines the shortlist as in [[pqTopKFromCodes]].
+    * the scan keys its map lookups by (cell_id, code). The table build is
+    * FACTORED so the subspace folds don't scale with nprobe: the only
+    * (query × code) folds are the probe-independent q·r dots, the cell ×
+    * code term is computed once per batch, and each probe's table
+    * assembles by zip_with array arithmetic (see the inline derivation in
+    * [[ivfAdcResidualFromIndex]]). Corpus data never shuffles; exact
+    * rerank refines the shortlist as in [[pqTopKFromCodes]].
     *
     * Determinism: per-subspace distances round to 9 decimals and sum as
     * DECIMAL (t11 discipline); ranks tie-break (dist ASC, neighbor ASC).
@@ -1050,33 +1074,68 @@ object Clustering {
       case None => fixedProbes(queries, cells, nprobe, idCol, embCol)
     }).select(col("query_id"), col("cell_id"))
 
-    // query residual per PROBED cell, then per-subspace distance tables
-    // keyed by (cell_id, rcode) — the FAISS per-probe lookup table
-    val qres = probes
+    // FACTORED per-probe table build. The residual estimate decomposes as
+    //   ‖(q−c)−r‖²_m = qc2_m + (rn2_m + 2·c·r_m) − 2·q·r_m
+    // and only the LAST term has a (query × code) extent — computing it
+    // probe-independently (once per query per code, not once per PROBED
+    // CELL per code) cuts the dominant subspace-fold count by nprobe×.
+    // The cell-side term sc_m = rn2_m + 2·c·r_m is query-independent
+    // (once per batch, ~n·numSub folds); qc2_m has no code extent. The
+    // combination association is FIXED — ((qc2 + sc) − 2·qr), sc's own
+    // association (rn2 + 2·cr) — and the DuckDB oracle restates it
+    // exactly, so the estimates stay hash-replayable (they differ from
+    // the fused-subtraction form only in float rounding; recall is
+    // unchanged — RecallAb re-witnesses).
+    val rcbPos = withPos(rcb, "rcode_id").select(col("pos"), col("r_emb"))
+    // probe-independent query×code dots, folded to positional arrays
+    val qrArrs = queries
+      .select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"))
+      .join(broadcast(rcbPos))
+      .select(col("query_id") +: col("pos") +:
+        (0 until numSub).map(m =>
+          subDot(col("q_emb"), col("r_emb"), m, subDim).as(s"qr_$m")): _*)
+      .groupBy(col("query_id")).agg(
+        posArrayOf("qr_0").as("qra_0"),
+        (1 until numSub).map(m => posArrayOf(s"qr_$m").as(s"qra_$m")): _*)
+    // query-independent cell×code term, folded to positional arrays
+    val scArrs = cells.select(col("cell_id"), col("c_emb"))
+      .join(broadcast(rcbPos))
+      .select(col("cell_id") +: col("pos") +:
+        (0 until numSub).map(m =>
+          (subDot(col("r_emb"), col("r_emb"), m, subDim)
+            + lit(2.0) * subDot(col("c_emb"), col("r_emb"), m, subDim)).as(s"sc_$m")): _*)
+      .groupBy(col("cell_id")).agg(
+        posArrayOf("sc_0").as("sca_0"),
+        (1 until numSub).map(m => posArrayOf(s"sc_$m").as(s"sca_$m")): _*)
+    // the (query, probed cell) pairing frame carries only the numSub qc2
+    // scalars; the √n-entry positional arrays stay in their OWN broadcasts
+    // (qrArrs per query, scArrs per cell) instead of being duplicated into
+    // every probe row — the per-probe-materialized layout shipped a
+    // broadcast nprobe× the query-table volume, and building + shipping it
+    // dominated the query (the FAISS in-memory layout shares the tables
+    // the same way; only the ROW layout differs). The scan assembles each
+    // estimate term from two O(1) array lookups + the probe's scalar.
+    val qprobe = probes
       .join(queries.select(col(idCol).cast("bigint").as("query_id"),
         col(embCol).as("q_emb")), "query_id")
       .join(broadcast(cells.select(col("cell_id"), col("c_emb"))), "cell_id")
-      .select(col("query_id"), col("cell_id"),
-        zip_with(col("q_emb"), col("c_emb"), (x, y) => x - y).as("q_res"))
-    val qd = qres.join(broadcast(withPos(rcb, "rcode_id")))
-      .select(col("query_id") +: col("cell_id") +: col("pos") +:
+      .select(col("query_id") +: col("cell_id") +:
         (0 until numSub).map(m =>
-          round(subDist2(col("q_res"), col("r_emb"), m, subDim), 9)
-            .cast(DecimalType(28, 9)).as(s"qd_$m")): _*)
-    // one row per (query, probed cell) carrying that probe's √n-entry
-    // POSITIONAL distance arrays (see [[withPos]]): lookups index a
-    // per-PROBE table in O(1) — the FAISS layout, not one
-    // (cell,code)-keyed table nprobe times larger
-    val qMaps = qd.groupBy(col("query_id"), col("cell_id")).agg(
-      posArray(0).as("qa_0"),
-      (1 until numSub).map(m => posArray(m).as(s"qa_$m")): _*)
+          subDist2(col("q_emb"), col("c_emb"), m, subDim).as(s"qc2_$m")): _*)
 
     val est = (0 until numSub)
-      .map(m => element_at(col(s"qa_$m"), col(s"code_$m").cast("int")))
+      .map { m =>
+        val code = col(s"code_$m").cast("int")
+        round((col(s"qc2_$m") + element_at(col(s"sca_$m"), code))
+            - lit(2.0) * element_at(col(s"qra_$m"), code), 9)
+          .cast(DecimalType(28, 9))
+      }
       .reduce(_ + _)
     val scored = codes
-      .join(broadcast(qMaps), Seq("cell_id"))
+      .join(broadcast(qprobe), Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qrArrs), Seq("query_id"))
+      .join(broadcast(scArrs), Seq("cell_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         est.cast("double").as("est_d2"))
     rankAdc(scored, queries, corpus, k, rerank, idCol, embCol)

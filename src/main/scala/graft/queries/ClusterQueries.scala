@@ -234,6 +234,13 @@ object ClusterQueries {
     s"(${duckSubDot(vs, vs)} + ${duckSubDot(cs, cs)} - 2.0 * ${duckSubDot(vs, cs)})"
   }
 
+  /** Subspace dot of the m-th slices — the FloatSubDot fold. */
+  private def duckSubDotM(x: String, y: String): String = {
+    val xs = s"list_slice($x, m*$SubDim + 1, m*$SubDim + $SubDim)"
+    val ys = s"list_slice($y, m*$SubDim + 1, m*$SubDim + $SubDim)"
+    duckSubDot(xs, ys)
+  }
+
   /** PQ shortlist size before exact re-rank (the IVFADC refinement step).
     * Round-9 frontier (tools/RecallAb, BASELINE.md): above nprobe=12 the
     * binding constraint flips from candidates to the SHORTLIST — at sf0.1
@@ -670,19 +677,31 @@ object ClusterQueries {
                        ORDER BY d2 ASC, rcode_id ASC) AS rn
               FROM vd) z
         WHERE rn = 1),
-      qres AS (
-        SELECT p.query_id, p.cell_id,
-               list_transform(range(1, len(q.embedding) + 1),
-                 i -> CAST(q.embedding[CAST(i AS INT)] - c.c_emb[CAST(i AS INT)] AS FLOAT))
-                 AS q_res
+      qrd AS (
+        SELECT q.vec_id AS query_id, s.m, rc.rcode_id,
+               ${duckSubDotM("q.embedding", "rc.r_emb")} AS qr
+        FROM embeddings q CROSS JOIN rcb rc CROSS JOIN sub s
+        WHERE q.vec_id % 50 = 0),
+      scd AS (
+        SELECT c.cell_id, s.m, rc.rcode_id,
+               (${duckSubDotM("rc.r_emb", "rc.r_emb")}
+                + 2.0 * ${duckSubDotM("c.c_emb", "rc.r_emb")}) AS sc
+        FROM cents c CROSS JOIN rcb rc CROSS JOIN sub s),
+      qc2 AS (
+        SELECT p.query_id, p.cell_id, s.m,
+               ${duckSubDist2("q.embedding", "c.c_emb")} AS qc2
         FROM probes p
         JOIN embeddings q ON p.query_id = q.vec_id
-        JOIN cents c ON p.cell_id = c.cell_id),
+        JOIN cents c ON p.cell_id = c.cell_id
+        CROSS JOIN sub s),
       qd AS (
-        SELECT qr.query_id, qr.cell_id, s.m, rc.rcode_id,
-               CAST(round(${duckSubDist2("qr.q_res", "rc.r_emb")}, 9)
+        SELECT qc2.query_id, qc2.cell_id, qc2.m, scd.rcode_id,
+               CAST(round((qc2.qc2 + scd.sc) - 2.0 * qrd.qr, 9)
                  AS DECIMAL(28,9)) AS d9
-        FROM qres qr CROSS JOIN rcb rc CROSS JOIN sub s),
+        FROM qc2
+        JOIN scd ON scd.cell_id = qc2.cell_id AND scd.m = qc2.m
+        JOIN qrd ON qrd.query_id = qc2.query_id AND qrd.m = qc2.m
+               AND qrd.rcode_id = scd.rcode_id),
       est AS (
         SELECT qd.query_id, cd.vec_id AS neighbor_id,
                CAST(SUM(qd.d9) AS DOUBLE) AS est_d2

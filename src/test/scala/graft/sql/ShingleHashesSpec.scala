@@ -125,6 +125,48 @@ class ShingleHashesSpec extends SparkSpec {
     assert(r2.isNullAt(0) && r2.isNullAt(1))
   }
 
+  test("native subspace dot matches the slice+dot composition bit-for-bit") {
+    def native(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+        m: Int, subDim: Int) =
+      graft.operators.Clustering.subDotNative(a, b, m, subDim)
+    def composed(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+        m: Int, subDim: Int) =
+      graft.operators.Clustering.subDotComposed(a, b, m, subDim)
+    val e = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = e.select(col("embedding").as("a"))
+      .crossJoin(e.limit(5).select(col("embedding").as("b")))
+    (0 until 16).foreach { m =>
+      val diff = pairs.select(
+        native(col("a"), col("b"), m, 4).as("fast"),
+        composed(col("a"), col("b"), m, 4).as("ref"))
+        .filter(col("fast") =!= col("ref")) // bit-exact: identical fold order
+      assert(diff.isEmpty, s"subspace $m diverged")
+    }
+    // null-poisoning / slice-edge parity, same matrix as FloatSubDist2's
+    val edge = spark.sql("""
+      SELECT array(CAST(NULL AS FLOAT), CAST(2.0 AS FLOAT),
+                   CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)) AS a,
+             array(CAST(5.0 AS FLOAT), CAST(6.0 AS FLOAT),
+                   CAST(7.0 AS FLOAT), CAST(8.0 AS FLOAT)) AS b""")
+    val r = edge.select(
+      native(col("a"), col("b"), 0, 2).as("f0"),
+      composed(col("a"), col("b"), 0, 2).as("c0"),
+      native(col("a"), col("b"), 1, 2).as("f1"),
+      composed(col("a"), col("b"), 1, 2).as("c1"),
+      native(col("a"), col("b"), 7, 2).as("f7"),
+      composed(col("a"), col("b"), 7, 2).as("c7")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1)) // null in slice 0
+    assert(!r.isNullAt(2) && r.getDouble(2) == r.getDouble(3)) // slice 1 clean
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0) // past the end
+    val mm = spark.sql("""
+      SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)) AS a,
+             array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT)) AS b""")
+    val r2 = mm.select(
+      native(col("a"), col("b"), 1, 2).as("f"),
+      composed(col("a"), col("b"), 1, 2).as("c")).collect().head
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+  }
+
   test("sorted intersect size equals size(array_intersect) on sorted distinct arrays") {
     val sets = Graft.table(spark, "/root/testdata/sf0.001", "documents")
       .select(array_sort(array_distinct(Dedup.shingleHashes(col("text")))).as("hset"))
