@@ -344,13 +344,17 @@ object Graphs {
     * distinct → degree joins) re-executed per side — caching it removes
     * two full recomputes. The closure join's probe side is the wedge
     * fan-out (Σ outdeg² — the Θ(m^1.5) term); when the edge list itself
-    * is small enough to broadcast (`closureBroadcastMaxEdges`, ~24 B/edge
-    * — 10M edges ≈ 240 MB), broadcasting `o` turns the closure into a
-    * map-side hash probe and the WEDGE SET never shuffles at all. Beyond
-    * that size the plan falls back to the shuffle closure join — at
-    * billion-edge scale the wedge shuffle is the honest cost, and its
-    * keys are fan-out-bounded by the orientation. The count() gating the
-    * choice is a 1-long driver pull off the already-cached `o`.
+    * is SMALL, broadcasting `o` turns the closure into a map-side hash
+    * probe and the WEDGE SET never shuffles at all. The gate is low
+    * (`closureBroadcastMaxEdges` = 1M edges ≈ 24 MB) because the
+    * broadcast is rebuilt per ACTION — a driver collect of the whole edge
+    * set every run — and the round-15 A/B at 3.1M edges measured the
+    * broadcast plan 2× SLOWER and wildly unstable (min-of-3 spread 5.0 →
+    * 7.0 s, allocation/GC-bound on the per-run collect) vs the
+    * shuffle-hash closure's tight 2.5–2.9 s. Past the gate the wedge
+    * stream shuffles — the honest cost at scale, its keys fan-out-bounded
+    * by the orientation. The count() gating the choice is a 1-long driver
+    * pull off the already-cached `o`.
     *
     * Lifecycle knobs (plan-only callers and long sessions): the gate
     * count materializes the cache at DEFINITION time — pass
@@ -362,7 +366,7 @@ object Graphs {
     * the cost of the oriented set recomputing per join side) instead of
     * accumulating entries. */
   def triangleCounts(edges: DataFrame,
-      closureBroadcastMaxEdges: Long = 10000000L,
+      closureBroadcastMaxEdges: Long = 1000000L,
       orientedEdgeCountHint: Option[Long] = None,
       cacheOriented: Boolean = true): DataFrame =
     triangleCountsFromOriented(orientEdges(edges), closureBroadcastMaxEdges,
@@ -396,7 +400,7 @@ object Graphs {
   /** [[triangleCounts]] over a PREBUILT oriented edge set (`orientEdges`
     * output, possibly read back from at-rest parquet). */
   def triangleCountsFromOriented(oriented: DataFrame,
-      closureBroadcastMaxEdges: Long = 10000000L,
+      closureBroadcastMaxEdges: Long = 1000000L,
       orientedEdgeCountHint: Option[Long] = None,
       cacheOriented: Boolean = true): DataFrame = {
     val oPlan = oriented.select(col("s"), col("t"), col("dt"))

@@ -25,7 +25,7 @@ object GraphScaleAb {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = graft.Graft.session(appName = "graph-scale-ab")
     import graft.operators.Graphs
-    val gate = 10000000L // triangleCounts closureBroadcastMaxEdges default
+    val gate = 1000000L // triangleCounts closureBroadcastMaxEdges default
     val offset = 100000000L // far above any fixture id: copies stay disjoint
     val tmp = java.nio.file.Files.createTempDirectory("graft-graphscale").toString
 
