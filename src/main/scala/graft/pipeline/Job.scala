@@ -28,7 +28,8 @@ object Job {
       status: String,
       checkFailures: Seq[(String, String, Long)],
       error: Option[Throwable],
-      maintenance: Option[Maintenance.Report] = None)
+      maintenance: Option[Maintenance.Report] = None,
+      warnings: Seq[String] = Nil)
 
   /** Execute one full run. `now` is injectable for deterministic tests.
     *
@@ -95,6 +96,28 @@ object Job {
           .filter(col("run_id") =!= runId && col("run_status") === "success")
           .agg(max(col("snapshot_date"))).collect()
           .headOption.flatMap(r => Option(r.getDate(0)))
+      }
+
+    // ABANDONED-CONSUMER guard: a run that leaves cdfRefresh OFF while
+    // live feed cursors exist lets every one of them pin log + vacuum
+    // retention on its bronze source FOREVER (nothing will ever drain
+    // them) — the documented failure mode decommissionFeedCursors guards.
+    // Warn loudly and surface it in the report; the operator either
+    // re-enables cdfRefresh or decommissions.
+    val warnings: Seq[String] =
+      if (cdfRefresh) Nil
+      else {
+        val live = liveFeedCursors(lake)
+        if (live.isEmpty) Nil
+        else {
+          val w = s"cdfRefresh = false but ${live.size} live feed cursor(s) " +
+            s"hold log+vacuum retention on their bronze sources " +
+            s"(e.g. ${live.take(3).mkString(", ")}) — re-enable cdfRefresh to " +
+            "keep draining them, or call Job.decommissionFeedCursors(lake) " +
+            "to release the held versions"
+          System.err.println(s"[job] WARNING: $w")
+          Seq(w)
+        }
       }
 
     // init_run_context: log the run before any ingest so a crashed run still
@@ -241,7 +264,29 @@ object Job {
     val maint = if (optimize)
         Some(Maintenance.run(lake, gates = gates))
       else None
-    RunReport(runId, status, checkFailures, failure, maint)
+    RunReport(runId, status, checkFailures, failure, maint, warnings)
+  }
+
+  /** Feed-consumer cursor dirs currently live under this lake (silver AND
+    * gold trees) — every one holds log + vacuum retention on its bronze
+    * source from the moment it registered. A dir counts as a live cursor
+    * when it contains at least one `_cursor_v*` marker OR is a registered
+    * leaf that has merely not committed yet (empty dirs under the cursor
+    * roots). */
+  def liveFeedCursors(lake: Lakehouse): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Seq("_silver_cursors", "_gold_cursors").flatMap { tree =>
+      val root = java.nio.file.Paths.get(s"${lake.root}/$tree")
+      if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p)
+            && p.getFileName.toString.startsWith("_cursor_v"))
+          .map(_.getParent.toString).toSeq.distinct.sorted
+        finally s.close()
+      }
+    }
   }
 
   /** The durable cursor dir a `cdfRefresh` run uses for `model`. */

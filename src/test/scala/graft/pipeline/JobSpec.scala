@@ -238,6 +238,54 @@ class JobSpec extends SparkSpec {
     }
   }
 
+  test("abandoned cdfRefresh: lingering cursors pin vacuum retention, warn loudly, release on decommission") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-job-abandon").toString)
+    val r1 = Job.run(lake, DataClient, AnalyticsClient,
+      startDate = "2025-05-30", endDate = "2025-06-01", cdfRefresh = true,
+      now = Timestamp.valueOf("2025-06-02 09:00:00"), runId = "cdf1")
+    assert(r1.status == "success", r1.toString)
+    assert(r1.warnings.isEmpty, r1.warnings.toString)
+    val src = "videos_raw"
+    val head1 = lake.committedBronzeVersion(src)
+    // ABANDONMENT: snapshot-mode runs from here on; the feed cursors linger
+    // at head1 while new bronze versions land past them
+    val r2 = Job.run(lake, DataClient, AnalyticsClient,
+      startDate = "2025-05-31", endDate = "2025-06-02",
+      now = Timestamp.valueOf("2025-06-03 09:00:00"), runId = "snap1")
+    val r3 = Job.run(lake, DataClient, AnalyticsClient,
+      startDate = "2025-06-01", endDate = "2025-06-03",
+      now = Timestamp.valueOf("2025-06-04 09:00:00"), runId = "snap2")
+    assert(r2.status == "success" && r3.status == "success")
+    // the documented failure mode is now LOUD: both snapshot runs warn
+    Seq(r2, r3).foreach { r =>
+      assert(r.warnings.exists(_.contains("live feed cursor")),
+        s"snapshot run against live cursors did not warn: ${r.warnings}")
+    }
+    // a CoW delete rewrites files, so pre-delete versions reference files
+    // the head no longer does — the reclaimable debt vacuum acts on (on a
+    // purely append-only history every old version shares the head's files
+    // and there is nothing to physically drop)
+    val held = lake.committedBronzeVersion(src) // pre-rewrite head
+    assert(held >= head1 + 1, s"need post-abandonment commits, got $head1 -> $held")
+    lake.deleteBronzeWhere(src, col("run_id") === "cdf1")
+    // vacuum DEBT: an aggressive vacuum must keep the held version readable
+    lake.vacuumBronze(src, keepVersions = 1, retainMillis = 0L)
+    assert(lake.tableAt("bronze", src, held).count() >= 0,
+      "cursor-held version was vacuumed while the cursor lingered")
+    // decommission releases the hold; the same vacuum now drops it
+    Job.decommissionFeedCursors(lake)
+    lake.vacuumBronze(src, keepVersions = 1, retainMillis = 0L)
+    val releasedGone =
+      try { lake.tableAt("bronze", src, held).count(); false }
+      catch { case _: Throwable => true }
+    assert(releasedGone, s"version $held still resolvable after decommission + vacuum")
+    // and a post-decommission snapshot run no longer warns
+    val r4 = Job.run(lake, DataClient, AnalyticsClient,
+      startDate = "2025-06-02", endDate = "2025-06-04",
+      now = Timestamp.valueOf("2025-06-05 09:00:00"), runId = "snap3")
+    assert(r4.status == "success" && r4.warnings.isEmpty, r4.toString)
+  }
+
   test("incremental merge does not skip bronze landed by a FAILED run") {
     // day 1 success; day 2 lands Data-API bronze then fails in analytics
     // (silver never refreshed); day 3 incremental must still merge day 2's
