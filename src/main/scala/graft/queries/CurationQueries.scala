@@ -1115,6 +1115,146 @@ object CurationQueries {
       FROM x
       ORDER BY shard, seq_id, chunk_off, doc_id"""))
 
+  /** The quality-gate predicate SQL shared by the c06 funnel and the c31
+    * incremental replay (t07 thresholds over the token list column `t`). */
+  private def duckQualityGate: String = """
+        round(CASE WHEN len(t) = 0 THEN 1.0
+                ELSE CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) END, 6) >= 0.35
+          AND round(CASE WHEN len(t) < 2 THEN 0.0
+                ELSE CAST(list_aggregate(list_transform(
+                       list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])),
+                       bg -> len(list_filter(
+                         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]),
+                         x -> x = bg))), 'max') AS DOUBLE) * 2.0
+                     / CAST(len(t) AS DOUBLE) END, 6) <= 0.12"""
+
+  /** Day-N INCREMENTAL curation end-to-end against the AT-REST near-dup
+    * index ([[graft.pipeline.CurationJob.runIncremental]] over the
+    * `curated_shingles`/`curated_postings` tables the day-0 bootstrap
+    * ships): the corpus splits deterministically into a standing two-thirds
+    * (day-0 [[graft.pipeline.CurationJob.run]]) and a batch third, the
+    * batch goes through all six incremental stages — exact dedup within
+    * itself, exact anti-join against curated fingerprints, LSH near-dup
+    * within itself (star components, min-id keeper), near-dup against the
+    * curated INDEX (band probes, standing corpus never re-pairs), the
+    * quality gate, the weighted mix — and the final curated corpus must
+    * equal DuckDB's from-scratch restatement of day-0 funnel ∪ incremental
+    * survivors. This is the oracle gate for the index path itself: a
+    * posting/shingle table that drifted from the documents would change
+    * stage 4's drop set and break the hash. */
+  val c31IncrementalCuration = GraftQuery(
+    "c31_incremental_curated_corpus",
+    (s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-c31")
+      val lake = new graft.pipeline.Lakehouse(s, scratch.toString)
+      val docs = table(s, dir, "documents")
+      val r0 = graft.pipeline.CurationJob.run(lake,
+        docs.filter(col("doc_id") % 3 =!= 0), MixWeights, optimize = false,
+        now = java.sql.Timestamp.valueOf("2025-06-01 00:00:00"), runId = "c31-day0")
+      require(r0.status == "success", s"c31 day0 failed: ${r0.error}")
+      require(lake.exists("curated", "curated_postings"),
+        "day-0 bootstrap did not ship the at-rest index")
+      val r1 = graft.pipeline.CurationJob.runIncremental(lake,
+        docs.filter(col("doc_id") % 3 === 0), MixWeights, optimize = false,
+        now = java.sql.Timestamp.valueOf("2025-06-02 00:00:00"), runId = "c31-day1")
+      require(r1.status == "success", s"c31 day1 failed: ${r1.error}")
+      val res = lake.table("curated", "curated_documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+      // collect + drop the scratch lakehouse (StorageQueries discipline)
+      val rows = java.util.Arrays.asList(res.collect(): _*)
+      val out = s.createDataFrame(rows, res.schema)
+      val w = java.nio.file.Files.walk(scratch)
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally w.close()
+      out
+    },
+    Some {
+      val dim = MixWeights
+        .map { case (l, r) => s"('$l', '${Curation.rateThreshold(r)}')" }
+        .mkString(", ")
+      val fp = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+      s"""
+      WITH RECURSIVE
+      stand AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+      batch AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+      ${DedupQueries.duckLshPairCtesOver("stand", "s_")},
+      s_edges AS (
+        SELECT id_a AS src, id_b AS dst FROM s_lsh_pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM s_lsh_pairs),
+      s_reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM s_edges
+        UNION
+        SELECT r.src, e.dst FROM s_reach r JOIN s_edges e ON r.dst = e.src),
+      s_labels AS (
+        SELECT src AS member_id, MIN(dst) AS cluster_id FROM s_reach GROUP BY src),
+      s_ntok AS (
+        SELECT doc_id, lang, source, text,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+        FROM stand),
+      s_keep AS (SELECT MIN(doc_id) AS doc_id FROM stand GROUP BY $fp),
+      s1 AS (SELECT n.* FROM s_ntok n JOIN s_keep USING (doc_id)),
+      s2 AS (
+        SELECT * FROM s1
+        WHERE doc_id NOT IN
+          (SELECT member_id FROM s_labels WHERE member_id <> cluster_id)),
+      s3 AS (SELECT * FROM s2 WHERE $duckQualityGate),
+      weights(lang, accept_below) AS (VALUES $dim),
+      cur AS (
+        SELECT s3.* FROM s3 JOIN weights w ON s3.lang = w.lang
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < w.accept_below),
+      b_ntok AS (
+        SELECT doc_id, lang, source, text,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+        FROM batch),
+      b_keep AS (SELECT MIN(doc_id) AS doc_id FROM batch GROUP BY $fp),
+      b1 AS (SELECT n.* FROM b_ntok n JOIN b_keep USING (doc_id)),
+      curfp AS (SELECT DISTINCT $fp AS cfp FROM cur),
+      b2 AS (SELECT * FROM b1 WHERE $fp NOT IN (SELECT cfp FROM curfp)),
+      ${DedupQueries.duckLshPairCtesOver("b2", "b_")},
+      b_edges AS (
+        SELECT id_a AS src, id_b AS dst FROM b_lsh_pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM b_lsh_pairs),
+      b_reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM b_edges
+        UNION
+        SELECT r.src, e.dst FROM b_reach r JOIN b_edges e ON r.dst = e.src),
+      b_labels AS (
+        SELECT src AS member_id, MIN(dst) AS cluster_id FROM b_reach GROUP BY src),
+      b3 AS (
+        SELECT * FROM b2
+        WHERE doc_id NOT IN
+          (SELECT member_id FROM b_labels WHERE member_id <> cluster_id)),
+      ${DedupQueries.duckLshPairCtesOver("cur", "c_")},
+      x_cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM b_bands a JOIN c_bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.doc_id IN (SELECT doc_id FROM b3)),
+      x_dup AS (
+        SELECT DISTINCT id_a AS doc_id FROM (
+          SELECT id_a,
+                 CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE) AS shared,
+                 len(ha.hset) AS na, len(hb.hset) AS nb
+          FROM x_cand
+          JOIN b_hs_t ha ON id_a = ha.doc_id
+          JOIN c_hs_t hb ON id_b = hb.doc_id) z
+        WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.5),
+      b4 AS (SELECT * FROM b3 WHERE doc_id NOT IN (SELECT doc_id FROM x_dup)),
+      b5 AS (SELECT * FROM b4 WHERE $duckQualityGate),
+      b6 AS (
+        SELECT b5.* FROM b5 JOIN weights w ON b5.lang = w.lang
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < w.accept_below),
+      final AS (
+        SELECT doc_id, lang, source FROM cur
+        UNION ALL
+        SELECT doc_id, lang, source FROM b6)
+      SELECT doc_id, lang, source FROM final ORDER BY doc_id"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(c01HashSample, c02StratifiedSample, c03WeightedMix, c04PackSequences,
       c05NearDupClusters, c06CurationFunnel, c07QualityTopPerSource,
@@ -1123,5 +1263,5 @@ object CurationQueries {
       c16TemperatureMix, c17KAnonymity, c18QualityEnsemble, c19SourceOverlap,
       c20WeightedSample, c21LDiversity, c23EpochMix, c24NegativePairs,
       c25ImportanceResample, c26LeakageSafeSplit, c27CorpusReport,
-      c28QualitySweep, c29EpochShuffle, c30ConcatChunk)
+      c28QualitySweep, c29EpochShuffle, c30ConcatChunk, c31IncrementalCuration)
 }

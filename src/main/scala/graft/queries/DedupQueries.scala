@@ -110,38 +110,44 @@ object DedupQueries {
       ORDER BY doc_id"""
     })
 
-  /** The full MinHash-LSH near-dup pipeline as a reusable DuckDB CTE block
-    * ending in `lsh_pairs(id_a, id_b, jaccard)` — shared by the d04 oracle
-    * and the c05 cluster-resolution oracle (CurationQueries), so both gates
-    * restate the identical pair semantics. */
-  private[queries] val duckLshPairCtes: String = {
+  /** The full MinHash-LSH near-dup pipeline as a reusable DuckDB CTE block,
+    * PARAMETRIZED over the source relation and a CTE-name prefix (so one
+    * SQL statement can run it over several doc sets — the c31 incremental-
+    * curation oracle runs it over the standing corpus AND the batch).
+    * Ends in `<p>lsh_pairs(id_a, id_b, jaccard)`; also defines
+    * `<p>bands(doc_id, band_id, band_key)` and `<p>hs_t(doc_id, hset)` for
+    * cross-corpus band probes. */
+  private[queries] def duckLshPairCtesOver(src: String, p: String): String = {
     val sigList = (0 until Dedup.NumHashes).map { j =>
       s"list_min(list_transform(hset, h -> (${Dedup.MinhashA(j)}*h + ${Dedup.MinhashB(j)}) % 1000000007))"
     }.mkString("[", ", ", "]")
-    s"""codes_t AS (SELECT doc_id, $duckCodes AS codes, text FROM documents),
-      hs_t AS (SELECT doc_id, list_distinct($duckShingleHashes) AS hset FROM codes_t),
-      sig_t AS (SELECT doc_id, hset, $sigList AS sig FROM hs_t),
-      bands AS (
+    s"""${p}codes_t AS (SELECT doc_id, $duckCodes AS codes, text FROM $src),
+      ${p}hs_t AS (SELECT doc_id, list_distinct($duckShingleHashes) AS hset FROM ${p}codes_t),
+      ${p}sig_t AS (SELECT doc_id, hset, $sigList AS sig FROM ${p}hs_t),
+      ${p}bands AS (
         SELECT doc_id,
                band_id,
                ${(1 to Dedup.RowsPerBand).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
                   s"(($acc * 31 + sig[${Dedup.RowsPerBand}*band_id + $r]) % 1000000007)"
                 }} AS band_key
-        FROM sig_t CROSS JOIN (SELECT unnest([${(0 until Dedup.Bands).mkString(", ")}]) AS band_id) bb),
-      cand AS (
+        FROM ${p}sig_t CROSS JOIN (SELECT unnest([${(0 until Dedup.Bands).mkString(", ")}]) AS band_id) ${p}bb),
+      ${p}cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
+        FROM ${p}bands a JOIN ${p}bands b
           ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-      ver AS (
+      ${p}ver AS (
         SELECT id_a, id_b,
                CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE) AS shared,
                len(ha.hset) AS na, len(hb.hset) AS nb
-        FROM cand JOIN hs_t ha ON id_a = ha.doc_id JOIN hs_t hb ON id_b = hb.doc_id),
-      lsh_pairs AS (
+        FROM ${p}cand JOIN ${p}hs_t ha ON id_a = ha.doc_id JOIN ${p}hs_t hb ON id_b = hb.doc_id),
+      ${p}lsh_pairs AS (
         SELECT id_a, id_b, shared / CAST(na + nb - shared AS DOUBLE) AS jaccard
-        FROM ver
+        FROM ${p}ver
         WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.5)"""
   }
+
+  /** The d04/c05/c06 instance over the whole `documents` table. */
+  private[queries] val duckLshPairCtes: String = duckLshPairCtesOver("documents", "")
 
   /** MinHash-LSH near-dup pairs: band bucket join (6 bands × 4 rows, LSH
     * threshold ≈ 0.64 — see Dedup.scala for why r=4 on this corpus) →
