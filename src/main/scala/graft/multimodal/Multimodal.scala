@@ -693,6 +693,91 @@ object Multimodal {
     }
   }
 
+  /** Spectral-band energy hash over decoded PCM — the audio counterpart of
+    * [[imagePHash]] (the m14 integer-DCT trick): the 32 length-normalized
+    * mean-|amplitude| window energies of [[audioContourHash]] feed a 1-D
+    * integer DCT-II ([[dctBasis]], AC rows u = 1..31), and bit i is set
+    * iff coefficient i+1 exceeds the AC mean (`c·31 > Σc` — integer-exact,
+    * no division). 31 bits; the hash and its 16-bit LSH bands stay
+    * positive on any engine.
+    *
+    * WHY a second audio hash next to [[audioContourHash]]: each spectral
+    * coefficient aggregates EVERY window, so the hash keys on the
+    * low-frequency spectral ENVELOPE — the structure lossy audio codecs
+    * preserve — rather than on pointwise adjacent-window order. The
+    * planted spec pins its re-encode robustness (bit-depth requantization
+    * and per-window scale-factor jitter both stay within the Hamming
+    * gate). Honest scope note (measured, same discipline as the s15
+    * recall finding): on THIS noise-like synthetic fixture the window
+    * means are far apart, so the contour hash is at least as robust —
+    * the spectral layout is the ready, oracle-gated estimator for
+    * tonal/real-audio corpora where adjacent windows sit near-equal and
+    * pointwise comparisons scatter. Pure per-row map over the real RIFF
+    * chunk walk — no shuffle. Overflow-safe: |mean| ≤ 2¹⁵, |basis| ≤ 2¹⁴,
+    * 32 terms → |coefficient| < 2³⁴, ×31 < 2³⁹. */
+  def audioSpectralHash(assets: Dataset[MediaAsset], decoder: MediaDecoder,
+      bins: Int = 32): Dataset[AudioHash] = {
+    require(bins >= 2 && bins <= 64, s"bins out of range: $bins")
+    import assets.sparkSession.implicits._
+    val t = dctBasis(bins, bins)
+    assets.filter(_.kind == "audio").map { a =>
+      val s = decoder.decodeAudio(a.content, a.meta)
+      val n = s.length
+      val sums = new Array[Long](bins)
+      val cnts = new Array[Long](bins)
+      var i = 0
+      while (i < n) {
+        val b = (i.toLong * bins / n).toInt
+        sums(b) += math.abs(s(i).toLong)
+        cnts(b) += 1
+        i += 1
+      }
+      def mean(j: Int): Long = if (cnts(j) == 0) 0L else sums(j) / cnts(j)
+      val ac = new Array[Long](bins - 1)
+      var u = 1
+      while (u < bins) {
+        var acc = 0L
+        var x = 0
+        while (x < bins) { acc += mean(x) * t(u)(x); x += 1 }
+        ac(u - 1) = acc
+        u += 1
+      }
+      val total = ac.sum
+      var bits = 0L
+      i = 0
+      while (i < ac.length) {
+        if (ac(i) * ac.length > total) bits |= 1L << i
+        i += 1
+      }
+      AudioHash(a.asset_id, bits)
+    }
+  }
+
+  /** A lossy RE-ENCODE of a [[synthWavKeyed]] asset — bit-depth reduction
+    * (samples quantized to multiples of `step`), the audio analog of the
+    * m14 JPEG recompress: byte-different container payload, perceptually
+    * the same signal. The m15 spec's planted pair. */
+  def requantizeWav(content: Array[Byte], meta: MediaMeta, step: Int): Array[Byte] = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    val s = MediaDecoder.Uncompressed.decodeAudio(content, meta)
+    writeWav(s.length, meta.sampleRateHz)(i => ((s(i) / step) * step).toShort)
+  }
+
+  /** Per-window scale-factor jitter re-encode — each of `windows`
+    * length-normalized windows re-gained by a deterministic factor in
+    * `1 ± pctMilli/1000` (the per-block scale-factor wobble of perceptual
+    * audio codecs). The m15 spec's second planted re-encode. */
+  def scaleJitterWav(content: Array[Byte], meta: MediaMeta, pctMilli: Int,
+      windows: Int = 32): Array[Byte] = {
+    require(pctMilli >= 0 && pctMilli < 1000, s"pctMilli out of range: $pctMilli")
+    val s = MediaDecoder.Uncompressed.decodeAudio(content, meta)
+    writeWav(s.length, meta.sampleRateHz) { i =>
+      val w = (i.toLong * windows / s.length).toInt
+      val g = 1000L + ((w.toLong * 2654435761L) % (2L * pctMilli + 1)) - pctMilli
+      math.max(-32768L, math.min(32767L, s(i).toLong * g / 1000L)).toShort
+    }
+  }
+
   final case class ImageHash(asset_id: Long, dhash: Long)
 
   /** Difference hash (dHash) over decoded images: nearest-neighbor

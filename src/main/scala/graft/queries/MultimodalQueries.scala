@@ -668,10 +668,95 @@ object MultimodalQueries {
       FROM cand WHERE bit_count(xor(ha, hb)) <= 6
       ORDER BY asset_a, asset_b"""))
 
+  /** The [[graft.multimodal.Multimodal.dctBasis]] AC rows (u = 1..31 over
+    * 32 windows) as a DuckDB VALUES list — the m14 interpolation trick for
+    * the m15 audio spectral hash. */
+  private lazy val audioDctValues: String =
+    graft.multimodal.Multimodal.dctBasis(32, 32).zipWithIndex.drop(1).flatMap {
+      case (row, u) => row.zipWithIndex.map { case (tv, x) => s"($u,$x,$tv)" }
+    }.mkString(",")
+
+  /** Audio near-dup detection via SPECTRAL-BAND hash (m15): REAL RIFF/WAVE
+    * chunk walk → 32-bin mean-|amplitude| energy contour → 1-D integer
+    * DCT-II over the contour (fixed-point cosine table, AC coefficients
+    * 1..31) → 31-bit mean-rule hash → 2×(16,15)-bit LSH bands →
+    * bucket-join → Hamming-verify (≤ 3). Same fixture and banding
+    * discipline as m12, different estimator: each spectral coefficient
+    * aggregates every window, keying on the low-frequency envelope lossy
+    * audio codecs preserve (the planted MultimodalSpec pins requantized
+    * and scale-factor-jittered re-encodes inside the gate; see the honest
+    * scope note on [[graft.multimodal.Multimodal.audioSpectralHash]] for
+    * where each estimator wins). Measured cross-key minimum Hamming is 4 at all
+    * three SFs (the hash is a pure function of (key, length) — the pair
+    * structure is SF-invariant), so the ≤ 3 gate admits zero false pairs.
+    * The whole hash is integer arithmetic; the oracle replays samples →
+    * windows → integer means → DCT (interpolated constants) → mean rule →
+    * bands → Hamming value-exactly. */
+  val m15AudioSpectralNearDup = GraftQuery(
+    "m15_audio_spectral_neardup",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      val hashes = Multimodal.audioSpectralHash(
+          Multimodal.wavAssetsKeyed(table(s, dir, "documents")),
+          Multimodal.MediaDecoder.Uncompressed).toDF()
+        .select(col("asset_id"), col("chash").as("shash"))
+      val bands = hashes.select(col("asset_id"), col("shash"),
+        posexplode(array(
+          col("shash").bitwiseAND(lit(65535L)),
+          shiftright(col("shash"), 16).bitwiseAND(lit(32767L))))
+          .as(Seq("band", "key")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.asset_id") < col("y.asset_id"))
+        .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
+          col("x.shash").as("ha"), col("y.shash").as("hb"))
+        .distinct()
+      cand.select(col("asset_a"), col("asset_b"),
+          expr("bit_count(ha ^ hb)").cast("bigint").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("asset_a"), col("asset_b"))
+    },
+    Some(s"""
+      WITH a AS (
+        SELECT doc_id AS asset_id, doc_id % 60 + 1 AS seed,
+               CAST(80 + n_chars % 5 AS BIGINT) AS n
+        FROM documents WHERE doc_id % 3 = 2),
+      s AS (
+        SELECT asset_id, i * 32 // n AS bin,
+               abs(((seed * 1103 * (1 + 7 * (i * 64 // n))) % 65536) - 32768) AS amp
+        FROM a, LATERAL unnest(range(0, n)) t(i)),
+      m AS (
+        SELECT asset_id, bin, SUM(amp) // COUNT(*) AS mean
+        FROM s GROUP BY asset_id, bin),
+      t AS (SELECT u, x, CAST(tv AS BIGINT) AS tv
+            FROM (VALUES $audioDctValues) v(u, x, tv)),
+      coef AS (
+        SELECT m.asset_id, t.u, CAST(SUM(m.mean * t.tv) AS BIGINT) AS cv
+        FROM m JOIN t ON t.x = m.bin GROUP BY m.asset_id, t.u),
+      tot AS (SELECT asset_id, CAST(SUM(cv) AS BIGINT) AS total FROM coef GROUP BY asset_id),
+      h AS (
+        SELECT coef.asset_id,
+               CAST(SUM(CASE WHEN cv * 31 > total
+                 THEN (CAST(1 AS BIGINT) << CAST(u - 1 AS INT)) ELSE 0 END) AS BIGINT)
+                 AS shash
+        FROM coef JOIN tot USING (asset_id) GROUP BY coef.asset_id),
+      bands AS (
+        SELECT asset_id, shash, 0 AS band, shash & 65535 AS key FROM h
+        UNION ALL
+        SELECT asset_id, shash, 1 AS band, (shash >> 16) & 32767 AS key FROM h),
+      cand AS (
+        SELECT DISTINCT x.asset_id AS asset_a, y.asset_id AS asset_b,
+               x.shash AS ha, y.shash AS hb
+        FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+          AND x.asset_id < y.asset_id)
+      SELECT asset_a, asset_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+      ORDER BY asset_a, asset_b"""))
+
   val all: Seq[GraftQuery] = Seq(
     m01BinaryStats, m02FrameStats, m03AudioWindows, m04ShotKeyframes,
     m05WavDecodeWindows, m06BmpDecodeRows, m07ResizeGrid,
     m08PngDecodeRows, m09JpegDecodeCheck, m10AviVideoDecodeCheck,
     m11ImageDHashNearDup, m12AudioContourNearDup, m13VideoKeyframeNearDup,
-    m14ImagePHashNearDup)
+    m14ImagePHashNearDup, m15AudioSpectralNearDup)
 }

@@ -524,6 +524,38 @@ class MultimodalSpec extends SparkSpec {
     assert(keys.forall(h => h >= 0L && (h >> 31) == 0L))
   }
 
+  test("audioSpectralHash: exact dup = 0; requantize and scale-factor re-encodes stay inside the gate") {
+    import Multimodal._
+    import spark.implicits._
+    val meta = MediaMeta("wav", 0, 0, 8000, 0L)
+    def hashOf(bytes: Array[Byte]): Long =
+      audioSpectralHash(Seq(MediaAsset(1L, "audio", bytes, meta)).toDS(),
+        MediaDecoder.Uncompressed).head().chash
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // exact duplicate → identical hash
+    assert(hashOf(synthWavKeyed(7L, 82)) == hashOf(synthWavKeyed(7L, 82)))
+    // re-encode robustness: 8-bit-depth requantization (step 256) and ±1%
+    // per-window scale-factor jitter both hold the pair inside the m15
+    // verify gate (≤ 3) — the envelope survives what lossy codecs do
+    val stats = (1L to 60L).map { k =>
+      val orig = synthWavKeyed(k, 82)
+      val h = hashOf(orig)
+      (ham(h, hashOf(requantizeWav(orig, meta, 256))),
+        ham(h, hashOf(scaleJitterWav(orig, meta, 10))))
+    }
+    assert(stats.count(_._1 <= 3) >= 55,
+      s"requantized re-encodes drifted: ${stats.map(_._1).sorted.mkString(",")}")
+    assert(stats.count(_._2 <= 3) >= 55,
+      s"scale-factor re-encodes drifted: ${stats.map(_._2).sorted.mkString(",")}")
+    // cross-key separation: distinct keys stay outside the gate
+    val keys = (1L to 60L).map(k => hashOf(synthWavKeyed(k, 82)))
+    val cross = for (i <- keys.indices; j <- i + 1 until keys.size) yield ham(keys(i), keys(j))
+    assert(cross.count(_ <= 3) <= cross.size / 100,
+      s"${cross.count(_ <= 3)} of ${cross.size} cross-key pairs inside the gate")
+    // 31-bit budget: hash and both LSH bands stay non-negative
+    assert(keys.forall(h => h >= 0L && (h >> 31) == 0L))
+  }
+
   test("videoKeyframeDHash: same key = 0 through the lossy decode regardless of cut; keys separate") {
     import Multimodal._
     import spark.implicits._
