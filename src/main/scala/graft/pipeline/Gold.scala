@@ -99,9 +99,14 @@ object Gold {
     * after the silver drains, so every run ends aligned). */
   def starFeedTick(lake: Lakehouse, mart: String, grain: Seq[String],
       factDep: FeedDep, lookupDeps: Seq[FeedDep],
-      factCurrent: Lakehouse => DataFrame,
+      factTable: String,
       build: (Lakehouse, DataFrame) => DataFrame,
       cursorRoot: String, maxVersions: Int = Int.MaxValue): Option[(Int, Int)] = {
+    def factCurrent(l: Lakehouse): DataFrame = l.table("silver", factTable)
+    // no silver fact yet (partial ingest, silver drain skipped because its
+    // source is still empty): nothing can be built sanely — stall with the
+    // cursors untouched until the fact materializes
+    if (!lake.exists("silver", factTable)) return None
     val deps = factDep +: lookupDeps
     val ticks = deps.map { d =>
       graft.streaming.Streams.registerCursor(lake.root, d.source, s"$cursorRoot/${d.source}")
@@ -164,7 +169,7 @@ object Gold {
     * churn. `silverFrontier(source)` caps each dep at the version the
     * silver consumers have folded (None = uncapped). */
   private def martDeps(lake: Lakehouse,
-      silverFrontier: String => Option[Int]): Map[String, (Seq[String], FeedDep, Seq[FeedDep], Lakehouse => DataFrame, (Lakehouse, DataFrame) => DataFrame)] = {
+      silverFrontier: String => Option[Int]): Map[String, (Seq[String], FeedDep, Seq[FeedDep], String, (Lakehouse, DataFrame) => DataFrame)] = {
     def dep(source: String, keyCols: Seq[String], typedKeys: DataFrame => DataFrame) =
       FeedDep(source, keyCols, typedKeys, silverFrontier(source))
     val videosDep = dep("videos_raw", Seq("video_id"),
@@ -176,8 +181,7 @@ object Gold {
     def dimensional(mart: String, factModel: String, dimTable: String,
         dimKey: String, dimName: String) = {
       val spec = Silver.latestWinsSpecs(factModel)
-      mart -> (spec.grain, factDep(factModel), Seq(videosDep),
-        (l: Lakehouse) => l.table("silver", factModel),
+      mart -> (spec.grain, factDep(factModel), Seq(videosDep), factModel,
         (l: Lakehouse, f: DataFrame) =>
           dimensionalSummaryOver(l, f, dimTable, dimKey, dimName))
     }
@@ -186,11 +190,11 @@ object Gold {
         dep("analytics_channel_daily_raw", Seq("channel_id", "date"),
           raw => Silver.channelDailyKeyFrame(lake, raw)),
         Seq.empty[FeedDep],
-        (l: Lakehouse) => l.table("silver", "fact_channel_daily_metrics"),
+        "fact_channel_daily_metrics",
         (_: Lakehouse, f: DataFrame) => channelSummaryOver(f))),
       "gold_video_daily_summary" -> ((Seq("video_id", "date"),
         factDep("fact_video_daily_metrics"), Seq(videosDep),
-        (l: Lakehouse) => l.table("silver", "fact_video_daily_metrics"),
+        "fact_video_daily_metrics",
         (l: Lakehouse, f: DataFrame) => videoSummaryOver(l, f))),
       dimensional("gold_video_country_daily_summary", "fact_video_country_metrics",
         "dim_country", "country_code", "country_name"),

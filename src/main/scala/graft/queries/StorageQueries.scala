@@ -879,7 +879,7 @@ object StorageQueries {
         }
         var guard = 0
         while (graft.pipeline.Gold.starFeedTick(lake, "mart", Seq("o_orderkey"),
-            factDep, Seq(dimDep), l => l.table("silver", "sfact"), build,
+            factDep, Seq(dimDep), "sfact", build,
             goldCur, maxVersions = 2).isDefined) {
           guard += 1
           require(guard <= 6, "capped gold drain failed to converge")
