@@ -39,7 +39,9 @@ object BenchStorage {
       rowtrackAppend4Sec: Double,
       rowtrackReadSec: Double,
       cdfReadSec: Double,
-      identityAppend4Sec: Double) {
+      identityAppend4Sec: Double,
+      silverFeedTickSec: Double,
+      goldFeedTickSec: Double) {
     /** Composite seconds — the one number the driver bench tracks.
       * PROTOCOL NOTE (r12): now includes the two deletion-vector steps
       * (delete_dv_sec + read_dv_sec) on top of the r11 sequence — compare
@@ -58,7 +60,9 @@ object BenchStorage {
         s""""vacuum_sec":$vacuumSec,"plain_append4_sec":$plainAppend4Sec,""" +
         s""""rowtrack_append4_sec":$rowtrackAppend4Sec,""" +
         s""""rowtrack_read_sec":$rowtrackReadSec,"cdf_read_sec":$cdfReadSec,""" +
-        s""""identity_append4_sec":$identityAppend4Sec,"sf":"$sfDir"}"""
+        s""""identity_append4_sec":$identityAppend4Sec,""" +
+        s""""silver_feed_tick_sec":$silverFeedTickSec,""" +
+        s""""gold_feed_tick_sec":$goldFeedTickSec,"sf":"$sfDir"}"""
   }
 
   /** Run the full write-side sequence against a throwaway lakehouse (the
@@ -181,9 +185,41 @@ object BenchStorage {
       val (_, cdfReadSec) = timed(
         lake.tableChanges("facts", cdfV - 1, cdfV).count())
 
+      // ── CDF-driven MV refresh probes (r15): the silver latest-wins feed
+      // fold (Silver.latestWinsFeedTick) and the gold grain-routed star
+      // fold (Gold.starFeedTick), each timed on ONE tick draining a
+      // churn-sized delta (a ~1/64 re-observation + a retraction) into a
+      // standing table bootstrapped UNTIMED from a 1/16 lineitem slice —
+      // the cost-∝-changed-rows claim of the Enzyme analog measured
+      // directly, round-over-round. Excluded from total_sec.
+      val mvSrcRows = li.filter(pmod(col("l_orderkey"), lit(16)) === 3)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .withColumn("obs_seq", lit(1))
+      lake.appendBronze("mv_src", mvSrcRows) // v1
+      val silverCur = s"$root/_probe_cursors/silver"
+      val goldCur = s"$root/_probe_cursors/gold"
+      def silverTick() = graft.pipeline.Silver.latestWinsFeedTick(lake,
+        "silver", "mv", "mv_src", Seq("l_orderkey", "l_partkey"),
+        Seq(col("obs_seq").desc), identity, silverCur)
+      silverTick() // snapshot bootstrap (untimed)
+      val factDep = graft.pipeline.Gold.FeedDep(
+        "mv_src", Seq("l_orderkey", "l_partkey"), identity)
+      def goldTick() = graft.pipeline.Gold.starFeedTick(lake, "mart",
+        Seq("l_orderkey", "l_partkey"), factDep, Seq.empty, "mv",
+        (_, f) => f.select(col("l_orderkey"), col("l_partkey"),
+          (col("l_quantity") * 2).as("q2"), col("obs_seq")), goldCur)
+      goldTick() // wholesale bootstrap (untimed)
+      lake.appendBronze("mv_src",
+        mvSrcRows.filter(pmod(col("l_orderkey"), lit(1024)) === 3)
+          .withColumn("obs_seq", lit(2))) // v2: churn-sized re-observation
+      lake.deleteBronzeWhereDv("mv_src",
+        col("obs_seq") === 2 && pmod(col("l_partkey"), lit(7)) === 0) // v3: retraction
+      val (_, silverTickSec) = timed(silverTick())
+      val (_, goldTickSec) = timed(goldTick())
+
       StorageResult(rows, appendSec, tinyAppendSec, manifestBytes, liveFiles,
         deleteDvSec, readDvSec, deleteSec, afterDelete, compactSec, vacuumSec,
-        plain4, rt4, rtRead, cdfReadSec, id4)
+        plain4, rt4, rtRead, cdfReadSec, id4, silverTickSec, goldTickSec)
     } finally li.unpersist()
   }
 
