@@ -104,10 +104,12 @@ object Job {
     // them) — the documented failure mode decommissionFeedCursors guards.
     // Warn loudly and surface it in the report; the operator either
     // re-enables cdfRefresh or decommissions.
+    // best-effort: a filesystem hiccup scanning cursor trees must not kill
+    // the run before it even logs (this is advisory, not a stage)
     val warnings: Seq[String] =
       if (cdfRefresh) Nil
       else {
-        val live = liveFeedCursors(lake)
+        val live = scala.util.Try(liveFeedCursors(lake)).getOrElse(Seq.empty)
         if (live.isEmpty) Nil
         else {
           val w = s"cdfRefresh = false but ${live.size} live feed cursor(s) " +
@@ -270,9 +272,10 @@ object Job {
   /** Feed-consumer cursor dirs currently live under this lake (silver AND
     * gold trees) — every one holds log + vacuum retention on its bronze
     * source from the moment it registered. A dir counts as a live cursor
-    * when it contains at least one `_cursor_v*` marker OR is a registered
-    * leaf that has merely not committed yet (empty dirs under the cursor
-    * roots). */
+    * when it contains at least one committed `_cursor_v*` marker (a
+    * registered-but-never-committed consumer holds retention too, but only
+    * through the `_stream_state` registry — its empty dir carries no
+    * frontier to report and it vanishes with the registry entry). */
   def liveFeedCursors(lake: Lakehouse): Seq[String] = {
     import scala.jdk.CollectionConverters._
     Seq("_silver_cursors", "_gold_cursors").flatMap { tree =>
