@@ -183,17 +183,21 @@ object Job {
             }
             ()
           }
-          // the channel-identity check reads the STANDING fact — evaluated
-          // before any feed refresh fixes it, consumed by the dim_date
-          // channel-counts reset at level 2 and the gold summary reset
-          val chChanged = Silver.channelIdentityChanged(lake)
-          channelChanged = chChanged
           drainLevel(
             Silver.latestWinsSpecs.keys.toSeq.map(n => () =>
               Silver.refreshFromChangeFeed(lake, n, feedCursorDir(lake, n))) :+
             (() => if (!lake.exists("silver", "dim_country_reference"))
               lake.materialize("silver", "dim_country_reference",
                 Silver.dimCountryReference.build(lake))))
+          // the channel-identity check compares the STANDING fact against
+          // the CURRENT top-1 channel — it must run AFTER level 0 (so
+          // silver_channels has drained this run's ingest and the new
+          // identity is visible) but BEFORE level 1 (whose channel-fact
+          // drain re-stamps the fact, erasing the evidence). Consumed by
+          // the dim_date channel-counts reset at level 2 and the gold
+          // summary reset.
+          val chChanged = Silver.channelIdentityChanged(lake)
+          channelChanged = chChanged
           drainLevel(Seq(
             () => Silver.refreshVideoModelsFromChangeFeed(
               lake, feedCursorDir(lake, "video_models")),

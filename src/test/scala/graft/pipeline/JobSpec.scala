@@ -238,6 +238,59 @@ class JobSpec extends SparkSpec {
     }
   }
 
+  test("channel-identity change under cdfRefresh: fact, calendar counts and gold summary all re-stamp") {
+    // day 1 runs under channel UC_9; day 2's Data API serves a NEW channel
+    // id — the cross-joined "current channel" state changed, so the
+    // channel fact recomputes wholesale (a grain merge could never retract
+    // the dead id), the calendar dim's channel-source counts reset and
+    // re-bootstrap under the new identity, and the gold channel summary's
+    // feed state resets — all while staying ≡ a full recompute
+    object DataClient2 extends DataApiIngest.DataApiClient {
+      def getJson(path: String, params: Map[String, String]): Json.JObj = path match {
+        case "channels" => Json.JObj.of("items" -> Json.JArr(Seq(Json.JObj.of(
+          "id" -> Json.JStr("UC_NEW"),
+          "snippet" -> Json.JObj.of("title" -> Json.JStr("New Chan"),
+            "publishedAt" -> Json.JStr("2020-01-01T10:00:00Z")),
+          "statistics" -> Json.JObj.of("viewCount" -> Json.JStr("11"),
+            "subscriberCount" -> Json.JStr("2"),
+            "hiddenSubscriberCount" -> Json.JBool(false), "videoCount" -> Json.JStr("1")),
+          "contentDetails" -> Json.JObj.of("relatedPlaylists" ->
+            Json.JObj.of("uploads" -> Json.JStr("UU_NEW")))))))
+        case other => DataClient.getJson(other, params)
+      }
+    }
+    val cdfLake = new Lakehouse(spark, Files.createTempDirectory("graft-job-chch").toString)
+    val fullLake = new Lakehouse(spark, Files.createTempDirectory("graft-job-chfull").toString)
+    Seq(cdfLake, fullLake).foreach { lake =>
+      val r1 = Job.run(lake, DataClient, AnalyticsClient,
+        startDate = "2025-05-30", endDate = "2025-06-01",
+        cdfRefresh = lake eq cdfLake,
+        now = Timestamp.valueOf("2025-06-02 09:00:00"), runId = "day1")
+      assert(r1.status == "success", r1.toString)
+    }
+    assert(cdfLake.table("silver", "fact_channel_daily_metrics")
+      .select(col("channel_id")).distinct().collect().map(_.getString(0)).toSeq == Seq("UC_9"))
+    val r2cdf = Job.run(cdfLake, DataClient2, AnalyticsClient,
+      startDate = "2025-05-31", endDate = "2025-06-02", cdfRefresh = true,
+      now = Timestamp.valueOf("2025-06-03 09:00:00"), runId = "day2")
+    val r2full = Job.run(fullLake, DataClient2, AnalyticsClient,
+      startDate = "2025-05-31", endDate = "2025-06-02",
+      now = Timestamp.valueOf("2025-06-03 09:00:00"), runId = "day2")
+    assert(r2cdf.status == "success", r2cdf.toString)
+    assert(r2full.status == "success", r2full.toString)
+    // the new identity re-stamped HISTORY in the feed-refreshed lake too
+    val ids = cdfLake.table("silver", "fact_channel_daily_metrics")
+      .select(col("channel_id")).distinct().collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("UC_NEW"), s"stale channel ids survived the change: $ids")
+    (Silver.models.map(_.name) ++ Gold.models.map(_.name)).foreach { m =>
+      val layer = if (m.startsWith("gold_")) "gold" else "silver"
+      def rows(lake: Lakehouse) = lake.table(layer, m)
+        .drop("request_id").collect().map(_.toString).sorted.toSeq
+      assert(rows(cdfLake) == rows(fullLake),
+        s"$m differs between change-feed and full refresh after the identity change")
+    }
+  }
+
   test("abandoned cdfRefresh: lingering cursors pin vacuum retention, warn loudly, release on decommission") {
     val lake = new Lakehouse(spark, Files.createTempDirectory("graft-job-abandon").toString)
     val r1 = Job.run(lake, DataClient, AnalyticsClient,
