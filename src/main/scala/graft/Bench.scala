@@ -148,8 +148,11 @@ object Bench {
     storage.foreach(s =>
       System.err.println(f"[bench] storage_ops ${s.totalSec}%.3f s (${s.detailJson(sfDir)})"))
 
+    // locale-safe numeric formatting: the f-interpolator honours the JVM
+    // default locale, and a comma-decimal default would emit invalid JSON
+    def num(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d)
     // failed queries report null so a fast failure can't masquerade as a fast pass
-    val qs = results.map { case (k, v, ok, _, _) => "\"" + k + "\":" + (if (ok) v.toString else "null") }
+    val qs = results.map { case (k, v, ok, _, _) => "\"" + k + "\":" + (if (ok) num(v) else "null") }
       .mkString("{", ",", "}")
     val failed = (results.filterNot(_._3).map(_._1)
       ++ (if (storageAttempted && storage.isEmpty) Seq("storage_ops") else Nil))
@@ -164,7 +167,7 @@ object Bench {
     // raw per-run times (spread visible in the record, not just stderr)
     // and heat-retry counts — the contamination protocol's full audit trail
     val timesJson = results.map { case (k, _, _, ts, _) =>
-      "\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]"
+      "\"" + k + "\":[" + ts.map(num).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val retriesJson = results.filter(_._5 > 0)
       .map { case (k, _, _, _, r) => "\"" + k + "\":" + r }
@@ -173,11 +176,17 @@ object Bench {
     // SELF-EVIDENT from the JSON (two rounds of heat-distorted official
     // records were only refutable by out-of-band quiet re-runs); the
     // heat-retry loop additionally ACTS on the stamps — a min far above
-    // its quiet anchor on a loaded box re-runs after a cooldown
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""storage":$storageJson,"sf":"$sfDir","timing":"warm1-min-of-$TimedRuns",""" +
-      s""""times":$timesJson,"retries":$retriesJson,""" +
+    // its quiet anchor on a loaded box re-runs after a cooldown.
+    // TWO lines: the rich audit record first (storage, raw times, retries,
+    // load stamps — unbounded), then a COMPACT total-and-queries line LAST.
+    // The driver tail-captures stdout, and r15's enriched single line
+    // outgrew its window ("parsed": null) — the official record must be
+    // the bounded line at the very end.
+    println(s"""{"metric":"detail","storage":$storageJson,""" +
+      s""""timing":"warm1-min-of-$TimedRuns","times":$timesJson,""" +
+      s""""retries":$retriesJson,""" +
       s""""load_start":$loadStart,"load_end":${loadAvg()}}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -129,6 +129,18 @@ object Gold {
       return Some((ticks.map(_._3).min, ticks.map(_._4).max))
     }
     if (live.isEmpty) return None
+    // PER-DEP BOOTSTRAP: a live cursor still at 0 (a dep whose source had
+    // no commits when the mart materialized, or a standing mart adopted
+    // into feed mode with fresh cursors) must never drain (0, head] — on a
+    // mature lake the early manifests are pruned and that read fails fast
+    // forever (the silver consumers snapshot-bootstrap around exactly
+    // this). Rebuild the mart wholesale from the current silver state
+    // instead and jump the live cursors; later ticks fold incrementally.
+    if (live.exists { case (_, _, from, _) => from == 0 }) {
+      lake.transactMerge("gold", mart)(_ => build(lake, factCurrent(lake)))
+      live.foreach { case (_, cur, _, to) => lake.commitChangesCursor(cur, to) }
+      return Some((live.map(_._3).min, live.map(_._4).max))
+    }
     val metaCols = Seq("_change_type", "_commit_version")
     val keyFrames = live.map { case (d, _, from, to) =>
       val changes = Silver.fillHeadColumns(lake, d.source,

@@ -130,7 +130,6 @@ object Job {
     var status = "success"
     var failure: Option[Throwable] = None
     var checkFailures: Seq[(String, String, Long)] = Seq.empty
-    var channelChanged = false
     try {
       val (start, end, mode) =
         AnalyticsIngest.resolveWindow(startDate, endDate, lookbackDays, today)
@@ -193,11 +192,18 @@ object Job {
           // the CURRENT top-1 channel — it must run AFTER level 0 (so
           // silver_channels has drained this run's ingest and the new
           // identity is visible) but BEFORE level 1 (whose channel-fact
-          // drain re-stamps the fact, erasing the evidence). Consumed by
-          // the dim_date channel-counts reset at level 2 and the gold
-          // summary reset.
+          // drain re-stamps the fact, erasing the evidence).
           val chChanged = Silver.channelIdentityChanged(lake)
-          channelChanged = chChanged
+          if (chChanged) {
+            // both resets happen AT DETECTION TIME: the evidence (the stale
+            // fact) is erased by the level-1 re-stamp, so a crash anywhere
+            // between that drain and a deferred reset would hide the
+            // identity change from every later run — the standing old-id
+            // mart rows would pass the feed anti-joins untouched forever.
+            // Both are idempotent, and a missing mart wholesale-rebuilds.
+            Silver.resetDimDateChannelCounts(lake, feedCursorDir(lake, "dim_date"))
+            Gold.resetChannelSummaryFeed(lake)
+          }
           drainLevel(Seq(
             () => Silver.refreshVideoModelsFromChangeFeed(
               lake, feedCursorDir(lake, "video_models")),
@@ -209,8 +215,6 @@ object Job {
               lake, "dim_device", feedCursorDir(lake, "dim_device")),
             () => Silver.refreshDimFromChangeFeed(
               lake, "dim_country", feedCursorDir(lake, "dim_country"))))
-          if (chChanged)
-            Silver.resetDimDateChannelCounts(lake, feedCursorDir(lake, "dim_date"))
           val dimDateTicked =
             Silver.dimDateFeedTick(lake, feedCursorDir(lake, "dim_date"))
           if (dimDateTicked || !lake.exists("silver", "dim_date"))
@@ -241,12 +245,11 @@ object Job {
       // stage: gold marts. Change-feed mode rebuilds only the grains the
       // bronze feeds name (Gold.refreshFromChangeFeeds), each dep capped at
       // the version its SILVER consumer folded this run — gold never
-      // outruns silver. A channel-identity change re-stamped the silver
-      // fact wholesale, so the channel summary's feed state resets first.
-      if (cdfRefresh) {
-        if (channelChanged) Gold.resetChannelSummaryFeed(lake)
-        Gold.refreshFromChangeFeeds(lake, silverFeedFrontier(lake, _))
-      } else Gold.refresh(lake)
+      // outruns silver. A channel-identity change already reset the channel
+      // summary's feed state at detection time (before the level-1 re-stamp
+      // could erase the evidence).
+      if (cdfRefresh) Gold.refreshFromChangeFeeds(lake, silverFeedFrontier(lake, _))
+      else Gold.refresh(lake)
 
       // stage: the full check suite; any error-severity offender fails the run
       val results = Checks.run(lake, snapshot)

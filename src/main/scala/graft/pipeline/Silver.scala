@@ -367,8 +367,13 @@ object Silver {
     // MV between ticks would not be a consistent view of ANY source
     // version. Pinned, every tick leaves the MV ≡ latest-wins(source@to).
     val fresh = keyMatch(freshAll, delKeys, grain, "left_anti")
-    val rebuilt = keyMatch(typed(lake.tableAt("bronze", source, to)), delKeys,
-      grain, "left_semi")
+    // tableAt returns version `to`'s OWN schema — a capped tick whose range
+    // ends before a later ADD COLUMNS would make the typed projection throw
+    // on every retry of the same range (the livelock fillHeadColumns guards
+    // on the changes frame), so the pinned rebuild gets the same NULL fill
+    val rebuilt = keyMatch(
+      typed(fillHeadColumns(lake, source, lake.tableAt("bronze", source, to))),
+      delKeys, grain, "left_semi")
     if (!lake.exists(layer, target))
       // mid-stream missing target (deleted between ticks): the delta
       // alone would materialize a PARTIAL table — rebuild from the
@@ -452,8 +457,10 @@ object Silver {
     val freshIds = freshObs.select(idCols.map(col): _*).distinct()
     val affected = freshIds.union(retractedIds).distinct()
     // pinned at `to` for the same between-tick consistency contract as
-    // [[latestWinsApplyRange]]
-    val rebuiltObs = keyMatch(typed(lake.tableAt("bronze", source, to)),
+    // [[latestWinsApplyRange]]; head-schema NULL fill for the same
+    // capped-range-predates-ADD-COLUMNS livelock guard as the changes frame
+    val rebuiltObs = keyMatch(
+      typed(fillHeadColumns(lake, source, lake.tableAt("bronze", source, to))),
       retractedIds, idCols, "left_semi")
     lake.transactMerge(layer, obsTable) { base =>
       keyMatch(base, retractedIds, idCols, "left_anti")
@@ -1070,15 +1077,24 @@ object Silver {
   def dimDateFeedTick(lake: Lakehouse, cursorRoot: String,
       maxVersions: Int = Int.MaxValue): Boolean =
     dimDateSources(lake).map { case (source, typedDates) =>
+      // `any` tracks REAL folds only: a pure-maintenance range advances
+      // the cursor with folded=false, and counting it as a tick would
+      // re-materialize dim_date on an unchanged lake — contradicting the
+      // "maintenance ranges advance cursors WITHOUT rewriting MVs" contract
       var any = false
       var guard = 0
-      while (graft.streaming.Streams.cdfAggregateSink(lake, source,
-          dimDateCountsTable(source), Seq("date"), Nil,
-          s"$cursorRoot/$source", maxVersions, typed = typedDates,
-          snapshotBootstrap = true).isDefined) {
-        any = true
+      var tick = graft.streaming.Streams.cdfAggregateSinkFolded(lake, source,
+        dimDateCountsTable(source), Seq("date"), Nil,
+        s"$cursorRoot/$source", maxVersions, typed = typedDates,
+        snapshotBootstrap = true)
+      while (tick.isDefined) {
+        any |= tick.exists(_._3)
         guard += 1
         require(guard <= 100000, s"dim_date feed drain failed to converge on $source")
+        tick = graft.streaming.Streams.cdfAggregateSinkFolded(lake, source,
+          dimDateCountsTable(source), Seq("date"), Nil,
+          s"$cursorRoot/$source", maxVersions, typed = typedDates,
+          snapshotBootstrap = true)
       }
       any
     }.reduce(_ || _)

@@ -768,7 +768,25 @@ object Streams {
       target: String, keys: Seq[String], sumCols: Seq[String],
       cursorDir: String, maxVersions: Int = Int.MaxValue,
       typed: DataFrame => DataFrame = identity,
-      snapshotBootstrap: Boolean = false): Option[(Int, Int)] = {
+      snapshotBootstrap: Boolean = false): Option[(Int, Int)] =
+    cdfAggregateSinkFolded(lake, source, target, keys, sumCols, cursorDir,
+      maxVersions, typed, snapshotBootstrap).map { case (from, to, _) => (from, to) }
+
+  /** [[cdfAggregateSink]] plus a FOLDED signal: `Some((from, to, folded))`
+    * where `folded = false` means the tick only advanced the cursor —
+    * a pure-maintenance (dataChange=false) range or a legacy-frontier
+    * clamp — and the target was NOT rewritten. Callers that gate
+    * downstream re-materialization on "did anything change" (the
+    * calendar-dim assembly) must consume this signal, not mere tick
+    * presence: an OPTIMIZE-only range advancing a cursor is not a data
+    * change, and treating it as one re-materializes MVs on an unchanged
+    * lake — breaking the "maintenance ranges advance cursors WITHOUT
+    * rewriting MVs" contract. */
+  def cdfAggregateSinkFolded(lake: graft.pipeline.Lakehouse, source: String,
+      target: String, keys: Seq[String], sumCols: Seq[String],
+      cursorDir: String, maxVersions: Int = Int.MaxValue,
+      typed: DataFrame => DataFrame = identity,
+      snapshotBootstrap: Boolean = false): Option[(Int, Int, Boolean)] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
     require(keys.nonEmpty, "cdfAggregateSink needs at least one key column")
     registerCursor(lake.root, source, cursorDir)
@@ -805,12 +823,14 @@ object Streams {
         txn = Some((s"cdfagg:$source:$target", head.toLong)),
         nullSafeKeys = true)
       lake.commitChangesCursor(cur, head)
-      return Some((0, head))
+      return Some((0, head, true))
     }
     legacyFrontier(cur).filter(_ > from0).foreach { f =>
       val clampTo = math.min(f, to0.toLong).toInt
       lake.commitChangesCursor(cur, clampTo)
-      return Some((from0, clampTo))
+      // the clamped prefix was applied by the PRE-migration consumer —
+      // this tick itself rewrote nothing
+      return Some((from0, clampTo, false))
     }
     Some((lake.tableChanges(source, from0, to0), from0, to0)).map { case (changes0, from, to) =>
       // a range of pure OPTIMIZE/VACUUM commits (dataChange=false) carries
@@ -818,7 +838,7 @@ object Streams {
       // tick must cost a cursor read, not an empty-delta merge commit
       if (lake.exists("bronze", target) && changes0.isEmpty) {
         lake.commitChangesCursor(cur, to)
-        return Some((from, to))
+        return Some((from, to, false))
       }
       // a CAPPED range can end before an ADD COLUMNS landed a column the
       // typed projection (or the key/sum list) references: the feed's
@@ -886,7 +906,7 @@ object Streams {
         txn = Some((s"cdfagg:$source:$target", to.toLong)),
         nullSafeKeys = true)
       lake.commitChangesCursor(cur, to)
-      (from, to)
+      (from, to, true)
     }
   }
 

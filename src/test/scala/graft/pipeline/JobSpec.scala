@@ -238,6 +238,22 @@ class JobSpec extends SparkSpec {
     }
   }
 
+  /** Day-2 Data API persona: the account's channel id CHANGED. */
+  private object NewChannelClient extends DataApiIngest.DataApiClient {
+    def getJson(path: String, params: Map[String, String]): Json.JObj = path match {
+      case "channels" => Json.JObj.of("items" -> Json.JArr(Seq(Json.JObj.of(
+        "id" -> Json.JStr("UC_NEW"),
+        "snippet" -> Json.JObj.of("title" -> Json.JStr("New Chan"),
+          "publishedAt" -> Json.JStr("2020-01-01T10:00:00Z")),
+        "statistics" -> Json.JObj.of("viewCount" -> Json.JStr("11"),
+          "subscriberCount" -> Json.JStr("2"),
+          "hiddenSubscriberCount" -> Json.JBool(false), "videoCount" -> Json.JStr("1")),
+        "contentDetails" -> Json.JObj.of("relatedPlaylists" ->
+          Json.JObj.of("uploads" -> Json.JStr("UU_NEW")))))))
+      case other => DataClient.getJson(other, params)
+    }
+  }
+
   test("channel-identity change under cdfRefresh: fact, calendar counts and gold summary all re-stamp") {
     // day 1 runs under channel UC_9; day 2's Data API serves a NEW channel
     // id — the cross-joined "current channel" state changed, so the
@@ -245,20 +261,7 @@ class JobSpec extends SparkSpec {
     // the dead id), the calendar dim's channel-source counts reset and
     // re-bootstrap under the new identity, and the gold channel summary's
     // feed state resets — all while staying ≡ a full recompute
-    object DataClient2 extends DataApiIngest.DataApiClient {
-      def getJson(path: String, params: Map[String, String]): Json.JObj = path match {
-        case "channels" => Json.JObj.of("items" -> Json.JArr(Seq(Json.JObj.of(
-          "id" -> Json.JStr("UC_NEW"),
-          "snippet" -> Json.JObj.of("title" -> Json.JStr("New Chan"),
-            "publishedAt" -> Json.JStr("2020-01-01T10:00:00Z")),
-          "statistics" -> Json.JObj.of("viewCount" -> Json.JStr("11"),
-            "subscriberCount" -> Json.JStr("2"),
-            "hiddenSubscriberCount" -> Json.JBool(false), "videoCount" -> Json.JStr("1")),
-          "contentDetails" -> Json.JObj.of("relatedPlaylists" ->
-            Json.JObj.of("uploads" -> Json.JStr("UU_NEW")))))))
-        case other => DataClient.getJson(other, params)
-      }
-    }
+    val DataClient2 = NewChannelClient
     val cdfLake = new Lakehouse(spark, Files.createTempDirectory("graft-job-chch").toString)
     val fullLake = new Lakehouse(spark, Files.createTempDirectory("graft-job-chfull").toString)
     Seq(cdfLake, fullLake).foreach { lake =>
@@ -288,6 +291,119 @@ class JobSpec extends SparkSpec {
         .drop("request_id").collect().map(_.toString).sorted.toSeq
       assert(rows(cdfLake) == rows(fullLake),
         s"$m differs between change-feed and full refresh after the identity change")
+    }
+  }
+
+  test("standing mart adopted into feed mode on a mature source bootstraps per-dep " +
+      "(never a version-0 drain)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val l = new Lakehouse(spark, Files.createTempDirectory("graft-goldadopt").toString)
+    // mature the source BEFORE any cursor exists: commit-time retention
+    // prunes the early manifests, so a (0, head] drain fails fast forever
+    (1 to 14).foreach { i =>
+      l.appendBronze("fct", Seq((i.toLong, i.toLong, s"r$i"))
+        .toDF("k", "v", "run_id").repartition(1))
+    }
+    assert(l.tableVersions("bronze", "fct").min > 1, "expected pruned early manifests")
+    def refreshSilver(): Unit = {
+      val snap = Silver.latestWins(l.table("bronze", "fct"), Seq("k"), Seq(col("v").desc))
+      if (!l.exists("silver", "sfact")) l.materialize("silver", "sfact", snap)
+      else { l.transactMerge("silver", "sfact")(_ => snap); () }
+    }
+    refreshSilver()
+    val build = (_: Lakehouse, f: DataFrame) => f.select(col("k"), (col("v") * 2).as("v2"))
+    // the standing mart predates feed mode — no gold cursors exist yet
+    l.materialize("gold", "mart", build(l, l.table("silver", "sfact")))
+    val factDep = Gold.FeedDep("fct", Seq("k"), identity)
+    val cur = Files.createTempDirectory("graft-goldadopt-cur").toString
+    def tick() = Gold.starFeedTick(l, "mart", Seq("k"), factDep, Seq.empty, "sfact", build, cur)
+    def expected = build(l, l.table("silver", "sfact")).collect().map(_.toString).sorted.toSeq
+    def actual = l.table("gold", "mart").collect().map(_.toString).sorted.toSeq
+    // adoption tick: per-dep bootstrap (wholesale rebuild + cursor jump),
+    // NOT a version-0 history drain over the pruned manifests
+    assert(tick().isDefined, "adoption tick should fold")
+    assert(actual == expected, "adopted mart != recompute")
+    assert(tick().isEmpty, "not caught up after adoption")
+    // incremental from there
+    l.appendBronze("fct", Seq((3L, 99L, "r99")).toDF("k", "v", "run_id").repartition(1))
+    refreshSilver()
+    assert(tick().isDefined)
+    assert(actual == expected, "post-adoption incremental tick diverged")
+  }
+
+  test("OPTIMIZE-only commits advance dim_date cursors without re-materializing the calendar dim") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-job-dimmaint").toString)
+    val r1 = Job.run(lake, DataClient, AnalyticsClient,
+      startDate = "2025-05-30", endDate = "2025-06-01", cdfRefresh = true,
+      now = Timestamp.valueOf("2025-06-02 09:00:00"), runId = "day1")
+    assert(r1.status == "success", r1.toString)
+    val root = Job.feedCursorDir(lake, "dim_date")
+    // catch up past the run's own post-refresh maintenance commits first
+    Silver.dimDateFeedTick(lake, root)
+    val v0 = lake.tableVersion("silver", "dim_date")
+    val src = "analytics_channel_daily_raw"
+    val curBefore = lake.changesCursor(java.nio.file.Paths.get(s"$root/$src"))
+    lake.compact("bronze", src, 1) // OPTIMIZE: a dataChange=false commit
+    val ticked = Silver.dimDateFeedTick(lake, root)
+    assert(!ticked, "a pure-maintenance range counted as a dim_date tick")
+    // the cursor DID advance past the maintenance commit…
+    assert(lake.changesCursor(java.nio.file.Paths.get(s"$root/$src")) > curBefore,
+      "maintenance range did not advance the cursor")
+    // …and Job's assembly gate therefore leaves the calendar dim untouched
+    if (ticked || !lake.exists("silver", "dim_date")) Silver.assembleDimDate(lake)
+    assert(lake.tableVersion("silver", "dim_date") == v0,
+      "OPTIMIZE-only commits re-materialized dim_date on an unchanged lake")
+  }
+
+  test("identity-change resets survive a crash between the level-1 re-stamp and the gold stage") {
+    // the evidence-erasure window: the level-1 channel-fact drain re-stamps
+    // the standing fact to the new id, so a run that fails AFTER it (here:
+    // a sabotaged dim_date tick) leaves nothing for the next run to detect.
+    // The resets happen at detection time — before the re-stamp can erase
+    // them — so day 3 still converges to the full recompute.
+    val cdfLake = new Lakehouse(spark, Files.createTempDirectory("graft-job-chcrash").toString)
+    val fullLake = new Lakehouse(spark, Files.createTempDirectory("graft-job-chcrashf").toString)
+    Seq(cdfLake, fullLake).foreach { lake =>
+      val r1 = Job.run(lake, DataClient, AnalyticsClient,
+        startDate = "2025-05-30", endDate = "2025-06-01",
+        cdfRefresh = lake eq cdfLake,
+        now = Timestamp.valueOf("2025-06-02 09:00:00"), runId = "day1")
+      assert(r1.status == "success", r1.toString)
+    }
+    // sabotage: a regular FILE where the dim_date cursor tree goes — the
+    // level-2 dim_date tick throws after level 1 already re-stamped
+    val dimDateCur = java.nio.file.Paths.get(Job.feedCursorDir(cdfLake, "dim_date"))
+    cdfLake.deleteRecursively(dimDateCur)
+    java.nio.file.Files.write(dimDateCur, Array[Byte](1))
+    val r2 = Job.run(cdfLake, NewChannelClient, AnalyticsClient,
+      startDate = "2025-05-31", endDate = "2025-06-02", cdfRefresh = true,
+      now = Timestamp.valueOf("2025-06-03 09:00:00"), runId = "day2")
+    assert(r2.status == "failed", s"sabotaged dim_date tick should fail the run: $r2")
+    // the re-stamp DID land before the crash — day 3 cannot re-detect
+    val ids = cdfLake.table("silver", "fact_channel_daily_metrics")
+      .select(col("channel_id")).distinct().collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("UC_NEW"), s"expected the failed run to have re-stamped: $ids")
+    java.nio.file.Files.delete(dimDateCur)
+    val r3 = Job.run(cdfLake, NewChannelClient, AnalyticsClient,
+      startDate = "2025-06-01", endDate = "2025-06-03", cdfRefresh = true,
+      now = Timestamp.valueOf("2025-06-04 09:00:00"), runId = "day3")
+    assert(r3.status == "success", r3.toString)
+    // full-mode twin over the same day-2/day-3 ingests
+    Seq(("day2", "2025-05-31", "2025-06-02", "2025-06-03"),
+        ("day3", "2025-06-01", "2025-06-03", "2025-06-04")).foreach {
+      case (id, s, e, nowDay) =>
+        val r = Job.run(fullLake, NewChannelClient, AnalyticsClient,
+          startDate = s, endDate = e,
+          now = Timestamp.valueOf(s"$nowDay 09:00:00"), runId = id)
+        assert(r.status == "success", r.toString)
+    }
+    (Silver.models.map(_.name) ++ Gold.models.map(_.name)).foreach { m =>
+      val layer = if (m.startsWith("gold_")) "gold" else "silver"
+      def rows(lake: Lakehouse) = lake.table(layer, m)
+        .drop("request_id").collect().map(_.toString).sorted.toSeq
+      assert(rows(cdfLake) == rows(fullLake),
+        s"$m diverged after the crashed identity-change run")
     }
   }
 

@@ -639,4 +639,89 @@ class PipelineSpec extends SparkSpec {
     assert(n.length == 1 && n.head.getAs[Long]("id") == 1L,
       s"NULL-grain winner did not fall back: ${n.toSeq}")
   }
+
+  test("latest-wins capped tick with a retraction across ADD COLUMNS does not " +
+      "livelock (pinned rebuild NULL-fills head columns)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val l = new Lakehouse(spark, Files.createTempDirectory("graft-cdfwiden").toString)
+    val cursor = Files.createTempDirectory("graft-cdfwiden-cur").toString
+    // pre-widening model code, and the upgraded projection shipped with the
+    // bronze ADD COLUMNS: references `flag` in a FILTER (output schema fixed)
+    val narrow: DataFrame => DataFrame = _.select("id", "grp", "val", "run_id")
+    val upgraded: DataFrame => DataFrame = df =>
+      df.filter(col("flag").isNull || col("flag") =!= "drop")
+        .select("id", "grp", "val", "run_id")
+    def tick(typed: DataFrame => DataFrame) = Silver.latestWinsFeedTick(
+      l, "silver", "mv", "src", Seq("grp"), Seq(col("id").desc), typed, cursor,
+      maxVersions = 1)
+    l.appendBronze("src", Seq((1L, "a", 10L, "r1"), (2L, "b", 20L, "r2"))
+      .toDF("id", "grp", "val", "run_id").repartition(1))                    // v1
+    assert(tick(narrow).isDefined)                        // snapshot bootstrap
+    l.appendBronze("src", Seq((3L, "a", 30L, "r3"))
+      .toDF("id", "grp", "val", "run_id").repartition(1))                    // v2
+    l.deleteBronzeWhereDv("src", col("id") === 3L, Nil)                      // v3: retraction
+    l.appendBronze("src",
+      Seq((4L, "c", 40L, "r4", "ok"), (5L, "b", 50L, "r5", "drop"))
+        .toDF("id", "grp", "val", "run_id", "flag").repartition(1))          // v4: ADD COLUMNS
+    // one-version drains under the upgraded projection: the (2,3] range
+    // contains the delete and ends before the widening — the pinned rebuild
+    // read must NULL-fill `flag` or every retry of that range throws
+    var guard = 0
+    while (tick(upgraded).isDefined) {
+      guard += 1; require(guard <= 6, "cross-widening capped drain failed to converge")
+    }
+    val expected = Silver.latestWins(upgraded(l.table("bronze", "src")),
+      Seq("grp"), Seq(col("id").desc)).collect().map(_.toString).sorted.toSeq
+    val actual = l.table("silver", "mv").collect().map(_.toString).sorted.toSeq
+    assert(actual == expected, "cross-widening capped drain != recompute")
+    // the retraction re-derived grain a's winner from the pinned source …
+    val a = l.table("silver", "mv").filter(col("grp") === "a").collect()
+    assert(a.length == 1 && a.head.getAs[Long]("id") == 1L, s"grain a: ${a.toSeq}")
+    // … and the upgraded filter binds REAL flag values, not just the NULL fill
+    val b = l.table("silver", "mv").filter(col("grp") === "b").collect()
+    assert(b.length == 1 && b.head.getAs[Long]("id") == 2L, s"grain b: ${b.toSeq}")
+  }
+
+  test("SCD2 capped tick with a retraction across ADD COLUMNS does not livelock") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val l = new Lakehouse(spark, Files.createTempDirectory("graft-scd2widen").toString)
+    val cursor = Files.createTempDirectory("graft-scd2widen-cur").toString
+    val narrow: DataFrame => DataFrame = _.select("id", "seq", "v", "run_id")
+    val upgraded: DataFrame => DataFrame = df =>
+      df.filter(col("flag").isNull || col("flag") =!= "drop")
+        .select("id", "seq", "v", "run_id")
+    val segment: DataFrame => DataFrame = df => {
+      val w = Window.partitionBy("id").orderBy("seq")
+      df.select("id", "seq", "v")
+        .withColumn("next_seq", lead("seq", 1).over(w))
+        .withColumn("is_current", col("next_seq").isNull)
+    }
+    def tick(typed: DataFrame => DataFrame) = Silver.scd2FeedTick(
+      l, "silver", "scd2", "obs_log", "src2", Seq("id"), Seq("id", "seq"),
+      typed, segment, cursor, maxVersions = 1)
+    l.appendBronze("src2", Seq((1L, 1L, "x", "r1"), (2L, 1L, "y", "r1"))
+      .toDF("id", "seq", "v", "run_id").repartition(1))                      // v1
+    assert(tick(narrow).isDefined)                        // snapshot bootstrap
+    l.appendBronze("src2", Seq((1L, 2L, "x2", "r2"))
+      .toDF("id", "seq", "v", "run_id").repartition(1))                      // v2
+    l.deleteBronzeWhereDv("src2", col("seq") === 2L, Nil)                    // v3: retraction
+    l.appendBronze("src2",
+      Seq((3L, 1L, "z", "r4", "ok"), (2L, 2L, "y2", "r5", "drop"))
+        .toDF("id", "seq", "v", "run_id", "flag").repartition(1))            // v4: ADD COLUMNS
+    var guard = 0
+    while (tick(upgraded).isDefined) {
+      guard += 1; require(guard <= 6, "cross-widening capped scd2 drain failed to converge")
+    }
+    val expected = segment(upgraded(l.table("bronze", "src2"))
+      .dropDuplicates(Seq("id", "seq"))).collect().map(_.toString).sorted.toSeq
+    val actual = l.table("silver", "scd2").collect().map(_.toString).sorted.toSeq
+    assert(actual == expected, "cross-widening capped scd2 drain != recompute")
+    // id 1's retracted observation re-segmented away; id 2's "drop" filtered
+    assert(l.table("silver", "scd2").filter(col("id") === 1L).count() == 1)
+    assert(l.table("silver", "scd2").filter(col("id") === 2L).count() == 1)
+    assert(l.table("silver", "scd2").filter(col("id") === 3L).count() == 1)
+  }
 }
