@@ -144,7 +144,7 @@ object CurationQueries {
     },
     Some(s"""
       WITH RECURSIVE ${DedupQueries.duckLshPairCtes},
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM lsh_pairs
         UNION ALL
         SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
@@ -185,7 +185,7 @@ object CurationQueries {
         .mkString(", ")
       s"""
       WITH RECURSIVE ${DedupQueries.duckLshPairCtes},
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM lsh_pairs
         UNION ALL
         SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
@@ -462,7 +462,7 @@ object CurationQueries {
     },
     Some(s"""
       WITH RECURSIVE ${DedupQueries.duckLshPairCtes},
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM lsh_pairs
         UNION ALL
         SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
@@ -932,7 +932,7 @@ object CurationQueries {
       val t100 = Curation.rateThreshold(1.0)
       s"""
       WITH RECURSIVE ${DedupQueries.duckLshPairCtes},
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM lsh_pairs
         UNION ALL
         SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
@@ -1177,10 +1177,10 @@ object CurationQueries {
       val fp = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
       s"""
       WITH RECURSIVE
-      stand AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
-      batch AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+      stand AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+      batch AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 3 = 0),
       ${DedupQueries.duckLshPairCtesOver("stand", "s_")},
-      s_edges AS (
+      s_edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM s_lsh_pairs
         UNION ALL
         SELECT id_b AS src, id_a AS dst FROM s_lsh_pairs),
@@ -1202,7 +1202,7 @@ object CurationQueries {
           (SELECT member_id FROM s_labels WHERE member_id <> cluster_id)),
       s3 AS (SELECT * FROM s2 WHERE $duckQualityGate),
       weights(lang, accept_below) AS (VALUES $dim),
-      cur AS (
+      cur AS MATERIALIZED (
         SELECT s3.* FROM s3 JOIN weights w ON s3.lang = w.lang
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < w.accept_below),
       b_ntok AS (
@@ -1212,9 +1212,9 @@ object CurationQueries {
       b_keep AS (SELECT MIN(doc_id) AS doc_id FROM batch GROUP BY $fp),
       b1 AS (SELECT n.* FROM b_ntok n JOIN b_keep USING (doc_id)),
       curfp AS (SELECT DISTINCT $fp AS cfp FROM cur),
-      b2 AS (SELECT * FROM b1 WHERE $fp NOT IN (SELECT cfp FROM curfp)),
+      b2 AS MATERIALIZED (SELECT * FROM b1 WHERE $fp NOT IN (SELECT cfp FROM curfp)),
       ${DedupQueries.duckLshPairCtesOver("b2", "b_")},
-      b_edges AS (
+      b_edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM b_lsh_pairs
         UNION ALL
         SELECT id_b AS src, id_a AS dst FROM b_lsh_pairs),

@@ -121,26 +121,31 @@ object DedupQueries {
     val sigList = (0 until Dedup.NumHashes).map { j =>
       s"list_min(list_transform(hset, h -> (${Dedup.MinhashA(j)}*h + ${Dedup.MinhashB(j)}) % 1000000007))"
     }.mkString("[", ", ", "]")
-    s"""${p}codes_t AS (SELECT doc_id, $duckCodes AS codes, text FROM $src),
-      ${p}hs_t AS (SELECT doc_id, list_distinct($duckShingleHashes) AS hset FROM ${p}codes_t),
-      ${p}sig_t AS (SELECT doc_id, hset, $sigList AS sig FROM ${p}hs_t),
-      ${p}bands AS (
+    // every CTE is MATERIALIZED: DuckDB inlines single-reference CTEs, and
+    // the consumers reference bands/hs_t/lsh_pairs several times (closure
+    // seed + step, cross-corpus probes) — re-inlining re-runs the whole
+    // shingle→minhash pipeline per reference (measured 6.6× on c05 at
+    // sf0.1; the c31 three-pipeline oracle was hours-slow from this)
+    s"""${p}codes_t AS MATERIALIZED (SELECT doc_id, $duckCodes AS codes, text FROM $src),
+      ${p}hs_t AS MATERIALIZED (SELECT doc_id, list_distinct($duckShingleHashes) AS hset FROM ${p}codes_t),
+      ${p}sig_t AS MATERIALIZED (SELECT doc_id, hset, $sigList AS sig FROM ${p}hs_t),
+      ${p}bands AS MATERIALIZED (
         SELECT doc_id,
                band_id,
                ${(1 to Dedup.RowsPerBand).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
                   s"(($acc * 31 + sig[${Dedup.RowsPerBand}*band_id + $r]) % 1000000007)"
                 }} AS band_key
         FROM ${p}sig_t CROSS JOIN (SELECT unnest([${(0 until Dedup.Bands).mkString(", ")}]) AS band_id) ${p}bb),
-      ${p}cand AS (
+      ${p}cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM ${p}bands a JOIN ${p}bands b
           ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-      ${p}ver AS (
+      ${p}ver AS MATERIALIZED (
         SELECT id_a, id_b,
                CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE) AS shared,
                len(ha.hset) AS na, len(hb.hset) AS nb
         FROM ${p}cand JOIN ${p}hs_t ha ON id_a = ha.doc_id JOIN ${p}hs_t hb ON id_b = hb.doc_id),
-      ${p}lsh_pairs AS (
+      ${p}lsh_pairs AS MATERIALIZED (
         SELECT id_a, id_b, shared / CAST(na + nb - shared AS DOUBLE) AS jaccard
         FROM ${p}ver
         WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.5)"""
