@@ -130,6 +130,7 @@ object Job {
     var status = "success"
     var failure: Option[Throwable] = None
     var checkFailures: Seq[(String, String, Long)] = Seq.empty
+    var lease: Option[java.nio.file.Path] = None
     try {
       val (start, end, mode) =
         AnalyticsIngest.resolveWindow(startDate, endDate, lookbackDays, today)
@@ -159,6 +160,16 @@ object Job {
       //            five fact feeds and re-assembles only when one ticked.
       // Each level's drains run parallel like refreshParallel (disjoint
       // sources/targets — serializing would sum the straggler chains).
+      // SINGLE-DRIVER REFRESH LEASE: two concurrent cdfRefresh runs share
+      // one cursor tree, and the ticks are NOT safe to interleave — a fold
+      // pins its rebuild reads at ITS drained frontier, so an older-range
+      // fold landing after a newer one would regress retraction-hit grains
+      // to the older pinned state, and the losing cursor commit trips the
+      // rewind guard. The lease serializes whole refresh phases: the
+      // second run waits for the first, then drains whatever remains
+      // (usually nothing — the first run consumed both ingests). Concurrent
+      // INGEST needs no lease (bronze appends/merges are writer-safe).
+      lease = if (cdfRefresh) Some(acquireRefreshLease(lake, runId)) else None
       val feedModels: Set[String] =
         if (!cdfRefresh) Set.empty
         else {
@@ -260,6 +271,9 @@ object Job {
         status = "failed"
         failure = Some(t)
     }
+    // release the refresh lease whatever happened — a crash that skips this
+    // leaves a stale lease the next acquirer steals after `staleMillis`
+    lease.foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
 
     // finalize_run_log: ALL_DONE — records the terminal status even when a
     // stage threw
@@ -302,6 +316,55 @@ object Job {
   /** The durable cursor dir a `cdfRefresh` run uses for `model`. */
   def feedCursorDir(lake: Lakehouse, model: String): String =
     s"${lake.root}/_silver_cursors/$model"
+
+  /** The lease file serializing cdfRefresh runs against one lake. */
+  private[pipeline] def refreshLeasePath(lake: Lakehouse): java.nio.file.Path =
+    java.nio.file.Paths.get(s"${lake.root}/_refresh.lease")
+
+  /** Acquire the SINGLE-DRIVER refresh lease: put-if-absent file create; a
+    * contender polls until the holder releases (bounded by `waitMillis`);
+    * a lease older than `staleMillis` is presumed crashed and stolen. The
+    * steal renames the stale file to a graveyard name WITHOUT replace, so
+    * exactly one of several stealers wins the rename — the losers loop
+    * back to contend for the fresh create. The low-level tick functions
+    * (`Silver.refreshFromChangeFeed`, `Gold.starFeedTick`, …) do NOT take
+    * this lease themselves: their documented contract is one driver per
+    * cursor dir, and [[run]] is that driver. */
+  private[pipeline] def acquireRefreshLease(lake: Lakehouse, runId: String,
+      staleMillis: Long = 30L * 60 * 1000,
+      waitMillis: Long = 15L * 60 * 1000): java.nio.file.Path = {
+    import java.nio.file.Files
+    val lock = refreshLeasePath(lake)
+    Files.createDirectories(lock.getParent)
+    val deadline = System.currentTimeMillis() + waitMillis
+    while (true) {
+      try {
+        Files.createFile(lock) // put-if-absent: the acquisition point
+        Files.write(lock, runId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        return lock
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age =
+            try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
+            catch { case _: java.io.IOException => 0L } // vanished — retry create
+          if (age > staleMillis) {
+            val grave = lock.resolveSibling(
+              s"_refresh.lease.stale_${java.util.UUID.randomUUID.toString.take(8)}")
+            try {
+              Files.move(lock, grave) // no REPLACE_EXISTING: one stealer wins
+              Files.deleteIfExists(grave)
+            } catch { case _: java.io.IOException => } // lost the steal — loop
+          } else {
+            require(System.currentTimeMillis() < deadline,
+              s"cdfRefresh lease at $lock still held after $waitMillis ms — " +
+                "another refresh run is live (or crashed inside the stale window); " +
+                "delete the lease only if you are sure no refresh is running")
+            Thread.sleep(200)
+          }
+      }
+    }
+    lock // unreachable
+  }
 
   /** The version the SILVER feed consumer of `source` has folded through —
     * the frontier cap for gold deps on the same source (a gold tick must

@@ -294,6 +294,59 @@ class JobSpec extends SparkSpec {
     }
   }
 
+  test("two concurrent cdfRefresh runs serialize through the refresh lease to exactly-once") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-job-race").toString)
+    val r1 = Job.run(lake, DataClient, AnalyticsClient,
+      startDate = "2025-05-30", endDate = "2025-06-01", cdfRefresh = true,
+      now = Timestamp.valueOf("2025-06-02 09:00:00"), runId = "day1")
+    assert(r1.status == "success", r1.toString)
+    // two full day-2 jobs race over the SAME cursor tree: both ingest
+    // concurrently (writer-safe), the refresh phases serialize through the
+    // lease — the second drains whatever the first left (usually nothing)
+    val rs = Await.result(Future.sequence(Seq("day2a", "day2b").map(id => Future {
+      Job.run(lake, DataClient, AnalyticsClient,
+        startDate = "2025-05-31", endDate = "2025-06-02", cdfRefresh = true,
+        now = Timestamp.valueOf("2025-06-03 09:00:00"), runId = id)
+    })), 600.seconds)
+    rs.foreach(r => assert(r.status == "success", r.toString))
+    // every pending change is consumed: each run drains AFTER its own
+    // ingest, so whichever refresh ran last covered both ingests. Final
+    // exactly-once claim: every silver model and gold mart equals its
+    // from-scratch recompute over the SAME bronze (no double-fold, no
+    // stale-range overwrite, no lost update)
+    (Silver.models.map(m => ("silver", m.name, m.build)) ++
+      Gold.models.map(m => ("gold", m.name, m.build))).foreach {
+      case (layer, name, build) =>
+        val got = lake.table(layer, name).collect().map(_.toString).sorted.toSeq
+        val want = build(lake).collect().map(_.toString).sorted.toSeq
+        assert(got == want, s"$name != recompute after racing cdfRefresh runs")
+    }
+    // the lease is released
+    assert(!java.nio.file.Files.exists(Job.refreshLeasePath(lake)))
+  }
+
+  test("refresh lease: a fresh lease blocks until timeout; a stale lease is stolen") {
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-job-lease").toString)
+    val lock = Job.refreshLeasePath(lake)
+    java.nio.file.Files.createDirectories(lock.getParent)
+    java.nio.file.Files.write(lock, "holder".getBytes)
+    // fresh lease: the contender waits, then fails loudly naming the lease
+    val err = intercept[IllegalArgumentException] {
+      Job.acquireRefreshLease(lake, "contender", staleMillis = 60000L, waitMillis = 500L)
+    }
+    assert(err.getMessage.contains("lease"), err.getMessage)
+    // stale lease (crashed holder): exactly one stealer wins and acquires
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+    val got = Job.acquireRefreshLease(lake, "stealer", staleMillis = 1000L, waitMillis = 500L)
+    assert(java.nio.file.Files.exists(got))
+    assert(new String(java.nio.file.Files.readAllBytes(got)) == "stealer")
+    java.nio.file.Files.delete(got)
+  }
+
   test("standing mart adopted into feed mode on a mature source bootstraps per-dep " +
       "(never a version-0 drain)") {
     import spark.implicits._
