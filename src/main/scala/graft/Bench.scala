@@ -9,6 +9,30 @@ package graft
   * through the aggregates/windows these queries contain).
   */
 object Bench {
+
+  /** Heat-retry rule, factored out so BenchSpec can pin it. A reading
+    * re-runs only when ALL of:
+    *   - it sits above `HeatRetryFactor` × its quiet anchor (relative gate),
+    *   - AND above the anchor by `HeatRetryFloorSec` in absolute terms —
+    *     the tolerance floor. Anchors refresh to each round's quiet
+    *     minimums, so a sub-second query's normal noise band (±0.1-0.2 s)
+    *     can read 1.5× a ratcheted-down anchor on a perfectly quiet box;
+    *     without the floor those readings burn retries forever,
+    *   - AND the 1-min loadavg is hot for the cpu budget (external
+    *     contamination, not the query's own load),
+    *   - AND fewer than `MaxHeatRetries` retries were already spent.
+    * Anchor-refresh policy: see BASELINE.md (bench protocol notes). */
+  private[graft] val HeatRetryFactor = 1.5
+  private[graft] val HeatRetryFloorSec = 0.3
+  private[graft] val MaxHeatRetries = 2
+  private[graft] def hotLoadThreshold(cpus: Int): Double = 1.5 * cpus / 16.0
+  private[graft] def shouldHeatRetry(minSec: Double, anchor: Option[Double],
+      load: Double, cpus: Int, retries: Int): Boolean =
+    retries < MaxHeatRetries &&
+      anchor.exists(a => minSec > HeatRetryFactor * a &&
+        minSec - a > HeatRetryFloorSec) &&
+      load > hotLoadThreshold(cpus)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Graft.session(appName = "graft-bench")
@@ -53,9 +77,6 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(32)
-    // "hot" = 1-min loadavg above ~1.5 per 16 cpus of budget — the band the
-    // r13/r14 contaminated records were stamped with (load 3-4 at 32 cpus)
-    val hotLoad = 1.5 * cpus / 16.0
     // Warm each query once, then time THREE back-to-back runs and report
     // the MINIMUM. The warmup pays codegen compilation + JIT +
     // classloading — a fixed per-query constant (measured 0.5-20 s/query
@@ -113,9 +134,8 @@ object Bench {
       // the quiet band even when the driver runs hot; the retry count and
       // the raw times go into the JSON so spread stays visible.
       var retries = 0
-      while (ok && retries < 2
-          && anchors.get(q.name).exists(a => times.min > 1.5 * a)
-          && loadAvg() > hotLoad) {
+      while (ok && shouldHeatRetry(times.min, anchors.get(q.name),
+          loadAvg(), cpus, retries)) {
         retries += 1
         System.err.println(f"[bench] ${q.name} heat-retry $retries: " +
           f"min ${times.min}%.3f vs anchor ${anchors(q.name)}%.3f, load ${loadAvg()}%.2f")

@@ -44,12 +44,52 @@ object Multimodal {
   final case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   /** Decoder seam — real for uncompressed formats ([[MediaDecoder.Uncompressed]]),
-    * stubbed only for compressed codecs ([[MediaDecoder.Fake]]). */
+    * stubbed only for compressed codecs ([[MediaDecoder.Fake]]).
+    *
+    * PLUG-IN CONTRACT (the seam an ffmpeg/JavaCV-backed decoder drops
+    * into, closing the H.264/AAC gap without touching any operator):
+    *
+    *   - `decodeImage(bytes, meta)` → row-major GRAYSCALE luma matrix,
+    *     `result.length` = decoded height, `result(r).length` = decoded
+    *     width (operators recover dimensions from the ARRAY, never from
+    *     `meta` — a container mis-parse must surface as a dimension
+    *     mismatch, not silently shaped output). Luma = ITU-R BT.601
+    *     integer transform `(77R + 150G + 29B) >> 8` for parity with the
+    *     built-ins.
+    *   - `decodeAudio(bytes, meta)` → mono PCM samples in s16 range, full
+    *     decoded length (operators window/normalize downstream).
+    *   - `decodeVideoFrames(bytes, meta)` → one luma matrix per frame in
+    *     presentation order; default implementation is the REAL
+    *     intra-only MJPEG-in-AVI container walk
+    *     ([[Multimodal.decodeAviMjpegFrames]]). An inter-frame (H.264…)
+    *     implementation overrides ONLY this method; every video operator
+    *     ([[videoKeyframeDHash]], [[framesFromAvi]], [[videoDecodeCheck]])
+    *     takes the decoder as a parameter and flows unchanged.
+    *
+    *   Failure taxonomy — implementations must THROW (fail fast), never
+    *   degrade to synthetic output:
+    *   - unsupported/compressed format this decoder does not handle →
+    *     `IllegalArgumentException` naming the format found (the
+    *     [[MediaDecoder.Uncompressed]] discipline);
+    *   - corrupt container (truncated chunk walk, bad magic) →
+    *     `IllegalArgumentException` with the offset/chunk context;
+    *   - decodable-but-empty (zero frames/samples) → return the empty
+    *     array; operators that REQUIRE content gate on it themselves
+    *     (e.g. [[videoKeyframeDHash]]'s nonEmpty require).
+    *   Determinism: for a fixed decoder build, output must be
+    *   deterministic per input (the m09/m10 oracle gates are
+    *   dimensions-exact + luma-sum-within-tolerance, the correct shape
+    *   for codecs that are deterministic but not spec-exact). */
   trait MediaDecoder extends Serializable {
     /** Decode to a row-major grayscale byte matrix of (height × width). */
     def decodeImage(content: Array[Byte], meta: MediaMeta): Array[Array[Byte]]
     /** Decode audio to PCM samples. */
     def decodeAudio(content: Array[Byte], meta: MediaMeta): Array[Short]
+    /** Decode video to one grayscale matrix per frame (presentation
+      * order). Default: the real intra-only MJPEG-in-AVI walk; an
+      * inter-frame codec implementation overrides this alone. */
+    def decodeVideoFrames(content: Array[Byte], meta: MediaMeta): Array[Array[Array[Byte]]] =
+      decodeAviMjpegFrames(content)
   }
 
   object MediaDecoder {
@@ -518,12 +558,13 @@ object Multimodal {
     * detection over video at the keyframe grain (full-sequence matching
     * composes [[frameSignatures]] the same way). Pure per-row map. */
   def videoKeyframeDHash(assets: Dataset[MediaAsset],
-      gridW: Int = 8, gridH: Int = 8): Dataset[ImageHash] = {
+      gridW: Int = 8, gridH: Int = 8,
+      decoder: MediaDecoder = MediaDecoder.ImageIo): Dataset[ImageHash] = {
     require(gridW >= 2 && gridH >= 1 && (gridW - 1) * gridH <= 63,
       s"grid ${gridW}x$gridH out of the 63-bit budget")
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "video").map { a =>
-      val frames = decodeAviMjpegFrames(a.content)
+      val frames = decoder.decodeVideoFrames(a.content, a.meta)
       require(frames.nonEmpty, s"asset ${a.asset_id}: no frames decoded")
       ImageHash(a.asset_id, dHashBits(frames(0), gridW, gridH))
     }
@@ -553,11 +594,12 @@ object Multimodal {
     * bytes = the decoded luma matrix, row-major), so the downstream frame
     * operators — [[frameSignatures]], [[frameNearDupPairs]],
     * [[shotKeyframes]] — run unchanged on genuinely-decoded video. */
-  def framesFromAvi(assets: Dataset[MediaAsset]): Dataset[Frame] = {
+  def framesFromAvi(assets: Dataset[MediaAsset],
+      decoder: MediaDecoder = MediaDecoder.ImageIo): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "video").flatMap { a =>
-      decodeAviMjpegFrames(a.content).iterator.zipWithIndex.map { case (px, i) =>
-        Frame(a.asset_id, i, px.flatten)
+      decoder.decodeVideoFrames(a.content, a.meta).iterator.zipWithIndex.map {
+        case (px, i) => Frame(a.asset_id, i, px.flatten)
       }
     }
   }
@@ -573,10 +615,11 @@ object Multimodal {
     * per-frame expected value. Pure flatMap, no shuffle; per-asset work is
     * bounded by frames-per-video. */
   def videoDecodeCheck(assets: Dataset[MediaAsset],
-      expectedSum: (MediaAsset, Int) => Long, tolPerPixel: Int): Dataset[FrameDecodeCheck] = {
+      expectedSum: (MediaAsset, Int) => Long, tolPerPixel: Int,
+      decoder: MediaDecoder = MediaDecoder.ImageIo): Dataset[FrameDecodeCheck] = {
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "video").flatMap { a =>
-      decodeAviMjpegFrames(a.content).iterator.zipWithIndex.map { case (px, i) =>
+      decoder.decodeVideoFrames(a.content, a.meta).iterator.zipWithIndex.map { case (px, i) =>
         val h = px.length
         val w = if (h == 0) 0 else px(0).length
         val n = w.toLong * h

@@ -248,6 +248,30 @@ object Gold {
   def feedCursorRoot(lake: Lakehouse, mart: String): String =
     s"${lake.root}/_gold_cursors/$mart"
 
+  /** Continuous face of one mart:
+    * [[graft.streaming.Streams.goldRefreshStream]] wired with this mart's
+    * feed deps. Each micro-batch rebuilds the dep list, so the per-dep
+    * frontier caps re-read the CURRENT silver feed cursors — the streaming
+    * analog of [[refreshFromChangeFeeds]]' "gold never outruns silver"
+    * discipline (run the silver refresh continuously too, or the gold
+    * stream stalls at the standing silver frontier). Caller starts the
+    * returned writer with a checkpoint dir; AvailableNow drains-and-stops.
+    * ONE driver per mart cursor tree — same contract as the batch ticks
+    * (Job's refresh lease serializes the batch side; don't run this
+    * stream concurrently with cdfRefresh runs). */
+  def refreshStream(lake: Lakehouse, mart: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(models.exists(_.name == mart), s"unknown gold mart: $mart")
+    def tick(): Option[(Int, Int)] = {
+      val (grain, fact, lookups, factCur, build) =
+        martDeps(lake, Job.silverFeedFrontier(lake, _))(mart)
+      starFeedTick(lake, mart, grain, fact, lookups, factCur, build,
+        feedCursorRoot(lake, mart))
+    }
+    val triggerSource = martDeps(lake, _ => None)(mart)._2.source
+    graft.streaming.Streams.goldRefreshStream(lake, mart, triggerSource, () => tick())
+  }
+
   /** Reset the channel summary's feed state after a channel-identity
     * change: the silver fact was re-stamped wholesale, and a grain-level
     * merge could never retract the dead channel_id's mart rows — drop the

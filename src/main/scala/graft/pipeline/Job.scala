@@ -370,7 +370,7 @@ object Job {
     * the frontier cap for gold deps on the same source (a gold tick must
     * never outrun silver). 0 (missing cursor) caps gold at nothing read,
     * which is exactly right before silver's first drain. */
-  private def silverFeedFrontier(lake: Lakehouse, source: String): Option[Int] = {
+  private[pipeline] def silverFeedFrontier(lake: Lakehouse, source: String): Option[Int] = {
     val consumerOf: Map[String, String] = Map(
       "videos_raw" -> "video_models",
       "analytics_channel_daily_raw" -> "fact_channel_daily_metrics") ++

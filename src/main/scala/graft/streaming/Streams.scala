@@ -1139,6 +1139,48 @@ object Streams {
       }
   }
 
+  /** Continuous face of a CDF-maintained gold star mart: a Structured
+    * Streaming wrapper that drives one grain-routed fold
+    * ([[graft.pipeline.Gold.starFeedTick]], via the caller-supplied `tick`
+    * thunk) to convergence per micro-batch.
+    *
+    * Unlike [[silverRefreshStream]] — where the file-source ROWS are the
+    * data, so visibility retractions cannot propagate and must gate — the
+    * gold fold reads the change feed through its durable cursors: the file
+    * stream is only the WAKE-UP signal (its rows are discarded), so DV
+    * deletes and re-ingest retractions fold exactly like the batch tick,
+    * and exactly-once comes from the cursor/txn machinery, not the stream
+    * checkpoint (a foreachBatch replay re-drives an idempotent, already-
+    * caught-up tick). Watches the FACT dep's append dirs; a lookup-dep-only
+    * change drains on the next fact-side trigger or a batch tick — the
+    * same convergence contract as Job's run ordering. `tick` is a thunk so
+    * per-batch state (the silver frontier caps) re-reads every batch.
+    *
+    * The tick also runs once at CONSTRUCTION (the [[sweepPendingCommits]]
+    * discipline): the file source marks trigger files seen even when the
+    * tick was frontier-capped and folded nothing, so a catch-up run after
+    * the cap lifted may deliver NO new files — without the construction
+    * drain it would never fold the now-unblocked range. */
+  def goldRefreshStream(lake: graft.pipeline.Lakehouse, mart: String,
+      triggerSource: String, tick: () => Option[(Int, Int)])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    def drain(): Unit = {
+      var guard = 0
+      while (tick().isDefined) {
+        guard += 1
+        require(guard <= 100000,
+          s"gold stream drain failed to converge on $mart")
+      }
+    }
+    drain() // catch-up: consumed triggers don't re-fire
+    val dir = lake.streamSourcePath("bronze", triggerSource)
+    val (pinned, _) = lake.streamReadSupport(triggerSource)
+    lake.spark.readStream.schema(pinned).parquet(dir)
+      .writeStream.outputMode(OutputMode.Update).foreachBatch {
+        (_: Dataset[org.apache.spark.sql.Row], _: Long) => drain()
+      }
+  }
+
   /** The [[silverRefreshStream]] delete/visibility gate. Default mode
     * fails fast when (a) a FRESH stream (no gate marker yet) starts over a
     * table whose live entries carry deletion vectors, or (b) any log

@@ -584,4 +584,75 @@ class MultimodalSpec extends SparkSpec {
     // 56-bit budget holds for the video face too
     assert(keys.forall(h => h >= 0L && (h >> 56) == 0L))
   }
+
+  test("MediaDecoder seam: a custom video decoder flows through the m10/m13 " +
+      "operator paths unchanged") {
+    import Multimodal._
+    import spark.implicits._
+    // A pretend COMPRESSED format the built-ins cannot read: frames packed
+    // as [w, h, nFrames] + per-frame row-major luma XOR 0x5A. The custom
+    // decoder stands in for an ffmpeg-backed H.264 implementation: it
+    // overrides decodeVideoFrames ALONE, per the documented contract.
+    def pack(w: Int, h: Int, frames: Array[Array[Array[Byte]]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(w); out.write(h); out.write(frames.length)
+      frames.foreach(_.foreach(row => row.foreach(b => out.write((b ^ 0x5a) & 0xff))))
+      out.toByteArray
+    }
+    object XorPackedDecoder extends MediaDecoder {
+      def decodeImage(content: Array[Byte], meta: MediaMeta): Array[Array[Byte]] =
+        throw new IllegalArgumentException("xor-packed: video-only format")
+      def decodeAudio(content: Array[Byte], meta: MediaMeta): Array[Short] =
+        throw new IllegalArgumentException("xor-packed: video-only format")
+      override def decodeVideoFrames(content: Array[Byte], meta: MediaMeta): Array[Array[Array[Byte]]] = {
+        val (w, h, n) = (content(0) & 0xff, content(1) & 0xff, content(2) & 0xff)
+        var o = 3
+        Array.fill(n) {
+          Array.fill(h) {
+            val row = Array.tabulate(w)(c => ((content(o + c) & 0xff) ^ 0x5a).toByte)
+            o += w; row
+          }
+        }
+      }
+    }
+    def luma(seed: Long, w: Int, h: Int, f: Int): Array[Array[Byte]] =
+      Array.tabulate(h, w) { (r, c) =>
+        // decorrelated per-pixel pattern (a gradient would make every
+        // seed's dHash identical — all comparisons point the same way)
+        (((seed ^ (r * 73L + c * 151L + f * 31L)) * 1103515245L + 12345L) >>> 16).toByte
+      }
+    def asset(id: Long, seed: Long, n: Int): MediaAsset = {
+      val (w, h) = (16, 8)
+      MediaAsset(id, "video", pack(w, h, Array.tabulate(n)(luma(seed, w, h, _))),
+        MediaMeta("xorpacked", w, h, 0, 40L * n))
+    }
+    // m13 path: keyframe dHash through the custom decoder — same seed,
+    // different cut = Hamming 0; different seeds separate
+    val ds = Seq(asset(1, 9, 2), asset(2, 9, 5), asset(3, 123, 3)).toDS()
+    val hs = videoKeyframeDHash(ds, decoder = XorPackedDecoder)
+      .collect().map(x => x.asset_id -> x.dhash).toMap
+    assert(hs(1L) == hs(2L), "same-seed keyframes must hash identically")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 4,
+      "distinct seeds must separate past the m13 gate")
+    // m10 path: per-frame decode check — dims exact, luma sums EXACT
+    // (tol 0) because the custom decode is lossless
+    def expect(a: MediaAsset, f: Int): Long =
+      luma(if (a.asset_id == 3) 123 else 9, 16, 8, f)
+        .iterator.flatMap(_.iterator).map(b => (b & 0xff).toLong).sum
+    val checks = videoDecodeCheck(ds, expect, tolPerPixel = 0,
+      decoder = XorPackedDecoder).collect()
+    assert(checks.length == 2 + 5 + 3)
+    checks.foreach { c =>
+      assert(c.width == 16 && c.height == 8 && c.n_pixels == 128, c.toString)
+      assert(c.mean_within_tol, s"frame luma drifted: $c")
+    }
+    // the standard frame operators run on the custom decode too
+    val frames = framesFromAvi(ds, decoder = XorPackedDecoder).collect()
+    assert(frames.length == 10 && frames.forall(_.frame_bytes.length == 128))
+    // and the DEFAULT decoder on the same operators still walks real AVI
+    // (the seam changed nothing for the built-in path)
+    val avi = MediaAsset(7L, "video", synthMjpegAvi(5, 32, 32, 2),
+      MediaMeta("avi", 32, 32, 0, 80L))
+    assert(videoKeyframeDHash(Seq(avi).toDS()).collect().length == 1)
+  }
 }

@@ -1010,4 +1010,112 @@ class StreamsSpec extends SparkSpec {
     Streams.foldReportBatch(b1, 1L, idx)
     assert(latest() == clean, "replay over an incomplete version diverged")
   }
+
+  test("goldRefreshStream: cursor-driven mart fold under churn and retraction " +
+      "equals the batch rebuild") {
+    import java.nio.file.Files
+    import graft.pipeline.{Gold, Lakehouse, Silver}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-goldstream").toString)
+    val silverCur = Files.createTempDirectory("graft-goldstream-scur").toString
+    def silverTick(): Unit =
+      while (Silver.latestWinsFeedTick(lake, "silver", "sfact", "fct",
+        Seq("k"), Seq(col("seq").desc), identity, silverCur).isDefined) ()
+    val goldCur = Files.createTempDirectory("graft-goldstream-gcur").toString
+    val factDep = Gold.FeedDep("fct", Seq("k"), identity)
+    val build = (_: Lakehouse, f: org.apache.spark.sql.DataFrame) =>
+      f.select(col("k"), (col("v") * 2).as("v2"), col("seq"))
+    val ckpt = Files.createTempDirectory("graft-goldstream-ckpt").toString
+    // the stream is only the WAKE-UP: its rows are discarded and the tick
+    // reads the change feed through the durable gold cursor — which is why
+    // DV retractions fold here while silverRefreshStream must gate on them
+    def drainStream(): Unit = {
+      val q = Streams.goldRefreshStream(lake, "mart", "fct",
+          () => Gold.starFeedTick(lake, "mart", Seq("k"), factDep, Seq.empty,
+            "sfact", build, goldCur))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      ()
+    }
+    def expected = build(lake, lake.table("silver", "sfact"))
+      .collect().map(_.toString).sorted.toSeq
+    def actual = lake.table("gold", "mart").collect().map(_.toString).sorted.toSeq
+
+    lake.appendBronze("fct",
+      Seq((1L, 10L, 1L), (2L, 20L, 1L)).toDF("k", "v", "seq").repartition(1))
+    silverTick(); drainStream()
+    assert(actual == expected, "bootstrap streamed mart != batch rebuild")
+    // churn while the stream is down: a re-observation, a new key, then a
+    // DV RETRACTION of the re-observation (the case the silver file stream
+    // cannot express) — the catch-up drain must fold all three
+    lake.appendBronze("fct",
+      Seq((1L, 11L, 2L), (3L, 30L, 1L)).toDF("k", "v", "seq").repartition(1))
+    lake.deleteBronzeWhereDv("fct", col("k") === 1L && col("seq") === 2L, Nil)
+    silverTick(); drainStream()
+    assert(actual == expected, "churned streamed mart != batch rebuild")
+    // the retraction resurrected the OLDER observation in the mart
+    val k1 = lake.table("gold", "mart").filter(col("k") === 1L).collect()
+    assert(k1.length == 1 && k1.head.getAs[Long]("v2") == 20L,
+      s"retraction did not resurrect k=1's older observation: ${k1.toSeq}")
+  }
+
+  test("Gold.refreshStream: the streamed channel mart equals the batch mart " +
+      "with frontier caps honored") {
+    import java.nio.file.Files
+    import graft.pipeline.{Bronze, Gold, Job, Lakehouse, Silver}
+    import graft.pipeline.Fixtures.{channelPayload, d, dim, met, report}
+    import org.apache.spark.sql.functions.col
+    val lake = new Lakehouse(spark, Files.createTempDirectory("graft-goldstream2").toString)
+    val chHeaders = Seq(dim("day"), met("views"), met("likes"), met("comments"),
+      met("estimatedMinutesWatched"), met("subscribersGained"), met("subscribersLost"))
+    def land(run: String, snap: String, views: Long): Unit =
+      Bronze.ingest(lake, Bronze.RunContext(run, s"req-$run", d(snap),
+          graft.pipeline.Fixtures.ts(s"$snap 10:00:00")),
+        _ => Map(
+          "channels_raw" -> Seq(channelPayload("UC_1", "Chan", views * 10, 10)),
+          "analytics_channel_daily_raw" -> Seq(report(chHeaders, Seq(
+            Seq(snap, views.toString, "2", "1", "7", "3", "1"),
+            Seq("2025-05-31", (views + 1).toString, "2", "1", "8", "2", "0"))))))
+    // silver side maintained through the SAME cursor layout Job uses, so
+    // the stream's per-batch frontier caps read real silver frontiers
+    def silverSide(): Unit = {
+      Silver.refresh(lake, Some(Set("silver_channels")))
+      while (Silver.refreshChannelFactFromChangeFeed(lake,
+        Job.feedCursorDir(lake, "fact_channel_daily_metrics")).isDefined) ()
+    }
+    val ckpt = Files.createTempDirectory("graft-goldstream2-ckpt").toString
+    def drainStream(): Unit = {
+      val q = Gold.refreshStream(lake, "gold_channel_daily_summary")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      ()
+    }
+    def expected = Gold.channelDailySummary.build(lake)
+      .collect().map(_.toString).sorted.toSeq
+    def actual = lake.table("gold", "gold_channel_daily_summary")
+      .collect().map(_.toString).sorted.toSeq
+    land("r1", "2025-06-01", 100)
+    silverSide(); drainStream()
+    assert(actual == expected, "bootstrap streamed channel mart != batch build")
+    // day 2 re-observes both dates; catch-up drain folds the changed grains
+    land("r2", "2025-06-02", 150)
+    silverSide(); drainStream()
+    assert(actual == expected, "day-2 streamed channel mart != batch build")
+    assert(lake.table("gold", "gold_channel_daily_summary")
+      .filter(col("date") === org.apache.spark.sql.functions.lit(d("2025-06-02"))).count() == 1)
+    // frontier discipline: bronze ahead of silver (no silver drain) — the
+    // stream's tick is CAPPED at the standing silver frontier and must not
+    // fold the new range yet (gold never outruns silver)
+    val before = actual
+    land("r3", "2025-06-03", 175)
+    drainStream()
+    assert(actual == before,
+      "gold stream outran the silver frontier (uncapped drain)")
+    // once silver catches up, the next drain folds it
+    silverSide(); drainStream()
+    assert(actual == expected, "post-catch-up streamed mart != batch build")
+  }
 }
