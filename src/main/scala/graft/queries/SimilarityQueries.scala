@@ -508,8 +508,70 @@ $rounds
       ORDER BY query_id, rank"""),
     bench = true)
 
+  /** s20: SQ8 ADC top-k ([[graft.operators.Similarity.sq8TopK]]) — the
+    * int8-scalar-quantized tier between s19's binary codes and s06/s11's
+    * PQ: corpus stored as s04's codes (+ one scale, which CANCELS out of
+    * the cosine estimate, so candidate generation is one float×int fold
+    * per pair), estimate-ordered shortlist of 50 per query, exact cosine
+    * rerank to top-5. The oracle replays the s04 quantizer, the estimate
+    * fold in the identical element order, the (estimate, id)-ordered
+    * shortlist and the rerank — quantizer, estimator, shortlist and
+    * rerank all inside one hash gate. */
+  val s20Sq8AdcTopK = GraftQuery(
+    "s20_sq8_adc_topk",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") % 50 === 0)
+      Similarity.sq8TopK(q, e, 5, shortlist = 50)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
+      c0 AS (
+        SELECT vec_id AS neighbor_id, embedding AS c_emb,
+               CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale
+        FROM (SELECT vec_id, embedding,
+                list_aggregate(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))), 'max') AS mx
+              FROM embeddings)),
+      coded AS (
+        SELECT neighbor_id, c_emb,
+               list_transform(c_emb, v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS INT)) AS codes
+        FROM c0),
+      cn AS (
+        SELECT neighbor_id, c_emb, codes,
+               sqrt(CAST(list_aggregate(list_transform(codes, v -> CAST(v * v AS BIGINT)), 'sum') AS DOUBLE)) AS code_norm
+        FROM coded),
+      est AS (
+        SELECT query_id, neighbor_id, q_emb, c_emb,
+               CASE WHEN code_norm = 0 THEN -2.0 ELSE
+                 list_aggregate(list_transform(range(1, len(q_emb)+1),
+                   i -> CAST(q_emb[i] AS DOUBLE) * CAST(codes[CAST(i AS INT)] AS DOUBLE)), 'sum')
+                 / (${duckNorm("q_emb")} * code_norm) END AS est_cos
+        FROM cn CROSS JOIN q
+        WHERE query_id <> neighbor_id),
+      short AS (
+        SELECT query_id, neighbor_id, q_emb, c_emb,
+               row_number() OVER (PARTITION BY query_id ORDER BY est_cos DESC, neighbor_id ASC) AS rn
+        FROM est),
+      rescored AS (
+        SELECT query_id, neighbor_id,
+               $duckDot / (${duckNorm("q_emb")} * ${duckNorm("c_emb")}) AS cos_raw
+        FROM short WHERE rn <= 50),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        FROM rescored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos_raw, 6) AS cosine
+      FROM ranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""),
+    bench = true)
+
   val all: Seq[GraftQuery] =
     Seq(s01BruteForceTopK, s02LshTopK, s03BruteForceTopKAgg, s04Int8Quantize,
       s07JlProjection, s08MmrRerank, s10KnnClassify, s13FilteredTopK,
-      s14CentroidOutliers, s19BinaryTopK)
+      s14CentroidOutliers, s19BinaryTopK, s20Sq8AdcTopK)
 }

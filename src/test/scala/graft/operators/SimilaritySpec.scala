@@ -121,6 +121,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall200 >= recall50)
   }
 
+  test("SQ8 ADC ANN: scale cancels out of the estimate, recall@5 near-exact, shortlist lever works") {
+    val e = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") % 50 === 0)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.bruteForceTopK(q, e, 5))
+    // scale cancellation: scaling a corpus vector by any positive constant
+    // leaves its int8 ADC cosine estimate unchanged (same codes up to the
+    // scale, which divides out) — verified by scaling EVERY corpus vector
+    // 2x (a power of two, so the float scaling is EXACT and codes cannot
+    // shift by an ulp at a rounding boundary) and getting identical top-5s
+    val scaled = e.select(col("id"),
+      transform(col("embedding"), v => (v * lit(2.0f)).cast("float")).as("embedding"))
+    val sq50 = hits(Similarity.sq8TopK(q, e, 5, shortlist = 50))
+    val sq50scaled = hits(Similarity.sq8TopK(q, scaled, 5, shortlist = 50))
+    assert(sq50 == sq50scaled, "per-vector scale did not cancel out of the estimate")
+    // int8 quantization noise sits far below the inter-neighbor cosine
+    // gaps on this corpus — the SQ8 tier's selling point: near-exact
+    // recall at 4x compression
+    val recall50 = (sq50 & exact).size.toDouble / exact.size
+    info(f"SQ8 ADC recall@5 (shortlist 50) = $recall50%.3f")
+    assert(recall50 >= 0.9, f"recall@5 $recall50%.3f below the 0.9 SQ8 floor")
+    // the recall lever: a wider shortlist can only help (exact rerank)
+    val sq200 = hits(Similarity.sq8TopK(q, e, 5, shortlist = 200))
+    val recall200 = (sq200 & exact).size.toDouble / exact.size
+    info(f"SQ8 ADC recall@5 (shortlist 200) = $recall200%.3f")
+    assert(recall200 >= recall50)
+  }
+
   test("approx_count_distinct stays within 10% of exact on fixture data") {
     val ev = Graft.table(spark, "/root/testdata/sf0.001", "events")
     val r = ev.agg(
