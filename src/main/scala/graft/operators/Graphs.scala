@@ -378,6 +378,54 @@ object Graphs {
     * with the target degree riding along). Built once at write time by a
     * deployment (BenchIndex discipline); [[triangleCountsFromOriented]]
     * probes it. Output: (s, t, dt). */
+  /** Adamic–Adar link-prediction scores (Adamic & Adar 2003): for every
+    * non-adjacent pair (u, v) sharing at least one neighbor,
+    * AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z) — common neighbors weighted
+    * down by their promiscuity, the classic strong baseline for "which
+    * edge appears next".
+    *
+    * Determinism: the per-center weight is the INTEGER fixed point
+    * round(1e9/ln d) computed once per distinct degree (the m14
+    * integer-table trick) — the score is an exact BIGINT sum, never a
+    * float fold, so the ranking is engine-exact and an SQL oracle can
+    * interpolate the identical weight table. Output carries `aa_e9`
+    * (score × 1e9) plus the common-neighbor count.
+    *
+    * Scale: the wedge join fans out Σ_z C(deg z, 2) pairs — quadratic in
+    * HUB degree, so centers above `maxDegree` are EXCLUDED (their
+    * contribution 1/ln(deg) is the smallest anyway; dropping super-hubs
+    * is standard practice in production link prediction, and the cap is
+    * part of the operator's definition so the oracle applies it too).
+    * Everything shuffles on center/pair keys; no all-pairs join. */
+  def adamicAdar(edges: DataFrame, maxDegree: Int = 64): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // normalize to one (min, max) row per undirected edge so a caller
+    // passing both orientations cannot double every degree
+    val e = edges.select(least(col("u"), col("v")).as("u"),
+      greatest(col("u"), col("v")).as("v")).filter(col("u") =!= col("v")).distinct()
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("z")).agg(count(lit(1)).as("deg"))
+    val weights = (2 to maxDegree)
+      .map(d => (d.toLong, math.round(1e9 / math.log(d.toDouble))))
+      .toDF("deg", "w")
+    // joining the bounded weight table doubles as the [2, maxDegree]
+    // degree filter (deg-1 centers have no wedge; hubs are excluded)
+    val centers = deg.join(broadcast(weights), Seq("deg"))
+      .select(col("z"), col("w"))
+    val adj = sym.join(centers, sym("u") === centers("z"))
+      .select(col("z"), col("v").as("n"), col("w"))
+    val left = adj.select(col("z"), col("n").as("na"), col("w"))
+    val right = adj.select(col("z").as("zb"), col("n").as("nb"))
+    val wedges = left.join(right, col("z") === col("zb") && col("na") < col("nb"))
+      .select(col("na").as("u"), col("nb").as("v"), col("w"))
+    wedges.join(e, Seq("u", "v"), "left_anti") // predict NEW links only
+      .groupBy(col("u"), col("v"))
+      .agg(sum(col("w")).as("aa_e9"),
+        count(lit(1)).cast("bigint").as("common_neighbors"))
+  }
+
   def orientEdges(edges: DataFrame): DataFrame = {
     val e = edges
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))

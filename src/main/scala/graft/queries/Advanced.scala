@@ -1164,11 +1164,69 @@ object Advanced {
         .orderBy(col("depth"), col("node"))
     }))
 
+  /** Adamic–Adar link prediction ([[Graphs.adamicAdar]]) over the
+    * market-basket co-purchase graph (q63's support ≥ 2 pairs as edges):
+    * which part pairs that DON'T co-occur yet are most likely to, scored
+    * by inverse-log-degree-weighted common neighbors. Integer fixed-point
+    * weights (round(1e9/ln d) per distinct degree — the m14 table trick)
+    * make the score an exact BIGINT sum: engine-exact ranking, no
+    * cross-engine ln() parity assumed. Hub centers above degree 64 are
+    * excluded by the operator's cap (near-zero weight, quadratic wedge
+    * fan-out — the documented scale lever), and the oracle applies the
+    * identical cap through the same interpolated weight table. */
+  val q79AdamicAdar = GraftQuery(
+    "q79_adamic_adar",
+    (s, dir) => {
+      val items = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("v"))
+      val edges = a.join(b, Seq("l_orderkey")).filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("u"), col("v"))
+      Graphs.adamicAdar(edges, maxDegree = 64)
+        .orderBy(col("aa_e9").desc, col("u"), col("v"))
+        .limit(200)
+        .select(col("u").as("part_a"), col("v").as("part_b"),
+          col("common_neighbors"), col("aa_e9"))
+    },
+    Some {
+      val wRows = (2 to 64)
+        .map(d => s"($d, ${math.round(1e9 / math.log(d.toDouble))})").mkString(", ")
+      s"""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+      weights(wdeg, w) AS (VALUES $wRows),
+      degs AS (SELECT u AS z, COUNT(*) AS d FROM sym GROUP BY u),
+      centers AS (SELECT z, w FROM degs JOIN weights ON d = wdeg),
+      adj AS (SELECT s.u AS z, s.v AS n, c.w FROM sym s JOIN centers c ON s.u = c.z),
+      wedges AS (
+        SELECT a.n AS u, b.n AS v, a.w
+        FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n),
+      fresh AS (
+        SELECT w.u, w.v, w.w FROM wedges w
+        ANTI JOIN edges e ON w.u = e.u AND w.v = e.v),
+      scored AS (
+        SELECT u, v, CAST(SUM(w) AS BIGINT) AS aa_e9,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors
+        FROM fresh GROUP BY u, v)
+      SELECT u AS part_a, v AS part_b, common_neighbors, aa_e9
+      FROM scored
+      ORDER BY aa_e9 DESC, u, v
+      LIMIT 200"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     q45StatsAggs, q46GapFill, q47FuzzyJoin, q48Listagg, q49PageRank, q50MergeUpsert,
     q51SnapshotCdf, q52Histogram, q53Funnel, q54CohortRetention, q55Attribution,
     q56Transitions, q57RollingAnomaly, q58IncrementalAgg, q59StringBreadth,
     q60DateBreadth, q63CoOccurrence, q64Triangles, q67TimeWeighted, q68ParetoFrontier,
     q69PsiDrift, q70ExactMedian, q71ChiSquare, q72KsDrift, q73MutualInfo, q74OlsByGroup,
-    q75HierarchyRollup, q76PersonalizedPageRank, q78BfsDepths)
+    q75HierarchyRollup, q76PersonalizedPageRank, q78BfsDepths, q79AdamicAdar)
 }

@@ -505,4 +505,35 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(seeded("x") == 0L && seeded("y") == 0L, s"unreachable nodes must stay 0: $seeded")
     assert(seeded("a") > 0L && seeded("b") > 0L && seeded("c") > 0L)
   }
+
+  // ---- Graphs.adamicAdar ---------------------------------------------------
+
+  test("adamicAdar: hand-computed scores, adjacent pairs excluded, hub cap, orientation-proof") {
+    // triangle 1-2-3 plus pendant 3-4: degrees 1:2, 2:2, 3:3, 4:1.
+    // Only (1,4) and (2,4) are non-adjacent with a common neighbor (3)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val w3 = math.round(1e9 / math.log(3.0))
+    val got = Graphs.adamicAdar(edges).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) ->
+        (r.getAs[Long]("common_neighbors"), r.getAs[Long]("aa_e9"))).toMap
+    assert(got == Map((1L, 4L) -> (1L, w3), (2L, 4L) -> (1L, w3)), got.toString)
+    // a caller passing BOTH orientations must get the identical result
+    // (degrees would otherwise double)
+    val both = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val got2 = Graphs.adamicAdar(both).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) ->
+        (r.getAs[Long]("common_neighbors"), r.getAs[Long]("aa_e9"))).toMap
+    assert(got2 == got, "orientation normalization failed")
+    // hub cap: with maxDegree = 2 the only wedge center (3, degree 3) is
+    // excluded, so no pair survives
+    assert(Graphs.adamicAdar(edges, maxDegree = 2).isEmpty)
+    // two common neighbors SUM: square 1-2, 2-3, 3-4, 4-1 — (1,3) and
+    // (2,4) each share two degree-2 neighbors
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v")
+    val w2 = math.round(1e9 / math.log(2.0))
+    val gotSq = Graphs.adamicAdar(sq).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) ->
+        (r.getAs[Long]("common_neighbors"), r.getAs[Long]("aa_e9"))).toMap
+    assert(gotSq == Map((1L, 3L) -> (2L, 2 * w2), (2L, 4L) -> (2L, 2 * w2)), gotSq.toString)
+  }
 }
