@@ -229,8 +229,13 @@ object Similarity {
   def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
       shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    val cb = corpus.select(col("id").as("neighbor_id"),
-        int8Codes(col("embedding"), int8Scale(col("embedding"))).as("codes"))
+    // scale lands in its own projection first (the s04 discipline): inlined
+    // into the transform lambda, Catalyst would re-evaluate the array_max
+    // per ELEMENT — O(dim²) per row instead of O(dim)
+    val cb = corpus.select(col("id").as("neighbor_id"), col("embedding"),
+        int8Scale(col("embedding")).as("scale"))
+      .select(col("neighbor_id"),
+        int8Codes(col("embedding"), col("scale")).as("codes"))
       .withColumn("code_norm", sqrt(aggregate(col("codes"),
         lit(0L), (a, v) => a + (v * v).cast("long")).cast("double")))
     val qb = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),

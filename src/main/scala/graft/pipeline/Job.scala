@@ -352,7 +352,20 @@ object Job {
               s"_refresh.lease.stale_${java.util.UUID.randomUUID.toString.take(8)}")
             try {
               Files.move(lock, grave) // no REPLACE_EXISTING: one stealer wins
-              Files.deleteIfExists(grave)
+              // TOCTOU guard: between the age read and the move, ANOTHER
+              // stealer may have consumed the stale lease and created a
+              // FRESH one — which is what we just moved. Re-check on the
+              // moved file: genuinely stale → consumed; fresh → hand it
+              // back (put-if-absent, so a contender that claimed the slot
+              // meanwhile wins and we keep waiting)
+              val movedAge =
+                try System.currentTimeMillis() - Files.getLastModifiedTime(grave).toMillis
+                catch { case _: java.io.IOException => Long.MaxValue }
+              if (movedAge > staleMillis) Files.deleteIfExists(grave)
+              else {
+                try Files.move(grave, lock)
+                catch { case _: java.io.IOException => Files.deleteIfExists(grave) }
+              }
             } catch { case _: java.io.IOException => } // lost the steal — loop
           } else {
             require(System.currentTimeMillis() < deadline,
