@@ -587,4 +587,18 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(q("s13_filtered_topk"))
     assert(p.contains("PushedFilters: [IsNotNull(label)"), s"label filter not pushed\n$p")
   }
+
+  test("s20 SQ8: query side broadcast, shortlist and rerank via bounded TopKPairs, no window") {
+    val p = simplePlan(q("s20_sq8_adc_topk"))
+    assert(p.contains("topk_pairs"), s"no TopKPairs aggregate\n$p")
+    assert(!p.contains("Window"), s"unexpected window top-k\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q79 Adamic-Adar: wedge and anti joins are equi-joins — no pair-generating join") {
+    val p = simplePlan(q("q79_adamic_adar"))
+    assert(!p.contains("CartesianProduct"), s"cartesian in the wedge path\n$p")
+    // the weight-table join broadcasts; the wedge join keys on the center
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
