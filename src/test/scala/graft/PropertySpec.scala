@@ -775,4 +775,41 @@ class PropertySpec extends SparkSpec {
       prevWm = wm
     }
   }
+
+  test("adamicAdar equals the naive all-pairs reference on random graphs") {
+    import graft.operators.Graphs
+    val rnd = new Random(77)
+    for (round <- 1 to 6) {
+      val n = 12 + rnd.nextInt(12)
+      val edges = (for {
+        u <- 1 to n; v <- (u + 1) to n
+        if rnd.nextDouble() < 0.22
+      } yield (u.toLong, v.toLong)).toVector
+      if (edges.nonEmpty) {
+        val cap = if (round % 2 == 0) 5 else 64 // exercise the hub cap too
+        val got = Graphs.adamicAdar(edges.toDF("u", "v"), maxDegree = cap)
+          .collect()
+          .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) ->
+            (r.getAs[Long]("common_neighbors"), r.getAs[Long]("aa_e9"))).toMap
+        // naive reference: adjacency sets, every non-adjacent pair, the sum
+        // over common neighbors within the cap with the identical integer
+        // fixed-point weight
+        val adj = edges.foldLeft(Map.empty[Long, Set[Long]].withDefaultValue(Set.empty[Long])) {
+          case (m, (u, v)) => m.updated(u, m(u) + v).updated(v, m(v) + u)
+        }
+        val eset = edges.toSet
+        def w(z: Long): Option[Long] = {
+          val d = adj(z).size
+          if (d >= 2 && d <= cap) Some(math.round(1e9 / math.log(d.toDouble))) else None
+        }
+        val want = (for {
+          u <- adj.keys; v <- adj.keys
+          if u < v && !eset.contains((u, v))
+          commons = (adj(u) & adj(v)).toSeq.flatMap(z => w(z))
+          if commons.nonEmpty
+        } yield (u, v) -> (commons.size.toLong, commons.sum)).toMap
+        assert(got == want, s"round $round (n=$n cap=$cap): $got vs $want")
+      }
+    }
+  }
 }
