@@ -272,8 +272,16 @@ object Job {
         failure = Some(t)
     }
     // release the refresh lease whatever happened — a crash that skips this
-    // leaves a stale lease the next acquirer steals after `staleMillis`
-    lease.foreach(p => scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+    // leaves a stale lease the next acquirer steals after `staleMillis`.
+    // OWNERSHIP check first: a run that outlived the stale window had its
+    // lease stolen — the file at this path now belongs to the stealer, and
+    // a blind delete would strip the live holder's protection
+    lease.foreach(p => scala.util.Try {
+      val mine = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8) == runId
+      if (mine) java.nio.file.Files.deleteIfExists(p)
+      ()
+    })
 
     // finalize_run_log: ALL_DONE — records the terminal status even when a
     // stage threw
