@@ -24,6 +24,52 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Edges per co-partitioned state partition for the iterative ops —
+    * the SCALE-ADAPTIVE partitioning rule (optimization guide §2: size
+    * partitions from the data, never from the local core count). A
+    * 32-reducer iteration over a 1M-edge graph measured 2-3.7 s of
+    * shuffle-WRITE time per round on 7 MB of payload (32×32 tiny-block
+    * pathology); 8 partitions wrote the same rounds in 25-137 ms. The cap
+    * at 2× default parallelism keeps big graphs fully parallel — there the
+    * divisor never binds. */
+  private[graft] val EdgesPerStatePartition = 131072L
+
+  /** Derive the iteration partition count from the edge count (caller
+    * passes an exact count or a cheap upper bound). */
+  private[graft] def statePartitions(spark: SparkSession, edgeCount: Long): Int =
+    sys.env.get("SPARK_GRAFT_GRAPH_PARTITIONS").flatMap(_.toIntOption).getOrElse {
+      val p = math.ceil(edgeCount.toDouble / EdgesPerStatePartition).toLong
+      math.max(1L, math.min(p, spark.sparkContext.defaultParallelism.toLong * 2)).toInt
+    }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `p` — the
+    * iterative ops materialize THEIR WHOLE RUN inside (eager final
+    * checkpoint), so every internal exchange (state shuffles, aggs, the
+    * co-partitioned cache) lands at the scale-derived count instead of
+    * the session default. Restored on exit; the caller's downstream plan
+    * (final sort etc.) is unaffected. */
+  private def withStatePartitions[T](spark: SparkSession, p: Option[Int])(body: => T): T =
+    p match {
+      case None => body
+      case Some(n) =>
+        val keys = Seq(
+          // every exchange in the op at the scale-derived count
+          "spark.sql.shuffle.partitions" -> n.toString,
+          // AQE re-plans (and launches a driver-side materialization round
+          // for) EVERY query stage; inside these ops the plan is fully
+          // pinned already — join strategies hinted, partition counts
+          // scale-derived, per-key fan-out bounded by design — so adaptive
+          // re-planning buys nothing and its per-stage driver pause
+          // dominates a 10-round iteration (measured: ~45% of q78's wall
+          // was inter-job driver gaps). Restored on exit; the session
+          // default (AQE on) still governs every non-iterative query.
+          "spark.sql.adaptive.enabled" ->
+            (sys.env.get("SPARK_GRAFT_GRAPH_AQE").contains("on")).toString)
+        val prev = keys.map { case (k, _) => k -> spark.conf.get(k) }
+        keys.foreach { case (k, v) => spark.conf.set(k, v) }
+        try body finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+
   /** One rank unit in micro-units. */
   val RankUnit: Long = 1000000L
 
@@ -37,13 +83,15 @@ object Graphs {
     * edge sets every node has out-degree ≥ 1 and no mass is lost.
     * Returns (node, rank_micro). */
   def pageRankMicro(spark: SparkSession, edges: DataFrame, iterations: Int,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5, denseInflow: Boolean = false,
+      edgeCountHint: Option[Long] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val edgesDeg = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
-    pageRankMicroFromIndex(spark, nodes, edgesDeg, iterations, checkpointEvery)
+    pageRankMicroFromIndex(spark, nodes, edgesDeg, iterations, checkpointEvery,
+      denseInflow, edgeCountHint)
   }
 
   /** [[pageRankMicro]] over PREBUILT at-rest graph artifacts: `nodes`
@@ -55,7 +103,22 @@ object Graphs {
     * free; here the frame is re-partitioned once and cached. */
   def pageRankMicroFromIndex(spark: SparkSession, nodesIn: DataFrame,
       edgesDegIn: DataFrame, iterations: Int,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5,
+      /** Caller-guaranteed: EVERY node has at least one in-edge (true for
+        * any symmetric edge set). The per-iteration dangling fill —
+        * `nodes LEFT JOIN contribs` + coalesce(inflow, 0) — is then an
+        * identity (the contrib aggregate's key set IS the node set), so
+        * skipping it removes one join AND one node-frame shuffle from
+        * every iteration: 2 shuffles/iter → 1. Rank values are
+        * bit-identical under the guarantee; a graph with genuinely
+        * in-degree-0 nodes must keep the default. */
+      denseInflow: Boolean = false,
+      /** Edge count (exact or cheap upper bound, e.g. parquet metadata):
+        * sizes every internal exchange via [[statePartitions]] instead of
+        * the session default — see [[EdgesPerStatePartition]]. None keeps
+        * the session's `spark.sql.shuffle.partitions`. */
+      edgeCountHint: Option[Long] = None): DataFrame =
+    withStatePartitions(spark, edgeCountHint.map(statePartitions(spark, _))) {
     require(iterations >= 1 && iterations <= 20,
       s"iterations must be in [1, 20], got $iterations")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
@@ -80,11 +143,14 @@ object Graphs {
           expr("rank_micro div outdeg").as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("inflow"))
-      val next = nodes
-        .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(TeleportMicro) +
-            expr("85 * coalesce(inflow, 0L) div 100")).as("rank_micro"))
+      val next =
+        if (denseInflow) contribs.select(col("node"),
+          (lit(TeleportMicro) + expr("85 * inflow div 100")).as("rank_micro"))
+        else nodes
+          .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
+          .select(col("node"),
+            (lit(TeleportMicro) +
+              expr("85 * coalesce(inflow, 0L) div 100")).as("rank_micro"))
       // truncate the lineage every `checkpointEvery` rounds: each
       // checkpoint round costs a fixed materialization-job launch, while a
       // deeper nested plan between checkpoints costs only plan/codegen
@@ -108,7 +174,7 @@ object Graphs {
     nodes.unpersist()
     edgesDeg.unpersist()
     ranks
-  }
+    }
 
   /** PERSONALIZED PageRank (Haveliwala 2002 topic-sensitive variant, same
     * integer micro-unit arithmetic as [[pageRankMicro]]): teleport mass
@@ -189,34 +255,57 @@ object Graphs {
     * materialization itself is frontier-sized — node-bounded, never
     * edge-bounded. */
   def bfsDepths(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
-      maxDepth: Int): DataFrame =
+      maxDepth: Int, undirected: Boolean = false,
+      edgeCountHint: Option[Long] = None): DataFrame =
     bfsDepthsFromIndex(spark, edges.select(col("src"), col("dst")).distinct(),
-      seeds, maxDepth)
+      seeds, maxDepth, undirected, edgeCountHint)
 
   /** [[bfsDepths]] over a PREBUILT deduped edge list — the at-rest layout
     * (BenchIndex discipline): per-run cost skips the edge-dedup shuffle;
     * a bucketed-by-src deployment table would also skip the
     * re-partitioning this method still pays once. */
   def bfsDepthsFromIndex(spark: SparkSession, dedupedEdges: DataFrame,
-      seeds: DataFrame, maxDepth: Int): DataFrame = {
+      seeds: DataFrame, maxDepth: Int,
+      /** Caller-guaranteed: the edge set is SYMMETRIC (both directions
+        * present). A candidate reached from the depth-(d-1) frontier then
+        * has depth ≥ d-2 (one hop can lower depth by at most 1), so the
+        * per-round anti-join needs only the LAST TWO layers as its
+        * exclusion set instead of the whole visited union — the build
+        * side stays frontier-bounded for the entire run rather than
+        * growing toward |V|. Depths are identical under the guarantee;
+        * directed graphs must keep the default (a far-older node can be
+        * re-reached through a long forward path). */
+      undirected: Boolean = false,
+      /** Edge count (exact or cheap upper bound): sizes every internal
+        * exchange via [[statePartitions]]; None keeps the session
+        * default. */
+      edgeCountHint: Option[Long] = None): DataFrame =
+    withStatePartitions(spark, edgeCountHint.map(statePartitions(spark, _))) {
     require(maxDepth >= 1 && maxDepth <= 20, s"maxDepth must be in [1, 20], got $maxDepth")
     val e = dedupedEdges.select(col("src"), col("dst"))
       .repartition(col("src")).cache()
-    var visited = seeds.select(col("node")).distinct()
+    // layers(d) = nodes first reached at depth d, each lazily checkpointed
+    // ONCE — every layer is an ancestor of the final round through the
+    // frontier chain, so the final EAGER checkpoint materializes them all;
+    // total persisted state is O(V) instead of the O(V·maxDepth) the
+    // per-round visited-union re-materialization used to hold.
+    var layers = Vector(seeds.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("depth"))
-      .localCheckpoint(false)
-    var frontier = visited.select(col("node"))
+      .localCheckpoint(false))
+    var frontier = layers.head.select(col("node"))
     for (d <- 1 to maxDepth) {
-      val next = bfsRound(e, frontier, visited, d).localCheckpoint(false)
+      val exclude = (if (undirected) layers.takeRight(2) else layers)
+        .map(_.select(col("node"))).reduce(_ union _)
       // final round checkpoints EAGERLY so the cached edge frame can be
       // released before returning — repeated calls (q78 per run, the scale
       // A/B's 1×/10× copies) must not accumulate pinned storage in the
       // block manager for the session's lifetime
-      visited = visited.union(next).localCheckpoint(d == maxDepth)
+      val next = bfsRound(e, frontier, exclude, d).localCheckpoint(d == maxDepth)
+      layers = layers :+ next
       frontier = next.select(col("node"))
     }
     e.unpersist()
-    visited
+    layers.reduce(_ union _)
   }
 
   /** One BFS round: nodes first reached at depth `d` — factored out so

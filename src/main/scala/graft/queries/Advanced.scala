@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Graft.table
 import graft.operators.{EntityResolution, Graphs, Merge, Stats, TimeSeries}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -140,6 +141,27 @@ object Advanced {
       FROM c GROUP BY c_nationkey
       ORDER BY c_nationkey"""))
 
+  /** Co-supply graph node encoding (r16 optimization): the supplier/part
+    * node sets are namespaced into ONE long key space — supplier k ↦ 2k,
+    * part k ↦ 2k+1 — instead of the 's<k>'/'p<k>' strings the oracle
+    * outputs. Every iteration of the graph ops (q49/q76/q78: 2 shuffles ×
+    * 5 rounds, plus the per-round frontier joins) then hashes/compares/
+    * moves 8-byte longs instead of 5-9 char strings; the label is decoded
+    * ONCE on the final, node-sized result. Rank/depth values are untouched
+    * — the graph is isomorphic and the arithmetic integer — so the oracle
+    * rows are bit-identical. */
+  private def cosupplyPairsLong(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .select((col("l_suppkey").cast("long") * 2L).as("src"),
+        (col("l_partkey").cast("long") * 2L + 1L).as("dst"))
+      .distinct()
+
+  /** Decode a 2k/2k+1 co-supply node id back to its 's<k>'/'p<k>' label
+    * (shiftright = exact integer div 2 on the non-negative key space). */
+  private[queries] def decodeCosupplyNode(node: Column): Column =
+    concat(when(node % 2L === 0L, lit("s")).otherwise(lit("p")),
+      shiftright(node.cast("long"), 1).cast("string"))
+
   /** Fixed-iteration integer PageRank ([[Graphs.pageRankMicro]]) over the
     * symmetric supplier↔part co-supply graph. 5 iterations, each ONE
     * shuffle (edges⋈ranks on src + map-combined sum per dst); integer
@@ -148,12 +170,15 @@ object Advanced {
   val q49PageRank = GraftQuery(
     "q49_pagerank",
     (s, dir) => {
-      val pairs = table(s, dir, "lineitem")
-        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
-        .distinct()
+      val pairs = cosupplyPairsLong(s, dir)
       val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      Graphs.pageRankMicro(s, edges, iterations = 5)
+      // symmetric edge set ⇒ every node has in-edges: denseInflow skips the
+      // per-iteration dangling fill (2 shuffles/iter → 1); the edge-count
+      // upper bound (2 rows per lineitem, parquet-metadata count) sizes the
+      // iteration exchanges scale-adaptively
+      Graphs.pageRankMicro(s, edges, iterations = 5, denseInflow = true,
+        edgeCountHint = Some(2L * table(s, dir, "lineitem").count()))
+        .select(decodeCosupplyNode(col("node")).as("node"), col("rank_micro"))
         .orderBy(col("rank_micro").desc, col("node"))
     },
     Some("""
@@ -192,7 +217,10 @@ object Advanced {
       // deployment shape: the deduped degree-annotated edge layout is an
       // AT-REST artifact (BenchIndex); per-run cost is the iterations
       val (nodes, edgesDeg, _) = BenchIndex.cosupplyGraph(s, dir)
-      Graphs.pageRankMicroFromIndex(s, nodes, edgesDeg, iterations = 5)
+      Graphs.pageRankMicroFromIndex(s, nodes, edgesDeg, iterations = 5,
+          denseInflow = true, // symmetric edge set: see the run path
+          edgeCountHint = Some(BenchIndex.cosupplyEdgeCount(s, dir)))
+        .select(decodeCosupplyNode(col("node")).as("node"), col("rank_micro"))
         .orderBy(col("rank_micro").desc, col("node"))
     }))
 
@@ -940,7 +968,7 @@ object Advanced {
     "q73_mutual_info",
     (s, dir) =>
       Stats.mutualInfo(
-        s.read.parquet(s"$dir/documents.parquet"), col("lang"), col("source")),
+        table(s, dir, "documents"), col("lang"), col("source")),
     Some("""
       WITH joint AS (
         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nxy
@@ -1049,17 +1077,15 @@ object Advanced {
   val q76PersonalizedPageRank = GraftQuery(
     "q76_personalized_pagerank",
     (s, dir) => {
-      val pairs = table(s, dir, "lineitem")
-        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
-        .distinct()
+      val pairs = cosupplyPairsLong(s, dir)
       val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = table(s, dir, "lineitem")
         .filter(col("l_suppkey") % 7 === 0)
-        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("node"))
+        .select((col("l_suppkey").cast("long") * 2L).as("node"))
         .distinct()
       Graphs.personalizedPageRankMicro(s, edges, seeds, iterations = 5)
         .filter(col("rank_micro") > 0L)
+        .select(decodeCosupplyNode(col("node")).as("node"), col("rank_micro"))
         .orderBy(col("rank_micro").desc, col("node"))
     },
     Some("""
@@ -1123,16 +1149,16 @@ object Advanced {
   val q78BfsDepths = GraftQuery(
     "q78_bfs_depths",
     (s, dir) => {
-      val pairs = table(s, dir, "lineitem")
-        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
-        .distinct()
+      val pairs = cosupplyPairsLong(s, dir)
       val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = table(s, dir, "lineitem")
         .filter(col("l_suppkey") % 25 === 0)
-        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("node"))
+        .select((col("l_suppkey").cast("long") * 2L).as("node"))
         .distinct()
-      Graphs.bfsDepths(s, edges, seeds, maxDepth = 4)
+      // symmetric edge set: the anti-join excludes only the last two layers
+      Graphs.bfsDepths(s, edges, seeds, maxDepth = 4, undirected = true,
+        edgeCountHint = Some(2L * table(s, dir, "lineitem").count()))
+        .select(decodeCosupplyNode(col("node")).as("node"), col("depth"))
         .orderBy(col("depth"), col("node"))
     },
     Some("""
@@ -1158,9 +1184,11 @@ object Advanced {
       val (_, _, edges) = BenchIndex.cosupplyGraph(s, dir)
       val seeds = table(s, dir, "lineitem")
         .filter(col("l_suppkey") % 25 === 0)
-        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("node"))
+        .select((col("l_suppkey").cast("long") * 2L).as("node"))
         .distinct()
-      Graphs.bfsDepthsFromIndex(s, edges, seeds, maxDepth = 4)
+      Graphs.bfsDepthsFromIndex(s, edges, seeds, maxDepth = 4, undirected = true,
+          edgeCountHint = Some(BenchIndex.cosupplyEdgeCount(s, dir)))
+        .select(decodeCosupplyNode(col("node")).as("node"), col("depth"))
         .orderBy(col("depth"), col("node"))
     }))
 

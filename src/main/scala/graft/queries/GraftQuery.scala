@@ -36,6 +36,6 @@ object GraftQuery {
     * query bodies can be written in spark.sql where that is clearest. */
   def views(spark: SparkSession, dir: String, names: String*): Unit =
     names.foreach { n =>
-      spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
+      graft.Graft.readParquet(spark, s"$dir/$n.parquet").createOrReplaceTempView(n)
     }
 }

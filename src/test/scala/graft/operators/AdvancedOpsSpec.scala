@@ -69,6 +69,48 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(shallow == Map("a" -> 0L, "b" -> 1L, "c" -> 2L), shallow.toString)
   }
 
+  test("pageRankMicro denseInflow/edgeCountHint: bit-identical ranks on random symmetric graphs") {
+    // denseInflow skips the per-iteration dangling fill under the
+    // symmetric-edge-set guarantee; edgeCountHint re-sizes every internal
+    // exchange — NEITHER may change a single rank (integer arithmetic is
+    // partitioning-exact and the contrib key set is the node set)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(30)
+      val pairs = (1 to 120).map(_ => (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+        .filter(p => p._1 != p._2).distinct
+      val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+      val base = Graphs.pageRankMicro(spark, edges, 5)
+        .orderBy("node").collect().toSeq
+      val dense = Graphs.pageRankMicro(spark, edges, 5, denseInflow = true,
+        edgeCountHint = Some(pairs.size.toLong * 2))
+        .orderBy("node").collect().toSeq
+      assert(base == dense, s"trial $trial diverged")
+    }
+  }
+
+  test("bfsDepths undirected/edgeCountHint: identical depths on random symmetric graphs") {
+    // undirected=true excludes only the last two layers (valid because one
+    // hop changes depth by at most 1 on a symmetric edge set); depths must
+    // match the general path exactly, across several random graphs and
+    // depth caps
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 15 + rnd.nextInt(25)
+      val pairs = (1 to 80).map(_ => (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+        .filter(p => p._1 != p._2).distinct
+      val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+      val seeds = Seq(s"n0", s"n1").toDF("node")
+      val depth = 1 + rnd.nextInt(5)
+      val base = Graphs.bfsDepths(spark, edges, seeds, depth)
+        .orderBy("node").collect().toSeq
+      val und = Graphs.bfsDepths(spark, edges, seeds, depth, undirected = true,
+        edgeCountHint = Some(pairs.size.toLong * 2))
+        .orderBy("node").collect().toSeq
+      assert(base == und, s"trial $trial depth $depth diverged")
+    }
+  }
+
   test("bfsDepths is partition-layout independent") {
     val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("f", "g"))
     val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
