@@ -544,9 +544,19 @@ object Graphs {
     val o = if (cacheOriented) oPlan.cache() else oPlan
     // 1 long to the driver (materializes the cache) unless hinted lazy
     val m = orientedEdgeCountHint.getOrElse(o.count())
+    // ONE scale-sized exchange on s feeds BOTH wedge sides: the subtrees
+    // are identical, so the second side is a ReusedExchange — previously
+    // each side shuffled the edge set separately, and at the session's
+    // core-count reducers the tiny-block writes cost 1.7-2.1 s per side
+    // on 12-15 MB of payload (guide §2.2). statePartitions sizes the
+    // exchange from m, not the core count.
+    val oP = o.repartition(statePartitions(oriented.sparkSession, m), col("s"))
     // wedge: two out-edges of s with t₁ < t₂ in orientation (deg, id)
     // order, so each unordered wedge is emitted once; closure: the
-    // oriented edge t₁→t₂ must exist with exactly that direction
+    // oriented edge t₁→t₂ must exist with exactly that direction.
+    // shuffle_hash on the p2 side: both sides are already co-partitioned
+    // (no new exchange) and sort-merge would SORT the edge set twice just
+    // to stream wedges out.
     val closure =
       if (m <= closureBroadcastMaxEdges) broadcast(o.as("e3"))
       // past the gate, pin a SHUFFLED HASH join with the edge set as the
@@ -555,11 +565,34 @@ object Graphs {
       // 79 s at 12M edges (GraphScaleAb). Build side is edges/partitions
       // (~24 B/edge), executor-safe at any m with sane partition counts.
       else o.as("e3").hint("shuffle_hash")
-    val tri = o.as("p1").join(o.as("p2"),
+    val wedges = oP.as("p1").join(oP.as("p2").hint("shuffle_hash"),
         col("p1.s") === col("p2.s") &&
           (col("p1.dt") < col("p2.dt") ||
             (col("p1.dt") === col("p2.dt") && col("p1.t") < col("p2.t"))))
       .select(col("p1.s").as("a"), col("p1.t").as("b"), col("p2.t").as("c"))
+    // BLOOM PRE-FILTER before the wedge exchange (guide §3.2): most wedges
+    // never close — only (b,c) pairs that are themselves oriented edges
+    // survive the closure join — so probing a sketch of the edge keys IN
+    // THE WEDGE-GENERATING STAGE drops the dead wedges before the Θ(m^1.5)
+    // stream is shuffled (sf0.1 co-purchase: 500 MB → ~120 MB at fpp 2%).
+    // False positives only re-join; no false negatives, so the triangle
+    // set is unchanged. Skipped on the broadcast path (already map-side).
+    val survivors =
+      if (m <= closureBroadcastMaxEdges) wedges
+      else {
+        val sketch = o.agg(graft.sql.Bloom.bloomFilterAgg(
+          xxhash64(col("s"), col("t")), math.max(m, 1L), 0.02).as("bf"))
+        wedges.filter(graft.sql.Bloom.mightContain(sketch.scalar(),
+          xxhash64(col("b"), col("c"))))
+      }
+    // the closure exchanges carry the bloom-filtered wedge stream (~edge
+    // scale after the filter) — size them like the edge exchanges instead
+    // of inheriting the session reducer count
+    val pW = statePartitions(oriented.sparkSession, m)
+    val wedgesP =
+      if (m <= closureBroadcastMaxEdges) survivors
+      else survivors.repartition(pW, col("b"), col("c"))
+    val tri = wedgesP
       .join(closure, col("e3.s") === col("b") && col("e3.t") === col("c"))
       .select(col("a"), col("b"), col("c"))
     tri

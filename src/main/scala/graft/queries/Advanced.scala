@@ -736,13 +736,18 @@ object Advanced {
   val q64Triangles = GraftQuery(
     "q64_triangle_counts",
     (s, dir) => {
+      // int node ids through the Θ(m^1.5) wedge stream (partkeys fit int
+      // at every declared SF); node widens back to long on the final
+      // node-sized result so the output schema is unchanged
       val items = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .select(col("l_orderkey"), col("l_partkey").cast("int").as("l_partkey"))
+        .distinct()
       val edges = items.as("a").join(items.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       Graphs.triangleCounts(edges)
+        .select(col("node").cast("long").as("node"), col("n_triangles"))
         .orderBy(col("n_triangles").desc, col("node"))
     },
     Some("""
@@ -771,6 +776,7 @@ object Advanced {
       // deployment shape: the degree-ORIENTED edge set is an at-rest
       // artifact; per-run cost is the wedge + closure probe
       Graphs.triangleCountsFromOriented(BenchIndex.copurchaseOriented(s, dir))
+        .select(col("node").cast("long").as("node"), col("n_triangles"))
         .orderBy(col("n_triangles").desc, col("node"))
     }))
 

@@ -30,8 +30,10 @@ object BenchIndex {
     * (seed hashing, SignPlaneKeys planes, PQ codebook logic, schemas).
     * v2: PQ code tables store dense codebook POSITIONS, not entry ids.
     * v3: co-supply graph nodes are LONG ids (2k/2k+1), not 's<k>'/'p<k>'
-    *     strings — labels decode on the final result only. */
-  val IndexFormatVersion = 3
+    *     strings — labels decode on the final result only.
+    * v4: co-purchase oriented edges are INT-typed (partkeys fit int at
+    *     every declared SF) — halves the Θ(m^1.5) wedge shuffle bytes. */
+  val IndexFormatVersion = 4
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
@@ -233,12 +235,17 @@ object BenchIndex {
   def copurchaseOriented(s: SparkSession, dir: String): DataFrame =
     artifacts(s, dir, "copurchase_oriented", Seq("oriented"),
       srcTable = "lineitem") {
+      // INT-typed node ids (partkeys fit int at every declared SF): the
+      // wedge stream is 3 ids/row and Θ(m^1.5) rows — int keys halve its
+      // shuffle bytes; q64 casts the node-sized result back to long
       val items = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .select(col("l_orderkey"), col("l_partkey").cast("int").as("l_partkey"))
+        .distinct()
       val edges = items.as("a").join(items.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      Seq("oriented" -> graft.operators.Graphs.orientEdges(edges))
+      val o = graft.operators.Graphs.orientEdges(edges)
+      Seq("oriented" -> o.select(col("s"), col("t"), col("dt").cast("int").as("dt")))
     }.head
 }
