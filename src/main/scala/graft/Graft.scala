@@ -31,6 +31,14 @@ object Graft {
       // readers of INT96 parquet wrap it to 1816 — µs encoding round-trips it
       // exactly through every reader.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // The 4 MB default models remote-storage open cost; on local disk it
+      // bin-packs an entire small multi-file table (at-rest index
+      // artifacts, compacted lakehouse tables) into 1-2 scan partitions,
+      // serializing CPU-heavy probe scans. 128 KB keeps small files
+      // splittable locally; a cluster on object storage would raise it
+      // back toward the default (env-overridable).
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "131072"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -701,15 +701,24 @@ object Clustering {
       .drop("__pid")
   }
 
-  /** Per-subspace (pos → value) ARRAY aggregate: entries collected per
-    * group, sorted by pos (unique — deterministic), values extracted.
-    * `element_at(arr, code)` with the 1-based positional code is the O(1)
-    * ADC lookup. */
-  private def posArrayOf(c: String): Column =
-    transform(array_sort(collect_list(struct(col("pos"), col(c).as("d")))),
-      x => x.getField("d"))
-
-  private def posArray(m: Int): Column = posArrayOf(s"qd_$m")
+  /** ALL per-subspace (pos → value) positional arrays from ONE sorted
+    * collect per group: collect_list(struct(pos, v_0 … v_{numSub−1})),
+    * array_sort'ed by the (unique — deterministic) leading pos once, then
+    * each value column projected out with `transform`. The previous
+    * one-aggregate-per-column spelling sorted the SAME group list once
+    * PER SUBSPACE — numSub array_sorts of √n structs per group, which
+    * serialized into ~1 s of single-task CPU inside the (AQE-coalesced,
+    * group-count-tiny) final aggregate at sf0.1. Entry order and values
+    * are identical (pos is unique, so the sort never reaches the value
+    * fields); `element_at(arr, code)` with the 1-based positional code
+    * stays the O(1) ADC lookup. */
+  private def posArraysAgg(df: DataFrame, keyCol: String,
+      valCols: Seq[String], outCols: Seq[String]): DataFrame = {
+    val sorted = array_sort(collect_list(struct(col("pos") +: valCols.map(col): _*)))
+    df.groupBy(col(keyCol)).agg(sorted.as("__ps"))
+      .select(col(keyCol) +: valCols.zip(outCols).map { case (v, o) =>
+        transform(col("__ps"), x => x.getField(v)).as(o) }: _*)
+  }
 
   /** Squared L2 distance between the `m`-th `subDim`-wide subspace slices of
     * two `array<float>` columns, `|a|² + |b|² − 2·a·b` with each term a
@@ -835,9 +844,8 @@ object Clustering {
           .cast(DecimalType(28, 9)).as(s"qd_$m")): _*)
     // per-query POSITIONAL distance arrays (see [[withPos]]): the scan
     // resolves each subspace by O(1) array indexing, not a map scan
-    val qMaps = qd.groupBy(col("query_id")).agg(
-      posArray(0).as("qa_0"),
-      (1 until numSub).map(m => posArray(m).as(s"qa_$m")): _*)
+    val qMaps = posArraysAgg(qd, "query_id",
+      (0 until numSub).map(m => s"qd_$m"), (0 until numSub).map(m => s"qa_$m"))
 
     val est = (0 until numSub)
       .map(m => element_at(col(s"qa_$m"), col(s"code_$m").cast("int")))
@@ -942,9 +950,8 @@ object Clustering {
       .select(col("query_id") +: col("pos") +: (0 until numSub).map(m =>
         round(subDist2(col("q_emb"), col("c_emb"), m, subDim), 9)
           .cast(DecimalType(28, 9)).as(s"qd_$m")): _*)
-    val qMaps = qd.groupBy(col("query_id")).agg(
-      posArray(0).as("qa_0"),
-      (1 until numSub).map(m => posArray(m).as(s"qa_$m")): _*)
+    val qMaps = posArraysAgg(qd, "query_id",
+      (0 until numSub).map(m => s"qd_$m"), (0 until numSub).map(m => s"qa_$m"))
 
     // candidate restriction: code rows of probed cells only — the at-rest
     // code table keyed by cell_id meets the broadcast (query, cell) probes.
@@ -1088,25 +1095,34 @@ object Clustering {
     // unchanged — RecallAb re-witnesses).
     val rcbPos = withPos(rcb, "rcode_id").select(col("pos"), col("r_emb"))
     // probe-independent query×code dots, folded to positional arrays
-    val qrArrs = queries
+    val qrArrs = posArraysAgg(queries
       .select(col(idCol).cast("bigint").as("query_id"), col(embCol).as("q_emb"))
       .join(broadcast(rcbPos))
       .select(col("query_id") +: col("pos") +:
         (0 until numSub).map(m =>
-          subDot(col("q_emb"), col("r_emb"), m, subDim).as(s"qr_$m")): _*)
-      .groupBy(col("query_id")).agg(
-        posArrayOf("qr_0").as("qra_0"),
-        (1 until numSub).map(m => posArrayOf(s"qr_$m").as(s"qra_$m")): _*)
-    // query-independent cell×code term, folded to positional arrays
-    val scArrs = cells.select(col("cell_id"), col("c_emb"))
+          subDot(col("q_emb"), col("r_emb"), m, subDim).as(s"qr_$m")): _*),
+      "query_id",
+      (0 until numSub).map(m => s"qr_$m"), (0 until numSub).map(m => s"qra_$m"))
+
+    // query-independent cell×code term, folded to positional arrays.
+    // The cells codebook is ~√n rows in ONE parquet file, so without the
+    // repartition the √n·√n·numSub subspace folds (537×537×32 at sf0.1 ≈
+    // 9M fused dot-products) all land on a single task — measured 927 ms
+    // of sequential CPU in an otherwise sub-200 ms-per-stage query. One
+    // tiny exchange (√n rows) spreads the build across the executors.
+    // (explicit partition count: the exchange payload is ~100 KB, so
+    // keyed-only repartition gets AQE-coalesced straight back to 1 task —
+    // the work here is CPU, not bytes)
+    val scArrs = posArraysAgg(cells.select(col("cell_id"), col("c_emb"))
+      .repartition(cells.sparkSession.sparkContext.defaultParallelism, col("cell_id"))
       .join(broadcast(rcbPos))
       .select(col("cell_id") +: col("pos") +:
         (0 until numSub).map(m =>
           (subDot(col("r_emb"), col("r_emb"), m, subDim)
-            + lit(2.0) * subDot(col("c_emb"), col("r_emb"), m, subDim)).as(s"sc_$m")): _*)
-      .groupBy(col("cell_id")).agg(
-        posArrayOf("sc_0").as("sca_0"),
-        (1 until numSub).map(m => posArrayOf(s"sc_$m").as(s"sca_$m")): _*)
+            + lit(2.0) * subDot(col("c_emb"), col("r_emb"), m, subDim)).as(s"sc_$m")): _*),
+      "cell_id",
+      (0 until numSub).map(m => s"sc_$m"), (0 until numSub).map(m => s"sca_$m"))
+
     // the (query, probed cell) pairing frame carries only the numSub qc2
     // scalars; the √n-entry positional arrays stay in their OWN broadcasts
     // (qrArrs per query, scArrs per cell) instead of being duplicated into

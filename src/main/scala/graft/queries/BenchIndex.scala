@@ -32,8 +32,17 @@ object BenchIndex {
     * v3: co-supply graph nodes are LONG ids (2k/2k+1), not 's<k>'/'p<k>'
     *     strings — labels decode on the final result only.
     * v4: co-purchase oriented edges are INT-typed (partkeys fit int at
-    *     every declared SF) — halves the Θ(m^1.5) wedge shuffle bytes. */
-  val IndexFormatVersion = 4
+    *     every declared SF) — halves the Θ(m^1.5) wedge shuffle bytes.
+    * v5: row-heavy parts (code tables, assignments, postings, edges) are
+    *     written as defaultParallelism files — a one-file artifact is one
+    *     parquet row group, so every probe's scan ran on ONE task (the
+    *     s15 ADC estimate burned ~1 s of sequential CPU there). */
+  val IndexFormatVersion = 5
+
+  /** Artifact parts small enough to stay single-file (broadcast-side
+    * codebooks); everything else spreads across defaultParallelism files
+    * at write time so probe scans parallelize. */
+  private val SingleFileParts = Set("cells", "coarse", "rcb")
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
@@ -55,7 +64,10 @@ object BenchIndex {
     val base = cacheRoot(dir, srcTable).resolve(name)
     if (!Files.exists(base.resolve("_DONE"))) {
       build.foreach { case (part, df) =>
-        df.write.mode("overwrite").parquet(base.resolve(part).toString)
+        val out =
+          if (SingleFileParts(part)) df
+          else df.repartition(s.sparkContext.defaultParallelism)
+        out.write.mode("overwrite").parquet(base.resolve(part).toString)
       }
       Files.createFile(base.resolve("_DONE"))
     }

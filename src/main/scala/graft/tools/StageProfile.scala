@@ -30,9 +30,10 @@ object StageProfile {
           f"fetch=${m.shuffleReadMetrics.fetchWaitTime}%3d " +
           f"swrite=${m.shuffleWriteMetrics.writeTime / 1000000}%3d " +
           f"sbytes=${m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten}%9d"
+        val site = i.rddInfos.sortBy(_.id).map(_.name).mkString("<-")
         stages.synchronized {
           stages += ((i.stageId, i.numTasks, ms,
-            detail + "  " + i.name.split(" at ").headOption.getOrElse("")))
+            detail + "  " + i.name.split(" at ").headOption.getOrElse("") + "  " + site))
         }
       }
       override def onJobStart(js: SparkListenerJobStart): Unit =
