@@ -377,7 +377,15 @@ object Graphs {
     * count to fail fast on malformed input instead (off by default: the
     * check is eager, and trusted pipelines shouldn't pay it per call). */
   def hierarchyRollup(parents: DataFrame, rounds: Int, checkpointEvery: Int = 1,
-      validateParents: Boolean = false): DataFrame = {
+      validateParents: Boolean = false,
+      /** Node count (exact or cheap upper bound): sizes each round's
+        * self-join exchanges via [[statePartitions]] instead of the
+        * session default — the per-round state is node-sized, and the
+        * lazy checkpoints plan (toRdd) at construction, inside the conf
+        * window. None keeps the session settings. */
+      nodeCountHint: Option[Long] = None): DataFrame =
+    withStatePartitions(parents.sparkSession,
+      nodeCountHint.map(statePartitions(parents.sparkSession, _))) {
     require(rounds >= 1 && rounds <= 30, s"rounds must be in [1, 30], got $rounds")
     if (validateParents) {
       val orphans = parents.filter(col("parent").isNotNull)

@@ -132,6 +132,21 @@ object Similarity {
     * projection, no shuffle. */
   def signBits(vec: Column, dim: Int): Column = {
     require(dim > 0 && dim % 64 == 0, s"dim must be a positive multiple of 64, got $dim")
+    // native compiled loop ([[graft.sql.SignPackBits]]): the Column fold
+    // below (kept as the executable spec) is a 64-deep expression tree PER
+    // WORD — big enough that whole-stage codegen gives up on the stage,
+    // dropping the scan + join + Hamming + shortlist pipeline into
+    // interpreted execution (measured ~234 µs/row on the projection alone)
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.sql.SignPackBits(
+        org.apache.spark.sql.graft.ColumnShim.expression(vec), dim))
+  }
+
+  /** shiftleft/bitwiseOR fold spelling of the same packing — the
+    * executable specification [[graft.sql.SignPackBits]] is parity-tested
+    * against. */
+  def signBitsFold(vec: Column, dim: Int): Column = {
+    require(dim > 0 && dim % 64 == 0, s"dim must be a positive multiple of 64, got $dim")
     val words = (0 until dim / 64).map { w =>
       (0 until 64).foldLeft(lit(0L): Column) { (acc, i) =>
         shiftleft(acc, 1).bitwiseOR(
@@ -143,8 +158,24 @@ object Similarity {
 
   /** Hamming distance between two [[signBits]] codes: Σ popcount(xor) per
     * word — dim/64 integer ops per pair where the exact path pays dim
-    * float multiplies. */
-  def hammingDist(aBits: Column, bBits: Column): Column =
+    * float multiplies. STATICALLY UNROLLED over the (compile-time-known)
+    * word count: the zip_with/aggregate HOF spelling falls out of
+    * whole-stage codegen and was interpreted per PAIR — lambda dispatch
+    * plus a fresh array allocation per candidate (~11 µs/pair; the s19
+    * scan spent ~0.9 s of one-task CPU on an 80k-pair corpus).
+    * element_at/xor/bit_count codegen; integer adds in the same
+    * left-to-right word order, so distances are bit-identical. */
+  def hammingDist(aBits: Column, bBits: Column, words: Int): Column = {
+    require(words >= 1, s"words must be >= 1, got $words")
+    (0 until words).map(w =>
+      bit_count(element_at(aBits, w + 1).bitwiseXOR(element_at(bBits, w + 1)))
+        .cast("long"))
+      .reduce(_ + _)
+  }
+
+  /** HOF spelling of the same fold — the executable specification the
+    * unrolled form is parity-tested against. */
+  def hammingDistHof(aBits: Column, bBits: Column): Column =
     aggregate(zip_with(aBits, bBits,
       (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, v) => acc + v)
@@ -174,7 +205,7 @@ object Similarity {
       signBits(col("embedding"), dim).as("c_bits"))
     val ham = cb.join(broadcast(qb), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (-hammingDist(col("q_bits"), col("c_bits")).cast("double")).as("cosine"))
+        (-hammingDist(col("q_bits"), col("c_bits"), dim / 64).cast("double")).as("cosine"))
     // shortlist = per-query top-`shortlist` by (hamming asc, id asc) via
     // the bounded aggregate (score = -hamming reuses its DESC ordering)
     val cands = topKByCosine(ham, shortlist)
@@ -242,10 +273,13 @@ object Similarity {
       l2Norm(col("embedding")).as("q_norm"))
     val est = cb.join(broadcast(qb), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
+        // the q·code fold through the NATIVE codegen'd dot: codes are
+        // int8-valued, so the int→float cast is exact and the
+        // (float→double)·(float→double) sequential fold is bit-identical
+        // to the HOF spelling this replaces — which was interpreted per
+        // PAIR (lambda dispatch + array allocation per candidate)
         when(col("code_norm") === 0.0, lit(-2.0)).otherwise(
-          aggregate(zip_with(col("q_emb"), col("codes"),
-            (x, c) => x.cast("double") * c.cast("double")),
-            lit(0.0), (a, v) => a + v)
+          dot(col("q_emb"), col("codes").cast("array<float>"))
             / (col("q_norm") * col("code_norm"))).as("cosine"))
     val cands = topKByCosine(est, shortlist)
       .select(col("query_id"), col("neighbor_id"))

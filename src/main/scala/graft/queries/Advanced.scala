@@ -1056,7 +1056,8 @@ object Advanced {
       val parents = table(s, dir, "part")
         .select(col("p_partkey").cast("bigint").as("node"),
           when(col("p_partkey") >= 8, expr("p_partkey div 8").cast("bigint")).as("parent"))
-      Graphs.hierarchyRollup(parents, rounds = 5)
+      Graphs.hierarchyRollup(parents, rounds = 5,
+          nodeCountHint = Some(table(s, dir, "part").count()))
         .orderBy(col("node"))
     },
     Some("""

@@ -91,6 +91,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, f"recall@5 $recall%.3f below 0.6 floor")
   }
 
+  test("signBits: native packing equals the shiftleft/bitwiseOR fold specification") {
+    val e = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val diff = e.select(
+        Similarity.signBits(col("embedding"), 64).as("native"),
+        Similarity.signBitsFold(col("embedding"), 64).as("fold"))
+      .filter(col("native") =!= col("fold"))
+    assert(diff.isEmpty)
+  }
+
+  test("hammingDist: unrolled codegen form equals the HOF specification, multi-word") {
+    // the r16 unroll must be bit-identical to the zip_with/aggregate
+    // spelling across word counts and random sign patterns
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 200).map(_ => (rnd.nextLong(), Array.fill(2)(rnd.nextLong()),
+      Array.fill(2)(rnd.nextLong())))
+    val df = spark.createDataFrame(rows).toDF("id", "a", "b")
+    val diff = df.select(
+        Similarity.hammingDist(col("a"), col("b"), 2).as("u"),
+        Similarity.hammingDistHof(col("a"), col("b")).as("h"))
+      .filter(col("u") =!= col("h"))
+    assert(diff.isEmpty)
+  }
+
   test("binary-quantized ANN: packing round-trips signs, recall@5 meets the floor, shortlist lever works") {
     val e = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id").as("id"), col("embedding"))
